@@ -1,0 +1,280 @@
+"""Dataset / SQLChain — the chainable transform surface.
+
+Reference semantics (rasgoql/rasgoql/primitives/transforms.py:79-111,261-429):
+a ``Dataset`` points at a table; each transform call appends a step and
+returns a NEW chain (immutable); terminal ops execute. In this engine the
+executable artifact is the composed ``pyspark.sql.DataFrame`` — Spark's
+logical plan is the real IR and Catalyst optimizes it. The step list is kept
+only for ``.sql()`` / ``to_dbt`` rendering parity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any, Iterator, Optional
+
+from pyspark.sql import DataFrame
+
+from . import registry
+from .errors import ParameterException, TableConflictException, TransformRenderingException
+from .naming import cleanse_name
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+    from .session import RasgoSession
+
+PREVIEW_LIMIT = 10  # reference: LIMIT 10 preview cap (data/snowflake.py:426,438)
+
+
+@dataclass(frozen=True)
+class Step:
+    """One applied transform: (template name, argument dict, output alias).
+
+    Reference: the ``Transform`` primitive (primitives/transforms.py:226-258).
+    ``table_args`` maps kwarg name -> SQL-renderable name of a table-valued
+    argument (the reference's flatten_transform_arguments,
+    transforms.py:435-450).
+    """
+
+    name: str
+    kwargs: dict
+    output_alias: str
+    table_args: dict = field(default_factory=dict)
+
+
+class SQLChain:
+    """An immutable chain of transforms over an entry DataFrame.
+
+    Every registered transform is available as a method: ``chain.aggregate(
+    group_by=[...], aggregations={...})`` returns a new chain. Reference:
+    dynamic method binding at transforms.py:52-77 and the generic ``transform``
+    invoker at transforms.py:79-111.
+    """
+
+    def __init__(
+        self,
+        session: "RasgoSession",
+        df: DataFrame,
+        entry_name: str,
+        steps: tuple[Step, ...] = (),
+    ):
+        self._session = session
+        self._df = df
+        self._entry_name = entry_name
+        self._steps = steps
+
+    # ------------------------------------------------------------------ core
+
+    @property
+    def df(self) -> DataFrame:
+        """The composed Spark DataFrame (lazy logical plan)."""
+        return self._df
+
+    @property
+    def session(self) -> "RasgoSession":
+        return self._session
+
+    @property
+    def fqtn(self) -> str:
+        return self._entry_name
+
+    @property
+    def steps(self) -> tuple[Step, ...]:
+        return self._steps
+
+    def transform(self, name: str, arguments: dict | None = None, **kwargs) -> "SQLChain":
+        """Apply a registered transform by name; returns a new chain."""
+        tdef = registry.get_transform(name)
+        kwargs = {**(arguments or {}), **kwargs}
+        if self._df.isStreaming and not tdef.streaming_ok:
+            raise ParameterException(
+                f"transform {name!r} is not supported on streaming DataFrames"
+            )
+        flat_kwargs, table_args = self._flatten_args(kwargs)
+        new_df = tdef.apply(self._df, **flat_kwargs)
+        alias = f"RQL_T{len(self._steps)}_{cleanse_name(name)}"
+        step = Step(name=name, kwargs=kwargs, output_alias=alias, table_args=table_args)
+        return SQLChain(self._session, new_df, self._entry_name, self._steps + (step,))
+
+    def _flatten_args(self, kwargs: dict) -> tuple[dict, dict]:
+        """Resolve Dataset/SQLChain/str table args to DataFrames.
+
+        Reference: flatten_transform_arguments (transforms.py:435-450) — table
+        transform arguments become FQTNs or inline CTE text.
+        """
+        flat: dict[str, Any] = {}
+        table_args: dict[str, str] = {}
+        for k, v in kwargs.items():
+            if isinstance(v, SQLChain):
+                flat[k] = v.df
+                table_args[k] = v.renderable_name()
+            elif isinstance(v, DataFrame):
+                flat[k] = v
+                table_args[k] = "<dataframe>"
+            elif isinstance(v, str) and k in ("join_table", "union_table", "right", "other"):
+                flat[k] = self._session.table_df(v)
+                table_args[k] = v
+            else:
+                flat[k] = v
+        return flat, table_args
+
+    def renderable_name(self) -> str:
+        """Name usable in rendered SQL: entry table if no steps, else subquery."""
+        if not self._steps:
+            return self._entry_name
+        return f"({self.sql()})"
+
+    def __getattr__(self, name: str):
+        try:
+            registry.get_transform(name)
+        except ParameterException:
+            raise AttributeError(name) from None
+
+        def invoke(arguments: dict | None = None, **kwargs) -> "SQLChain":
+            return self.transform(name, arguments, **kwargs)
+
+        invoke.__name__ = name
+        invoke.__doc__ = registry.get_transform(name).doc
+        return invoke
+
+    def __dir__(self):
+        return list(super().__dir__()) + [t.name for t in registry.list_transforms()]
+
+    def __repr__(self) -> str:
+        chain = " -> ".join([self._entry_name] + [s.name for s in self._steps])
+        return f"SQLChain({chain})"
+
+    # ------------------------------------------------- terminal / inspection
+
+    def to_df(self, batches: bool = False) -> "pd.DataFrame | Iterator[pd.DataFrame]":
+        """Execute and fetch as pandas (Arrow path). Reference: transforms.py:421-429.
+
+        ``batches=True`` returns an iterator of pandas frames (one per Arrow
+        batch) — the analog of Snowflake fetch_pandas_batches
+        (reference data/snowflake.py:593-599) and the sane path for results
+        larger than driver memory.
+        """
+        if batches:
+            import pandas as pd
+
+            def _iter():
+                for batch in self._df.toArrow().to_batches():
+                    yield batch.to_pandas()
+
+            return _iter()
+        return self._df.toPandas()
+
+    def preview(self) -> "pd.DataFrame":
+        """Top-10 rows (reference appends ``LIMIT 10``, snowflake.py:423-441)."""
+        return self._df.limit(PREVIEW_LIMIT).toPandas()
+
+    def get_schema(self) -> list[tuple[str, str]]:
+        """[(name, type)] — reference get_schema (transforms.py:304-311)."""
+        return [(f.name, f.dataType.simpleString()) for f in self._df.schema.fields]
+
+    def explain(self, mode: str = "formatted") -> str:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self._df.explain(mode=mode)
+        return buf.getvalue()
+
+    def save(
+        self,
+        table_name: str,
+        table_type: str = "view",
+        overwrite: bool = False,
+    ) -> "SQLChain":
+        """Materialize as a table or view and return a fresh chain over it.
+
+        Reference: chain.save → CREATE OR REPLACE TABLE/VIEW (transforms.py:
+        352-366, snowflake.py:235-269); provenance was tagged with
+        COMMENT='rasgoql' — we tag TBLPROPERTIES('created_by'='rasgoql_spark').
+        """
+        table_type = table_type.lower()
+        if table_type not in ("view", "table", "temp_view"):
+            raise ParameterException("table_type must be 'view', 'table' or 'temp_view'")
+        spark = self._df.sparkSession
+        ident = table_name if "." in table_name else table_name
+        if table_type == "temp_view":
+            if not overwrite and any(
+                t.name == table_name and t.isTemporary for t in spark.catalog.listTables()
+            ):
+                raise TableConflictException(
+                    f"temp view {table_name} exists; pass overwrite=True"
+                )
+            self._df.createOrReplaceTempView(table_name)
+        elif table_type == "table":
+            if spark.catalog.tableExists(ident) and not overwrite:
+                raise TableConflictException(f"table {ident} exists; pass overwrite=True")
+            (
+                self._df.write.mode("overwrite" if overwrite else "errorifexists")
+                .option("created_by", "rasgoql_spark")
+                .saveAsTable(ident)
+            )
+        else:
+            if spark.catalog.tableExists(ident) and not overwrite:
+                raise TableConflictException(f"view {ident} exists; pass overwrite=True")
+            # Views need SQL text; fall back to a temp view over this plan when
+            # the chain is not SQL-renderable.
+            try:
+                sql_text = self.sql()
+                spark.sql(
+                    f"CREATE OR REPLACE VIEW {ident} "
+                    f"TBLPROPERTIES('created_by'='rasgoql_spark') AS {sql_text}"
+                )
+            except TransformRenderingException:
+                self._df.createOrReplaceTempView(table_name.split(".")[-1])
+        return self._session.dataset(ident if table_type != "temp_view" else table_name)
+
+    # ------------------------------------------------------------ rendering
+
+    def sql(self, render_method: str = "SELECT") -> str:
+        """Render the chain as Spark-SQL text (parity artifact, never executed).
+
+        Reference: assemble_cte_chain (primitives/rendering.py:29-71) renders
+        ``WITH t1 AS (...), ... SELECT``; render_method='VIEWS' renders one
+        CREATE OR REPLACE VIEW per step (rendering.py:74-96). Dialect here is
+        Spark SQL (documented divergence — the reference emits the warehouse
+        dialect).
+        """
+        from .render import assemble_cte_chain, assemble_view_chain
+
+        if render_method.upper() == "VIEWS":
+            return assemble_view_chain(self)
+        return assemble_cte_chain(self)
+
+    def to_dbt(
+        self,
+        output_directory: str = ".",
+        file_name: str | None = None,
+        config_args: dict | None = None,
+        include_schema: bool = False,
+    ) -> str:
+        """Export the rendered chain as a dbt model (reference transforms.py:377-419)."""
+        from .dbt import save_model
+
+        return save_model(self, output_directory, file_name, config_args, include_schema)
+
+
+class Dataset(SQLChain):
+    """A chain with zero steps — a named pointer to a table/path.
+
+    Reference: the Dataset primitive (transforms.py:114-186) holds only
+    metadata; here it additionally carries the bound DataFrame (still lazy —
+    nothing is read until an action).
+    """
+
+    def __repr__(self) -> str:
+        return f"Dataset(fqtn={self._entry_name!r})"
+
+    def ddl(self) -> str:
+        """SHOW CREATE TABLE when the entry is a catalog table (transforms.py:168-173)."""
+        spark = self._df.sparkSession
+        try:
+            return spark.sql(f"SHOW CREATE TABLE {self._entry_name}").collect()[0][0]
+        except Exception:
+            return f"-- path-backed dataset: {self._entry_name}\n" + self._df.schema.simpleString()

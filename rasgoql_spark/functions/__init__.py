@@ -1,0 +1,7 @@
+"""LLM-data-pipeline operators (dedup, similarity, text analysis, multimodal).
+
+These are first-class extensions beyond the reference's surface, mandated by
+the north star (SURVEY §0, §7.2 M7).
+"""
+
+from . import dedup, multimodal, similarity, text  # noqa: F401

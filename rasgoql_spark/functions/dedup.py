@@ -1,0 +1,313 @@
+"""Deduplication operators (north-star extension; SURVEY §7.2 M7):
+exact, minhash-LSH, simhash, n-gram Jaccard, embedding-cosine.
+
+Design for 100 TB:
+- Exact dedup is a fingerprint hash-groupBy — one shuffle on a 128-bit key.
+- MinHash/LSH never compares all pairs: signatures are computed row-local
+  with JVM array expressions (no Python), candidate pairs come from
+  band-bucket equi-joins (shuffle on band key), and only candidates pay the
+  exact-Jaccard verification.
+- SimHash bands the 32-bit signature into 4 bytes; by pigeonhole any pair
+  within Hamming distance 3 shares a band.
+- Embedding dedup buckets by random-hyperplane sign signatures, so the
+  pairwise cosine check runs within buckets only.
+All hashes are md5-derived (functions/_hash.py) so DuckDB oracles can
+replicate every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col
+from ..registry import spark_transform
+from ._hash import MERSENNE, affine_hash, hash_params, md5_int, shingles_expr, tokens_expr
+
+
+@spark_transform("dedup_exact", category="dedup", streaming_ok=False)
+def dedup_exact(df: DataFrame, text: str, id_col: str, keep: str = "min") -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint: keep one row per
+    fingerprint (min or max id — deterministic). One hash shuffle."""
+    from .text import fingerprint
+
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    fp = fingerprint(df, t, name="__fp")
+    order = F.col(i).asc() if keep == "min" else F.col(i).desc()
+    w = Window.partitionBy("__fp").orderBy(order)
+    return fp.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn", "__fp")
+
+
+def _signature_cols(shingles: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature: per hash-family member, the min affine hash over
+    the shingle set. Empty shingle sets get sentinel MERSENNE (matches no
+    non-empty doc)."""
+    out = []
+    for j in range(num_hashes):
+        a, b = hash_params(j)
+        mh = F.array_min(F.transform(shingles, lambda s: affine_hash(s, a, b)))
+        out.append(F.coalesce(mh, F.lit(MERSENNE)).alias(f"__mh{j}"))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, shingles, band keys) per document — the shared LSH front-end.
+
+    Row-local JVM expressions only; embarrassingly parallel.
+    """
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    toks = tokens_expr(F.col(t))
+    sh = shingles_expr(toks, shingle_size)
+    return df.select(F.col(i).alias("__id"), sh.alias("__sh")).select(
+        "__id", "__sh", *_signature_cols(F.col("__sh"), num_hashes)
+    )
+
+
+@spark_transform("dedup_minhash", category="dedup", streaming_ok=False)
+def dedup_minhash(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    mode: str = "pairs",
+) -> DataFrame:
+    """MinHash + LSH near-duplicate detection (SURVEY §7.2 M7).
+
+    Pipeline: shingle → 16 minhashes → 4 bands of 4 → band-bucket equi-join
+    for candidates → exact Jaccard on shingle sets → threshold.
+    mode='pairs': (ID_A, ID_B, JACCARD) for near-dup pairs.
+    mode='filter': input rows minus any doc near-duplicate of a smaller id.
+    """
+    if num_hashes % bands != 0:
+        raise ParameterException("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text, id_col, num_hashes, shingle_size)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"__band{b}")
+        for b in range(bands)
+    ]
+    sig = sig.select("__id", "__sh", *band_cols)
+    # candidates: docs sharing any band bucket (distinct pairs, a < b)
+    bands_long = sig.select(
+        "__id",
+        "__sh",
+        F.explode(F.array(*[F.col(f"__band{b}") for b in range(bands)])).alias("__band"),
+    )
+    left = bands_long.select(
+        F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a"), "__band"
+    )
+    right = bands_long.select(
+        F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b"), "__band"
+    )
+    cand = (
+        left.join(right, on="__band")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select("__id_a", "__id_b", "__sh_a", "__sh_b")
+        .dropDuplicates(["__id_a", "__id_b"])
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    jac = F.when(un > 0, inter / un).otherwise(F.lit(0.0))
+    pairs = (
+        cand.withColumn("JACCARD", jac)
+        .filter(F.col("JACCARD") >= threshold)
+        .select(
+            F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "JACCARD"
+        )
+    )
+    if mode == "pairs":
+        return pairs
+    if mode == "filter":
+        i = resolve_col(df, id_col)
+        dupes = pairs.select(F.col("ID_B").alias(i)).distinct()
+        return df.join(dupes, on=i, how="left_anti")
+    raise ParameterException("mode must be 'pairs' or 'filter'")
+
+
+def _simhash_expr(tokens: Column, bits: int = 32) -> Column:
+    """SimHash: per bit, sum ±1 over distinct token hashes; bit set if the
+    sum is positive. Built from JVM array expressions (one aggregate per
+    bit over the token-hash array — no Python)."""
+    hashes = F.array_distinct(F.transform(tokens, md5_int))
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        sig = sig + F.when(vote > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
+    return sig
+
+
+@spark_transform("dedup_simhash", category="dedup", streaming_ok=False)
+def dedup_simhash(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    hamming_threshold: int = 3,
+    mode: str = "pairs",
+) -> DataFrame:
+    """SimHash near-dup detection over a 32-bit signature (SURVEY §7.2 M7).
+
+    Banding: 4 bytes; pigeonhole guarantees any pair within Hamming distance
+    3 collides on ≥1 byte-band. Verification = bit_count(xor) ≤ threshold.
+    mode='pairs' → (ID_A, ID_B, HAMMING); mode='signatures' → per-doc
+    (id, SIMHASH).
+    """
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    toks = tokens_expr(F.col(t))
+    sig = df.select(F.col(i).alias("__id"), _simhash_expr(toks).alias("SIMHASH"))
+    if mode == "signatures":
+        return sig.select(F.col("__id").alias(i), "SIMHASH")
+    bands_long = sig.select(
+        "__id",
+        "SIMHASH",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(b), F.shiftright("SIMHASH", b * 8).bitwiseAND(F.lit(255))
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("__band"),
+    )
+    left = bands_long.select(
+        F.col("__id").alias("__id_a"), F.col("SIMHASH").alias("__s_a"), "__band"
+    )
+    right = bands_long.select(
+        F.col("__id").alias("__id_b"), F.col("SIMHASH").alias("__s_b"), "__band"
+    )
+    ham = F.bit_count(F.col("__s_a").bitwiseXOR(F.col("__s_b")))
+    return (
+        left.join(right, on="__band")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .dropDuplicates(["__id_a", "__id_b"])
+        .withColumn("HAMMING", ham)
+        .filter(F.col("HAMMING") <= hamming_threshold)
+        .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "HAMMING")
+    )
+
+
+@spark_transform("dedup_ngram_jaccard", category="dedup", streaming_ok=False)
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard duplicate pairs via inverted-index candidate
+    generation: explode shingles, self-join on shingle, dedup candidate
+    pairs, verify exact Jaccard (SURVEY §7.2 M7). Exact but
+    shuffle-heavier than minhash — prefer dedup_minhash beyond ~10^8 docs
+    (documented trade-off)."""
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    base = df.select(
+        F.col(i).alias("__id"),
+        shingles_expr(tokens_expr(F.col(t)), shingle_size).alias("__sh"),
+    )
+    inv = base.select("__id", "__sh", F.explode("__sh").alias("__s"))
+    left = inv.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a"), "__s")
+    right = inv.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b"), "__s")
+    cand = (
+        left.join(right, on="__s")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select("__id_a", "__id_b", "__sh_a", "__sh_b")
+        .dropDuplicates(["__id_a", "__id_b"])
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    return (
+        cand.withColumn("JACCARD", F.when(un > 0, inter / un).otherwise(F.lit(0.0)))
+        .filter(F.col("JACCARD") >= threshold)
+        .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "JACCARD")
+    )
+
+
+def _hyperplane_sign(vec: Column, j: int) -> Column:
+    """Pseudo-random hyperplane sign for plane j: dot(vec, h_j) > 0 where
+    h_j[i] = +1 if ((i·2654435761 + j·40503) mod 97) < 48 else −1. Pure
+    integer arithmetic — reproducible in any engine."""
+    signed = F.zip_with(
+        vec,
+        F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda i: F.when(
+                (i * F.lit(2654435761) + F.lit(j * 40503)) % 97 < 48, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        ),
+        lambda v, s: v.cast("double") * s,
+    )
+    dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+    return (dot > 0).cast("int")
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays in double precision (JVM)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+@spark_transform("dedup_embedding", category="dedup", streaming_ok=False)
+def dedup_embedding(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    method: str = "lsh",
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ threshold (SURVEY §7.2 M7).
+
+    method='lsh': random-hyperplane sign signature buckets candidates —
+    cosine runs within buckets only (the scale path; approximate recall).
+    method='brute': all-pairs — exact, quadratic; for oracles/small tables.
+    Output (ID_A, ID_B, COSINE).
+    """
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    base = df.select(F.col(i).alias("__id"), F.col(v).alias("__vec"))
+    if method == "lsh":
+        sig = F.concat_ws(
+            "", *[_hyperplane_sign(F.col("__vec"), j).cast("string") for j in range(num_planes)]
+        )
+        base = base.withColumn("__sig", sig)
+        join_on = ["__sig"]
+    elif method == "brute":
+        base = base.withColumn("__sig", F.lit(1))
+        join_on = ["__sig"]
+    else:
+        raise ParameterException("method must be 'lsh' or 'brute'")
+    left = base.select(F.col("__id").alias("__id_a"), F.col("__vec").alias("__v_a"), "__sig")
+    right = base.select(F.col("__id").alias("__id_b"), F.col("__vec").alias("__v_b"), "__sig")
+    cos = cosine_expr(F.col("__v_a"), F.col("__v_b"))
+    return (
+        left.join(right, on=join_on)
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .withColumn("COSINE", cos)
+        .filter(F.col("COSINE") >= threshold)
+        .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "COSINE")
+    )

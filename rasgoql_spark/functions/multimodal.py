@@ -1,0 +1,153 @@
+"""Multimodal column operators (north-star extension; SURVEY §7.2 M7).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata. The
+Spark-side plumbing here — schemas, Arrow-batched mapInPandas, partitioning —
+is real and tested; the actual media decoding is STUBBED because no codec
+libraries exist in this environment:
+
+- If a decoder import (PIL/cv2/soundfile) succeeds it is used.
+- Otherwise ``fake='deterministic'`` substitutes an arithmetic fake derived
+  from the byte content (so oracles and tests still verify the plumbing), and
+  ``fake='error'`` raises NotImplementedError, clearly marking the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col
+from ..registry import spark_transform
+
+try:  # pragma: no cover - codec libs absent in this environment
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+
+@spark_transform("attach_binary", category="multimodal")
+def attach_binary(df: DataFrame, source_col: str, name: str = "CONTENT") -> DataFrame:
+    """Materialize a binary payload column (UTF-8 bytes of a string column —
+    the demo stand-in for reading real media blobs)."""
+    return df.withColumn(name, F.to_binary(F.col(resolve_col(df, source_col)), F.lit("utf-8")))
+
+
+@spark_transform("binary_meta", category="multimodal")
+def binary_meta(df: DataFrame, binary_col: str) -> DataFrame:
+    """Typed metadata for an opaque binary column: BYTE_LENGTH, CONTENT_MD5,
+    MAGIC_PREFIX (first 4 bytes, hex). Pure JVM expressions — this is the
+    planning/pruning layer a 100 TB media pipeline filters on before any
+    decode happens."""
+    c = F.col(resolve_col(df, binary_col))
+    return df.withColumns(
+        {
+            "BYTE_LENGTH": F.octet_length(c).cast("bigint"),
+            "CONTENT_MD5": F.md5(c),
+            "MAGIC_PREFIX": F.lower(F.hex(F.substring(c, 1, 4))),
+        }
+    )
+
+
+_IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("DOC_ID", LongType()),
+        StructField("WIDTH", LongType()),
+        StructField("HEIGHT", LongType()),
+        StructField("MODE", StringType()),
+        StructField("DECODER", StringType()),
+    ]
+)
+
+
+@spark_transform("image_meta", category="multimodal", streaming_ok=False)
+def image_meta(
+    df: DataFrame, binary_col: str, id_col: str, fake: str = "deterministic"
+) -> DataFrame:
+    """Decode image dimensions via Arrow-batched mapInPandas.
+
+    Real decode path uses PIL when importable. STUB otherwise:
+    fake='deterministic' derives WIDTH/HEIGHT arithmetically from byte
+    length (plumbing stays testable + oracle-checkable); fake='error'
+    raises NotImplementedError. Batch shape: one pandas frame per Arrow
+    batch; embarrassingly parallel, no shuffle.
+    """
+    b, i = resolve_col(df, binary_col), resolve_col(df, id_col)
+    if fake not in ("deterministic", "error"):
+        raise ParameterException("fake must be 'deterministic' or 'error'")
+    narrow = df.select(F.col(i).alias("DOC_ID"), F.col(b).alias("__bin"))
+    use_pil = _HAS_PIL
+    fake_mode = fake
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["DOC_ID"], pdf["__bin"]):
+                data = bytes(blob) if blob is not None else b""
+                if use_pil:
+                    try:
+                        img = Image.open(io.BytesIO(data))
+                        rows.append((doc_id, img.width, img.height, img.mode, "pil"))
+                        continue
+                    except Exception:
+                        pass
+                if fake_mode == "error":
+                    raise NotImplementedError(
+                        "image decoding requires PIL/cv2 — not available in this "
+                        "environment; use fake='deterministic' to exercise the pipeline"
+                    )
+                n = len(data)
+                rows.append((doc_id, (n % 640) + 1, (n % 480) + 1, "FAKE", "stub"))
+            yield pd.DataFrame(rows, columns=[f.name for f in _IMAGE_META_SCHEMA.fields])
+
+    return narrow.mapInPandas(decode, schema=_IMAGE_META_SCHEMA)
+
+
+_FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("DOC_ID", LongType()),
+        StructField("FRAME_INDEX", LongType()),
+        StructField("FRAME_BYTES", BinaryType()),
+        StructField("DECODER", StringType()),
+    ]
+)
+
+
+@spark_transform("frame_sample", category="multimodal", streaming_ok=False)
+def frame_sample(
+    df: DataFrame, binary_col: str, id_col: str, num_frames: int = 3
+) -> DataFrame:
+    """Sample N 'frames' from a binary payload via mapInPandas (UDTF-style
+    1→N fan-out). STUB decode: frames are deterministic byte slices standing
+    in for video keyframes; real codecs slot into the same batch shape."""
+    b, i = resolve_col(df, binary_col), resolve_col(df, id_col)
+    narrow = df.select(F.col(i).alias("DOC_ID"), F.col(b).alias("__bin"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["DOC_ID"], pdf["__bin"]):
+                data = bytes(blob) if blob is not None else b""
+                if not data:
+                    continue
+                step = max(1, len(data) // num_frames)
+                for fi in range(min(num_frames, len(data))):
+                    start = fi * step
+                    rows.append((doc_id, fi, data[start : start + min(16, step)], "stub"))
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SAMPLE_SCHEMA.fields])
+
+    return narrow.mapInPandas(sample, schema=_FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,119 @@
+"""Text-analysis operators over document tables (north-star extension;
+SURVEY §7.2 M7): tokenization, token counting, quality scoring, n-gram
+language ID, document fingerprinting.
+
+All expressions are Spark built-ins (JVM whole-stage codegen) — no Python in
+the hot path — and use only arithmetic/regex/md5 primitives that DuckDB
+evaluates identically, so every operator here is oracle-checkable at sf0.01
+and embarrassingly parallel (no shuffle) at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col
+from ..registry import spark_transform
+from ._hash import tokens_expr
+
+# BPE-ish word/punctuation splitter: alphanumeric runs or single non-space
+# symbols — a crude stand-in for subword tokenization with the same cost
+# profile (single regex pass).
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword inventories for the n-gram heuristic. Word-
+# boundary regexes keep this a single vectorized pass per language.
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|it|was|for)\b",
+    "es": r"\b(el|la|de|que|y|en|los|se|del|las)\b",
+    "fr": r"\b(le|les|des|et|est|une|du|dans|pour|que)\b",
+    "de": r"\b(der|die|und|das|von|zu|mit|den|ist|im)\b",
+}
+
+
+@spark_transform("text_tokenize", category="text")
+def text_tokenize(df: DataFrame, text: str, name: str = "TOKENS") -> DataFrame:
+    """Whitespace tokens of lowercased, punctuation-stripped text."""
+    return df.withColumn(name, tokens_expr(F.col(resolve_col(df, text))))
+
+
+@spark_transform("token_count", category="text")
+def token_count(
+    df: DataFrame, text: str, method: str = "whitespace", name: str = "TOKEN_COUNT"
+) -> DataFrame:
+    """Token count: 'whitespace' (word tokens) or 'bpe_ish' (alnum runs +
+    individual symbols — a subword-cost proxy)."""
+    c = F.col(resolve_col(df, text))
+    if method == "whitespace":
+        out = F.size(tokens_expr(c))
+    elif method == "bpe_ish":
+        out = F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+    else:
+        raise ParameterException("method must be 'whitespace' or 'bpe_ish'")
+    return df.withColumn(name, out.cast("bigint"))
+
+
+@spark_transform("text_quality", category="text")
+def text_quality(df: DataFrame, text: str) -> DataFrame:
+    """Heuristic quality features + score: N_CHARS, N_TOKENS, ALPHA_RATIO,
+    DIGIT_RATIO, PUNCT_RATIO, QUALITY_SCORE ∈ [0,1].
+
+    Score = 0.5·min(1, tokens/100) + 0.35·alpha_ratio + 0.15·(1 − punct_ratio)
+    — a documented, deterministic formula (the point is the plumbing and the
+    cost profile, not linguistic perfection).
+    """
+    c = F.col(resolve_col(df, text))
+    n_chars = F.length(c).cast("bigint")
+    n_tokens = F.size(tokens_expr(c)).cast("bigint")
+    nz = F.when(n_chars > 0, n_chars.cast("double"))
+    alpha = (F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double") / nz)
+    digit = (F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / nz)
+    punct = (F.regexp_count(c, F.lit(r"[.,;:!?]")).cast("double") / nz)
+    alpha, digit, punct = [F.coalesce(x, F.lit(0.0)) for x in (alpha, digit, punct)]
+    score = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * 0.5
+        + alpha * 0.35
+        + (1.0 - punct) * 0.15
+    )
+    return df.withColumns(
+        {
+            "N_CHARS": n_chars,
+            "N_TOKENS": n_tokens,
+            "ALPHA_RATIO": alpha,
+            "DIGIT_RATIO": digit,
+            "PUNCT_RATIO": punct,
+            "QUALITY_SCORE": score,
+        }
+    )
+
+
+@spark_transform("language_id", category="text")
+def language_id(df: DataFrame, text: str, name: str = "LANG_PRED") -> DataFrame:
+    """Stopword-frequency language ID over {en, es, fr, de}; 'unknown' when
+    no stopword hits. One regexp_count pass per language, argmax with a
+    fixed tie order — deterministic and oracle-checkable."""
+    c = F.lower(F.col(resolve_col(df, text)))
+    scores = {lang: F.regexp_count(c, F.lit(pat)) for lang, pat in LANG_STOPWORDS.items()}
+    en, es, fr, de = scores["en"], scores["es"], scores["fr"], scores["de"]
+    pred = (
+        F.when(en + es + fr + de == 0, F.lit("unknown"))
+        .when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+        .when((es >= fr) & (es >= de), F.lit("es"))
+        .when(fr >= de, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return df.withColumn(name, pred)
+
+
+@spark_transform("fingerprint", category="text")
+def fingerprint(df: DataFrame, text: str, name: str = "FINGERPRINT") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased text with
+    punctuation stripped and whitespace collapsed. The basis for exact
+    near-normalized dedup; identical in DuckDB (md5 + regexp_replace)."""
+    c = F.col(resolve_col(df, text))
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " ")
+    )
+    return df.withColumn(name, F.md5(norm))

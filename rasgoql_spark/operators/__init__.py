@@ -1,0 +1,12 @@
+"""Operator modules — importing this package registers every transform."""
+
+from . import (  # noqa: F401
+    aggregates,
+    dates,
+    filtering,
+    joins,
+    ml,
+    projection,
+    reshape,
+    windows,
+)

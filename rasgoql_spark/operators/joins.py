@@ -1,0 +1,272 @@
+"""Join transforms.
+
+Reference inventory (SURVEY §2.2 "Joins"): join with column-map + right-side
+prefix (reference README.md:132-137), multi-join, plus the extensions the
+reference lacks (SURVEY §2.3): semi/anti joins, theta joins, as-of joins,
+bucketed interval joins.
+
+Scale notes: ``broadcast=True`` forces a broadcast-hash join for dimension
+tables (no shuffle of the fact side); equi-joins otherwise let Catalyst/AQE
+pick sort-merge vs shuffled-hash and split skewed partitions. The as-of join
+is the union+window formulation — one shuffle, no UDF, no per-key loop — and
+the interval join bucketizes ranges so it never degenerates into a broadcast
+nested-loop cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..naming import cleanse_name
+from ..registry import renderer, spark_transform
+from ._util import as_list, resolve_col, resolve_cols
+
+_JOIN_TYPES = {
+    "INNER": "inner",
+    "LEFT": "left",
+    "RIGHT": "right",
+    "OUTER": "outer",
+    "FULL": "outer",
+}
+
+
+@spark_transform("join", category="join", streaming_ok=False)
+def join(
+    df: DataFrame,
+    join_table: DataFrame,
+    join_columns: dict,
+    join_type: str = "INNER",
+    join_prefix: str | None = None,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Equi-join on a left→right column map; right columns optionally prefixed
+    (reference README.md:132-137: ``join_prefix='PRODUCT'``).
+
+    ``broadcast=True`` marks the right side broadcastable — use for dimension
+    tables so the fact side never shuffles.
+    """
+    how = _JOIN_TYPES.get(join_type.upper())
+    if how is None:
+        raise ParameterException(f"join_type must be one of {sorted(_JOIN_TYPES)}")
+    right = join_table
+    jc = {resolve_col(df, l): resolve_col(right, r) for l, r in join_columns.items()}
+    if join_prefix:
+        mapping = {c: cleanse_name(f"{join_prefix}_{c}") for c in right.columns}
+        right = right.withColumnsRenamed(mapping)
+        jc = {l: mapping[r] for l, r in jc.items()}
+    else:
+        overlap = (set(right.columns) - set(jc.values())) & set(df.columns)
+        if overlap:
+            raise ParameterException(
+                f"columns {sorted(overlap)} exist on both sides; pass join_prefix"
+            )
+    if broadcast:
+        right = F.broadcast(right)
+    cond = [df[l] == right[r] for l, r in jc.items()]
+    out = df.join(right, on=cond, how=how)
+    if not join_prefix:
+        # drop the duplicated right-side key columns (classic equi-join shape)
+        for r in jc.values():
+            out = out.drop(right[r])
+    return out
+
+
+@renderer("join")
+def _r_join(source, join_table, join_columns, join_type="INNER", join_prefix=None, broadcast=False) -> str:
+    on = " AND ".join(f"l.{l} = r.{r}" for l, r in join_columns.items())
+    jt = join_type.upper()
+    hint = "/*+ BROADCAST(r) */ " if broadcast else ""
+    if join_prefix:
+        rcols = f"r.*"  # prefixing needs schema; rendered form keeps r.* with alias note
+        return (
+            f"SELECT {hint}l.*, {rcols} FROM {source} l {jt} JOIN {join_table} r ON {on}"
+        )
+    drops = ", ".join(f"r.{r}" for r in join_columns.values())
+    return (
+        f"SELECT {hint}l.*, r.* EXCEPT ({drops}) FROM {source} l {jt} JOIN {join_table} r ON {on}"
+    )
+
+
+@spark_transform("multi_join", category="join", streaming_ok=False)
+def multi_join(df: DataFrame, joins: list) -> DataFrame:
+    """N-way join in one step (SURVEY §2.2 multi-join [B]): fold of ``join``
+    specs, each a dict of join() kwargs."""
+    for spec in joins:
+        df = join(df, **spec)
+    return df
+
+
+@spark_transform("semi_join", category="join", streaming_ok=False)
+def semi_join(df: DataFrame, join_table: DataFrame, join_columns: dict) -> DataFrame:
+    """Keep left rows with a match (SURVEY §2.3 extension — reference reaches
+    this only via raw SQL ``apply``)."""
+    cond = [
+        df[resolve_col(df, l)] == join_table[resolve_col(join_table, r)]
+        for l, r in join_columns.items()
+    ]
+    return df.join(join_table, on=cond, how="left_semi")
+
+
+@renderer("semi_join")
+def _r_semi_join(source, join_table, join_columns) -> str:
+    on = " AND ".join(f"l.{l} = r.{r}" for l, r in join_columns.items())
+    return f"SELECT l.* FROM {source} l LEFT SEMI JOIN {join_table} r ON {on}"
+
+
+@spark_transform("anti_join", category="join", streaming_ok=False)
+def anti_join(df: DataFrame, join_table: DataFrame, join_columns: dict) -> DataFrame:
+    """Keep left rows without a match (SURVEY §2.3 extension)."""
+    cond = [
+        df[resolve_col(df, l)] == join_table[resolve_col(join_table, r)]
+        for l, r in join_columns.items()
+    ]
+    return df.join(join_table, on=cond, how="left_anti")
+
+
+@renderer("anti_join")
+def _r_anti_join(source, join_table, join_columns) -> str:
+    on = " AND ".join(f"l.{l} = r.{r}" for l, r in join_columns.items())
+    return f"SELECT l.* FROM {source} l LEFT ANTI JOIN {join_table} r ON {on}"
+
+
+@spark_transform("theta_join", category="join", streaming_ok=False)
+def theta_join(
+    df: DataFrame,
+    join_table: DataFrame,
+    condition: str,
+    join_type: str = "INNER",
+    prefix: str = "R",
+) -> DataFrame:
+    """Join on an arbitrary SQL condition (SURVEY §2.3 extension). Right
+    columns are prefixed ``{PREFIX}_``; reference the sides in ``condition``
+    by those names. Beware: non-equi conditions plan as broadcast
+    nested-loop — prefer ``interval_join`` for range predicates at scale."""
+    right = join_table.withColumnsRenamed(
+        {c: cleanse_name(f"{prefix}_{c}") for c in join_table.columns}
+    )
+    return df.join(right, on=F.expr(condition), how=_JOIN_TYPES.get(join_type.upper(), "inner"))
+
+
+@spark_transform("asof_join", category="join", streaming_ok=False)
+def asof_join(
+    df: DataFrame,
+    join_table: DataFrame,
+    on: str,
+    by=None,
+    right_on: str | None = None,
+    value_columns=None,
+    tolerance_seconds: float | None = None,
+    prefix: str = "ASOF",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the most recent right row
+    with ``right.on <= left.on`` within the same ``by`` keys (SURVEY §2.2
+    notes this is absent from the reference; extension).
+
+    Spark-first formulation: union both sides tagged by origin, then one
+    window pass per ``by``-partition carrying the last non-null right value
+    forward (``last(..., ignorenulls=True)`` over rows unbounded-preceding →
+    current). Exactly one shuffle on (by, ts); no Python, no per-key loop —
+    survives arbitrarily large sides, unlike collect-and-merge asof joins.
+    """
+    lts = resolve_col(df, on)
+    rts = resolve_col(join_table, right_on or on)
+    by = as_list(by)
+    lkeys = resolve_cols(df, by)
+    rkeys = resolve_cols(join_table, by)
+    vals = as_list(value_columns) or [
+        c for c in join_table.columns if c not in set(rkeys) | {rts}
+    ]
+    pvals = {v: cleanse_name(f"{prefix}_{v}") for v in vals}
+
+    left_tag = df.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(lkeys)],
+        F.col(lts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(dict(join_table.dtypes)[v]).alias(pvals[v]) for v in vals],
+        F.lit(None).cast(dict(join_table.dtypes)[rts]).alias("__rts"),
+        F.struct(*df.columns).alias("__row"),
+    )
+    right_tag = join_table.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(rkeys)],
+        F.col(rts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(v).alias(pvals[v]) for v in vals],
+        F.col(rts).alias("__rts"),
+        F.lit(None).cast(left_tag.schema["__row"].dataType).alias("__row"),
+    )
+    unioned = left_tag.unionByName(right_tag)
+    # right rows sort before left rows at equal ts → the match is inclusive (<=)
+    w = (
+        Window.partitionBy(*[f"__k{i}" for i in range(len(by))])
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(pvals[v], ignorenulls=True).over(w).alias(f"__f_{pvals[v]}") for v in vals],
+        F.last("__rts", ignorenulls=True).over(w).alias("__f_rts"),
+    ).filter("__is_left = 1")
+    within = (
+        F.col("__f_rts").isNotNull()
+        if tolerance_seconds is None
+        else F.col("__f_rts").isNotNull()
+        & (F.unix_timestamp("__ts") - F.unix_timestamp("__f_rts") <= F.lit(tolerance_seconds))
+    )
+    out_cols = [F.col("__row")[c].alias(c) for c in df.columns]
+    out_cols += [
+        F.when(within, F.col(f"__f_{pvals[v]}")).alias(pvals[v]) for v in vals
+    ]
+    return filled.select(*out_cols)
+
+
+@spark_transform("interval_join", category="join", streaming_ok=False)
+def interval_join(
+    df: DataFrame,
+    join_table: DataFrame,
+    point: str,
+    lower: str,
+    upper: str,
+    bucket_width: float,
+    by=None,
+    prefix: str = "R",
+) -> DataFrame:
+    """Point-in-interval join (``right.lower <= left.point <= right.upper``)
+    via range bucketization (SURVEY §2.3 extension).
+
+    Each right interval explodes into the buckets it spans; the join becomes
+    an equi-join on (by, bucket) + a residual BETWEEN filter. OSS Spark has
+    no range-join optimization (that hint is Databricks-only), so without
+    this a point-in-interval join is a nested-loop cross product —
+    bucketization keeps it a hash join at 100 TB. Choose ``bucket_width``
+    near the typical interval length.
+    """
+    p = resolve_col(df, point)
+    lo, hi = resolve_col(join_table, lower), resolve_col(join_table, upper)
+    by = as_list(by)
+    lkeys, rkeys = resolve_cols(df, by), resolve_cols(join_table, by)
+    right = join_table.withColumnsRenamed(
+        {c: cleanse_name(f"{prefix}_{c}") for c in join_table.columns}
+    )
+    rlo, rhi = cleanse_name(f"{prefix}_{lo}"), cleanse_name(f"{prefix}_{hi}")
+    rkeys_p = [cleanse_name(f"{prefix}_{k}") for k in rkeys]
+    right = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(rlo) / F.lit(bucket_width)),
+                F.floor(F.col(rhi) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    left = df.withColumn("__bucket", F.floor(F.col(p) / F.lit(bucket_width)))
+    cond = [left["__bucket"] == right["__bucket"]] + [
+        left[lk] == right[rk] for lk, rk in zip(lkeys, rkeys_p)
+    ]
+    return (
+        left.join(right, on=cond, how="inner")
+        .filter((F.col(p) >= F.col(rlo)) & (F.col(p) <= F.col(rhi)))
+        .drop(left["__bucket"])
+        .drop(right["__bucket"])
+    )

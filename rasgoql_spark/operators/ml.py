@@ -1,0 +1,292 @@
+"""ML / feature-engineering transforms.
+
+Reference inventory (SURVEY §2.2 "ML / feature-engineering ops"):
+one_hot_encode (reference tutorial_extended.ipynb:9284 — distinct values
+discovered via run_query), label_encode (ibid:9287), target_encode
+(tutorial.ipynb:5167), impute (tutorial.ipynb:5649), train_test_split
+(tutorial.ipynb:6057 — ordered split, TT_SPLIT ∈ {TRAIN,TEST}), scalers,
+bin, levenshtein.
+
+Scale notes: encoders keep SQL-visible columns (CASE WHEN) rather than ML-lib
+vector types, exactly like the reference. Value discovery is a bounded
+action (cap mirrors RUN_QUERY_LIMIT, rendering.py:24). Global statistics for
+scalers/impute come from one aggregate; scalers attach them via broadcast
+cross-join so the fact table never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..naming import cleanse_name
+from ..registry import renderer, spark_transform
+from ._util import DISCOVERY_LIMIT, as_list, order_spec, order_sql, resolve_col, resolve_cols
+
+
+def _discover_values(df: DataFrame, column: str, cap: int) -> list:
+    rows = (
+        df.select(column).filter(F.col(column).isNotNull()).distinct().limit(cap + 1).collect()
+    )
+    if len(rows) > cap:
+        raise ParameterException(
+            f"{column!r} has more than {cap} distinct values; pass list_of_vals"
+        )
+    return sorted(r[0] for r in rows)
+
+
+@spark_transform("one_hot_encode", category="ml", streaming_ok=False)
+def one_hot_encode(df: DataFrame, column: str, list_of_vals=None, cap: int = 100) -> DataFrame:
+    """0/1 indicator column per distinct value (reference
+    tutorial_extended.ipynb:9284). Columns ``{COL}_{VAL}``; discovery is a
+    bounded action (reference run_query pattern, rendering.py:272-291)."""
+    col = resolve_col(df, column)
+    vals = list(list_of_vals) if list_of_vals is not None else _discover_values(df, col, cap)
+    out = {
+        cleanse_name(f"{col}_{v}"): F.when(F.col(col) == F.lit(v), 1).otherwise(0)
+        for v in vals
+    }
+    return df.withColumns(out)
+
+
+@renderer("one_hot_encode")
+def _r_one_hot_encode(source, column, list_of_vals=None, cap=100) -> str:
+    if list_of_vals is None:
+        raise ParameterException("rendered one_hot_encode requires list_of_vals")
+    cols = ", ".join(
+        f"CASE WHEN {column} = {v!r} THEN 1 ELSE 0 END AS {cleanse_name(f'{column}_{v}')}"
+        for v in list_of_vals
+    )
+    return f"SELECT *, {cols} FROM {source}"
+
+
+@spark_transform("label_encode", category="ml", streaming_ok=False)
+def label_encode(df: DataFrame, column: str, cap: int = DISCOVERY_LIMIT) -> DataFrame:
+    """Map categories to dense 1-based integers in value order (reference
+    tutorial_extended.ipynb:9287). Implemented as a literal map built from a
+    bounded distinct collect — NOT a global dense_rank window, which would
+    funnel every row through one task at 100 TB. Output ``{COL}_ENCODED``."""
+    col = resolve_col(df, column)
+    vals = _discover_values(df, col, cap)
+    mapping = F.create_map(*[F.lit(x) for pair in ((v, i + 1) for i, v in enumerate(vals)) for x in pair])
+    return df.withColumn(cleanse_name(f"{col}_ENCODED"), mapping[F.col(col)])
+
+
+@renderer("label_encode")
+def _r_label_encode(source, column, cap=DISCOVERY_LIMIT) -> str:
+    name = cleanse_name(f"{column}_ENCODED")
+    return (
+        f"SELECT s.*, m.{name} FROM {source} s LEFT JOIN "
+        f"(SELECT {column}, CAST(DENSE_RANK() OVER (ORDER BY {column}) AS INT) AS {name} "
+        f"FROM (SELECT DISTINCT {column} FROM {source} WHERE {column} IS NOT NULL)) m "
+        f"USING ({column})"
+    )
+
+
+@spark_transform("target_encode", category="ml", streaming_ok=False)
+def target_encode(df: DataFrame, column: str, target: str) -> DataFrame:
+    """Replace category with mean(target) per category (reference
+    tutorial.ipynb:5167): one windowed average partitioned by the category —
+    a single hash shuffle on the category key. Output ``{COL}_TARGET_ENC``."""
+    col, tgt = resolve_col(df, column), resolve_col(df, target)
+    w = Window.partitionBy(col)
+    return df.withColumn(cleanse_name(f"{col}_TARGET_ENC"), F.avg(tgt).over(w))
+
+
+@renderer("target_encode")
+def _r_target_encode(source, column, target) -> str:
+    name = cleanse_name(f"{column}_TARGET_ENC")
+    return f"SELECT *, AVG({target}) OVER (PARTITION BY {column}) AS {name} FROM {source}"
+
+
+@spark_transform("impute", category="ml", streaming_ok=False)
+def impute(df: DataFrame, imputations: dict) -> DataFrame:
+    """Fill NULLs with a constant or 'mean'/'median'/'mode' (reference
+    tutorial.ipynb:5649 — constant -999999 observed). Statistics come from
+    one aggregate pass (mode per column from a deterministic
+    count-then-min-tiebreak aggregate); fills apply via ``na.fill``."""
+    stats_needed = {c: v for c, v in imputations.items() if v in ("mean", "median", "mode")}
+    fills: dict = {
+        resolve_col(df, c): v for c, v in imputations.items() if c not in stats_needed
+    }
+    if stats_needed:
+        aggs = []
+        for c, v in stats_needed.items():
+            col = resolve_col(df, c)
+            if v == "mean":
+                aggs.append(F.avg(col).alias(col))
+            elif v == "median":
+                aggs.append(F.median(col).alias(col))
+        if aggs:
+            row = df.agg(*aggs).collect()[0].asDict()
+            fills.update({c: row[c] for c in row})
+        for c, v in stats_needed.items():
+            if v == "mode":
+                col = resolve_col(df, c)
+                mode_row = (
+                    df.filter(F.col(col).isNotNull())
+                    .groupBy(col)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .orderBy(F.col("__n").desc(), F.col(col).asc())
+                    .limit(1)
+                    .collect()
+                )
+                if mode_row:
+                    fills[col] = mode_row[0][0]
+    # na.fill needs consistent value types per call; apply per column
+    for c, v in fills.items():
+        df = df.na.fill({c: v})
+    return df
+
+
+@spark_transform("min_max_scaler", category="ml", streaming_ok=False)
+def min_max_scaler(df: DataFrame, columns) -> DataFrame:
+    """(x−min)/(max−min) per column (SURVEY §2.2 [B]); 0.0 when max==min.
+    Bounds broadcast from one aggregate. Output ``{COL}_SCALED``."""
+    cols = resolve_cols(df, as_list(columns))
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        out = out.withColumn(
+            cleanse_name(f"{c}_SCALED"),
+            F.when(hi > lo, (F.col(c).cast("double") - lo) / (hi - lo)).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+
+
+@renderer("min_max_scaler")
+def _r_min_max_scaler(source, columns) -> str:
+    cols = as_list(columns)
+    bounds = ", ".join(
+        f"CAST(MIN({c}) AS DOUBLE) AS __min_{c}, CAST(MAX({c}) AS DOUBLE) AS __max_{c}"
+        for c in cols
+    )
+    scaled = ", ".join(
+        f"CASE WHEN b.__max_{c} > b.__min_{c} THEN (CAST(s.{c} AS DOUBLE) - b.__min_{c}) / "
+        f"(b.__max_{c} - b.__min_{c}) ELSE 0.0 END AS {cleanse_name(f'{c}_SCALED')}"
+        for c in cols
+    )
+    return (
+        f"SELECT s.*, {scaled} FROM {source} s CROSS JOIN (SELECT {bounds} FROM {source}) b"
+    )
+
+
+@spark_transform("standard_scaler", category="ml", streaming_ok=False)
+def standard_scaler(df: DataFrame, columns) -> DataFrame:
+    """(x−μ)/σ (sample stddev) per column (SURVEY §2.2 [B]); 0.0 when σ==0.
+    Output ``{COL}_ZSCORE``."""
+    cols = resolve_cols(df, as_list(columns))
+    stats = df.agg(
+        *[F.avg(c).alias(f"__avg_{c}") for c in cols],
+        *[F.stddev_samp(c).alias(f"__std_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        mu, sd = F.col(f"__avg_{c}"), F.col(f"__std_{c}")
+        out = out.withColumn(
+            cleanse_name(f"{c}_ZSCORE"),
+            F.when(sd > 0, (F.col(c).cast("double") - mu) / sd).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"__avg_{c}" for c in cols], *[f"__std_{c}" for c in cols])
+
+
+@renderer("standard_scaler")
+def _r_standard_scaler(source, columns) -> str:
+    cols = as_list(columns)
+    stats = ", ".join(
+        f"AVG({c}) AS __avg_{c}, STDDEV_SAMP({c}) AS __std_{c}" for c in cols
+    )
+    scaled = ", ".join(
+        f"CASE WHEN b.__std_{c} > 0 THEN (CAST(s.{c} AS DOUBLE) - b.__avg_{c}) / b.__std_{c} "
+        f"ELSE 0.0 END AS {cleanse_name(f'{c}_ZSCORE')}"
+        for c in cols
+    )
+    return f"SELECT s.*, {scaled} FROM {source} s CROSS JOIN (SELECT {stats} FROM {source}) b"
+
+
+@spark_transform("bin", category="ml", streaming_ok=False)
+def bin_(df: DataFrame, column: str, bins: int = 10, method: str = "equal_width", tiebreak: str | None = None) -> DataFrame:
+    """Discretize a numeric column (SURVEY §2.2 [B]): equal-width buckets
+    (broadcast bounds) or ntile (global-order window — single-task at scale;
+    pass tiebreak for determinism). Output ``{COL}_BIN``."""
+    c = resolve_col(df, column)
+    name = cleanse_name(f"{c}_BIN")
+    if method == "equal_width":
+        bounds = df.agg(
+            F.min(c).cast("double").alias("__min"), F.max(c).cast("double").alias("__max")
+        )
+        width = (F.col("__max") - F.col("__min")) / bins
+        bucket = (
+            F.least(F.floor((F.col(c).cast("double") - F.col("__min")) / width), F.lit(bins - 1))
+            .cast("int")
+        )
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn(name, F.when(F.col("__max") > F.col("__min"), bucket).otherwise(0))
+            .drop("__min", "__max")
+        )
+    if method == "ntile":
+        order = [F.col(c).asc()] + ([F.col(resolve_col(df, tiebreak)).asc()] if tiebreak else [])
+        return df.withColumn(name, F.ntile(bins).over(Window.orderBy(*order)))
+    raise ParameterException("method must be 'equal_width' or 'ntile'")
+
+
+@renderer("bin")
+def _r_bin(source, column, bins=10, method="equal_width", tiebreak=None) -> str:
+    name = cleanse_name(f"{column}_BIN")
+    if method == "ntile":
+        ob = column + (f", {tiebreak}" if tiebreak else "")
+        return f"SELECT *, NTILE({bins}) OVER (ORDER BY {ob}) AS {name} FROM {source}"
+    return (
+        f"SELECT s.* EXCEPT (__min, __max), CASE WHEN s.__max > s.__min THEN "
+        f"CAST(LEAST(FLOOR((CAST({column} AS DOUBLE) - __min) / ((__max - __min) / {bins})), {bins - 1}) AS INT) "
+        f"ELSE 0 END AS {name} FROM (SELECT t.*, b.__min, b.__max FROM {source} t CROSS JOIN "
+        f"(SELECT CAST(MIN({column}) AS DOUBLE) AS __min, CAST(MAX({column}) AS DOUBLE) AS __max "
+        f"FROM {source}) b) s"
+    )
+
+
+@spark_transform("levenshtein", category="ml")
+def levenshtein(df: DataFrame, column_1: str, column_2: str, name: str = "LEVENSHTEIN") -> DataFrame:
+    """Edit distance between two string columns (SURVEY §2.2 [B]) — Spark
+    built-in, JVM-side."""
+    return df.withColumn(
+        name, F.levenshtein(resolve_col(df, column_1), resolve_col(df, column_2))
+    )
+
+
+@renderer("levenshtein")
+def _r_levenshtein(source, column_1, column_2, name="LEVENSHTEIN") -> str:
+    return f"SELECT *, LEVENSHTEIN({column_1}, {column_2}) AS {name} FROM {source}"
+
+
+@spark_transform("train_test_split", category="ml", streaming_ok=False)
+def train_test_split(
+    df: DataFrame, order_by, train_percent: float = 0.8, name: str = "TT_SPLIT"
+) -> DataFrame:
+    """Ordered (non-random) split (reference tutorial.ipynb:6057): rows with
+    percent_rank < train_percent over the global order get 'TRAIN', the rest
+    'TEST'. Include a unique tiebreak column in order_by for deterministic
+    hash-comparable output (SURVEY §7.3). Global-order window — single-task
+    at extreme scale; acceptable because split assignment is usually the
+    terminal step."""
+    w = Window.orderBy(*order_spec(df, order_by))
+    return df.withColumn(
+        name,
+        F.when(F.percent_rank().over(w) < F.lit(train_percent), F.lit("TRAIN")).otherwise(
+            F.lit("TEST")
+        ),
+    )
+
+
+@renderer("train_test_split")
+def _r_train_test_split(source, order_by, train_percent=0.8, name="TT_SPLIT") -> str:
+    return (
+        f"SELECT *, CASE WHEN PERCENT_RANK() OVER (ORDER BY {order_sql(order_by)}) < {train_percent} "
+        f"THEN 'TRAIN' ELSE 'TEST' END AS {name} FROM {source}"
+    )

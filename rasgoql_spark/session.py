@@ -1,0 +1,164 @@
+"""Session entry point.
+
+Reference: the ``RasgoQL`` entry class — ``connect(creds) -> rql`` with
+factories ``dataset()``, ``sqlchain()``, ``dataset_from_df()``, raw
+``query()`` (rasgoql/rasgoql/main.py:15-144). Here Spark plays both the
+client and the warehouse: ``connect()`` wraps a SparkSession; the catalog is
+Spark's catalog; paths to parquet/csv/json files are first-class "tables".
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from . import registry
+from .dataset import Dataset, SQLChain
+from .errors import ParameterException, TableAccessError
+from .guard import check_sql
+from .naming import cleanse_name
+
+_FILE_EXTS = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
+
+
+def default_spark(
+    app_name: str = "rasgoql_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a SparkSession with scale-sane defaults.
+
+    AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+    Arrow on (fast pandas interchange), UTC session timezone (deterministic
+    date semantics against external oracles).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def connect(
+    spark: SparkSession | None = None,
+    data_dir: str | None = None,
+    **spark_kwargs,
+) -> "RasgoSession":
+    """Create a session (reference: rasgoql.connect(creds), main.py:15-35).
+
+    ``data_dir`` is the default namespace for bare table names — the analog of
+    the reference's "magic fqtn handler" default-namespace completion
+    (data/base.py:98-110): ``dataset('lineitem')`` resolves to
+    ``{data_dir}/lineitem.parquet`` when not in the Spark catalog.
+    """
+    return RasgoSession(spark or default_spark(**spark_kwargs), data_dir=data_dir)
+
+
+class RasgoSession:
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        self.data_dir = data_dir
+
+    # ------------------------------------------------------------- resolve
+
+    def table_df(self, name: str) -> DataFrame:
+        """Resolve a name to a DataFrame: catalog table, file path, or
+        ``{data_dir}/{name}.parquet``."""
+        ext = os.path.splitext(name)[1].lower()
+        if ext in _FILE_EXTS:
+            if not os.path.exists(name):
+                raise TableAccessError(f"no such file: {name}")
+            return self.spark.read.format(_FILE_EXTS[ext]).option("header", "true").load(name)
+        try:
+            if self.spark.catalog.tableExists(name):
+                return self.spark.table(name)
+        except Exception:
+            pass
+        if self.data_dir:
+            p = os.path.join(self.data_dir, f"{name}.parquet")
+            if os.path.exists(p):
+                return self.spark.read.parquet(p)
+        raise TableAccessError(
+            f"{name!r} is not a catalog table, readable file path, or a table "
+            f"under data_dir={self.data_dir!r}"
+        )
+
+    # ------------------------------------------------------------ factories
+
+    def dataset(self, fqtn: str) -> Dataset:
+        """Bind a Dataset to a table/path (reference main.py:53-60)."""
+        return Dataset(self, self.table_df(fqtn), fqtn)
+
+    def sqlchain(self, fqtn: str) -> SQLChain:
+        """Start an empty chain over a table (reference main.py:134-144)."""
+        return SQLChain(self, self.table_df(fqtn), fqtn)
+
+    def dataset_from_df(
+        self,
+        df: "pd.DataFrame | DataFrame",
+        table_name: str,
+        method: str = "replace",
+    ) -> Dataset:
+        """Ingest a pandas (or Spark) DataFrame as a table (reference
+        main.py:62-85; column names cleansed per utils/df.py:23-29)."""
+        if isinstance(df, pd.DataFrame):
+            sdf = self.spark.createDataFrame(df)
+        else:
+            sdf = df
+        sdf = sdf.toDF(*[cleanse_name(c) for c in sdf.columns])
+        mode = {"append": "append", "replace": "overwrite"}.get(method.lower())
+        if mode is None:
+            raise ParameterException("method must be 'append' or 'replace'")
+        sdf.write.mode(mode).saveAsTable(table_name)
+        return self.dataset(table_name)
+
+    # ------------------------------------------------------------- raw SQL
+
+    def query(self, sql: str, acknowledge_risk: bool = False) -> list[tuple]:
+        """Run raw SQL, returning rows (reference main.py:102-110 with the
+        dangerous-keyword guard, utils/sql.py:30-38)."""
+        check_sql(sql, acknowledge_risk)
+        return [tuple(r) for r in self.spark.sql(sql).collect()]
+
+    def query_into_df(
+        self, sql: str, acknowledge_risk: bool = False, batches: bool = False
+    ) -> "pd.DataFrame | Iterator[pd.DataFrame]":
+        """Run raw SQL into pandas (reference main.py:112-121)."""
+        check_sql(sql, acknowledge_risk)
+        df = self.spark.sql(sql)
+        if batches:
+            return (b.to_pandas() for b in df.toArrow().to_batches())
+        return df.toPandas()
+
+    # -------------------------------------------------------------- catalog
+
+    def list_tables(self, database: str | None = None) -> list[dict]:
+        """List catalog tables (reference main.py:37-45)."""
+        tables = self.spark.catalog.listTables(dbName=database)
+        return [
+            {"name": t.name, "database": t.namespace, "type": t.tableType, "temporary": t.isTemporary}
+            for t in tables
+        ]
+
+    def list_transforms(self) -> list[str]:
+        """Registered transform names (reference main.py:47-51)."""
+        return [t.name for t in registry.list_transforms()]
+
+    def define_transform(self, name: str) -> str:
+        """Docstring/signature for one transform (reference main.py:87-100)."""
+        return registry.define_transform(name)

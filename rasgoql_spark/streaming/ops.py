@@ -1,0 +1,156 @@
+"""Streaming window operators (additive — SURVEY §2.2 records the reference
+has NO streaming surface; §7.2 M6 mandates it over the events table).
+
+Every operator here works on BOTH batch and streaming DataFrames: on a batch
+frame ``F.window``/``F.session_window`` group exactly like any aggregation
+(that batch mode is what the DuckDB oracle checks); on a streaming frame the
+same plan runs incrementally with watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..errors import ParameterException
+from ..naming import agg_name
+from ..operators._util import agg_expr, as_list, resolve_col, resolve_cols
+from ..registry import spark_transform
+
+
+def _agg_cols(df: DataFrame, aggregations: dict) -> list:
+    out = []
+    for col, aggs in aggregations.items():
+        col = resolve_col(df, col)
+        for agg in as_list(aggs):
+            out.append(agg_expr(agg, col).alias(agg_name(col, agg)))
+    return out
+
+
+def _maybe_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts, watermark)
+    return df
+
+
+@spark_transform("tumbling_window", category="streaming")
+def tumbling_window(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    aggregations: dict,
+    group_by=None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed windows: WINDOW_START/WINDOW_END + aggs per (window, keys).
+
+    Streaming: set ``watermark`` (e.g. '10 minutes') to bound state and
+    admit late data up to that horizon.
+    """
+    t = resolve_col(df, ts)
+    keys = resolve_cols(df, as_list(group_by))
+    out = (
+        _maybe_watermark(df, t, watermark)
+        .groupBy(F.window(F.col(t), duration).alias("__w"), *keys)
+        .agg(*_agg_cols(df, aggregations))
+    )
+    return out.select(
+        F.col("__w.start").alias("WINDOW_START"),
+        F.col("__w.end").alias("WINDOW_END"),
+        *keys,
+        *[c for c in out.columns if c != "__w" and c not in keys],
+    )
+
+
+@spark_transform("sliding_window", category="streaming")
+def sliding_window(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    slide: str,
+    aggregations: dict,
+    group_by=None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows (each event lands in duration/slide windows)."""
+    t = resolve_col(df, ts)
+    keys = resolve_cols(df, as_list(group_by))
+    out = (
+        _maybe_watermark(df, t, watermark)
+        .groupBy(F.window(F.col(t), duration, slide).alias("__w"), *keys)
+        .agg(*_agg_cols(df, aggregations))
+    )
+    return out.select(
+        F.col("__w.start").alias("WINDOW_START"),
+        F.col("__w.end").alias("WINDOW_END"),
+        *keys,
+        *[c for c in out.columns if c != "__w" and c not in keys],
+    )
+
+
+@spark_transform("session_window_agg", category="streaming")
+def session_window_agg(
+    df: DataFrame,
+    ts: str,
+    gap: str,
+    aggregations: dict,
+    group_by=None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: a session closes after ``gap`` of inactivity
+    (``F.session_window`` — dynamic, per-key merging windows)."""
+    t = resolve_col(df, ts)
+    keys = resolve_cols(df, as_list(group_by))
+    out = (
+        _maybe_watermark(df, t, watermark)
+        .groupBy(F.session_window(F.col(t), gap).alias("__w"), *keys)
+        .agg(*_agg_cols(df, aggregations))
+    )
+    return out.select(
+        F.col("__w.start").alias("SESSION_START"),
+        F.col("__w.end").alias("SESSION_END"),
+        *keys,
+        *[c for c in out.columns if c != "__w" and c not in keys],
+    )
+
+
+@spark_transform("stream_dedup", category="streaming")
+def stream_dedup(df: DataFrame, keys, ts: str | None = None, watermark: str | None = None) -> DataFrame:
+    """Exactly-once key dedup. Streaming with a watermark uses
+    ``dropDuplicatesWithinWatermark`` (bounded state — mandatory at scale);
+    batch falls back to plain dropDuplicates."""
+    keys = as_list(keys)
+    if df.isStreaming:
+        if not (ts and watermark):
+            raise ParameterException("streaming dedup requires ts + watermark to bound state")
+        return df.withWatermark(resolve_col(df, ts), watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates([resolve_col(df, k) for k in keys])
+
+
+def read_events_stream(spark, path: str, schema: StructType | None = None) -> DataFrame:
+    """File-source streaming reader for an events directory: each new parquet
+    file becomes a micro-batch (``maxFilesPerTrigger=1`` for deterministic
+    tests)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def write_stream_to_table(df: DataFrame, table: str, checkpoint: str, mode: str = "append"):
+    """foreachBatch sink into a catalog table — the battle-tested pattern for
+    arbitrary sinks with exactly-once per-batch semantics."""
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        batch_df.write.mode(mode).saveAsTable(table)
+
+    return (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
