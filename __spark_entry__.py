@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
+per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
+streaming extensions); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+each (omitted only for genuinely non-SQL-expressible / approximate ops, which
+the driver checks rows-only).
+
+Conventions that make the hash-compare work (see FIXTURES.md §4):
+- every computed column is aliased identically on both sides;
+- counts are CAST(... AS BIGINT) in DuckDB (its SUM/COUNT widen to HUGEINT);
+- rank/row_number are CAST AS INT to match Spark's IntegerType;
+- timestamps are CAST AS TIMESTAMP (microsecond) on the DuckDB side;
+- cosine scores are rounded to 6 dp on BOTH sides before filtering/ranking.
 """
 
 from __future__ import annotations
@@ -13,26 +20,1353 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import rasgoql_spark as rql
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _s(spark: SparkSession, sf_dir: str) -> rql.RasgoSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return rql.RasgoSession(spark, data_dir=sf_dir)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: lineitem ⋈ orders ⋈ customer
+    → revenue by market segment (transform-chain form of BASELINE B3)."""
+    return q_join_agg(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# --------------------------------------------------------------------------
+# relational core
+# --------------------------------------------------------------------------
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def q_filter_project(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("lineitem")
+        .filter(filter_statements=[
+            "l_shipdate >= TIMESTAMP '1996-01-01'",
+            "l_shipdate < TIMESTAMP '1997-01-01'",
+        ])
+        .drop_columns(include_cols=["l_orderkey", "l_partkey", "l_quantity",
+                                    "l_extendedprice", "l_shipdate"])
+        .df
+    )
+
+
+def q_aggregate(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("lineitem")
+        .datetrunc(dates={"l_shipdate": "week"})
+        .aggregate(
+            group_by=["l_partkey", "L_SHIPDATE_WEEK"],
+            aggregations={"l_extendedprice": ["SUM"],
+                          "l_quantity": ["AVG", "MIN", "MAX"]},
+        )
+        .df
+    )
+
+
+def q_join_agg(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("lineitem")
+        .join(join_table=s.dataset("orders"),
+              join_columns={"l_orderkey": "o_orderkey"}, join_type="INNER",
+              join_prefix="O")
+        .join(join_table=s.dataset("customer"),
+              join_columns={"O_O_CUSTKEY": "c_custkey"}, join_type="INNER",
+              join_prefix="C", broadcast=True)
+        .aggregate(group_by=["C_C_MKTSEGMENT"],
+                   aggregations={"l_extendedprice": ["SUM"],
+                                 "l_quantity": ["AVG"],
+                                 "l_orderkey": ["COUNT"]})
+        .df
+    )
+
+
+def q_drop_columns(spark, sf):
+    return _s(spark, sf).dataset("part").drop_columns(
+        include_cols=["p_partkey", "p_name", "p_retailprice"]).df
+
+
+def q_rename(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .rename(renames={"o_totalprice": "TOTAL_PRICE"})
+        .drop_columns(include_cols=["o_orderkey", "TOTAL_PRICE"])
+        .df
+    )
+
+
+def q_math(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .math(math_ops=["l_extendedprice * (1 - l_discount)",
+                        "l_extendedprice * (1 - l_discount) * (1 + l_tax)"],
+              names=["DISC_PRICE", "CHARGE"])
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber", "DISC_PRICE", "CHARGE"])
+        .df
+    )
+
+
+def q_cast(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .cast(casts={"l_quantity": "bigint"})
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber", "l_quantity"])
+        .df
+    )
+
+
+def q_concat(spark, sf):
+    return (
+        _s(spark, sf).dataset("customer")
+        .concat(columns=["c_name", "c_mktsegment"], separator="|", name="NAME_SEG")
+        .drop_columns(include_cols=["c_custkey", "NAME_SEG"])
+        .df
+    )
+
+
+def q_if_then(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .if_then(conditions=[("o_totalprice > 200000", "'BIG'"),
+                             ("o_totalprice > 100000", "'MED'")],
+                 default="'SMALL'", name="ORDER_SIZE")
+        .drop_columns(include_cols=["o_orderkey", "ORDER_SIZE"])
+        .df
+    )
+
+
+def q_replace_string(spark, sf):
+    return (
+        _s(spark, sf).dataset("part")
+        .replace_string(column="p_type", pattern="SMALL", replacement="TINY",
+                        name="P_TYPE_NEW")
+        .drop_columns(include_cols=["p_partkey", "p_type", "P_TYPE_NEW"])
+        .df
+    )
+
+
+def q_uppercase_columns(spark, sf):
+    return _s(spark, sf).dataset("region").uppercase_columns().df
+
+
+def q_to_date(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .to_date(column="o_orderdate")
+        .drop_columns(include_cols=["o_orderkey", "O_ORDERDATE_DATE"])
+        .df
+    )
+
+
+def q_dropna(spark, sf):
+    return (
+        _s(spark, sf).dataset("events")
+        .math(math_ops=["NULLIF(event_type, 'click')"], names=["ET"])
+        .dropna(subset=["ET"])
+        .drop_columns(include_cols=["event_id", "ET"])
+        .df
+    )
+
+
+def q_remove_duplicates(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .remove_duplicates(natural_key=["l_orderkey"],
+                           order_by={"l_linenumber": "ASC", "l_partkey": "ASC"})
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber", "l_partkey"])
+        .df
+    )
+
+
+def q_remove_outliers(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .remove_outliers(column="o_totalprice", method="iqr", factor=1.5)
+        .drop_columns(include_cols=["o_orderkey", "o_totalprice"])
+        .df
+    )
+
+
+def q_sample(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .sample(percent=10, key="l_orderkey")
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber"])
+        .df
+    )
+
+
+def q_latest(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .latest(group_by=["o_custkey"], order_by=["o_orderdate", "o_orderkey"])
+        .drop_columns(include_cols=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+        .df
+    )
+
+
+def q_top(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .top(n=100, order_by={"l_extendedprice": "DESC", "l_orderkey": "ASC",
+                              "l_linenumber": "ASC"})
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber", "l_extendedprice"])
+        .df
+    )
+
+
+def q_join_left_prefix(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("lineitem")
+        .join(join_table=s.dataset("part"),
+              join_columns={"l_partkey": "p_partkey"}, join_type="LEFT",
+              join_prefix="PART", broadcast=True)
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber",
+                                    "PART_P_NAME", "PART_P_RETAILPRICE"])
+        .df
+    )
+
+
+def q_semi_join(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("customer")
+        .semi_join(join_table=s.dataset("orders"), join_columns={"c_custkey": "o_custkey"})
+        .drop_columns(include_cols=["c_custkey", "c_name"])
+        .df
+    )
+
+
+def q_anti_join(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("customer")
+        .anti_join(join_table=s.dataset("orders"), join_columns={"c_custkey": "o_custkey"})
+        .drop_columns(include_cols=["c_custkey", "c_name"])
+        .df
+    )
+
+
+def q_asof_join(spark, sf):
+    s = _s(spark, sf)
+    clicks = (
+        s.dataset("events")
+        .filter(filter_statements=["event_type = 'click'"])
+        .aggregate(group_by=["user_id", "ts"], aggregations={"value": ["MAX"]})
+    )
+    return (
+        s.dataset("events")
+        .filter(filter_statements=["event_type = 'purchase'"])
+        .drop_columns(include_cols=["event_id", "user_id", "ts"])
+        .asof_join(join_table=clicks, on="ts", by=["user_id"],
+                   value_columns=["VALUE_MAX"], prefix="ASOF")
+        .df
+    )
+
+
+def q_interval_join(spark, sf):
+    s = _s(spark, sf)
+    intervals = s.dataset("nation").math(
+        math_ops=["n_nationkey * 10000.0", "n_nationkey * 10000.0 + 20000.0"],
+        names=["LO", "HI"])
+    return (
+        s.dataset("orders")
+        .interval_join(join_table=intervals, point="o_totalprice",
+                       lower="LO", upper="HI", bucket_width=10000.0)
+        .aggregate(group_by=["R_N_NATIONKEY"], aggregations={"o_orderkey": ["COUNT"]})
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregates / windows
+# --------------------------------------------------------------------------
+
+def q_describe(spark, sf):
+    return _s(spark, sf).dataset("lineitem").describe(
+        columns=["l_quantity", "l_extendedprice", "l_discount"]).df
+
+
+def q_timeseries_agg(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .timeseries_agg(date="o_orderdate", grain="month",
+                        aggregations={"o_totalprice": ["SUM", "COUNT"]})
+        .df
+    )
+
+
+def q_correlation(spark, sf):
+    return _s(spark, sf).dataset("lineitem").correlation(
+        columns=["l_quantity", "l_extendedprice", "l_discount"]).df
+
+
+def q_entropy(spark, sf):
+    return _s(spark, sf).dataset("lineitem").entropy(
+        group_by=["l_returnflag"], column="l_linestatus").df
+
+
+def q_ratio_with_shrinkage(spark, sf):
+    return _s(spark, sf).dataset("orders").ratio_with_shrinkage(
+        group_by=["o_orderpriority"], value="o_totalprice", k=100.0).df
+
+
+def q_rollup(spark, sf):
+    return _s(spark, sf).dataset("lineitem").rollup_agg(
+        group_by=["l_returnflag", "l_linestatus"],
+        aggregations={"l_quantity": ["SUM"]}, mode="rollup").df
+
+
+def q_approx_distinct(spark, sf):
+    return _s(spark, sf).dataset("lineitem").approx_distinct(
+        columns=["l_partkey"], group_by=["l_returnflag"]).df
+
+
+def q_lag_lead(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .lag(columns=["o_totalprice"], amounts=[1, 2, -1],
+             order_by=["o_orderdate", "o_orderkey"], partition=["o_custkey"])
+        .drop_columns(include_cols=["o_orderkey", "LAG_O_TOTALPRICE_1",
+                                    "LAG_O_TOTALPRICE_2", "LEAD_O_TOTALPRICE_1"])
+        .df
+    )
+
+
+def q_moving_avg(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .moving_avg(input_columns=["o_totalprice"], window_sizes=[4],
+                    order_by=["o_orderdate", "o_orderkey"], partition=["o_custkey"])
+        .drop_columns(include_cols=["o_orderkey", "MEAN_O_TOTALPRICE_4"])
+        .df
+    )
+
+
+def q_rolling_agg(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .rolling_agg(aggregations={"l_quantity": ["SUM", "MAX"]},
+                     order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+                     offsets=[-7, 7], group_by=["l_suppkey"])
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber",
+                                    "L_QUANTITY_SUM_7_7", "L_QUANTITY_MAX_7_7"])
+        .df
+    )
+
+
+def q_cumulative_agg(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .cumulative_agg(aggregations={"o_totalprice": ["SUM"]},
+                        order_by=["o_orderdate", "o_orderkey"], group_by=["o_custkey"])
+        # running float sums accumulate in engine-specific order; round for
+        # cross-engine determinism
+        .math(math_ops=["ROUND(O_TOTALPRICE_CUMULATIVE_SUM, 3)"],
+              names=["O_TOTALPRICE_CUMULATIVE_SUM"])
+        .drop_columns(include_cols=["o_orderkey", "O_TOTALPRICE_CUMULATIVE_SUM"])
+        .df
+    )
+
+
+def q_order(spark, sf):
+    return _s(spark, sf).dataset("region").order(order_by={"r_name": "DESC"}).df
+
+
+def q_rank(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .rank(order_by={"o_totalprice": "DESC"}, partition=["o_orderpriority"],
+              method="dense_rank", name="PRICE_RANK")
+        .drop_columns(include_cols=["o_orderkey", "PRICE_RANK"])
+        .df
+    )
+
+
+def q_train_test_split(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .train_test_split(order_by=["o_orderdate", "o_orderkey"], train_percent=0.8)
+        .drop_columns(include_cols=["o_orderkey", "TT_SPLIT"])
+        .df
+    )
+
+
+def q_rsi(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .rsi(column="o_totalprice", order_by=["o_orderdate", "o_orderkey"],
+             periods=3, partition=["o_custkey"])
+        .drop_columns(include_cols=["o_orderkey", "RSI_O_TOTALPRICE_3"])
+        .df
+    )
+
+
+def q_sliding_slope(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .math(math_ops=["unix_timestamp(o_orderdate)"], names=["TS_NUM"])
+        .sliding_slope(x="TS_NUM", y="o_totalprice", window_size=4,
+                       order_by=["o_orderdate", "o_orderkey"], partition=["o_custkey"])
+        .drop_columns(include_cols=["o_orderkey", "SLOPE_O_TOTALPRICE_4"])
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# reshape / encoders
+# --------------------------------------------------------------------------
+
+def q_pivot(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .pivot(dimensions=["l_linestatus"], pivot_column="l_returnflag",
+               value_column="l_extendedprice", agg_method="SUM",
+               list_of_vals=["A", "N", "R"])
+        .df
+    )
+
+
+def q_unpivot(spark, sf):
+    return (
+        _s(spark, sf).dataset("part")
+        .unpivot(id_vars=["p_partkey"], value_vars=["p_size", "p_retailprice"])
+        .df
+    )
+
+
+def q_union(spark, sf):
+    s = _s(spark, sf)
+    half = s.dataset("orders").drop_columns(include_cols=["o_orderkey", "o_totalprice"])
+    return half.union(union_table=half).df
+
+
+def q_intersect(spark, sf):
+    s = _s(spark, sf)
+    c = (s.dataset("customer").drop_columns(include_cols=["c_nationkey"])
+         .rename(renames={"c_nationkey": "NATIONKEY"}))
+    su = (s.dataset("supplier").drop_columns(include_cols=["s_nationkey"])
+          .rename(renames={"s_nationkey": "NATIONKEY"}))
+    return c.intersect(other=su).df
+
+
+def q_except(spark, sf):
+    s = _s(spark, sf)
+    n = (s.dataset("nation").drop_columns(include_cols=["n_nationkey"])
+         .rename(renames={"n_nationkey": "NATIONKEY"}))
+    su = (s.dataset("supplier").drop_columns(include_cols=["s_nationkey"])
+          .rename(renames={"s_nationkey": "NATIONKEY"}))
+    return n.except_rows(other=su, keep_duplicates=False).df
+
+
+def q_datespine(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .datetrunc(dates={"o_orderdate": "day"})
+        .drop_columns(include_cols=["O_ORDERDATE_DAY", "o_orderkey"])
+        .datespine(date_col="O_ORDERDATE_DAY", interval="day")
+        .aggregate(group_by=["O_ORDERDATE_DAY"], aggregations={"o_orderkey": ["COUNT"]})
+        .df
+    )
+
+
+def q_funnel(spark, sf):
+    return _s(spark, sf).dataset("events").funnel(
+        entity="user_id", ts="ts", event="event_type",
+        steps=["signup", "click", "purchase"]).df
+
+
+def q_market_basket(spark, sf):
+    return _s(spark, sf).dataset("lineitem").market_basket(
+        transaction="l_orderkey", item="l_partkey", min_count=2).df
+
+
+def q_histogram(spark, sf):
+    return _s(spark, sf).dataset("lineitem").histogram(
+        column="l_extendedprice", num_buckets=10).df
+
+
+def q_heatmap(spark, sf):
+    return _s(spark, sf).dataset("lineitem").heatmap(
+        x="l_quantity", y="l_discount", num_buckets=5).df
+
+
+def q_sankey(spark, sf):
+    return _s(spark, sf).dataset("events").sankey(
+        entity="user_id", ts="ts", stage="event_type", tiebreak="event_id").df
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_one_hot_encode(spark, sf):
+    keep = ["o_orderkey"] + [f"O_ORDERPRIORITY_{p}" for p in
+                             ["1_URGENT", "2_HIGH", "3_MEDIUM", "4_NOT_SPECIFIED", "5_LOW"]]
+    return (
+        _s(spark, sf).dataset("orders")
+        .one_hot_encode(column="o_orderpriority", list_of_vals=_PRIORITIES)
+        .drop_columns(include_cols=keep)
+        .df
+    )
+
+
+def q_label_encode(spark, sf):
+    return (
+        _s(spark, sf).dataset("customer")
+        .label_encode(column="c_mktsegment")
+        .drop_columns(include_cols=["c_custkey", "c_mktsegment", "C_MKTSEGMENT_ENCODED"])
+        .df
+    )
+
+
+def q_target_encode(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .target_encode(column="o_orderpriority", target="o_totalprice")
+        .math(math_ops=["ROUND(O_ORDERPRIORITY_TARGET_ENC, 6)"],
+              names=["O_ORDERPRIORITY_TARGET_ENC"])
+        .drop_columns(include_cols=["o_orderkey", "O_ORDERPRIORITY_TARGET_ENC"])
+        .df
+    )
+
+
+def q_impute_mean(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .math(math_ops=["NULLIF(l_discount, 0.04)"], names=["DISC_N"])
+        .impute(imputations={"DISC_N": "mean"})
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber", "DISC_N"])
+        .df
+    )
+
+
+def q_impute_mode(spark, sf):
+    return (
+        _s(spark, sf).dataset("events")
+        .math(math_ops=["NULLIF(event_type, 'click')"], names=["ET"])
+        .impute(imputations={"ET": "mode"})
+        .drop_columns(include_cols=["event_id", "ET"])
+        .df
+    )
+
+
+def q_min_max_scaler(spark, sf):
+    return (
+        _s(spark, sf).dataset("part")
+        .min_max_scaler(columns=["p_retailprice"])
+        .drop_columns(include_cols=["p_partkey", "P_RETAILPRICE_SCALED"])
+        .df
+    )
+
+
+def q_standard_scaler(spark, sf):
+    return (
+        _s(spark, sf).dataset("part")
+        .standard_scaler(columns=["p_retailprice"])
+        .drop_columns(include_cols=["p_partkey", "P_RETAILPRICE_ZSCORE"])
+        .df
+    )
+
+
+def q_bin(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .bin(column="o_totalprice", bins=10, method="equal_width")
+        .drop_columns(include_cols=["o_orderkey", "O_TOTALPRICE_BIN"])
+        .df
+    )
+
+
+def q_levenshtein(spark, sf):
+    return (
+        _s(spark, sf).dataset("customer")
+        .levenshtein(column_1="c_name", column_2="c_mktsegment", name="LEV")
+        .drop_columns(include_cols=["c_custkey", "LEV"])
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# text / dedup / similarity / multimodal (LLM-pipeline extensions)
+# --------------------------------------------------------------------------
+
+def q_token_count_ws(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .token_count(text="text", method="whitespace")
+        .drop_columns(include_cols=["doc_id", "TOKEN_COUNT"])
+        .df
+    )
+
+
+def q_token_count_bpe(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .token_count(text="text", method="bpe_ish")
+        .drop_columns(include_cols=["doc_id", "TOKEN_COUNT"])
+        .df
+    )
+
+
+def q_text_quality(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .text_quality(text="text")
+        .drop_columns(include_cols=["doc_id", "N_CHARS", "N_TOKENS", "ALPHA_RATIO",
+                                    "DIGIT_RATIO", "PUNCT_RATIO", "QUALITY_SCORE"])
+        .df
+    )
+
+
+def q_language_id(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .language_id(text="text")
+        .drop_columns(include_cols=["doc_id", "lang", "LANG_PRED"])
+        .df
+    )
+
+
+def q_fingerprint(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .fingerprint(text="text")
+        .drop_columns(include_cols=["doc_id", "FINGERPRINT"])
+        .df
+    )
+
+
+def q_dedup_exact(spark, sf):
+    return _s(spark, sf).dataset("documents").dedup_exact(text="text", id_col="doc_id").df
+
+
+def q_dedup_minhash(spark, sf):
+    return _s(spark, sf).dataset("documents").dedup_minhash(
+        text="text", id_col="doc_id", threshold=0.2).df
+
+
+def q_dedup_simhash_sig(spark, sf):
+    return _s(spark, sf).dataset("documents").dedup_simhash(
+        text="text", id_col="doc_id", mode="signatures").df
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    return _s(spark, sf).dataset("documents").dedup_simhash(
+        text="text", id_col="doc_id", hamming_threshold=2, mode="pairs").df
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return _s(spark, sf).dataset("documents").dedup_ngram_jaccard(
+        text="text", id_col="doc_id", threshold=0.3).df
+
+
+def q_dedup_embedding(spark, sf):
+    return _s(spark, sf).dataset("embeddings").dedup_embedding(
+        vec_col="embedding", id_col="vec_id", threshold=0.35, method="brute").df
+
+
+def q_dedup_embedding_lsh(spark, sf):
+    return _s(spark, sf).dataset("embeddings").dedup_embedding(
+        vec_col="embedding", id_col="vec_id", threshold=0.35, method="lsh").df
+
+
+def q_similarity_search(spark, sf):
+    return _s(spark, sf).dataset("embeddings").similarity_search(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10).df
+
+
+def q_similarity_search_lsh(spark, sf):
+    return _s(spark, sf).dataset("embeddings").similarity_search(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10,
+        method="lsh").df
+
+
+def q_knn_classify(spark, sf):
+    return _s(spark, sf).dataset("embeddings").knn_classify(
+        vec_col="embedding", id_col="vec_id", label_col="label",
+        query_ids=[0, 1, 2, 3, 4], k=5).df
+
+
+def q_binary_meta(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .attach_binary(source_col="text", name="CONTENT")
+        .binary_meta(binary_col="CONTENT")
+        .drop_columns(include_cols=["doc_id", "BYTE_LENGTH", "CONTENT_MD5", "MAGIC_PREFIX"])
+        .df
+    )
+
+
+def q_image_meta_stub(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .attach_binary(source_col="text", name="CONTENT")
+        .image_meta(binary_col="CONTENT", id_col="doc_id")
+        .df
+    )
+
+
+def q_frame_sample_stub(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .attach_binary(source_col="text", name="CONTENT")
+        .frame_sample(binary_col="CONTENT", id_col="doc_id", num_frames=3)
+        .drop_columns(include_cols=["DOC_ID", "FRAME_INDEX", "DECODER"])
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming operators (batch-mode check; true streaming covered in tests/)
+# --------------------------------------------------------------------------
+
+def q_tumbling_window(spark, sf):
+    return _s(spark, sf).dataset("events").tumbling_window(
+        ts="ts", duration="1 hour",
+        aggregations={"event_id": ["COUNT"], "value": ["SUM"]},
+        group_by=["event_type"]).df
+
+
+def q_sliding_window(spark, sf):
+    return _s(spark, sf).dataset("events").sliding_window(
+        ts="ts", duration="2 hours", slide="1 hour",
+        aggregations={"event_id": ["COUNT"]}, group_by=["event_type"]).df
+
+
+def q_session_window(spark, sf):
+    return _s(spark, sf).dataset("events").session_window_agg(
+        ts="ts", gap="30 minutes", aggregations={"event_id": ["COUNT"]},
+        group_by=["user_id"]).df
+
+
+def q_stream_dedup_batch(spark, sf):
+    return (
+        _s(spark, sf).dataset("events")
+        .drop_columns(include_cols=["user_id", "event_type"])
+        .stream_dedup(keys=["user_id", "event_type"])
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — shared fragment builders
+# --------------------------------------------------------------------------
+
+def _toks(t: str = "text") -> str:
+    norm = f"trim(regexp_replace(lower({t}), '[^a-z0-9\\s]', ' ', 'g'))"
+    return f"CASE WHEN {norm} = '' THEN [] ELSE regexp_split_to_array({norm}, '\\s+') END"
+
+
+def _shingles(tcol: str, k: int = 3) -> str:
+    ngram = (
+        f"list_distinct(list_transform(range(1, len({tcol}) - {k - 2}), "
+        f"i -> array_to_string({tcol}[i : i + {k - 1}], ' ')))"
+    )
+    return (
+        f"CASE WHEN len({tcol}) >= {k} THEN {ngram} "
+        f"WHEN len({tcol}) > 0 THEN [array_to_string({tcol}, ' ')] ELSE [] END"
+    )
+
+
+def _h32(x: str) -> str:
+    return f"CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _minhash(scol: str, j: int) -> str:
+    a, b = 2 * j + 1, j * 12_345 + 1
+    return (
+        f"CASE WHEN len({scol}) = 0 THEN 2147483647 ELSE "
+        f"list_min(list_transform({scol}, x -> ({_h32('x')} * {a} + {b}) % 2147483647)) END"
+    )
+
+
+def _cosine(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def _simhash_sql(tcol: str) -> str:
+    hashes = f"list_distinct(list_transform({tcol}, x -> {_h32('x')}))"
+    terms = []
+    for b in range(32):
+        vote = (
+            f"COALESCE(list_sum(list_transform(__h, v -> "
+            f"CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0)"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END")
+    total = " + ".join(terms)
+    return f"(SELECT CAST({total} AS BIGINT) FROM (SELECT {hashes} AS __h))"
+
+
+_Q25 = "quantile_cont(o_totalprice, 0.25)"
+_Q75 = "quantile_cont(o_totalprice, 0.75)"
+
+
+def _lang_score(pat: str) -> str:
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = _lang_score(r"\b(the|and|of|to|in|is|that|it|was|for)\b")
+    es = _lang_score(r"\b(el|la|de|que|y|en|los|se|del|las)\b")
+    fr = _lang_score(r"\b(le|les|des|et|est|une|du|dans|pour|que)\b")
+    de = _lang_score(r"\b(der|die|und|das|von|zu|mit|den|ist|im)\b")
+    fp_norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    nz = "CASE WHEN length(text) > 0 THEN CAST(length(text) AS DOUBLE) END"
+    n_tokens_sql = f"CAST(CASE WHEN len({_toks()}) = 0 THEN 0 ELSE len({_toks()}) END AS BIGINT)"
+    alpha = f"COALESCE(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / {nz}, 0.0)"
+    digit = f"COALESCE(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / {nz}, 0.0)"
+    punct = f"COALESCE(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / {nz}, 0.0)"
+
+    minhash_cols = ", ".join(f"{_minhash('s', j)} AS mh{j}" for j in range(16))
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', {b}, mh{h0}, mh{h1}, mh{h2}, mh{h3}))".format(
+            b=b, h0=4 * b, h1=4 * b + 1, h2=4 * b + 2, h3=4 * b + 3
+        )
+        for b in range(4)
+    )
+    jacc = (
+        "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / "
+        "CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)"
+    )
+
+    sim_base = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.qid AS QUERY_ID, c.vec_id AS MATCH_ID, {_cosine('q.qv', 'c.embedding')} AS COSINE
+  FROM embeddings c, q WHERE c.vec_id <> q.qid
+),
+ranked AS (
+  SELECT QUERY_ID, MATCH_ID, COSINE,
+         CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY COSINE DESC, MATCH_ID) AS INT) AS RANK
+  FROM scored
+)"""
+
+    return {
+        "filter_project": (
+            "SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, "
+            "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+        ),
+        "aggregate": (
+            "SELECT l_partkey, CAST(date_trunc('week', l_shipdate) AS TIMESTAMP) AS L_SHIPDATE_WEEK, "
+            "SUM(l_extendedprice) AS L_EXTENDEDPRICE_SUM, AVG(l_quantity) AS L_QUANTITY_AVG, "
+            "MIN(l_quantity) AS L_QUANTITY_MIN, MAX(l_quantity) AS L_QUANTITY_MAX "
+            "FROM lineitem GROUP BY 1, 2"
+        ),
+        "join_agg": (
+            "SELECT c.c_mktsegment AS C_C_MKTSEGMENT, SUM(l.l_extendedprice) AS L_EXTENDEDPRICE_SUM, "
+            "AVG(l.l_quantity) AS L_QUANTITY_AVG, CAST(COUNT(l.l_orderkey) AS BIGINT) AS L_ORDERKEY_COUNT "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "drop_columns": "SELECT p_partkey, p_name, p_retailprice FROM part",
+        "rename": "SELECT o_orderkey, o_totalprice AS TOTAL_PRICE FROM orders",
+        "math": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS DISC_PRICE, "
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS CHARGE FROM lineitem"
+        ),
+        "cast": (
+            "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS l_quantity FROM lineitem"
+        ),
+        "concat": (
+            "SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS NAME_SEG FROM customer"
+        ),
+        "if_then": (
+            "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'BIG' "
+            "WHEN o_totalprice > 100000 THEN 'MED' ELSE 'SMALL' END AS ORDER_SIZE FROM orders"
+        ),
+        "replace_string": (
+            "SELECT p_partkey, p_type, replace(p_type, 'SMALL', 'TINY') AS P_TYPE_NEW FROM part"
+        ),
+        "uppercase_columns": "SELECT r_regionkey AS R_REGIONKEY, r_name AS R_NAME FROM region",
+        "to_date": (
+            "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS O_ORDERDATE_DATE FROM orders"
+        ),
+        "dropna": (
+            "SELECT event_id, NULLIF(event_type, 'click') AS ET FROM events "
+            "WHERE NULLIF(event_type, 'click') IS NOT NULL"
+        ),
+        "remove_duplicates": (
+            "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) = 1"
+        ),
+        "remove_outliers": (
+            f"WITH b AS (SELECT {_Q25} AS q1, {_Q75} AS q3 FROM orders) "
+            "SELECT o_orderkey, o_totalprice FROM orders, b "
+            "WHERE o_totalprice >= q1 - 1.5 * (q3 - q1) AND o_totalprice <= q3 + 1.5 * (q3 - q1)"
+        ),
+        "sample": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 100 < 10"
+        ),
+        "latest": (
+            "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice "
+            "FROM orders QUALIFY ROW_NUMBER() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1"
+        ),
+        "top": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"
+        ),
+        "join_left_prefix": (
+            "SELECT l.l_orderkey, l.l_linenumber, p.p_name AS PART_P_NAME, "
+            "p.p_retailprice AS PART_P_RETAILPRICE FROM lineitem l "
+            "LEFT JOIN part p ON l.l_partkey = p.p_partkey"
+        ),
+        "semi_join": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "anti_join": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "asof_join": (
+            "SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts, r.VALUE_MAX AS ASOF_VALUE_MAX "
+            "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS VALUE_MAX FROM events "
+            "WHERE event_type = 'click' GROUP BY 1, 2) r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "interval_join": (
+            "SELECT n.n_nationkey AS R_N_NATIONKEY, CAST(COUNT(o.o_orderkey) AS BIGINT) AS O_ORDERKEY_COUNT "
+            "FROM orders o JOIN nation n ON o.o_totalprice >= n.n_nationkey * 10000.0 "
+            "AND o.o_totalprice <= n.n_nationkey * 10000.0 + 20000.0 GROUP BY 1"
+        ),
+        "describe": " UNION ALL ".join(
+            (
+                f"SELECT '{c}' AS COLUMN_NAME, CAST(COUNT({c}) AS BIGINT) AS ROW_COUNT, "
+                f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS NULL_COUNT, "
+                f"CAST(MIN({c}) AS DOUBLE) AS MIN_VALUE, CAST(MAX({c}) AS DOUBLE) AS MAX_VALUE, "
+                f"AVG({c}) AS MEAN_VALUE, STDDEV_SAMP({c}) AS STDDEV_VALUE FROM lineitem"
+            )
+            for c in ["l_quantity", "l_extendedprice", "l_discount"]
+        ),
+        "timeseries_agg": (
+            "SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS O_ORDERDATE_MONTH, "
+            "SUM(o_totalprice) AS O_TOTALPRICE_SUM, CAST(COUNT(o_totalprice) AS BIGINT) AS O_TOTALPRICE_COUNT "
+            "FROM orders GROUP BY 1"
+        ),
+        "correlation": (
+            "SELECT CORR(l_quantity, l_extendedprice) AS L_QUANTITY_L_EXTENDEDPRICE_CORR, "
+            "CORR(l_quantity, l_discount) AS L_QUANTITY_L_DISCOUNT_CORR, "
+            "CORR(l_extendedprice, l_discount) AS L_EXTENDEDPRICE_L_DISCOUNT_CORR FROM lineitem"
+        ),
+        "entropy": (
+            "SELECT l_returnflag, -SUM(p * LOG2(p)) AS ENTROPY FROM ("
+            "SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) / "
+            "CAST(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS p "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus) GROUP BY l_returnflag"
+        ),
+        "ratio_with_shrinkage": (
+            "WITH g AS (SELECT AVG(o_totalprice) AS m FROM orders) "
+            "SELECT o_orderpriority, (SUM(o_totalprice) + 100.0 * MAX(g.m)) / "
+            "(COUNT(o_totalprice) + 100.0) AS O_TOTALPRICE_SHRUNK_AVG "
+            "FROM orders, g GROUP BY o_orderpriority"
+        ),
+        "rollup": (
+            "SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) "
+            "AS GROUPING_ID, SUM(l_quantity) AS L_QUANTITY_SUM FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "lag_lead": (
+            "SELECT o_orderkey, "
+            "LAG(o_totalprice, 1) OVER w AS LAG_O_TOTALPRICE_1, "
+            "LAG(o_totalprice, 2) OVER w AS LAG_O_TOTALPRICE_2, "
+            "LEAD(o_totalprice, 1) OVER w AS LEAD_O_TOTALPRICE_1 FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "moving_avg": (
+            "SELECT o_orderkey, AVG(o_totalprice) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS MEAN_O_TOTALPRICE_4 FROM orders"
+        ),
+        "rolling_agg": (
+            "SELECT l_orderkey, l_linenumber, "
+            "SUM(l_quantity) OVER w AS L_QUANTITY_SUM_7_7, "
+            "MAX(l_quantity) OVER w AS L_QUANTITY_MAX_7_7 FROM lineitem "
+            "WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber "
+            "ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)"
+        ),
+        "cumulative_agg": (
+            "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS O_TOTALPRICE_CUMULATIVE_SUM "
+            "FROM orders"
+        ),
+        "order": "SELECT r_regionkey, r_name FROM region ORDER BY r_name DESC",
+        "rank": (
+            "SELECT o_orderkey, CAST(DENSE_RANK() OVER "
+            "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS PRICE_RANK "
+            "FROM orders"
+        ),
+        "train_test_split": (
+            "SELECT o_orderkey, CASE WHEN PERCENT_RANK() OVER "
+            "(ORDER BY o_orderdate, o_orderkey) < 0.8 THEN 'TRAIN' ELSE 'TEST' END AS TT_SPLIT "
+            "FROM orders"
+        ),
+        "rsi": (
+            "WITH d AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+            "o_totalprice - LAG(o_totalprice, 1) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta FROM orders), "
+            "g AS (SELECT o_orderkey, o_custkey, o_orderdate, "
+            "COALESCE(GREATEST(delta, 0.0), 0.0) AS gain, "
+            "COALESCE(GREATEST(-delta, 0.0), 0.0) AS loss FROM d), "
+            "a AS (SELECT o_orderkey, AVG(gain) OVER w2 AS ag, AVG(loss) OVER w2 AS al FROM g "
+            "WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) "
+            "SELECT o_orderkey, CASE WHEN al = 0 THEN 100.0 "
+            "ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS RSI_O_TOTALPRICE_3 FROM a"
+        ),
+        "sliding_slope": (
+            "WITH s AS (SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, "
+            "CAST(epoch(o_orderdate) AS BIGINT) AS TS_NUM FROM orders), "
+            "w AS (SELECT o_orderkey, CAST(COUNT(*) OVER f AS DOUBLE) AS n, "
+            "SUM(CAST(TS_NUM AS DOUBLE)) OVER f AS sx, SUM(o_totalprice) OVER f AS sy, "
+            "SUM(CAST(TS_NUM AS DOUBLE) * o_totalprice) OVER f AS sxy, "
+            "SUM(CAST(TS_NUM AS DOUBLE) * CAST(TS_NUM AS DOUBLE)) OVER f AS sxx FROM s "
+            "WINDOW f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) "
+            "SELECT o_orderkey, CASE WHEN n * sxx - sx * sx <> 0 THEN "
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) END AS SLOPE_O_TOTALPRICE_4 FROM w"
+        ),
+        "pivot": (
+            "SELECT l_linestatus, "
+            "SUM(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS \"A\", "
+            "SUM(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) AS \"N\", "
+            "SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS \"R\" "
+            "FROM lineitem GROUP BY l_linestatus"
+        ),
+        "unpivot": (
+            "SELECT p_partkey, 'p_size' AS VARIABLE, CAST(p_size AS DOUBLE) AS VALUE FROM part "
+            "UNION ALL SELECT p_partkey, 'p_retailprice', p_retailprice FROM part"
+        ),
+        "union": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "UNION ALL SELECT o_orderkey, o_totalprice FROM orders"
+        ),
+        "intersect": (
+            "SELECT c_nationkey AS NATIONKEY FROM customer "
+            "INTERSECT SELECT s_nationkey FROM supplier"
+        ),
+        "except": (
+            "SELECT n_nationkey AS NATIONKEY FROM nation "
+            "EXCEPT SELECT s_nationkey FROM supplier"
+        ),
+        "datespine": (
+            "WITH o AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d, o_orderkey "
+            "FROM orders), b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM o), "
+            "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b) "
+            "SELECT spine.d AS O_ORDERDATE_DAY, CAST(COUNT(o.o_orderkey) AS BIGINT) AS O_ORDERKEY_COUNT "
+            "FROM spine LEFT JOIN o ON o.d = spine.d GROUP BY 1"
+        ),
+        "funnel": (
+            "WITH f AS (SELECT user_id, "
+            "MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0, "
+            "MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2 "
+            "FROM events GROUP BY user_id), "
+            "fl AS (SELECT (t0 IS NOT NULL) AS f0, "
+            "(t1 IS NOT NULL AND t1 >= t0 AND t0 IS NOT NULL) AS f1, "
+            "(t2 IS NOT NULL AND t2 >= t1 AND (t1 IS NOT NULL AND t1 >= t0 AND t0 IS NOT NULL)) AS f2 "
+            "FROM f) "
+            "SELECT CAST(0 AS INT) AS STEP_INDEX, 'signup' AS STEP, "
+            "CAST(SUM(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS ENTITIES FROM fl "
+            "UNION ALL SELECT 1, 'click', CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) FROM fl "
+            "UNION ALL SELECT 2, 'purchase', CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) FROM fl"
+        ),
+        "market_basket": (
+            "SELECT a.l_partkey AS ITEM_A, b.l_partkey AS ITEM_B, CAST(COUNT(*) AS BIGINT) AS PAIR_COUNT "
+            "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+            "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+        ),
+        "histogram": (
+            "SELECT BUCKET, __min + BUCKET * (__max - __min) / 10 AS BUCKET_LOW, "
+            "__min + (BUCKET + 1) * (__max - __min) / 10 AS BUCKET_HIGH, "
+            "CAST(COUNT(*) AS BIGINT) AS ROW_COUNT FROM ("
+            "SELECT s.*, b.__min, b.__max, "
+            "CASE WHEN (b.__max - b.__min) / 10 > 0 THEN "
+            "CAST(LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - b.__min) / "
+            "((b.__max - b.__min) / 10)), 9) AS INT) ELSE 0 END AS BUCKET "
+            "FROM lineitem s CROSS JOIN (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS __min, "
+            "CAST(MAX(l_extendedprice) AS DOUBLE) AS __max FROM lineitem) b) "
+            "GROUP BY BUCKET, __min, __max"
+        ),
+        "heatmap": (
+            "SELECT "
+            "CASE WHEN __xmax > __xmin THEN CAST(LEAST(FLOOR((CAST(l_quantity AS DOUBLE) - __xmin) / "
+            "((__xmax - __xmin) / 5)), 4) AS INT) ELSE 0 END AS X_BUCKET, "
+            "CASE WHEN __ymax > __ymin THEN CAST(LEAST(FLOOR((CAST(l_discount AS DOUBLE) - __ymin) / "
+            "((__ymax - __ymin) / 5)), 4) AS INT) ELSE 0 END AS Y_BUCKET, "
+            "CAST(COUNT(*) AS BIGINT) AS ROW_COUNT FROM lineitem CROSS JOIN "
+            "(SELECT CAST(MIN(l_quantity) AS DOUBLE) AS __xmin, CAST(MAX(l_quantity) AS DOUBLE) AS __xmax, "
+            "CAST(MIN(l_discount) AS DOUBLE) AS __ymin, CAST(MAX(l_discount) AS DOUBLE) AS __ymax "
+            "FROM lineitem) b GROUP BY 1, 2"
+        ),
+        "sankey": (
+            "WITH p AS (SELECT user_id, event_type, LAG(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS SOURCE_STAGE, event_type AS TARGET_STAGE, "
+            "CAST(COUNT(*) AS BIGINT) AS FLOW_COUNT FROM p WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        "one_hot_encode": (
+            "SELECT o_orderkey, "
+            + ", ".join(
+                f"CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END AS "
+                f"\"O_ORDERPRIORITY_{p.replace('-', '_').replace(' ', '_')}\""
+                for p in _PRIORITIES
+            )
+            + " FROM orders"
+        ),
+        "label_encode": (
+            "SELECT s.c_custkey, s.c_mktsegment, m.C_MKTSEGMENT_ENCODED FROM customer s "
+            "LEFT JOIN (SELECT c_mktsegment, CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS INT) "
+            "AS C_MKTSEGMENT_ENCODED FROM (SELECT DISTINCT c_mktsegment FROM customer "
+            "WHERE c_mktsegment IS NOT NULL)) m USING (c_mktsegment)"
+        ),
+        "target_encode": (
+            "SELECT o_orderkey, ROUND(AVG(o_totalprice) OVER (PARTITION BY o_orderpriority), 6) "
+            "AS O_ORDERPRIORITY_TARGET_ENC FROM orders"
+        ),
+        "impute_mean": (
+            "WITH src AS (SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.04) AS DISC_N "
+            "FROM lineitem), m AS (SELECT AVG(DISC_N) AS a FROM src) "
+            "SELECT l_orderkey, l_linenumber, COALESCE(DISC_N, (SELECT a FROM m)) AS DISC_N FROM src"
+        ),
+        "impute_mode": (
+            "WITH src AS (SELECT event_id, NULLIF(event_type, 'click') AS ET FROM events), "
+            "m AS (SELECT ET AS v FROM src WHERE ET IS NOT NULL GROUP BY ET "
+            "ORDER BY COUNT(*) DESC, ET ASC LIMIT 1) "
+            "SELECT event_id, COALESCE(ET, (SELECT v FROM m)) AS ET FROM src"
+        ),
+        "min_max_scaler": (
+            "SELECT p_partkey, CASE WHEN b.__max > b.__min THEN "
+            "(CAST(p_retailprice AS DOUBLE) - b.__min) / (b.__max - b.__min) ELSE 0.0 END "
+            "AS P_RETAILPRICE_SCALED FROM part CROSS JOIN "
+            "(SELECT CAST(MIN(p_retailprice) AS DOUBLE) AS __min, "
+            "CAST(MAX(p_retailprice) AS DOUBLE) AS __max FROM part) b"
+        ),
+        "standard_scaler": (
+            "SELECT p_partkey, CASE WHEN b.__std > 0 THEN "
+            "(CAST(p_retailprice AS DOUBLE) - b.__avg) / b.__std ELSE 0.0 END "
+            "AS P_RETAILPRICE_ZSCORE FROM part CROSS JOIN "
+            "(SELECT AVG(p_retailprice) AS __avg, STDDEV_SAMP(p_retailprice) AS __std FROM part) b"
+        ),
+        "bin": (
+            "SELECT o_orderkey, CASE WHEN b.__max > b.__min THEN "
+            "CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.__min) / "
+            "((b.__max - b.__min) / 10)), 9) AS INT) ELSE 0 END AS O_TOTALPRICE_BIN "
+            "FROM orders CROSS JOIN (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS __min, "
+            "CAST(MAX(o_totalprice) AS DOUBLE) AS __max FROM orders) b"
+        ),
+        "levenshtein": (
+            "SELECT c_custkey, CAST(levenshtein(c_name, c_mktsegment) AS INT) AS LEV FROM customer"
+        ),
+        # ---- text / dedup / similarity / multimodal ----
+        "token_count_ws": (
+            f"SELECT doc_id, CAST(len({_toks()}) AS BIGINT) AS TOKEN_COUNT FROM documents"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS TOKEN_COUNT FROM documents"
+        ),
+        "text_quality": (
+            f"SELECT doc_id, CAST(length(text) AS BIGINT) AS N_CHARS, "
+            f"{n_tokens_sql} AS N_TOKENS, {alpha} AS ALPHA_RATIO, {digit} AS DIGIT_RATIO, "
+            f"{punct} AS PUNCT_RATIO, "
+            f"LEAST(1.0, CAST({n_tokens_sql} AS DOUBLE) / 100.0) * 0.5 + {alpha} * 0.35 + "
+            f"(1.0 - {punct}) * 0.15 AS QUALITY_SCORE FROM documents"
+        ),
+        "language_id": (
+            f"SELECT doc_id, lang, CASE WHEN {en} + {es} + {fr} + {de} = 0 THEN 'unknown' "
+            f"WHEN {en} >= {es} AND {en} >= {fr} AND {en} >= {de} THEN 'en' "
+            f"WHEN {es} >= {fr} AND {es} >= {de} THEN 'es' "
+            f"WHEN {fr} >= {de} THEN 'fr' ELSE 'de' END AS LANG_PRED FROM documents"
+        ),
+        "fingerprint": f"SELECT doc_id, md5({fp_norm}) AS FINGERPRINT FROM documents",
+        "dedup_exact": (
+            f"SELECT * FROM documents QUALIFY ROW_NUMBER() OVER "
+            f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
+        ),
+        "dedup_minhash": (
+            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+            f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
+            f"mh AS (SELECT doc_id, s, {minhash_cols} FROM sh), "
+            f"bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM mh), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), "
+            f"pairs AS (SELECT c.ida, c.idb, {jacc} AS j FROM cand c "
+            "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb "
+            "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
+            "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.2"
+        ),
+        "dedup_simhash_sig": (
+            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents) "
+            f"SELECT doc_id, {_simhash_sql('t')} AS SIMHASH FROM toks"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+            f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
+            "inv AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id), "
+            f"pairs AS (SELECT c.ida, c.idb, {jacc} AS j FROM cand c "
+            "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb "
+            "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
+            "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.3"
+        ),
+        "dedup_embedding": (
+            f"SELECT a.vec_id AS ID_A, b.vec_id AS ID_B, {_cosine('a.embedding', 'b.embedding')} AS COSINE "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            f"WHERE {_cosine('a.embedding', 'b.embedding')} >= 0.35"
+        ),
+        "similarity_search": sim_base + " SELECT * FROM ranked WHERE RANK <= 10",
+        "knn_classify": sim_base + (
+            ", nn AS (SELECT * FROM ranked WHERE RANK <= 5), "
+            "lbl AS (SELECT nn.QUERY_ID, e.label FROM nn JOIN embeddings e ON e.vec_id = nn.MATCH_ID), "
+            "cnt AS (SELECT QUERY_ID, label, COUNT(*) AS c FROM lbl GROUP BY 1, 2) "
+            "SELECT QUERY_ID, label AS PREDICTED_LABEL FROM cnt "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY c DESC, label) = 1"
+        ),
+        "binary_meta": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS BYTE_LENGTH, "
+            "md5(text) AS CONTENT_MD5, lower(hex(substr(text, 1, 4))) AS MAGIC_PREFIX FROM documents"
+        ),
+        "image_meta_stub": (
+            "SELECT doc_id AS DOC_ID, "
+            "CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS WIDTH, "
+            "CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS HEIGHT, "
+            "'FAKE' AS MODE, 'stub' AS DECODER FROM documents"
+        ),
+        # ---- streaming (batch-mode oracles) ----
+        "tumbling_window": (
+            "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS WINDOW_START, "
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS WINDOW_END, "
+            "event_type, CAST(COUNT(event_id) AS BIGINT) AS EVENT_ID_COUNT, "
+            "SUM(value) AS VALUE_SUM FROM events GROUP BY 1, 2, 3"
+        ),
+        "sliding_window": (
+            "WITH x AS (SELECT unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP), "
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR]) AS WINDOW_START, "
+            "event_id, event_type FROM events) "
+            "SELECT WINDOW_START, WINDOW_START + INTERVAL 2 HOUR AS WINDOW_END, event_type, "
+            "CAST(COUNT(event_id) AS BIGINT) AS EVENT_ID_COUNT FROM x GROUP BY 1, 2, 3"
+        ),
+        "session_window": (
+            "WITH d AS (SELECT user_id, ts, event_id, CASE WHEN LAG(ts) OVER w IS NULL "
+            "OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "ss AS (SELECT user_id, ts, event_id, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+            "SELECT CAST(MIN(ts) AS TIMESTAMP) AS SESSION_START, "
+            "CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS SESSION_END, user_id, "
+            "CAST(COUNT(event_id) AS BIGINT) AS EVENT_ID_COUNT FROM ss GROUP BY user_id, sid"
+        ),
+        "stream_dedup_batch": "SELECT DISTINCT user_id, event_type FROM events",
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # relational core
+        "filter_project": q_filter_project,
+        "aggregate": q_aggregate,
+        "join_agg": q_join_agg,
+        "drop_columns": q_drop_columns,
+        "rename": q_rename,
+        "math": q_math,
+        "cast": q_cast,
+        "concat": q_concat,
+        "if_then": q_if_then,
+        "replace_string": q_replace_string,
+        "uppercase_columns": q_uppercase_columns,
+        "to_date": q_to_date,
+        "dropna": q_dropna,
+        "remove_duplicates": q_remove_duplicates,
+        "remove_outliers": q_remove_outliers,
+        "sample": q_sample,
+        "latest": q_latest,
+        "top": q_top,
+        "join_left_prefix": q_join_left_prefix,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        # aggregates / windows
+        "describe": q_describe,
+        "timeseries_agg": q_timeseries_agg,
+        "correlation": q_correlation,
+        "entropy": q_entropy,
+        "ratio_with_shrinkage": q_ratio_with_shrinkage,
+        "rollup": q_rollup,
+        "approx_distinct": q_approx_distinct,  # rows-only (approximate by design)
+        "lag_lead": q_lag_lead,
+        "moving_avg": q_moving_avg,
+        "rolling_agg": q_rolling_agg,
+        "cumulative_agg": q_cumulative_agg,
+        "order": q_order,
+        "rank": q_rank,
+        "train_test_split": q_train_test_split,
+        "rsi": q_rsi,
+        "sliding_slope": q_sliding_slope,
+        # reshape / encoders
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "union": q_union,
+        "intersect": q_intersect,
+        "except": q_except,
+        "datespine": q_datespine,
+        "funnel": q_funnel,
+        "market_basket": q_market_basket,
+        "histogram": q_histogram,
+        "heatmap": q_heatmap,
+        "sankey": q_sankey,
+        "one_hot_encode": q_one_hot_encode,
+        "label_encode": q_label_encode,
+        "target_encode": q_target_encode,
+        "impute_mean": q_impute_mean,
+        "impute_mode": q_impute_mode,
+        "min_max_scaler": q_min_max_scaler,
+        "standard_scaler": q_standard_scaler,
+        "bin": q_bin,
+        "levenshtein": q_levenshtein,
+        # text / dedup / similarity / multimodal
+        "token_count_ws": q_token_count_ws,
+        "token_count_bpe": q_token_count_bpe,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash_sig": q_dedup_simhash_sig,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)
+        "similarity_search": q_similarity_search,
+        "similarity_search_lsh": q_similarity_search_lsh,  # rows-only (approximate)
+        "knn_classify": q_knn_classify,
+        "binary_meta": q_binary_meta,
+        "image_meta_stub": q_image_meta_stub,
+        "frame_sample_stub": q_frame_sample_stub,  # rows-only (binary fan-out)
+        # streaming (batch mode)
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "stream_dedup_batch": q_stream_dedup_batch,
+    }

@@ -85,16 +85,18 @@ class SQLChain:
 
     def transform(self, name: str, arguments: dict | None = None, **kwargs) -> "SQLChain":
         """Apply a registered transform by name; returns a new chain."""
-        tdef = registry.get_transform(name)
-        kwargs = {**(arguments or {}), **kwargs}
+        return self._apply_transform(name, {**(arguments or {}), **kwargs})
+
+    def _apply_transform(self, tname: str, kwargs: dict) -> "SQLChain":
+        tdef = registry.get_transform(tname)
         if self._df.isStreaming and not tdef.streaming_ok:
             raise ParameterException(
-                f"transform {name!r} is not supported on streaming DataFrames"
+                f"transform {tname!r} is not supported on streaming DataFrames"
             )
         flat_kwargs, table_args = self._flatten_args(kwargs)
         new_df = tdef.apply(self._df, **flat_kwargs)
-        alias = f"RQL_T{len(self._steps)}_{cleanse_name(name)}"
-        step = Step(name=name, kwargs=kwargs, output_alias=alias, table_args=table_args)
+        alias = f"RQL_T{len(self._steps)}_{cleanse_name(tname)}"
+        step = Step(name=tname, kwargs=kwargs, output_alias=alias, table_args=table_args)
         return SQLChain(self._session, new_df, self._entry_name, self._steps + (step,))
 
     def _flatten_args(self, kwargs: dict) -> tuple[dict, dict]:
@@ -132,7 +134,7 @@ class SQLChain:
             raise AttributeError(name) from None
 
         def invoke(arguments: dict | None = None, **kwargs) -> "SQLChain":
-            return self.transform(name, arguments, **kwargs)
+            return self._apply_transform(name, {**(arguments or {}), **kwargs})
 
         invoke.__name__ = name
         invoke.__doc__ = registry.get_transform(name).doc

@@ -280,13 +280,15 @@ def dedup_embedding(
     threshold: float = 0.95,
     num_planes: int = 8,
     method: str = "lsh",
+    round_scores: int | None = 6,
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine ≥ threshold (SURVEY §7.2 M7).
 
     method='lsh': random-hyperplane sign signature buckets candidates —
     cosine runs within buckets only (the scale path; approximate recall).
     method='brute': all-pairs — exact, quadratic; for oracles/small tables.
-    Output (ID_A, ID_B, COSINE).
+    ``round_scores`` rounds the cosine before thresholding so results are
+    reproducible across engines/float orderings. Output (ID_A, ID_B, COSINE).
     """
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
     base = df.select(F.col(i).alias("__id"), F.col(v).alias("__vec"))
@@ -304,6 +306,8 @@ def dedup_embedding(
     left = base.select(F.col("__id").alias("__id_a"), F.col("__vec").alias("__v_a"), "__sig")
     right = base.select(F.col("__id").alias("__id_b"), F.col("__vec").alias("__v_b"), "__sig")
     cos = cosine_expr(F.col("__v_a"), F.col("__v_b"))
+    if round_scores is not None:
+        cos = F.round(cos, round_scores)
     return (
         left.join(right, on=join_on)
         .filter(F.col("__id_a") < F.col("__id_b"))

@@ -83,6 +83,8 @@ class RasgoSession:
         if ext in _FILE_EXTS:
             if not os.path.exists(name):
                 raise TableAccessError(f"no such file: {name}")
+            if _FILE_EXTS[ext] == "parquet":
+                return self._read_parquet(name)
             return self.spark.read.format(_FILE_EXTS[ext]).option("header", "true").load(name)
         try:
             if self.spark.catalog.tableExists(name):
@@ -92,11 +94,45 @@ class RasgoSession:
         if self.data_dir:
             p = os.path.join(self.data_dir, f"{name}.parquet")
             if os.path.exists(p):
-                return self.spark.read.parquet(p)
+                return self._read_parquet(p)
         raise TableAccessError(
             f"{name!r} is not a catalog table, readable file path, or a table "
             f"under data_dir={self.data_dir!r}"
         )
+
+    def _read_parquet(self, path: str) -> DataFrame:
+        """Parquet reader that tolerates TIMESTAMP(NANOS) columns.
+
+        Spark 4 refuses nanosecond parquet timestamps outright. The scan stays
+        fully distributed: flip ``legacy.parquet.nanosAsLong``, read the nanos
+        as int64, and convert with integer division (``DIV 1000`` — plain
+        ``/1000`` in double would lose precision above 2^53 ns) to microsecond
+        timestamps, matching how DuckDB/Arrow truncate ns → us.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        target = path
+        if os.path.isdir(target):
+            files = [f for f in os.listdir(target) if f.endswith(".parquet")]
+            target = os.path.join(target, files[0]) if files else target
+        try:
+            schema = pq.read_schema(target)
+            ns_cols = [
+                f.name
+                for f in schema
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            ]
+        except Exception:
+            ns_cols = []
+        if not ns_cols:
+            return self.spark.read.parquet(path)
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
+        return df
 
     # ------------------------------------------------------------ factories
 
