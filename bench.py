@@ -1,0 +1,100 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline query set from BASELINE.md §2 (B1-B8 + LLM-pipeline ops) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = median of 2 runs after 1 warm-up; execution is forced with the noop
+sink so every column is actually computed (a bare count() would let Catalyst
+prune the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+import rasgoql_spark as rql  # noqa: E402
+
+
+def _b4_window_chain(spark, sf):
+    s = entry._s(spark, sf)
+    return (
+        s.dataset("lineitem")
+        .datetrunc(dates={"l_shipdate": "week"})
+        .aggregate(group_by=["l_partkey", "L_SHIPDATE_WEEK"],
+                   aggregations={"l_extendedprice": ["SUM"]})
+        .lag(columns=["L_EXTENDEDPRICE_SUM"], amounts=[1, 2, 3],
+             order_by=["L_SHIPDATE_WEEK"], partition=["l_partkey"])
+        .moving_avg(input_columns=["L_EXTENDEDPRICE_SUM"], window_sizes=[4],
+                    order_by=["L_SHIPDATE_WEEK"], partition=["l_partkey"])
+        .df
+    )
+
+
+def _b6_encode_split(spark, sf):
+    s = entry._s(spark, sf)
+    return (
+        s.dataset("orders")
+        .one_hot_encode(column="o_orderpriority", list_of_vals=entry._PRIORITIES)
+        .train_test_split(order_by=["o_orderdate", "o_orderkey"], train_percent=0.8)
+        .df
+    )
+
+
+BENCH_QUERIES = {
+    "b1_filter_project": entry.q_filter_project,
+    "b2_aggregate": entry.q_aggregate,
+    "b3_join_agg": entry.q_join_agg,
+    "b4_window_chain": _b4_window_chain,
+    "b5_pivot": entry.q_pivot,
+    "b6_encode_split": _b6_encode_split,
+    "b7_rolling_agg": entry.q_rolling_agg,
+    "b8_tumbling_window": entry.q_tumbling_window,
+    "llm_dedup_minhash": entry.q_dedup_minhash,
+    "llm_similarity_search": entry.q_similarity_search,
+    "llm_text_quality": entry.q_text_quality,
+}
+
+
+def run_one(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = rql.default_spark(
+        app_name="rasgoql_spark_bench", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    results: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        run_one(fn, spark, sf_dir)  # warm-up
+        times = [run_one(fn, spark, sf_dir) for _ in range(2)]
+        results[name] = round(statistics.median(times), 3)
+    total = round(sum(results.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

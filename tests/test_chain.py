@@ -1,0 +1,120 @@
+"""Core chain / session behavior (reference semantics: transforms.py, main.py)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+import rasgoql_spark as rql
+
+
+def test_list_transforms(session):
+    names = session.list_transforms()
+    assert len(names) >= 80
+    for required in ("aggregate", "join", "pivot", "lag", "dedup_minhash",
+                     "similarity_search", "tumbling_window"):
+        assert required in names
+
+
+def test_define_transform(session):
+    doc = session.define_transform("aggregate")
+    assert "aggregate" in doc and "group_by" in doc
+
+
+def test_chain_immutability(session):
+    ds = session.dataset("lineitem")
+    a = ds.filter(filter_statements=["l_quantity > 45"])
+    b = ds.filter(filter_statements=["l_quantity <= 45"])
+    assert a.df.count() + b.df.count() == ds.df.count()
+    assert len(ds.steps) == 0 and len(a.steps) == 1
+
+
+def test_preview_cap(session):
+    pdf = session.dataset("lineitem").preview()
+    assert len(pdf) == 10
+
+
+def test_to_df_batches(session):
+    batches = list(session.dataset("region").to_df(batches=True))
+    assert sum(len(b) for b in batches) == 5
+
+
+def test_get_schema(session):
+    schema = session.dataset("region").get_schema()
+    assert ("r_regionkey", "int") in schema
+
+
+def test_sql_render_cte(session):
+    chain = (
+        session.dataset("lineitem")
+        .datetrunc(dates={"l_shipdate": "week"})
+        .aggregate(group_by=["l_partkey", "L_SHIPDATE_WEEK"],
+                   aggregations={"l_extendedprice": ["SUM"]})
+    )
+    sql = chain.sql()
+    assert sql.startswith("WITH ") and "DATE_TRUNC" in sql and "GROUP BY" in sql
+    # the rendered text parses as valid Spark SQL against a temp view
+    session.dataset("lineitem").df.createOrReplaceTempView("lineitem")
+    rendered = session.spark.sql(sql)
+    assert rendered.count() == chain.df.count()
+
+
+def test_sql_render_views(session):
+    sql = (
+        session.dataset("lineitem")
+        .filter(filter_statements=["l_quantity > 10"])
+        .rename(renames={"l_quantity": "QTY"})
+        .sql(render_method="VIEWS")
+    )
+    assert sql.count("CREATE OR REPLACE VIEW") == 2
+
+
+def test_non_renderable_transform_still_executes(session):
+    chain = session.dataset("documents").dedup_minhash(text="text", id_col="doc_id")
+    assert chain.df.columns == ["ID_A", "ID_B", "JACCARD"]
+    with pytest.raises(rql.TransformRenderingException):
+        chain.sql()
+
+
+def test_scary_sql_guard(session):
+    with pytest.raises(rql.SQLException):
+        session.query("DROP TABLE lineitem")
+    assert session.query("SELECT 1 AS x") == [(1,)]
+
+
+def test_unknown_transform(session):
+    with pytest.raises(AttributeError):
+        session.dataset("region").no_such_transform(x=1)
+
+
+def test_dataset_from_df_roundtrip(session, tmp_path):
+    import shutil
+
+    session.spark.sql("DROP TABLE IF EXISTS t_roundtrip")
+    shutil.rmtree("/root/repo/spark-warehouse/t_roundtrip", ignore_errors=True)
+    pdf = pd.DataFrame({"my col": [1, 2, 3], "VAL": [1.5, 2.5, 3.5]})
+    ds = session.dataset_from_df(pdf, "t_roundtrip", method="replace")
+    out = ds.to_df()
+    assert sorted(out.columns) == ["MY_COL", "VAL"]  # names cleansed
+    assert len(out) == 3
+
+
+def test_save_temp_view(session):
+    ds = session.dataset("region").filter(filter_statements=["r_regionkey < 3"])
+    saved = ds.save("v_regions", table_type="temp_view", overwrite=True)
+    assert saved.df.count() == 3
+
+
+def test_to_dbt(session, tmp_path):
+    chain = session.dataset("region").filter(filter_statements=["r_regionkey < 3"])
+    path = chain.to_dbt(str(tmp_path), file_name="regions.sql", include_schema=True)
+    assert os.path.exists(path)
+    content = open(path).read()
+    assert "SELECT" in content and "r_regionkey" in content
+    assert os.path.exists(tmp_path / "schema.yml")
+
+
+def test_transform_by_name(session):
+    out = session.dataset("region").transform(
+        "filter", arguments={"filter_statements": ["r_regionkey = 0"]})
+    assert out.df.count() == 1

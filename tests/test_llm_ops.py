@@ -1,0 +1,119 @@
+"""LLM-pipeline operator tests: dedup finds planted near-dups, similarity
+ranks a vector's neighbor first, multimodal plumbing preserves schema/batch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import rasgoql_spark as rql
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = base + " tonight"                     # near-duplicate of base
+    other = "completely different content about spark query engines and shuffles"
+    rows = [(1, base), (2, near), (3, other), (4, "short text"), (5, base)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    out = rql.get_transform("dedup_exact").apply(docs, text="text", id_col="doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 5 not in ids          # 5 is an exact dup of 1
+    assert ids == {1, 2, 3, 4}
+
+
+def test_dedup_minhash_finds_planted_pair(docs):
+    pairs = rql.get_transform("dedup_minhash").apply(
+        docs, text="text", id_col="doc_id", threshold=0.5).collect()
+    got = {(r["ID_A"], r["ID_B"]) for r in pairs}
+    assert (1, 2) in got and (1, 5) in got    # near-dup and exact dup
+    assert all(r["JACCARD"] >= 0.5 for r in pairs)
+
+
+def test_dedup_minhash_filter_mode(docs):
+    out = rql.get_transform("dedup_minhash").apply(
+        docs, text="text", id_col="doc_id", threshold=0.5, mode="filter")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids and 5 not in ids and 3 in ids
+
+
+def test_dedup_simhash_near_dup_low_hamming(docs):
+    pairs = rql.get_transform("dedup_simhash").apply(
+        docs, text="text", id_col="doc_id", hamming_threshold=8).collect()
+    got = {(r["ID_A"], r["ID_B"]): r["HAMMING"] for r in pairs}
+    assert got.get((1, 5)) == 0               # identical text → identical signature
+    assert (1, 2) in got
+
+
+def test_dedup_ngram_jaccard(docs):
+    pairs = rql.get_transform("dedup_ngram_jaccard").apply(
+        docs, text="text", id_col="doc_id", threshold=0.5).collect()
+    got = {(r["ID_A"], r["ID_B"]) for r in pairs}
+    assert (1, 5) in got and (1, 2) in got and (1, 3) not in got
+
+
+def test_similarity_search_finds_nearest(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=8).astype("float32")  # planted NN
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = rql.get_transform("similarity_search").apply(
+        df, vec_col="embedding", id_col="vec_id", query_ids=[0], k=3).collect()
+    by_rank = {r["RANK"]: r for r in out}
+    assert by_rank[1]["MATCH_ID"] == 1 and by_rank[1]["COSINE"] > 0.99
+    assert len(out) == 3 and all(r["QUERY_ID"] == 0 for r in out)
+
+
+def test_dedup_embedding_brute_vs_lsh_recall(session):
+    emb = session.dataset("embeddings")
+    brute = emb.dedup_embedding(vec_col="embedding", id_col="vec_id",
+                                threshold=0.35, method="brute").df.count()
+    lsh = emb.dedup_embedding(vec_col="embedding", id_col="vec_id",
+                              threshold=0.35, method="lsh").df.count()
+    assert brute > 0
+    assert 0 < lsh <= brute                    # LSH is a subset (approximate recall)
+
+
+def test_text_quality_ranges(session):
+    out = session.dataset("documents").text_quality(text="text").df
+    row = out.agg(F.min("QUALITY_SCORE"), F.max("QUALITY_SCORE"),
+                  F.min("ALPHA_RATIO"), F.max("ALPHA_RATIO")).collect()[0]
+    assert 0.0 <= row[0] and row[1] <= 1.0 and 0.0 <= row[2] and row[3] <= 1.0
+
+
+def test_language_id_majority_en(session):
+    out = session.dataset("documents").language_id(text="text").df
+    en = out.filter("LANG_PRED = 'en'").count()
+    assert en > out.count() * 0.5              # corpus is english word soup
+
+
+def test_binary_meta_and_image_stub_schema(session):
+    chain = (session.dataset("documents")
+             .attach_binary(source_col="text", name="CONTENT"))
+    meta = chain.binary_meta(binary_col="CONTENT").df
+    assert {"BYTE_LENGTH", "CONTENT_MD5", "MAGIC_PREFIX"} <= set(meta.columns)
+    img = chain.image_meta(binary_col="CONTENT", id_col="doc_id").df
+    assert [f.name for f in img.schema.fields] == [
+        "DOC_ID", "WIDTH", "HEIGHT", "MODE", "DECODER"]
+    sample = img.limit(5).collect()
+    assert all(1 <= r["WIDTH"] <= 640 and r["DECODER"] == "stub" for r in sample)
+
+
+def test_image_stub_error_mode(session):
+    img = (session.dataset("documents")
+           .attach_binary(source_col="text", name="CONTENT")
+           .image_meta(binary_col="CONTENT", id_col="doc_id", fake="error").df)
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        img.collect()
+
+
+def test_frame_sample_fanout(session):
+    out = (session.dataset("documents")
+           .attach_binary(source_col="text", name="CONTENT")
+           .frame_sample(binary_col="CONTENT", id_col="doc_id", num_frames=3).df)
+    per_doc = out.groupBy("DOC_ID").count().agg(F.max("count")).collect()[0][0]
+    assert per_doc == 3

@@ -1,0 +1,122 @@
+"""Semantic unit tests for representative operators on small constructed data."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import rasgoql_spark as rql
+from rasgoql_spark.naming import cleanse_name
+
+
+def test_cleanse_name():
+    assert cleanse_name("l_extendedprice * (1 - l_discount)") == "L_EXTENDEDPRICE_1_L_DISCOUNT"
+    assert cleanse_name("9col") == "_9COL"
+    assert cleanse_name("  a  b ") == "A_B"
+
+
+def test_aggregate_naming(session):
+    out = session.dataset("lineitem").aggregate(
+        group_by=["l_returnflag"],
+        aggregations={"l_quantity": ["SUM", "COUNT DISTINCT"]})
+    assert out.df.columns == ["l_returnflag", "L_QUANTITY_SUM", "L_QUANTITY_COUNT_DISTINCT"]
+
+
+def test_lag_negative_is_lead(spark, session):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"])
+    out = rql.get_transform("lag").apply(df, columns=["v"], amounts=[1, -1], order_by=["k"])
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[2]["LAG_V_1"] == 10.0 and rows[2]["LEAD_V_1"] == 30.0
+    assert rows[1]["LAG_V_1"] is None and rows[3]["LEAD_V_1"] is None
+
+
+def test_moving_avg_frame(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 6)], ["k", "v"])
+    out = rql.get_transform("moving_avg").apply(
+        df, input_columns=["v"], window_sizes=[3], order_by=["k"])
+    rows = {r["k"]: r["MEAN_V_3"] for r in out.collect()}
+    assert rows[1] == 1.0 and rows[3] == 2.0 and rows[5] == 4.0
+
+
+def test_join_prefix_collision_detection(session):
+    li = session.dataset("lineitem")
+    with pytest.raises(rql.ParameterException):
+        # self-join without prefix must flag overlapping columns
+        li.join(join_table=session.dataset("lineitem"),
+                join_columns={"l_orderkey": "l_orderkey"})
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("b", 15, "L3")], ["k", "t", "tag"])
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 20, 2.0), ("b", 30, 3.0)], ["k", "t", "val"])
+    out = rql.get_transform("asof_join").apply(
+        left, join_table=right, on="t", by=["k"], value_columns=["val"])
+    rows = {r["tag"]: r["ASOF_VAL"] for r in out.collect()}
+    assert rows["L1"] == 1.0      # backward match at t=5
+    assert rows["L2"] == 2.0      # inclusive match at equal t
+    assert rows["L3"] is None     # right event is in the future
+
+
+def test_interval_join(spark):
+    pts = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 99.0)], ["id", "x"])
+    iv = spark.createDataFrame([(100, 0.0, 10.0), (200, 20.0, 30.0)], ["iid", "lo", "hi"])
+    out = rql.get_transform("interval_join").apply(
+        pts, join_table=iv, point="x", lower="lo", upper="hi", bucket_width=10.0)
+    got = {(r["id"], r["R_IID"]) for r in out.collect()}
+    assert got == {(1, 100), (2, 200)}
+
+
+def test_pivot_discovery_matches_explicit(session):
+    ds = session.dataset("lineitem")
+    auto = ds.pivot(dimensions=["l_linestatus"], pivot_column="l_returnflag",
+                    value_column="l_quantity", agg_method="SUM")
+    explicit = ds.pivot(dimensions=["l_linestatus"], pivot_column="l_returnflag",
+                        value_column="l_quantity", agg_method="SUM",
+                        list_of_vals=["A", "N", "R"])
+    assert sorted(auto.df.columns) == sorted(explicit.df.columns)
+    assert auto.df.count() == explicit.df.count()
+
+
+def test_one_hot_discovery_cap(spark):
+    df = spark.range(200).withColumn("c", F.col("id").cast("string"))
+    with pytest.raises(rql.ParameterException):
+        rql.get_transform("one_hot_encode").apply(df, column="c", cap=100)
+
+
+def test_train_test_split_ratio(session):
+    out = session.dataset("orders").train_test_split(
+        order_by=["o_orderdate", "o_orderkey"], train_percent=0.8)
+    counts = dict(out.df.groupBy("TT_SPLIT").count().collect())
+    total = sum(counts.values())
+    assert abs(counts["TRAIN"] / total - 0.8) < 0.01
+
+
+def test_impute_constant_and_mean(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 2.0), (3, 4.0)], ["k", "v"])
+    out = rql.get_transform("impute").apply(df, imputations={"v": "mean"})
+    assert {r["v"] for r in out.collect()} == {2.0, 3.0, 4.0}
+    out2 = rql.get_transform("impute").apply(df, imputations={"v": -1.0})
+    assert {r["v"] for r in out2.collect()} == {-1.0, 2.0, 4.0}
+
+
+def test_datespine_fills_gaps(spark):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), 1), (datetime.datetime(2024, 1, 4), 2)],
+        ["d", "v"])
+    out = rql.get_transform("datespine").apply(df, date_col="d", interval="day")
+    assert out.count() == 4  # Jan 1-4 dense
+    assert out.filter("v IS NULL").count() == 2
+
+
+def test_rollup_grouping(session):
+    out = session.dataset("lineitem").rollup_agg(
+        group_by=["l_returnflag"], aggregations={"l_quantity": ["SUM"]})
+    rows = out.df.collect()
+    totals = [r for r in rows if r["GROUPING_ID"] == 1]
+    assert len(totals) == 1  # one grand-total row
+    assert abs(sum(r["L_QUANTITY_SUM"] for r in rows if r["GROUPING_ID"] == 0)
+               - totals[0]["L_QUANTITY_SUM"]) < 1e-6

@@ -1,0 +1,89 @@
+"""True Structured-Streaming tests: file-source micro-batches through the same
+transform surface, results checked against the batch plan."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import rasgoql_spark as rql
+from rasgoql_spark.streaming.ops import read_events_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Split events into 3 parquet files so the file source produces 3
+    micro-batches (maxFilesPerTrigger=1)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    session = rql.RasgoSession(spark, data_dir=SF_DIR)
+    ev = session.dataset("events").df
+    ev.repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_stream_dir):
+    sdf = read_events_stream(spark, events_stream_dir)
+    chain_fn = rql.get_transform("tumbling_window").apply
+    streamed = _run_stream(
+        chain_fn(sdf, ts="ts", duration="1 hour",
+                 aggregations={"event_id": ["COUNT"]}, group_by=["event_type"],
+                 watermark="2 hours"),
+        "t_tumble")
+    batch = chain_fn(spark.read.parquet(events_stream_dir), ts="ts",
+                     duration="1 hour", aggregations={"event_id": ["COUNT"]},
+                     group_by=["event_type"])
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_session_window_stream_runs(spark, events_stream_dir):
+    sdf = read_events_stream(spark, events_stream_dir)
+    out = rql.get_transform("session_window_agg").apply(
+        sdf, ts="ts", gap="30 minutes",
+        aggregations={"event_id": ["COUNT"]}, group_by=["user_id"],
+        watermark="2 hours")
+    got = _run_stream(out, "t_session")
+    assert got.count() > 0
+    assert {"SESSION_START", "SESSION_END", "user_id", "EVENT_ID_COUNT"} <= set(got.columns)
+
+
+def test_stream_dedup_requires_watermark(spark, events_stream_dir):
+    sdf = read_events_stream(spark, events_stream_dir)
+    with pytest.raises(rql.ParameterException):
+        rql.get_transform("stream_dedup").apply(sdf, keys=["user_id"])
+
+
+def test_stream_dedup_with_watermark(spark, events_stream_dir):
+    sdf = read_events_stream(spark, events_stream_dir)
+    # watermark wider than the data's time span: randomly-split files mean
+    # each micro-batch spans the full range, so a narrow watermark would
+    # (correctly) drop cross-batch late rows — not what this test checks
+    deduped = rql.get_transform("stream_dedup").apply(
+        sdf, keys=["event_id"], ts="ts", watermark="24000 hours")
+    q = (deduped.writeStream.format("memory").queryName("t_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    assert got.count() == spark.read.parquet(events_stream_dir).count()  # ids unique
+
+
+def test_chain_api_on_streaming_df(spark, events_stream_dir):
+    """Streaming DataFrames flow through the same SQLChain transform surface;
+    batch-only transforms are rejected up front."""
+    session = rql.RasgoSession(spark)
+    sdf = read_events_stream(spark, events_stream_dir)
+    chain = rql.SQLChain(session, sdf, "events_stream")
+    filtered = chain.filter(filter_statements=["event_type = 'click'"]) \
+                    .math(math_ops=["value * 2"], names=["V2"])
+    assert filtered.df.isStreaming
+    with pytest.raises(rql.ParameterException):
+        filtered.aggregate(group_by=["user_id"], aggregations={"value": ["SUM"]})
