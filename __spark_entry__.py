@@ -286,6 +286,45 @@ def q_interval_join(spark, sf):
     )
 
 
+def q_apply(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .apply(sql="SELECT l_returnflag, COUNT(*) AS N, SUM(l_quantity) AS QTY "
+                   "FROM {{source_table}} GROUP BY l_returnflag")
+        .df
+    )
+
+
+def q_multi_join(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("lineitem")
+        .multi_join(joins=[
+            {"join_table": s.dataset("part").df,
+             "join_columns": {"l_partkey": "p_partkey"},
+             "join_prefix": "P", "broadcast": True},
+            {"join_table": s.dataset("supplier").df,
+             "join_columns": {"l_suppkey": "s_suppkey"},
+             "join_prefix": "S", "broadcast": True},
+        ])
+        .aggregate(group_by=["P_P_BRAND", "S_S_NAME"],
+                   aggregations={"l_quantity": ["SUM"]})
+        .df
+    )
+
+
+def q_theta_join(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("nation")
+        .theta_join(join_table=s.dataset("region").df,
+                    condition="n_regionkey = R_R_REGIONKEY AND n_nationkey > R_R_REGIONKEY",
+                    prefix="R")
+        .drop_columns(include_cols=["n_nationkey", "n_name", "R_R_REGIONKEY", "R_R_NAME"])
+        .df
+    )
+
+
 # --------------------------------------------------------------------------
 # aggregates / windows
 # --------------------------------------------------------------------------
@@ -323,6 +362,21 @@ def q_rollup(spark, sf):
     return _s(spark, sf).dataset("lineitem").rollup_agg(
         group_by=["l_returnflag", "l_linestatus"],
         aggregations={"l_quantity": ["SUM"]}, mode="rollup").df
+
+
+def q_cube(spark, sf):
+    return _s(spark, sf).dataset("lineitem").rollup_agg(
+        group_by=["l_returnflag", "l_linestatus"],
+        aggregations={"l_quantity": ["SUM"]}, mode="cube").df
+
+
+def q_ntile(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .rank(order_by=["o_totalprice", "o_orderkey"], method="ntile_4", name="QUARTILE")
+        .drop_columns(include_cols=["o_orderkey", "QUARTILE"])
+        .df
+    )
 
 
 def q_approx_distinct(spark, sf):
@@ -474,6 +528,19 @@ def q_datespine(spark, sf):
         .drop_columns(include_cols=["O_ORDERDATE_DAY", "o_orderkey"])
         .datespine(date_col="O_ORDERDATE_DAY", interval="day")
         .aggregate(group_by=["O_ORDERDATE_DAY"], aggregations={"o_orderkey": ["COUNT"]})
+        .df
+    )
+
+
+def q_datespine_groups(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .datetrunc(dates={"l_shipdate": "month"})
+        .drop_columns(include_cols=["l_returnflag", "L_SHIPDATE_MONTH", "l_orderkey"])
+        .datespine_groups(group_by=["l_returnflag"], date_col="L_SHIPDATE_MONTH",
+                          interval="month")
+        .aggregate(group_by=["l_returnflag", "L_SHIPDATE_MONTH"],
+                   aggregations={"l_orderkey": ["COUNT"]})
         .df
     )
 
@@ -946,6 +1013,41 @@ ranked AS (
             "FROM orders o JOIN nation n ON o.o_totalprice >= n.n_nationkey * 10000.0 "
             "AND o.o_totalprice <= n.n_nationkey * 10000.0 + 20000.0 GROUP BY 1"
         ),
+        "apply": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS N, SUM(l_quantity) AS QTY "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "multi_join": (
+            "SELECT p.p_brand AS P_P_BRAND, s.s_name AS S_S_NAME, "
+            "SUM(l.l_quantity) AS L_QUANTITY_SUM FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2"
+        ),
+        "theta_join": (
+            "SELECT n.n_nationkey, n.n_name, r.r_regionkey AS R_R_REGIONKEY, "
+            "r.r_name AS R_R_NAME FROM nation n JOIN region r "
+            "ON n.n_regionkey = r.r_regionkey AND n.n_nationkey > r.r_regionkey"
+        ),
+        "cube": (
+            "SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) "
+            "AS GROUPING_ID, SUM(l_quantity) AS L_QUANTITY_SUM FROM lineitem "
+            "GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "ntile": (
+            "SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) "
+            "AS QUARTILE FROM orders"
+        ),
+        "datespine_groups": (
+            "WITH src AS (SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m, "
+            "l_orderkey FROM lineitem), b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM src), "
+            "spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b), "
+            "g AS (SELECT DISTINCT l_returnflag FROM src), "
+            "scaffold AS (SELECT g.l_returnflag, spine.m FROM g CROSS JOIN spine) "
+            "SELECT scaffold.l_returnflag, scaffold.m AS L_SHIPDATE_MONTH, "
+            "CAST(COUNT(src.l_orderkey) AS BIGINT) AS L_ORDERKEY_COUNT FROM scaffold "
+            "LEFT JOIN src ON src.l_returnflag = scaffold.l_returnflag AND src.m = scaffold.m "
+            "GROUP BY 1, 2"
+        ),
         "describe": " UNION ALL ".join(
             (
                 f"SELECT '{c}' AS COLUMN_NAME, CAST(COUNT({c}) AS BIGINT) AS ROW_COUNT, "
@@ -1307,6 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "apply": q_apply,
+        "multi_join": q_multi_join,
+        "theta_join": q_theta_join,
         # aggregates / windows
         "describe": q_describe,
         "timeseries_agg": q_timeseries_agg,
@@ -1314,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "ratio_with_shrinkage": q_ratio_with_shrinkage,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "ntile": q_ntile,
         "approx_distinct": q_approx_distinct,  # rows-only (approximate by design)
         "lag_lead": q_lag_lead,
         "moving_avg": q_moving_avg,
@@ -1331,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect": q_intersect,
         "except": q_except,
         "datespine": q_datespine,
+        "datespine_groups": q_datespine_groups,
         "funnel": q_funnel,
         "market_basket": q_market_basket,
         "histogram": q_histogram,

@@ -1,0 +1,104 @@
+"""Sources / sinks.
+
+The reference's only "connectors" are warehouse clients (snowflake / bigquery
+/ sqlalchemy — rasgoql/rasgoql/imports.py:42-73); file formats are a free
+Spark capability gain (SURVEY §2.2 sources table). This module adds the
+scale-relevant knobs on top of ``spark.read``/``write``: partitioned layouts
+(partition pruning / DPP), bucketing (shuffle-free co-located joins), and a
+JDBC passthrough (the analog of the reference's warehouse connectors).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str, columns=None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True,
+    schema=None, **options,
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema)
+    return reader.options(**options).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str,
+    partition_column: str | None = None, lower_bound=None, upper_bound=None,
+    num_partitions: int | None = None, **properties,
+) -> DataFrame:
+    """JDBC source with parallel partitioned reads — a single-connection JDBC
+    read funnels the whole table through one task; always pass
+    partition_column/bounds for real tables."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_table(
+    df: DataFrame,
+    path_or_table: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by=None,
+    bucket_by: Optional[tuple] = None,
+    sort_by=None,
+    compression: str | None = None,
+) -> None:
+    """Scale-aware writer.
+
+    - ``partition_by``: hive-style directory partitioning → partition pruning
+      and dynamic partition pruning on the read side.
+    - ``bucket_by=(n, cols)``: pre-shuffled bucketed layout (saveAsTable
+    only) → bucketed equi-joins/aggregations skip the shuffle entirely.
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(
+            *(partition_by if isinstance(partition_by, (list, tuple)) else [partition_by])
+        )
+    if bucket_by:
+        n, cols = bucket_by
+        cols = cols if isinstance(cols, (list, tuple)) else [cols]
+        writer = writer.bucketBy(n, *cols)
+        if sort_by:
+            writer = writer.sortBy(
+                *(sort_by if isinstance(sort_by, (list, tuple)) else [sort_by])
+            )
+        writer.saveAsTable(path_or_table)
+        return
+    if "/" in path_or_table or path_or_table.endswith(".parquet"):
+        writer.save(path_or_table)
+    else:
+        writer.saveAsTable(path_or_table)

@@ -1,0 +1,86 @@
+"""Physical-plan hygiene: the properties that decide whether these operators
+survive a 100 TB scale-up. Each assertion reads `.explain` output — if a
+refactor silently breaks pushdown, pruning, or a broadcast, these fail."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(chain) -> str:
+    return chain.explain("formatted")
+
+
+def test_filter_pushdown_reaches_parquet_scan(session):
+    plan = _plan(
+        session.dataset("lineitem").filter(filter_statements=["l_quantity > 45"])
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,45" in plan.replace(" ", "")
+
+
+def test_column_pruning_reaches_read_schema(session):
+    plan = _plan(
+        session.dataset("lineitem").drop_columns(include_cols=["l_orderkey", "l_quantity"])
+    )
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # unused column never read
+
+
+def test_pruning_through_aggregate(session):
+    plan = _plan(
+        session.dataset("lineitem").aggregate(
+            group_by=["l_returnflag"], aggregations={"l_quantity": ["SUM"]})
+    )
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_shipdate" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_broadcast_join_hint_honored(session):
+    chain = session.dataset("lineitem").join(
+        join_table=session.dataset("part"),
+        join_columns={"l_partkey": "p_partkey"}, join_prefix="P", broadcast=True)
+    assert "BroadcastHashJoin" in _plan(chain)
+
+
+def test_aggregate_has_partial_and_final(session):
+    plan = _plan(
+        session.dataset("lineitem").aggregate(
+            group_by=["l_returnflag"], aggregations={"l_quantity": ["SUM"]})
+    )
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_top_uses_take_ordered(session):
+    plan = _plan(
+        session.dataset("lineitem").top(
+            n=10, order_by={"l_extendedprice": "DESC", "l_orderkey": "ASC"})
+    )
+    assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+def test_whole_stage_codegen_covers_projection(session):
+    plan = _plan(
+        session.dataset("lineitem").math(
+            math_ops=["l_extendedprice * (1 - l_discount)"], names=["NET"])
+    )
+    # formatted mode marks codegen'd nodes with a leading '*'
+    assert "* Project" in plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, session):
+    intervals = session.dataset("nation").math(
+        math_ops=["n_nationkey * 10000.0", "n_nationkey * 10000.0 + 20000.0"],
+        names=["LO", "HI"])
+    chain = session.dataset("orders").interval_join(
+        join_table=intervals, point="o_totalprice", lower="LO", upper="HI",
+        bucket_width=10000.0)
+    plan = _plan(chain)
+    assert "NestedLoop" not in plan  # bucketization keeps it an equi-join
+    # residual BETWEEN predicate still applied
+    assert "o_totalprice" in plan
+
+
+def test_semi_join_planned_as_semi(session):
+    chain = session.dataset("customer").semi_join(
+        join_table=session.dataset("orders"), join_columns={"c_custkey": "o_custkey"})
+    assert "LeftSemi" in _plan(chain)
