@@ -286,6 +286,52 @@ def q_interval_join(spark, sf):
     )
 
 
+def q_dateadd(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .dateadd(date="o_orderdate", amount=3, grain="month")
+        .drop_columns(include_cols=["o_orderkey", "O_ORDERDATE_ADD_3_MONTH"])
+        .df
+    )
+
+
+def q_datediff(spark, sf):
+    s = _s(spark, sf)
+    return (
+        s.dataset("lineitem")
+        .join(join_table=s.dataset("orders"),
+              join_columns={"l_orderkey": "o_orderkey"}, join_prefix="O")
+        .datediff(date_1="O_O_ORDERDATE", date_2="l_shipdate", grain="day",
+                  name="SHIP_DELAY_DAYS")
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber", "SHIP_DELAY_DAYS"])
+        .df
+    )
+
+
+def q_datepart(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .datepart(dates={"o_orderdate": "month"})
+        .drop_columns(include_cols=["o_orderkey", "O_ORDERDATE_MONTH"])
+        .df
+    )
+
+
+def q_join_salted(spark, sf):
+    """Salted skew join — result must be IDENTICAL to the unsalted join, so
+    it shares the join_agg oracle shape."""
+    s = _s(spark, sf)
+    return (
+        s.dataset("lineitem")
+        .join(join_table=s.dataset("orders"),
+              join_columns={"l_orderkey": "o_orderkey"}, join_type="INNER",
+              join_prefix="O", salt=8)
+        .aggregate(group_by=["O_O_ORDERPRIORITY"],
+                   aggregations={"l_quantity": ["SUM"], "l_orderkey": ["COUNT"]})
+        .df
+    )
+
+
 def q_apply(spark, sf):
     return (
         _s(spark, sf).dataset("lineitem")
@@ -1017,6 +1063,24 @@ ranked AS (
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS N, SUM(l_quantity) AS QTY "
             "FROM lineitem GROUP BY l_returnflag"
         ),
+        "dateadd": (
+            "SELECT o_orderkey, CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) "
+            "AS O_ORDERDATE_ADD_3_MONTH FROM orders"
+        ),
+        "datediff": (
+            "SELECT l.l_orderkey, l.l_linenumber, "
+            "CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) "
+            "AS SHIP_DELAY_DAYS FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "datepart": (
+            "SELECT o_orderkey, CAST(month(o_orderdate) AS INT) AS O_ORDERDATE_MONTH FROM orders"
+        ),
+        "join_salted": (
+            "SELECT o.o_orderpriority AS O_O_ORDERPRIORITY, SUM(l.l_quantity) AS L_QUANTITY_SUM, "
+            "CAST(COUNT(l.l_orderkey) AS BIGINT) AS L_ORDERKEY_COUNT "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY 1"
+        ),
         "multi_join": (
             "SELECT p.p_brand AS P_P_BRAND, s.s_name AS S_S_NAME, "
             "SUM(l.l_quantity) AS L_QUANTITY_SUM FROM lineitem l "
@@ -1412,6 +1476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply": q_apply,
         "multi_join": q_multi_join,
         "theta_join": q_theta_join,
+        "join_salted": q_join_salted,
+        "dateadd": q_dateadd,
+        "datediff": q_datediff,
+        "datepart": q_datepart,
         # aggregates / windows
         "describe": q_describe,
         "timeseries_agg": q_timeseries_agg,

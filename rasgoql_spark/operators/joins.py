@@ -40,12 +40,17 @@ def join(
     join_type: str = "INNER",
     join_prefix: str | None = None,
     broadcast: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """Equi-join on a left→right column map; right columns optionally prefixed
     (reference README.md:132-137: ``join_prefix='PRODUCT'``).
 
     ``broadcast=True`` marks the right side broadcastable — use for dimension
-    tables so the fact side never shuffles.
+    tables so the fact side never shuffles. ``salt=N`` explicitly splits
+    skewed join keys: the left side salts each row into one of N buckets and
+    the right side replicates N×, turning one hot partition into N — use when
+    a key's row count dwarfs the others and AQE's skew-join splitting isn't
+    enough (result is identical to the unsalted join).
     """
     how = _JOIN_TYPES.get(join_type.upper())
     if how is None:
@@ -62,14 +67,29 @@ def join(
             raise ParameterException(
                 f"columns {sorted(overlap)} exist on both sides; pass join_prefix"
             )
+    if salt:
+        if broadcast:
+            raise ParameterException("salt is pointless with broadcast (no shuffle to skew)")
+        if how not in ("inner", "left"):
+            raise ParameterException("salt supports INNER/LEFT joins")
+        df = df.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(l) for l in jc.keys()], F.monotonically_increasing_id()), F.lit(salt))
+        )
+        right = right.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(salt - 1).cast("bigint")))
+        )
+        jc = {**jc, "__salt": "__salt"}
     if broadcast:
         right = F.broadcast(right)
     cond = [df[l] == right[r] for l, r in jc.items()]
     out = df.join(right, on=cond, how=how)
+    if salt:
+        out = out.drop(df["__salt"]).drop(right["__salt"])
     if not join_prefix:
         # drop the duplicated right-side key columns (classic equi-join shape)
         for r in jc.values():
-            out = out.drop(right[r])
+            if r != "__salt":
+                out = out.drop(right[r])
     return out
 
 

@@ -1,0 +1,87 @@
+"""Regenerate PLANS.md — annotated physical plans for the headline queries.
+
+The point: show (not claim) that filters/projections reach the parquet scan,
+dimension joins broadcast, aggregations run partial→final, top-N avoids a
+global sort, and the interval join is an equi-join, not a nested loop.
+
+Usage: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+import rasgoql_spark as rql  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+ANNOTATED = [
+    ("filter_project (B1)", "filter_project",
+     "Both shipdate predicates appear in PushedFilters; ReadSchema carries "
+     "only the 5 projected columns of 11."),
+    ("join_agg (B3 flagship)", "join_agg",
+     "customer joins as BroadcastHashJoin (explicit hint); the lineitem side "
+     "never shuffles for it. HashAggregate appears partial+final."),
+    ("aggregate (B2)", "aggregate",
+     "date_trunc + groupBy in one stage; partial aggregation before the "
+     "single hash shuffle."),
+    ("top (first-class LIMIT)", "top",
+     "TakeOrderedAndProject: per-partition top-N merged on the driver — no "
+     "global sort at any scale."),
+    ("interval_join", "interval_join",
+     "Range bucketization makes this a (Broadcast)HashJoin on (bucket) with "
+     "a residual BETWEEN filter — OSS Spark would otherwise plan a "
+     "BroadcastNestedLoopJoin (quadratic)."),
+    ("asof_join", "asof_join",
+     "Union + single windowed last-non-null pass: exactly one shuffle on "
+     "(key, ts); no per-key driver loop, no UDF."),
+    ("dedup_minhash", "dedup_minhash",
+     "Signature stage is scan-only (no shuffle); band self-join shuffles "
+     "only (id, band) pairs; shingle arrays re-attach to surviving "
+     "candidates via the persisted signature table (InMemoryTableScan)."),
+]
+
+
+def main() -> int:
+    spark = rql.default_spark(shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    out = [
+        "# PLANS — physical plans of the headline queries (sf0.01, regenerate "
+        "with `python tools/dump_plans.py`)",
+        "",
+        "Assertions over these same properties run in `tests/test_plans.py`; "
+        "this file is the human-readable evidence.",
+        "",
+    ]
+    for title, name, note in ANNOTATED:
+        df = qs[name](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        # keep the node tree + scan details; drop the long per-node columns
+        lines = plan.splitlines()
+        tree_end = next((i for i, l in enumerate(lines) if l.strip() == "" and i > 2), len(lines))
+        tree = "\n".join(lines[: tree_end])
+        scans = "\n".join(
+            l for l in lines
+            if ("PushedFilters" in l or "ReadSchema" in l) and "struct" in l or "PushedFilters" in l
+        )
+        out += [f"## {title}", "", note, "", "```", tree]
+        if scans:
+            out += ["", scans]
+        out += ["```", ""]
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
