@@ -286,6 +286,32 @@ def q_interval_join(spark, sf):
     )
 
 
+def q_json_extract(spark, sf):
+    return (
+        _s(spark, sf).dataset("events")
+        .json_extract(column="props", paths={"K_VAL": "$.k"}, types={"K_VAL": "int"})
+        .aggregate(group_by=["event_type"], aggregations={"K_VAL": ["AVG", "COUNT"]})
+        .df
+    )
+
+
+def q_array_agg(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .array_agg_by(group_by=["l_orderkey"], column="l_partkey", sort=True)
+        .df
+    )
+
+
+def q_explode_array(spark, sf):
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .array_agg_by(group_by=["l_orderkey"], column="l_partkey", sort=True)
+        .explode_array(column="L_PARTKEY_ARRAY")
+        .df
+    )
+
+
 def q_dateadd(spark, sf):
     return (
         _s(spark, sf).dataset("orders")
@@ -802,6 +828,11 @@ def q_similarity_search_lsh(spark, sf):
         method="lsh").df
 
 
+def q_similarity_search_ivf(spark, sf):
+    return _s(spark, sf).dataset("embeddings").similarity_search_ivf(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10).df
+
+
 def q_knn_classify(spark, sf):
     return _s(spark, sf).dataset("embeddings").knn_classify(
         vec_col="embedding", id_col="vec_id", label_col="label",
@@ -1062,6 +1093,18 @@ ranked AS (
         "apply": (
             "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS N, SUM(l_quantity) AS QTY "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "json_extract": (
+            "SELECT event_type, AVG(CAST(props->>'$.k' AS INT)) AS K_VAL_AVG, "
+            "CAST(COUNT(CAST(props->>'$.k' AS INT)) AS BIGINT) AS K_VAL_COUNT "
+            "FROM events GROUP BY 1"
+        ),
+        "array_agg": (
+            "SELECT l_orderkey, list_sort(list(l_partkey)) AS L_PARTKEY_ARRAY "
+            "FROM lineitem GROUP BY 1"
+        ),
+        "explode_array": (
+            "SELECT l_orderkey, l_partkey AS L_PARTKEY_ARRAY_ITEM FROM lineitem"
         ),
         "dateadd": (
             "SELECT o_orderkey, CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) "
@@ -1480,6 +1523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dateadd": q_dateadd,
         "datediff": q_datediff,
         "datepart": q_datepart,
+        "json_extract": q_json_extract,
+        "array_agg": q_array_agg,
+        "explode_array": q_explode_array,
         # aggregates / windows
         "describe": q_describe,
         "timeseries_agg": q_timeseries_agg,
@@ -1536,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)
         "similarity_search": q_similarity_search,
         "similarity_search_lsh": q_similarity_search_lsh,  # rows-only (approximate)
+        "similarity_search_ivf": q_similarity_search_ivf,  # rows-only (approximate)
         "knn_classify": q_knn_classify,
         "binary_meta": q_binary_meta,
         "image_meta_stub": q_image_meta_stub,

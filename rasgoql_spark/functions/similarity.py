@@ -81,6 +81,123 @@ def similarity_search(
     )
 
 
+def _elementwise_mean(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Per-group elementwise mean of array columns via posexplode →
+    (group, pos) average → re-assemble sorted by position. Distributed —
+    no driver-side vector math."""
+    exploded = df.select(group_col, F.posexplode(vec_col).alias("__pos", "__v"))
+    return (
+        exploded.groupBy(group_col, "__pos")
+        .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias(vec_col)
+        )
+    )
+
+
+@spark_transform("build_ivf_index", category="similarity", streaming_ok=False)
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_centroids: int = 16,
+    iterations: int = 1,
+) -> DataFrame:
+    """IVF inverted-list index: (id, vec, centroid_id) with k-means-lite
+    centroids (deterministic seed = lowest-id vectors, ``iterations`` Lloyd
+    refinement passes, each one broadcast-assign + one shuffle to re-average).
+
+    At 100 TB the assignment pass is a broadcast cross-join against k
+    centroids (k ≪ corpus) — the corpus never shuffles for assignment, only
+    the (cluster, pos, value) triples of the refinement aggregate do.
+    """
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    corpus = df.select(F.col(i).alias("__id"), F.col(v).alias("__vec"))
+    centroids = (
+        corpus.orderBy("__id").limit(num_centroids)
+        .select(F.monotonically_increasing_id().alias("__cid"), F.col("__vec").alias("__cvec"))
+    )
+    for _ in range(iterations):
+        assigned = _assign_to_centroid(corpus, centroids)
+        centroids = _elementwise_mean(
+            assigned.select("__cid", "__vec"), "__cid", "__vec"
+        ).select("__cid", F.col("__vec").alias("__cvec"))
+    assigned = _assign_to_centroid(corpus, centroids)
+    return assigned.select(
+        F.col("__id").alias(i), F.col("__vec").alias(v), F.col("__cid").alias("CENTROID_ID")
+    )
+
+
+def _assign_to_centroid(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_expr(F.col("__vec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("__id", "__vec", "__cid")
+    )
+
+
+@spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
+def similarity_search_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """ANN top-k via an IVF index: queries probe their ``nprobe`` nearest
+    centroids and scan only those inverted lists — cost ~ corpus × nprobe /
+    num_centroids per query instead of the full corpus (approximate recall).
+    Output (QUERY_ID, MATCH_ID, COSINE, RANK)."""
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    index = build_ivf_index(df, vec_col, id_col, num_centroids).persist()
+    centroids = _elementwise_mean(
+        index.select(F.col("CENTROID_ID").alias("__cid"), F.col(v).alias("__vec")),
+        "__cid", "__vec",
+    ).select("__cid", F.col("__vec").alias("__cvec"))
+    q = index.filter(F.col(i).isin(list(query_ids))).select(
+        F.col(i).alias("QUERY_ID"), F.col(v).alias("__qvec")
+    )
+    # probe: nprobe nearest centroids per query
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_expr(F.col("__qvec"), F.col("__cvec"))
+    )
+    wq = Window.partitionBy("QUERY_ID").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("QUERY_ID", "__qvec", "__cid")
+    )
+    lists = index.select(
+        F.col(i).alias("MATCH_ID"), F.col(v).alias("__cvec2"),
+        F.col("CENTROID_ID").alias("__cid"),
+    )
+    cos = cosine_expr(F.col("__qvec"), F.col("__cvec2"))
+    if round_scores is not None:
+        cos = F.round(cos, round_scores)
+    scored = (
+        lists.join(F.broadcast(probes), on="__cid")
+        .filter(F.col("QUERY_ID") != F.col("MATCH_ID"))
+        .withColumn("COSINE", cos)
+    )
+    w = Window.partitionBy("QUERY_ID").orderBy(F.col("COSINE").desc(), F.col("MATCH_ID").asc())
+    return (
+        scored.withColumn("RANK", F.row_number().over(w))
+        .filter(F.col("RANK") <= k)
+        .select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
+    )
+
+
 @spark_transform("knn_classify", category="similarity", streaming_ok=False)
 def knn_classify(
     df: DataFrame,

@@ -9,5 +9,6 @@ from . import (  # noqa: F401
     ml,
     projection,
     reshape,
+    semistructured,
     windows,
 )

@@ -1,0 +1,81 @@
+"""Semi-structured (JSON / array / map) scalar transforms.
+
+The reference leaves VARIANT opaque (SURVEY §1.3: Snowflake VARIANT has no
+dedicated transforms; reachable only via raw ``apply`` SQL — SURVEY §2.3
+gap list). These are first-class here because event/props-style JSON columns
+are pervasive in the testdata and in real pipelines. All JVM built-ins —
+``get_json_object`` / ``from_json`` stay inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..naming import cleanse_name
+from ..registry import renderer, spark_transform
+from ._util import as_list, resolve_col
+
+
+@spark_transform("json_extract", category="semistructured")
+def json_extract(df: DataFrame, column: str, paths: dict, types: dict | None = None) -> DataFrame:
+    """Extract JSON paths into columns: ``paths={'K': '$.k'}`` appends column
+    K holding ``get_json_object(column, '$.k')`` (string), optionally cast
+    via ``types={'K': 'int'}``."""
+    col = resolve_col(df, column)
+    types = types or {}
+    out = {}
+    for name, path in paths.items():
+        c = F.get_json_object(F.col(col), path)
+        if name in types:
+            c = c.cast(types[name])
+        out[cleanse_name(name)] = c
+    return df.withColumns(out)
+
+
+@renderer("json_extract")
+def _r_json_extract(source, column, paths: dict, types: dict | None = None) -> str:
+    types = types or {}
+    cols = []
+    for name, path in paths.items():
+        expr = f"get_json_object({column}, '{path}')"
+        if name in types:
+            expr = f"CAST({expr} AS {types[name]})"
+        cols.append(f"{expr} AS {cleanse_name(name)}")
+    return f"SELECT *, {', '.join(cols)} FROM {source}"
+
+
+@spark_transform("explode_array", category="semistructured")
+def explode_array(df: DataFrame, column: str, name: str | None = None, keep_nulls: bool = False) -> DataFrame:
+    """One row per array element (UNNEST); ``keep_nulls`` keeps rows whose
+    array is empty/null (LEFT-join semantics via explode_outer)."""
+    col = resolve_col(df, column)
+    name = name or cleanse_name(f"{col}_ITEM")
+    fn = F.explode_outer if keep_nulls else F.explode
+    return df.withColumn(name, fn(F.col(col))).drop(col)
+
+
+@spark_transform("array_agg_by", category="semistructured", streaming_ok=False)
+def array_agg_by(df: DataFrame, group_by, column: str, sort: bool = True, distinct: bool = False) -> DataFrame:
+    """Collect a column into a (deterministically sorted) array per group —
+    the inverse of explode_array. ``sort=True`` makes output order stable
+    (collect_list order is otherwise partition-dependent)."""
+    keys = [resolve_col(df, k) for k in as_list(group_by)]
+    col = resolve_col(df, column)
+    agg = F.collect_set(col) if distinct else F.collect_list(col)
+    if sort:
+        agg = F.array_sort(agg)
+    return df.groupBy(*keys).agg(agg.alias(cleanse_name(f"{col}_ARRAY")))
+
+
+@spark_transform("map_from_entries_by", category="semistructured", streaming_ok=False)
+def map_from_entries_by(df: DataFrame, group_by, key_column: str, value_column: str) -> DataFrame:
+    """Build a map column per group from (key, value) rows."""
+    keys = [resolve_col(df, k) for k in as_list(group_by)]
+    kc, vc = resolve_col(df, key_column), resolve_col(df, value_column)
+    return df.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col(kc), F.col(vc))))
+        ).alias(cleanse_name(f"{kc}_{vc}_MAP"))
+    )

@@ -80,6 +80,40 @@ def test_interval_join_is_hash_not_nested_loop(spark, session):
     assert "o_totalprice" in plan
 
 
+def test_bucketed_tables_join_without_exchange(spark, session, tmp_path):
+    """Bucketed layouts are the shuffle-free co-located join path at 100 TB:
+    both sides pre-bucketed on the join key ⇒ SortMergeJoin with NO Exchange."""
+    import contextlib
+    import io
+    import shutil
+
+    from rasgoql_spark.sources import write_table
+
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
+    li = session.dataset("lineitem").df.select("l_orderkey", "l_quantity")
+    od = session.dataset("orders").df.select("o_orderkey", "o_totalprice")
+    write_table(li, "b_lineitem", bucket_by=(4, "l_orderkey"), sort_by="l_orderkey")
+    write_table(od, "b_orders", bucket_by=(4, "o_orderkey"), sort_by="o_orderkey")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            on=spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed BOTH shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_semi_join_planned_as_semi(session):
     chain = session.dataset("customer").semi_join(
         join_table=session.dataset("orders"), join_columns={"c_custkey": "o_custkey"})

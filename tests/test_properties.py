@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure-Python layers, plus
+determinism properties of data-dependent operators."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rasgoql_spark.guard import is_scary_sql
+from rasgoql_spark.naming import agg_name, cleanse_name, lag_name
+
+ident_ok = st.text(min_size=0, max_size=40)
+
+
+@given(ident_ok)
+@settings(max_examples=200, deadline=None)
+def test_cleanse_name_is_valid_identifier(s):
+    out = cleanse_name(s)
+    assert out and out == out.upper()
+    assert not out[0].isdigit()
+    assert all(c.isalnum() or c == "_" for c in out)
+
+
+@given(ident_ok)
+@settings(max_examples=100, deadline=None)
+def test_cleanse_name_idempotent(s):
+    once = cleanse_name(s)
+    assert cleanse_name(once) == once
+
+
+@given(st.text(alphabet=st.characters(categories=["L", "N"]), min_size=1, max_size=20),
+       st.sampled_from(["SUM", "MIN", "MAX", "AVG", "COUNT", "COUNT DISTINCT"]))
+@settings(max_examples=50, deadline=None)
+def test_agg_name_convention(col, agg):
+    out = agg_name(col, agg)
+    assert out.endswith(agg.replace(" ", "_").upper())
+
+
+@given(st.integers(min_value=-20, max_value=20).filter(lambda n: n != 0))
+@settings(max_examples=50, deadline=None)
+def test_lag_name_sign(n):
+    out = lag_name("v", n)
+    assert out.startswith("LEAD_" if n < 0 else "LAG_")
+    assert out.endswith(f"_{abs(n)}")
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_scary_guard_no_false_negatives(s):
+    for kw in ("DROP", "DELETE", "TRUNCATE"):
+        assert is_scary_sql(f"{s} {kw} TABLE t")
+
+
+def test_scary_guard_word_boundaries():
+    # keywords inside identifiers must NOT trip the guard
+    assert not is_scary_sql("SELECT dropped_at, updated_count FROM t")
+    assert is_scary_sql("update t set x = 1")
+
+
+def test_deterministic_sample_is_stable(session):
+    a = session.dataset("lineitem").sample(percent=10, key="l_orderkey").df
+    b = session.dataset("lineitem").sample(percent=10, key="l_orderkey").df
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_salted_join_equals_plain_join(session):
+    plain = session.dataset("lineitem").join(
+        join_table=session.dataset("orders"),
+        join_columns={"l_orderkey": "o_orderkey"}, join_prefix="O").df
+    salted = session.dataset("lineitem").join(
+        join_table=session.dataset("orders"),
+        join_columns={"l_orderkey": "o_orderkey"}, join_prefix="O", salt=4).df
+    assert salted.columns == plain.columns
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_ivf_recall_against_brute(session):
+    brute = session.dataset("embeddings").similarity_search(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2], k=10).df.collect()
+    ivf = session.dataset("embeddings").similarity_search_ivf(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2], k=10).df.collect()
+    bset = {(r["QUERY_ID"], r["MATCH_ID"]) for r in brute}
+    iset = {(r["QUERY_ID"], r["MATCH_ID"]) for r in ivf}
+    assert len(bset & iset) / len(bset) >= 0.5  # nprobe=4/16 keeps most of top-10
