@@ -76,6 +76,24 @@ def test_stream_dedup_with_watermark(spark, events_stream_dir):
     assert got.count() == spark.read.parquet(events_stream_dir).count()  # ids unique
 
 
+def test_foreach_batch_sink_to_table(spark, events_stream_dir, tmp_path):
+    import shutil
+
+    from rasgoql_spark.streaming.ops import write_stream_to_table
+
+    spark.sql("DROP TABLE IF EXISTS t_sink")
+    shutil.rmtree("/root/repo/spark-warehouse/t_sink", ignore_errors=True)
+    sdf = read_events_stream(spark, events_stream_dir)
+    filtered = sdf.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value")
+    q = write_stream_to_table(filtered, "t_sink", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    sunk = spark.table("t_sink").count()
+    expected = (spark.read.parquet(events_stream_dir)
+                .filter(F.col("event_type") == "purchase").count())
+    assert sunk == expected
+
+
 def test_chain_api_on_streaming_df(spark, events_stream_dir):
     """Streaming DataFrames flow through the same SQLChain transform surface;
     batch-only transforms are rejected up front."""
