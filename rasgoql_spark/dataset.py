@@ -41,6 +41,7 @@ class Step:
     kwargs: dict
     output_alias: str
     table_args: dict = field(default_factory=dict)
+    input_columns: tuple = ()
 
 
 class SQLChain:
@@ -96,7 +97,8 @@ class SQLChain:
         flat_kwargs, table_args = self._flatten_args(kwargs)
         new_df = tdef.apply(self._df, **flat_kwargs)
         alias = f"RQL_T{len(self._steps)}_{cleanse_name(tname)}"
-        step = Step(name=tname, kwargs=kwargs, output_alias=alias, table_args=table_args)
+        step = Step(name=tname, kwargs=kwargs, output_alias=alias,
+                    table_args=table_args, input_columns=tuple(self._df.columns))
         return SQLChain(self._session, new_df, self._entry_name, self._steps + (step,))
 
     def _flatten_args(self, kwargs: dict) -> tuple[dict, dict]:

@@ -42,7 +42,12 @@ def rename(df: DataFrame, renames: dict) -> DataFrame:
 
 
 @renderer("rename")
-def _r_rename(source, renames: dict) -> str:
+def _r_rename(source, renames: dict, _input_columns=()) -> str:
+    if _input_columns:
+        cols = ", ".join(
+            f"{c} AS {renames[c]}" if c in renames else c for c in _input_columns
+        )
+        return f"SELECT {cols} FROM {source}"
     alias = ", ".join(f"{old} AS {new}" for old, new in renames.items())
     excl = ", ".join(renames)
     return f"SELECT * EXCEPT ({excl}), {alias} FROM {source}"
@@ -78,7 +83,13 @@ def cast(df: DataFrame, casts: dict) -> DataFrame:
 
 
 @renderer("cast")
-def _r_cast(source, casts: dict) -> str:
+def _r_cast(source, casts: dict, _input_columns=()) -> str:
+    if _input_columns:
+        cols = ", ".join(
+            f"CAST({c} AS {casts[c]}) AS {c}" if c in casts else c
+            for c in _input_columns
+        )
+        return f"SELECT {cols} FROM {source}"
     excl = ", ".join(casts)
     cols = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in casts.items())
     return f"SELECT * EXCEPT ({excl}), {cols} FROM {source}"
@@ -141,13 +152,17 @@ def replace_string(
 
 
 @renderer("replace_string")
-def _r_replace_string(source, column, pattern, replacement, name=None, regex=False) -> str:
+def _r_replace_string(source, column, pattern, replacement, name=None, regex=False,
+                      _input_columns=()) -> str:
     name = name or column
     fn = "REGEXP_REPLACE" if regex else "REPLACE"
     expr = f"{fn}({column}, '{pattern}', '{replacement}') AS {name}"
-    if name == column:
-        return f"SELECT * EXCEPT ({column}), {expr} FROM {source}"
-    return f"SELECT *, {expr} FROM {source}"
+    if name != column:
+        return f"SELECT *, {expr} FROM {source}"
+    if _input_columns:
+        cols = ", ".join(expr if c == column else c for c in _input_columns)
+        return f"SELECT {cols} FROM {source}"
+    return f"SELECT * EXCEPT ({column}), {expr} FROM {source}"
 
 
 @spark_transform("uppercase_columns", category="projection")

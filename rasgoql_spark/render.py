@@ -24,10 +24,14 @@ def render_step(step: "Step", source_table: str) -> str:
             f"transform {step.name!r} has no SQL renderer (DataFrame-only op); "
             "the chain still executes — only .sql()/to_dbt text is unavailable"
         )
+    import inspect
+
     kwargs = dict(step.kwargs)
     # table-valued args render as their source name / inline subquery
     for k, rendered in step.table_args.items():
         kwargs[k] = rendered
+    if "_input_columns" in inspect.signature(tdef.render).parameters:
+        kwargs["_input_columns"] = step.input_columns
     return tdef.render(source_table, **kwargs)
 
 

@@ -114,6 +114,31 @@ def test_bucketed_tables_join_without_exchange(spark, session, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_partitioned_layout_prunes_partitions(spark, session, tmp_path):
+    """Hive-partitioned writes enable partition pruning: a filter on the
+    partition column must appear as PartitionFilters, and non-matching
+    partitions are never read."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.sources import write_table
+
+    out = str(tmp_path / "orders_by_year")
+    orders = session.dataset("orders").df.withColumn(
+        "order_year", F.year("o_orderdate"))
+    write_table(orders, out, partition_by="order_year")
+
+    df = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "order_year" in pf_line and "1997" in pf_line
+
+
 def test_semi_join_planned_as_semi(session):
     chain = session.dataset("customer").semi_join(
         join_table=session.dataset("orders"), join_columns={"c_custkey": "o_custkey"})
