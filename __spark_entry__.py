@@ -296,9 +296,12 @@ def q_json_extract(spark, sf):
 
 
 def q_array_agg(spark, sf):
+    # array rendered to a canonical string so the value-hash is engine-neutral
     return (
         _s(spark, sf).dataset("lineitem")
         .array_agg_by(group_by=["l_orderkey"], column="l_partkey", sort=True)
+        .math(math_ops=["array_join(L_PARTKEY_ARRAY, ',')"], names=["PARTKEYS"])
+        .drop_columns(include_cols=["l_orderkey", "PARTKEYS"])
         .df
     )
 
@@ -1100,7 +1103,7 @@ ranked AS (
             "FROM events GROUP BY 1"
         ),
         "array_agg": (
-            "SELECT l_orderkey, list_sort(list(l_partkey)) AS L_PARTKEY_ARRAY "
+            "SELECT l_orderkey, array_to_string(list_sort(list(l_partkey)), ',') AS PARTKEYS "
             "FROM lineitem GROUP BY 1"
         ),
         "explode_array": (
