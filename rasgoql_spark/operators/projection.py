@@ -76,9 +76,16 @@ def _r_math(source, math_ops, names=None) -> str:
 
 @spark_transform("cast", category="projection")
 def cast(df: DataFrame, casts: dict) -> DataFrame:
-    """CAST columns in place (SURVEY §2.2 [B])."""
+    """CAST columns in place (SURVEY §2.2 [B]). Accepts warehouse-style type
+    names (NUMBER(10,2), TEXT, VARIANT, …) via the §1.3 type map as well as
+    Spark-native names."""
+    from ..types import normalize_type
+
     return df.withColumns(
-        {resolve_col(df, c): F.col(resolve_col(df, c)).cast(t) for c, t in casts.items()}
+        {
+            resolve_col(df, c): F.col(resolve_col(df, c)).cast(normalize_type(t))
+            for c, t in casts.items()
+        }
     )
 
 

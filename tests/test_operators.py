@@ -120,3 +120,20 @@ def test_rollup_grouping(session):
     assert len(totals) == 1  # one grand-total row
     assert abs(sum(r["L_QUANTITY_SUM"] for r in rows if r["GROUPING_ID"] == 0)
                - totals[0]["L_QUANTITY_SUM"]) < 1e-6
+
+
+def test_warehouse_type_normalization(spark):
+    from rasgoql_spark.types import normalize_type
+
+    assert normalize_type("NUMBER(10,2)") == "decimal(10,2)"
+    assert normalize_type("NUMBER(12)") == "bigint"
+    assert normalize_type("NUMBER(38,0)") == "decimal(38,0)"
+    assert normalize_type("TEXT") == "string"
+    assert normalize_type("VARCHAR(255)") == "string"
+    assert normalize_type("VARIANT") == "string"
+    assert normalize_type("TIMESTAMP_NTZ") == "timestamp_ntz"
+    assert normalize_type("array<int>") == "array<int>"  # Spark-native passthrough
+    df = spark.createDataFrame([(1.5,)], ["v"])
+    import rasgoql_spark as rql
+    out = rql.get_transform("cast").apply(df, casts={"v": "NUMBER(10,2)"})
+    assert dict(out.dtypes)["v"] == "decimal(10,2)"
