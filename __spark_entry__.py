@@ -16,11 +16,15 @@ Conventions that make the hash-compare work (see FIXTURES.md §4):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import rasgoql_spark as rql
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import rasgoql_spark as rql  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -795,6 +799,12 @@ def q_dedup_minhash(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_dedup_minhash_filter(spark, sf):
+    """filter mode: corpus minus near-duplicates of smaller-id docs."""
+    return _s(spark, sf).dataset("documents").dedup_minhash(
+        text="text", id_col="doc_id", threshold=0.2, mode="filter").df
+
+
 def q_dedup_simhash_sig(spark, sf):
     return _s(spark, sf).dataset("documents").dedup_simhash(
         text="text", id_col="doc_id", mode="signatures").df
@@ -988,6 +998,19 @@ def oracle_sql() -> dict[str, str]:
     jacc = (
         "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / "
         "CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)"
+    )
+
+    minhash_pairs_sql = (
+        f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+        f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
+        f"mh AS (SELECT doc_id, s, {minhash_cols} FROM sh), "
+        f"bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM mh), "
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), "
+        f"pairs AS (SELECT c.ida, c.idb, {jacc} AS j FROM cand c "
+        "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb "
+        "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
+        "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.2"
     )
 
     sim_base = f"""
@@ -1415,17 +1438,10 @@ ranked AS (
             f"SELECT * FROM documents QUALIFY ROW_NUMBER() OVER "
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
-        "dedup_minhash": (
-            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
-            f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
-            f"mh AS (SELECT doc_id, s, {minhash_cols} FROM sh), "
-            f"bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM mh), "
-            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
-            "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), "
-            f"pairs AS (SELECT c.ida, c.idb, {jacc} AS j FROM cand c "
-            "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb "
-            "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
-            "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.2"
+        "dedup_minhash": minhash_pairs_sql,
+        "dedup_minhash_filter": (
+            "SELECT * FROM documents WHERE doc_id NOT IN "
+            f"(SELECT ID_B FROM ({minhash_pairs_sql}))"
         ),
         "dedup_simhash_sig": (
             f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents) "
@@ -1578,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_filter": q_dedup_minhash_filter,
         "dedup_simhash_sig": q_dedup_simhash_sig,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -56,8 +56,17 @@ def _template_env(df: DataFrame) -> dict:
     }
 
 
+def _todatetime(value: str):
+    """Jinja filter: ISO string → datetime (reference registers the same
+    filter at rendering.py:26; CHANGELOG §1.6.3)."""
+    from datetime import datetime
+
+    return datetime.fromisoformat(str(value))
+
+
 def render_apply_sql(df: DataFrame, sql: str, **jinja_args) -> str:
     env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    env.filters["todatetime"] = _todatetime
     template = env.from_string(sql)
     ctx = {"source_table": _SOURCE_VIEW, **_template_env(df), **jinja_args}
     try:

@@ -118,3 +118,25 @@ def test_transform_by_name(session):
     out = session.dataset("region").transform(
         "filter", arguments={"filter_statements": ["r_regionkey = 0"]})
     assert out.df.count() == 1
+
+
+def test_table_resolution_precedence(session, spark):
+    """Name resolution: explicit file path > catalog table > data_dir magic
+    completion (the reference's magic-fqtn handler, data/base.py:98-110)."""
+    # explicit path
+    ds = session.dataset("/root/testdata/sf0.001/region.parquet")
+    assert ds.df.count() == 5
+    # data_dir magic completion
+    assert session.dataset("region").df.count() == 5
+    # catalog temp view wins over nothing
+    spark.range(3).createOrReplaceTempView("tiny_t")
+    assert session.dataset("tiny_t").df.count() == 3
+
+
+def test_apply_todatetime_filter(session):
+    out = session.dataset("orders").apply(
+        sql="SELECT COUNT(*) AS N FROM {{source_table}} "
+            "WHERE o_orderdate >= TIMESTAMP '{{ \"1998-01-01\" | todatetime }}'")
+    n = out.df.collect()[0]["N"]
+    full = session.dataset("orders").df.count()
+    assert 0 < n < full
