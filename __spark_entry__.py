@@ -496,6 +496,21 @@ def q_rolling_agg(spark, sf):
     )
 
 
+def q_rolling_agg_range(spark, sf):
+    """RANGE frame: value-offset window (±1000 of l_extendedprice)."""
+    return (
+        _s(spark, sf).dataset("lineitem")
+        .rolling_agg(aggregations={"l_quantity": ["SUM"]},
+                     order_by=["l_extendedprice"], offsets=[-1000, 1000],
+                     group_by=["l_suppkey"], frame="range")
+        .math(math_ops=["ROUND(L_QUANTITY_SUM_1000_1000, 3)"],
+              names=["L_QUANTITY_SUM_1000_1000"])
+        .drop_columns(include_cols=["l_orderkey", "l_linenumber",
+                                    "l_extendedprice", "L_QUANTITY_SUM_1000_1000"])
+        .df
+    )
+
+
 def q_cumulative_agg(spark, sf):
     return (
         _s(spark, sf).dataset("orders")
@@ -1236,6 +1251,12 @@ ranked AS (
             "WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber "
             "ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)"
         ),
+        "rolling_agg_range": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+            "ROUND(SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice "
+            "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 3) AS L_QUANTITY_SUM_1000_1000 "
+            "FROM lineitem"
+        ),
         "cumulative_agg": (
             "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER "
             "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
@@ -1558,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "moving_avg": q_moving_avg,
         "rolling_agg": q_rolling_agg,
+        "rolling_agg_range": q_rolling_agg_range,
         "cumulative_agg": q_cumulative_agg,
         "order": q_order,
         "rank": q_rank,

@@ -101,14 +101,27 @@ def _bound_sql(n: int) -> str:
 
 
 @spark_transform("rolling_agg", category="window", streaming_ok=False)
-def rolling_agg(df: DataFrame, aggregations: dict, order_by, offsets, group_by=None) -> DataFrame:
-    """Aggregates over a ±offset ROWS frame around the current row (reference
-    README.md:148-153: ``offsets=[-7, 7]``). Output ``{COL}_{AGG}_{LO}_{HI}``."""
+def rolling_agg(
+    df: DataFrame, aggregations: dict, order_by, offsets, group_by=None,
+    frame: str = "rows",
+) -> DataFrame:
+    """Aggregates over a ±offset frame around the current row (reference
+    README.md:148-153: ``offsets=[-7, 7]``). ``frame='rows'`` counts rows;
+    ``frame='range'`` uses value offsets over a single numeric order column
+    (SURVEY §2.2 frame-specs row). Output ``{COL}_{AGG}_{LO}_{HI}``."""
     offsets = as_list(offsets)
     if len(offsets) != 2:
         raise ParameterException("offsets must be [lower, upper]")
     lo, hi = int(offsets[0]), int(offsets[1])
-    w = _window(df, group_by, order_by).rowsBetween(lo, hi)
+    w = _window(df, group_by, order_by)
+    if frame == "rows":
+        w = w.rowsBetween(lo, hi)
+    elif frame == "range":
+        if isinstance(order_by, (list, tuple)) and len(order_by) != 1:
+            raise ParameterException("frame='range' needs exactly one numeric order column")
+        w = w.rangeBetween(lo, hi)
+    else:
+        raise ParameterException("frame must be 'rows' or 'range'")
     out = {}
     for col, aggs in aggregations.items():
         col = resolve_col(df, col)
@@ -118,12 +131,14 @@ def rolling_agg(df: DataFrame, aggregations: dict, order_by, offsets, group_by=N
 
 
 @renderer("rolling_agg")
-def _r_rolling_agg(source, aggregations, order_by, offsets, group_by=None) -> str:
+def _r_rolling_agg(source, aggregations, order_by, offsets, group_by=None,
+                   frame: str = "rows") -> str:
     lo, hi = int(offsets[0]), int(offsets[1])
     over = _over_sql(group_by, order_by)
-    frame = f"ROWS BETWEEN {_bound_sql(lo)} AND {_bound_sql(hi)}"
+    kind = "ROWS" if frame == "rows" else "RANGE"
+    frame_sql = f"{kind} BETWEEN {_bound_sql(lo)} AND {_bound_sql(hi)}"
     cols = ", ".join(
-        f"{agg_sql(a, c)} OVER ({over} {frame}) AS {_frame_name(c, a, lo, hi)}"
+        f"{agg_sql(a, c)} OVER ({over} {frame_sql}) AS {_frame_name(c, a, lo, hi)}"
         for c, aggs in aggregations.items()
         for a in as_list(aggs)
     )

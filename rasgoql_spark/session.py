@@ -144,6 +144,22 @@ class RasgoSession:
         """Start an empty chain over a table (reference main.py:134-144)."""
         return SQLChain(self, self.table_df(fqtn), fqtn)
 
+    def stream(self, path: str, max_files_per_trigger: int | None = None) -> SQLChain:
+        """Start a chain over a STREAMING DataFrame (file source — each new
+        parquet file in ``path`` becomes a micro-batch). The same transform
+        surface applies; batch-only transforms raise up front (additive
+        extension — the reference has no streaming surface, SURVEY §2.2)."""
+        target = path
+        if not os.path.isabs(path) and self.data_dir:
+            cand = os.path.join(self.data_dir, path)
+            if os.path.exists(cand):
+                target = cand
+        schema = self.spark.read.parquet(target).schema
+        reader = self.spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return SQLChain(self, reader.parquet(target), path)
+
     def dataset_from_df(
         self,
         df: "pd.DataFrame | DataFrame",

@@ -105,3 +105,18 @@ def test_chain_api_on_streaming_df(spark, events_stream_dir):
     assert filtered.df.isStreaming
     with pytest.raises(rql.ParameterException):
         filtered.aggregate(group_by=["user_id"], aggregations={"value": ["SUM"]})
+
+
+def test_session_stream_api(spark, events_stream_dir):
+    """session.stream() gives the chainable API over a streaming source."""
+    import rasgoql_spark as rql
+
+    session = rql.RasgoSession(spark)
+    chain = (session.stream(events_stream_dir, max_files_per_trigger=1)
+             .filter(filter_statements=["value > 50"])
+             .tumbling_window(ts="ts", duration="1 hour",
+                              aggregations={"event_id": ["COUNT"]},
+                              group_by=["event_type"], watermark="2 hours"))
+    assert chain.df.isStreaming
+    got = _run_stream(chain.df, "t_sess_api")
+    assert got.count() > 0
