@@ -1468,6 +1468,20 @@ ranked AS (
             f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents) "
             f"SELECT doc_id, {_simhash_sql('t')} AS SIMHASH FROM toks"
         ),
+        "dedup_simhash_pairs": (
+            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+            f"sig AS (SELECT doc_id, {_simhash_sql('t')} AS s FROM toks), "
+            "bands AS (SELECT doc_id, s, unnest([ "
+            + ", ".join(
+                f"concat(CAST({b} AS VARCHAR), ':', CAST((s >> {b * 8}) & 255 AS VARCHAR))"
+                for b in range(4)
+            )
+            + "]) AS band FROM sig), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.s AS sa, b.s AS sb "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id) "
+            "SELECT ida AS ID_A, idb AS ID_B, CAST(bit_count(xor(sa, sb)) AS INT) AS HAMMING "
+            "FROM cand WHERE bit_count(xor(sa, sb)) <= 2"
+        ),
         "dedup_ngram_jaccard": (
             f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
             f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
