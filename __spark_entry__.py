@@ -737,6 +737,38 @@ def q_standard_scaler(spark, sf):
     )
 
 
+def q_min_max_scaler_grouped(spark, sf):
+    return (
+        _s(spark, sf).dataset("part")
+        .min_max_scaler(columns=["p_retailprice"], group_by=["p_brand"])
+        .drop_columns(include_cols=["p_partkey", "p_brand", "P_RETAILPRICE_SCALED"])
+        .df
+    )
+
+
+def q_winsorize(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .winsorize(column="o_totalprice", lower=0.05, upper=0.95)
+        .drop_columns(include_cols=["o_orderkey", "O_TOTALPRICE_WINSORIZED"])
+        .df
+    )
+
+
+def q_quantiles(spark, sf):
+    return _s(spark, sf).dataset("lineitem").quantiles(
+        column="l_quantity", probs=(0.25, 0.5, 0.75), group_by=["l_returnflag"]).df
+
+
+def q_sessionize(spark, sf):
+    return (
+        _s(spark, sf).dataset("events")
+        .sessionize(entity="user_id", ts="ts", gap_minutes=30)
+        .drop_columns(include_cols=["event_id", "SESSION_ID"])
+        .df
+    )
+
+
 def q_bin(spark, sf):
     return (
         _s(spark, sf).dataset("orders")
@@ -1423,6 +1455,34 @@ ranked AS (
             "AS P_RETAILPRICE_ZSCORE FROM part CROSS JOIN "
             "(SELECT AVG(p_retailprice) AS __avg, STDDEV_SAMP(p_retailprice) AS __std FROM part) b"
         ),
+        "min_max_scaler_grouped": (
+            "SELECT p_partkey, p_brand, CASE WHEN mx > mn THEN "
+            "(CAST(p_retailprice AS DOUBLE) - mn) / (mx - mn) ELSE 0.0 END "
+            "AS P_RETAILPRICE_SCALED FROM (SELECT p_partkey, p_brand, p_retailprice, "
+            "MIN(CAST(p_retailprice AS DOUBLE)) OVER (PARTITION BY p_brand) AS mn, "
+            "MAX(CAST(p_retailprice AS DOUBLE)) OVER (PARTITION BY p_brand) AS mx FROM part)"
+        ),
+        "winsorize": (
+            "SELECT o_orderkey, LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), b.__lo), b.__hi) "
+            "AS O_TOTALPRICE_WINSORIZED FROM orders CROSS JOIN "
+            "(SELECT quantile_cont(o_totalprice, 0.05) AS __lo, "
+            "quantile_cont(o_totalprice, 0.95) AS __hi FROM orders) b"
+        ),
+        "quantiles": (
+            "SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS L_QUANTITY_Q25, "
+            "quantile_cont(l_quantity, 0.5) AS L_QUANTITY_Q50, "
+            "quantile_cont(l_quantity, 0.75) AS L_QUANTITY_Q75 "
+            "FROM lineitem GROUP BY 1"
+        ),
+        "sessionize": (
+            "WITH d AS (SELECT event_id, user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT event_id, user_id, SUM(ns) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+            "SELECT event_id, concat(CAST(user_id AS VARCHAR), '#', CAST(sid AS VARCHAR)) "
+            "AS SESSION_ID FROM s"
+        ),
         "bin": (
             "SELECT o_orderkey, CASE WHEN b.__max > b.__min THEN "
             "CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.__min) / "
@@ -1619,7 +1679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_mean": q_impute_mean,
         "impute_mode": q_impute_mode,
         "min_max_scaler": q_min_max_scaler,
+        "min_max_scaler_grouped": q_min_max_scaler_grouped,
         "standard_scaler": q_standard_scaler,
+        "winsorize": q_winsorize,
+        "quantiles": q_quantiles,
+        "sessionize": q_sessionize,
         "bin": q_bin,
         "levenshtein": q_levenshtein,
         # text / dedup / similarity / multimodal

@@ -141,10 +141,24 @@ def impute(df: DataFrame, imputations: dict) -> DataFrame:
 
 
 @spark_transform("min_max_scaler", category="ml", streaming_ok=False)
-def min_max_scaler(df: DataFrame, columns) -> DataFrame:
+def min_max_scaler(df: DataFrame, columns, group_by=None) -> DataFrame:
     """(x−min)/(max−min) per column (SURVEY §2.2 [B]); 0.0 when max==min.
-    Bounds broadcast from one aggregate. Output ``{COL}_SCALED``."""
+    Global bounds broadcast from one aggregate; with ``group_by``, bounds come
+    from a window partitioned on the keys (one hash shuffle). Output
+    ``{COL}_SCALED``."""
     cols = resolve_cols(df, as_list(columns))
+    keys = resolve_cols(df, as_list(group_by))
+    if keys:
+        w = Window.partitionBy(*keys)
+        out = df
+        for c in cols:
+            lo = F.min(F.col(c).cast("double")).over(w)
+            hi = F.max(F.col(c).cast("double")).over(w)
+            out = out.withColumn(
+                cleanse_name(f"{c}_SCALED"),
+                F.when(hi > lo, (F.col(c).cast("double") - lo) / (hi - lo)).otherwise(F.lit(0.0)),
+            )
+        return out
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__min_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__max_{c}") for c in cols],
@@ -249,6 +263,55 @@ def _r_bin(source, column, bins=10, method="equal_width", tiebreak=None) -> str:
         f"(SELECT CAST(MIN({column}) AS DOUBLE) AS __min, CAST(MAX({column}) AS DOUBLE) AS __max "
         f"FROM {source}) b) s"
     )
+
+
+@spark_transform("winsorize", category="ml", streaming_ok=False)
+def winsorize(
+    df: DataFrame, column: str, lower: float = 0.05, upper: float = 0.95
+) -> DataFrame:
+    """Clamp a column to its [lower, upper] percentiles (outlier capping —
+    the keep-the-row sibling of remove_outliers). Exact percentiles from one
+    aggregate, attached via broadcast; clamp is least/greatest. Output
+    ``{COL}_WINSORIZED``."""
+    c = resolve_col(df, column)
+    bounds = df.agg(
+        F.percentile(F.col(c), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(c), F.lit(upper)).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            cleanse_name(f"{c}_WINSORIZED"),
+            F.least(F.greatest(F.col(c).cast("double"), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+@renderer("winsorize")
+def _r_winsorize(source, column, lower=0.05, upper=0.95) -> str:
+    name = cleanse_name(f"{column}_WINSORIZED")
+    return (
+        f"SELECT s.* EXCEPT (__lo, __hi), LEAST(GREATEST(CAST({column} AS DOUBLE), __lo), __hi) "
+        f"AS {name} FROM (SELECT t.*, b.__lo, b.__hi FROM {source} t CROSS JOIN "
+        f"(SELECT percentile({column}, {lower}) AS __lo, percentile({column}, {upper}) AS __hi "
+        f"FROM {source}) b) s"
+    )
+
+
+@spark_transform("quantiles", category="ml", streaming_ok=False)
+def quantiles(df: DataFrame, column: str, probs=(0.25, 0.5, 0.75), group_by=None) -> DataFrame:
+    """Exact quantiles per group (linear interpolation), one column per
+    probability: ``{COL}_Q{P}``. One hash aggregation."""
+    c = resolve_col(df, column)
+    keys = resolve_cols(df, as_list(group_by))
+    aggs = [
+        F.percentile(F.col(c), F.lit(float(p))).alias(
+            cleanse_name(f"{c}_Q{int(round(p * 100))}")
+        )
+        for p in probs
+    ]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
 
 @spark_transform("levenshtein", category="ml")

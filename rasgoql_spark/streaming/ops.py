@@ -115,6 +115,33 @@ def session_window_agg(
     )
 
 
+@spark_transform("sessionize", category="streaming", streaming_ok=False)
+def sessionize(
+    df: DataFrame, entity: str, ts: str, gap_minutes: float = 30.0
+) -> DataFrame:
+    """Assign batch session ids (gaps-and-islands): a new session starts when
+    the gap to the previous event exceeds ``gap_minutes``. Appends
+    ``SESSION_ID`` = '<entity>#<n>' (1-based per entity). One shuffle on the
+    entity key; the batch complement of ``session_window_agg``."""
+    from pyspark.sql import Window
+
+    e, t = resolve_col(df, entity), resolve_col(df, ts)
+    w = Window.partitionBy(e).orderBy(F.col(t).asc())
+    # microsecond integer arithmetic (unix_timestamp truncates to seconds,
+    # which makes gap comparisons engine-dependent at the boundary)
+    gap = F.unix_micros(F.col(t)) - F.unix_micros(F.lag(t, 1).over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > int(gap_minutes * 60_000_000)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(e).orderBy(F.col(t).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sid = F.sum(new_session).over(run)
+    return df.withColumn(
+        "SESSION_ID", F.concat_ws("#", F.col(e).cast("string"), sid.cast("string"))
+    )
+
+
 @spark_transform("stream_dedup", category="streaming")
 def stream_dedup(df: DataFrame, keys, ts: str | None = None, watermark: str | None = None) -> DataFrame:
     """Exactly-once key dedup. Streaming with a watermark uses
