@@ -16,7 +16,7 @@ from typing import TYPE_CHECKING, Any, Iterator, Optional
 from pyspark.sql import DataFrame
 
 from . import registry
-from .errors import ParameterException, TableConflictException, TransformRenderingException
+from .errors import ParameterException, TableConflictException
 from .naming import cleanse_name
 
 if TYPE_CHECKING:
@@ -222,15 +222,17 @@ class SQLChain:
         else:
             if spark.catalog.tableExists(ident) and not overwrite:
                 raise TableConflictException(f"view {ident} exists; pass overwrite=True")
-            # Views need SQL text; fall back to a temp view over this plan when
-            # the chain is not SQL-renderable.
+            # Permanent views need SQL text over catalog tables. Fall back to
+            # a temp view over this plan when the chain is not SQL-renderable
+            # OR the entry is a path-backed dataset (its name resolves nowhere
+            # in the catalog, so the rendered FROM clause can't bind).
             try:
                 sql_text = self.sql()
                 spark.sql(
                     f"CREATE OR REPLACE VIEW {ident} "
                     f"TBLPROPERTIES('created_by'='rasgoql_spark') AS {sql_text}"
                 )
-            except TransformRenderingException:
+            except Exception:
                 self._df.createOrReplaceTempView(table_name.split(".")[-1])
         return self._session.dataset(ident if table_type != "temp_view" else table_name)
 

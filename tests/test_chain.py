@@ -140,3 +140,12 @@ def test_apply_todatetime_filter(session):
     n = out.df.collect()[0]["N"]
     full = session.dataset("orders").df.count()
     assert 0 < n < full
+
+
+def test_save_view_on_path_backed_dataset_falls_back(session):
+    """Permanent views can't bind a path-backed entry name; save('view')
+    degrades to a temp view over the plan and the returned dataset works."""
+    saved = (session.dataset("region")
+             .filter(filter_statements=["r_regionkey >= 2"])
+             .save("v_path_backed", table_type="view", overwrite=True))
+    assert saved.df.count() == 3
