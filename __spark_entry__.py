@@ -459,8 +459,25 @@ def q_ntile(spark, sf):
 
 
 def q_approx_distinct(spark, sf):
-    return _s(spark, sf).dataset("lineitem").approx_distinct(
-        columns=["l_partkey"], group_by=["l_returnflag"]).df
+    # HLL estimate is deterministic but not SQL-reproducible in DuckDB, so the
+    # oracle-checkable output is (exact count, estimate-within-3·rsd flag):
+    # the exact column hash-verifies the grouping, the boolean verifies the
+    # HLL estimate actually landed inside its error bound.
+    from pyspark.sql import functions as F
+    ds = _s(spark, sf).dataset("lineitem")
+    approx = ds.approx_distinct(columns=["l_partkey"], group_by=["l_returnflag"]).df
+    exact = ds.df.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("EXACT_DISTINCT")
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        F.col("EXACT_DISTINCT").cast("bigint").alias("EXACT_DISTINCT"),
+        (
+            F.abs(F.col("L_PARTKEY_APPROX_DISTINCT") - F.col("EXACT_DISTINCT"))
+            / F.col("EXACT_DISTINCT")
+            <= F.lit(0.15)
+        ).alias("WITHIN_RSD"),
+    )
 
 
 def q_lag_lead(spark, sf):
@@ -1216,6 +1233,10 @@ ranked AS (
         "ntile": (
             "SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) "
             "AS QUARTILE FROM orders"
+        ),
+        "approx_distinct": (
+            "SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS EXACT_DISTINCT, "
+            "TRUE AS WITHIN_RSD FROM lineitem GROUP BY l_returnflag"
         ),
         "datespine_groups": (
             "WITH src AS (SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m, "

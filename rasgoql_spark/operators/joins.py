@@ -86,10 +86,20 @@ def join(
     if salt:
         out = out.drop(df["__salt"]).drop(right["__salt"])
     if not join_prefix:
-        # drop the duplicated right-side key columns (classic equi-join shape)
-        for r in jc.values():
-            if r != "__salt":
-                out = out.drop(right[r])
+        if how in ("right", "outer"):
+            # For RIGHT/OUTER joins the left key is NULL on unmatched right
+            # rows — fold the right key into the kept key column so the join
+            # key survives (coalesce), instead of silently dropping it.
+            keep = [
+                F.coalesce(df[c], right[jc[c]]).alias(c) if c in jc else df[c]
+                for c in df.columns
+            ] + [right[c] for c in right.columns if c not in set(jc.values())]
+            out = out.select(*keep)
+        else:
+            # drop the duplicated right-side key columns (classic equi-join shape)
+            for r in jc.values():
+                if r != "__salt":
+                    out = out.drop(right[r])
     return out
 
 

@@ -103,41 +103,58 @@ def _r_target_encode(source, column, target) -> str:
 @spark_transform("impute", category="ml", streaming_ok=False)
 def impute(df: DataFrame, imputations: dict) -> DataFrame:
     """Fill NULLs with a constant or 'mean'/'median'/'mode' (reference
-    tutorial.ipynb:5649 — constant -999999 observed). Statistics come from
-    one aggregate pass (mode per column from a deterministic
-    count-then-min-tiebreak aggregate); fills apply via ``na.fill``."""
-    stats_needed = {c: v for c, v in imputations.items() if v in ("mean", "median", "mode")}
+    tutorial.ipynb:5649 — constant -999999 observed). ALL statistics —
+    mean, median, AND mode for every requested column — come from ONE
+    aggregate job (``F.mode(col, deterministic=True)`` returns the lowest
+    value among equally-frequent candidates, matching a
+    count-DESC/value-ASC tiebreak). All-NULL columns yield no statistic and
+    are skipped rather than passed as a None fill (which would raise)."""
+    stats_needed = {
+        resolve_col(df, c): v for c, v in imputations.items() if v in ("mean", "median", "mode")
+    }
     fills: dict = {
-        resolve_col(df, c): v for c, v in imputations.items() if c not in stats_needed
+        resolve_col(df, c): v
+        for c, v in imputations.items()
+        if v not in ("mean", "median", "mode") and v is not None
     }
     if stats_needed:
         aggs = []
-        for c, v in stats_needed.items():
-            col = resolve_col(df, c)
+        for col, v in stats_needed.items():
             if v == "mean":
                 aggs.append(F.avg(col).alias(col))
             elif v == "median":
                 aggs.append(F.median(col).alias(col))
-        if aggs:
-            row = df.agg(*aggs).collect()[0].asDict()
-            fills.update({c: row[c] for c in row})
-        for c, v in stats_needed.items():
-            if v == "mode":
-                col = resolve_col(df, c)
-                mode_row = (
-                    df.filter(F.col(col).isNotNull())
-                    .groupBy(col)
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .orderBy(F.col("__n").desc(), F.col(col).asc())
-                    .limit(1)
-                    .collect()
-                )
-                if mode_row:
-                    fills[col] = mode_row[0][0]
+            else:  # mode
+                aggs.append(F.mode(F.col(col), True).alias(col))
+        row = df.agg(*aggs).collect()[0].asDict()
+        fills.update({c: val for c, val in row.items() if val is not None})
     # na.fill needs consistent value types per call; apply per column
     for c, v in fills.items():
         df = df.na.fill({c: v})
     return df
+
+
+@renderer("impute")
+def _r_impute(source, imputations) -> str:
+    parts = []
+    for c, v in imputations.items():
+        if v == "mean":
+            expr = f"(SELECT AVG({c}) FROM {source})"
+        elif v == "median":
+            expr = f"(SELECT MEDIAN({c}) FROM {source})"
+        elif v == "mode":
+            # deterministic mode: count DESC, value ASC — portable SQL
+            expr = (
+                f"(SELECT {c} FROM {source} WHERE {c} IS NOT NULL "
+                f"GROUP BY {c} ORDER BY COUNT(*) DESC, {c} ASC LIMIT 1)"
+            )
+        elif isinstance(v, str):
+            expr = "'" + v.replace("'", "''") + "'"
+        else:
+            expr = str(v)
+        parts.append(f"COALESCE({c}, {expr}) AS {c}")
+    cols = ", ".join(imputations)
+    return f"SELECT * EXCEPT ({cols}), {', '.join(parts)} FROM {source}"
 
 
 @spark_transform("min_max_scaler", category="ml", streaming_ok=False)
@@ -174,8 +191,19 @@ def min_max_scaler(df: DataFrame, columns, group_by=None) -> DataFrame:
 
 
 @renderer("min_max_scaler")
-def _r_min_max_scaler(source, columns) -> str:
+def _r_min_max_scaler(source, columns, group_by=None) -> str:
     cols = as_list(columns)
+    keys = as_list(group_by)
+    if keys:
+        over = f"OVER (PARTITION BY {', '.join(keys)})"
+        scaled = ", ".join(
+            f"CASE WHEN MAX(CAST({c} AS DOUBLE)) {over} > MIN(CAST({c} AS DOUBLE)) {over} "
+            f"THEN (CAST({c} AS DOUBLE) - MIN(CAST({c} AS DOUBLE)) {over}) / "
+            f"(MAX(CAST({c} AS DOUBLE)) {over} - MIN(CAST({c} AS DOUBLE)) {over}) "
+            f"ELSE 0.0 END AS {cleanse_name(f'{c}_SCALED')}"
+            for c in cols
+        )
+        return f"SELECT *, {scaled} FROM {source}"
     bounds = ", ".join(
         f"CAST(MIN({c}) AS DOUBLE) AS __min_{c}, CAST(MAX({c}) AS DOUBLE) AS __max_{c}"
         for c in cols
@@ -314,6 +342,19 @@ def quantiles(df: DataFrame, column: str, probs=(0.25, 0.5, 0.75), group_by=None
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
 
+@renderer("quantiles")
+def _r_quantiles(source, column, probs=(0.25, 0.5, 0.75), group_by=None) -> str:
+    keys = as_list(group_by)
+    aggs = ", ".join(
+        f"percentile({column}, {float(p)}) AS {cleanse_name(f'{column}_Q{int(round(p * 100))}')}"
+        for p in probs
+    )
+    if keys:
+        k = ", ".join(keys)
+        return f"SELECT {k}, {aggs} FROM {source} GROUP BY {k}"
+    return f"SELECT {aggs} FROM {source}"
+
+
 @spark_transform("levenshtein", category="ml")
 def levenshtein(df: DataFrame, column_1: str, column_2: str, name: str = "LEVENSHTEIN") -> DataFrame:
     """Edit distance between two string columns (SURVEY §2.2 [B]) — Spark
@@ -328,6 +369,19 @@ def _r_levenshtein(source, column_1, column_2, name="LEVENSHTEIN") -> str:
     return f"SELECT *, LEVENSHTEIN({column_1}, {column_2}) AS {name} FROM {source}"
 
 
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def _order_names_dirs(df: DataFrame, order_by) -> list[tuple[str, bool]]:
+    """order_by arg → [(column, is_desc)]."""
+    if isinstance(order_by, dict):
+        return [
+            (resolve_col(df, c), str(d).upper().startswith("DESC"))
+            for c, d in order_by.items()
+        ]
+    return [(resolve_col(df, c), False) for c in as_list(order_by)]
+
+
 @spark_transform("train_test_split", category="ml", streaming_ok=False)
 def train_test_split(
     df: DataFrame, order_by, train_percent: float = 0.8, name: str = "TT_SPLIT"
@@ -335,16 +389,80 @@ def train_test_split(
     """Ordered (non-random) split (reference tutorial.ipynb:6057): rows with
     percent_rank < train_percent over the global order get 'TRAIN', the rest
     'TEST'. Include a unique tiebreak column in order_by for deterministic
-    hash-comparable output (SURVEY §7.3). Global-order window — single-task
-    at extreme scale; acceptable because split assignment is usually the
-    terminal step."""
-    w = Window.orderBy(*order_spec(df, order_by))
-    return df.withColumn(
-        name,
-        F.when(F.percent_rank().over(w) < F.lit(train_percent), F.lit("TRAIN")).otherwise(
-            F.lit("TEST")
-        ),
+    hash-comparable output (SURVEY §7.3).
+
+    Scale path: when the leading order column is numeric, the global
+    percent_rank is computed WITHOUT a global-order window. approxQuantile
+    boundaries on the leading key split rows into range buckets (equal keys
+    always share a bucket, so ties never straddle buckets); per-bucket
+    counts give each bucket's exclusive global offset; global rank = bucket
+    offset + in-bucket rank over the full order spec. Three parallel jobs,
+    no single-task Exchange — survives 100 TB. Non-numeric leading keys
+    fall back to the single-window formulation."""
+    pairs = _order_names_dirs(df, order_by)
+    first, first_desc = pairs[0]
+    dtype = dict(df.dtypes)[first]
+    # monotone numeric proxy of the leading key — ordering-preserving, equal
+    # keys map to equal proxies, so bucketing on the proxy never splits ties
+    if dtype.startswith(_NUMERIC_PREFIXES):
+        proxy = F.col(first).cast("double")
+    elif dtype == "timestamp":
+        proxy = F.unix_micros(F.col(first)).cast("double")
+    elif dtype == "timestamp_ntz":
+        # wall-clock decomposition — tz-free and monotone for NTZ (sub-second
+        # collisions just share a bucket; in-bucket sort uses the real key)
+        c = F.col(first)
+        proxy = (
+            F.unix_date(c.cast("date")).cast("double") * 86400.0
+            + F.hour(c) * 3600.0
+            + F.minute(c) * 60.0
+            + F.second(c)
+        )
+    elif dtype == "date":
+        proxy = F.unix_date(F.col(first)).cast("double")
+    else:
+        w = Window.orderBy(*order_spec(df, order_by))
+        return df.withColumn(
+            name,
+            F.when(
+                F.percent_rank().over(w) < F.lit(train_percent), F.lit("TRAIN")
+            ).otherwise(F.lit("TEST")),
+        )
+
+    sc = df.sparkSession.sparkContext
+    nbuckets = min(max(sc.defaultParallelism, 1), 200)
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    keyed = df.withColumn("__tts_key", proxy)
+    bounds = sorted(set(keyed.stat.approxQuantile("__tts_key", probs, 0.001))) if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        # bucket id = #boundaries strictly below the key → equal keys share a
+        # bucket; NULL keys compare to nothing → bucket 0 (asc NULLS FIRST /
+        # desc NULLS LAST both put bucket 0's nulls at the right end via the
+        # in-bucket sort).
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("__tts_key")))
+    else:
+        bucket = F.lit(0)
+    bdf = keyed.withColumn("__tts_bucket", bucket).drop("__tts_key")
+    counts = {r[0]: r[1] for r in bdf.groupBy("__tts_bucket").count().collect()}
+    n = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts, reverse=first_desc):
+        offsets[b] = acc
+        acc += counts[b]
+    offmap = F.create_map(
+        *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
     )
+    w = Window.partitionBy("__tts_bucket").orderBy(*order_spec(df, order_by))
+    # 0-based global rank; same double arithmetic as percent_rank so boundary
+    # rows agree bit-for-bit with the window/SQL formulation
+    grank = (F.rank().over(w) - 1 + offmap[F.col("__tts_bucket")]).cast("double")
+    pr = grank / F.lit(float(n - 1)) if n > 1 else F.lit(0.0)
+    return bdf.withColumn(
+        name,
+        F.when(pr < F.lit(float(train_percent)), F.lit("TRAIN")).otherwise(F.lit("TEST")),
+    ).drop("__tts_bucket")
 
 
 @renderer("train_test_split")

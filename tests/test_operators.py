@@ -137,3 +137,60 @@ def test_warehouse_type_normalization(spark):
     import rasgoql_spark as rql
     out = rql.get_transform("cast").apply(df, casts={"v": "NUMBER(10,2)"})
     assert dict(out.dtypes)["v"] == "decimal(10,2)"
+
+
+def test_outer_join_keeps_right_keys(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "lv"])
+    right = spark.createDataFrame([(2, 20.0), (3, 30.0)], ["rk", "rv"])
+    out = rql.get_transform("join").apply(
+        left, join_table=right, join_columns={"k": "rk"}, join_type="FULL")
+    rows = {r["rv"]: r["k"] for r in out.collect()}
+    assert rows[30.0] == 3  # unmatched right row keeps its key via coalesce
+    assert rows[20.0] == 2
+    assert out.columns == ["k", "lv", "rv"]
+    # RIGHT join same guarantee
+    out2 = rql.get_transform("join").apply(
+        left, join_table=right, join_columns={"k": "rk"}, join_type="RIGHT")
+    assert {r["k"] for r in out2.collect()} == {2, 3}
+
+
+def test_impute_all_null_and_mode(spark):
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y"), (3, None, "x"), (4, None, None)],
+        "k int, dead double, cat string")
+    # all-NULL mean column is skipped instead of raising
+    out = rql.get_transform("impute").apply(df, imputations={"dead": "mean", "cat": "mode"})
+    rows = {r["k"]: (r["dead"], r["cat"]) for r in out.collect()}
+    assert all(v[0] is None for v in rows.values())
+    assert rows[4][1] == "x"  # mode fill, most frequent
+    # deterministic tie → lowest value
+    df2 = spark.createDataFrame([(1, "b"), (2, "a"), (3, None)], "k int, c string")
+    out2 = rql.get_transform("impute").apply(df2, imputations={"c": "mode"})
+    assert {r["c"] for r in out2.collect()} == {"a", "b"}
+    assert [r["c"] for r in out2.orderBy("k").collect()][2] == "a"
+
+
+def test_train_test_split_matches_window_and_scales(spark):
+    from pyspark.sql import Window
+    # duplicate keys (ties) + a tiebreak column, numeric leading key
+    df = spark.createDataFrame(
+        [(i % 37, i) for i in range(500)], ["key", "tb"])
+    out = rql.get_transform("train_test_split").apply(
+        df, order_by=["key", "tb"], train_percent=0.7)
+    w = Window.orderBy(F.col("key").asc(), F.col("tb").asc())
+    expect = df.withColumn(
+        "EXP",
+        F.when(F.percent_rank().over(w) < 0.7, "TRAIN").otherwise("TEST"))
+    joined = out.join(expect, ["key", "tb"])
+    assert joined.filter("TT_SPLIT <> EXP").count() == 0
+    # the scale path must not funnel through a single-partition exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_train_test_split_timestamp_key(session):
+    # timestamp_ntz leading key exercises the wall-clock proxy path
+    out = session.dataset("orders").train_test_split(
+        order_by=["o_orderdate", "o_orderkey"], train_percent=0.8)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
