@@ -10,6 +10,7 @@ only for ``.sql()`` / ``to_dbt`` rendering parity.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any, Iterator, Optional
 
@@ -233,7 +234,17 @@ class SQLChain:
                     f"TBLPROPERTIES('created_by'='rasgoql_spark') AS {sql_text}"
                 )
             except Exception:
-                self._df.createOrReplaceTempView(table_name.split(".")[-1])
+                # temp views are single-part names — degrade BOTH the view and
+                # the returned dataset binding to the last segment, and say so
+                fallback = table_name.split(".")[-1]
+                self._df.createOrReplaceTempView(fallback)
+                warnings.warn(
+                    f"save({table_name!r}, table_type='view') could not create a "
+                    f"permanent view (chain not SQL-renderable or source is "
+                    f"path-backed); created TEMP view {fallback!r} instead",
+                    stacklevel=2,
+                )
+                return self._session.dataset(fallback)
         return self._session.dataset(ident if table_type != "temp_view" else table_name)
 
     # ------------------------------------------------------------ rendering
@@ -275,7 +286,59 @@ class Dataset(SQLChain):
     """
 
     def __repr__(self) -> str:
-        return f"Dataset(fqtn={self._entry_name!r})"
+        return (
+            f"Dataset(fqtn={self._entry_name!r}, type={self.table_type}, "
+            f"state={self.table_state})"
+        )
+
+    def _catalog_table(self):
+        spark = self._df.sparkSession
+        try:
+            return spark.catalog.getTable(self._entry_name)
+        except Exception:
+            return None
+
+    @property
+    def table_type(self) -> str:
+        """TableType of the bound object (reference transforms.py:140-151:
+        _dw_sync populates table_type from get_object_details). MANAGED
+        catalog tables report TABLE; path-backed datasets UNKNOWN."""
+        from .enums import TableType, check_table_type
+
+        t = self._catalog_table()
+        if t is None:
+            return TableType.UNKNOWN.value
+        if t.isTemporary:
+            return TableType.TEMPORARY.value
+        return check_table_type(t.tableType)
+
+    @property
+    def table_state(self) -> str:
+        """IN DW when the name resolves in the Spark catalog, IN MEMORY for
+        path-backed/derived data (reference transforms.py:140-151)."""
+        from .enums import TableState
+
+        return (
+            TableState.IN_DW.value
+            if self._catalog_table() is not None
+            else TableState.IN_MEMORY.value
+        )
+
+    @property
+    def is_rasgo(self) -> bool:
+        """True when this object was created by a chain ``.save()`` (the
+        reference tags provenance with COMMENT='rasgoql'; we tag
+        TBLPROPERTIES created_by='rasgoql_spark')."""
+        spark = self._df.sparkSession
+        try:
+            rows = spark.sql(
+                f"SHOW TBLPROPERTIES {self._entry_name}"
+            ).collect()
+        except Exception:
+            return False
+        return any(
+            r["key"] == "created_by" and r["value"] == "rasgoql_spark" for r in rows
+        )
 
     def ddl(self) -> str:
         """SHOW CREATE TABLE when the entry is a catalog table (transforms.py:168-173)."""

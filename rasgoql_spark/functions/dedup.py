@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col
 from ..registry import spark_transform
+from ._cache import release_with
 from ._hash import MERSENNE, affine_hash, hash_params, md5_int, shingles_expr, tokens_expr
 
 
@@ -105,8 +106,9 @@ def dedup_minhash(
     rows_per_band = num_hashes // bands
     # persist: the signature table feeds the band join AND both sides of the
     # candidate verification join — without it the whole shingle+minhash
-    # pipeline is recomputed per consumer
-    sig = minhash_signatures(df, text, id_col, num_hashes, shingle_size).persist()
+    # pipeline is recomputed per consumer; released when the result is GC'd
+    cached_sig = minhash_signatures(df, text, id_col, num_hashes, shingle_size).persist()
+    sig = cached_sig
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -153,11 +155,11 @@ def dedup_minhash(
         )
     )
     if mode == "pairs":
-        return pairs
+        return release_with(pairs, cached_sig)
     if mode == "filter":
         i = resolve_col(df, id_col)
         dupes = pairs.select(F.col("ID_B").alias(i)).distinct()
-        return df.join(dupes, on=i, how="left_anti")
+        return release_with(df.join(dupes, on=i, how="left_anti"), cached_sig)
     raise ParameterException("mode must be 'pairs' or 'filter'")
 
 
@@ -273,11 +275,12 @@ def dedup_ngram_jaccard(
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
-    return (
+    out = (
         cand.withColumn("JACCARD", F.when(un > 0, inter / un).otherwise(F.lit(0.0)))
         .filter(F.col("JACCARD") >= threshold)
         .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "JACCARD")
     )
+    return release_with(out, base)
 
 
 def _hyperplane_sign(vec: Column, j: int) -> Column:

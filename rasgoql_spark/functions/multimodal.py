@@ -6,6 +6,8 @@ is real and tested; the actual media decoding is STUBBED because no codec
 libraries exist in this environment:
 
 - If a decoder import (PIL/cv2/soundfile) succeeds it is used.
+- PNG/JPEG/GIF dimensions+mode are parsed from the real byte headers in pure
+  Python (``_parse_image_header``) — genuinely functional, no codec needed.
 - Otherwise ``fake='deterministic'`` substitutes an arithmetic fake derived
   from the byte content (so oracles and tests still verify the plumbing), and
   ``fake='error'`` raises NotImplementedError, clearly marking the boundary.
@@ -61,6 +63,46 @@ def binary_meta(df: DataFrame, binary_col: str) -> DataFrame:
     )
 
 
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+
+
+def _parse_image_header(data: bytes):
+    """Real header-level decode for PNG / JPEG / GIF — pure Python, no codec
+    library. Returns (width, height, mode) or None if the bytes are not a
+    recognized image format. This makes ``image_meta`` genuinely functional
+    for the formats whose dimensions live in the header; full pixel decode
+    still needs PIL/cv2."""
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        mode = _PNG_MODES.get(data[25], "PNG") if len(data) > 25 else "PNG"
+        return w, h, mode
+    if data[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a SOF marker
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return w, h, _JPEG_MODES.get(data[i + 9], "JPEG")
+            i += 2 + int.from_bytes(data[i + 2 : i + 4], "big")
+        return None
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        return (
+            int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"),
+            "P",
+        )
+    return None
+
+
 _IMAGE_META_SCHEMA = StructType(
     [
         StructField("DOC_ID", LongType()),
@@ -78,11 +120,12 @@ def image_meta(
 ) -> DataFrame:
     """Decode image dimensions via Arrow-batched mapInPandas.
 
-    Real decode path uses PIL when importable. STUB otherwise:
-    fake='deterministic' derives WIDTH/HEIGHT arithmetically from byte
-    length (plumbing stays testable + oracle-checkable); fake='error'
-    raises NotImplementedError. Batch shape: one pandas frame per Arrow
-    batch; embarrassingly parallel, no shuffle.
+    Decode ladder: PIL when importable → real PNG/JPEG/GIF header parse
+    (pure Python, always available) → fake. fake='deterministic' derives
+    WIDTH/HEIGHT arithmetically from byte length for unrecognized bytes
+    (plumbing stays testable + oracle-checkable); fake='error' raises
+    NotImplementedError. Batch shape: one pandas frame per Arrow batch;
+    embarrassingly parallel, no shuffle.
     """
     b, i = resolve_col(df, binary_col), resolve_col(df, id_col)
     if fake not in ("deterministic", "error"):
@@ -105,6 +148,11 @@ def image_meta(
                         continue
                     except Exception:
                         pass
+                parsed = _parse_image_header(data)
+                if parsed is not None:
+                    w, h, mode = parsed
+                    rows.append((doc_id, w, h, mode, "header"))
+                    continue
                 if fake_mode == "error":
                     raise NotImplementedError(
                         "image decoding requires PIL/cv2 — not available in this "

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col
 from ..registry import spark_transform
+from ._cache import release_with
 from .dedup import _hyperplane_sign, cosine_expr
 
 
@@ -191,11 +192,12 @@ def similarity_search_ivf(
         .withColumn("COSINE", cos)
     )
     w = Window.partitionBy("QUERY_ID").orderBy(F.col("COSINE").desc(), F.col("MATCH_ID").asc())
-    return (
+    out = (
         scored.withColumn("RANK", F.row_number().over(w))
         .filter(F.col("RANK") <= k)
         .select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
     )
+    return release_with(out, index)
 
 
 @spark_transform("knn_classify", category="similarity", streaming_ok=False)

@@ -244,6 +244,40 @@ def _r_rollup_agg(source, group_by, aggregations, mode="rollup") -> str:
     )
 
 
+@spark_transform("grouping_sets", category="aggregate", streaming_ok=False)
+def grouping_sets_agg(df: DataFrame, sets, aggregations: dict) -> DataFrame:
+    """Arbitrary GROUPING SETS aggregation with a ``GROUPING_ID`` bitmask
+    (SURVEY §2.2 — free Spark capability beyond rollup/cube; arbitrary sets
+    were previously unexposed). ``sets`` is a list of key-lists; keys absent
+    from a set come back NULL for that grouping. One shuffle — Spark expands
+    the sets with a single Expand + HashAggregate, not one scan per set."""
+    sets = [resolve_cols(df, as_list(s)) for s in as_list(sets)]
+    all_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    grouped = df.groupingSets(
+        [[F.col(c) for c in s] for s in sets], *[F.col(k) for k in all_keys]
+    )
+    return grouped.agg(F.grouping_id().alias("GROUPING_ID"), *_agg_columns(df, aggregations))
+
+
+@renderer("grouping_sets")
+def _r_grouping_sets(source, sets, aggregations) -> str:
+    all_keys: list[str] = []
+    for s in sets:
+        for k in as_list(s):
+            if k not in all_keys:
+                all_keys.append(k)
+    keys = ", ".join(all_keys)
+    rendered_sets = ", ".join("(" + ", ".join(as_list(s)) + ")" for s in sets)
+    return (
+        f"SELECT {keys}, GROUPING_ID({keys}) AS GROUPING_ID, {_agg_sql_cols(aggregations)} "
+        f"FROM {source} GROUP BY GROUPING SETS ({rendered_sets})"
+    )
+
+
 @spark_transform("approx_distinct", category="aggregate")
 def approx_distinct(df: DataFrame, columns, group_by=None, rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (SURVEY §2.3 capability

@@ -113,25 +113,46 @@ class RasgoSession:
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
-        target = path
-        if os.path.isdir(target):
-            files = [f for f in os.listdir(target) if f.endswith(".parquet")]
-            target = os.path.join(target, files[0]) if files else target
-        try:
-            schema = pq.read_schema(target)
-            ns_cols = [
+        targets = [path]
+        if os.path.isdir(path):
+            # inspect EVERY footer: a mixed directory where only a later file
+            # carries ns columns must still trigger the conversion
+            targets = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ) or [path]
+        ns_cols: set[str] = set()
+        for target in targets:
+            try:
+                schema = pq.read_schema(target)
+            except Exception:
+                continue
+            ns_cols.update(
                 f.name
                 for f in schema
                 if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-            ]
-        except Exception:
-            ns_cols = []
+            )
         if not ns_cols:
             return self.spark.read.parquet(path)
+        # the conf is captured when spark.read resolves the schema, so it can
+        # be restored immediately after — later unrelated reads on the shared
+        # session see their original behavior
+        prev = self.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = self.spark.read.parquet(path)
-        for c in ns_cols:
-            df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
+        try:
+            df = self.spark.read.parquet(path)
+        finally:
+            if prev is None:
+                self.spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        dtypes = dict(df.dtypes)
+        for c in sorted(ns_cols):
+            if dtypes.get(c) == "bigint":  # only ns columns read as raw int64
+                df = df.withColumn(
+                    c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
+                )
         return df
 
     # ------------------------------------------------------------ factories

@@ -117,3 +117,56 @@ def test_frame_sample_fanout(session):
            .frame_sample(binary_col="CONTENT", id_col="doc_id", num_frames=3).df)
     per_doc = out.groupBy("DOC_ID").count().agg(F.max("count")).collect()[0][0]
     assert per_doc == 3
+
+
+def test_scoped_caches_released_on_gc(spark, session):
+    import gc
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    docs = session.dataset("documents").df.limit(150)
+    out = rql.get_transform("dedup_minhash").apply(
+        docs, text="text", id_col="doc_id", threshold=0.2)
+    out.count()
+    assert len(sc._jsc.getPersistentRDDs()) > before  # cache active while result alive
+    del out
+    gc.collect()
+    assert len(sc._jsc.getPersistentRDDs()) == before  # released with the result
+
+    emb = session.dataset("embeddings").df
+    out2 = rql.get_transform("similarity_search_ivf").apply(
+        emb, vec_col="embedding", id_col="vec_id", query_ids=[0, 1], k=3)
+    out2.count()
+    del out2
+    gc.collect()
+    assert len(sc._jsc.getPersistentRDDs()) == before
+
+
+def _png_bytes(w, h, color_type=6):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+
+
+def _jpeg_bytes(w, h, ncomp=3):
+    sof = b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8]) \
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    return b"\xff\xd8" + app0 + sof
+
+
+def test_image_meta_real_header_decode(spark):
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _jpeg_bytes(1024, 768)),
+        (3, b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little")),
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, CONTENT binary")
+    out = rql.get_transform("image_meta").apply(df, binary_col="CONTENT", id_col="doc_id")
+    got = {r["DOC_ID"]: (r["WIDTH"], r["HEIGHT"], r["MODE"], r["DECODER"])
+           for r in out.collect()}
+    assert got[1] == (640, 480, "RGBA", "header")
+    assert got[2] == (1024, 768, "RGB", "header")
+    assert got[3] == (12, 34, "P", "header")
+    assert got[4][3] == "stub"  # unrecognized bytes fall through to the fake
