@@ -149,3 +149,44 @@ def test_save_view_on_path_backed_dataset_falls_back(session):
              .filter(filter_statements=["r_regionkey >= 2"])
              .save("v_path_backed", table_type="view", overwrite=True))
     assert saved.df.count() == 3
+
+
+def test_save_view_dotted_name_fallback_warns(session):
+    """ADVICE r01: dotted-name view fallback must bind the SAME (last-segment)
+    name it created, and warn about the degradation."""
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        saved = (session.dataset("region")
+                 .filter(filter_statements=["r_regionkey < 2"])
+                 .save("some_db.v_dotted", table_type="view", overwrite=True))
+    assert saved.df.count() == 2
+    assert saved.fqtn == "v_dotted"
+    assert any("TEMP view" in str(w.message) for w in caught)
+
+
+def test_table_type_and_state(session, spark):
+    from rasgoql_spark.enums import TableState, TableType
+
+    # path-backed dataset: not in the catalog
+    ds = session.dataset("region")
+    assert ds.table_type == TableType.UNKNOWN.value
+    assert ds.table_state == TableState.IN_MEMORY.value
+    # temp view: catalog-resolvable, TEMPORARY
+    saved = ds.save("v_meta_probe", table_type="temp_view", overwrite=True)
+    assert saved.table_type == TableType.TEMPORARY.value
+    assert saved.table_state == TableState.IN_DW.value
+    assert "TEMPORARY" in repr(saved)
+
+
+def test_grouping_sets_operator(session):
+    out = session.dataset("lineitem").grouping_sets(
+        sets=[["l_returnflag"], []], aggregations={"l_quantity": ["SUM"]})
+    rows = out.df.collect()
+    grand = [r for r in rows if r["GROUPING_ID"] == 1]
+    assert len(grand) == 1
+    assert abs(sum(r["L_QUANTITY_SUM"] for r in rows if r["GROUPING_ID"] == 0)
+               - grand[0]["L_QUANTITY_SUM"]) < 1e-6
+    # renders as GROUP BY GROUPING SETS
+    assert "GROUPING SETS" in out.sql()
