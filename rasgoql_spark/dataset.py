@@ -43,6 +43,10 @@ class Step:
     output_alias: str
     table_args: dict = field(default_factory=dict)
     input_columns: tuple = ()
+    # kwarg name -> column tuple of a table-valued argument, captured at step
+    # creation so prefix-renaming joins (theta/interval/asof) can render the
+    # right side's column list without re-resolving the table
+    table_columns: dict = field(default_factory=dict)
 
 
 class SQLChain:
@@ -95,34 +99,64 @@ class SQLChain:
             raise ParameterException(
                 f"transform {tname!r} is not supported on streaming DataFrames"
             )
-        flat_kwargs, table_args = self._flatten_args(kwargs)
+        flat_kwargs, table_args, table_columns = self._flatten_args(kwargs)
         new_df = tdef.apply(self._df, **flat_kwargs)
         alias = f"RQL_T{len(self._steps)}_{cleanse_name(tname)}"
         step = Step(name=tname, kwargs=kwargs, output_alias=alias,
-                    table_args=table_args, input_columns=tuple(self._df.columns))
+                    table_args=table_args, input_columns=tuple(self._df.columns),
+                    table_columns=table_columns)
         return SQLChain(self._session, new_df, self._entry_name, self._steps + (step,))
 
-    def _flatten_args(self, kwargs: dict) -> tuple[dict, dict]:
+    def _flatten_args(self, kwargs: dict) -> tuple[dict, dict, dict]:
         """Resolve Dataset/SQLChain/str table args to DataFrames.
 
         Reference: flatten_transform_arguments (transforms.py:435-450) — table
-        transform arguments become FQTNs or inline CTE text.
+        transform arguments become FQTNs or inline CTE text. Also records each
+        table argument's rendered name and column list for the renderers, and
+        resolves ``join_table`` entries nested inside list-of-dict args
+        (multi_join specs).
         """
         flat: dict[str, Any] = {}
         table_args: dict[str, str] = {}
-        for k, v in kwargs.items():
+        table_columns: dict[str, tuple] = {}
+
+        def _resolve_one(v):
+            """value -> (DataFrame, rendered_name, columns) or None."""
             if isinstance(v, SQLChain):
-                flat[k] = v.df
-                table_args[k] = v.renderable_name()
-            elif isinstance(v, DataFrame):
-                flat[k] = v
-                table_args[k] = "<dataframe>"
-            elif isinstance(v, str) and k in ("join_table", "union_table", "right", "other"):
-                flat[k] = self._session.table_df(v)
-                table_args[k] = v
+                return v.df, v.renderable_name(), tuple(v.df.columns)
+            if isinstance(v, DataFrame):
+                return v, "<dataframe>", tuple(v.columns)
+            if isinstance(v, str):
+                df = self._session.table_df(v)
+                return df, v, tuple(df.columns)
+            return None
+
+        for k, v in kwargs.items():
+            if isinstance(v, (SQLChain, DataFrame)) or (
+                isinstance(v, str) and k in ("join_table", "union_table", "right", "other")
+            ):
+                df, rendered, cols = _resolve_one(v)
+                flat[k] = df
+                table_args[k] = rendered
+                table_columns[k] = cols
+            elif (
+                isinstance(v, (list, tuple))
+                and v
+                and all(isinstance(x, dict) and "join_table" in x for x in v)
+            ):
+                # multi_join specs: resolve nested join_table values
+                resolved, names, cols = [], [], []
+                for spec in v:
+                    r = _resolve_one(spec["join_table"])
+                    resolved.append({**spec, "join_table": r[0]})
+                    names.append(r[1])
+                    cols.append(r[2])
+                flat[k] = resolved
+                table_args[k] = names
+                table_columns[k] = tuple(cols)
             else:
                 flat[k] = v
-        return flat, table_args
+        return flat, table_args, table_columns
 
     def renderable_name(self) -> str:
         """Name usable in rendered SQL: entry table if no steps, else subquery."""

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import resolve_col
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 from ._cache import release_with
 from ._hash import MERSENNE, affine_hash, hash_params, md5_int, shingles_expr, tokens_expr
 
@@ -38,6 +38,18 @@ def dedup_exact(df: DataFrame, text: str, id_col: str, keep: str = "min") -> Dat
     order = F.col(i).asc() if keep == "min" else F.col(i).desc()
     w = Window.partitionBy("__fp").orderBy(order)
     return fp.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn", "__fp")
+
+
+@renderer("dedup_exact")
+def _r_dedup_exact(source, text, id_col, keep="min") -> str:
+    from .text import _norm_sql
+
+    direction = "ASC" if keep == "min" else "DESC"
+    return (
+        f"SELECT * EXCEPT (__rn) FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY md5({_norm_sql(text)}) ORDER BY {id_col} {direction}) AS __rn "
+        f"FROM {source}) WHERE __rn = 1"
+    )
 
 
 def minhash_signatures(

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
 
 from ..errors import ParameterException
 from ..operators._util import resolve_col
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 
 try:  # pragma: no cover - codec libs absent in this environment
     from PIL import Image  # type: ignore
@@ -47,6 +47,11 @@ def attach_binary(df: DataFrame, source_col: str, name: str = "CONTENT") -> Data
     return df.withColumn(name, F.to_binary(F.col(resolve_col(df, source_col)), F.lit("utf-8")))
 
 
+@renderer("attach_binary")
+def _r_attach_binary(source, source_col, name="CONTENT") -> str:
+    return f"SELECT *, to_binary({source_col}, 'utf-8') AS {name} FROM {source}"
+
+
 @spark_transform("binary_meta", category="multimodal")
 def binary_meta(df: DataFrame, binary_col: str) -> DataFrame:
     """Typed metadata for an opaque binary column: BYTE_LENGTH, CONTENT_MD5,
@@ -60,6 +65,16 @@ def binary_meta(df: DataFrame, binary_col: str) -> DataFrame:
             "CONTENT_MD5": F.md5(c),
             "MAGIC_PREFIX": F.lower(F.hex(F.substring(c, 1, 4))),
         }
+    )
+
+
+@renderer("binary_meta")
+def _r_binary_meta(source, binary_col) -> str:
+    c = binary_col
+    return (
+        f"SELECT *, CAST(octet_length({c}) AS BIGINT) AS BYTE_LENGTH, "
+        f"md5({c}) AS CONTENT_MD5, lower(hex(substring({c}, 1, 4))) AS MAGIC_PREFIX "
+        f"FROM {source}"
     )
 
 

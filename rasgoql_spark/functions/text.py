@@ -14,9 +14,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
-from ..operators._util import resolve_col
-from ..registry import spark_transform
+from ..operators._util import resolve_col, with_columns_sql
+from ..registry import renderer, spark_transform
 from ._hash import tokens_expr
+
+
+def _tokens_sql(t: str) -> str:
+    """Spark-SQL rendering of tokens_expr (renderer parity path)."""
+    cleaned = f"trim(regexp_replace(lower({t}), '[^a-z0-9\\\\s]', ' '))"
+    return (
+        f"CASE WHEN {cleaned} = '' THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split({cleaned}, '\\\\s+') END"
+    )
+
+
+def _norm_sql(t: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9\\\\s]', ' '), "
+        f"'\\\\s+', ' '))"
+    )
 
 # BPE-ish word/punctuation splitter: alphanumeric runs or single non-space
 # symbols — a crude stand-in for subword tokenization with the same cost
@@ -39,6 +55,11 @@ def text_tokenize(df: DataFrame, text: str, name: str = "TOKENS") -> DataFrame:
     return df.withColumn(name, tokens_expr(F.col(resolve_col(df, text))))
 
 
+@renderer("text_tokenize")
+def _r_text_tokenize(source, text, name="TOKENS") -> str:
+    return f"SELECT *, {_tokens_sql(text)} AS {name} FROM {source}"
+
+
 @spark_transform("token_count", category="text")
 def token_count(
     df: DataFrame, text: str, method: str = "whitespace", name: str = "TOKEN_COUNT"
@@ -53,6 +74,15 @@ def token_count(
     else:
         raise ParameterException("method must be 'whitespace' or 'bpe_ish'")
     return df.withColumn(name, out.cast("bigint"))
+
+
+@renderer("token_count")
+def _r_token_count(source, text, method="whitespace", name="TOKEN_COUNT") -> str:
+    if method == "whitespace":
+        expr = f"size({_tokens_sql(text)})"
+    else:
+        expr = f"regexp_count({text}, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]')"
+    return f"SELECT *, CAST({expr} AS BIGINT) AS {name} FROM {source}"
 
 
 @spark_transform("text_quality", category="text")
@@ -89,6 +119,27 @@ def text_quality(df: DataFrame, text: str) -> DataFrame:
     )
 
 
+@renderer("text_quality")
+def _r_text_quality(source, text, _input_columns=()) -> str:
+    nz = f"CASE WHEN length({text}) > 0 THEN CAST(length({text}) AS DOUBLE) END"
+    ratio = lambda pat: f"COALESCE(CAST(regexp_count({text}, '{pat}') AS DOUBLE) / ({nz}), 0.0)"  # noqa: E731
+    alpha, digit, punct = ratio("[A-Za-z]"), ratio("[0-9]"), ratio("[.,;:!?]")
+    ntok = f"CAST(size({_tokens_sql(text)}) AS BIGINT)"
+    score = (
+        f"LEAST(1.0, CAST({ntok} AS DOUBLE) / 100.0) * 0.5 + ({alpha}) * 0.35 "
+        f"+ (1.0 - ({punct})) * 0.15"
+    )
+    exprs = {
+        "N_CHARS": f"CAST(length({text}) AS BIGINT)",
+        "N_TOKENS": ntok,
+        "ALPHA_RATIO": alpha,
+        "DIGIT_RATIO": digit,
+        "PUNCT_RATIO": punct,
+        "QUALITY_SCORE": score,
+    }
+    return with_columns_sql(source, exprs, _input_columns)
+
+
 @spark_transform("language_id", category="text")
 def language_id(df: DataFrame, text: str, name: str = "LANG_PRED") -> DataFrame:
     """Stopword-frequency language ID over {en, es, fr, de}; 'unknown' when
@@ -107,6 +158,21 @@ def language_id(df: DataFrame, text: str, name: str = "LANG_PRED") -> DataFrame:
     return df.withColumn(name, pred)
 
 
+@renderer("language_id")
+def _r_language_id(source, text, name="LANG_PRED") -> str:
+    sc = {
+        lang: f"regexp_count(lower({text}), '{pat}')".replace("\\b", "\\\\b")
+        for lang, pat in LANG_STOPWORDS.items()
+    }
+    en, es, fr, de = sc["en"], sc["es"], sc["fr"], sc["de"]
+    return (
+        f"SELECT *, CASE WHEN {en} + {es} + {fr} + {de} = 0 THEN 'unknown' "
+        f"WHEN {en} >= {es} AND {en} >= {fr} AND {en} >= {de} THEN 'en' "
+        f"WHEN {es} >= {fr} AND {es} >= {de} THEN 'es' "
+        f"WHEN {fr} >= {de} THEN 'fr' ELSE 'de' END AS {name} FROM {source}"
+    )
+
+
 @spark_transform("fingerprint", category="text")
 def fingerprint(df: DataFrame, text: str, name: str = "FINGERPRINT") -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercased text with
@@ -117,3 +183,8 @@ def fingerprint(df: DataFrame, text: str, name: str = "FINGERPRINT") -> DataFram
         F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " ")
     )
     return df.withColumn(name, F.md5(norm))
+
+
+@renderer("fingerprint")
+def _r_fingerprint(source, text, name="FINGERPRINT") -> str:
+    return f"SELECT *, md5({_norm_sql(text)}) AS {name} FROM {source}"

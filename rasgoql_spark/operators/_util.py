@@ -104,6 +104,29 @@ def agg_sql(agg: str, col: str) -> str:
     return f"{a}({col})"
 
 
+def with_columns_sql(source: str, exprs: dict, input_columns) -> str:
+    """SQL mirror of ``df.withColumns(exprs)``: a column whose name matches an
+    existing input column (case-insensitively) is REPLACED in place under the
+    new name; genuinely new columns append in order. Falls back to
+    ``SELECT *, ...`` when the input schema is unknown."""
+    if not input_columns:
+        appended = ", ".join(f"{e} AS {k}" for k, e in exprs.items())
+        return f"SELECT *, {appended} FROM {source}"
+    lower_new = {k.lower(): k for k in exprs}
+    cols, used = [], set()
+    for c in input_columns:
+        k = lower_new.get(c.lower())
+        if k is not None:
+            cols.append(f"{exprs[k]} AS {k}")
+            used.add(k)
+        else:
+            cols.append(c)
+    for k, e in exprs.items():
+        if k not in used:
+            cols.append(f"{e} AS {k}")
+    return f"SELECT {', '.join(cols)} FROM {source}"
+
+
 def as_list(x) -> list:
     if x is None:
         return []

@@ -290,3 +290,16 @@ def approx_distinct(df: DataFrame, columns, group_by=None, rsd: float = 0.05) ->
         for c in as_list(columns)
     ]
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+@renderer("approx_distinct")
+def _r_approx_distinct(source, columns, group_by=None, rsd=0.05) -> str:
+    keys = as_list(group_by)
+    aggs = ", ".join(
+        f"APPROX_COUNT_DISTINCT({c}, {rsd}) AS {cleanse_name(f'{c}_APPROX_DISTINCT')}"
+        for c in as_list(columns)
+    )
+    if keys:
+        k = ", ".join(keys)
+        return f"SELECT {k}, {aggs} FROM {source} GROUP BY {k}"
+    return f"SELECT {aggs} FROM {source}"

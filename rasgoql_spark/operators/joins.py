@@ -18,10 +18,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..errors import ParameterException
+from ..errors import ParameterException, TransformRenderingException
 from ..naming import cleanse_name
 from ..registry import renderer, spark_transform
 from ._util import as_list, resolve_col, resolve_cols
+
+
+def _require_named(table_rendered, tname: str) -> None:
+    """Renderers need a catalog/table NAME for the right side; a bare
+    DataFrame has no SQL-addressable source."""
+    if not isinstance(table_rendered, str) or table_rendered == "<dataframe>":
+        raise TransformRenderingException(
+            f"rendered {tname} requires a table-name/chain argument, not a raw "
+            "DataFrame (the chain still executes; only .sql()/to_dbt is "
+            "unavailable)"
+        )
 
 _JOIN_TYPES = {
     "INNER": "inner",
@@ -104,16 +115,45 @@ def join(
 
 
 @renderer("join")
-def _r_join(source, join_table, join_columns, join_type="INNER", join_prefix=None, broadcast=False) -> str:
-    on = " AND ".join(f"l.{l} = r.{r}" for l, r in join_columns.items())
+def _r_join(source, join_table, join_columns, join_type="INNER", join_prefix=None,
+            broadcast=False, salt=None, _table_columns=None, _input_columns=()) -> str:
+    _require_named(join_table, "join")
     jt = join_type.upper()
     hint = "/*+ BROADCAST(r) */ " if broadcast else ""
+    rcols = (_table_columns or {}).get("join_table")
     if join_prefix:
-        rcols = f"r.*"  # prefixing needs schema; rendered form keeps r.* with alias note
-        return (
-            f"SELECT {hint}l.*, {rcols} FROM {source} l {jt} JOIN {join_table} r ON {on}"
+        on = " AND ".join(
+            f"l.{l} = r.{cleanse_name(f'{join_prefix}_{r}')}" for l, r in join_columns.items()
         )
+        if rcols:
+            proj = ", ".join(f"{c} AS {cleanse_name(f'{join_prefix}_{c}')}" for c in rcols)
+            right_src = f"(SELECT {proj} FROM {join_table})"
+        else:  # schema unknown (manually-built Step) — best-effort r.*
+            right_src = join_table
+            on = " AND ".join(f"l.{l} = r.{r}" for l, r in join_columns.items())
+        return f"SELECT {hint}l.*, r.* FROM {source} l {jt} JOIN {right_src} r ON {on}"
+    on = " AND ".join(f"l.{l} = r.{r}" for l, r in join_columns.items())
     drops = ", ".join(f"r.{r}" for r in join_columns.values())
+    if jt in ("RIGHT", "OUTER", "FULL"):
+        # mirror the coalesced-key execution path: unmatched right rows keep
+        # their key values in the left key columns
+        if _input_columns:  # keys stay in their original positions
+            lsel = ", ".join(
+                f"COALESCE(l.{c}, r.{join_columns[c]}) AS {c}"
+                if c in join_columns
+                else f"l.{c}"
+                for c in _input_columns
+            )
+        else:
+            lcols = ", ".join(f"l.{l}" for l in join_columns)
+            coal = ", ".join(
+                f"COALESCE(l.{l}, r.{r}) AS {l}" for l, r in join_columns.items()
+            )
+            lsel = f"{coal}, l.* EXCEPT ({lcols})"
+        return (
+            f"SELECT {hint}{lsel}, r.* EXCEPT ({drops}) "
+            f"FROM {source} l {jt} JOIN {join_table} r ON {on}"
+        )
     return (
         f"SELECT {hint}l.*, r.* EXCEPT ({drops}) FROM {source} l {jt} JOIN {join_table} r ON {on}"
     )
@@ -126,6 +166,19 @@ def multi_join(df: DataFrame, joins: list) -> DataFrame:
     for spec in joins:
         df = join(df, **spec)
     return df
+
+
+@renderer("multi_join")
+def _r_multi_join(source, joins, _table_columns=None) -> str:
+    """Fold of the join renderer: each spec's output becomes the next spec's
+    (parenthesized) source."""
+    cols_per_spec = (_table_columns or {}).get("joins", ())
+    sql = None
+    for n, spec in enumerate(joins):
+        tc = {"join_table": cols_per_spec[n]} if n < len(cols_per_spec) else None
+        src = source if sql is None else f"({sql})"
+        sql = _r_join(src, _table_columns=tc, **spec)
+    return sql or f"SELECT * FROM {source}"
 
 
 @spark_transform("semi_join", category="join", streaming_ok=False)
@@ -177,6 +230,24 @@ def theta_join(
         {c: cleanse_name(f"{prefix}_{c}") for c in join_table.columns}
     )
     return df.join(right, on=F.expr(condition), how=_JOIN_TYPES.get(join_type.upper(), "inner"))
+
+
+@renderer("theta_join")
+def _r_theta_join(source, join_table, condition, join_type="INNER", prefix="R",
+                  _table_columns=None) -> str:
+    _require_named(join_table, "theta_join")
+    rcols = (_table_columns or {}).get("join_table")
+    if not rcols:
+        raise TransformRenderingException(
+            "rendered theta_join needs the right table's schema — pass the "
+            "table by name/chain so the renderer can prefix its columns"
+        )
+    proj = ", ".join(f"{c} AS {cleanse_name(f'{prefix}_{c}')}" for c in rcols)
+    jt = join_type.upper()
+    return (
+        f"SELECT l.*, r.* FROM {source} l {jt} JOIN "
+        f"(SELECT {proj} FROM {join_table}) r ON {condition}"
+    )
 
 
 @spark_transform("asof_join", category="join", streaming_ok=False)
@@ -251,6 +322,63 @@ def asof_join(
     return filled.select(*out_cols)
 
 
+@renderer("asof_join")
+def _r_asof_join(source, join_table, on, by=None, right_on=None, value_columns=None,
+                 tolerance_seconds=None, prefix="ASOF", _input_columns=(),
+                 _table_columns=None) -> str:
+    """SQL mirror of the union+window as-of formulation (same shape the
+    DataFrame path executes — one window pass, inclusive <= match)."""
+    _require_named(join_table, "asof_join")
+    rcols = (_table_columns or {}).get("join_table")
+    rts = right_on or on
+    by = as_list(by)
+    vals = as_list(value_columns)
+    if not vals:
+        if not rcols:
+            raise TransformRenderingException(
+                "rendered asof_join needs value_columns or a named right table"
+            )
+        vals = [c for c in rcols if c not in set(by) | {rts}]
+    if not _input_columns:
+        raise TransformRenderingException("rendered asof_join needs chain context")
+    pvals = {v: cleanse_name(f"{prefix}_{v}") for v in vals}
+    keys = ", ".join(f"{k} AS __k{i}" for i, k in enumerate(by))
+    keysel = (keys + ", ") if by else ""
+    lnulls = ", ".join(f"NULL AS {pvals[v]}" for v in vals)
+    rvals = ", ".join(f"{v} AS {pvals[v]}" for v in vals)
+    lrow = ", ".join(_input_columns)
+    left = (
+        f"SELECT {keysel}{on} AS __ts, 1 AS __is_left, {lnulls}, NULL AS __rts, "
+        f"struct({lrow}) AS __row FROM {source}"
+    )
+    right = (
+        f"SELECT {keysel}{rts} AS __ts, 0 AS __is_left, {rvals}, {rts} AS __rts, "
+        f"NULL AS __row FROM {join_table}"
+    )
+    part = "PARTITION BY " + ", ".join(f"__k{i}" for i in range(len(by))) + " " if by else ""
+    win = (
+        f"{part}ORDER BY __ts ASC, __is_left ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    filled = ", ".join(
+        f"last({pvals[v]}, true) OVER ({win}) AS __f_{pvals[v]}" for v in vals
+    )
+    within = "__f_rts IS NOT NULL"
+    if tolerance_seconds is not None:
+        within += (
+            f" AND unix_timestamp(__ts) - unix_timestamp(__f_rts) <= {tolerance_seconds}"
+        )
+    out = ", ".join(f"__row.{c} AS {c}" for c in _input_columns)
+    outv = ", ".join(
+        f"CASE WHEN {within} THEN __f_{pvals[v]} END AS {pvals[v]}" for v in vals
+    )
+    return (
+        f"SELECT {out}, {outv} FROM (SELECT *, {filled}, "
+        f"last(__rts, true) OVER ({win}) AS __f_rts FROM "
+        f"(({left}) UNION ALL ({right}))) WHERE __is_left = 1"
+    )
+
+
 @spark_transform("interval_join", category="join", streaming_ok=False)
 def interval_join(
     df: DataFrame,
@@ -299,4 +427,31 @@ def interval_join(
         .filter((F.col(p) >= F.col(rlo)) & (F.col(p) <= F.col(rhi)))
         .drop(left["__bucket"])
         .drop(right["__bucket"])
+    )
+
+
+@renderer("interval_join")
+def _r_interval_join(source, join_table, point, lower, upper, bucket_width,
+                     by=None, prefix="R", _table_columns=None) -> str:
+    _require_named(join_table, "interval_join")
+    rcols = (_table_columns or {}).get("join_table")
+    if not rcols:
+        raise TransformRenderingException(
+            "rendered interval_join needs the right table's schema — pass it "
+            "by name/chain so the renderer can prefix its columns"
+        )
+    by = as_list(by)
+    proj = ", ".join(f"{c} AS {cleanse_name(f'{prefix}_{c}')}" for c in rcols)
+    rlo, rhi = cleanse_name(f"{prefix}_{lower}"), cleanse_name(f"{prefix}_{upper}")
+    keys = " AND ".join(
+        f"l.{k} = r.{cleanse_name(f'{prefix}_{k}')}" for k in by
+    )
+    on = "l.__bucket = r.__bucket" + (f" AND {keys}" if keys else "")
+    return (
+        f"SELECT l.* EXCEPT (__bucket), r.* EXCEPT (__bucket) FROM "
+        f"(SELECT t.*, FLOOR({point} / {bucket_width}) AS __bucket FROM {source} t) l JOIN "
+        f"(SELECT *, explode(sequence(FLOOR({rlo} / {bucket_width}), "
+        f"FLOOR({rhi} / {bucket_width}))) AS __bucket FROM "
+        f"(SELECT {proj} FROM {join_table})) r ON {on} "
+        f"WHERE l.{point} >= r.{rlo} AND l.{point} <= r.{rhi}"
     )

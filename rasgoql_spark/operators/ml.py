@@ -135,26 +135,34 @@ def impute(df: DataFrame, imputations: dict) -> DataFrame:
 
 
 @renderer("impute")
-def _r_impute(source, imputations) -> str:
-    parts = []
-    for c, v in imputations.items():
+def _r_impute(source, imputations, _input_columns=()) -> str:
+    def fill_expr(c, v):
         if v == "mean":
-            expr = f"(SELECT AVG({c}) FROM {source})"
-        elif v == "median":
-            expr = f"(SELECT MEDIAN({c}) FROM {source})"
-        elif v == "mode":
+            return f"(SELECT AVG({c}) FROM {source})"
+        if v == "median":
+            return f"(SELECT MEDIAN({c}) FROM {source})"
+        if v == "mode":
             # deterministic mode: count DESC, value ASC — portable SQL
-            expr = (
+            return (
                 f"(SELECT {c} FROM {source} WHERE {c} IS NOT NULL "
                 f"GROUP BY {c} ORDER BY COUNT(*) DESC, {c} ASC LIMIT 1)"
             )
-        elif isinstance(v, str):
-            expr = "'" + v.replace("'", "''") + "'"
-        else:
-            expr = str(v)
-        parts.append(f"COALESCE({c}, {expr}) AS {c}")
-    cols = ", ".join(imputations)
-    return f"SELECT * EXCEPT ({cols}), {', '.join(parts)} FROM {source}"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    if _input_columns:  # preserve exact column order
+        cols = ", ".join(
+            f"COALESCE({c}, {fill_expr(c, imputations[c])}) AS {c}"
+            if c in imputations
+            else c
+            for c in _input_columns
+        )
+        return f"SELECT {cols} FROM {source}"
+    parts = ", ".join(
+        f"COALESCE({c}, {fill_expr(c, v)}) AS {c}" for c, v in imputations.items()
+    )
+    return f"SELECT * EXCEPT ({', '.join(imputations)}), {parts} FROM {source}"
 
 
 @spark_transform("min_max_scaler", category="ml", streaming_ok=False)

@@ -218,6 +218,25 @@ def datespine_groups(
     return scaffold.join(df, on=keys + [dc], how="left")
 
 
+@renderer("datespine_groups")
+def _r_datespine_groups(source, group_by, date_col, start=None, end=None, interval="day") -> str:
+    keys = as_list(group_by)
+    if start and end:
+        bounds = f"SELECT TO_TIMESTAMP('{start}') AS __lo, TO_TIMESTAMP('{end}') AS __hi"
+    else:
+        bounds = f"SELECT MIN({date_col}) AS __lo, MAX({date_col}) AS __hi FROM {source}"
+    gsel = ", ".join(f"g.{k}" for k in keys)
+    on = " AND ".join([f"s.{k} = g.{k}" for k in keys] + [f"s.{date_col} = d.{date_col}"])
+    drops = ", ".join(keys + [date_col])
+    return (
+        f"SELECT {gsel}, d.{date_col}, s.* EXCEPT ({drops}) FROM "
+        f"(SELECT DISTINCT {', '.join(keys)} FROM {source}) g CROSS JOIN "
+        f"(SELECT EXPLODE(SEQUENCE(__lo, __hi, INTERVAL '1' {interval.upper()})) "
+        f"AS {date_col} FROM ({bounds})) d "
+        f"LEFT JOIN {source} s ON {on}"
+    )
+
+
 @spark_transform("funnel", category="reshape", streaming_ok=False)
 def funnel(df: DataFrame, entity: str, ts: str, event: str, steps) -> DataFrame:
     """Ordered-step conversion counts (SURVEY §2.2 [B]): an entity converts
@@ -245,6 +264,32 @@ def funnel(df: DataFrame, entity: str, ts: str, event: str, steps) -> DataFrame:
     stack_args = ", ".join(f"{i}, '{s}', __c{i}" for i, s in enumerate(steps))
     return counts.select(
         F.expr(f"stack({len(steps)}, {stack_args}) AS (STEP_INDEX, STEP, ENTITIES)")
+    )
+
+
+@renderer("funnel")
+def _r_funnel(source, entity, ts, event, steps) -> str:
+    steps = as_list(steps)
+    firsts = ", ".join(
+        f"MIN(CASE WHEN {event} = '{s}' THEN {ts} END) AS __t{i}"
+        for i, s in enumerate(steps)
+    )
+    flags: list[str] = []
+    for i in range(len(steps)):
+        cond = f"__t{i} IS NOT NULL"
+        if i > 0:
+            cond = f"({cond} AND __t{i} >= __t{i - 1} AND {flags[i - 1]})"
+        else:
+            cond = f"({cond})"
+        flags.append(cond)
+    counts = ", ".join(
+        f"SUM(CAST({flags[i]} AS BIGINT)) AS __c{i}" for i in range(len(steps))
+    )
+    stack_args = ", ".join(f"{i}, '{s}', __c{i}" for i, s in enumerate(steps))
+    return (
+        f"SELECT stack({len(steps)}, {stack_args}) AS (STEP_INDEX, STEP, ENTITIES) "
+        f"FROM (SELECT {counts} FROM "
+        f"(SELECT {entity}, {firsts} FROM {source} GROUP BY {entity}))"
     )
 
 
@@ -346,6 +391,25 @@ def heatmap(df: DataFrame, x: str, y: str, num_buckets: int = 10) -> DataFrame:
     )
 
 
+@renderer("heatmap")
+def _r_heatmap(source, x, y, num_buckets=10) -> str:
+    def bucket_sql(col, lo, hi):
+        return (
+            f"CASE WHEN {hi} > {lo} THEN CAST(LEAST(FLOOR((CAST({col} AS DOUBLE) - {lo}) / "
+            f"(({hi} - {lo}) / {num_buckets})), {num_buckets - 1}) AS INT) ELSE 0 END"
+        )
+
+    return (
+        f"SELECT X_BUCKET, Y_BUCKET, COUNT(*) AS ROW_COUNT FROM (SELECT "
+        f"{bucket_sql(x, 'b.__xmin', 'b.__xmax')} AS X_BUCKET, "
+        f"{bucket_sql(y, 'b.__ymin', 'b.__ymax')} AS Y_BUCKET "
+        f"FROM {source} s CROSS JOIN (SELECT CAST(MIN({x}) AS DOUBLE) AS __xmin, "
+        f"CAST(MAX({x}) AS DOUBLE) AS __xmax, CAST(MIN({y}) AS DOUBLE) AS __ymin, "
+        f"CAST(MAX({y}) AS DOUBLE) AS __ymax FROM {source}) b) "
+        f"GROUP BY X_BUCKET, Y_BUCKET"
+    )
+
+
 @spark_transform("sankey", category="reshape", streaming_ok=False)
 def sankey(df: DataFrame, entity: str, ts: str, stage: str, tiebreak: str | None = None) -> DataFrame:
     """Stage-to-stage flow counts (SURVEY §2.2 [B]): lag the stage per
@@ -359,4 +423,15 @@ def sankey(df: DataFrame, entity: str, ts: str, stage: str, tiebreak: str | None
         .filter(F.col("__prev").isNotNull())
         .groupBy(F.col("__prev").alias("SOURCE_STAGE"), F.col(s).alias("TARGET_STAGE"))
         .agg(F.count(F.lit(1)).alias("FLOW_COUNT"))
+    )
+
+
+@renderer("sankey")
+def _r_sankey(source, entity, ts, stage, tiebreak=None) -> str:
+    order = ts + (f", {tiebreak}" if tiebreak else "")
+    return (
+        f"SELECT __prev AS SOURCE_STAGE, {stage} AS TARGET_STAGE, COUNT(*) AS FLOW_COUNT "
+        f"FROM (SELECT *, LAG({stage}, 1) OVER (PARTITION BY {entity} ORDER BY {order}) "
+        f"AS __prev FROM {source}) WHERE __prev IS NOT NULL "
+        f"GROUP BY __prev, {stage}"
     )

@@ -56,6 +56,13 @@ def explode_array(df: DataFrame, column: str, name: str | None = None, keep_null
     return df.withColumn(name, fn(F.col(col))).drop(col)
 
 
+@renderer("explode_array")
+def _r_explode_array(source, column, name=None, keep_nulls=False) -> str:
+    name = name or cleanse_name(f"{column}_ITEM")
+    fn = "explode_outer" if keep_nulls else "explode"
+    return f"SELECT * EXCEPT ({column}), {fn}({column}) AS {name} FROM {source}"
+
+
 @spark_transform("array_agg_by", category="semistructured", streaming_ok=False)
 def array_agg_by(df: DataFrame, group_by, column: str, sort: bool = True, distinct: bool = False) -> DataFrame:
     """Collect a column into a (deterministically sorted) array per group —
@@ -69,6 +76,18 @@ def array_agg_by(df: DataFrame, group_by, column: str, sort: bool = True, distin
     return df.groupBy(*keys).agg(agg.alias(cleanse_name(f"{col}_ARRAY")))
 
 
+@renderer("array_agg_by")
+def _r_array_agg_by(source, group_by, column, sort=True, distinct=False) -> str:
+    keys = ", ".join(as_list(group_by))
+    agg = f"collect_set({column})" if distinct else f"collect_list({column})"
+    if sort:
+        agg = f"array_sort({agg})"
+    return (
+        f"SELECT {keys}, {agg} AS {cleanse_name(f'{column}_ARRAY')} "
+        f"FROM {source} GROUP BY {keys}"
+    )
+
+
 @spark_transform("map_from_entries_by", category="semistructured", streaming_ok=False)
 def map_from_entries_by(df: DataFrame, group_by, key_column: str, value_column: str) -> DataFrame:
     """Build a map column per group from (key, value) rows."""
@@ -78,4 +97,15 @@ def map_from_entries_by(df: DataFrame, group_by, key_column: str, value_column: 
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct(F.col(kc), F.col(vc))))
         ).alias(cleanse_name(f"{kc}_{vc}_MAP"))
+    )
+
+
+@renderer("map_from_entries_by")
+def _r_map_from_entries_by(source, group_by, key_column, value_column) -> str:
+    keys = ", ".join(as_list(group_by))
+    name = cleanse_name(f"{key_column}_{value_column}_MAP")
+    return (
+        f"SELECT {keys}, map_from_entries(array_sort(collect_list("
+        f"struct({key_column}, {value_column})))) AS {name} "
+        f"FROM {source} GROUP BY {keys}"
     )

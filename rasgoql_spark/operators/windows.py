@@ -241,6 +241,21 @@ def rsi(df: DataFrame, column: str, order_by, periods: int = 14, partition=None)
     return df.withColumn(name, out).drop("__gain", "__loss")
 
 
+@renderer("rsi")
+def _r_rsi(source, column, order_by, periods=14, partition=None) -> str:
+    name = cleanse_name(f"RSI_{column}_{periods}")
+    over = _over_sql(partition, order_by)
+    frame = f"{over} ROWS BETWEEN {periods - 1} PRECEDING AND CURRENT ROW"
+    delta = f"({column} - LAG({column}, 1) OVER ({over}))"
+    ag, al = f"AVG(__gain) OVER ({frame})", f"AVG(__loss) OVER ({frame})"
+    return (
+        f"SELECT * EXCEPT (__gain, __loss), CASE WHEN {al} = 0 THEN 100.0 "
+        f"ELSE 100.0 - 100.0 / (1.0 + {ag} / {al}) END AS {name} FROM "
+        f"(SELECT *, GREATEST({delta}, 0.0) AS __gain, "
+        f"GREATEST(-{delta}, 0.0) AS __loss FROM {source})"
+    )
+
+
 @spark_transform("sliding_slope", category="window", streaming_ok=False)
 def sliding_slope(
     df: DataFrame, x: str, y: str, window_size: int, order_by, partition=None
@@ -260,3 +275,23 @@ def sliding_slope(
     denom = n * sxx - sx * sx
     name = cleanse_name(f"SLOPE_{yc}_{window_size}")
     return df.withColumn(name, F.when(denom != 0, (n * sxy - sx * sy) / denom))
+
+
+@renderer("sliding_slope")
+def _r_sliding_slope(source, x, y, window_size, order_by, partition=None) -> str:
+    name = cleanse_name(f"SLOPE_{y}_{window_size}")
+    frame = (
+        f"{_over_sql(partition, order_by)} "
+        f"ROWS BETWEEN {window_size - 1} PRECEDING AND CURRENT ROW"
+    )
+    xd, yd = f"CAST({x} AS DOUBLE)", f"CAST({y} AS DOUBLE)"
+    n = f"CAST(COUNT(1) OVER ({frame}) AS DOUBLE)"
+    sx = f"SUM({xd}) OVER ({frame})"
+    sy = f"SUM({yd}) OVER ({frame})"
+    sxy = f"SUM({xd} * {yd}) OVER ({frame})"
+    sxx = f"SUM({xd} * {xd}) OVER ({frame})"
+    denom = f"({n} * {sxx} - {sx} * {sx})"
+    return (
+        f"SELECT *, CASE WHEN {denom} != 0 THEN "
+        f"({n} * {sxy} - {sx} * {sy}) / {denom} END AS {name} FROM {source}"
+    )

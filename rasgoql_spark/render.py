@@ -27,11 +27,21 @@ def render_step(step: "Step", source_table: str) -> str:
     import inspect
 
     kwargs = dict(step.kwargs)
-    # table-valued args render as their source name / inline subquery
+    # table-valued args render as their source name / inline subquery; a list
+    # value holds per-spec names for multi_join — substitute into the specs
     for k, rendered in step.table_args.items():
-        kwargs[k] = rendered
-    if "_input_columns" in inspect.signature(tdef.render).parameters:
+        if isinstance(rendered, list):
+            kwargs[k] = [
+                {**spec, "join_table": name}
+                for spec, name in zip(kwargs[k], rendered)
+            ]
+        else:
+            kwargs[k] = rendered
+    params = inspect.signature(tdef.render).parameters
+    if "_input_columns" in params:
         kwargs["_input_columns"] = step.input_columns
+    if "_table_columns" in params:
+        kwargs["_table_columns"] = step.table_columns
     return tdef.render(source_table, **kwargs)
 
 

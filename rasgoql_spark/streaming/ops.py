@@ -15,8 +15,8 @@ from pyspark.sql.types import StructType
 
 from ..errors import ParameterException
 from ..naming import agg_name
-from ..operators._util import agg_expr, as_list, resolve_col, resolve_cols
-from ..registry import spark_transform
+from ..operators._util import agg_expr, agg_sql, as_list, resolve_col, resolve_cols
+from ..registry import renderer, spark_transform
 
 
 def _agg_cols(df: DataFrame, aggregations: dict) -> list:
@@ -26,6 +26,26 @@ def _agg_cols(df: DataFrame, aggregations: dict) -> list:
         for agg in as_list(aggs):
             out.append(agg_expr(agg, col).alias(agg_name(col, agg)))
     return out
+
+
+def _agg_sql_cols(aggregations: dict) -> str:
+    return ", ".join(
+        f"{agg_sql(agg, col)} AS {agg_name(col, agg)}"
+        for col, aggs in aggregations.items()
+        for agg in as_list(aggs)
+    )
+
+
+def _window_agg_sql(source, fn_call, struct_name, start_alias, end_alias,
+                    aggregations, group_by) -> str:
+    keys = as_list(group_by)
+    ksel = (", ".join(keys) + ", ") if keys else ""
+    kgrp = (", " + ", ".join(keys)) if keys else ""
+    return (
+        f"SELECT {struct_name}.start AS {start_alias}, {struct_name}.end AS {end_alias}, "
+        f"{ksel}{_agg_sql_cols(aggregations)} FROM {source} "
+        f"GROUP BY {fn_call}{kgrp}"
+    )
 
 
 def _maybe_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFrame:
@@ -63,6 +83,14 @@ def tumbling_window(
     )
 
 
+@renderer("tumbling_window")
+def _r_tumbling_window(source, ts, duration, aggregations, group_by=None, watermark=None) -> str:
+    return _window_agg_sql(
+        source, f"window({ts}, '{duration}')", "window",
+        "WINDOW_START", "WINDOW_END", aggregations, group_by,
+    )
+
+
 @spark_transform("sliding_window", category="streaming")
 def sliding_window(
     df: DataFrame,
@@ -86,6 +114,14 @@ def sliding_window(
         F.col("__w.end").alias("WINDOW_END"),
         *keys,
         *[c for c in out.columns if c != "__w" and c not in keys],
+    )
+
+
+@renderer("sliding_window")
+def _r_sliding_window(source, ts, duration, slide, aggregations, group_by=None, watermark=None) -> str:
+    return _window_agg_sql(
+        source, f"window({ts}, '{duration}', '{slide}')", "window",
+        "WINDOW_START", "WINDOW_END", aggregations, group_by,
     )
 
 
@@ -115,6 +151,14 @@ def session_window_agg(
     )
 
 
+@renderer("session_window_agg")
+def _r_session_window_agg(source, ts, gap, aggregations, group_by=None, watermark=None) -> str:
+    return _window_agg_sql(
+        source, f"session_window({ts}, '{gap}')", "session_window",
+        "SESSION_START", "SESSION_END", aggregations, group_by,
+    )
+
+
 @spark_transform("sessionize", category="streaming", streaming_ok=False)
 def sessionize(
     df: DataFrame, entity: str, ts: str, gap_minutes: float = 30.0
@@ -139,6 +183,20 @@ def sessionize(
     sid = F.sum(new_session).over(run)
     return df.withColumn(
         "SESSION_ID", F.concat_ws("#", F.col(e).cast("string"), sid.cast("string"))
+    )
+
+
+@renderer("sessionize")
+def _r_sessionize(source, entity, ts, gap_minutes=30.0) -> str:
+    gap_us = int(gap_minutes * 60_000_000)
+    over = f"PARTITION BY {entity} ORDER BY {ts}"
+    gap = f"(unix_micros({ts}) - unix_micros(LAG({ts}, 1) OVER ({over})))"
+    run = f"{over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return (
+        f"SELECT * EXCEPT (__new), CONCAT_WS('#', CAST({entity} AS STRING), "
+        f"CAST(SUM(__new) OVER ({run}) AS STRING)) AS SESSION_ID FROM "
+        f"(SELECT *, CASE WHEN {gap} IS NULL OR {gap} > {gap_us} THEN 1 ELSE 0 END "
+        f"AS __new FROM {source})"
     )
 
 

@@ -64,3 +64,100 @@ def test_rendered_sql_matches_dataframe(session, name, kwargs):
     assert via_sql.columns == via_df.columns
     assert via_df.exceptAll(via_sql).count() == 0
     assert via_sql.exceptAll(via_df).count() == 0
+
+
+# Chain-level parity cases for renderers added in round 2 — each builder
+# returns a chain over session tables; the rendered SQL must reproduce the
+# DataFrame result exactly (columns AND rows).
+CHAIN_CASES = [
+    ("impute", lambda s: s.dataset("lineitem").impute(
+        imputations={"l_quantity": "mean", "l_returnflag": "mode"})),
+    ("quantiles", lambda s: s.dataset("lineitem").quantiles(
+        column="l_extendedprice", probs=(0.25, 0.5), group_by=["l_returnflag"])),
+    ("rsi", lambda s: s.dataset("orders").rsi(
+        column="o_totalprice", order_by=["o_orderdate", "o_orderkey"], periods=5)),
+    ("sliding_slope", lambda s: s.dataset("orders").sliding_slope(
+        x="o_orderkey", y="o_totalprice", window_size=4,
+        order_by=["o_orderdate", "o_orderkey"])),
+    ("approx_distinct", lambda s: s.dataset("lineitem").approx_distinct(
+        columns=["l_partkey"], group_by=["l_returnflag"])),
+    ("grouping_sets", lambda s: s.dataset("lineitem").grouping_sets(
+        sets=[["l_returnflag", "l_linestatus"], []],
+        aggregations={"l_quantity": ["SUM"]})),
+    ("min_max_scaler_grouped", lambda s: s.dataset("lineitem").min_max_scaler(
+        columns=["l_quantity"], group_by=["l_returnflag"])),
+    ("join_prefix", lambda s: s.dataset("customer").join(
+        join_table="orders", join_columns={"c_custkey": "o_custkey"},
+        join_type="LEFT", join_prefix="O")),
+    ("join_full", lambda s: s.dataset("customer").join(
+        join_table="orders", join_columns={"c_custkey": "o_custkey"},
+        join_type="FULL")),
+    ("multi_join", lambda s: s.dataset("lineitem").multi_join(joins=[
+        {"join_table": "orders", "join_columns": {"l_orderkey": "o_orderkey"},
+         "join_prefix": "O"},
+        {"join_table": "part", "join_columns": {"l_partkey": "p_partkey"},
+         "join_prefix": "P"}])),
+    ("theta_join", lambda s: s.dataset("region").theta_join(
+        join_table="nation", condition="r_regionkey = R_N_REGIONKEY")),
+    ("asof_join", lambda s: s.dataset("events").asof_join(
+        join_table="events", on="ts", by=["event_type"], value_columns=["value"])),
+    ("funnel", lambda s: s.dataset("events").funnel(
+        entity="user_id", ts="ts", event="event_type",
+        steps=["signup", "view", "purchase"])),
+    ("sankey", lambda s: s.dataset("events").sankey(
+        entity="user_id", ts="ts", stage="event_type", tiebreak="event_id")),
+    ("sessionize", lambda s: s.dataset("events").sessionize(
+        entity="user_id", ts="ts", gap_minutes=60)),
+    ("tumbling_window", lambda s: s.dataset("events").tumbling_window(
+        ts="ts", duration="1 hour", aggregations={"value": ["SUM"]},
+        group_by=["event_type"])),
+    ("sliding_window", lambda s: s.dataset("events").sliding_window(
+        ts="ts", duration="2 hours", slide="1 hour",
+        aggregations={"value": ["MAX"]})),
+    ("session_window", lambda s: s.dataset("events").session_window_agg(
+        ts="ts", gap="30 minutes", aggregations={"value": ["COUNT"]},
+        group_by=["user_id"])),
+    ("text_tokenize", lambda s: s.dataset("documents").text_tokenize(text="text")),
+    ("token_count_bpe", lambda s: s.dataset("documents").token_count(
+        text="text", method="bpe_ish")),
+    ("text_quality", lambda s: s.dataset("documents").text_quality(text="text")),
+    ("language_id", lambda s: s.dataset("documents").language_id(text="text")),
+    ("fingerprint", lambda s: s.dataset("documents").fingerprint(text="text")),
+    ("dedup_exact", lambda s: s.dataset("documents").dedup_exact(
+        text="text", id_col="doc_id")),
+    ("binary_meta", lambda s: s.dataset("documents")
+        .attach_binary(source_col="text", name="CONTENT")
+        .binary_meta(binary_col="CONTENT")),
+    ("explode_tokens", lambda s: s.dataset("documents")
+        .text_tokenize(text="text").explode_array(column="TOKENS")),
+    ("array_agg_by", lambda s: s.dataset("lineitem").array_agg_by(
+        group_by=["l_orderkey"], column="l_partkey")),
+    ("map_from_entries_by", lambda s: s.dataset("documents").map_from_entries_by(
+        group_by=["lang"], key_column="doc_id", value_column="n_chars")),
+    ("datespine_groups", lambda s: s.dataset("lineitem").datespine_groups(
+        group_by=["l_returnflag"], date_col="l_shipdate", interval="month")),
+]
+
+_ALL_TABLES = ("region nation customer supplier part orders lineitem "
+               "events documents").split()
+
+
+@pytest.mark.parametrize(
+    "name,builder", CHAIN_CASES, ids=[n for n, _ in CHAIN_CASES])
+def test_round2_renderer_parity(session, name, builder):
+    for t in _ALL_TABLES:
+        session.dataset(t).df.createOrReplaceTempView(t)
+    chain = builder(session)
+    via_sql = session.spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    # exceptAll can't compare MAP columns — canonicalize to sorted entries
+    from pyspark.sql import functions as F
+
+    maps = [f.name for f in via_df.schema.fields
+            if f.dataType.typeName() == "map"]
+    if maps:
+        conv = lambda d: d.withColumns({m: F.map_entries(m) for m in maps})  # noqa: E731
+        via_sql, via_df = conv(via_sql), conv(via_df)
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
