@@ -60,6 +60,8 @@ BENCH_QUERIES = {
     "b8_tumbling_window": entry.q_tumbling_window,
     "llm_dedup_minhash": entry.q_dedup_minhash,
     "llm_similarity_search": entry.q_similarity_search,
+    # the 100 TB-scale ANN path (brute above is the exact/oracle baseline)
+    "llm_similarity_ivf": entry.q_similarity_search_ivf,
     "llm_text_quality": entry.q_text_quality,
 }
 

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
-from ..operators._util import resolve_col
+from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
 from ._cache import release_with
 from ._hash import MERSENNE, affine_hash, hash_params, md5_int, shingles_expr, tokens_expr
@@ -75,7 +75,7 @@ def minhash_signatures(
     # to a column referenced >1× downstream, which also stops Catalyst's
     # CollapseProject from re-inlining it. Measured 25× faster than the
     # single-expression form at sf0.1.
-    staged_t = df.select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
+    staged_t = spread(df).select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
     staged_sh = staged_t.select(
         "__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh")
     )
@@ -211,7 +211,7 @@ def dedup_simhash(
     """
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     toks = tokens_expr(F.col(t))
-    sig = df.select(
+    sig = spread(df).select(
         F.col(i).alias("__id"),
         F.array_distinct(F.transform(toks, md5_int)).alias("__hv"),
     ).select("__id", _simhash_over_hashes(F.col("__hv")).alias("SIMHASH"))
@@ -263,7 +263,7 @@ def dedup_ngram_jaccard(
     (documented trade-off)."""
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     base = (
-        df.select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
+        spread(df).select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
         .select("__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh"))
         .persist()  # reused by the inverted index + both verification sides
     )  # staged projections: see minhash_signatures on per-element re-eval
@@ -340,7 +340,7 @@ def dedup_embedding(
     reproducible across engines/float orderings. Output (ID_A, ID_B, COSINE).
     """
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    base = df.select(F.col(i).alias("__id"), F.col(v).alias("__vec"))
+    base = spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec"))
     if method == "lsh":
         sig = F.concat_ws(
             "", *[_hyperplane_sign(F.col("__vec"), j).cast("string") for j in range(num_planes)]

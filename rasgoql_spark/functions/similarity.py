@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
-from ..operators._util import resolve_col
+from ..operators._util import resolve_col, spread
 from ..registry import spark_transform
 from ._cache import release_with
 from .dedup import _hyperplane_sign, cosine_expr
@@ -42,7 +42,7 @@ def similarity_search(
     Output (QUERY_ID, MATCH_ID, COSINE, RANK) excluding self-matches.
     """
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    corpus = df.select(F.col(i).alias("MATCH_ID"), F.col(v).alias("__cvec"))
+    corpus = spread(df).select(F.col(i).alias("MATCH_ID"), F.col(v).alias("__cvec"))
     if queries is None:
         if query_ids is None:
             raise ParameterException("pass queries or query_ids")
@@ -82,6 +82,73 @@ def similarity_search(
     )
 
 
+def _with_normalized(df: DataFrame, vec_col: str, out_col: str = "__nvec") -> DataFrame:
+    """Append a unit-normalized copy of an array column. The norm is staged
+    in its own column and referenced twice downstream, which stops
+    CollapseProject from re-inlining the fold into the per-element lambda
+    (the round-1 HOF staging lesson). After normalization, cosine == dot —
+    every downstream pairwise score drops from dot+2 norms to one dot."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        df.withColumn("__vnorm", norm)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__vnorm") > 0,
+                F.transform(v, lambda x: x.cast("double") / F.col("__vnorm")),
+            ).otherwise(F.transform(v, lambda x: F.lit(0.0))),
+        )
+        .drop("__vnorm")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _centroid_array(cents: list) -> "F.Column":
+    """[(cid, [floats])] → literal array<struct<c, v>> — k·dim literals, tiny
+    for any sane centroid count; embedding it makes assignment a pure
+    shuffle-free projection (the corpus never joins or explodes)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("bigint").alias("c"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _sims_expr(cents: list, nvec_col: str = "__nvec"):
+    """array<struct<s: sim, nc: -cid>> per row — one dot per centroid."""
+    return F.transform(
+        _centroid_array(cents),
+        lambda ce: F.struct(
+            _dot(F.col(nvec_col), ce["v"]).alias("s"), (-ce["c"]).alias("nc")
+        ),
+    )
+
+
+def _argmax_cid(cents: list, nvec_col: str = "__nvec"):
+    """cid of the highest-cosine centroid (ties → lowest cid via -cid max)."""
+    best = F.array_max(_sims_expr(cents, nvec_col))
+    return (-best["nc"]).cast("bigint")
+
+
+def _norm_py(vec: list) -> list:
+    s = sum(x * x for x in vec) ** 0.5
+    return [x / s for x in vec] if s > 0 else [0.0 for _ in vec]
+
+
 def _elementwise_mean(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
     """Per-group elementwise mean of array columns via posexplode →
     (group, pos) average → re-assemble sorted by position. Distributed —
@@ -110,39 +177,53 @@ def build_ivf_index(
 ) -> DataFrame:
     """IVF inverted-list index: (id, vec, centroid_id) with k-means-lite
     centroids (deterministic seed = lowest-id vectors, ``iterations`` Lloyd
-    refinement passes, each one broadcast-assign + one shuffle to re-average).
+    refinement passes).
 
-    At 100 TB the assignment pass is a broadcast cross-join against k
-    centroids (k ≪ corpus) — the corpus never shuffles for assignment, only
-    the (cluster, pos, value) triples of the refinement aggregate do.
+    100 TB design: vectors are unit-normalized ONCE (cosine becomes a plain
+    dot); the k centroids are collected to the driver (k·dim floats — a
+    bounded action like the discovery caps) and embedded as a literal array,
+    so every assignment pass is a shuffle-free projection — the corpus never
+    joins, explodes, or shuffles for assignment. Only the Lloyd re-average
+    shuffles, and it ships slim (cid, pos, value) triples.
     """
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    corpus = df.select(F.col(i).alias("__id"), F.col(v).alias("__vec"))
-    centroids = (
-        corpus.orderBy("__id").limit(num_centroids)
-        .select(F.monotonically_increasing_id().alias("__cid"), F.col("__vec").alias("__cvec"))
+    indexed, _, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations)
+    out = indexed.select(
+        F.col("__id").alias(i), F.col("__vec").alias(v), "CENTROID_ID"
     )
+    return release_with(out, cached)
+
+
+def _ivf_assign(df, vec_col, id_col, num_centroids, iterations):
+    """(normalized corpus with CENTROID_ID, centroid list, scoped cache) —
+    shared by build_ivf_index and similarity_search_ivf. The normalized
+    corpus is persisted ONCE and reused by the seed collect, every Lloyd
+    pass, and the final assignment (5 consumers otherwise recompute the
+    normalization fold per pass); callers release it with the result."""
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    cached = _with_normalized(
+        spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
+    ).persist()
+    seeds = cached.orderBy("__id").limit(num_centroids).select("__nvec").collect()
+    cents = [(j, list(r["__nvec"])) for j, r in enumerate(seeds)]
     for _ in range(iterations):
-        assigned = _assign_to_centroid(corpus, centroids)
-        centroids = _elementwise_mean(
-            assigned.select("__cid", "__vec"), "__cid", "__vec"
-        ).select("__cid", F.col("__vec").alias("__cvec"))
-    assigned = _assign_to_centroid(corpus, centroids)
-    return assigned.select(
-        F.col("__id").alias(i), F.col("__vec").alias(v), F.col("__cid").alias("CENTROID_ID")
-    )
-
-
-def _assign_to_centroid(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_expr(F.col("__vec"), F.col("__cvec"))
-    )
-    w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .select("__id", "__vec", "__cid")
-    )
+        assigned = cached.withColumn("__cid", _argmax_cid(cents))
+        # per-(cid, pos) averages collect as k·dim rows (bounded); the final
+        # re-assembly happens on the driver — skips a second shuffle round
+        rows = (
+            assigned.select("__cid", F.posexplode("__nvec").alias("__pos", "__v"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__v").alias("__m"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault(r["__cid"], {})[r["__pos"]] = r["__m"]
+        cents = [
+            (cid, _norm_py([d[p] for p in range(len(d))]))
+            for cid, d in sorted(acc.items())
+        ]
+    return cached.withColumn("CENTROID_ID", _argmax_cid(cents)), cents, cached
 
 
 @spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
@@ -159,35 +240,35 @@ def similarity_search_ivf(
     """ANN top-k via an IVF index: queries probe their ``nprobe`` nearest
     centroids and scan only those inverted lists — cost ~ corpus × nprobe /
     num_centroids per query instead of the full corpus (approximate recall).
-    Output (QUERY_ID, MATCH_ID, COSINE, RANK)."""
-    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    index = build_ivf_index(df, vec_col, id_col, num_centroids).persist()
-    centroids = _elementwise_mean(
-        index.select(F.col("CENTROID_ID").alias("__cid"), F.col(v).alias("__vec")),
-        "__cid", "__vec",
-    ).select("__cid", F.col("__vec").alias("__cvec"))
-    q = index.filter(F.col(i).isin(list(query_ids))).select(
-        F.col(i).alias("QUERY_ID"), F.col(v).alias("__qvec")
-    )
-    # probe: nprobe nearest centroids per query
-    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_expr(F.col("__qvec"), F.col("__cvec"))
-    )
-    wq = Window.partitionBy("QUERY_ID").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+
+    The persisted index holds PRE-NORMALIZED vectors, so the per-candidate
+    score is a single dot product; probe selection is a shuffle-free
+    sort+slice over the literal centroid array (no centroid join, no
+    per-query window). Output (QUERY_ID, MATCH_ID, COSINE, RANK)."""
+    index, cents, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations=1)
+    # probe: nprobe highest-dot centroids per query — sort the per-row sims
+    # array descending (struct sort: s desc via max-first, ties → lowest cid
+    # because nc = -cid) and slice
     probes = (
-        qc.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("QUERY_ID", "__qvec", "__cid")
+        index.filter(F.col("__id").isin(list(query_ids)))
+        .select(
+            F.col("__id").alias("QUERY_ID"),
+            F.col("__nvec").alias("__qnvec"),
+            F.explode(
+                F.slice(F.sort_array(_sims_expr(cents), asc=False), 1, nprobe)
+            ).alias("__probe"),
+        )
+        .select("QUERY_ID", "__qnvec", (-F.col("__probe")["nc"]).cast("bigint").alias("__cid"))
     )
-    lists = index.select(
-        F.col(i).alias("MATCH_ID"), F.col(v).alias("__cvec2"),
-        F.col("CENTROID_ID").alias("__cid"),
-    )
-    cos = cosine_expr(F.col("__qvec"), F.col("__cvec2"))
+    cos = _dot(F.col("__qnvec"), F.col("__nvec"))
     if round_scores is not None:
         cos = F.round(cos, round_scores)
     scored = (
-        lists.join(F.broadcast(probes), on="__cid")
+        index.select(
+            F.col("__id").alias("MATCH_ID"), "__nvec",
+            F.col("CENTROID_ID").alias("__cid"),
+        )
+        .join(F.broadcast(probes), on="__cid")
         .filter(F.col("QUERY_ID") != F.col("MATCH_ID"))
         .withColumn("COSINE", cos)
     )
@@ -197,7 +278,7 @@ def similarity_search_ivf(
         .filter(F.col("RANK") <= k)
         .select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
     )
-    return release_with(out, index)
+    return release_with(out, cached)
 
 
 @spark_transform("knn_classify", category="similarity", streaming_ok=False)

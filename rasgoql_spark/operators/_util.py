@@ -104,6 +104,19 @@ def agg_sql(agg: str, col: str) -> str:
     return f"{a}({col})"
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions to engage every core before a CPU-heavy
+    row-local pipeline (hash signatures, vector math): small inputs often
+    arrive as 1-2 parquet splits, which would serialize the whole pipeline
+    on one task. Repartitioning a small input is cheap; inputs already at or
+    above the session parallelism pass through untouched (at 100 TB the
+    branch never triggers — scans come pre-split)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_columns_sql(source: str, exprs: dict, input_columns) -> str:
     """SQL mirror of ``df.withColumns(exprs)``: a column whose name matches an
     existing input column (case-insensitively) is REPLACED in place under the

@@ -399,19 +399,22 @@ def train_test_split(
     'TEST'. Include a unique tiebreak column in order_by for deterministic
     hash-comparable output (SURVEY §7.3).
 
-    Scale path: when the leading order column is numeric, the global
-    percent_rank is computed WITHOUT a global-order window. approxQuantile
-    boundaries on the leading key split rows into range buckets (equal keys
-    always share a bucket, so ties never straddle buckets); per-bucket
-    counts give each bucket's exclusive global offset; global rank = bucket
-    offset + in-bucket rank over the full order spec. Three parallel jobs,
-    no single-task Exchange — survives 100 TB. Non-numeric leading keys
-    fall back to the single-window formulation."""
+    Scale path: when the leading order column is numeric/temporal AND the
+    input spans more than a few partitions, the global percent_rank is
+    computed WITHOUT a global-order window. approxQuantile boundaries on the
+    leading key split rows into range buckets (equal keys always share a
+    bucket, so ties never straddle buckets); per-bucket counts give each
+    bucket's exclusive global offset; global rank = bucket offset +
+    in-bucket rank over the full order spec. Three parallel jobs, no
+    single-task Exchange — survives 100 TB. Small inputs (≤4 partitions —
+    the data already fits a single task) and non-numeric leading keys use
+    the single-window formulation, which is optimal there."""
     pairs = _order_names_dirs(df, order_by)
     first, first_desc = pairs[0]
     dtype = dict(df.dtypes)[first]
     # monotone numeric proxy of the leading key — ordering-preserving, equal
     # keys map to equal proxies, so bucketing on the proxy never splits ties
+    proxy = None
     if dtype.startswith(_NUMERIC_PREFIXES):
         proxy = F.col(first).cast("double")
     elif dtype == "timestamp":
@@ -428,7 +431,9 @@ def train_test_split(
         )
     elif dtype == "date":
         proxy = F.unix_date(F.col(first)).cast("double")
-    else:
+    if proxy is None or df.rdd.getNumPartitions() <= 4:
+        # non-orderable-proxy key, or the input already fits a handful of
+        # tasks — the single window is both optimal and scale-irrelevant here
         w = Window.orderBy(*order_spec(df, order_by))
         return df.withColumn(
             name,
@@ -441,7 +446,9 @@ def train_test_split(
     nbuckets = min(max(sc.defaultParallelism, 1), 200)
     probs = [i / nbuckets for i in range(1, nbuckets)]
     keyed = df.withColumn("__tts_key", proxy)
-    bounds = sorted(set(keyed.stat.approxQuantile("__tts_key", probs, 0.001))) if probs else []
+    # coarse eps: boundaries only balance buckets, they never affect
+    # correctness (rank comes from exact per-bucket counts)
+    bounds = sorted(set(keyed.stat.approxQuantile("__tts_key", probs, 0.01))) if probs else []
     if bounds:
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         # bucket id = #boundaries strictly below the key → equal keys share a

@@ -172,9 +172,10 @@ def test_impute_all_null_and_mode(spark):
 
 def test_train_test_split_matches_window_and_scales(spark):
     from pyspark.sql import Window
-    # duplicate keys (ties) + a tiebreak column, numeric leading key
+    # duplicate keys (ties) + a tiebreak column, numeric leading key;
+    # >4 partitions so the bucketed scale path engages
     df = spark.createDataFrame(
-        [(i % 37, i) for i in range(500)], ["key", "tb"])
+        [(i % 37, i) for i in range(500)], ["key", "tb"]).repartition(8)
     out = rql.get_transform("train_test_split").apply(
         df, order_by=["key", "tb"], train_percent=0.7)
     w = Window.orderBy(F.col("key").asc(), F.col("tb").asc())
@@ -190,7 +191,13 @@ def test_train_test_split_matches_window_and_scales(spark):
 
 def test_train_test_split_timestamp_key(session):
     # timestamp_ntz leading key exercises the wall-clock proxy path
-    out = session.dataset("orders").train_test_split(
-        order_by=["o_orderdate", "o_orderkey"], train_percent=0.8)
-    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    df = session.dataset("orders").df.repartition(8)
+    out = rql.get_transform("train_test_split").apply(
+        df, order_by=["o_orderdate", "o_orderkey"], train_percent=0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+    # small inputs (≤4 partitions) take the single-window path by design
+    small = session.dataset("orders").train_test_split(
+        order_by=["o_orderdate", "o_orderkey"], train_percent=0.8)
+    counts = dict(small.df.groupBy("TT_SPLIT").count().collect())
+    assert abs(counts["TRAIN"] / sum(counts.values()) - 0.8) < 0.01
