@@ -800,6 +800,14 @@ def q_quantiles(spark, sf):
         column="l_quantity", probs=(0.25, 0.5, 0.75), group_by=["l_returnflag"]).df
 
 
+def q_stream_sessionize_batch(spark, sf):
+    # batch mode of the applyInPandasWithState stateful operator — identical
+    # output contract, SQL-checkable; the true streaming path is exercised by
+    # tests/test_streaming.py (stream ⊆ batch parity)
+    return _s(spark, sf).dataset("events").stream_sessionize(
+        entity="user_id", ts="ts", gap_minutes=1440).df
+
+
 def q_sessionize(spark, sf):
     return (
         _s(spark, sf).dataset("events")
@@ -1564,6 +1572,16 @@ ranked AS (
             "SELECT event_id, concat(CAST(user_id AS VARCHAR), '#', CAST(sid AS VARCHAR)) "
             "AS SESSION_ID FROM s"
         ),
+        "stream_sessionize_batch": (
+            "WITH d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER w IS NULL "
+            "OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 86400000000 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, SUM(ns) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+            "SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS SESSION_START, "
+            "CAST(MAX(ts) AS TIMESTAMP) AS SESSION_END, CAST(COUNT(*) AS BIGINT) AS N_EVENTS "
+            "FROM s GROUP BY user_id, sid"
+        ),
         "bin": (
             "SELECT o_orderkey, CASE WHEN b.__max > b.__min THEN "
             "CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.__min) / "
@@ -1752,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "stream_dedup_batch": q_stream_dedup_batch,
         # ---- fold: entries below only reached if the driver checks >50 ----
+        "stream_sessionize_batch": q_stream_sessionize_batch,
         # rows-only approximate entries (weaker check by design)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
         "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)

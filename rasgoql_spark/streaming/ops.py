@@ -200,6 +200,123 @@ def _r_sessionize(source, entity, ts, gap_minutes=30.0) -> str:
     )
 
 
+@spark_transform("stream_sessionize", category="streaming")
+def stream_sessionize(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    gap_minutes: float = 30.0,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sessionization as a CUSTOM STATEFUL operator: one closed session row
+    ``(entity, SESSION_START, SESSION_END, N_EVENTS)`` per inactivity gap.
+
+    Streaming path: ``applyInPandasWithState`` with per-entity state
+    ``(start_ms, last_ms, n)`` and an event-time timeout at ``last + gap`` —
+    a session closes either when a later event arrives past the gap or when
+    the watermark passes the timeout. State is bounded: one open session per
+    active entity; late rows beyond the watermark are dropped by the engine.
+    This is the shape ``F.session_window`` cannot express once per-session
+    logic grows beyond built-in aggregates (custom merge rules, session
+    payloads, emission side-conditions).
+
+    Batch path: identical output via the gaps-and-islands ``sessionize`` +
+    one aggregation — the parity target for tests/oracles.
+    """
+    from pyspark.sql.types import (
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+        TimestampType as _Ts,
+    )
+
+    e, t = resolve_col(df, entity), resolve_col(df, ts)
+    gap_ms = int(gap_minutes * 60_000)
+    if not df.isStreaming:
+        sess = sessionize(df, entity, ts, gap_minutes)
+        return (
+            sess.groupBy(e, "SESSION_ID")
+            .agg(
+                F.min(t).alias("SESSION_START"),
+                F.max(t).alias("SESSION_END"),
+                F.count(F.lit(1)).cast("bigint").alias("N_EVENTS"),
+            )
+            .drop("SESSION_ID")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    entity_type = df.schema[e].dataType
+    out_schema = _ST(
+        [
+            _SF(e, entity_type),
+            _SF("SESSION_START", _Ts()),
+            _SF("SESSION_END", _Ts()),
+            _SF("N_EVENTS", _Long()),
+        ]
+    )
+    state_schema = _ST(
+        [_SF("start", _Long()), _SF("last", _Long()), _SF("n", _Long())]
+    )
+
+    def close_sessions(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        # state tracks MICROSECONDS (full timestamp precision); the engine
+        # timeout API takes milliseconds
+        def row(start_us, last_us, n):
+            return {
+                e: key[0],
+                "SESSION_START": pd.Timestamp(start_us, unit="us"),
+                "SESSION_END": pd.Timestamp(last_us, unit="us"),
+                "N_EVENTS": n,
+            }
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([row(start, last, n)])
+            return
+        stamps: list[int] = []
+        for pdf in pdf_iter:
+            us = pd.to_datetime(pdf[t]).astype("datetime64[us]").astype("int64")
+            stamps.extend(us.tolist())
+        stamps.sort()
+        cur = state.get if state.exists else None
+        closed = []
+        gap_us = gap_ms * 1000
+        for us in stamps:
+            if cur is None:
+                cur = (us, us, 1)
+            elif us - cur[1] > gap_us:
+                closed.append(row(*cur))
+                cur = (us, us, 1)
+            else:
+                cur = (cur[0], us, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # a session whose natural close already lies behind the watermark
+            # times out at the next watermark tick (timeouts must be ahead of
+            # the current watermark)
+            state.setTimeoutTimestamp(
+                max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        df.withWatermark(t, watermark)
+        .groupBy(F.col(e))
+        .applyInPandasWithState(
+            close_sessions,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 @spark_transform("stream_dedup", category="streaming")
 def stream_dedup(df: DataFrame, keys, ts: str | None = None, watermark: str | None = None) -> DataFrame:
     """Exactly-once key dedup. Streaming with a watermark uses

@@ -120,3 +120,51 @@ def test_session_stream_api(spark, events_stream_dir):
     assert chain.df.isStreaming
     got = _run_stream(chain.df, "t_sess_api")
     assert got.count() > 0
+
+
+def test_stream_sessionize_stateful_matches_batch(spark, tmp_path_factory):
+    """Custom stateful operator (applyInPandasWithState): sessions emitted by
+    the stream must be exactly batch sessions (subset — sessions still open
+    at end-of-stream flush only when the watermark passes their timeout)."""
+    import time as _time
+
+    out = str(tmp_path_factory.mktemp("events_ranged"))
+    session = rql.RasgoSession(spark, data_dir=SF_DIR)
+    ev = session.dataset("events").df
+    # micro-batches must arrive in event-time order (the file source orders
+    # by modification time): write three disjoint time slices sequentially
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") >= lo + i * span)
+            & ((F.col("ts") < lo + (i + 1) * span) if i < 2 else (F.col("ts") <= hi))
+        )
+        part.coalesce(1).write.mode("append").parquet(out)
+        _time.sleep(1.1)
+    sdf = read_events_stream(spark, out)
+    tr = rql.get_transform("stream_sessionize")
+    streamed = tr.apply(sdf, entity="user_id", ts="ts",
+                        gap_minutes=1440, watermark="1 second")
+    q = (streamed.writeStream.format("memory").queryName("t_sessionize")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("t_sessionize").collect()}
+    batch = tr.apply(spark.read.parquet(out), entity="user_id", ts="ts",
+                     gap_minutes=1440)
+    expected = {tuple(r) for r in batch.collect()}
+    assert len(got) > 0
+    assert got <= expected
+    # with in-order batches + tiny watermark, most sessions should close
+    assert len(got) >= len(expected) * 0.5
+
+
+def test_stream_sessionize_batch_mode(spark):
+    session = rql.RasgoSession(spark, data_dir=SF_DIR)
+    out = session.dataset("events").stream_sessionize(
+        entity="user_id", ts="ts", gap_minutes=1440)
+    df = out.df
+    assert df.columns == ["user_id", "SESSION_START", "SESSION_END", "N_EVENTS"]
+    # N_EVENTS sums back to the event count
+    total = df.agg(F.sum("N_EVENTS")).collect()[0][0]
+    assert total == session.dataset("events").df.count()
