@@ -4,6 +4,8 @@ refactor silently breaks pushdown, pruning, or a broadcast, these fail."""
 
 from pyspark.sql import functions as F
 
+import rasgoql_spark as rql
+
 
 def _plan(chain) -> str:
     return chain.explain("formatted")
@@ -143,3 +145,38 @@ def test_semi_join_planned_as_semi(session):
     chain = session.dataset("customer").semi_join(
         join_table=session.dataset("orders"), join_columns={"c_custkey": "o_custkey"})
     assert "LeftSemi" in _plan(chain)
+
+
+def test_train_test_split_scale_path_no_single_partition(spark, session):
+    """Bucketed split: no single-partition window Exchange on multi-partition
+    inputs (VERDICT r01 item 7)."""
+    df = session.dataset("orders").df.repartition(8)
+    out = rql.get_transform("train_test_split").apply(
+        df, order_by=["o_orderdate", "o_orderkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_ivf_assignment_is_shuffle_free(session):
+    """IVF centroid assignment embeds literal centroids — the corpus plan for
+    build_ivf_index must contain no Join and no Exchange (assignment is a
+    pure projection; only the Lloyd refinement jobs shuffle)."""
+    emb = session.dataset("embeddings").df
+    idx = rql.get_transform("build_ivf_index").apply(
+        emb, vec_col="embedding", id_col="vec_id", num_centroids=4)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    import re
+    # the only exchange allowed is the spread() round-robin repartition
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
+
+
+def test_outer_join_coalesces_keys_in_plan(session):
+    out = rql.get_transform("join").apply(
+        session.dataset("customer").df,
+        join_table=session.dataset("orders").df.selectExpr(
+            "o_custkey AS ck", "o_totalprice"),
+        join_columns={"c_custkey": "ck"}, join_type="FULL")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "coalesce" in plan.lower()

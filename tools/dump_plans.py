@@ -41,9 +41,27 @@ ANNOTATED = [
      "Union + single windowed last-non-null pass: exactly one shuffle on "
      "(key, ts); no per-key driver loop, no UDF."),
     ("dedup_minhash", "dedup_minhash",
-     "Signature stage is scan-only (no shuffle); band self-join shuffles "
-     "only (id, band) pairs; shingle arrays re-attach to surviving "
-     "candidates via the persisted signature table (InMemoryTableScan)."),
+     "Signature stage is scan-only (no shuffle beyond the small-input "
+     "spread); band self-join shuffles only (id, band) pairs; shingle "
+     "arrays re-attach to surviving candidates via the persisted signature "
+     "table (InMemoryTableScan), which is released when the result is "
+     "dropped (round-2 scoped caching)."),
+    ("train_test_split (bucketed scale path)", "train_test_split",
+     "Round 2: on multi-partition inputs, percent_rank decomposes into "
+     "range buckets (approxQuantile boundaries) + per-bucket rank + "
+     "exclusive offsets — NO single-partition window Exchange anywhere in "
+     "the plan. Small inputs keep the single-window form (optimal there). "
+     "This sf0.01 dump shows whichever path the input size selects; "
+     "tests/test_plans.py asserts the multi-partition property explicitly."),
+    ("similarity_search_ivf (ANN scale path)", "similarity_search_ivf",
+     "Round 2: centroid assignment is a literal-array projection (no join, "
+     "no shuffle — k centroids are collected driver-side, a bounded "
+     "action); corpus vectors are unit-normalized once into the persisted "
+     "index so every candidate score is a single dot product; probes "
+     "broadcast to the inverted lists."),
+    ("grouping_sets", "grouping_sets",
+     "Arbitrary grouping sets plan as ONE Expand + partial/final "
+     "HashAggregate — one shuffle regardless of how many sets."),
 ]
 
 
