@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
@@ -102,6 +102,115 @@ def agg_sql(agg: str, col: str) -> str:
     if a == "VARIANCE":
         return f"VAR_SAMP({col})"
     return f"{a}({col})"
+
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def order_names_dirs(df: DataFrame, order_by) -> list[tuple[str, bool]]:
+    """order_by arg → [(column, is_desc)]."""
+    if isinstance(order_by, dict):
+        return [
+            (resolve_col(df, c), str(d).upper().startswith("DESC"))
+            for c, d in order_by.items()
+        ]
+    return [(resolve_col(df, c), False) for c in as_list(order_by)]
+
+
+def _order_proxy(df: DataFrame, first: str):
+    """Monotone numeric proxy of a column (None if the type has no cheap
+    order-preserving numeric mapping). Equal keys map to equal proxies, so
+    range-bucketing on the proxy never splits ties."""
+    dtype = dict(df.dtypes)[first]
+    if dtype.startswith(_NUMERIC_PREFIXES):
+        return F.col(first).cast("double")
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(first)).cast("double")
+    if dtype == "timestamp_ntz":
+        # wall-clock decomposition — tz-free and monotone for NTZ (sub-second
+        # collisions just share a bucket; in-bucket sort uses the real key)
+        c = F.col(first)
+        return (
+            F.unix_date(c.cast("date")).cast("double") * 86400.0
+            + F.hour(c) * 3600.0
+            + F.minute(c) * 60.0
+            + F.second(c)
+        )
+    if dtype == "date":
+        return F.unix_date(F.col(first)).cast("double")
+    return None
+
+
+def bucketed_global_rank(df: DataFrame, order_by, method: str = "rank"):
+    """Global rank WITHOUT a single-partition window, or None when the
+    windowed form is the right plan (small input / no orderable proxy).
+
+    Returns ``(df + '__grank' (1-based int), n_rows)``. Range buckets come
+    from approxQuantile boundaries on the leading key's monotone proxy
+    (equal keys share a bucket → ties never straddle buckets); per-bucket
+    counts (rank/row_number) or distinct-key counts (dense_rank) give each
+    bucket's exclusive offset; global rank = offset + in-bucket window
+    function over the full order spec. Three parallel jobs, no single-task
+    Exchange — survives 100 TB. ``method ∈ {rank, dense_rank, row_number}``.
+    """
+    pairs = order_names_dirs(df, order_by)
+    first, first_desc = pairs[0]
+    proxy = _order_proxy(df, first)
+    if proxy is None or df.rdd.getNumPartitions() <= 4:
+        return None
+    sc = df.sparkSession.sparkContext
+    nbuckets = min(max(sc.defaultParallelism, 1), 200)
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    keyed = df.withColumn("__gr_key", proxy)
+    # coarse eps: boundaries only balance buckets, never affect correctness
+    bounds = sorted(set(keyed.stat.approxQuantile("__gr_key", probs, 0.01))) if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        # bucket id = #boundaries strictly below the key → equal keys share a
+        # bucket; NULL keys → bucket 0 (asc NULLS FIRST / desc NULLS LAST
+        # both resolve via the in-bucket sort)
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("__gr_key")))
+    else:
+        bucket = F.lit(0)
+    bdf = keyed.withColumn("__gr_bucket", bucket).drop("__gr_key")
+    ordkeys = [p[0] for p in pairs]
+    aggs = [F.count(F.lit(1)).alias("__c")]
+    if method == "dense_rank":
+        aggs.append(F.count_distinct(F.struct(*ordkeys)).alias("__d"))
+    stats = bdf.groupBy("__gr_bucket").agg(*aggs).collect()
+    counts = {r["__gr_bucket"]: r["__c"] for r in stats}
+    sizes = (
+        {r["__gr_bucket"]: r["__d"] for r in stats}
+        if method == "dense_rank"
+        else counts
+    )
+    n = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(sizes, reverse=first_desc):
+        offsets[b] = acc
+        acc += sizes[b]
+    offmap = F.create_map(*[F.lit(x) for b, off in offsets.items() for x in (b, off)])
+    fns = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}
+    w = Window.partitionBy("__gr_bucket").orderBy(*order_spec(df, order_by))
+    # int, matching Spark's own window-function range (rank is int-bounded)
+    grank = (fns[method]().over(w) + offmap[F.col("__gr_bucket")]).cast("int")
+    return bdf.withColumn("__grank", grank).drop("__gr_bucket"), n
+
+
+def ntile_from_rownumber(r0: Column, n: int, buckets: int) -> Column:
+    """NTILE(buckets) from a 0-based global row_number and known row count —
+    Spark's exact semantics: the first n % buckets tiles get one extra row."""
+    base, rem = divmod(n, buckets)
+    if base == 0:
+        return (r0 + 1).cast("int")  # fewer rows than tiles: one row each
+    big = rem * (base + 1)
+    return (
+        F.when(r0 < big, F.floor(r0 / (base + 1))).otherwise(
+            rem + F.floor((r0 - big) / base)
+        )
+        + 1
+    ).cast("int")
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..naming import cleanse_name
 from ..registry import renderer, spark_transform
-from ._util import DISCOVERY_LIMIT, as_list, order_spec, order_sql, resolve_col, resolve_cols
+from ._util import (
+    DISCOVERY_LIMIT,
+    as_list,
+    bucketed_global_rank,
+    order_spec,
+    order_sql,
+    resolve_col,
+    resolve_cols,
+)
 
 
 def _discover_values(df: DataFrame, column: str, cap: int) -> list:
@@ -281,7 +289,15 @@ def bin_(df: DataFrame, column: str, bins: int = 10, method: str = "equal_width"
             .drop("__min", "__max")
         )
     if method == "ntile":
-        order = [F.col(c).asc()] + ([F.col(resolve_col(df, tiebreak)).asc()] if tiebreak else [])
+        order_by = [c] + ([resolve_col(df, tiebreak)] if tiebreak else [])
+        res = bucketed_global_rank(df, order_by, "row_number")
+        if res is not None:  # multi-partition input: no single-task window
+            from ._util import ntile_from_rownumber
+
+            ranked, n = res
+            tile = ntile_from_rownumber(F.col("__grank") - 1, n, bins)
+            return ranked.withColumn(name, tile).drop("__grank")
+        order = [F.col(k).asc() for k in order_by]
         return df.withColumn(name, F.ntile(bins).over(Window.orderBy(*order)))
     raise ParameterException("method must be 'equal_width' or 'ntile'")
 
@@ -377,19 +393,6 @@ def _r_levenshtein(source, column_1, column_2, name="LEVENSHTEIN") -> str:
     return f"SELECT *, LEVENSHTEIN({column_1}, {column_2}) AS {name} FROM {source}"
 
 
-_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
-
-
-def _order_names_dirs(df: DataFrame, order_by) -> list[tuple[str, bool]]:
-    """order_by arg → [(column, is_desc)]."""
-    if isinstance(order_by, dict):
-        return [
-            (resolve_col(df, c), str(d).upper().startswith("DESC"))
-            for c, d in order_by.items()
-        ]
-    return [(resolve_col(df, c), False) for c in as_list(order_by)]
-
-
 @spark_transform("train_test_split", category="ml", streaming_ok=False)
 def train_test_split(
     df: DataFrame, order_by, train_percent: float = 0.8, name: str = "TT_SPLIT"
@@ -399,41 +402,13 @@ def train_test_split(
     'TEST'. Include a unique tiebreak column in order_by for deterministic
     hash-comparable output (SURVEY §7.3).
 
-    Scale path: when the leading order column is numeric/temporal AND the
-    input spans more than a few partitions, the global percent_rank is
-    computed WITHOUT a global-order window. approxQuantile boundaries on the
-    leading key split rows into range buckets (equal keys always share a
-    bucket, so ties never straddle buckets); per-bucket counts give each
-    bucket's exclusive global offset; global rank = bucket offset +
-    in-bucket rank over the full order spec. Three parallel jobs, no
-    single-task Exchange — survives 100 TB. Small inputs (≤4 partitions —
-    the data already fits a single task) and non-numeric leading keys use
-    the single-window formulation, which is optimal there."""
-    pairs = _order_names_dirs(df, order_by)
-    first, first_desc = pairs[0]
-    dtype = dict(df.dtypes)[first]
-    # monotone numeric proxy of the leading key — ordering-preserving, equal
-    # keys map to equal proxies, so bucketing on the proxy never splits ties
-    proxy = None
-    if dtype.startswith(_NUMERIC_PREFIXES):
-        proxy = F.col(first).cast("double")
-    elif dtype == "timestamp":
-        proxy = F.unix_micros(F.col(first)).cast("double")
-    elif dtype == "timestamp_ntz":
-        # wall-clock decomposition — tz-free and monotone for NTZ (sub-second
-        # collisions just share a bucket; in-bucket sort uses the real key)
-        c = F.col(first)
-        proxy = (
-            F.unix_date(c.cast("date")).cast("double") * 86400.0
-            + F.hour(c) * 3600.0
-            + F.minute(c) * 60.0
-            + F.second(c)
-        )
-    elif dtype == "date":
-        proxy = F.unix_date(F.col(first)).cast("double")
-    if proxy is None or df.rdd.getNumPartitions() <= 4:
-        # non-orderable-proxy key, or the input already fits a handful of
-        # tasks — the single window is both optimal and scale-irrelevant here
+    Scale path: ``bucketed_global_rank`` (operators/_util.py) computes the
+    global percent_rank without a single-partition window — range buckets
+    from approxQuantile boundaries + per-bucket counts + in-bucket rank.
+    Small inputs (≤4 partitions) and keys with no monotone numeric proxy
+    use the single-window formulation, which is optimal there."""
+    res = bucketed_global_rank(df, order_by, method="rank")
+    if res is None:
         w = Window.orderBy(*order_spec(df, order_by))
         return df.withColumn(
             name,
@@ -441,43 +416,18 @@ def train_test_split(
                 F.percent_rank().over(w) < F.lit(train_percent), F.lit("TRAIN")
             ).otherwise(F.lit("TEST")),
         )
-
-    sc = df.sparkSession.sparkContext
-    nbuckets = min(max(sc.defaultParallelism, 1), 200)
-    probs = [i / nbuckets for i in range(1, nbuckets)]
-    keyed = df.withColumn("__tts_key", proxy)
-    # coarse eps: boundaries only balance buckets, they never affect
-    # correctness (rank comes from exact per-bucket counts)
-    bounds = sorted(set(keyed.stat.approxQuantile("__tts_key", probs, 0.01))) if probs else []
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        # bucket id = #boundaries strictly below the key → equal keys share a
-        # bucket; NULL keys compare to nothing → bucket 0 (asc NULLS FIRST /
-        # desc NULLS LAST both put bucket 0's nulls at the right end via the
-        # in-bucket sort).
-        bucket = F.size(F.filter(barr, lambda b: b < F.col("__tts_key")))
-    else:
-        bucket = F.lit(0)
-    bdf = keyed.withColumn("__tts_bucket", bucket).drop("__tts_key")
-    counts = {r[0]: r[1] for r in bdf.groupBy("__tts_bucket").count().collect()}
-    n = sum(counts.values())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(counts, reverse=first_desc):
-        offsets[b] = acc
-        acc += counts[b]
-    offmap = F.create_map(
-        *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
+    ranked, n = res
+    # same double arithmetic as percent_rank so boundary rows agree
+    # bit-for-bit with the window/SQL formulation
+    pr = (
+        (F.col("__grank") - 1).cast("double") / F.lit(float(n - 1))
+        if n > 1
+        else F.lit(0.0)
     )
-    w = Window.partitionBy("__tts_bucket").orderBy(*order_spec(df, order_by))
-    # 0-based global rank; same double arithmetic as percent_rank so boundary
-    # rows agree bit-for-bit with the window/SQL formulation
-    grank = (F.rank().over(w) - 1 + offmap[F.col("__tts_bucket")]).cast("double")
-    pr = grank / F.lit(float(n - 1)) if n > 1 else F.lit(0.0)
-    return bdf.withColumn(
+    return ranked.withColumn(
         name,
         F.when(pr < F.lit(float(train_percent)), F.lit("TRAIN")).otherwise(F.lit("TEST")),
-    ).drop("__tts_bucket")
+    ).drop("__grank")
 
 
 @renderer("train_test_split")

@@ -20,7 +20,17 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..naming import cleanse_name, lag_name, moving_avg_name
 from ..registry import renderer, spark_transform
-from ._util import agg_expr, agg_sql, as_list, order_spec, order_sql, resolve_col, resolve_cols
+from ._util import (
+    agg_expr,
+    agg_sql,
+    as_list,
+    bucketed_global_rank,
+    ntile_from_rownumber,
+    order_spec,
+    order_sql,
+    resolve_col,
+    resolve_cols,
+)
 
 
 def _window(df, partition, order_by) -> WindowSpec:
@@ -191,19 +201,56 @@ _RANKS = {
 }
 
 
+def _global_rank_variant(df: DataFrame, order_by, m: str, name: str) -> DataFrame | None:
+    """Unpartitioned ranks via the bucketed scale path (operators/_util.py) —
+    None when the windowed plan is the right one (small input / no proxy)."""
+    if m.startswith("ntile"):
+        nt = int(m.split("_")[-1]) if "_" in m else 4
+        res = bucketed_global_rank(df, order_by, "row_number")
+        if res is None:
+            return None
+        ranked, n = res
+        tile = ntile_from_rownumber(F.col("__grank") - 1, n, nt)
+        return ranked.withColumn(name, tile).drop("__grank")
+    if m == "percent_rank":
+        res = bucketed_global_rank(df, order_by, "rank")
+        if res is None:
+            return None
+        ranked, n = res
+        pr = (
+            (F.col("__grank") - 1).cast("double") / F.lit(float(n - 1))
+            if n > 1
+            else F.lit(0.0)
+        )
+        return ranked.withColumn(name, pr).drop("__grank")
+    if m in ("rank", "dense_rank", "row_number"):
+        res = bucketed_global_rank(df, order_by, m)
+        if res is None:
+            return None
+        return res[0].withColumnRenamed("__grank", name)
+    return None
+
+
 @spark_transform("rank", category="window", streaming_ok=False)
 def rank(
     df: DataFrame, order_by, partition=None, method: str = "rank", name: str | None = None
 ) -> DataFrame:
-    """rank / dense_rank / row_number / percent_rank / ntile-N (SURVEY §2.2 [B])."""
+    """rank / dense_rank / row_number / percent_rank / ntile-N (SURVEY §2.2 [B]).
+
+    Unpartitioned ranks on multi-partition inputs route through the bucketed
+    global-rank path (no single-task window — see operators/_util.py)."""
     m = method.lower()
     name = name or cleanse_name(m)
+    if m not in _RANKS and not m.startswith("ntile"):
+        raise ParameterException(f"method must be one of {sorted(_RANKS)} or 'ntile_N'")
+    if not as_list(partition):
+        out = _global_rank_variant(df, order_by, m, name)
+        if out is not None:
+            return out
     w = _window(df, partition, order_by)
     if m.startswith("ntile"):
         n = int(m.split("_")[-1]) if "_" in m else 4
         return df.withColumn(name, F.ntile(n).over(w))
-    if m not in _RANKS:
-        raise ParameterException(f"method must be one of {sorted(_RANKS)} or 'ntile_N'")
     return df.withColumn(name, _RANKS[m]().over(w))
 
 

@@ -201,3 +201,41 @@ def test_train_test_split_timestamp_key(session):
         order_by=["o_orderdate", "o_orderkey"], train_percent=0.8)
     counts = dict(small.df.groupBy("TT_SPLIT").count().collect())
     assert abs(counts["TRAIN"] / sum(counts.values()) - 0.8) < 0.01
+
+
+def test_global_ranks_bucketed_match_windowed(spark):
+    """rank/dense_rank/row_number/percent_rank/ntile via the bucketed scale
+    path must agree exactly with the single-window formulation — ties,
+    boundaries, and all."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i % 23, i) for i in range(400)], ["key", "tb"]).repartition(8)
+    w = Window.orderBy(F.col("key").asc(), F.col("tb").asc())
+    expected = {
+        "rank": F.rank(), "dense_rank": F.dense_rank(),
+        "row_number": F.row_number(), "percent_rank": F.percent_rank(),
+        "ntile_7": F.ntile(7),
+    }
+    tr = rql.get_transform("rank")
+    for m, fn in expected.items():
+        got = tr.apply(df, order_by=["key", "tb"], method=m, name="R")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, m
+        exp = df.withColumn("E", fn.over(w))
+        bad = got.join(exp, ["key", "tb"]).filter("R <> E").count()
+        assert bad == 0, m
+
+
+def test_bin_ntile_bucketed(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(float(i % 50), i) for i in range(300)], ["v", "tb"]).repartition(8)
+    out = rql.get_transform("bin").apply(
+        df, column="v", bins=5, method="ntile", tiebreak="tb")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    w = Window.orderBy(F.col("v").asc(), F.col("tb").asc())
+    exp = df.withColumn("E", F.ntile(5).over(w))
+    assert out.join(exp, ["v", "tb"]).filter("V_BIN <> E").count() == 0
