@@ -59,3 +59,29 @@ def test_full_tutorial_pipeline(session):
     # the pre-save chain renders to SQL end-to-end (CTE per step)
     sql = weekly.sql()
     assert "MEAN_L_EXTENDEDPRICE_SUM_4" in sql and sql.count("RQL_T") >= 6
+
+
+def test_tutorial_chain_with_impute_renders_and_exports(session, tmp_path):
+    """VERDICT r01 item 3 'done' criterion: a tutorial-parity chain that
+    includes impute (Tier A) renders to SQL, the SQL reproduces the
+    DataFrame result, and to_dbt exports it."""
+    import os
+
+    chain = (
+        session.dataset("orders")
+        .filter(filter_statements=["o_totalprice > 0"])
+        .one_hot_encode(column="o_orderpriority",
+                        list_of_vals=["1-URGENT", "2-HIGH"])
+        .target_encode(column="o_orderpriority", target="o_totalprice")
+        .impute(imputations={"o_totalprice": "mean", "o_orderpriority": "backfill"})
+        .train_test_split(order_by=["o_orderdate", "o_orderkey"])
+    )
+    session.dataset("orders").df.createOrReplaceTempView("orders")
+    sql = chain.sql()
+    assert "COALESCE" in sql  # impute rendered
+    via_sql = session.spark.sql(sql)
+    assert via_sql.columns == chain.df.columns
+    assert chain.df.exceptAll(via_sql).count() == 0
+    path = chain.to_dbt(str(tmp_path), file_name="model.sql", include_schema=True)
+    assert os.path.exists(path)
+    assert "COALESCE" in open(path).read()
