@@ -281,6 +281,50 @@ class SQLChain:
                 return self._session.dataset(fallback)
         return self._session.dataset(ident if table_type != "temp_view" else table_name)
 
+    def save_shards(
+        self,
+        path: str,
+        rows_per_shard: int | None = None,
+        num_shards: int | None = None,
+        by=None,
+        sort_within=None,
+        file_format: str = "parquet",
+        mode: str = "error",
+    ) -> str:
+        """Write the chain as size-controlled shards — the terminal step of a
+        training-data pipeline (LLM loaders want bounded, evenly-sized files,
+        optionally co-located by key).
+
+        - ``num_shards``: target shard count (``repartition(N)``; hash on
+          ``by`` keys when given, so one entity never straddles shards).
+        - ``rows_per_shard``: per-file row cap (``maxRecordsPerFile`` —
+          files roll over; works with or without num_shards).
+        - ``sort_within``: per-shard sort columns (locality/curriculum order
+          without a global sort — ``sortWithinPartitions``, no extra
+          shuffle beyond the repartition).
+
+        All sizing happens executor-side; nothing is collected. Returns
+        ``path``.
+        """
+        from pyspark.sql import functions as _F
+
+        from .operators._util import as_list, resolve_cols
+
+        df = self._df
+        keys = resolve_cols(df, as_list(by))
+        if keys:
+            n = num_shards or df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartition(n, *[_F.col(k) for k in keys])
+        elif num_shards:
+            df = df.repartition(num_shards)
+        if sort_within:
+            df = df.sortWithinPartitions(*resolve_cols(df, as_list(sort_within)))
+        writer = df.write.mode(mode).format(file_format)
+        if rows_per_shard:
+            writer = writer.option("maxRecordsPerFile", int(rows_per_shard))
+        writer.save(path)
+        return path
+
     # ------------------------------------------------------------ rendering
 
     def sql(self, render_method: str = "SELECT") -> str:

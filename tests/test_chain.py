@@ -190,3 +190,29 @@ def test_grouping_sets_operator(session):
                - grand[0]["L_QUANTITY_SUM"]) < 1e-6
     # renders as GROUP BY GROUPING SETS
     assert "GROUPING SETS" in out.sql()
+
+
+def test_save_shards(session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "shards")
+    session.dataset("lineitem").save_shards(
+        out, rows_per_shard=1000, num_shards=4, sort_within=["l_orderkey"])
+    files = glob.glob(out + "/*.parquet")
+    # 4 partitions × (6000/4=1500 rows → 2 files each under the 1000 cap)
+    assert len(files) >= 8
+    counts = [pq.read_metadata(f).num_rows for f in files]
+    assert max(counts) <= 1000
+    assert sum(counts) == session.dataset("lineitem").df.count()
+    # keyed shards: one key never straddles shards
+    out2 = str(tmp_path / "keyed")
+    session.dataset("lineitem").save_shards(out2, num_shards=4, by=["l_orderkey"])
+    per_file = [
+        set(pq.read_table(f, columns=["l_orderkey"]).column(0).to_pylist())
+        for f in glob.glob(out2 + "/*.parquet")
+    ]
+    for i in range(len(per_file)):
+        for j in range(i + 1, len(per_file)):
+            assert not (per_file[i] & per_file[j])
