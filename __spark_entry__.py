@@ -2,9 +2,9 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-each (omitted only for genuinely non-SQL-expressible / approximate ops, which
-the driver checks rows-only).
+streaming extensions) — 105 entries, 101 with DuckDB oracles (the other 4
+are approximate/fan-out ops the driver checks rows-only). The dict is
+ORDERED for the driver's 50-query gate: see the note inside queries().
 
 Conventions that make the hash-compare work (see FIXTURES.md §4):
 - every computed column is aliased identically on both sides;

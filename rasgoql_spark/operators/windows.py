@@ -182,9 +182,10 @@ def _r_cumulative_agg(source, aggregations, order_by, group_by=None) -> str:
 
 @spark_transform("order", category="window", streaming_ok=False)
 def order(df: DataFrame, order_by) -> DataFrame:
-    """Global ORDER BY (reference tutorial.ipynb:1667). Faithful total sort —
-    at 100 TB prefer ``top`` (TakeOrderedAndProject) or sortWithinPartitions;
-    SURVEY §7.3 records this caveat."""
+    """Global ORDER BY (reference tutorial.ipynb:1667). Spark plans this as a
+    RANGE exchange + per-partition sort — fully parallel (not a single-task
+    funnel; only rank-style windows have that problem). For top-N prefer
+    ``top`` (TakeOrderedAndProject — skips sorting the tail entirely)."""
     return df.orderBy(*order_spec(df, order_by))
 
 
