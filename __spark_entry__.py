@@ -894,6 +894,13 @@ def q_dedup_minhash(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_near_dup_clusters(spark, sf):
+    """Transitive near-dup components over the minhash pair graph; the
+    DuckDB oracle verifies with a recursive-CTE reachability closure."""
+    return _s(spark, sf).dataset("documents").near_dup_clusters(
+        text="text", id_col="doc_id", threshold=0.2).df
+
+
 def q_dedup_minhash_filter(spark, sf):
     """filter mode: corpus minus near-duplicates of smaller-id docs."""
     return _s(spark, sf).dataset("documents").dedup_minhash(
@@ -1619,6 +1626,17 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        "near_dup_clusters": (
+            "WITH RECURSIVE p AS (SELECT * FROM (" + minhash_pairs_sql + ")), "
+            "edges AS (SELECT ID_A AS a, ID_B AS b FROM p "
+            "UNION SELECT ID_B, ID_A FROM p), "
+            "reach(src, dst) AS (SELECT a, b FROM edges UNION "
+            "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a "
+            "WHERE e.b <> r.src), "
+            "m AS (SELECT src, MIN(dst) AS md FROM reach GROUP BY src) "
+            "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(m.md, d.doc_id)) AS BIGINT) "
+            "AS CLUSTER_ID FROM documents d LEFT JOIN m ON m.src = d.doc_id"
+        ),
         "dedup_minhash_filter": (
             "SELECT * FROM documents WHERE doc_id NOT IN "
             f"(SELECT ID_B FROM ({minhash_pairs_sql}))"
@@ -1771,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_batch": q_stream_dedup_batch,
         # ---- fold: entries below only reached if the driver checks >50 ----
         "stream_sessionize_batch": q_stream_sessionize_batch,
+        "near_dup_clusters": q_near_dup_clusters,
         # rows-only approximate entries (weaker check by design)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
         "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)

@@ -175,6 +175,70 @@ def dedup_minhash(
     raise ParameterException("mode must be 'pairs' or 'filter'")
 
 
+@spark_transform("near_dup_clusters", category="dedup", streaming_ok=False)
+def near_dup_clusters(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    max_iterations: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Transitive near-duplicate clusters: ``CLUSTER_ID`` = the minimum doc
+    id reachable through the near-dup pair graph (pairwise filtering keeps
+    B when A~B and B~C but drops A and C independently; training-data dedup
+    wants ONE canonical doc per connected component).
+
+    Distributed connected components by iterative min-label propagation:
+    each round joins the (slim, 2-column) edge list with current labels and
+    takes the per-node min — converges in ≤ graph-diameter rounds (near-dup
+    components are shallow; ``max_iterations`` bounds adversarial chains).
+    Candidate pairs come from the banded LSH path (``method`` = 'minhash' or
+    'simhash'), so the whole pipeline stays far from all-pairs. Output:
+    ``(id_col, CLUSTER_ID)`` for every input row (singletons own themselves).
+    """
+    i = resolve_col(df, id_col)
+    if method == "minhash":
+        pairs = dedup_minhash(
+            df, text, id_col, threshold=threshold, mode="pairs", **kwargs
+        ).select("ID_A", "ID_B")
+    elif method == "simhash":
+        pairs = dedup_simhash(df, text, id_col, mode="pairs", **kwargs).select(
+            "ID_A", "ID_B"
+        )
+    else:
+        raise ParameterException("method must be 'minhash' or 'simhash'")
+    half = pairs.select(F.col("ID_A").alias("__src"), F.col("ID_B").alias("__dst"))
+    edges = half.union(
+        half.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+    ).persist()
+    labels = (
+        df.select(F.col(i).alias("__id")).distinct().withColumn("__lab", F.col("__id"))
+    ).persist()
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels.withColumnRenamed("__id", "__src"), on="__src"
+        ).select(F.col("__dst").alias("__id"), "__lab")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("__id").agg(F.min("__lab").alias("__lab"))
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("__lab", "__old"), on="__id")
+            .filter("__lab <> __old")
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = df.select(F.col(i)).join(
+        labels.withColumnRenamed("__id", i), on=i, how="left"
+    ).select(F.col(i), F.coalesce("__lab", F.col(i)).cast("bigint").alias("CLUSTER_ID"))
+    return release_with(out, labels)
+
+
 def _simhash_over_hashes(hashes: Column, bits: int = 32) -> Column:
     """SimHash from a pre-computed distinct token-hash array: per bit, sum ±1
     votes; bit set if the sum is positive. JVM array expressions only —

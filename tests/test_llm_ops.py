@@ -170,3 +170,42 @@ def test_image_meta_real_header_decode(spark):
     assert got[2] == (1024, 768, "RGB", "header")
     assert got[3] == (12, 34, "P", "header")
     assert got[4][3] == "stub"  # unrecognized bytes fall through to the fake
+
+
+def test_near_dup_clusters_transitive(spark):
+    # A~B and B~C but A's and C's texts differ enough that A~C is NOT a
+    # direct pair — transitivity must still pool them into one cluster
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    # at threshold 0.75: J(1,2)=0.80 and J(2,3)=0.88 pass, J(1,3)=0.71 does
+    # NOT — docs 1 and 3 connect only through 2
+    rows = [
+        (1, base * 8),
+        (2, base * 8 + "alpha beta gamma"),
+        (3, base * 8 + "alpha beta gamma delta epsilon"),
+        (10, "unrelated words entirely here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = rql.get_transform("dedup_minhash").apply(
+        df, text="text", id_col="doc_id", threshold=0.75)
+    direct = {(r["ID_A"], r["ID_B"]) for r in pairs.collect()}
+    assert (1, 3) not in direct and {(1, 2), (2, 3)} <= direct
+    out = rql.get_transform("near_dup_clusters").apply(
+        df, text="text", id_col="doc_id", threshold=0.75)
+    got = {r["doc_id"]: r["CLUSTER_ID"] for r in out.collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == 10  # singleton keeps its own id
+
+
+def test_ivf_recall_against_brute(session):
+    """ANN quality evidence: IVF top-10 must recover most of the exact
+    brute-force top-10 at nprobe=4/16 centroids."""
+    emb = session.dataset("embeddings").df
+    qids = [0, 1, 2, 3, 4]
+    brute = rql.get_transform("similarity_search").apply(
+        emb, vec_col="embedding", id_col="vec_id", query_ids=qids, k=10)
+    ivf = rql.get_transform("similarity_search_ivf").apply(
+        emb, vec_col="embedding", id_col="vec_id", query_ids=qids, k=10)
+    exact = {(r["QUERY_ID"], r["MATCH_ID"]) for r in brute.collect()}
+    approx = {(r["QUERY_ID"], r["MATCH_ID"]) for r in ivf.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
