@@ -901,6 +901,11 @@ def q_near_dup_clusters(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_dedup_by_cluster(spark, sf):
+    return _s(spark, sf).dataset("documents").dedup_by_cluster(
+        text="text", id_col="doc_id", threshold=0.2).df
+
+
 def q_dedup_minhash_filter(spark, sf):
     """filter mode: corpus minus near-duplicates of smaller-id docs."""
     return _s(spark, sf).dataset("documents").dedup_minhash(
@@ -1626,6 +1631,17 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        "dedup_by_cluster": (
+            "WITH RECURSIVE p AS (SELECT * FROM (" + minhash_pairs_sql + ")), "
+            "edges AS (SELECT ID_A AS a, ID_B AS b FROM p "
+            "UNION SELECT ID_B, ID_A FROM p), "
+            "reach(src, dst) AS (SELECT a, b FROM edges UNION "
+            "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a "
+            "WHERE e.b <> r.src) "
+            "SELECT d.* FROM documents d LEFT JOIN "
+            "(SELECT src, MIN(dst) AS md FROM reach GROUP BY src) m "
+            "ON m.src = d.doc_id WHERE LEAST(d.doc_id, COALESCE(m.md, d.doc_id)) = d.doc_id"
+        ),
         "near_dup_clusters": (
             "WITH RECURSIVE p AS (SELECT * FROM (" + minhash_pairs_sql + ")), "
             "edges AS (SELECT ID_A AS a, ID_B AS b FROM p "
@@ -1790,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- fold: entries below only reached if the driver checks >50 ----
         "stream_sessionize_batch": q_stream_sessionize_batch,
         "near_dup_clusters": q_near_dup_clusters,
+        "dedup_by_cluster": q_dedup_by_cluster,
         # rows-only approximate entries (weaker check by design)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
         "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)

@@ -239,6 +239,25 @@ def near_dup_clusters(
     return release_with(out, labels)
 
 
+@spark_transform("dedup_by_cluster", category="dedup", streaming_ok=False)
+def dedup_by_cluster(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Keep ONE canonical row (minimum id) per transitive near-dup cluster —
+    the filter-mode counterpart of ``near_dup_clusters`` and the strongest
+    dedup guarantee: A~B~C collapses to A even when A and C never pair
+    directly. Input rows whose id equals their cluster id survive."""
+    i = resolve_col(df, id_col)
+    clusters = near_dup_clusters(df, text, id_col, method, threshold, **kwargs)
+    reps = clusters.filter(F.col(i) == F.col("CLUSTER_ID")).select(i)
+    return df.join(reps, on=i, how="left_semi")
+
+
 def _simhash_over_hashes(hashes: Column, bits: int = 32) -> Column:
     """SimHash from a pre-computed distinct token-hash array: per bit, sum ±1
     votes; bit set if the sum is positive. JVM array expressions only —
