@@ -178,6 +178,8 @@ def bucketed_global_rank(df: DataFrame, order_by, method: str = "rank"):
     if method == "dense_rank":
         aggs.append(F.count_distinct(F.struct(*ordkeys)).alias("__d"))
     stats = bdf.groupBy("__gr_bucket").agg(*aggs).collect()
+    if not stats:  # empty input — the windowed form is trivially correct
+        return None
     counts = {r["__gr_bucket"]: r["__c"] for r in stats}
     sizes = (
         {r["__gr_bucket"]: r["__d"] for r in stats}

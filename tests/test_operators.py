@@ -239,3 +239,14 @@ def test_bin_ntile_bucketed(spark):
     w = Window.orderBy(F.col("v").asc(), F.col("tb").asc())
     exp = df.withColumn("E", F.ntile(5).over(w))
     assert out.join(exp, ["v", "tb"]).filter("V_BIN <> E").count() == 0
+
+
+def test_bucketed_rank_edge_cases(spark):
+    # empty input falls back to the (trivially correct) windowed path
+    empty = spark.range(0).withColumn("v", F.col("id").cast("double")).repartition(8)
+    out = rql.get_transform("train_test_split").apply(empty, order_by=["v", "id"])
+    assert out.count() == 0
+    # constant key: one bucket, ranks all tie at 1
+    ones = spark.createDataFrame([(1.0, i) for i in range(50)], ["v", "tb"]).repartition(8)
+    r = rql.get_transform("rank").apply(ones, order_by=["v"], method="rank", name="R")
+    assert r.select("R").distinct().collect()[0][0] == 1
