@@ -81,3 +81,57 @@ def test_ivf_recall_against_brute(session):
     bset = {(r["QUERY_ID"], r["MATCH_ID"]) for r in brute}
     iset = {(r["QUERY_ID"], r["MATCH_ID"]) for r in ivf}
     assert len(bset & iset) / len(bset) >= 0.5  # nprobe=4/16 keeps most of top-10
+
+
+@given(st.integers(min_value=0, max_value=500), st.integers(min_value=1, max_value=40))
+@settings(max_examples=200, deadline=None)
+def test_ntile_formula_matches_spark_definition(n, buckets):
+    """ntile_from_rownumber's arithmetic == Spark's NTILE: the first n % b
+    tiles get ceil(n/b) rows, the rest floor(n/b)."""
+    base, rem = divmod(n, buckets)
+
+    def formula(r0):  # Python mirror of the Column expression
+        if base == 0:
+            return r0 + 1
+        big = rem * (base + 1)
+        return (r0 // (base + 1) if r0 < big else rem + (r0 - big) // base) + 1
+
+    expected = []
+    for tile in range(1, buckets + 1):
+        size = base + (1 if tile <= rem else 0)
+        expected.extend([tile] * size)
+    assert [formula(r) for r in range(n)] == expected
+
+
+@given(st.integers(min_value=1, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=2**31 - 1),
+       st.sampled_from([0, 2, 3, 4, 6]))
+@settings(max_examples=100, deadline=None)
+def test_png_header_roundtrip(w, h, color_type):
+    from rasgoql_spark.functions.multimodal import _PNG_MODES, _parse_image_header
+
+    data = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    assert _parse_image_header(data) == (w, h, _PNG_MODES[color_type])
+
+
+@given(st.integers(min_value=1, max_value=65535),
+       st.integers(min_value=1, max_value=65535),
+       st.sampled_from([1, 3, 4]))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_header_roundtrip(w, h, ncomp):
+    from rasgoql_spark.functions.multimodal import _JPEG_MODES, _parse_image_header
+
+    sof = (b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8])
+           + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp]))
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    assert _parse_image_header(b"\xff\xd8" + app0 + sof) == (w, h, _JPEG_MODES[ncomp])
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_image_header_parser_never_crashes(data):
+    from rasgoql_spark.functions.multimodal import _parse_image_header
+
+    _parse_image_header(data)  # arbitrary bytes: None or a tuple, no raise
