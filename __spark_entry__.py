@@ -894,6 +894,12 @@ def q_dedup_minhash(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_stratified_sample(spark, sf):
+    # deterministic per-stratum modulo sampling — fully hash-checkable
+    return _s(spark, sf).dataset("documents").stratified_sample(
+        stratify_by="lang", fractions={"en": 0.5, "de": 0.25}, key="doc_id").df
+
+
 def q_near_dup_clusters(spark, sf):
     """Transitive near-dup components over the minhash pair graph; the
     DuckDB oracle verifies with a recursive-CTE reachability closure."""
@@ -1631,6 +1637,10 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        "stratified_sample": (
+            "SELECT * FROM documents WHERE (doc_id % 100) < "
+            "COALESCE(CASE WHEN lang = 'en' THEN 50.0 WHEN lang = 'de' THEN 25.0 END, 0.0)"
+        ),
         "dedup_by_cluster": (
             "WITH RECURSIVE p AS (SELECT * FROM (" + minhash_pairs_sql + ")), "
             "edges AS (SELECT ID_A AS a, ID_B AS b FROM p "
@@ -1807,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_batch": q_stream_sessionize_batch,
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_by_cluster": q_dedup_by_cluster,
+        "stratified_sample": q_stratified_sample,
         # rows-only approximate entries (weaker check by design)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
         "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)

@@ -12,10 +12,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..errors import ParameterException
+from ..errors import ParameterException, TransformRenderingException
 from ..naming import cleanse_name
 from ..registry import renderer, spark_transform
-from ._util import as_list, order_spec, order_sql, resolve_col, resolve_cols
+from ._util import (
+    DISCOVERY_LIMIT,
+    as_list,
+    order_spec,
+    order_sql,
+    resolve_col,
+    resolve_cols,
+)
 
 
 @spark_transform("filter", category="filter")
@@ -154,6 +161,63 @@ def _r_sample(source, percent=10.0, key=None, seed=None) -> str:
     if key is not None:
         return f"SELECT * FROM {source} WHERE pmod({key}, 100) < {percent}"
     return f"SELECT * FROM {source} TABLESAMPLE ({percent} PERCENT)"
+
+
+@spark_transform("stratified_sample", category="filter", streaming_ok=False)
+def stratified_sample(
+    df: DataFrame,
+    stratify_by: str,
+    fractions: dict | float,
+    key: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum sampling — balanced training-data draws (downsample the
+    dominant class / language / source bucket without touching the rest).
+
+    ``fractions``: {stratum_value: fraction} (values absent from the dict
+    keep fraction 0.0, matching ``sampleBy``), or a single float applied to
+    every stratum. With ``key``: deterministic per-stratum modulo sampling
+    on the key column (reproducible across engines — the oracle-checkable
+    path); without: seeded ``df.sampleBy``. One scan, no shuffle."""
+    s = resolve_col(df, stratify_by)
+    if key is not None:
+        k = F.col(resolve_col(df, key))
+        if isinstance(fractions, dict):
+            expr = F.lit(None).cast("double")
+            for v, frac in fractions.items():
+                expr = F.when(F.col(s) == F.lit(v), F.lit(float(frac) * 100)).otherwise(expr)
+            pct = F.coalesce(expr, F.lit(0.0))
+        else:
+            pct = F.lit(float(fractions) * 100)
+        return df.filter(F.pmod(k, F.lit(100)) < pct)
+    if not isinstance(fractions, dict):
+        vals = [
+            r[0]
+            for r in df.select(s).distinct().limit(DISCOVERY_LIMIT + 1).collect()
+        ]
+        if len(vals) > DISCOVERY_LIMIT:
+            raise ParameterException(
+                f"{s!r} has more than {DISCOVERY_LIMIT} strata; pass a fractions dict"
+            )
+        fractions = {v: float(fractions) for v in vals if v is not None}
+    return df.sampleBy(s, fractions={k_: float(v) for k_, v in fractions.items()}, seed=seed)
+
+
+@renderer("stratified_sample")
+def _r_stratified_sample(source, stratify_by, fractions, key=None, seed=42) -> str:
+    if key is None or not isinstance(fractions, dict):
+        raise TransformRenderingException(
+            "rendered stratified_sample requires key + a fractions dict "
+            "(the deterministic modulo path); sampleBy is RNG-based"
+        )
+    branches = " ".join(
+        f"WHEN {stratify_by} = {v!r} THEN {float(frac) * 100}"
+        for v, frac in fractions.items()
+    )
+    return (
+        f"SELECT * FROM {source} WHERE pmod({key}, 100) < "
+        f"COALESCE(CASE {branches} END, 0.0)"
+    )
 
 
 @spark_transform("latest", category="filter", streaming_ok=False)

@@ -209,3 +209,39 @@ def test_ivf_recall_against_brute(session):
     approx = {(r["QUERY_ID"], r["MATCH_ID"]) for r in ivf.collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_stratified_sample(session, spark):
+    # deterministic key path: per-stratum modulo fractions
+    out = rql.get_transform("stratified_sample").apply(
+        session.dataset("documents").df,
+        stratify_by="lang", fractions={"en": 0.5, "de": 0.1}, key="doc_id")
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"] for r in
+            session.dataset("documents").df.groupBy("lang").count().collect()}
+    assert set(got) <= {"en", "de"}  # unlisted strata drop (sampleBy parity)
+    assert 0 < got.get("en", 0) < full["en"]
+    # seeded sampleBy path with a single float
+    out2 = rql.get_transform("stratified_sample").apply(
+        session.dataset("documents").df, stratify_by="lang", fractions=0.3)
+    assert 0 < out2.count() < session.dataset("documents").df.count()
+
+
+def test_mix_datasets_proportions(session):
+    docs = session.dataset("documents").df
+    a = docs.filter("doc_id % 3 = 0")
+    b = docs.filter("doc_id % 3 = 1")
+    c = docs.filter("doc_id % 3 = 2")
+    out = rql.get_transform("mix_datasets").apply(
+        a, others=[b, c], weights=[0.6, 0.3, 0.1], key="doc_id")
+    counts = {r["MIX_SOURCE"]: r["count"]
+              for r in out.groupBy("MIX_SOURCE").count().collect()}
+    total = sum(counts.values())
+    # the 0.6-weight source is availability-limited (scale = n0/0.6) → kept
+    # nearly whole; proportions should be within a few points of targets
+    for idx, w in [(0, 0.6), (1, 0.3), (2, 0.1)]:
+        assert abs(counts.get(idx, 0) / total - w) < 0.08, (idx, counts)
+    # deterministic: same inputs → same rows
+    out2 = rql.get_transform("mix_datasets").apply(
+        a, others=[b, c], weights=[0.6, 0.3, 0.1], key="doc_id")
+    assert out.exceptAll(out2).count() == 0
