@@ -894,6 +894,11 @@ def q_dedup_minhash(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_corpus_stats(spark, sf):
+    return _s(spark, sf).dataset("documents").corpus_stats(
+        text="text", group_by=["lang"]).df
+
+
 def q_stratified_sample(spark, sf):
     # deterministic per-stratum modulo sampling — fully hash-checkable
     return _s(spark, sf).dataset("documents").stratified_sample(
@@ -1637,6 +1642,14 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        "corpus_stats": (
+            f"SELECT lang, CAST(COUNT(1) AS BIGINT) AS N_DOCS, "
+            f"CAST(SUM({n_tokens_sql}) AS BIGINT) AS TOTAL_TOKENS, "
+            f"AVG({n_tokens_sql}) AS AVG_TOKENS, "
+            f"CAST(median(length(text)) AS DOUBLE) AS P50_CHARS, "
+            f"CAST(COUNT(DISTINCT md5({fp_norm})) AS BIGINT) AS UNIQUE_FINGERPRINTS "
+            "FROM documents GROUP BY lang"
+        ),
         "stratified_sample": (
             "SELECT * FROM documents WHERE (doc_id % 100) < "
             "COALESCE(CASE WHEN lang = 'en' THEN 50.0 WHEN lang = 'de' THEN 25.0 END, 0.0)"
@@ -1818,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_by_cluster": q_dedup_by_cluster,
         "stratified_sample": q_stratified_sample,
+        "corpus_stats": q_corpus_stats,
         # rows-only approximate entries (weaker check by design)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
         "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)

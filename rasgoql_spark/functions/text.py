@@ -188,3 +188,45 @@ def fingerprint(df: DataFrame, text: str, name: str = "FINGERPRINT") -> DataFram
 @renderer("fingerprint")
 def _r_fingerprint(source, text, name="FINGERPRINT") -> str:
     return f"SELECT *, md5({_norm_sql(text)}) AS {name} FROM {source}"
+
+
+@spark_transform("corpus_stats", category="text", streaming_ok=False)
+def corpus_stats(df: DataFrame, text: str, group_by=None) -> DataFrame:
+    """One-row (or per-group) corpus profile: N_DOCS, TOTAL_TOKENS,
+    AVG_TOKENS, P50_CHARS, UNIQUE_FINGERPRINTS (exact-dup signal). One
+    aggregation pass — the go/no-go dashboard before an expensive pipeline
+    stage runs over a corpus."""
+    from ..operators._util import as_list as _as_list
+    from ..operators._util import resolve_cols as _resolve_cols
+
+    c = F.col(resolve_col(df, text))
+    keys = _resolve_cols(df, _as_list(group_by))
+    ntok = F.size(tokens_expr(c)).cast("bigint")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " ")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("N_DOCS"),
+        F.sum(ntok).alias("TOTAL_TOKENS"),
+        F.avg(ntok).alias("AVG_TOKENS"),
+        F.median(F.length(c)).alias("P50_CHARS"),
+        F.count_distinct(F.md5(norm)).alias("UNIQUE_FINGERPRINTS"),
+    ]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+@renderer("corpus_stats")
+def _r_corpus_stats(source, text, group_by=None) -> str:
+    from ..operators._util import as_list as _as_list
+
+    keys = _as_list(group_by)
+    ntok = f"CAST(size({_tokens_sql(text)}) AS BIGINT)"
+    aggs = (
+        f"CAST(COUNT(1) AS BIGINT) AS N_DOCS, SUM({ntok}) AS TOTAL_TOKENS, "
+        f"AVG({ntok}) AS AVG_TOKENS, MEDIAN(length({text})) AS P50_CHARS, "
+        f"CAST(COUNT(DISTINCT md5({_norm_sql(text)})) AS BIGINT) AS UNIQUE_FINGERPRINTS"
+    )
+    if keys:
+        k = ", ".join(keys)
+        return f"SELECT {k}, {aggs} FROM {source} GROUP BY {k}"
+    return f"SELECT {aggs} FROM {source}"

@@ -245,3 +245,14 @@ def test_mix_datasets_proportions(session):
     out2 = rql.get_transform("mix_datasets").apply(
         a, others=[b, c], weights=[0.6, 0.3, 0.1], key="doc_id")
     assert out.exceptAll(out2).count() == 0
+
+
+def test_corpus_stats_chain_and_sql(session):
+    out = session.dataset("documents").corpus_stats(text="text", group_by=["lang"])
+    rows = {r["lang"]: r for r in out.df.collect()}
+    full = session.dataset("documents").df.count()
+    assert sum(r["N_DOCS"] for r in rows.values()) == full
+    assert all(r["UNIQUE_FINGERPRINTS"] <= r["N_DOCS"] for r in rows.values())
+    session.dataset("documents").df.createOrReplaceTempView("documents")
+    via_sql = session.spark.sql(out.sql())
+    assert via_sql.columns == out.df.columns
