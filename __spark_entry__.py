@@ -894,6 +894,22 @@ def q_dedup_minhash(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_text_chunk(spark, sf):
+    return _s(spark, sf).dataset("documents").text_chunk(
+        text="text", id_col="doc_id", chunk_size=40, overlap=8).df
+
+
+def q_pack_sequences(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .token_count(text="text")
+        .pack_sequences(token_count_col="TOKEN_COUNT", order_by=["doc_id"],
+                        budget=2000, by=["lang"])
+        .drop_columns(include_cols=["doc_id", "lang", "TOKEN_COUNT", "PACK_ID"])
+        .df
+    )
+
+
 def q_corpus_stats(spark, sf):
     return _s(spark, sf).dataset("documents").corpus_stats(
         text="text", group_by=["lang"]).df
@@ -1642,6 +1658,22 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        "pack_sequences": (
+            f"WITH t AS (SELECT doc_id, lang, {n_tokens_sql} AS TOKEN_COUNT FROM documents) "
+            "SELECT doc_id, lang, TOKEN_COUNT, CAST(FLOOR(COALESCE(SUM(TOKEN_COUNT) OVER "
+            "(PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "/ 2000) AS BIGINT) AS PACK_ID FROM t"
+        ),
+        "text_chunk": (
+            f"WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents), "
+            "c AS (SELECT doc_id, toks, "
+            "GREATEST(1, CAST(CEIL((len(toks) - 8) / 32.0) AS BIGINT)) AS num "
+            "FROM t WHERE len(toks) > 0) "
+            "SELECT doc_id, CAST(u.ci AS INT) AS CHUNK_INDEX, "
+            "array_to_string(toks[ci * 32 + 1 : ci * 32 + 40], ' ') AS CHUNK_TEXT, "
+            "CAST(len(toks[ci * 32 + 1 : ci * 32 + 40]) AS BIGINT) AS CHUNK_TOKENS "
+            "FROM c, unnest(range(c.num)) AS u(ci)"
+        ),
         "corpus_stats": (
             f"SELECT lang, CAST(COUNT(1) AS BIGINT) AS N_DOCS, "
             f"CAST(SUM({n_tokens_sql}) AS BIGINT) AS TOTAL_TOKENS, "
@@ -1832,6 +1864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_cluster": q_dedup_by_cluster,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
+        "text_chunk": q_text_chunk,
+        "pack_sequences": q_pack_sequences,
         # rows-only approximate entries (weaker check by design)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
         "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)

@@ -190,6 +190,106 @@ def _r_fingerprint(source, text, name="FINGERPRINT") -> str:
     return f"SELECT *, md5({_norm_sql(text)}) AS {name} FROM {source}"
 
 
+@spark_transform("text_chunk", category="text")
+def text_chunk(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    chunk_size: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into token-bounded sliding chunks — the standard
+    LLM-training preprocessing step (context-window packing input). Chunk i
+    covers tokens [i·stride, i·stride + chunk_size) with stride =
+    chunk_size − overlap; the final chunk may be shorter; empty docs yield
+    no chunks. Pure JVM array expressions (tokens staged once per row,
+    slice+explode) — embarrassingly parallel, no shuffle, no Python.
+    Output (id, CHUNK_INDEX, CHUNK_TEXT, CHUNK_TOKENS)."""
+    if overlap >= chunk_size:
+        raise ParameterException("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    staged = df.select(F.col(i), tokens_expr(F.col(t)).alias("__toks"))
+    n = F.size("__toks")
+    num = F.greatest(F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)))
+    idx = F.when(n > 0, F.sequence(F.lit(0), (num - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = staged.select(F.col(i), "__toks", F.explode(idx).alias("CHUNK_INDEX"))
+    chunk = F.slice(
+        F.col("__toks"), F.col("CHUNK_INDEX") * stride + 1, chunk_size
+    )
+    return exploded.select(
+        F.col(i),
+        "CHUNK_INDEX",
+        F.concat_ws(" ", chunk).alias("CHUNK_TEXT"),
+        F.size(chunk).cast("bigint").alias("CHUNK_TOKENS"),
+    )
+
+
+@renderer("text_chunk")
+def _r_text_chunk(source, text, id_col, chunk_size=512, overlap=0) -> str:
+    stride = chunk_size - overlap
+    chunk = f"slice(__toks, CHUNK_INDEX * {stride} + 1, {chunk_size})"
+    return (
+        f"SELECT {id_col}, CHUNK_INDEX, concat_ws(' ', {chunk}) AS CHUNK_TEXT, "
+        f"CAST(size({chunk}) AS BIGINT) AS CHUNK_TOKENS FROM "
+        f"(SELECT {id_col}, __toks, explode(CASE WHEN size(__toks) > 0 THEN "
+        f"sequence(0, CAST(GREATEST(1, CEIL((size(__toks) - {overlap}) / {stride})) AS INT) - 1) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END) AS CHUNK_INDEX FROM "
+        f"(SELECT {id_col}, {_tokens_sql(text)} AS __toks FROM {source}))"
+    )
+
+
+@spark_transform("pack_sequences", category="text", streaming_ok=False)
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    order_by,
+    budget: int,
+    by=None,
+) -> DataFrame:
+    """Concat-stream sequence packing: documents ordered by ``order_by``
+    form one token stream per ``by`` group; ``PACK_ID`` = which
+    ``budget``-token window the document STARTS in (floor of the exclusive
+    prefix sum / budget) — the deterministic assignment used when training
+    data is concatenated and cut every ``budget`` tokens. Pass ``by`` (e.g.
+    a shard key) at scale: packing is then one partitioned window; without
+    it the prefix sum is a global-order window (single-task — fine for
+    per-shard post-processing, not for a whole corpus)."""
+    from ..operators._util import as_list as _as_list
+    from ..operators._util import order_spec as _order_spec
+    from ..operators._util import resolve_cols as _resolve_cols
+    from pyspark.sql import Window
+
+    tc = resolve_col(df, token_count_col)
+    keys = _resolve_cols(df, _as_list(by))
+    w = (
+        (Window.partitionBy(*keys) if keys else Window.partitionBy())
+        .orderBy(*_order_spec(df, order_by))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(F.col(tc)).over(w), F.lit(0))
+    return df.withColumn("PACK_ID", F.floor(prefix / F.lit(budget)).cast("bigint"))
+
+
+@renderer("pack_sequences")
+def _r_pack_sequences(source, token_count_col, order_by, budget, by=None) -> str:
+    from ..operators._util import as_list as _as_list
+    from ..operators._util import order_sql as _order_sql
+
+    keys = _as_list(by)
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    over = (
+        f"{part}ORDER BY {_order_sql(order_by)} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    )
+    return (
+        f"SELECT *, CAST(FLOOR(COALESCE(SUM({token_count_col}) OVER ({over}), 0) "
+        f"/ {budget}) AS BIGINT) AS PACK_ID FROM {source}"
+    )
+
+
 @spark_transform("corpus_stats", category="text", streaming_ok=False)
 def corpus_stats(df: DataFrame, text: str, group_by=None) -> DataFrame:
     """One-row (or per-group) corpus profile: N_DOCS, TOTAL_TOKENS,

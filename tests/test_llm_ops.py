@@ -256,3 +256,32 @@ def test_corpus_stats_chain_and_sql(session):
     session.dataset("documents").df.createOrReplaceTempView("documents")
     via_sql = session.spark.sql(out.sql())
     assert via_sql.columns == out.df.columns
+
+
+def test_text_chunk_coverage_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    out = rql.get_transform("text_chunk").apply(
+        df, text="text", id_col="doc_id", chunk_size=40, overlap=10)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["CHUNK_INDEX"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 30: chunks start at 0,30,60 → 3 chunks; last has 40 tokens? 60+40=100 ✓
+    assert [r["CHUNK_INDEX"] for r in d1] == [0, 1, 2]
+    assert [r["CHUNK_TOKENS"] for r in d1] == [40, 40, 40]
+    assert d1[1]["CHUNK_TEXT"].split()[0] == "w30"      # overlap honored
+    assert d1[0]["CHUNK_TEXT"].split()[-1] == "w39"
+    # every token covered exactly once per stride window start
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["CHUNK_TOKENS"] == 2  # short doc → 1 chunk
+    assert not [r for r in rows if r["doc_id"] == 3]    # empty doc → none
+
+
+def test_pack_sequences_budget(spark):
+    rows = [(i, "g", 100) for i in range(10)]  # 10 docs × 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, grp string, TOKEN_COUNT long")
+    out = rql.get_transform("pack_sequences").apply(
+        df, token_count_col="TOKEN_COUNT", order_by=["doc_id"], budget=250, by=["grp"])
+    packs = {r["doc_id"]: r["PACK_ID"] for r in out.collect()}
+    # starts at 0,100,200,300,... → floor(start/250): 0,0,0,1,1,2,2,2,3,3
+    assert [packs[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
