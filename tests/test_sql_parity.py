@@ -136,6 +136,31 @@ CHAIN_CASES = [
         group_by=["lang"], key_column="doc_id", value_column="n_chars")),
     ("datespine_groups", lambda s: s.dataset("lineitem").datespine_groups(
         group_by=["l_returnflag"], date_col="l_shipdate", interval="month")),
+    ("join_right", lambda s: s.dataset("customer").join(
+        join_table="orders", join_columns={"c_custkey": "o_custkey"},
+        join_type="RIGHT")),
+    ("asof_tolerance", lambda s: s.dataset("events").asof_join(
+        join_table="events", on="ts", by=["event_type"],
+        value_columns=["value"], tolerance_seconds=3600)),
+    ("interval_join_keys", lambda s: s.dataset("lineitem").interval_join(
+        join_table=s.dataset("part")
+        .math(math_ops=["p_retailprice - 50", "p_retailprice + 50"],
+              names=["LO", "HI"])
+        .drop_columns(include_cols=["p_partkey", "p_brand", "LO", "HI"]),
+        point="l_extendedprice", lower="LO", upper="HI", bucket_width=100.0)),
+    ("theta_left", lambda s: s.dataset("region").theta_join(
+        join_table="nation", condition="r_regionkey = R_N_REGIONKEY",
+        join_type="LEFT")),
+    ("text_chunk", lambda s: s.dataset("documents").text_chunk(
+        text="text", id_col="doc_id", chunk_size=30, overlap=5)),
+    ("pack_sequences", lambda s: s.dataset("documents")
+        .token_count(text="text")
+        .pack_sequences(token_count_col="TOKEN_COUNT", order_by=["doc_id"],
+                        budget=1500, by=["lang"])),
+    ("corpus_stats", lambda s: s.dataset("documents").corpus_stats(
+        text="text", group_by=["lang"])),
+    ("stratified_sample", lambda s: s.dataset("documents").stratified_sample(
+        stratify_by="lang", fractions={"en": 0.4}, key="doc_id")),
 ]
 
 _ALL_TABLES = ("region nation customer supplier part orders lineitem "
