@@ -921,6 +921,61 @@ def q_stratified_sample(spark, sf):
         stratify_by="lang", fractions={"en": 0.5, "de": 0.25}, key="doc_id").df
 
 
+# Synthesized-PII projection shared by the pii_scrub / extract_urls queries:
+# the documents table is clean word soup, so the query itself plants
+# deterministic emails/IPs/phones/URLs — both engines build identical input,
+# making the scrub/extract oracles exercise the regexes for real.
+_PII_APPLY = (
+    "SELECT doc_id, concat(text, ' mail user', CAST(doc_id AS STRING), "
+    "'@example.com on 10.0.', CAST(doc_id % 256 AS STRING), "
+    "'.7 at https://docs', CAST(doc_id % 10 AS STRING), "
+    "'.example.org/p/', CAST(doc_id AS STRING), "
+    "' call +1 415-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) AS text, "
+    "lang FROM {{source_table}}"
+)
+
+
+def q_pii_scrub(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .apply(sql=_PII_APPLY)
+        .pii_scrub(text="text")
+        .df
+    )
+
+
+def q_extract_urls(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .apply(sql=_PII_APPLY)
+        .extract_urls(text="text")
+        .df
+    )
+
+
+def q_repetition_stats(spark, sf):
+    # replace the filler word 'the' with newlines first so the line-level
+    # signals (N_LINES / DUP_LINE_RATIO) are exercised, not just token ones
+    return (
+        _s(spark, sf).dataset("documents")
+        .replace_string(column="text", pattern=" the ", replacement="\n")
+        .repetition_stats(text="text")
+        .df
+    )
+
+
+def q_decontaminate(spark, sf):
+    s = _s(spark, sf)
+    ev = s.dataset("documents").filter(filter_statements=["doc_id % 50 = 0"])
+    return s.dataset("documents").decontaminate(
+        text="text", id_col="doc_id", eval_table=ev, ngram=5).df
+
+
+def q_shuffle_deterministic(spark, sf):
+    return _s(spark, sf).dataset("documents").shuffle_deterministic(
+        key="doc_id", seed=7).df
+
+
 def q_near_dup_clusters(spark, sf):
     """Transitive near-dup components over the minhash pair graph; the
     DuckDB oracle verifies with a recursive-CTE reachability closure."""
@@ -1074,6 +1129,39 @@ def q_stream_dedup_batch(spark, sf):
 def _toks(t: str = "text") -> str:
     norm = f"trim(regexp_replace(lower({t}), '[^a-z0-9\\s]', ' ', 'g'))"
     return f"CASE WHEN {norm} = '' THEN [] ELSE regexp_split_to_array({norm}, '\\s+') END"
+
+
+# DuckDB-side mirrors of the curation regexes (rasgoql_spark/functions/
+# curation.py) — alternation-free shapes verified to match Java/RE2 spans.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\+?\d[\d().\- ]{7,14}\d"
+_URL_RE = r"https?://[^\s]+"
+_DOMAIN_RE = r"https?://([^/:?#]+)"
+
+
+def _pii_text_sql() -> str:
+    """DuckDB mirror of _PII_APPLY (synthesized-PII projection)."""
+    return (
+        "SELECT doc_id, concat(text, ' mail user', CAST(doc_id AS VARCHAR), "
+        "'@example.com on 10.0.', CAST(doc_id % 256 AS VARCHAR), "
+        "'.7 at https://docs', CAST(doc_id % 10 AS VARCHAR), "
+        "'.example.org/p/', CAST(doc_id AS VARCHAR), "
+        "' call +1 415-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text, "
+        "lang FROM documents"
+    )
+
+
+def _scrub1(t: str) -> str:
+    return f"regexp_replace({t}, '{_EMAIL_RE}', '<EMAIL>', 'g')"
+
+
+def _scrub2(t: str) -> str:
+    return f"regexp_replace({_scrub1(t)}, '{_IP_RE}', '<IP>', 'g')"
+
+
+def _scrub3(t: str) -> str:
+    return f"regexp_replace({_scrub2(t)}, '{_PHONE_RE}', '<PHONE>', 'g')"
 
 
 def _shingles(tcol: str, k: int = 3) -> str:
@@ -1428,6 +1516,55 @@ ranked AS (
             "SELECT o_orderkey, CAST(DENSE_RANK() OVER "
             "(PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS PRICE_RANK "
             "FROM orders"
+        ),
+        "pii_scrub": (
+            f"WITH t AS ({_pii_text_sql()}) "
+            f"SELECT doc_id, {_scrub3('text')} AS text, lang, "
+            f"CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS PII_EMAILS, "
+            f"CAST(len(regexp_extract_all({_scrub1('text')}, '{_IP_RE}')) AS BIGINT) AS PII_IPS, "
+            f"CAST(len(regexp_extract_all({_scrub2('text')}, '{_PHONE_RE}')) AS BIGINT) AS PII_PHONES "
+            "FROM t"
+        ),
+        "extract_urls": (
+            f"WITH t AS ({_pii_text_sql()}) "
+            f"SELECT doc_id, text, lang, regexp_extract_all(text, '{_URL_RE}') AS URLS, "
+            f"CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS URL_COUNT, "
+            f"list_distinct(list_transform(regexp_extract_all(text, '{_URL_RE}'), "
+            f"u -> lower(regexp_extract(u, '{_DOMAIN_RE}', 1)))) AS DOMAINS "
+            "FROM t"
+        ),
+        "repetition_stats": (
+            "WITH t AS (SELECT * REPLACE (replace(text, ' the ', chr(10)) AS text) "
+            "FROM documents), "
+            "s AS (SELECT *, list_filter(string_split(text, chr(10)), "
+            f"l -> trim(l) <> '') AS __ln, {_toks()} AS __tk FROM t) "
+            "SELECT * EXCLUDE (__ln, __tk), "
+            "CAST(len(__ln) AS BIGINT) AS N_LINES, "
+            "ROUND(CASE WHEN len(__ln) > 0 THEN 1.0 - "
+            "CAST(len(list_distinct(__ln)) AS DOUBLE) / len(__ln) ELSE 0.0 END, 6) "
+            "AS DUP_LINE_RATIO, "
+            "ROUND(CASE WHEN len(__tk) > 0 THEN 1.0 - "
+            "CAST(len(list_distinct(__tk)) AS DOUBLE) / len(__tk) ELSE 0.0 END, 6) "
+            "AS WORD_REP_RATIO, "
+            "ROUND(CASE WHEN len(__tk) > 0 THEN "
+            "CAST(list_sum(list_transform(__tk, x -> len(x))) AS DOUBLE) / len(__tk) "
+            "ELSE 0.0 END, 6) AS MEAN_WORD_LEN FROM s"
+        ),
+        "decontaminate": (
+            f"WITH tk AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+            f"c AS (SELECT doc_id, {_shingles('t', 5)} AS sh FROM tk), "
+            "ev AS (SELECT DISTINCT unnest(sh) AS ng FROM c WHERE doc_id % 50 = 0), "
+            "el AS (SELECT COALESCE(list(ng), []) AS l FROM ev), "
+            "m AS (SELECT c.doc_id, len(c.sh) AS tot, "
+            "len(list_intersect(c.sh, el.l)) AS mt FROM c, el) "
+            "SELECT doc_id, CAST(tot AS BIGINT) AS NGRAM_TOTAL, "
+            "CAST(mt AS BIGINT) AS NGRAM_MATCHED, "
+            "ROUND(CASE WHEN tot > 0 THEN CAST(mt AS DOUBLE) / tot ELSE 0.0 END, 6) "
+            "AS CONTAMINATION FROM m"
+        ),
+        "shuffle_deterministic": (
+            "SELECT *, md5(concat_ws('|', '7', CAST(doc_id AS VARCHAR))) "
+            "AS SHUFFLE_KEY FROM documents"
         ),
         "train_test_split": (
             "SELECT o_orderkey, CASE WHEN PERCENT_RANK() OVER "
@@ -1922,4 +2059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_agg": q_cumulative_agg,
         "order": q_order,
         "rank": q_rank,
+        # round-2 curation additions (rotate into the first 50 next round)
+        "pii_scrub": q_pii_scrub,
+        "extract_urls": q_extract_urls,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "shuffle_deterministic": q_shuffle_deterministic,
     }

@@ -133,7 +133,8 @@ class SQLChain:
 
         for k, v in kwargs.items():
             if isinstance(v, (SQLChain, DataFrame)) or (
-                isinstance(v, str) and k in ("join_table", "union_table", "right", "other")
+                isinstance(v, str)
+                and k in ("join_table", "union_table", "right", "other", "eval_table")
             ):
                 df, rendered, cols = _resolve_one(v)
                 flat[k] = df

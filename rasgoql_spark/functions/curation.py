@@ -1,0 +1,321 @@
+"""Data-curation operators for LLM training pipelines (north-star extension;
+SURVEY §7.2 M7): benchmark decontamination, PII scrubbing, URL extraction,
+repetition / quality signals, and deterministic corpus shuffling.
+
+Design for 100 TB:
+- ``decontaminate`` never materializes corpus×eval pairs: the eval set's
+  distinct n-grams are broadcast (eval benchmarks are tiny next to a training
+  corpus), the corpus explodes to slim ``(id, ngram)`` rows that join
+  map-side, and the per-document roll-up shuffles only ``(id, two ints)``.
+  Filter mode broadcasts the flagged-id set (contaminated docs ≪ corpus).
+- Everything else is row-local JVM expressions (regex / array built-ins) —
+  embarrassingly parallel, no shuffle, whole-stage codegen.
+- ``shuffle_deterministic`` is a seeded total sort: Spark's range-partitioned
+  sort is the standard distributed shuffle for training-data ordering.
+- All regex patterns avoid constructs where Java (leftmost-first) and RE2
+  (leftmost-longest) disagree, so the DuckDB oracles replicate results
+  exactly (verified for email/IP/phone on crafted fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col, spread, with_columns_sql
+from ..registry import renderer, spark_transform
+from ._hash import shingles_expr, tokens_expr
+
+# PII patterns — deliberately simple alternation-free shapes: identical match
+# spans under Java regex (Spark) and RE2 (DuckDB oracle).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\+?\d[\d().\- ]{7,14}\d"
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/:?#]+)"
+
+
+def _shingles_spark_sql(toks: str, k: int) -> str:
+    """Spark-SQL rendering of _hash.shingles_expr over a token-array expr."""
+    ngrams = (
+        f"transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k})))"
+    )
+    return (
+        f"array_distinct(CASE WHEN size({toks}) >= {k} THEN {ngrams} "
+        f"WHEN size({toks}) > 0 THEN array(concat_ws(' ', {toks})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END)"
+    )
+
+
+@spark_transform("decontaminate", category="curation", streaming_ok=False)
+def decontaminate(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    eval_table: DataFrame,
+    eval_text: str | None = None,
+    ngram: int = 8,
+    threshold: float = 0.2,
+    mode: str = "score",
+) -> DataFrame:
+    """Benchmark decontamination: flag/drop corpus documents whose word
+    n-grams overlap an evaluation set's n-gram inventory (the standard
+    train/test-contamination check for LLM corpora).
+
+    mode='score': one row per document — ``(id, NGRAM_TOTAL, NGRAM_MATCHED,
+    CONTAMINATION)`` where CONTAMINATION = matched/total distinct n-grams.
+    mode='filter': input rows minus documents with CONTAMINATION >= threshold.
+
+    Scale: eval n-gram inventory is distinct-reduced and broadcast; the
+    corpus side explodes to slim (id, ngram) pairs that join without
+    shuffling the corpus; the per-doc count shuffles (id, int, int) only.
+    """
+    if mode not in ("score", "filter"):
+        raise ParameterException("mode must be 'score' or 'filter'")
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    et = resolve_col(eval_table, eval_text or text)
+    staged = spread(df).select(
+        F.col(i), shingles_expr(tokens_expr(F.col(t)), ngram).alias("__sh")
+    )
+    ev = (
+        eval_table.select(
+            F.explode(shingles_expr(tokens_expr(F.col(et)), ngram)).alias("__ng")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = staged.select(
+        i, F.size("__sh").alias("__tot"), F.explode_outer("__sh").alias("__ng")
+    )
+    scored = (
+        exploded.join(F.broadcast(ev), "__ng", "left")
+        .groupBy(i)
+        .agg(
+            F.max("__tot").cast("bigint").alias("NGRAM_TOTAL"),
+            F.count("__hit").cast("bigint").alias("NGRAM_MATCHED"),
+        )
+    )
+    contamination = F.round(
+        F.when(
+            F.col("NGRAM_TOTAL") > 0, F.col("NGRAM_MATCHED") / F.col("NGRAM_TOTAL")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    if mode == "score":
+        return scored.withColumn("CONTAMINATION", contamination)
+    flagged = scored.filter(contamination >= F.lit(threshold)).select(i)
+    return df.join(F.broadcast(flagged), i, "left_anti")
+
+
+@renderer("decontaminate")
+def _r_decontaminate(
+    source, text, id_col, eval_table, eval_text=None, ngram=8, threshold=0.2,
+    mode="score",
+) -> str:
+    from .text import _tokens_sql
+
+    et = eval_text or text
+    corpus_sh = _shingles_spark_sql("__t", ngram)
+    x = (
+        f"(SELECT {id_col}, size(__sh) AS __tot, explode_outer(__sh) AS __ng "
+        f"FROM (SELECT {id_col}, {corpus_sh} AS __sh "
+        f"FROM (SELECT {id_col}, {_tokens_sql(text)} AS __t FROM {source})))"
+    )
+    e = (
+        f"(SELECT DISTINCT explode(__sh) AS __ng "
+        f"FROM (SELECT {_shingles_spark_sql('__t', ngram)} AS __sh "
+        f"FROM (SELECT {_tokens_sql(et)} AS __t FROM {eval_table})))"
+    )
+    scored = (
+        f"SELECT x.{id_col}, CAST(max(x.__tot) AS BIGINT) AS NGRAM_TOTAL, "
+        f"CAST(count(e.__ng) AS BIGINT) AS NGRAM_MATCHED "
+        f"FROM {x} x LEFT JOIN {e} e ON x.__ng = e.__ng GROUP BY x.{id_col}"
+    )
+    contamination = (
+        "ROUND(CASE WHEN NGRAM_TOTAL > 0 "
+        "THEN NGRAM_MATCHED / NGRAM_TOTAL ELSE 0.0 END, 6)"
+    )
+    if mode == "score":
+        return (
+            f"SELECT {id_col}, NGRAM_TOTAL, NGRAM_MATCHED, "
+            f"{contamination} AS CONTAMINATION FROM ({scored})"
+        )
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN "
+        f"(SELECT {id_col} FROM ({scored}) WHERE {contamination} >= {threshold}) f "
+        f"ON s.{id_col} = f.{id_col}"
+    )
+
+
+@spark_transform("pii_scrub", category="curation")
+def pii_scrub(df: DataFrame, text: str, name: str | None = None) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers with ``<EMAIL>`` /
+    ``<IP>`` / ``<PHONE>`` placeholders; adds PII_EMAILS / PII_IPS /
+    PII_PHONES match counts. Scrubbing is sequential (emails, then IPs, then
+    phones) so digit runs inside an already-redacted span are never
+    double-counted. In-place unless ``name`` is given. Row-local JVM regex —
+    shuffle-free at any scale."""
+    t = resolve_col(df, text)
+    c = F.col(t)
+    n_email = F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("bigint")
+    t1 = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(IP_PATTERN)).cast("bigint")
+    t2 = F.regexp_replace(t1, IP_PATTERN, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PHONE_PATTERN)).cast("bigint")
+    t3 = F.regexp_replace(t2, PHONE_PATTERN, "<PHONE>")
+    return df.withColumns(
+        {
+            name or t: t3,
+            "PII_EMAILS": n_email,
+            "PII_IPS": n_ip,
+            "PII_PHONES": n_phone,
+        }
+    )
+
+
+def _sql_escape(pattern: str) -> str:
+    """Escape a regex for embedding in a Spark-SQL single-quoted literal."""
+    return pattern.replace("\\", "\\\\")
+
+
+@renderer("pii_scrub")
+def _r_pii_scrub(source, text, name=None, _input_columns=()) -> str:
+    em, ip, ph = (_sql_escape(p) for p in (EMAIL_PATTERN, IP_PATTERN, PHONE_PATTERN))
+    t1 = f"regexp_replace({text}, '{em}', '<EMAIL>')"
+    t2 = f"regexp_replace({t1}, '{ip}', '<IP>')"
+    t3 = f"regexp_replace({t2}, '{ph}', '<PHONE>')"
+    exprs = {
+        name or text: t3,
+        "PII_EMAILS": f"CAST(regexp_count({text}, '{em}') AS BIGINT)",
+        "PII_IPS": f"CAST(regexp_count({t1}, '{ip}') AS BIGINT)",
+        "PII_PHONES": f"CAST(regexp_count({t2}, '{ph}') AS BIGINT)",
+    }
+    return with_columns_sql(source, exprs, _input_columns)
+
+
+@spark_transform("extract_urls", category="curation")
+def extract_urls(df: DataFrame, text: str, name: str = "URLS") -> DataFrame:
+    """Extract http(s) URLs from text: ``URLS`` (array, document order),
+    ``URL_COUNT``, and ``DOMAINS`` (distinct lowercased hosts, first-seen
+    order). Row-local regex — shuffle-free."""
+    t = resolve_col(df, text)
+    urls = F.regexp_extract_all(F.col(t), F.lit(URL_PATTERN), 0)
+    domains = F.array_distinct(
+        F.transform(urls, lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1)))
+    )
+    return df.withColumns(
+        {
+            name: urls,
+            "URL_COUNT": F.size(urls).cast("bigint"),
+            "DOMAINS": domains,
+        }
+    )
+
+
+@renderer("extract_urls")
+def _r_extract_urls(source, text, name="URLS", _input_columns=()) -> str:
+    up, dp = _sql_escape(URL_PATTERN), _sql_escape(DOMAIN_PATTERN)
+    urls = f"regexp_extract_all({text}, '{up}', 0)"
+    exprs = {
+        name: urls,
+        "URL_COUNT": f"CAST(size({urls}) AS BIGINT)",
+        "DOMAINS": (
+            f"array_distinct(transform({urls}, "
+            f"u -> lower(regexp_extract(u, '{dp}', 1))))"
+        ),
+    }
+    return with_columns_sql(source, exprs, _input_columns)
+
+
+@spark_transform("repetition_stats", category="curation")
+def repetition_stats(df: DataFrame, text: str) -> DataFrame:
+    """Gopher-style repetition/quality signals: N_LINES (non-blank),
+    DUP_LINE_RATIO (1 − distinct/total lines), WORD_REP_RATIO
+    (1 − distinct/total tokens), MEAN_WORD_LEN. All row-local array
+    expressions — shuffle-free; ratios rounded to 6 dp (cross-engine float
+    policy)."""
+    t = resolve_col(df, text)
+    c = F.col(t)
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines).cast("bigint")
+    dup_line = F.round(
+        F.when(
+            n_lines > 0,
+            1.0 - F.size(F.array_distinct(lines)) / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    toks = tokens_expr(c)
+    n_toks = F.size(toks).cast("bigint")
+    word_rep = F.round(
+        F.when(n_toks > 0, 1.0 - F.size(F.array_distinct(toks)) / n_toks).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.round(
+        F.when(n_toks > 0, total_chars / n_toks).otherwise(F.lit(0.0)), 6
+    )
+    return df.withColumns(
+        {
+            "N_LINES": n_lines,
+            "DUP_LINE_RATIO": dup_line,
+            "WORD_REP_RATIO": word_rep,
+            "MEAN_WORD_LEN": mean_len,
+        }
+    )
+
+
+@renderer("repetition_stats")
+def _r_repetition_stats(source, text, _input_columns=()) -> str:
+    from .text import _tokens_sql
+
+    lines = f"filter(split({text}, '\\n'), l -> trim(l) != '')"
+    toks = _tokens_sql(text)
+    n_lines = f"CAST(size({lines}) AS BIGINT)"
+    n_toks = f"CAST(size({toks}) AS BIGINT)"
+    exprs = {
+        "N_LINES": n_lines,
+        "DUP_LINE_RATIO": (
+            f"ROUND(CASE WHEN {n_lines} > 0 THEN 1.0 - "
+            f"size(array_distinct({lines})) / {n_lines} ELSE 0.0 END, 6)"
+        ),
+        "WORD_REP_RATIO": (
+            f"ROUND(CASE WHEN {n_toks} > 0 THEN 1.0 - "
+            f"size(array_distinct({toks})) / {n_toks} ELSE 0.0 END, 6)"
+        ),
+        "MEAN_WORD_LEN": (
+            f"ROUND(CASE WHEN {n_toks} > 0 THEN "
+            f"aggregate({toks}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) "
+            f"/ {n_toks} ELSE 0.0 END, 6)"
+        ),
+    }
+    return with_columns_sql(source, exprs, _input_columns)
+
+
+@spark_transform("shuffle_deterministic", category="curation", streaming_ok=False)
+def shuffle_deterministic(
+    df: DataFrame, key: str, seed: int = 42, name: str = "SHUFFLE_KEY"
+) -> DataFrame:
+    """Seeded pseudo-random global reorder for training data: adds
+    ``name`` = md5(seed || key) and totally orders by it (key as
+    tiebreak). Same seed → identical order on any cluster layout; different
+    seeds → independent permutations. Spark executes this as a
+    range-partitioned sort — the scale-standard distributed shuffle (no
+    single-task stage). ``key`` should be a unique document id."""
+    k = resolve_col(df, key)
+    skey = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(k).cast("string")))
+    return df.withColumn(name, skey).orderBy(name, k)
+
+
+@renderer("shuffle_deterministic")
+def _r_shuffle_deterministic(source, key, seed=42, name="SHUFFLE_KEY") -> str:
+    return (
+        f"SELECT *, md5(concat_ws('|', '{seed}', CAST({key} AS STRING))) "
+        f"AS {name} FROM {source} ORDER BY {name}, {key}"
+    )

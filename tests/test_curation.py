@@ -1,0 +1,113 @@
+"""Curation operator tests: decontamination flags eval overlap, PII scrubbing
+redacts + counts, URL extraction, repetition signals, deterministic shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import rasgoql_spark as rql
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # docs 1 and 2 share long runs with the eval set; 3 is clean
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, eval_text + " extra tail words here"),           # heavy overlap
+        (2, "prefix words " + eval_text),                    # heavy overlap
+        (3, "totally unrelated content about joins and shuffles in spark"),
+        (4, ""),                                             # empty doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def eval_set(spark):
+    return spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["eval_id", "text"],
+    )
+
+
+def test_decontaminate_scores(corpus, eval_set):
+    out = rql.get_transform("decontaminate").apply(
+        corpus, text="text", id_col="doc_id", eval_table=eval_set, ngram=4
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["NGRAM_MATCHED"] > 0 and rows[2]["NGRAM_MATCHED"] > 0
+    assert rows[3]["NGRAM_MATCHED"] == 0
+    assert rows[4]["NGRAM_TOTAL"] == 0 and rows[4]["CONTAMINATION"] == 0.0
+    # doc 1: tokens = 8 eval + 4 tail = 12 → 9 distinct 4-grams, 5 from eval
+    assert rows[1]["NGRAM_TOTAL"] == 9 and rows[1]["NGRAM_MATCHED"] == 5
+    assert abs(rows[1]["CONTAMINATION"] - 5 / 9) < 1e-6
+
+
+def test_decontaminate_filter_drops_contaminated(corpus, eval_set):
+    out = rql.get_transform("decontaminate").apply(
+        corpus, text="text", id_col="doc_id", eval_table=eval_set,
+        ngram=4, threshold=0.3, mode="filter",
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {3, 4}
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail user3@example.com or 10.0.12.7 phone +1 415-555-0042 end"),
+        (2, "two a.b@c.de f@g.hi ips 255.255.255.255 1.1.1.1 tel 123-456-7890"),
+        (3, "no pii here just words 42"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in
+           rql.get_transform("pii_scrub").apply(df, text="text").collect()}
+    assert out[1]["text"] == "mail <EMAIL> or <IP> phone <PHONE> end"
+    assert (out[1]["PII_EMAILS"], out[1]["PII_IPS"], out[1]["PII_PHONES"]) == (1, 1, 1)
+    assert (out[2]["PII_EMAILS"], out[2]["PII_IPS"], out[2]["PII_PHONES"]) == (2, 2, 1)
+    assert out[3]["text"] == "no pii here just words 42"
+    assert (out[3]["PII_EMAILS"], out[3]["PII_IPS"], out[3]["PII_PHONES"]) == (0, 0, 0)
+
+
+def test_extract_urls(spark):
+    df = spark.createDataFrame(
+        [(1, "see https://Example.com/a and http://example.com/b plus https://other.org"),
+         (2, "no links")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in
+           rql.get_transform("extract_urls").apply(df, text="text").collect()}
+    assert out[1]["URL_COUNT"] == 3
+    assert out[1]["DOMAINS"] == ["example.com", "other.org"]
+    assert out[2]["URL_COUNT"] == 0 and out[2]["URLS"] == []
+
+
+def test_repetition_stats(spark):
+    repeated = "same line\nsame line\nother line\n\n"
+    wordy = "word word word word unique"
+    df = spark.createDataFrame([(1, repeated), (2, wordy)], ["id", "text"])
+    out = {r["id"]: r for r in
+           rql.get_transform("repetition_stats").apply(df, text="text").collect()}
+    assert out[1]["N_LINES"] == 3
+    assert abs(out[1]["DUP_LINE_RATIO"] - (1 - 2 / 3)) < 1e-6
+    assert abs(out[2]["WORD_REP_RATIO"] - (1 - 2 / 5)) < 1e-6
+    assert abs(out[2]["MEAN_WORD_LEN"] - 22 / 5) < 1e-6
+
+
+def test_shuffle_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    t = rql.get_transform("shuffle_deterministic")
+    a = [r["id"] for r in t.apply(df, key="id", seed=1).collect()]
+    b = [r["id"] for r in t.apply(df, key="id", seed=1).collect()]
+    c = [r["id"] for r in t.apply(df, key="id", seed=2).collect()]
+    assert a == b                      # same seed → identical order
+    assert a != c                      # different seed → different permutation
+    assert sorted(a) == list(range(100)) == sorted(c)  # content preserved
+    assert a != list(range(100))       # actually shuffled
+
+
+def test_decontaminate_chain_with_table_name(session):
+    # eval_table passed as a registered table name through the chain API
+    out = (session.dataset("documents")
+           .decontaminate(text="text", id_col="doc_id",
+                          eval_table="documents", ngram=5))
+    row = out.df.filter(F.col("NGRAM_TOTAL") > 0).limit(1).collect()
+    # self-decontamination: every doc fully contaminated by construction
+    assert row and row[0]["NGRAM_MATCHED"] == row[0]["NGRAM_TOTAL"]

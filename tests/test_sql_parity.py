@@ -161,6 +161,17 @@ CHAIN_CASES = [
         text="text", group_by=["lang"])),
     ("stratified_sample", lambda s: s.dataset("documents").stratified_sample(
         stratify_by="lang", fractions={"en": 0.4}, key="doc_id")),
+    ("pii_scrub", lambda s: s.dataset("documents").pii_scrub(text="text")),
+    ("extract_urls", lambda s: s.dataset("documents").extract_urls(text="text")),
+    ("repetition_stats", lambda s: s.dataset("documents")
+        .repetition_stats(text="text")),
+    ("shuffle_det", lambda s: s.dataset("documents")
+        .shuffle_deterministic(key="doc_id", seed=7)),
+    ("decontaminate", lambda s: s.dataset("documents").decontaminate(
+        text="text", id_col="doc_id", eval_table="documents", ngram=6)),
+    ("decontaminate_filter", lambda s: s.dataset("documents").decontaminate(
+        text="text", id_col="doc_id", eval_table="documents",
+        ngram=6, threshold=0.5, mode="filter")),
 ]
 
 _ALL_TABLES = ("region nation customer supplier part orders lineitem "

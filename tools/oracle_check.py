@@ -25,6 +25,13 @@ SF = "/root/testdata/sf0.01"
 ROUND = 9
 
 
+def _canon_array(v) -> tuple:
+    a = np.asarray(v)
+    if np.issubdtype(a.dtype, np.number):
+        return tuple(a.round(6))
+    return tuple(a.tolist())  # string/mixed arrays: compare verbatim
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df.columns = [c.upper() for c in df.columns]
@@ -34,7 +41,7 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             # normalize bytes/lists for hashing
             df[c] = df[c].map(
                 lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else (
-                    tuple(np.asarray(v).round(6)) if isinstance(v, (list, np.ndarray)) else v
+                    _canon_array(v) if isinstance(v, (list, np.ndarray)) else v
                 )
             )
         elif np.issubdtype(df[c].dtype, np.floating):
