@@ -172,6 +172,25 @@ def test_ivf_assignment_is_shuffle_free(session):
     assert all(e == "RoundRobinPartitioning" for e in exchanges), exchanges
 
 
+def test_decontaminate_broadcasts_eval_ngrams(session):
+    """The eval n-gram inventory must reach the corpus as a broadcast — the
+    corpus side never shuffles for the membership join (only the slim
+    (id, int, int) roll-up shuffles)."""
+    ev = session.dataset("documents").filter(filter_statements=["doc_id % 50 = 0"])
+    plan = _plan(
+        session.dataset("documents").decontaminate(
+            text="text", id_col="doc_id", eval_table=ev, ngram=5)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_is_shuffle_free_codegen(session):
+    plan = _plan(session.dataset("documents").pii_scrub(text="text"))
+    assert "Exchange" not in plan  # row-local regex: no shuffle at any scale
+    assert "* Project" in plan  # whole-stage codegen
+
+
 def test_outer_join_coalesces_keys_in_plan(session):
     out = rql.get_transform("join").apply(
         session.dataset("customer").df,
