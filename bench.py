@@ -63,6 +63,10 @@ BENCH_QUERIES = {
     # the 100 TB-scale ANN path (brute above is the exact/oracle baseline)
     "llm_similarity_ivf": entry.q_similarity_search_ivf,
     "llm_text_quality": entry.q_text_quality,
+    # curation flagships: broadcast eval-ngram decontamination + row-local
+    # PII scrub (zero-shuffle regex path)
+    "llm_decontaminate": entry.q_decontaminate,
+    "llm_pii_scrub": entry.q_pii_scrub,
 }
 
 

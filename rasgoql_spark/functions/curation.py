@@ -76,13 +76,18 @@ def decontaminate(
         raise ParameterException("mode must be 'score' or 'filter'")
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     et = resolve_col(eval_table, eval_text or text)
-    staged = spread(df).select(
-        F.col(i), shingles_expr(tokens_expr(F.col(t)), ngram).alias("__sh")
+    # stage tokens as a REAL column before the shingle HOF: a lambda that
+    # captures the raw tokenization expression re-evaluates it per array
+    # element (the round-1 25× lesson, dedup.py:59-71); referenced >1×, the
+    # staged column survives CollapseProject and the lambda reads an attribute
+    staged = (
+        spread(df)
+        .select(F.col(i), tokens_expr(F.col(t)).alias("__tk"))
+        .select(F.col(i), shingles_expr(F.col("__tk"), ngram).alias("__sh"))
     )
     ev = (
-        eval_table.select(
-            F.explode(shingles_expr(tokens_expr(F.col(et)), ngram)).alias("__ng")
-        )
+        eval_table.select(tokens_expr(F.col(et)).alias("__tk"))
+        .select(F.explode(shingles_expr(F.col("__tk"), ngram)).alias("__ng"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
