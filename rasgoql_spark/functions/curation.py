@@ -164,19 +164,33 @@ def pii_scrub(df: DataFrame, text: str, name: str | None = None) -> DataFrame:
     shuffle-free at any scale."""
     t = resolve_col(df, text)
     c = F.col(t)
-    n_email = F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("bigint")
-    t1 = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
-    n_ip = F.regexp_count(t1, F.lit(IP_PATTERN)).cast("bigint")
-    t2 = F.regexp_replace(t1, IP_PATTERN, "<IP>")
-    n_phone = F.regexp_count(t2, F.lit(PHONE_PATTERN)).cast("bigint")
-    t3 = F.regexp_replace(t2, PHONE_PATTERN, "<PHONE>")
-    return df.withColumns(
-        {
-            name or t: t3,
-            "PII_EMAILS": n_email,
-            "PII_IPS": n_ip,
-            "PII_PHONES": n_phone,
-        }
+    # each scrub stage is staged as a real column (referenced twice: its
+    # count + the next stage's input) so the regexp_replace runs once per
+    # stage instead of twice — on a 100 TB corpus regex passes ARE the cost
+    return (
+        df.withColumns(
+            {
+                "PII_EMAILS": F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("bigint"),
+                "__t1": F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+            }
+        )
+        .withColumns(
+            {
+                "PII_IPS": F.regexp_count(F.col("__t1"), F.lit(IP_PATTERN)).cast(
+                    "bigint"
+                ),
+                "__t2": F.regexp_replace(F.col("__t1"), IP_PATTERN, "<IP>"),
+            }
+        )
+        .withColumns(
+            {
+                "PII_PHONES": F.regexp_count(
+                    F.col("__t2"), F.lit(PHONE_PATTERN)
+                ).cast("bigint"),
+                name or t: F.regexp_replace(F.col("__t2"), PHONE_PATTERN, "<PHONE>"),
+            }
+        )
+        .drop("__t1", "__t2")
     )
 
 
@@ -243,7 +257,16 @@ def repetition_stats(df: DataFrame, text: str) -> DataFrame:
     policy)."""
     t = resolve_col(df, text)
     c = F.col(t)
-    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    # stage the line and token arrays as real columns: both are referenced
+    # 2-3× below, and staging keeps the split/regex-tokenize to ONE pass per
+    # row (multi-referenced non-cheap aliases survive CollapseProject)
+    df = df.withColumns(
+        {
+            "__ln": F.filter(F.split(c, "\n"), lambda l: F.trim(l) != ""),
+            "__tk": tokens_expr(c),
+        }
+    )
+    lines = F.col("__ln")
     n_lines = F.size(lines).cast("bigint")
     dup_line = F.round(
         F.when(
@@ -252,7 +275,7 @@ def repetition_stats(df: DataFrame, text: str) -> DataFrame:
         ).otherwise(F.lit(0.0)),
         6,
     )
-    toks = tokens_expr(c)
+    toks = F.col("__tk")
     n_toks = F.size(toks).cast("bigint")
     word_rep = F.round(
         F.when(n_toks > 0, 1.0 - F.size(F.array_distinct(toks)) / n_toks).otherwise(
@@ -273,7 +296,7 @@ def repetition_stats(df: DataFrame, text: str) -> DataFrame:
             "WORD_REP_RATIO": word_rep,
             "MEAN_WORD_LEN": mean_len,
         }
-    )
+    ).drop("__ln", "__tk")
 
 
 @renderer("repetition_stats")
