@@ -976,6 +976,39 @@ def q_shuffle_deterministic(spark, sf):
         key="doc_id", seed=7).df
 
 
+# Planted-boilerplate projection for the dedup_against exact oracle: the
+# word-soup documents have no natural cross-partition exact dups, so every
+# 7th doc's text is replaced with a shared string — both engines build the
+# same input, making the fingerprint membership check exercise real matches.
+_BOILERPLATE_APPLY = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+    "'Shared boilerplate legal disclaimer text.' ELSE text END AS text, "
+    "lang FROM {{source_table}}"
+)
+
+
+def q_ngram_counts(spark, sf):
+    return _s(spark, sf).dataset("documents").ngram_counts(
+        text="text", n=2, top_k=100).df
+
+
+def q_dedup_against(spark, sf):
+    s = _s(spark, sf)
+    batch = s.dataset("documents").apply(sql=_BOILERPLATE_APPLY)
+    ref = batch.filter(filter_statements=["doc_id % 10 = 0"])
+    return batch.dedup_against(
+        text="text", id_col="doc_id", reference=ref, method="exact").df
+
+
+def q_dedup_against_minhash(spark, sf):
+    s = _s(spark, sf)
+    batch = s.dataset("documents").filter(filter_statements=["doc_id % 10 != 0"])
+    ref = s.dataset("documents").filter(filter_statements=["doc_id % 10 = 0"])
+    return batch.dedup_against(
+        text="text", id_col="doc_id", reference=ref,
+        method="minhash", threshold=0.2, mode="pairs").df
+
+
 def q_near_dup_clusters(spark, sf):
     """Transitive near-dup components over the minhash pair graph; the
     DuckDB oracle verifies with a recursive-CTE reachability closure."""
@@ -1562,6 +1595,35 @@ ranked AS (
             "ROUND(CASE WHEN tot > 0 THEN CAST(mt AS DOUBLE) / tot ELSE 0.0 END, 6) "
             "AS CONTAMINATION FROM m"
         ),
+        "ngram_counts": (
+            f"WITH tk AS (SELECT {_toks()} AS t FROM documents), "
+            "g AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN "
+            "list_transform(range(1, len(t)), i -> array_to_string(t[i : i + 1], ' ')) "
+            "ELSE [] END) AS NGRAM FROM tk) "
+            "SELECT NGRAM, CAST(count(*) AS BIGINT) AS N_OCCURRENCES FROM g "
+            "GROUP BY NGRAM ORDER BY N_OCCURRENCES DESC, NGRAM LIMIT 100"
+        ),
+        "dedup_against": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "'Shared boilerplate legal disclaimer text.' ELSE text END AS text, "
+            "lang FROM documents) "
+            "SELECT t.* FROM t WHERE NOT EXISTS (SELECT 1 FROM t r "
+            f"WHERE r.doc_id % 10 = 0 AND md5({fp_norm.replace('text', 'r.text')}) = "
+            f"md5({fp_norm.replace('text', 't.text')}))"
+        ),
+        "dedup_against_minhash": (
+            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+            f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
+            f"mh AS (SELECT doc_id, s, {minhash_cols} FROM sh), "
+            f"bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM mh), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM bands a JOIN bands b ON a.band = b.band "
+            "AND a.doc_id % 10 != 0 AND b.doc_id % 10 = 0), "
+            f"pairs AS (SELECT c.ida, c.idb, {jacc} AS j FROM cand c "
+            "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb "
+            "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
+            "SELECT ida AS ID, idb AS REF_ID, j AS JACCARD FROM pairs WHERE j >= 0.2"
+        ),
         "shuffle_deterministic": (
             "SELECT *, md5(concat_ws('|', '7', CAST(doc_id AS VARCHAR))) "
             "AS SHUFFLE_KEY FROM documents"
@@ -2065,4 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "shuffle_deterministic": q_shuffle_deterministic,
+        "ngram_counts": q_ngram_counts,
+        "dedup_against": q_dedup_against,
+        "dedup_against_minhash": q_dedup_against_minhash,
     }

@@ -134,7 +134,8 @@ class SQLChain:
         for k, v in kwargs.items():
             if isinstance(v, (SQLChain, DataFrame)) or (
                 isinstance(v, str)
-                and k in ("join_table", "union_table", "right", "other", "eval_table")
+                and k
+                in ("join_table", "union_table", "right", "other", "eval_table", "reference")
             ):
                 df, rendered, cols = _resolve_one(v)
                 flat[k] = df

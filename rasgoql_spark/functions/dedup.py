@@ -447,3 +447,161 @@ def dedup_embedding(
         .filter(F.col("COSINE") >= threshold)
         .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "COSINE")
     )
+
+
+def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Slim ``(__id, __band)`` table from a minhash signature table: md5 over
+    each band's signature slice, exploded one row per band — the only thing
+    that flows through an LSH candidate-join shuffle."""
+    rpb = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",", F.lit(b), *[F.col("__mh")[b * rpb + r] for r in range(rpb)]
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig.select("__id", F.explode(F.array(*band_cols)).alias("__band"))
+
+
+@spark_transform("dedup_against", category="dedup", streaming_ok=False)
+def dedup_against(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    reference: DataFrame,
+    ref_text: str | None = None,
+    ref_id: str | None = None,
+    method: str = "exact",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    mode: str = "filter",
+) -> DataFrame:
+    """Incremental dedup: drop (mode='filter') or score (mode='pairs')
+    documents in ``df`` that duplicate an EXISTING reference corpus — the
+    production shape of dedup, where each new crawl batch is cleaned against
+    the already-accepted training set instead of re-deduping the world.
+
+    method='exact': normalized-content fingerprint membership — the shuffle
+    carries only ``(id, 16-byte md5)`` per side and the reference reduces to
+    distinct fingerprints.
+    method='minhash': cross-corpus LSH — band-bucket equi-join between the
+    batch's and the reference's band tables (slim ``(id, band)`` rows only),
+    exact Jaccard computed on surviving candidates alone.
+
+    mode='pairs' returns ``(ID, REF_ID, JACCARD)`` (exact matches score 1.0).
+    Neither side is unconditionally broadcast — AQE picks broadcast when the
+    batch (typical case) is small; both signature tables are scope-cached and
+    released with the result (functions/_cache.py).
+    """
+    if mode not in ("filter", "pairs"):
+        raise ParameterException("mode must be 'filter' or 'pairs'")
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    rt = resolve_col(reference, ref_text or text)
+    ri = resolve_col(reference, ref_id or id_col)
+    if method == "exact":
+        def fp(c):
+            return F.md5(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "),
+                        r"\s+",
+                        " ",
+                    )
+                )
+            )
+
+        a = df.select(F.col(i).alias("__id"), fp(F.col(t)).alias("__fp"))
+        b = reference.select(F.col(ri).alias("__rid"), fp(F.col(rt)).alias("__fp"))
+        if mode == "pairs":
+            return a.join(b, "__fp").select(
+                F.col("__id").alias("ID"),
+                F.col("__rid").alias("REF_ID"),
+                F.lit(1.0).alias("JACCARD"),
+            )
+        matched = (
+            a.join(b.select("__fp").dropDuplicates(), "__fp", "leftsemi")
+            .select(F.col("__id").alias(i))
+            .dropDuplicates()
+        )
+        return df.join(matched, on=i, how="left_anti")
+    if method == "minhash":
+        if num_hashes % bands != 0:
+            raise ParameterException("num_hashes must be divisible by bands")
+        sig_a = minhash_signatures(df, t, i, num_hashes, shingle_size).persist()
+        sig_b = minhash_signatures(reference, rt, ri, num_hashes, shingle_size).persist()
+        ba = _bands_long(sig_a, num_hashes, bands).select(
+            F.col("__id").alias("__id_a"), "__band"
+        )
+        bb = _bands_long(sig_b, num_hashes, bands).select(
+            F.col("__id").alias("__id_b"), "__band"
+        )
+        cand = (
+            ba.join(bb, on="__band")
+            .select("__id_a", "__id_b")
+            .dropDuplicates(["__id_a", "__id_b"])
+        )
+        cand = cand.join(
+            sig_a.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
+            on="__id_a",
+        ).join(
+            sig_b.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
+            on="__id_b",
+        )
+        inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+        un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+        jac = F.when(un > 0, inter / un).otherwise(F.lit(0.0))
+        pairs = (
+            cand.withColumn("JACCARD", jac)
+            .filter(F.col("JACCARD") >= threshold)
+            .select(
+                F.col("__id_a").alias("ID"),
+                F.col("__id_b").alias("REF_ID"),
+                "JACCARD",
+            )
+        )
+        if mode == "pairs":
+            return release_with(pairs, sig_a, sig_b)
+        dupes = pairs.select(F.col("ID").alias(i)).dropDuplicates()
+        return release_with(df.join(dupes, on=i, how="left_anti"), sig_a, sig_b)
+    raise ParameterException("method must be 'exact' or 'minhash'")
+
+
+@renderer("dedup_against")
+def _r_dedup_against(
+    source,
+    text,
+    id_col,
+    reference,
+    ref_text=None,
+    ref_id=None,
+    method="exact",
+    num_hashes=16,
+    bands=4,
+    shingle_size=3,
+    threshold=0.5,
+    mode="filter",
+) -> str:
+    from ..errors import TransformRenderingException
+    from .text import _norm_sql
+
+    if method != "exact":
+        raise TransformRenderingException(
+            "dedup_against is SQL-renderable only for method='exact' "
+            "(minhash is a multi-stage LSH band join)"
+        )
+    et, eri = ref_text or text, ref_id or id_col
+    ref_fps = f"SELECT DISTINCT md5({_norm_sql(f'r.{et}')}) AS __fp FROM {reference} r"
+    if mode == "pairs":
+        return (
+            f"SELECT s.{id_col} AS ID, r.{eri} AS REF_ID, 1.0 AS JACCARD "
+            f"FROM {source} s JOIN {reference} r "
+            f"ON md5({_norm_sql(f's.{text}')}) = md5({_norm_sql(f'r.{et}')})"
+        )
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN ({ref_fps}) f "
+        f"ON md5({_norm_sql(f's.{text}')}) = f.__fp"
+    )

@@ -330,3 +330,76 @@ def _r_corpus_stats(source, text, group_by=None) -> str:
         k = ", ".join(keys)
         return f"SELECT {k}, {aggs} FROM {source} GROUP BY {k}"
     return f"SELECT {aggs} FROM {source}"
+
+
+@spark_transform("ngram_counts", category="text", streaming_ok=False)
+def ngram_counts(
+    df: DataFrame,
+    text: str,
+    n: int = 2,
+    top_k: int | None = None,
+    min_count: int | None = None,
+    per_doc_distinct: bool = False,
+) -> DataFrame:
+    """Corpus n-gram frequency table — the standard LM-data profiling op
+    (boilerplate detection, vocabulary sizing, contamination spot checks).
+    Returns ``(NGRAM, N_OCCURRENCES)``; ``per_doc_distinct=True`` counts
+    document frequency instead of term frequency; documents with fewer than
+    ``n`` tokens contribute nothing.
+
+    Scale: tokens are staged as a real column (HOF rule — the slice lambda
+    must capture an attribute), the count is a partial/final hash aggregate
+    (map-side combine: shuffle carries one row per distinct n-gram per
+    partition, not per occurrence), and ``top_k`` plans as
+    TakeOrderedAndProject — the tail is never globally sorted."""
+    if n < 1:
+        raise ParameterException("n must be >= 1")
+    t = resolve_col(df, text)
+    from ..operators._util import spread
+
+    staged = spread(df).select(tokens_expr(F.col(t)).alias("__tk"))
+    toks = F.col("__tk")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda idx: F.concat_ws(" ", F.slice(toks, idx, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if per_doc_distinct:
+        grams = F.array_distinct(grams)
+    out = (
+        staged.select(F.explode(grams).alias("NGRAM"))
+        .groupBy("NGRAM")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("N_OCCURRENCES"))
+    )
+    if min_count is not None:
+        out = out.filter(F.col("N_OCCURRENCES") >= min_count)
+    if top_k is not None:
+        out = out.orderBy(F.col("N_OCCURRENCES").desc(), "NGRAM").limit(top_k)
+    return out
+
+
+@renderer("ngram_counts")
+def _r_ngram_counts(
+    source, text, n=2, top_k=None, min_count=None, per_doc_distinct=False
+) -> str:
+    toks = "__tk"
+    grams = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    if per_doc_distinct:
+        grams = f"array_distinct({grams})"
+    sql = (
+        f"SELECT NGRAM, CAST(count(1) AS BIGINT) AS N_OCCURRENCES FROM "
+        f"(SELECT explode({grams}) AS NGRAM FROM "
+        f"(SELECT {_tokens_sql(text)} AS __tk FROM {source})) GROUP BY NGRAM"
+    )
+    if min_count is not None:
+        sql += f" HAVING count(1) >= {min_count}"
+    if top_k is not None:
+        sql += f" ORDER BY N_OCCURRENCES DESC, NGRAM LIMIT {top_k}"
+    return sql

@@ -285,3 +285,53 @@ def test_pack_sequences_budget(spark):
     packs = {r["doc_id"]: r["PACK_ID"] for r in out.collect()}
     # starts at 0,100,200,300,... → floor(start/250): 0,0,0,1,1,2,2,2,3,3
     assert [packs[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
+def test_dedup_against_exact(spark, docs):
+    ref = spark.createDataFrame(
+        [(101, "The quick brown fox jumps over the lazy dog and runs far away home!"),
+         (102, "reference only content nothing like the batch")],
+        ["doc_id", "text"])
+    # 101 normalizes to doc 1/5's text -> both dropped in filter mode
+    out = rql.get_transform("dedup_against").apply(
+        docs, text="text", id_col="doc_id", reference=ref, method="exact")
+    assert {r["doc_id"] for r in out.collect()} == {2, 3, 4}
+    pairs = rql.get_transform("dedup_against").apply(
+        docs, text="text", id_col="doc_id", reference=ref,
+        method="exact", mode="pairs").collect()
+    assert {(r["ID"], r["REF_ID"]) for r in pairs} == {(1, 101), (5, 101)}
+    assert all(r["JACCARD"] == 1.0 for r in pairs)
+
+
+def test_dedup_against_minhash_cross_corpus(spark, docs):
+    ref = spark.createDataFrame(
+        [(201, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+         (202, "unrelated reference material about databases")],
+        ["doc_id", "text"])
+    pairs = rql.get_transform("dedup_against").apply(
+        docs, text="text", id_col="doc_id", reference=ref,
+        method="minhash", threshold=0.5, mode="pairs").collect()
+    matched = {(r["ID"], r["REF_ID"]) for r in pairs}
+    assert (1, 201) in matched and (5, 201) in matched  # near-dups of ref 201
+    assert all(r["JACCARD"] >= 0.5 for r in pairs)
+    assert not any(rid == 202 for _, rid in matched)
+    out = rql.get_transform("dedup_against").apply(
+        docs, text="text", id_col="doc_id", reference=ref,
+        method="minhash", threshold=0.5, mode="filter")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 3 in kept and 4 in kept and 1 not in kept
+
+
+def test_ngram_counts_term_and_doc_frequency(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"])
+    tf = {r["NGRAM"]: r["N_OCCURRENCES"] for r in rql.get_transform(
+        "ngram_counts").apply(df, text="text", n=2).collect()}
+    # doc1: "a b","b a","a b"; doc2: "a b","b c"; doc3 too short
+    assert tf == {"a b": 3, "b a": 1, "b c": 1}
+    dfreq = {r["NGRAM"]: r["N_OCCURRENCES"] for r in rql.get_transform(
+        "ngram_counts").apply(df, text="text", n=2, per_doc_distinct=True).collect()}
+    assert dfreq == {"a b": 2, "b a": 1, "b c": 1}
+    top = rql.get_transform("ngram_counts").apply(
+        df, text="text", n=2, top_k=1).collect()
+    assert [(r["NGRAM"], r["N_OCCURRENCES"]) for r in top] == [("a b", 3)]

@@ -172,6 +172,16 @@ CHAIN_CASES = [
     ("decontaminate_filter", lambda s: s.dataset("documents").decontaminate(
         text="text", id_col="doc_id", eval_table="documents",
         ngram=6, threshold=0.5, mode="filter")),
+    ("ngram_counts", lambda s: s.dataset("documents").ngram_counts(
+        text="text", n=2, top_k=50)),
+    ("dedup_against_exact", lambda s: s.dataset("documents").dedup_against(
+        text="text", id_col="doc_id",
+        reference=s.dataset("documents").filter(
+            filter_statements=["doc_id % 10 = 0"]),
+        method="exact")),
+    ("dedup_against_pairs", lambda s: s.dataset("documents").dedup_against(
+        text="text", id_col="doc_id", reference="documents",
+        method="exact", mode="pairs")),
 ]
 
 _ALL_TABLES = ("region nation customer supplier part orders lineitem "
