@@ -191,6 +191,26 @@ def test_pii_scrub_is_shuffle_free_codegen(session):
     assert "* Project" in plan  # whole-stage codegen
 
 
+def test_ngram_counts_partial_agg_and_take_ordered(session):
+    """n-gram counting must map-side combine (partial+final HashAggregate)
+    and plan top_k as TakeOrderedAndProject — never a global sort of the
+    whole vocabulary."""
+    plan = _plan(session.dataset("documents").ngram_counts(
+        text="text", n=2, top_k=50))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_against_exact_plans_semi_anti(session):
+    """Incremental dedup is membership, not enumeration: the plan must be
+    semi/anti hash joins on the fingerprint with no nested-loop anywhere."""
+    ref = session.dataset("documents").filter(filter_statements=["doc_id % 10 = 0"])
+    plan = _plan(session.dataset("documents").dedup_against(
+        text="text", id_col="doc_id", reference=ref, method="exact"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_outer_join_coalesces_keys_in_plan(session):
     out = rql.get_transform("join").apply(
         session.dataset("customer").df,
