@@ -987,6 +987,26 @@ _BOILERPLATE_APPLY = (
 )
 
 
+# Planted-footer projection for remove_boilerplate: appends a universal
+# footer line plus a second line that is boilerplate for every 3rd doc and
+# unique otherwise — both engines build identical input.
+_FOOTER_APPLY = (
+    "SELECT doc_id, concat(text, chr(10), 'Copyright footer line', chr(10), "
+    "CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' "
+    "ELSE concat('unique tail ', CAST(doc_id AS STRING)) END) AS text, lang "
+    "FROM {{source_table}}"
+)
+
+
+def q_remove_boilerplate(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .apply(sql=_FOOTER_APPLY)
+        .remove_boilerplate(text="text", id_col="doc_id", min_doc_frequency=50)
+        .df
+    )
+
+
 def q_ngram_counts(spark, sf):
     return _s(spark, sf).dataset("documents").ngram_counts(
         text="text", n=2, top_k=100).df
@@ -1595,6 +1615,26 @@ ranked AS (
             "ROUND(CASE WHEN tot > 0 THEN CAST(mt AS DOUBLE) / tot ELSE 0.0 END, 6) "
             "AS CONTAMINATION FROM m"
         ),
+        "remove_boilerplate": (
+            "WITH t AS (SELECT doc_id, concat(text, chr(10), 'Copyright footer line', "
+            "chr(10), CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' "
+            "ELSE concat('unique tail ', CAST(doc_id AS VARCHAR)) END) AS text, lang "
+            "FROM documents), "
+            "l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+            "unnest(range(len(string_split(text, chr(10))))) AS pos FROM t), "
+            "n AS (SELECT *, trim(lower(line)) AS norm FROM l), "
+            "bl AS (SELECT norm FROM n WHERE norm <> '' GROUP BY norm "
+            "HAVING count(DISTINCT doc_id) >= 50), "
+            "kept AS (SELECT * FROM n WHERE norm = '' "
+            "OR norm NOT IN (SELECT norm FROM bl)), "
+            "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS rtext, "
+            "count(*) AS c FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS tt FROM n GROUP BY doc_id) "
+            "SELECT t.doc_id, COALESCE(reb.rtext, '') AS text, t.lang, "
+            "CAST(tot.tt - COALESCE(reb.c, 0) AS BIGINT) AS N_LINES_REMOVED "
+            "FROM t JOIN tot ON t.doc_id = tot.doc_id "
+            "LEFT JOIN reb ON t.doc_id = reb.doc_id"
+        ),
         "ngram_counts": (
             f"WITH tk AS (SELECT {_toks()} AS t FROM documents), "
             "g AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN "
@@ -2130,4 +2170,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "dedup_against": q_dedup_against,
         "dedup_against_minhash": q_dedup_against_minhash,
+        "remove_boilerplate": q_remove_boilerplate,
     }

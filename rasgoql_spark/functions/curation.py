@@ -347,3 +347,61 @@ def _r_shuffle_deterministic(source, key, seed=42, name="SHUFFLE_KEY") -> str:
         f"SELECT *, md5(concat_ws('|', '{seed}', CAST({key} AS STRING))) "
         f"AS {name} FROM {source} ORDER BY {name}, {key}"
     )
+
+
+@spark_transform("remove_boilerplate", category="curation", streaming_ok=False)
+def remove_boilerplate(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    min_doc_frequency: int = 2,
+) -> DataFrame:
+    """CCNet/C4-style line-level boilerplate removal: a line whose normalized
+    form (trim+lowercase) appears in at least ``min_doc_frequency`` distinct
+    documents is dropped from every document; surviving lines are re-joined
+    in original order. Adds ``N_LINES_REMOVED``. Blank lines are never
+    counted as boilerplate (they carry no content signal).
+
+    Scale: the document-frequency pass shuffles slim ``(norm_line, id)``
+    pairs with a map-side distinct; the boilerplate set (lines with high df)
+    is small by construction and joins as a build side; the only full-text
+    shuffle is the per-document rebuild, which is inherent to line-level
+    rewriting. No driver-side collection at any step.
+    """
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    lines = spread(df).select(
+        F.col(i), F.posexplode(F.split(F.col(t), "\n")).alias("__pos", "__line")
+    )
+    lines = lines.withColumn("__norm", F.trim(F.lower(F.col("__line"))))
+    bl = (
+        lines.filter(F.col("__norm") != "")
+        .groupBy("__norm")
+        .agg(F.count_distinct(F.col(i)).alias("__df"))
+        .filter(F.col("__df") >= min_doc_frequency)
+        .select("__norm")
+    )
+    kept = lines.join(bl, on="__norm", how="left_anti")
+    rebuilt = kept.groupBy(i).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = lines.groupBy(i).agg(F.count(F.lit(1)).alias("__tot"))
+    merged = totals.join(rebuilt, on=i, how="left")
+    return (
+        df.join(merged, on=i, how="left")
+        .withColumns(
+            {
+                t: F.coalesce(F.col("__text"), F.lit("")),
+                "N_LINES_REMOVED": (
+                    F.col("__tot") - F.coalesce(F.col("__kept"), F.lit(0))
+                ).cast("bigint"),
+            }
+        )
+        .drop("__text", "__kept", "__tot")
+    )

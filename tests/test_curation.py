@@ -111,3 +111,24 @@ def test_decontaminate_chain_with_table_name(session):
     row = out.df.filter(F.col("NGRAM_TOTAL") > 0).limit(1).collect()
     # self-decontamination: every doc fully contaminated by construction
     assert row and row[0]["NGRAM_MATCHED"] == row[0]["NGRAM_TOTAL"]
+
+
+def test_remove_boilerplate_drops_common_lines(spark):
+    import rasgoql_spark as rql
+
+    rows = [
+        (1, "alpha unique line\nCopyright Footer\nbeta content"),
+        (2, "gamma words here\ncopyright footer"),
+        (3, "delta solo\nCOPYRIGHT FOOTER  \nepsilon"),
+        (4, "no boilerplate at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in rql.get_transform("remove_boilerplate").apply(
+        df, text="text", id_col="doc_id", min_doc_frequency=3).collect()}
+    assert out[1]["text"] == "alpha unique line\nbeta content"  # casing kept
+    assert out[2]["text"] == "gamma words here"
+    assert out[3]["text"] == "delta solo\nepsilon"
+    assert out[4]["text"] == "no boilerplate at all"
+    assert out[5]["text"] == "" and out[5]["N_LINES_REMOVED"] == 0
+    assert all(out[d]["N_LINES_REMOVED"] == 1 for d in (1, 2, 3))
