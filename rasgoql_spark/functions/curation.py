@@ -405,3 +405,41 @@ def remove_boilerplate(
         )
         .drop("__text", "__kept", "__tot")
     )
+
+
+@renderer("remove_boilerplate")
+def _r_remove_boilerplate(
+    source, text, id_col, min_doc_frequency=2, _input_columns=()
+) -> str:
+    lines = (
+        f"SELECT {id_col}, t.__pos, t.__line, trim(lower(t.__line)) AS __norm "
+        f"FROM {source} LATERAL VIEW posexplode(split({text}, '\\n')) t "
+        f"AS __pos, __line"
+    )
+    bl = (
+        f"SELECT __norm FROM ({lines}) WHERE __norm != '' GROUP BY __norm "
+        f"HAVING count(DISTINCT {id_col}) >= {min_doc_frequency}"
+    )
+    kept = (
+        f"SELECT n.* FROM ({lines}) n LEFT ANTI JOIN ({bl}) bl "
+        f"ON n.__norm = bl.__norm"
+    )
+    reb = (
+        f"SELECT {id_col}, array_join(transform(array_sort("
+        f"collect_list(struct(__pos, __line))), s -> s.__line), '\\n') AS __text, "
+        f"count(1) AS __kept FROM ({kept}) GROUP BY {id_col}"
+    )
+    tot = f"SELECT {id_col}, count(1) AS __tot FROM ({lines}) GROUP BY {id_col}"
+    removed = "CAST(__tot - COALESCE(__kept, 0) AS BIGINT)"
+    if _input_columns:
+        cols = ", ".join(
+            f"COALESCE(__text, '') AS {c}" if c.lower() == text.lower() else f"s.{c}"
+            for c in _input_columns
+        )
+    else:
+        cols = f"s.* EXCEPT ({text}), COALESCE(__text, '') AS {text}"
+    return (
+        f"SELECT {cols}, {removed} AS N_LINES_REMOVED "
+        f"FROM {source} s JOIN ({tot}) USING ({id_col}) "
+        f"LEFT JOIN ({reb}) USING ({id_col})"
+    )

@@ -182,6 +182,9 @@ CHAIN_CASES = [
     ("dedup_against_pairs", lambda s: s.dataset("documents").dedup_against(
         text="text", id_col="doc_id", reference="documents",
         method="exact", mode="pairs")),
+    ("remove_boilerplate", lambda s: s.dataset("documents")
+        .replace_string(column="text", pattern=" the ", replacement="\n")
+        .remove_boilerplate(text="text", id_col="doc_id", min_doc_frequency=2)),
 ]
 
 _ALL_TABLES = ("region nation customer supplier part orders lineitem "
