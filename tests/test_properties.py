@@ -135,3 +135,58 @@ def test_image_header_parser_never_crashes(data):
     from rasgoql_spark.functions.multimodal import _parse_image_header
 
     _parse_image_header(data)  # arbitrary bytes: None or a tuple, no raise
+
+
+_FILLER = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+@given(st.lists(st.sampled_from(_FILLER), min_size=0, max_size=25),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=100, deadline=None)
+def test_pii_email_pattern_counts_planted(words, k):
+    """Digit-free, @-free filler cannot produce accidental matches, so the
+    regex must count exactly the planted entities (same leftmost-first
+    semantics in Python re and Java regex)."""
+    import re
+
+    from rasgoql_spark.functions.curation import EMAIL_PATTERN, IP_PATTERN
+
+    text = " ".join(words)
+    for j in range(k):
+        text += f" u{j}@example.com"
+    assert len(re.findall(EMAIL_PATTERN, text)) == k
+    assert len(re.findall(IP_PATTERN, text)) == 0
+
+
+@given(st.lists(st.sampled_from(_FILLER), min_size=0, max_size=25),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=100, deadline=None)
+def test_pii_ip_pattern_counts_planted(words, k):
+    import re
+
+    from rasgoql_spark.functions.curation import IP_PATTERN
+
+    text = " ".join(words)
+    for j in range(k):
+        text += f" 10.0.{j}.255"
+    assert len(re.findall(IP_PATTERN, text)) == k
+
+
+def test_ngram_counts_conserve_total_mass(session):
+    """Term-frequency counts must sum to the exact number of n-grams in the
+    corpus: sum over docs of max(len(tokens) - n + 1, 0)."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions._hash import tokens_expr
+
+    n = 3
+    counted = session.dataset("documents").ngram_counts(text="text", n=n).df
+    total = counted.agg(F.sum("N_OCCURRENCES")).first()[0]
+    expected = (
+        session.dataset("documents").df
+        .select(F.greatest(
+            F.size(tokens_expr(F.col("text"))) - F.lit(n - 1), F.lit(0)
+        ).alias("k"))
+        .agg(F.sum("k")).first()[0]
+    )
+    assert total == expected
