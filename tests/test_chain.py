@@ -216,3 +216,22 @@ def test_save_shards(session, tmp_path):
     for i in range(len(per_file)):
         for j in range(i + 1, len(per_file)):
             assert not (per_file[i] & per_file[j])
+
+
+def test_save_shards_jsonl(session, tmp_path):
+    """file_format='json' writes newline-delimited JSON shards (the loader
+    format most LLM data pipelines expect) under the same sizing controls."""
+    import glob
+    import json
+
+    out = str(tmp_path / "jsonl_shards")
+    session.dataset("documents").save_shards(
+        out, rows_per_shard=200, num_shards=2, file_format="json")
+    files = glob.glob(out + "/*.json")
+    assert len(files) >= 4  # 500 rows / 2 shards / 200-row cap
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    assert len(rows) == session.dataset("documents").df.count()
+    assert {"doc_id", "text", "lang"} <= set(rows[0])

@@ -168,3 +168,32 @@ def test_stream_sessionize_batch_mode(spark):
     # N_EVENTS sums back to the event count
     total = df.agg(F.sum("N_EVENTS")).collect()[0][0]
     assert total == session.dataset("events").df.count()
+
+
+def test_curation_ops_on_stream_match_batch(spark, tmp_path_factory):
+    """Row-local curation ops (pii_scrub / repetition_stats / extract_urls)
+    run unchanged on a streaming frame and produce the batch answer."""
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    session = rql.RasgoSession(spark, data_dir=SF_DIR)
+    docs = session.dataset("documents").df.limit(100)
+    docs.repartition(2).write.mode("overwrite").parquet(out)
+
+    sdf = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(out))
+    chain = (rql.SQLChain(session, sdf, "docs_stream")
+             .pii_scrub(text="text")
+             .repetition_stats(text="text"))
+    assert chain.df.isStreaming
+    q = (chain.df.writeStream.format("memory").queryName("t_curation")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("t_curation")
+
+    batch = rql.SQLChain(session, spark.read.parquet(out), "docs_batch") \
+        .pii_scrub(text="text").repetition_stats(text="text").df
+    assert got.count() == batch.count() == 100
+    s_cols = sorted(got.columns)
+    assert s_cols == sorted(batch.columns)
+    a = {r["doc_id"]: r for r in got.collect()}
+    b = {r["doc_id"]: r for r in batch.collect()}
+    assert all(a[k]["WORD_REP_RATIO"] == b[k]["WORD_REP_RATIO"] for k in b)
