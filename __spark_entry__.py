@@ -1007,6 +1007,11 @@ def q_remove_boilerplate(spark, sf):
     )
 
 
+def q_quality_filter(spark, sf):
+    return _s(spark, sf).dataset("documents").quality_filter(
+        text="text", min_tokens=40, max_word_rep_ratio=0.6, mode="flag").df
+
+
 def q_ngram_counts(spark, sf):
     return _s(spark, sf).dataset("documents").ngram_counts(
         text="text", n=2, top_k=100).df
@@ -1615,6 +1620,19 @@ ranked AS (
             "ROUND(CASE WHEN tot > 0 THEN CAST(mt AS DOUBLE) / tot ELSE 0.0 END, 6) "
             "AS CONTAMINATION FROM m"
         ),
+        "quality_filter": (
+            "WITH s AS (SELECT *, list_filter(string_split(text, chr(10)), "
+            f"l -> trim(l) <> '') AS __ln, {_toks()} AS __tk FROM documents) "
+            "SELECT * EXCLUDE (__ln, __tk), "
+            "(len(__tk) >= 40 AND len(__tk) <= 100000 "
+            "AND ROUND(CASE WHEN len(__tk) > 0 THEN 1.0 - "
+            "CAST(len(list_distinct(__tk)) AS DOUBLE) / len(__tk) ELSE 0.0 END, 6) <= 0.6 "
+            "AND ROUND(CASE WHEN len(__ln) > 0 THEN 1.0 - "
+            "CAST(len(list_distinct(__ln)) AS DOUBLE) / len(__ln) ELSE 0.0 END, 6) <= 0.3 "
+            "AND ROUND(CASE WHEN len(__tk) > 0 THEN "
+            "CAST(list_sum(list_transform(__tk, x -> len(x))) AS DOUBLE) / len(__tk) "
+            "ELSE 0.0 END, 6) BETWEEN 2.0 AND 12.0) AS QUALITY_PASS FROM s"
+        ),
         "remove_boilerplate": (
             "WITH t AS (SELECT doc_id, concat(text, chr(10), 'Copyright footer line', "
             "chr(10), CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter' "
@@ -2171,4 +2189,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "dedup_against_minhash": q_dedup_against_minhash,
         "remove_boilerplate": q_remove_boilerplate,
+        "quality_filter": q_quality_filter,
     }

@@ -443,3 +443,102 @@ def _r_remove_boilerplate(
         f"FROM {source} s JOIN ({tot}) USING ({id_col}) "
         f"LEFT JOIN ({reb}) USING ({id_col})"
     )
+
+
+@spark_transform("quality_filter", category="curation")
+def quality_filter(
+    df: DataFrame,
+    text: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_word_rep_ratio: float = 0.3,
+    max_dup_line_ratio: float = 0.3,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    mode: str = "filter",
+) -> DataFrame:
+    """Gopher-style document quality gate in one call: token-count bounds,
+    word-repetition and duplicate-line ratio caps, mean-word-length bounds
+    (the standard pre-training corpus filter rules). mode='filter' keeps
+    passing rows with original columns; mode='flag' appends a
+    ``QUALITY_PASS`` boolean instead (for audit/sampling before committing
+    to a cut). Signals share repetition_stats semantics (ratios rounded to
+    6 dp). Row-local array expressions — shuffle-free at any scale."""
+    if mode not in ("filter", "flag"):
+        raise ParameterException("mode must be 'filter' or 'flag'")
+    t = resolve_col(df, text)
+    c = F.col(t)
+    staged = df.withColumns(
+        {
+            "__ln": F.filter(F.split(c, "\n"), lambda l: F.trim(l) != ""),
+            "__tk": tokens_expr(c),
+        }
+    )
+    toks, lines = F.col("__tk"), F.col("__ln")
+    n_toks = F.size(toks).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    word_rep = F.round(
+        F.when(n_toks > 0, 1.0 - F.size(F.array_distinct(toks)) / n_toks)
+        .otherwise(F.lit(0.0)), 6)
+    dup_line = F.round(
+        F.when(n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines)
+        .otherwise(F.lit(0.0)), 6)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    mean_len = F.round(
+        F.when(n_toks > 0, total_chars / n_toks).otherwise(F.lit(0.0)), 6)
+    ok = (
+        (n_toks >= min_tokens)
+        & (n_toks <= max_tokens)
+        & (word_rep <= max_word_rep_ratio)
+        & (dup_line <= max_dup_line_ratio)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+    )
+    if mode == "flag":
+        return staged.withColumn("QUALITY_PASS", ok).drop("__ln", "__tk")
+    return staged.filter(ok).drop("__ln", "__tk")
+
+
+@renderer("quality_filter")
+def _r_quality_filter(
+    source,
+    text,
+    min_tokens=50,
+    max_tokens=100_000,
+    max_word_rep_ratio=0.3,
+    max_dup_line_ratio=0.3,
+    min_mean_word_len=2.0,
+    max_mean_word_len=12.0,
+    mode="filter",
+    _input_columns=(),
+) -> str:
+    from .text import _tokens_sql
+
+    lines = f"filter(split({text}, '\\n'), l -> trim(l) != '')"
+    toks = _tokens_sql(text)
+    n_toks = f"CAST(size({toks}) AS BIGINT)"
+    n_lines = f"CAST(size({lines}) AS BIGINT)"
+    word_rep = (
+        f"ROUND(CASE WHEN {n_toks} > 0 THEN 1.0 - "
+        f"size(array_distinct({toks})) / {n_toks} ELSE 0.0 END, 6)"
+    )
+    dup_line = (
+        f"ROUND(CASE WHEN {n_lines} > 0 THEN 1.0 - "
+        f"size(array_distinct({lines})) / {n_lines} ELSE 0.0 END, 6)"
+    )
+    mean_len = (
+        f"ROUND(CASE WHEN {n_toks} > 0 THEN "
+        f"aggregate({toks}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) "
+        f"/ {n_toks} ELSE 0.0 END, 6)"
+    )
+    ok = (
+        f"({n_toks} >= {min_tokens} AND {n_toks} <= {max_tokens} "
+        f"AND {word_rep} <= {max_word_rep_ratio} "
+        f"AND {dup_line} <= {max_dup_line_ratio} "
+        f"AND {mean_len} >= {min_mean_word_len} "
+        f"AND {mean_len} <= {max_mean_word_len})"
+    )
+    if mode == "flag":
+        return with_columns_sql(source, {"QUALITY_PASS": ok}, _input_columns)
+    return f"SELECT * FROM {source} WHERE {ok}"

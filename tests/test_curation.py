@@ -132,3 +132,23 @@ def test_remove_boilerplate_drops_common_lines(spark):
     assert out[4]["text"] == "no boilerplate at all"
     assert out[5]["text"] == "" and out[5]["N_LINES_REMOVED"] == 0
     assert all(out[d]["N_LINES_REMOVED"] == 1 for d in (1, 2, 3))
+
+
+def test_quality_filter_rules(spark):
+    import rasgoql_spark as rql
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),   # passes
+        (2, "spam spam spam spam spam spam spam spam spam spam"),  # rep ratio
+        (3, "tiny"),                                               # too short
+        (4, "a b c d e f g h i j"),                                # word len 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(text="text", min_tokens=5, max_word_rep_ratio=0.5,
+              min_mean_word_len=2.0)
+    kept = {r["doc_id"] for r in rql.get_transform("quality_filter")
+            .apply(df, **kw).collect()}
+    assert kept == {1}
+    flags = {r["doc_id"]: r["QUALITY_PASS"] for r in rql.get_transform(
+        "quality_filter").apply(df, mode="flag", **kw).collect()}
+    assert flags == {1: True, 2: False, 3: False, 4: False}

@@ -185,6 +185,10 @@ CHAIN_CASES = [
     ("remove_boilerplate", lambda s: s.dataset("documents")
         .replace_string(column="text", pattern=" the ", replacement="\n")
         .remove_boilerplate(text="text", id_col="doc_id", min_doc_frequency=2)),
+    ("quality_filter", lambda s: s.dataset("documents").quality_filter(
+        text="text", min_tokens=40, max_word_rep_ratio=0.6)),
+    ("quality_flag", lambda s: s.dataset("documents").quality_filter(
+        text="text", min_tokens=40, max_word_rep_ratio=0.6, mode="flag")),
 ]
 
 _ALL_TABLES = ("region nation customer supplier part orders lineitem "
