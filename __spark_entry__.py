@@ -1129,6 +1129,36 @@ def q_image_meta(spark, sf):
     return rql.get_transform("image_meta").apply(png, binary_col="CONTENT", id_col="doc_id")
 
 
+def q_audio_meta(spark, sf):
+    # synthesize REAL WAV/RIFF headers in-Spark (little-endian hex from
+    # doc_id-derived fields) and parse them back with the pure-Python header
+    # decoder — every output column is deterministic and hash-checkable
+    from pyspark.sql import functions as F
+
+    def le(col, nbytes):
+        return F.concat(*[
+            F.lpad(F.hex(F.shiftright(col, 8 * k) % 256), 2, "0")
+            for k in range(nbytes)
+        ])
+
+    docs = _s(spark, sf).dataset("documents").df
+    ch = (F.col("doc_id") % 2 + 1).cast("bigint")
+    sr = (F.lit(16000) + (F.col("doc_id") % 4) * 8000).cast("bigint")
+    ba = ch * 2
+    br = sr * ba
+    data_size = ((F.col("doc_id") % 1000 + 1) * ba).cast("bigint")
+    hexstr = F.concat(
+        F.lit("52494646"), le(F.lit(36) + data_size, 4), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"), le(ch, 2),
+        le(sr, 4), le(br, 4), le(ba, 2), F.lit("1000"),
+        F.lit("64617461"), le(data_size, 4),
+    )
+    wav = docs.select("doc_id", F.to_binary(hexstr, F.lit("hex")).alias("CONTENT"))
+    import rasgoql_spark as rql
+    return rql.get_transform("audio_meta").apply(
+        wav, binary_col="CONTENT", id_col="doc_id")
+
+
 def q_image_meta_stub(spark, sf):
     return (
         _s(spark, sf).dataset("documents")
@@ -1490,6 +1520,15 @@ ranked AS (
             "SELECT doc_id AS DOC_ID, CAST(doc_id % 1920 + 1 AS BIGINT) AS WIDTH, "
             "CAST(doc_id % 1080 + 1 AS BIGINT) AS HEIGHT, 'RGBA' AS MODE, "
             "'header' AS DECODER FROM documents"
+        ),
+        "audio_meta": (
+            "WITH p AS (SELECT doc_id, doc_id % 2 + 1 AS ch, "
+            "16000 + (doc_id % 4) * 8000 AS sr, "
+            "(doc_id % 1000 + 1) * (doc_id % 2 + 1) * 2 AS data_size FROM documents) "
+            "SELECT doc_id AS DOC_ID, CAST(ch AS BIGINT) AS CHANNELS, "
+            "CAST(sr AS BIGINT) AS SAMPLE_RATE, CAST(16 AS BIGINT) AS BITS_PER_SAMPLE, "
+            "CAST(data_size * 1000 // (sr * ch * 2) AS BIGINT) AS DURATION_MS, "
+            "'header' AS DECODER FROM p"
         ),
         "datespine_groups": (
             "WITH src AS (SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m, "
@@ -2190,4 +2229,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_minhash": q_dedup_against_minhash,
         "remove_boilerplate": q_remove_boilerplate,
         "quality_filter": q_quality_filter,
+        "audio_meta": q_audio_meta,
     }

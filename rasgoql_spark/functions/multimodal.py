@@ -214,3 +214,88 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SAMPLE_SCHEMA.fields])
 
     return narrow.mapInPandas(sample, schema=_FRAME_SAMPLE_SCHEMA)
+
+
+def _parse_wav_header(data: bytes):
+    """Real header-level decode for WAV/RIFF — pure Python, no codec library.
+    Walks the chunk list for ``fmt `` and ``data`` and returns
+    (channels, sample_rate, bits_per_sample, duration_ms) or None if the
+    bytes are not RIFF/WAVE. Duration comes from the declared data-chunk size
+    over the byte rate (valid even when only the header bytes are present)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i, fmt, data_size = 12, None, None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(data):
+            ch = int.from_bytes(data[i + 10 : i + 12], "little")
+            sr = int.from_bytes(data[i + 12 : i + 16], "little")
+            br = int.from_bytes(data[i + 16 : i + 20], "little")
+            bits = int.from_bytes(data[i + 22 : i + 24], "little")
+            fmt = (ch, sr, br, bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if fmt is None:
+        return None
+    ch, sr, br, bits = fmt
+    dur = data_size * 1000 // br if (data_size is not None and br) else None
+    return ch, sr, bits, dur
+
+
+_AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("DOC_ID", LongType()),
+        StructField("CHANNELS", LongType()),
+        StructField("SAMPLE_RATE", LongType()),
+        StructField("BITS_PER_SAMPLE", LongType()),
+        StructField("DURATION_MS", LongType()),
+        StructField("DECODER", StringType()),
+    ]
+)
+
+
+@spark_transform("audio_meta", category="multimodal", streaming_ok=False)
+def audio_meta(
+    df: DataFrame, binary_col: str, id_col: str, fake: str = "deterministic"
+) -> DataFrame:
+    """Decode audio metadata via Arrow-batched mapInPandas.
+
+    Decode ladder: real WAV/RIFF header parse (pure Python, always
+    available; a soundfile/librosa decoder would slot in above it) → fake.
+    fake='deterministic' derives fields arithmetically from byte length for
+    unrecognized bytes; fake='error' raises NotImplementedError. Same batch
+    shape and narrow-projection discipline as image_meta — embarrassingly
+    parallel, no shuffle."""
+    b, i = resolve_col(df, binary_col), resolve_col(df, id_col)
+    if fake not in ("deterministic", "error"):
+        raise ParameterException("fake must be 'deterministic' or 'error'")
+    narrow = df.select(F.col(i).alias("DOC_ID"), F.col(b).alias("__bin"))
+    fake_mode = fake
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["DOC_ID"], pdf["__bin"]):
+                data = bytes(blob) if blob is not None else b""
+                parsed = _parse_wav_header(data)
+                if parsed is not None:
+                    ch, sr, bits, dur = parsed
+                    rows.append((doc_id, ch, sr, bits, dur, "header"))
+                    continue
+                if fake_mode == "error":
+                    raise NotImplementedError(
+                        "non-WAV audio decoding requires soundfile/librosa — "
+                        "not available in this environment; use "
+                        "fake='deterministic' to exercise the pipeline"
+                    )
+                n = len(data)
+                rows.append(
+                    (doc_id, n % 2 + 1, (n % 48) * 1000 + 8000, 16, n % 60000, "stub")
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_META_SCHEMA.fields]
+            )
+
+    return narrow.mapInPandas(decode, schema=_AUDIO_META_SCHEMA)

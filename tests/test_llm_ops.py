@@ -335,3 +335,41 @@ def test_ngram_counts_term_and_doc_frequency(spark):
     top = rql.get_transform("ngram_counts").apply(
         df, text="text", n=2, top_k=1).collect()
     assert [(r["NGRAM"], r["N_OCCURRENCES"]) for r in top] == [("a b", 3)]
+
+
+def _wav_bytes(ch, sr, bits, nsamples):
+    import struct
+
+    ba = ch * bits // 8
+    br = sr * ba
+    data_size = nsamples * ba
+    return (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, br, ba, bits)
+            + b"data" + struct.pack("<I", data_size))
+
+
+def test_audio_meta_real_wav_header_decode(spark):
+    rows = [
+        (1, _wav_bytes(2, 44100, 16, 44100)),   # 1000 ms stereo
+        (2, _wav_bytes(1, 16000, 16, 8000)),    # 500 ms mono
+        (3, b"not audio at all"),               # falls back to stub
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    out = {r["DOC_ID"]: r for r in rql.get_transform("audio_meta").apply(
+        df, binary_col="content", id_col="doc_id").collect()}
+    assert (out[1]["CHANNELS"], out[1]["SAMPLE_RATE"], out[1]["DURATION_MS"],
+            out[1]["DECODER"]) == (2, 44100, 1000, "header")
+    assert (out[2]["CHANNELS"], out[2]["SAMPLE_RATE"], out[2]["DURATION_MS"]) \
+        == (1, 16000, 500)
+    assert out[3]["DECODER"] == "stub"
+
+
+def test_audio_meta_error_mode(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, b"junk")], ["doc_id", "content"])
+    bad = rql.get_transform("audio_meta").apply(
+        df, binary_col="content", id_col="doc_id", fake="error")
+    with _pytest.raises(Exception):
+        bad.collect()

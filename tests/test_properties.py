@@ -190,3 +190,32 @@ def test_ngram_counts_conserve_total_mass(session):
         .agg(F.sum("k")).first()[0]
     )
     assert total == expected
+
+
+@given(st.integers(min_value=1, max_value=8),
+       st.integers(min_value=8000, max_value=192000),
+       st.sampled_from([8, 16, 24, 32]),
+       st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=100, deadline=None)
+def test_wav_header_roundtrip(ch, sr, bits, nsamples):
+    import struct
+
+    from rasgoql_spark.functions.multimodal import _parse_wav_header
+
+    ba = max(ch * bits // 8, 1)
+    br = sr * ba
+    data_size = nsamples * ba
+    blob = (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, br, ba, bits)
+            + b"data" + struct.pack("<I", data_size))
+    got = _parse_wav_header(blob)
+    assert got == (ch, sr, bits, data_size * 1000 // br)
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_wav_header_parser_never_crashes(data):
+    from rasgoql_spark.functions.multimodal import _parse_wav_header
+
+    out = _parse_wav_header(data)
+    assert out is None or len(out) == 4
