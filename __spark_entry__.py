@@ -1159,6 +1159,44 @@ def q_audio_meta(spark, sf):
         wav, binary_col="CONTENT", id_col="doc_id")
 
 
+def q_video_meta(spark, sf):
+    # synthesize REAL MP4 box structures in-Spark (big-endian hex: ftyp +
+    # moov(mvhd + trak(tkhd))) and parse them back with the pure-Python box
+    # walker — deterministic, hash-checkable
+    from pyspark.sql import functions as F
+
+    def be32(col):
+        return F.lpad(F.hex(col), 8, "0")
+
+    matrix = "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    docs = _s(spark, sf).dataset("documents").df
+    dur = (F.col("doc_id") % 60000 + 1000).cast("bigint")  # timescale 1000
+    w = (F.col("doc_id") % 1920 + 1).cast("bigint")
+    h = (F.col("doc_id") % 1080 + 1).cast("bigint")
+    mvhd = F.concat(
+        F.lit("0000006C" + "6D766864" + "00000000" + "00000000" * 2),
+        F.lit(format(1000, "08X")), be32(dur),
+        F.lit("00010000" + "0100" + "0000" + "00" * 8 + matrix + "00" * 24
+              + "00000002"),
+    )
+    tkhd = F.concat(
+        F.lit("0000005C" + "746B6864" + "00000007" + "00000000" * 2
+              + "00000001" + "00000000"),
+        be32(dur),
+        F.lit("00" * 8 + "00" * 8 + matrix),
+        be32(F.shiftleft(w, 16)), be32(F.shiftleft(h, 16)),
+    )
+    hexstr = F.concat(
+        F.lit("00000010" + "66747970" + "69736F6D" + "00000200"),
+        F.lit("000000D8" + "6D6F6F76"), mvhd,
+        F.lit("00000064" + "7472616B"), tkhd,
+    )
+    mp4 = docs.select("doc_id", F.to_binary(hexstr, F.lit("hex")).alias("CONTENT"))
+    import rasgoql_spark as rql
+    return rql.get_transform("video_meta").apply(
+        mp4, binary_col="CONTENT", id_col="doc_id")
+
+
 def q_image_meta_stub(spark, sf):
     return (
         _s(spark, sf).dataset("documents")
@@ -1519,6 +1557,12 @@ ranked AS (
         "image_meta": (
             "SELECT doc_id AS DOC_ID, CAST(doc_id % 1920 + 1 AS BIGINT) AS WIDTH, "
             "CAST(doc_id % 1080 + 1 AS BIGINT) AS HEIGHT, 'RGBA' AS MODE, "
+            "'header' AS DECODER FROM documents"
+        ),
+        "video_meta": (
+            "SELECT doc_id AS DOC_ID, CAST(doc_id % 1920 + 1 AS BIGINT) AS WIDTH, "
+            "CAST(doc_id % 1080 + 1 AS BIGINT) AS HEIGHT, "
+            "CAST(doc_id % 60000 + 1000 AS BIGINT) AS DURATION_MS, "
             "'header' AS DECODER FROM documents"
         ),
         "audio_meta": (
@@ -2230,4 +2274,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "quality_filter": q_quality_filter,
         "audio_meta": q_audio_meta,
+        "video_meta": q_video_meta,
     }

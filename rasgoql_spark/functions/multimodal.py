@@ -299,3 +299,112 @@ def audio_meta(
             )
 
     return narrow.mapInPandas(decode, schema=_AUDIO_META_SCHEMA)
+
+
+def _parse_mp4_header(data: bytes):
+    """Real header-level decode for MP4/ISO-BMFF — pure Python box walk.
+    Reads mvhd (timescale → duration) and the first video trak's tkhd
+    (16.16 fixed-point width/height). Returns (duration_ms, width, height)
+    or None if the bytes are not an MP4. Full frame decode still needs a
+    codec library; this parses only the structural metadata."""
+    n = len(data)
+    if n < 12 or data[4:8] not in (b"ftyp", b"moov"):
+        return None
+
+    def walk(start, end):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(data[i : i + 4], "big")
+            btype = data[i + 4 : i + 8]
+            hdr = 8
+            if size == 1 and i + 16 <= end:
+                size = int.from_bytes(data[i + 8 : i + 16], "big")
+                hdr = 16
+            if size == 0:
+                size = end - i
+            if size < hdr:
+                return
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    dur_ms = width = height = None
+    for btype, s, e in walk(0, n):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in walk(s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                ver = data[cs]
+                if ver == 1 and ce - cs >= 32:
+                    ts = int.from_bytes(data[cs + 20 : cs + 24], "big")
+                    dur = int.from_bytes(data[cs + 24 : cs + 32], "big")
+                else:
+                    ts = int.from_bytes(data[cs + 12 : cs + 16], "big")
+                    dur = int.from_bytes(data[cs + 16 : cs + 20], "big")
+                if ts:
+                    dur_ms = dur * 1000 // ts
+            elif ctype == b"trak":
+                for t2, s2, e2 in walk(cs, ce):
+                    if t2 == b"tkhd" and width is None and e2 > s2:
+                        off = 88 if data[s2] == 1 else 76
+                        if e2 - s2 >= off + 8:
+                            w = int.from_bytes(data[s2 + off : s2 + off + 4], "big") >> 16
+                            h = int.from_bytes(data[s2 + off + 4 : s2 + off + 8], "big") >> 16
+                            if w and h:
+                                width, height = w, h
+    if dur_ms is None and width is None:
+        return None
+    return dur_ms, width, height
+
+
+_VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("DOC_ID", LongType()),
+        StructField("WIDTH", LongType()),
+        StructField("HEIGHT", LongType()),
+        StructField("DURATION_MS", LongType()),
+        StructField("DECODER", StringType()),
+    ]
+)
+
+
+@spark_transform("video_meta", category="multimodal", streaming_ok=False)
+def video_meta(
+    df: DataFrame, binary_col: str, id_col: str, fake: str = "deterministic"
+) -> DataFrame:
+    """Decode video container metadata via Arrow-batched mapInPandas.
+
+    Decode ladder: real MP4/ISO-BMFF box parse (pure Python — mvhd duration,
+    tkhd dimensions; a cv2/ffprobe decoder would slot in above it) → fake.
+    Same narrow-projection, shuffle-free batch shape as image_meta/audio_meta.
+    """
+    b, i = resolve_col(df, binary_col), resolve_col(df, id_col)
+    if fake not in ("deterministic", "error"):
+        raise ParameterException("fake must be 'deterministic' or 'error'")
+    narrow = df.select(F.col(i).alias("DOC_ID"), F.col(b).alias("__bin"))
+    fake_mode = fake
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["DOC_ID"], pdf["__bin"]):
+                data = bytes(blob) if blob is not None else b""
+                parsed = _parse_mp4_header(data)
+                if parsed is not None:
+                    dur, w, h = parsed
+                    rows.append((doc_id, w, h, dur, "header"))
+                    continue
+                if fake_mode == "error":
+                    raise NotImplementedError(
+                        "non-MP4 video decoding requires cv2/ffmpeg — not "
+                        "available in this environment; use "
+                        "fake='deterministic' to exercise the pipeline"
+                    )
+                n = len(data)
+                rows.append(
+                    (doc_id, (n % 1280) + 1, (n % 720) + 1, n % 120000, "stub")
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VIDEO_META_SCHEMA.fields]
+            )
+
+    return narrow.mapInPandas(decode, schema=_VIDEO_META_SCHEMA)

@@ -373,3 +373,38 @@ def test_audio_meta_error_mode(spark):
         df, binary_col="content", id_col="doc_id", fake="error")
     with _pytest.raises(Exception):
         bad.collect()
+
+
+def _mp4_bytes(dur_ms, w, h, ts=1000):
+    import struct
+
+    def be32(x):
+        return struct.pack(">I", x)
+
+    matrix = be32(0x00010000) + be32(0) * 3 + be32(0x00010000) + be32(0) * 3 \
+        + be32(0x40000000)
+    mvhd = (be32(108) + b"mvhd" + b"\x00\x00\x00\x00" + be32(0) * 2 + be32(ts)
+            + be32(dur_ms * ts // 1000) + be32(0x00010000)
+            + struct.pack(">H", 0x0100) + b"\x00" * 2 + b"\x00" * 8 + matrix
+            + b"\x00" * 24 + be32(2))
+    tkhd = (be32(92) + b"tkhd" + be32(7) + be32(0) * 2 + be32(1) + be32(0)
+            + be32(dur_ms) + b"\x00" * 8 + b"\x00" * 8 + matrix
+            + be32(w << 16) + be32(h << 16))
+    moov = be32(216) + b"moov" + mvhd + be32(100) + b"trak" + tkhd
+    return be32(16) + b"ftyp" + b"isom" + be32(0x200) + moov
+
+
+def test_video_meta_real_mp4_header_decode(spark):
+    rows = [
+        (1, _mp4_bytes(61000, 1920, 1080)),
+        (2, _mp4_bytes(500, 64, 48)),
+        (3, b"definitely not a video"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    out = {r["DOC_ID"]: r for r in rql.get_transform("video_meta").apply(
+        df, binary_col="content", id_col="doc_id").collect()}
+    assert (out[1]["WIDTH"], out[1]["HEIGHT"], out[1]["DURATION_MS"],
+            out[1]["DECODER"]) == (1920, 1080, 61000, "header")
+    assert (out[2]["WIDTH"], out[2]["HEIGHT"], out[2]["DURATION_MS"]) \
+        == (64, 48, 500)
+    assert out[3]["DECODER"] == "stub"

@@ -219,3 +219,12 @@ def test_wav_header_parser_never_crashes(data):
 
     out = _parse_wav_header(data)
     assert out is None or len(out) == 4
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_mp4_header_parser_never_crashes(data):
+    from rasgoql_spark.functions.multimodal import _parse_mp4_header
+
+    out = _parse_mp4_header(data)
+    assert out is None or len(out) == 3
