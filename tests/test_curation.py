@@ -152,3 +152,45 @@ def test_quality_filter_rules(spark):
     flags = {r["doc_id"]: r["QUALITY_PASS"] for r in rql.get_transform(
         "quality_filter").apply(df, mode="flag", **kw).collect()}
     assert flags == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_full_training_pipeline_end_to_end(session, tmp_path):
+    """The complete corpus-curation pipeline composes as one chain:
+    quality gate -> PII scrub -> boilerplate removal -> exact dedup ->
+    eval decontamination -> deterministic shuffle -> sharded sink."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = session.dataset("documents")
+    ev = docs.filter(filter_statements=["doc_id % 25 = 0"])
+    cleaned = (
+        docs
+        .quality_filter(text="text", min_tokens=10, max_word_rep_ratio=0.9)
+        .pii_scrub(text="text")
+        .remove_boilerplate(text="text", id_col="doc_id", min_doc_frequency=400)
+        .dedup_exact(text="text", id_col="doc_id")
+        .decontaminate(text="text", id_col="doc_id", eval_table=ev,
+                       ngram=5, threshold=0.5, mode="filter")
+        .shuffle_deterministic(key="doc_id", seed=13)
+    )
+    n = cleaned.df.count()
+    assert 0 < n <= docs.df.count()
+    # eval docs (fully contaminated against themselves) must be gone
+    assert cleaned.df.filter("doc_id % 25 = 0").count() == 0
+    # deterministic: same seed, same first row
+    first = cleaned.df.first()["doc_id"]
+    assert first == (
+        docs.quality_filter(text="text", min_tokens=10, max_word_rep_ratio=0.9)
+        .pii_scrub(text="text")
+        .remove_boilerplate(text="text", id_col="doc_id", min_doc_frequency=400)
+        .dedup_exact(text="text", id_col="doc_id")
+        .decontaminate(text="text", id_col="doc_id", eval_table=ev,
+                       ngram=5, threshold=0.5, mode="filter")
+        .shuffle_deterministic(key="doc_id", seed=13)
+        .df.first()["doc_id"]
+    )
+    out = str(tmp_path / "corpus_shards")
+    cleaned.save_shards(out, rows_per_shard=100, num_shards=2)
+    files = glob.glob(out + "/*.parquet")
+    assert files and sum(pq.read_metadata(f).num_rows for f in files) == n
