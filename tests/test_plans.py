@@ -191,6 +191,12 @@ def test_pii_scrub_is_shuffle_free_codegen(session):
     assert "* Project" in plan  # whole-stage codegen
 
 
+def test_quality_filter_is_shuffle_free(session):
+    plan = _plan(session.dataset("documents").quality_filter(
+        text="text", min_tokens=10))
+    assert "Exchange" not in plan  # row-local gate: no shuffle at any scale
+
+
 def test_ngram_counts_partial_agg_and_take_ordered(session):
     """n-gram counting must map-side combine (partial+final HashAggregate)
     and plan top_k as TakeOrderedAndProject — never a global sort of the
