@@ -430,7 +430,10 @@ def _r_remove_boilerplate(
         f"count(1) AS __kept FROM ({kept}) GROUP BY {id_col}"
     )
     tot = f"SELECT {id_col}, count(1) AS __tot FROM ({lines}) GROUP BY {id_col}"
-    removed = "CAST(__tot - COALESCE(__kept, 0) AS BIGINT)"
+    # COALESCE(__tot, 0): NULL-text documents produce no posexplode rows, so
+    # an inner join on the totals would drop them while the DataFrame path
+    # keeps them (with empty text) — totals must join LEFT to preserve parity.
+    removed = "CAST(COALESCE(__tot, 0) - COALESCE(__kept, 0) AS BIGINT)"
     if _input_columns:
         cols = ", ".join(
             f"COALESCE(__text, '') AS {c}" if c.lower() == text.lower() else f"s.{c}"
@@ -440,7 +443,7 @@ def _r_remove_boilerplate(
         cols = f"s.* EXCEPT ({text}), COALESCE(__text, '') AS {text}"
     return (
         f"SELECT {cols}, {removed} AS N_LINES_REMOVED "
-        f"FROM {source} s JOIN ({tot}) USING ({id_col}) "
+        f"FROM {source} s LEFT JOIN ({tot}) USING ({id_col}) "
         f"LEFT JOIN ({reb}) USING ({id_col})"
     )
 

@@ -216,13 +216,20 @@ def near_dup_clusters(
     labels = (
         df.select(F.col(i).alias("__id")).distinct().withColumn("__lab", F.col("__id"))
     ).persist()
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         msgs = edges.join(
             labels.withColumnRenamed("__id", "__src"), on="__src"
         ).select(F.col("__dst").alias("__id"), "__lab")
         new_labels = (
             labels.unionByName(msgs).groupBy("__id").agg(F.min("__lab").alias("__lab"))
-        ).persist()
+        )
+        if (it + 1) % 5 == 0:
+            # Bound lineage depth: each round stacks join+agg on the last, so
+            # a lost executor at iteration N would otherwise recompute all N
+            # rounds. Truncate the plan to the materialized partitions.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("__lab", "__old"), on="__id")
             .filter("__lab <> __old")
@@ -233,9 +240,15 @@ def near_dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    # CLUSTER_ID stays in the id column's native type: a bigint cast on a
+    # string doc-id column would NULL every label and make dedup_by_cluster's
+    # (id == CLUSTER_ID) filter drop all rows.
     out = df.select(F.col(i)).join(
         labels.withColumnRenamed("__id", i), on=i, how="left"
-    ).select(F.col(i), F.coalesce("__lab", F.col(i)).cast("bigint").alias("CLUSTER_ID"))
+    ).select(
+        F.col(i),
+        F.coalesce("__lab", F.col(i)).cast(df.schema[i].dataType).alias("CLUSTER_ID"),
+    )
     return release_with(out, labels)
 
 

@@ -30,7 +30,9 @@ def mix_datasets(
     """Weighted mixture of this dataset + ``others`` (same schema). Output
     proportions follow ``weights`` (normalized); the mixture is as large as
     the scarcest source allows. Appends ``MIX_SOURCE`` (0 = this dataset).
-    With ``key``: deterministic modulo sampling on an integer key column.
+    With ``key``: deterministic hash-modulo sampling on a key column of any
+    type (``xxhash64(key, seed)`` into a 10000-slot grid — same rows survive
+    on every run regardless of partitioning).
     """
     sources = [df] + [o.df if hasattr(o, "df") else o for o in as_list(others)]
     weights = [float(w) for w in as_list(weights)]
@@ -49,10 +51,14 @@ def mix_datasets(
     for idx, (s, n, w) in enumerate(zip(sources, ns, ws)):
         frac = 0.0 if n == 0 or w == 0 else min(1.0, (w * scale) / n)
         if key is not None:
-            k = F.col(resolve_col(s, key))
-            # 100-slot modulo grid (same convention as `sample`): determin-
-            # istic and engine-portable; assumes keys uniform mod 100
-            part = s.filter(F.pmod(k, F.lit(100)) < F.lit(frac * 100))
+            kc = resolve_col(s, key)
+            # Hash the key into a 10000-slot grid: uniform regardless of the
+            # key's range or type (raw pmod silently returned ZERO rows for
+            # string keys and assumed ids uniform mod the grid size), and
+            # fine enough that sub-percent weights don't quantize to whole
+            # percent. xxhash64 is seed-stable → deterministic across runs.
+            slot = F.pmod(F.xxhash64(F.col(kc), F.lit(seed)), F.lit(10_000))
+            part = s.filter(slot < F.lit(round(frac * 10_000)))
         else:
             part = s.sample(fraction=frac, seed=seed + idx)
         part = part.withColumn("MIX_SOURCE", F.lit(idx))

@@ -100,6 +100,9 @@ def _parse_image_header(data: bytes):
                 i += 1
                 continue
             marker = data[i + 1]
+            if marker == 0xFF:  # fill/padding byte — legal before any marker
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload
                 i += 2
                 continue

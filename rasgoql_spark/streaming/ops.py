@@ -292,7 +292,11 @@ def stream_sessionize(
                 closed.append(row(*cur))
                 cur = (us, us, 1)
             else:
-                cur = (cur[0], us, cur[2] + 1)
+                # min/max merge: a late-but-within-watermark event from a
+                # later micro-batch may predate the stored session's last (or
+                # even first) timestamp — it must widen the session, never
+                # shrink SESSION_END or leave SESSION_START unextended.
+                cur = (min(cur[0], us), max(cur[1], us), cur[2] + 1)
         if cur is not None:
             state.update(cur)
             # a session whose natural close already lies behind the watermark

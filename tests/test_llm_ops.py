@@ -408,3 +408,61 @@ def test_video_meta_real_mp4_header_decode(spark):
     assert (out[2]["WIDTH"], out[2]["HEIGHT"], out[2]["DURATION_MS"]) \
         == (64, 48, 500)
     assert out[3]["DECODER"] == "stub"
+
+
+def test_near_dup_clusters_string_ids(spark):
+    """CLUSTER_ID must stay in the id column's native type: a bigint cast on
+    string doc ids would NULL every label and dedup_by_cluster would then
+    silently drop ALL rows."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [
+        ("doc-a", base * 8),
+        ("doc-b", base * 8 + "alpha beta gamma"),
+        ("doc-z", "unrelated words entirely here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = rql.get_transform("near_dup_clusters").apply(
+        df, text="text", id_col="doc_id", threshold=0.5)
+    assert dict(out.dtypes)["CLUSTER_ID"] == "string"
+    got = {r["doc_id"]: r["CLUSTER_ID"] for r in out.collect()}
+    assert None not in got.values()
+    assert got["doc-a"] == got["doc-b"] == "doc-a"
+    assert got["doc-z"] == "doc-z"
+    kept = rql.get_transform("dedup_by_cluster").apply(
+        df, text="text", id_col="doc_id", threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {"doc-a", "doc-z"}
+
+
+def test_mix_datasets_string_key(spark):
+    """Hash-based sampling must work for non-numeric keys (raw pmod on a
+    string column returned NULL → silently zero rows)."""
+    rows = [(f"doc-{i}", i % 2) for i in range(10_000)]
+    docs = spark.createDataFrame(rows, "doc_id string, half int")
+    a = docs.filter("half = 0").drop("half")
+    b = docs.filter("half = 1").drop("half")
+    out = rql.get_transform("mix_datasets").apply(
+        a, others=[b], weights=[0.7, 0.3], key="doc_id")
+    counts = {r["MIX_SOURCE"]: r["count"]
+              for r in out.groupBy("MIX_SOURCE").count().collect()}
+    total = sum(counts.values())
+    assert total > 0 and counts.get(1, 0) > 0
+    assert abs(counts.get(1, 0) / total - 0.3) < 0.08
+    out2 = rql.get_transform("mix_datasets").apply(
+        a, others=[b], weights=[0.7, 0.3], key="doc_id")
+    assert out.exceptAll(out2).count() == 0  # deterministic
+
+
+def test_mix_datasets_sub_percent_weight(spark):
+    """The 10000-slot modulo grid must not quantize a 0.4% weight to zero
+    (the old 100-slot grid rounded it to a whole-percent slot). Needs an id
+    range wide enough to be uniform mod 10000."""
+    ids = spark.range(0, 100_000).withColumnRenamed("id", "doc_id")
+    a = ids.filter("doc_id % 2 = 0")
+    b = ids.filter("doc_id % 2 = 1")
+    out = rql.get_transform("mix_datasets").apply(
+        a, others=[b], weights=[0.996, 0.004], key="doc_id")
+    counts = {r["MIX_SOURCE"]: r["count"]
+              for r in out.groupBy("MIX_SOURCE").count().collect()}
+    assert counts.get(1, 0) > 0, "sub-percent source must not vanish"
+    total = sum(counts.values())
+    assert counts[1] / total < 0.01

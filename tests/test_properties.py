@@ -228,3 +228,21 @@ def test_mp4_header_parser_never_crashes(data):
 
     out = _parse_mp4_header(data)
     assert out is None or len(out) == 3
+
+
+@given(st.integers(min_value=1, max_value=65535),
+       st.integers(min_value=1, max_value=65535),
+       st.sampled_from([1, 3, 4]),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=50, deadline=None)
+def test_jpeg_header_with_fill_bytes(w, h, ncomp, n_fill):
+    """0xFF fill/padding bytes are legal before any JPEG marker; the segment
+    walk must consume them instead of mis-reading a marker byte as a length."""
+    from rasgoql_spark.functions.multimodal import _JPEG_MODES, _parse_image_header
+
+    fill = b"\xff" * n_fill
+    sof = (b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8])
+           + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp]))
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    data = b"\xff\xd8" + fill + app0 + fill + sof
+    assert _parse_image_header(data) == (w, h, _JPEG_MODES[ncomp])

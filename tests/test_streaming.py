@@ -197,3 +197,42 @@ def test_curation_ops_on_stream_match_batch(spark, tmp_path_factory):
     a = {r["doc_id"]: r for r in got.collect()}
     b = {r["doc_id"]: r for r in batch.collect()}
     assert all(a[k]["WORD_REP_RATIO"] == b[k]["WORD_REP_RATIO"] for k in b)
+
+
+def test_stream_sessionize_out_of_order_microbatch(spark, tmp_path_factory):
+    """A late-but-within-watermark event arriving in a LATER micro-batch with
+    a timestamp inside the stored session must widen the session (min/max
+    merge), never shrink SESSION_END to the late event's timestamp."""
+    import time as _time
+    from datetime import datetime
+
+    out = str(tmp_path_factory.mktemp("events_ooo"))
+
+    def write_batch(rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        df.coalesce(1).write.mode("append").parquet(out)
+        _time.sleep(1.1)
+
+    t = lambda m: datetime(2024, 1, 1, m // 60, m % 60)
+    # batch 1: user 1 session spans [00:00, 00:10]
+    write_batch([(1, t(0)), (1, t(10))])
+    # batch 2: LATE event at 00:05 (inside the stored session; watermark is
+    # 60 min so it is accepted) + a far-future user-2 event that pushes the
+    # watermark past user 1's session timeout (00:10 + 30 min gap)
+    write_batch([(1, t(5)), (2, t(600))])
+    # batch 3: advances processing so user 1's event-time timeout fires
+    write_batch([(3, t(1200))])
+
+    sdf = read_events_stream(spark, out)
+    streamed = rql.get_transform("stream_sessionize").apply(
+        sdf, entity="user_id", ts="ts", gap_minutes=30, watermark="60 minutes")
+    q = (streamed.writeStream.format("memory").queryName("t_sessionize_ooo")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.table("t_sessionize_ooo").collect()}
+    assert 1 in got, "user 1 session should have closed via event-time timeout"
+    sess = got[1]
+    assert sess["SESSION_START"] == t(0)
+    assert sess["SESSION_END"] == t(10), (
+        "late event must not shrink SESSION_END")
+    assert sess["N_EVENTS"] == 3
