@@ -95,6 +95,69 @@ def minhash_signatures(
     return staged_sh.select("__id", "__sh", mh.alias("__mh"))
 
 
+def _expand_collapsed(
+    rep_pairs: DataFrame,
+    reps: DataFrame,
+    groups: DataFrame,
+    mode: str,
+    score_col: str,
+    intra_score: Column,
+    keep,
+) -> DataFrame:
+    """Expand representative-level LSH pairs back to member level.
+
+    ``groups`` is ``(__id, __g, __ne)`` — one row per input doc with its
+    exact-duplicate group key; ``reps`` is ``(__g, __id)`` with the per-group
+    minimum id. Members share their representative's signature, so two docs
+    collide on a band iff their reps collide — rep-level results are exact.
+
+    mode='pairs': full member-level ``(ID_A, ID_B, score)``. Cross-group
+    pairs inherit the rep pair's score (identical sets ⇒ identical
+    similarity); same-group pairs score ``intra_score`` and pass through the
+    ``keep`` predicate. Inherently quadratic inside exact-duplicate groups —
+    that is the contract of 'pairs', not an implementation artifact.
+    mode='edges' (and the 'filter' internals): connectivity-preserving
+    ``(ID_A, ID_B)`` — rep-level pairs plus ONE star edge per exact copy,
+    O(n + rep_pairs) rows. Connected components (and the dropped-id set
+    ``ID_B``) are identical to the full expansion's.
+    """
+    if mode in ("edges", "filter"):
+        star = (
+            groups.join(reps.select("__g", F.col("__id").alias("ID_A")), on="__g")
+            .filter(F.col("__id") != F.col("ID_A"))
+            .filter(keep(intra_score))
+            .select("ID_A", F.col("__id").alias("ID_B"))
+        )
+        return rep_pairs.select("ID_A", "ID_B").unionByName(star)
+    if mode != "pairs":
+        raise ParameterException("mode must be 'pairs', 'filter', or 'edges'")
+    ga = reps.select(F.col("__id").alias("ID_A"), F.col("__g").alias("__ga"))
+    gb = reps.select(F.col("__id").alias("ID_B"), F.col("__g").alias("__gb"))
+    keyed = rep_pairs.join(ga, on="ID_A").join(gb, on="ID_B")
+    ma = groups.select(F.col("__g").alias("__ga"), F.col("__id").alias("__xa"))
+    mb = groups.select(F.col("__g").alias("__gb"), F.col("__id").alias("__xb"))
+    cross = (
+        keyed.select("__ga", "__gb", score_col)
+        .join(ma, on="__ga")
+        .join(mb, on="__gb")
+        .select(
+            F.least("__xa", "__xb").alias("ID_A"),
+            F.greatest("__xa", "__xb").alias("ID_B"),
+            score_col,
+        )
+    )
+    m1 = groups.select("__g", "__ne", F.col("__id").alias("__xa"))
+    m2 = groups.select("__g", F.col("__id").alias("__xb"))
+    intra = (
+        m1.join(m2, on="__g")
+        .filter(F.col("__xa") < F.col("__xb"))
+        .withColumn(score_col, intra_score)
+        .filter(keep(F.col(score_col)))
+        .select(F.col("__xa").alias("ID_A"), F.col("__xb").alias("ID_B"), score_col)
+    )
+    return cross.unionByName(intra)
+
+
 @spark_transform("dedup_minhash", category="dedup", streaming_ok=False)
 def dedup_minhash(
     df: DataFrame,
@@ -108,10 +171,22 @@ def dedup_minhash(
 ) -> DataFrame:
     """MinHash + LSH near-duplicate detection (SURVEY §7.2 M7).
 
-    Pipeline: shingle → 16 minhashes → 4 bands of 4 → band-bucket equi-join
-    for candidates → exact Jaccard on shingle sets → threshold.
+    Pipeline: shingle → 16 minhashes → collapse identical shingle SETS to one
+    representative → 4 bands of 4 → band-bucket equi-join for candidates →
+    exact Jaccard on shingle sets → threshold → expand back to member pairs.
     mode='pairs': (ID_A, ID_B, JACCARD) for near-dup pairs.
     mode='filter': input rows minus any doc near-duplicate of a smaller id.
+    mode='edges': connectivity-preserving edge list (ID_A, ID_B) — rep-level
+    near-dup pairs plus one star edge per exact copy, O(n + rep_pairs) rows
+    where 'pairs' is inherently quadratic inside exact-duplicate groups.
+
+    Skew note: exact duplicates (20-30% of real web crawls) share identical
+    signatures and would collide on EVERY band — a 100k-copy boilerplate page
+    puts ~10^10 candidate pairs in one bucket. The collapse makes the band
+    self-join see each distinct shingle set once, so hot buckets can't form
+    from exact copies. Output is unchanged: members share their rep's bands,
+    so two docs collide iff their reps collide, and identical sets have
+    Jaccard exactly 1.0.
     """
     if num_hashes % bands != 0:
         raise ParameterException("num_hashes must be divisible by bands")
@@ -121,6 +196,14 @@ def dedup_minhash(
     # pipeline is recomputed per consumer; released when the result is GC'd
     cached_sig = minhash_signatures(df, text, id_col, num_hashes, shingle_size).persist()
     sig = cached_sig
+    # groups: one row per doc, 32-byte set-fingerprint key (shuffles slim)
+    groups = sig.select(
+        "__id",
+        F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))).alias("__g"),
+        (F.size("__sh") > 0).alias("__ne"),
+    )
+    reps = groups.groupBy("__g").agg(F.min("__id").alias("__id"))
+    rep_sig = sig.join(reps.select("__id"), on="__id", how="left_semi")
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -131,12 +214,12 @@ def dedup_minhash(
         ).alias(f"__band{b}")
         for b in range(bands)
     ]
-    sig = sig.select("__id", "__sh", *band_cols)
+    rep_sig = rep_sig.select("__id", "__sh", *band_cols)
     # Candidate generation stays SLIM: only (id, band) flows through the
     # self-join shuffle — shingle arrays would otherwise be duplicated per
     # band and per candidate pair, dominating shuffle bytes at scale.
-    shingle_tbl = sig.select("__id", "__sh")
-    bands_long = sig.select(
+    shingle_tbl = rep_sig.select("__id", "__sh")
+    bands_long = rep_sig.select(
         "__id",
         F.explode(F.array(*[F.col(f"__band{b}") for b in range(bands)])).alias("__band"),
     )
@@ -159,20 +242,24 @@ def dedup_minhash(
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
     jac = F.when(un > 0, inter / un).otherwise(F.lit(0.0))
-    pairs = (
+    rep_pairs = (
         cand.withColumn("JACCARD", jac)
         .filter(F.col("JACCARD") >= threshold)
         .select(
             F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "JACCARD"
         )
     )
-    if mode == "pairs":
-        return release_with(pairs, cached_sig)
+    # identical shingle sets: J = 1.0 exactly; the (single) empty-set group
+    # scores 0.0, matching the un=0 branch of the verification expression
+    intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
+    out = _expand_collapsed(
+        rep_pairs, reps, groups, mode, "JACCARD", intra, lambda c: c >= threshold
+    )
     if mode == "filter":
         i = resolve_col(df, id_col)
-        dupes = pairs.select(F.col("ID_B").alias(i)).distinct()
+        dupes = out.select(F.col("ID_B").alias(i)).distinct()
         return release_with(df.join(dupes, on=i, how="left_anti"), cached_sig)
-    raise ParameterException("mode must be 'pairs' or 'filter'")
+    return release_with(out, cached_sig)
 
 
 @spark_transform("near_dup_clusters", category="dedup", streaming_ok=False)
@@ -199,12 +286,16 @@ def near_dup_clusters(
     ``(id_col, CLUSTER_ID)`` for every input row (singletons own themselves).
     """
     i = resolve_col(df, id_col)
+    # 'edges' mode: rep-level pairs + star edges — same connected components
+    # as the full pair set at O(n + rep_pairs) rows, where 'pairs' is
+    # quadratic inside exact-duplicate groups (a 100k-copy page would emit
+    # ~5·10^9 intra-group pairs that all carry the same label information).
     if method == "minhash":
         pairs = dedup_minhash(
-            df, text, id_col, threshold=threshold, mode="pairs", **kwargs
+            df, text, id_col, threshold=threshold, mode="edges", **kwargs
         ).select("ID_A", "ID_B")
     elif method == "simhash":
-        pairs = dedup_simhash(df, text, id_col, mode="pairs", **kwargs).select(
+        pairs = dedup_simhash(df, text, id_col, mode="edges", **kwargs).select(
             "ID_A", "ID_B"
         )
     else:
@@ -303,7 +394,13 @@ def dedup_simhash(
     Banding: 4 bytes; pigeonhole guarantees any pair within Hamming distance
     3 collides on ≥1 byte-band. Verification = bit_count(xor) ≤ threshold.
     mode='pairs' → (ID_A, ID_B, HAMMING); mode='signatures' → per-doc
-    (id, SIMHASH).
+    (id, SIMHASH); mode='edges' → connectivity-preserving (ID_A, ID_B)
+    (see ``_expand_collapsed``).
+
+    Skew note: docs sharing a 32-bit signature (every exact duplicate, plus
+    genuine hamming-0 neighbors) would collide on all 4 bands; the band
+    self-join runs over one representative per DISTINCT signature, and
+    same-signature pairs (HAMMING = 0 by definition) are expanded afterwards.
     """
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     toks = tokens_expr(F.col(t))
@@ -313,7 +410,13 @@ def dedup_simhash(
     ).select("__id", _simhash_over_hashes(F.col("__hv")).alias("SIMHASH"))
     if mode == "signatures":
         return sig.select(F.col("__id").alias(i), "SIMHASH")
-    bands_long = sig.select(
+    cached_sig = sig.persist()
+    groups = cached_sig.select(
+        "__id", F.col("SIMHASH").alias("__g"), F.lit(True).alias("__ne")
+    )
+    reps = groups.groupBy("__g").agg(F.min("__id").alias("__id"))
+    rep_sig = cached_sig.join(reps.select("__id"), on="__id", how="left_semi")
+    bands_long = rep_sig.select(
         "__id",
         "SIMHASH",
         F.explode(
@@ -334,7 +437,7 @@ def dedup_simhash(
         F.col("__id").alias("__id_b"), F.col("SIMHASH").alias("__s_b"), "__band"
     )
     ham = F.bit_count(F.col("__s_a").bitwiseXOR(F.col("__s_b")))
-    return (
+    rep_pairs = (
         left.join(right, on="__band")
         .filter(F.col("__id_a") < F.col("__id_b"))
         .dropDuplicates(["__id_a", "__id_b"])
@@ -342,6 +445,11 @@ def dedup_simhash(
         .filter(F.col("HAMMING") <= hamming_threshold)
         .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "HAMMING")
     )
+    out = _expand_collapsed(
+        rep_pairs, reps, groups, mode, "HAMMING",
+        F.lit(0).cast("integer"), lambda c: c <= hamming_threshold,
+    )
+    return release_with(out, cached_sig)
 
 
 @spark_transform("dedup_ngram_jaccard", category="dedup", streaming_ok=False)
@@ -351,21 +459,35 @@ def dedup_ngram_jaccard(
     id_col: str,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs via inverted-index candidate
     generation: explode shingles, self-join on shingle, dedup candidate
     pairs, verify exact Jaccard (SURVEY §7.2 M7). Exact but
     shuffle-heavier than minhash — prefer dedup_minhash beyond ~10^8 docs
-    (documented trade-off)."""
+    (documented trade-off).
+
+    Skew note: exact duplicates share every posting, so the inverted-index
+    self-join runs over one representative per distinct shingle SET
+    (identical sets ⇒ Jaccard exactly 1.0, expanded back afterwards) —
+    a 100k-copy page contributes ONE doc to each posting list instead of
+    turning every one of its shingles into a 100k-deep hot posting."""
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     base = (
         spread(df).select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
         .select("__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh"))
         .persist()  # reused by the inverted index + both verification sides
     )  # staged projections: see minhash_signatures on per-element re-eval
+    groups = base.select(
+        "__id",
+        F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))).alias("__g"),
+        (F.size("__sh") > 0).alias("__ne"),
+    )
+    reps = groups.groupBy("__g").agg(F.min("__id").alias("__id"))
+    rep_base = base.join(reps.select("__id"), on="__id", how="left_semi")
     # slim inverted index: only (id, shingle) shuffles; arrays attach to
     # surviving candidate pairs afterwards (see dedup_minhash note)
-    inv = base.select("__id", F.explode("__sh").alias("__s"))
+    inv = rep_base.select("__id", F.explode("__sh").alias("__s"))
     left = inv.select(F.col("__id").alias("__id_a"), "__s")
     right = inv.select(F.col("__id").alias("__id_b"), "__s")
     cand_ids = (
@@ -375,18 +497,22 @@ def dedup_ngram_jaccard(
         .dropDuplicates(["__id_a", "__id_b"])
     )
     cand = cand_ids.join(
-        base.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
+        rep_base.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
         on="__id_a",
     ).join(
-        base.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
+        rep_base.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
         on="__id_b",
     )
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
     un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
-    out = (
+    rep_pairs = (
         cand.withColumn("JACCARD", F.when(un > 0, inter / un).otherwise(F.lit(0.0)))
         .filter(F.col("JACCARD") >= threshold)
         .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "JACCARD")
+    )
+    intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
+    out = _expand_collapsed(
+        rep_pairs, reps, groups, mode, "JACCARD", intra, lambda c: c >= threshold
     )
     return release_with(out, base)
 

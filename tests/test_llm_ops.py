@@ -466,3 +466,53 @@ def test_mix_datasets_sub_percent_weight(spark):
     assert counts.get(1, 0) > 0, "sub-percent source must not vanish"
     total = sum(counts.values())
     assert counts[1] / total < 0.01
+
+
+def test_lsh_hot_bucket_collapse(spark):
+    """Exact-duplicate groups must not explode the LSH band self-joins:
+    5000 identical copies collapse to ONE representative before banding, so
+    the connectivity outputs stay O(n) instead of O(n²) candidate pairs."""
+    n = 5000
+    copies = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate page text repeated on every mirror site' AS text")
+    extra = spark.createDataFrame(
+        [(n + 7, "a completely different document about unrelated topics entirely")],
+        "doc_id long, text string")
+    df = copies.union(extra)
+    edges = rql.get_transform("dedup_minhash").apply(
+        df, text="text", id_col="doc_id", mode="edges")
+    assert edges.count() == n - 1  # one star edge per copy, no rep pairs
+    kept = rql.get_transform("dedup_minhash").apply(
+        df, text="text", id_col="doc_id", mode="filter")
+    assert kept.count() == 2  # group representative + the unrelated doc
+    clusters = rql.get_transform("near_dup_clusters").apply(
+        df, text="text", id_col="doc_id")
+    sizes = {r["CLUSTER_ID"]: r["count"]
+             for r in clusters.groupBy("CLUSTER_ID").count().collect()}
+    assert sizes[0] == n and sizes[n + 7] == 1
+    sim_edges = rql.get_transform("dedup_simhash").apply(
+        df, text="text", id_col="doc_id", mode="edges")
+    assert sim_edges.count() <= n  # n-1 star edges (+ possible rep pair)
+
+
+def test_dedup_pairs_mode_exact_dup_group_parity(spark):
+    """'pairs' mode must still emit the full quadratic pair set inside an
+    exact-duplicate group (that IS the pairs contract), each at J = 1.0."""
+    n = 40
+    copies = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "'identical content for the whole duplicate group of documents' AS text")
+    pairs = rql.get_transform("dedup_minhash").apply(
+        copies, text="text", id_col="doc_id", mode="pairs")
+    rows = pairs.collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["JACCARD"] == 1.0 and r["ID_A"] < r["ID_B"] for r in rows)
+    sim = rql.get_transform("dedup_simhash").apply(
+        copies, text="text", id_col="doc_id", mode="pairs")
+    srows = sim.collect()
+    assert len(srows) == n * (n - 1) // 2
+    assert all(r["HAMMING"] == 0 for r in srows)
+    ng = rql.get_transform("dedup_ngram_jaccard").apply(
+        copies, text="text", id_col="doc_id")
+    assert ng.count() == n * (n - 1) // 2
