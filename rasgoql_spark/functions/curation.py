@@ -111,7 +111,10 @@ def decontaminate(
     if mode == "score":
         return scored.withColumn("CONTAMINATION", contamination)
     flagged = scored.filter(contamination >= F.lit(threshold)).select(i)
-    return df.join(F.broadcast(flagged), i, "left_anti")
+    # no broadcast hint: the contaminated-id set is data-dependent and
+    # unbounded in principle (a wholly-contaminated corpus flags every id) —
+    # let AQE pick broadcast vs shuffle from the observed size at runtime
+    return df.join(flagged, i, "left_anti")
 
 
 @renderer("decontaminate")

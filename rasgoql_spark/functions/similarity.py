@@ -11,7 +11,7 @@ hyperplane-sign buckets, trading recall for a ~2^planes fan-in reduction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
@@ -128,20 +128,47 @@ def _centroid_array(cents: list) -> "F.Column":
     )
 
 
-def _sims_expr(cents: list, nvec_col: str = "__nvec"):
-    """array<struct<s: sim, nc: -cid>> per row — one dot per centroid."""
+def _sims_expr(cents, nvec_col: str = "__nvec"):
+    """array<struct<s: sim, nc: -cid>> per row — one dot per centroid.
+    ``cents`` is either the Python centroid list (embedded as literals) or a
+    Column already holding the array<struct<c, v>> (broadcast fallback)."""
+    carr = cents if isinstance(cents, Column) else _centroid_array(cents)
     return F.transform(
-        _centroid_array(cents),
+        carr,
         lambda ce: F.struct(
             _dot(F.col(nvec_col), ce["v"]).alias("s"), (-ce["c"]).alias("nc")
         ),
     )
 
 
-def _argmax_cid(cents: list, nvec_col: str = "__nvec"):
+def _argmax_cid(cents, nvec_col: str = "__nvec"):
     """cid of the highest-cosine centroid (ties → lowest cid via -cid max)."""
     best = F.array_max(_sims_expr(cents, nvec_col))
     return (-best["nc"]).cast("bigint")
+
+
+# Above this many centroids the literal-array plan grows linearly with k
+# (100 TB corpora want k in the thousands); switch to a one-row broadcast.
+IVF_LITERAL_CENTROID_MAX = 256
+
+
+def _attach_centroids(df: DataFrame, cents: list):
+    """Make the centroid array available to per-row expressions; returns
+    ``(df, centroid_array, drop_cols)``.
+
+    k ≤ IVF_LITERAL_CENTROID_MAX: embed k·dim literals — assignment stays a
+    pure shuffle-free projection with zero join.
+    k > max: ship the centroids as a ONE-ROW broadcast crossJoin instead —
+    the corpus still never shuffles (broadcast nested-loop against a single
+    row) and plan size stays O(1) in k."""
+    if len(cents) <= IVF_LITERAL_CENTROID_MAX:
+        return df, _centroid_array(cents), []
+    cent_df = df.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "c bigint, v array<double>",
+    )
+    one_row = cent_df.agg(F.collect_list(F.struct("c", "v")).alias("__cents"))
+    return df.crossJoin(F.broadcast(one_row)), F.col("__cents"), ["__cents"]
 
 
 def _norm_py(vec: list) -> list:
@@ -184,7 +211,10 @@ def build_ivf_index(
     bounded action like the discovery caps) and embedded as a literal array,
     so every assignment pass is a shuffle-free projection — the corpus never
     joins, explodes, or shuffles for assignment. Only the Lloyd re-average
-    shuffles, and it ships slim (cid, pos, value) triples.
+    shuffles, and it ships slim (cid, pos, value) triples. Above
+    ``IVF_LITERAL_CENTROID_MAX`` (256) centroids the literal plan would grow
+    linearly with k, so the centroid array ships as a one-row broadcast
+    instead — same shuffle-free corpus, O(1) plan size.
     """
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
     indexed, _, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations)
@@ -207,7 +237,8 @@ def _ivf_assign(df, vec_col, id_col, num_centroids, iterations):
     seeds = cached.orderBy("__id").limit(num_centroids).select("__nvec").collect()
     cents = [(j, list(r["__nvec"])) for j, r in enumerate(seeds)]
     for _ in range(iterations):
-        assigned = cached.withColumn("__cid", _argmax_cid(cents))
+        abase, carr, _adrop = _attach_centroids(cached, cents)
+        assigned = abase.withColumn("__cid", _argmax_cid(carr))
         # per-(cid, pos) averages collect as k·dim rows (bounded); the final
         # re-assembly happens on the driver — skips a second shuffle round
         rows = (
@@ -223,7 +254,9 @@ def _ivf_assign(df, vec_col, id_col, num_centroids, iterations):
             (cid, _norm_py([d[p] for p in range(len(d))]))
             for cid, d in sorted(acc.items())
         ]
-    return cached.withColumn("CENTROID_ID", _argmax_cid(cents)), cents, cached
+    fbase, fcarr, fdrop = _attach_centroids(cached, cents)
+    final = fbase.withColumn("CENTROID_ID", _argmax_cid(fcarr)).drop(*fdrop)
+    return final, cents, cached
 
 
 @spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
@@ -249,13 +282,15 @@ def similarity_search_ivf(
     # probe: nprobe highest-dot centroids per query — sort the per-row sims
     # array descending (struct sort: s desc via max-first, ties → lowest cid
     # because nc = -cid) and slice
+    qbase, qcarr, _qdrop = _attach_centroids(
+        index.filter(F.col("__id").isin(list(query_ids))), cents
+    )
     probes = (
-        index.filter(F.col("__id").isin(list(query_ids)))
-        .select(
+        qbase.select(
             F.col("__id").alias("QUERY_ID"),
             F.col("__nvec").alias("__qnvec"),
             F.explode(
-                F.slice(F.sort_array(_sims_expr(cents), asc=False), 1, nprobe)
+                F.slice(F.sort_array(_sims_expr(qcarr), asc=False), 1, nprobe)
             ).alias("__probe"),
         )
         .select("QUERY_ID", "__qnvec", (-F.col("__probe")["nc"]).cast("bigint").alias("__cid"))

@@ -225,3 +225,45 @@ def test_outer_join_coalesces_keys_in_plan(session):
         join_columns={"c_custkey": "ck"}, join_type="FULL")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "coalesce" in plan.lower()
+
+
+def test_decontaminate_filter_lets_aqe_choose(session):
+    """filter mode must NOT force a broadcast of the contaminated-id set —
+    it is data-dependent and unbounded in principle (a wholly-contaminated
+    corpus flags every id). The anti-join strategy is AQE's call."""
+    ev = session.dataset("documents").filter(filter_statements=["doc_id % 50 = 0"])
+    out = session.dataset("documents").decontaminate(
+        text="text", id_col="doc_id", eval_table=ev, ngram=5,
+        mode="filter", threshold=0.1)
+    logical = out.df._jdf.queryExecution().analyzed().toString()
+    # the eval-ngram inventory broadcast (bounded) remains; the flagged-id
+    # anti-join must carry no hint → exactly one ResolvedHint in the plan
+    assert logical.count("ResolvedHint") == 1, logical.count("ResolvedHint")
+    assert out.df.count() > 0  # executes under AQE
+
+
+def test_ivf_large_k_broadcast_fallback(session, monkeypatch):
+    """Above IVF_LITERAL_CENTROID_MAX the centroid array must ship as a
+    one-row broadcast (O(1) plan size) instead of k·dim literals, with
+    byte-identical assignments."""
+    import rasgoql_spark.functions.similarity as sim
+
+    emb = session.dataset("embeddings").df
+    lit = rql.get_transform("build_ivf_index").apply(
+        emb, vec_col="embedding", id_col="vec_id", num_centroids=8)
+    lit_assign = {(r["vec_id"], r["CENTROID_ID"]) for r in lit.collect()}
+
+    monkeypatch.setattr(sim, "IVF_LITERAL_CENTROID_MAX", 2)
+    bc = rql.get_transform("build_ivf_index").apply(
+        emb, vec_col="embedding", id_col="vec_id", num_centroids=8)
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # one-row centroid broadcast
+    assert {(r["vec_id"], r["CENTROID_ID"]) for r in bc.collect()} == lit_assign
+
+    srch = rql.get_transform("similarity_search_ivf").apply(
+        emb, vec_col="embedding", id_col="vec_id", query_ids=[0, 1], k=5)
+    got = {(r["QUERY_ID"], r["RANK"], r["MATCH_ID"]) for r in srch.collect()}
+    monkeypatch.setattr(sim, "IVF_LITERAL_CENTROID_MAX", 256)
+    ref = rql.get_transform("similarity_search_ivf").apply(
+        emb, vec_col="embedding", id_col="vec_id", query_ids=[0, 1], k=5)
+    assert got == {(r["QUERY_ID"], r["RANK"], r["MATCH_ID"]) for r in ref.collect()}
