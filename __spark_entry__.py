@@ -857,6 +857,18 @@ def q_token_count_bpe(spark, sf):
     )
 
 
+def q_token_count_bpe_real(spark, sf):
+    """Real byte-pair encoding (Sennrich 2016): trained merge rules applied
+    in rank order as a JVM replace fold — shuffle-free, no Python, and
+    bit-for-bit reproducible in the DuckDB oracle (functions/bpe.py)."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .token_count(text="text", method="bpe", name="BPE_TOKEN_COUNT")
+        .drop_columns(include_cols=["doc_id", "BPE_TOKEN_COUNT"])
+        .df
+    )
+
+
 def q_text_quality(spark, sf):
     return (
         _s(spark, sf).dataset("documents")
@@ -1339,6 +1351,17 @@ _Q75 = "quantile_cont(o_totalprice, 0.75)"
 
 def _lang_score(pat: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+def _bpe_real_oracle() -> str:
+    """DuckDB replicates the exact replace-fold BPE apply (same merge table,
+    same delimited-string construction) — hash-parity, not approximation."""
+    from rasgoql_spark.functions.bpe import DEFAULT_BPE_MERGES, bpe_count_sql
+
+    return (
+        f"SELECT doc_id, {bpe_count_sql('text', DEFAULT_BPE_MERGES)} "
+        "AS BPE_TOKEN_COUNT FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1979,6 +2002,7 @@ ranked AS (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS TOKEN_COUNT FROM documents"
         ),
+        "token_count_bpe_real": _bpe_real_oracle(),
         "text_quality": (
             f"SELECT doc_id, CAST(length(text) AS BIGINT) AS N_CHARS, "
             f"{n_tokens_sql} AS N_TOKENS, {alpha} AS ALPHA_RATIO, {digit} AS DIGIT_RATIO, "
@@ -2176,7 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "token_count_bpe": q_token_count_bpe,
         # round-3 additions
-        # (new queries registered here stay above the fold)
+        "token_count_bpe_real": q_token_count_bpe_real,
         # unchanged, previously green — extra re-verification up to the cap
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,

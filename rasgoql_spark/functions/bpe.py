@@ -1,0 +1,178 @@
+"""Byte-pair-encoding tokenization (real BPE, not the regex proxy).
+
+Training is the classic Sennrich et al. 2016 algorithm ("Neural Machine
+Translation of Rare Words with Subword Units", public): repeatedly merge the
+most frequent adjacent symbol pair. The corpus reduces to its WORD-FREQUENCY
+table first — one Spark aggregation, capped at ``max_words`` — because that
+table is the sufficient statistic for BPE training; the merge loop then runs
+driver-side on the bounded dict (standard practice in every BPE trainer).
+
+Application exploits a rank-order equivalence: a merge rule's constituent
+symbols are always produced by EARLIER rules, so applying each rule
+exhaustively left-to-right in rank order yields exactly the classic
+min-rank-first result. Each rule application is a plain string ``replace``
+over a delimited symbol string:
+
+    symbols are joined by TWO spaces, the string is wrapped in two spaces,
+    and words are separated by the unmergeable marker ``¶``. Rule (a, b)
+    rewrites " a  b " → " ab " — the single outer spaces re-establish the
+    two-space boundary, adjacent matches share no characters (so one
+    non-overlapping left-to-right pass is exact), and a symbol can never
+    match a substring of a longer symbol.
+
+That keeps apply 100% JVM-side in Spark (a fold of ``F.replace`` — no
+Python, no shuffle) and renders to the identical ``replace`` chain in ANSI
+SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators._util import resolve_col, spread
+from ._hash import TOKENS_SQL, tokens_expr
+
+WORD_MARK = "¶"  # never appears in [a-z0-9] symbols → blocks cross-word merges
+
+
+def train_bpe(
+    df: DataFrame,
+    text: str,
+    num_merges: int = 96,
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus. Deterministic: ties on pair
+    frequency break to the lexicographically smallest pair. The Spark side
+    is a single word-count aggregation (top ``max_words`` by frequency, then
+    word asc — bounded like the discovery caps); the merge loop is
+    driver-side over that dict."""
+    t = resolve_col(df, text)
+    rows = (
+        spread(df)
+        .select(F.explode(tokens_expr(F.col(t))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {tuple(r["__w"]): r["__c"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for j in range(len(word) - 1):
+                p = (word[j], word[j + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (a, b), _n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        merged: dict[tuple[str, ...], int] = {}
+        for word, c in vocab.items():
+            out, j = [], 0
+            while j < len(word):
+                if j + 1 < len(word) and word[j] == a and word[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(word[j])
+                    j += 1
+            w2 = tuple(out)
+            merged[w2] = merged.get(w2, 0) + c
+        vocab = merged
+    return merges
+
+
+def _symbolize(text_col: Column) -> Column:
+    """tokens → delimited symbol string: per-word chars joined by two
+    spaces, words joined by ``  ¶  ``, wrapped in two spaces."""
+    toks = tokens_expr(text_col)
+    spaced = F.transform(
+        toks, lambda w: F.trim(F.regexp_replace(w, "(.)", "$1  "))
+    )
+    return F.concat(
+        F.lit("  "), F.concat_ws(f"  {WORD_MARK}  ", spaced), F.lit("  ")
+    )
+
+
+def bpe_apply_expr(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Delimited symbol string AFTER all merges — a JVM fold of string
+    replaces, shuffle-free and Python-free."""
+    s = _symbolize(text_col)
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return s
+
+
+def bpe_count_expr(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """BPE token count of a text column (word markers excluded)."""
+    toks = tokens_expr(text_col)
+    syms = F.split(F.trim(bpe_apply_expr(text_col, merges)), "  ")
+    n = F.size(F.filter(syms, lambda p: p != WORD_MARK))
+    return F.when(F.size(toks) > 0, n).otherwise(F.lit(0)).cast("bigint")
+
+
+def bpe_tokens_expr(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """array<string> of BPE subword tokens (word markers excluded)."""
+    syms = F.split(F.trim(bpe_apply_expr(text_col, merges)), "  ")
+    out = F.filter(syms, lambda p: p != WORD_MARK)
+    return F.when(
+        F.size(tokens_expr(text_col)) > 0, out
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_count_spark_sql(text_expr: str, merges: list[tuple[str, str]], tokens_sql: str) -> str:
+    """Spark-SQL rendering of ``bpe_count_expr`` (renderer parity path)."""
+    spaced = f"transform({tokens_sql}, w -> trim(regexp_replace(w, '(.)', '$1  ')))"
+    s = f"concat('  ', concat_ws('  {WORD_MARK}  ', {spaced}), '  ')"
+    for a, b in merges:
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+    n = f"size(filter(split(trim({s}), '  '), p -> p != '{WORD_MARK}'))"
+    return f"CASE WHEN size({tokens_sql}) > 0 THEN {n} ELSE 0 END"
+
+
+def _symbolize_sql(text_expr: str) -> str:
+    """DuckDB rendering of ``_symbolize`` (RE2 'g' flag for all-chars)."""
+    toks = TOKENS_SQL.format(t=text_expr)
+    spaced = (
+        f"list_transform({toks}, w -> trim(regexp_replace(w, '(.)', '\\1  ', 'g')))"
+    )
+    return f"('  ' || array_to_string({spaced}, '  {WORD_MARK}  ') || '  ')"
+
+
+def bpe_count_sql(text_expr: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB rendering of ``bpe_count_expr`` — the identical replace chain,
+    so Spark and the oracle agree bit-for-bit."""
+    s = _symbolize_sql(text_expr)
+    for a, b in merges:
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+    toks = TOKENS_SQL.format(t=text_expr)
+    n = f"len(list_filter(string_split(trim({s}), '  '), p -> p != '{WORD_MARK}'))"
+    return f"CAST(CASE WHEN len({toks}) > 0 THEN {n} ELSE 0 END AS BIGINT)"
+
+
+# Default merge table: ``train_bpe(documents, "text", num_merges=96)`` over
+# the sf0.01 synthetic documents table (TESTDATA.md). Training is
+# deterministic (frequency desc, pair asc tie-break), so this constant is
+# reproducible from public test data; retrain with ``train_bpe`` for any
+# real corpus. 89 merges — the vocabulary saturates before 96 on this
+# corpus (every remaining pair is unique).
+DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'), ('s', 't'), ('m', 'er'),
+    ('a', 't'), ('l', 'u'), ('a', 'r'), ('p', 'ar'), ('j', 'o'), ('jo', 'in'),
+    ('a', 's'), ('as', 'h'), ('h', 'ash'), ('r', 'ow'), ('at', 'c'), ('atc', 'h'),
+    ('b', 'atch'), ('a', 'n'), ('c', 'an'), ('s', 'can'), ('c', 'o'), ('c', 'u'),
+    ('co', 'lu'), ('colu', 'm'), ('colum', 'n'), ('cu', 'st'), ('cust', 'o'), ('custo', 'mer'),
+    ('f', 'i'), ('fi', 'l'), ('fil', 't'), ('filt', 'er'), ('a', 'l'), ('al', 'l'),
+    ('m', 'all'), ('s', 'mall'), ('g', 'e'), ('l', 'ow'), ('mer', 'ge'), ('s', 'low'),
+    ('c', 't'), ('ct', 'or'), ('d', 'er'), ('e', 'ctor'), ('or', 'der'), ('v', 'ector'),
+    ('in', 'e'), ('l', 'ine'), ('a', 'b'), ('ab', 'l'), ('abl', 'e'), ('at', 'a'),
+    ('d', 'ata'), ('t', 'able'), ('u', 'p'), ('a', 'g'), ('ag', 'g'), ('a', 'lu'),
+    ('alu', 'e'), ('v', 'alue'), ('e', 'y'), ('k', 'ey'), ('a', 'm'), ('e', 'am'),
+    ('r', 'eam'), ('st', 'ream'), ('d', 'ow'), ('in', 'dow'), ('w', 'indow'), ('par', 'k'),
+    ('s', 'park'), ('g', 'r'), ('gr', 'o'), ('gro', 'up'), ('par', 't'), ('b', 'i'),
+    ('bi', 'g'), ('or', 't'), ('s', 'ort'), ('er', 'y'), ('q', 'u'), ('qu', 'ery'),
+    ('a', 'st'), ('f', 'ast'), ('h', 'e'), ('t', 'he'), ('d', 'up'),
+]

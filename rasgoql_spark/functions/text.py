@@ -62,24 +62,43 @@ def _r_text_tokenize(source, text, name="TOKENS") -> str:
 
 @spark_transform("token_count", category="text")
 def token_count(
-    df: DataFrame, text: str, method: str = "whitespace", name: str = "TOKEN_COUNT"
+    df: DataFrame,
+    text: str,
+    method: str = "whitespace",
+    name: str = "TOKEN_COUNT",
+    merges=None,
 ) -> DataFrame:
-    """Token count: 'whitespace' (word tokens) or 'bpe_ish' (alnum runs +
-    individual symbols — a subword-cost proxy)."""
+    """Token count: 'whitespace' (word tokens), 'bpe_ish' (alnum runs +
+    individual symbols — a fast subword-cost proxy), or 'bpe' (REAL
+    byte-pair encoding: trained merge rules applied in rank order as a
+    shuffle-free JVM replace fold — see ``functions/bpe.py``).
+    ``merges`` overrides the default table (``bpe.DEFAULT_BPE_MERGES``,
+    trained on the public test corpus); retrain with ``bpe.train_bpe``."""
     c = F.col(resolve_col(df, text))
     if method == "whitespace":
         out = F.size(tokens_expr(c))
     elif method == "bpe_ish":
         out = F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+    elif method == "bpe":
+        from .bpe import DEFAULT_BPE_MERGES, bpe_count_expr
+
+        out = bpe_count_expr(c, merges if merges is not None else DEFAULT_BPE_MERGES)
     else:
-        raise ParameterException("method must be 'whitespace' or 'bpe_ish'")
+        raise ParameterException("method must be 'whitespace', 'bpe_ish', or 'bpe'")
     return df.withColumn(name, out.cast("bigint"))
 
 
 @renderer("token_count")
-def _r_token_count(source, text, method="whitespace", name="TOKEN_COUNT") -> str:
+def _r_token_count(source, text, method="whitespace", name="TOKEN_COUNT", merges=None) -> str:
     if method == "whitespace":
         expr = f"size({_tokens_sql(text)})"
+    elif method == "bpe":
+        # Spark-SQL rendering of the same replace fold (renderer parity —
+        # the DuckDB oracle uses functions/bpe.py::bpe_count_sql instead)
+        from .bpe import DEFAULT_BPE_MERGES, bpe_count_spark_sql
+
+        m = merges if merges is not None else DEFAULT_BPE_MERGES
+        expr = bpe_count_spark_sql(text, m, _tokens_sql(text))
     else:
         expr = f"regexp_count({text}, '[A-Za-z0-9]+|[^A-Za-z0-9\\\\s]')"
     return f"SELECT *, CAST({expr} AS BIGINT) AS {name} FROM {source}"
@@ -197,6 +216,8 @@ def text_chunk(
     id_col: str,
     chunk_size: int = 512,
     overlap: int = 0,
+    tokenizer: str = "whitespace",
+    merges=None,
 ) -> DataFrame:
     """Split documents into token-bounded sliding chunks — the standard
     LLM-training preprocessing step (context-window packing input). Chunk i
@@ -204,9 +225,17 @@ def text_chunk(
     chunk_size − overlap; the final chunk may be shorter; empty docs yield
     no chunks. Pure JVM array expressions (tokens staged once per row,
     slice+explode) — embarrassingly parallel, no shuffle, no Python.
-    Output (id, CHUNK_INDEX, CHUNK_TEXT, CHUNK_TOKENS)."""
+    Output (id, CHUNK_INDEX, CHUNK_TEXT, CHUNK_TOKENS).
+
+    ``tokenizer='bpe'`` appends CHUNK_BPE_TOKENS — the chunk's cost under
+    the trained BPE tokenizer (``merges`` or the default table). Chunk
+    BOUNDARIES stay word-aligned (BPE tokens never cross words, so every
+    chunk is a whole number of BPE tokens); the BPE column is what a
+    context-window budget actually consumes — feed it to pack_sequences."""
     if overlap >= chunk_size:
         raise ParameterException("overlap must be smaller than chunk_size")
+    if tokenizer not in ("whitespace", "bpe"):
+        raise ParameterException("tokenizer must be 'whitespace' or 'bpe'")
     stride = chunk_size - overlap
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     staged = df.select(F.col(i), tokens_expr(F.col(t)).alias("__toks"))
@@ -219,19 +248,27 @@ def text_chunk(
     chunk = F.slice(
         F.col("__toks"), F.col("CHUNK_INDEX") * stride + 1, chunk_size
     )
-    return exploded.select(
+    out = exploded.select(
         F.col(i),
         "CHUNK_INDEX",
         F.concat_ws(" ", chunk).alias("CHUNK_TEXT"),
         F.size(chunk).cast("bigint").alias("CHUNK_TOKENS"),
     )
+    if tokenizer == "bpe":
+        from .bpe import DEFAULT_BPE_MERGES, bpe_count_expr
+
+        m = merges if merges is not None else DEFAULT_BPE_MERGES
+        out = out.withColumn("CHUNK_BPE_TOKENS", bpe_count_expr(F.col("CHUNK_TEXT"), m))
+    return out
 
 
 @renderer("text_chunk")
-def _r_text_chunk(source, text, id_col, chunk_size=512, overlap=0) -> str:
+def _r_text_chunk(
+    source, text, id_col, chunk_size=512, overlap=0, tokenizer="whitespace", merges=None
+) -> str:
     stride = chunk_size - overlap
     chunk = f"slice(__toks, CHUNK_INDEX * {stride} + 1, {chunk_size})"
-    return (
+    inner = (
         f"SELECT {id_col}, CHUNK_INDEX, concat_ws(' ', {chunk}) AS CHUNK_TEXT, "
         f"CAST(size({chunk}) AS BIGINT) AS CHUNK_TOKENS FROM "
         f"(SELECT {id_col}, __toks, explode(CASE WHEN size(__toks) > 0 THEN "
@@ -239,6 +276,13 @@ def _r_text_chunk(source, text, id_col, chunk_size=512, overlap=0) -> str:
         f"ELSE CAST(array() AS ARRAY<INT>) END) AS CHUNK_INDEX FROM "
         f"(SELECT {id_col}, {_tokens_sql(text)} AS __toks FROM {source}))"
     )
+    if tokenizer != "bpe":
+        return inner
+    from .bpe import DEFAULT_BPE_MERGES, bpe_count_spark_sql
+
+    m = merges if merges is not None else DEFAULT_BPE_MERGES
+    cnt = bpe_count_spark_sql("CHUNK_TEXT", m, _tokens_sql("CHUNK_TEXT"))
+    return f"SELECT *, CAST({cnt} AS BIGINT) AS CHUNK_BPE_TOKENS FROM ({inner})"
 
 
 @spark_transform("pack_sequences", category="text", streaming_ok=False)
