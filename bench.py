@@ -5,9 +5,9 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing = median of 2 runs after 1 warm-up; execution is forced with the noop
-sink so every column is actually computed (a bare count() would let Catalyst
-prune the work).
+Timing = median of 3 runs after 1 warm-up (BASELINE.md's protocol);
+execution is forced with the noop sink so every column is actually computed
+(a bare count() would let Catalyst prune the work).
 """
 
 from __future__ import annotations
@@ -88,7 +88,7 @@ def main() -> int:
     results: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         run_one(fn, spark, sf_dir)  # warm-up
-        times = [run_one(fn, spark, sf_dir) for _ in range(2)]
+        times = [run_one(fn, spark, sf_dir) for _ in range(3)]
         results[name] = round(statistics.median(times), 3)
     total = round(sum(results.values()), 3)
     print(json.dumps({

@@ -95,10 +95,23 @@ def minhash_signatures(
     return staged_sh.select("__id", "__sh", mh.alias("__mh"))
 
 
+def _annotate_groups(sig: DataFrame, group_key: Column, non_empty: Column) -> DataFrame:
+    """Append ``(__g, __rep, __ne)`` to a signature table: the
+    exact-duplicate group key, the per-group minimum id (the
+    representative), and the non-empty flag. ONE window shuffle on the slim
+    group key — every collapse consumer (band input = ``__id = __rep``
+    filter, star edges, member expansion) derives from it join-free."""
+    w = Window.partitionBy("__g")
+    return (
+        sig.withColumn("__g", group_key)
+        .withColumn("__ne", non_empty)
+        .withColumn("__rep", F.min("__id").over(w))
+    )
+
+
 def _expand_collapsed(
     rep_pairs: DataFrame,
-    reps: DataFrame,
-    groups: DataFrame,
+    members: DataFrame,
     mode: str,
     score_col: str,
     intra_score: Column,
@@ -106,10 +119,10 @@ def _expand_collapsed(
 ) -> DataFrame:
     """Expand representative-level LSH pairs back to member level.
 
-    ``groups`` is ``(__id, __g, __ne)`` — one row per input doc with its
-    exact-duplicate group key; ``reps`` is ``(__g, __id)`` with the per-group
-    minimum id. Members share their representative's signature, so two docs
-    collide on a band iff their reps collide — rep-level results are exact.
+    ``members`` is ``(__id, __rep, __ne)`` — one row per input doc with its
+    exact-duplicate group representative (see ``_annotate_groups``). Members
+    share their representative's signature, so two docs collide on a band
+    iff their reps collide — rep-level results are exact.
 
     mode='pairs': full member-level ``(ID_A, ID_B, score)``. Cross-group
     pairs inherit the rep pair's score (identical sets ⇒ identical
@@ -117,39 +130,35 @@ def _expand_collapsed(
     ``keep`` predicate. Inherently quadratic inside exact-duplicate groups —
     that is the contract of 'pairs', not an implementation artifact.
     mode='edges' (and the 'filter' internals): connectivity-preserving
-    ``(ID_A, ID_B)`` — rep-level pairs plus ONE star edge per exact copy,
-    O(n + rep_pairs) rows. Connected components (and the dropped-id set
-    ``ID_B``) are identical to the full expansion's.
+    ``(ID_A, ID_B)`` — rep-level pairs plus ONE star edge per exact copy
+    (join-free: just a filter on ``members``), O(n + rep_pairs) rows.
+    Connected components (and the dropped-id set ``ID_B``) are identical to
+    the full expansion's.
     """
     if mode in ("edges", "filter"):
         star = (
-            groups.join(reps.select("__g", F.col("__id").alias("ID_A")), on="__g")
-            .filter(F.col("__id") != F.col("ID_A"))
+            members.filter(F.col("__id") != F.col("__rep"))
             .filter(keep(intra_score))
-            .select("ID_A", F.col("__id").alias("ID_B"))
+            .select(F.col("__rep").alias("ID_A"), F.col("__id").alias("ID_B"))
         )
         return rep_pairs.select("ID_A", "ID_B").unionByName(star)
     if mode != "pairs":
         raise ParameterException("mode must be 'pairs', 'filter', or 'edges'")
-    ga = reps.select(F.col("__id").alias("ID_A"), F.col("__g").alias("__ga"))
-    gb = reps.select(F.col("__id").alias("ID_B"), F.col("__g").alias("__gb"))
-    keyed = rep_pairs.join(ga, on="ID_A").join(gb, on="ID_B")
-    ma = groups.select(F.col("__g").alias("__ga"), F.col("__id").alias("__xa"))
-    mb = groups.select(F.col("__g").alias("__gb"), F.col("__id").alias("__xb"))
+    ma = members.select(F.col("__rep").alias("ID_A"), F.col("__id").alias("__xa"))
+    mb = members.select(F.col("__rep").alias("ID_B"), F.col("__id").alias("__xb"))
     cross = (
-        keyed.select("__ga", "__gb", score_col)
-        .join(ma, on="__ga")
-        .join(mb, on="__gb")
+        rep_pairs.join(ma, on="ID_A")
+        .join(mb, on="ID_B")
         .select(
             F.least("__xa", "__xb").alias("ID_A"),
             F.greatest("__xa", "__xb").alias("ID_B"),
             score_col,
         )
     )
-    m1 = groups.select("__g", "__ne", F.col("__id").alias("__xa"))
-    m2 = groups.select("__g", F.col("__id").alias("__xb"))
+    m1 = members.select("__rep", "__ne", F.col("__id").alias("__xa"))
+    m2 = members.select("__rep", F.col("__id").alias("__xb"))
     intra = (
-        m1.join(m2, on="__g")
+        m1.join(m2, on="__rep")
         .filter(F.col("__xa") < F.col("__xb"))
         .withColumn(score_col, intra_score)
         .filter(keep(F.col(score_col)))
@@ -191,19 +200,19 @@ def dedup_minhash(
     if num_hashes % bands != 0:
         raise ParameterException("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    # persist: the signature table feeds the band join AND both sides of the
-    # candidate verification join — without it the whole shingle+minhash
-    # pipeline is recomputed per consumer; released when the result is GC'd
-    cached_sig = minhash_signatures(df, text, id_col, num_hashes, shingle_size).persist()
-    sig = cached_sig
-    # groups: one row per doc, 32-byte set-fingerprint key (shuffles slim)
-    groups = sig.select(
-        "__id",
-        F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))).alias("__g"),
-        (F.size("__sh") > 0).alias("__ne"),
-    )
-    reps = groups.groupBy("__g").agg(F.min("__id").alias("__id"))
-    rep_sig = sig.join(reps.select("__id"), on="__id", how="left_semi")
+    # persist: the annotated signature table feeds the band join, both sides
+    # of the candidate verification join, AND the member expansion — without
+    # it the whole shingle+minhash pipeline is recomputed per consumer;
+    # released when the result is GC'd. The group key is a 32-byte
+    # set-fingerprint (identical shingle SETS ⇒ same group), so the window
+    # shuffle stays slim.
+    cached_sig = _annotate_groups(
+        minhash_signatures(df, text, id_col, num_hashes, shingle_size),
+        F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))),
+        F.size("__sh") > 0,
+    ).persist()
+    members = cached_sig.select("__id", "__rep", "__ne")
+    rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -253,7 +262,7 @@ def dedup_minhash(
     # scores 0.0, matching the un=0 branch of the verification expression
     intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
     out = _expand_collapsed(
-        rep_pairs, reps, groups, mode, "JACCARD", intra, lambda c: c >= threshold
+        rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold
     )
     if mode == "filter":
         i = resolve_col(df, id_col)
@@ -410,12 +419,9 @@ def dedup_simhash(
     ).select("__id", _simhash_over_hashes(F.col("__hv")).alias("SIMHASH"))
     if mode == "signatures":
         return sig.select(F.col("__id").alias(i), "SIMHASH")
-    cached_sig = sig.persist()
-    groups = cached_sig.select(
-        "__id", F.col("SIMHASH").alias("__g"), F.lit(True).alias("__ne")
-    )
-    reps = groups.groupBy("__g").agg(F.min("__id").alias("__id"))
-    rep_sig = cached_sig.join(reps.select("__id"), on="__id", how="left_semi")
+    cached_sig = _annotate_groups(sig, F.col("SIMHASH"), F.lit(True)).persist()
+    members = cached_sig.select("__id", "__rep", "__ne")
+    rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
     bands_long = rep_sig.select(
         "__id",
         "SIMHASH",
@@ -446,7 +452,7 @@ def dedup_simhash(
         .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "HAMMING")
     )
     out = _expand_collapsed(
-        rep_pairs, reps, groups, mode, "HAMMING",
+        rep_pairs, members, mode, "HAMMING",
         F.lit(0).cast("integer"), lambda c: c <= hamming_threshold,
     )
     return release_with(out, cached_sig)
@@ -473,18 +479,16 @@ def dedup_ngram_jaccard(
     a 100k-copy page contributes ONE doc to each posting list instead of
     turning every one of its shingles into a 100k-deep hot posting."""
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    base = (
-        spread(df).select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
-        .select("__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh"))
-        .persist()  # reused by the inverted index + both verification sides
-    )  # staged projections: see minhash_signatures on per-element re-eval
-    groups = base.select(
-        "__id",
-        F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))).alias("__g"),
-        (F.size("__sh") > 0).alias("__ne"),
-    )
-    reps = groups.groupBy("__g").agg(F.min("__id").alias("__id"))
-    rep_base = base.join(reps.select("__id"), on="__id", how="left_semi")
+    base = _annotate_groups(
+        spread(df)
+        .select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
+        .select("__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh")),
+        F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))),
+        F.size("__sh") > 0,
+    ).persist()  # reused by the inverted index, verification, and expansion
+    # staged projections: see minhash_signatures on per-element re-eval
+    members = base.select("__id", "__rep", "__ne")
+    rep_base = base.filter(F.col("__id") == F.col("__rep"))
     # slim inverted index: only (id, shingle) shuffles; arrays attach to
     # surviving candidate pairs afterwards (see dedup_minhash note)
     inv = rep_base.select("__id", F.explode("__sh").alias("__s"))
@@ -512,7 +516,7 @@ def dedup_ngram_jaccard(
     )
     intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
     out = _expand_collapsed(
-        rep_pairs, reps, groups, mode, "JACCARD", intra, lambda c: c >= threshold
+        rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold
     )
     return release_with(out, base)
 
