@@ -674,12 +674,26 @@ def dedup_against(
     if method == "minhash":
         if num_hashes % bands != 0:
             raise ParameterException("num_hashes must be divisible by bands")
-        sig_a = minhash_signatures(df, t, i, num_hashes, shingle_size).persist()
-        sig_b = minhash_signatures(reference, rt, ri, num_hashes, shingle_size).persist()
-        ba = _bands_long(sig_a, num_hashes, bands).select(
+        # Exact-duplicate collapse on BOTH corpora (same rationale as the
+        # self-join ops): a boilerplate page with 100k copies in the
+        # ACCEPTED reference corpus would otherwise sit in every band
+        # bucket 100k deep. Band join runs reps × reps; results expand back
+        # exactly because members share their rep's signature.
+        gkey = F.md5(F.concat_ws("\x1f", F.array_sort("__sh")))
+        sig_a = _annotate_groups(
+            minhash_signatures(df, t, i, num_hashes, shingle_size),
+            gkey, F.size("__sh") > 0,
+        ).persist()
+        sig_b = _annotate_groups(
+            minhash_signatures(reference, rt, ri, num_hashes, shingle_size),
+            gkey, F.size("__sh") > 0,
+        ).persist()
+        rep_a = sig_a.filter(F.col("__id") == F.col("__rep"))
+        rep_b = sig_b.filter(F.col("__id") == F.col("__rep"))
+        ba = _bands_long(rep_a, num_hashes, bands).select(
             F.col("__id").alias("__id_a"), "__band"
         )
-        bb = _bands_long(sig_b, num_hashes, bands).select(
+        bb = _bands_long(rep_b, num_hashes, bands).select(
             F.col("__id").alias("__id_b"), "__band"
         )
         cand = (
@@ -688,16 +702,16 @@ def dedup_against(
             .dropDuplicates(["__id_a", "__id_b"])
         )
         cand = cand.join(
-            sig_a.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
+            rep_a.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
             on="__id_a",
         ).join(
-            sig_b.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
+            rep_b.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
             on="__id_b",
         )
         inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
         un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
         jac = F.when(un > 0, inter / un).otherwise(F.lit(0.0))
-        pairs = (
+        rep_pairs = (
             cand.withColumn("JACCARD", jac)
             .filter(F.col("JACCARD") >= threshold)
             .select(
@@ -707,8 +721,25 @@ def dedup_against(
             )
         )
         if mode == "pairs":
+            ma = sig_a.select(F.col("__rep").alias("ID"), F.col("__id").alias("__xa"))
+            mb = sig_b.select(F.col("__rep").alias("REF_ID"), F.col("__id").alias("__xb"))
+            pairs = (
+                rep_pairs.join(ma, on="ID")
+                .join(mb, on="REF_ID")
+                .select(
+                    F.col("__xa").alias("ID"),
+                    F.col("__xb").alias("REF_ID"),
+                    "JACCARD",
+                )
+            )
             return release_with(pairs, sig_a, sig_b)
-        dupes = pairs.select(F.col("ID").alias(i)).dropDuplicates()
+        # a batch doc matches some reference doc iff its REP matches some
+        # reference rep — the dropped set expands join-free off sig_a
+        matched = rep_pairs.select(F.col("ID").alias("__rep")).dropDuplicates()
+        dupes = (
+            sig_a.join(matched, on="__rep", how="left_semi")
+            .select(F.col("__id").alias(i))
+        )
         return release_with(df.join(dupes, on=i, how="left_anti"), sig_a, sig_b)
     raise ParameterException("method must be 'exact' or 'minhash'")
 

@@ -516,3 +516,25 @@ def test_dedup_pairs_mode_exact_dup_group_parity(spark):
     ng = rql.get_transform("dedup_ngram_jaccard").apply(
         copies, text="text", id_col="doc_id")
     assert ng.count() == n * (n - 1) // 2
+
+
+def test_dedup_against_reference_skew_collapse(spark):
+    """Exact-duplicate groups in the ACCEPTED reference corpus must collapse
+    before the cross-corpus band join; member-level pairs expand back
+    exactly (one pair per reference copy)."""
+    n = 3000
+    boiler = "subscribe to our newsletter for updates and exclusive offers today"
+    ref = spark.range(n).selectExpr("id AS doc_id", f"'{boiler}' AS text")
+    batch = spark.createDataFrame(
+        [(100_000, boiler), (100_001, "a genuinely novel document with fresh content")],
+        "doc_id long, text string")
+    pairs = rql.get_transform("dedup_against").apply(
+        batch, text="text", id_col="doc_id", reference=ref, method="minhash",
+        mode="pairs")
+    rows = pairs.collect()
+    assert len(rows) == n  # the matching batch doc pairs with EVERY ref copy
+    assert all(r["ID"] == 100_000 and r["JACCARD"] == 1.0 for r in rows)
+    kept = rql.get_transform("dedup_against").apply(
+        batch, text="text", id_col="doc_id", reference=ref, method="minhash",
+        mode="filter")
+    assert {r["doc_id"] for r in kept.collect()} == {100_001}
