@@ -869,6 +869,29 @@ def q_token_count_bpe_real(spark, sf):
     )
 
 
+def q_bpe_encode(spark, sf):
+    """BPE subword tokens surfaced as a column (joined for stable hashing)."""
+    from pyspark.sql import functions as F
+
+    ds = _s(spark, sf).dataset("documents").bpe_encode(text="text")
+    return ds.df.select(
+        "doc_id",
+        F.size("BPE_TOKENS").cast("bigint").alias("BPE_N"),
+        F.concat_ws(" ", "BPE_TOKENS").alias("BPE_JOINED"),
+    )
+
+
+def q_unigram_logprob(spark, sf):
+    """Unigram-LM quality scoring (self-scored corpus): the cheap exact-
+    parity stand-in for KenLM-perplexity filtering in CCNet-style pipelines."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .unigram_logprob(text="text", id_col="doc_id")
+        .drop_columns(include_cols=["doc_id", "AVG_LOGPROB", "OOV_RATIO"])
+        .df
+    )
+
+
 def q_text_quality(spark, sf):
     return (
         _s(spark, sf).dataset("documents")
@@ -1351,6 +1374,15 @@ _Q75 = "quantile_cont(o_totalprice, 0.75)"
 
 def _lang_score(pat: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+def _bpe_encode_oracle() -> str:
+    from rasgoql_spark.functions.bpe import DEFAULT_BPE_MERGES, bpe_count_sql, bpe_joined_sql
+
+    return (
+        f"SELECT doc_id, {bpe_count_sql('text', DEFAULT_BPE_MERGES)} AS BPE_N, "
+        f"{bpe_joined_sql('text', DEFAULT_BPE_MERGES)} AS BPE_JOINED FROM documents"
+    )
 
 
 def _bpe_real_oracle() -> str:
@@ -2003,6 +2035,24 @@ ranked AS (
             "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS TOKEN_COUNT FROM documents"
         ),
         "token_count_bpe_real": _bpe_real_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
+        "unigram_logprob": (
+            "WITH vocab AS (SELECT __tok, COUNT(*) AS __cnt FROM "
+            f"(SELECT unnest({_toks()}) AS __tok FROM documents) GROUP BY __tok "
+            "ORDER BY __cnt DESC, __tok ASC LIMIT 50000), "
+            "stats AS (SELECT CAST(SUM(__cnt) AS DOUBLE) AS N, "
+            "CAST(COUNT(*) AS DOUBLE) AS V FROM vocab), "
+            f"dtoks AS (SELECT doc_id, unnest({_toks()}) AS __tok FROM documents), "
+            "scored AS (SELECT doc_id, "
+            "ROUND(AVG(ln((COALESCE(v.__cnt, 0) + 1.0) / (N + 1.0 * (V + 1)))), 6) "
+            "AS AVG_LOGPROB, "
+            "ROUND(AVG(CASE WHEN v.__cnt IS NULL THEN 1.0 ELSE 0.0 END), 6) "
+            "AS OOV_RATIO FROM dtoks d LEFT JOIN vocab v USING (__tok) "
+            "CROSS JOIN stats GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(AVG_LOGPROB, 0.0) AS AVG_LOGPROB, "
+            "COALESCE(OOV_RATIO, 0.0) AS OOV_RATIO "
+            "FROM documents d LEFT JOIN scored USING (doc_id)"
+        ),
         "text_quality": (
             f"SELECT doc_id, CAST(length(text) AS BIGINT) AS N_CHARS, "
             f"{n_tokens_sql} AS N_TOKENS, {alpha} AS ALPHA_RATIO, {digit} AS DIGIT_RATIO, "
@@ -2201,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         # round-3 additions
         "token_count_bpe_real": q_token_count_bpe_real,
+        "bpe_encode": q_bpe_encode,
+        "unigram_logprob": q_unigram_logprob,
         # unchanged, previously green — extra re-verification up to the cap
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,

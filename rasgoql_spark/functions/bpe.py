@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators._util import resolve_col, spread
+from ..registry import renderer, spark_transform
 from ._hash import TOKENS_SQL, tokens_expr
 
 WORD_MARK = "¶"  # never appears in [a-z0-9] symbols → blocks cross-word merges
@@ -123,6 +124,35 @@ def bpe_tokens_expr(text_col: Column, merges: list[tuple[str, str]]) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+@spark_transform("bpe_encode", category="text")
+def bpe_encode(
+    df: DataFrame, text: str, name: str = "BPE_TOKENS", merges=None
+) -> DataFrame:
+    """Append the BPE subword token array for a text column (trained merge
+    table; ``DEFAULT_BPE_MERGES`` when omitted). Row-local JVM replace fold —
+    shuffle-free at any scale."""
+    m = merges if merges is not None else DEFAULT_BPE_MERGES
+    return df.withColumn(name, bpe_tokens_expr(F.col(resolve_col(df, text)), m))
+
+
+@renderer("bpe_encode")
+def _r_bpe_encode(source, text, name="BPE_TOKENS", merges=None) -> str:
+    from .text import _tokens_sql
+
+    m = merges if merges is not None else DEFAULT_BPE_MERGES
+    toks = _tokens_sql(text)
+    spaced = f"transform({toks}, w -> trim(regexp_replace(w, '(.)', '$1  ')))"
+    s = f"concat('  ', concat_ws('  {WORD_MARK}  ', {spaced}), '  ')"
+    for a, b in m:
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+    arr = f"filter(split(trim({s}), '  '), p -> p != '{WORD_MARK}')"
+    expr = (
+        f"CASE WHEN size({toks}) > 0 THEN {arr} "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return f"SELECT *, {expr} AS {name} FROM {source}"
+
+
 def bpe_count_spark_sql(text_expr: str, merges: list[tuple[str, str]], tokens_sql: str) -> str:
     """Spark-SQL rendering of ``bpe_count_expr`` (renderer parity path)."""
     spaced = f"transform({tokens_sql}, w -> trim(regexp_replace(w, '(.)', '$1  ')))"
@@ -131,6 +161,17 @@ def bpe_count_spark_sql(text_expr: str, merges: list[tuple[str, str]], tokens_sq
         s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
     n = f"size(filter(split(trim({s}), '  '), p -> p != '{WORD_MARK}'))"
     return f"CASE WHEN size({tokens_sql}) > 0 THEN {n} ELSE 0 END"
+
+
+def bpe_joined_sql(text_expr: str, merges: list[tuple[str, str]]) -> str:
+    """DuckDB rendering of the space-joined BPE token list (oracle side of
+    ``bpe_encode``)."""
+    s = _symbolize_sql(text_expr)
+    for a, b in merges:
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+    arr = f"list_filter(string_split(trim({s}), '  '), p -> p != '{WORD_MARK}')"
+    toks = TOKENS_SQL.format(t=text_expr)
+    return f"CASE WHEN len({toks}) > 0 THEN array_to_string({arr}, ' ') ELSE '' END"
 
 
 def _symbolize_sql(text_expr: str) -> str:

@@ -548,3 +548,122 @@ def _r_quality_filter(
     if mode == "flag":
         return with_columns_sql(source, {"QUALITY_PASS": ok}, _input_columns)
     return f"SELECT * FROM {source} WHERE {ok}"
+
+
+@spark_transform("unigram_logprob", category="curation", streaming_ok=False)
+def unigram_logprob(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    reference=None,
+    ref_text: str | None = None,
+    max_vocab: int = 50_000,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram language-model document scoring — the cheap, exact-parity
+    proxy for the KenLM-perplexity quality filter of CCNet-style pipelines
+    (public technique): score each document by the mean natural-log
+    probability of its tokens under an add-alpha-smoothed unigram model fit
+    on ``reference`` (or the corpus itself). Appends ``AVG_LOGPROB``
+    (0.0 for empty docs) and ``OOV_RATIO`` (share of tokens outside the
+    capped vocabulary — a corpus-mismatch signal). Gibberish and rare-token
+    soup score low; boilerplate scores suspiciously HIGH — filter both
+    tails.
+
+    Model: vocab = top ``max_vocab`` reference tokens (count desc, token
+    asc — deterministic); P(w) = (cnt_w + α) / (N + α·(V+1)) with N = Σ
+    vocab counts, V = vocab size; OOV mass = α / (N + α·(V+1)).
+
+    Scale: the vocab build is one groupBy over slim token rows with a
+    TakeOrdered cap; document tokens explode slim ``(id, token)``; the
+    vocab join is AQE-sized (typically broadcast — vocab ≤ max_vocab rows);
+    the roll-up is one aggregation. No Python, no collect, no forced
+    broadcast of data-dependent sets.
+    """
+    refdf = reference.df if hasattr(reference, "df") else reference
+    if refdf is None:
+        refdf = df
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    rt = resolve_col(refdf, ref_text or text)
+    rtoks = spread(refdf).select(F.explode(tokens_expr(F.col(rt))).alias("__tok"))
+    vocab = (
+        rtoks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("__tok").asc())
+        .limit(max_vocab)
+    )
+    stats = vocab.agg(
+        F.sum("__cnt").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
+    dtoks = df.select(
+        F.col(i).alias("__id"), F.explode_outer(tokens_expr(F.col(t))).alias("__tok")
+    )
+    joined = dtoks.join(vocab, on="__tok", how="left").crossJoin(F.broadcast(stats))
+    denom = F.col("__N") + F.lit(alpha) * (F.col("__V") + 1)
+    logp = F.log((F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(alpha)) / denom)
+    scored = joined.groupBy("__id").agg(
+        F.round(
+            F.avg(F.when(F.col("__tok").isNotNull(), logp)), round_to
+        ).alias("AVG_LOGPROB"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("__tok").isNotNull(),
+                    F.when(F.col("__cnt").isNull(), 1.0).otherwise(0.0),
+                )
+            ),
+            round_to,
+        ).alias("OOV_RATIO"),
+    )
+    return (
+        df.join(scored.withColumnRenamed("__id", i), on=i, how="left")
+        .withColumns(
+            {
+                "AVG_LOGPROB": F.coalesce("AVG_LOGPROB", F.lit(0.0)),
+                "OOV_RATIO": F.coalesce("OOV_RATIO", F.lit(0.0)),
+            }
+        )
+    )
+
+
+@renderer("unigram_logprob")
+def _r_unigram_logprob(
+    source, text, id_col, reference=None, ref_text=None, max_vocab=50_000,
+    alpha=1.0, round_to=6,
+) -> str:
+    from ..errors import TransformRenderingException
+    from .text import _tokens_sql
+
+    if reference is not None:
+        raise TransformRenderingException(
+            "unigram_logprob renders to SQL only in self-scored form"
+        )
+    a = repr(float(alpha))
+    rtoks = f"SELECT explode({_tokens_sql(text)}) AS __tok FROM {source}"
+    vocab = (
+        f"SELECT __tok, count(1) AS __cnt FROM ({rtoks}) GROUP BY __tok "
+        f"ORDER BY __cnt DESC, __tok ASC LIMIT {max_vocab}"
+    )
+    stats = (
+        f"SELECT CAST(sum(__cnt) AS DOUBLE) AS __N, "
+        f"CAST(count(1) AS DOUBLE) AS __V FROM ({vocab})"
+    )
+    dtoks = (
+        f"SELECT {id_col} AS __id, explode_outer({_tokens_sql(text)}) AS __tok "
+        f"FROM {source}"
+    )
+    logp = f"ln((COALESCE(v.__cnt, 0) + {a}) / (__N + {a} * (__V + 1)))"
+    scored = (
+        f"SELECT __id, ROUND(AVG(CASE WHEN d.__tok IS NOT NULL THEN {logp} END), "
+        f"{round_to}) AS AVG_LOGPROB, ROUND(AVG(CASE WHEN d.__tok IS NOT NULL THEN "
+        f"CASE WHEN v.__cnt IS NULL THEN 1.0 ELSE 0.0 END END), {round_to}) AS "
+        f"OOV_RATIO FROM ({dtoks}) d LEFT JOIN ({vocab}) v ON d.__tok = v.__tok "
+        f"CROSS JOIN ({stats}) GROUP BY __id"
+    )
+    return (
+        f"SELECT s.*, COALESCE(AVG_LOGPROB, 0.0) AS AVG_LOGPROB, "
+        f"COALESCE(OOV_RATIO, 0.0) AS OOV_RATIO FROM {source} s "
+        f"LEFT JOIN ({scored}) ON s.{id_col} = __id"
+    )

@@ -132,3 +132,14 @@ def test_bpe_counts_feed_pack_sequences(session):
     rows = df.select("doc_id", "PACK_ID").orderBy("doc_id").collect()
     assert rows[0]["PACK_ID"] == 0
     assert all(rows[i]["PACK_ID"] <= rows[i + 1]["PACK_ID"] for i in range(len(rows) - 1))
+
+
+def test_bpe_encode_chain_and_renderer(session, spark):
+    ds = session.dataset("documents").bpe_encode(text="text")
+    df = ds.df
+    assert "BPE_TOKENS" in df.columns
+    session.dataset("documents").df.createOrReplaceTempView("documents")
+    via = spark.sql(ds.sql())
+    a = {r["doc_id"]: list(r["BPE_TOKENS"]) for r in df.collect()}
+    b = {r["doc_id"]: list(r["BPE_TOKENS"]) for r in via.collect()}
+    assert a == b

@@ -194,3 +194,43 @@ def test_full_training_pipeline_end_to_end(session, tmp_path):
     cleaned.save_shards(out, rows_per_shard=100, num_shards=2)
     files = glob.glob(out + "/*.parquet")
     assert files and sum(pq.read_metadata(f).num_rows for f in files) == n
+
+
+def test_unigram_logprob_self_scored(session, spark):
+    out = session.dataset("documents").unigram_logprob(text="text", id_col="doc_id")
+    df = out.df
+    rows = df.select("doc_id", "AVG_LOGPROB", "OOV_RATIO").collect()
+    assert len(rows) == session.dataset("documents").df.count()
+    # self-scored: every token is in-vocab (distinct tokens << cap)
+    assert all(r["OOV_RATIO"] == 0.0 for r in rows)
+    assert all(r["AVG_LOGPROB"] < 0.0 for r in rows)
+    # renderer parity
+    session.dataset("documents").df.createOrReplaceTempView("documents")
+    via = spark.sql(out.sql())
+    a = {r["doc_id"]: (r["AVG_LOGPROB"], r["OOV_RATIO"]) for r in df.collect()}
+    b = {r["doc_id"]: (r["AVG_LOGPROB"], r["OOV_RATIO"]) for r in via.collect()}
+    assert a == b
+
+
+def test_unigram_logprob_reference_and_edge_cases(spark):
+    import rasgoql_spark as rql
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame(
+        [(1, "common common common words here"), (2, "common words again")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "common words"),          # fully in-vocab, frequent tokens
+         (11, "zebra quark"),           # fully OOV
+         (12, ""),                      # empty → 0.0 / 0.0
+         (13, "common zebra")],         # half OOV
+        "doc_id long, text string")
+    out = rql.get_transform("unigram_logprob").apply(
+        docs, text="text", id_col="doc_id", reference=ref)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[10]["OOV_RATIO"] == 0.0
+    assert got[11]["OOV_RATIO"] == 1.0
+    assert got[12]["AVG_LOGPROB"] == 0.0 and got[12]["OOV_RATIO"] == 0.0
+    assert got[13]["OOV_RATIO"] == 0.5
+    # frequent-token doc scores strictly higher than OOV doc
+    assert got[10]["AVG_LOGPROB"] > got[11]["AVG_LOGPROB"]
