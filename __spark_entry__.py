@@ -892,6 +892,28 @@ def q_unigram_logprob(spark, sf):
     )
 
 
+def q_tfidf_keywords(spark, sf):
+    """Per-doc top-5 keywords by smooth-IDF TF-IDF (slim (id, token)
+    shuffle, bounded per-doc window)."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .tfidf_keywords(text="text", id_col="doc_id", top_k=5)
+        .df
+    )
+
+
+def q_bm25_score(spark, sf):
+    """BM25 of every doc against a fixed query — corpus stats collapse to
+    one broadcast row; scoring is a shuffle-free projection."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .bm25_score(text="text", id_col="doc_id",
+                    query=["spark", "query", "window"])
+        .drop_columns(include_cols=["doc_id", "BM25_SCORE"])
+        .df
+    )
+
+
 def q_text_quality(spark, sf):
     return (
         _s(spark, sf).dataset("documents")
@@ -1374,6 +1396,34 @@ _Q75 = "quantile_cont(o_totalprice, 0.75)"
 
 def _lang_score(pat: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+def _bm25_oracle(terms, k1=1.2, b=0.75) -> str:
+    """DuckDB mirror of bm25_score: one stats row (N, avglen, per-term df),
+    row-local tf via list_filter, identical Robertson formula."""
+    terms = sorted(set(terms))
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains(__toks, '{t}') THEN 1 ELSE 0 END) "
+        f"AS DOUBLE) AS __df_{j}"
+        for j, t in enumerate(terms)
+    )
+    parts = []
+    for j, t in enumerate(terms):
+        tf = f"CAST(len(list_filter(__toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (__n - __df_{j} + 0.5) / (__df_{j} + 0.5))"
+        denom = f"({tf} + {k1} * (1.0 - {b} + {b} * len(__toks) / __avglen))"
+        parts.append(
+            f"CASE WHEN {tf} > 0 THEN {idf} * {tf} * {k1 + 1} / {denom} "
+            f"ELSE 0.0 END"
+        )
+    score = " + ".join(parts)
+    return (
+        f"WITH staged AS (SELECT doc_id, {_toks()} AS __toks FROM documents), "
+        f"stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS __n, "
+        f"AVG(CAST(len(__toks) AS DOUBLE)) AS __avglen, {dfs} FROM staged) "
+        f"SELECT doc_id, ROUND({score}, 6) AS BM25_SCORE "
+        f"FROM staged CROSS JOIN stats"
+    )
 
 
 def _bpe_encode_oracle() -> str:
@@ -2036,6 +2086,22 @@ ranked AS (
         ),
         "token_count_bpe_real": _bpe_real_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
+        "tfidf_keywords": (
+            "WITH toks AS (SELECT doc_id, unnest("
+            f"{_toks()}) AS __tok FROM documents), "
+            "tf AS (SELECT doc_id, __tok, COUNT(*) AS __tf FROM toks "
+            "GROUP BY doc_id, __tok), "
+            "dfreq AS (SELECT __tok, COUNT(*) AS __df FROM tf GROUP BY __tok), "
+            "n AS (SELECT COUNT(DISTINCT doc_id) AS __n FROM documents), "
+            "scored AS (SELECT doc_id, __tok, __tf, "
+            "ROUND(__tf * (ln((__n + 1.0) / (__df + 1.0)) + 1.0), 6) AS SCORE "
+            "FROM tf JOIN dfreq USING (__tok) CROSS JOIN n), "
+            "ranked AS (SELECT doc_id, __tok AS TERM, CAST(__tf AS BIGINT) AS TF, "
+            "SCORE, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY SCORE DESC, __tok ASC) AS INT) AS RANK FROM scored) "
+            "SELECT * FROM ranked WHERE RANK <= 5"
+        ),
+        "bm25_score": _bm25_oracle(["spark", "query", "window"]),
         "unigram_logprob": (
             "WITH vocab AS (SELECT __tok, COUNT(*) AS __cnt FROM "
             f"(SELECT unnest({_toks()}) AS __tok FROM documents) GROUP BY __tok "
@@ -2253,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe_real": q_token_count_bpe_real,
         "bpe_encode": q_bpe_encode,
         "unigram_logprob": q_unigram_logprob,
+        "tfidf_keywords": q_tfidf_keywords,
+        "bm25_score": q_bm25_score,
         # unchanged, previously green — extra re-verification up to the cap
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,

@@ -267,3 +267,17 @@ def test_ivf_large_k_broadcast_fallback(session, monkeypatch):
     ref = rql.get_transform("similarity_search_ivf").apply(
         emb, vec_col="embedding", id_col="vec_id", query_ids=[0, 1], k=5)
     assert got == {(r["QUERY_ID"], r["RANK"], r["MATCH_ID"]) for r in ref.collect()}
+
+
+def test_lsh_band_join_runs_over_reps(session):
+    """The minhash band self-join input must be the rep-filtered signature
+    table: the physical plan carries the group window plus a (__id = __rep)
+    filter upstream of the band-key exchange."""
+    docs = session.dataset("documents").df.limit(200)
+    pairs = rql.get_transform("dedup_minhash").apply(
+        docs, text="text", id_col="doc_id", threshold=0.2, mode="pairs")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    import re
+    # Filter node comparing __id to __rep (attribute ids vary: __id#12L etc.)
+    assert re.search(r"Filter .*__id#\d+L? = __rep#\d+L?", plan), "rep filter missing"
+    assert "Window" in plan  # the single group-annotation window
