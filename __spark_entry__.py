@@ -1296,6 +1296,27 @@ def q_session_window(spark, sf):
         group_by=["user_id"]).df
 
 
+def q_stream_join_batch(spark, sf):
+    """Batch-mode parity check of the stream-stream proximity join: even
+    events join odd events of the same user within ±5 minutes."""
+    from pyspark.sql import functions as F
+
+    s = _s(spark, sf)
+    ev = s.dataset("events").df
+    left = ev.filter("event_id % 2 = 0").select("event_id", "user_id", "ts")
+    right = ev.filter("event_id % 2 = 1").select("event_id", "user_id", "ts", "value")
+    import rasgoql_spark as _rql
+
+    out = _rql.get_transform("stream_join").apply(
+        left, other=right, keys="user_id", left_ts="ts", within="5 minutes"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("R_event_id").alias("R_EVENT_ID"),
+        F.round("R_value", 6).alias("R_VALUE"),
+    )
+
+
 def q_stream_dedup_batch(spark, sf):
     return (
         _s(spark, sf).dataset("events")
@@ -2102,6 +2123,15 @@ ranked AS (
             "SELECT * FROM ranked WHERE RANK <= 5"
         ),
         "bm25_score": _bm25_oracle(["spark", "query", "window"]),
+        "stream_join_batch": (
+            "SELECT l.event_id, l.user_id, r.event_id AS R_EVENT_ID, "
+            "ROUND(r.value, 6) AS R_VALUE "
+            "FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0) l "
+            "JOIN (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_id % 2 = 1) r ON l.user_id = r.user_id "
+            "AND r.ts >= l.ts - INTERVAL 5 MINUTE "
+            "AND r.ts <= l.ts + INTERVAL 5 MINUTE"
+        ),
         "unigram_logprob": (
             "WITH vocab AS (SELECT __tok, COUNT(*) AS __cnt FROM "
             f"(SELECT unnest({_toks()}) AS __tok FROM documents) GROUP BY __tok "
@@ -2321,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_score": q_bm25_score,
+        "stream_join_batch": q_stream_join_batch,
         # unchanged, previously green — extra re-verification up to the cap
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,

@@ -321,6 +321,57 @@ def stream_sessionize(
     )
 
 
+@spark_transform("stream_join", category="streaming")
+def stream_join(
+    df: DataFrame,
+    other: DataFrame,
+    keys,
+    left_ts: str,
+    right_ts: str | None = None,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+    join_type: str = "inner",
+    right_prefix: str = "R_",
+) -> DataFrame:
+    """Stream-stream (or batch) equi-join with an event-time proximity
+    bound: rows join when their keys match AND the right event falls within
+    ``± within`` of the left event — the standard Structured-Streaming
+    stream-stream join shape, where the time bound is what lets the engine
+    expire buffered state instead of holding both streams forever.
+
+    Both sides get ``watermark`` when streaming (required by Spark for
+    stream-stream joins; outer joins additionally emit NULLs only after the
+    watermark passes). Right-side columns are prefixed with ``right_prefix``
+    (keys keep the left name). The identical plan on batch frames is the
+    parity target for tests.
+    """
+    if join_type not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ParameterException(
+            "join_type must be inner, left_outer, right_outer, or full_outer"
+        )
+    keys = as_list(keys)
+    lts = resolve_col(df, left_ts)
+    rts = resolve_col(other, right_ts or left_ts)
+    left = _maybe_watermark(df, lts, watermark)
+    right = _maybe_watermark(other, rts, watermark)
+    lkeys = [resolve_col(df, k) for k in keys]
+    rkeys = [resolve_col(other, k) for k in keys]
+    right = right.select(
+        [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    cond = None
+    for lk, rk in zip(lkeys, rkeys):
+        c = F.col(lk) == F.col(f"{right_prefix}{rk}")
+        cond = c if cond is None else (cond & c)
+    prts = f"{right_prefix}{rts}"
+    cond = (
+        cond
+        & (F.col(prts) >= F.col(lts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(prts) <= F.col(lts) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, on=cond, how=join_type)
+
+
 @spark_transform("stream_dedup", category="streaming")
 def stream_dedup(df: DataFrame, keys, ts: str | None = None, watermark: str | None = None) -> DataFrame:
     """Exactly-once key dedup. Streaming with a watermark uses

@@ -236,3 +236,39 @@ def test_stream_sessionize_out_of_order_microbatch(spark, tmp_path_factory):
     assert sess["SESSION_END"] == t(10), (
         "late event must not shrink SESSION_END")
     assert sess["N_EVENTS"] == 3
+
+
+def test_stream_join_stream_stream_matches_batch(spark, tmp_path_factory):
+    """True stream-stream join: two file-source streams joined on key with
+    an event-time proximity bound must emit exactly the batch join rows."""
+    import time as _time
+    from datetime import datetime
+
+    d1 = str(tmp_path_factory.mktemp("sj_left"))
+    d2 = str(tmp_path_factory.mktemp("sj_right"))
+    t = lambda m: datetime(2024, 1, 1, m // 60, m % 60)
+    lrows = [(1, t(0), "a"), (1, t(30), "b"), (2, t(10), "c")]
+    rrows = [(1, t(5), 10.0), (1, t(300), 20.0), (2, t(12), 30.0), (3, t(1), 40.0)]
+    ldf = spark.createDataFrame(lrows, "user_id long, ts timestamp, tag string")
+    rdf = spark.createDataFrame(rrows, "user_id long, ts timestamp, amount double")
+    ldf.coalesce(1).write.mode("overwrite").parquet(d1)
+    _time.sleep(1.1)
+    rdf.coalesce(1).write.mode("overwrite").parquet(d2)
+
+    ls = spark.readStream.schema(ldf.schema).option("maxFilesPerTrigger", 1).parquet(d1)
+    rs = spark.readStream.schema(rdf.schema).option("maxFilesPerTrigger", 1).parquet(d2)
+    tr = rql.get_transform("stream_join")
+    joined = tr.apply(ls, other=rs, keys="user_id", left_ts="ts",
+                      within="10 minutes", watermark="1 hour")
+    assert joined.df.isStreaming if hasattr(joined, "df") else joined.isStreaming
+    q = (joined.writeStream.format("memory").queryName("t_stream_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["tag"], r["R_amount"])
+           for r in spark.table("t_stream_join").collect()}
+    batch = tr.apply(ldf, other=rdf, keys="user_id", left_ts="ts",
+                     within="10 minutes", watermark="1 hour")
+    expected = {(r["user_id"], r["tag"], r["R_amount"]) for r in batch.collect()}
+    # (1,a)~10.0 within 5min; (2,c)~30.0 within 2min; t(300) and user 3 excluded
+    assert expected == {(1, "a", 10.0), (2, "c", 30.0)}
+    assert got == expected
