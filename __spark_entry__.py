@@ -892,6 +892,44 @@ def q_unigram_logprob(spark, sf):
     )
 
 
+def q_sentence_split(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .sentence_split(text="text", id_col="doc_id")
+        .df
+    )
+
+
+def q_heavy_hitters(spark, sf):
+    """Exact frequent-value mining over event_type (bounded output: at most
+    1/min_share rows by definition)."""
+    return (
+        _s(spark, sf).dataset("events")
+        .drop_columns(include_cols=["event_type"])
+        .heavy_hitters(column="event_type", min_share=0.01)
+        .df
+    )
+
+
+def q_quantize_embeddings(spark, sf):
+    """Symmetric int8 scalar quantization of the embedding corpus."""
+    return (
+        _s(spark, sf).dataset("embeddings")
+        .quantize_embeddings(vec_col="embedding")
+        .drop_columns(include_cols=["vec_id", "Q_SCALE", "Q_VEC"])
+        .df
+    )
+
+
+def q_dedup_binary(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .attach_binary(source_col="text", name="CONTENT")
+        .dedup_binary(binary_col="CONTENT", id_col="doc_id", mode="groups")
+        .df
+    )
+
+
 def q_tfidf_keywords(spark, sf):
     """Per-doc top-5 keywords by smooth-IDF TF-IDF (slim (id, token)
     shuffle, bounded per-doc window)."""
@@ -2123,6 +2161,35 @@ ranked AS (
             "SELECT * FROM ranked WHERE RANK <= 5"
         ),
         "bm25_score": _bm25_oracle(["spark", "query", "window"]),
+        "sentence_split": (
+            "SELECT doc_id, CAST(__i AS INT) AS SENTENCE_INDEX, "
+            "__s AS SENTENCE, "
+            f"CAST(len({_toks('__s')}) AS BIGINT) AS N_TOKENS FROM "
+            "(SELECT doc_id, unnest(__parts) AS __s, "
+            "unnest(range(len(__parts))) AS __i FROM "
+            "(SELECT doc_id, list_filter(list_transform("
+            "regexp_split_to_array(text, '[.!?]+\\s+'), s -> trim(s)), "
+            "s -> s != '') AS __parts FROM documents))"
+        ),
+        "heavy_hitters": (
+            "SELECT event_type, CAST(N AS BIGINT) AS N, "
+            "ROUND(N / __total, 6) AS SHARE FROM "
+            "(SELECT event_type, count(1) AS N FROM events GROUP BY event_type) "
+            "CROSS JOIN (SELECT CAST(count(1) AS DOUBLE) AS __total FROM events) "
+            "WHERE N >= __total * 0.01"
+        ),
+        "quantize_embeddings": (
+            "SELECT vec_id, Q_SCALE, list_transform(embedding, "
+            "x -> CASE WHEN Q_SCALE > 0 THEN "
+            "CAST(floor(CAST(x AS DOUBLE) / Q_SCALE + 0.5) AS INT) "
+            "ELSE 0 END) AS Q_VEC FROM "
+            "(SELECT vec_id, embedding, list_max(list_transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS Q_SCALE FROM embeddings)"
+        ),
+        "dedup_binary": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) "
+            "AS CONTENT_GROUP FROM documents"
+        ),
         "stream_join_batch": (
             "SELECT l.event_id, l.user_id, r.event_id AS R_EVENT_ID, "
             "ROUND(r.value, 6) AS R_VALUE "
@@ -2352,6 +2419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "bm25_score": q_bm25_score,
         "stream_join_batch": q_stream_join_batch,
+        "sentence_split": q_sentence_split,
+        "heavy_hitters": q_heavy_hitters,
+        "quantize_embeddings": q_quantize_embeddings,
+        "dedup_binary": q_dedup_binary,
         # unchanged, previously green — extra re-verification up to the cap
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,

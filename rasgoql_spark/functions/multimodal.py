@@ -411,3 +411,30 @@ def video_meta(
             )
 
     return narrow.mapInPandas(decode, schema=_VIDEO_META_SCHEMA)
+
+
+@spark_transform("dedup_binary", category="multimodal", streaming_ok=False)
+def dedup_binary(
+    df: DataFrame, binary_col: str, id_col: str, mode: str = "filter"
+) -> DataFrame:
+    """Exact binary-content dedup — the standard first pass over a media
+    corpus (identical bytes ⇒ identical asset, no decode needed). One hash
+    shuffle on the 16-byte md5 fingerprint; keeps the minimum id per
+    fingerprint. mode='filter' keeps surviving rows; mode='groups' returns
+    ``(id, CONTENT_GROUP)`` where CONTENT_GROUP is the canonical (minimum)
+    id sharing the same bytes."""
+    from pyspark.sql import Window as _W
+
+    from ..errors import ParameterException
+
+    if mode not in ("filter", "groups"):
+        raise ParameterException("mode must be 'filter' or 'groups'")
+    c, i = resolve_col(df, binary_col), resolve_col(df, id_col)
+    w = _W.partitionBy(F.md5(F.col(c)))
+    if mode == "groups":
+        return df.select(
+            F.col(i),
+            F.min(F.col(i)).over(w).alias("CONTENT_GROUP"),
+        )
+    keyed = df.withColumn("__grp_min", F.min(F.col(i)).over(w))
+    return keyed.filter(F.col(i) == F.col("__grp_min")).drop("__grp_min")

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 from ._cache import release_with
 from .dedup import _hyperplane_sign, cosine_expr
 
@@ -338,4 +338,47 @@ def knn_classify(
         counts.withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1")
         .select("QUERY_ID", F.col("__lbl").alias("PREDICTED_LABEL"))
+    )
+
+
+@spark_transform("quantize_embeddings", category="similarity")
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, id_col: str | None = None, bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4×
+    storage/bandwidth compression for embedding corpora (public technique,
+    e.g. FAISS SQ8): scale = max|x| / 127, q_i = floor(x_i/scale + 0.5).
+    Appends ``Q_SCALE`` (double) and ``Q_VEC`` (array<int> in [-127, 127]);
+    zero vectors quantize to zeros with scale 0. Row-local JVM expressions —
+    shuffle-free at any scale. ``floor(x + 0.5)`` rather than round() so
+    Spark and the DuckDB oracle tie-break .5 identically."""
+    if bits != 8:
+        raise ParameterException("only bits=8 is supported")
+    v = resolve_col(df, vec_col)
+    absmax = F.aggregate(
+        F.col(v),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    staged = df.withColumn("Q_SCALE", absmax / F.lit(127.0))
+    q = F.transform(
+        F.col(v),
+        lambda x: F.when(
+            F.col("Q_SCALE") > 0,
+            F.floor(x.cast("double") / F.col("Q_SCALE") + 0.5).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return staged.withColumn("Q_VEC", q)
+
+
+@renderer("quantize_embeddings")
+def _r_quantize_embeddings(source, vec_col, id_col=None, bits=8) -> str:
+    absmax = f"aggregate({vec_col}, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    q = (
+        f"transform({vec_col}, x -> CASE WHEN Q_SCALE > 0 THEN "
+        f"CAST(floor(CAST(x AS DOUBLE) / Q_SCALE + 0.5) AS INT) ELSE 0 END)"
+    )
+    return (
+        f"SELECT *, {q} AS Q_VEC FROM "
+        f"(SELECT *, {absmax} / 127.0 AS Q_SCALE FROM {source})"
     )

@@ -447,3 +447,77 @@ def _r_ngram_counts(
     if top_k is not None:
         sql += f" ORDER BY N_OCCURRENCES DESC, NGRAM LIMIT {top_k}"
     return sql
+
+
+@spark_transform("sentence_split", category="text")
+def sentence_split(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Split documents into sentences on terminal punctuation runs followed
+    by whitespace — row-local split + posexplode, shuffle-free. Empty
+    segments are dropped; empty docs yield no rows. Output
+    ``(id, SENTENCE_INDEX, SENTENCE, N_TOKENS)``. The pattern avoids
+    lookarounds so Java (Spark) and RE2 (DuckDB oracle) split identically."""
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    parts = F.filter(
+        F.transform(
+            F.split(F.col(t), r"[.!?]+\s+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    exploded = df.select(
+        F.col(i), F.posexplode(parts).alias("SENTENCE_INDEX", "SENTENCE")
+    )
+    return exploded.select(
+        F.col(i),
+        F.col("SENTENCE_INDEX").cast("int").alias("SENTENCE_INDEX"),
+        "SENTENCE",
+        F.size(tokens_expr(F.col("SENTENCE"))).cast("bigint").alias("N_TOKENS"),
+    )
+
+
+@renderer("sentence_split")
+def _r_sentence_split(source, text, id_col) -> str:
+    parts = (
+        f"filter(transform(split({text}, '[.!?]+\\\\s+'), s -> trim(s)), "
+        f"s -> s != '')"
+    )
+    return (
+        f"SELECT {id_col}, CAST(SENTENCE_INDEX AS INT) AS SENTENCE_INDEX, SENTENCE, "
+        f"CAST(size({_tokens_sql('SENTENCE')}) AS BIGINT) AS N_TOKENS FROM "
+        f"(SELECT {id_col}, posexplode({parts}) AS (SENTENCE_INDEX, SENTENCE) "
+        f"FROM {source})"
+    )
+
+
+@spark_transform("heavy_hitters", category="text", streaming_ok=False)
+def heavy_hitters(
+    df: DataFrame, column: str, min_share: float = 0.001, round_to: int = 6
+) -> DataFrame:
+    """EXACT frequent-value mining: values of ``column`` whose share of all
+    rows is ≥ ``min_share``, with counts and shares, ordered by count desc
+    then value asc. Two-stage hash aggregation (map-side partials) + a
+    one-row total — by definition at most 1/min_share result rows, so the
+    output is bounded no matter the input size. The exact companion to
+    sketch-based heavy hitters: at 100 TB the groupBy shuffles one row per
+    DISTINCT value, which is the natural sufficient statistic."""
+    c = resolve_col(df, column)
+    counts = df.groupBy(F.col(c)).agg(F.count(F.lit(1)).alias("N"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("SHARE", F.round(F.col("N") / F.col("__total"), round_to))
+        .filter(F.col("N") >= F.col("__total") * min_share)
+        .drop("__total")
+        .withColumn("N", F.col("N").cast("bigint"))
+        .orderBy(F.col("N").desc(), F.col(c).asc())
+    )
+
+
+@renderer("heavy_hitters")
+def _r_heavy_hitters(source, column, min_share=0.001, round_to=6) -> str:
+    return (
+        f"SELECT {column}, CAST(N AS BIGINT) AS N, "
+        f"ROUND(N / __total, {round_to}) AS SHARE FROM "
+        f"(SELECT {column}, count(1) AS N FROM {source} GROUP BY {column}) "
+        f"CROSS JOIN (SELECT count(1) AS __total FROM {source}) "
+        f"WHERE N >= __total * {min_share} ORDER BY N DESC, {column} ASC"
+    )

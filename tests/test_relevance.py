@@ -67,3 +67,52 @@ def test_bm25_is_projection_after_stats(spark):
     exchanges = re.findall(r"(?<!Broadcast)Exchange (\w+)", plan)
     assert all(e in ("RoundRobinPartitioning", "SinglePartition") for e in exchanges), exchanges
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sentence_split_with_punctuation(spark):
+    rows = [(1, "First sentence. Second one! Third?? Done"),
+            (2, "no terminal punctuation here"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rql.get_transform("sentence_split").apply(df, text="text", id_col="doc_id")
+    got = {(r["doc_id"], r["SENTENCE_INDEX"]): r["SENTENCE"] for r in out.collect()}
+    assert got[(1, 0)] == "First sentence" and got[(1, 1)] == "Second one"
+    assert got[(1, 2)] == "Third" and got[(1, 3)] == "Done"  # '?? ' splits
+    assert got[(2, 0)] == "no terminal punctuation here"
+    assert not any(k[0] == 3 for k in got)  # empty doc yields no rows
+
+
+def test_heavy_hitters_exact(spark):
+    rows = [(i, "a" if i % 2 == 0 else ("b" if i % 4 == 1 else f"rare{i}"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    out = rql.get_transform("heavy_hitters").apply(df, column="v", min_share=0.1)
+    got = [(r["v"], r["N"], r["SHARE"]) for r in out.collect()]
+    assert got == [("a", 50, 0.5), ("b", 25, 0.25)]  # rare* filtered, ordered
+
+
+def test_quantize_embeddings_roundtrip(session, spark):
+    out = rql.get_transform("quantize_embeddings").apply(
+        session.dataset("embeddings").df, vec_col="embedding")
+    rows = out.select("vec_id", "embedding", "Q_SCALE", "Q_VEC").limit(50).collect()
+    import math
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r["Q_VEC"])
+        deq = [q * r["Q_SCALE"] for q in r["Q_VEC"]]
+        dot = sum(a * b for a, b in zip(deq, r["embedding"]))
+        na = math.sqrt(sum(a * a for a in deq))
+        nb = math.sqrt(sum(b * b for b in r["embedding"]))
+        if na > 0 and nb > 0:
+            assert dot / (na * nb) > 0.999  # int8 SQ preserves direction
+
+
+def test_dedup_binary_planted_dups(spark):
+    rows = [(1, b"payload-A"), (2, b"payload-B"), (3, b"payload-A"), (4, b"payload-A")]
+    df = spark.createDataFrame(rows, "doc_id long, CONTENT binary")
+    kept = rql.get_transform("dedup_binary").apply(
+        df, binary_col="CONTENT", id_col="doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    groups = rql.get_transform("dedup_binary").apply(
+        df, binary_col="CONTENT", id_col="doc_id", mode="groups")
+    got = {r["doc_id"]: r["CONTENT_GROUP"] for r in groups.collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1}
