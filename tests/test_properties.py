@@ -246,3 +246,51 @@ def test_jpeg_header_with_fill_bytes(w, h, ncomp, n_fill):
     app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
     data = b"\xff\xd8" + fill + app0 + fill + sof
     assert _parse_image_header(data) == (w, h, _JPEG_MODES[ncomp])
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("ab"), st.sampled_from("ab")),
+        min_size=1, max_size=4, unique=True,
+    ),
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=12),
+        min_size=1, max_size=5,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_replace_fold_equals_priority_merging(char_merges, words):
+    """Property: the rank-order string-replace fold (pure Python mirror of
+    the Spark/DuckDB expression) equals classic min-rank-first BPE for ANY
+    valid merge table over a tiny alphabet — including pathological runs
+    like 'aaaa' with rule (a, a). Valid tables only contain symbols created
+    by earlier rules, which we construct by chaining char merges."""
+    # build a valid merge table: char-level rules first, then one composite
+    merges = list(char_merges)
+    if len(merges) >= 2:
+        a0, b0 = merges[0]
+        a1, b1 = merges[1]
+        merges.append((a0 + b0, a1 + b1))  # symbol from rule 0 + rule 1
+    ranks = {m: r for r, m in enumerate(merges)}
+
+    def fold_encode(word):  # the replace-fold construction
+        s = "  " + "  ".join(word) + "  "
+        for x, y in merges:
+            s = s.replace(f" {x}  {y} ", f" {x}{y} ")
+        return [p for p in s.strip().split("  ") if p]
+
+    def prio_encode(word):  # classic min-rank-first reference
+        syms = list(word)
+        while len(syms) > 1:
+            best, bi = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    for w in words:
+        assert fold_encode(w) == prio_encode(w), (w, merges)
