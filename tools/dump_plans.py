@@ -45,7 +45,11 @@ ANNOTATED = [
      "spread); band self-join shuffles only (id, band) pairs; shingle "
      "arrays re-attach to surviving candidates via the persisted signature "
      "table (InMemoryTableScan), which is released when the result is "
-     "dropped (round-2 scoped caching)."),
+     "dropped (round-2 scoped caching). Round 3: one Window on the 32-byte "
+     "set-fingerprint annotates each row's exact-duplicate representative; "
+     "the band join input is the (__id = __rep) filter, so a 100k-copy "
+     "page contributes ONE row per band instead of 100k (hot-bucket skew "
+     "fix); member pairs re-expand from the same cached table."),
     ("train_test_split (bucketed scale path)", "train_test_split",
      "Round 2: on multi-partition inputs, percent_rank decomposes into "
      "range buckets (approxQuantile boundaries) + per-bucket rank + "
@@ -62,6 +66,34 @@ ANNOTATED = [
     ("grouping_sets", "grouping_sets",
      "Arbitrary grouping sets plan as ONE Expand + partial/final "
      "HashAggregate — one shuffle regardless of how many sets."),
+    ("decontaminate (curation scale path)", "decontaminate",
+     "Eval n-gram inventory is distinct-reduced then BroadcastExchanged; "
+     "the exploded corpus (id, ngram) stream joins map-side "
+     "(BroadcastHashJoin LeftOuter BuildRight) — the corpus never shuffles "
+     "for the membership check. The only corpus shuffles are the spread() "
+     "round-robin and the final per-document roll-up, which moves "
+     "(id, int, int) rows only. pii_scrub / extract_urls / "
+     "repetition_stats plan as a single whole-stage-codegen Project — zero "
+     "Exchange at any scale (test_pii_scrub_is_shuffle_free_codegen)."),
+    ("dedup_against (incremental dedup)", "dedup_against_minhash",
+     "Cross-corpus LSH: both signature tables stay slim through the band "
+     "join ((id, band) rows), Jaccard only on surviving candidates; round "
+     "3 collapses exact-duplicate groups on BOTH corpora before banding "
+     "(same window annotation as the self-join ops). Neither side carries "
+     "an unconditional broadcast hint — AQE sizes the joins."),
+    ("token_count_bpe_real (round 3)", "token_count_bpe_real",
+     "Real BPE as a single whole-stage-codegen Project: the trained merge "
+     "table unrolls into a JVM fold of string replaces — zero Exchange, "
+     "zero Python. Scales with cores, never with shuffle."),
+    ("bm25_score (round 3)", "bm25_score",
+     "All corpus statistics (N, avg length, per-term document frequencies) "
+     "collapse into ONE single-row aggregate that broadcasts; scoring is a "
+     "projection over the corpus — the only exchanges are the one-row "
+     "stats aggregation and its broadcast."),
+    ("unigram_logprob (round 3)", "unigram_logprob",
+     "Vocabulary is a capped TakeOrdered aggregation over slim token rows; "
+     "document tokens explode to (id, token) and join the vocab AQE-sized; "
+     "the per-document roll-up is one partial+final aggregation."),
 ]
 
 
