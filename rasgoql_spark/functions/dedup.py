@@ -556,6 +556,7 @@ def dedup_embedding(
     num_planes: int = 8,
     method: str = "lsh",
     round_scores: int | None = 6,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine ≥ threshold (SURVEY §7.2 M7).
 
@@ -564,6 +565,15 @@ def dedup_embedding(
     method='brute': all-pairs — exact, quadratic; for oracles/small tables.
     ``round_scores`` rounds the cosine before thresholding so results are
     reproducible across engines/float orderings. Output (ID_A, ID_B, COSINE).
+    mode='edges' returns the connectivity-preserving (ID_A, ID_B) form.
+
+    Skew note: byte-identical vectors (re-crawled pages, default embeddings)
+    all land in the same sign bucket; with ``round_scores`` set (the
+    default) the bucket join runs over one representative per DISTINCT
+    vector and same-vector pairs expand back at cosine exactly 1.0 (zero
+    vectors: 0.0). With round_scores=None the raw fp cosine of an identical
+    pair is not exactly 1.0 (sqrt(S)² ≠ S), so the collapse is skipped to
+    preserve bit-identical output.
     """
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
     base = spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec"))
@@ -572,24 +582,53 @@ def dedup_embedding(
             "", *[_hyperplane_sign(F.col("__vec"), j).cast("string") for j in range(num_planes)]
         )
         base = base.withColumn("__sig", sig)
-        join_on = ["__sig"]
     elif method == "brute":
         base = base.withColumn("__sig", F.lit(1))
-        join_on = ["__sig"]
     else:
         raise ParameterException("method must be 'lsh' or 'brute'")
-    left = base.select(F.col("__id").alias("__id_a"), F.col("__vec").alias("__v_a"), "__sig")
-    right = base.select(F.col("__id").alias("__id_b"), F.col("__vec").alias("__v_b"), "__sig")
+    collapse = round_scores is not None
+    if collapse:
+        gkey = F.md5(
+            F.concat_ws(",", F.transform(F.col("__vec"), lambda x: x.cast("string")))
+        )
+        nz = (
+            F.aggregate(
+                F.transform(F.col("__vec"), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        )
+        base = _annotate_groups(base, gkey, nz).persist()
+        members = base.select("__id", "__rep", "__ne")
+        pair_src = base.filter(F.col("__id") == F.col("__rep"))
+    else:
+        pair_src = base
+    left = pair_src.select(
+        F.col("__id").alias("__id_a"), F.col("__vec").alias("__v_a"), "__sig"
+    )
+    right = pair_src.select(
+        F.col("__id").alias("__id_b"), F.col("__vec").alias("__v_b"), "__sig"
+    )
     cos = cosine_expr(F.col("__v_a"), F.col("__v_b"))
     if round_scores is not None:
         cos = F.round(cos, round_scores)
-    return (
-        left.join(right, on=join_on)
+    rep_pairs = (
+        left.join(right, on="__sig")
         .filter(F.col("__id_a") < F.col("__id_b"))
         .withColumn("COSINE", cos)
         .filter(F.col("COSINE") >= threshold)
         .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "COSINE")
     )
+    if not collapse:
+        if mode != "pairs":
+            raise ParameterException("mode='edges' requires round_scores")
+        return rep_pairs
+    intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
+    out = _expand_collapsed(
+        rep_pairs, members, mode, "COSINE", intra, lambda c: c >= threshold
+    )
+    return release_with(out, base)
 
 
 def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

@@ -538,3 +538,23 @@ def test_dedup_against_reference_skew_collapse(spark):
         batch, text="text", id_col="doc_id", reference=ref, method="minhash",
         mode="filter")
     assert {r["doc_id"] for r in kept.collect()} == {100_001}
+
+
+def test_dedup_embedding_identical_vector_collapse(spark):
+    """Identical vectors collapse before the bucket join: edges output is
+    O(n); pairs mode still expands the full set at COSINE exactly 1.0."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    v = [float(x) for x in rng.normal(size=8)]
+    other = [float(x) for x in rng.normal(size=8)]
+    n = 500
+    rows = [(j, v) for j in range(n)] + [(10_000, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = rql.get_transform("dedup_embedding").apply(
+        df, vec_col="embedding", id_col="vec_id", mode="edges")
+    assert edges.count() == n - 1  # star only (other vec not near-dup)
+    pairs = rql.get_transform("dedup_embedding").apply(
+        df, vec_col="embedding", id_col="vec_id")
+    rows2 = pairs.collect()
+    assert len(rows2) == n * (n - 1) // 2
+    assert all(r["COSINE"] == 1.0 for r in rows2)
