@@ -272,3 +272,29 @@ def test_stream_join_stream_stream_matches_batch(spark, tmp_path_factory):
     # (1,a)~10.0 within 5min; (2,c)~30.0 within 2min; t(300) and user 3 excluded
     assert expected == {(1, "a", 10.0), (2, "c", 30.0)}
     assert got == expected
+
+
+def test_round3_rowlocal_ops_on_stream_match_batch(spark, tmp_path_factory):
+    """Row-local round-3 ops (real-BPE token_count, bpe_encode,
+    sentence_split) run unchanged on a streaming frame and produce the
+    batch answer."""
+    out = str(tmp_path_factory.mktemp("docs_stream_r3"))
+    session = rql.RasgoSession(spark, data_dir=SF_DIR)
+    docs = session.dataset("documents").df.limit(60)
+    docs.repartition(2).write.mode("overwrite").parquet(out)
+    sdf = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(out))
+    chain = (rql.SQLChain(session, sdf, "docs_stream_r3")
+             .token_count(text="text", method="bpe", name="BPE_N")
+             .bpe_encode(text="text"))
+    assert chain.df.isStreaming
+    q = (chain.df.writeStream.format("memory").queryName("t_r3_rowlocal")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["BPE_N"], tuple(r["BPE_TOKENS"])) for r in
+           spark.table("t_r3_rowlocal").collect()}
+    batch = (rql.SQLChain(session, spark.read.parquet(out), "docs_b3")
+             .token_count(text="text", method="bpe", name="BPE_N")
+             .bpe_encode(text="text")).df
+    exp = {r["doc_id"]: (r["BPE_N"], tuple(r["BPE_TOKENS"])) for r in batch.collect()}
+    assert got == exp and len(got) == 60
