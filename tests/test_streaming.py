@@ -298,3 +298,47 @@ def test_round3_rowlocal_ops_on_stream_match_batch(spark, tmp_path_factory):
              .bpe_encode(text="text")).df
     exp = {r["doc_id"]: (r["BPE_N"], tuple(r["BPE_TOKENS"])) for r in batch.collect()}
     assert got == exp and len(got) == 60
+
+
+def test_stream_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path_factory):
+    """Left-outer stream-stream join: an unmatched left row must emit with
+    NULL right columns once the watermark passes its join window (state
+    eviction), not hang in state forever."""
+    import time as _time
+    from datetime import datetime
+
+    d1 = str(tmp_path_factory.mktemp("sjo_left"))
+    d2 = str(tmp_path_factory.mktemp("sjo_right"))
+    from datetime import timedelta
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    def wb(path, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(path)
+        _time.sleep(1.1)
+
+    ls = "user_id long, ts timestamp, tag string"
+    rs = "user_id long, ts timestamp, amount double"
+    # batch 1: matched pair (user 1) + unmatched left (user 2)
+    wb(d1, [(1, t(0), "m"), (2, t(0), "u")], ls)
+    wb(d2, [(1, t(2), 5.0)], rs)
+    # batches 2-3: far-future rows on BOTH sides push the global watermark
+    # far past user 2's join window, then one more batch evicts state
+    for m in (600, 1200, 1800):
+        wb(d1, [(9, t(m), "wm")], ls)
+        wb(d2, [(9, t(m), 0.0)], rs)
+
+    sl = spark.readStream.schema(spark.createDataFrame([], ls).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(d1)
+    sr = spark.readStream.schema(spark.createDataFrame([], rs).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(d2)
+    joined = rql.get_transform("stream_join").apply(
+        sl, other=sr, keys="user_id", left_ts="ts",
+        within="5 minutes", watermark="10 minutes", join_type="left_outer")
+    q = (joined.writeStream.format("memory").queryName("t_sj_outer")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.table("t_sj_outer").collect()
+    got = {(r["user_id"], r["tag"]): r["R_amount"] for r in rows}
+    assert got[(1, "m")] == 5.0  # matched pair
+    assert (2, "u") in got and got[(2, "u")] is None  # evicted with NULLs
