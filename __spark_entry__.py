@@ -1005,6 +1005,17 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_sample_token_budget(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .token_count(text="text")
+        .sample_to_token_budget(token_count_col="TOKEN_COUNT", budget=5000,
+                                id_col="doc_id")
+        .drop_columns(include_cols=["doc_id", "lang", "TOKEN_COUNT"])
+        .df
+    )
+
+
 def q_corpus_stats(spark, sf):
     return _s(spark, sf).dataset("documents").corpus_stats(
         text="text", group_by=["lang"]).df
@@ -2235,6 +2246,15 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        "sample_token_budget": (
+            f"WITH t AS (SELECT doc_id, lang, {n_tokens_sql} AS TOKEN_COUNT, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8)) AS BIGINT) AS __pr "
+            "FROM documents) "
+            "SELECT doc_id, lang, TOKEN_COUNT FROM ("
+            "SELECT doc_id, lang, TOKEN_COUNT, COALESCE(SUM(TOKEN_COUNT) OVER "
+            "(ORDER BY __pr, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __pfx "
+            "FROM t) WHERE __pfx < 5000"
+        ),
         "pack_sequences": (
             f"WITH t AS (SELECT doc_id, lang, {n_tokens_sql} AS TOKEN_COUNT FROM documents) "
             "SELECT doc_id, lang, TOKEN_COUNT, CAST(FLOOR(COALESCE(SUM(TOKEN_COUNT) OVER "
@@ -2423,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "quantize_embeddings": q_quantize_embeddings,
         "dedup_binary": q_dedup_binary,
+        "sample_token_budget": q_sample_token_budget,
         # unchanged, previously green — extra re-verification up to the cap
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import as_list, resolve_col
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 
 
 @spark_transform("mix_datasets", category="ml", streaming_ok=False)
@@ -64,3 +64,105 @@ def mix_datasets(
         part = part.withColumn("MIX_SOURCE", F.lit(idx))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@spark_transform("sample_to_token_budget", category="ml", streaming_ok=False)
+def sample_to_token_budget(
+    df: DataFrame,
+    token_count_col: str,
+    budget: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic token-budget corpus sampling: keep documents, in
+    md5-priority order, until the running token total reaches ``budget``
+    (training sets are sized in tokens, not rows — "give me 1B tokens of
+    this corpus" is the standard ask). A row is kept iff the EXCLUSIVE
+    prefix sum of ``token_count_col`` over ``(priority, id)`` order is
+    < ``budget``, so the kept set is the minimal priority-prefix whose
+    total is >= budget (or the whole corpus when it is smaller). The
+    priority ``md5(id || ':' || seed)`` is engine- and partitioning-
+    independent: the same documents survive on every run and every engine.
+
+    Scale path: the naive form is a GLOBAL ordered window (single task).
+    Instead the 32-bit priority space is range-bucketed by its top 10 bits;
+    one bounded aggregate (<=1024 rows to the driver) finds each bucket's
+    exclusive token offset. Buckets wholly under budget are kept with a
+    filter (no shuffle, no sort); buckets past it are dropped the same way;
+    exactly ONE straddling bucket remains, which is re-bucketed by the next
+    10 bits and only its final sub-straddle (~N/2^20 rows) pays an ordered
+    window. At 100 TB that is ~100 MB of windowed data and two <=1024-row
+    driver collects.
+    """
+    from pyspark.sql import Window
+
+    from ._hash import md5_int
+
+    tc = resolve_col(df, token_count_col)
+    i = resolve_col(df, id_col)
+    budget = int(budget)
+    if budget <= 0:
+        return df.filter(F.lit(False))
+    pr = md5_int(F.concat_ws(":", F.col(i).cast("string"), F.lit(str(seed))))
+    tagged = df.withColumn("__pr", pr)
+
+    def _keep(scope: DataFrame, offset: int, shifts: list[int]) -> DataFrame:
+        if not shifts:
+            w = (
+                Window.partitionBy()
+                .orderBy(F.col("__pr"), F.col(i))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            pfx = F.coalesce(F.sum(F.col(tc)).over(w), F.lit(0)) + F.lit(offset)
+            return (
+                scope.withColumn("__pfx", pfx)
+                .filter(F.col("__pfx") < F.lit(budget))
+                .drop("__pfx")
+            )
+        s = shifts[0]
+        b = F.shiftright(F.col("__pr"), s)
+        stats = (
+            scope.groupBy(b.alias("__tb"))
+            .agg(F.sum(F.col(tc)).alias("__s"))
+            .collect()
+        )
+        acc = offset
+        straddle = None
+        straddle_off = 0
+        for r in sorted(stats, key=lambda r: r["__tb"]):
+            tot = int(r["__s"] or 0)
+            if acc + tot >= budget:
+                straddle, straddle_off = r["__tb"], acc
+                break
+            acc += tot
+        if straddle is None:  # whole scope fits under budget
+            return scope
+        kept = scope.filter(b < F.lit(straddle))
+        part = _keep(
+            scope.filter(b == F.lit(straddle)), straddle_off, shifts[1:]
+        )
+        return kept.unionByName(part)
+
+    out = _keep(tagged, 0, [22, 12]).drop("__pr")
+    return out
+
+
+@renderer("sample_to_token_budget")
+def _r_sample_to_token_budget(
+    source,
+    token_count_col,
+    budget,
+    id_col,
+    seed=42,
+    _input_columns=(),
+) -> str:
+    pr = (
+        f"CAST(conv(substr(md5(concat_ws(':', CAST({id_col} AS STRING), "
+        f"'{int(seed)}')), 1, 8), 16, 10) AS BIGINT)"
+    )
+    cols = ", ".join(_input_columns) if _input_columns else "*"
+    return (
+        f"SELECT {cols} FROM (SELECT *, COALESCE(SUM({token_count_col}) OVER "
+        f"(ORDER BY {pr}, {id_col} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"1 PRECEDING), 0) AS __pfx FROM {source}) WHERE __pfx < {int(budget)}"
+    )

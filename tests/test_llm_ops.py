@@ -558,3 +558,30 @@ def test_dedup_embedding_identical_vector_collapse(spark):
     rows2 = pairs.collect()
     assert len(rows2) == n * (n - 1) // 2
     assert all(r["COSINE"] == 1.0 for r in rows2)
+
+
+def test_sample_to_token_budget(session):
+    d = session.dataset("documents").token_count(text="text")
+    tc = {r["doc_id"]: r["TOKEN_COUNT"]
+          for r in d.df.select("doc_id", "TOKEN_COUNT").collect()}
+    out = rql.get_transform("sample_to_token_budget").apply(
+        d.df, token_count_col="TOKEN_COUNT", budget=5000, id_col="doc_id")
+    kept = [r["doc_id"] for r in out.select("doc_id").collect()]
+    total = sum(tc[i] for i in kept)
+    # minimal priority-prefix >= budget: total crosses the line, and
+    # dropping the highest-priority kept doc falls back under it
+    assert total >= 5000
+    assert total - max(tc[i] for i in kept) < 5000
+    assert out.columns == d.df.columns  # schema passthrough, no helper cols
+    # deterministic across runs
+    out2 = rql.get_transform("sample_to_token_budget").apply(
+        d.df, token_count_col="TOKEN_COUNT", budget=5000, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out2.select("doc_id").collect()) \
+        == sorted(kept)
+    # budget beyond corpus size keeps everything; non-positive keeps nothing
+    assert rql.get_transform("sample_to_token_budget").apply(
+        d.df, token_count_col="TOKEN_COUNT", budget=10**12,
+        id_col="doc_id").count() == d.df.count()
+    assert rql.get_transform("sample_to_token_budget").apply(
+        d.df, token_count_col="TOKEN_COUNT", budget=0,
+        id_col="doc_id").count() == 0

@@ -189,6 +189,10 @@ CHAIN_CASES = [
         text="text", min_tokens=40, max_word_rep_ratio=0.6)),
     ("quality_flag", lambda s: s.dataset("documents").quality_filter(
         text="text", min_tokens=40, max_word_rep_ratio=0.6, mode="flag")),
+    ("token_budget", lambda s: s.dataset("documents")
+        .token_count(text="text")
+        .sample_to_token_budget(token_count_col="TOKEN_COUNT", budget=4000,
+                                id_col="doc_id")),
 ]
 
 _ALL_TABLES = ("region nation customer supplier part orders lineitem "
