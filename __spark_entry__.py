@@ -1005,6 +1005,94 @@ def q_pack_sequences(spark, sf):
     )
 
 
+# Deterministic URL soup for the url ops: four surface forms, where the
+# %4∈{0,1} pairs with matching host index canonicalize identically — both
+# engines synthesize the same input, so the oracle exercises the full
+# canonicalization (case, www, default port, dup/trailing slash, tracking
+# params, param sort, fragment) plus real row removal.
+_URL_APPLY = (
+    "SELECT doc_id, CASE "
+    "WHEN doc_id % 4 = 0 THEN concat('HTTP://WWW.Site', "
+    "CAST(doc_id % 50 AS STRING), '.com:80/a//b/?utm_source=x&b=2&a=1#f') "
+    "WHEN doc_id % 4 = 1 THEN concat('http://site', "
+    "CAST((doc_id - 1) % 50 AS STRING), '.com/a/b?b=2&a=1') "
+    "WHEN doc_id % 4 = 2 THEN concat('https://Site', "
+    "CAST(doc_id % 50 AS STRING), '.COM:443/p/', "
+    "CAST(doc_id % 5 AS STRING), '/?fbclid=z') "
+    "ELSE concat('ftp://site', CAST(doc_id % 50 AS STRING), '.com/x') "
+    "END AS url FROM {{source_table}}"
+)
+
+
+_URL_SYNTH_DUCK = (
+    "SELECT doc_id, CASE "
+    "WHEN doc_id % 4 = 0 THEN concat('HTTP://WWW.Site', "
+    "CAST(doc_id % 50 AS VARCHAR), '.com:80/a//b/?utm_source=x&b=2&a=1#f') "
+    "WHEN doc_id % 4 = 1 THEN concat('http://site', "
+    "CAST((doc_id - 1) % 50 AS VARCHAR), '.com/a/b?b=2&a=1') "
+    "WHEN doc_id % 4 = 2 THEN concat('https://Site', "
+    "CAST(doc_id % 50 AS VARCHAR), '.COM:443/p/', "
+    "CAST(doc_id % 5 AS VARCHAR), '/?fbclid=z') "
+    "ELSE concat('ftp://site', CAST(doc_id % 50 AS VARCHAR), '.com/x') "
+    "END AS url FROM documents"
+)
+
+
+def _url_canon_duck(u: str) -> str:
+    """DuckDB rendering of url_normalize's canonical expression (oracle
+    path). Mirrors rasgoql_spark/functions/curation.py::_canon_sql with
+    DuckDB spellings: 'g' flag on multi-occurrence regexp_replace,
+    COALESCE around array_to_string (NULL for empty lists in DuckDB), and
+    an explicit NULL guard (DuckDB concat skips NULL args)."""
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    rest = f"regexp_replace({u}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', '')"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?#]+)', 1))"
+    host = f"regexp_replace({hostport}, '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
+    host = f"regexp_replace({host}, '\\.$', '')"
+    path = f"regexp_extract({rest}, '^[^/?#]*([^?#]*)', 1)"
+    path = f"regexp_replace(regexp_replace({path}, '//+', '/', 'g'), '/$', '')"
+    q = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    parts = f"CASE WHEN {q} = '' THEN [] ELSE string_split({q}, '&') END"
+    keep = (
+        f"list_filter({parts}, p -> p != '' "
+        "AND NOT regexp_matches(p, '^utm_[A-Za-z0-9_]*=') "
+        "AND NOT regexp_matches(p, '^fbclid=') "
+        "AND NOT regexp_matches(p, '^gclid=') "
+        "AND NOT regexp_matches(p, '^msclkid=') "
+        "AND NOT regexp_matches(p, '^ref='))"
+    )
+    qs = f"COALESCE(array_to_string(list_sort({keep}), '&'), '')"
+    return (
+        f"CASE WHEN {u} IS NULL THEN NULL "
+        f"WHEN NOT {scheme} IN ('http', 'https') THEN {u} "
+        f"ELSE concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {qs} = '' THEN '' ELSE concat('?', {qs}) END) END"
+    )
+
+
+def q_url_normalize(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .apply(sql=_URL_APPLY)
+        .url_normalize(url="url")
+        .df
+    )
+
+
+def q_dedup_url(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .apply(sql=_URL_APPLY)
+        .dedup_url(url="url", id_col="doc_id")
+        .df
+    )
+
+
 def q_sample_token_budget(spark, sf):
     return (
         _s(spark, sf).dataset("documents")
@@ -2246,6 +2334,18 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        "url_normalize": (
+            f"WITH su AS ({_URL_SYNTH_DUCK}), "
+            "nu AS (SELECT doc_id, url, trim(url) AS u FROM su) "
+            f"SELECT doc_id, url, {_url_canon_duck('u')} AS URL_CANON FROM nu"
+        ),
+        "dedup_url": (
+            f"WITH su AS ({_URL_SYNTH_DUCK}), "
+            "nu AS (SELECT doc_id, url, trim(url) AS u FROM su) "
+            "SELECT doc_id, url FROM (SELECT doc_id, url, ROW_NUMBER() OVER "
+            f"(PARTITION BY {_url_canon_duck('u')} ORDER BY doc_id) AS __rn "
+            "FROM nu) WHERE __rn = 1"
+        ),
         "sample_token_budget": (
             f"WITH t AS (SELECT doc_id, lang, {n_tokens_sql} AS TOKEN_COUNT, "
             "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8)) AS BIGINT) AS __pr "
@@ -2444,6 +2544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "dedup_binary": q_dedup_binary,
         "sample_token_budget": q_sample_token_budget,
+        "url_normalize": q_url_normalize,
+        "dedup_url": q_dedup_url,
         # unchanged, previously green — extra re-verification up to the cap
         "dedup_exact": q_dedup_exact,
         "dedup_embedding": q_dedup_embedding,

@@ -667,3 +667,155 @@ def _r_unigram_logprob(
         f"COALESCE(OOV_RATIO, 0.0) AS OOV_RATIO FROM {source} s "
         f"LEFT JOIN ({scored}) ON s.{id_col} = __id"
     )
+
+
+# Query params that never change page identity — stripped by url_normalize.
+# Alternation-free per-param anchors (one rlike each) keep Java/RE2 parity.
+TRACKING_PARAM_PATTERNS = (
+    "^utm_[A-Za-z0-9_]*=",
+    "^fbclid=",
+    "^gclid=",
+    "^msclkid=",
+    "^ref=",
+)
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+@spark_transform("url_normalize", category="curation")
+def url_normalize(df: DataFrame, url: str, name: str = "URL_CANON") -> DataFrame:
+    """Canonicalize URLs for crawl dedup: lowercase scheme+host, strip
+    ``www.``, default ports (:80/:443), trailing host dot, duplicate and
+    trailing path slashes, tracking query params (``utm_*``, fbclid, gclid,
+    msclkid, ref), sort surviving params, and drop the fragment. The same
+    page fetched as ``HTTP://WWW.Ex.com:80/a//b/?utm_s=x&b=2&a=1#top`` and
+    ``http://ex.com/a/b?a=1&b=2`` canonicalizes identically — URL-level
+    dedup removes most crawl duplicates before any content hashing.
+    Non-http(s) strings pass through trimmed (documented: userinfo@host is
+    left as-is). Row-local regex/array expressions — shuffle-free."""
+    u = F.trim(F.col(resolve_col(df, url)))
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    host = F.regexp_replace(host, r"\.$", "")
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path, "//+", "/"), "/$", "")
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    parts = F.when(q == "", F.array().cast("array<string>")).otherwise(
+        F.split(q, "&")
+    )
+    survives = _param_filter_factory()
+    qs = F.concat_ws("&", F.array_sort(F.filter(parts, survives)))
+    canon = (
+        F.when(~scheme.isin("http", "https"), u)
+        .otherwise(
+            F.concat(
+                scheme,
+                F.lit("://"),
+                host,
+                path,
+                F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+            )
+        )
+    )
+    return df.withColumn(name, canon)
+
+
+def _param_filter_factory():
+    """Factory (not a bare lambda: late-binding/introspection gotchas) for
+    the query-param survival predicate used in the normalize HOF filter."""
+
+    def survives(p):
+        cond = p != ""
+        for pat in TRACKING_PARAM_PATTERNS:
+            cond = cond & ~p.rlike(pat)
+        return cond
+
+    return survives
+
+
+def _canon_sql(u: str) -> str:
+    """Spark-SQL rendering of url_normalize's canonical expression over a
+    trimmed url expression ``u`` (renderer parity path)."""
+    sch = _sql_escape(_SCHEME_RE)
+    scheme = f"lower(regexp_extract({u}, '{sch}', 1))"
+    rest = f"regexp_replace({u}, '{sch}', '')"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?#]+)', 1))"
+    host = f"regexp_replace({hostport}, '^www\\\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
+    host = f"regexp_replace({host}, '\\\\.$', '')"
+    path = f"regexp_extract({rest}, '^[^/?#]*([^?#]*)', 1)"
+    path = f"regexp_replace(regexp_replace({path}, '//+', '/'), '/$', '')"
+    q = f"regexp_extract({u}, '\\\\?([^#]*)', 1)"
+    parts = (
+        f"CASE WHEN {q} = '' THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split({q}, '&') END"
+    )
+    keep_cond = " AND ".join(
+        ["p != ''"] + [f"NOT p RLIKE '{pat}'" for pat in TRACKING_PARAM_PATTERNS]
+    )
+    qs = f"concat_ws('&', array_sort(filter({parts}, p -> {keep_cond})))"
+    return (
+        f"CASE WHEN NOT {scheme} IN ('http', 'https') THEN {u} "
+        f"ELSE concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {qs} = '' THEN '' ELSE concat('?', {qs}) END) END"
+    )
+
+
+@renderer("url_normalize")
+def _r_url_normalize(source, url, name="URL_CANON", _input_columns=()) -> str:
+    return with_columns_sql(
+        source, {name: _canon_sql(f"trim({url})")}, _input_columns
+    )
+
+
+@spark_transform("dedup_url", category="curation", streaming_ok=False)
+def dedup_url(
+    df: DataFrame,
+    url: str,
+    id_col: str,
+    keep: str = "min",
+    mode: str = "filter",
+) -> DataFrame:
+    """URL-level dedup: one row per canonical URL (see ``url_normalize``),
+    keeping the min (or max) id — the cheap first pass of a crawl pipeline,
+    upstream of content fingerprints and MinHash. ``mode='flag'`` appends
+    ``URL_DUP`` instead of filtering. One hash shuffle on the canonical URL;
+    NULL urls are never collapsed (each kept)."""
+    from pyspark.sql import Window
+
+    i = resolve_col(df, id_col)
+    canon = url_normalize(df, url, name="__canon")
+    order = F.col(i).asc() if keep == "min" else F.col(i).desc()
+    w = Window.partitionBy("__canon").orderBy(order)
+    rn = canon.withColumn("__rn", F.row_number().over(w))
+    first = (F.col("__rn") == 1) | F.col("__canon").isNull()
+    if mode == "flag":
+        return rn.withColumn("URL_DUP", ~first).drop("__rn", "__canon")
+    return rn.filter(first).drop("__rn", "__canon")
+
+
+@renderer("dedup_url")
+def _r_dedup_url(source, url, id_col, keep="min", mode="filter") -> str:
+    direction = "ASC" if keep == "min" else "DESC"
+    canon = _canon_sql(f"trim({url})")
+    inner = (
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {canon} "
+        f"ORDER BY {id_col} {direction}) AS __rn, {canon} IS NULL AS __cn "
+        f"FROM {source}"
+    )
+    if mode == "flag":
+        return (
+            f"SELECT * EXCEPT (__rn, __cn), NOT (__rn = 1 OR __cn) AS URL_DUP "
+            f"FROM ({inner})"
+        )
+    return f"SELECT * EXCEPT (__rn, __cn) FROM ({inner}) WHERE __rn = 1 OR __cn"

@@ -234,3 +234,47 @@ def test_unigram_logprob_reference_and_edge_cases(spark):
     assert got[13]["OOV_RATIO"] == 0.5
     # frequent-token doc scores strictly higher than OOV doc
     assert got[10]["AVG_LOGPROB"] > got[11]["AVG_LOGPROB"]
+
+
+URL_CASES = [
+    (1, "HTTP://WWW.Example.com:80/a//b/?utm_source=x&b=2&a=1#frag"),
+    (2, "http://example.com/a/b?a=1&b=2"),
+    (3, "https://Example.COM:443/"),
+    (4, "https://example.com"),
+    (5, "https://example.com./path/?fbclid=abc"),
+    (6, "ftp://example.com/x"),
+    (7, None),
+    (8, "  https://www.example.com/a/b/?ref=nav&x=1  "),
+    (9, "https://example.com:8443/p?gclid=1&msclkid=2&utm_=3"),
+    (10, "http://example.com/a/b?b=2&a=1"),
+]
+
+
+def test_url_normalize(spark):
+    df = spark.createDataFrame(URL_CASES, "id long, url string")
+    out = rql.get_transform("url_normalize").apply(df, url="url")
+    rows = {r["id"]: r["URL_CANON"] for r in out.collect()}
+    # equivalent surface forms canonicalize identically
+    assert rows[1] == rows[2] == rows[10] == "http://example.com/a/b?a=1&b=2"
+    assert rows[3] == rows[4] == "https://example.com"
+    assert rows[5] == "https://example.com/path"      # trailing host dot + fbclid
+    assert rows[8] == "https://example.com/a/b?x=1"   # ref stripped, x kept
+    assert rows[9] == "https://example.com:8443/p"    # non-default port kept
+    assert rows[6] == "ftp://example.com/x"           # non-http passthrough
+    assert rows[7] is None
+
+
+def test_dedup_url(spark):
+    df = spark.createDataFrame(URL_CASES, "id long, url string")
+    out = rql.get_transform("dedup_url").apply(df, url="url", id_col="id")
+    assert sorted(r["id"] for r in out.select("id").collect()) \
+        == [1, 3, 5, 6, 7, 8, 9]
+    flag = rql.get_transform("dedup_url").apply(
+        df, url="url", id_col="id", mode="flag")
+    dups = {r["id"]: r["URL_DUP"] for r in flag.collect()}
+    assert dups == {1: False, 2: True, 3: False, 4: True, 5: False, 6: False,
+                    7: False, 8: False, 9: False, 10: True}
+    mx = rql.get_transform("dedup_url").apply(
+        df, url="url", id_col="id", keep="max")
+    assert sorted(r["id"] for r in mx.select("id").collect()) \
+        == [4, 5, 6, 7, 8, 9, 10]  # NULL url (7) always kept

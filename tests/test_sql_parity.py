@@ -193,7 +193,32 @@ CHAIN_CASES = [
         .token_count(text="text")
         .sample_to_token_budget(token_count_col="TOKEN_COUNT", budget=4000,
                                 id_col="doc_id")),
+    ("url_normalize", lambda s: s.dataset("documents")
+        .apply(sql=_URL_SYNTH)
+        .url_normalize(url="url")),
+    ("dedup_url", lambda s: s.dataset("documents")
+        .apply(sql=_URL_SYNTH)
+        .dedup_url(url="url", id_col="doc_id")),
+    ("dedup_url_flag", lambda s: s.dataset("documents")
+        .apply(sql=_URL_SYNTH)
+        .dedup_url(url="url", id_col="doc_id", mode="flag")),
 ]
+
+# Deterministic URL soup: four surface forms per doc, two of which (the %4
+# in {0,1} rows with equal doc_id%50) canonicalize identically — dedup_url
+# genuinely removes rows in the parity comparison.
+_URL_SYNTH = (
+    "SELECT doc_id, CASE "
+    "WHEN doc_id % 4 = 0 THEN concat('HTTP://WWW.Site', "
+    "CAST(doc_id % 50 AS STRING), '.com:80/a//b/?utm_source=x&b=2&a=1#f') "
+    "WHEN doc_id % 4 = 1 THEN concat('http://site', "
+    "CAST((doc_id - 1) % 50 AS STRING), '.com/a/b?b=2&a=1') "
+    "WHEN doc_id % 4 = 2 THEN concat('https://Site', "
+    "CAST(doc_id % 50 AS STRING), '.COM:443/p/', "
+    "CAST(doc_id % 5 AS STRING), '/?fbclid=z') "
+    "ELSE concat('ftp://site', CAST(doc_id % 50 AS STRING), '.com/x') "
+    "END AS url FROM {{source_table}}"
+)
 
 _ALL_TABLES = ("region nation customer supplier part orders lineitem "
                "events documents").split()
