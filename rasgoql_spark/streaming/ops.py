@@ -48,9 +48,24 @@ def _window_agg_sql(source, fn_call, struct_name, start_alias, end_alias,
     )
 
 
+def _ensure_event_time(df: DataFrame, ts: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP.
+
+    Tz-less parquet (the overwhelmingly common shape for event logs) reads as
+    TIMESTAMP_NTZ under Spark 4's ``inferTimestampNTZ`` default, and both
+    ``withWatermark`` (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and
+    ``unix_micros`` (DATATYPE_MISMATCH) reject NTZ. Under the engine's
+    pinned UTC session timezone the cast is a pure relabel — identical
+    microsecond values — so batch oracles and hashes are unaffected.
+    """
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        return df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df
+
+
 def _maybe_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFrame:
     if watermark and df.isStreaming:
-        return df.withWatermark(ts, watermark)
+        return _ensure_event_time(df, ts).withWatermark(ts, watermark)
     return df
 
 
@@ -173,7 +188,11 @@ def sessionize(
     w = Window.partitionBy(e).orderBy(F.col(t).asc())
     # microsecond integer arithmetic (unix_timestamp truncates to seconds,
     # which makes gap comparisons engine-dependent at the boundary)
-    gap = F.unix_micros(F.col(t)) - F.unix_micros(F.lag(t, 1).over(w))
+    # cast-then-unix_micros is dtype-agnostic: a no-op relabel for TIMESTAMP,
+    # the required normalization for TIMESTAMP_NTZ (which unix_micros rejects)
+    us = F.unix_micros(F.col(t).cast("timestamp"))
+    prev_us = F.unix_micros(F.lag(t, 1).over(w).cast("timestamp"))
+    gap = us - prev_us
     new_session = F.when(
         gap.isNull() | (gap > int(gap_minutes * 60_000_000)), F.lit(1)
     ).otherwise(F.lit(0))
@@ -190,7 +209,10 @@ def sessionize(
 def _r_sessionize(source, entity, ts, gap_minutes=30.0) -> str:
     gap_us = int(gap_minutes * 60_000_000)
     over = f"PARTITION BY {entity} ORDER BY {ts}"
-    gap = f"(unix_micros({ts}) - unix_micros(LAG({ts}, 1) OVER ({over})))"
+    gap = (
+        f"(unix_micros(CAST({ts} AS TIMESTAMP)) - "
+        f"unix_micros(CAST(LAG({ts}, 1) OVER ({over}) AS TIMESTAMP)))"
+    )
     run = f"{over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     return (
         f"SELECT * EXCEPT (__new), CONCAT_WS('#', CAST({entity} AS STRING), "
@@ -233,7 +255,8 @@ def stream_sessionize(
     e, t = resolve_col(df, entity), resolve_col(df, ts)
     gap_ms = int(gap_minutes * 60_000)
     if not df.isStreaming:
-        sess = sessionize(df, entity, ts, gap_minutes)
+        # normalize first so SESSION_START/END are TIMESTAMP on both paths
+        sess = sessionize(_ensure_event_time(df, t), entity, ts, gap_minutes)
         return (
             sess.groupBy(e, "SESSION_ID")
             .agg(
@@ -309,7 +332,8 @@ def stream_sessionize(
             yield pd.DataFrame(closed)
 
     return (
-        df.withWatermark(t, watermark)
+        _ensure_event_time(df, t)
+        .withWatermark(t, watermark)
         .groupBy(F.col(e))
         .applyInPandasWithState(
             close_sessions,
@@ -381,7 +405,12 @@ def stream_dedup(df: DataFrame, keys, ts: str | None = None, watermark: str | No
     if df.isStreaming:
         if not (ts and watermark):
             raise ParameterException("streaming dedup requires ts + watermark to bound state")
-        return df.withWatermark(resolve_col(df, ts), watermark).dropDuplicatesWithinWatermark(keys)
+        t = resolve_col(df, ts)
+        return (
+            _ensure_event_time(df, t)
+            .withWatermark(t, watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
     return df.dropDuplicates([resolve_col(df, k) for k in keys])
 
 
