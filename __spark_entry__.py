@@ -912,11 +912,18 @@ def q_heavy_hitters(spark, sf):
 
 
 def q_quantize_embeddings(spark, sf):
-    """Symmetric int8 scalar quantization of the embedding corpus."""
+    """Symmetric int8 scalar quantization of the embedding corpus.
+
+    Q_VEC serialized to a CSV string (and Q_SCALE rounded) so the driver's
+    pandas canonicalizer can sort/hash the frame."""
     return (
         _s(spark, sf).dataset("embeddings")
         .quantize_embeddings(vec_col="embedding")
-        .drop_columns(include_cols=["vec_id", "Q_SCALE", "Q_VEC"])
+        .math(
+            math_ops=["round(Q_SCALE, 6)", "array_join(Q_VEC, ',')"],
+            names=["Q_SCALE_R", "Q_VEC_STR"],
+        )
+        .drop_columns(include_cols=["vec_id", "Q_SCALE_R", "Q_VEC_STR"])
         .df
     )
 
@@ -1139,10 +1146,20 @@ def q_pii_scrub(spark, sf):
 
 
 def q_extract_urls(spark, sf):
+    # arrays rendered to canonical strings (URLS in document order, DOMAINS
+    # sorted) so the driver's pandas canonicalizer can sort the frame
     return (
         _s(spark, sf).dataset("documents")
         .apply(sql=_PII_APPLY)
         .extract_urls(text="text")
+        .math(
+            math_ops=[
+                "array_join(URLS, ' ')",
+                "array_join(array_sort(DOMAINS), ' ')",
+            ],
+            names=["URLS_STR", "DOMAINS_STR"],
+        )
+        .drop_columns(exclude_cols=["URLS", "DOMAINS"])
         .df
     )
 
@@ -1931,10 +1948,12 @@ ranked AS (
         ),
         "extract_urls": (
             f"WITH t AS ({_pii_text_sql()}) "
-            f"SELECT doc_id, text, lang, regexp_extract_all(text, '{_URL_RE}') AS URLS, "
+            f"SELECT doc_id, text, lang, "
             f"CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS URL_COUNT, "
-            f"list_distinct(list_transform(regexp_extract_all(text, '{_URL_RE}'), "
-            f"u -> lower(regexp_extract(u, '{_DOMAIN_RE}', 1)))) AS DOMAINS "
+            f"array_to_string(regexp_extract_all(text, '{_URL_RE}'), ' ') AS URLS_STR, "
+            f"array_to_string(list_sort(list_distinct(list_transform("
+            f"regexp_extract_all(text, '{_URL_RE}'), "
+            f"u -> lower(regexp_extract(u, '{_DOMAIN_RE}', 1))))), ' ') AS DOMAINS_STR "
             "FROM t"
         ),
         "repetition_stats": (
@@ -2278,10 +2297,11 @@ ranked AS (
             "WHERE N >= __total * 0.01"
         ),
         "quantize_embeddings": (
-            "SELECT vec_id, Q_SCALE, list_transform(embedding, "
+            "SELECT vec_id, ROUND(Q_SCALE, 6) AS Q_SCALE_R, "
+            "array_to_string(list_transform(embedding, "
             "x -> CASE WHEN Q_SCALE > 0 THEN "
             "CAST(floor(CAST(x AS DOUBLE) / Q_SCALE + 0.5) AS INT) "
-            "ELSE 0 END) AS Q_VEC FROM "
+            "ELSE 0 END), ',') AS Q_VEC_STR FROM "
             "(SELECT vec_id, embedding, list_max(list_transform(embedding, "
             "x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS Q_SCALE FROM embeddings)"
         ),
