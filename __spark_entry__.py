@@ -2,9 +2,11 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 105 entries, 101 with DuckDB oracles (the other 4
-are approximate/fan-out ops the driver checks rows-only). The dict is
-ORDERED for the driver's 50-query gate: see the note inside queries().
+streaming extensions) — 136 entries, ALL 136 with DuckDB oracles (round 4
+gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
+is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
+containment/recall verification summary). The dict is ORDERED for the
+driver's 50-query gate: see the note inside queries().
 
 Conventions that make the hash-compare work (see FIXTURES.md §4):
 - every computed column is aliased identically on both sides;
@@ -1300,8 +1302,37 @@ def q_similarity_search_lsh(spark, sf):
 
 
 def q_similarity_search_ivf(spark, sf):
-    return _s(spark, sf).dataset("embeddings").similarity_search_ivf(
-        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10).df
+    """IVF ANN verification summary (exact + hashable): runs the real IVF
+    search, then checks per query — against an in-Spark exact brute-force —
+    that (a) all 10 hits land inside the exact top-50, (b) recall@10 ≥ 0.5,
+    (c) the exact 10th-best cosine matches DuckDB's independent computation.
+    DuckDB recomputes (c) exactly and emits the guaranteed values for
+    (a)/(b); a hash match therefore certifies the ANN quality properties."""
+    from pyspark.sql import functions as F
+
+    ds = _s(spark, sf).dataset("embeddings")
+    ivf = ds.similarity_search_ivf(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10
+    ).df.select("QUERY_ID", "MATCH_ID")
+    b50 = ds.similarity_search(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=50
+    ).df.select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
+    j = ivf.join(b50, ["QUERY_ID", "MATCH_ID"], "left")
+    agg = j.groupBy("QUERY_ID").agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_RETURNED"),
+        F.sum(F.when(F.col("RANK").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("N_OUTSIDE_TOP50"),
+        (F.sum(F.when(F.col("RANK") <= 10, 1).otherwise(0)) >= F.lit(5)).alias(
+            "RECALL10_OK"
+        ),
+    )
+    mins = (
+        b50.filter(F.col("RANK") <= 10)
+        .groupBy("QUERY_ID")
+        .agg(F.min("COSINE").alias("TOP10_MIN_COSINE"))
+    )
+    return agg.join(mins, "QUERY_ID")
 
 
 def q_knn_classify(spark, sf):
@@ -1543,6 +1574,24 @@ def _minhash(scol: str, j: int) -> str:
         f"CASE WHEN len({scol}) = 0 THEN 2147483647 ELSE "
         f"list_min(list_transform({scol}, x -> ({_h32('x')} * {a} + {b}) % 2147483647)) END"
     )
+
+
+def _lsh_sig_duck(v: str, num_planes: int) -> str:
+    """DuckDB replica of the engine's hyperplane-sign LSH signature
+    (functions/dedup.py:_hyperplane_sign): pure integer arithmetic
+    h_j[i] = +1 if ((i·2654435761 + j·40503) mod 97) < 48 else −1, so the
+    approximate bucketing itself is exactly reproducible cross-engine.
+    DuckDB's range(1, 65) is 1-based; the engine's sequence is 0-based,
+    hence (i-1)."""
+    signs = []
+    for j in range(num_planes):
+        dot = (
+            f"list_sum(list_transform(range(1, 65), i -> CAST({v}[i] AS DOUBLE) * "
+            f"(CASE WHEN ((i-1)*2654435761 + {j * 40503}) % 97 < 48 "
+            f"THEN 1.0 ELSE -1.0 END)))"
+        )
+        signs.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(signs) + ")"
 
 
 def _cosine(a: str, b: str) -> str:
@@ -2463,7 +2512,47 @@ ranked AS (
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             f"WHERE {_cosine('a.embedding', 'b.embedding')} >= 0.35"
         ),
+        # FULL exact replica of the 8-plane LSH near-dup pass: same-bucket
+        # pairs with cosine ≥ threshold (signature reproducible cross-engine).
+        "dedup_embedding_lsh": (
+            f"WITH sig AS (SELECT vec_id, embedding, {_lsh_sig_duck('embedding', 8)} AS s "
+            "FROM embeddings) "
+            f"SELECT a.vec_id AS ID_A, b.vec_id AS ID_B, {_cosine('a.embedding', 'b.embedding')} AS COSINE "
+            "FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id "
+            f"WHERE {_cosine('a.embedding', 'b.embedding')} >= 0.35"
+        ),
+        # the stub decode is deterministic (frame i exists iff i < min(3,
+        # byte_length)), so even the honest stub gets an exact oracle
+        "frame_sample_stub": (
+            "SELECT doc_id AS DOC_ID, "
+            "CAST(unnest(range(least(3, CAST(octet_length(encode(text)) AS BIGINT)))) AS BIGINT) AS FRAME_INDEX, "
+            "'stub' AS DECODER FROM documents WHERE octet_length(encode(text)) > 0"
+        ),
         "similarity_search": sim_base + " SELECT * FROM ranked WHERE RANK <= 10",
+        # FULL exact replica of the hyperplane-LSH search: the signature is
+        # integer arithmetic (see _lsh_sig_duck), so DuckDB reproduces the
+        # approximate result bit-for-bit — a complete oracle, not a summary.
+        "similarity_search_lsh": (
+            f"WITH sig AS (SELECT vec_id, embedding, {_lsh_sig_duck('embedding', 6)} AS s "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id AS qid, embedding AS qv, s FROM sig WHERE vec_id IN (0,1,2,3,4)), "
+            "scored AS (SELECT q.qid AS QUERY_ID, c.vec_id AS MATCH_ID, "
+            f"{_cosine('q.qv', 'c.embedding')} AS COSINE "
+            "FROM sig c JOIN q ON c.s = q.s AND c.vec_id <> q.qid), "
+            "ranked AS (SELECT QUERY_ID, MATCH_ID, COSINE, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY COSINE DESC, MATCH_ID) AS INT) AS RANK "
+            "FROM scored) SELECT * FROM ranked WHERE RANK <= 10"
+        ),
+        # IVF verification summary: DuckDB recomputes the exact 10th-best
+        # cosine independently and emits the algorithm-guaranteed values for
+        # containment-in-top-50 and recall@10 (see q_similarity_search_ivf).
+        "similarity_search_ivf": sim_base + (
+            ", t10 AS (SELECT QUERY_ID, MIN(COSINE) AS TOP10_MIN_COSINE "
+            "FROM ranked WHERE RANK <= 10 GROUP BY QUERY_ID) "
+            "SELECT QUERY_ID, CAST(10 AS BIGINT) AS N_RETURNED, "
+            "CAST(0 AS BIGINT) AS N_OUTSIDE_TOP50, true AS RECALL10_OK, "
+            "TOP10_MIN_COSINE FROM t10"
+        ),
         "knn_classify": sim_base + (
             ", nn AS (SELECT * FROM ranked WHERE RANK <= 5), "
             "lbl AS (SELECT nn.QUERY_ID, e.label FROM nn JOIN embeddings e ON e.vec_id = nn.MATCH_ID), "
@@ -2510,108 +2599,29 @@ ranked AS (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING NOTE (round 3): the driver's correctness gate checks the FIRST
-    # 50 entries. Rounds 1+2 verified 98/123 (CORRECTNESS_r01/r02.json, zero
-    # failures). This round leads with the 25 entries the driver has never
-    # seen — the curation suite, cross-corpus dedup, clustering, text
-    # pipeline ops, multimodal, and the rows-only approximates — followed by
-    # every query whose implementation changed this round (LSH skew fix,
-    # decontaminate broadcast removal, JPEG fill-byte fix, IVF large-k
-    # fallback). Previously-green unchanged queries follow after the fold.
+    # ORDERING NOTE (round 4): the driver checks the FIRST 50 entries.
+    # Cumulative rounds 1-3 verified 129/136; this round leads with the 7
+    # entries never hash-green (all fixed this round: array serialization,
+    # NTZ event time, new exact ANN oracles), then the NTZ-touched
+    # streaming family for re-verification, then the OLDEST greens (round-1
+    # relational core) to refresh staleness. Round-2/3 greens follow the fold.
     return {
-        # never driver-verified — complete 123/123 cumulative coverage
-        "pii_scrub": q_pii_scrub,
+        # --- never hash-green before round 4 (fixed this round) ---
         "extract_urls": q_extract_urls,
-        "repetition_stats": q_repetition_stats,
-        "decontaminate": q_decontaminate,
-        "shuffle_deterministic": q_shuffle_deterministic,
-        "ngram_counts": q_ngram_counts,
-        "dedup_against": q_dedup_against,
-        "dedup_against_minhash": q_dedup_against_minhash,
-        "remove_boilerplate": q_remove_boilerplate,
-        "quality_filter": q_quality_filter,
-        "audio_meta": q_audio_meta,
-        "video_meta": q_video_meta,
-        "stream_sessionize_batch": q_stream_sessionize_batch,
-        "near_dup_clusters": q_near_dup_clusters,
-        "dedup_by_cluster": q_dedup_by_cluster,
-        "stratified_sample": q_stratified_sample,
-        "corpus_stats": q_corpus_stats,
-        "text_chunk": q_text_chunk,
-        "pack_sequences": q_pack_sequences,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,  # rows-only
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,  # rows-only (approximate)
-        "similarity_search_lsh": q_similarity_search_lsh,  # rows-only (approximate)
-        "similarity_search_ivf": q_similarity_search_ivf,  # rows-only (approximate)
-        "image_meta_stub": q_image_meta_stub,
-        "frame_sample_stub": q_frame_sample_stub,  # rows-only (binary fan-out)
-        # changed this round — re-verify
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_filter": q_dedup_minhash_filter,
-        "dedup_simhash_sig": q_dedup_simhash_sig,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "image_meta": q_image_meta,
-        "token_count_bpe": q_token_count_bpe,
-        # round-3 additions
-        "token_count_bpe_real": q_token_count_bpe_real,
-        "bpe_encode": q_bpe_encode,
-        "unigram_logprob": q_unigram_logprob,
-        "tfidf_keywords": q_tfidf_keywords,
-        "bm25_score": q_bm25_score,
-        "stream_join_batch": q_stream_join_batch,
-        "sentence_split": q_sentence_split,
-        "heavy_hitters": q_heavy_hitters,
         "quantize_embeddings": q_quantize_embeddings,
-        "dedup_binary": q_dedup_binary,
-        "sample_token_budget": q_sample_token_budget,
-        "url_normalize": q_url_normalize,
-        "dedup_url": q_dedup_url,
-        # unchanged, previously green — extra re-verification up to the cap
-        "dedup_exact": q_dedup_exact,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_search": q_similarity_search,
-        "knn_classify": q_knn_classify,
-        "binary_meta": q_binary_meta,
-        "token_count_ws": q_token_count_ws,
-        "text_quality": q_text_quality,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
+        "stream_sessionize_batch": q_stream_sessionize_batch,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "similarity_search_lsh": q_similarity_search_lsh,
+        "similarity_search_ivf": q_similarity_search_ivf,
+        "frame_sample_stub": q_frame_sample_stub,
+        # --- NTZ-fix re-verification (event-time family) ---
+        "sessionize": q_sessionize,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "stream_dedup_batch": q_stream_dedup_batch,
-        "sessionize": q_sessionize,
-        # ---- fold: entries below only reached if the driver checks >50 ----
-        "approx_distinct": q_approx_distinct,
-        "train_test_split": q_train_test_split,
-        "impute_mean": q_impute_mean,
-        "impute_mode": q_impute_mode,
-        "join_full": q_join_full,
-        "grouping_sets": q_grouping_sets,
-        "rsi": q_rsi,
-        "sliding_slope": q_sliding_slope,
-        "pivot": q_pivot,
-        "unpivot": q_unpivot,
-        "union": q_union,
-        "intersect": q_intersect,
-        "except": q_except,
-        "datespine": q_datespine,
-        "datespine_groups": q_datespine_groups,
-        "funnel": q_funnel,
-        "market_basket": q_market_basket,
-        "histogram": q_histogram,
-        "heatmap": q_heatmap,
-        "sankey": q_sankey,
-        "one_hot_encode": q_one_hot_encode,
-        "label_encode": q_label_encode,
-        "target_encode": q_target_encode,
-        "min_max_scaler": q_min_max_scaler,
-        "min_max_scaler_grouped": q_min_max_scaler_grouped,
-        "standard_scaler": q_standard_scaler,
-        "winsorize": q_winsorize,
-        "quantiles": q_quantiles,
-        "bin": q_bin,
-        "levenshtein": q_levenshtein,
+        "stream_join_batch": q_stream_join_batch,
+        # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
         "join_agg": q_join_agg,
@@ -2649,6 +2659,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeseries_agg": q_timeseries_agg,
         "correlation": q_correlation,
         "entropy": q_entropy,
+        # ---- fold: entries below only reached if the driver checks >50 ----
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "shuffle_deterministic": q_shuffle_deterministic,
+        "ngram_counts": q_ngram_counts,
+        "dedup_against": q_dedup_against,
+        "dedup_against_minhash": q_dedup_against_minhash,
+        "remove_boilerplate": q_remove_boilerplate,
+        "quality_filter": q_quality_filter,
+        "audio_meta": q_audio_meta,
+        "video_meta": q_video_meta,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedup_by_cluster": q_dedup_by_cluster,
+        "stratified_sample": q_stratified_sample,
+        "corpus_stats": q_corpus_stats,
+        "text_chunk": q_text_chunk,
+        "pack_sequences": q_pack_sequences,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "image_meta_stub": q_image_meta_stub,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_filter": q_dedup_minhash_filter,
+        "dedup_simhash_sig": q_dedup_simhash_sig,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "image_meta": q_image_meta,
+        "token_count_bpe": q_token_count_bpe,
+        "token_count_bpe_real": q_token_count_bpe_real,
+        "bpe_encode": q_bpe_encode,
+        "unigram_logprob": q_unigram_logprob,
+        "tfidf_keywords": q_tfidf_keywords,
+        "bm25_score": q_bm25_score,
+        "sentence_split": q_sentence_split,
+        "heavy_hitters": q_heavy_hitters,
+        "dedup_binary": q_dedup_binary,
+        "sample_token_budget": q_sample_token_budget,
+        "url_normalize": q_url_normalize,
+        "dedup_url": q_dedup_url,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_search": q_similarity_search,
+        "knn_classify": q_knn_classify,
+        "binary_meta": q_binary_meta,
+        "token_count_ws": q_token_count_ws,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "approx_distinct": q_approx_distinct,
+        "train_test_split": q_train_test_split,
+        "impute_mean": q_impute_mean,
+        "impute_mode": q_impute_mode,
+        "join_full": q_join_full,
+        "grouping_sets": q_grouping_sets,
+        "rsi": q_rsi,
+        "sliding_slope": q_sliding_slope,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "union": q_union,
+        "intersect": q_intersect,
+        "except": q_except,
+        "datespine": q_datespine,
+        "datespine_groups": q_datespine_groups,
+        "funnel": q_funnel,
+        "market_basket": q_market_basket,
+        "histogram": q_histogram,
+        "heatmap": q_heatmap,
+        "sankey": q_sankey,
+        "one_hot_encode": q_one_hot_encode,
+        "label_encode": q_label_encode,
+        "target_encode": q_target_encode,
+        "min_max_scaler": q_min_max_scaler,
+        "min_max_scaler_grouped": q_min_max_scaler_grouped,
+        "standard_scaler": q_standard_scaler,
+        "winsorize": q_winsorize,
+        "quantiles": q_quantiles,
+        "bin": q_bin,
+        "levenshtein": q_levenshtein,
         "ratio_with_shrinkage": q_ratio_with_shrinkage,
         "rollup": q_rollup,
         "cube": q_cube,
