@@ -1301,6 +1301,13 @@ def q_similarity_search_lsh(spark, sf):
         method="lsh").df
 
 
+def q_similarity_search_ivf_raw(spark, sf):
+    """Raw IVF ANN search (the bench target — measures the operator itself,
+    not the correctness companion below)."""
+    return _s(spark, sf).dataset("embeddings").similarity_search_ivf(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10).df
+
+
 def q_similarity_search_ivf(spark, sf):
     """IVF ANN verification summary (exact + hashable): runs the real IVF
     search, then checks per query — against an in-Spark exact brute-force —

@@ -60,8 +60,10 @@ BENCH_QUERIES = {
     "b8_tumbling_window": entry.q_tumbling_window,
     "llm_dedup_minhash": entry.q_dedup_minhash,
     "llm_similarity_search": entry.q_similarity_search,
-    # the 100 TB-scale ANN path (brute above is the exact/oracle baseline)
-    "llm_similarity_ivf": entry.q_similarity_search_ivf,
+    # the 100 TB-scale ANN path (brute above is the exact/oracle baseline);
+    # the _raw variant measures the IVF operator alone — the oracle-facing
+    # q_similarity_search_ivf wraps it in a brute-force verification join
+    "llm_similarity_ivf": entry.q_similarity_search_ivf_raw,
     "llm_text_quality": entry.q_text_quality,
     # curation flagships: broadcast eval-ngram decontamination + row-local
     # PII scrub (zero-shuffle regex path)

@@ -27,6 +27,7 @@ SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,6 +36,18 @@ from ..registry import renderer, spark_transform
 from ._hash import TOKENS_SQL, tokens_expr
 
 WORD_MARK = "¶"  # never appears in [a-z0-9] symbols → blocks cross-word merges
+
+# The JVM replace fold builds an expression chain LINEAR in the number of
+# merges. The hard wall is not codegen but plan conversion: Spark 4.1.2's
+# ColumnNodeToExpressionConverter recurses per node and overflows the JVM
+# stack near ~300 chained replaces (measured: 256 ok, 320
+# StackOverflowError on this JVM); a production 32k-merge vocabulary is
+# far beyond any expression-tree approach. Above this ceiling the ops
+# switch to an Arrow-batched pandas UDF applying the IDENTICAL chain in
+# Python — same output, O(1) plan size, still embarrassingly parallel
+# (no shuffle); the per-batch Python cost is the price of vocab-scale
+# tables. 192 leaves headroom for the expressions that wrap the fold.
+BPE_EXPR_MERGE_MAX = 192
 
 
 def train_bpe(
@@ -98,9 +111,43 @@ def _symbolize(text_col: Column) -> Column:
     )
 
 
+def _bpe_apply_pandas(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Arrow-batched pandas UDF producing the same delimited symbol string as
+    the JVM fold — the big-vocab escape hatch (see ``BPE_EXPR_MERGE_MAX``).
+    Replicates ``tokens_expr`` + ``_symbolize`` + the replace chain exactly;
+    Python ``str.replace`` is the same non-overlapping left-to-right pass as
+    ``F.replace``."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    reps = [(f" {a}  {b} ", f" {a}{b} ") for a, b in merges]
+    nonword = re.compile(r"[^a-z0-9\s]")
+
+    @pandas_udf("string")
+    def _apply(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            cleaned = nonword.sub(" ", t.lower()).strip()
+            toks = cleaned.split() if cleaned else []
+            s = "  " + f"  {WORD_MARK}  ".join("  ".join(w) for w in toks) + "  "
+            for old, new in reps:
+                s = s.replace(old, new)
+            return s
+
+        return texts.map(one)
+
+    return _apply(text_col)
+
+
 def bpe_apply_expr(text_col: Column, merges: list[tuple[str, str]]) -> Column:
     """Delimited symbol string AFTER all merges — a JVM fold of string
-    replaces, shuffle-free and Python-free."""
+    replaces, shuffle-free and Python-free, for merge tables up to
+    ``BPE_EXPR_MERGE_MAX``; larger tables switch to the Arrow-batched
+    Python path (identical output, O(1) plan size)."""
+    if len(merges) > BPE_EXPR_MERGE_MAX:
+        return _bpe_apply_pandas(text_col, merges)
     s = _symbolize(text_col)
     for a, b in merges:
         s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))

@@ -95,18 +95,33 @@ def minhash_signatures(
     return staged_sh.select("__id", "__sh", mh.alias("__mh"))
 
 
-def _annotate_groups(sig: DataFrame, group_key: Column, non_empty: Column) -> DataFrame:
+def _annotate_groups(
+    sig: DataFrame, group_key: Column, non_empty: Column, guard: bool = True
+) -> tuple[DataFrame, bool]:
     """Append ``(__g, __rep, __ne)`` to a signature table: the
     exact-duplicate group key, the per-group minimum id (the
-    representative), and the non-empty flag. ONE window shuffle on the slim
-    group key — every collapse consumer (band input = ``__id = __rep``
-    filter, star edges, member expansion) derives from it join-free."""
+    representative), and the non-empty flag. Returns ``(annotated,
+    has_dups)``.
+
+    With ``guard`` (default), a slim pre-count first asks whether ANY
+    exact-duplicate group exists: ``COUNT(*) == COUNT(DISTINCT __g)`` — a
+    map-side-partial aggregate whose shuffle carries only distinct 32-byte
+    keys with partial counts. Clean corpora (no exact dups — common outside
+    raw crawl data) then skip the window entirely and take ``__rep = __id``
+    shuffle-free; callers can also skip member re-expansion when
+    ``has_dups`` is False. Duplicated corpora pay the guard (one extra
+    bounded scan) plus ONE window shuffle on the group key — every collapse
+    consumer (band input = ``__id = __rep`` filter, star edges, member
+    expansion) derives from it join-free."""
+    keyed = sig.withColumn("__g", group_key).withColumn("__ne", non_empty)
+    if guard:
+        row = keyed.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("__g").alias("d")
+        ).first()
+        if row["n"] == row["d"]:
+            return keyed.withColumn("__rep", F.col("__id")), False
     w = Window.partitionBy("__g")
-    return (
-        sig.withColumn("__g", group_key)
-        .withColumn("__ne", non_empty)
-        .withColumn("__rep", F.min("__id").over(w))
-    )
+    return keyed.withColumn("__rep", F.min("__id").over(w)), True
 
 
 def _expand_collapsed(
@@ -116,8 +131,14 @@ def _expand_collapsed(
     score_col: str,
     intra_score: Column,
     keep,
+    has_dups: bool = True,
 ) -> DataFrame:
     """Expand representative-level LSH pairs back to member level.
+
+    ``has_dups=False`` (the guarded-collapse fast path — every group is a
+    singleton, so reps ARE the members) skips the expansion joins entirely:
+    rep-level pairs are already member-level and intra-group pairs are
+    empty.
 
     ``members`` is ``(__id, __rep, __ne)`` — one row per input doc with its
     exact-duplicate group representative (see ``_annotate_groups``). Members
@@ -135,6 +156,10 @@ def _expand_collapsed(
     Connected components (and the dropped-id set ``ID_B``) are identical to
     the full expansion's.
     """
+    if mode not in ("pairs", "edges", "filter"):
+        raise ParameterException("mode must be 'pairs', 'filter', or 'edges'")
+    if not has_dups:
+        return rep_pairs if mode == "pairs" else rep_pairs.select("ID_A", "ID_B")
     if mode in ("edges", "filter"):
         star = (
             members.filter(F.col("__id") != F.col("__rep"))
@@ -142,8 +167,6 @@ def _expand_collapsed(
             .select(F.col("__rep").alias("ID_A"), F.col("__id").alias("ID_B"))
         )
         return rep_pairs.select("ID_A", "ID_B").unionByName(star)
-    if mode != "pairs":
-        raise ParameterException("mode must be 'pairs', 'filter', or 'edges'")
     ma = members.select(F.col("__rep").alias("ID_A"), F.col("__id").alias("__xa"))
     mb = members.select(F.col("__rep").alias("ID_B"), F.col("__id").alias("__xb"))
     cross = (
@@ -206,11 +229,12 @@ def dedup_minhash(
     # released when the result is GC'd. The group key is a 32-byte
     # set-fingerprint (identical shingle SETS ⇒ same group), so the window
     # shuffle stays slim.
-    cached_sig = _annotate_groups(
+    annotated, has_dups = _annotate_groups(
         minhash_signatures(df, text, id_col, num_hashes, shingle_size),
         F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))),
         F.size("__sh") > 0,
-    ).persist()
+    )
+    cached_sig = annotated.persist()
     members = cached_sig.select("__id", "__rep", "__ne")
     rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
     band_cols = [
@@ -262,7 +286,8 @@ def dedup_minhash(
     # scores 0.0, matching the un=0 branch of the verification expression
     intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
     out = _expand_collapsed(
-        rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold
+        rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold,
+        has_dups=has_dups,
     )
     if mode == "filter":
         i = resolve_col(df, id_col)
@@ -419,7 +444,8 @@ def dedup_simhash(
     ).select("__id", _simhash_over_hashes(F.col("__hv")).alias("SIMHASH"))
     if mode == "signatures":
         return sig.select(F.col("__id").alias(i), "SIMHASH")
-    cached_sig = _annotate_groups(sig, F.col("SIMHASH"), F.lit(True)).persist()
+    annotated, has_dups = _annotate_groups(sig, F.col("SIMHASH"), F.lit(True))
+    cached_sig = annotated.persist()
     members = cached_sig.select("__id", "__rep", "__ne")
     rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
     bands_long = rep_sig.select(
@@ -454,6 +480,7 @@ def dedup_simhash(
     out = _expand_collapsed(
         rep_pairs, members, mode, "HAMMING",
         F.lit(0).cast("integer"), lambda c: c <= hamming_threshold,
+        has_dups=has_dups,
     )
     return release_with(out, cached_sig)
 
@@ -479,13 +506,14 @@ def dedup_ngram_jaccard(
     a 100k-copy page contributes ONE doc to each posting list instead of
     turning every one of its shingles into a 100k-deep hot posting."""
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    base = _annotate_groups(
+    annotated, has_dups = _annotate_groups(
         spread(df)
         .select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
         .select("__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh")),
         F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))),
         F.size("__sh") > 0,
-    ).persist()  # reused by the inverted index, verification, and expansion
+    )
+    base = annotated.persist()  # reused by inverted index, verification, expansion
     # staged projections: see minhash_signatures on per-element re-eval
     members = base.select("__id", "__rep", "__ne")
     rep_base = base.filter(F.col("__id") == F.col("__rep"))
@@ -516,7 +544,8 @@ def dedup_ngram_jaccard(
     )
     intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
     out = _expand_collapsed(
-        rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold
+        rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold,
+        has_dups=has_dups,
     )
     return release_with(out, base)
 
@@ -599,7 +628,8 @@ def dedup_embedding(
             )
             > 0
         )
-        base = _annotate_groups(base, gkey, nz).persist()
+        annotated, has_dups = _annotate_groups(base, gkey, nz)
+        base = annotated.persist()
         members = base.select("__id", "__rep", "__ne")
         pair_src = base.filter(F.col("__id") == F.col("__rep"))
     else:
@@ -626,7 +656,8 @@ def dedup_embedding(
         return rep_pairs
     intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
     out = _expand_collapsed(
-        rep_pairs, members, mode, "COSINE", intra, lambda c: c >= threshold
+        rep_pairs, members, mode, "COSINE", intra, lambda c: c >= threshold,
+        has_dups=has_dups,
     )
     return release_with(out, base)
 
@@ -719,14 +750,15 @@ def dedup_against(
         # bucket 100k deep. Band join runs reps × reps; results expand back
         # exactly because members share their rep's signature.
         gkey = F.md5(F.concat_ws("\x1f", F.array_sort("__sh")))
-        sig_a = _annotate_groups(
+        ann_a, _ = _annotate_groups(
             minhash_signatures(df, t, i, num_hashes, shingle_size),
             gkey, F.size("__sh") > 0,
-        ).persist()
-        sig_b = _annotate_groups(
+        )
+        ann_b, _ = _annotate_groups(
             minhash_signatures(reference, rt, ri, num_hashes, shingle_size),
             gkey, F.size("__sh") > 0,
-        ).persist()
+        )
+        sig_a, sig_b = ann_a.persist(), ann_b.persist()
         rep_a = sig_a.filter(F.col("__id") == F.col("__rep"))
         rep_b = sig_b.filter(F.col("__id") == F.col("__rep"))
         ba = _bands_long(rep_a, num_hashes, bands).select(

@@ -143,3 +143,61 @@ def test_bpe_encode_chain_and_renderer(session, spark):
     a = {r["doc_id"]: list(r["BPE_TOKENS"]) for r in df.collect()}
     b = {r["doc_id"]: list(r["BPE_TOKENS"]) for r in via.collect()}
     assert a == b
+
+
+def _fake_merges(n):
+    """n syntactically valid merge rules over 2-char symbols that can never
+    fire on the corpus (symbols contain digits not adjacent in any word) —
+    structure-only load for plan-size tests."""
+    out = []
+    i = 0
+    while len(out) < n:
+        a, b = f"z{i % 10}x", f"q{(i // 10) % 10}y"
+        out.append((a, b))
+        i += 1
+    return out
+
+
+def test_bpe_expression_path_compiles_at_ceiling(spark):
+    """BPE_EXPR_MERGE_MAX boundary: a ceiling-sized table must stay on the
+    JVM expression path and analyze+execute in bounded time (the chain hits
+    a plan-conversion StackOverflowError near ~300 replaces — the constant
+    must stay under that wall)."""
+    import time
+
+    from rasgoql_spark.functions.bpe import BPE_EXPR_MERGE_MAX, bpe_count_expr
+
+    merges = DEFAULT_BPE_MERGES + _fake_merges(BPE_EXPR_MERGE_MAX - len(DEFAULT_BPE_MERGES))
+    assert len(merges) == BPE_EXPR_MERGE_MAX
+    df = spark.createDataFrame([("the merge stream query",)], "text string")
+    t0 = time.time()
+    out = df.withColumn("N", bpe_count_expr(F.col("text"), merges))
+    rows = out.collect()
+    elapsed = time.time() - t0
+    # no-op extra rules cannot change the count vs the default table
+    base = df.withColumn("N", bpe_count_expr(F.col("text"), DEFAULT_BPE_MERGES)).collect()
+    assert rows[0]["N"] == base[0]["N"]
+    assert elapsed < 120, f"ceiling-sized plan took {elapsed:.0f}s — ceiling too high"
+
+
+def test_bpe_pandas_fallback_matches_jvm_path(spark, session):
+    """Above BPE_EXPR_MERGE_MAX the apply switches to the Arrow-batched
+    Python path; padding the table past the ceiling with rules that cannot
+    fire must reproduce the JVM fold's output bit-for-bit."""
+    from rasgoql_spark.functions.bpe import (
+        BPE_EXPR_MERGE_MAX,
+        bpe_apply_expr,
+        bpe_count_expr,
+    )
+
+    docs = session.dataset("documents").df.select("doc_id", "text").limit(50)
+    big = DEFAULT_BPE_MERGES + _fake_merges(BPE_EXPR_MERGE_MAX + 1 - len(DEFAULT_BPE_MERGES))
+    assert len(big) > BPE_EXPR_MERGE_MAX
+
+    jvm = docs.withColumn("S", bpe_apply_expr(F.col("text"), DEFAULT_BPE_MERGES)) \
+              .withColumn("N", bpe_count_expr(F.col("text"), DEFAULT_BPE_MERGES))
+    py = docs.withColumn("S", bpe_apply_expr(F.col("text"), big)) \
+             .withColumn("N", bpe_count_expr(F.col("text"), big))
+    a = {r["doc_id"]: (r["S"], r["N"]) for r in jvm.collect()}
+    b = {r["doc_id"]: (r["S"], r["N"]) for r in py.collect()}
+    assert a == b
