@@ -95,33 +95,67 @@ def minhash_signatures(
     return staged_sh.select("__id", "__sh", mh.alias("__mh"))
 
 
-def _annotate_groups(
-    sig: DataFrame, group_key: Column, non_empty: Column, guard: bool = True
-) -> tuple[DataFrame, bool]:
-    """Append ``(__g, __rep, __ne)`` to a signature table: the
-    exact-duplicate group key, the per-group minimum id (the
-    representative), and the non-empty flag. Returns ``(annotated,
-    has_dups)``.
+# Largest exact-duplicate group size below which the collapse machinery is
+# skipped: groups this small cannot form hot band buckets (the extra
+# candidate pairs are bounded by C(n,2) per group), and the window +
+# expansion overhead exceeds the saving. Hot crawls (boilerplate pages with
+# thousands of copies) sail past this and collapse as before.
+COLLAPSE_MIN_GROUP = 16
 
-    With ``guard`` (default), a slim pre-count first asks whether ANY
-    exact-duplicate group exists: ``COUNT(*) == COUNT(DISTINCT __g)`` — a
-    map-side-partial aggregate whose shuffle carries only distinct 32-byte
-    keys with partial counts. Clean corpora (no exact dups — common outside
-    raw crawl data) then skip the window entirely and take ``__rep = __id``
-    shuffle-free; callers can also skip member re-expansion when
-    ``has_dups`` is False. Duplicated corpora pay the guard (one extra
-    bounded scan) plus ONE window shuffle on the group key — every collapse
-    consumer (band input = ``__id = __rep`` filter, star edges, member
-    expansion) derives from it join-free."""
-    keyed = sig.withColumn("__g", group_key).withColumn("__ne", non_empty)
+
+def _annotate_groups(
+    sig: DataFrame,
+    group_key: Column,
+    non_empty: Column,
+    probe_key: Column | None = None,
+    guard: bool = True,
+) -> tuple[DataFrame, bool, tuple]:
+    """Append ``(__rep, __ne)`` to a signature table: the exact-duplicate
+    group representative (per-group minimum id) and the non-empty flag.
+    Returns ``(annotated, has_dups, caches)`` — ``annotated`` is already
+    persisted (or a free projection over a persisted base); callers must
+    NOT persist again and should pass ``caches`` to ``release_with``.
+
+    With ``guard`` (default), the signature table is persisted FIRST and a
+    slim pre-count measures the LARGEST exact-duplicate group (two-stage
+    max-of-counts over the probe key; the aggregate doubles as the cache
+    materialization, so the guard costs no extra pipeline scan). The
+    collapse exists to stop HOT buckets — its cost (window shuffle +
+    expansion joins) only pays off when some group is large; a corpus
+    whose biggest group is ≤ ``COLLAPSE_MIN_GROUP`` adds at most
+    C(COLLAPSE_MIN_GROUP, 2) extra candidate pairs per group to the band
+    join, so the plain path is both correct (the collapse is purely an
+    optimization — identical sets band-collide and score 1.0 regardless)
+    and faster. ``probe_key`` may be any CHEAP function of the
+    duplicate-defining content (e.g. ``F.hash`` of the minhash vector,
+    itself set-functional) — probe collisions only OVER-estimate group
+    size, i.e. conservatively take the always-correct collapse path;
+    ``group_key`` (the exact fingerprint, often a pricier md5-of-sorted
+    expression) is only evaluated on the collapse path. Hot corpora run
+    ONE window shuffle on the group key off the cache, force-materialize
+    the annotated result, then eagerly free the base cache — steady-state
+    memory is one cached table either way."""
+    base = sig.withColumn("__ne", non_empty).persist()
     if guard:
-        row = keyed.agg(
-            F.count(F.lit(1)).alias("n"), F.count_distinct("__g").alias("d")
-        ).first()
-        if row["n"] == row["d"]:
-            return keyed.withColumn("__rep", F.col("__id")), False
+        pk = probe_key if probe_key is not None else group_key
+        row = (
+            base.groupBy(pk.alias("__pk"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c").alias("m"))
+            .first()
+        )
+        if (row["m"] or 0) <= COLLAPSE_MIN_GROUP:
+            return base.withColumn("__rep", F.col("__id")), False, (base,)
     w = Window.partitionBy("__g")
-    return keyed.withColumn("__rep", F.min("__id").over(w)), True
+    annotated = (
+        base.withColumn("__g", group_key)
+        .withColumn("__rep", F.min("__id").over(w))
+        .drop("__g")
+        .persist()
+    )
+    annotated.count()  # bounded action: window runs ONCE off the base cache
+    base.unpersist(False)
+    return annotated, True, (annotated,)
 
 
 def _expand_collapsed(
@@ -229,12 +263,14 @@ def dedup_minhash(
     # released when the result is GC'd. The group key is a 32-byte
     # set-fingerprint (identical shingle SETS ⇒ same group), so the window
     # shuffle stays slim.
-    annotated, has_dups = _annotate_groups(
+    cached_sig, has_dups, caches = _annotate_groups(
         minhash_signatures(df, text, id_col, num_hashes, shingle_size),
         F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))),
         F.size("__sh") > 0,
+        # cheap set-functional probe: the minhash vector is itself an
+        # order-free function of the shingle set
+        probe_key=F.hash("__mh"),
     )
-    cached_sig = annotated.persist()
     members = cached_sig.select("__id", "__rep", "__ne")
     rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
     band_cols = [
@@ -292,8 +328,8 @@ def dedup_minhash(
     if mode == "filter":
         i = resolve_col(df, id_col)
         dupes = out.select(F.col("ID_B").alias(i)).distinct()
-        return release_with(df.join(dupes, on=i, how="left_anti"), cached_sig)
-    return release_with(out, cached_sig)
+        return release_with(df.join(dupes, on=i, how="left_anti"), *caches)
+    return release_with(out, *caches)
 
 
 @spark_transform("near_dup_clusters", category="dedup", streaming_ok=False)
@@ -444,8 +480,7 @@ def dedup_simhash(
     ).select("__id", _simhash_over_hashes(F.col("__hv")).alias("SIMHASH"))
     if mode == "signatures":
         return sig.select(F.col("__id").alias(i), "SIMHASH")
-    annotated, has_dups = _annotate_groups(sig, F.col("SIMHASH"), F.lit(True))
-    cached_sig = annotated.persist()
+    cached_sig, has_dups, caches = _annotate_groups(sig, F.col("SIMHASH"), F.lit(True))
     members = cached_sig.select("__id", "__rep", "__ne")
     rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
     bands_long = rep_sig.select(
@@ -482,7 +517,7 @@ def dedup_simhash(
         F.lit(0).cast("integer"), lambda c: c <= hamming_threshold,
         has_dups=has_dups,
     )
-    return release_with(out, cached_sig)
+    return release_with(out, *caches)
 
 
 @spark_transform("dedup_ngram_jaccard", category="dedup", streaming_ok=False)
@@ -506,14 +541,14 @@ def dedup_ngram_jaccard(
     a 100k-copy page contributes ONE doc to each posting list instead of
     turning every one of its shingles into a 100k-deep hot posting."""
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    annotated, has_dups = _annotate_groups(
+    base, has_dups, caches = _annotate_groups(
         spread(df)
         .select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
         .select("__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh")),
         F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))),
         F.size("__sh") > 0,
-    )
-    base = annotated.persist()  # reused by inverted index, verification, expansion
+        probe_key=F.hash(F.array_sort("__sh")),
+    )  # persisted inside; reused by inverted index, verification, expansion
     # staged projections: see minhash_signatures on per-element re-eval
     members = base.select("__id", "__rep", "__ne")
     rep_base = base.filter(F.col("__id") == F.col("__rep"))
@@ -547,7 +582,7 @@ def dedup_ngram_jaccard(
         rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold,
         has_dups=has_dups,
     )
-    return release_with(out, base)
+    return release_with(out, *caches)
 
 
 def _hyperplane_sign(vec: Column, j: int) -> Column:
@@ -628,8 +663,9 @@ def dedup_embedding(
             )
             > 0
         )
-        annotated, has_dups = _annotate_groups(base, gkey, nz)
-        base = annotated.persist()
+        base, has_dups, caches = _annotate_groups(
+            base, gkey, nz, probe_key=F.hash("__vec")
+        )
         members = base.select("__id", "__rep", "__ne")
         pair_src = base.filter(F.col("__id") == F.col("__rep"))
     else:
@@ -659,7 +695,7 @@ def dedup_embedding(
         rep_pairs, members, mode, "COSINE", intra, lambda c: c >= threshold,
         has_dups=has_dups,
     )
-    return release_with(out, base)
+    return release_with(out, *caches)
 
 
 def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -750,15 +786,14 @@ def dedup_against(
         # bucket 100k deep. Band join runs reps × reps; results expand back
         # exactly because members share their rep's signature.
         gkey = F.md5(F.concat_ws("\x1f", F.array_sort("__sh")))
-        ann_a, _ = _annotate_groups(
+        sig_a, _, caches_a = _annotate_groups(
             minhash_signatures(df, t, i, num_hashes, shingle_size),
-            gkey, F.size("__sh") > 0,
+            gkey, F.size("__sh") > 0, probe_key=F.hash("__mh"),
         )
-        ann_b, _ = _annotate_groups(
+        sig_b, _, caches_b = _annotate_groups(
             minhash_signatures(reference, rt, ri, num_hashes, shingle_size),
-            gkey, F.size("__sh") > 0,
+            gkey, F.size("__sh") > 0, probe_key=F.hash("__mh"),
         )
-        sig_a, sig_b = ann_a.persist(), ann_b.persist()
         rep_a = sig_a.filter(F.col("__id") == F.col("__rep"))
         rep_b = sig_b.filter(F.col("__id") == F.col("__rep"))
         ba = _bands_long(rep_a, num_hashes, bands).select(
@@ -803,7 +838,7 @@ def dedup_against(
                     "JACCARD",
                 )
             )
-            return release_with(pairs, sig_a, sig_b)
+            return release_with(pairs, *caches_a, *caches_b)
         # a batch doc matches some reference doc iff its REP matches some
         # reference rep — the dropped set expands join-free off sig_a
         matched = rep_pairs.select(F.col("ID").alias("__rep")).dropDuplicates()
@@ -811,7 +846,7 @@ def dedup_against(
             sig_a.join(matched, on="__rep", how="left_semi")
             .select(F.col("__id").alias(i))
         )
-        return release_with(df.join(dupes, on=i, how="left_anti"), sig_a, sig_b)
+        return release_with(df.join(dupes, on=i, how="left_anti"), *caches_a, *caches_b)
     raise ParameterException("method must be 'exact' or 'minhash'")
 
 
