@@ -1466,6 +1466,70 @@ def q_frame_sample_stub(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# round-4 additions: winnowing, bigram LM, mixture weights, keep-best dedup,
+# embedding join
+# --------------------------------------------------------------------------
+
+def q_winnow_fingerprint(spark, sf):
+    """Winnowed fingerprint sketch (Schleimer et al. 2003 / MOSS) — array
+    rendered to a canonical CSV string for the driver's canonicalizer."""
+    from pyspark.sql import functions as F
+
+    out = _s(spark, sf).dataset("documents").winnow_fingerprint(text="text").df
+    return out.select(
+        "doc_id",
+        F.array_join("WINNOW_FP", ",").alias("FP_STR"),
+        "N_FP",
+    )
+
+
+def q_dedup_winnow(spark, sf):
+    """Local-substring near-dup pairs by winnow-fingerprint containment."""
+    return _s(spark, sf).dataset("documents").dedup_winnow(
+        text="text", id_col="doc_id", threshold=0.3).df
+
+
+def q_bigram_logprob(spark, sf):
+    """Interpolated-bigram LM scoring (self-fit, add-alpha smoothed)."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .bigram_logprob(text="text", id_col="doc_id")
+        .drop_columns(include_cols=["doc_id", "lang", "AVG_BIGRAM_LOGPROB"])
+        .df
+    )
+
+
+def q_mixture_weights(spark, sf):
+    """Temperature-scaled domain sampling weights (alpha-sampling)."""
+    return _s(spark, sf).dataset("documents").mixture_weights(
+        domain="lang", temperature=0.7).df
+
+
+def q_dedup_keep_best(spark, sf):
+    """Cluster dedup keeping the highest-score (longest) copy per cluster."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .math(math_ops=["cast(length(text) as bigint)"], names=["SCORE"])
+        .dedup_keep_best(text="text", id_col="doc_id", score_col="SCORE",
+                         threshold=0.2)
+        .df
+    )
+
+
+def q_embedding_join(spark, sf):
+    """Semantic join: first 250 vectors are the corpus, the rest the queries;
+    top-2 cosine matches attach to each query row."""
+    s = _s(spark, sf)
+    left = s.dataset("embeddings").filter(filter_statements=["vec_id >= 250"])
+    right = s.dataset("embeddings").filter(filter_statements=["vec_id < 250"])
+    return (
+        left.embedding_join(other=right, vec_col="embedding", id_col="vec_id", k=2)
+        .drop_columns(include_cols=["vec_id", "MATCH_ID", "COSINE", "RANK"])
+        .df
+    )
+
+
+# --------------------------------------------------------------------------
 # streaming operators (batch-mode check; true streaming covered in tests/)
 # --------------------------------------------------------------------------
 
@@ -1599,6 +1663,12 @@ def _lsh_sig_duck(v: str, num_planes: int) -> str:
         )
         signs.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
     return "concat(" + ", ".join(signs) + ")"
+
+
+def _winnow_duck(text_expr: str, k: int, window: int) -> str:
+    from rasgoql_spark.functions.winnow import _winnow_sql_duck
+
+    return _winnow_sql_duck(text_expr, k, window)
 
 
 def _cosine(a: str, b: str) -> str:
@@ -2577,6 +2647,78 @@ ranked AS (
             "CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS HEIGHT, "
             "'FAKE' AS MODE, 'stub' AS DECODER FROM documents"
         ),
+        # ---- round-4 additions ----
+        "winnow_fingerprint": (
+            "SELECT doc_id, array_to_string(__wfp, ',') AS FP_STR, "
+            "CAST(len(__wfp) AS BIGINT) AS N_FP FROM "
+            f"(SELECT doc_id, {_winnow_duck('text', 3, 4)} AS __wfp FROM documents)"
+        ),
+        "dedup_winnow": (
+            f"WITH fp AS (SELECT doc_id, {_winnow_duck('text', 3, 4)} AS f FROM documents), "
+            "inv AS (SELECT doc_id, unnest(f) AS h FROM fp), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id), "
+            "pairs AS (SELECT ida, idb, "
+            "ROUND(CASE WHEN least(len(fa.f), len(fb.f)) > 0 THEN "
+            "CAST(len(list_intersect(fa.f, fb.f)) AS DOUBLE) / least(len(fa.f), len(fb.f)) "
+            "ELSE 0.0 END, 6) AS c FROM cand "
+            "JOIN fp fa ON fa.doc_id = ida JOIN fp fb ON fb.doc_id = idb) "
+            "SELECT ida AS ID_A, idb AS ID_B, c AS CONTAINMENT FROM pairs WHERE c >= 0.3"
+        ),
+        "bigram_logprob": (
+            f"WITH toks AS (SELECT doc_id, lang, {_toks()} AS t FROM documents), "
+            "unic AS (SELECT w, count(1) AS cu FROM "
+            "(SELECT unnest(t) AS w FROM toks) GROUP BY w), "
+            "stats AS (SELECT CAST(sum(cu) AS DOUBLE) AS N, "
+            "CAST(count(1) AS DOUBLE) AS V FROM unic), "
+            "prs AS (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1), "
+            "i -> {'a': t[i-1], 'b': t[i]})) AS p FROM toks WHERE len(t) >= 2), "
+            "flat AS (SELECT doc_id, p.a AS a, p.b AS b FROM prs), "
+            "bic AS (SELECT a, b, count(1) AS cb FROM flat GROUP BY a, b), "
+            "scored AS (SELECT doc_id, "
+            "ln(0.7 * (COALESCE(bic.cb, 0) + 1.0) / (COALESCE(ca.cu, 0) + 1.0 * (V + 1)) "
+            "+ 0.3 * (COALESCE(cbu.cu, 0) + 1.0) / (N + 1.0 * (V + 1))) AS lp "
+            "FROM flat LEFT JOIN bic USING (a, b) "
+            "LEFT JOIN unic ca ON flat.a = ca.w "
+            "LEFT JOIN unic cbu ON flat.b = cbu.w CROSS JOIN stats), "
+            "agg AS (SELECT doc_id, ROUND(avg(lp), 6) AS AVG_BIGRAM_LOGPROB "
+            "FROM scored GROUP BY doc_id) "
+            "SELECT d.doc_id, d.lang, COALESCE(agg.AVG_BIGRAM_LOGPROB, 0.0) "
+            "AS AVG_BIGRAM_LOGPROB FROM documents d LEFT JOIN agg USING (doc_id)"
+        ),
+        "mixture_weights": (
+            "SELECT lang, N_ITEMS, ROUND(__p, 6) AS P, "
+            "ROUND(__raw / sum(__raw) OVER (), 6) AS WEIGHT, "
+            "ROUND((__raw / sum(__raw) OVER ()) / __p, 6) AS BOOST FROM "
+            "(SELECT *, __sz / sum(__sz) OVER () AS __p, "
+            "pow(__sz / sum(__sz) OVER (), 0.7) AS __raw FROM "
+            "(SELECT lang, CAST(count(1) AS BIGINT) AS N_ITEMS, "
+            "CAST(count(1) AS DOUBLE) AS __sz FROM documents GROUP BY lang))"
+        ),
+        "dedup_keep_best": (
+            "WITH RECURSIVE p AS (SELECT * FROM (" + minhash_pairs_sql + ")), "
+            "edges AS (SELECT ID_A AS a, ID_B AS b FROM p "
+            "UNION SELECT ID_B, ID_A FROM p), "
+            "reach(src, dst) AS (SELECT a, b FROM edges UNION "
+            "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a "
+            "WHERE e.b <> r.src), "
+            "m AS (SELECT src, MIN(dst) AS md FROM reach GROUP BY src), "
+            "clus AS (SELECT d.doc_id, LEAST(d.doc_id, COALESCE(m.md, d.doc_id)) "
+            "AS cid, length(d.text) AS sc FROM documents d LEFT JOIN m ON m.src = d.doc_id), "
+            "best AS (SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER "
+            "(PARTITION BY cid ORDER BY sc DESC, doc_id ASC) AS rn FROM clus) WHERE rn = 1) "
+            "SELECT d.*, CAST(length(d.text) AS BIGINT) AS SCORE FROM documents d "
+            "JOIN best USING (doc_id)"
+        ),
+        "embedding_join": (
+            "WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250), "
+            "r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250), "
+            "scored AS (SELECT l.vec_id, r.vec_id AS MATCH_ID, "
+            f"{_cosine('l.embedding', 'r.embedding')} AS COSINE FROM l, r), "
+            "ranked AS (SELECT vec_id, MATCH_ID, COSINE, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY COSINE DESC, MATCH_ID) AS INT) AS RANK "
+            "FROM scored) SELECT * FROM ranked WHERE RANK <= 2"
+        ),
         # ---- streaming (batch-mode oracles) ----
         "tumbling_window": (
             "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS WINDOW_START, "
@@ -2628,6 +2770,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "stream_dedup_batch": q_stream_dedup_batch,
         "stream_join_batch": q_stream_join_batch,
+        # --- round-4 new operators (first-time verification) ---
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "dedup_winnow": q_dedup_winnow,
+        "bigram_logprob": q_bigram_logprob,
+        "mixture_weights": q_mixture_weights,
+        "dedup_keep_best": q_dedup_keep_best,
+        "embedding_join": q_embedding_join,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
@@ -2660,13 +2809,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datediff": q_datediff,
         "datepart": q_datepart,
         "json_extract": q_json_extract,
+        # ---- fold: entries below only reached if the driver checks >50 ----
         "array_agg": q_array_agg,
         "explode_array": q_explode_array,
         "describe": q_describe,
         "timeseries_agg": q_timeseries_agg,
         "correlation": q_correlation,
         "entropy": q_entropy,
-        # ---- fold: entries below only reached if the driver checks >50 ----
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,

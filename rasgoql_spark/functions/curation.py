@@ -819,3 +819,75 @@ def _r_dedup_url(source, url, id_col, keep="min", mode="filter") -> str:
             f"FROM ({inner})"
         )
     return f"SELECT * EXCEPT (__rn, __cn) FROM ({inner}) WHERE __rn = 1 OR __cn"
+
+
+@spark_transform("bigram_logprob", category="curation", streaming_ok=False)
+def bigram_logprob(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    lam: float = 0.7,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Interpolated-bigram language-model document scoring — the next step
+    up from ``unigram_logprob`` on the CCNet-style quality ladder (public
+    technique: Jelinek-Mercer interpolation of MLE n-gram models with
+    add-alpha smoothing). Appends ``AVG_BIGRAM_LOGPROB``: the mean natural
+    log of P(w_i | w_{i-1}) = lam*P_bi + (1-lam)*P_uni over token positions
+    2..n, where P_bi(b|a) = (C(a,b)+alpha)/(C(a)+alpha*(V+1)) and
+    P_uni(b) = (C(b)+alpha)/(N+alpha*(V+1)) are fit on the corpus itself.
+    Word-soup and shuffled text score low even when every individual token
+    is common — the signal a unigram model cannot see. Docs with fewer than
+    2 tokens score 0.0.
+
+    Scale: token and bigram count tables are distributed aggregations over
+    slim exploded pairs (never collected); the two stat joins are AQE-sized
+    (count tables are vocabulary-bounded, far smaller than the corpus); the
+    one-row (N, V) frame broadcasts. No Python, no driver-side data.
+    """
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    toks = spread(df).select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    stats = uni.agg(
+        F.sum("__cu").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
+    # slim (id, prev, cur) pairs for positions 2..n
+    pairs = toks.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("__t")),
+                    lambda j: F.struct(
+                        F.element_at(F.col("__t"), j - 1).alias("a"),
+                        F.element_at(F.col("__t"), j).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("__p"),
+    ).select("__id", F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+    bi = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__cb"))
+    scored = (
+        pairs.join(bi, on=["__a", "__b"], how="left")
+        .join(uni.select(F.col("__w").alias("__a"), F.col("__cu").alias("__ca")), on="__a", how="left")
+        .join(uni.select(F.col("__w").alias("__b"), F.col("__cu").alias("__cb_u")), on="__b", how="left")
+        .crossJoin(F.broadcast(stats))
+    )
+    denom_bi = F.coalesce(F.col("__ca"), F.lit(0)) + F.lit(alpha) * (F.col("__V") + 1)
+    p_bi = (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(alpha)) / denom_bi
+    denom_u = F.col("__N") + F.lit(alpha) * (F.col("__V") + 1)
+    p_uni = (F.coalesce(F.col("__cb_u"), F.lit(0)) + F.lit(alpha)) / denom_u
+    logp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    agg = scored.groupBy("__id").agg(
+        F.round(F.avg(logp), round_to).alias("AVG_BIGRAM_LOGPROB")
+    )
+    return df.join(agg.withColumnRenamed("__id", i), on=i, how="left").withColumn(
+        "AVG_BIGRAM_LOGPROB", F.coalesce("AVG_BIGRAM_LOGPROB", F.lit(0.0))
+    )

@@ -885,3 +885,39 @@ def _r_dedup_against(
         f"SELECT s.* FROM {source} s LEFT ANTI JOIN ({ref_fps}) f "
         f"ON md5({_norm_sql(f's.{text}')}) = f.__fp"
     )
+
+
+@spark_transform("dedup_keep_best", category="dedup", streaming_ok=False)
+def dedup_keep_best(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    score_col: str,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Keep the BEST row per transitive near-dup cluster — like
+    ``dedup_by_cluster`` but the survivor maximizes ``score_col`` (ties →
+    minimum id) instead of being the minimum id. The practical form of
+    cluster dedup for training corpora: among near-identical crawls keep
+    the longest / highest-quality copy, not an arbitrary one.
+
+    Scale: clustering is the same label-propagation as
+    ``near_dup_clusters``; survivor selection is ONE window shuffle on the
+    (already slim) cluster id."""
+    i = resolve_col(df, id_col)
+    s = resolve_col(df, score_col)
+    clusters = near_dup_clusters(df, text, id_col, method, threshold, **kwargs)
+    scored = clusters.select(i, "CLUSTER_ID").join(
+        df.select(F.col(i), F.col(s).alias("__score")), on=i
+    )
+    w = Window.partitionBy("CLUSTER_ID").orderBy(
+        F.col("__score").desc(), F.col(i).asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(i)
+    )
+    return df.join(best, on=i, how="left_semi")

@@ -166,3 +166,67 @@ def _r_sample_to_token_budget(
         f"(ORDER BY {pr}, {id_col} ROWS BETWEEN UNBOUNDED PRECEDING AND "
         f"1 PRECEDING), 0) AS __pfx FROM {source}) WHERE __pfx < {int(budget)}"
     )
+
+
+@spark_transform("mixture_weights", category="ml", streaming_ok=False)
+def mixture_weights(
+    df: DataFrame,
+    domain: str,
+    temperature: float = 0.7,
+    size_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per domain — the public
+    alpha-sampling scheme of multilingual/multi-source LM training
+    (w_i ∝ p_i^T, T<1 up-weights the tail; T=1 is proportional, T=0
+    uniform). ``size_col`` weighs domains by a size column (e.g. token
+    counts) instead of row counts. Output one row per domain:
+    ``N_ITEMS`` (bigint), ``P`` (natural share), ``WEIGHT`` (normalized
+    p^T), ``BOOST`` (weight/p — how much the scheme up/down-samples the
+    domain).
+
+    Scale: one hash aggregation on the domain key, then a one-row total
+    broadcast onto the (domain-cardinality-bounded) result — the corpus
+    itself never reshuffles.
+    """
+    d = resolve_col(df, domain)
+    size = (
+        F.count(F.lit(1)).cast("double")
+        if size_col is None
+        else F.sum(F.col(resolve_col(df, size_col))).cast("double")
+    )
+    per = df.groupBy(F.col(d)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_ITEMS"), size.alias("__sz")
+    )
+    tot = per.agg(F.sum("__sz").alias("__tot"))
+    p = F.col("__sz") / F.col("__tot")
+    raw = F.pow(p, F.lit(float(temperature)))
+    withp = per.crossJoin(F.broadcast(tot)).withColumn("__p", p).withColumn("__raw", raw)
+    wtot = withp.agg(F.sum("__raw").alias("__wtot"))
+    out = (
+        withp.crossJoin(F.broadcast(wtot))
+        .withColumn("P", F.round("__p", round_to))
+        .withColumn("WEIGHT", F.round(F.col("__raw") / F.col("__wtot"), round_to))
+        .withColumn(
+            "BOOST",
+            F.round((F.col("__raw") / F.col("__wtot")) / F.col("__p"), round_to),
+        )
+    )
+    return out.select(d, "N_ITEMS", "P", "WEIGHT", "BOOST")
+
+
+@renderer("mixture_weights")
+def _r_mixture_weights(source, domain, temperature=0.7, size_col=None, round_to=6) -> str:
+    t = repr(float(temperature))
+    sz = "CAST(count(1) AS DOUBLE)" if size_col is None else f"CAST(sum({size_col}) AS DOUBLE)"
+    per = (
+        f"SELECT {domain}, CAST(count(1) AS BIGINT) AS N_ITEMS, {sz} AS __sz "
+        f"FROM {source} GROUP BY {domain}"
+    )
+    return (
+        f"SELECT {domain}, N_ITEMS, ROUND(__p, {round_to}) AS P, "
+        f"ROUND(__raw / sum(__raw) OVER (), {round_to}) AS WEIGHT, "
+        f"ROUND((__raw / sum(__raw) OVER ()) / __p, {round_to}) AS BOOST FROM "
+        f"(SELECT *, __sz / sum(__sz) OVER () AS __p, "
+        f"pow(__sz / sum(__sz) OVER (), {t}) AS __raw FROM ({per}))"
+    )

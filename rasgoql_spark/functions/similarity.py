@@ -382,3 +382,51 @@ def _r_quantize_embeddings(source, vec_col, id_col=None, bits=8) -> str:
         f"SELECT *, {q} AS Q_VEC FROM "
         f"(SELECT *, {absmax} / 127.0 AS Q_SCALE FROM {source})"
     )
+
+
+@spark_transform("embedding_join", category="similarity", streaming_ok=False)
+def embedding_join(
+    df: DataFrame,
+    other,
+    vec_col: str,
+    id_col: str,
+    other_vec: str | None = None,
+    other_id: str | None = None,
+    k: int = 1,
+    method: str = "brute",
+    num_planes: int = 6,
+    right_prefix: str = "MATCH_",
+    round_scores: int | None = 6,
+) -> DataFrame:
+    """Semantic join: attach each left row's top-``k`` most-similar rows
+    from ``other`` by embedding cosine — the join-shaped form of
+    ``similarity_search`` (entity resolution, cross-corpus linking,
+    retrieval labeling). Appends ``{right_prefix}ID``, ``COSINE``, ``RANK``;
+    left rows keep all columns (left rows with no candidate — possible
+    under method='lsh' bucketing — are dropped, an inner join).
+
+    method='brute' is exact (right side broadcast against every left row —
+    right must be the smaller corpus); method='lsh' buckets both sides by
+    hyperplane signature so only same-bucket pairs score — the scale path
+    when both sides are large.
+    """
+    odf = other.df if hasattr(other, "df") else other
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    ov = resolve_col(odf, other_vec or vec_col)
+    oi = resolve_col(odf, other_id or id_col)
+    matches = similarity_search(
+        odf.select(F.col(oi).alias(i), F.col(ov).alias(v)),
+        vec_col=v,
+        id_col=i,
+        queries=df.select(F.col(i), F.col(v)),
+        k=k,
+        method=method,
+        num_planes=num_planes,
+        round_scores=round_scores,
+    ).select(
+        F.col("QUERY_ID").alias(i),
+        F.col("MATCH_ID").alias(f"{right_prefix}ID"),
+        "COSINE",
+        "RANK",
+    )
+    return df.join(matches, on=i, how="inner")

@@ -161,6 +161,10 @@ CHAIN_CASES = [
         text="text", group_by=["lang"])),
     ("stratified_sample", lambda s: s.dataset("documents").stratified_sample(
         stratify_by="lang", fractions={"en": 0.4}, key="doc_id")),
+    ("winnow_fingerprint", lambda s: s.dataset("documents")
+        .winnow_fingerprint(text="text")),
+    ("mixture_weights", lambda s: s.dataset("documents").mixture_weights(
+        domain="lang", temperature=0.7)),
     ("pii_scrub", lambda s: s.dataset("documents").pii_scrub(text="text")),
     ("extract_urls", lambda s: s.dataset("documents").extract_urls(text="text")),
     ("repetition_stats", lambda s: s.dataset("documents")
