@@ -269,10 +269,15 @@ def test_ivf_large_k_broadcast_fallback(session, monkeypatch):
     assert got == {(r["QUERY_ID"], r["RANK"], r["MATCH_ID"]) for r in ref.collect()}
 
 
-def test_lsh_band_join_runs_over_reps(session):
-    """The minhash band self-join input must be the rep-filtered signature
-    table: the physical plan carries the group window plus a (__id = __rep)
-    filter upstream of the band-key exchange."""
+def test_lsh_band_join_runs_over_reps(session, monkeypatch):
+    """When the collapse fires (hot dup groups), the minhash band self-join
+    input must be the rep-filtered signature table: the plan carries the
+    group window plus a (__id = __rep) filter upstream of the band-key
+    exchange. COLLAPSE_MIN_GROUP is forced to -1 so the guard always takes
+    the collapse path on this clean fixture."""
+    import rasgoql_spark.functions.dedup as dd
+
+    monkeypatch.setattr(dd, "COLLAPSE_MIN_GROUP", -1)
     docs = session.dataset("documents").df.limit(200)
     pairs = rql.get_transform("dedup_minhash").apply(
         docs, text="text", id_col="doc_id", threshold=0.2, mode="pairs")
@@ -281,3 +286,44 @@ def test_lsh_band_join_runs_over_reps(session):
     # Filter node comparing __id to __rep (attribute ids vary: __id#12L etc.)
     assert re.search(r"Filter .*__id#\d+L? = __rep#\d+L?", plan), "rep filter missing"
     assert "Window" in plan  # the single group-annotation window
+
+
+def test_lsh_guard_skips_window_on_clean_corpus(session):
+    """The guarded collapse: a corpus whose largest exact-dup group is under
+    COLLAPSE_MIN_GROUP must NOT pay the group window or expansion joins."""
+    docs = session.dataset("documents").df.limit(200)
+    pairs = rql.get_transform("dedup_minhash").apply(
+        docs, text="text", id_col="doc_id", threshold=0.2, mode="pairs")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_winnow_fingerprint_is_shuffle_free(session):
+    plan = _plan(session.dataset("documents").winnow_fingerprint(text="text"))
+    assert "Exchange" not in plan  # row-local array expressions only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_weights_single_domain_agg(session):
+    plan = _plan(session.dataset("documents").mixture_weights(domain="lang"))
+    # one grouped aggregation on the domain key (partial+final), stats joins
+    # are broadcast one-row frames — no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_embedding_join_broadcasts_queries(session):
+    emb = session.dataset("embeddings")
+    left = emb.filter(filter_statements=["vec_id >= 450"])
+    right = emb.filter(filter_statements=["vec_id < 450"])
+    plan = _plan(left.embedding_join(other=right, vec_col="embedding",
+                                     id_col="vec_id", k=1))
+    # the query side ships as a broadcast; the corpus never repartitions
+    # before scoring
+    assert "BroadcastExchange" in plan
+
+
+def test_bigram_logprob_no_python_in_hot_path(session):
+    plan = _plan(session.dataset("documents").bigram_logprob(
+        text="text", id_col="doc_id"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
