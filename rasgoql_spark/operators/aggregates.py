@@ -303,3 +303,69 @@ def _r_approx_distinct(source, columns, group_by=None, rsd=0.05) -> str:
         k = ", ".join(keys)
         return f"SELECT {k}, {aggs} FROM {source} GROUP BY {k}"
     return f"SELECT {aggs} FROM {source}"
+
+
+@spark_transform("skew_report", category="aggregate", streaming_ok=False)
+def skew_report(df: DataFrame, keys, top_k: int = 3, round_to: int = 6) -> DataFrame:
+    """Key-distribution skew diagnostic — the pre-flight check before any
+    big groupBy/join on ``keys`` at scale: one summary row with ``N_ROWS``,
+    ``N_KEYS``, ``MAX_COUNT``, ``AVG_COUNT``, ``SKEW_RATIO`` (max/avg — 1.0
+    is perfectly uniform; hundreds means salt the key or expect a straggler
+    task), and ``TOP_KEYS`` (the ``top_k`` heaviest keys as 'key:count',
+    count desc, key asc — the candidates for salting or broadcast
+    isolation).
+
+    Scale: one hash aggregation on the key (partial+final), then bounded
+    single-row aggregates and a TakeOrdered top-k over the (already
+    key-cardinality-sized) count table. Nothing collects to the driver.
+    """
+    key_cols = resolve_cols(df, as_list(keys))
+    kexpr = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key_cols])
+    counts = df.groupBy(kexpr.alias("__k")).agg(F.count(F.lit(1)).alias("__c"))
+    stats = counts.agg(
+        F.sum("__c").cast("bigint").alias("N_ROWS"),
+        F.count(F.lit(1)).cast("bigint").alias("N_KEYS"),
+        F.max("__c").cast("bigint").alias("MAX_COUNT"),
+        F.round(F.avg("__c"), round_to).alias("AVG_COUNT"),
+        F.round(F.max("__c") / F.avg("__c"), round_to).alias("SKEW_RATIO"),
+    )
+    item = F.struct(
+        (-F.col("__c")).alias("nc"), F.col("__k").alias("k"), F.col("__c").alias("c")
+    )
+    # array_sort of (-count, key) structs = count desc, key asc — the order
+    # is enforced AFTER collect_list, so it never depends on partitioning
+    tops = (
+        counts.orderBy(F.col("__c").desc(), F.col("__k").asc())
+        .limit(top_k)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(item)),
+                    lambda st: F.concat_ws(":", st["k"], st["c"].cast("string")),
+                ),
+                ",",
+            ).alias("TOP_KEYS")
+        )
+    )
+    return stats.crossJoin(F.broadcast(tops))
+
+
+@renderer("skew_report")
+def _r_skew_report(source, keys, top_k=3, round_to=6) -> str:
+    ks = as_list(keys)
+    kexpr = "concat_ws('\\u001f', " + ", ".join(f"CAST({k} AS STRING)" for k in ks) + ")"
+    counts = f"SELECT {kexpr} AS __k, count(1) AS __c FROM {source} GROUP BY {kexpr}"
+    stats = (
+        f"SELECT CAST(sum(__c) AS BIGINT) AS N_ROWS, "
+        f"CAST(count(1) AS BIGINT) AS N_KEYS, "
+        f"CAST(max(__c) AS BIGINT) AS MAX_COUNT, "
+        f"ROUND(avg(__c), {round_to}) AS AVG_COUNT, "
+        f"ROUND(max(__c) / avg(__c), {round_to}) AS SKEW_RATIO FROM ({counts})"
+    )
+    tops = (
+        f"SELECT array_join(transform(array_sort(collect_list("
+        f"named_struct('nc', -__c, 'k', __k, 'c', __c))), "
+        f"s -> concat_ws(':', s.k, CAST(s.c AS STRING))), ',') "
+        f"AS TOP_KEYS FROM (SELECT * FROM ({counts}) ORDER BY __c DESC, __k ASC LIMIT {top_k})"
+    )
+    return f"SELECT * FROM ({stats}) CROSS JOIN ({tops})"

@@ -147,3 +147,13 @@ def test_embedding_join_matches_similarity_search(session):
     want = {(r["QUERY_ID"], r["MATCH_ID"]) for r in brute.collect()}
     assert got == want
     assert len(got) == left.df.count()
+
+
+def test_skew_report_values(spark):
+    rows = [("a",)] * 8 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = rql.get_transform("skew_report").apply(df, keys=["k"], top_k=2).collect()[0]
+    assert out["N_ROWS"] == 12 and out["N_KEYS"] == 3
+    assert out["MAX_COUNT"] == 8
+    assert out["SKEW_RATIO"] == 2.0  # 8 / 4
+    assert out["TOP_KEYS"] == "a:8,b:2"  # count desc, key asc tie-break
