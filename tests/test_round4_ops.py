@@ -157,3 +157,46 @@ def test_skew_report_values(spark):
     assert out["MAX_COUNT"] == 8
     assert out["SKEW_RATIO"] == 2.0  # 8 / 4
     assert out["TOP_KEYS"] == "a:8,b:2"  # count desc, key asc tie-break
+
+
+# ---- property check: Spark winnow vs an independent pure-Python reference --
+
+def _ref_winnow(text, k=3, window=4):
+    """Independent reference implementation of robust winnowing over the
+    engine's tokenization (lowercase, strip non-alnum, ws-split) and
+    md5-derived gram hash — used to property-check the Spark array-expression
+    pipeline."""
+    import hashlib
+    import re
+
+    cleaned = re.sub(r"[^a-z0-9\s]", " ", text.lower()).strip()
+    toks = cleaned.split() if cleaned else []
+    if not toks:
+        return set()
+    if len(toks) >= k:
+        grams = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    hashes = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    if len(hashes) > window:
+        mins = [min(hashes[p:p + window]) for p in range(len(hashes) - window + 1)]
+    else:
+        mins = [min(hashes)]
+    return set(mins)
+
+
+def test_winnow_matches_reference_random_docs(spark):
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(60)
+    ] + ["", "  ", "!!!", "a b", "x " * 100]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = rql.get_transform("winnow_fingerprint").apply(df, text="text")
+    got = {r["doc_id"]: set(r["WINNOW_FP"]) for r in out.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_winnow(t), f"doc {i}: {t!r}"
