@@ -260,6 +260,42 @@ def _ivf_assign(df, vec_col, id_col, num_centroids, iterations):
 
 
 @spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
+class IVFIndex:
+    """Reusable IVF index: the persisted (id, normalized-vector, centroid)
+    frame plus the centroid list. Build ONCE with ``ivf_index`` and pass to
+    any number of ``similarity_search_ivf`` calls — the production shape:
+    index build is the expensive phase (seed collect + Lloyd pass);
+    per-query search is a broadcast probe join over the cached frame.
+    ``release()`` unpersists the frame."""
+
+    def __init__(self, frame: DataFrame, centroids: list):
+        self.frame = frame
+        self.centroids = centroids
+
+    def release(self) -> None:
+        try:
+            self.frame.unpersist()
+        except Exception:
+            pass
+
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_centroids: int = 16,
+    iterations: int = 1,
+) -> IVFIndex:
+    """Build a reusable ``IVFIndex`` (see class doc). The internal frame
+    stays persisted until ``release()`` — deliberate: amortizing the build
+    across searches is the point."""
+    final, cents, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations)
+    final = final.persist()
+    final.count()  # materialize once; searches reuse the assignment
+    cached.unpersist(False)
+    return IVFIndex(final, cents)
+
+
 def similarity_search_ivf(
     df: DataFrame,
     vec_col: str,
@@ -269,6 +305,7 @@ def similarity_search_ivf(
     num_centroids: int = 16,
     nprobe: int = 4,
     round_scores: int | None = 6,
+    index: "IVFIndex | None" = None,
 ) -> DataFrame:
     """ANN top-k via an IVF index: queries probe their ``nprobe`` nearest
     centroids and scan only those inverted lists — cost ~ corpus × nprobe /
@@ -277,13 +314,20 @@ def similarity_search_ivf(
     The persisted index holds PRE-NORMALIZED vectors, so the per-candidate
     score is a single dot product; probe selection is a shuffle-free
     sort+slice over the literal centroid array (no centroid join, no
-    per-query window). Output (QUERY_ID, MATCH_ID, COSINE, RANK)."""
-    index, cents, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations=1)
+    per-query window). Output (QUERY_ID, MATCH_ID, COSINE, RANK).
+
+    Pass a prebuilt ``index`` (from ``ivf_index``) to skip the build phase
+    entirely — the amortized production path; results are identical to the
+    inline build with the same parameters."""
+    if index is not None:
+        idx, cents, cached = index.frame, index.centroids, None
+    else:
+        idx, cents, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations=1)
     # probe: nprobe highest-dot centroids per query — sort the per-row sims
     # array descending (struct sort: s desc via max-first, ties → lowest cid
     # because nc = -cid) and slice
     qbase, qcarr, _qdrop = _attach_centroids(
-        index.filter(F.col("__id").isin(list(query_ids))), cents
+        idx.filter(F.col("__id").isin(list(query_ids))), cents
     )
     probes = (
         qbase.select(
@@ -299,7 +343,7 @@ def similarity_search_ivf(
     if round_scores is not None:
         cos = F.round(cos, round_scores)
     scored = (
-        index.select(
+        idx.select(
             F.col("__id").alias("MATCH_ID"), "__nvec",
             F.col("CENTROID_ID").alias("__cid"),
         )
@@ -313,7 +357,7 @@ def similarity_search_ivf(
         .filter(F.col("RANK") <= k)
         .select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
     )
-    return release_with(out, cached)
+    return out if cached is None else release_with(out, cached)
 
 
 @spark_transform("knn_classify", category="similarity", streaming_ok=False)

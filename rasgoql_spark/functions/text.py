@@ -521,3 +521,54 @@ def _r_heavy_hitters(source, column, min_share=0.001, round_to=6) -> str:
         f"CROSS JOIN (SELECT count(1) AS __total FROM {source}) "
         f"WHERE N >= __total * {min_share} ORDER BY N DESC, {column} ASC"
     )
+
+
+_ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüñçýÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÑÇÝ"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuncyAAAAAAEEEEIIIIOOOOOUUUUNCY"
+
+
+@spark_transform("text_normalize", category="text")
+def text_normalize(
+    df: DataFrame,
+    text: str,
+    name: str = "TEXT_NORM",
+    lowercase: bool = True,
+    fold_accents: bool = True,
+    strip_punct: bool = False,
+) -> DataFrame:
+    """Canonical text normalization: collapse whitespace runs to single
+    spaces + trim, optional lowercasing, Latin-1 accent folding (explicit
+    ``translate`` table — deterministic cross-engine, no locale-dependent
+    Unicode normalization), and optional ASCII punctuation stripping.
+    Row-local, shuffle-free; the standard first step before fingerprinting
+    or token counting."""
+    c = F.col(resolve_col(df, text))
+    if lowercase:
+        c = F.lower(c)
+    if fold_accents:
+        c = F.translate(c, _ACCENT_SRC.lower() if lowercase else _ACCENT_SRC,
+                        _ACCENT_DST.lower() if lowercase else _ACCENT_DST)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^a-zA-Z0-9\s]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(name, c)
+
+
+@renderer("text_normalize")
+def _r_text_normalize(
+    source, text, name="TEXT_NORM", lowercase=True, fold_accents=True,
+    strip_punct=False, _input_columns=(),
+) -> str:
+    from ..operators._util import with_columns_sql
+
+    c = text
+    if lowercase:
+        c = f"lower({c})"
+    if fold_accents:
+        src = (_ACCENT_SRC.lower() if lowercase else _ACCENT_SRC)
+        dst = (_ACCENT_DST.lower() if lowercase else _ACCENT_DST)
+        c = f"translate({c}, '{src}', '{dst}')"
+    if strip_punct:
+        c = f"regexp_replace({c}, '[^a-zA-Z0-9\\\\s]', ' ')"
+    c = f"trim(regexp_replace({c}, '\\\\s+', ' '))"
+    return with_columns_sql(source, {name: c}, _input_columns)

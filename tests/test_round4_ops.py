@@ -200,3 +200,24 @@ def test_winnow_matches_reference_random_docs(spark):
     got = {r["doc_id"]: set(r["WINNOW_FP"]) for r in out.collect()}
     for i, t in enumerate(texts):
         assert got[i] == _ref_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_ivf_prebuilt_index_matches_inline(session):
+    """The amortized path: searches against a prebuilt ivf_index() must be
+    identical to the inline-build search with the same parameters."""
+    from rasgoql_spark.functions.similarity import ivf_index, similarity_search_ivf
+
+    emb = session.dataset("embeddings").df
+    inline = similarity_search_ivf(
+        emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=5).collect()
+    idx = ivf_index(emb, "embedding", "vec_id")
+    try:
+        pre1 = similarity_search_ivf(
+            emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=5, index=idx).collect()
+        pre2 = similarity_search_ivf(
+            emb, "embedding", "vec_id", [5, 6], k=5, index=idx).collect()
+    finally:
+        idx.release()
+    key = lambda r: (r["QUERY_ID"], r["RANK"])
+    assert sorted(map(tuple, pre1)) == sorted(map(tuple, inline))
+    assert {r["QUERY_ID"] for r in pre2} == {5, 6}

@@ -342,3 +342,28 @@ def test_stream_join_left_outer_emits_unmatched_after_watermark(spark, tmp_path_
     got = {(r["user_id"], r["tag"]): r["R_amount"] for r in rows}
     assert got[(1, "m")] == 5.0  # matched pair
     assert (2, "u") in got and got[(2, "u")] is None  # evicted with NULLs
+
+
+def test_round4_rowlocal_ops_on_stream_match_batch(spark, tmp_path_factory):
+    """Row-local round-4 ops (winnow_fingerprint, text_normalize) run
+    unchanged on a streaming frame and produce the batch answer."""
+    out = str(tmp_path_factory.mktemp("docs_stream_r4"))
+    session = rql.RasgoSession(spark, data_dir=SF_DIR)
+    docs = session.dataset("documents").df.limit(60)
+    docs.repartition(2).write.mode("overwrite").parquet(out)
+    sdf = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(out))
+    chain = (rql.SQLChain(session, sdf, "docs_stream_r4")
+             .winnow_fingerprint(text="text")
+             .text_normalize(text="text", strip_punct=True))
+    assert chain.df.isStreaming
+    q = (chain.df.writeStream.format("memory").queryName("t_r4_rowlocal")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (tuple(r["WINNOW_FP"]), r["N_FP"], r["TEXT_NORM"]) for r in
+           spark.table("t_r4_rowlocal").collect()}
+    batch = (rql.SQLChain(session, spark.read.parquet(out), "docs_b4")
+             .winnow_fingerprint(text="text")
+             .text_normalize(text="text", strip_punct=True)).df
+    exp = {r["doc_id"]: (tuple(r["WINNOW_FP"]), r["N_FP"], r["TEXT_NORM"]) for r in batch.collect()}
+    assert got == exp and len(got) == 60
