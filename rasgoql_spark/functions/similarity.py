@@ -259,7 +259,6 @@ def _ivf_assign(df, vec_col, id_col, num_centroids, iterations):
     return final, cents, cached
 
 
-@spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
 class IVFIndex:
     """Reusable IVF index: the persisted (id, normalized-vector, centroid)
     frame plus the centroid list. Build ONCE with ``ivf_index`` and pass to
@@ -296,6 +295,7 @@ def ivf_index(
     return IVFIndex(final, cents)
 
 
+@spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
 def similarity_search_ivf(
     df: DataFrame,
     vec_col: str,
