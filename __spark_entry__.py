@@ -1470,6 +1470,14 @@ def q_frame_sample_stub(spark, sf):
 # embedding join
 # --------------------------------------------------------------------------
 
+def q_decontaminate_embedding(spark, sf):
+    """Semantic decontamination score: max cosine to any eval vector."""
+    s = _s(spark, sf)
+    ev = s.dataset("embeddings").filter(filter_statements=["vec_id % 50 = 0"])
+    return s.dataset("embeddings").decontaminate_embedding(
+        vec_col="embedding", id_col="vec_id", eval_table=ev).df
+
+
 def q_text_normalize(spark, sf):
     """Whitespace/accents/punct normalization over a planted-accent projection
     (the word-soup corpus is ASCII-clean, so plant accents first)."""
@@ -2667,6 +2675,11 @@ ranked AS (
             "'FAKE' AS MODE, 'stub' AS DECODER FROM documents"
         ),
         # ---- round-4 additions ----
+        "decontaminate_embedding": (
+            "WITH ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 50 = 0) "
+            f"SELECT c.vec_id, max({_cosine('c.embedding', 'ev.e')}) AS MAX_EVAL_COSINE "
+            "FROM embeddings c CROSS JOIN ev GROUP BY c.vec_id"
+        ),
         "text_normalize": (
             "WITH t AS (SELECT doc_id, replace(replace(text, 'a', '\u00e1'), 'e  ', '\u00e9   ') AS text FROM documents) "
             "SELECT doc_id, text, trim(regexp_replace(regexp_replace(translate(lower(text), "
@@ -2812,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "skew_report": q_skew_report,
         "text_normalize": q_text_normalize,
+        "decontaminate_embedding": q_decontaminate_embedding,
         "dedup_winnow": q_dedup_winnow,
         "bigram_logprob": q_bigram_logprob,
         "mixture_weights": q_mixture_weights,
@@ -2845,9 +2859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join": q_multi_join,
         "theta_join": q_theta_join,
         "join_salted": q_join_salted,
-        "dateadd": q_dateadd,
         "json_extract": q_json_extract,
         # ---- fold: entries below only reached if the driver checks >50 ----
+        "dateadd": q_dateadd,
         "datediff": q_datediff,
         "datepart": q_datepart,
         "array_agg": q_array_agg,

@@ -891,3 +891,46 @@ def bigram_logprob(
     return df.join(agg.withColumnRenamed("__id", i), on=i, how="left").withColumn(
         "AVG_BIGRAM_LOGPROB", F.coalesce("AVG_BIGRAM_LOGPROB", F.lit(0.0))
     )
+
+
+@spark_transform("decontaminate_embedding", category="curation", streaming_ok=False)
+def decontaminate_embedding(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    eval_table: DataFrame,
+    eval_vec: str | None = None,
+    threshold: float = 0.9,
+    mode: str = "score",
+    round_to: int = 6,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag/drop corpus rows whose
+    embedding is near-identical (cosine >= threshold) to ANY evaluation-set
+    embedding — catches paraphrased/reformatted eval leakage that n-gram
+    ``decontaminate`` cannot see. mode='score': (id, MAX_EVAL_COSINE) per
+    corpus row; mode='filter': input rows below the threshold.
+
+    Scale: the eval table broadcasts (eval sets are small by nature); the
+    corpus streams through a map-side max-cosine aggregate — the corpus
+    itself never shuffles, and the per-id rollup ships one (id, double)
+    row per corpus row at most.
+    """
+    from .dedup import cosine_expr
+
+    if mode not in ("score", "filter"):
+        raise ParameterException("mode must be 'score' or 'filter'")
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    ev = resolve_col(eval_table, eval_vec or vec_col)
+    evs = spread(eval_table).select(F.col(ev).alias("__evec"))
+    cos = F.round(cosine_expr(F.col(v), F.col("__evec")), round_to)
+    scored = (
+        spread(df)
+        .select(F.col(i), F.col(v))
+        .crossJoin(F.broadcast(evs))
+        .groupBy(i)
+        .agg(F.max(cos).alias("MAX_EVAL_COSINE"))
+    )
+    if mode == "score":
+        return scored
+    flagged = scored.filter(F.col("MAX_EVAL_COSINE") >= threshold).select(i)
+    return df.join(flagged, i, "left_anti")

@@ -221,3 +221,27 @@ def test_ivf_prebuilt_index_matches_inline(session):
     key = lambda r: (r["QUERY_ID"], r["RANK"])
     assert sorted(map(tuple, pre1)) == sorted(map(tuple, inline))
     assert {r["QUERY_ID"] for r in pre2} == {5, 6}
+
+
+def test_decontaminate_embedding_filter_drops_eval_members(session):
+    """Eval members themselves have cosine 1.0 to an eval vector, so filter
+    mode must drop at least every eval row (plus true near-dups)."""
+    emb = session.dataset("embeddings")
+    ev = emb.filter(filter_statements=["vec_id % 50 = 0"])
+    kept = emb.decontaminate_embedding(
+        vec_col="embedding", id_col="vec_id", eval_table=ev,
+        threshold=0.99, mode="filter").df
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    eval_ids = {r["vec_id"] for r in ev.df.select("vec_id").collect()}
+    assert not (kept_ids & eval_ids)
+    assert len(kept_ids) > 0
+
+
+def test_decontaminate_embedding_plan_broadcasts_eval(session):
+    emb = session.dataset("embeddings")
+    ev = emb.filter(filter_statements=["vec_id % 50 = 0"])
+    chain = emb.decontaminate_embedding(
+        vec_col="embedding", id_col="vec_id", eval_table=ev)
+    plan = chain.explain("formatted")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
