@@ -69,6 +69,9 @@ BENCH_QUERIES = {
     # PII scrub (zero-shuffle regex path)
     "llm_decontaminate": entry.q_decontaminate,
     "llm_pii_scrub": entry.q_pii_scrub,
+    # round-4 flagships: local-substring overlap dedup + bigram LM scoring
+    "llm_dedup_winnow": entry.q_dedup_winnow,
+    "llm_bigram_logprob": entry.q_bigram_logprob,
 }
 
 

@@ -90,6 +90,10 @@ def winnow_fingerprint(
     and its size (``N_FP``). Row-local — shuffle-free at any scale; the
     fingerprint set is the compact sketch used for plagiarism/overlap
     detection (MOSS) and local-substring dedup."""
+    from ..errors import ParameterException
+
+    if k < 1 or window < 1:
+        raise ParameterException("k and window must be >= 1")
     t = resolve_col(df, text)
     out = _with_winnow(df, t, k, window, name)
     return out.withColumn("N_FP", F.size(F.col(name)).cast("bigint"))
@@ -176,6 +180,8 @@ def dedup_winnow(
 
     if mode not in ("pairs", "filter"):
         raise ParameterException("mode must be 'pairs' or 'filter'")
+    if k < 1 or window < 1:
+        raise ParameterException("k and window must be >= 1")
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     base = (
         _with_winnow(

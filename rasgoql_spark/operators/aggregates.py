@@ -323,11 +323,13 @@ def skew_report(df: DataFrame, keys, top_k: int = 3, round_to: int = 6) -> DataF
     kexpr = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key_cols])
     counts = df.groupBy(kexpr.alias("__k")).agg(F.count(F.lit(1)).alias("__c"))
     stats = counts.agg(
-        F.sum("__c").cast("bigint").alias("N_ROWS"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("N_ROWS"),
         F.count(F.lit(1)).cast("bigint").alias("N_KEYS"),
-        F.max("__c").cast("bigint").alias("MAX_COUNT"),
-        F.round(F.avg("__c"), round_to).alias("AVG_COUNT"),
-        F.round(F.max("__c") / F.avg("__c"), round_to).alias("SKEW_RATIO"),
+        F.coalesce(F.max("__c"), F.lit(0)).cast("bigint").alias("MAX_COUNT"),
+        F.round(F.coalesce(F.avg("__c"), F.lit(0.0)), round_to).alias("AVG_COUNT"),
+        F.round(
+            F.coalesce(F.max("__c") / F.avg("__c"), F.lit(0.0)), round_to
+        ).alias("SKEW_RATIO"),
     )
     item = F.struct(
         (-F.col("__c")).alias("nc"), F.col("__k").alias("k"), F.col("__c").alias("c")

@@ -245,3 +245,22 @@ def test_decontaminate_embedding_plan_broadcasts_eval(session):
     plan = chain.explain("formatted")
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_winnow_rejects_bad_params(spark):
+    from rasgoql_spark.errors import ParameterException
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ParameterException):
+        rql.get_transform("winnow_fingerprint").apply(df, text="text", k=0)
+    with pytest.raises(ParameterException):
+        rql.get_transform("dedup_winnow").apply(
+            df, text="text", id_col="doc_id", window=0)
+
+
+def test_skew_report_empty_input(spark):
+    df = spark.createDataFrame([], "k string")
+    out = rql.get_transform("skew_report").apply(df, keys=["k"]).collect()[0]
+    assert out["N_ROWS"] == 0 and out["N_KEYS"] == 0
+    assert out["MAX_COUNT"] == 0 and out["SKEW_RATIO"] == 0.0
+    assert out["TOP_KEYS"] == ""
