@@ -163,6 +163,10 @@ CHAIN_CASES = [
         stratify_by="lang", fractions={"en": 0.4}, key="doc_id")),
     ("winnow_fingerprint", lambda s: s.dataset("documents")
         .winnow_fingerprint(text="text")),
+    ("skew_report", lambda s: s.dataset("lineitem").skew_report(
+        keys=["l_suppkey"], top_k=2)),
+    ("text_normalize", lambda s: s.dataset("documents").text_normalize(
+        text="text", strip_punct=True)),
     ("mixture_weights", lambda s: s.dataset("documents").mixture_weights(
         domain="lang", temperature=0.7)),
     ("pii_scrub", lambda s: s.dataset("documents").pii_scrub(text="text")),

@@ -94,6 +94,23 @@ ANNOTATED = [
      "Vocabulary is a capped TakeOrdered aggregation over slim token rows; "
      "document tokens explode to (id, token) and join the vocab AQE-sized; "
      "the per-document roll-up is one partial+final aggregation."),
+    ("winnow_fingerprint (round 4)", "winnow_fingerprint",
+     "Winnowing as a single whole-stage-codegen Project: staged token and "
+     "gram-hash arrays (the HOF-staging rule) keep the window-min pass "
+     "linear — zero Exchange, zero Python at any scale."),
+    ("dedup_winnow (round 4)", "dedup_winnow",
+     "Fingerprint overlap detection: the inverted-index self-join ships "
+     "only (id, fp_hash) rows; full fingerprint arrays re-attach to "
+     "surviving candidate pairs from the persisted fingerprint table."),
+    ("bigram_logprob (round 4)", "bigram_logprob",
+     "Unigram and bigram count tables are distributed aggregations over "
+     "slim exploded pairs (never collected); the stat joins are AQE-sized; "
+     "the one-row (N, V) frame broadcasts; per-doc roll-up is one "
+     "partial+final aggregation."),
+    ("skew_report (round 4)", "skew_report",
+     "One hash aggregation on the key, then bounded single-row rollups and "
+     "a TakeOrdered top-k over the key-cardinality-sized count table — the "
+     "pre-flight check before any big groupBy/join."),
 ]
 
 
