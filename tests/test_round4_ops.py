@@ -264,3 +264,50 @@ def test_skew_report_empty_input(spark):
     assert out["N_ROWS"] == 0 and out["N_KEYS"] == 0
     assert out["MAX_COUNT"] == 0 and out["SKEW_RATIO"] == 0.0
     assert out["TOP_KEYS"] == ""
+
+
+def test_bigram_logprob_matches_reference(spark):
+    """Cross-check the distributed bigram LM against an independent
+    pure-Python implementation on a small corpus."""
+    import math
+    import re
+    from collections import Counter
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the dog sat on the log",
+        2: "cat and dog and cat",
+        3: "completely novel words here",
+        4: "the",
+        5: "",
+    }
+
+    def toks(t):
+        c = re.sub(r"[^a-z0-9\s]", " ", t.lower()).strip()
+        return c.split() if c else []
+
+    uni = Counter()
+    bi = Counter()
+    for t in texts.values():
+        w = toks(t)
+        uni.update(w)
+        bi.update(zip(w, w[1:]))
+    N, V = sum(uni.values()), len(uni)
+    lam, alpha = 0.7, 1.0
+
+    def score(t):
+        w = toks(t)
+        if len(w) < 2:
+            return 0.0
+        lps = []
+        for a, b in zip(w, w[1:]):
+            p_bi = (bi.get((a, b), 0) + alpha) / (uni.get(a, 0) + alpha * (V + 1))
+            p_un = (uni.get(b, 0) + alpha) / (N + alpha * (V + 1))
+            lps.append(math.log(lam * p_bi + (1 - lam) * p_un))
+        return round(sum(lps) / len(lps), 6)
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = rql.get_transform("bigram_logprob").apply(df, text="text", id_col="doc_id")
+    got = {r["doc_id"]: r["AVG_BIGRAM_LOGPROB"] for r in out.collect()}
+    for i, t in texts.items():
+        assert abs(got[i] - score(t)) < 1e-6, (i, got[i], score(t))
