@@ -352,17 +352,38 @@ def _r_winsorize(source, column, lower=0.05, upper=0.95) -> str:
 
 
 @spark_transform("quantiles", category="ml", streaming_ok=False)
-def quantiles(df: DataFrame, column: str, probs=(0.25, 0.5, 0.75), group_by=None) -> DataFrame:
-    """Exact quantiles per group (linear interpolation), one column per
-    probability: ``{COL}_Q{P}``. One hash aggregation."""
+def quantiles(
+    df: DataFrame,
+    column: str,
+    probs=(0.25, 0.5, 0.75),
+    group_by=None,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quantiles per group, one column per probability: ``{COL}_Q{P}``.
+
+    Default is EXACT (linear interpolation — the oracle-checkable path; its
+    aggregation buffers every group's values, fine up to millions of rows
+    per group). ``approx=True`` switches to ``approx_percentile``
+    (Greenwald-Khanna sketch, bounded memory at any scale, rank error ≤
+    1/accuracy) — the 100 TB path when groups are huge; results are
+    approximate, so no cross-engine oracle applies."""
     c = resolve_col(df, column)
     keys = resolve_cols(df, as_list(group_by))
-    aggs = [
-        F.percentile(F.col(c), F.lit(float(p))).alias(
-            cleanse_name(f"{c}_Q{int(round(p * 100))}")
-        )
-        for p in probs
-    ]
+    if approx:
+        aggs = [
+            F.approx_percentile(F.col(c), F.lit(float(p)), F.lit(accuracy)).alias(
+                cleanse_name(f"{c}_Q{int(round(p * 100))}")
+            )
+            for p in probs
+        ]
+    else:
+        aggs = [
+            F.percentile(F.col(c), F.lit(float(p))).alias(
+                cleanse_name(f"{c}_Q{int(round(p * 100))}")
+            )
+            for p in probs
+        ]
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
 

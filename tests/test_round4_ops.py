@@ -311,3 +311,15 @@ def test_bigram_logprob_matches_reference(spark):
     got = {r["doc_id"]: r["AVG_BIGRAM_LOGPROB"] for r in out.collect()}
     for i, t in texts.items():
         assert abs(got[i] - score(t)) < 1e-6, (i, got[i], score(t))
+
+
+def test_quantiles_approx_close_to_exact(session):
+    exact = session.dataset("lineitem").quantiles(
+        column="l_extendedprice", probs=(0.5,), group_by=["l_returnflag"]).df
+    approx = session.dataset("lineitem").quantiles(
+        column="l_extendedprice", probs=(0.5,), group_by=["l_returnflag"],
+        approx=True).df
+    e = {r["l_returnflag"]: r["L_EXTENDEDPRICE_Q50"] for r in exact.collect()}
+    a = {r["l_returnflag"]: r["L_EXTENDEDPRICE_Q50"] for r in approx.collect()}
+    for k in e:
+        assert abs(a[k] - e[k]) / max(abs(e[k]), 1) < 0.05
