@@ -1,16 +1,21 @@
 """Multimodal column operators (north-star extension; SURVEY §7.2 M7).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata. The
-Spark-side plumbing here — schemas, Arrow-batched mapInPandas, partitioning —
-is real and tested; the actual media decoding is STUBBED because no codec
-libraries exist in this environment:
+Spark-side plumbing — schemas, Arrow-batched mapInPandas, partitioning — is
+real and tested. Decode depth, honestly labeled per format:
 
-- If a decoder import (PIL/cv2/soundfile) succeeds it is used.
-- PNG/JPEG/GIF dimensions+mode are parsed from the real byte headers in pure
-  Python (``_parse_image_header``) — genuinely functional, no codec needed.
-- Otherwise ``fake='deterministic'`` substitutes an arithmetic fake derived
-  from the byte content (so oracles and tests still verify the plumbing), and
-  ``fake='error'`` raises NotImplementedError, clearly marking the boundary.
+- REAL PIXEL/SAMPLE DECODE (round 4, no codec library): ``image_pixels``
+  fully decodes 8-bit non-interlaced PNG (stdlib zlib inflate + scanline
+  filter inversion, all 5 filter types) and ``audio_samples`` decodes PCM16
+  WAV data chunks — both oracle-verified end-to-end against arithmetic
+  expectations on synthesized payloads.
+- REAL HEADER DECODE: PNG/JPEG/GIF dimensions+mode, WAV fmt, MP4 boxes are
+  parsed from actual bytes (``_parse_image_header`` etc.).
+- If a codec import (PIL/cv2/soundfile) succeeds it is used for the rest;
+  otherwise ``fake='deterministic'`` substitutes an arithmetic fake (so
+  oracles still verify the plumbing) and ``fake='error'`` raises
+  NotImplementedError, clearly marking the boundary. ``frame_sample``
+  (video keyframes) remains an honest stub — no video codec in stdlib.
 """
 
 from __future__ import annotations
@@ -438,3 +443,208 @@ def dedup_binary(
         )
     keyed = df.withColumn("__grp_min", F.min(F.col(i)).over(w))
     return keyed.filter(F.col(i) == F.col("__grp_min")).drop("__grp_min")
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel / sample decode (round 4) — no codec library required:
+# PNG is zlib (stdlib) + per-scanline filters; WAV data is raw PCM.
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
+    """Invert PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth) for
+    8-bit samples. Returns height*width*channels bytes."""
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out.extend(line)
+        prev = line
+    return out
+
+
+def _decode_png_pixels(data: bytes):
+    """Pure-Python PNG pixel decode (8-bit depth, color types 0/2/4/6,
+    non-interlaced): returns (width, height, channels, per-channel means).
+    Real decode — zlib inflate + filter inversion — not a header parse."""
+    import struct
+    import zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width = 8, None
+    height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                return None
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if not (width and height and channels and idat):
+        return None
+    raw = zlib.decompress(bytes(idat))
+    pixels = _png_unfilter(raw, width, height, channels)
+    n = width * height
+    sums = [0] * channels
+    for i in range(0, len(pixels), channels):
+        for ch in range(channels):
+            sums[ch] += pixels[i + ch]
+    means = [round(s / n, 6) for s in sums]
+    return width, height, channels, means
+
+
+_IMAGE_PIXELS_SCHEMA = StructType(
+    [
+        StructField("DOC_ID", LongType()),
+        StructField("WIDTH", LongType()),
+        StructField("HEIGHT", LongType()),
+        StructField("CHANNELS", LongType()),
+        StructField("CHANNEL_MEANS", StringType()),
+        StructField("DECODER", StringType()),
+    ]
+)
+
+
+@spark_transform("image_pixels", category="multimodal", streaming_ok=False)
+def image_pixels(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL PNG pixel decode — zlib inflate (stdlib) + scanline filter
+    inversion, no codec library: per image (WIDTH, HEIGHT, CHANNELS,
+    CHANNEL_MEANS as a comma-joined 6-dp string). Supports 8-bit
+    non-interlaced gray/RGB/gray+A/RGBA; other payloads yield NULL stats
+    with DECODER='unsupported'. Arrow-batched ``mapInPandas`` —
+    embarrassingly parallel, the right shape for binary decode at scale."""
+    b, i = resolve_col(df, binary_col), resolve_col(df, id_col)
+    narrow = df.select(F.col(i).alias("DOC_ID"), F.col(b).alias("__bin"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["DOC_ID"], pdf["__bin"]):
+                data = bytes(blob) if blob is not None else b""
+                got = _decode_png_pixels(data)
+                if got is None:
+                    rows.append((doc_id, None, None, None, None, "unsupported"))
+                else:
+                    w, h, c, means = got
+                    rows.append(
+                        (doc_id, w, h, c, ",".join(f"{m:.6f}" for m in means), "png-pure")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _IMAGE_PIXELS_SCHEMA.fields]
+            )
+
+    return narrow.mapInPandas(decode, schema=_IMAGE_PIXELS_SCHEMA)
+
+
+def _decode_wav_samples(data: bytes):
+    """Pure-Python PCM16 WAV sample decode: returns (channels, sample_rate,
+    n_frames, per-channel mean amplitude rounded 6dp). Real decode of the
+    data chunk, not a header parse."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i, fmt, pcm = 12, None, None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(data):
+            ch = int.from_bytes(data[i + 10 : i + 12], "little")
+            sr = int.from_bytes(data[i + 12 : i + 16], "little")
+            bits = int.from_bytes(data[i + 22 : i + 24], "little")
+            fmt = (ch, sr, bits)
+        elif cid == b"data":
+            pcm = data[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)
+    if fmt is None or pcm is None:
+        return None
+    ch, sr, bits = fmt
+    if bits != 16 or ch < 1:
+        return None
+    n_samp = len(pcm) // 2
+    frames = n_samp // ch
+    if frames == 0:
+        return ch, sr, 0, [0.0] * ch
+    vals = struct.unpack(f"<{frames * ch}h", pcm[: frames * ch * 2])
+    sums = [0] * ch
+    for j, v in enumerate(vals):
+        sums[j % ch] += v
+    return ch, sr, frames, [round(s / frames, 6) for s in sums]
+
+
+_AUDIO_SAMPLES_SCHEMA = StructType(
+    [
+        StructField("DOC_ID", LongType()),
+        StructField("CHANNELS", LongType()),
+        StructField("SAMPLE_RATE", LongType()),
+        StructField("N_FRAMES", LongType()),
+        StructField("CHANNEL_MEANS", StringType()),
+        StructField("DECODER", StringType()),
+    ]
+)
+
+
+@spark_transform("audio_samples", category="multimodal", streaming_ok=False)
+def audio_samples(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """REAL PCM16 WAV sample decode (struct unpack of the data chunk): per
+    clip (CHANNELS, SAMPLE_RATE, N_FRAMES, per-channel mean amplitude).
+    Non-PCM16 payloads yield NULL stats with DECODER='unsupported'.
+    Arrow-batched ``mapInPandas``."""
+    b, i = resolve_col(df, binary_col), resolve_col(df, id_col)
+    narrow = df.select(F.col(i).alias("DOC_ID"), F.col(b).alias("__bin"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["DOC_ID"], pdf["__bin"]):
+                data = bytes(blob) if blob is not None else b""
+                got = _decode_wav_samples(data)
+                if got is None:
+                    rows.append((doc_id, None, None, None, None, "unsupported"))
+                else:
+                    ch, sr, fr, means = got
+                    rows.append(
+                        (doc_id, ch, sr, fr, ",".join(f"{m:.6f}" for m in means), "pcm16-pure")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_SAMPLES_SCHEMA.fields]
+            )
+
+    return narrow.mapInPandas(decode, schema=_AUDIO_SAMPLES_SCHEMA)
