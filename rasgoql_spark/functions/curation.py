@@ -934,3 +934,43 @@ def decontaminate_embedding(
         return scored
     flagged = scored.filter(F.col("MAX_EVAL_COSINE") >= threshold).select(i)
     return df.join(flagged, i, "left_anti")
+
+
+@renderer("bigram_logprob")
+def _r_bigram_logprob(source, text, id_col, lam=0.7, alpha=1.0, round_to=6) -> str:
+    from .text import _tokens_sql
+
+    a, l = repr(float(alpha)), repr(float(lam))
+    one_minus = repr(1.0 - float(lam))
+    toks = f"SELECT {id_col} AS __id, {_tokens_sql(text)} AS __t FROM {source}"
+    uni = (
+        "SELECT __w, count(1) AS __cu FROM "
+        f"(SELECT explode(__t) AS __w FROM ({toks})) GROUP BY __w"
+    )
+    stats = (
+        "SELECT CAST(sum(__cu) AS DOUBLE) AS __N, "
+        f"CAST(count(1) AS DOUBLE) AS __V FROM ({uni})"
+    )
+    pairs = (
+        "SELECT __id, p.a AS __a, p.b AS __b FROM "
+        f"(SELECT __id, explode(transform(sequence(2, size(__t)), "
+        "i -> named_struct('a', element_at(__t, i - 1), 'b', element_at(__t, i)))) AS p "
+        f"FROM ({toks}) WHERE size(__t) >= 2)"
+    )
+    bi = f"SELECT __a, __b, count(1) AS __cb FROM ({pairs}) GROUP BY __a, __b"
+    scored = (
+        f"SELECT f.__id, ln({l} * (COALESCE(bic.__cb, 0) + {a}) / "
+        f"(COALESCE(ca.__cu, 0) + {a} * (__V + 1)) + {one_minus} * "
+        f"(COALESCE(cbu.__cu, 0) + {a}) / (__N + {a} * (__V + 1))) AS __lp "
+        f"FROM ({pairs}) f LEFT JOIN ({bi}) bic ON f.__a = bic.__a AND f.__b = bic.__b "
+        f"LEFT JOIN ({uni}) ca ON f.__a = ca.__w "
+        f"LEFT JOIN ({uni}) cbu ON f.__b = cbu.__w CROSS JOIN ({stats})"
+    )
+    agg = (
+        f"SELECT __id, ROUND(avg(__lp), {round_to}) AS AVG_BIGRAM_LOGPROB "
+        f"FROM ({scored}) GROUP BY __id"
+    )
+    return (
+        f"SELECT s.*, COALESCE(AVG_BIGRAM_LOGPROB, 0.0) AS AVG_BIGRAM_LOGPROB "
+        f"FROM {source} s LEFT JOIN ({agg}) ON s.{id_col} = __id"
+    )

@@ -167,6 +167,8 @@ CHAIN_CASES = [
         keys=["l_suppkey"], top_k=2)),
     ("text_normalize", lambda s: s.dataset("documents").text_normalize(
         text="text", strip_punct=True)),
+    ("bigram_logprob", lambda s: s.dataset("documents").bigram_logprob(
+        text="text", id_col="doc_id")),
     ("mixture_weights", lambda s: s.dataset("documents").mixture_weights(
         domain="lang", temperature=0.7)),
     ("pii_scrub", lambda s: s.dataset("documents").pii_scrub(text="text")),
