@@ -6,9 +6,11 @@ real and tested. Decode depth, honestly labeled per format:
 
 - REAL PIXEL/SAMPLE DECODE (round 4, no codec library): ``image_pixels``
   fully decodes 8-bit non-interlaced PNG (stdlib zlib inflate + scanline
-  filter inversion, all 5 filter types) and ``audio_samples`` decodes PCM16
-  WAV data chunks — both oracle-verified end-to-end against arithmetic
-  expectations on synthesized payloads.
+  filter inversion, all 5 filter types) AND non-interlaced GIF87a/89a
+  (pure-Python LZW expansion + palette lookup); ``audio_samples`` decodes
+  PCM16 WAV data chunks. PNG/WAV are oracle-verified end-to-end against
+  arithmetic expectations on synthesized payloads; GIF round-trips against
+  an independent encoder in pytest.
 - REAL HEADER DECODE: PNG/JPEG/GIF dimensions+mode, WAV fmt, MP4 boxes are
   parsed from actual bytes (``_parse_image_header`` etc.).
 - If a codec import (PIL/cv2/soundfile) succeeds it is used for the rest;
@@ -558,13 +560,15 @@ def image_pixels(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             rows = []
             for doc_id, blob in zip(pdf["DOC_ID"], pdf["__bin"]):
                 data = bytes(blob) if blob is not None else b""
-                got = _decode_png_pixels(data)
+                got, dec = _decode_png_pixels(data), "png-pure"
+                if got is None:
+                    got, dec = _decode_gif_pixels(data), "gif-pure"
                 if got is None:
                     rows.append((doc_id, None, None, None, None, "unsupported"))
                 else:
                     w, h, c, means = got
                     rows.append(
-                        (doc_id, w, h, c, ",".join(f"{m:.6f}" for m in means), "png-pure")
+                        (doc_id, w, h, c, ",".join(f"{m:.6f}" for m in means), dec)
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _IMAGE_PIXELS_SCHEMA.fields]
@@ -648,3 +652,110 @@ def audio_samples(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
             )
 
     return narrow.mapInPandas(decode, schema=_AUDIO_SAMPLES_SCHEMA)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-flavor LZW decode (variable code width, CLEAR/EOI codes) of a
+    concatenated image-data sub-block stream. Returns the index list."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def reset():
+        return {i: [i] for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev: list[int] | None = None
+    next_code = eoi + 1
+    while bitpos + width <= nbits:
+        code = 0
+        for b in range(width):
+            byte = data[(bitpos + b) >> 3]
+            code |= ((byte >> ((bitpos + b) & 7)) & 1) << b
+        bitpos += width
+        if code == clear:
+            table, width = reset()
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + [prev[0]]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW stream")
+        if prev is not None and next_code - 1 == (1 << width) - 1 and width < 12:
+            width += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) >= max_pixels:
+            break
+    return out[:max_pixels]
+
+
+def _decode_gif_pixels(data: bytes):
+    """Pure-Python GIF87a/89a pixel decode for the FIRST image frame
+    (global color table, no interlace): (width, height, 3, RGB channel
+    means). Real decode — LZW expansion + palette lookup."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    has_gct = packed & 0x80
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    palette = None
+    if has_gct:
+        palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct_size)]
+        pos += 3 * gct_size
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            ipacked = data[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                lct_size = 2 << (ipacked & 0x07)
+                palette = [
+                    tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(lct_size)
+                ]
+                pos += 3 * lct_size
+            if ipacked & 0x40 or palette is None:  # interlaced: unsupported
+                return None
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                stream.extend(data[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            idx = _lzw_decode(bytes(stream), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                return None
+            n = iw * ih
+            sums = [0, 0, 0]
+            for i in idx:
+                r, g, b2 = palette[i % len(palette)]
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b2
+            return iw, ih, 3, [round(s / n, 6) for s in sums]
+        else:
+            break
+    return None

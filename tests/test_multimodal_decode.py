@@ -154,3 +154,91 @@ def test_audio_samples_op_on_spark(spark):
     got = {r["DOC_ID"]: r for r in out.collect()}
     assert got[0]["N_FRAMES"] == 2 and got[0]["CHANNEL_MEANS"] == "20.000000,30.000000"
     assert got[1]["DECODER"] == "unsupported"
+
+
+def make_gif(indices, palette, width, height, min_code=2) -> bytes:
+    """Independent 'uncompressed-style' GIF encoder: literal LZW codes with
+    CLEAR emitted whenever the code width would have to grow — a valid
+    stream any conformant decoder must accept."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    cwidth = min_code + 1
+    bits = []
+
+    def emit(code):
+        for b in range(cwidth):
+            bits.append((code >> b) & 1)
+
+    emit(clear)
+    next_code = eoi + 1
+    prev_emitted = False
+    for idx in indices:
+        if prev_emitted:
+            # decoder will add one table entry after this code; pre-clear if
+            # that would force a width bump
+            if next_code + 1 >= (1 << cwidth):
+                emit(clear)
+                next_code = eoi + 1
+                prev_emitted = False
+                emit(idx)
+                prev_emitted = True
+                continue
+            next_code += 1
+        emit(idx)
+        prev_emitted = True
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i:i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    # global color table sized 2^min_code... GIF packed field: 2<<n entries
+    gct_pow = min_code - 1  # 2 << (min_code-1) == 1 << min_code
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | gct_pow)  # GCT present
+    out += bytes([0, 0])  # bg color, aspect
+    for r, g, b in palette[: 1 << min_code]:
+        out += bytes([r, g, b])
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(min_code)
+    pos = 0
+    while pos < len(data):
+        n = min(255, len(data) - pos)
+        out.append(n)
+        out += data[pos:pos + n]
+        pos += n
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip():
+    import random
+
+    from rasgoql_spark.functions.multimodal import _decode_gif_pixels
+
+    rng = random.Random(3)
+    palette = [(10, 20, 30), (200, 100, 0), (0, 0, 255), (255, 255, 255)]
+    w, h = 7, 5
+    idx = [rng.randrange(4) for _ in range(w * h)]
+    gif = make_gif(idx, palette, w, h)
+    got = _decode_gif_pixels(gif)
+    assert got is not None
+    gw, gh, gc, means = got
+    assert (gw, gh, gc) == (w, h, 3)
+    for ch in range(3):
+        want = sum(palette[i][ch] for i in idx) / (w * h)
+        assert abs(means[ch] - round(want, 6)) < 1e-9
+    assert _decode_gif_pixels(b"GIF89a junk") is None
+
+
+def test_image_pixels_op_decodes_gif(spark):
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [1] * 6  # solid red 3x2
+    gif = make_gif(idx, palette, 3, 2)
+    df = spark.createDataFrame([(0, bytearray(gif))], "doc_id long, img binary")
+    out = rql.get_transform("image_pixels").apply(
+        df, binary_col="img", id_col="doc_id").collect()[0]
+    assert out["DECODER"] == "gif-pure"
+    assert (out["WIDTH"], out["HEIGHT"]) == (3, 2)
+    assert out["CHANNEL_MEANS"] == "255.000000,0.000000,0.000000"
