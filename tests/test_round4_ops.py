@@ -323,3 +323,25 @@ def test_quantiles_approx_close_to_exact(session):
     a = {r["l_returnflag"]: r["L_EXTENDEDPRICE_Q50"] for r in approx.collect()}
     for k in e:
         assert abs(a[k] - e[k]) / max(abs(e[k]), 1) < 0.05
+
+
+def test_round4_ops_tolerate_null_text(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "real text here")], "doc_id long, text string")
+    fp = rql.get_transform("winnow_fingerprint").apply(df, text="text").collect()
+    by_id = {r["doc_id"]: r for r in fp}
+    assert by_id[0]["WINNOW_FP"] == [] and by_id[0]["N_FP"] == 0
+    assert by_id[1]["N_FP"] >= 1
+
+    lp = rql.get_transform("bigram_logprob").apply(
+        df, text="text", id_col="doc_id").collect()
+    scores = {r["doc_id"]: r["AVG_BIGRAM_LOGPROB"] for r in lp}
+    assert scores[0] == 0.0 and scores[1] != 0.0
+
+    tn = rql.get_transform("text_normalize").apply(df, text="text").collect()
+    vals = {r["doc_id"]: r["TEXT_NORM"] for r in tn}
+    assert vals[0] is None and vals[1] == "real text here"
+
+    pairs = rql.get_transform("dedup_winnow").apply(
+        df, text="text", id_col="doc_id").collect()
+    assert pairs == []
