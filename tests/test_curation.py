@@ -278,3 +278,55 @@ def test_dedup_url(spark):
         df, url="url", id_col="id", keep="max")
     assert sorted(r["id"] for r in mx.select("id").collect()) \
         == [4, 5, 6, 7, 8, 9, 10]  # NULL url (7) always kept
+
+
+def test_round4_pipeline_end_to_end(session, tmp_path):
+    """The round-4 curation pipeline: text normalization -> winnow overlap
+    dedup -> bigram LM scoring -> quality cut on the LM score ->
+    token-budget sampling -> sharded JSONL sink, plus a mixture_weights
+    report. Heavy multi-join stages are MATERIALIZED between steps (persist
+    here; save() to a table in production) — composing them lazily makes
+    every downstream consumer re-execute the dedup anti-join and the LM
+    count joins, the classic pipeline-boundary mistake."""
+    import glob
+
+    import rasgoql_spark as rql
+
+    docs = session.dataset("documents").filter(
+        filter_statements=["doc_id < 150"])
+    deduped = (
+        docs
+        .text_normalize(text="text", name="text")
+        .dedup_winnow(text="text", id_col="doc_id", threshold=0.6, mode="filter")
+        .df.persist()
+    )
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= 150
+
+    scored = (
+        rql.SQLChain(session, deduped, "r4_deduped")
+        .bigram_logprob(text="text", id_col="doc_id")
+        .df.persist()
+    )
+    med = scored.approxQuantile("AVG_BIGRAM_LOGPROB", [0.5], 0.0)[0]
+    kept = rql.SQLChain(session, scored, "r4_scored").filter(
+        filter_statements=[f"AVG_BIGRAM_LOGPROB >= {med}"])
+
+    budgeted = kept.token_count(text="text").sample_to_token_budget(
+        token_count_col="TOKEN_COUNT", budget=5000, id_col="doc_id", seed=11)
+    n_rows = budgeted.df.count()
+    assert 0 < n_rows <= n_dedup
+    total = budgeted.df.agg({"TOKEN_COUNT": "sum"}).collect()[0][0]
+    assert total <= 5000 + 400  # budget + one overshoot doc
+
+    report = kept.mixture_weights(domain="lang").df.collect()
+    assert abs(sum(r["WEIGHT"] for r in report) - 1.0) < 1e-4
+
+    out = str(tmp_path / "r4_shards")
+    budgeted.save_shards(out, rows_per_shard=50, num_shards=2, file_format="json")
+    files = glob.glob(out + "/*.json")
+    assert files
+    n_lines = sum(1 for f in files for _ in open(f))
+    assert n_lines == n_rows
+    deduped.unpersist()
+    scored.unpersist()
