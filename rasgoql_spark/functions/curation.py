@@ -874,19 +874,25 @@ def bigram_logprob(
         ).alias("__p"),
     ).select("__id", F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
     bi = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__cb"))
-    scored = (
-        pairs.join(bi, on=["__a", "__b"], how="left")
-        .join(uni.select(F.col("__w").alias("__a"), F.col("__cu").alias("__ca")), on="__a", how="left")
-        .join(uni.select(F.col("__w").alias("__b"), F.col("__cu").alias("__cb_u")), on="__b", how="left")
-        .crossJoin(F.broadcast(stats))
-    )
-    denom_bi = F.coalesce(F.col("__ca"), F.lit(0)) + F.lit(alpha) * (F.col("__V") + 1)
-    p_bi = (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(alpha)) / denom_bi
+    # score each DISTINCT bigram once (the stat joins run over the
+    # vocabulary-bounded bigram table), then the big pairs table joins ONE
+    # slim (a, b, logp) table — one shuffle of the corpus-sized side
+    # instead of three. Self-fit => every pair and token exists in the
+    # count tables, so inner joins are exact.
+    denom_bi = F.col("__ca") + F.lit(alpha) * (F.col("__V") + 1)
+    p_bi = (F.col("__cb") + F.lit(alpha)) / denom_bi
     denom_u = F.col("__N") + F.lit(alpha) * (F.col("__V") + 1)
-    p_uni = (F.coalesce(F.col("__cb_u"), F.lit(0)) + F.lit(alpha)) / denom_u
-    logp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
-    agg = scored.groupBy("__id").agg(
-        F.round(F.avg(logp), round_to).alias("AVG_BIGRAM_LOGPROB")
+    p_uni = (F.col("__cb_u") + F.lit(alpha)) / denom_u
+    blog = (
+        bi.join(uni.select(F.col("__w").alias("__a"), F.col("__cu").alias("__ca")), on="__a")
+        .join(uni.select(F.col("__w").alias("__b"), F.col("__cu").alias("__cb_u")), on="__b")
+        .crossJoin(F.broadcast(stats))
+        .select("__a", "__b", F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni).alias("__lp"))
+    )
+    agg = (
+        pairs.join(blog, on=["__a", "__b"])
+        .groupBy("__id")
+        .agg(F.round(F.avg("__lp"), round_to).alias("AVG_BIGRAM_LOGPROB"))
     )
     return df.join(agg.withColumnRenamed("__id", i), on=i, how="left").withColumn(
         "AVG_BIGRAM_LOGPROB", F.coalesce("AVG_BIGRAM_LOGPROB", F.lit(0.0))
@@ -958,17 +964,20 @@ def _r_bigram_logprob(source, text, id_col, lam=0.7, alpha=1.0, round_to=6) -> s
         f"FROM ({toks}) WHERE size(__t) >= 2)"
     )
     bi = f"SELECT __a, __b, count(1) AS __cb FROM ({pairs}) GROUP BY __a, __b"
-    scored = (
-        f"SELECT f.__id, ln({l} * (COALESCE(bic.__cb, 0) + {a}) / "
-        f"(COALESCE(ca.__cu, 0) + {a} * (__V + 1)) + {one_minus} * "
-        f"(COALESCE(cbu.__cu, 0) + {a}) / (__N + {a} * (__V + 1))) AS __lp "
-        f"FROM ({pairs}) f LEFT JOIN ({bi}) bic ON f.__a = bic.__a AND f.__b = bic.__b "
-        f"LEFT JOIN ({uni}) ca ON f.__a = ca.__w "
-        f"LEFT JOIN ({uni}) cbu ON f.__b = cbu.__w CROSS JOIN ({stats})"
+    # mirror the DataFrame shape exactly: score distinct bigrams once, then
+    # one join for the pairs table (parity requires the identical plan shape
+    # — a different join order changes double-accumulation at the 6dp edge)
+    blog = (
+        f"SELECT bic.__a, bic.__b, ln({l} * (bic.__cb + {a}) / "
+        f"(ca.__cu + {a} * (__V + 1)) + {one_minus} * "
+        f"(cbu.__cu + {a}) / (__N + {a} * (__V + 1))) AS __lp "
+        f"FROM ({bi}) bic JOIN ({uni}) ca ON bic.__a = ca.__w "
+        f"JOIN ({uni}) cbu ON bic.__b = cbu.__w CROSS JOIN ({stats})"
     )
     agg = (
         f"SELECT __id, ROUND(avg(__lp), {round_to}) AS AVG_BIGRAM_LOGPROB "
-        f"FROM ({scored}) GROUP BY __id"
+        f"FROM ({pairs}) f JOIN ({blog}) b ON f.__a = b.__a AND f.__b = b.__b "
+        f"GROUP BY __id"
     )
     return (
         f"SELECT s.*, COALESCE(AVG_BIGRAM_LOGPROB, 0.0) AS AVG_BIGRAM_LOGPROB "
