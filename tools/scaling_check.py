@@ -20,6 +20,7 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 QUERIES = [
     "filter_project", "aggregate", "join_agg", "rolling_agg",
     "tumbling_window", "dedup_minhash", "similarity_search",
+    "dedup_winnow", "bigram_logprob",
 ]
 
 
@@ -52,8 +53,17 @@ def main() -> int:
         out.append(
             f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {ratio:.1f}× |"
         )
+    # preserve the hand-written stress-check sections below the main table
+    tail = ""
+    try:
+        old = open("/root/repo/SCALING.md").read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(out) + "\n")
+        f.write("\n".join(out) + "\n" + tail)
     print("wrote SCALING.md")
     return 0
 
