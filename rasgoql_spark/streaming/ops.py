@@ -440,3 +440,43 @@ def write_stream_to_table(df: DataFrame, table: str, checkpoint: str, mode: str 
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_stream_shards(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    rows_per_shard: int | None = None,
+    num_shards: int | None = None,
+    by=None,
+    file_format: str = "json",
+):
+    """Stream → training shards: each micro-batch lands as size-controlled
+    shard files under ``path/batch=<id>/`` (same sizing controls as
+    ``save_shards``: per-file row cap via ``maxRecordsPerFile``, optional
+    key co-location via hash repartition). ``foreachBatch`` + checkpoint
+    gives exactly-once per-batch delivery; batch subdirectories make
+    reprocessing idempotent — rewriting a batch replaces its directory
+    rather than appending duplicates. The terminal step of a streaming
+    corpus-ingestion pipeline."""
+    from ..operators._util import as_list, resolve_cols
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        out = batch_df
+        keys = resolve_cols(out, as_list(by))
+        if keys:
+            n = num_shards or out.sparkSession.sparkContext.defaultParallelism
+            out = out.repartition(n, *[F.col(k) for k in keys])
+        elif num_shards:
+            out = out.repartition(num_shards)
+        writer = out.write.mode("overwrite").format(file_format)
+        if rows_per_shard:
+            writer = writer.option("maxRecordsPerFile", int(rows_per_shard))
+        writer.save(f"{path}/batch={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -367,3 +367,30 @@ def test_round4_rowlocal_ops_on_stream_match_batch(spark, tmp_path_factory):
              .text_normalize(text="text", strip_punct=True)).df
     exp = {r["doc_id"]: (tuple(r["WINNOW_FP"]), r["N_FP"], r["TEXT_NORM"]) for r in batch.collect()}
     assert got == exp and len(got) == 60
+
+
+def test_write_stream_shards(spark, events_stream_dir, tmp_path):
+    """Streaming corpus -> sharded sink: every micro-batch lands as bounded
+    shard files; total rows across all batch directories equal the input."""
+    import glob
+    import json
+
+    from rasgoql_spark.streaming.ops import write_stream_shards
+
+    sdf = read_events_stream(spark, events_stream_dir)
+    out = str(tmp_path / "stream_shards")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_stream_shards(
+        sdf.select("event_id", "event_type"), out, ckpt,
+        rows_per_shard=500, num_shards=2)
+    q.awaitTermination(120)
+    batch_dirs = glob.glob(out + "/batch=*")
+    assert len(batch_dirs) >= 2  # one per micro-batch (3 input files)
+    n = 0
+    for f in glob.glob(out + "/batch=*/*.json"):
+        with open(f) as fh:
+            for line in fh:
+                json.loads(line)
+                n += 1
+    expected = spark.read.parquet(events_stream_dir).count()
+    assert n == expected
