@@ -1014,6 +1014,42 @@ def q_pack_sequences(spark, sf):
     )
 
 
+# Repetition synth for the span-dedup ops: prepend the document's own
+# first-8-token block twice, so at span=8 the second copy (and, where the
+# doc's own opening 8 tokens align, a third) is an exact span repeat — both
+# engines synthesize the same string, so the oracle exercises real removal.
+_SPAN_APPLY = (
+    "SELECT doc_id, concat_ws(' ', __blk, __blk, text) AS text FROM "
+    "(SELECT doc_id, concat_ws(' ', slice(split(text, '\\\\s+'), 1, 8)) AS __blk, "
+    "text FROM {{source_table}})"
+)
+
+_SPAN_SYNTH_DUCK = (
+    "SELECT doc_id, concat_ws(' ', __blk, __blk, text) AS text FROM "
+    "(SELECT doc_id, array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1, 8), ' ') "
+    "AS __blk, text FROM documents)"
+)
+
+
+def q_remove_repeated_spans(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .apply(sql=_SPAN_APPLY)
+        .remove_repeated_spans(text="text", span=8)
+        .drop_columns(include_cols=["doc_id", "TEXT_DEDUPED", "SPANS_REMOVED"])
+        .df
+    )
+
+
+def q_dedup_spans(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .dedup_spans(text="text", id_col="doc_id", span=4)
+        .drop_columns(include_cols=["doc_id", "lang", "TEXT_DEDUPED", "SPANS_REMOVED"])
+        .df
+    )
+
+
 # Deterministic URL soup for the url ops: four surface forms, where the
 # %4∈{0,1} pairs with matching host index canonicalize identically — both
 # engines synthesize the same input, so the oracle exercises the full
@@ -2624,6 +2660,41 @@ ranked AS (
             "CAST(len(toks[ci * 32 + 1 : ci * 32 + 40]) AS BIGINT) AS CHUNK_TOKENS "
             "FROM c, unnest(range(c.num)) AS u(ci)"
         ),
+        "remove_repeated_spans": (
+            f"WITH synth AS ({_SPAN_SYNTH_DUCK}), "
+            f"t AS (SELECT doc_id, {_toks()} AS toks FROM synth), "
+            "c AS (SELECT doc_id, toks, CAST(CEIL(len(toks) / 8.0) AS BIGINT) AS num "
+            "FROM t WHERE len(toks) > 0), "
+            "sp AS (SELECT doc_id, CAST(u.j AS INT) AS j, "
+            "array_to_string(toks[j * 8 + 1 : j * 8 + 8], ' ') AS s "
+            "FROM c, unnest(range(c.num)) AS u(j)), "
+            "k AS (SELECT doc_id, j, s, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id, s ORDER BY j) AS rn FROM sp), "
+            "agg AS (SELECT doc_id, "
+            "string_agg(s, ' ' ORDER BY j) FILTER (WHERE rn = 1) AS TEXT_DEDUPED, "
+            "COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS removed "
+            "FROM k GROUP BY doc_id) "
+            "SELECT s.doc_id, COALESCE(a.TEXT_DEDUPED, '') AS TEXT_DEDUPED, "
+            "CAST(COALESCE(a.removed, 0) AS BIGINT) AS SPANS_REMOVED "
+            "FROM synth s LEFT JOIN agg a USING (doc_id)"
+        ),
+        "dedup_spans": (
+            f"WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents), "
+            "c AS (SELECT doc_id, toks, CAST(CEIL(len(toks) / 4.0) AS BIGINT) AS num "
+            "FROM t WHERE len(toks) > 0), "
+            "sp AS (SELECT doc_id, CAST(u.j AS INT) AS j, "
+            "array_to_string(toks[j * 4 + 1 : j * 4 + 4], ' ') AS s "
+            "FROM c, unnest(range(c.num)) AS u(j)), "
+            "k AS (SELECT doc_id, j, s, ROW_NUMBER() OVER "
+            "(PARTITION BY s ORDER BY doc_id, j) AS rn FROM sp), "
+            "agg AS (SELECT doc_id, "
+            "string_agg(s, ' ' ORDER BY j) FILTER (WHERE rn = 1) AS TEXT_DEDUPED, "
+            "COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS removed "
+            "FROM k GROUP BY doc_id) "
+            "SELECT d.doc_id, d.lang, COALESCE(a.TEXT_DEDUPED, '') AS TEXT_DEDUPED, "
+            "CAST(COALESCE(a.removed, 0) AS BIGINT) AS SPANS_REMOVED "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
         "corpus_stats": (
             f"SELECT lang, CAST(COUNT(1) AS BIGINT) AS N_DOCS, "
             f"CAST(SUM({n_tokens_sql}) AS BIGINT) AS TOTAL_TOKENS, "
@@ -2930,6 +3001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "dedup_keep_best": q_dedup_keep_best,
         "embedding_join": q_embedding_join,
+        "remove_repeated_spans": q_remove_repeated_spans,
+        "dedup_spans": q_dedup_spans,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
