@@ -1050,6 +1050,15 @@ def q_dedup_spans(spark, sf):
     )
 
 
+def q_nb_classify(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .nb_classify(text="text", label_col="lang", id_col="doc_id")
+        .drop_columns(include_cols=["doc_id", "lang", "NB_PRED", "NB_LOGPROB"])
+        .df
+    )
+
+
 # Deterministic URL soup for the url ops: four surface forms, where the
 # %4∈{0,1} pairs with matching host index canonicalize identically — both
 # engines synthesize the same input, so the oracle exercises the full
@@ -2695,6 +2704,34 @@ ranked AS (
             "CAST(COALESCE(a.removed, 0) AS BIGINT) AS SPANS_REMOVED "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
+        "nb_classify": (
+            f"WITH base AS (SELECT doc_id, CAST(lang AS VARCHAR) AS lab, {_toks()} AS t "
+            "FROM documents), "
+            "labels AS (SELECT DISTINCT lab FROM base), "
+            "pairs AS (SELECT doc_id, unnest(t) AS tok FROM base), "
+            "tl AS (SELECT tok, lab, COUNT(*) AS ctl FROM "
+            "(SELECT lab, unnest(t) AS tok FROM base) GROUP BY tok, lab), "
+            "lstats AS (SELECT lab, CAST(SUM(len(t)) AS DOUBLE) AS cl, "
+            "CAST(COUNT(*) AS DOUBLE) AS dl FROM base GROUP BY lab), "
+            "g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base), "
+            "v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS nv FROM pairs), "
+            "scored AS (SELECT p.doc_id, l.lab, "
+            "SUM(ln((COALESCE(tl.ctl, 0) + 1.0) / (ls.cl + 1.0 * v.nv))) AS sll "
+            "FROM pairs p CROSS JOIN labels l "
+            "LEFT JOIN tl ON tl.tok = p.tok AND tl.lab = l.lab "
+            "JOIN lstats ls ON ls.lab = l.lab CROSS JOIN v "
+            "GROUP BY p.doc_id, l.lab), "
+            "wp AS (SELECT s.doc_id, s.lab, round(s.sll + ln(ls.dl / g.n), 6) AS score "
+            "FROM scored s JOIN lstats ls USING (lab) CROSS JOIN g), "
+            "best AS (SELECT doc_id, lab, score, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, lab) AS rn FROM wp), "
+            "pb AS (SELECT lab, round(ln(ls.dl / g.n), 6) AS score "
+            "FROM lstats ls CROSS JOIN g ORDER BY score DESC, lab LIMIT 1) "
+            "SELECT d.doc_id, d.lang, COALESCE(b.lab, pb.lab) AS NB_PRED, "
+            "COALESCE(b.score, pb.score) AS NB_LOGPROB "
+            "FROM documents d "
+            "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id) CROSS JOIN pb"
+        ),
         "corpus_stats": (
             f"SELECT lang, CAST(COUNT(1) AS BIGINT) AS N_DOCS, "
             f"CAST(SUM({n_tokens_sql}) AS BIGINT) AS TOTAL_TOKENS, "
@@ -3003,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_join": q_embedding_join,
         "remove_repeated_spans": q_remove_repeated_spans,
         "dedup_spans": q_dedup_spans,
+        "nb_classify": q_nb_classify,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -1,0 +1,155 @@
+"""Multinomial Naive Bayes text classification — the closed-form cousin of
+the fastText-style linear classifiers used for corpus quality and language
+filtering (public technique: add-alpha-smoothed multinomial NB, e.g.
+Manning/Raghavan/Schütze IR book ch. 13). Training is a single counting
+aggregation (no iterative optimization), which is what makes the operator
+both 100 TB-friendly and exactly replayable in ANSI SQL for the oracle.
+
+Model, fit on the input corpus itself:
+    P(label)      = docs(label) / docs            (MLE prior)
+    P(token|label)= (C(token,label) + alpha) / (C(label) + alpha * V)
+score(doc, label) = ln P(label) + sum_tokens ln P(token|label); the
+prediction is the argmax over labels (ties -> lexicographically smallest
+label) with scores rounded to ``round_to`` decimals so both engines rank
+identically.
+
+100 TB design: the (token, label) count table and label statistics are
+vocabulary-bounded aggregations with map-side partial combine; the corpus
+ships once as slim (id, token) pairs; the labels frame (distinct labels,
+bounded by ``max_labels``) broadcasts, so the per-label expansion is a
+BroadcastNestedLoopJoin of L small rows — the corpus never shuffles more
+than its own token count, and nothing iterates. Zero Python on data.
+
+No counterpart in the reference (rasgoql has no ML scoring); public
+technique only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col, spread
+from ..registry import spark_transform
+from ._hash import tokens_expr
+
+
+@spark_transform("nb_classify", category="ml", streaming_ok=False)
+def nb_classify(
+    df: DataFrame,
+    text: str,
+    label_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+    round_to: int = 6,
+    max_labels: int = 1000,
+) -> DataFrame:
+    """Append ``NB_PRED`` (predicted label) and ``NB_LOGPROB`` (the rounded
+    joint log-probability of the winning label) from a multinomial NB model
+    fit on this corpus's (text, label) pairs. Self-fit is the corpus-
+    diagnostic mode (how separable are my labels? which docs look mislabeled
+    at low margin?); to score a different corpus, fit here and join the
+    produced columns, or run the same transform on a union.
+
+    Docs with zero tokens fall back to the prior-only argmax. Raises if the
+    label column has more than ``max_labels`` distinct values (the per-label
+    broadcast expansion is designed for label cardinality, not key
+    cardinality).
+    """
+    if alpha <= 0:
+        raise ParameterException("alpha must be > 0")
+    t = resolve_col(df, text)
+    lab = resolve_col(df, label_col)
+    i = resolve_col(df, id_col)
+
+    base = spread(df).select(
+        F.col(i).alias("__id"),
+        F.col(lab).cast("string").alias("__lab"),
+        tokens_expr(F.col(t)).alias("__t"),
+    )
+    labels = base.select("__lab").distinct()
+    n_labels = labels.count()  # bounded action: distinct labels
+    if n_labels > max_labels:
+        raise ParameterException(
+            f"{lab!r} has {n_labels} distinct values (max_labels={max_labels})"
+        )
+
+    pairs = base.select("__id", F.explode("__t").alias("__tok"))
+    # vocabulary-bounded count tables (partial-combine aggregations)
+    tl = (
+        base.select("__lab", F.explode("__t").alias("__tok"))
+        .groupBy("__tok", "__lab")
+        .agg(F.count(F.lit(1)).alias("__ctl"))
+    )
+    lstats = base.groupBy("__lab").agg(
+        F.sum(F.size("__t")).cast("double").alias("__cl"),
+        F.count(F.lit(1)).cast("double").alias("__dl"),
+    )
+    gstats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    vocab = pairs.select("__tok").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__v")
+    )
+
+    # per-(doc, label) token log-likelihood sums: corpus pairs fan out only
+    # by the broadcast label frame; the (token, label) join is AQE-sized
+    scored = (
+        pairs.crossJoin(F.broadcast(labels))
+        .join(tl, on=["__tok", "__lab"], how="left")
+        .join(F.broadcast(lstats), on="__lab")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__id",
+            "__lab",
+            F.log(
+                (F.coalesce(F.col("__ctl"), F.lit(0)) + F.lit(alpha))
+                / (F.col("__cl") + F.lit(alpha) * F.col("__v"))
+            ).alias("__ll"),
+        )
+        .groupBy("__id", "__lab")
+        .agg(F.sum("__ll").alias("__sll"))
+    )
+    with_prior = (
+        scored.join(F.broadcast(lstats.select("__lab", "__dl")), on="__lab")
+        .crossJoin(F.broadcast(gstats))
+        .select(
+            "__id",
+            "__lab",
+            F.round(F.col("__sll") + F.log(F.col("__dl") / F.col("__n")), round_to)
+            .alias("__score"),
+        )
+    )
+    # argmax via min(struct(-score, label)): highest score, ties -> smallest
+    # label — a skew-free hash aggregation, no window
+    best = (
+        with_prior.groupBy("__id")
+        .agg(F.min(F.struct(F.negate(F.col("__score")).alias("__ns"), F.col("__lab"))).alias("__b"))
+        .select(
+            "__id",
+            F.col("__b.__lab").alias("NB_PRED"),
+            F.negate(F.col("__b.__ns")).alias("NB_LOGPROB"),
+        )
+    )
+    # prior-only fallback for zero-token docs (one-row broadcast)
+    prior_best = (
+        lstats.crossJoin(gstats)
+        .select(
+            F.round(F.log(F.col("__dl") / F.col("__n")), round_to).alias("__score"),
+            "__lab",
+        )
+        .agg(F.min(F.struct(F.negate(F.col("__score")).alias("__ns"), F.col("__lab"))).alias("__b"))
+        .select(
+            F.col("__b.__lab").alias("__fallback_pred"),
+            F.negate(F.col("__b.__ns")).alias("__fallback_lp"),
+        )
+    )
+    out = (
+        df.join(best.withColumnRenamed("__id", i), on=i, how="left")
+        .crossJoin(F.broadcast(prior_best))
+        .withColumn("NB_PRED", F.coalesce("NB_PRED", "__fallback_pred"))
+        .withColumn("NB_LOGPROB", F.coalesce("NB_LOGPROB", "__fallback_lp"))
+        .drop("__fallback_pred", "__fallback_lp")
+    )
+    return out
