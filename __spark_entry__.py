@@ -1059,6 +1059,15 @@ def q_nb_classify(spark, sf):
     )
 
 
+def q_kmeans_cluster(spark, sf):
+    return (
+        _s(spark, sf).dataset("embeddings")
+        .kmeans_cluster(vec_col="embedding", id_col="vec_id", k=8, iterations=1)
+        .drop_columns(include_cols=["vec_id", "label", "CLUSTER_ID"])
+        .df
+    )
+
+
 # Deterministic URL soup for the url ops: four surface forms, where the
 # %4∈{0,1} pairs with matching host index canonicalize identically — both
 # engines synthesize the same input, so the oracle exercises the full
@@ -2704,6 +2713,42 @@ ranked AS (
             "CAST(COALESCE(a.removed, 0) AS BIGINT) AS SPANS_REMOVED "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
+        # unrolled deterministic Lloyd pass (k=8, iterations=1): seeds from
+        # the 8 lowest vec_ids, sims rounded to 6 dp before every argmax,
+        # centroid components rounded to 9 dp — the same contract the Spark
+        # operator enforces (functions/cluster.py), so the fit replays
+        # exactly.
+        "kmeans_cluster": (
+            "WITH nv AS (SELECT vec_id, CASE WHEN "
+            "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
+            "THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / "
+            "sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9)) "
+            "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS u "
+            "FROM embeddings), "
+            "seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, u "
+            "FROM (SELECT vec_id, u FROM nv ORDER BY vec_id LIMIT 8)), "
+            "x1 AS (SELECT nv.vec_id, nv.u, s.cid, "
+            "round(list_sum(list_transform(range(1, 65), i -> nv.u[i] * s.u[i])), 6) AS sim "
+            "FROM nv CROSS JOIN seeds s), "
+            "a1 AS (SELECT vec_id, u, cid FROM (SELECT *, ROW_NUMBER() OVER "
+            "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x1) WHERE rn = 1), "
+            "mm AS (SELECT cid, pos, round(avg(val), 9) AS mv FROM "
+            "(SELECT cid, unnest(u) AS val, generate_subscripts(u, 1) AS pos FROM a1) "
+            "GROUP BY cid, pos), "
+            "magg AS (SELECT cid, list(mv ORDER BY pos) AS mu FROM mm GROUP BY cid), "
+            "cents AS (SELECT s.cid, COALESCE(CASE WHEN "
+            "sqrt(list_sum(list_transform(m.mu, x -> x * x))) > 0 "
+            "THEN list_transform(m.mu, x -> round(x / "
+            "sqrt(list_sum(list_transform(m.mu, y -> y * y))), 9)) ELSE m.mu END, s.u) AS u "
+            "FROM seeds s LEFT JOIN magg m USING (cid)), "
+            "x2 AS (SELECT nv.vec_id, c.cid, "
+            "round(list_sum(list_transform(range(1, 65), i -> nv.u[i] * c.u[i])), 6) AS sim "
+            "FROM nv CROSS JOIN cents c) "
+            "SELECT e.vec_id, e.label, b.cid AS CLUSTER_ID FROM embeddings e JOIN "
+            "(SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER "
+            "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x2) WHERE rn = 1) b "
+            "USING (vec_id)"
+        ),
         "nb_classify": (
             f"WITH base AS (SELECT doc_id, CAST(lang AS VARCHAR) AS lab, {_toks()} AS t "
             "FROM documents), "
@@ -3041,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_repeated_spans": q_remove_repeated_spans,
         "dedup_spans": q_dedup_spans,
         "nb_classify": q_nb_classify,
+        "kmeans_cluster": q_kmeans_cluster,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -1,0 +1,142 @@
+"""Deterministic distributed k-means clustering over embedding columns
+(spherical k-means / Lloyd's algorithm — public technique). Corpus-level
+document clustering is a standard LLM-pipeline step: topic bucketing for
+mixture design, cluster-based quality triage, semantic sharding.
+
+Determinism contract (what makes an exact cross-engine oracle possible,
+unlike typical randomized k-means):
+- seeds = the unit-normalized vectors of the ``k`` LOWEST ids;
+- every cosine is rounded to ``round_to`` decimals BEFORE the argmax
+  (ties -> lowest centroid id);
+- centroid components are rounded to 9 decimals after normalization and
+  after every Lloyd mean — double-precision summation order differs across
+  engines (and across Spark partitionings), and the rounding absorbs it.
+The whole fit — seed, ``iterations`` Lloyd passes, final assignment — can
+then be replayed bit-for-bit as unrolled ANSI SQL, which is exactly what
+the DuckDB oracle does.
+
+100 TB design (same shape as the IVF index build, similarity.py): vectors
+normalize row-locally; the k centroids are a bounded driver collect
+(k·dim doubles) re-embedded as literals, so every assignment pass is a
+shuffle-free projection — the corpus never joins or explodes for
+assignment. Only the Lloyd re-average shuffles, and it ships slim
+(cid, pos, value) triples with partial combine. Python never touches
+row data.
+
+No counterpart in the reference; cites the public algorithm only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col, spread
+from ..registry import spark_transform
+from ._cache import release_with
+
+CENT_ROUND = 9  # decimals kept on centroid components (both engines)
+
+
+def _unit_rounded(df: DataFrame, vec_col: str, out_col: str = "__u") -> DataFrame:
+    """Append a unit-normalized, 9-dp-rounded double copy of ``vec_col``.
+    The norm is staged in its own column (HOF staging rule — see
+    similarity._with_normalized); zero-norm vectors pass through as plain
+    double casts."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        df.withColumn("__vnorm", norm)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__vnorm") > 0,
+                F.transform(v, lambda x: F.round(x.cast("double") / F.col("__vnorm"), CENT_ROUND)),
+            ).otherwise(F.transform(v, lambda x: x.cast("double"))),
+        )
+        .drop("__vnorm")
+    )
+
+
+def _cent_literals(cents: list) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("bigint").alias("c"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _assign_expr(cents: list, round_to: int, u_col: str = "__u") -> Column:
+    """CLUSTER_ID of the max-cosine centroid over ROUNDED sims; ties ->
+    lowest cid (max over struct(sim, -cid))."""
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = F.transform(
+        _cent_literals(cents),
+        lambda ce: F.struct(
+            F.round(dot(F.col(u_col), ce["v"]), round_to).alias("s"),
+            (-ce["c"]).alias("nc"),
+        ),
+    )
+    return (-F.array_max(sims)["nc"]).cast("bigint")
+
+
+def _renorm_py(vec: list) -> list:
+    s = sum(x * x for x in vec) ** 0.5
+    return [round(x / s, CENT_ROUND) for x in vec] if s > 0 else list(vec)
+
+
+@spark_transform("kmeans_cluster", category="similarity", streaming_ok=False)
+def kmeans_cluster(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iterations: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Append ``CLUSTER_ID`` (bigint, 0..k-1): spherical k-means assignment
+    after ``iterations`` deterministic Lloyd passes from lowest-id seeds.
+    A cluster left empty by a pass keeps its previous centroid.
+    """
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if iterations < 0:
+        raise ParameterException("iterations must be >= 0")
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    cached = _unit_rounded(
+        spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
+    ).persist()
+    seeds = cached.orderBy("__id").limit(k).select("__u").collect()
+    cents = [(j, [round(float(x), CENT_ROUND) for x in r["__u"]]) for j, r in enumerate(seeds)]
+    for _ in range(iterations):
+        assigned = cached.withColumn("__cid", _assign_expr(cents, round_to))
+        rows = (
+            assigned.select("__cid", F.posexplode("__u").alias("__pos", "__v"))
+            .groupBy("__cid", "__pos")
+            .agg(F.round(F.avg("__v"), CENT_ROUND).alias("__m"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault(r["__cid"], {})[r["__pos"]] = r["__m"]
+        cents = [
+            (cid, _renorm_py([acc[cid][p] for p in range(len(acc[cid]))]) if cid in acc else old)
+            for cid, old in cents
+        ]
+    out_assign = cached.withColumn("CLUSTER_ID", _assign_expr(cents, round_to)).select(
+        F.col("__id").alias(i), "CLUSTER_ID"
+    )
+    return release_with(df.join(out_assign, on=i, how="inner"), cached)

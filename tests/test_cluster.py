@@ -1,0 +1,69 @@
+"""Deterministic spherical k-means clustering."""
+
+import pytest
+
+import rasgoql_spark as rql
+
+
+def _km(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "id long, vec array<float>, tag string")
+    out = rql.get_transform("kmeans_cluster").apply(df, vec_col="vec", id_col="id", **kw)
+    return {r["id"]: r["CLUSTER_ID"] for r in out.collect()}
+
+
+# two tight direction-bundles in 4-d (spherical k-means clusters by angle)
+BUNDLES = [
+    (0, [1.0, 0.1, 0.0, 0.0], "a"),
+    (1, [0.9, 0.2, 0.0, 0.1], "a"),
+    (2, [1.0, 0.0, 0.1, 0.0], "a"),
+    (3, [0.0, 0.1, 1.0, 0.9], "b"),
+    (4, [0.1, 0.0, 0.9, 1.0], "b"),
+    (5, [0.0, 0.0, 1.0, 1.0], "b"),
+]
+
+
+def test_kmeans_separates_direction_bundles(spark):
+    got = _km(spark, BUNDLES, k=2, iterations=2)
+    assert len({got[0], got[1], got[2]}) == 1
+    assert len({got[3], got[4], got[5]}) == 1
+    assert got[0] != got[3]
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    a = _km(spark, BUNDLES, k=2, iterations=1)
+    b = _km(spark, BUNDLES, k=2, iterations=1)
+    assert a == b
+
+
+def test_kmeans_iterations_zero_is_seed_assignment(spark):
+    # with iterations=0 the centroids ARE the two lowest-id vectors
+    got = _km(spark, BUNDLES, k=2, iterations=0)
+    assert got[0] == 0  # seed 0 is its own nearest centroid
+    assert got[3] in (0, 1) and got[4] == got[3] and got[5] == got[3]
+
+
+def test_kmeans_k_exceeding_rows_keeps_empty_clusters_harmless(spark):
+    rows = BUNDLES[:3]
+    got = _km(spark, rows, k=8, iterations=1)
+    assert set(got) == {0, 1, 2}
+    assert all(0 <= c < 8 for c in got.values())
+
+
+def test_kmeans_zero_vector_is_assigned(spark):
+    rows = BUNDLES + [(6, [0.0, 0.0, 0.0, 0.0], "z")]
+    got = _km(spark, rows, k=2, iterations=1)
+    assert got[6] in (0, 1)  # all sims 0 -> tie -> lowest cid, never crashes
+
+
+def test_kmeans_param_validation(spark):
+    with pytest.raises(rql.ParameterException):
+        _km(spark, BUNDLES, k=0)
+    with pytest.raises(rql.ParameterException):
+        _km(spark, BUNDLES, k=2, iterations=-1)
+
+
+def test_kmeans_keeps_original_columns(spark):
+    df = spark.createDataFrame(BUNDLES, "id long, vec array<float>, tag string")
+    out = rql.get_transform("kmeans_cluster").apply(df, vec_col="vec", id_col="id", k=2)
+    assert set(out.columns) == {"id", "vec", "tag", "CLUSTER_ID"}
+    assert out.count() == 6
