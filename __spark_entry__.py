@@ -998,6 +998,11 @@ def q_dedup_minhash(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_minhash_similarity(spark, sf):
+    return _s(spark, sf).dataset("documents").minhash_similarity(
+        text="text", id_col="doc_id").df
+
+
 def q_text_chunk(spark, sf):
     return _s(spark, sf).dataset("documents").text_chunk(
         text="text", id_col="doc_id", chunk_size=40, overlap=8).df
@@ -1055,6 +1060,15 @@ def q_nb_classify(spark, sf):
         _s(spark, sf).dataset("documents")
         .nb_classify(text="text", label_col="lang", id_col="doc_id")
         .drop_columns(include_cols=["doc_id", "lang", "NB_PRED", "NB_LOGPROB"])
+        .df
+    )
+
+
+def q_embedding_outliers(spark, sf):
+    return (
+        _s(spark, sf).dataset("embeddings")
+        .embedding_outliers(vec_col="embedding", id_col="vec_id", bottom=0.1)
+        .drop_columns(include_cols=["vec_id", "label", "CENTROID_SIM", "IS_OUTLIER"])
         .df
     )
 
@@ -2641,6 +2655,25 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        # member-level equivalent of the engine's collapse+expand pipeline
+        # (identical sets share signatures, so the no-collapse replay is the
+        # same pair set); EST = agreeing-component fraction, exact k/16
+        "minhash_similarity": (
+            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+            f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
+            f"mh AS (SELECT doc_id, s, {minhash_cols} FROM sh), "
+            f"bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM mh), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id) "
+            "SELECT c.ida AS ID_A, c.idb AS ID_B, "
+            "CAST(("
+            + " + ".join(f"CASE WHEN ma.mh{j} = mb.mh{j} THEN 1 ELSE 0 END" for j in range(16))
+            + ") AS DOUBLE) / 16.0 AS EST_JACCARD, "
+            "CASE WHEN len(list_distinct(list_concat(ma.s, mb.s))) > 0 THEN "
+            "CAST(len(list_intersect(ma.s, mb.s)) AS DOUBLE) / "
+            "CAST(len(list_distinct(list_concat(ma.s, mb.s))) AS DOUBLE) ELSE 0.0 END AS JACCARD "
+            "FROM cand c JOIN mh ma ON ma.doc_id = c.ida JOIN mh mb ON mb.doc_id = c.idb"
+        ),
         "url_normalize": (
             f"WITH su AS ({_URL_SYNTH_DUCK}), "
             "nu AS (SELECT doc_id, url, trim(url) AS u FROM su) "
@@ -2748,6 +2781,26 @@ ranked AS (
             "(SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER "
             "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x2) WHERE rn = 1) b "
             "USING (vec_id)"
+        ),
+        "embedding_outliers": (
+            "WITH nv AS (SELECT vec_id, CASE WHEN "
+            "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
+            "THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / "
+            "sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9)) "
+            "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS u "
+            "FROM embeddings), "
+            "mm AS (SELECT pos, round(avg(val), 9) AS m FROM "
+            "(SELECT unnest(u) AS val, generate_subscripts(u, 1) AS pos FROM nv) GROUP BY pos), "
+            "c0 AS (SELECT list(m ORDER BY pos) AS c FROM mm), "
+            "cent AS (SELECT CASE WHEN sqrt(list_sum(list_transform(c, x -> x * x))) > 0 "
+            "THEN list_transform(c, x -> round(x / "
+            "sqrt(list_sum(list_transform(c, y -> y * y))), 9)) ELSE c END AS c FROM c0), "
+            "sims AS (SELECT nv.vec_id, "
+            "round(list_sum(list_transform(range(1, 65), i -> nv.u[i] * cent.c[i])), 6) "
+            "AS CENTROID_SIM FROM nv CROSS JOIN cent), "
+            "thr AS (SELECT round(quantile_cont(CENTROID_SIM, 0.1), 6) AS t FROM sims) "
+            "SELECT e.vec_id, e.label, s.CENTROID_SIM, s.CENTROID_SIM <= thr.t AS IS_OUTLIER "
+            "FROM sims s CROSS JOIN thr JOIN embeddings e ON e.vec_id = s.vec_id"
         ),
         "nb_classify": (
             f"WITH base AS (SELECT doc_id, CAST(lang AS VARCHAR) AS lab, {_toks()} AS t "
@@ -3087,6 +3140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "nb_classify": q_nb_classify,
         "kmeans_cluster": q_kmeans_cluster,
+        "minhash_similarity": q_minhash_similarity,
+        "embedding_outliers": q_embedding_outliers,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -140,3 +140,74 @@ def kmeans_cluster(
         F.col("__id").alias(i), "CLUSTER_ID"
     )
     return release_with(df.join(out_assign, on=i, how="inner"), cached)
+
+
+@spark_transform("embedding_outliers", category="similarity", streaming_ok=False)
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bottom: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Append ``CENTROID_SIM`` (cosine to the corpus centroid direction,
+    rounded) and ``IS_OUTLIER`` (true for the ``bottom`` fraction by exact
+    interpolated percentile) — embedding-space anomaly triage: encoder
+    failures, off-domain content, and mojibake land far from the corpus
+    centroid. The deterministic-rounding contract matches kmeans_cluster
+    (9-dp centroid components, ``round_to``-dp sims), so the whole
+    computation replays exactly in SQL.
+
+    Scale: the centroid is ONE elementwise-mean aggregation shipping slim
+    (pos, value) pairs with partial combine; it returns as a one-row
+    broadcast, so scoring is a shuffle-free projection over the corpus.
+    The threshold is a single percentile aggregate, also broadcast back.
+    No driver-side data, no window over the corpus.
+    """
+    if not 0.0 <= bottom <= 1.0:
+        raise ParameterException("bottom must be in [0, 1]")
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    base = _unit_rounded(
+        spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec", "__u"
+    ).persist()
+    mean_row = (
+        base.select(F.posexplode("__u").alias("__pos", "__v"))
+        .groupBy("__pos")
+        .agg(F.round(F.avg("__v"), CENT_ROUND).alias("__m"))
+    )
+    c0 = mean_row.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))), lambda s: s["__m"]
+        ).alias("__c0")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__c0"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    cent = (
+        c0.withColumn("__n", norm)
+        .select(
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col("__c0"), lambda x: F.round(x / F.col("__n"), CENT_ROUND)),
+            )
+            .otherwise(F.col("__c0"))
+            .alias("__cent")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("__u", "__cent", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sims = base.crossJoin(F.broadcast(cent)).select(
+        "__id", F.round(dot, round_to).alias("CENTROID_SIM")
+    )
+    thr = sims.agg(
+        F.round(F.percentile("CENTROID_SIM", F.lit(bottom)), round_to).alias("__thr")
+    )
+    scored = (
+        sims.crossJoin(F.broadcast(thr))
+        .withColumn("IS_OUTLIER", F.col("CENTROID_SIM") <= F.col("__thr"))
+        .select(F.col("__id").alias(i), "CENTROID_SIM", "IS_OUTLIER")
+    )
+    return release_with(df.join(scored, on=i, how="inner"), base)

@@ -921,3 +921,113 @@ def dedup_keep_best(
         .select(i)
     )
     return df.join(best, on=i, how="left_semi")
+
+
+@spark_transform("minhash_similarity", category="dedup", streaming_ok=False)
+def minhash_similarity(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    min_est: float = 0.0,
+) -> DataFrame:
+    """Signature-agreement Jaccard ESTIMATE next to the exact Jaccard for
+    every LSH candidate pair — the threshold-calibration diagnostic for the
+    minhash family (public property: P[minhash_i(A)=minhash_i(B)] = J(A,B),
+    so the fraction of agreeing signature components is an unbiased J
+    estimator with stderr ~ sqrt(J(1-J)/num_hashes)). Run it on a corpus
+    sample to pick ``dedup_minhash`` thresholds/band counts with evidence
+    instead of folklore.
+
+    Output: (ID_A, ID_B, EST_JACCARD, JACCARD) for banded candidates with
+    ``EST_JACCARD >= min_est``. EST is k/num_hashes (exact binary fraction —
+    no rounding needed cross-engine); JACCARD is the exact set ratio.
+
+    Scale: identical pipeline shape as ``dedup_minhash`` — row-local
+    signatures, exact-duplicate collapse before banding (hot-bucket guard),
+    slim (id, band) self-join, per-candidate verification only; member
+    pairs re-expand after (intra-group pairs score est=1.0 by signature
+    identity).
+    """
+    if num_hashes % bands != 0:
+        raise ParameterException("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    cached_sig, has_dups, caches = _annotate_groups(
+        minhash_signatures(df, text, id_col, num_hashes, shingle_size),
+        F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))),
+        F.size("__sh") > 0,
+        probe_key=F.hash("__mh"),
+    )
+    members = cached_sig.select("__id", "__rep", "__ne")
+    rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.col("__mh")[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+        ).alias(f"__band{b}")
+        for b in range(bands)
+    ]
+    rep_sig = rep_sig.select("__id", "__sh", "__mh", *band_cols)
+    sig_tbl = rep_sig.select("__id", "__sh", "__mh")
+    bands_long = rep_sig.select(
+        "__id",
+        F.explode(F.array(*[F.col(f"__band{b}") for b in range(bands)])).alias("__band"),
+    )
+    left = bands_long.select(F.col("__id").alias("__id_a"), "__band")
+    right = bands_long.select(F.col("__id").alias("__id_b"), "__band")
+    cand_ids = (
+        left.join(right, on="__band")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select("__id_a", "__id_b")
+        .dropDuplicates(["__id_a", "__id_b"])
+    )
+    cand = cand_ids.join(
+        sig_tbl.select(
+            F.col("__id").alias("__id_a"),
+            F.col("__sh").alias("__sh_a"),
+            F.col("__mh").alias("__mh_a"),
+        ),
+        on="__id_a",
+    ).join(
+        sig_tbl.select(
+            F.col("__id").alias("__id_b"),
+            F.col("__sh").alias("__sh_b"),
+            F.col("__mh").alias("__mh_b"),
+        ),
+        on="__id_b",
+    )
+    agree = F.size(
+        F.filter(F.zip_with("__mh_a", "__mh_b", lambda x, y: x == y), lambda b: b)
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    jac = F.when(un > 0, inter / un).otherwise(F.lit(0.0))
+    rep_pairs = cand.select(
+        F.col("__id_a").alias("ID_A"),
+        F.col("__id_b").alias("ID_B"),
+        F.struct(est.alias("e"), jac.alias("j")).alias("__sc"),
+    )
+    # intra-group pairs: identical shingle sets => identical signatures =>
+    # est is exactly 1.0; exact J is 1.0 for non-empty sets, 0.0 for the
+    # (single) empty-set group — mirrors dedup_minhash's intra scoring
+    intra = F.when(
+        F.col("__ne"),
+        F.struct(F.lit(1.0).alias("e"), F.lit(1.0).alias("j")),
+    ).otherwise(F.struct(F.lit(1.0).alias("e"), F.lit(0.0).alias("j")))
+    expanded = _expand_collapsed(
+        rep_pairs, members, "pairs", "__sc", intra,
+        lambda c: c["e"] >= min_est, has_dups=has_dups,
+    )
+    out = expanded.filter(F.col("__sc.e") >= min_est).select(
+        "ID_A",
+        "ID_B",
+        F.col("__sc.e").alias("EST_JACCARD"),
+        F.col("__sc.j").alias("JACCARD"),
+    )
+    return release_with(out, *caches)
