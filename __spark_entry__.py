@@ -1064,6 +1064,57 @@ def q_nb_classify(spark, sf):
     )
 
 
+def q_pq_encode(spark, sf):
+    from pyspark.sql import functions as F
+
+    df = (
+        _s(spark, sf).dataset("embeddings")
+        .pq_encode(vec_col="embedding", id_col="vec_id", m=4, codebook_size=8,
+                   iterations=1)
+        .df
+    )
+    # stringify the code array (driver canonicalizer can't sort lists)
+    return df.select(
+        "vec_id",
+        "label",
+        F.concat_ws("-", F.transform("PQ_CODE", lambda x: x.cast("string"))).alias(
+            "PQ_CODE"
+        ),
+    )
+
+
+def q_pq_search(spark, sf):
+    """IVF-style verification summary: PQ/ADC top-10 against the exact
+    brute-force ranking — N_RETURNED, containment in the exact top-50
+    (>= 5 of 10), recall@10 >= 1, and the exact top-10 cosine floor."""
+    from pyspark.sql import functions as F
+
+    ds = _s(spark, sf).dataset("embeddings")
+    pq = ds.pq_search(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10,
+        m=8, codebook_size=16, iterations=2,
+    ).df.select("QUERY_ID", "MATCH_ID")
+    b50 = ds.similarity_search(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=50
+    ).df.select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
+    j = pq.join(b50, ["QUERY_ID", "MATCH_ID"], "left")
+    agg = j.groupBy("QUERY_ID").agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_RETURNED"),
+        (F.sum(F.when(F.col("RANK").isNotNull(), 1).otherwise(0)) >= F.lit(5)).alias(
+            "IN_TOP50_OK"
+        ),
+        (F.sum(F.when(F.col("RANK") <= 10, 1).otherwise(0)) >= F.lit(1)).alias(
+            "RECALL10_OK"
+        ),
+    )
+    mins = (
+        b50.filter(F.col("RANK") <= 10)
+        .groupBy("QUERY_ID")
+        .agg(F.min("COSINE").alias("TOP10_MIN_COSINE"))
+    )
+    return agg.join(mins, "QUERY_ID")
+
+
 def q_embedding_outliers(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -1949,6 +2000,46 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)"
     )
 
+    # --- product quantization (m=4, d_sub=16, codebook 8, 1 Lloyd pass):
+    # per-subspace unrolled replay of functions/pq.py's determinism contract
+    pq_nv = (
+        "nv AS (SELECT vec_id, CASE WHEN "
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
+        "THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / "
+        "sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9)) "
+        "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS u FROM embeddings)"
+    )
+    pq_ctes = [pq_nv]
+    for s in range(4):
+        lo, hi = s * 16 + 1, s * 16 + 16
+        dist = (
+            "round(list_sum(list_transform(range(1, 17), "
+            "i -> (t.v[i] - s.v[i]) * (t.v[i] - s.v[i]))), 6)"
+        )
+        pq_ctes += [
+            f"sub{s} AS (SELECT vec_id, u[{lo}:{hi}] AS v FROM nv)",
+            f"seeds{s} AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, v "
+            f"FROM (SELECT vec_id, v FROM sub{s} ORDER BY vec_id LIMIT 8))",
+            f"x{s} AS (SELECT t.vec_id, s.c, {dist} AS d FROM sub{s} t CROSS JOIN seeds{s} s)",
+            f"a{s} AS (SELECT vec_id, c FROM (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY d, c) AS rn FROM x{s}) WHERE rn = 1)",
+            f"mm{s} AS (SELECT c, pos, round(avg(val), 9) AS mv FROM "
+            f"(SELECT a{s}.c, unnest(t.v) AS val, generate_subscripts(t.v, 1) AS pos "
+            f"FROM sub{s} t JOIN a{s} ON a{s}.vec_id = t.vec_id) GROUP BY c, pos)",
+            f"cents{s} AS (SELECT s.c, COALESCE(m.v, s.v) AS v FROM seeds{s} s LEFT JOIN "
+            f"(SELECT c, list(mv ORDER BY pos) AS v FROM mm{s} GROUP BY c) m USING (c))",
+            f"y{s} AS (SELECT t.vec_id, s.c, {dist} AS d FROM sub{s} t CROSS JOIN cents{s} s)",
+            f"f{s} AS (SELECT vec_id, c FROM (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY d, c) AS rn FROM y{s}) WHERE rn = 1)",
+        ]
+    pq_encode_sql = (
+        "WITH " + ", ".join(pq_ctes) + " "
+        "SELECT e.vec_id, e.label, concat_ws('-', f0.c, f1.c, f2.c, f3.c) AS PQ_CODE "
+        "FROM embeddings e "
+        "JOIN f0 ON f0.vec_id = e.vec_id JOIN f1 ON f1.vec_id = e.vec_id "
+        "JOIN f2 ON f2.vec_id = e.vec_id JOIN f3 ON f3.vec_id = e.vec_id"
+    )
+
     minhash_pairs_sql = (
         f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
         f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
@@ -2782,6 +2873,13 @@ ranked AS (
             "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x2) WHERE rn = 1) b "
             "USING (vec_id)"
         ),
+        "pq_encode": pq_encode_sql,
+        "pq_search": sim_base + (
+            ", t10 AS (SELECT QUERY_ID, MIN(COSINE) AS TOP10_MIN_COSINE "
+            "FROM ranked WHERE RANK <= 10 GROUP BY QUERY_ID) "
+            "SELECT QUERY_ID, CAST(10 AS BIGINT) AS N_RETURNED, "
+            "true AS IN_TOP50_OK, true AS RECALL10_OK, TOP10_MIN_COSINE FROM t10"
+        ),
         "embedding_outliers": (
             "WITH nv AS (SELECT vec_id, CASE WHEN "
             "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
@@ -3142,6 +3240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster": q_kmeans_cluster,
         "minhash_similarity": q_minhash_similarity,
         "embedding_outliers": q_embedding_outliers,
+        "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -1,0 +1,233 @@
+"""Product quantization (PQ) for embedding columns — Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search" (public technique).
+Vectors are unit-normalized, split into ``m`` subspaces, and each subspace
+is vector-quantized against its own ``codebook_size``-entry codebook, so a
+64-d float vector compresses to ``m`` small ints. ``pq_search`` scores by
+asymmetric distance computation (ADC): the query stays full-precision and
+dot(q, reconstruction(x)) decomposes EXACTLY into per-subspace lookups —
+one table lookup per subspace per candidate, no vector math in the scan.
+
+Determinism contract (same as kmeans_cluster): lowest-id seeds, sub-vector
+distances rounded to ``round_to`` before every argmin (ties -> lowest code),
+codebook components rounded to 9 dp after every Lloyd mean. The training
+replay is therefore exact SQL, which the pq_encode oracle runs; pq_search
+gets an IVF-style verification-summary oracle (ADC top-k against the exact
+brute-force ranking).
+
+100 TB design: codebooks are a bounded driver collect (m · codebook_size ·
+dim/m = dim · codebook_size doubles) embedded as literals — encoding and
+ADC scoring are shuffle-free projections; the corpus never joins for
+assignment. Training aggregations ship slim (subspace, code, pos, value)
+tuples with partial combine, all m subspaces in ONE aggregation pass per
+Lloyd iteration. Python never touches row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col, spread
+from ..registry import spark_transform
+from ._cache import release_with
+from .cluster import CENT_ROUND, _unit_rounded
+
+
+def _sq_dist(a: Column, b) -> Column:
+    """Sequential-fold squared L2 — same evaluation order both engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _code_expr(sub_col: str, codebook: list, round_to: int) -> Column:
+    """argmin code over ROUNDED squared distances; ties -> lowest code."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).cast("int").alias("c"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+            )
+            for c, vec in codebook
+        ]
+    )
+    dists = F.transform(
+        cents,
+        lambda ce: F.struct(
+            F.round(_sq_dist(F.col(sub_col), ce["v"]), round_to).alias("d"),
+            ce["c"].alias("c"),
+        ),
+    )
+    return F.array_min(dists)["c"]
+
+
+def _stage_subvectors(df: DataFrame, m: int, d_sub: int, u_col: str = "__u") -> DataFrame:
+    """Materialize each subspace slice behind a projection boundary (HOF
+    staging rule): the argmin lambda evaluates its input once per codebook
+    entry, so it must reference a plain column, not the slice expression."""
+    return df.withColumns(
+        {f"__s{s}": F.slice(F.col(u_col), s * d_sub + 1, d_sub) for s in range(m)}
+    )
+
+
+def _train_codebooks(
+    staged: DataFrame, m: int, d_sub: int, codebook_size: int, iterations: int, round_to: int
+) -> list:
+    """Deterministic per-subspace Lloyd. ``staged`` must be persisted with
+    __id, __s0..__s{m-1}. Returns [subspace][(code, centroid)] lists."""
+    seed_rows = staged.orderBy("__id").limit(codebook_size).select(
+        *[f"__s{s}" for s in range(m)]
+    ).collect()
+    books = [
+        [(c, [round(float(x), CENT_ROUND) for x in r[f"__s{s}"]])
+         for c, r in enumerate(seed_rows)]
+        for s in range(m)
+    ]
+    for _ in range(iterations):
+        codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
+        assigned = staged.withColumn("__codes", codes)
+        sub_structs = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.alias("s"),
+                F.element_at("__codes", s + 1).alias("c"),
+                F.slice("__u", s * d_sub + 1, d_sub).alias("v"),
+            ),
+        )
+        # ONE aggregation pass covers every subspace: slim (s, c, pos, val)
+        rows = (
+            assigned.select(F.explode(sub_structs).alias("x"))
+            .select("x.s", "x.c", F.posexplode("x.v").alias("__pos", "__val"))
+            .groupBy("s", "c", "__pos")
+            .agg(F.round(F.avg("__val"), CENT_ROUND).alias("__m"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault((r["s"], r["c"]), {})[r["__pos"]] = r["__m"]
+        books = [
+            [
+                (c, [acc[(s, c)][p] for p in range(d_sub)]) if (s, c) in acc else (c, old)
+                for c, old in books[s]
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+@spark_transform("pq_encode", category="similarity", streaming_ok=False)
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    codebook_size: int = 8,
+    iterations: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Append ``PQ_CODE`` (array<int>, length ``m``): the product-quantized
+    compression of the unit-normalized vector. ~dim·4-byte floats become m
+    small ints — the memory layout that makes billion-vector ANN fit."""
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    staged, d_sub, cached = _staged_corpus(df, v, i, m)
+    books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
+    codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
+    out = staged.withColumn("PQ_CODE", codes).select(F.col("__id").alias(i), "PQ_CODE")
+    return release_with(df.join(out, on=i, how="inner"), cached)
+
+
+def _staged_corpus(df: DataFrame, v: str, i: str, m: int):
+    first_dim = df.select(F.size(F.col(v)).alias("d")).first()
+    if first_dim is None:
+        raise ParameterException("input is empty")
+    dim = int(first_dim["d"])
+    if m < 1 or dim % m != 0:
+        raise ParameterException(f"m must divide the vector dimension ({dim})")
+    d_sub = dim // m
+    staged = _stage_subvectors(
+        _unit_rounded(
+            spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
+        ),
+        m,
+        d_sub,
+    ).persist()
+    return staged, d_sub, staged
+
+
+@spark_transform("pq_search", category="similarity", streaming_ok=False)
+def pq_search(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: list,
+    k: int = 10,
+    m: int = 4,
+    codebook_size: int = 8,
+    iterations: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-``k`` by ADC over PQ codes: for each query, the score
+    against candidate x is dot(q, reconstruction(x)) = sum_s LUT_s[code_s] —
+    ``m`` array lookups per candidate, embedded as literals, so the scan is
+    a shuffle-free projection. Output (QUERY_ID, MATCH_ID, ADC_SCORE, RANK);
+    queries never match themselves. The exactness ceiling is the codebook
+    resolution — calibrate with the verification summary the oracle query
+    runs (containment in the exact top-50)."""
+    if not query_ids:
+        raise ParameterException("query_ids must be non-empty")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    staged, d_sub, cached = _staged_corpus(df, v, i, m)
+    books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
+    codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
+    encoded = staged.withColumn("__codes", codes).select("__id", "__codes")
+    qrows = (
+        staged.filter(F.col("__id").isin([int(q) for q in query_ids]))
+        .select("__id", *[f"__s{s}" for s in range(m)])
+        .collect()
+    )
+    luts = {
+        int(r["__id"]): [
+            [
+                sum(a * b for a, b in zip(r[f"__s{s}"], vec))
+                for _, vec in books[s]
+            ]
+            for s in range(m)
+        ]
+        for r in qrows
+    }
+    per_query = []
+    for qid in sorted(luts):
+        lut = luts[qid]
+        score = F.round(
+            sum(
+                F.element_at(
+                    F.array(*[F.lit(float(x)) for x in lut[s]]),
+                    F.element_at("__codes", s + 1) + 1,
+                )
+                for s in range(m)
+            ),
+            round_to,
+        )
+        per_query.append(
+            encoded.filter(F.col("__id") != qid).select(
+                F.lit(qid).cast("bigint").alias("QUERY_ID"),
+                F.col("__id").alias("MATCH_ID"),
+                score.alias("ADC_SCORE"),
+            )
+        )
+    union = per_query[0]
+    for p in per_query[1:]:
+        union = union.unionByName(p)
+    w = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("ADC_SCORE").desc(), F.col("MATCH_ID").asc()
+    )
+    out = (
+        union.withColumn("RANK", F.row_number().over(w).cast("int"))
+        .filter(F.col("RANK") <= k)
+    )
+    return release_with(out, cached)
