@@ -1064,6 +1064,18 @@ def q_nb_classify(spark, sf):
     )
 
 
+_BLOCKLIST = ["site3.com", "site17.com", "site29.com", "site4.com"]
+
+
+def q_filter_urls(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .apply(sql=_URL_APPLY)
+        .filter_urls(url="url", blocklist=_BLOCKLIST, mode="flag")
+        .df
+    )
+
+
 def q_pq_encode(spark, sf):
     from pyspark.sql import functions as F
 
@@ -2873,6 +2885,19 @@ ranked AS (
             "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x2) WHERE rn = 1) b "
             "USING (vec_id)"
         ),
+        "filter_urls": (
+            f"WITH synth AS ({_URL_SYNTH_DUCK}), "
+            "h AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace("
+            "lower(regexp_extract(regexp_replace(trim(url), "
+            "'^([A-Za-z][A-Za-z0-9+.\\-]*)://', ''), '^([^/?#]+)', 1)), "
+            "'^www\\.', ''), ':\\d+$', ''), '\\.$', '') AS host FROM synth), "
+            "s AS (SELECT doc_id, url, string_split(host, '.') AS parts FROM h) "
+            "SELECT doc_id, url, list_has_any("
+            "list_transform(range(1, len(parts) + 1), i -> "
+            "array_to_string(parts[i:len(parts)], '.')), "
+            "['site3.com', 'site17.com', 'site29.com', 'site4.com']) AS URL_BLOCKED "
+            "FROM s"
+        ),
         "pq_encode": pq_encode_sql,
         "pq_search": sim_base + (
             ", t10 AS (SELECT QUERY_ID, MIN(COSINE) AS TOP10_MIN_COSINE "
@@ -3242,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
+        "filter_urls": q_filter_urls,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -983,3 +983,102 @@ def _r_bigram_logprob(source, text, id_col, lam=0.7, alpha=1.0, round_to=6) -> s
         f"SELECT s.*, COALESCE(AVG_BIGRAM_LOGPROB, 0.0) AS AVG_BIGRAM_LOGPROB "
         f"FROM {source} s LEFT JOIN ({agg}) ON s.{id_col} = __id"
     )
+
+
+def _host_suffixes(u: Column) -> Column:
+    """array<string> of the URL host's domain-suffix chain
+    (``a.b.example.com`` -> [a.b.example.com, b.example.com, example.com,
+    com]) — lowercased, www./port/trailing-dot stripped, so blocklists match
+    any subdomain of a listed domain. Row-local regex/array expressions."""
+    rest = F.regexp_replace(F.trim(u), _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.regexp_replace(host, r":\d+$", "")
+    host = F.regexp_replace(host, r"\.$", "")
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.concat_ws(".", F.slice(parts, i, F.size(parts))),
+    )
+
+
+@spark_transform("filter_urls", category="curation")
+def filter_urls(
+    df: DataFrame,
+    url: str,
+    blocklist=None,
+    blocklist_df: DataFrame | None = None,
+    domain_col: str = "domain",
+    mode: str = "remove",
+    max_literal: int = 10_000,
+) -> DataFrame:
+    """Domain-blocklist filtering — the first gate of every crawl pipeline
+    (spam/adult/SEO-farm domain lists). A row matches when ANY suffix of its
+    URL host equals a listed domain, so ``example.com`` blocks
+    ``a.b.example.com`` too.
+
+    ``blocklist`` (list[str], <= ``max_literal``): matching is a row-local
+    ``arrays_overlap`` against a literal array — zero shuffle, streaming-ok.
+    ``blocklist_df`` (+``domain_col``): production-size lists join instead —
+    a broadcast left_anti/left_semi on the exploded suffix chain, corpus
+    shuffles nothing. ``mode``: 'remove' drops matches, 'keep' keeps only
+    matches (allowlist), 'flag' appends boolean ``URL_BLOCKED`` (literal
+    path only).
+    """
+    if mode not in ("remove", "keep", "flag"):
+        raise ParameterException("mode must be 'remove', 'keep', or 'flag'")
+    if (blocklist is None) == (blocklist_df is None):
+        raise ParameterException("pass exactly one of blocklist / blocklist_df")
+    u = F.col(resolve_col(df, url))
+    sufs = _host_suffixes(u)
+    if blocklist is not None:
+        if len(blocklist) > max_literal:
+            raise ParameterException(
+                f"blocklist has {len(blocklist)} entries (> {max_literal}); "
+                "pass it as blocklist_df instead"
+            )
+        lit = F.array(*[F.lit(str(d).lower()) for d in blocklist])
+        hit = F.arrays_overlap(sufs, lit)
+        if mode == "flag":
+            return df.withColumn("URL_BLOCKED", hit)
+        return df.filter(~hit if mode == "remove" else hit)
+    if mode == "flag":
+        raise ParameterException("mode='flag' requires a literal blocklist")
+    bl = F.broadcast(
+        blocklist_df.select(
+            F.lower(F.col(resolve_col(blocklist_df, domain_col))).alias("__dom")
+        ).distinct()
+    )
+    staged = df.withColumn("__sufs", sufs)
+    how = "left_anti" if mode == "remove" else "left_semi"
+    out = staged.join(bl, F.array_contains(F.col("__sufs"), F.col("__dom")), how)
+    return out.drop("__sufs")
+
+
+@renderer("filter_urls")
+def _r_filter_urls(
+    source, url, blocklist=None, blocklist_df=None, domain_col="domain",
+    mode="remove", max_literal=10_000, _input_columns=()
+) -> str:
+    from ..errors import TransformRenderingException
+
+    if blocklist is None:
+        raise TransformRenderingException(
+            "filter_urls renders only with a literal blocklist"
+        )
+    rest = f"regexp_replace(trim({url}), '{_sql_escape(_SCHEME_RE)}', '')"
+    host = f"lower(regexp_extract({rest}, '^([^/?#]+)', 1))"
+    host = f"regexp_replace({host}, '^www\\\\.', '')"
+    host = f"regexp_replace({host}, ':\\\\d+$', '')"
+    host = f"regexp_replace({host}, '\\\\.$', '')"
+    parts = f"split({host}, '\\\\.')"
+    sufs = (
+        f"transform(sequence(1, size({parts})), "
+        f"i -> concat_ws('.', slice({parts}, i, size({parts}))))"
+    )
+    arr = "array(" + ", ".join(f"'{str(d).lower()}'" for d in blocklist) + ")"
+    hit = f"arrays_overlap({sufs}, {arr})"
+    if mode == "flag":
+        return f"SELECT *, {hit} AS URL_BLOCKED FROM {source}"
+    cond = f"NOT {hit}" if mode == "remove" else hit
+    return f"SELECT * FROM {source} WHERE {cond}"
