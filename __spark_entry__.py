@@ -1369,6 +1369,18 @@ def q_dedup_against(spark, sf):
         text="text", id_col="doc_id", reference=ref, method="exact").df
 
 
+def q_dedup_against_bloom(spark, sf):
+    # bloom prefilter + exact confirm == plain exact anti-join, so the
+    # oracle is the same NOT EXISTS shape as dedup_against; small filter
+    # (2^14 bits) to force real false-positive traffic through the confirm
+    s = _s(spark, sf)
+    batch = s.dataset("documents").apply(sql=_BOILERPLATE_APPLY)
+    ref = batch.filter(filter_statements=["doc_id % 5 = 0"])
+    return batch.dedup_against_bloom(
+        text="text", id_col="doc_id", reference=ref,
+        bits_log2=14, num_hashes=3).df
+
+
 def q_dedup_against_minhash(spark, sf):
     s = _s(spark, sf)
     batch = s.dataset("documents").filter(filter_statements=["doc_id % 10 != 0"])
@@ -2438,6 +2450,14 @@ ranked AS (
             f"WHERE r.doc_id % 10 = 0 AND md5({fp_norm.replace('text', 'r.text')}) = "
             f"md5({fp_norm.replace('text', 't.text')}))"
         ),
+        "dedup_against_bloom": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "'Shared boilerplate legal disclaimer text.' ELSE text END AS text, "
+            "lang FROM documents) "
+            "SELECT t.* FROM t WHERE NOT EXISTS (SELECT 1 FROM t r "
+            f"WHERE r.doc_id % 5 = 0 AND md5({fp_norm.replace('text', 'r.text')}) = "
+            f"md5({fp_norm.replace('text', 't.text')}))"
+        ),
         "dedup_against_minhash": (
             f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
             f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
@@ -3268,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_search": q_pq_search,
         "filter_urls": q_filter_urls,
+        "dedup_against_bloom": q_dedup_against_bloom,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

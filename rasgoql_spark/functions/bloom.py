@@ -1,0 +1,147 @@
+"""Bloom-filter incremental dedup (public technique: Bloom 1970; the
+distributed-bitset-as-table formulation is the standard MapReduce/Spark
+semi-join filtering pattern).
+
+The production dedup shape at crawl scale is INCREMENTAL: every new batch is
+cleaned against the already-accepted corpus (see ``dedup_against``). A plain
+anti-join shuffles a fingerprint per REFERENCE row on every batch — at 100 TB
+the reference side dominates and repeats per batch. A Bloom filter bounds
+that cost by the filter size ``m``, not the corpus size:
+
+- ``bloom_bits`` reduces the reference to its set-bit positions — a DISTINCT
+  table of at most ``m = 2^bits_log2`` integers, built with one slim
+  ``(bit)`` shuffle. Build it ONCE, ``save()`` it, reuse it for every batch.
+- Membership is a single equi-join on the bit position: each batch row
+  explodes to ``num_hashes`` slim ``(id, bit)`` rows; a row is
+  bloom-positive iff all ``num_hashes`` bits are set. Spark 4.1 doesn't
+  expose ``bloom_filter_agg``/``might_contain`` as public SQL functions, and
+  a driver-side ``df.stat.bloomFilter`` object can't be applied JVM-side
+  from Python — the bitset-as-table form keeps everything in the JVM and
+  lets AQE broadcast the (bounded, usually tiny) bit table.
+- Bloom positives can be FALSE positives, so survivors pay an exact
+  fingerprint confirm against the reference — but only the positives do.
+  On a clean batch almost nothing reaches the reference join; the output is
+  bit-for-bit identical to the exact anti-join (no false negatives), which
+  is exactly what the DuckDB oracle checks.
+
+No counterpart in the reference repo; cites the public algorithm only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col
+from ..registry import spark_transform
+
+
+def _norm_fp(c: Column) -> Column:
+    """Normalized-content fingerprint — identical to dedup_against's exact
+    path so bloom-based and join-based incremental dedup agree row-for-row."""
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+            )
+        )
+    )
+
+
+def _bit_positions(fp: Column, num_hashes: int, m: int) -> Column:
+    """Array of ``num_hashes`` bit positions for one fingerprint:
+    ``xxhash64(fp, i) pmod m`` — 64-bit JVM hashing, no Python."""
+    return F.array(
+        *[F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(m)) for i in range(num_hashes)]
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    text: str,
+    bits_log2: int = 22,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """The distributed Bloom bitset for a corpus: one row per SET bit
+    (column ``BIT``, bigint in ``[0, 2^bits_log2)``).
+
+    Bounded by ``m`` no matter how large the corpus — build once over the
+    accepted training set, persist, reuse across crawl batches. The build is
+    one explode + DISTINCT on a single-int column (partial aggregation
+    collapses duplicates map-side, so the shuffle carries at most ``m``
+    values per partition)."""
+    if bits_log2 < 8 or bits_log2 > 40:
+        raise ParameterException("bits_log2 must be in [8, 40]")
+    if num_hashes < 1:
+        raise ParameterException("num_hashes must be >= 1")
+    t = resolve_col(df, text)
+    m = 1 << bits_log2
+    return (
+        df.select(
+            F.explode(_bit_positions(_norm_fp(F.col(t)), num_hashes, m)).alias("BIT")
+        )
+        .dropDuplicates(["BIT"])
+    )
+
+
+@spark_transform("dedup_against_bloom", category="dedup", streaming_ok=False)
+def dedup_against_bloom(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    reference: DataFrame,
+    ref_text: str | None = None,
+    bits_log2: int = 22,
+    num_hashes: int = 3,
+    bits: DataFrame | None = None,
+) -> DataFrame:
+    """Drop batch rows whose normalized content already exists in
+    ``reference``, using a Bloom prefilter so only bloom-POSITIVE rows pay
+    the exact reference join.
+
+    Output is exactly ``dedup_against(method='exact', mode='filter')`` —
+    the Bloom stage admits false positives (caught by the exact confirm)
+    and never false negatives.
+
+    Pass ``bits`` (a ``bloom_bits`` result, e.g. loaded from a saved table)
+    to skip the build and make the per-batch cost independent of reference
+    size: one broadcast-able bit-table join + an exact join over the few
+    positives. Plan shape at 100 TB: the batch explodes to ``num_hashes``
+    slim ``(id, bit)`` rows; the bit table is at most ``2^bits_log2`` ints
+    (32 MB of longs at the default 4M bits) so AQE broadcasts it; the
+    reference is scanned only by the positives' semi-join."""
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    rt = resolve_col(reference, ref_text or text)
+    m = 1 << bits_log2
+    if bits is None:
+        bits = bloom_bits(reference, rt, bits_log2, num_hashes)
+    bits = bits.select(F.col("BIT").alias("__bit"))
+
+    probes = df.select(
+        F.col(i).alias("__id"),
+        F.posexplode(_bit_positions(_norm_fp(F.col(t)), num_hashes, m)).alias(
+            "__hi", "__bit"
+        ),
+    )
+    # bloom-positive: every one of the num_hashes probe bits is set.
+    # rows are distinct in __hi per id, so surviving-count == num_hashes.
+    positive = (
+        probes.join(bits, on="__bit", how="left_semi")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == num_hashes)
+        .select("__id")
+    )
+    # exact confirm on the positives only — false positives survive here
+    confirmed = (
+        df.join(positive.withColumnRenamed("__id", i), on=i, how="left_semi")
+        .select(F.col(i).alias("__did"), _norm_fp(F.col(t)).alias("__fp"))
+        .join(
+            reference.select(_norm_fp(F.col(rt)).alias("__fp")).dropDuplicates(),
+            on="__fp",
+            how="left_semi",
+        )
+        .select(F.col("__did").alias(i))
+    )
+    return df.join(confirmed, on=i, how="left_anti")
