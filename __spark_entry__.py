@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import rasgoql_spark as rql  # noqa: E402
+from rasgoql_spark.functions.graph import pagerank_oracle_sql  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -1132,6 +1133,20 @@ def q_embedding_outliers(spark, sf):
         _s(spark, sf).dataset("embeddings")
         .embedding_outliers(vec_col="embedding", id_col="vec_id", bottom=0.1)
         .drop_columns(include_cols=["vec_id", "label", "CENTROID_SIM", "IS_OUTLIER"])
+        .df
+    )
+
+
+def q_pagerank(spark, sf):
+    # link graph derived from lineitem: part -> supplier (ids offset into a
+    # disjoint node space); 3 deterministic iterations with 9-dp rounding
+    s = _s(spark, sf)
+    edges = s.dataset("lineitem").apply(
+        sql="SELECT l_partkey AS src, 200000 + l_suppkey AS dst FROM {{source_table}}"
+    )
+    return (
+        edges.pagerank(src="src", dst="dst", damping=0.85, iterations=3)
+        .order(order_by=["NODE"])
         .df
     )
 
@@ -2874,6 +2889,10 @@ ranked AS (
         # centroid components rounded to 9 dp — the same contract the Spark
         # operator enforces (functions/cluster.py), so the fit replays
         # exactly.
+        "pagerank": pagerank_oracle_sql(
+            "SELECT l_partkey AS src, 200000 + l_suppkey AS dst FROM lineitem",
+            damping=0.85, iterations=3, round_to=9,
+        ) + " ORDER BY NODE",
         "kmeans_cluster": (
             "WITH nv AS (SELECT vec_id, CASE WHEN "
             "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
@@ -3289,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search": q_pq_search,
         "filter_urls": q_filter_urls,
         "dedup_against_bloom": q_dedup_against_bloom,
+        "pagerank": q_pagerank,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -1,0 +1,145 @@
+"""Graph centrality over edge tables (public technique: Brin & Page 1998).
+
+Link-graph authority is a first-class crawl-curation signal: Common Crawl
+publishes host-level link graphs and rank files precisely so pipelines can
+weight or gate documents by the linking structure of their origin. This
+module computes PageRank with the standard dangling-mass redistribution as
+pure DataFrame iteration — no GraphX/graphframes dependency (neither ships
+with a stock PySpark container).
+
+Determinism contract (same idea as cluster.kmeans_cluster): every rank is
+rounded to ``round_to`` decimals after each iteration, absorbing
+double-summation order differences across engines and partitionings, so the
+whole fixed-iteration computation replays as unrolled ANSI SQL — the DuckDB
+oracle does exactly that.
+
+100 TB design: ranks and out-degrees are slim ``(node, double)`` tables;
+each iteration is one edges-by-src join + one sum-by-dst shuffle — partial
+aggregation combines map-side, AQE handles skewed hub nodes. The dangling
+mass is a one-row aggregate broadcast back (never a collect of node data).
+``localCheckpoint`` every few rounds bounds lineage exactly like
+dedup.near_dup_clusters does for label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..operators._util import resolve_col
+from ..registry import spark_transform
+from ._cache import release_with
+
+RANK_ROUND_MAX = 15
+
+
+@spark_transform("pagerank", category="graph", streaming_ok=False)
+def pagerank(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    damping: float = 0.85,
+    iterations: int = 3,
+    round_to: int = 9,
+) -> DataFrame:
+    """PageRank over the edge list ``df[src] -> df[dst]``.
+
+    Returns ``(NODE, PAGERANK)`` for every node appearing as source or
+    target. Duplicate edges collapse to one; nodes with no out-edges
+    (dangling) redistribute their mass uniformly each iteration — the
+    standard formulation, so ranks sum to ~1.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ParameterException("damping must be in (0, 1)")
+    if iterations < 0:
+        raise ParameterException("iterations must be >= 0")
+    if not 1 <= round_to <= RANK_ROUND_MAX:
+        raise ParameterException(f"round_to must be in [1, {RANK_ROUND_MAX}]")
+    s, d = resolve_col(df, src), resolve_col(df, dst)
+    edges = (
+        df.select(F.col(s).alias("__src"), F.col(d).alias("__dst"))
+        .dropDuplicates(["__src", "__dst"])
+    )
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("__src").alias("__node"))
+        .union(edges.select(F.col("__dst").alias("__node")))
+        .dropDuplicates(["__node"])
+        .persist()
+    )
+    n = nodes.count()  # bounded driver scalar (node count), like BPE's loop
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            F.col("__node").alias("NODE"), F.lit(0.0).alias("PAGERANK")
+        )
+    outdeg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    base = (1.0 - damping) / n
+    ranks = nodes.select("__node", F.round(F.lit(1.0 / n), round_to).alias("__r"))
+    for it in range(iterations):
+        contrib = (
+            edges.join(ranks, edges["__src"] == ranks["__node"])
+            .join(outdeg, on="__src")
+            .select(F.col("__dst").alias("__node"), (F.col("__r") / F.col("__deg")).alias("__c"))
+            .groupBy("__node")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["__node"] == outdeg["__src"], "left_anti")
+            .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm"))
+        )
+        ranks = (
+            nodes.join(contrib, on="__node", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "__node",
+                F.round(
+                    F.lit(base)
+                    + damping
+                    * (F.coalesce(F.col("__sum"), F.lit(0.0)) + F.col("__dm") / n),
+                    round_to,
+                ).alias("__r"),
+            )
+        )
+        if (it + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    out = ranks.select(F.col("__node").alias("NODE"), F.col("__r").alias("PAGERANK"))
+    return release_with(out, edges, nodes)
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    iterations: int = 3,
+    round_to: int = 9,
+) -> str:
+    """Unrolled ANSI-SQL replay of :func:`pagerank` for DuckDB oracles.
+
+    ``edges_sql`` must yield columns ``src, dst``; the returned query yields
+    ``NODE, PAGERANK`` and matches the Spark result bit-for-bit under the
+    shared per-iteration rounding."""
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) c FROM nodes)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, ROUND(1.0 / (SELECT c FROM nn), {round_to}) r FROM nodes)",
+    ]
+    for i in range(iterations):
+        p, q = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"{q} AS (SELECT nodes.node, ROUND((1 - {d}) / (SELECT c FROM nn) + {d} * ("
+            f"COALESCE(c.s, 0) + (SELECT COALESCE(SUM({p}.r), 0) FROM {p} "
+            f"LEFT JOIN outdeg ON {p}.node = outdeg.src WHERE outdeg.src IS NULL)"
+            f" / (SELECT c FROM nn)), {round_to}) r FROM nodes LEFT JOIN "
+            f"(SELECT e.dst, SUM({p}.r / outdeg.deg) s FROM e "
+            f"JOIN {p} ON e.src = {p}.node JOIN outdeg ON e.src = outdeg.src "
+            f"GROUP BY e.dst) c ON nodes.node = c.dst)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node AS NODE, r AS PAGERANK FROM r{iterations}"
+    )
