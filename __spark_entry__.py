@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import rasgoql_spark as rql  # noqa: E402
 from rasgoql_spark.functions.graph import pagerank_oracle_sql  # noqa: E402
+from rasgoql_spark.functions.snapshot import diff_oracle_sql  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -1133,6 +1134,27 @@ def q_embedding_outliers(spark, sf):
         _s(spark, sf).dataset("embeddings")
         .embedding_outliers(vec_col="embedding", id_col="vec_id", bottom=0.1)
         .drop_columns(include_cols=["vec_id", "label", "CENTROID_SIM", "IS_OUTLIER"])
+        .df
+    )
+
+
+_OLD_SNAPSHOT_APPLY = (
+    "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END "
+    "AS text, lang, source, n_chars FROM {{source_table}} WHERE doc_id % 11 != 0 "
+    "UNION ALL SELECT doc_id + 100000, text, lang, source, n_chars "
+    "FROM {{source_table}} WHERE doc_id % 17 = 0"
+)
+
+
+def q_diff_datasets(spark, sf):
+    # new = live documents; old = synthesized prior snapshot with planted
+    # drops (%11 -> ADDED), edits (%13 -> CHANGED), extras (-> REMOVED)
+    s = _s(spark, sf)
+    new = s.dataset("documents")
+    old = s.dataset("documents").apply(sql=_OLD_SNAPSHOT_APPLY)
+    return (
+        new.diff_datasets(other=old, keys=["doc_id"])
+        .order(order_by=["doc_id"])
         .df
     )
 
@@ -2889,6 +2911,12 @@ ranked AS (
         # centroid components rounded to 9 dp — the same contract the Spark
         # operator enforces (functions/cluster.py), so the fit replays
         # exactly.
+        "diff_datasets": "SELECT * FROM (" + diff_oracle_sql(
+            "SELECT * FROM documents",
+            _OLD_SNAPSHOT_APPLY.replace("{{source_table}}", "documents"),
+            keys=["doc_id"],
+            compare_cols=["text", "lang", "source", "n_chars"],
+        ) + ") ORDER BY doc_id",
         "pagerank": pagerank_oracle_sql(
             "SELECT l_partkey AS src, 200000 + l_suppkey AS dst FROM lineitem",
             damping=0.85, iterations=3, round_to=9,
@@ -3309,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_urls": q_filter_urls,
         "dedup_against_bloom": q_dedup_against_bloom,
         "pagerank": q_pagerank,
+        "diff_datasets": q_diff_datasets,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
