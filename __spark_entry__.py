@@ -1138,12 +1138,58 @@ def q_embedding_outliers(spark, sf):
     )
 
 
+# Shared deterministic-kmeans CTE prefix (k=8, one Lloyd pass, 64-dim):
+# seeds from the 8 lowest vec_ids, sims rounded to 6 dp before every argmax,
+# centroid components rounded to 9 dp — the exact contract
+# functions/cluster.py enforces, so the fit replays bit-for-bit. Ends at
+# ``asg (vec_id, cid)``; kmeans_cluster and semantic_dedup both build on it.
+_KMEANS_CTES = (
+    "WITH nv AS (SELECT vec_id, CASE WHEN "
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
+    "THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / "
+    "sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9)) "
+    "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS u "
+    "FROM embeddings), "
+    "seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, u "
+    "FROM (SELECT vec_id, u FROM nv ORDER BY vec_id LIMIT 8)), "
+    "x1 AS (SELECT nv.vec_id, nv.u, s.cid, "
+    "round(list_sum(list_transform(range(1, 65), i -> nv.u[i] * s.u[i])), 6) AS sim "
+    "FROM nv CROSS JOIN seeds s), "
+    "a1 AS (SELECT vec_id, u, cid FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x1) WHERE rn = 1), "
+    "mm AS (SELECT cid, pos, round(avg(val), 9) AS mv FROM "
+    "(SELECT cid, unnest(u) AS val, generate_subscripts(u, 1) AS pos FROM a1) "
+    "GROUP BY cid, pos), "
+    "magg AS (SELECT cid, list(mv ORDER BY pos) AS mu FROM mm GROUP BY cid), "
+    "cents AS (SELECT s.cid, COALESCE(CASE WHEN "
+    "sqrt(list_sum(list_transform(m.mu, x -> x * x))) > 0 "
+    "THEN list_transform(m.mu, x -> round(x / "
+    "sqrt(list_sum(list_transform(m.mu, y -> y * y))), 9)) ELSE m.mu END, s.u) AS u "
+    "FROM seeds s LEFT JOIN magg m USING (cid)), "
+    "x2 AS (SELECT nv.vec_id, c.cid, "
+    "round(list_sum(list_transform(range(1, 65), i -> nv.u[i] * c.u[i])), 6) AS sim "
+    "FROM nv CROSS JOIN cents c), "
+    "asg AS (SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x2) WHERE rn = 1)"
+)
+
+
 _OLD_SNAPSHOT_APPLY = (
     "SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END "
     "AS text, lang, source, n_chars FROM {{source_table}} WHERE doc_id % 11 != 0 "
     "UNION ALL SELECT doc_id + 100000, text, lang, source, n_chars "
     "FROM {{source_table}} WHERE doc_id % 17 = 0"
 )
+
+
+def q_semantic_dedup(spark, sf):
+    return (
+        _s(spark, sf).dataset("embeddings")
+        .semantic_dedup(vec_col="embedding", id_col="vec_id", k=8,
+                        iterations=1, threshold=0.33)
+        .drop_columns(include_cols=["vec_id", "label", "CLUSTER_ID"])
+        .df
+    )
 
 
 def q_diff_datasets(spark, sf):
@@ -2922,35 +2968,21 @@ ranked AS (
             damping=0.85, iterations=3, round_to=9,
         ) + " ORDER BY NODE",
         "kmeans_cluster": (
-            "WITH nv AS (SELECT vec_id, CASE WHEN "
-            "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
-            "THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / "
-            "sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9)) "
-            "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS u "
-            "FROM embeddings), "
-            "seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, u "
-            "FROM (SELECT vec_id, u FROM nv ORDER BY vec_id LIMIT 8)), "
-            "x1 AS (SELECT nv.vec_id, nv.u, s.cid, "
-            "round(list_sum(list_transform(range(1, 65), i -> nv.u[i] * s.u[i])), 6) AS sim "
-            "FROM nv CROSS JOIN seeds s), "
-            "a1 AS (SELECT vec_id, u, cid FROM (SELECT *, ROW_NUMBER() OVER "
-            "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x1) WHERE rn = 1), "
-            "mm AS (SELECT cid, pos, round(avg(val), 9) AS mv FROM "
-            "(SELECT cid, unnest(u) AS val, generate_subscripts(u, 1) AS pos FROM a1) "
-            "GROUP BY cid, pos), "
-            "magg AS (SELECT cid, list(mv ORDER BY pos) AS mu FROM mm GROUP BY cid), "
-            "cents AS (SELECT s.cid, COALESCE(CASE WHEN "
-            "sqrt(list_sum(list_transform(m.mu, x -> x * x))) > 0 "
-            "THEN list_transform(m.mu, x -> round(x / "
-            "sqrt(list_sum(list_transform(m.mu, y -> y * y))), 9)) ELSE m.mu END, s.u) AS u "
-            "FROM seeds s LEFT JOIN magg m USING (cid)), "
-            "x2 AS (SELECT nv.vec_id, c.cid, "
-            "round(list_sum(list_transform(range(1, 65), i -> nv.u[i] * c.u[i])), 6) AS sim "
-            "FROM nv CROSS JOIN cents c) "
-            "SELECT e.vec_id, e.label, b.cid AS CLUSTER_ID FROM embeddings e JOIN "
-            "(SELECT vec_id, cid FROM (SELECT *, ROW_NUMBER() OVER "
-            "(PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM x2) WHERE rn = 1) b "
-            "USING (vec_id)"
+            _KMEANS_CTES
+            + " SELECT e.vec_id, e.label, asg.cid AS CLUSTER_ID "
+            "FROM embeddings e JOIN asg USING (vec_id)"
+        ),
+        # SemDeDup: same fit + assignment CTEs, then the within-cluster
+        # lower-id cosine NOT EXISTS drop rule on the shared unit vectors.
+        "semantic_dedup": (
+            _KMEANS_CTES
+            + ", uu AS (SELECT a.vec_id, a.cid, nv.u FROM asg a JOIN nv USING (vec_id)) "
+            "SELECT e.vec_id, e.label, a.cid AS CLUSTER_ID "
+            "FROM embeddings e JOIN asg a USING (vec_id) "
+            "WHERE NOT EXISTS (SELECT 1 FROM uu x JOIN uu y "
+            "ON x.cid = y.cid AND x.vec_id < y.vec_id "
+            "WHERE y.vec_id = e.vec_id AND "
+            "round(list_sum(list_transform(range(1, 65), i -> x.u[i] * y.u[i])), 6) >= 0.33)"
         ),
         "filter_urls": (
             f"WITH synth AS ({_URL_SYNTH_DUCK}), "
@@ -3338,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_bloom": q_dedup_against_bloom,
         "pagerank": q_pagerank,
         "diff_datasets": q_diff_datasets,
+        "semantic_dedup": q_semantic_dedup,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -211,3 +211,60 @@ def embedding_outliers(
         .select(F.col("__id").alias(i), "CENTROID_SIM", "IS_OUTLIER")
     )
     return release_with(df.join(scored, on=i, how="inner"), base)
+
+
+@spark_transform("semantic_dedup", category="similarity", streaming_ok=False)
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iterations: int = 1,
+    threshold: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public technique: Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): cluster embeddings with the deterministic
+    spherical k-means above, then inside each cluster drop every row that
+    has a LOWER-id neighbor with cosine >= ``threshold`` (rounded to
+    ``round_to`` before the compare — the same tie-stability contract as
+    the assignment step). Keeps original columns plus ``CLUSTER_ID``.
+
+    Scale: this is the whole point of the clustering stage — the cosine
+    self-join runs per-cluster, an equi-join on CLUSTER_ID, so candidate
+    pairs are O(sum of squared cluster sizes) instead of O(n^2); ``k``
+    tunes the bound. The drop set ships as bare ids for one anti-join.
+    Deterministic end-to-end, so the DuckDB oracle replays the full
+    fit + pair pass exactly.
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ParameterException("threshold must be in [-1, 1]")
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    assigned = kmeans_cluster(df, vec_col, id_col, k, iterations, round_to)
+    withu = _unit_rounded(
+        spread(assigned).select(
+            F.col(i).alias("__id"), F.col("CLUSTER_ID"), F.col(v).alias("__vec")
+        ),
+        "__vec",
+    ).persist()
+    a = withu.select(
+        F.col("__id").alias("__ida"), "CLUSTER_ID", F.col("__u").alias("__ua")
+    )
+    b = withu.select(
+        F.col("__id").alias("__idb"), "CLUSTER_ID", F.col("__u").alias("__ub")
+    )
+    dot = F.aggregate(
+        F.zip_with("__ua", "__ub", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    drops = (
+        a.join(b, on="CLUSTER_ID")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("__cos", F.round(dot, round_to))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__idb").alias(i))
+        .dropDuplicates()
+    )
+    return release_with(assigned.join(drops, on=i, how="left_anti"), withu)

@@ -67,3 +67,55 @@ def test_kmeans_keeps_original_columns(spark):
     out = rql.get_transform("kmeans_cluster").apply(df, vec_col="vec", id_col="id", k=2)
     assert set(out.columns) == {"id", "vec", "tag", "CLUSTER_ID"}
     assert out.count() == 6
+
+
+# ---------------------------------------------------------------- semantic_dedup
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    from rasgoql_spark.functions.cluster import semantic_dedup
+
+    # seeds are the two lowest ids (0 and 1) — far apart, so the
+    # near-duplicate of 0 (id 2) lands in 0's cluster and is dropped
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~identical to 0 -> dropped
+        (3, [0.0, 0.8, 0.6, 0.0]),      # cos to 1 = 0.8, below threshold
+    ]
+    out = semantic_dedup(_vecs(spark, rows), "embedding", "vec_id", k=2,
+                         iterations=1, threshold=0.95)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [0, 1, 3]
+    assert "CLUSTER_ID" in out.columns
+
+
+def test_semantic_dedup_cross_cluster_pairs_not_compared(spark):
+    """Two identical vectors forced into different clusters survive — the
+    pair pass is cluster-scoped by design (the SemDeDup contract)."""
+    from rasgoql_spark.functions.cluster import kmeans_cluster, semantic_dedup
+
+    # k = n: with one Lloyd pass from lowest-id seeds every vector stays
+    # its own centroid only if vectors are distinct; craft two clusters
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]),  # identical to 0 -> same cluster -> dropped
+    ]
+    out = semantic_dedup(_vecs(spark, rows), "embedding", "vec_id", k=2,
+                         iterations=0, threshold=0.99)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [0, 1]
+
+
+def test_semantic_dedup_threshold_one_keeps_distinct(spark):
+    from rasgoql_spark.functions.cluster import semantic_dedup
+
+    rows = [(i, [float(i + 1), float(2 * i + 1), 0.5]) for i in range(6)]
+    out = semantic_dedup(_vecs(spark, rows), "embedding", "vec_id", k=2,
+                         iterations=1, threshold=1.0)
+    # no two distinct directions reach rounded cosine 1.0 here
+    assert out.count() == 6
