@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import rasgoql_spark as rql  # noqa: E402
 from rasgoql_spark.functions.graph import pagerank_oracle_sql  # noqa: E402
+from rasgoql_spark.functions.rproj import random_projection_oracle_sql  # noqa: E402
 from rasgoql_spark.functions.snapshot import diff_oracle_sql  # noqa: E402
 
 TABLES = (
@@ -1180,6 +1181,19 @@ _OLD_SNAPSHOT_APPLY = (
     "UNION ALL SELECT doc_id + 100000, text, lang, source, n_chars "
     "FROM {{source_table}} WHERE doc_id % 17 = 0"
 )
+
+
+def q_random_projection(spark, sf):
+    # JL sign projection 64 -> 8 dims, exploded to (vec_id, POS, PROJ_VAL)
+    # numeric rows so the hash-compare avoids float->string formatting
+    s = _s(spark, sf)
+    return (
+        s.dataset("embeddings")
+        .random_projection(vec_col="embedding", out_dim=8, seed=7)
+        .apply(sql="SELECT vec_id, posexplode(PROJ) AS (POS, PROJ_VAL) "
+                   "FROM {{source_table}}")
+        .df
+    )
 
 
 def q_semantic_dedup(spark, sf):
@@ -2957,6 +2971,11 @@ ranked AS (
         # centroid components rounded to 9 dp — the same contract the Spark
         # operator enforces (functions/cluster.py), so the fit replays
         # exactly.
+        "random_projection": random_projection_oracle_sql(
+            "SELECT vec_id, embedding FROM embeddings",
+            "s.embedding", seed=7, out_dim=8, in_dim=64,
+            extra_cols="vec_id",
+        ),
         "diff_datasets": "SELECT * FROM (" + diff_oracle_sql(
             "SELECT * FROM documents",
             _OLD_SNAPSHOT_APPLY.replace("{{source_table}}", "documents"),
@@ -3371,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "diff_datasets": q_diff_datasets,
         "semantic_dedup": q_semantic_dedup,
+        "random_projection": q_random_projection,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
