@@ -791,6 +791,15 @@ def q_min_max_scaler_grouped(spark, sf):
     )
 
 
+def q_robust_scaler(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .robust_scaler(columns=["o_totalprice"])
+        .drop_columns(include_cols=["o_orderkey", "O_TOTALPRICE_ROBUST"])
+        .df
+    )
+
+
 def q_winsorize(spark, sf):
     return (
         _s(spark, sf).dataset("orders")
@@ -2733,6 +2742,14 @@ ranked AS (
             "MIN(CAST(p_retailprice AS DOUBLE)) OVER (PARTITION BY p_brand) AS mn, "
             "MAX(CAST(p_retailprice AS DOUBLE)) OVER (PARTITION BY p_brand) AS mx FROM part)"
         ),
+        "robust_scaler": (
+            "SELECT o_orderkey, CASE WHEN b.__iqr > 0 THEN "
+            "(CAST(o_totalprice AS DOUBLE) - b.__med) / b.__iqr ELSE 0.0 END "
+            "AS O_TOTALPRICE_ROBUST FROM orders CROSS JOIN "
+            "(SELECT quantile_cont(o_totalprice, 0.5) AS __med, "
+            "quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25) "
+            "AS __iqr FROM orders) b"
+        ),
         "winsorize": (
             "SELECT o_orderkey, LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), b.__lo), b.__hi) "
             "AS O_TOTALPRICE_WINSORIZED FROM orders CROSS JOIN "
@@ -3391,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_datasets": q_diff_datasets,
         "semantic_dedup": q_semantic_dedup,
         "random_projection": q_random_projection,
+        "robust_scaler": q_robust_scaler,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

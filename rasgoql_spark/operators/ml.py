@@ -351,6 +351,53 @@ def _r_winsorize(source, column, lower=0.05, upper=0.95) -> str:
     )
 
 
+@spark_transform("robust_scaler", category="ml", streaming_ok=False)
+def robust_scaler(df: DataFrame, columns) -> DataFrame:
+    """(x − median) / IQR per column — the outlier-insensitive sibling of
+    ``standard_scaler`` (public scaling family; heavy-tailed metrics like
+    doc length or token counts swamp a z-score's mean/stddev, while median
+    and quartiles barely move). 0.0 when IQR == 0. Output ``{COL}_ROBUST``.
+
+    Scale: all three exact percentiles per column come from ONE aggregate
+    that returns a one-row broadcast frame — the corpus itself never
+    shuffles, the scaling pass is a projection."""
+    cols = resolve_cols(df, as_list(columns))
+    stats = df.agg(
+        *[F.percentile(F.col(c), F.lit(0.5)).alias(f"__med_{c}") for c in cols],
+        *[
+            (
+                F.percentile(F.col(c), F.lit(0.75))
+                - F.percentile(F.col(c), F.lit(0.25))
+            ).alias(f"__iqr_{c}")
+            for c in cols
+        ],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        med, iqr = F.col(f"__med_{c}"), F.col(f"__iqr_{c}")
+        out = out.withColumn(
+            cleanse_name(f"{c}_ROBUST"),
+            F.when(iqr > 0, (F.col(c).cast("double") - med) / iqr).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"__med_{c}" for c in cols], *[f"__iqr_{c}" for c in cols])
+
+
+@renderer("robust_scaler")
+def _r_robust_scaler(source, columns) -> str:
+    cols = as_list(columns)
+    stats = ", ".join(
+        f"percentile({c}, 0.5) AS __med_{c}, "
+        f"percentile({c}, 0.75) - percentile({c}, 0.25) AS __iqr_{c}"
+        for c in cols
+    )
+    scaled = ", ".join(
+        f"CASE WHEN b.__iqr_{c} > 0 THEN (CAST(s.{c} AS DOUBLE) - b.__med_{c}) / b.__iqr_{c} "
+        f"ELSE 0.0 END AS {cleanse_name(f'{c}_ROBUST')}"
+        for c in cols
+    )
+    return f"SELECT s.*, {scaled} FROM {source} s CROSS JOIN (SELECT {stats} FROM {source}) b"
+
+
 @spark_transform("quantiles", category="ml", streaming_ok=False)
 def quantiles(
     df: DataFrame,

@@ -46,6 +46,7 @@ CASES = [
     ("market_basket", {"transaction": "l_orderkey", "item": "l_partkey", "min_count": 2}),
     ("min_max_scaler", {"columns": ["l_quantity"]}),
     ("standard_scaler", {"columns": ["l_quantity"]}),
+    ("robust_scaler", {"columns": ["l_quantity", "l_extendedprice"]}),
     ("bin", {"column": "l_quantity", "bins": 5}),
     ("target_encode", {"column": "l_returnflag", "target": "l_quantity"}),
     ("one_hot_encode", {"column": "l_returnflag", "list_of_vals": ["A", "N", "R"]}),
