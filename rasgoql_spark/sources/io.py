@@ -102,3 +102,51 @@ def write_table(
         writer.save(path_or_table)
     else:
         writer.saveAsTable(path_or_table)
+
+
+def compact_shards(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 512,
+    file_format: str = "parquet",
+    out_path: str | None = None,
+    shuffle: bool = False,
+) -> str:
+    """Compact a small-files directory into ~``target_mb`` files — the
+    standard remedy for the streaming/incremental-ingest failure mode where
+    thousands of KB-sized files make every downstream scan
+    metadata-bound. File count = ceil(input_bytes / target_mb).
+
+    ``shuffle=False`` (default) uses ``coalesce`` — no shuffle, each output
+    file concatenates input splits; ``shuffle=True`` repartitions for even
+    output sizes when the inputs are skewed. With ``out_path=None`` the
+    directory is replaced IN PLACE via write-to-temp + FileSystem rename
+    (the two renames are metadata-only on HDFS/local; on object stores pass
+    an explicit ``out_path`` instead — S3 "rename" is a copy).
+
+    Returns the output path. Row content is preserved exactly (tested);
+    only the file layout changes.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(conf)
+    total = fs.getContentSummary(src).getLength()
+    n = max(1, -(-int(total) // (target_mb * 1024 * 1024)))
+    df = spark.read.format(file_format).load(path)
+    df = df.repartition(n) if shuffle else df.coalesce(n)
+    if out_path is not None:
+        df.write.format(file_format).mode("overwrite").save(out_path)
+        return out_path
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.write.format(file_format).mode("overwrite").save(tmp)
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_bak")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.rename(src, bak):
+        raise IOError(f"compact_shards: could not move {path} aside")
+    if not fs.rename(tmp_p, src):
+        fs.rename(bak, src)  # roll back
+        raise IOError(f"compact_shards: could not move compacted data into {path}")
+    fs.delete(bak, True)
+    return path

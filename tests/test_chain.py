@@ -235,3 +235,35 @@ def test_save_shards_jsonl(session, tmp_path):
             rows.extend(json.loads(line) for line in fh if line.strip())
     assert len(rows) == session.dataset("documents").df.count()
     assert {"doc_id", "text", "lang"} <= set(rows[0])
+
+
+def test_compact_shards_in_place(session, spark, tmp_path):
+    from rasgoql_spark.sources.io import compact_shards
+
+    out = str(tmp_path / "many_small")
+    # many small files (empty partitions may not materialize a file)
+    session.dataset("region").df.repartition(16).write.parquet(out)
+    import glob
+    assert len(glob.glob(out + "/*.parquet")) >= 5
+    before = sorted(r["r_regionkey"] for r in spark.read.parquet(out).collect())
+
+    path = compact_shards(spark, out, target_mb=512)
+    assert path == out
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 1, "5 tiny rows must compact to one file"
+    after = sorted(r["r_regionkey"] for r in spark.read.parquet(out).collect())
+    assert after == before
+    assert not glob.glob(out + "__compact_*"), "temp/backup dirs cleaned up"
+
+
+def test_compact_shards_to_out_path(session, spark, tmp_path):
+    from rasgoql_spark.sources.io import compact_shards
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    session.dataset("nation").df.repartition(8).write.parquet(src)
+    path = compact_shards(spark, src, target_mb=128, out_path=dst, shuffle=True)
+    assert path == dst
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 8  # source untouched
+    assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
