@@ -1192,6 +1192,25 @@ _OLD_SNAPSHOT_APPLY = (
 )
 
 
+_OVERLAP_APPLY = (
+    "SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+    "'shared template number ' || CAST(doc_id % 8 AS STRING) ELSE text END "
+    "AS text, source FROM {{source_table}}"
+)
+
+
+def q_source_overlap(spark, sf):
+    # planted cross-source duplicates: every 4th doc collapses to one of two
+    # shared templates, so source pairs overlap on up to 2 fingerprints
+    s = _s(spark, sf)
+    return (
+        s.dataset("documents").apply(sql=_OVERLAP_APPLY)
+        .source_overlap(text="text", group_col="source")
+        .order(order_by=["GROUP_A", "GROUP_B"])
+        .df
+    )
+
+
 def q_random_projection(spark, sf):
     # JL sign projection 64 -> 8 dims, exploded to (vec_id, POS, PROJ_VAL)
     # numeric rows so the hash-compare avoids float->string formatting
@@ -2988,6 +3007,21 @@ ranked AS (
         # centroid components rounded to 9 dp — the same contract the Spark
         # operator enforces (functions/cluster.py), so the fit replays
         # exactly.
+        "source_overlap": (
+            "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+            "'shared template number ' || CAST(doc_id % 8 AS VARCHAR) ELSE text END "
+            "AS text, source FROM documents), "
+            f"gf AS (SELECT DISTINCT source AS g, md5({fp_norm}) AS fp FROM t), "
+            "tot AS (SELECT g, COUNT(*) AS n FROM gf GROUP BY g), "
+            "sh AS (SELECT a.g AS GROUP_A, b.g AS GROUP_B, "
+            "CAST(COUNT(*) AS BIGINT) AS SHARED_FPS "
+            "FROM gf a JOIN gf b ON a.fp = b.fp AND a.g < b.g GROUP BY 1, 2) "
+            "SELECT GROUP_A, GROUP_B, SHARED_FPS, "
+            "round(SHARED_FPS / (ta.n + tb.n - SHARED_FPS), 6) AS JACCARD "
+            "FROM sh JOIN tot ta ON sh.GROUP_A = ta.g "
+            "JOIN tot tb ON sh.GROUP_B = tb.g "
+            "ORDER BY GROUP_A, GROUP_B"
+        ),
         "random_projection": random_projection_oracle_sql(
             "SELECT vec_id, embedding FROM embeddings",
             "s.embedding", seed=7, out_dim=8, in_dim=64,
@@ -3409,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "random_projection": q_random_projection,
         "robust_scaler": q_robust_scaler,
+        "source_overlap": q_source_overlap,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

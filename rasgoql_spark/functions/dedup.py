@@ -1031,3 +1031,64 @@ def minhash_similarity(
         F.col("__sc.j").alias("JACCARD"),
     )
     return release_with(out, *caches)
+
+
+@spark_transform("source_overlap", category="dedup", streaming_ok=False)
+def source_overlap(
+    df: DataFrame,
+    text: str,
+    group_col: str,
+    min_shared: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise exact-content overlap between corpus partitions (sources,
+    snapshots, domains) — the mix-design diagnostic: which feeds are
+    copying which, and how much does adding feed B really add on top of A.
+
+    For every unordered group pair (A < B) with at least ``min_shared``
+    shared normalized fingerprints: ``GROUP_A, GROUP_B, SHARED_FPS,
+    JACCARD`` (shared / union of the two distinct-fingerprint sets,
+    rounded).
+
+    Scale: reduces the corpus to DISTINCT slim ``(group, fp)`` rows first
+    (one shuffle, partial-agg combined); the self-join is an fp equi-join
+    whose fan-out is bounded by groups-per-fingerprint (<= number of
+    groups, independent of corpus size); per-group totals are a tiny
+    second aggregate joined onto group-pair rows.
+    """
+    t, g = resolve_col(df, text), resolve_col(df, group_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(t)), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    gf = (
+        df.select(F.col(g).alias("__g"), F.md5(norm).alias("__fp"))
+        .dropDuplicates(["__g", "__fp"])
+        .persist()
+    )
+    totals = gf.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    a = gf.select(F.col("__g").alias("GROUP_A"), "__fp")
+    b = gf.select(F.col("__g").alias("GROUP_B"), "__fp")
+    shared = (
+        a.join(b, on="__fp")
+        .filter(F.col("GROUP_A") < F.col("GROUP_B"))
+        .groupBy("GROUP_A", "GROUP_B")
+        .agg(F.count(F.lit(1)).alias("SHARED_FPS"))
+        .filter(F.col("SHARED_FPS") >= min_shared)
+    )
+    out = (
+        shared.join(totals.select(F.col("__g").alias("GROUP_A"), F.col("__n").alias("__na")), on="GROUP_A")
+        .join(totals.select(F.col("__g").alias("GROUP_B"), F.col("__n").alias("__nb")), on="GROUP_B")
+        .select(
+            "GROUP_A",
+            "GROUP_B",
+            "SHARED_FPS",
+            F.round(
+                F.col("SHARED_FPS")
+                / (F.col("__na") + F.col("__nb") - F.col("SHARED_FPS")),
+                round_to,
+            ).alias("JACCARD"),
+        )
+    )
+    return release_with(out, gf)

@@ -585,3 +585,38 @@ def test_sample_to_token_budget(session):
     assert rql.get_transform("sample_to_token_budget").apply(
         d.df, token_count_col="TOKEN_COUNT", budget=0,
         id_col="doc_id").count() == 0
+
+
+# ---------------------------------------------------------------- source_overlap
+
+def test_source_overlap_planted(spark):
+    from rasgoql_spark.functions.dedup import source_overlap
+
+    rows = [
+        (0, "shared one", "A"), (1, "only a", "A"), (2, "shared two", "A"),
+        (3, "shared one", "B"), (4, "only b", "B"),
+        (5, "shared one", "C"), (6, "shared two", "C"), (7, "only c", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["GROUP_A"], r["GROUP_B"]): (r["SHARED_FPS"], r["JACCARD"])
+           for r in source_overlap(df, "text", "source").collect()}
+    # A: {one, a, two}; B: {one, b}; C: {one, two, c}
+    assert out[("A", "B")][0] == 1
+    assert out[("A", "C")][0] == 2
+    assert out[("B", "C")][0] == 1
+    assert out[("A", "C")][1] == round(2 / (3 + 3 - 2), 6)
+
+
+def test_source_overlap_min_shared_and_duplicates_within_group(spark):
+    from rasgoql_spark.functions.dedup import source_overlap
+
+    rows = [
+        (0, "x", "A"), (1, "x", "A"),   # dup inside A counts once
+        (2, "x", "B"),
+        (3, "y", "C"),                   # no overlap with anyone
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_overlap(df, "text", "source").collect()
+    assert len(out) == 1 and out[0]["SHARED_FPS"] == 1
+    assert out[0]["JACCARD"] == 1.0  # both sides have exactly {x}
+    assert source_overlap(df, "text", "source", min_shared=2).count() == 0
