@@ -1199,6 +1199,17 @@ _OVERLAP_APPLY = (
 )
 
 
+def q_pseudonymize(spark, sf):
+    # de-identified user ids still group/join correctly — the whole point
+    s = _s(spark, sf)
+    return (
+        s.dataset("events")
+        .pseudonymize(columns=["user_id"], salt="r4")
+        .aggregate(group_by=["user_id"], aggregations={"event_id": ["COUNT"]})
+        .df
+    )
+
+
 def q_source_overlap(spark, sf):
     # planted cross-source duplicates: every 4th doc collapses to one of two
     # shared templates, so source pairs overlap on up to 2 fingerprints
@@ -3007,6 +3018,11 @@ ranked AS (
         # centroid components rounded to 9 dp — the same contract the Spark
         # operator enforces (functions/cluster.py), so the fit replays
         # exactly.
+        "pseudonymize": (
+            "SELECT substring(sha256('r4' || ':' || CAST(user_id AS VARCHAR)), 1, 16) "
+            "AS user_id, CAST(COUNT(*) AS BIGINT) AS EVENT_ID_COUNT "
+            "FROM events GROUP BY 1"
+        ),
         "source_overlap": (
             "WITH t AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
             "'shared template number ' || CAST(doc_id % 8 AS VARCHAR) ELSE text END "
@@ -3444,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "robust_scaler": q_robust_scaler,
         "source_overlap": q_source_overlap,
+        "pseudonymize": q_pseudonymize,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

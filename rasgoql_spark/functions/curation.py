@@ -1082,3 +1082,51 @@ def _r_filter_urls(
         return f"SELECT *, {hit} AS URL_BLOCKED FROM {source}"
     cond = f"NOT {hit}" if mode == "remove" else hit
     return f"SELECT * FROM {source} WHERE {cond}"
+
+
+@spark_transform("pseudonymize", category="curation")
+def pseudonymize(df: DataFrame, columns, salt: str, length: int = 16) -> DataFrame:
+    """Replace identifier columns IN PLACE with salted-hash pseudonyms
+    (public pattern: keyed pseudonymization): ``substr(sha256(salt || ':' ||
+    value), 1, length)``. The same (salt, value) always maps to the same
+    pseudonym, so pseudonymized tables still JOIN on the identifier — the
+    property raw redaction destroys — while the salt keeps the mapping
+    non-invertible by rainbow table. NULLs stay NULL; rotate the salt to
+    unlink releases.
+
+    Complement of ``pii_scrub``: that op masks PII *inside free text*, this
+    one de-identifies *key columns*. Row-local sha256, shuffle-free.
+    """
+    from ..operators._util import as_list as _as_list
+    from ..operators._util import resolve_cols as _resolve_cols
+
+    if not salt:
+        raise ParameterException("salt must be a non-empty string")
+    if not 4 <= length <= 64:
+        raise ParameterException("length must be in [4, 64]")
+    out = df
+    for c in _resolve_cols(df, _as_list(columns)):
+        out = out.withColumn(
+            c,
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string")), 256
+                ),
+                1,
+                length,
+            ),
+        )
+    return out
+
+
+@renderer("pseudonymize")
+def _r_pseudonymize(source, columns, salt, length=16, _input_columns=()) -> str:
+    from ..operators._util import as_list as _as_list
+
+    targets = set(_as_list(columns))
+    sel = ", ".join(
+        f"substring(sha2(concat('{salt}', ':', CAST({c} AS STRING)), 256), 1, {length}) AS {c}"
+        if c in targets else c
+        for c in _input_columns
+    )
+    return f"SELECT {sel} FROM {source}"

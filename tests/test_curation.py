@@ -330,3 +330,35 @@ def test_round4_pipeline_end_to_end(session, tmp_path):
     assert n_lines == n_rows
     deduped.unpersist()
     scored.unpersist()
+
+
+# ---------------------------------------------------------------- pseudonymize
+
+def test_pseudonymize_join_consistency_and_nulls(spark):
+    from rasgoql_spark.functions.curation import pseudonymize
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (None, "z")], "uid long, v string")
+    b = spark.createDataFrame([(1, "p"), (3, "q")], "uid long, w string")
+    pa = pseudonymize(a, ["uid"], salt="s")
+    pb = pseudonymize(b, ["uid"], salt="s")
+    joined = pa.join(pb, on="uid")
+    assert joined.count() == 1  # uid=1 still matches across tables
+    row = {r["v"]: r["uid"] for r in pa.collect()}
+    assert row["z"] is None  # NULL stays NULL
+    assert row["x"] is not None and len(row["x"]) == 16
+    # different salt unlinks
+    pb2 = pseudonymize(b, ["uid"], salt="other")
+    assert pa.join(pb2, on="uid").count() == 0
+
+
+def test_pseudonymize_validation(spark):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.curation import pseudonymize
+
+    df = spark.createDataFrame([(1,)], "uid long")
+    with _pytest.raises(ParameterException):
+        pseudonymize(df, ["uid"], salt="")
+    with _pytest.raises(ParameterException):
+        pseudonymize(df, ["uid"], salt="s", length=2)

@@ -47,6 +47,7 @@ CASES = [
     ("min_max_scaler", {"columns": ["l_quantity"]}),
     ("standard_scaler", {"columns": ["l_quantity"]}),
     ("robust_scaler", {"columns": ["l_quantity", "l_extendedprice"]}),
+    ("pseudonymize", {"columns": ["l_orderkey", "l_returnflag"], "salt": "s1"}),
     ("bin", {"column": "l_quantity", "bins": 5}),
     ("target_encode", {"column": "l_returnflag", "target": "l_quantity"}),
     ("one_hot_encode", {"column": "l_returnflag", "list_of_vals": ["A", "N", "R"]}),
