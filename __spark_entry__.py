@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import rasgoql_spark as rql  # noqa: E402
 from rasgoql_spark.functions.graph import pagerank_oracle_sql  # noqa: E402
+from rasgoql_spark.functions.logreg import logreg_oracle_sql  # noqa: E402
 from rasgoql_spark.functions.rproj import random_projection_oracle_sql  # noqa: E402
 from rasgoql_spark.functions.snapshot import diff_oracle_sql  # noqa: E402
 
@@ -1197,6 +1198,25 @@ _OVERLAP_APPLY = (
     "'shared template number ' || CAST(doc_id % 8 AS STRING) ELSE text END "
     "AS text, source FROM {{source_table}}"
 )
+
+
+_LOGREG_APPLY = (
+    "SELECT vec_id, label, element_at(embedding, 1) AS x1, "
+    "element_at(embedding, 2) AS x2, element_at(embedding, 3) AS x3, "
+    "element_at(embedding, 4) AS x4, label % 2 AS yl FROM {{source_table}}"
+)
+
+
+def q_logreg_score(spark, sf):
+    # 3 deterministic GD passes on 4 embedding dims vs parity-of-label
+    s = _s(spark, sf)
+    return (
+        s.dataset("embeddings").apply(sql=_LOGREG_APPLY)
+        .logreg_score(feature_cols=["x1", "x2", "x3", "x4"], label_col="yl",
+                      lr=0.5, iterations=3)
+        .drop_columns(include_cols=["vec_id", "label", "SCORE"])
+        .df
+    )
 
 
 def q_pseudonymize(spark, sf):
@@ -3018,6 +3038,13 @@ ranked AS (
         # centroid components rounded to 9 dp — the same contract the Spark
         # operator enforces (functions/cluster.py), so the fit replays
         # exactly.
+        "logreg_score": logreg_oracle_sql(
+            "SELECT vec_id, label, embedding[1] AS x1, embedding[2] AS x2, "
+            "embedding[3] AS x3, embedding[4] AS x4, label % 2 AS yl FROM embeddings",
+            feature_exprs=["x1", "x2", "x3", "x4"],
+            label_expr="yl", lr=0.5, iterations=3,
+            select_cols="vec_id, label",
+        ),
         "pseudonymize": (
             "SELECT substring(sha256('r4' || ':' || CAST(user_id AS VARCHAR)), 1, 16) "
             "AS user_id, CAST(COUNT(*) AS BIGINT) AS EVENT_ID_COUNT "
@@ -3461,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scaler": q_robust_scaler,
         "source_overlap": q_source_overlap,
         "pseudonymize": q_pseudonymize,
+        "logreg_score": q_logreg_score,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
