@@ -327,3 +327,59 @@ def test_bigram_logprob_no_python_in_hot_path(session):
     plan = _plan(session.dataset("documents").bigram_logprob(
         text="text", id_col="doc_id"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pseudonymize_is_shuffle_free(session):
+    plan = _plan(session.dataset("events").pseudonymize(
+        columns=["user_id"], salt="s"))
+    assert "Exchange" not in plan  # row-local sha256 projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_is_shuffle_free(session):
+    plan = _plan(session.dataset("embeddings").random_projection(
+        vec_col="embedding", out_dim=8, in_dim=64))
+    assert "Exchange" not in plan  # literal sign matrix, row-local fold
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robust_scaler_broadcasts_one_row_stats(session):
+    plan = _plan(session.dataset("orders").robust_scaler(columns=["o_totalprice"]))
+    # stats arrive as a broadcast one-row frame; corpus side never sorts/
+    # repartitions for the scaling pass
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_diff_datasets_joins_hashes_not_rows(session):
+    new = session.dataset("documents")
+    old = session.dataset("documents").filter(filter_statements=["doc_id % 2 = 0"])
+    plan = _plan(new.diff_datasets(other=old, keys=["doc_id"]))
+    joined = [l for l in plan.splitlines() if "FullOuter" in l]
+    assert joined, "full outer join missing from plan"
+    # the join consumes the 16-byte row hashes, so the shuffle carries
+    # (key, md5) — the wide text column is hashed away before the exchange
+    assert "__h_new" in plan and "__h_old" in plan
+    smj_inputs = [l for l in plan.splitlines()
+                  if l.strip().startswith("Left keys") or "Input [" in l]
+    assert not any("text" in l for l in smj_inputs if "__h" in l), \
+        "document body must not flow through the join"
+
+
+def test_bloom_dedup_clean_rows_skip_reference(session):
+    batch = session.dataset("documents")
+    ref = session.dataset("documents").filter(filter_statements=["doc_id % 5 = 0"])
+    plan = _plan(batch.dedup_against_bloom(
+        text="text", id_col="doc_id", reference=ref, bits_log2=14))
+    # bit-table membership is an equi-join (broadcast or shuffled hash),
+    # never a nested-loop over the reference
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_dangling_mass_is_broadcast(session):
+    edges = session.dataset("lineitem").apply(
+        sql="SELECT l_partkey AS src, 200000 + l_suppkey AS dst FROM {{source_table}}")
+    plan = _plan(edges.pagerank(src="src", dst="dst", iterations=1))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
