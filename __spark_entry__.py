@@ -1265,6 +1265,20 @@ def q_semantic_dedup(spark, sf):
     )
 
 
+def q_connected_components(spark, sf):
+    # star graph: users link to their id-mod-37 hub node -> 37 components
+    s = _s(spark, sf)
+    edges = s.dataset("events").apply(
+        sql="SELECT DISTINCT user_id AS src, 1000 + user_id % 37 AS dst "
+            "FROM {{source_table}}"
+    )
+    return (
+        edges.connected_components(src="src", dst="dst")
+        .order(order_by=["NODE"])
+        .df
+    )
+
+
 def q_diff_datasets(spark, sf):
     # new = live documents; old = synthesized prior snapshot with planted
     # drops (%11 -> ADDED), edits (%13 -> CHANGED), extras (-> REMOVED)
@@ -3070,6 +3084,20 @@ ranked AS (
             "s.embedding", seed=7, out_dim=8, in_dim=64,
             extra_cols="vec_id",
         ),
+        "connected_components": (
+            "WITH RECURSIVE base AS (SELECT DISTINCT user_id AS src, "
+            "1000 + user_id % 37 AS dst FROM events), "
+            "edges AS (SELECT src AS a, dst AS b FROM base "
+            "UNION SELECT dst, src FROM base), "
+            "reach(src, dst) AS (SELECT a, b FROM edges UNION "
+            "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a "
+            "WHERE e.b <> r.src), "
+            "nodes AS (SELECT a AS node FROM edges), "
+            "m AS (SELECT src, MIN(dst) AS md FROM reach GROUP BY src) "
+            "SELECT n.node AS NODE, CAST(LEAST(n.node, COALESCE(m.md, n.node)) "
+            "AS BIGINT) AS COMPONENT FROM (SELECT DISTINCT node FROM nodes) n "
+            "LEFT JOIN m ON m.src = n.node ORDER BY NODE"
+        ),
         "diff_datasets": "SELECT * FROM (" + diff_oracle_sql(
             "SELECT * FROM documents",
             _OLD_SNAPSHOT_APPLY.replace("{{source_table}}", "documents"),
@@ -3490,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "pseudonymize": q_pseudonymize,
         "logreg_score": q_logreg_score,
+        "connected_components": q_connected_components,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

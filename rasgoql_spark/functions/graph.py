@@ -143,3 +143,60 @@ def pagerank_oracle_sql(
         ", ".join(parts)
         + f" SELECT node AS NODE, r AS PAGERANK FROM r{iterations}"
     )
+
+
+@spark_transform("connected_components", category="graph", streaming_ok=False)
+def connected_components(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of the undirected graph induced by the edge
+    list: ``(NODE, COMPONENT)`` where COMPONENT is the minimum node id
+    reachable from NODE. The general-graph form of the min-label
+    propagation inside ``dedup.near_dup_clusters`` — exposed directly so
+    pipelines can cluster arbitrary relation graphs (URL redirect chains,
+    citation/link groups, entity-resolution match pairs) without routing
+    through the text-dedup API.
+
+    Scale: each round is one slim (node, label) join + min-aggregation;
+    converges in <= component-diameter rounds with an early-exit count;
+    ``localCheckpoint`` every 5 rounds bounds lineage. Same guarantees and
+    cost model as the dedup path.
+    """
+    if max_iterations < 1:
+        raise ParameterException("max_iterations must be >= 1")
+    s, d = resolve_col(df, src), resolve_col(df, dst)
+    half = df.select(F.col(s).alias("__src"), F.col(d).alias("__dst")).dropDuplicates()
+    edges = half.union(
+        half.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("__src").alias("__id"))
+        .dropDuplicates()
+        .withColumn("__lab", F.col("__id"))
+        .persist()
+    )
+    for it in range(max_iterations):
+        msgs = edges.join(
+            labels.withColumnRenamed("__id", "__src"), on="__src"
+        ).select(F.col("__dst").alias("__id"), "__lab")
+        new_labels = (
+            labels.unionByName(msgs).groupBy("__id").agg(F.min("__lab").alias("__lab"))
+        )
+        if (it + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("__lab", "__old"), on="__id")
+            .filter("__lab <> __old")
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("__id").alias("NODE"), F.col("__lab").alias("COMPONENT"))
+    return release_with(out, edges)

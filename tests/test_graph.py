@@ -61,3 +61,32 @@ def test_pagerank_param_validation(spark):
         pagerank(df, "src", "dst", damping=1.5)
     with pytest.raises(ParameterException):
         pagerank(df, "src", "dst", iterations=-1)
+
+
+# ------------------------------------------------------- connected_components
+
+def _cc(spark, edges, **kw):
+    from rasgoql_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst", **kw)
+    return {r["NODE"]: r["COMPONENT"] for r in out.collect()}
+
+
+def test_cc_two_components(spark):
+    comp = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_cc_long_chain_converges(spark):
+    # a 12-node path needs several doubling/propagation rounds
+    comp = _cc(spark, [(i, i + 1) for i in range(12)])
+    assert set(comp.values()) == {0}
+    assert len(comp) == 13
+
+
+def test_cc_direction_irrelevant(spark):
+    a = _cc(spark, [(5, 1), (1, 9)])
+    b = _cc(spark, [(1, 5), (9, 1)])
+    assert a == b == {1: 1, 5: 1, 9: 1}
