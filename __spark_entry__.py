@@ -1265,6 +1265,15 @@ def q_semantic_dedup(spark, sf):
     )
 
 
+def q_char_entropy(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .char_entropy(text="text")
+        .drop_columns(include_cols=["doc_id", "CHAR_ENTROPY"])
+        .df
+    )
+
+
 def q_connected_components(spark, sf):
     # star graph: users link to their id-mod-37 hub node -> 37 components
     s = _s(spark, sf)
@@ -3084,6 +3093,15 @@ ranked AS (
             "s.embedding", seed=7, out_dim=8, in_dim=64,
             extra_cols="vec_id",
         ),
+        "char_entropy": (
+            "WITH ch AS (SELECT doc_id, regexp_extract_all(text, '[\\s\\S]') AS cs "
+            "FROM documents) "
+            "SELECT doc_id, CASE WHEN cs IS NULL OR len(cs) = 0 THEN 0.0 ELSE "
+            "round(-list_sum(list_transform(list_sort(list_distinct(cs)), u -> "
+            "(CAST(len(list_filter(cs, c -> c = u)) AS DOUBLE) / len(cs)) * "
+            "ln(CAST(len(list_filter(cs, c -> c = u)) AS DOUBLE) / len(cs)))), 6) "
+            "END AS CHAR_ENTROPY FROM ch"
+        ),
         "connected_components": (
             "WITH RECURSIVE base AS (SELECT DISTINCT user_id AS src, "
             "1000 + user_id % 37 AS dst FROM events), "
@@ -3519,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "logreg_score": q_logreg_score,
         "connected_components": q_connected_components,
+        "char_entropy": q_char_entropy,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -572,3 +572,61 @@ def _r_text_normalize(
         c = f"regexp_replace({c}, '[^a-zA-Z0-9\\\\s]', ' ')"
     c = f"trim(regexp_replace({c}, '\\\\s+', ' '))"
     return with_columns_sql(source, {name: c}, _input_columns)
+
+
+@spark_transform("char_entropy", category="text")
+def char_entropy(df: DataFrame, text: str, round_to: int = 6) -> DataFrame:
+    """Append ``CHAR_ENTROPY``: Shannon entropy (nats) of the character
+    distribution — the classic gibberish/compression-artifact detector
+    (near-zero = one repeated char; ~4+ = natural text; extreme highs =
+    base64/binary soup). Filter both tails alongside ``text_quality``.
+
+    Shuffle-free: per row, the distinct characters are SORTED (so the
+    entropy fold visits terms in one canonical order — bitwise identical
+    across engines and partitionings) and each term's count comes from a
+    row-local array filter. O(distinct_chars x len) per row with
+    distinct_chars bounded by the alphabet, all inside whole-stage codegen.
+    Empty/NULL text scores 0.0.
+    """
+    t = resolve_col(df, text)
+    chars = F.split(F.col(t), "")
+    n = F.size(chars)
+    # drop the empty-string artifact F.split appends on some inputs
+    chars = F.filter(chars, lambda c: c != F.lit(""))
+    n = F.size(chars)
+    uniq = F.array_sort(F.array_distinct(chars))
+    ent = -F.aggregate(
+        F.transform(
+            uniq,
+            lambda u: (
+                F.size(F.filter(chars, lambda c: c == u)).cast("double") / n
+            )
+            * F.log(F.size(F.filter(chars, lambda c: c == u)).cast("double") / n),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(
+        "CHAR_ENTROPY",
+        F.when((F.col(t).isNull()) | (n == 0), F.lit(0.0)).otherwise(
+            F.round(ent, round_to)
+        ),
+    )
+
+
+@renderer("char_entropy")
+def _r_char_entropy(source, text, round_to=6) -> str:
+    chars = f"filter(split({text}, ''), c -> c != '')"
+    n = f"size({chars})"
+    term = (
+        f"(CAST(size(filter({chars}, c -> c = u)) AS DOUBLE) / {n}) * "
+        f"ln(CAST(size(filter({chars}, c -> c = u)) AS DOUBLE) / {n})"
+    )
+    ent = (
+        f"-aggregate(transform(array_sort(array_distinct({chars})), u -> {term}), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        f"SELECT *, CASE WHEN {text} IS NULL OR {n} = 0 THEN 0.0 "
+        f"ELSE round({ent}, {round_to}) END AS CHAR_ENTROPY FROM {source}"
+    )

@@ -620,3 +620,21 @@ def test_source_overlap_min_shared_and_duplicates_within_group(spark):
     assert len(out) == 1 and out[0]["SHARED_FPS"] == 1
     assert out[0]["JACCARD"] == 1.0  # both sides have exactly {x}
     assert source_overlap(df, "text", "source", min_shared=2).count() == 0
+
+
+# ---------------------------------------------------------------- char_entropy
+
+def test_char_entropy_values(spark):
+    import math
+
+    from rasgoql_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, ""), (3, None), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["CHAR_ENTROPY"] for r in char_entropy(df, "text").collect()}
+    assert out[0] == 0.0                      # single repeated char
+    assert out[1] == round(math.log(2), 6)    # uniform over 2 chars
+    assert out[2] == 0.0 and out[3] == 0.0    # empty / NULL
+    assert out[4] == round(math.log(4), 6)    # uniform over 4 chars

@@ -72,6 +72,7 @@ def test_rendered_sql_matches_dataframe(session, name, kwargs):
 # returns a chain over session tables; the rendered SQL must reproduce the
 # DataFrame result exactly (columns AND rows).
 CHAIN_CASES = [
+    ("char_entropy", lambda s: s.dataset("documents").char_entropy(text="text")),
     ("impute", lambda s: s.dataset("lineitem").impute(
         imputations={"l_quantity": "mean", "l_returnflag": "mode"})),
     ("quantiles", lambda s: s.dataset("lineitem").quantiles(
