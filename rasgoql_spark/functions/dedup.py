@@ -728,6 +728,7 @@ def dedup_against(
     shingle_size: int = 3,
     threshold: float = 0.5,
     mode: str = "filter",
+    index: "MinHashIndex | None" = None,
 ) -> DataFrame:
     """Incremental dedup: drop (mode='filter') or score (mode='pairs')
     documents in ``df`` that duplicate an EXISTING reference corpus — the
@@ -790,17 +791,30 @@ def dedup_against(
             minhash_signatures(df, t, i, num_hashes, shingle_size),
             gkey, F.size("__sh") > 0, probe_key=F.hash("__mh"),
         )
-        sig_b, _, caches_b = _annotate_groups(
-            minhash_signatures(reference, rt, ri, num_hashes, shingle_size),
-            gkey, F.size("__sh") > 0, probe_key=F.hash("__mh"),
-        )
+        if index is not None:
+            # prebuilt reference index (minhash_index): skip the whole
+            # reference-side signature/collapse/banding phase — the
+            # amortized production path, identical results by construction
+            if (index.num_hashes, index.bands, index.shingle_size) != (
+                num_hashes, bands, shingle_size,
+            ):
+                raise ParameterException(
+                    "MinHashIndex was built with different "
+                    "num_hashes/bands/shingle_size than this call"
+                )
+            sig_b, rep_b, bb, caches_b = index.sig, index.reps, index.bands_long, ()
+        else:
+            sig_b, _, caches_b = _annotate_groups(
+                minhash_signatures(reference, rt, ri, num_hashes, shingle_size),
+                gkey, F.size("__sh") > 0, probe_key=F.hash("__mh"),
+            )
+            rep_b = sig_b.filter(F.col("__id") == F.col("__rep"))
+            bb = _bands_long(rep_b, num_hashes, bands).select(
+                F.col("__id").alias("__id_b"), "__band"
+            )
         rep_a = sig_a.filter(F.col("__id") == F.col("__rep"))
-        rep_b = sig_b.filter(F.col("__id") == F.col("__rep"))
         ba = _bands_long(rep_a, num_hashes, bands).select(
             F.col("__id").alias("__id_a"), "__band"
-        )
-        bb = _bands_long(rep_b, num_hashes, bands).select(
-            F.col("__id").alias("__id_b"), "__band"
         )
         cand = (
             ba.join(bb, on="__band")
@@ -1092,3 +1106,62 @@ def source_overlap(
         )
     )
     return release_with(out, gf)
+
+
+class MinHashIndex:
+    """Reusable reference-side MinHash index for ``dedup_against``: the
+    annotated signature table, its exact-dup representatives, and the
+    banded rep table — everything the cross-corpus band join consumes.
+    Build ONCE over the accepted corpus with ``minhash_index`` and pass to
+    every batch's ``dedup_against(..., index=...)`` — the production shape
+    (mirrors ``similarity.IVFIndex``): signature+banding is the expensive
+    phase and is identical for every batch; reusing it makes per-batch cost
+    independent of reference size beyond the (slim, cached) band join.
+    ``release()`` unpersists the cached frames."""
+
+    def __init__(self, sig, reps, bands_long, num_hashes, bands, shingle_size, caches):
+        self.sig = sig
+        self.reps = reps
+        self.bands_long = bands_long
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_size = shingle_size
+        self._caches = caches
+
+    def release(self) -> None:
+        for c in self._caches:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
+
+
+def minhash_index(
+    reference: DataFrame,
+    text: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> MinHashIndex:
+    """Build a reusable :class:`MinHashIndex` over a reference corpus —
+    the same signature / exact-dup-collapse / banding pipeline
+    ``dedup_against(method='minhash')`` runs internally, persisted for
+    reuse across batches. Frames stay cached until ``release()``."""
+    if num_hashes % bands != 0:
+        raise ParameterException("num_hashes must be divisible by bands")
+    rt, ri = resolve_col(reference, text), resolve_col(reference, id_col)
+    gkey = F.md5(F.concat_ws("\x1f", F.array_sort("__sh")))
+    sig, _, caches = _annotate_groups(
+        minhash_signatures(reference, rt, ri, num_hashes, shingle_size),
+        gkey, F.size("__sh") > 0, probe_key=F.hash("__mh"),
+    )
+    reps = sig.filter(F.col("__id") == F.col("__rep"))
+    bands_long = _bands_long(reps, num_hashes, bands).select(
+        F.col("__id").alias("__id_b"), "__band"
+    ).persist()
+    bands_long.count()  # materialize once; every batch reuses the band table
+    return MinHashIndex(
+        sig, reps, bands_long, num_hashes, bands, shingle_size,
+        tuple(caches) + (bands_long,),
+    )

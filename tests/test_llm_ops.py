@@ -638,3 +638,44 @@ def test_char_entropy_values(spark):
     assert out[1] == round(math.log(2), 6)    # uniform over 2 chars
     assert out[2] == 0.0 and out[3] == 0.0    # empty / NULL
     assert out[4] == round(math.log(4), 6)    # uniform over 4 chars
+
+
+# ---------------------------------------------------------------- MinHashIndex
+
+def test_minhash_index_matches_inline_build(spark):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.dedup import dedup_against, minhash_index
+
+    texts = ["the quick brown fox jumps over the lazy dog near the river bank",
+             "a completely different sentence about spark shuffles and joins",
+             "the quick brown fox jumps over the lazy dog near the river edge",
+             "numerical linear algebra on distributed matrices with pyspark"]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100 + i, t + " extra") for i, t in enumerate(texts[:2])]
+        + [(200, "entirely novel content with no overlap whatsoever here")],
+        "doc_id long, text string")
+
+    idx = minhash_index(ref, "text", "doc_id")
+    try:
+        with_idx = dedup_against(
+            batch, "text", "doc_id", ref, method="minhash",
+            threshold=0.2, mode="pairs", index=idx)
+        inline = dedup_against(
+            batch, "text", "doc_id", ref, method="minhash",
+            threshold=0.2, mode="pairs")
+        key = lambda r: (r["ID"], r["REF_ID"], round(r["JACCARD"], 9))
+        assert sorted(map(key, with_idx.collect())) == sorted(map(key, inline.collect()))
+        # two batches reuse one index
+        out2 = dedup_against(
+            batch, "text", "doc_id", ref, method="minhash",
+            threshold=0.2, mode="filter", index=idx)
+        assert out2.count() >= 1  # the novel doc survives
+        with _pytest.raises(ParameterException):
+            dedup_against(batch, "text", "doc_id", ref, method="minhash",
+                          num_hashes=32, bands=4, index=idx)
+    finally:
+        idx.release()
