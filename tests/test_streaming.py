@@ -394,3 +394,55 @@ def test_write_stream_shards(spark, events_stream_dir, tmp_path):
                 n += 1
     expected = spark.read.parquet(events_stream_dir).count()
     assert n == expected
+
+
+def test_round4_late_rowlocal_ops_on_stream_match_batch(spark, tmp_path_factory):
+    """char_entropy, pseudonymize, and random_projection are row-local and
+    run unchanged on streaming frames, matching the batch answer."""
+    out = str(tmp_path_factory.mktemp("docs_stream_r4b"))
+    session = rql.RasgoSession(spark, data_dir=SF_DIR)
+    docs = session.dataset("documents").df.limit(40)
+    docs.repartition(2).write.mode("overwrite").parquet(out)
+    sdf = (spark.readStream.schema(docs.schema)
+           .option("maxFilesPerTrigger", 1).parquet(out))
+
+    def build(chain):
+        return (chain.char_entropy(text="text")
+                     .pseudonymize(columns=["source"], salt="s9"))
+
+    chain = build(rql.SQLChain(session, sdf, "docs_stream_r4b"))
+    assert chain.df.isStreaming
+    q = (chain.df.writeStream.format("memory").queryName("t_r4b_rowlocal")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["CHAR_ENTROPY"], r["source"]) for r in
+           spark.table("t_r4b_rowlocal").collect()}
+    batch = build(rql.SQLChain(session, spark.read.parquet(out), "docs_b4b")).df
+    exp = {r["doc_id"]: (r["CHAR_ENTROPY"], r["source"]) for r in batch.collect()}
+    assert got == exp and len(got) == 40
+
+
+def test_random_projection_on_stream_requires_in_dim(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.rproj import random_projection
+
+    out = str(tmp_path_factory.mktemp("emb_stream"))
+    session = rql.RasgoSession(spark, data_dir=SF_DIR)
+    emb = session.dataset("embeddings").df.limit(20)
+    emb.write.mode("overwrite").parquet(out)
+    sdf = (spark.readStream.schema(emb.schema)
+           .option("maxFilesPerTrigger", 1).parquet(out))
+    with _pytest.raises(ParameterException):
+        random_projection(sdf, "embedding", out_dim=4)  # no inference on streams
+    proj = random_projection(sdf, "embedding", out_dim=4, in_dim=64)
+    q = (proj.selectExpr("vec_id", "PROJ").writeStream.format("memory")
+         .queryName("t_rproj_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["vec_id"]: tuple(r["PROJ"]) for r in spark.table("t_rproj_stream").collect()}
+    exp = {r["vec_id"]: tuple(r["PROJ"]) for r in
+           random_projection(spark.read.parquet(out), "embedding",
+                             out_dim=4, in_dim=64).select("vec_id", "PROJ").collect()}
+    assert got == exp and len(got) == 20
