@@ -197,6 +197,23 @@ class RasgoSession:
         mode = {"append": "append", "replace": "overwrite"}.get(method.lower())
         if mode is None:
             raise ParameterException("method must be 'append' or 'replace'")
+        if mode == "overwrite":
+            # 'replace' must succeed even when a previous (killed) session
+            # left the managed location on disk without a catalog entry —
+            # saveAsTable raises LOCATION_ALREADY_EXISTS on that orphan.
+            # Dropping the table clears the registered case; the leftover
+            # directory is then safe to remove (any registered owner was
+            # just dropped).
+            self.spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+            try:
+                wh = self.spark.conf.get("spark.sql.warehouse.dir")
+                jvm = self.spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
+                fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+                if fs.exists(p):
+                    fs.delete(p, True)
+            except Exception:
+                pass  # non-default layouts: let saveAsTable report
         sdf.write.mode(mode).saveAsTable(table_name)
         return self.dataset(table_name)
 

@@ -111,6 +111,29 @@ ANNOTATED = [
      "One hash aggregation on the key, then bounded single-row rollups and "
      "a TakeOrdered top-k over the key-cardinality-sized count table — the "
      "pre-flight check before any big groupBy/join."),
+    ("dedup_against_bloom (round 4)", "dedup_against_bloom",
+     "Bloom prefilter as a distributed bit table: the reference reduces to "
+     "<= 2^bits_log2 DISTINCT ints (bounded regardless of corpus size, "
+     "reusable across batches); membership is one equi-join over slim "
+     "(id, bit) rows with all-bits-set counting; only bloom positives pay "
+     "the exact fingerprint confirm — output equals the plain anti-join."),
+    ("pagerank (round 4)", "pagerank",
+     "Iterative rank propagation as slim (node, double) joins + sum-by-dst "
+     "aggregations (partial+final); the dangling mass is a one-row "
+     "aggregate rejoined via BroadcastNestedLoopJoin; per-iteration 9-dp "
+     "rounding keeps the unrolled DuckDB replay exact."),
+    ("diff_datasets (round 4)", "diff_datasets",
+     "Both snapshots hash to (key, md5) BEFORE the full-outer join, so the "
+     "shuffle carries 16 bytes per row regardless of document width."),
+    ("logreg_score (round 4)", "logreg_score",
+     "Each GD pass is ONE aggregation (k+1 means, partial+final) with "
+     "weights as literals; scoring is a whole-stage-codegen projection — "
+     "the corpus never shuffles at any phase."),
+    ("semantic_dedup (round 4)", "semantic_dedup",
+     "Cluster assignment is a literal-centroid projection (no join); the "
+     "cosine self-join is an equi-join on CLUSTER_ID, bounding candidate "
+     "pairs to within-cluster; the drop set ships as bare ids for one "
+     "left-anti join."),
 ]
 
 

@@ -21,6 +21,7 @@ QUERIES = [
     "filter_project", "aggregate", "join_agg", "rolling_agg",
     "tumbling_window", "dedup_minhash", "similarity_search",
     "dedup_winnow", "bigram_logprob",
+    "dedup_against_bloom", "pagerank", "semantic_dedup", "logreg_score",
 ]
 
 
