@@ -150,3 +150,30 @@ def compact_shards(
         raise IOError(f"compact_shards: could not move compacted data into {path}")
     fs.delete(bak, True)
     return path
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False, line_col: str = "value"
+) -> DataFrame:
+    """Plain-text source: one row per line (default) or per file
+    (``whole_file`` — raw-document ingestion before chunking/cleaning).
+    Avro is NOT wired here deliberately: spark-avro is an external module
+    absent from a stock PySpark install; gate it behind your deployment."""
+    df = spark.read.text(path, wholetext=whole_file)
+    return df.withColumnRenamed("value", line_col) if line_col != "value" else df
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal corpora: one row per file with
+    ``(path, modificationTime, length, content: binary)`` — the ingestion
+    front-end for the ``image_meta``/``audio_meta``/``image_pixels``
+    decoders (functions/multimodal.py), which consume exactly this
+    ``content`` column shape. Spark parallelizes by file; pair with
+    ``compact_shards``/``save_shards`` downstream because millions of tiny
+    originals should be re-laid-out once, not rescanned per stage."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

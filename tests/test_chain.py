@@ -267,3 +267,23 @@ def test_compact_shards_to_out_path(session, spark, tmp_path):
     import glob
     assert len(glob.glob(src + "/*.parquet")) == 8  # source untouched
     assert spark.read.parquet(dst).count() == spark.read.parquet(src).count()
+
+
+def test_read_text_and_binary_files(spark, tmp_path):
+    from rasgoql_spark.sources.io import read_binary_files, read_text
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\n")
+    (d / "b.txt").write_text("gamma\n")
+    (d / "c.bin").write_bytes(b"\x89PNG....")
+
+    lines = read_text(spark, str(d) + "/*.txt", line_col="line")
+    assert sorted(r["line"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, str(d) + "/*.txt", whole_file=True)
+    assert whole.count() == 2
+
+    bins = read_binary_files(spark, str(d), glob="*.bin")
+    rows = bins.collect()
+    assert len(rows) == 1 and bytes(rows[0]["content"]).startswith(b"\x89PNG")
+    assert {"path", "length", "content"} <= set(bins.columns)
