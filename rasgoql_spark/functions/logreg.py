@@ -95,6 +95,8 @@ def logreg_score(
                 for j, c in enumerate(cols)
             ],
         ).collect()[0]
+        if grad_row["__g0"] is None:
+            break  # no train rows: avg() is NULL — keep zero weights
         w = [
             round(w[j] - lr * float(grad_row[f"__g{j}"]), W_ROUND)
             for j in range(len(w))

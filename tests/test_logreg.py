@@ -49,3 +49,10 @@ def test_logreg_validation(spark):
         logreg_score(df, ["x1"], "y", lr=0.125)  # 3 decimals off the grid
     with pytest.raises(ParameterException):
         logreg_score(df, ["x1"], "y", iterations=-1)
+
+
+def test_logreg_empty_input_keeps_zero_weights(spark):
+    df = spark.createDataFrame([], "id long, x1 double, y long")
+    out = logreg_score(df, ["x1"], "y", iterations=3)
+    assert out.count() == 0  # no crash; schema intact
+    assert "SCORE" in out.columns
