@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 165 entries, ALL 165 with DuckDB oracles (round 4
+streaming extensions) — 167 entries, ALL 167 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -3485,10 +3485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cumulative rounds 1-3 verified 129/136; this round leads with the 7
     # entries never hash-green (all fixed this round: array serialization,
     # NTZ event time, new exact ANN oracles), then the NTZ-touched
-    # streaming family for re-verification, then the 29 round-4 operators
+    # streaming family for re-verification, then the 31 round-4 operators
     # (first-time verification — all inside the front-50), then the OLDEST
     # greens (round-1 relational core) to refresh staleness. Round-2/3
-    # greens follow the fold. All 165 entries pass tools/oracle_check.py
+    # greens follow the fold. All 167 entries pass tools/oracle_check.py
     # locally.
     return {
         # --- never hash-green before round 4 (fixed this round) ---
