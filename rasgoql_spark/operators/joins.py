@@ -455,3 +455,55 @@ def _r_interval_join(source, join_table, point, lower, upper, bucket_width,
         f"(SELECT {proj} FROM {join_table})) r ON {on} "
         f"WHERE l.{point} >= r.{rlo} AND l.{point} <= r.{rhi}"
     )
+
+
+@spark_transform("fuzzy_join", category="join", streaming_ok=False)
+def fuzzy_join(
+    df: DataFrame,
+    join_table: DataFrame,
+    column: str,
+    right_column: str | None = None,
+    max_distance: int = 2,
+    block: str = "prefix",
+    block_len: int = 2,
+    join_prefix: str = "R",
+) -> DataFrame:
+    """Approximate string equi-join for entity resolution (public
+    blocking-and-verification pattern — the record-linkage analog of LSH):
+    candidate pairs come from a cheap BLOCK equi-join, then only candidates
+    pay the edit-distance verify. Rows join when their normalized
+    (lower/trim) strings are within ``max_distance`` Levenshtein edits.
+
+    ``block='prefix'``: candidates must share the first ``block_len``
+    normalized characters — the standard tradeoff: an edit inside the
+    prefix escapes the block (document-level recall < 1), in exchange for
+    never materializing the cross product. ``block='none'`` is the exact
+    all-pairs fallback for SMALL right sides only.
+
+    Output: left columns + right columns (prefixed ``{join_prefix}_``) +
+    ``EDIT_DISTANCE``. Scale: the block join shuffles on the short block
+    key; verification is row-local levenshtein on candidates only.
+    """
+    if block not in ("prefix", "none"):
+        raise ParameterException("block must be 'prefix' or 'none'")
+    if max_distance < 0:
+        raise ParameterException("max_distance must be >= 0")
+    lc = resolve_col(df, column)
+    rc = resolve_col(join_table, right_column or column)
+    norm = lambda c: F.trim(F.lower(c))  # noqa: E731
+    right = join_table.select(
+        [F.col(c).alias(cleanse_name(f"{join_prefix}_{c}")) for c in join_table.columns]
+    )
+    prc = cleanse_name(f"{join_prefix}_{rc}")
+    if block == "prefix":
+        lb = F.substring(norm(F.col(lc)), 1, block_len)
+        rb = F.substring(norm(F.col(prc)), 1, block_len)
+        cond = lb == rb
+        joined = df.join(right, on=cond, how="inner")
+    else:
+        joined = df.crossJoin(right)
+    dist = F.levenshtein(norm(F.col(lc)), norm(F.col(prc)))
+    return (
+        joined.withColumn("EDIT_DISTANCE", dist)
+        .filter(F.col("EDIT_DISTANCE") <= max_distance)
+    )

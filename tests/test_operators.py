@@ -250,3 +250,34 @@ def test_bucketed_rank_edge_cases(spark):
     ones = spark.createDataFrame([(1.0, i) for i in range(50)], ["v", "tb"]).repartition(8)
     r = rql.get_transform("rank").apply(ones, order_by=["v"], method="rank", name="R")
     assert r.select("R").distinct().collect()[0][0] == 1
+
+
+# ------------------------------------------------------------------ fuzzy_join
+
+def test_fuzzy_join_blocked_and_exact(spark):
+    import pytest as _pytest
+
+    import rasgoql_spark as rql
+    from rasgoql_spark.errors import ParameterException
+
+    fuzzy = rql.get_transform("fuzzy_join").apply
+    left = spark.createDataFrame(
+        [(1, "Johnson"), (2, "smith"), (3, "Zhu")], "id long, name string")
+    right = spark.createDataFrame(
+        [(10, "jonson"), (20, "Smyth"), (30, "Xu")], "rid long, name string")
+
+    out = fuzzy(left, join_table=right, column="name", max_distance=2)
+    pairs = {(r["id"], r["R_RID"], r["EDIT_DISTANCE"]) for r in out.collect()}
+    # johnson~jonson d=1 (shares 'jo'); smith~smyth d=1 (shares 'sm');
+    # zhu~xu d=2 but blocked apart (prefix 'zh' vs 'xu')
+    assert (1, 10, 1) in pairs and (2, 20, 1) in pairs
+    assert not any(l == 3 for l, _, _ in pairs)
+
+    # block='none' recovers the cross-block match
+    out2 = fuzzy(left, join_table=right, column="name",
+                 max_distance=2, block="none")
+    pairs2 = {(r["id"], r["R_RID"]) for r in out2.collect()}
+    assert (3, 30) in pairs2
+
+    with _pytest.raises(ParameterException):
+        fuzzy(left, join_table=right, column="name", block="soundex")
