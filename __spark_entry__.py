@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 168 entries, ALL 168 with DuckDB oracles (round 4
+streaming extensions) — 169 entries, ALL 169 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1270,6 +1270,17 @@ _TYPO_APPLY = (
     "substring(c_name, 1, length(c_name) - 1) ELSE c_name END AS c_name "
     "FROM {{source_table}} WHERE c_custkey % 45 = 0"
 )
+
+
+def q_json_flatten(spark, sf):
+    # discovery finds the single key 'k' in events.props; cast to int
+    s = _s(spark, sf)
+    return (
+        s.dataset("events")
+        .json_flatten(column="props", types={"k": "int"})
+        .drop_columns(include_cols=["event_id", "K"])
+        .df
+    )
 
 
 def q_fuzzy_join(spark, sf):
@@ -3116,6 +3127,9 @@ ranked AS (
             "s.embedding", seed=7, out_dim=8, in_dim=64,
             extra_cols="vec_id",
         ),
+        "json_flatten": (
+            "SELECT event_id, CAST(props->>'$.k' AS INT) AS K FROM events"
+        ),
         "fuzzy_join": (
             "WITH l AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 30 = 0), "
             "r AS (SELECT c_custkey AS R_C_CUSTKEY, CASE WHEN c_custkey % 2 = 0 THEN "
@@ -3520,10 +3534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cumulative rounds 1-3 verified 129/136; this round leads with the 7
     # entries never hash-green (all fixed this round: array serialization,
     # NTZ event time, new exact ANN oracles), then the NTZ-touched
-    # streaming family for re-verification, then the 32 round-4 operators
+    # streaming family for re-verification, then the 33 round-4 operators
     # (first-time verification — all inside the front-50), then the OLDEST
     # greens (round-1 relational core) to refresh staleness. Round-2/3
-    # greens follow the fold. All 168 entries pass tools/oracle_check.py
+    # greens follow the fold. All 169 entries pass tools/oracle_check.py
     # locally.
     return {
         # --- never hash-green before round 4 (fixed this round) ---
@@ -3574,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "char_entropy": q_char_entropy,
         "fuzzy_join": q_fuzzy_join,
+        "json_flatten": q_json_flatten,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -109,3 +109,88 @@ def _r_map_from_entries_by(source, group_by, key_column, value_column) -> str:
         f"struct({key_column}, {value_column})))) AS {name} "
         f"FROM {source} GROUP BY {keys}"
     )
+
+
+@spark_transform("json_flatten", category="semistructured", streaming_ok=False)
+def json_flatten(
+    df: DataFrame,
+    column: str,
+    keys=None,
+    types: dict | None = None,
+    uppercase: bool = True,
+) -> DataFrame:
+    """Flatten a JSON-object string column into one column per top-level
+    key — the schema-on-read step for event ``props``-style payloads.
+
+    ``keys=None`` discovers the key set from a BOUNDED sample (distinct
+    json_object_keys over up to 1000 rows — a capped driver action, same
+    budget class as pivot's value discovery); pass ``keys`` explicitly on
+    streaming-adjacent or drifting payloads. Extraction itself is the
+    row-local ``get_json_object`` projection — shuffle-free, whole-stage
+    codegen, scales with cores.
+    """
+    from ..operators._util import as_list
+
+    col = resolve_col(df, column)
+    if keys is None:
+        rows = (
+            df.select(F.explode(F.json_object_keys(F.col(col))).alias("k"))
+            .limit(1000)
+            .dropDuplicates()
+            .collect()
+        )
+        keys = sorted(r["k"] for r in rows)
+        if not keys:
+            raise ParameterException(
+                f"json_flatten: no JSON object keys found in {col}"
+            )
+    else:
+        keys = as_list(keys)
+    types = types or {}
+    out = {}
+    for k in keys:
+        c = F.get_json_object(F.col(col), f"$.{k}")
+        if k in types:
+            c = c.cast(types[k])
+        out[cleanse_name(k) if uppercase else k] = c
+    return df.withColumns(out)
+
+
+@renderer("json_flatten")
+def _r_json_flatten(source, column, keys=None, types: dict | None = None, uppercase: bool = True) -> str:
+    from ..errors import TransformRenderingException
+    from ..operators._util import as_list
+
+    if keys is None:
+        raise TransformRenderingException(
+            "json_flatten renders only with explicit keys (discovery is a "
+            "runtime sample)"
+        )
+    types = types or {}
+    cols = []
+    for k in as_list(keys):
+        expr = f"get_json_object({column}, '$.{k}')"
+        if k in types:
+            expr = f"CAST({expr} AS {types[k]})"
+        cols.append(f"{expr} AS {cleanse_name(k) if uppercase else k}")
+    return f"SELECT *, {', '.join(cols)} FROM {source}"
+
+
+@spark_transform("transform_pandas", category="escape")
+def transform_pandas(df: DataFrame, func, schema) -> DataFrame:
+    """THE sanctioned Python escape hatch: run an Arrow-batched pandas
+    function over the frame (``mapInPandas``). ``func`` takes an iterator
+    of pandas DataFrames and yields pandas DataFrames matching ``schema``
+    (a DDL string like ``"id long, score double"`` or a StructType).
+
+    Use this — never row-at-a-time Python UDFs — when the built-in
+    operators genuinely can't express the logic (custom models, binary
+    decoders, third-party libraries). Arrow moves columns in batches, so
+    the Python boundary costs per-batch, not per-row; the multimodal
+    decoders (functions/multimodal.py) are the house example of the
+    pattern. Works on batch AND streaming frames. Not SQL-renderable by
+    nature (``.sql()`` raises TransformRenderingException).
+    """
+    if not callable(func):
+        raise ParameterException("func must be a callable of iter[pd.DataFrame] -> iter[pd.DataFrame]")
+    return df.mapInPandas(func, schema=schema)

@@ -287,3 +287,24 @@ def test_read_text_and_binary_files(spark, tmp_path):
     rows = bins.collect()
     assert len(rows) == 1 and bytes(rows[0]["content"]).startswith(b"\x89PNG")
     assert {"path", "length", "content"} <= set(bins.columns)
+
+
+def test_transform_pandas_escape_hatch(session):
+    import rasgoql_spark as rql
+
+    def double_price(batches):
+        for pdf in batches:
+            pdf = pdf[["o_orderkey", "o_totalprice"]].copy()
+            pdf["o_totalprice"] = pdf["o_totalprice"] * 2
+            yield pdf
+
+    chain = session.dataset("orders").transform_pandas(
+        func=double_price, schema="o_orderkey long, o_totalprice double")
+    out = chain.df
+    base = session.dataset("orders").df
+    assert out.count() == base.count()
+    got = out.agg({"o_totalprice": "sum"}).collect()[0][0]
+    exp = base.agg({"o_totalprice": "sum"}).collect()[0][0]
+    assert abs(got - 2 * exp) < 1e-6
+    with pytest.raises(rql.TransformRenderingException):
+        chain.sql()
