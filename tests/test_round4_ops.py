@@ -345,3 +345,37 @@ def test_round4_ops_tolerate_null_text(spark):
     pairs = rql.get_transform("dedup_winnow").apply(
         df, text="text", id_col="doc_id").collect()
     assert pairs == []
+
+
+def test_round4_late_ops_tolerate_null_text(spark):
+    """NULL text/keys must not crash or corrupt the late round-4 ops."""
+    docs = spark.createDataFrame(
+        [(0, None, "A"), (1, "real text here", "A"), (2, "other words", "B")],
+        "doc_id long, text string, source string")
+
+    # bloom dedup: NULL-text rows have NULL fingerprints -> never matched,
+    # always survive
+    ref = docs.filter("doc_id = 1")
+    out = rql.get_transform("dedup_against_bloom").apply(
+        docs, text="text", id_col="doc_id", reference=ref, bits_log2=12)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]
+
+    # source_overlap: NULL fingerprints never count as shared content
+    ov = rql.get_transform("source_overlap").apply(
+        docs, text="text", group_col="source")
+    assert ov.count() == 0
+
+    # fuzzy_join: NULL names drop out of the block join
+    other = spark.createDataFrame(
+        [(10, "real text hero")], "rid long, text string")
+    fj = rql.get_transform("fuzzy_join").apply(
+        docs, join_table=other, column="text", max_distance=2)
+    assert sorted(r["doc_id"] for r in fj.collect()) == [1]
+
+    # json_flatten: NULL payloads yield NULL columns
+    ev = spark.createDataFrame(
+        [(0, None), (1, '{"k": 7}')], "event_id long, props string")
+    fl = rql.get_transform("json_flatten").apply(
+        ev, column="props", keys=["k"], types={"k": "int"})
+    vals = {r["event_id"]: r["K"] for r in fl.collect()}
+    assert vals[0] is None and vals[1] == 7
