@@ -383,3 +383,29 @@ def test_pagerank_dangling_mass_is_broadcast(session):
     plan = _plan(edges.pagerank(src="src", dst="dst", iterations=1))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_blocks_as_equi_join(session):
+    left = session.dataset("customer").apply(
+        sql="SELECT c_custkey, c_name FROM {{source_table}} WHERE c_custkey % 30 = 0")
+    right = session.dataset("customer").apply(
+        sql="SELECT c_custkey, c_name FROM {{source_table}} WHERE c_custkey % 45 = 0")
+    plan = _plan(left.fuzzy_join(join_table=right, column="c_name", max_distance=2))
+    # the block must plan as a hash equi-join on the prefix key — a
+    # nested-loop over the right side would be the all-pairs cross product
+    # the blocking exists to avoid
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_json_flatten_is_shuffle_free(session):
+    plan = _plan(session.dataset("events").json_flatten(
+        column="props", keys=["k"], types={"k": "int"}))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_char_entropy_is_shuffle_free(session):
+    plan = _plan(session.dataset("documents").char_entropy(text="text"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
