@@ -123,6 +123,10 @@ def test_scoped_caches_released_on_gc(spark, session):
     import gc
 
     sc = spark.sparkContext
+    # drain release_with finalizers queued by earlier tests — otherwise their
+    # unpersists fire inside OUR gc.collect() and sink the count below the
+    # baseline measured here
+    gc.collect()
     before = len(sc._jsc.getPersistentRDDs())
     docs = session.dataset("documents").df.limit(150)
     out = rql.get_transform("dedup_minhash").apply(

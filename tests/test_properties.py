@@ -294,3 +294,43 @@ def test_bpe_replace_fold_equals_priority_merging(char_merges, words):
 
     for w in words:
         assert fold_encode(w) == prio_encode(w), (w, merges)
+
+
+@given(st.integers(min_value=0, max_value=4),
+       st.sampled_from([0.1, 0.25, 0.5, 1.0, 2.0]),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=20, deadline=None)
+def test_logreg_oracle_sql_generator_always_parses(iterations, lr, k):
+    """The unrolled-GD SQL generator must emit valid DuckDB SQL for any
+    (iterations, lr, feature-count) the operator accepts."""
+    import duckdb
+
+    from rasgoql_spark.functions.logreg import logreg_oracle_sql
+
+    feats = [f"x{j}" for j in range(k)]
+    cols = ", ".join(f"CAST({j + 1} AS DOUBLE) AS x{j}" for j in range(k))
+    con = duckdb.connect()
+    con.sql(f"CREATE TABLE t AS SELECT {cols}, 1 AS yl UNION ALL SELECT {cols}, 0")
+    sql = logreg_oracle_sql("SELECT * FROM t", feats, "yl",
+                            lr=lr, iterations=iterations, select_cols="x0")
+    rows = con.sql(sql).fetchall()
+    assert len(rows) == 2 and all(0.0 <= r[-1] <= 1.0 for r in rows)
+
+
+@given(st.integers(min_value=0, max_value=4),
+       st.sampled_from([0.5, 0.85, 0.99]))
+@settings(max_examples=15, deadline=None)
+def test_pagerank_oracle_sql_generator_always_parses(iterations, damping):
+    import duckdb
+
+    from rasgoql_spark.functions.graph import pagerank_oracle_sql
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE edges_t AS SELECT 1 src, 2 dst UNION ALL SELECT 2, 3 "
+            "UNION ALL SELECT 3, 1 UNION ALL SELECT 1, 4")
+    sql = pagerank_oracle_sql("SELECT * FROM edges_t", damping=damping,
+                              iterations=iterations)
+    rows = con.sql(sql).fetchall()
+    assert len(rows) == 4
+    total = sum(r[1] for r in rows)
+    assert abs(total - 1.0) < 1e-6  # mass conserved at every depth
