@@ -81,3 +81,25 @@ def test_bloom_param_validation(spark):
         bloom_bits(df, "text", bits_log2=4)
     with pytest.raises(ParameterException):
         bloom_bits(df, "text", num_hashes=0)
+
+
+def test_bloom_index_matches_inline_and_validates(spark):
+    from rasgoql_spark.functions.bloom import bloom_index
+
+    df = _docs(spark, 120)
+    ref = df.filter("doc_id % 3 = 0")
+    idx = bloom_index(ref, "text", bits_log2=12, num_hashes=3)
+    try:
+        with_idx = rql.get_transform("dedup_against_bloom").apply(
+            df, text="text", id_col="doc_id", reference=ref,
+            bits_log2=12, index=idx)
+        inline = rql.get_transform("dedup_against_bloom").apply(
+            df, text="text", id_col="doc_id", reference=ref, bits_log2=12)
+        assert sorted(r["doc_id"] for r in with_idx.collect()) == sorted(
+            r["doc_id"] for r in inline.collect())
+        with pytest.raises(ParameterException):
+            rql.get_transform("dedup_against_bloom").apply(
+                df, text="text", id_col="doc_id", reference=ref,
+                bits_log2=16, index=idx)  # parameter mismatch
+    finally:
+        idx.release()
