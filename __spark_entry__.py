@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 169 entries, ALL 169 with DuckDB oracles (round 4
+streaming extensions) — 170 entries, ALL 170 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1270,6 +1270,18 @@ _TYPO_APPLY = (
     "substring(c_name, 1, length(c_name) - 1) ELSE c_name END AS c_name "
     "FROM {{source_table}} WHERE c_custkey % 45 = 0"
 )
+
+
+def q_feature_hash(spark, sf):
+    # 16-dim hashed bag-of-words, exploded to numeric (doc_id, POS, VAL)
+    s = _s(spark, sf)
+    return (
+        s.dataset("documents")
+        .feature_hash(text="text", id_col="doc_id", dim=16)
+        .apply(sql="SELECT doc_id, posexplode(FEATURES) AS (POS, VAL) "
+                   "FROM {{source_table}}")
+        .df
+    )
 
 
 def q_json_flatten(spark, sf):
@@ -3130,6 +3142,19 @@ ranked AS (
         "json_flatten": (
             "SELECT event_id, CAST(props->>'$.k' AS INT) AS K FROM events"
         ),
+        "feature_hash": (
+            f"WITH t AS (SELECT doc_id, {_toks()} AS tk FROM documents), "
+            "p AS (SELECT doc_id, CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT) % 16 "
+            "AS b FROM t, unnest(tk) AS u(tok)), "
+            "c AS (SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS cnt FROM p GROUP BY 1, 2), "
+            "g AS (SELECT d.doc_id, gs.j, COALESCE(c.cnt, 0.0) AS v FROM documents d "
+            "CROSS JOIN (SELECT unnest(range(16)) AS j) gs "
+            "LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = gs.j), "
+            "n AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM g GROUP BY 1) "
+            "SELECT g.doc_id, CAST(g.j AS INT) AS POS, "
+            "CASE WHEN n.nrm > 0 THEN round(g.v / n.nrm, 6) ELSE g.v END AS VAL "
+            "FROM g JOIN n USING (doc_id)"
+        ),
         "fuzzy_join": (
             "WITH l AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 30 = 0), "
             "r AS (SELECT c_custkey AS R_C_CUSTKEY, CASE WHEN c_custkey % 2 = 0 THEN "
@@ -3534,10 +3559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cumulative rounds 1-3 verified 129/136; this round leads with the 7
     # entries never hash-green (all fixed this round: array serialization,
     # NTZ event time, new exact ANN oracles), then the NTZ-touched
-    # streaming family for re-verification, then the 33 round-4 operators
+    # streaming family for re-verification, then the 34 round-4 operators
     # (first-time verification — all inside the front-50), then the OLDEST
     # greens (round-1 relational core) to refresh staleness. Round-2/3
-    # greens follow the fold. All 169 entries pass tools/oracle_check.py
+    # greens follow the fold. All 170 entries pass tools/oracle_check.py
     # locally.
     return {
         # --- never hash-green before round 4 (fixed this round) ---
@@ -3589,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "fuzzy_join": q_fuzzy_join,
         "json_flatten": q_json_flatten,
+        "feature_hash": q_feature_hash,
         # --- oldest greens (round 1) — staleness refresh ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import spark_transform
-from ._hash import tokens_expr
+from ._hash import md5_int, tokens_expr
 
 
 @spark_transform("nb_classify", category="ml", streaming_ok=False)
@@ -153,3 +153,63 @@ def nb_classify(
         .drop("__fallback_pred", "__fallback_lp")
     )
     return out
+
+
+@spark_transform("feature_hash", category="ml", streaming_ok=False)
+def feature_hash(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    dim: int = 32,
+    normalize: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hashing-trick bag-of-words vectorization (public technique:
+    Weinberger et al. 2009 feature hashing — the fastText input layer):
+    each token lands in bucket ``md5_int(token) % dim``; the document
+    vector is the bucket-count histogram, L2-normalized by default.
+    Appends ``FEATURES`` (array<double>, length ``dim``). Feed the buckets
+    to ``logreg_score`` for a fully in-engine trainable text classifier.
+
+    Scale: tokens explode to slim ``(id, bucket)`` rows; ONE partial+final
+    count aggregation per (id, bucket); vectors assemble per id with a
+    second slim aggregation. Nothing is collected; md5 bucketing is
+    JVM-side and replayed bit-for-bit by the DuckDB oracle. Empty/NULL
+    text yields the zero vector.
+    """
+    if dim < 1 or dim > 4096:
+        raise ParameterException("dim must be in [1, 4096]")
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    toks = spread(df).select(
+        F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t")
+    )
+    pairs = toks.select(
+        "__id", F.explode("__t").alias("__tok")
+    ).select("__id", (md5_int(F.col("__tok")) % dim).alias("__b"))
+    counts = pairs.groupBy("__id", "__b").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    vecs = counts.groupBy("__id").agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__c"))).alias("__m")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.element_at(F.col("__m"), j.cast("bigint")), F.lit(0.0)),
+    )
+    if normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        vec = F.when(
+            norm > 0, F.transform(arr, lambda x: F.round(x / norm, round_to))
+        ).otherwise(arr)
+    else:
+        vec = arr
+    out = vecs.select("__id", vec.alias("FEATURES"))
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    return (
+        df.join(out.withColumnRenamed("__id", i), on=i, how="left")
+        .withColumn("FEATURES", F.coalesce("FEATURES", zero))
+    )

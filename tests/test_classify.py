@@ -73,3 +73,51 @@ def test_nb_label_frame_broadcasts(spark):
     out = rql.get_transform("nb_classify").apply(df, text="text", label_col="y", id_col="id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, "label expansion must broadcast, not shuffle"
+
+
+# ---------------------------------------------------------------- feature_hash
+
+def test_feature_hash_histogram_and_normalization(spark):
+    import math
+
+    from rasgoql_spark.functions.classify import feature_hash
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, ""), (2, None), (3, "a a b")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["FEATURES"] for r in
+           feature_hash(df, "text", "doc_id", dim=8).collect()}
+    v = out[0]
+    assert len(v) == 8
+    assert out[0] == out[3]                       # same text -> same vector
+    assert out[1] == [0.0] * 8 and out[2] == [0.0] * 8
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # L2-normalized
+    nz = sorted(x for x in v if x > 0)
+    assert len(nz) == 2 and nz[1] / nz[0] == pytest.approx(2.0, abs=1e-4)
+
+
+def test_feature_hash_plus_logreg_learns_token_presence(spark):
+    """The composed in-engine classifier: hashed bag-of-words features into
+    logistic regression separate docs by a planted vocabulary signal."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.classify import feature_hash
+    from rasgoql_spark.functions.logreg import logreg_score
+
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            rows.append((i, f"spark shuffle partition executor task {i % 7}", 1))
+        else:
+            rows.append((i, f"recipe garden flower kitchen window {i % 7}", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    feat = feature_hash(df, "text", "doc_id", dim=16)
+    wide = feat.select(
+        "doc_id", "y",
+        *[F.col("FEATURES")[j].alias(f"f{j}") for j in range(16)])
+    scored = logreg_score(wide, [f"f{j}" for j in range(16)], "y",
+                          lr=2.0, iterations=8)
+    got = {r["doc_id"]: r["SCORE"] for r in scored.collect()}
+    pos = [got[i] for i in range(0, 120, 2)]
+    neg = [got[i] for i in range(1, 120, 2)]
+    assert min(pos) > max(neg), "hashed-BoW logreg must separate the classes"
