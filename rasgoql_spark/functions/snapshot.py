@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import as_list, resolve_col
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 
 _SEP = "\x1f"
 _NULL = "\x00NULL"
@@ -118,4 +118,47 @@ def diff_oracle_sql(
         f"o AS (SELECT {keys_csv}, {h('s')} AS __h FROM ({old_sql}) s) "
         f"SELECT * FROM (SELECT {key_sel}, {status} AS STATUS "
         f"FROM n FULL OUTER JOIN o ON {on}){filt}"
+    )
+
+
+def _render_hash(cols, alias: str) -> str:
+    parts = ", ".join(
+        f"COALESCE(CAST({alias}.{c} AS STRING), concat(char(0), 'NULL'))"
+        for c in cols
+    )
+    return f"md5(concat_ws(char(31), {parts}))"
+
+
+@renderer("diff_datasets")
+def _r_diff_datasets(source, other, keys, compare_cols=None,
+                     include_unchanged=False, _input_columns=(),
+                     _table_columns=None) -> str:
+    from ..errors import TransformRenderingException
+
+    rcols = (_table_columns or {}).get("other")
+    if not rcols:
+        raise TransformRenderingException(
+            "rendered diff_datasets needs the other table's schema — pass "
+            "it by name/chain"
+        )
+    keys = as_list(keys)
+    if compare_cols is None:
+        shared = [c for c in _input_columns if c in set(rcols)]
+        compare_cols = [c for c in shared if c not in keys]
+    else:
+        compare_cols = as_list(compare_cols)
+    on = " AND ".join(f"n.{k} <=> o.{k}" for k in keys)
+    key_sel = ", ".join(f"COALESCE(n.{k}, o.{k}) AS {k}" for k in keys)
+    status = (
+        "CASE WHEN o.__h IS NULL THEN 'ADDED' WHEN n.__h IS NULL THEN "
+        "'REMOVED' WHEN n.__h != o.__h THEN 'CHANGED' ELSE 'UNCHANGED' END"
+    )
+    keys_csv = ", ".join(keys)
+    filt = "" if include_unchanged else " WHERE STATUS != 'UNCHANGED'"
+    return (
+        f"SELECT * FROM (SELECT {key_sel}, {status} AS STATUS FROM "
+        f"(SELECT {keys_csv}, {_render_hash(compare_cols, 's')} AS __h FROM {source} s) n "
+        f"FULL OUTER JOIN "
+        f"(SELECT {keys_csv}, {_render_hash(compare_cols, 's')} AS __h FROM {other} s) o "
+        f"ON {on}){filt}"
     )

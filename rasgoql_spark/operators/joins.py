@@ -507,3 +507,30 @@ def fuzzy_join(
         joined.withColumn("EDIT_DISTANCE", dist)
         .filter(F.col("EDIT_DISTANCE") <= max_distance)
     )
+
+
+@renderer("fuzzy_join")
+def _r_fuzzy_join(source, join_table, column, right_column=None, max_distance=2,
+                  block="prefix", block_len=2, join_prefix="R", _table_columns=None) -> str:
+    rcols = (_table_columns or {}).get("join_table")
+    if not rcols:
+        raise TransformRenderingException(
+            "rendered fuzzy_join needs the right table's schema — pass the "
+            "table by name/chain so the renderer can prefix its columns"
+        )
+    rc = right_column or column
+    proj = ", ".join(f"{c} AS {cleanse_name(f'{join_prefix}_{c}')}" for c in rcols)
+    prc = cleanse_name(f"{join_prefix}_{rc}")
+    norm = lambda e: f"trim(lower({e}))"  # noqa: E731
+    dist = f"levenshtein({norm(f'l.{column}')}, {norm(f'r.{prc}')})"
+    if block == "prefix":
+        on = (f"ON substring({norm(f'l.{column}')}, 1, {block_len}) = "
+              f"substring({norm(f'r.{prc}')}, 1, {block_len})")
+        jt = "JOIN"
+    else:
+        on, jt = "", "CROSS JOIN"
+    return (
+        f"SELECT l.*, r.*, {dist} AS EDIT_DISTANCE FROM {source} l {jt} "
+        f"(SELECT {proj} FROM {join_table}) r {on} "
+        f"WHERE {dist} <= {max_distance}"
+    )

@@ -256,3 +256,25 @@ def test_round2_renderer_parity(session, name, builder):
         via_sql, via_df = conv(via_sql), conv(via_df)
     assert via_df.exceptAll(via_sql).count() == 0
     assert via_sql.exceptAll(via_df).count() == 0
+
+
+def test_fuzzy_join_renderer_matches_execution(session, spark):
+    session.dataset("nation").df.createOrReplaceTempView("nation")
+    chain = session.dataset("nation").fuzzy_join(
+        join_table="nation", column="n_name", max_distance=1)
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
+
+
+def test_diff_datasets_renderer_matches_execution(session, spark):
+    session.dataset("region").df.createOrReplaceTempView("region")
+    chain = session.dataset("region").diff_datasets(
+        other="region", keys=["r_regionkey"], include_unchanged=True)
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
