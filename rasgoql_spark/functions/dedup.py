@@ -1165,3 +1165,24 @@ def minhash_index(
         sig, reps, bands_long, num_hashes, bands, shingle_size,
         tuple(caches) + (bands_long,),
     )
+
+
+@renderer("source_overlap")
+def _r_source_overlap(source, text, group_col, min_shared=1, round_to=6) -> str:
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text}), '[^a-z0-9\\\\s]', ' '), "
+        f"'\\\\s+', ' '))"
+    )
+    gf = f"SELECT DISTINCT {group_col} AS __g, md5({norm}) AS __fp FROM {source}"
+    tot = f"SELECT __g, COUNT(*) AS __n FROM ({gf}) GROUP BY __g"
+    sh = (
+        f"SELECT a.__g AS GROUP_A, b.__g AS GROUP_B, COUNT(*) AS SHARED_FPS "
+        f"FROM ({gf}) a JOIN ({gf}) b ON a.__fp = b.__fp AND a.__g < b.__g "
+        f"GROUP BY a.__g, b.__g HAVING COUNT(*) >= {min_shared}"
+    )
+    return (
+        f"SELECT sh.GROUP_A, sh.GROUP_B, sh.SHARED_FPS, "
+        f"round(sh.SHARED_FPS / (ta.__n + tb.__n - sh.SHARED_FPS), {round_to}) AS JACCARD "
+        f"FROM ({sh}) sh JOIN ({tot}) ta ON sh.GROUP_A = ta.__g "
+        f"JOIN ({tot}) tb ON sh.GROUP_B = tb.__g"
+    )

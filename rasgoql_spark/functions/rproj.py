@@ -123,3 +123,32 @@ def random_projection_oracle_sql(
         f"unnest(p) AS PROJ_VAL FROM "
         f"(SELECT {pre}[{comps}] AS p FROM ({source_sql}) s WHERE len({vec_expr}) = {in_dim})"
     )
+
+
+from ..registry import renderer as _renderer  # noqa: E402
+
+
+@_renderer("random_projection")
+def _r_random_projection(source, vec_col, out_dim, in_dim=None, seed=0, round_to=6) -> str:
+    from ..errors import TransformRenderingException
+
+    if in_dim is None:
+        raise TransformRenderingException(
+            "rendered random_projection needs explicit in_dim (discovery is "
+            "a runtime sample)"
+        )
+    signs = projection_signs(seed, out_dim, in_dim)
+    inv = 1.0 / (out_dim ** 0.5)
+    comps = ", ".join(
+        "round(("
+        + " + ".join(
+            f"{'' if s > 0 else '-'}CAST({vec_col}[{i}] AS DOUBLE)"
+            for i, s in enumerate(signs[j])
+        )
+        + f") * {inv!r}, {round_to})"
+        for j in range(out_dim)
+    )
+    return (
+        f"SELECT *, CASE WHEN size({vec_col}) = {in_dim} "
+        f"THEN array({comps}) END AS PROJ FROM {source}"
+    )

@@ -278,3 +278,25 @@ def test_diff_datasets_renderer_matches_execution(session, spark):
     assert via_sql.columns == via_df.columns
     assert via_df.exceptAll(via_sql).count() == 0
     assert via_sql.exceptAll(via_df).count() == 0
+
+
+def test_source_overlap_renderer_matches_execution(session, spark):
+    chain = session.dataset("documents").source_overlap(
+        text="text", group_col="lang")
+    session.dataset("documents").df.createOrReplaceTempView("documents")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
+
+
+def test_random_projection_renderer_matches_execution(session, spark):
+    chain = session.dataset("embeddings").random_projection(
+        vec_col="embedding", out_dim=4, in_dim=64, seed=3)
+    session.dataset("embeddings").df.createOrReplaceTempView("embeddings")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
