@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 from ._hash import md5_int, tokens_expr
 
 
@@ -212,4 +212,39 @@ def feature_hash(
     return (
         df.join(out.withColumnRenamed("__id", i), on=i, how="left")
         .withColumn("FEATURES", F.coalesce("FEATURES", zero))
+    )
+
+
+@renderer("feature_hash")
+def _r_feature_hash(source, text, id_col, dim=32, normalize=True, round_to=6) -> str:
+    from .text import _tokens_sql
+
+    bucket = (
+        f"CAST(conv(substring(md5(__tok), 1, 8), 16, 10) AS BIGINT) % {dim}"
+    )
+    counts = (
+        f"SELECT {id_col} AS __id, {bucket} AS __b, "
+        f"CAST(COUNT(*) AS DOUBLE) AS __c FROM "
+        f"(SELECT {id_col}, explode({_tokens_sql(text)}) AS __tok FROM {source}) "
+        f"GROUP BY {id_col}, {bucket}"
+    )
+    # MAX(CASE) assembly: deterministic per-position extraction (collect_list
+    # has no order guarantee in SQL)
+    arr = "array(" + ", ".join(
+        f"COALESCE(MAX(CASE WHEN __b = {j} THEN __c END), 0.0)" for j in range(dim)
+    ) + ")"
+    vecs = f"SELECT __id, {arr} AS __arr FROM ({counts}) GROUP BY __id"
+    if normalize:
+        feat = (
+            "CASE WHEN aggregate(transform(v.__arr, x -> x * x), CAST(0.0 AS DOUBLE), "
+            "(a, x) -> a + x) > 0 THEN transform(v.__arr, x -> round(x / "
+            "sqrt(aggregate(transform(v.__arr, y -> y * y), CAST(0.0 AS DOUBLE), "
+            f"(a, y) -> a + y)), {round_to})) ELSE v.__arr END"
+        )
+    else:
+        feat = "v.__arr"
+    zero = "array(" + ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(dim)) + ")"
+    return (
+        f"SELECT l.*, COALESCE({feat}, {zero}) AS FEATURES FROM {source} l "
+        f"LEFT JOIN ({vecs}) v ON l.{id_col} = v.__id"
     )

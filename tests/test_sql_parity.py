@@ -300,3 +300,15 @@ def test_random_projection_renderer_matches_execution(session, spark):
     assert via_sql.columns == via_df.columns
     assert via_df.exceptAll(via_sql).count() == 0
     assert via_sql.exceptAll(via_df).count() == 0
+
+
+def test_feature_hash_renderer_matches_execution(session, spark):
+    chain = session.dataset("documents").feature_hash(
+        text="text", id_col="doc_id", dim=8)
+    session.dataset("documents").df.createOrReplaceTempView("documents")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    a = {r["doc_id"]: r["FEATURES"] for r in via_df.collect()}
+    b = {r["doc_id"]: r["FEATURES"] for r in via_sql.collect()}
+    assert a == b
