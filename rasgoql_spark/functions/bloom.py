@@ -210,3 +210,28 @@ def bloom_index(
     )
     bits.count()  # materializes fps too (bits derives from it)
     return BloomIndex(bits, fps, bits_log2, num_hashes)
+
+
+def save_bloom_index(index: BloomIndex, path: str) -> str:
+    """Persist a :class:`BloomIndex` as parquet (``{path}/bits``,
+    ``{path}/fps``) plus a one-row params table — the cross-JOB form of the
+    index: build on the corpus-refresh cadence, load per crawl batch."""
+    index.bits.write.mode("overwrite").parquet(f"{path}/bits")
+    index.fps.write.mode("overwrite").parquet(f"{path}/fps")
+    spark = index.bits.sparkSession
+    spark.createDataFrame(
+        [(index.bits_log2, index.num_hashes)], "bits_log2 int, num_hashes int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    return path
+
+
+def load_bloom_index(spark, path: str, persist: bool = True) -> BloomIndex:
+    """Load a :func:`save_bloom_index` artifact. ``persist`` pins both
+    frames for multi-batch reuse (call ``release()`` when done)."""
+    row = spark.read.parquet(f"{path}/params").first()
+    bits = spark.read.parquet(f"{path}/bits")
+    fps = spark.read.parquet(f"{path}/fps")
+    if persist:
+        bits = bits.persist()
+        fps = fps.persist()
+    return BloomIndex(bits, fps, int(row["bits_log2"]), int(row["num_hashes"]))

@@ -103,3 +103,27 @@ def test_bloom_index_matches_inline_and_validates(spark):
                 bits_log2=16, index=idx)  # parameter mismatch
     finally:
         idx.release()
+
+
+def test_bloom_index_save_load_roundtrip(spark, tmp_path):
+    from rasgoql_spark.functions.bloom import (
+        bloom_index, load_bloom_index, save_bloom_index)
+
+    df = _docs(spark, 90)
+    ref = df.filter("doc_id % 4 = 0")
+    idx = bloom_index(ref, "text", bits_log2=12, num_hashes=3)
+    path = save_bloom_index(idx, str(tmp_path / "bloomidx"))
+    idx.release()
+
+    loaded = load_bloom_index(spark, path)
+    try:
+        assert (loaded.bits_log2, loaded.num_hashes) == (12, 3)
+        out = rql.get_transform("dedup_against_bloom").apply(
+            df, text="text", id_col="doc_id", reference=ref,
+            bits_log2=12, index=loaded)
+        exact = rql.get_transform("dedup_against").apply(
+            df, text="text", id_col="doc_id", reference=ref, method="exact")
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in exact.collect())
+    finally:
+        loaded.release()
