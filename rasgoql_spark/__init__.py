@@ -31,6 +31,11 @@ from .errors import (
 from .registry import spark_transform, renderer, list_transforms, get_transform
 from .session import RasgoSession, connect, default_spark
 
+# reusable index artifacts (build once, dedup/search many batches)
+from .functions.bloom import BloomIndex, bloom_index, load_bloom_index, save_bloom_index
+from .functions.dedup import MinHashIndex, minhash_index
+from .functions.similarity import IVFIndex, ivf_index
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -49,5 +54,13 @@ __all__ = [
     "TableConflictException",
     "SQLException",
     "TransformRenderingException",
+    "BloomIndex",
+    "bloom_index",
+    "save_bloom_index",
+    "load_bloom_index",
+    "MinHashIndex",
+    "minhash_index",
+    "IVFIndex",
+    "ivf_index",
     "__version__",
 ]
