@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 170 entries, ALL 170 with DuckDB oracles (round 4
+streaming extensions) — 172 entries, ALL 172 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -788,6 +788,29 @@ def q_min_max_scaler_grouped(spark, sf):
         _s(spark, sf).dataset("part")
         .min_max_scaler(columns=["p_retailprice"], group_by=["p_brand"])
         .drop_columns(include_cols=["p_partkey", "p_brand", "P_RETAILPRICE_SCALED"])
+        .df
+    )
+
+
+def q_kfold(spark, sf):
+    # grouped 5-fold assignment on the customer key: every row of one
+    # customer lands in the same fold on every engine
+    return (
+        _s(spark, sf).dataset("orders")
+        .kfold(key=["o_custkey"], k=5, seed=3)
+        .drop_columns(include_cols=["o_orderkey", "o_custkey", "FOLD"])
+        .df
+    )
+
+
+def q_expect(spark, sf):
+    # flag mode: one boolean per rule, computed row-local
+    return (
+        _s(spark, sf).dataset("orders")
+        .expect(expectations=["o_totalprice > 0", "o_custkey IS NOT NULL",
+                              "o_orderdate >= TIMESTAMP '1992-01-01'"],
+                mode="flag")
+        .drop_columns(include_cols=["o_orderkey", "EXPECT_0", "EXPECT_1", "EXPECT_2"])
         .df
     )
 
@@ -2861,6 +2884,16 @@ ranked AS (
             "MIN(CAST(p_retailprice AS DOUBLE)) OVER (PARTITION BY p_brand) AS mn, "
             "MAX(CAST(p_retailprice AS DOUBLE)) OVER (PARTITION BY p_brand) AS mx FROM part)"
         ),
+        "kfold": (
+            "SELECT o_orderkey, o_custkey, CAST(CAST(('0x' || substr(md5("
+            "concat_ws(chr(31), '3', CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) "
+            "% 5 AS INT) AS FOLD FROM orders"
+        ),
+        "expect": (
+            "SELECT o_orderkey, o_totalprice > 0 AS EXPECT_0, "
+            "o_custkey IS NOT NULL AS EXPECT_1, "
+            "o_orderdate >= TIMESTAMP '1992-01-01' AS EXPECT_2 FROM orders"
+        ),
         "robust_scaler": (
             "SELECT o_orderkey, CASE WHEN b.__iqr > 0 THEN "
             "(CAST(o_totalprice AS DOUBLE) - b.__med) / b.__iqr ELSE 0.0 END "
@@ -3559,10 +3592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cumulative rounds 1-3 verified 129/136; this round leads with the 7
     # entries never hash-green (all fixed this round: array serialization,
     # NTZ event time, new exact ANN oracles), then the NTZ-touched
-    # streaming family for re-verification, then the 34 round-4 operators
+    # streaming family for re-verification, then the 36 round-4 operators
     # (first-time verification — all inside the front-50), then the OLDEST
     # greens (round-1 relational core) to refresh staleness. Round-2/3
-    # greens follow the fold. All 170 entries pass tools/oracle_check.py
+    # greens follow the fold. All 172 entries pass tools/oracle_check.py
     # locally.
     return {
         # --- never hash-green before round 4 (fixed this round) ---
@@ -3607,6 +3640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "random_projection": q_random_projection,
         "robust_scaler": q_robust_scaler,
+        "kfold": q_kfold,
+        "expect": q_expect,
         "source_overlap": q_source_overlap,
         "pseudonymize": q_pseudonymize,
         "logreg_score": q_logreg_score,

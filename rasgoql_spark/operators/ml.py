@@ -504,3 +504,95 @@ def _r_train_test_split(source, order_by, train_percent=0.8, name="TT_SPLIT") ->
         f"SELECT *, CASE WHEN PERCENT_RANK() OVER (ORDER BY {order_sql(order_by)}) < {train_percent} "
         f"THEN 'TRAIN' ELSE 'TEST' END AS {name} FROM {source}"
     )
+
+
+@spark_transform("kfold", category="ml")
+def kfold(df: DataFrame, key, k: int = 5, seed: int = 0, name: str = "FOLD") -> DataFrame:
+    """Deterministic k-fold assignment: ``FOLD`` (int, 0..k-1) =
+    ``md5(seed:key) % k``. Same key -> same fold in every run and on every
+    engine, so grouped cross-validation (all rows of an entity share a
+    fold) needs only the entity id as ``key``. Row-local, shuffle-free;
+    pair with ``filter`` to carve train/validation per fold."""
+    from ..operators._util import as_list as _as_list
+    from ..operators._util import resolve_cols as _resolve_cols
+
+    if k < 2:
+        raise ParameterException("k must be >= 2")
+    keys = _resolve_cols(df, _as_list(key))
+    if not keys:
+        raise ParameterException("kfold requires at least one key column")
+    tagged = F.concat_ws(
+        "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys]
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("bigint") % k
+    ).cast("int")
+    return df.withColumn(cleanse_name(name), bucket)
+
+
+@renderer("kfold")
+def _r_kfold(source, key, k=5, seed=0, name="FOLD") -> str:
+    from ..operators._util import as_list as _as_list
+
+    keys = _as_list(key)
+    tagged = ", ".join([f"'{seed}'"] + [f"CAST({c} AS STRING)" for c in keys])
+    expr = (
+        f"CAST(CAST(conv(substring(md5(concat_ws(char(31), {tagged})), 1, 8), 16, 10) "
+        f"AS BIGINT) % {k} AS INT)"
+    )
+    return f"SELECT *, {expr} AS {cleanse_name(name)} FROM {source}"
+
+
+@spark_transform("expect", category="quality")
+def expect(
+    df: DataFrame,
+    expectations,
+    max_violations: int = 0,
+    mode: str = "fail",
+) -> DataFrame:
+    """Data-quality gate (public pattern: expectation testing a la Great
+    Expectations, reduced to its Spark-native core): each expectation is a
+    SQL boolean the GOOD rows satisfy. ``mode='fail'`` raises
+    ParameterException naming the per-rule violation counts when total
+    violations exceed ``max_violations`` and otherwise returns the input
+    unchanged (a chainable assertion); ``mode='filter'`` drops violating
+    rows; ``mode='flag'`` appends one boolean column per rule.
+
+    Cost: fail mode is ONE aggregation computing every rule's violation
+    count in a single pass (conditional sums — no per-rule scans); filter
+    and flag are row-local."""
+    from ..operators._util import as_list as _as_list
+
+    rules = _as_list(expectations)
+    if not rules:
+        raise ParameterException("expect requires at least one expectation")
+    if mode not in ("fail", "filter", "flag"):
+        raise ParameterException("mode must be fail, filter, or flag")
+    conds = [F.expr(r) for r in rules]
+    if mode == "flag":
+        out = df
+        for j, (r, c) in enumerate(zip(rules, conds)):
+            out = out.withColumn(cleanse_name(f"EXPECT_{j}"), F.coalesce(c, F.lit(False)))
+        return out
+    if mode == "filter":
+        keep = None
+        for c in conds:
+            cc = F.coalesce(c, F.lit(False))
+            keep = cc if keep is None else (keep & cc)
+        return df.filter(keep)
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(c, F.lit(False)), F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__v{j}")
+            for j, c in enumerate(conds)
+        ]
+    ).collect()[0]
+    per_rule = {rules[j]: int(counts[f"__v{j}"] or 0) for j in range(len(rules))}
+    total = sum(per_rule.values())
+    if total > max_violations:
+        detail = "; ".join(f"{r!r}: {n}" for r, n in per_rule.items() if n)
+        raise ParameterException(
+            f"expect failed: {total} violations (allowed {max_violations}) — {detail}"
+        )
+    return df

@@ -281,3 +281,57 @@ def test_fuzzy_join_blocked_and_exact(spark):
 
     with _pytest.raises(ParameterException):
         fuzzy(left, join_table=right, column="name", block="soundex")
+
+
+# ----------------------------------------------------------------- kfold / expect
+
+def test_kfold_grouped_and_balanced(spark):
+    import rasgoql_spark as rql
+
+    df = spark.createDataFrame(
+        [(i, i % 40) for i in range(400)], "row_id long, entity long")
+    out = rql.get_transform("kfold").apply(df, key=["entity"], k=5, seed=1)
+    rows = out.collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r["entity"], set()).add(r["FOLD"])
+    assert all(len(folds) == 1 for folds in by_entity.values()), \
+        "all rows of an entity must share a fold"
+    assert len({r["FOLD"] for r in rows}) == 5  # every fold populated
+    # balance check needs enough keys for the binomial spread to tighten
+    wide = spark.createDataFrame([(i,) for i in range(1000)], "entity long")
+    wout = rql.get_transform("kfold").apply(wide, key=["entity"], k=5, seed=1)
+    sizes = {}
+    for r in wout.collect():
+        sizes[r["FOLD"]] = sizes.get(r["FOLD"], 0) + 1
+    assert all(100 < n < 300 for n in sizes.values()), sizes
+    # seed changes the assignment
+    out2 = rql.get_transform("kfold").apply(df, key=["entity"], k=5, seed=2)
+    m1 = {r["row_id"]: r["FOLD"] for r in rows}
+    m2 = {r["row_id"]: r["FOLD"] for r in out2.collect()}
+    assert m1 != m2
+
+
+def test_expect_modes(spark):
+    import pytest as _pytest
+
+    import rasgoql_spark as rql
+    from rasgoql_spark.errors import ParameterException
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, v double")
+    ex = rql.get_transform("expect").apply
+
+    # fail: 2 violations (negative + NULL) over allowance
+    with _pytest.raises(ParameterException, match="2 violations"):
+        ex(df, expectations=["v > 0"], max_violations=1)
+    # pass-through when within allowance — returns the input unchanged
+    out = ex(df, expectations=["v > 0"], max_violations=2)
+    assert out.count() == 3
+    # filter drops violators (NULL counts as violating)
+    assert ex(df, expectations=["v > 0"], mode="filter").count() == 1
+    # flag appends one boolean per rule
+    flagged = ex(df, expectations=["v > 0", "id < 3"], mode="flag")
+    vals = {r["id"]: (r["EXPECT_0"], r["EXPECT_1"]) for r in flagged.collect()}
+    assert vals[1] == (True, True) and vals[2] == (False, True)
+    assert vals[3] == (False, False)
