@@ -409,3 +409,15 @@ def test_char_entropy_is_shuffle_free(session):
     plan = _plan(session.dataset("documents").char_entropy(text="text"))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kfold_is_shuffle_free(session):
+    plan = _plan(session.dataset("orders").kfold(key=["o_custkey"], k=5))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_expect_flag_is_shuffle_free(session):
+    plan = _plan(session.dataset("orders").expect(
+        expectations=["o_totalprice > 0"], mode="flag"))
+    assert "Exchange" not in plan
