@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 172 entries, ALL 172 with DuckDB oracles (round 4
+streaming extensions) — 173 entries, ALL 173 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1861,6 +1861,92 @@ def q_frame_sample_stub(spark, sf):
 # embedding join
 # --------------------------------------------------------------------------
 
+def _lzw_literals(indices, min_code_size: int) -> bytes:
+    """Fixed-width LZW stream of literal codes with a CLEAR every 4 pixels —
+    the classic 'uncompressed GIF' trick: frequent CLEARs keep the decoder's
+    table below the width-growth threshold, so packing at min_code_size+1
+    bits LSB-first round-trips through any conformant decoder."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    codes, count = [clear], 0
+    for idx in indices:
+        if count == 4:
+            codes.append(clear)
+            count = 0
+        codes.append(idx)
+        count += 1
+    codes.append(eoi)
+    buf, acc, nacc = bytearray(), 0, 0
+    for c in codes:
+        acc |= c << nacc
+        nacc += width
+        while nacc >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _synth_gif(doc_id: int) -> bytes:
+    """Valid animated GIF89a derived from doc_id: (doc_id%3)+2 solid-color
+    frames of (doc_id%4+2) x (doc_id%3+2) px over an 8-color global
+    palette; frame fi is palette index (doc_id+fi)%7+1 (never 0, so the
+    oracle's chr() replay avoids NULs). Fixture synthesis — the DECODE
+    side is the product."""
+    t = doc_id % 3 + 2
+    w, h = doc_id % 4 + 2, doc_id % 3 + 2
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x82, 0, 0])  # GCT present, 8 colors
+    for ci in range(8):
+        out += bytes([(ci * 30) % 256, (ci * 50) % 256, (ci * 70) % 256])
+    for fi in range(t):
+        c = (doc_id + fi) % 7 + 1
+        out += b"\x2c" + (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        out += bytes([3])  # min LZW code size
+        lzw = _lzw_literals([c] * (w * h), 3)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def q_frame_sample_gif(spark, sf):
+    """REAL multi-frame GIF decode: every output byte of every frame is
+    derived arithmetically from doc_id in the oracle, so a hash match
+    certifies the actual LZW walk over all frames."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    docs = _s(spark, sf).dataset("documents").df.select("doc_id")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("gif", BinaryType())])
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "gif": [bytearray(_synth_gif(int(d))) for d in pdf["doc_id"]],
+            })
+
+    with_gif = docs.mapInPandas(synth, schema=schema)
+    from rasgoql_spark.functions.multimodal import frame_sample
+
+    out = frame_sample(with_gif, binary_col="gif", id_col="doc_id", num_frames=4)
+    from pyspark.sql import functions as Fn
+
+    return out.select(
+        "DOC_ID", "FRAME_INDEX",
+        Fn.upper(Fn.hex(Fn.col("FRAME_BYTES"))).alias("FRAME_HEX"),
+        "DECODER",
+    )
+
+
 def _synth_png(doc_id: int) -> bytes:
     """Valid solid-color 8-bit RGB PNG derived from doc_id (fixture synthesis
     — the container has no image files; the DECODE side is the product)."""
@@ -2884,6 +2970,13 @@ ranked AS (
             "MIN(CAST(p_retailprice AS DOUBLE)) OVER (PARTITION BY p_brand) AS mn, "
             "MAX(CAST(p_retailprice AS DOUBLE)) OVER (PARTITION BY p_brand) AS mx FROM part)"
         ),
+        "frame_sample_gif": (
+            "SELECT d.doc_id AS DOC_ID, CAST(u.fi AS BIGINT) AS FRAME_INDEX, "
+            "upper(repeat(right('0' || to_hex((d.doc_id + u.fi) % 7 + 1), 2), "
+            "least(32, (d.doc_id % 4 + 2) * (d.doc_id % 3 + 2)))) AS FRAME_HEX, "
+            "'gif-pure' AS DECODER "
+            "FROM documents d, unnest(range(d.doc_id % 3 + 2)) AS u(fi)"
+        ),
         "kfold": (
             "SELECT o_orderkey, o_custkey, CAST(CAST(('0x' || substr(md5("
             "concat_ws(chr(31), '3', CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) "
@@ -3592,10 +3685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Cumulative rounds 1-3 verified 129/136; this round leads with the 7
     # entries never hash-green (all fixed this round: array serialization,
     # NTZ event time, new exact ANN oracles), then the NTZ-touched
-    # streaming family for re-verification, then the 36 round-4 operators
+    # streaming family for re-verification, then the 37 round-4 operators
     # (first-time verification — all inside the front-50), then the OLDEST
     # greens (round-1 relational core) to refresh staleness. Round-2/3
-    # greens follow the fold. All 172 entries pass tools/oracle_check.py
+    # greens follow the fold. All 173 entries pass tools/oracle_check.py
     # locally.
     return {
         # --- never hash-green before round 4 (fixed this round) ---
@@ -3642,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scaler": q_robust_scaler,
         "kfold": q_kfold,
         "expect": q_expect,
+        "frame_sample_gif": q_frame_sample_gif,
         "source_overlap": q_source_overlap,
         "pseudonymize": q_pseudonymize,
         "logreg_score": q_logreg_score,

@@ -204,9 +204,13 @@ _FRAME_SAMPLE_SCHEMA = StructType(
 def frame_sample(
     df: DataFrame, binary_col: str, id_col: str, num_frames: int = 3
 ) -> DataFrame:
-    """Sample N 'frames' from a binary payload via mapInPandas (UDTF-style
-    1→N fan-out). STUB decode: frames are deterministic byte slices standing
-    in for video keyframes; real codecs slot into the same batch shape."""
+    """Sample N frames from a binary payload via mapInPandas (UDTF-style
+    1→N fan-out). Animated (and single-frame) GIFs get a REAL decode —
+    every image descriptor walked, LZW expanded, first 32 palette-index
+    bytes of each of the first ``num_frames`` frames emitted with
+    DECODER='gif-pure'. Other formats fall back to the honest STUB
+    (deterministic byte slices, DECODER='stub') — video codecs aren't in
+    this container; real ones slot into the same batch shape."""
     b, i = resolve_col(df, binary_col), resolve_col(df, id_col)
     narrow = df.select(F.col(i).alias("DOC_ID"), F.col(b).alias("__bin"))
 
@@ -216,6 +220,11 @@ def frame_sample(
             for doc_id, blob in zip(pdf["DOC_ID"], pdf["__bin"]):
                 data = bytes(blob) if blob is not None else b""
                 if not data:
+                    continue
+                frames = _gif_frames(data, num_frames)
+                if frames is not None:
+                    for fi, fr in enumerate(frames):
+                        rows.append((doc_id, fi, fr[:32], "gif-pure"))
                     continue
                 step = max(1, len(data) // num_frames)
                 for fi in range(min(num_frames, len(data))):
@@ -759,3 +768,56 @@ def _decode_gif_pixels(data: bytes):
         else:
             break
     return None
+
+
+def _gif_frames(data: bytes, max_frames: int, max_pixels: int = 4096):
+    """REAL multi-frame GIF87a/89a decode (pure Python, no codec lib):
+    walks every image descriptor, LZW-expands each frame's sub-block
+    stream, and returns the per-frame palette-index byte strings (up to
+    ``max_frames`` frames, ``max_pixels`` px per frame). Returns None when
+    the bytes are not a decodable non-interlaced GIF."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    frames: list[bytes] = []
+    while pos < len(data) and len(frames) < max_frames:
+        b = data[pos]
+        if b == 0x21:  # extension
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            ipacked = data[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            if ipacked & 0x40:  # interlaced: unsupported
+                return None
+            if pos >= len(data):
+                return None
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                stream.extend(data[pos + 1 : pos + 1 + n])
+                pos += 1 + n
+            pos += 1  # block terminator
+            try:
+                idx = _lzw_decode(bytes(stream), min_code, min(iw * ih, max_pixels))
+            except ValueError:
+                return None
+            frames.append(bytes(idx))
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return frames or None

@@ -242,3 +242,52 @@ def test_image_pixels_op_decodes_gif(spark):
     assert out["DECODER"] == "gif-pure"
     assert (out["WIDTH"], out["HEIGHT"]) == (3, 2)
     assert out["CHANNEL_MEANS"] == "255.000000,0.000000,0.000000"
+
+
+# ----------------------------------------------------- multi-frame GIF decode
+
+def test_gif_frames_multiframe_roundtrip(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _synth_gif
+
+    from rasgoql_spark.functions.multimodal import _gif_frames
+
+    for doc_id in (0, 1, 5, 11, 23):
+        data = _synth_gif(doc_id)
+        t = doc_id % 3 + 2
+        w, h = doc_id % 4 + 2, doc_id % 3 + 2
+        frames = _gif_frames(data, 10)
+        assert frames is not None and len(frames) == t
+        for fi, fr in enumerate(frames):
+            c = (doc_id + fi) % 7 + 1
+            assert fr == bytes([c] * (w * h)), (doc_id, fi)
+
+
+def test_gif_frames_rejects_non_gif_and_truncated(spark):
+    from rasgoql_spark.functions.multimodal import _gif_frames
+
+    assert _gif_frames(b"not a gif at all", 3) is None
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _synth_gif
+
+    data = _synth_gif(7)
+    assert _gif_frames(data[:15], 3) is None  # truncated before any frame
+
+
+def test_frame_sample_gif_vs_stub_paths(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _synth_gif
+
+    from rasgoql_spark.functions.multimodal import frame_sample
+
+    rows = [(1, bytearray(_synth_gif(1))), (2, bytearray(b"plain text payload here"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = frame_sample(df, "content", "doc_id", num_frames=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["DOC_ID"], []).append(r["DECODER"])
+    assert set(by_doc[1]) == {"gif-pure"} and len(by_doc[1]) == 1 % 3 + 2
+    assert set(by_doc[2]) == {"stub"}
