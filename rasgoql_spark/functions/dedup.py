@@ -1186,3 +1186,35 @@ def _r_source_overlap(source, text, group_col, min_shared=1, round_to=6) -> str:
         f"FROM ({sh}) sh JOIN ({tot}) ta ON sh.GROUP_A = ta.__g "
         f"JOIN ({tot}) tb ON sh.GROUP_B = tb.__g"
     )
+
+
+def save_minhash_index(index: MinHashIndex, path: str) -> str:
+    """Persist a :class:`MinHashIndex` as parquet (``{path}/sig``,
+    ``{path}/bands``) plus a one-row params table — rebuild the reference
+    side on the corpus-refresh cadence, load per crawl batch (the same
+    cross-job contract as ``bloom.save_bloom_index``)."""
+    index.sig.write.mode("overwrite").parquet(f"{path}/sig")
+    index.bands_long.write.mode("overwrite").parquet(f"{path}/bands")
+    spark = index.sig.sparkSession
+    spark.createDataFrame(
+        [(index.num_hashes, index.bands, index.shingle_size)],
+        "num_hashes int, bands int, shingle_size int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    return path
+
+
+def load_minhash_index(spark, path: str, persist: bool = True) -> MinHashIndex:
+    """Load a :func:`save_minhash_index` artifact; ``persist`` pins the
+    frames for multi-batch reuse (``release()`` when done)."""
+    row = spark.read.parquet(f"{path}/params").first()
+    sig = spark.read.parquet(f"{path}/sig")
+    bands_long = spark.read.parquet(f"{path}/bands")
+    if persist:
+        sig = sig.persist()
+        bands_long = bands_long.persist()
+    reps = sig.filter(F.col("__id") == F.col("__rep"))
+    return MinHashIndex(
+        sig, reps, bands_long,
+        int(row["num_hashes"]), int(row["bands"]), int(row["shingle_size"]),
+        (sig, bands_long) if persist else (),
+    )

@@ -683,3 +683,35 @@ def test_minhash_index_matches_inline_build(spark):
                           num_hashes=32, bands=4, index=idx)
     finally:
         idx.release()
+
+
+def test_minhash_index_save_load_roundtrip(spark, tmp_path):
+    from rasgoql_spark.functions.dedup import (
+        dedup_against, load_minhash_index, minhash_index, save_minhash_index)
+
+    texts = ["the quick brown fox jumps over the lazy dog tonight",
+             "completely different content about query optimizers",
+             "the quick brown fox jumps over the lazy dog this morning"]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, texts[0] + " again"), (200, "novel text with no overlap at all")],
+        "doc_id long, text string")
+
+    idx = minhash_index(ref, "text", "doc_id")
+    path = save_minhash_index(idx, str(tmp_path / "mhidx"))
+    idx.release()
+
+    loaded = load_minhash_index(spark, path)
+    try:
+        with_loaded = dedup_against(
+            batch, "text", "doc_id", ref, method="minhash",
+            threshold=0.2, mode="pairs", index=loaded)
+        inline = dedup_against(
+            batch, "text", "doc_id", ref, method="minhash",
+            threshold=0.2, mode="pairs")
+        key = lambda r: (r["ID"], r["REF_ID"], round(r["JACCARD"], 9))
+        assert sorted(map(key, with_loaded.collect())) == sorted(
+            map(key, inline.collect()))
+    finally:
+        loaded.release()
