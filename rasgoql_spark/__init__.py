@@ -33,7 +33,7 @@ from .session import RasgoSession, connect, default_spark
 
 # reusable index artifacts (build once, dedup/search many batches)
 from .functions.bloom import BloomIndex, bloom_index, load_bloom_index, save_bloom_index
-from .functions.dedup import MinHashIndex, minhash_index
+from .functions.dedup import MinHashIndex, load_minhash_index, minhash_index, save_minhash_index
 from .functions.similarity import IVFIndex, ivf_index
 
 __version__ = "0.1.0"
@@ -60,6 +60,8 @@ __all__ = [
     "load_bloom_index",
     "MinHashIndex",
     "minhash_index",
+    "save_minhash_index",
+    "load_minhash_index",
     "IVFIndex",
     "ivf_index",
     "__version__",
