@@ -1124,6 +1124,10 @@ def _r_pseudonymize(source, columns, salt, length=16, _input_columns=()) -> str:
     from ..operators._util import as_list as _as_list
 
     targets = set(_as_list(columns))
+    # the salt lands inside a SQL string literal: escape backslashes and
+    # single quotes so a salt like "o'brien" can't break (or inject into)
+    # the rendered query text
+    salt = str(salt).replace("\\", "\\\\").replace("'", "''")
     sel = ", ".join(
         f"substring(sha2(concat('{salt}', ':', CAST({c} AS STRING)), 256), 1, {length}) AS {c}"
         if c in targets else c

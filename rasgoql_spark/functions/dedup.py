@@ -719,7 +719,7 @@ def dedup_against(
     df: DataFrame,
     text: str,
     id_col: str,
-    reference: DataFrame,
+    reference: DataFrame | None = None,
     ref_text: str | None = None,
     ref_id: str | None = None,
     method: str = "exact",
@@ -746,13 +746,28 @@ def dedup_against(
     Neither side is unconditionally broadcast — AQE picks broadcast when the
     batch (typical case) is small; both signature tables are scope-cached and
     released with the result (functions/_cache.py).
+
+    With a prebuilt ``index`` (method='minhash' only) the ``reference`` frame
+    is optional — the index carries the whole reference side. If both are
+    passed, the reference row count is checked against the count recorded in
+    the index at build time, so a stale index can't silently under-dedup.
     """
     if mode not in ("filter", "pairs"):
         raise ParameterException("mode must be 'filter' or 'pairs'")
+    if reference is None and index is None:
+        raise ParameterException(
+            "dedup_against needs a reference frame or a prebuilt MinHashIndex"
+        )
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    rt = resolve_col(reference, ref_text or text)
-    ri = resolve_col(reference, ref_id or id_col)
+    if reference is not None:
+        rt = resolve_col(reference, ref_text or text)
+        ri = resolve_col(reference, ref_id or id_col)
     if method == "exact":
+        if reference is None:
+            raise ParameterException(
+                "method='exact' requires a reference frame (MinHashIndex "
+                "only serves method='minhash')"
+            )
         def fp(c):
             return F.md5(
                 F.trim(
@@ -802,6 +817,17 @@ def dedup_against(
                     "MinHashIndex was built with different "
                     "num_hashes/bands/shingle_size than this call"
                 )
+            if reference is not None and index.n_docs is not None:
+                # integrity check tying the index to the corpus it claims to
+                # cover: a stale index silently under-dedups. Omit reference
+                # entirely (it is unused on the index path) to skip the count.
+                rc = reference.count()
+                if rc != index.n_docs:
+                    raise ParameterException(
+                        f"MinHashIndex was built over {index.n_docs} reference "
+                        f"documents but the passed reference has {rc} — "
+                        "rebuild the index or drop the reference argument"
+                    )
             sig_b, rep_b, bb, caches_b = index.sig, index.reps, index.bands_long, ()
         else:
             sig_b, _, caches_b = _annotate_groups(
@@ -1119,13 +1145,18 @@ class MinHashIndex:
     independent of reference size beyond the (slim, cached) band join.
     ``release()`` unpersists the cached frames."""
 
-    def __init__(self, sig, reps, bands_long, num_hashes, bands, shingle_size, caches):
+    def __init__(self, sig, reps, bands_long, num_hashes, bands, shingle_size,
+                 caches, n_docs=None):
         self.sig = sig
         self.reps = reps
         self.bands_long = bands_long
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_size = shingle_size
+        # corpus fingerprint: row count of the reference at build time; used
+        # by dedup_against to reject an index that no longer matches the
+        # reference it is presented with (None on pre-fingerprint artifacts)
+        self.n_docs = n_docs
         self._caches = caches
 
     def release(self) -> None:
@@ -1164,6 +1195,7 @@ def minhash_index(
     return MinHashIndex(
         sig, reps, bands_long, num_hashes, bands, shingle_size,
         tuple(caches) + (bands_long,),
+        n_docs=reference.count(),
     )
 
 
@@ -1197,8 +1229,9 @@ def save_minhash_index(index: MinHashIndex, path: str) -> str:
     index.bands_long.write.mode("overwrite").parquet(f"{path}/bands")
     spark = index.sig.sparkSession
     spark.createDataFrame(
-        [(index.num_hashes, index.bands, index.shingle_size)],
-        "num_hashes int, bands int, shingle_size int",
+        [(index.num_hashes, index.bands, index.shingle_size,
+          -1 if index.n_docs is None else int(index.n_docs))],
+        "num_hashes int, bands int, shingle_size int, n_docs long",
     ).write.mode("overwrite").parquet(f"{path}/params")
     return path
 
@@ -1213,8 +1246,10 @@ def load_minhash_index(spark, path: str, persist: bool = True) -> MinHashIndex:
         sig = sig.persist()
         bands_long = bands_long.persist()
     reps = sig.filter(F.col("__id") == F.col("__rep"))
+    nd = row["n_docs"] if "n_docs" in row.asDict() else None
     return MinHashIndex(
         sig, reps, bands_long,
         int(row["num_hashes"]), int(row["bands"]), int(row["shingle_size"]),
         (sig, bands_long) if persist else (),
+        n_docs=None if nd is None or int(nd) < 0 else int(nd),
     )

@@ -691,6 +691,12 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
         if code == eoi:
             break
         if prev is None:
+            if code not in table:
+                # corrupt stream: first code after CLEAR must be a root —
+                # raise ValueError uniformly so every caller's corrupt-GIF
+                # fallback path triggers instead of a KeyError crashing the
+                # mapInPandas batch
+                raise ValueError("corrupt LZW stream: invalid initial code")
             entry = table[code]
         elif code in table:
             entry = table[code]
@@ -754,7 +760,10 @@ def _decode_gif_pixels(data: bytes):
                 n = data[pos]
                 stream.extend(data[pos + 1 : pos + 1 + n])
                 pos += 1 + n
-            idx = _lzw_decode(bytes(stream), min_code, iw * ih)
+            try:
+                idx = _lzw_decode(bytes(stream), min_code, iw * ih)
+            except ValueError:
+                return None
             if len(idx) < iw * ih:
                 return None
             n = iw * ih

@@ -7,7 +7,9 @@ rewrite relative to the last accepted snapshot — reduce to a keyed diff.
 Computing it by shipping full rows would shuffle the corpus twice; instead
 both sides reduce to slim ``(key, 16-byte md5)`` rows before the one
 full-outer join, so the shuffle is key-plus-hash regardless of document
-width. That row-hash trick is exactly what the DuckDB oracle replays.
+width. Each column value is md5-hashed individually before the row-level
+concat+md5, so values containing separator bytes cannot make distinct rows
+collide. That row-hash trick is exactly what the DuckDB oracle replays.
 """
 
 from __future__ import annotations
@@ -19,18 +21,16 @@ from ..errors import ParameterException
 from ..operators._util import as_list, resolve_col
 from ..registry import renderer, spark_transform
 
-_SEP = "\x1f"
-_NULL = "\x00NULL"
-
-
 def _row_hash(cols: list[str]) -> Column:
-    """Order-stable null-safe hash of ``cols``: each value casts to string
-    with a sentinel for NULL (so ('a', NULL) never collides with ('a', ''))
-    and joins on a unit separator DuckDB reproduces verbatim."""
+    """Order-stable null-safe hash of ``cols``: each value is md5-hashed
+    INDIVIDUALLY (fixed 32-hex-char tokens) before the row-level concat, so
+    a value containing the separator — or any crafted byte sequence — can
+    never shift column boundaries and make distinct rows collide. NULL maps
+    to the literal token ``NULL``, which no md5 hex digest can equal."""
     return F.md5(
         F.concat_ws(
-            _SEP,
-            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols],
+            "|",
+            *[F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL")) for c in cols],
         )
     )
 
@@ -100,10 +100,10 @@ def diff_oracle_sql(
     """DuckDB replay of :func:`diff_datasets` over two subqueries."""
     def h(alias: str) -> str:
         parts = ", ".join(
-            f"COALESCE(CAST({alias}.{c} AS VARCHAR), chr(0) || 'NULL')"
+            f"COALESCE(md5(CAST({alias}.{c} AS VARCHAR)), 'NULL')"
             for c in compare_cols
         )
-        return f"md5(concat_ws(chr(31), {parts}))"
+        return f"md5(concat_ws('|', {parts}))"
 
     on = " AND ".join(f"n.{k} IS NOT DISTINCT FROM o.{k}" for k in keys)
     key_sel = ", ".join(f"COALESCE(n.{k}, o.{k}) AS {k}" for k in keys)
@@ -123,10 +123,10 @@ def diff_oracle_sql(
 
 def _render_hash(cols, alias: str) -> str:
     parts = ", ".join(
-        f"COALESCE(CAST({alias}.{c} AS STRING), concat(char(0), 'NULL'))"
+        f"COALESCE(md5(CAST({alias}.{c} AS STRING)), 'NULL')"
         for c in cols
     )
-    return f"md5(concat_ws(char(31), {parts}))"
+    return f"md5(concat_ws('|', {parts}))"
 
 
 @renderer("diff_datasets")

@@ -201,21 +201,56 @@ class RasgoSession:
             # 'replace' must succeed even when a previous (killed) session
             # left the managed location on disk without a catalog entry —
             # saveAsTable raises LOCATION_ALREADY_EXISTS on that orphan.
-            # Dropping the table clears the registered case; the leftover
-            # directory is then safe to remove (any registered owner was
-            # just dropped).
+            # DROP handles the registered case (managed data goes with it);
+            # _clear_orphan_location removes the leftover directory only
+            # after verifying no catalog entry still resolves to it.
             self.spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-            try:
-                wh = self.spark.conf.get("spark.sql.warehouse.dir")
-                jvm = self.spark._jvm
-                p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table_name.lower()}")
-                fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-                if fs.exists(p):
-                    fs.delete(p, True)
-            except Exception:
-                pass  # non-default layouts: let saveAsTable report
+            self._clear_orphan_location(table_name)
         sdf.write.mode(mode).saveAsTable(table_name)
         return self.dataset(table_name)
+
+    def _clear_orphan_location(self, table_name: str) -> None:
+        """Delete ``table_name``'s DEFAULT managed location iff it exists on
+        disk and no registered table (in any database) points at it.
+
+        The candidate path is derived from the table's TARGET database (the
+        qualified prefix, else the session's current database) — not the
+        warehouse root — so ``USE mydb`` or a ``db.tbl`` name can never make
+        this delete another database's directory; and the ownership sweep
+        protects tables that set that path as an explicit LOCATION."""
+        spark = self.spark
+        try:
+            parts = table_name.split(".")
+            tbl = parts[-1]
+            db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+            db_loc = None
+            for r in spark.sql(f"DESCRIBE DATABASE `{db}`").collect():
+                if str(r[0]).strip().lower().startswith("location"):
+                    db_loc = str(r[1])
+            if not db_loc:
+                return
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{db_loc.rstrip('/')}/{tbl.lower()}")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(p):
+                return
+            cand = str(fs.makeQualified(p).toUri())
+            for d in spark.catalog.listDatabases():
+                for t in spark.catalog.listTables(d.name):
+                    try:
+                        rows = spark.sql(
+                            f"DESCRIBE TABLE EXTENDED `{d.name}`.`{t.name}`"
+                        ).collect()
+                    except Exception:
+                        continue  # temp views etc. — no location to clash
+                    for r in rows:
+                        if str(r[0]).strip() == "Location":
+                            q = jvm.org.apache.hadoop.fs.Path(str(r[1]))
+                            if str(fs.makeQualified(q).toUri()) == cand:
+                                return  # a live table owns this path
+            fs.delete(p, True)
+        except Exception:
+            pass  # non-default layouts: let saveAsTable report
 
     # ------------------------------------------------------------- raw SQL
 

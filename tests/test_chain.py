@@ -308,3 +308,30 @@ def test_transform_pandas_escape_hatch(session):
     assert abs(got - 2 * exp) < 1e-6
     with pytest.raises(rql.TransformRenderingException):
         chain.sql()
+
+
+def test_replace_in_non_default_db_preserves_default_table(session, spark):
+    # regression: 'replace' used to delete {warehouse}/{name} unconditionally,
+    # which destroys DEFAULT's managed table when the current database is
+    # another db with a same-named table
+    import pandas as pd
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tdb_replace")
+    try:
+        session.dataset_from_df(pd.DataFrame({"a": [1, 2]}), "victim_tbl")
+        spark.sql("USE tdb_replace")
+        session.dataset_from_df(pd.DataFrame({"a": [3]}), "victim_tbl")
+        spark.sql("USE default")
+        assert spark.table("default.victim_tbl").count() == 2
+        assert spark.table("tdb_replace.victim_tbl").count() == 1
+        # replacing again inside the other db keeps default's data too
+        spark.sql("USE tdb_replace")
+        session.dataset_from_df(pd.DataFrame({"a": [4, 5, 6]}), "victim_tbl")
+        spark.sql("USE default")
+        assert spark.table("default.victim_tbl").count() == 2
+        assert spark.table("tdb_replace.victim_tbl").count() == 3
+    finally:
+        spark.sql("USE default")
+        spark.sql("DROP TABLE IF EXISTS default.victim_tbl")
+        spark.sql("DROP TABLE IF EXISTS tdb_replace.victim_tbl")
+        spark.sql("DROP DATABASE IF EXISTS tdb_replace")

@@ -362,3 +362,22 @@ def test_pseudonymize_validation(spark):
         pseudonymize(df, ["uid"], salt="")
     with _pytest.raises(ParameterException):
         pseudonymize(df, ["uid"], salt="s", length=2)
+
+
+def test_pseudonymize_render_escapes_salt(session, spark):
+    # a salt containing quotes/backslashes must render into executable SQL
+    # that matches the DataFrame transform, not break the query text
+    from rasgoql_spark.functions.curation import pseudonymize
+
+    salt = "o'br\\ien's"
+    ds = session.dataset("documents")
+    ds.df.createOrReplaceTempView("documents")
+    chained = ds.pseudonymize(columns=["source"], salt=salt, length=12)
+    sql = chained.sql()
+    via_sql = {r["doc_id"]: r["source"] for r in spark.sql(sql).collect()}
+    via_df = {
+        r["doc_id"]: r["source"]
+        for r in pseudonymize(ds.df, ["source"], salt=salt, length=12)
+        .collect()
+    }
+    assert via_sql == via_df and via_df

@@ -715,3 +715,47 @@ def test_minhash_index_save_load_roundtrip(spark, tmp_path):
             map(key, inline.collect()))
     finally:
         loaded.release()
+
+
+def test_minhash_index_reference_optional_and_fingerprint(spark):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.dedup import dedup_against, minhash_index
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different second document about spark partitioning",
+        "a third reference document mentioning shuffles and broadcasts",
+    ]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, texts[0] + " tail")], "doc_id long, text string")
+    idx = minhash_index(ref, "text", "doc_id")
+    try:
+        assert idx.n_docs == 3
+        # reference omitted entirely: the index carries the reference side
+        no_ref = dedup_against(
+            batch, "text", "doc_id", method="minhash",
+            threshold=0.2, mode="pairs", index=idx)
+        with_ref = dedup_against(
+            batch, "text", "doc_id", ref, method="minhash",
+            threshold=0.2, mode="pairs", index=idx)
+        key = lambda r: (r["ID"], r["REF_ID"], round(r["JACCARD"], 9))
+        assert sorted(map(key, no_ref.collect())) == sorted(
+            map(key, with_ref.collect()))
+        # a reference that doesn't match the index's build-time row count
+        # is rejected instead of silently under-deduping
+        stale = ref.limit(2)
+        with _pytest.raises(ParameterException):
+            dedup_against(batch, "text", "doc_id", stale, method="minhash",
+                          threshold=0.2, mode="pairs", index=idx)
+        # no reference AND no index is a parameter error
+        with _pytest.raises(ParameterException):
+            dedup_against(batch, "text", "doc_id", method="minhash")
+        # exact method cannot run off an index
+        with _pytest.raises(ParameterException):
+            dedup_against(batch, "text", "doc_id", method="exact", index=idx)
+    finally:
+        idx.release()

@@ -291,3 +291,48 @@ def test_frame_sample_gif_vs_stub_paths(spark):
         by_doc.setdefault(r["DOC_ID"], []).append(r["DECODER"])
     assert set(by_doc[1]) == {"gif-pure"} and len(by_doc[1]) == 1 % 3 + 2
     assert set(by_doc[2]) == {"stub"}
+
+
+def test_lzw_decode_raises_valueerror_on_invalid_initial_code():
+    # first code after the implicit table reset must be a root (< clear);
+    # corrupt streams used to KeyError out of the mapInPandas batch
+    from rasgoql_spark.functions.multimodal import _lzw_decode
+
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\xff", 2, 10)  # 3-bit code 7 with roots 0..3
+
+
+def _corrupt_lzw_gif() -> bytes:
+    # minimal GIF89a whose single image's LZW stream opens with an invalid
+    # code (0b111 with min_code_size=2 -> roots are only 0..3)
+    return (
+        b"GIF89a"
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")  # screen w,h
+        + bytes([0x80, 0, 0])        # GCT flag, 2-entry table
+        + bytes(6)                   # global color table (2 x RGB)
+        + b"\x2c" + bytes(4)         # image descriptor, left/top 0
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")  # image w,h
+        + bytes([0x00])              # no local color table
+        + bytes([2])                 # LZW min code size
+        + bytes([1, 0xFF])           # 1-byte sub-block: invalid first code
+        + bytes([0])                 # block terminator
+        + b"\x3b"                    # trailer
+    )
+
+
+def test_gif_frames_corrupt_lzw_returns_none():
+    from rasgoql_spark.functions.multimodal import _gif_frames
+
+    assert _gif_frames(_corrupt_lzw_gif(), 3) is None
+
+
+def test_frame_sample_corrupt_gif_falls_back_to_stub(spark):
+    # a malformed GIF in a binary corpus must degrade to the stub decoder,
+    # not crash the whole frame_sample job
+    from rasgoql_spark.functions.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_corrupt_lzw_gif()))], "doc_id long, content binary"
+    )
+    out = frame_sample(df, "content", "doc_id", num_frames=2).collect()
+    assert out and all(r["DECODER"] == "stub" for r in out)

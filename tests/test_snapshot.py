@@ -50,3 +50,22 @@ def test_requires_key(spark):
     df = spark.createDataFrame([(1, "x", 1)], "id long, a string, b long")
     with pytest.raises(ParameterException):
         diff_datasets(df, df, keys=[])
+
+
+def test_separator_bytes_in_values_cannot_collide(spark):
+    # ('a\x1fb', 'c') vs ('a', 'b\x1fc') concatenate identically under a
+    # naive separator join; per-column hashing must report CHANGED
+    schema = "id long, x string, y string"
+    new = spark.createDataFrame([(1, "a\x1fb", "c")], schema)
+    old = spark.createDataFrame([(1, "a", "b\x1fc")], schema)
+    out = diff_datasets(new, old, keys=["id"])
+    assert {r["id"]: r["STATUS"] for r in out.collect()} == {1: "CHANGED"}
+
+
+def test_null_sentinel_literal_cannot_collide(spark):
+    # a real value equal to the old NULL sentinel string must differ from NULL
+    schema = "id long, x string, y string"
+    new = spark.createDataFrame([(1, "\x00NULL", "x")], schema)
+    old = spark.createDataFrame([(1, None, "x")], schema)
+    out = diff_datasets(new, old, keys=["id"])
+    assert {r["id"]: r["STATUS"] for r in out.collect()} == {1: "CHANGED"}
