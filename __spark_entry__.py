@@ -3682,17 +3682,23 @@ ranked AS (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE (round 5): the driver hash-checks only the FIRST 50
-    # entries each round. Rotation policy: lead with the entries whose last
-    # DRIVER verification is oldest. Last-driver-verified rounds (from
+    # entries each round. Rotation policy: entries whose IMPLEMENTATION
+    # changed this round first, then the entries whose last DRIVER
+    # verification is oldest. Last-driver-verified rounds (from
     # CORRECTNESS_r0*.json): r1=48, r2=33, r3=42, r4=50 entries. This
-    # round the front-50 is exactly the 48 entries last verified in round 1
-    # (the relational core) plus the 2 oldest round-2 entries
-    # (text_quality, language_id); everything after the fold is ordered by ascending
-    # staleness (remaining r2, then r3, then r4) so a wider gate reaches
-    # the next-stalest first. Round 6 should rotate the remaining 31 r2 +
-    # oldest r3 entries into the front-50. All 173 entries pass
-    # tools/oracle_check.py locally (last full local run: round 5).
+    # round the front-50 is the 2 changed-behavior entries (semantic_dedup
+    # grew the exact-dup collapse, fuzzy_join a new default blocking
+    # scheme — both output-preserving by design, re-verified here) plus
+    # all 48 entries last verified in round 1 (the relational core);
+    # everything after the fold is ordered by ascending staleness (r2,
+    # then r3, then r4) so a wider gate reaches the next-stalest first.
+    # Round 6 should rotate the 33 r2 + oldest r3 entries into the
+    # front-50. All 173 entries pass tools/oracle_check.py locally (last
+    # full local run: round 5).
     return {
+        # --- front-50: implementation changed in round 5 ---
+        "semantic_dedup": q_semantic_dedup,
+        "fuzzy_join": q_fuzzy_join,
         # --- front-50: last driver-verified round 1 (stalest) ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
@@ -3742,11 +3748,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_agg": q_cumulative_agg,
         "order": q_order,
         "rank": q_rank,
-        # --- front-50: 2 oldest round-2 entries ---
-        "text_quality": q_text_quality,
-        "language_id": q_language_id,
         # ---- fold: entries below reached only if the driver checks >50 ----
         # --- last driver-verified round 2 ---
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "approx_distinct": q_approx_distinct,
         "train_test_split": q_train_test_split,
@@ -3858,7 +3863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_bloom": q_dedup_against_bloom,
         "pagerank": q_pagerank,
         "diff_datasets": q_diff_datasets,
-        "semantic_dedup": q_semantic_dedup,
         "random_projection": q_random_projection,
         "robust_scaler": q_robust_scaler,
         "kfold": q_kfold,
@@ -3869,7 +3873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_score": q_logreg_score,
         "connected_components": q_connected_components,
         "char_entropy": q_char_entropy,
-        "fuzzy_join": q_fuzzy_join,
         "json_flatten": q_json_flatten,
         "feature_hash": q_feature_hash,
     }

@@ -72,6 +72,11 @@ BENCH_QUERIES = {
     # round-4 flagships: local-substring overlap dedup + bigram LM scoring
     "llm_dedup_winnow": entry.q_dedup_winnow,
     "llm_bigram_logprob": entry.q_bigram_logprob,
+    # round-5 additions: the two slowest operators in SCALING.md, benched
+    # so regressions get caught (iterative join+agg graph fit; k-means fit
+    # + per-cluster pair join with exact-dup collapse)
+    "llm_pagerank": entry.q_pagerank,
+    "llm_semantic_dedup": entry.q_semantic_dedup,
 }
 
 

@@ -28,7 +28,7 @@ No counterpart in the reference; cites the public algorithm only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
@@ -213,15 +213,93 @@ def embedding_outliers(
     return release_with(df.join(scored, on=i, how="inner"), base)
 
 
+def _semantic_candidates(
+    withu: DataFrame,
+    threshold: float,
+    round_to: int,
+    max_cluster_size: int | None,
+):
+    """Rep-level candidate machinery for :func:`semantic_dedup`.
+
+    Exact-duplicate collapse (same rationale as ``dedup_minhash``'s
+    skew guard): rows whose rounded unit vectors are bitwise identical
+    always land in the same cluster and score a rounded cosine equal to the
+    group's self-cosine, so every member above the group's lowest id is
+    decided WITHOUT entering the O(cluster²) pair join — a crawl corpus
+    with 100k copies of one boilerplate page contributes ONE rep. The
+    collapse is result-preserving: a member's only sub-threshold case is
+    the all-zero vector (self-cosine 0), and a zero vector can't be
+    dropped by any external neighbor either (all its cosines are 0).
+
+    ``max_cluster_size`` (optional) additionally chunks the surviving reps
+    inside each cluster by id order, bounding candidate pairs at
+    ``reps_in_cluster × max_cluster_size`` even when distinct-but-near
+    vectors pile into one cluster. Pairs across chunks are not compared —
+    a documented recall trade the caller opts into; leave it None for the
+    exact SemDeDup semantics.
+
+    Returns ``(reps, pairs, member_drops)`` where ``pairs`` carries
+    ``__ida/__idb/__cos`` and ``member_drops`` bare ``__id`` rows.
+    """
+    gk = F.md5(
+        F.concat_ws(",", F.transform(F.col("__u"), lambda x: x.cast("string")))
+    )
+    g = withu.withColumn("__gk", gk).withColumn(
+        "__rep", F.min("__id").over(Window.partitionBy("__gk"))
+    )
+    selfdot = F.aggregate(
+        F.zip_with("__u", "__u", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    member_drops = (
+        g.filter(F.col("__id") != F.col("__rep"))
+        .withColumn("__selfcos", F.round(selfdot, round_to))
+        .filter(F.col("__selfcos") >= threshold)
+        .select("__id")
+    )
+    reps = g.filter(F.col("__id") == F.col("__rep")).select(
+        "__id", "CLUSTER_ID", "__u"
+    )
+    if max_cluster_size is not None:
+        wc = Window.partitionBy("CLUSTER_ID").orderBy("__id")
+        reps = reps.withColumn(
+            "__chunk",
+            F.floor((F.row_number().over(wc) - F.lit(1)) / F.lit(max_cluster_size)),
+        )
+    else:
+        reps = reps.withColumn("__chunk", F.lit(0))
+    a = reps.select(
+        F.col("__id").alias("__ida"), "CLUSTER_ID", "__chunk",
+        F.col("__u").alias("__ua"),
+    )
+    b = reps.select(
+        F.col("__id").alias("__idb"), "CLUSTER_ID", "__chunk",
+        F.col("__u").alias("__ub"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__ua", "__ub", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, on=["CLUSTER_ID", "__chunk"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("__cos", F.round(dot, round_to))
+    )
+    return reps, pairs, member_drops
+
+
 @spark_transform("semantic_dedup", category="similarity", streaming_ok=False)
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    k: int = 8,
+    k: "int | str" = 8,
     iterations: int = 1,
     threshold: float = 0.9,
     round_to: int = 6,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public technique: Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -231,15 +309,30 @@ def semantic_dedup(
     ``round_to`` before the compare — the same tie-stability contract as
     the assignment step). Keeps original columns plus ``CLUSTER_ID``.
 
-    Scale: this is the whole point of the clustering stage — the cosine
-    self-join runs per-cluster, an equi-join on CLUSTER_ID, so candidate
-    pairs are O(sum of squared cluster sizes) instead of O(n^2); ``k``
-    tunes the bound. The drop set ships as bare ids for one anti-join.
-    Deterministic end-to-end, so the DuckDB oracle replays the full
-    fit + pair pass exactly.
+    Scale: the cosine self-join runs per-cluster (equi-join on
+    CLUSTER_ID), so candidate pairs are O(sum of squared cluster sizes)
+    instead of O(n^2) — ``k`` tunes the bound and MUST grow with the
+    corpus. Pass ``k="auto"`` to derive ``k = max(8, ceil(n / 5000))``
+    (mean cluster ~5000; one count() pass). Exact-duplicate embeddings are
+    collapsed to one representative before the pair join (result-
+    preserving — see ``_semantic_candidates``), so duplicate-heavy crawl
+    skew can't go quadratic no matter what ``k`` is. For a hard ceiling on
+    adversarially tight clusters, ``max_cluster_size`` chunks each
+    cluster's reps by id order — pairs across chunks are then not
+    compared (bounded-recall trade, off by default). The drop set ships
+    as bare ids for one anti-join. With default ``max_cluster_size=None``
+    the op is deterministic and exactly replayable by the DuckDB oracle.
     """
     if not -1.0 <= threshold <= 1.0:
         raise ParameterException("threshold must be in [-1, 1]")
+    if max_cluster_size is not None and max_cluster_size < 2:
+        raise ParameterException("max_cluster_size must be >= 2")
+    if isinstance(k, str):
+        if k != "auto":
+            raise ParameterException("k must be an int or 'auto'")
+        import math
+
+        k = max(8, math.ceil(df.count() / 5000))
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
     assigned = kmeans_cluster(df, vec_col, id_col, k, iterations, round_to)
     withu = _unit_rounded(
@@ -248,23 +341,14 @@ def semantic_dedup(
         ),
         "__vec",
     ).persist()
-    a = withu.select(
-        F.col("__id").alias("__ida"), "CLUSTER_ID", F.col("__u").alias("__ua")
-    )
-    b = withu.select(
-        F.col("__id").alias("__idb"), "CLUSTER_ID", F.col("__u").alias("__ub")
-    )
-    dot = F.aggregate(
-        F.zip_with("__ua", "__ub", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    _, pairs, member_drops = _semantic_candidates(
+        withu, threshold, round_to, max_cluster_size
     )
     drops = (
-        a.join(b, on="CLUSTER_ID")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .withColumn("__cos", F.round(dot, round_to))
-        .filter(F.col("__cos") >= threshold)
-        .select(F.col("__idb").alias(i))
+        pairs.filter(F.col("__cos") >= threshold)
+        .select(F.col("__idb").alias("__id"))
+        .unionByName(member_drops)
+        .select(F.col("__id").alias(i))
         .dropDuplicates()
     )
     return release_with(assigned.join(drops, on=i, how="left_anti"), withu)

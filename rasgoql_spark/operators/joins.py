@@ -464,7 +464,7 @@ def fuzzy_join(
     column: str,
     right_column: str | None = None,
     max_distance: int = 2,
-    block: str = "prefix",
+    block: str = "prefix_length",
     block_len: int = 2,
     join_prefix: str = "R",
 ) -> DataFrame:
@@ -474,18 +474,28 @@ def fuzzy_join(
     pay the edit-distance verify. Rows join when their normalized
     (lower/trim) strings are within ``max_distance`` Levenshtein edits.
 
-    ``block='prefix'``: candidates must share the first ``block_len``
-    normalized characters — the standard tradeoff: an edit inside the
-    prefix escapes the block (document-level recall < 1), in exchange for
-    never materializing the cross product. ``block='none'`` is the exact
-    all-pairs fallback for SMALL right sides only.
+    ``block='prefix_length'`` (default): candidates must share the first
+    ``block_len`` normalized characters AND sit in compatible length
+    buckets of width ``max_distance + 1`` (the left side probes every
+    bucket its ±max_distance window can touch, ≤ 3 of them, via a bounded
+    explode). On natural-text keys this splits skew blocks like "th…" by
+    length, so no single block key carries an unbounded share of the
+    corpus. Because ``|len(l) − len(r)| ≤ max_distance`` is already implied
+    by the edit-distance verify, the OUTPUT is identical to plain prefix
+    blocking — only the candidate set (and the worst block) shrinks.
+    ``block='prefix'``: prefix-only blocking (the classic scheme; one hot
+    prefix = one hot block). Both share the recall caveat: an edit inside
+    the prefix escapes the block. ``block='none'`` is the exact all-pairs
+    fallback for SMALL right sides only.
 
     Output: left columns + right columns (prefixed ``{join_prefix}_``) +
     ``EDIT_DISTANCE``. Scale: the block join shuffles on the short block
     key; verification is row-local levenshtein on candidates only.
     """
-    if block not in ("prefix", "none"):
-        raise ParameterException("block must be 'prefix' or 'none'")
+    if block not in ("prefix", "prefix_length", "none"):
+        raise ParameterException(
+            "block must be 'prefix', 'prefix_length' or 'none'"
+        )
     if max_distance < 0:
         raise ParameterException("max_distance must be >= 0")
     lc = resolve_col(df, column)
@@ -500,6 +510,29 @@ def fuzzy_join(
         rb = F.substring(norm(F.col(prc)), 1, block_len)
         cond = lb == rb
         joined = df.join(right, on=cond, how="inner")
+    elif block == "prefix_length":
+        w = max_distance + 1
+        lln = F.length(norm(F.col(lc)))
+        left = df.withColumn(
+            "__fj_pb", F.substring(norm(F.col(lc)), 1, block_len)
+        ).withColumn(
+            # every length bucket a ≤max_distance edit can reach; the
+            # window spans 2*max_distance < 2w, so ≤ 3 buckets
+            "__fj_lb",
+            F.explode(
+                F.sequence(
+                    F.floor((lln - F.lit(max_distance)) / F.lit(w)),
+                    F.floor((lln + F.lit(max_distance)) / F.lit(w)),
+                )
+            ),
+        )
+        rln = F.length(norm(F.col(prc)))
+        rightb = right.withColumn(
+            "__fj_pb", F.substring(norm(F.col(prc)), 1, block_len)
+        ).withColumn("__fj_lb", F.floor(rln / F.lit(w)))
+        joined = left.join(rightb, on=["__fj_pb", "__fj_lb"], how="inner").drop(
+            "__fj_pb", "__fj_lb"
+        )
     else:
         joined = df.crossJoin(right)
     dist = F.levenshtein(norm(F.col(lc)), norm(F.col(prc)))
@@ -511,7 +544,8 @@ def fuzzy_join(
 
 @renderer("fuzzy_join")
 def _r_fuzzy_join(source, join_table, column, right_column=None, max_distance=2,
-                  block="prefix", block_len=2, join_prefix="R", _table_columns=None) -> str:
+                  block="prefix_length", block_len=2, join_prefix="R",
+                  _table_columns=None) -> str:
     rcols = (_table_columns or {}).get("join_table")
     if not rcols:
         raise TransformRenderingException(
@@ -523,9 +557,15 @@ def _r_fuzzy_join(source, join_table, column, right_column=None, max_distance=2,
     prc = cleanse_name(f"{join_prefix}_{rc}")
     norm = lambda e: f"trim(lower({e}))"  # noqa: E731
     dist = f"levenshtein({norm(f'l.{column}')}, {norm(f'r.{prc}')})"
-    if block == "prefix":
+    if block in ("prefix", "prefix_length"):
         on = (f"ON substring({norm(f'l.{column}')}, 1, {block_len}) = "
               f"substring({norm(f'r.{prc}')}, 1, {block_len})")
+        if block == "prefix_length":
+            # rendered form: the length-bucket probe is an execution detail;
+            # its only semantic effect (|len diff| <= max_distance) is
+            # implied by the edit-distance filter, stated here explicitly
+            on += (f" AND abs(length({norm(f'l.{column}')}) - "
+                   f"length({norm(f'r.{prc}')})) <= {max_distance}")
         jt = "JOIN"
     else:
         on, jt = "", "CROSS JOIN"

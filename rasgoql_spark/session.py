@@ -254,11 +254,25 @@ class RasgoSession:
 
     # ------------------------------------------------------------- raw SQL
 
-    def query(self, sql: str, acknowledge_risk: bool = False) -> list[tuple]:
+    def query(
+        self,
+        sql: str,
+        acknowledge_risk: bool = False,
+        response: str = "tuple",
+    ) -> "list[tuple] | list[dict]":
         """Run raw SQL, returning rows (reference main.py:102-110 with the
-        dangerous-keyword guard, utils/sql.py:30-38)."""
+        dangerous-keyword guard, utils/sql.py:30-38). ``response`` mirrors
+        the reference's ResponseType (primitives/enums.py:92-112,
+        data/snowflake.py:291-327): ``'tuple'`` (default) or ``'dict'``
+        for one column-name-keyed dict per row."""
         check_sql(sql, acknowledge_risk)
-        return [tuple(r) for r in self.spark.sql(sql).collect()]
+        r = response.lower()
+        if r not in ("tuple", "dict"):
+            raise ParameterException("response must be 'tuple' or 'dict'")
+        rows = self.spark.sql(sql).collect()
+        if r == "dict":
+            return [row.asDict() for row in rows]
+        return [tuple(row) for row in rows]
 
     def query_into_df(
         self, sql: str, acknowledge_risk: bool = False, batches: bool = False

@@ -335,3 +335,17 @@ def test_replace_in_non_default_db_preserves_default_table(session, spark):
         spark.sql("DROP TABLE IF EXISTS default.victim_tbl")
         spark.sql("DROP TABLE IF EXISTS tdb_replace.victim_tbl")
         spark.sql("DROP DATABASE IF EXISTS tdb_replace")
+
+
+def test_query_dict_response(session):
+    # reference ResponseType parity: response='dict' returns column-keyed rows
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+
+    assert session.query("SELECT 1 AS x, 'a' AS y", response="dict") == [
+        {"x": 1, "y": "a"}
+    ]
+    assert session.query("SELECT 1 AS x", response="TUPLE") == [(1,)]
+    with _pytest.raises(ParameterException):
+        session.query("SELECT 1 AS x", response="frame")

@@ -119,3 +119,81 @@ def test_semantic_dedup_threshold_one_keeps_distinct(spark):
                          iterations=1, threshold=1.0)
     # no two distinct directions reach rounded cosine 1.0 here
     assert out.count() == 6
+
+
+def test_semantic_dedup_identical_embedding_collapse(spark):
+    """Exact-duplicate embeddings must collapse to one rep before the
+    per-cluster pair join (the dedup_minhash skew-guard pattern): a
+    3000-copy group contributes ONE row to the O(cluster^2) stage, so the
+    candidate pair count tracks distinct vectors, not corpus size."""
+    import numpy as np
+
+    from rasgoql_spark.functions.cluster import (
+        _semantic_candidates, _unit_rounded, semantic_dedup)
+
+    rng = np.random.default_rng(11)
+    dup = [float(x) for x in rng.normal(size=8)]
+    n = 3000
+    rows = [(j, dup) for j in range(n)] + [
+        (10_000 + j, [float(x) for x in rng.normal(size=8)]) for j in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "embedding", "vec_id", k=4, threshold=0.9)
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 0 in kept and not any(1 <= x < n for x in kept)  # one dup survivor
+    # measure the actual candidate set through the internal seam
+    from pyspark.sql import functions as F
+    withu = _unit_rounded(
+        df.selectExpr("vec_id AS __id", "CAST(0 AS INT) AS CLUSTER_ID",
+                      "embedding AS __vec"),
+        "__vec")
+    reps, pairs, member_drops = _semantic_candidates(withu, 0.9, 6, None)
+    assert reps.count() == 51           # 3000 copies -> 1 rep
+    assert pairs.count() == 51 * 50 // 2  # quadratic only in DISTINCT vectors
+    assert member_drops.count() == n - 1
+
+
+def test_semantic_dedup_max_cluster_size_bounds_pairs(spark):
+    """max_cluster_size must cap the per-cluster pair join even when every
+    vector is distinct: 400 distinct reps in ONE cluster produce C(400,2)
+    pairs unchunked but at most n_chunks * C(cap,2) with the guard."""
+    import numpy as np
+
+    from rasgoql_spark.functions.cluster import (
+        _semantic_candidates, _unit_rounded, semantic_dedup)
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = [
+        (j, [float(x) for x in base + 1e-3 * rng.normal(size=8)])
+        for j in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    withu = _unit_rounded(
+        df.selectExpr("vec_id AS __id", "CAST(0 AS INT) AS CLUSTER_ID",
+                      "embedding AS __vec"),
+        "__vec")
+    _, pairs_full, _ = _semantic_candidates(withu, 0.999, 6, None)
+    _, pairs_capped, _ = _semantic_candidates(withu, 0.999, 6, 50)
+    assert pairs_full.count() == 400 * 399 // 2
+    assert pairs_capped.count() == 8 * (50 * 49 // 2)  # 8 chunks of 50
+    # the capped variant still runs end-to-end and keeps at least chunk heads
+    out = semantic_dedup(df, "embedding", "vec_id", k=2, threshold=0.9999,
+                         max_cluster_size=50)
+    assert out.count() >= 1
+
+
+def test_semantic_dedup_k_auto_and_validation(spark):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.cluster import semantic_dedup
+
+    rows = [(j, [float(j % 7), 1.0, 0.5]) for j in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "embedding", "vec_id", k="auto", threshold=0.999)
+    assert out.count() >= 7  # one survivor per distinct direction at least
+    with _pytest.raises(ParameterException):
+        semantic_dedup(df, "embedding", "vec_id", k="bogus")
+    with _pytest.raises(ParameterException):
+        semantic_dedup(df, "embedding", "vec_id", max_cluster_size=1)

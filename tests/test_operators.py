@@ -335,3 +335,49 @@ def test_expect_modes(spark):
     vals = {r["id"]: (r["EXPECT_0"], r["EXPECT_1"]) for r in flagged.collect()}
     assert vals[1] == (True, True) and vals[2] == (False, True)
     assert vals[3] == (False, False)
+
+
+def test_fuzzy_join_prefix_length_matches_prefix_output(spark):
+    """prefix_length blocking must produce EXACTLY the prefix-block output
+    (the length predicate is implied by the edit-distance verify) while
+    splitting hot prefix blocks by length."""
+    import rasgoql_spark as rql
+
+    fuzzy = rql.get_transform("fuzzy_join").apply
+    names = ["the grand hotel", "the grand hotell", "the little cafe",
+             "theatre royal", "thorn & co", "baker street books",
+             "baker st books", "zanzibar"]
+    left = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string")
+    right = spark.createDataFrame(
+        [(100 + i, n + ("x" if i % 2 else "")) for i, n in enumerate(names)],
+        "rid long, name string")
+    key = lambda r: (r["id"], r["R_RID"], r["EDIT_DISTANCE"])  # noqa: E731
+    via_pl = sorted(map(key, fuzzy(
+        left, join_table=right, column="name", max_distance=2,
+        block="prefix_length").collect()))
+    via_p = sorted(map(key, fuzzy(
+        left, join_table=right, column="name", max_distance=2,
+        block="prefix").collect()))
+    assert via_pl == via_p and via_pl
+
+
+def test_fuzzy_join_prefix_length_bounds_hot_block(spark):
+    """Skewed fixture: 900 of 1000 names share the prefix 'th' but spread
+    over many lengths. Prefix-only blocking puts 90% of the corpus in one
+    block; the prefix_length key must cap the max block share."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "the " + "x" * (i % 30) + " shop") for i in range(900)]
+    rows += [(900 + i, f"unique name {i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    w = 3  # max_distance=2 -> bucket width 3 (same formula as the operator)
+    blocks = (
+        df.select(
+            F.substring(F.trim(F.lower("name")), 1, 2).alias("pb"),
+            F.floor(F.length(F.trim(F.lower("name"))) / w).alias("lb"),
+        )
+        .groupBy("pb", "lb").count()
+    )
+    mx = blocks.agg(F.max("count")).first()[0]
+    assert mx <= 0.15 * 1000  # prefix-only would put 900 in one block

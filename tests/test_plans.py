@@ -421,3 +421,17 @@ def test_expect_flag_is_shuffle_free(session):
     plan = _plan(session.dataset("orders").expect(
         expectations=["o_totalprice > 0"], mode="flag"))
     assert "Exchange" not in plan
+
+
+def test_fuzzy_join_prefix_length_plans_as_equi_join(session):
+    left = session.dataset("customer").apply(
+        sql="SELECT c_custkey, c_name FROM {{source_table}} WHERE c_custkey % 30 = 0")
+    right = session.dataset("customer").apply(
+        sql="SELECT c_custkey, c_name FROM {{source_table}} WHERE c_custkey % 45 = 0")
+    plan = _plan(left.fuzzy_join(join_table=right, column="c_name",
+                                 max_distance=2, block="prefix_length"))
+    # the composite (prefix, length-bucket) key must plan as a hash
+    # equi-join; the bounded explode on the left must not force a
+    # nested-loop or cross product
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
