@@ -238,15 +238,18 @@ def _semantic_candidates(
     a documented recall trade the caller opts into; leave it None for the
     exact SemDeDup semantics.
 
-    Returns ``(reps, pairs, member_drops)`` where ``pairs`` carries
-    ``__ida/__idb/__cos`` and ``member_drops`` bare ``__id`` rows.
+    Returns ``(reps, pairs, member_drops, g)`` where ``pairs`` carries
+    ``__ida/__idb/__cos``, ``member_drops`` bare ``__id`` rows, and ``g``
+    is the persisted annotated frame the caller must release.
     """
     gk = F.md5(
         F.concat_ws(",", F.transform(F.col("__u"), lambda x: x.cast("string")))
     )
+    # g feeds three consumers (member_drops, and both sides of the rep pair
+    # join); persist so the group-window shuffle runs once, not three times
     g = withu.withColumn("__gk", gk).withColumn(
         "__rep", F.min("__id").over(Window.partitionBy("__gk"))
-    )
+    ).persist()
     selfdot = F.aggregate(
         F.zip_with("__u", "__u", lambda x, y: x * y),
         F.lit(0.0),
@@ -287,7 +290,7 @@ def _semantic_candidates(
         .filter(F.col("__ida") < F.col("__idb"))
         .withColumn("__cos", F.round(dot, round_to))
     )
-    return reps, pairs, member_drops
+    return reps, pairs, member_drops, g
 
 
 @spark_transform("semantic_dedup", category="similarity", streaming_ok=False)
@@ -341,7 +344,7 @@ def semantic_dedup(
         ),
         "__vec",
     ).persist()
-    _, pairs, member_drops = _semantic_candidates(
+    _, pairs, member_drops, gcache = _semantic_candidates(
         withu, threshold, round_to, max_cluster_size
     )
     drops = (
@@ -351,4 +354,4 @@ def semantic_dedup(
         .select(F.col("__id").alias(i))
         .dropDuplicates()
     )
-    return release_with(assigned.join(drops, on=i, how="left_anti"), withu)
+    return release_with(assigned.join(drops, on=i, how="left_anti"), withu, gcache)

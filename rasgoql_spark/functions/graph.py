@@ -76,18 +76,31 @@ def pagerank(
             F.col("__node").alias("NODE"), F.lit(0.0).alias("PAGERANK")
         )
     outdeg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # loop-invariant frames, built ONCE: degree pre-joined onto edges (the
+    # per-iteration plan then needs only ranks-by-src join + sum-by-dst),
+    # and the dangling node set (slim ids) for the mass aggregate — without
+    # these every iteration re-derives outdeg and re-runs two extra joins
+    edges_deg = edges.join(outdeg, on="__src").persist()
+    dangling_nodes = nodes.join(
+        outdeg, nodes["__node"] == outdeg["__src"], "left_anti"
+    ).persist()
     base = (1.0 - damping) / n
     ranks = nodes.select("__node", F.round(F.lit(1.0 / n), round_to).alias("__r"))
+    iter_caches: list[DataFrame] = []
     for it in range(iterations):
+        # ranks feeds THREE consumers per iteration (contrib join, dangling
+        # mass, final left join); without a cache the lineage re-executes
+        # each prior iteration 3× per level — exponential recompute
+        ranks = ranks.persist()
+        iter_caches.append(ranks)
         contrib = (
-            edges.join(ranks, edges["__src"] == ranks["__node"])
-            .join(outdeg, on="__src")
+            edges_deg.join(ranks, edges_deg["__src"] == ranks["__node"])
             .select(F.col("__dst").alias("__node"), (F.col("__r") / F.col("__deg")).alias("__c"))
             .groupBy("__node")
             .agg(F.sum("__c").alias("__sum"))
         )
         dangling = (
-            ranks.join(outdeg, ranks["__node"] == outdeg["__src"], "left_anti")
+            ranks.join(dangling_nodes, on="__node", how="left_semi")
             .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm"))
         )
         ranks = (
@@ -106,7 +119,7 @@ def pagerank(
         if (it + 1) % 3 == 0:
             ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select(F.col("__node").alias("NODE"), F.col("__r").alias("PAGERANK"))
-    return release_with(out, edges, nodes)
+    return release_with(out, edges, nodes, edges_deg, dangling_nodes, *iter_caches)
 
 
 def pagerank_oracle_sql(

@@ -147,7 +147,7 @@ def test_semantic_dedup_identical_embedding_collapse(spark):
         df.selectExpr("vec_id AS __id", "CAST(0 AS INT) AS CLUSTER_ID",
                       "embedding AS __vec"),
         "__vec")
-    reps, pairs, member_drops = _semantic_candidates(withu, 0.9, 6, None)
+    reps, pairs, member_drops, _g = _semantic_candidates(withu, 0.9, 6, None)
     assert reps.count() == 51           # 3000 copies -> 1 rep
     assert pairs.count() == 51 * 50 // 2  # quadratic only in DISTINCT vectors
     assert member_drops.count() == n - 1
@@ -173,8 +173,8 @@ def test_semantic_dedup_max_cluster_size_bounds_pairs(spark):
         df.selectExpr("vec_id AS __id", "CAST(0 AS INT) AS CLUSTER_ID",
                       "embedding AS __vec"),
         "__vec")
-    _, pairs_full, _ = _semantic_candidates(withu, 0.999, 6, None)
-    _, pairs_capped, _ = _semantic_candidates(withu, 0.999, 6, 50)
+    _, pairs_full, _, _g1 = _semantic_candidates(withu, 0.999, 6, None)
+    _, pairs_capped, _, _g2 = _semantic_candidates(withu, 0.999, 6, 50)
     assert pairs_full.count() == 400 * 399 // 2
     assert pairs_capped.count() == 8 * (50 * 49 // 2)  # 8 chunks of 50
     # the capped variant still runs end-to-end and keeps at least chunk heads
