@@ -484,17 +484,23 @@ def fuzzy_join(
     by the edit-distance verify, the OUTPUT is identical to plain prefix
     blocking — only the candidate set (and the worst block) shrinks.
     ``block='prefix'``: prefix-only blocking (the classic scheme; one hot
-    prefix = one hot block). Both share the recall caveat: an edit inside
-    the prefix escapes the block. ``block='none'`` is the exact all-pairs
-    fallback for SMALL right sides only.
+    prefix = one hot block). ``block='suffix'`` / ``block='suffix_length'``
+    mirror the two schemes on the LAST ``block_len`` characters — the right
+    choice for keys with a constant boilerplate head (serial numbers,
+    "Customer#000000001"-style ids, URL prefixes), where every prefix block
+    collapses into one. All blocked schemes share the recall caveat: an
+    edit inside the blocked substring escapes the block. ``block='none'``
+    is the exact all-pairs fallback for SMALL right sides only.
 
     Output: left columns + right columns (prefixed ``{join_prefix}_``) +
     ``EDIT_DISTANCE``. Scale: the block join shuffles on the short block
     key; verification is row-local levenshtein on candidates only.
     """
-    if block not in ("prefix", "prefix_length", "none"):
+    if block not in ("prefix", "prefix_length", "suffix", "suffix_length",
+                     "none"):
         raise ParameterException(
-            "block must be 'prefix', 'prefix_length' or 'none'"
+            "block must be 'prefix', 'prefix_length', 'suffix', "
+            "'suffix_length' or 'none'"
         )
     if max_distance < 0:
         raise ParameterException("max_distance must be >= 0")
@@ -505,16 +511,20 @@ def fuzzy_join(
         [F.col(c).alias(cleanse_name(f"{join_prefix}_{c}")) for c in join_table.columns]
     )
     prc = cleanse_name(f"{join_prefix}_{rc}")
-    if block == "prefix":
-        lb = F.substring(norm(F.col(lc)), 1, block_len)
-        rb = F.substring(norm(F.col(prc)), 1, block_len)
-        cond = lb == rb
+    # blocked substring: first block_len chars for prefix schemes, last
+    # block_len for suffix schemes (F.substring supports negative start)
+    if block.startswith("suffix"):
+        key = lambda c: F.substring(norm(c), -block_len, block_len)  # noqa: E731
+    else:
+        key = lambda c: F.substring(norm(c), 1, block_len)  # noqa: E731
+    if block in ("prefix", "suffix"):
+        cond = key(F.col(lc)) == key(F.col(prc))
         joined = df.join(right, on=cond, how="inner")
-    elif block == "prefix_length":
+    elif block in ("prefix_length", "suffix_length"):
         w = max_distance + 1
         lln = F.length(norm(F.col(lc)))
         left = df.withColumn(
-            "__fj_pb", F.substring(norm(F.col(lc)), 1, block_len)
+            "__fj_pb", key(F.col(lc))
         ).withColumn(
             # every length bucket a ≤max_distance edit can reach; the
             # window spans 2*max_distance < 2w, so ≤ 3 buckets
@@ -528,7 +538,7 @@ def fuzzy_join(
         )
         rln = F.length(norm(F.col(prc)))
         rightb = right.withColumn(
-            "__fj_pb", F.substring(norm(F.col(prc)), 1, block_len)
+            "__fj_pb", key(F.col(prc))
         ).withColumn("__fj_lb", F.floor(rln / F.lit(w)))
         joined = left.join(rightb, on=["__fj_pb", "__fj_lb"], how="inner").drop(
             "__fj_pb", "__fj_lb"
@@ -557,10 +567,11 @@ def _r_fuzzy_join(source, join_table, column, right_column=None, max_distance=2,
     prc = cleanse_name(f"{join_prefix}_{rc}")
     norm = lambda e: f"trim(lower({e}))"  # noqa: E731
     dist = f"levenshtein({norm(f'l.{column}')}, {norm(f'r.{prc}')})"
-    if block in ("prefix", "prefix_length"):
-        on = (f"ON substring({norm(f'l.{column}')}, 1, {block_len}) = "
-              f"substring({norm(f'r.{prc}')}, 1, {block_len})")
-        if block == "prefix_length":
+    if block in ("prefix", "prefix_length", "suffix", "suffix_length"):
+        start = f"-{block_len}" if block.startswith("suffix") else "1"
+        on = (f"ON substring({norm(f'l.{column}')}, {start}, {block_len}) = "
+              f"substring({norm(f'r.{prc}')}, {start}, {block_len})")
+        if block in ("prefix_length", "suffix_length"):
             # rendered form: the length-bucket probe is an execution detail;
             # its only semantic effect (|len diff| <= max_distance) is
             # implied by the edit-distance filter, stated here explicitly

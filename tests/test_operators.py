@@ -381,3 +381,25 @@ def test_fuzzy_join_prefix_length_bounds_hot_block(spark):
     )
     mx = blocks.agg(F.max("count")).first()[0]
     assert mx <= 0.15 * 1000  # prefix-only would put 900 in one block
+
+
+def test_fuzzy_join_suffix_blocking_for_constant_prefix_keys(spark):
+    """Serial-number-style keys share one prefix (and one length), so prefix
+    blocking degenerates to a single block; suffix blocking must recover
+    the matches while keeping selectivity."""
+    import rasgoql_spark as rql
+
+    fuzzy = rql.get_transform("fuzzy_join").apply
+    left = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in (1, 2, 77)], "id long, name string")
+    right = spark.createDataFrame(
+        [(100 + i, f"Customer#{i:09d}") for i in (1, 3, 77)],
+        "rid long, name string")
+    for scheme in ("suffix", "suffix_length"):
+        out = fuzzy(left, join_table=right, column="name", max_distance=1,
+                    block=scheme, block_len=3)
+        pairs = {(r["id"], r["R_RID"]) for r in out.collect()}
+        # last-3 blocks: 001, 002 vs 001, 003 -> exact ids 1 and 77 match;
+        # 2~1 and 2~3 are 1 edit apart but land in different suffix blocks
+        assert (1, 101) in pairs and (77, 177) in pairs
+        assert not any(l == 2 for l, _ in pairs)
