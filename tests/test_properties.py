@@ -334,3 +334,82 @@ def test_pagerank_oracle_sql_generator_always_parses(iterations, damping):
     assert len(rows) == 4
     total = sum(r[1] for r in rows)
     assert abs(total - 1.0) < 1e-6  # mass conserved at every depth
+
+
+def test_semantic_dedup_collapse_equals_naive_pair_join(spark):
+    """The round-5 exact-dup collapse must be result-preserving: on a
+    randomized corpus with planted duplicate groups and zero vectors, the
+    kept-id set equals the naive all-within-cluster pair join's."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.cluster import (
+        _unit_rounded, kmeans_cluster, semantic_dedup)
+
+    rng = np.random.default_rng(42)
+    rows = []
+    vid = 0
+    for g in range(12):           # 12 groups of 1-6 exact duplicates
+        v = [float(x) for x in rng.normal(size=4)]
+        for _ in range(int(rng.integers(1, 7))):
+            rows.append((vid, v)); vid += 1
+    for _ in range(3):            # zero vectors (self-cos 0 edge case)
+        rows.append((vid, [0.0, 0.0, 0.0, 0.0])); vid += 1
+    for _ in range(20):           # singletons
+        rows.append((vid, [float(x) for x in rng.normal(size=4)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for threshold in (0.9, 0.0, -0.5):
+        kept = {r["vec_id"] for r in semantic_dedup(
+            df, "embedding", "vec_id", k=3, threshold=threshold)
+            .select("vec_id").collect()}
+        # naive reference: same assignment, full within-cluster pair join
+        assigned = kmeans_cluster(df, "embedding", "vec_id", k=3, iterations=1)
+        withu = _unit_rounded(
+            assigned.selectExpr("vec_id AS __id", "CLUSTER_ID",
+                                "embedding AS __vec"), "__vec")
+        a = withu.select(F.col("__id").alias("__ida"), "CLUSTER_ID",
+                         F.col("__u").alias("__ua"))
+        b = withu.select(F.col("__id").alias("__idb"), "CLUSTER_ID",
+                         F.col("__u").alias("__ub"))
+        dot = F.aggregate(F.zip_with("__ua", "__ub", lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        naive_drops = {r["__idb"] for r in (
+            a.join(b, on="CLUSTER_ID")
+            .filter(F.col("__ida") < F.col("__idb"))
+            .withColumn("__cos", F.round(dot, 6))
+            .filter(F.col("__cos") >= threshold)
+            .select("__idb").dropDuplicates()).collect()}
+        naive_kept = {r for r, _ in rows} - naive_drops
+        assert kept == naive_kept, f"threshold={threshold}"
+
+
+def test_fuzzy_join_length_bucket_schemes_preserve_output(spark):
+    """prefix_length/suffix_length must equal their unbucketed scheme on a
+    randomized corpus (short alphabet -> plenty of near-matches), for every
+    max_distance — the length bucket only prunes candidates the verify
+    would reject."""
+    import numpy as np
+
+    import rasgoql_spark as rql
+
+    rng = np.random.default_rng(7)
+    fuzzy = rql.get_transform("fuzzy_join").apply
+    mk = lambda n: "".join(rng.choice(list("abc")) for _ in range(n))  # noqa: E731
+    left = spark.createDataFrame(
+        [(i, mk(int(rng.integers(0, 8)))) for i in range(120)],
+        "id long, s string")
+    right = spark.createDataFrame(
+        [(1000 + i, mk(int(rng.integers(0, 8)))) for i in range(120)],
+        "rid long, s string")
+    key = lambda r: (r["id"], r["R_RID"], r["EDIT_DISTANCE"])  # noqa: E731
+    for d in (0, 1, 2):
+        for plain, bucketed in (("prefix", "prefix_length"),
+                                ("suffix", "suffix_length")):
+            o1 = sorted(map(key, fuzzy(left, join_table=right, column="s",
+                                       max_distance=d, block=plain,
+                                       block_len=1).collect()))
+            o2 = sorted(map(key, fuzzy(left, join_table=right, column="s",
+                                       max_distance=d, block=bucketed,
+                                       block_len=1).collect()))
+            assert o1 == o2 and o1, (d, plain)

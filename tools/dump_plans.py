@@ -117,11 +117,16 @@ ANNOTATED = [
      "reusable across batches); membership is one equi-join over slim "
      "(id, bit) rows with all-bits-set counting; only bloom positives pay "
      "the exact fingerprint confirm — output equals the plain anti-join."),
-    ("pagerank (round 4)", "pagerank",
+    ("pagerank (round 5)", "pagerank",
      "Iterative rank propagation as slim (node, double) joins + sum-by-dst "
      "aggregations (partial+final); the dangling mass is a one-row "
      "aggregate rejoined via BroadcastNestedLoopJoin; per-iteration 9-dp "
-     "rounding keeps the unrolled DuckDB replay exact."),
+     "rounding keeps the unrolled DuckDB replay exact. Round 5: out-degree "
+     "pre-joins onto the edge table ONCE and the dangling-node set is "
+     "loop-invariant (both persisted — InMemoryTableScan in the plan); the "
+     "rank table persists every iteration because it feeds three consumers "
+     "— without that cache the lineage re-executed earlier iterations "
+     "multiplicatively."),
     ("diff_datasets (round 4)", "diff_datasets",
      "Both snapshots hash to (key, md5) BEFORE the full-outer join, so the "
      "shuffle carries 16 bytes per row regardless of document width."),
@@ -129,11 +134,21 @@ ANNOTATED = [
      "Each GD pass is ONE aggregation (k+1 means, partial+final) with "
      "weights as literals; scoring is a whole-stage-codegen projection — "
      "the corpus never shuffles at any phase."),
-    ("semantic_dedup (round 4)", "semantic_dedup",
+    ("semantic_dedup (round 5)", "semantic_dedup",
      "Cluster assignment is a literal-centroid projection (no join); the "
      "cosine self-join is an equi-join on CLUSTER_ID, bounding candidate "
      "pairs to within-cluster; the drop set ships as bare ids for one "
-     "left-anti join."),
+     "left-anti join. Round 5: exact-duplicate embeddings collapse to one "
+     "representative (a Window over the rounded-vector group key, "
+     "persisted once for its three consumers) BEFORE the pair join, so "
+     "duplicate-heavy skew contributes one rep per group; members resolve "
+     "row-locally against the group self-cosine."),
+    ("fuzzy_join (round 5)", "fuzzy_join",
+     "Blocking-and-verification entity resolution: the composite "
+     "(prefix, length-bucket) key plans as a hash EQUI-join (no "
+     "BroadcastNestedLoopJoin, no CartesianProduct); the left side's "
+     "<=3-bucket probe is a bounded Generate (explode) before the join; "
+     "levenshtein verification runs row-local on candidates only."),
 ]
 
 
