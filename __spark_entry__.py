@@ -3684,21 +3684,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE (round 5): the driver hash-checks only the FIRST 50
     # entries each round. Rotation policy: entries whose IMPLEMENTATION
     # changed this round first, then the entries whose last DRIVER
-    # verification is oldest. Last-driver-verified rounds (from
-    # CORRECTNESS_r0*.json): r1=48, r2=33, r3=42, r4=50 entries. This
-    # round the front-50 is the 2 changed-behavior entries (semantic_dedup
-    # grew the exact-dup collapse, fuzzy_join a new default blocking
-    # scheme — both output-preserving by design, re-verified here) plus
-    # all 48 entries last verified in round 1 (the relational core);
-    # everything after the fold is ordered by ascending staleness (r2,
-    # then r3, then r4) so a wider gate reaches the next-stalest first.
-    # Round 6 should rotate the 33 r2 + oldest r3 entries into the
-    # front-50. All 173 entries pass tools/oracle_check.py locally (last
-    # full local run: round 5).
+    # verification is oldest. Round 5 changed 8 queryable implementations
+    # (semantic_dedup collapse/guards, fuzzy_join blocking, pagerank
+    # iteration caching, diff_datasets row-hash, dedup_against index path
+    # x2, pseudonymize renderer escaping, frame_sample_gif corrupt-stream
+    # handling) — all 8 lead the gate, followed by 42 of the 48 entries
+    # last driver-verified in round 1. The 6 displaced r1 entries sit
+    # immediately after the fold, then remaining entries by ascending
+    # last-verified round (r2, r3, r4). Round 6 should front the displaced
+    # r1 entries plus the 33 r2 block. All 173 entries pass
+    # tools/oracle_check.py locally (full run: round 5, 173/173).
     return {
         # --- front-50: implementation changed in round 5 ---
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_join": q_fuzzy_join,
+        "pagerank": q_pagerank,
+        "diff_datasets": q_diff_datasets,
+        "dedup_against": q_dedup_against,
+        "dedup_against_minhash": q_dedup_against_minhash,
+        "pseudonymize": q_pseudonymize,
+        "frame_sample_gif": q_frame_sample_gif,
         # --- front-50: last driver-verified round 1 (stalest) ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
@@ -3742,14 +3747,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "ntile": q_ntile,
         "lag_lead": q_lag_lead,
+        # ---- fold: entries below reached only if the driver checks >50 ----
+        # --- last driver-verified round 1 (displaced; front these in r6) ---
         "moving_avg": q_moving_avg,
         "rolling_agg": q_rolling_agg,
         "rolling_agg_range": q_rolling_agg_range,
         "cumulative_agg": q_cumulative_agg,
         "order": q_order,
         "rank": q_rank,
-        # ---- fold: entries below reached only if the driver checks >50 ----
-        # --- last driver-verified round 2 ---
+        # --- remaining, ascending last-driver-verified round ---
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -3783,14 +3789,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "bin": q_bin,
         "levenshtein": q_levenshtein,
-        # --- last driver-verified round 3 ---
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "shuffle_deterministic": q_shuffle_deterministic,
         "ngram_counts": q_ngram_counts,
-        "dedup_against": q_dedup_against,
-        "dedup_against_minhash": q_dedup_against_minhash,
         "remove_boilerplate": q_remove_boilerplate,
         "quality_filter": q_quality_filter,
         "audio_meta": q_audio_meta,
@@ -3826,7 +3829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "binary_meta": q_binary_meta,
         "token_count_ws": q_token_count_ws,
-        # --- last driver-verified round 4 ---
         "extract_urls": q_extract_urls,
         "quantize_embeddings": q_quantize_embeddings,
         "stream_sessionize_batch": q_stream_sessionize_batch,
@@ -3861,15 +3863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search": q_pq_search,
         "filter_urls": q_filter_urls,
         "dedup_against_bloom": q_dedup_against_bloom,
-        "pagerank": q_pagerank,
-        "diff_datasets": q_diff_datasets,
         "random_projection": q_random_projection,
         "robust_scaler": q_robust_scaler,
         "kfold": q_kfold,
         "expect": q_expect,
-        "frame_sample_gif": q_frame_sample_gif,
         "source_overlap": q_source_overlap,
-        "pseudonymize": q_pseudonymize,
         "logreg_score": q_logreg_score,
         "connected_components": q_connected_components,
         "char_entropy": q_char_entropy,

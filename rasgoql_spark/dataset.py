@@ -101,6 +101,14 @@ class SQLChain:
             )
         flat_kwargs, table_args, table_columns = self._flatten_args(kwargs)
         new_df = tdef.apply(self._df, **flat_kwargs)
+        # Scoped-cache liveness (functions/_cache.release_with ties unpersist
+        # to GC of a transform's RESULT object): a further chain step builds
+        # a NEW DataFrame and would otherwise drop the only reference to the
+        # previous step's result, unpersisting its caches BEFORE the action
+        # runs — the plan stays correct but silently recomputes expensive
+        # subtrees. Each step therefore keeps its upstream result alive; the
+        # whole linked chain frees together when the final result is dropped.
+        new_df._rql_upstream = self._df
         alias = f"RQL_T{len(self._steps)}_{cleanse_name(tname)}"
         step = Step(name=tname, kwargs=kwargs, output_alias=alias,
                     table_args=table_args, input_columns=tuple(self._df.columns),

@@ -37,6 +37,10 @@ from ..registry import spark_transform
 from ._cache import release_with
 
 CENT_ROUND = 9  # decimals kept on centroid components (both engines)
+# skip semantic_dedup's exact-dup collapse when the largest identical-vector
+# group is at most this size (the pair join handles small groups exactly;
+# same guard pattern as dedup.COLLAPSE_MIN_GROUP)
+SEM_COLLAPSE_MIN_GROUP = 16
 
 
 def _unit_rounded(df: DataFrame, vec_col: str, out_col: str = "__u") -> DataFrame:
@@ -230,6 +234,8 @@ def _semantic_candidates(
     collapse is result-preserving: a member's only sub-threshold case is
     the all-zero vector (self-cosine 0), and a zero vector can't be
     dropped by any external neighbor either (all its cosines are 0).
+    Vectors containing NULL elements never collapse (per-row unique key):
+    their cosines are NULL, so the original semantics keep them.
 
     ``max_cluster_size`` (optional) additionally chunks the surviving reps
     inside each cluster by id order, bounding candidate pairs at
@@ -238,32 +244,66 @@ def _semantic_candidates(
     a documented recall trade the caller opts into; leave it None for the
     exact SemDeDup semantics.
 
-    Returns ``(reps, pairs, member_drops, g)`` where ``pairs`` carries
-    ``__ida/__idb/__cos``, ``member_drops`` bare ``__id`` rows, and ``g``
-    is the persisted annotated frame the caller must release.
+    Returns ``(reps, pairs, member_drops, caches)`` where ``pairs`` carries
+    ``__ida/__idb/__cos``, ``member_drops`` bare ``__id`` rows, and
+    ``caches`` the persisted frames the caller must release.
     """
-    gk = F.md5(
-        F.concat_ws(",", F.transform(F.col("__u"), lambda x: x.cast("string")))
+    # null-safe group key: vectors containing a NULL element (or NULL
+    # vectors) must never collapse with anything — concat_ws silently skips
+    # NULLs, so [0.6, NULL, 0.8] would otherwise collide with [0.6, 0.8]
+    # and be over-dropped (their cosines are NULL and the pair join keeps
+    # them). Such rows get a per-row unique key; clean vectors key on
+    # size + components (size disambiguates NULL vs empty).
+    has_null = F.col("__u").isNull() | F.exists(
+        F.col("__u"), lambda x: x.isNull()
     )
-    # g feeds three consumers (member_drops, and both sides of the rep pair
-    # join); persist so the group-window shuffle runs once, not three times
-    g = withu.withColumn("__gk", gk).withColumn(
-        "__rep", F.min("__id").over(Window.partitionBy("__gk"))
-    ).persist()
-    selfdot = F.aggregate(
-        F.zip_with("__u", "__u", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    vec_key = F.md5(
+        F.concat(
+            F.coalesce(F.size("__u"), F.lit(-1)).cast("string"),
+            F.lit(":"),
+            F.concat_ws(",", F.transform(F.col("__u"), lambda x: x.cast("string"))),
+        )
     )
-    member_drops = (
-        g.filter(F.col("__id") != F.col("__rep"))
-        .withColumn("__selfcos", F.round(selfdot, round_to))
-        .filter(F.col("__selfcos") >= threshold)
-        .select("__id")
+    gk = F.when(
+        has_null, F.concat(F.lit("row:"), F.col("__id").cast("string"))
+    ).otherwise(vec_key)
+    # keyed is the one corpus-wide cache: it feeds the guard pre-count and
+    # (on the skip path) both sides of the rep pair join; the pre-count
+    # doubles as its materialization
+    keyed = withu.withColumn("__gk", gk).persist()
+    # dedup_minhash-style guard: a slim max-group pre-count skips the
+    # corpus-wide collapse window entirely on duplicate-free corpora (the
+    # common case) — the pair join handles small duplicate groups exactly,
+    # so both paths are result-preserving
+    max_group = (
+        keyed.groupBy("__gk").count().agg(F.max("count")).first()[0] or 0
     )
-    reps = g.filter(F.col("__id") == F.col("__rep")).select(
-        "__id", "CLUSTER_ID", "__u"
-    )
+    if max_group <= SEM_COLLAPSE_MIN_GROUP:
+        reps = keyed.select("__id", "CLUSTER_ID", "__u")
+        member_drops = withu.select("__id").limit(0)
+        caches: tuple = (keyed,)
+    else:
+        # hot corpus: g (= keyed + rep annotation) feeds three consumers
+        # (member_drops, both pair-join sides); persist so the group window
+        # runs once over the cached input, not three times
+        g = keyed.withColumn(
+            "__rep", F.min("__id").over(Window.partitionBy("__gk"))
+        ).persist()
+        selfdot = F.aggregate(
+            F.zip_with("__u", "__u", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        member_drops = (
+            g.filter(F.col("__id") != F.col("__rep"))
+            .withColumn("__selfcos", F.round(selfdot, round_to))
+            .filter(F.col("__selfcos") >= threshold)
+            .select("__id")
+        )
+        reps = g.filter(F.col("__id") == F.col("__rep")).select(
+            "__id", "CLUSTER_ID", "__u"
+        )
+        caches = (keyed, g)
     if max_cluster_size is not None:
         wc = Window.partitionBy("CLUSTER_ID").orderBy("__id")
         reps = reps.withColumn(
@@ -290,7 +330,7 @@ def _semantic_candidates(
         .filter(F.col("__ida") < F.col("__idb"))
         .withColumn("__cos", F.round(dot, round_to))
     )
-    return reps, pairs, member_drops, g
+    return reps, pairs, member_drops, caches
 
 
 @spark_transform("semantic_dedup", category="similarity", streaming_ok=False)
@@ -337,14 +377,18 @@ def semantic_dedup(
 
         k = max(8, math.ceil(df.count() / 5000))
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    assigned = kmeans_cluster(df, vec_col, id_col, k, iterations, round_to)
+    # assigned feeds BOTH the drop-set lineage and the final anti-join; the
+    # assignment expression is an interpreted higher-order fold (k x dim per
+    # row, no codegen), and downstream column pruning de-duplicates the two
+    # subtrees differently — persist so it evaluates once
+    assigned = kmeans_cluster(df, vec_col, id_col, k, iterations, round_to).persist()
     withu = _unit_rounded(
         spread(assigned).select(
             F.col(i).alias("__id"), F.col("CLUSTER_ID"), F.col(v).alias("__vec")
         ),
         "__vec",
-    ).persist()
-    _, pairs, member_drops, gcache = _semantic_candidates(
+    )
+    _, pairs, member_drops, caches = _semantic_candidates(
         withu, threshold, round_to, max_cluster_size
     )
     drops = (
@@ -354,4 +398,6 @@ def semantic_dedup(
         .select(F.col("__id").alias(i))
         .dropDuplicates()
     )
-    return release_with(assigned.join(drops, on=i, how="left_anti"), withu, gcache)
+    return release_with(
+        assigned.join(drops, on=i, how="left_anti"), assigned, *caches
+    )

@@ -759,7 +759,10 @@ def dedup_against(
             "dedup_against needs a reference frame or a prebuilt MinHashIndex"
         )
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    if reference is not None:
+    if reference is not None and index is None:
+        # ref columns are only consumed when the reference side is actually
+        # built here; on the index path the reference serves the row-count
+        # fingerprint check alone, so its column names need not match
         rt = resolve_col(reference, ref_text or text)
         ri = resolve_col(reference, ref_id or id_col)
     if method == "exact":

@@ -197,3 +197,31 @@ def test_semantic_dedup_k_auto_and_validation(spark):
         semantic_dedup(df, "embedding", "vec_id", k="bogus")
     with _pytest.raises(ParameterException):
         semantic_dedup(df, "embedding", "vec_id", max_cluster_size=1)
+
+
+def test_semantic_dedup_null_elements_never_collapse(spark):
+    """Regression (round-5 review): concat_ws silently skips NULL array
+    elements, so [0.6, NULL, 0.8] used to share a collapse key with
+    [0.6, 0.8] and get over-dropped. NULL-element vectors have NULL
+    cosines — the pair join keeps them, and so must the collapse."""
+    from rasgoql_spark.functions.cluster import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.6, None, 0.8]), (2, [0.6, 0.0, 0.8]),
+         # 20 copies of a clean vector to force the collapse path
+         *[(10 + j, [0.0, 1.0, 0.0]) for j in range(20)]],
+        "vec_id long, embedding array<double>")
+    kept = {r["vec_id"] for r in semantic_dedup(
+        df, "embedding", "vec_id", k=1, threshold=0.9)
+        .select("vec_id").collect()}
+    assert {0, 1, 2, 10} <= kept          # null-element row survives
+    assert not any(11 <= x < 30 for x in kept)  # real dups still collapse
+    # NULL vector vs empty vector must not collide either
+    df2 = spark.createDataFrame(
+        [(0, [1.0]), (1, None), (2, [])]
+        + [(10 + j, [1.0]) for j in range(20)],
+        "vec_id long, embedding array<double>")
+    kept2 = {r["vec_id"] for r in semantic_dedup(
+        df2, "embedding", "vec_id", k=1, threshold=0.9)
+        .select("vec_id").collect()}
+    assert {1, 2} <= kept2

@@ -759,3 +759,25 @@ def test_minhash_index_reference_optional_and_fingerprint(spark):
             dedup_against(batch, "text", "doc_id", method="exact", index=idx)
     finally:
         idx.release()
+
+
+def test_dedup_against_index_path_ignores_reference_columns(spark):
+    """On the index path the reference frame serves only the row-count
+    fingerprint check, so differently-named columns must not error."""
+    from rasgoql_spark.functions.dedup import dedup_against, minhash_index
+
+    ref = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "an entirely different reference document about joins")],
+        "rid long, body string")
+    batch = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog today then")],
+        "doc_id long, text string")
+    idx = minhash_index(ref, "body", "rid")
+    try:
+        out = dedup_against(batch, "text", "doc_id", reference=ref,
+                            method="minhash", threshold=0.2, mode="pairs",
+                            index=idx)
+        assert out.count() >= 1
+    finally:
+        idx.release()

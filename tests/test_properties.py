@@ -353,6 +353,9 @@ def test_semantic_dedup_collapse_equals_naive_pair_join(spark):
         v = [float(x) for x in rng.normal(size=4)]
         for _ in range(int(rng.integers(1, 7))):
             rows.append((vid, v)); vid += 1
+    hot = [float(x) for x in rng.normal(size=4)]
+    for _ in range(25):           # one 25-copy group forces the collapse path
+        rows.append((vid, hot)); vid += 1
     for _ in range(3):            # zero vectors (self-cos 0 edge case)
         rows.append((vid, [0.0, 0.0, 0.0, 0.0])); vid += 1
     for _ in range(20):           # singletons
