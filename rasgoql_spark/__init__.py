@@ -35,6 +35,7 @@ from .session import RasgoSession, connect, default_spark
 from .functions.bloom import BloomIndex, bloom_index, load_bloom_index, save_bloom_index
 from .functions.dedup import MinHashIndex, load_minhash_index, minhash_index, save_minhash_index
 from .functions.similarity import IVFIndex, ivf_index
+from .streaming.ops import stream_dedup_against
 
 __version__ = "0.1.0"
 
@@ -59,6 +60,7 @@ __all__ = [
     "save_bloom_index",
     "load_bloom_index",
     "MinHashIndex",
+    "stream_dedup_against",
     "minhash_index",
     "save_minhash_index",
     "load_minhash_index",

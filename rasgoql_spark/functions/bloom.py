@@ -90,7 +90,7 @@ def dedup_against_bloom(
     df: DataFrame,
     text: str,
     id_col: str,
-    reference: DataFrame,
+    reference: DataFrame | None = None,
     ref_text: str | None = None,
     bits_log2: int = 22,
     num_hashes: int = 3,
@@ -113,7 +113,13 @@ def dedup_against_bloom(
     (32 MB of longs at the default 4M bits) so AQE broadcasts it; the
     reference is scanned only by the positives' semi-join."""
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    rt = resolve_col(reference, ref_text or text)
+    if reference is None and index is None:
+        raise ParameterException(
+            "dedup_against_bloom needs a reference frame or a prebuilt "
+            "BloomIndex (a bare bits table cannot run the exact confirm)"
+        )
+    if reference is not None:
+        rt = resolve_col(reference, ref_text or text)
     if index is not None:
         if (index.bits_log2, index.num_hashes) != (bits_log2, num_hashes):
             raise ParameterException(

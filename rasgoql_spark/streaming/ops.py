@@ -427,6 +427,94 @@ def read_events_stream(spark, path: str, schema: StructType | None = None) -> Da
     )
 
 
+def stream_dedup_against(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    checkpoint: str,
+    sink_path: str | None = None,
+    sink_table: str | None = None,
+    reference: DataFrame | None = None,
+    index=None,
+    method: str = "exact",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+):
+    """Streaming crawl-ingest dedup — the production pipeline shape: new
+    document files arrive as a stream, every micro-batch is cleaned against
+    the ACCEPTED corpus, and only novel documents append to the sink.
+
+    The reference side is a static frame or (the amortized path) a prebuilt
+    index — ``dedup.MinHashIndex`` for near-dup LSH or ``bloom.BloomIndex``
+    for exact-content membership, both persistable/loadable as parquet
+    artifacts, so the per-batch cost is independent of corpus size. This
+    runs via ``foreachBatch`` because the banded-LSH / bloom-confirm
+    pipelines are multi-stage batch plans a stream-static join cannot
+    express; the checkpointed sink gives exactly-once per micro-batch.
+    Note the sink sees only batch-vs-REFERENCE dedup; chain
+    ``stream_dedup`` upstream for within-stream duplicates, and fold the
+    sink back into the reference on the corpus-refresh cadence.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger —
+    drains all available input then stops, the testable/backfill form;
+    production restarts resume from the checkpoint).
+    """
+    from ..functions.bloom import BloomIndex, dedup_against_bloom
+    from ..functions.dedup import MinHashIndex, dedup_against
+
+    if not df.isStreaming:
+        raise ParameterException(
+            "stream_dedup_against expects a streaming DataFrame "
+            "(use dedup_against for batch)"
+        )
+    if (sink_path is None) == (sink_table is None):
+        raise ParameterException("pass exactly one of sink_path / sink_table")
+    if isinstance(index, BloomIndex):
+        def clean(b: DataFrame) -> DataFrame:
+            return dedup_against_bloom(
+                b, text, id_col, reference=reference,
+                bits_log2=index.bits_log2, num_hashes=index.num_hashes,
+                index=index,
+            )
+    elif isinstance(index, MinHashIndex):
+        def clean(b: DataFrame) -> DataFrame:
+            return dedup_against(
+                b, text, id_col, reference=reference, method="minhash",
+                num_hashes=index.num_hashes, bands=index.bands,
+                shingle_size=index.shingle_size, threshold=threshold,
+                mode="filter", index=index,
+            )
+    elif reference is not None:
+        def clean(b: DataFrame) -> DataFrame:
+            return dedup_against(
+                b, text, id_col, reference, method=method,
+                num_hashes=num_hashes, bands=bands,
+                shingle_size=shingle_size, threshold=threshold,
+                mode="filter",
+            )
+    else:
+        raise ParameterException(
+            "stream_dedup_against needs a reference frame or a prebuilt "
+            "MinHashIndex/BloomIndex"
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        out = clean(batch_df)
+        if sink_table is not None:
+            out.write.mode("append").saveAsTable(sink_table)
+        else:
+            out.write.mode("append").parquet(sink_path)
+
+    return (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_stream_to_table(df: DataFrame, table: str, checkpoint: str, mode: str = "append"):
     """foreachBatch sink into a catalog table — the battle-tested pattern for
     arbitrary sinks with exactly-once per-batch semantics."""

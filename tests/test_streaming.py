@@ -446,3 +446,90 @@ def test_random_projection_on_stream_requires_in_dim(spark, tmp_path_factory):
            random_projection(spark.read.parquet(out), "embedding",
                              out_dim=4, in_dim=64).select("vec_id", "PROJ").collect()}
     assert got == exp and len(got) == 20
+
+
+def test_stream_dedup_against_minhash_index(spark, tmp_path_factory):
+    """Streaming crawl-ingest: micro-batches dedup against a prebuilt
+    MinHashIndex; only novel docs reach the sink, across batches."""
+    from rasgoql_spark.functions.dedup import minhash_index
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sda")
+    ref_texts = [
+        "the accepted corpus document about spark partitioning strategies",
+        "another accepted page describing broadcast joins in great detail",
+        "a third well known boilerplate subscribe to our newsletter page",
+    ]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string")
+    idx = minhash_index(ref, "text", "doc_id")
+    try:
+        # two input files -> two micro-batches (maxFilesPerTrigger=1)
+        b1 = [(100, ref_texts[0] + " tail"), (101, "a genuinely novel document one")]
+        b2 = [(200, ref_texts[2]), (201, "another genuinely novel document two")]
+        src = str(tmp / "in")
+        spark.createDataFrame(b1, "doc_id long, text string").coalesce(1) \
+            .write.mode("append").parquet(src)
+        spark.createDataFrame(b2, "doc_id long, text string").coalesce(1) \
+            .write.mode("append").parquet(src)
+        sdf = (spark.readStream.schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        sink = str(tmp / "out")
+        q = stream_dedup_against(
+            sdf, "text", "doc_id", checkpoint=str(tmp / "ckpt"),
+            sink_path=sink, index=idx, threshold=0.3)
+        q.awaitTermination(180)
+        kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+        assert kept == {101, 201}
+    finally:
+        idx.release()
+
+
+def test_stream_dedup_against_bloom_index(spark, tmp_path_factory):
+    from rasgoql_spark.functions.bloom import bloom_index
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdab")
+    ref = spark.createDataFrame(
+        [(0, "exact boilerplate page content"), (1, "second accepted page")],
+        "doc_id long, text string")
+    idx = bloom_index(ref, "text")
+    try:
+        src = str(tmp / "in")
+        spark.createDataFrame(
+            [(10, "exact boilerplate page content"), (11, "fresh content here")],
+            "doc_id long, text string").coalesce(1).write.parquet(src)
+        sdf = (spark.readStream.schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        sink = str(tmp / "out")
+        q = stream_dedup_against(
+            sdf, "text", "doc_id", checkpoint=str(tmp / "ckpt"),
+            sink_path=sink, index=idx)
+        q.awaitTermination(180)
+        kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+        assert kept == {11}
+    finally:
+        idx.release()
+
+
+def test_stream_dedup_against_validation(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdav")
+    batch = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ParameterException):
+        stream_dedup_against(batch, "text", "doc_id",
+                             checkpoint=str(tmp / "c"), sink_path=str(tmp / "o"),
+                             reference=batch)
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with _pytest.raises(ParameterException):
+        stream_dedup_against(sdf, "text", "doc_id", checkpoint=str(tmp / "c"),
+                             sink_path=str(tmp / "o"))  # no reference/index
+    with _pytest.raises(ParameterException):
+        stream_dedup_against(sdf, "text", "doc_id", checkpoint=str(tmp / "c"),
+                             reference=batch)  # no sink
