@@ -32,8 +32,10 @@ from .registry import spark_transform, renderer, list_transforms, get_transform
 from .session import RasgoSession, connect, default_spark
 
 # reusable index artifacts (build once, dedup/search many batches)
-from .functions.bloom import BloomIndex, bloom_index, load_bloom_index, save_bloom_index
-from .functions.dedup import MinHashIndex, load_minhash_index, minhash_index, save_minhash_index
+from .functions.bloom import (BloomIndex, bloom_index, load_bloom_index,
+                              save_bloom_index, update_bloom_index)
+from .functions.dedup import (MinHashIndex, load_minhash_index, minhash_index,
+                              save_minhash_index, update_minhash_index)
 from .functions.similarity import IVFIndex, ivf_index
 from .streaming.ops import stream_dedup_against
 
@@ -61,6 +63,8 @@ __all__ = [
     "load_bloom_index",
     "MinHashIndex",
     "stream_dedup_against",
+    "update_minhash_index",
+    "update_bloom_index",
     "minhash_index",
     "save_minhash_index",
     "load_minhash_index",

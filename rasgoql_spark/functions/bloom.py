@@ -218,6 +218,36 @@ def bloom_index(
     return BloomIndex(bits, fps, bits_log2, num_hashes)
 
 
+def update_bloom_index(
+    index: BloomIndex,
+    new_docs: DataFrame,
+    text: str,
+) -> BloomIndex:
+    """Fold newly-accepted documents into an existing :class:`BloomIndex`
+    (the exact-membership counterpart of ``update_minhash_index``): only
+    the new docs are fingerprinted; bits and fps union with the existing
+    frames. Results are EXACTLY those of a full rebuild — Bloom bits and
+    distinct fingerprints are both set-unions. Returns a NEW index; the
+    old one remains usable."""
+    rt = resolve_col(new_docs, text)
+    m = 1 << index.bits_log2
+    new_fps = new_docs.select(_norm_fp(F.col(rt)).alias("__fp")).dropDuplicates()
+    fps = index.fps.unionByName(new_fps).dropDuplicates().persist()
+    bits = (
+        index.bits.unionByName(
+            new_fps.select(
+                F.explode(
+                    _bit_positions(F.col("__fp"), index.num_hashes, m)
+                ).alias("BIT")
+            )
+        )
+        .dropDuplicates(["BIT"])
+        .persist()
+    )
+    bits.count()  # materializes fps too
+    return BloomIndex(bits, fps, index.bits_log2, index.num_hashes)
+
+
 def save_bloom_index(index: BloomIndex, path: str) -> str:
     """Persist a :class:`BloomIndex` as parquet (``{path}/bits``,
     ``{path}/fps``) plus a one-row params table — the cross-JOB form of the

@@ -1223,6 +1223,55 @@ def _r_source_overlap(source, text, group_col, min_shared=1, round_to=6) -> str:
     )
 
 
+def update_minhash_index(
+    index: MinHashIndex,
+    new_docs: DataFrame,
+    text: str,
+    id_col: str,
+) -> MinHashIndex:
+    """Fold a batch of newly-ACCEPTED documents into an existing
+    :class:`MinHashIndex` without rebuilding the reference side — the
+    corpus-refresh step of the incremental dedup loop (clean a crawl batch
+    with ``dedup_against``/``stream_dedup_against``, accept the survivors,
+    fold them in here so the NEXT batch dedups against them too).
+
+    Only the new documents pay the signature/collapse/banding pipeline;
+    the existing index's frames are reused as-is and the returned index
+    unions them. Exact-duplicate groups that SPAN the old corpus and the
+    new batch stay split into (at most) one rep per increment — the
+    collapse is purely an optimization, so results are identical, with a
+    bounded extra candidate per split group; rebuild with
+    :func:`minhash_index` on the major-refresh cadence to re-collapse.
+    Document ids must stay unique across increments (caller contract).
+    Returns a NEW index; the old one remains usable — ``release()``
+    whichever you keep when done (shared frames tolerate double release).
+    """
+    rt, ri = resolve_col(new_docs, text), resolve_col(new_docs, id_col)
+    gkey = F.md5(F.concat_ws("\x1f", F.array_sort("__sh")))
+    new_sig, _, new_caches = _annotate_groups(
+        minhash_signatures(new_docs, rt, ri, index.num_hashes,
+                           index.shingle_size),
+        gkey, F.size("__sh") > 0, probe_key=F.hash("__mh"),
+    )
+    new_reps = new_sig.filter(F.col("__id") == F.col("__rep"))
+    new_bands = _bands_long(new_reps, index.num_hashes, index.bands).select(
+        F.col("__id").alias("__id_b"), "__band"
+    )
+    sig = index.sig.unionByName(new_sig)
+    reps = index.reps.unionByName(new_reps)
+    bands_long = index.bands_long.unionByName(new_bands).persist()
+    bands_long.count()
+    n_docs = (
+        None if index.n_docs is None else index.n_docs + new_docs.count()
+    )
+    return MinHashIndex(
+        sig, reps, bands_long, index.num_hashes, index.bands,
+        index.shingle_size,
+        tuple(index._caches) + tuple(new_caches) + (bands_long,),
+        n_docs=n_docs,
+    )
+
+
 def save_minhash_index(index: MinHashIndex, path: str) -> str:
     """Persist a :class:`MinHashIndex` as parquet (``{path}/sig``,
     ``{path}/bands``) plus a one-row params table — rebuild the reference

@@ -127,3 +127,34 @@ def test_bloom_index_save_load_roundtrip(spark, tmp_path):
             r["doc_id"] for r in exact.collect())
     finally:
         loaded.release()
+
+
+def test_update_bloom_index_matches_rebuild(spark):
+    """Bloom update is a set-union: updated index must equal a full
+    rebuild exactly (bits, fps, and dedup results)."""
+    from rasgoql_spark.functions.bloom import (
+        bloom_index, dedup_against_bloom, update_bloom_index)
+
+    ref = spark.createDataFrame(
+        [(0, "accepted page one"), (1, "accepted page two")],
+        "doc_id long, text string")
+    newly = spark.createDataFrame(
+        [(10, "newly accepted page three"), (11, "accepted page one")],
+        "doc_id long, text string")
+    full = ref.unionByName(newly)
+    upd = update_bloom_index(bloom_index(ref, "text"), newly, "text")
+    reb = bloom_index(full, "text")
+    try:
+        assert sorted(r["BIT"] for r in upd.bits.collect()) == \
+               sorted(r["BIT"] for r in reb.bits.collect())
+        batch = spark.createDataFrame(
+            [(90, "newly accepted page three"), (91, "novel content")],
+            "doc_id long, text string")
+        k_upd = {r["doc_id"] for r in dedup_against_bloom(
+            batch, "text", "doc_id", index=upd).collect()}
+        k_reb = {r["doc_id"] for r in dedup_against_bloom(
+            batch, "text", "doc_id", index=reb).collect()}
+        assert k_upd == k_reb == {91}
+    finally:
+        upd.release()
+        reb.release()

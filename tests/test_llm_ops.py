@@ -781,3 +781,53 @@ def test_dedup_against_index_path_ignores_reference_columns(spark):
         assert out.count() >= 1
     finally:
         idx.release()
+
+
+def test_update_minhash_index_matches_rebuild(spark):
+    """Incrementally-updated index must produce the same dedup_against
+    results as a full rebuild over the grown corpus."""
+    from rasgoql_spark.functions.dedup import (
+        dedup_against, minhash_index, update_minhash_index)
+
+    old_texts = [
+        "the first accepted corpus document about spark partitioning",
+        "a second accepted page describing broadcast joins in detail",
+    ]
+    new_texts = [
+        "a freshly accepted page on watermark state in streaming joins",
+        "the first accepted corpus document about spark partitioning",  # dup of old
+    ]
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(old_texts)], "doc_id long, text string")
+    newly = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(new_texts)],
+        "doc_id long, text string")
+    full = ref.unionByName(newly)
+    idx_old = minhash_index(ref, "text", "doc_id")
+    idx_upd = update_minhash_index(idx_old, newly, "text", "doc_id")
+    idx_full = minhash_index(full, "text", "doc_id")
+    try:
+        assert idx_upd.n_docs == 4
+        batch = spark.createDataFrame(
+            [(900, old_texts[0] + " tail"),
+             (901, new_texts[0] + " tail"),
+             (902, "an entirely novel crawl document with no duplicates")],
+            "doc_id long, text string")
+        key = lambda r: (r["ID"], r["REF_ID"], round(r["JACCARD"], 9))
+        p_upd = sorted(map(key, dedup_against(
+            batch, "text", "doc_id", method="minhash", threshold=0.2,
+            mode="pairs", index=idx_upd).collect()))
+        p_full = sorted(map(key, dedup_against(
+            batch, "text", "doc_id", method="minhash", threshold=0.2,
+            mode="pairs", index=idx_full).collect()))
+        assert p_upd == p_full and p_upd
+        f_upd = {r["doc_id"] for r in dedup_against(
+            batch, "text", "doc_id", method="minhash", threshold=0.2,
+            mode="filter", index=idx_upd).collect()}
+        f_full = {r["doc_id"] for r in dedup_against(
+            batch, "text", "doc_id", method="minhash", threshold=0.2,
+            mode="filter", index=idx_full).collect()}
+        assert f_upd == f_full == {902}
+    finally:
+        idx_upd.release()
+        idx_full.release()
