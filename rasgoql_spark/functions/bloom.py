@@ -126,6 +126,17 @@ def dedup_against_bloom(
                 "BloomIndex was built with different bits_log2/num_hashes "
                 "than this call"
             )
+        if reference is not None and index.n_docs is not None:
+            # integrity check tying the index to the corpus it claims to
+            # cover (same contract as dedup_against + MinHashIndex); omit
+            # reference on the index path to skip the count
+            rc = reference.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"BloomIndex was built over {index.n_docs} reference "
+                    f"documents but the passed reference has {rc} — fold "
+                    "the new docs in with update_bloom_index or rebuild"
+                )
         bits, ref_fps = index.bits, index.fps
     else:
         ref_fps = None
@@ -176,14 +187,22 @@ class BloomIndex:
     probe of the cached fingerprint table by bloom positives only.
     ``release()`` unpersists both."""
 
-    def __init__(self, bits: DataFrame, fps: DataFrame, bits_log2: int, num_hashes: int):
+    def __init__(self, bits: DataFrame, fps: DataFrame, bits_log2: int,
+                 num_hashes: int, n_docs: int | None = None, carry=()):
         self.bits = bits
         self.fps = fps
         self.bits_log2 = bits_log2
         self.num_hashes = num_hashes
+        # corpus fingerprint: reference row count at build time (counted
+        # off the SAME cached scan the fps derive from, so it cannot drift
+        # from the indexed rows); None on pre-fingerprint artifacts
+        self.n_docs = n_docs
+        # frames inherited from a source index by update_bloom_index:
+        # releasing the updated index frees the whole increment chain
+        self._carry = tuple(carry)
 
     def release(self) -> None:
-        for frame in (self.bits, self.fps):
+        for frame in (self.bits, self.fps) + self._carry:
             try:
                 frame.unpersist()
             except Exception:
@@ -202,11 +221,11 @@ def bloom_index(
     independent of reference preprocessing."""
     rt = resolve_col(reference, text)
     m = 1 << bits_log2
-    fps = (
-        reference.select(_norm_fp(F.col(rt)).alias("__fp"))
-        .dropDuplicates()
-        .persist()
-    )
+    # one cached fingerprint scan feeds BOTH the row count and the distinct
+    # fps, so n_docs is consistent-by-construction with the indexed rows
+    rows = reference.select(_norm_fp(F.col(rt)).alias("__fp")).persist()
+    n_docs = rows.count()
+    fps = rows.dropDuplicates().persist()
     bits = (
         fps.select(
             F.explode(_bit_positions(F.col("__fp"), num_hashes, m)).alias("BIT")
@@ -215,7 +234,8 @@ def bloom_index(
         .persist()
     )
     bits.count()  # materializes fps too (bits derives from it)
-    return BloomIndex(bits, fps, bits_log2, num_hashes)
+    rows.unpersist()
+    return BloomIndex(bits, fps, bits_log2, num_hashes, n_docs=n_docs)
 
 
 def update_bloom_index(
@@ -231,8 +251,12 @@ def update_bloom_index(
     old one remains usable."""
     rt = resolve_col(new_docs, text)
     m = 1 << index.bits_log2
-    new_fps = new_docs.select(_norm_fp(F.col(rt)).alias("__fp")).dropDuplicates()
+    rows = new_docs.select(_norm_fp(F.col(rt)).alias("__fp")).persist()
+    n_new = rows.count()
+    new_fps = rows.dropDuplicates()
     fps = index.fps.unionByName(new_fps).dropDuplicates().persist()
+    fps.count()  # materialize the union NOW: a later first-compute would
+    # re-read (possibly rewritten) sources in the refresh loop
     bits = (
         index.bits.unionByName(
             new_fps.select(
@@ -244,8 +268,13 @@ def update_bloom_index(
         .dropDuplicates(["BIT"])
         .persist()
     )
-    bits.count()  # materializes fps too
-    return BloomIndex(bits, fps, index.bits_log2, index.num_hashes)
+    bits.count()
+    rows.unpersist()
+    n_docs = None if index.n_docs is None else index.n_docs + n_new
+    return BloomIndex(
+        bits, fps, index.bits_log2, index.num_hashes, n_docs=n_docs,
+        carry=(index.bits, index.fps) + index._carry,
+    )
 
 
 def save_bloom_index(index: BloomIndex, path: str) -> str:
@@ -256,7 +285,9 @@ def save_bloom_index(index: BloomIndex, path: str) -> str:
     index.fps.write.mode("overwrite").parquet(f"{path}/fps")
     spark = index.bits.sparkSession
     spark.createDataFrame(
-        [(index.bits_log2, index.num_hashes)], "bits_log2 int, num_hashes int"
+        [(index.bits_log2, index.num_hashes,
+          -1 if index.n_docs is None else int(index.n_docs))],
+        "bits_log2 int, num_hashes int, n_docs long",
     ).write.mode("overwrite").parquet(f"{path}/params")
     return path
 
@@ -270,4 +301,8 @@ def load_bloom_index(spark, path: str, persist: bool = True) -> BloomIndex:
     if persist:
         bits = bits.persist()
         fps = fps.persist()
-    return BloomIndex(bits, fps, int(row["bits_log2"]), int(row["num_hashes"]))
+    nd = row["n_docs"] if "n_docs" in row.asDict() else None
+    return BloomIndex(
+        bits, fps, int(row["bits_log2"]), int(row["num_hashes"]),
+        n_docs=None if nd is None or int(nd) < 0 else int(nd),
+    )

@@ -1198,7 +1198,9 @@ def minhash_index(
     return MinHashIndex(
         sig, reps, bands_long, num_hashes, bands, shingle_size,
         tuple(caches) + (bands_long,),
-        n_docs=reference.count(),
+        # counted off the cached signature table (one row per input doc),
+        # so the fingerprint cannot drift from the rows actually indexed
+        n_docs=sig.count(),
     )
 
 
@@ -1262,7 +1264,7 @@ def update_minhash_index(
     bands_long = index.bands_long.unionByName(new_bands).persist()
     bands_long.count()
     n_docs = (
-        None if index.n_docs is None else index.n_docs + new_docs.count()
+        None if index.n_docs is None else index.n_docs + new_sig.count()
     )
     return MinHashIndex(
         sig, reps, bands_long, index.num_hashes, index.bands,

@@ -436,7 +436,7 @@ def stream_dedup_against(
     sink_table: str | None = None,
     reference: DataFrame | None = None,
     index=None,
-    method: str = "exact",
+    method: str | None = None,
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
@@ -452,10 +452,17 @@ def stream_dedup_against(
     artifacts, so the per-batch cost is independent of corpus size. This
     runs via ``foreachBatch`` because the banded-LSH / bloom-confirm
     pipelines are multi-stage batch plans a stream-static join cannot
-    express; the checkpointed sink gives exactly-once per micro-batch.
-    Note the sink sees only batch-vs-REFERENCE dedup; chain
-    ``stream_dedup`` upstream for within-stream duplicates, and fold the
-    sink back into the reference on the corpus-refresh cadence.
+    express. Sink semantics under replay: a ``sink_path`` sink writes each
+    micro-batch to ``{sink_path}/batch=<id>/`` with overwrite (the
+    ``write_stream_shards`` pattern) — a replayed batch REPLACES its
+    directory, so the path sink is idempotent/exactly-once; a
+    ``sink_table`` sink appends with a ``__batch_id`` column — at-least-
+    once under replay, with the batch id carried so duplicates are
+    reconcilable downstream. Note the sink sees only batch-vs-REFERENCE
+    dedup; chain ``stream_dedup`` upstream for within-stream duplicates,
+    and fold accepted docs back into the index with
+    ``update_minhash_index``/``update_bloom_index`` on the corpus-refresh
+    cadence.
 
     Returns the started ``StreamingQuery`` (``availableNow`` trigger —
     drains all available input then stops, the testable/backfill form;
@@ -471,17 +478,54 @@ def stream_dedup_against(
         )
     if (sink_path is None) == (sink_table is None):
         raise ParameterException("pass exactly one of sink_path / sink_table")
+    if index is not None and not isinstance(index, (MinHashIndex, BloomIndex)):
+        raise ParameterException(
+            f"index must be a MinHashIndex or BloomIndex, got "
+            f"{type(index).__name__}"
+        )
     if isinstance(index, BloomIndex):
+        if method not in (None, "bloom", "exact"):
+            raise ParameterException(
+                f"method={method!r} conflicts with a BloomIndex"
+            )
+        # staleness guard, ONCE before the stream starts (never per batch):
+        # the index is the authority on the index path, so a reference that
+        # doesn't match its build-time row count means a stale artifact
+        if reference is not None and index.n_docs is not None:
+            rc = reference.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"BloomIndex was built over {index.n_docs} reference "
+                    f"documents but the passed reference has {rc} — fold "
+                    "the new docs in with update_bloom_index or rebuild"
+                )
+
         def clean(b: DataFrame) -> DataFrame:
             return dedup_against_bloom(
-                b, text, id_col, reference=reference,
+                b, text, id_col,
                 bits_log2=index.bits_log2, num_hashes=index.num_hashes,
                 index=index,
             )
     elif isinstance(index, MinHashIndex):
+        if method not in (None, "minhash"):
+            raise ParameterException(
+                f"method={method!r} conflicts with a MinHashIndex"
+            )
+        # same one-time integrity check the batch path runs — lifted out of
+        # the per-batch closure so the reference is never re-counted (or
+        # forwarded at all) in the hot streaming loop
+        if reference is not None and index.n_docs is not None:
+            rc = reference.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"MinHashIndex was built over {index.n_docs} reference "
+                    f"documents but the passed reference has {rc} — fold "
+                    "the new docs in with update_minhash_index or rebuild"
+                )
+
         def clean(b: DataFrame) -> DataFrame:
             return dedup_against(
-                b, text, id_col, reference=reference, method="minhash",
+                b, text, id_col, method="minhash",
                 num_hashes=index.num_hashes, bands=index.bands,
                 shingle_size=index.shingle_size, threshold=threshold,
                 mode="filter", index=index,
@@ -489,7 +533,7 @@ def stream_dedup_against(
     elif reference is not None:
         def clean(b: DataFrame) -> DataFrame:
             return dedup_against(
-                b, text, id_col, reference, method=method,
+                b, text, id_col, reference, method=method or "exact",
                 num_hashes=num_hashes, bands=bands,
                 shingle_size=shingle_size, threshold=threshold,
                 mode="filter",
@@ -503,9 +547,13 @@ def stream_dedup_against(
     def _sink(batch_df: DataFrame, batch_id: int):
         out = clean(batch_df)
         if sink_table is not None:
-            out.write.mode("append").saveAsTable(sink_table)
+            out.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).saveAsTable(sink_table)
         else:
-            out.write.mode("append").parquet(sink_path)
+            # overwrite-into-batch-subdir: a replayed micro-batch replaces
+            # its own directory instead of appending duplicates
+            out.write.mode("overwrite").parquet(f"{sink_path}/batch={batch_id}")
 
     return (
         df.writeStream.foreachBatch(_sink)

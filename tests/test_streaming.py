@@ -533,3 +533,62 @@ def test_stream_dedup_against_validation(spark, tmp_path_factory):
     with _pytest.raises(ParameterException):
         stream_dedup_against(sdf, "text", "doc_id", checkpoint=str(tmp / "c"),
                              reference=batch)  # no sink
+
+
+def test_stream_dedup_against_guards(spark, tmp_path_factory):
+    """One-time staleness/type guards: a stale index or a wrong index type
+    is rejected BEFORE the stream starts, never per micro-batch."""
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.bloom import bloom_index
+    from rasgoql_spark.functions.dedup import minhash_index
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdag")
+    ref = spark.createDataFrame(
+        [(0, "accepted page one"), (1, "accepted page two")],
+        "doc_id long, text string")
+    src = str(tmp / "in")
+    ref.write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    mh = minhash_index(ref, "text", "doc_id")
+    bl = bloom_index(ref, "text")
+    try:
+        assert bl.n_docs == 2
+        stale = ref.limit(1)
+        kw = dict(checkpoint=str(tmp / "c"), sink_path=str(tmp / "o"))
+        with _pytest.raises(ParameterException):
+            stream_dedup_against(sdf, "text", "doc_id", reference=stale,
+                                 index=mh, **kw)
+        with _pytest.raises(ParameterException):
+            stream_dedup_against(sdf, "text", "doc_id", reference=stale,
+                                 index=bl, **kw)
+        with _pytest.raises(ParameterException):
+            stream_dedup_against(sdf, "text", "doc_id", index=object(), **kw)
+        with _pytest.raises(ParameterException):
+            stream_dedup_against(sdf, "text", "doc_id", index=mh,
+                                 method="exact", **kw)
+        with _pytest.raises(ParameterException):
+            stream_dedup_against(sdf, "text", "doc_id", index=bl,
+                                 method="minhash", **kw)
+    finally:
+        mh.release()
+        bl.release()
+
+
+def test_update_bloom_index_release_frees_increment_chain(spark):
+    """Releasing only the UPDATED bloom index must unpersist the source
+    index's frames too (the natural keep-the-new loop must not leak)."""
+    from rasgoql_spark.functions.bloom import bloom_index, update_bloom_index
+
+    ref = spark.createDataFrame([(0, "page a")], "doc_id long, text string")
+    newly = spark.createDataFrame([(1, "page b")], "doc_id long, text string")
+    old = bloom_index(ref, "text")
+    upd = update_bloom_index(old, newly, "text")
+    assert upd.n_docs == 2
+    assert old.bits.storageLevel.useMemory  # still cached pre-release
+    upd.release()
+    assert not old.bits.storageLevel.useMemory
+    assert not old.fps.storageLevel.useMemory
+    assert not upd.bits.storageLevel.useMemory
