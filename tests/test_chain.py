@@ -349,3 +349,23 @@ def test_query_dict_response(session):
     assert session.query("SELECT 1 AS x", response="TUPLE") == [(1,)]
     with _pytest.raises(ParameterException):
         session.query("SELECT 1 AS x", response="frame")
+
+
+def test_chain_keeps_scoped_caches_alive(session):
+    """Regression (round-5): a further chain step must NOT drop the only
+    reference to the previous step's result — release_with ties cache
+    unpersist to GC of that object, and losing it unpersisted the caches
+    before the action ran (plans recomputed expensive subtrees silently).
+    With the upstream link in place, the chained plan still reads the
+    scoped caches."""
+    import gc
+
+    chain = (session.dataset("embeddings")
+             .semantic_dedup(vec_col="embedding", id_col="vec_id", k=2,
+                             threshold=0.33)
+             .drop_columns(include_cols=["vec_id", "CLUSTER_ID"]))
+    gc.collect()  # would fire the finalizers if the upstream ref were lost
+    assert getattr(chain.df, "_rql_upstream", None) is not None
+    plan = chain.df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    assert chain.df.count() > 0
