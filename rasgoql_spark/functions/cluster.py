@@ -271,14 +271,28 @@ def _semantic_candidates(
     # (on the skip path) both sides of the rep pair join; the pre-count
     # doubles as its materialization
     keyed = withu.withColumn("__gk", gk).persist()
-    # dedup_minhash-style guard: a slim max-group pre-count skips the
-    # corpus-wide collapse window entirely on duplicate-free corpora (the
-    # common case) — the pair join handles small duplicate groups exactly,
-    # so both paths are result-preserving
-    max_group = (
-        keyed.groupBy("__gk").count().agg(F.max("count")).first()[0] or 0
+    # Collapse guard (one slim pre-count pass; both paths are result-
+    # preserving). Unlike dedup_minhash's band join — where a small group
+    # adds at most C(group,2) pairs — semantic_dedup's pairs form within
+    # whole CLUSTERS, so duplicate MASS matters even when every group is
+    # small: a corpus that is 90% ten-copy groups grows the pair join
+    # ~100x if left uncollapsed. Skip the window only when the largest
+    # group is small AND duplicates are a trivial fraction of the corpus.
+    row = (
+        keyed.groupBy("__gk")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.max("__c").alias("mx"),
+            F.count(F.lit(1)).alias("groups"),
+            F.sum("__c").alias("rows"),
+        )
+        .first()
     )
-    if max_group <= SEM_COLLAPSE_MIN_GROUP:
+    max_group = row["mx"] or 0
+    dup_rows = (row["rows"] or 0) - (row["groups"] or 0)
+    if max_group <= SEM_COLLAPSE_MIN_GROUP and (
+        dup_rows <= max(SEM_COLLAPSE_MIN_GROUP, 0.02 * (row["rows"] or 0))
+    ):
         reps = keyed.select("__id", "CLUSTER_ID", "__u")
         member_drops = withu.select("__id").limit(0)
         caches: tuple = (keyed,)

@@ -225,3 +225,29 @@ def test_semantic_dedup_null_elements_never_collapse(spark):
         df2, "embedding", "vec_id", k=1, threshold=0.9)
         .select("vec_id").collect()}
     assert {1, 2} <= kept2
+
+
+def test_semantic_dedup_collapses_on_dup_mass_not_just_max_group(spark):
+    """Many SMALL duplicate groups must still engage the collapse: unlike a
+    band join, semantic pairs form within whole clusters, so 90% duplicate
+    mass explodes the pair join even when every group is tiny."""
+    import numpy as np
+
+    from rasgoql_spark.functions.cluster import (
+        _semantic_candidates, _unit_rounded)
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    for g in range(200):          # 200 groups of 10 copies: max group 10
+        v = [float(x) for x in rng.normal(size=8)]
+        for _ in range(10):
+            rows.append((vid, v)); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    withu = _unit_rounded(
+        df.selectExpr("vec_id AS __id", "CAST(0 AS INT) AS CLUSTER_ID",
+                      "embedding AS __vec"), "__vec")
+    reps, pairs, member_drops, _c = _semantic_candidates(withu, 0.9, 6, None)
+    assert reps.count() == 200            # collapse engaged
+    assert pairs.count() == 200 * 199 // 2  # reps only, not 2000 rows
+    assert member_drops.count() == 200 * 9
