@@ -19,9 +19,14 @@ the DuckDB oracle does.
 normalize row-locally; the k centroids are a bounded driver collect
 (k·dim doubles) re-embedded as literals, so every assignment pass is a
 shuffle-free projection — the corpus never joins or explodes for
-assignment. Only the Lloyd re-average shuffles, and it ships slim
-(cid, pos, value) triples with partial combine. Python never touches
-row data.
+assignment. Above ``similarity.IVF_LITERAL_CENTROID_MAX`` (256) centroids
+the literal expression tree would grow linearly with k (semantic_dedup's
+``k="auto"`` mandates k ≈ n/5000 — k≈200,000 at 1B docs), so the shared
+``_attach_centroids`` helper ships the centroid array as a ONE-ROW
+broadcast instead: the corpus still never shuffles (broadcast nested-loop
+against a single row) and plan size stays O(1) in k. Only the Lloyd
+re-average shuffles, and it ships slim (cid, pos, value) triples with
+partial combine. Python never touches row data.
 
 No counterpart in the reference; cites the public algorithm only.
 """
@@ -35,6 +40,7 @@ from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import spark_transform
 from ._cache import release_with
+from .similarity import _attach_centroids
 
 CENT_ROUND = 9  # decimals kept on centroid components (both engines)
 # skip semantic_dedup's exact-dup collapse when the largest identical-vector
@@ -81,14 +87,17 @@ def _cent_literals(cents: list) -> Column:
     )
 
 
-def _assign_expr(cents: list, round_to: int, u_col: str = "__u") -> Column:
+def _assign_expr(cents, round_to: int, u_col: str = "__u") -> Column:
     """CLUSTER_ID of the max-cosine centroid over ROUNDED sims; ties ->
-    lowest cid (max over struct(sim, -cid))."""
+    lowest cid (max over struct(sim, -cid)). ``cents`` is either the Python
+    centroid list (embedded as literals) or a Column already holding the
+    array<struct<c, v>> (the >256-centroid one-row broadcast from
+    ``_attach_centroids`` — identical rounded values, identical result)."""
     dot = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     sims = F.transform(
-        _cent_literals(cents),
+        cents if isinstance(cents, Column) else _cent_literals(cents),
         lambda ce: F.struct(
             F.round(dot(F.col(u_col), ce["v"]), round_to).alias("s"),
             (-ce["c"]).alias("nc"),
@@ -126,7 +135,8 @@ def kmeans_cluster(
     seeds = cached.orderBy("__id").limit(k).select("__u").collect()
     cents = [(j, [round(float(x), CENT_ROUND) for x in r["__u"]]) for j, r in enumerate(seeds)]
     for _ in range(iterations):
-        assigned = cached.withColumn("__cid", _assign_expr(cents, round_to))
+        abase, carr, _adrop = _attach_centroids(cached, cents)
+        assigned = abase.withColumn("__cid", _assign_expr(carr, round_to))
         rows = (
             assigned.select("__cid", F.posexplode("__u").alias("__pos", "__v"))
             .groupBy("__cid", "__pos")
@@ -140,7 +150,8 @@ def kmeans_cluster(
             (cid, _renorm_py([acc[cid][p] for p in range(len(acc[cid]))]) if cid in acc else old)
             for cid, old in cents
         ]
-    out_assign = cached.withColumn("CLUSTER_ID", _assign_expr(cents, round_to)).select(
+    fbase, fcarr, _fdrop = _attach_centroids(cached, cents)
+    out_assign = fbase.withColumn("CLUSTER_ID", _assign_expr(fcarr, round_to)).select(
         F.col("__id").alias(i), "CLUSTER_ID"
     )
     return release_with(df.join(out_assign, on=i, how="inner"), cached)

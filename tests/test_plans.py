@@ -269,6 +269,48 @@ def test_ivf_large_k_broadcast_fallback(session, monkeypatch):
     assert got == {(r["QUERY_ID"], r["RANK"], r["MATCH_ID"]) for r in ref.collect()}
 
 
+def test_kmeans_large_k_broadcast_fallback(session, monkeypatch):
+    """kmeans_cluster (and therefore semantic_dedup's k='auto') must switch
+    from k·dim centroid literals to the one-row broadcast above
+    IVF_LITERAL_CENTROID_MAX — k grows with the corpus (n/5000), so the
+    literal plan is a driver/analyzer blow-up at real scale. Assignments
+    must be byte-identical on both paths (same rounded centroid values)."""
+    import rasgoql_spark.functions.similarity as sim
+
+    emb = session.dataset("embeddings").df
+    lit = rql.get_transform("kmeans_cluster").apply(
+        emb, vec_col="embedding", id_col="vec_id", k=8, iterations=1)
+    lit_assign = {(r["vec_id"], r["CLUSTER_ID"]) for r in lit.collect()}
+
+    monkeypatch.setattr(sim, "IVF_LITERAL_CENTROID_MAX", 2)
+    bc = rql.get_transform("kmeans_cluster").apply(
+        emb, vec_col="embedding", id_col="vec_id", k=8, iterations=1)
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # one-row centroid broadcast
+    assert {(r["vec_id"], r["CLUSTER_ID"]) for r in bc.collect()} == lit_assign
+
+    # semantic_dedup rides the same assignment path: identical survivor set
+    bc_dedup = rql.get_transform("semantic_dedup").apply(
+        emb, vec_col="embedding", id_col="vec_id", k=8, threshold=0.9)
+    got = {r["vec_id"] for r in bc_dedup.select("vec_id").collect()}
+    monkeypatch.setattr(sim, "IVF_LITERAL_CENTROID_MAX", 256)
+    ref_dedup = rql.get_transform("semantic_dedup").apply(
+        emb, vec_col="embedding", id_col="vec_id", k=8, threshold=0.9)
+    assert got == {r["vec_id"] for r in ref_dedup.select("vec_id").collect()}
+
+
+def test_kmeans_actual_large_k_plan_bounded(session):
+    """k > 256 without monkeypatching: the analyzed plan must stay O(1) in
+    k (no 300-struct literal array) and the job must complete."""
+    emb = session.dataset("embeddings").df.limit(400)
+    out = rql.get_transform("kmeans_cluster").apply(
+        emb, vec_col="embedding", id_col="vec_id", k=300, iterations=0)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # literal path would embed one struct(c, v) per centroid -> ~300 hits
+    assert analyzed.count("named_struct") < 50, analyzed.count("named_struct")
+    assert out.select("CLUSTER_ID").distinct().count() > 256
+
+
 def test_lsh_band_join_runs_over_reps(session, monkeypatch):
     """When the collapse fires (hot dup groups), the minhash band self-join
     input must be the rep-filtered signature table: the plan carries the
