@@ -1124,12 +1124,20 @@ def _r_pseudonymize(source, columns, salt, length=16, _input_columns=()) -> str:
     from ..operators._util import as_list as _as_list
 
     targets = set(_as_list(columns))
-    # the salt lands inside a SQL string literal: escape backslashes and
-    # single quotes so a salt like "o'brien" can't break (or inject into)
-    # the rendered query text
-    salt = str(salt).replace("\\", "\\\\").replace("'", "''")
+    # the salt lands inside a SQL string literal. Quote doubling ('') is
+    # dialect-portable; backslash doubling is NOT (Spark's default parser
+    # eats one backslash, ANSI-literal engines like DuckDB keep both — the
+    # exported artifact would hash with a different salt). So no raw
+    # backslash ever enters the literal: split on them and splice chr(92)
+    # between the quoted segments, which every target dialect reads the
+    # same way.
+    segs = [p.replace("'", "''") for p in str(salt).split("\\")]
+    if len(segs) == 1:
+        salt_expr = f"'{segs[0]}'"
+    else:
+        salt_expr = "concat(" + ", chr(92), ".join(f"'{p}'" for p in segs) + ")"
     sel = ", ".join(
-        f"substring(sha2(concat('{salt}', ':', CAST({c} AS STRING)), 256), 1, {length}) AS {c}"
+        f"substring(sha2(concat({salt_expr}, ':', CAST({c} AS STRING)), 256), 1, {length}) AS {c}"
         if c in targets else c
         for c in _input_columns
     )

@@ -766,10 +766,13 @@ def dedup_against(
         rt = resolve_col(reference, ref_text or text)
         ri = resolve_col(reference, ref_id or id_col)
     if method == "exact":
-        if reference is None:
+        if reference is None or index is not None:
+            # fail fast on both mismatches: an index can't serve the exact
+            # path, and passing one alongside a reference would otherwise
+            # leave rt/ri unresolved (the index path above skips them)
             raise ParameterException(
-                "method='exact' requires a reference frame (MinHashIndex "
-                "only serves method='minhash')"
+                "method='exact' requires a reference frame and no index "
+                "(MinHashIndex only serves method='minhash')"
             )
         def fp(c):
             return F.md5(

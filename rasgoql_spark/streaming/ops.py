@@ -531,13 +531,26 @@ def stream_dedup_against(
                 mode="filter", index=index,
             )
     elif reference is not None:
-        def clean(b: DataFrame) -> DataFrame:
-            return dedup_against(
-                b, text, id_col, reference, method=method or "exact",
-                num_hashes=num_hashes, bands=bands,
-                shingle_size=shingle_size, threshold=threshold,
-                mode="filter",
+        # fail fast BEFORE .start(): an invalid method would otherwise only
+        # surface per-batch inside foreachBatch as a wrapped
+        # StreamingQueryException after the stream is already running
+        if method not in (None, "exact", "minhash", "bloom"):
+            raise ParameterException(
+                f"method must be 'exact', 'minhash' or 'bloom', got {method!r}"
             )
+        if method == "bloom":
+            # bloom defaults, not the minhash num_hashes param — the bloom
+            # stage is a prefilter whose output equals the exact path anyway
+            def clean(b: DataFrame) -> DataFrame:
+                return dedup_against_bloom(b, text, id_col, reference)
+        else:
+            def clean(b: DataFrame) -> DataFrame:
+                return dedup_against(
+                    b, text, id_col, reference, method=method or "exact",
+                    num_hashes=num_hashes, bands=bands,
+                    shingle_size=shingle_size, threshold=threshold,
+                    mode="filter",
+                )
     else:
         raise ParameterException(
             "stream_dedup_against needs a reference frame or a prebuilt "

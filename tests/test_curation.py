@@ -381,3 +381,23 @@ def test_pseudonymize_render_escapes_salt(session, spark):
         .collect()
     }
     assert via_sql == via_df and via_df
+    # cross-dialect: an ANSI-literal engine (DuckDB keeps '\' as-is; Spark's
+    # default parser eats one) must compute the SAME pseudonyms from the
+    # rendered artifact — the renderer may not rely on backslash doubling.
+    # (sha2(x,256) -> sha256(x) is a function-NAME translation, not a
+    # literal-semantics one.)
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{session.data_dir}/documents.parquet')"
+    )
+    duck_sql = sql.replace("sha2(", "sha256(").replace("), 256)", "))")
+    via_duck = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT doc_id, source FROM ({duck_sql})"
+        ).fetchall()
+    }
+    assert via_duck == via_df

@@ -305,6 +305,21 @@ def test_dedup_against_exact(spark, docs):
         method="exact", mode="pairs").collect()
     assert {(r["ID"], r["REF_ID"]) for r in pairs} == {(1, 101), (5, 101)}
     assert all(r["JACCARD"] == 1.0 for r in pairs)
+    # exact + an index is a typed fail-fast (the index only serves minhash);
+    # previously this path hit a NameError on the unresolved ref columns
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.dedup import minhash_index
+
+    idx = minhash_index(ref, "text", "doc_id")
+    try:
+        with _pytest.raises(ParameterException):
+            rql.get_transform("dedup_against").apply(
+                docs, text="text", id_col="doc_id", reference=ref,
+                method="exact", index=idx)
+    finally:
+        idx.release()
 
 
 def test_dedup_against_minhash_cross_corpus(spark, docs):

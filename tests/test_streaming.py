@@ -533,6 +533,36 @@ def test_stream_dedup_against_validation(spark, tmp_path_factory):
     with _pytest.raises(ParameterException):
         stream_dedup_against(sdf, "text", "doc_id", checkpoint=str(tmp / "c"),
                              reference=batch)  # no sink
+    # invalid method on the plain-reference path must fail BEFORE .start(),
+    # not per-batch inside foreachBatch
+    with _pytest.raises(ParameterException):
+        stream_dedup_against(sdf, "text", "doc_id", checkpoint=str(tmp / "c"),
+                             sink_path=str(tmp / "o"), reference=batch,
+                             method="simhash")
+
+
+def test_stream_dedup_against_bloom_method_reference(spark, tmp_path_factory):
+    """method='bloom' with a plain reference frame maps to
+    dedup_against_bloom (bloom prefilter + exact confirm) — output equals
+    the exact path."""
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdab")
+    ref = spark.createDataFrame(
+        [(0, "accepted page one"), (1, "accepted page two")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "accepted page one"), (11, "a genuinely novel document")],
+        "doc_id long, text string")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_dedup_against(
+        sdf, "text", "doc_id", checkpoint=str(tmp / "c"),
+        sink_path=str(tmp / "out"), reference=ref, method="bloom")
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp / "out")).collect()
+    assert {r["doc_id"] for r in got} == {11}
 
 
 def test_stream_dedup_against_guards(spark, tmp_path_factory):
