@@ -456,10 +456,10 @@ def stream_dedup_against(
     micro-batch to ``{sink_path}/batch=<id>/`` with overwrite (the
     ``write_stream_shards`` pattern) — a replayed batch REPLACES its
     directory, so the path sink is idempotent/exactly-once; a
-    ``sink_table`` sink appends with a ``__batch_id`` column — at-least-
-    once under replay, with the batch id carried so duplicates are
-    reconcilable downstream. Note the sink sees only batch-vs-REFERENCE
-    dedup; chain ``stream_dedup`` upstream for within-stream duplicates,
+    ``sink_table`` sink is partitioned by ``__batch_id`` and each
+    micro-batch dynamic-overwrites ONLY its own partition, so a replayed
+    batch replaces its rows — both sinks are exactly-once under replay.
+    Note the sink sees only batch-vs-REFERENCE dedup; chain ``stream_dedup`` upstream for within-stream duplicates,
     and fold accepted docs back into the index with
     ``update_minhash_index``/``update_bloom_index`` on the corpus-refresh
     cadence.
@@ -557,12 +557,45 @@ def stream_dedup_against(
             "MinHashIndex/BloomIndex"
         )
 
+    # foreachBatch hands the closure a CLONED session; catalog refreshes on
+    # it don't invalidate the caller's cached file listings, so keep the
+    # user's session for the post-overwrite refresh
+    user_spark = df.sparkSession
+
     def _sink(batch_df: DataFrame, batch_id: int):
         out = clean(batch_df)
         if sink_table is not None:
-            out.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).saveAsTable(sink_table)
+            # exactly-once under replay: the table is partitioned by
+            # __batch_id and each micro-batch DYNAMIC-overwrites only its
+            # own partition — a replayed batch replaces its rows instead of
+            # appending duplicates (the table analog of the path sink's
+            # overwrite-into-batch-subdir)
+            tagged = out.withColumn("__batch_id", F.lit(batch_id))
+            bspark = tagged.sparkSession
+            if bspark.catalog.tableExists(sink_table):
+                # session conf, not the per-writer option — insertInto
+                # ignores the writer-level partitionOverwriteMode (verified
+                # on 4.1: writer option wipes the whole table); restore the
+                # previous value after the write
+                key = "spark.sql.sources.partitionOverwriteMode"
+                prev = bspark.conf.get(key, None)
+                bspark.conf.set(key, "dynamic")
+                try:
+                    tagged.write.mode("overwrite").insertInto(sink_table)
+                finally:
+                    if prev is None:
+                        bspark.conf.unset(key)
+                    else:
+                        bspark.conf.set(key, prev)
+                # the overwrite replaced files under the partition dir;
+                # drop the cached file listing (in the caller's session —
+                # the batch session is a clone whose refresh wouldn't reach
+                # it) so readers don't hit FILE_NOT_EXIST on stale paths
+                user_spark.catalog.refreshTable(sink_table)
+            else:
+                tagged.write.mode("overwrite").partitionBy(
+                    "__batch_id"
+                ).saveAsTable(sink_table)
         else:
             # overwrite-into-batch-subdir: a replayed micro-batch replaces
             # its own directory instead of appending duplicates

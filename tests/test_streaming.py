@@ -565,6 +565,54 @@ def test_stream_dedup_against_bloom_method_reference(spark, tmp_path_factory):
     assert {r["doc_id"] for r in got} == {11}
 
 
+def test_stream_dedup_against_table_sink_exactly_once(spark, tmp_path_factory):
+    """A replayed micro-batch must REPLACE its rows in the table sink, not
+    append duplicates: the sink table is partitioned by __batch_id and each
+    batch dynamic-overwrites only its own partition. Replay is simulated by
+    re-running the drained source under a FRESH checkpoint (same input, same
+    batch id 0) against the same table."""
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdatx")
+    ref = spark.createDataFrame(
+        [(0, "accepted page one")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "accepted page one"), (11, "a novel document")],
+        "doc_id long, text string")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    table = "sdat_exactly_once_sink"
+    mk = lambda: spark.readStream.schema(  # noqa: E731
+        "doc_id long, text string").parquet(src)
+    try:
+        q = stream_dedup_against(
+            mk(), "text", "doc_id", checkpoint=str(tmp / "c1"),
+            sink_table=table, reference=ref)
+        q.awaitTermination(120)
+        assert [r["doc_id"] for r in spark.table(table).collect()] == [11]
+        # replay: fresh checkpoint reprocesses the same input as batch 0
+        q2 = stream_dedup_against(
+            mk(), "text", "doc_id", checkpoint=str(tmp / "c2"),
+            sink_table=table, reference=ref)
+        q2.awaitTermination(120)
+        rows = spark.table(table).collect()
+        assert [r["doc_id"] for r in rows] == [11], rows  # no duplicate
+        # a genuinely NEW batch under the live checkpoint lands in its own
+        # partition without clobbering batch 0
+        spark.createDataFrame(
+            [(12, "another novel document")], "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        q3 = stream_dedup_against(
+            mk(), "text", "doc_id", checkpoint=str(tmp / "c2"),
+            sink_table=table, reference=ref)
+        q3.awaitTermination(120)
+        got = spark.table(table).collect()
+        assert sorted(r["doc_id"] for r in got) == [11, 12]
+        assert len({r["__batch_id"] for r in got}) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_stream_dedup_against_guards(spark, tmp_path_factory):
     """One-time staleness/type guards: a stale index or a wrong index type
     is rejected BEFORE the stream starts, never per micro-batch."""
