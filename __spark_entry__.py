@@ -3681,81 +3681,31 @@ ranked AS (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING NOTE (round 5): the driver hash-checks only the FIRST 50
+    # ORDERING NOTE (round 6): the driver hash-checks only the FIRST 50
     # entries each round. Rotation policy: entries whose IMPLEMENTATION
     # changed this round first, then the entries whose last DRIVER
-    # verification is oldest. Round 5 changed 8 queryable implementations
-    # (semantic_dedup collapse/guards, fuzzy_join blocking, pagerank
-    # iteration caching, diff_datasets row-hash, dedup_against index path
-    # x2, pseudonymize renderer escaping, frame_sample_gif corrupt-stream
-    # handling) — all 8 lead the gate, followed by 42 of the 48 entries
-    # last driver-verified in round 1. The 6 displaced r1 entries sit
-    # immediately after the fold, then remaining entries by ascending
-    # last-verified round (r2, r3, r4). Round 6 should front the displaced
-    # r1 entries plus the 33 r2 block. All 173 entries pass
-    # tools/oracle_check.py locally (full run: round 5, 173/173).
+    # verification is oldest. Round 6 changed the kmeans/semantic_dedup
+    # assignment path (broadcast-centroid fallback above 256 centroids)
+    # and dedup_against's exact-branch validation — those 3 lead the gate,
+    # followed by the 6 displaced round-1 window/ordering entries, the full
+    # 33-entry round-2 block, and the 8 oldest round-3 entries. Below the
+    # fold: remaining entries by ascending last-driver-verified round
+    # (rest of r3, then r4, then r5). Round 7 should front the remaining
+    # 32 r3 entries plus the oldest r4 block. All 173 entries pass
+    # tools/oracle_check.py locally.
     return {
-        # --- front-50: implementation changed in round 5 ---
+        # --- front-50: implementation changed in round 6 ---
+        "kmeans_cluster": q_kmeans_cluster,
         "semantic_dedup": q_semantic_dedup,
-        "fuzzy_join": q_fuzzy_join,
-        "pagerank": q_pagerank,
-        "diff_datasets": q_diff_datasets,
         "dedup_against": q_dedup_against,
-        "dedup_against_minhash": q_dedup_against_minhash,
-        "pseudonymize": q_pseudonymize,
-        "frame_sample_gif": q_frame_sample_gif,
         # --- front-50: last driver-verified round 1 (stalest) ---
-        "filter_project": q_filter_project,
-        "aggregate": q_aggregate,
-        "join_agg": q_join_agg,
-        "drop_columns": q_drop_columns,
-        "rename": q_rename,
-        "math": q_math,
-        "cast": q_cast,
-        "concat": q_concat,
-        "if_then": q_if_then,
-        "replace_string": q_replace_string,
-        "uppercase_columns": q_uppercase_columns,
-        "to_date": q_to_date,
-        "dropna": q_dropna,
-        "remove_duplicates": q_remove_duplicates,
-        "remove_outliers": q_remove_outliers,
-        "sample": q_sample,
-        "latest": q_latest,
-        "top": q_top,
-        "join_left_prefix": q_join_left_prefix,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "apply": q_apply,
-        "multi_join": q_multi_join,
-        "theta_join": q_theta_join,
-        "join_salted": q_join_salted,
-        "json_extract": q_json_extract,
-        "dateadd": q_dateadd,
-        "datediff": q_datediff,
-        "datepart": q_datepart,
-        "array_agg": q_array_agg,
-        "explode_array": q_explode_array,
-        "describe": q_describe,
-        "timeseries_agg": q_timeseries_agg,
-        "correlation": q_correlation,
-        "entropy": q_entropy,
-        "ratio_with_shrinkage": q_ratio_with_shrinkage,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "ntile": q_ntile,
-        "lag_lead": q_lag_lead,
-        # ---- fold: entries below reached only if the driver checks >50 ----
-        # --- last driver-verified round 1 (displaced; front these in r6) ---
         "moving_avg": q_moving_avg,
         "rolling_agg": q_rolling_agg,
         "rolling_agg_range": q_rolling_agg_range,
         "cumulative_agg": q_cumulative_agg,
         "order": q_order,
         "rank": q_rank,
-        # --- remaining, ascending last-driver-verified round ---
+        # --- front-50: last driver-verified round 2 ---
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -3789,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "bin": q_bin,
         "levenshtein": q_levenshtein,
+        # --- front-50: oldest last-driver-verified round 3 ---
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -3797,6 +3748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "quality_filter": q_quality_filter,
         "audio_meta": q_audio_meta,
+        # ---- fold: entries below reached only if the driver checks >50 ----
+        # --- remaining, ascending last-driver-verified round ---
         "video_meta": q_video_meta,
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_by_cluster": q_dedup_by_cluster,
@@ -3856,7 +3809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_repeated_spans": q_remove_repeated_spans,
         "dedup_spans": q_dedup_spans,
         "nb_classify": q_nb_classify,
-        "kmeans_cluster": q_kmeans_cluster,
         "minhash_similarity": q_minhash_similarity,
         "embedding_outliers": q_embedding_outliers,
         "pq_encode": q_pq_encode,
@@ -3873,4 +3825,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "json_flatten": q_json_flatten,
         "feature_hash": q_feature_hash,
+        "fuzzy_join": q_fuzzy_join,
+        "pagerank": q_pagerank,
+        "diff_datasets": q_diff_datasets,
+        "dedup_against_minhash": q_dedup_against_minhash,
+        "pseudonymize": q_pseudonymize,
+        "frame_sample_gif": q_frame_sample_gif,
+        "filter_project": q_filter_project,
+        "aggregate": q_aggregate,
+        "join_agg": q_join_agg,
+        "drop_columns": q_drop_columns,
+        "rename": q_rename,
+        "math": q_math,
+        "cast": q_cast,
+        "concat": q_concat,
+        "if_then": q_if_then,
+        "replace_string": q_replace_string,
+        "uppercase_columns": q_uppercase_columns,
+        "to_date": q_to_date,
+        "dropna": q_dropna,
+        "remove_duplicates": q_remove_duplicates,
+        "remove_outliers": q_remove_outliers,
+        "sample": q_sample,
+        "latest": q_latest,
+        "top": q_top,
+        "join_left_prefix": q_join_left_prefix,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "apply": q_apply,
+        "multi_join": q_multi_join,
+        "theta_join": q_theta_join,
+        "join_salted": q_join_salted,
+        "json_extract": q_json_extract,
+        "dateadd": q_dateadd,
+        "datediff": q_datediff,
+        "datepart": q_datepart,
+        "array_agg": q_array_agg,
+        "explode_array": q_explode_array,
+        "describe": q_describe,
+        "timeseries_agg": q_timeseries_agg,
+        "correlation": q_correlation,
+        "entropy": q_entropy,
+        "ratio_with_shrinkage": q_ratio_with_shrinkage,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "ntile": q_ntile,
+        "lag_lead": q_lag_lead,
     }

@@ -95,8 +95,16 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # SPARK_GRAFT_BENCH_ONLY="b1_filter_project,b2_aggregate" runs a subset
+    # (A/B experiments — e.g. re-running the r4 query set under r5+ code to
+    # separate machine load from harness interactions); default = full set
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    queries = BENCH_QUERIES
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        queries = {n: f for n, f in BENCH_QUERIES.items() if n in keep}
     results: dict[str, float] = {}
-    for name, fn in BENCH_QUERIES.items():
+    for name, fn in queries.items():
         run_one(fn, spark, sf_dir)  # warm-up
         times = [run_one(fn, spark, sf_dir) for _ in range(3)]
         results[name] = round(statistics.median(times), 3)
