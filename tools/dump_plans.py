@@ -135,7 +135,11 @@ ANNOTATED = [
      "weights as literals; scoring is a whole-stage-codegen projection — "
      "the corpus never shuffles at any phase."),
     ("semantic_dedup (round 5)", "semantic_dedup",
-     "Cluster assignment is a literal-centroid projection (no join); the "
+     "Cluster assignment is a literal-centroid projection (no join) up to "
+     "256 centroids; above that (k='auto' at corpus scale) the centroid "
+     "array ships as a one-row broadcast instead — O(1) plan size in k, "
+     "corpus still shuffle-free (round 6). At this sf the literal path "
+     "shows. The "
      "cosine self-join is an equi-join on CLUSTER_ID, bounding candidate "
      "pairs to within-cluster; the drop set ships as bare ids for one "
      "left-anti join. Round 5: exact-duplicate embeddings collapse to one "
