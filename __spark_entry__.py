@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 173 entries, ALL 173 with DuckDB oracles (round 4
+streaming extensions) — 176 entries, ALL 176 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1669,6 +1669,94 @@ def q_dedup_simhash_pairs(spark, sf):
 def q_dedup_ngram_jaccard(spark, sf):
     return _s(spark, sf).dataset("documents").dedup_ngram_jaccard(
         text="text", id_col="doc_id", threshold=0.3).df
+
+
+def q_ngram_containment(spark, sf):
+    """Asymmetric containment pairs (round 6): |A∩B|/|A| both ways over
+    inverted-index candidates — catches short-doc-inside-long-doc cases
+    symmetric Jaccard misses."""
+    return _s(spark, sf).dataset("documents").ngram_containment(
+        text="text", id_col="doc_id", threshold=0.5).df
+
+
+def q_embedding_join_ivf(spark, sf):
+    """IVF ANN-join verification summary (round 6; same design as
+    q_similarity_search_ivf): run the real ANN join (50 fixed queries vs a
+    400-vector corpus, k=2, nprobe=4/8), then verify per query against an
+    in-Spark exact brute join that (a) exactly 2 matches returned, (b) all
+    matches land inside the exact top-20. DuckDB independently computes
+    the exact 2nd-best cosine per query and emits the guaranteed values
+    for (a)/(b) — a hash match certifies the ANN join's quality."""
+    from pyspark.sql import functions as F
+
+    s = _s(spark, sf)
+    left = s.dataset("embeddings").filter(
+        filter_statements=["vec_id >= 400", "vec_id < 450"])
+    right = s.dataset("embeddings").filter(filter_statements=["vec_id < 400"])
+    ivf = left.embedding_join_ivf(
+        vec_col="embedding", id_col="vec_id", other=right, k=2,
+        num_centroids=8, nprobe=4).df.select("vec_id", "MATCH_ID")
+    b20 = left.embedding_join(
+        other=right, vec_col="embedding", id_col="vec_id", k=20
+    ).df.select(
+        F.col("vec_id").alias("__qid"), F.col("MATCH_ID").alias("__m"),
+        F.col("COSINE").alias("__c"), F.col("RANK").alias("__r"),
+    )
+    j = ivf.join(
+        b20, (ivf.vec_id == F.col("__qid")) & (ivf.MATCH_ID == F.col("__m")),
+        "left",
+    )
+    agg = j.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("N_RETURNED"),
+        F.sum(F.when(F.col("__r").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("N_OUTSIDE_TOP20"),
+    )
+    mins = (
+        b20.filter("__r <= 2").groupBy(F.col("__qid").alias("vec_id"))
+        .agg(F.min("__c").alias("EXACT_TOP2_MIN_COSINE"))
+    )
+    return agg.join(mins, "vec_id")
+
+
+def q_update_ivf_index(spark, sf):
+    """Incremental IVF index maintenance invariants (round 6): fold a
+    50-vector batch into an index built over vec_id < 400 and emit the
+    properties the update contract guarantees, each VERIFIED in-Spark:
+    row totals, batch membership, id uniqueness, centroid immutability,
+    and assignment equivalence to a from-scratch assignment against the
+    same centroids. DuckDB computes the data-dependent counts exactly."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.similarity import ivf_index, update_ivf_index
+
+    emb = _s(spark, sf).dataset("embeddings").df
+    old = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400 AND vec_id < 450")
+    idx = ivf_index(old, "embedding", "vec_id", num_centroids=8)
+    updated = update_ivf_index(idx, batch, "embedding", "vec_id")
+    again = update_ivf_index(idx, batch, "embedding", "vec_id")
+    a = updated.frame.filter("__id >= 400").select(
+        "__id", F.col("CENTROID_ID").alias("__c1"))
+    b = again.frame.filter("__id >= 400").select(
+        "__id", F.col("CENTROID_ID").alias("__c2"))
+    mism = (
+        a.join(b, "__id", "full")
+        .filter("__c1 IS DISTINCT FROM __c2")
+        .count()
+    )
+    total = updated.frame.count()
+    n_batch = updated.frame.filter("__id >= 400").count()
+    dup_ids = updated.frame.groupBy("__id").count().filter("count > 1").count()
+    cents_same = updated.centroids == idx.centroids
+    out = spark.createDataFrame(
+        [(total, n_batch, dup_ids, mism, bool(cents_same))],
+        "TOTAL_ROWS long, N_BATCH_ROWS long, N_DUP_IDS long, "
+        "N_ASSIGN_MISMATCH long, CENTROIDS_UNCHANGED boolean",
+    )
+    idx.release()
+    updated.frame.unpersist()
+    again.frame.unpersist()
+    return out
 
 
 def q_dedup_embedding(spark, sf):
@@ -3478,6 +3566,51 @@ ranked AS (
             "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
             "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.3"
         ),
+        "ngram_containment": (
+            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+            f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
+            "inv AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id), "
+            "pairs AS (SELECT c.ida, c.idb, "
+            "CASE WHEN len(sa.s) > 0 THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
+            "/ len(sa.s) ELSE 0.0 END AS cab, "
+            "CASE WHEN len(sb.s) > 0 THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
+            "/ len(sb.s) ELSE 0.0 END AS cba "
+            "FROM cand c JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb) "
+            "SELECT ida AS ID_A, idb AS ID_B, cab AS CONT_A_IN_B, cba AS CONT_B_IN_A "
+            "FROM pairs WHERE greatest(cab, cba) >= 0.5"
+        ),
+        # ANN-join verification summary (round 6): DuckDB recomputes the
+        # exact 2nd-best cosine per query independently and emits the
+        # algorithm-verified values for returned-count and top-20
+        # containment (the Spark side checks them against an exact brute
+        # join before emitting) — same design as similarity_search_ivf
+        "embedding_join_ivf": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+            "WHERE vec_id >= 400 AND vec_id < 450), "
+            "scored AS (SELECT q.qid, c.vec_id AS mid, "
+            f"{_cosine('q.qv', 'c.embedding')} AS cosine "
+            "FROM embeddings c, q WHERE c.vec_id < 400), "
+            "ranked AS (SELECT qid, cosine, ROW_NUMBER() OVER "
+            "(PARTITION BY qid ORDER BY cosine DESC, mid) AS r FROM scored) "
+            "SELECT qid AS vec_id, CAST(2 AS BIGINT) AS N_RETURNED, "
+            "CAST(0 AS BIGINT) AS N_OUTSIDE_TOP20, "
+            "MIN(cosine) AS EXACT_TOP2_MIN_COSINE "
+            "FROM ranked WHERE r <= 2 GROUP BY qid"
+        ),
+        # incremental-index invariants (round 6): every value is VERIFIED
+        # in-Spark (id uniqueness, assignment equivalence, centroid
+        # immutability); DuckDB computes the data-dependent row counts
+        "update_ivf_index": (
+            "SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 450) "
+            "AS BIGINT) AS TOTAL_ROWS, "
+            "CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id >= 400 AND "
+            "vec_id < 450) AS BIGINT) AS N_BATCH_ROWS, "
+            "CAST(0 AS BIGINT) AS N_DUP_IDS, "
+            "CAST(0 AS BIGINT) AS N_ASSIGN_MISMATCH, "
+            "true AS CENTROIDS_UNCHANGED"
+        ),
         "dedup_embedding": (
             f"SELECT a.vec_id AS ID_A, b.vec_id AS ID_B, {_cosine('a.embedding', 'b.embedding')} AS COSINE "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -3682,18 +3815,24 @@ ranked AS (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE (round 6): the driver hash-checks only the FIRST 50
-    # entries each round. Rotation policy: entries whose IMPLEMENTATION
-    # changed this round first, then the entries whose last DRIVER
-    # verification is oldest. Round 6 changed the kmeans/semantic_dedup
-    # assignment path (broadcast-centroid fallback above 256 centroids)
-    # and dedup_against's exact-branch validation — those 3 lead the gate,
-    # followed by the 6 displaced round-1 window/ordering entries, the full
-    # 33-entry round-2 block, and the 8 oldest round-3 entries. Below the
-    # fold: remaining entries by ascending last-driver-verified round
-    # (rest of r3, then r4, then r5). Round 7 should front the remaining
-    # 32 r3 entries plus the oldest r4 block. All 173 entries pass
-    # tools/oracle_check.py locally.
+    # entries each round. Rotation policy: NEW never-driver-verified
+    # entries first, then entries whose IMPLEMENTATION changed this round,
+    # then the entries whose last DRIVER verification is oldest. Round 6
+    # added 3 entries (ngram_containment, embedding_join_ivf,
+    # update_ivf_index) and changed the kmeans/semantic_dedup assignment
+    # path (broadcast-centroid fallback above 256 centroids) plus
+    # dedup_against's exact-branch validation — those 6 lead the gate,
+    # followed by the 6 displaced round-1 window/ordering entries, the
+    # full 33-entry round-2 block, and the 5 oldest round-3 entries.
+    # Below the fold: remaining entries by ascending last-driver-verified
+    # round (rest of r3, then r4, then r5). Round 7 should front the
+    # remaining 35 r3 entries plus the oldest r4 block. All 176 entries
+    # pass tools/oracle_check.py locally.
     return {
+        # --- front-50: NEW in round 6 (never driver-verified) ---
+        "ngram_containment": q_ngram_containment,
+        "embedding_join_ivf": q_embedding_join_ivf,
+        "update_ivf_index": q_update_ivf_index,
         # --- front-50: implementation changed in round 6 ---
         "kmeans_cluster": q_kmeans_cluster,
         "semantic_dedup": q_semantic_dedup,
@@ -3745,11 +3884,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "shuffle_deterministic": q_shuffle_deterministic,
         "ngram_counts": q_ngram_counts,
+        # ---- fold: entries below reached only if the driver checks >50 ----
+        # --- remaining, ascending last-driver-verified round ---
         "remove_boilerplate": q_remove_boilerplate,
         "quality_filter": q_quality_filter,
         "audio_meta": q_audio_meta,
-        # ---- fold: entries below reached only if the driver checks >50 ----
-        # --- remaining, ascending last-driver-verified round ---
         "video_meta": q_video_meta,
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_by_cluster": q_dedup_by_cluster,

@@ -332,6 +332,114 @@ def dedup_minhash(
     return release_with(out, *caches)
 
 
+@spark_transform("ngram_containment", category="dedup", streaming_ok=False)
+def ngram_containment(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT
+    (|A∩B|/|A| — public measure, Broder 1997): finds documents largely
+    CONTAINED in another even when Jaccard is low because the containing
+    document is much longer — quote farms, boilerplate-wrapped articles,
+    concatenated dumps. ``dedup_minhash``'s symmetric Jaccard misses
+    exactly these (a 100-word doc pasted into a 10k-word page has
+    J ≈ 0.01 but containment 1.0), and MinHash-LSH band recall is itself
+    governed by Jaccard — so candidates come from the exact inverted
+    shingle index (``dedup_ngram_jaccard``'s machinery: any pair with
+    containment > 0 shares a posting), not from bands.
+
+    Output ``(ID_A, ID_B, CONT_A_IN_B, CONT_B_IN_A)`` for candidate pairs
+    (ID_A < ID_B) where the LARGER direction ≥ ``threshold``; containment
+    of an empty shingle set scores 0.0.
+
+    Scale shape = dedup_ngram_jaccard: exact-duplicate groups collapse to
+    one representative before the posting self-join (guarded by the same
+    max-group pre-count), only slim ``(id, shingle)`` rows cross the
+    candidate shuffle, and exact containment is computed on surviving
+    candidates alone. Exact but shuffle-heavier than sketch methods —
+    same documented trade as dedup_ngram_jaccard (prefer sketches beyond
+    ~10^8 docs).
+    """
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    cached_sig, has_dups, caches = _annotate_groups(
+        spread(df)
+        .select(F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t"))
+        .select("__id", shingles_expr(F.col("__t"), shingle_size).alias("__sh")),
+        F.md5(F.concat_ws("\x1f", F.array_sort("__sh"))),
+        F.size("__sh") > 0,
+        probe_key=F.hash(F.array_sort("__sh")),
+    )
+    rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
+    inv = rep_sig.select("__id", F.explode("__sh").alias("__s"))
+    left = inv.select(F.col("__id").alias("__id_a"), "__s")
+    right = inv.select(F.col("__id").alias("__id_b"), "__s")
+    cand_ids = (
+        left.join(right, on="__s")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select("__id_a", "__id_b")
+        .dropDuplicates(["__id_a", "__id_b"])
+    )
+    shingle_tbl = rep_sig.select("__id", "__sh")
+    cand = cand_ids.join(
+        shingle_tbl.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
+        on="__id_a",
+    ).join(
+        shingle_tbl.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
+        on="__id_b",
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    c_ab = F.when(F.size("__sh_a") > 0, inter / F.size("__sh_a")).otherwise(F.lit(0.0))
+    c_ba = F.when(F.size("__sh_b") > 0, inter / F.size("__sh_b")).otherwise(F.lit(0.0))
+    rep_pairs = (
+        cand.withColumn("CONT_A_IN_B", c_ab)
+        .withColumn("CONT_B_IN_A", c_ba)
+        .filter(F.greatest("CONT_A_IN_B", "CONT_B_IN_A") >= threshold)
+        .select(
+            F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"),
+            "CONT_A_IN_B", "CONT_B_IN_A",
+        )
+    )
+    if not has_dups:
+        return release_with(rep_pairs, *caches)
+    # expansion back to member level (two score columns, so the shared
+    # _expand_collapsed doesn't apply): cross-group pairs inherit the rep
+    # pair's containments, SWAPPED when id normalization flips which
+    # group holds the smaller member id; same-group pairs have identical
+    # sets — containment 1.0 both ways (0.0 for the empty-set group)
+    members = cached_sig.select("__id", "__rep", "__ne")
+    ma = members.select(F.col("__rep").alias("ID_A"), F.col("__id").alias("__xa"))
+    mb = members.select(F.col("__rep").alias("ID_B"), F.col("__id").alias("__xb"))
+    flip = F.col("__xa") > F.col("__xb")
+    cross = (
+        rep_pairs.join(ma, on="ID_A")
+        .join(mb, on="ID_B")
+        .select(
+            F.least("__xa", "__xb").alias("ID_A"),
+            F.greatest("__xa", "__xb").alias("ID_B"),
+            F.when(flip, F.col("CONT_B_IN_A")).otherwise(F.col("CONT_A_IN_B")).alias("CONT_A_IN_B"),
+            F.when(flip, F.col("CONT_A_IN_B")).otherwise(F.col("CONT_B_IN_A")).alias("CONT_B_IN_A"),
+        )
+    )
+    intra_score = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
+    m1 = members.select("__rep", "__ne", F.col("__id").alias("__xa"))
+    m2 = members.select("__rep", F.col("__id").alias("__xb"))
+    intra = (
+        m1.join(m2, on="__rep")
+        .filter(F.col("__xa") < F.col("__xb"))
+        .withColumn("CONT_A_IN_B", intra_score)
+        .withColumn("CONT_B_IN_A", intra_score)
+        .filter(F.greatest("CONT_A_IN_B", "CONT_B_IN_A") >= threshold)
+        .select(
+            F.col("__xa").alias("ID_A"), F.col("__xb").alias("ID_B"),
+            "CONT_A_IN_B", "CONT_B_IN_A",
+        )
+    )
+    return release_with(cross.unionByName(intra), *caches)
+
+
 @spark_transform("near_dup_clusters", category="dedup", streaming_ok=False)
 def near_dup_clusters(
     df: DataFrame,

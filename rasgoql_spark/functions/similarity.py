@@ -265,11 +265,14 @@ class IVFIndex:
     any number of ``similarity_search_ivf`` calls — the production shape:
     index build is the expensive phase (seed collect + Lloyd pass);
     per-query search is a broadcast probe join over the cached frame.
-    ``release()`` unpersists the frame."""
+    ``release()`` unpersists the frame. ``n_docs`` is the corpus-size
+    fingerprint (rows indexed at build/update time — the same staleness
+    contract as MinHashIndex/BloomIndex)."""
 
-    def __init__(self, frame: DataFrame, centroids: list):
+    def __init__(self, frame: DataFrame, centroids: list, n_docs: int | None = None):
         self.frame = frame
         self.centroids = centroids
+        self.n_docs = n_docs
 
     def release(self) -> None:
         try:
@@ -290,9 +293,169 @@ def ivf_index(
     across searches is the point."""
     final, cents, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations)
     final = final.persist()
-    final.count()  # materialize once; searches reuse the assignment
+    # materialize once; searches reuse the assignment. The count doubles as
+    # the corpus fingerprint, taken off the cached frame so it cannot drift
+    # from the rows actually indexed.
+    n = final.count()
     cached.unpersist(False)
-    return IVFIndex(final, cents)
+    return IVFIndex(final, cents, n_docs=n)
+
+
+def save_ivf_index(index: IVFIndex, path: str) -> str:
+    """Persist an :class:`IVFIndex` as parquet (``{path}/frame`` = the
+    assigned normalized corpus, ``{path}/centroids``, ``{path}/params``) —
+    the cross-job form of the index: build on the corpus-refresh cadence,
+    load per query batch (same artifact contract as save_minhash_index /
+    save_bloom_index)."""
+    index.frame.select("__id", "__nvec", "CENTROID_ID").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/frame")
+    spark = index.frame.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in index.centroids],
+        "c bigint, v array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(-1 if index.n_docs is None else int(index.n_docs),)], "n_docs long"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    return path
+
+
+def load_ivf_index(spark, path: str, persist: bool = True) -> IVFIndex:
+    """Load a :func:`save_ivf_index` artifact. ``persist`` pins the frame
+    for multi-search reuse (call ``release()`` when done). The centroid
+    list is a bounded driver collect (k·dim doubles), same as at build."""
+    frame = spark.read.parquet(f"{path}/frame")
+    if persist:
+        frame = frame.persist()
+    cents = [
+        (int(r["c"]), list(r["v"]))
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("c").collect()
+    ]
+    nd = int(spark.read.parquet(f"{path}/params").first()["n_docs"])
+    return IVFIndex(frame, cents, n_docs=None if nd < 0 else nd)
+
+
+def update_ivf_index(
+    index: IVFIndex,
+    new_vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> IVFIndex:
+    """Fold a batch of new vectors into an existing :class:`IVFIndex`
+    without re-fitting — the corpus-refresh step of the incremental ANN
+    loop (same lifecycle as update_minhash_index / update_bloom_index).
+
+    Only the new batch pays normalization + assignment, and it assigns
+    against the index's EXISTING centroids (no Lloyd pass), so per-batch
+    cost is independent of corpus size; searches against the returned
+    index see the union. Centroids drift from the true k-means of the
+    grown corpus over time — rebuild with :func:`ivf_index` on the
+    major-refresh cadence (the standard IVF practice). Vector ids must
+    stay unique across increments (caller contract). Returns a NEW index;
+    the old one remains usable — ``release()`` whichever you keep.
+    """
+    v, i = resolve_col(new_vecs, vec_col), resolve_col(new_vecs, id_col)
+    nbase = _with_normalized(
+        spread(new_vecs).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
+        "__vec",
+    )
+    abase, carr, adrop = _attach_centroids(nbase, index.centroids)
+    assigned = abase.withColumn("CENTROID_ID", _argmax_cid(carr)).drop(*adrop)
+    cols = ["__id", "__nvec", "CENTROID_ID"]
+    merged = index.frame.select(*cols).unionByName(assigned.select(*cols)).persist()
+    # eager materialization, NOT lazy-first-compute: a later search must
+    # never re-read a possibly-rewritten source for the batch rows (the
+    # update_minhash_index lesson); the count doubles as the fingerprint
+    n = merged.count()
+    return IVFIndex(merged, index.centroids, n_docs=n)
+
+
+@spark_transform("embedding_join_ivf", category="similarity", streaming_ok=False)
+def embedding_join_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    other=None,
+    other_vec: str | None = None,
+    other_id: str | None = None,
+    k: int = 1,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    right_prefix: str = "MATCH_",
+    round_scores: int | None = 6,
+    index: "IVFIndex | None" = None,
+) -> DataFrame:
+    """ANN semantic join: attach each left row's top-``k`` most-similar
+    rows from ``other`` (or a prebuilt ``index``) by embedding cosine,
+    probing only the ``nprobe`` nearest IVF inverted lists per left row —
+    the join-shaped form of ``similarity_search_ivf`` and the scale path
+    where ``embedding_join(method='brute')`` would broadcast-scan the full
+    right corpus per left row. Appends ``{right_prefix}ID``, ``COSINE``,
+    ``RANK`` (approximate recall; left rows with no candidate drop — an
+    inner join, matching embedding_join).
+
+    100 TB shape: candidates form by an equi-join on CENTROID_ID — the
+    corpus side carries corpus/num_centroids rows per key and the query
+    side |left|·nprobe slim (id, nvec) rows, so per-left-row cost is
+    corpus × nprobe / num_centroids. ``num_centroids`` MUST grow with the
+    corpus (k ≈ sqrt(n) is the standard IVF sizing) — it is also the
+    join's key cardinality, so it sets the shuffle parallelism ceiling.
+    Above 256 centroids the probe-selection array ships as a one-row
+    broadcast (plan size O(1) in k). With a prebuilt ``index`` the
+    expensive fit is amortized across batches and ``other`` is not needed.
+    """
+    odf = other.df if hasattr(other, "df") else other
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    if index is not None:
+        idx, cents, cached = index.frame, index.centroids, None
+    else:
+        if odf is None:
+            raise ParameterException(
+                "embedding_join_ivf needs a right-side frame (other=...) or "
+                "a prebuilt IVFIndex"
+            )
+        ov = resolve_col(odf, other_vec or vec_col)
+        oi = resolve_col(odf, other_id or id_col)
+        idx, cents, cached = _ivf_assign(odf, ov, oi, num_centroids, iterations=1)
+    q = _with_normalized(
+        spread(df).select(F.col(i).alias("QUERY_ID"), F.col(v).alias("__qvec")),
+        "__qvec", "__qnvec",
+    )
+    qbase, qcarr, _qdrop = _attach_centroids(q, cents)
+    probes = qbase.select(
+        "QUERY_ID", "__qnvec",
+        F.explode(
+            F.slice(F.sort_array(_sims_expr(qcarr, "__qnvec"), asc=False), 1, nprobe)
+        ).alias("__probe"),
+    ).select(
+        "QUERY_ID", "__qnvec",
+        (-F.col("__probe")["nc"]).cast("bigint").alias("__cid"),
+    )
+    cos = _dot(F.col("__qnvec"), F.col("__nvec"))
+    if round_scores is not None:
+        cos = F.round(cos, round_scores)
+    scored = (
+        idx.select(
+            F.col("__id").alias(f"{right_prefix}ID"), "__nvec",
+            F.col("CENTROID_ID").alias("__cid"),
+        )
+        .join(probes, on="__cid")
+        .filter(F.col("QUERY_ID") != F.col(f"{right_prefix}ID"))
+        .withColumn("COSINE", cos)
+    )
+    w = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("COSINE").desc(), F.col(f"{right_prefix}ID").asc()
+    )
+    matches = (
+        scored.withColumn("RANK", F.row_number().over(w))
+        .filter(F.col("RANK") <= k)
+        .select(
+            F.col("QUERY_ID").alias(i), f"{right_prefix}ID", "COSINE", "RANK"
+        )
+    )
+    out = df.join(matches, on=i, how="inner")
+    return out if cached is None else release_with(out, cached)
 
 
 @spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
