@@ -1718,6 +1718,19 @@ def q_embedding_join_ivf(spark, sf):
     return agg.join(mins, "vec_id")
 
 
+def q_embedding_join_ivf_raw(spark, sf):
+    """Raw ANN join (the bench target — measures the operator itself,
+    index fit included; the correctness companion above wraps it in a
+    brute-force verification join that would double-count)."""
+    s = _s(spark, sf)
+    left = s.dataset("embeddings").filter(
+        filter_statements=["vec_id >= 400", "vec_id < 450"])
+    right = s.dataset("embeddings").filter(filter_statements=["vec_id < 400"])
+    return left.embedding_join_ivf(
+        vec_col="embedding", id_col="vec_id", other=right, k=2,
+        num_centroids=8, nprobe=4).df
+
+
 def q_update_ivf_index(spark, sf):
     """Incremental IVF index maintenance invariants (round 6): fold a
     50-vector batch into an index built over vec_id < 400 and emit the

@@ -77,6 +77,11 @@ BENCH_QUERIES = {
     # + per-cluster pair join with exact-dup collapse)
     "llm_pagerank": entry.q_pagerank,
     "llm_semantic_dedup": entry.q_semantic_dedup,
+    # round-6 flagships: exact containment dedup (inverted-index self-join
+    # — the shuffle-heaviest dedup family member) and the ANN join (IVF
+    # fit + nprobe inverted-list probe per left row)
+    "llm_ngram_containment": entry.q_ngram_containment,
+    "llm_embedding_join_ivf": entry.q_embedding_join_ivf_raw,
 }
 
 

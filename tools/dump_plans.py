@@ -147,6 +147,20 @@ ANNOTATED = [
      "persisted once for its three consumers) BEFORE the pair join, so "
      "duplicate-heavy skew contributes one rep per group; members resolve "
      "row-locally against the group self-cosine."),
+    ("ngram_containment (round 6)", "ngram_containment",
+     "Asymmetric containment dedup over the exact inverted shingle index: "
+     "only slim (id, shingle) rows cross the candidate self-join shuffle; "
+     "shingle arrays re-attach to surviving candidates only; exact-dup "
+     "groups collapse to one rep before the posting join (same guard as "
+     "dedup_minhash). Candidates are NOT Jaccard-banded — band recall is "
+     "governed by Jaccard, which is exactly what containment pairs lack."),
+    ("embedding_join_ivf (round 6)", "embedding_join_ivf",
+     "ANN join: per-left-row probe selection is a shuffle-free sort+slice "
+     "over the centroid array (literal <= 256 centroids, one-row broadcast "
+     "above); candidates form by an equi-join on CENTROID_ID so per-row "
+     "cost is corpus x nprobe / num_centroids; top-k is one window over "
+     "the candidate set. (Plan shown for the verification-summary query, "
+     "which adds the exact brute companion join.)"),
     ("fuzzy_join (round 5)", "fuzzy_join",
      "Blocking-and-verification entity resolution: the composite "
      "(prefix, length-bucket) key plans as a hash EQUI-join (no "
