@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 176 entries, ALL 176 with DuckDB oracles (round 4
+streaming extensions) — 177 entries, ALL 177 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1729,6 +1729,19 @@ def q_embedding_join_ivf_raw(spark, sf):
     return left.embedding_join_ivf(
         vec_col="embedding", id_col="vec_id", other=right, k=2,
         num_centroids=8, nprobe=4).df
+
+
+def q_dedup_against_embedding(spark, sf):
+    """Incremental semantic dedup (round 6, brute path — exact): score
+    batch vectors (vec_id >= 450) against the accepted reference corpus
+    (vec_id < 450); pairs with cosine >= 0.35."""
+    s = _s(spark, sf)
+    batch = s.dataset("embeddings").filter(filter_statements=["vec_id >= 450"]).df
+    ref = s.dataset("embeddings").filter(filter_statements=["vec_id < 450"]).df
+    from rasgoql_spark.functions.similarity import dedup_against_embedding
+    return dedup_against_embedding(
+        batch, vec_col="embedding", id_col="vec_id", reference=ref,
+        threshold=0.35, mode="pairs")
 
 
 def q_update_ivf_index(spark, sf):
@@ -3624,6 +3637,14 @@ ranked AS (
             "CAST(0 AS BIGINT) AS N_ASSIGN_MISMATCH, "
             "true AS CENTROIDS_UNCHANGED"
         ),
+        "dedup_against_embedding": (
+            "SELECT b.vec_id AS ID, r.vec_id AS REF_ID, "
+            + _cosine('b.embedding', 'r.embedding')
+            + " AS COSINE FROM embeddings b, embeddings r "
+            "WHERE b.vec_id >= 450 AND r.vec_id < 450 AND "
+            + _cosine('b.embedding', 'r.embedding')
+            + " >= 0.35"
+        ),
         "dedup_embedding": (
             f"SELECT a.vec_id AS ID_A, b.vec_id AS ID_B, {_cosine('a.embedding', 'b.embedding')} AS COSINE "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -3831,19 +3852,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries each round. Rotation policy: NEW never-driver-verified
     # entries first, then entries whose IMPLEMENTATION changed this round,
     # then the entries whose last DRIVER verification is oldest. Round 6
-    # added 3 entries (ngram_containment, embedding_join_ivf,
-    # update_ivf_index) and changed the kmeans/semantic_dedup assignment
+    # added 4 entries (ngram_containment, dedup_against_embedding,
+    # embedding_join_ivf, update_ivf_index) and changed the kmeans/semantic_dedup assignment
     # path (broadcast-centroid fallback above 256 centroids) plus
-    # dedup_against's exact-branch validation — those 6 lead the gate,
+    # dedup_against's exact-branch validation — those 7 lead the gate,
     # followed by the 6 displaced round-1 window/ordering entries, the
-    # full 33-entry round-2 block, and the 5 oldest round-3 entries.
+    # full 33-entry round-2 block, and the 4 oldest round-3 entries.
     # Below the fold: remaining entries by ascending last-driver-verified
     # round (rest of r3, then r4, then r5). Round 7 should front the
-    # remaining 35 r3 entries plus the oldest r4 block. All 176 entries
+    # remaining 36 r3 entries plus the oldest r4 block. All 177 entries
     # pass tools/oracle_check.py locally.
     return {
         # --- front-50: NEW in round 6 (never driver-verified) ---
         "ngram_containment": q_ngram_containment,
+        "dedup_against_embedding": q_dedup_against_embedding,
         "embedding_join_ivf": q_embedding_join_ivf,
         "update_ivf_index": q_update_ivf_index,
         # --- front-50: implementation changed in round 6 ---
@@ -3896,9 +3918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
         "shuffle_deterministic": q_shuffle_deterministic,
-        "ngram_counts": q_ngram_counts,
         # ---- fold: entries below reached only if the driver checks >50 ----
         # --- remaining, ascending last-driver-verified round ---
+        "ngram_counts": q_ngram_counts,
         "remove_boilerplate": q_remove_boilerplate,
         "quality_filter": q_quality_filter,
         "audio_meta": q_audio_meta,

@@ -458,6 +458,137 @@ def embedding_join_ivf(
     return out if cached is None else release_with(out, cached)
 
 
+@spark_transform("dedup_against_embedding", category="dedup", streaming_ok=False)
+def dedup_against_embedding(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    reference: DataFrame | None = None,
+    ref_vec: str | None = None,
+    ref_id: str | None = None,
+    threshold: float = 0.9,
+    method: str = "brute",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    mode: str = "filter",
+    round_scores: int | None = 6,
+    index: "IVFIndex | None" = None,
+) -> DataFrame:
+    """Incremental SEMANTIC dedup: drop (mode='filter') or score
+    (mode='pairs') batch rows whose embedding is near-identical (cosine >=
+    ``threshold``) to ANY vector in an existing REFERENCE corpus — the
+    embedding-space member of the incremental family (exact fingerprints:
+    ``dedup_against``/``dedup_against_bloom``; shingle LSH:
+    ``dedup_against(method='minhash')``; this: paraphrase/reformat dups
+    n-grams cannot see, against the accepted training set instead of
+    within-batch).
+
+    method='brute' (exact): the BATCH side broadcasts and the reference
+    corpus streams through — the corpus never shuffles (the
+    decontaminate_embedding shape with the big side reversed: here the
+    reference is the large side and the batch is small by nature).
+    method='ivf' (scale path, approximate recall): the batch probes its
+    ``nprobe`` nearest inverted lists of an IVF index over the reference —
+    per-batch cost ~ reference × nprobe / num_centroids, and with a
+    prebuilt ``index`` (``ivf_index``/``load_ivf_index``, foldable with
+    ``update_ivf_index``) the fit is amortized so per-batch cost is
+    independent of reference size. mode='pairs' returns
+    ``(ID, REF_ID, COSINE)`` for matches.
+
+    If both ``reference`` and ``index`` are passed, the reference row
+    count is checked against the index's ``n_docs`` fingerprint (same
+    staleness contract as dedup_against + MinHashIndex).
+    """
+    if mode not in ("filter", "pairs"):
+        raise ParameterException("mode must be 'filter' or 'pairs'")
+    if method not in ("brute", "ivf"):
+        raise ParameterException("method must be 'brute' or 'ivf'")
+    if reference is None and index is None:
+        raise ParameterException(
+            "dedup_against_embedding needs a reference frame or a prebuilt "
+            "IVFIndex"
+        )
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    cached = None  # inline-built IVF frame, released with the final result
+    if method == "brute":
+        if reference is None or index is not None:
+            raise ParameterException(
+                "method='brute' requires a reference frame and no index "
+                "(IVFIndex only serves method='ivf')"
+            )
+        rv = resolve_col(reference, ref_vec or vec_col)
+        ri = resolve_col(reference, ref_id or id_col)
+        q = _with_normalized(
+            df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
+            "__qvec", "__qn",
+        ).select("__qid", "__qn")
+        r = _with_normalized(
+            spread(reference).select(
+                F.col(ri).alias("__rid"), F.col(rv).alias("__rvec")
+            ),
+            "__rvec", "__rn",
+        ).select("__rid", "__rn")
+        cos = _dot(F.col("__qn"), F.col("__rn"))
+        if round_scores is not None:
+            cos = F.round(cos, round_scores)
+        scored = r.crossJoin(F.broadcast(q)).withColumn("__cos", cos)
+        matches = scored.filter(F.col("__cos") >= threshold)
+    else:
+        if index is not None:
+            if reference is not None and index.n_docs is not None:
+                rc = reference.count()
+                if rc != index.n_docs:
+                    raise ParameterException(
+                        f"IVFIndex was built over {index.n_docs} reference "
+                        f"vectors but the passed reference has {rc} — fold "
+                        "the new vectors in with update_ivf_index or rebuild"
+                    )
+            idx, cents, cached = index.frame, index.centroids, None
+        else:
+            rv = resolve_col(reference, ref_vec or vec_col)
+            ri = resolve_col(reference, ref_id or id_col)
+            idx, cents, cached = _ivf_assign(
+                reference, rv, ri, num_centroids, iterations=1
+            )
+        q = _with_normalized(
+            df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
+            "__qvec", "__qn",
+        )
+        qbase, qcarr, _qd = _attach_centroids(q, cents)
+        probes = qbase.select(
+            "__qid", "__qn",
+            F.explode(
+                F.slice(F.sort_array(_sims_expr(qcarr, "__qn"), asc=False), 1, nprobe)
+            ).alias("__p"),
+        ).select(
+            "__qid", "__qn", (-F.col("__p")["nc"]).cast("bigint").alias("__cid")
+        )
+        cos = _dot(F.col("__qn"), F.col("__nvec"))
+        if round_scores is not None:
+            cos = F.round(cos, round_scores)
+        scored = (
+            idx.select(
+                F.col("__id").alias("__rid"), "__nvec",
+                F.col("CENTROID_ID").alias("__cid"),
+            )
+            .join(probes, on="__cid")
+            .withColumn("__cos", cos)
+        )
+        matches = scored.filter(F.col("__cos") >= threshold)
+    if mode == "pairs":
+        out = matches.select(
+            F.col("__qid").alias("ID"), F.col("__rid").alias("REF_ID"),
+            F.col("__cos").alias("COSINE"),
+        )
+    else:
+        flagged = matches.select(F.col("__qid").alias(i)).dropDuplicates()
+        out = df.join(flagged, on=i, how="left_anti")
+    # release ties to the FINAL result (the r5 scoped-cache liveness
+    # lesson) — tying it to the intermediate would free the inline-built
+    # index before the action runs
+    return out if cached is None else release_with(out, cached)
+
+
 @spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
 def similarity_search_ivf(
     df: DataFrame,

@@ -311,6 +311,23 @@ def test_kmeans_actual_large_k_plan_bounded(session):
     assert out.select("CLUSTER_ID").distinct().count() > 256
 
 
+def test_embedding_join_ivf_plans_as_equi_join(session):
+    """The ANN join's candidate generation must plan as a hash EQUI-join on
+    CENTROID_ID — never a cartesian/nested-loop over corpus × queries. The
+    only BroadcastNestedLoopJoin allowed is the >256-centroid one-row
+    attachment (absent here at k=8)."""
+    emb = session.dataset("embeddings").df
+    left = emb.filter("vec_id >= 400 AND vec_id < 450")
+    right = emb.filter("vec_id < 400")
+    out = rql.get_transform("embedding_join_ivf").apply(
+        left, vec_col="embedding", id_col="vec_id", other=right, k=2,
+        num_centroids=8, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # literal path at k=8
+    assert out.count() == 100  # 50 queries x k=2
+
+
 def test_lsh_band_join_runs_over_reps(session, monkeypatch):
     """When the collapse fires (hot dup groups), the minhash band self-join
     input must be the rep-filtered signature table: the plan carries the

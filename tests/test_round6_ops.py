@@ -191,3 +191,87 @@ def test_update_ivf_index_folds_batch_in(session):
     finally:
         updated.frame.unpersist()
         idx.release()
+
+
+# -------------------------------------------- dedup_against_embedding
+
+def test_dedup_against_embedding_brute(session):
+    """Batch rows near-identical to a reference vector drop; pairs mode
+    scores them; results match a hand-computed cosine check."""
+    spark = session.spark
+    ref = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(1, [0.999, 0.01, 0.0, 0.0]),   # ~ref 100
+         (2, [0.0, 0.0, 1.0, 0.0]),      # novel
+         (3, [0.02, 0.998, 0.0, 0.0])],  # ~ref 101
+        "vec_id long, embedding array<double>")
+    kept = rql.get_transform("dedup_against_embedding").apply(
+        batch, vec_col="embedding", id_col="vec_id", reference=ref,
+        threshold=0.99)
+    assert {r["vec_id"] for r in kept.collect()} == {2}
+    pairs = rql.get_transform("dedup_against_embedding").apply(
+        batch, vec_col="embedding", id_col="vec_id", reference=ref,
+        threshold=0.99, mode="pairs").collect()
+    assert {(r["ID"], r["REF_ID"]) for r in pairs} == {(1, 100), (3, 101)}
+    assert all(r["COSINE"] >= 0.99 for r in pairs)
+
+
+def test_dedup_against_embedding_ivf_matches_brute_at_full_probe(session):
+    """nprobe == num_centroids scans every inverted list -> the IVF path
+    must reproduce the brute path exactly (same 6dp rounding)."""
+    emb = session.dataset("embeddings").df
+    batch = emb.filter("vec_id >= 450")
+    ref = emb.filter("vec_id < 450")
+    kw = dict(vec_col="embedding", id_col="vec_id", threshold=0.8)
+    brute = rql.get_transform("dedup_against_embedding").apply(
+        batch, reference=ref, method="brute", mode="pairs", **kw)
+    ivf = rql.get_transform("dedup_against_embedding").apply(
+        batch, reference=ref, method="ivf", mode="pairs",
+        num_centroids=8, nprobe=8, **kw)
+    key = lambda r: (r["ID"], r["REF_ID"], r["COSINE"])  # noqa: E731
+    assert sorted(map(key, brute.collect())) == sorted(map(key, ivf.collect()))
+
+
+def test_dedup_against_embedding_index_path_and_guards(session):
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.similarity import ivf_index, update_ivf_index
+
+    emb = session.dataset("embeddings").df
+    batch = emb.filter("vec_id >= 450")
+    ref = emb.filter("vec_id < 450")
+    idx = ivf_index(ref, "embedding", "vec_id", num_centroids=8)
+    try:
+        inline = rql.get_transform("dedup_against_embedding").apply(
+            batch, vec_col="embedding", id_col="vec_id", reference=ref,
+            method="ivf", num_centroids=8, nprobe=4, threshold=0.8,
+            mode="pairs")
+        via_idx = rql.get_transform("dedup_against_embedding").apply(
+            batch, vec_col="embedding", id_col="vec_id", index=idx,
+            method="ivf", nprobe=4, threshold=0.8, mode="pairs")
+        key = lambda r: (r["ID"], r["REF_ID"])  # noqa: E731
+        assert sorted(map(key, inline.collect())) == sorted(map(key, via_idx.collect()))
+        # stale-index fingerprint guard (reference no longer matches n_docs)
+        with pytest.raises(ParameterException):
+            rql.get_transform("dedup_against_embedding").apply(
+                batch, vec_col="embedding", id_col="vec_id",
+                reference=ref.limit(10), index=idx, method="ivf")
+        # brute + index is a typed fail-fast (the dedup_against lesson)
+        with pytest.raises(ParameterException):
+            rql.get_transform("dedup_against_embedding").apply(
+                batch, vec_col="embedding", id_col="vec_id",
+                reference=ref, index=idx, method="brute")
+        with pytest.raises(ParameterException):
+            rql.get_transform("dedup_against_embedding").apply(
+                batch, vec_col="embedding", id_col="vec_id",
+                reference=ref, method="cosine-ish")
+        # after folding the batch in, every batch vector self-matches
+        updated = update_ivf_index(idx, batch, "embedding", "vec_id")
+        kept = rql.get_transform("dedup_against_embedding").apply(
+            batch, vec_col="embedding", id_col="vec_id", index=updated,
+            method="ivf", nprobe=8, threshold=0.999999)
+        assert kept.count() == 0  # all batch rows are now in the reference
+        updated.frame.unpersist()
+    finally:
+        idx.release()
