@@ -441,14 +441,19 @@ def stream_dedup_against(
     bands: int = 4,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    nprobe: int = 4,
 ):
     """Streaming crawl-ingest dedup — the production pipeline shape: new
     document files arrive as a stream, every micro-batch is cleaned against
     the ACCEPTED corpus, and only novel documents append to the sink.
 
     The reference side is a static frame or (the amortized path) a prebuilt
-    index — ``dedup.MinHashIndex`` for near-dup LSH or ``bloom.BloomIndex``
-    for exact-content membership, both persistable/loadable as parquet
+    index — ``dedup.MinHashIndex`` for near-dup LSH, ``bloom.BloomIndex``
+    for exact-content membership, or ``similarity.IVFIndex`` for SEMANTIC
+    dedup over an embedding column (pass the embedding column name as
+    ``text`` and a cosine ``threshold``; batch probes ``nprobe`` inverted
+    lists per row via ``dedup_against_embedding``). All three are
+    persistable/loadable as parquet
     artifacts, so the per-batch cost is independent of corpus size. This
     runs via ``foreachBatch`` because the banded-LSH / bloom-confirm
     pipelines are multi-stage batch plans a stream-static join cannot
@@ -470,6 +475,7 @@ def stream_dedup_against(
     """
     from ..functions.bloom import BloomIndex, dedup_against_bloom
     from ..functions.dedup import MinHashIndex, dedup_against
+    from ..functions.similarity import IVFIndex, dedup_against_embedding
 
     if not df.isStreaming:
         raise ParameterException(
@@ -478,12 +484,34 @@ def stream_dedup_against(
         )
     if (sink_path is None) == (sink_table is None):
         raise ParameterException("pass exactly one of sink_path / sink_table")
-    if index is not None and not isinstance(index, (MinHashIndex, BloomIndex)):
+    if index is not None and not isinstance(
+        index, (MinHashIndex, BloomIndex, IVFIndex)
+    ):
         raise ParameterException(
-            f"index must be a MinHashIndex or BloomIndex, got "
+            f"index must be a MinHashIndex, BloomIndex or IVFIndex, got "
             f"{type(index).__name__}"
         )
-    if isinstance(index, BloomIndex):
+    if isinstance(index, IVFIndex):
+        if method not in (None, "embedding", "semantic"):
+            raise ParameterException(
+                f"method={method!r} conflicts with an IVFIndex"
+            )
+        # one-time staleness guard, same contract as the other index paths
+        if reference is not None and index.n_docs is not None:
+            rc = reference.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"IVFIndex was built over {index.n_docs} reference "
+                    f"vectors but the passed reference has {rc} — fold the "
+                    "new vectors in with update_ivf_index or rebuild"
+                )
+
+        def clean(b: DataFrame) -> DataFrame:
+            return dedup_against_embedding(
+                b, vec_col=text, id_col=id_col, method="ivf", index=index,
+                threshold=threshold, nprobe=nprobe, mode="filter",
+            )
+    elif isinstance(index, BloomIndex):
         if method not in (None, "bloom", "exact"):
             raise ParameterException(
                 f"method={method!r} conflicts with a BloomIndex"
@@ -534,15 +562,24 @@ def stream_dedup_against(
         # fail fast BEFORE .start(): an invalid method would otherwise only
         # surface per-batch inside foreachBatch as a wrapped
         # StreamingQueryException after the stream is already running
-        if method not in (None, "exact", "minhash", "bloom"):
+        if method not in (None, "exact", "minhash", "bloom", "embedding"):
             raise ParameterException(
-                f"method must be 'exact', 'minhash' or 'bloom', got {method!r}"
+                f"method must be 'exact', 'minhash', 'bloom' or "
+                f"'embedding', got {method!r}"
             )
         if method == "bloom":
             # bloom defaults, not the minhash num_hashes param — the bloom
             # stage is a prefilter whose output equals the exact path anyway
             def clean(b: DataFrame) -> DataFrame:
                 return dedup_against_bloom(b, text, id_col, reference)
+        elif method == "embedding":
+            # semantic dedup against a static reference frame: `text` is
+            # the embedding column; exact brute path (batch broadcasts)
+            def clean(b: DataFrame) -> DataFrame:
+                return dedup_against_embedding(
+                    b, vec_col=text, id_col=id_col, reference=reference,
+                    method="brute", threshold=threshold, mode="filter",
+                )
         else:
             def clean(b: DataFrame) -> DataFrame:
                 return dedup_against(

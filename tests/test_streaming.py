@@ -670,3 +670,43 @@ def test_update_bloom_index_release_frees_increment_chain(spark):
     assert not old.bits.storageLevel.useMemory
     assert not old.fps.storageLevel.useMemory
     assert not upd.bits.storageLevel.useMemory
+
+
+def test_stream_dedup_against_ivf_index(spark, tmp_path_factory):
+    """Semantic streaming ingest: micro-batches dedup against a prebuilt
+    IVF embedding index; batch vectors near-identical to reference vectors
+    drop, novel ones flow to the sink. Batch semantics = the
+    dedup_against_embedding ivf path (oracle-green)."""
+    from rasgoql_spark.functions.similarity import ivf_index
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdaivf")
+    ref = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(10, [0.999, 0.001, 0.0, 0.0]),      # ~ref 0 -> drops
+         (11, [0.5, 0.5, 0.5, 0.5])],         # novel -> kept
+        "vec_id long, embedding array<double>")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema(
+        "vec_id long, embedding array<double>").parquet(src)
+    idx = ivf_index(ref, "embedding", "vec_id", num_centroids=2)
+    try:
+        q = stream_dedup_against(
+            sdf, "embedding", "vec_id", checkpoint=str(tmp / "c"),
+            sink_path=str(tmp / "out"), index=idx, threshold=0.99, nprobe=2)
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(tmp / "out")).collect()
+        assert {r["vec_id"] for r in got} == {11}
+        # stale-reference guard fires before .start()
+        import pytest as _pytest
+
+        from rasgoql_spark.errors import ParameterException
+        with _pytest.raises(ParameterException):
+            stream_dedup_against(
+                sdf, "embedding", "vec_id", checkpoint=str(tmp / "c2"),
+                sink_path=str(tmp / "o2"), index=idx, reference=ref.limit(1))
+    finally:
+        idx.release()
