@@ -275,3 +275,28 @@ def test_dedup_against_embedding_index_path_and_guards(session):
         updated.frame.unpersist()
     finally:
         idx.release()
+
+
+def test_containment_dominates_jaccard_on_real_corpus(session):
+    """Mathematical invariant on the real documents table: J = |∩|/|∪| <=
+    |∩|/|A| = containment (|A| <= |∪|), and both ops share the exact
+    inverted-index candidate set — so Jaccard pairs at threshold t must be
+    a strict subset of containment pairs at t, with max-containment >= J
+    pairwise."""
+    docs = session.dataset("documents").df
+    thr = 0.3
+    jac = {
+        (r["ID_A"], r["ID_B"]): r["JACCARD"]
+        for r in rql.get_transform("dedup_ngram_jaccard").apply(
+            docs, text="text", id_col="doc_id", threshold=thr,
+            mode="pairs").collect()
+    }
+    cont = {
+        (r["ID_A"], r["ID_B"]): max(r["CONT_A_IN_B"], r["CONT_B_IN_A"])
+        for r in rql.get_transform("ngram_containment").apply(
+            docs, text="text", id_col="doc_id", threshold=thr).collect()
+    }
+    assert jac, "fixture must produce Jaccard pairs"
+    assert set(jac) <= set(cont)
+    for pair, j in jac.items():
+        assert cont[pair] >= j - 1e-12, (pair, cont[pair], j)

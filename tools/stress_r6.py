@@ -84,6 +84,41 @@ def main() -> int:
     for op, k, secs, chars in rows:
         path = "literal" if k <= 256 else "broadcast"
         print(f"| {op} ({path}) | {n} vecs | {k} | {secs:.1f} | {chars:,} |")
+
+    # ---- round-6 new-operator stress (run with: python tools/stress_r6.py new)
+    if len(sys.argv) > 1 and sys.argv[1] == "new":
+        ej = rql.get_transform("embedding_join_ivf").apply
+        left = corpus.filter("vec_id % 1000 < 10")  # ~500 query rows
+        right = corpus.filter("vec_id % 1000 >= 10")
+        for nc in (64,):
+            _timed(lambda: ej(left, vec_col="embedding", id_col="vec_id",
+                              other=right, k=2, num_centroids=nc, nprobe=4))
+            secs, _ = _timed(lambda: ej(left, vec_col="embedding",
+                                        id_col="vec_id", other=right, k=2,
+                                        num_centroids=nc, nprobe=4))
+            print(f"| embedding_join_ivf | ~500 q x {n} corpus | nc={nc} "
+                  f"nprobe=4 | {secs:.1f} | — |")
+        # containment on a duplicate-heavy corpus: 10 copies of each sf0.1
+        # doc — the collapse path must keep the posting join at rep level
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        hot = docs
+        for i in range(1, 10):
+            hot = hot.unionByName(
+                docs.selectExpr(f"doc_id + {i * 10_000_000} AS doc_id",
+                                "text", *[c for c in docs.columns
+                                          if c not in ("doc_id", "text")]))
+        hot = hot.persist(); nh = hot.count()
+        ct = rql.get_transform("ngram_containment").apply
+        _timed(lambda: ct(docs, text="text", id_col="doc_id", threshold=0.5))
+        s1, _ = _timed(lambda: ct(docs, text="text", id_col="doc_id",
+                                  threshold=0.5))
+        s10, _ = _timed(lambda: ct(hot, text="text", id_col="doc_id",
+                                   threshold=0.5))
+        print(f"| ngram_containment | {docs.count()} docs | thr=0.5 | "
+              f"{s1:.1f} | — |")
+        print(f"| ngram_containment (10x exact dups) | {nh} docs | thr=0.5 | "
+              f"{s10:.1f} | — |")
+        hot.unpersist()
     corpus.unpersist()
     return 0
 
