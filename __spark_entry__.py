@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 177 entries, ALL 177 with DuckDB oracles (round 4
+streaming extensions) — 178 entries, ALL 178 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1742,6 +1742,14 @@ def q_dedup_against_embedding(spark, sf):
     return dedup_against_embedding(
         batch, vec_col="embedding", id_col="vec_id", reference=ref,
         threshold=0.35, mode="pairs")
+
+
+def q_importance_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (round 6,
+    Efraimidis-Spirakis with an md5-derived uniform): 100 documents drawn
+    with inclusion probability proportional to n_chars."""
+    return _s(spark, sf).dataset("documents").importance_sample(
+        weight="n_chars", id_col="doc_id", n=100).df
 
 
 def q_update_ivf_index(spark, sf):
@@ -3637,6 +3645,13 @@ ranked AS (
             "CAST(0 AS BIGINT) AS N_ASSIGN_MISMATCH, "
             "true AS CENTROIDS_UNCHANGED"
         ),
+        "importance_sample": (
+            "SELECT * EXCLUDE (__pri) FROM (SELECT *, "
+            "ln((CAST(('0x' || substr(md5(concat(':', CAST(doc_id AS VARCHAR))), 1, 8)) "
+            "AS BIGINT) + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS __pri "
+            "FROM documents WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0 "
+            "ORDER BY __pri DESC, doc_id LIMIT 100)"
+        ),
         "dedup_against_embedding": (
             "SELECT b.vec_id AS ID, r.vec_id AS REF_ID, "
             + _cosine('b.embedding', 'r.embedding')
@@ -3852,20 +3867,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries each round. Rotation policy: NEW never-driver-verified
     # entries first, then entries whose IMPLEMENTATION changed this round,
     # then the entries whose last DRIVER verification is oldest. Round 6
-    # added 4 entries (ngram_containment, dedup_against_embedding,
-    # embedding_join_ivf, update_ivf_index) and changed the kmeans/semantic_dedup assignment
+    # added 5 entries (ngram_containment, dedup_against_embedding,
+    # embedding_join_ivf, update_ivf_index, importance_sample) and changed the kmeans/semantic_dedup assignment
     # path (broadcast-centroid fallback above 256 centroids) plus
-    # dedup_against's exact-branch validation — those 7 lead the gate,
+    # dedup_against's exact-branch validation — those 8 lead the gate,
     # followed by the 6 displaced round-1 window/ordering entries, the
-    # full 33-entry round-2 block, and the 4 oldest round-3 entries.
+    # full 33-entry round-2 block, and the 3 oldest round-3 entries.
     # Below the fold: remaining entries by ascending last-driver-verified
     # round (rest of r3, then r4, then r5). Round 7 should front the
-    # remaining 36 r3 entries plus the oldest r4 block. All 177 entries
+    # remaining 37 r3 entries plus the oldest r4 block. All 178 entries
     # pass tools/oracle_check.py locally.
     return {
         # --- front-50: NEW in round 6 (never driver-verified) ---
         "ngram_containment": q_ngram_containment,
         "dedup_against_embedding": q_dedup_against_embedding,
+        "importance_sample": q_importance_sample,
         "embedding_join_ivf": q_embedding_join_ivf,
         "update_ivf_index": q_update_ivf_index,
         # --- front-50: implementation changed in round 6 ---
@@ -3917,9 +3933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
-        "shuffle_deterministic": q_shuffle_deterministic,
         # ---- fold: entries below reached only if the driver checks >50 ----
         # --- remaining, ascending last-driver-verified round ---
+        "shuffle_deterministic": q_shuffle_deterministic,
         "ngram_counts": q_ngram_counts,
         "remove_boilerplate": q_remove_boilerplate,
         "quality_filter": q_quality_filter,

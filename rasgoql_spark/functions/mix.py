@@ -230,3 +230,61 @@ def _r_mixture_weights(source, domain, temperature=0.7, size_col=None, round_to=
         f"(SELECT *, __sz / sum(__sz) OVER () AS __p, "
         f"pow(__sz / sum(__sz) OVER (), {t}) AS __raw FROM ({per}))"
     )
+
+
+@spark_transform("importance_sample", category="ml", streaming_ok=False)
+def importance_sample(
+    df: DataFrame,
+    weight: str,
+    id_col: str,
+    n: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of exactly ``n``
+    rows, inclusion probability proportional to ``weight`` (public
+    technique: Efraimidis & Spirakis 2006 weighted reservoir, A-ES
+    variant): each row draws priority ``ln(u) / w`` with a DETERMINISTIC
+    pseudo-uniform ``u = (md5_int(seed:id) + 1) / 2^32`` and the ``n``
+    highest priorities win — the quality-weighted corpus sampling step
+    (sample a training subset ∝ quality score). Same (seed, id, weight) ⇒
+    same sample, across runs AND engines; change ``seed`` to redraw.
+
+    Rows with NULL or non-positive weight have zero inclusion probability
+    and are excluded (the standard convention). Output keeps the original
+    columns.
+
+    Scale: priority is a row-local codegen'd expression (md5 + ln) and the
+    top-n plans as ``TakeOrderedAndProject`` (per-partition heaps, no
+    global sort) — the ``top`` operator's shape. No shuffle beyond the
+    final n-row gather; tie-break on id keeps the cross-engine replay
+    exact.
+    """
+    from ._hash import md5_int
+
+    if n < 1:
+        raise ParameterException("n must be >= 1")
+    w, i = resolve_col(df, weight), resolve_col(df, id_col)
+    u = (md5_int(F.concat(F.lit(f"{seed}:"), F.col(i).cast("string"))) + 1) / F.lit(
+        4294967296.0
+    )
+    pri = F.log(u) / F.col(w).cast("double")
+    return (
+        df.filter(F.col(w).isNotNull() & (F.col(w).cast("double") > 0))
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(i).asc())
+        .limit(n)
+        .drop("__pri")
+    )
+
+
+@renderer("importance_sample")
+def _r_importance_sample(source, weight, id_col, n, seed="") -> str:
+    # Spark dialect (the .sql() artifact target); the DuckDB oracle renders
+    # the same md5-derived uniform with its own hex-cast idiom
+    key = f"concat('{seed}:', CAST({id_col} AS STRING))"
+    u = f"(CAST(conv(substr(md5({key}), 1, 8), 16, 10) AS BIGINT) + 1) / 4294967296.0"
+    return (
+        f"SELECT * EXCEPT (__pri) FROM (SELECT *, ln({u}) / CAST({weight} AS DOUBLE) AS __pri "
+        f"FROM {source} WHERE {weight} IS NOT NULL AND CAST({weight} AS DOUBLE) > 0 "
+        f"ORDER BY __pri DESC, {id_col} ASC LIMIT {n})"
+    )

@@ -300,3 +300,39 @@ def test_containment_dominates_jaccard_on_real_corpus(session):
     assert set(jac) <= set(cont)
     for pair, j in jac.items():
         assert cont[pair] >= j - 1e-12, (pair, cont[pair], j)
+
+
+# -------------------------------------------------- importance_sample
+
+def test_importance_sample_weighted_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, 10.0 if i % 10 == 0 else 1.0) for i in range(1000)],
+        "id long, w double")
+    tr = rql.get_transform("importance_sample")
+    a = {r["id"] for r in tr.apply(df, weight="w", id_col="id", n=100).collect()}
+    b = {r["id"] for r in tr.apply(df, weight="w", id_col="id", n=100).collect()}
+    assert a == b and len(a) == 100           # deterministic, exact size
+    heavy = sum(1 for i in a if i % 10 == 0)
+    # 100 heavy rows carry 10/19 of total weight; without-replacement the
+    # expected heavy count is ~45; uniform sampling would give ~10
+    assert 25 <= heavy <= 70, heavy
+    # a different seed redraws
+    c = {r["id"] for r in tr.apply(df, weight="w", id_col="id", n=100,
+                                   seed="v2").collect()}
+    assert c != a
+    # null / non-positive weights are excluded (zero probability)
+    df2 = spark.createDataFrame([(1, 0.0), (2, None), (3, -1.0), (4, 2.0)],
+                                "id long, w double")
+    assert [r["id"] for r in tr.apply(df2, weight="w", id_col="id", n=4)
+            .collect()] == [4]
+    with pytest.raises(rql.ParameterException):
+        tr.apply(df, weight="w", id_col="id", n=0)
+
+
+def test_importance_sample_plans_take_ordered(spark):
+    df = spark.createDataFrame([(i, float(i + 1)) for i in range(100)],
+                               "id long, w double")
+    out = rql.get_transform("importance_sample").apply(
+        df, weight="w", id_col="id", n=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan    # per-partition heaps, no sort

@@ -48,6 +48,7 @@ CASES = [
     ("standard_scaler", {"columns": ["l_quantity"]}),
     ("robust_scaler", {"columns": ["l_quantity", "l_extendedprice"]}),
     ("pseudonymize", {"columns": ["l_orderkey", "l_returnflag"], "salt": "s1"}),
+    ("importance_sample", {"weight": "l_quantity", "id_col": "l_orderkey", "n": 200}),
     ("bin", {"column": "l_quantity", "bins": 5}),
     ("target_encode", {"column": "l_returnflag", "target": "l_quantity"}),
     ("one_hot_encode", {"column": "l_returnflag", "list_of_vals": ["A", "N", "R"]}),
