@@ -22,6 +22,8 @@ QUERIES = [
     "tumbling_window", "dedup_minhash", "similarity_search",
     "dedup_winnow", "bigram_logprob",
     "dedup_against_bloom", "pagerank", "semantic_dedup", "logreg_score",
+    "ngram_containment", "embedding_join_ivf", "dedup_against_embedding",
+    "importance_sample",
 ]
 
 
