@@ -121,29 +121,40 @@ def test_frame_sample_fanout(session):
 
 def test_scoped_caches_released_on_gc(spark, session):
     import gc
+    import time
 
     sc = spark.sparkContext
-    # drain release_with finalizers queued by earlier tests — otherwise their
-    # unpersists fire inside OUR gc.collect() and sink the count below the
-    # baseline measured here
-    gc.collect()
-    before = len(sc._jsc.getPersistentRDDs())
+
+    def settled_count():
+        # finalizer-driven unpersists (release_with weakrefs from THIS and
+        # earlier tests) may need more than one collection round to drain —
+        # generations, resurrection queues, and the JVM-side async unpersist
+        # all add latency. Settle: collect until the count stops moving.
+        prev = -1
+        for _ in range(6):
+            gc.collect()
+            cur = len(sc._jsc.getPersistentRDDs())
+            if cur == prev:
+                return cur
+            prev = cur
+            time.sleep(0.2)
+        return prev
+
+    before = settled_count()
     docs = session.dataset("documents").df.limit(150)
     out = rql.get_transform("dedup_minhash").apply(
         docs, text="text", id_col="doc_id", threshold=0.2)
     out.count()
     assert len(sc._jsc.getPersistentRDDs()) > before  # cache active while result alive
     del out
-    gc.collect()
-    assert len(sc._jsc.getPersistentRDDs()) == before  # released with the result
+    assert settled_count() == before  # released with the result
 
     emb = session.dataset("embeddings").df
     out2 = rql.get_transform("similarity_search_ivf").apply(
         emb, vec_col="embedding", id_col="vec_id", query_ids=[0, 1], k=3)
     out2.count()
     del out2
-    gc.collect()
-    assert len(sc._jsc.getPersistentRDDs()) == before
+    assert settled_count() == before
 
 
 def _png_bytes(w, h, color_type=6):
