@@ -1761,27 +1761,43 @@ def q_update_ivf_index(spark, sf):
     same centroids. DuckDB computes the data-dependent counts exactly."""
     from pyspark.sql import functions as F
 
-    from rasgoql_spark.functions.similarity import ivf_index, update_ivf_index
+    from rasgoql_spark.functions.similarity import (
+        _argmax_cid, _attach_centroids, _with_normalized, ivf_index,
+        update_ivf_index)
 
     emb = _s(spark, sf).dataset("embeddings").df
     old = emb.filter("vec_id < 400")
     batch = emb.filter("vec_id >= 400 AND vec_id < 450")
     idx = ivf_index(old, "embedding", "vec_id", num_centroids=8)
+    # deep-copy the centroid values BEFORE the update: comparing
+    # updated.centroids to idx.centroids would be an identity comparison
+    # (same list object) and could never catch an in-place mutation
+    cents_before = [(int(c), [float(x) for x in v]) for c, v in idx.centroids]
     updated = update_ivf_index(idx, batch, "embedding", "vec_id")
-    again = update_ivf_index(idx, batch, "embedding", "vec_id")
+    # INDEPENDENT from-scratch assignment of the batch against the
+    # snapshotted centroids (normalize + argmax directly, bypassing
+    # update_ivf_index's bookkeeping) — the no-re-fit contract
+    fresh_base, fresh_carr, fresh_drop = _attach_centroids(
+        _with_normalized(
+            batch.selectExpr("vec_id AS __id", "embedding AS __vec"), "__vec"
+        ),
+        cents_before,
+    )
+    fresh = fresh_base.withColumn("__c2", _argmax_cid(fresh_carr)).select(
+        "__id", "__c2")
     a = updated.frame.filter("__id >= 400").select(
         "__id", F.col("CENTROID_ID").alias("__c1"))
-    b = again.frame.filter("__id >= 400").select(
-        "__id", F.col("CENTROID_ID").alias("__c2"))
     mism = (
-        a.join(b, "__id", "full")
+        a.join(fresh, "__id", "full")
         .filter("__c1 IS DISTINCT FROM __c2")
         .count()
     )
     total = updated.frame.count()
     n_batch = updated.frame.filter("__id >= 400").count()
     dup_ids = updated.frame.groupBy("__id").count().filter("count > 1").count()
-    cents_same = updated.centroids == idx.centroids
+    cents_same = [
+        (int(c), [float(x) for x in v]) for c, v in updated.centroids
+    ] == cents_before
     out = spark.createDataFrame(
         [(total, n_batch, dup_ids, mism, bool(cents_same))],
         "TOTAL_ROWS long, N_BATCH_ROWS long, N_DUP_IDS long, "
@@ -1789,7 +1805,6 @@ def q_update_ivf_index(spark, sf):
     )
     idx.release()
     updated.frame.unpersist()
-    again.frame.unpersist()
     return out
 
 
@@ -3647,9 +3662,10 @@ ranked AS (
         ),
         "importance_sample": (
             "SELECT * EXCLUDE (__pri) FROM (SELECT *, "
-            "ln((CAST(('0x' || substr(md5(concat(':', CAST(doc_id AS VARCHAR))), 1, 8)) "
-            "AS BIGINT) + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS __pri "
-            "FROM documents WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0 "
+            "round(ln((CAST(('0x' || substr(md5(concat(':', CAST(doc_id AS VARCHAR))), 1, 8)) "
+            "AS BIGINT) + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE), 9) AS __pri "
+            "FROM documents WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)) "
+            "AND CAST(n_chars AS DOUBLE) > 0 "
             "ORDER BY __pri DESC, doc_id LIMIT 100)"
         ),
         "dedup_against_embedding": (

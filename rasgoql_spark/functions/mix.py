@@ -249,27 +249,32 @@ def importance_sample(
     (sample a training subset ∝ quality score). Same (seed, id, weight) ⇒
     same sample, across runs AND engines; change ``seed`` to redraw.
 
-    Rows with NULL or non-positive weight have zero inclusion probability
-    and are excluded (the standard convention). Output keeps the original
-    columns.
+    Rows with NULL, NaN or non-positive weight have zero inclusion
+    probability and are excluded (the standard convention; the explicit
+    NaN guard matters because Spark orders NaN above every number, so an
+    unguarded NaN-weight row would always win the sample). Output keeps
+    the original columns.
 
     Scale: priority is a row-local codegen'd expression (md5 + ln) and the
     top-n plans as ``TakeOrderedAndProject`` (per-partition heaps, no
     global sort) — the ``top`` operator's shape. No shuffle beyond the
-    final n-row gather; tie-break on id keeps the cross-engine replay
-    exact.
+    final n-row gather. The priority is rounded to 9 dp before ranking
+    (the repo-wide cross-engine contract: last-ulp libm differences
+    between JVM ``Math.log`` and other engines' ``ln`` could otherwise
+    flip membership at the rank-n boundary); ties break on id.
     """
     from ._hash import md5_int
 
     if n < 1:
         raise ParameterException("n must be >= 1")
     w, i = resolve_col(df, weight), resolve_col(df, id_col)
+    wd = F.col(w).cast("double")
     u = (md5_int(F.concat(F.lit(f"{seed}:"), F.col(i).cast("string"))) + 1) / F.lit(
         4294967296.0
     )
-    pri = F.log(u) / F.col(w).cast("double")
+    pri = F.round(F.log(u) / wd, 9)
     return (
-        df.filter(F.col(w).isNotNull() & (F.col(w).cast("double") > 0))
+        df.filter(wd.isNotNull() & ~F.isnan(wd) & (wd > 0))
         .withColumn("__pri", pri)
         .orderBy(F.col("__pri").desc(), F.col(i).asc())
         .limit(n)
@@ -280,11 +285,22 @@ def importance_sample(
 @renderer("importance_sample")
 def _r_importance_sample(source, weight, id_col, n, seed="") -> str:
     # Spark dialect (the .sql() artifact target); the DuckDB oracle renders
-    # the same md5-derived uniform with its own hex-cast idiom
-    key = f"concat('{seed}:', CAST({id_col} AS STRING))"
+    # the same md5-derived uniform with its own hex-cast idiom. The seed
+    # lands inside a string literal: quote doubling is dialect-portable and
+    # no raw backslash ever enters the literal (chr(92) splice) — the same
+    # treatment as the pseudonymize salt.
+    segs = [p.replace("'", "''") for p in str(seed).split("\\")]
+    if len(segs) == 1:
+        seed_lit = f"'{segs[0]}:'"
+    else:
+        seed_lit = (
+            "concat(" + ", chr(92), ".join(f"'{p}'" for p in segs) + ", ':')"
+        )
+    key = f"concat({seed_lit}, CAST({id_col} AS STRING))"
     u = f"(CAST(conv(substr(md5({key}), 1, 8), 16, 10) AS BIGINT) + 1) / 4294967296.0"
+    wd = f"CAST({weight} AS DOUBLE)"
     return (
-        f"SELECT * EXCEPT (__pri) FROM (SELECT *, ln({u}) / CAST({weight} AS DOUBLE) AS __pri "
-        f"FROM {source} WHERE {weight} IS NOT NULL AND CAST({weight} AS DOUBLE) > 0 "
+        f"SELECT * EXCEPT (__pri) FROM (SELECT *, round(ln({u}) / {wd}, 9) AS __pri "
+        f"FROM {source} WHERE {weight} IS NOT NULL AND NOT isnan({wd}) AND {wd} > 0 "
         f"ORDER BY __pri DESC, {id_col} ASC LIMIT {n})"
     )

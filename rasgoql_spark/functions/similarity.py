@@ -171,6 +171,23 @@ def _attach_centroids(df: DataFrame, cents: list):
     return df.crossJoin(F.broadcast(one_row)), F.col("__cents"), ["__cents"]
 
 
+def _probe_lists(qdf: DataFrame, cents, nprobe: int, id_col: str, nvec_col: str) -> DataFrame:
+    """Explode each query row to its ``nprobe`` nearest inverted-list ids:
+    ``(id_col, nvec_col, __cid)`` — one row per (query, probed centroid).
+    Probe selection is a shuffle-free sort+slice over the per-row sims
+    array (struct sort: sim desc, ties → lowest cid because nc = -cid).
+    Shared by similarity_search_ivf / embedding_join_ivf /
+    dedup_against_embedding so probe semantics (including the
+    >256-centroid broadcast fallback) can never diverge between them."""
+    qbase, qcarr, _qd = _attach_centroids(qdf, cents)
+    return qbase.select(
+        id_col, nvec_col,
+        F.explode(
+            F.slice(F.sort_array(_sims_expr(qcarr, nvec_col), asc=False), 1, nprobe)
+        ).alias("__p"),
+    ).select(id_col, nvec_col, (-F.col("__p")["nc"]).cast("bigint").alias("__cid"))
+
+
 def _norm_py(vec: list) -> list:
     s = sum(x * x for x in vec) ** 0.5
     return [x / s for x in vec] if s > 0 else [0.0 for _ in vec]
@@ -408,6 +425,17 @@ def embedding_join_ivf(
     odf = other.df if hasattr(other, "df") else other
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
     if index is not None:
+        if odf is not None and index.n_docs is not None:
+            # staleness fingerprint — same contract as every other index
+            # path: a prebuilt index that no longer matches the right-side
+            # frame it claims to cover would silently miss new vectors
+            rc = odf.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"IVFIndex was built over {index.n_docs} right-side "
+                    f"vectors but the passed frame has {rc} — fold the new "
+                    "vectors in with update_ivf_index or rebuild"
+                )
         idx, cents, cached = index.frame, index.centroids, None
     else:
         if odf is None:
@@ -422,16 +450,7 @@ def embedding_join_ivf(
         spread(df).select(F.col(i).alias("QUERY_ID"), F.col(v).alias("__qvec")),
         "__qvec", "__qnvec",
     )
-    qbase, qcarr, _qdrop = _attach_centroids(q, cents)
-    probes = qbase.select(
-        "QUERY_ID", "__qnvec",
-        F.explode(
-            F.slice(F.sort_array(_sims_expr(qcarr, "__qnvec"), asc=False), 1, nprobe)
-        ).alias("__probe"),
-    ).select(
-        "QUERY_ID", "__qnvec",
-        (-F.col("__probe")["nc"]).cast("bigint").alias("__cid"),
-    )
+    probes = _probe_lists(q, cents, nprobe, "QUERY_ID", "__qnvec")
     cos = _dot(F.col("__qnvec"), F.col("__nvec"))
     if round_scores is not None:
         cos = F.round(cos, round_scores)
@@ -554,15 +573,7 @@ def dedup_against_embedding(
             df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
             "__qvec", "__qn",
         )
-        qbase, qcarr, _qd = _attach_centroids(q, cents)
-        probes = qbase.select(
-            "__qid", "__qn",
-            F.explode(
-                F.slice(F.sort_array(_sims_expr(qcarr, "__qn"), asc=False), 1, nprobe)
-            ).alias("__p"),
-        ).select(
-            "__qid", "__qn", (-F.col("__p")["nc"]).cast("bigint").alias("__cid")
-        )
+        probes = _probe_lists(q, cents, nprobe, "__qid", "__qn")
         cos = _dot(F.col("__qn"), F.col("__nvec"))
         if round_scores is not None:
             cos = F.round(cos, round_scores)
@@ -617,21 +628,11 @@ def similarity_search_ivf(
         idx, cents, cached = index.frame, index.centroids, None
     else:
         idx, cents, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations=1)
-    # probe: nprobe highest-dot centroids per query — sort the per-row sims
-    # array descending (struct sort: s desc via max-first, ties → lowest cid
-    # because nc = -cid) and slice
-    qbase, qcarr, _qdrop = _attach_centroids(
-        idx.filter(F.col("__id").isin(list(query_ids))), cents
-    )
-    probes = (
-        qbase.select(
-            F.col("__id").alias("QUERY_ID"),
-            F.col("__nvec").alias("__qnvec"),
-            F.explode(
-                F.slice(F.sort_array(_sims_expr(qcarr), asc=False), 1, nprobe)
-            ).alias("__probe"),
-        )
-        .select("QUERY_ID", "__qnvec", (-F.col("__probe")["nc"]).cast("bigint").alias("__cid"))
+    probes = _probe_lists(
+        idx.filter(F.col("__id").isin(list(query_ids))).select(
+            F.col("__id").alias("QUERY_ID"), F.col("__nvec").alias("__qnvec")
+        ),
+        cents, nprobe, "QUERY_ID", "__qnvec",
     )
     cos = _dot(F.col("__qnvec"), F.col("__nvec"))
     if round_scores is not None:

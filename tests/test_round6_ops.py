@@ -165,10 +165,12 @@ def test_update_ivf_index_folds_batch_in(session):
     batch = emb.filter("vec_id >= 300 AND vec_id < 350")
     idx = ivf_index(old, "embedding", "vec_id", num_centroids=8)
     n_old = idx.n_docs
+    cents_before = [(c, list(v)) for c, v in idx.centroids]  # deep copy —
+    # identity comparison against idx.centroids could never fail
     updated = update_ivf_index(idx, batch, "embedding", "vec_id")
     try:
         assert updated.n_docs == n_old + batch.count()
-        assert updated.centroids == idx.centroids  # no re-fit by design
+        assert [(c, list(v)) for c, v in updated.centroids] == cents_before
         # a batch vector queried against the updated index finds ITSELF's
         # exact duplicate region: search for a batch id must return hits,
         # and every batch id must be present exactly once in the frame

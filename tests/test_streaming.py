@@ -710,3 +710,62 @@ def test_stream_dedup_against_ivf_index(spark, tmp_path_factory):
                 sink_path=str(tmp / "o2"), index=idx, reference=ref.limit(1))
     finally:
         idx.release()
+
+
+def test_stream_table_sink_guards_and_empty_replay(spark, tmp_path_factory):
+    """Two exactly-once corner cases: (a) a pre-existing NON-partitioned
+    sink table is refused loudly (dynamic overwrite would silently
+    truncate it every batch); (b) a replayed batch whose recomputed output
+    is EMPTY clears the rows it wrote last time (drop-partition path)."""
+    import pytest as _pytest
+
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdatg")
+    ref_none = spark.createDataFrame([(99, "zzz")], "doc_id long, text string")
+    ref_all = spark.createDataFrame(
+        [(0, "only document text")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "only document text")], "doc_id long, text string")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    mk = lambda: spark.readStream.schema(  # noqa: E731
+        "doc_id long, text string").parquet(src)
+
+    # (a) legacy non-partitioned table with the same name -> typed refusal
+    legacy = "sdat_legacy_plain"
+    spark.sql(f"DROP TABLE IF EXISTS {legacy}")
+    import shutil
+    shutil.rmtree(f"/root/repo/spark-warehouse/{legacy}", ignore_errors=True)
+    batch.withColumn("__batch_id", F.lit(0)).write.saveAsTable(legacy)
+    try:
+        q = stream_dedup_against(
+            mk(), "text", "doc_id", checkpoint=str(tmp / "ca"),
+            sink_table=legacy, reference=ref_none)
+        with _pytest.raises(Exception, match="not.*partitioned by __batch_id"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+        assert spark.table(legacy).count() == 1  # untouched, not truncated
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {legacy}")
+
+    # (b) batch 0 writes a row; "replay" under a fresh checkpoint with a
+    # reference that now matches everything -> recomputed output is empty
+    # -> the old partition must be cleared
+    table = "sdat_empty_replay"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"/root/repo/spark-warehouse/{table}", ignore_errors=True)
+    try:
+        q1 = stream_dedup_against(
+            mk(), "text", "doc_id", checkpoint=str(tmp / "c1"),
+            sink_table=table, reference=ref_none)
+        q1.awaitTermination(120)
+        assert spark.table(table).count() == 1  # novel vs ref_none
+        q2 = stream_dedup_against(
+            mk(), "text", "doc_id", checkpoint=str(tmp / "c2"),
+            sink_table=table, reference=ref_all)
+        q2.awaitTermination(120)
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).count() == 0  # stale batch-0 rows cleared
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
