@@ -1667,16 +1667,19 @@ def q_dedup_simhash_pairs(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
+    # max_doc_freq=5 deliberately BITES at gate scale (sf0.01 has shingles
+    # in up to 7 distinct sets) so the driver hash-verifies the capped
+    # candidate generation, not just the uncapped fast case
     return _s(spark, sf).dataset("documents").dedup_ngram_jaccard(
-        text="text", id_col="doc_id", threshold=0.3).df
+        text="text", id_col="doc_id", threshold=0.3, max_doc_freq=5).df
 
 
 def q_ngram_containment(spark, sf):
     """Asymmetric containment pairs (round 6): |A∩B|/|A| both ways over
     inverted-index candidates — catches short-doc-inside-long-doc cases
-    symmetric Jaccard misses."""
+    symmetric Jaccard misses. Round 7: posting df cap exercised (=5)."""
     return _s(spark, sf).dataset("documents").ngram_containment(
-        text="text", id_col="doc_id", threshold=0.5).df
+        text="text", id_col="doc_id", threshold=0.5, max_doc_freq=5).df
 
 
 def q_embedding_join_ivf(spark, sf):
@@ -3604,10 +3607,18 @@ ranked AS (
             "SELECT ida AS ID_A, idb AS ID_B, CAST(bit_count(xor(sa, sb)) AS INT) AS HAMMING "
             "FROM cand WHERE bit_count(xor(sa, sb)) <= 2"
         ),
+        # max_doc_freq cap (round 7): df per shingle counts DISTINCT shingle
+        # sets (list_sort(s) as the set key — the oracle-side mirror of the
+        # md5 set fingerprint); postings over the cap drop BEFORE the
+        # candidate self-join, exactly as _capped_postings does in Spark.
         "dedup_ngram_jaccard": (
             f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
             f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
-            "inv AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "dfq AS (SELECT g, COUNT(DISTINCT k) AS c FROM "
+            "(SELECT list_sort(s) AS k, unnest(s) AS g FROM sh) GROUP BY g), "
+            "inv AS (SELECT i.doc_id, i.g FROM "
+            "(SELECT doc_id, unnest(s) AS g FROM sh) i "
+            "JOIN dfq ON dfq.g = i.g WHERE dfq.c <= 5), "
             "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
             "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id), "
             f"pairs AS (SELECT c.ida, c.idb, {jacc} AS j FROM cand c "
@@ -3618,7 +3629,11 @@ ranked AS (
         "ngram_containment": (
             f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
             f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
-            "inv AS (SELECT doc_id, unnest(s) AS g FROM sh), "
+            "dfq AS (SELECT g, COUNT(DISTINCT k) AS c FROM "
+            "(SELECT list_sort(s) AS k, unnest(s) AS g FROM sh) GROUP BY g), "
+            "inv AS (SELECT i.doc_id, i.g FROM "
+            "(SELECT doc_id, unnest(s) AS g FROM sh) i "
+            "JOIN dfq ON dfq.g = i.g WHERE dfq.c <= 5), "
             "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
             "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id), "
             "pairs AS (SELECT c.ida, c.idb, "

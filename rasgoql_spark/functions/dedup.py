@@ -166,8 +166,25 @@ def _expand_collapsed(
     intra_score: Column,
     keep,
     has_dups: bool = True,
+    require_ne: bool = False,
+    live_reps: DataFrame | None = None,
 ) -> DataFrame:
     """Expand representative-level LSH pairs back to member level.
+
+    ``require_ne``: exclude intra-group pairs (and star edges) of
+    EMPTY-signature groups. For inverted-index candidate generation an
+    empty shingle set owns no posting, so the plain path can never pair
+    two empty docs — the collapse path must not either, even when a
+    degenerate ``threshold <= 0`` lets a 0.0 intra score through ``keep``.
+    (MinHash is different: empty docs share the sentinel signature and DO
+    band-collide on the plain path, so its call site leaves this False.)
+
+    ``live_reps``: optional one-column ``(__rep)`` frame restricting intra
+    pairs / star edges to groups with at least one SURVIVING posting under
+    a document-frequency cap (see ``_capped_postings``) — the collapse
+    path's mirror of the plain path's "a pair needs a shared live posting"
+    rule. Cross-group pairs need no filter: they only exist because a live
+    posting joined them.
 
     ``has_dups=False`` (the guarded-collapse fast path — every group is a
     singleton, so reps ARE the members) skips the expansion joins entirely:
@@ -194,9 +211,12 @@ def _expand_collapsed(
         raise ParameterException("mode must be 'pairs', 'filter', or 'edges'")
     if not has_dups:
         return rep_pairs if mode == "pairs" else rep_pairs.select("ID_A", "ID_B")
+    imembers = members.filter(F.col("__ne")) if require_ne else members
+    if live_reps is not None:
+        imembers = imembers.join(live_reps, on="__rep", how="left_semi")
     if mode in ("edges", "filter"):
         star = (
-            members.filter(F.col("__id") != F.col("__rep"))
+            imembers.filter(F.col("__id") != F.col("__rep"))
             .filter(keep(intra_score))
             .select(F.col("__rep").alias("ID_A"), F.col("__id").alias("ID_B"))
         )
@@ -212,8 +232,8 @@ def _expand_collapsed(
             score_col,
         )
     )
-    m1 = members.select("__rep", "__ne", F.col("__id").alias("__xa"))
-    m2 = members.select("__rep", F.col("__id").alias("__xb"))
+    m1 = imembers.select("__rep", "__ne", F.col("__id").alias("__xa"))
+    m2 = imembers.select("__rep", F.col("__id").alias("__xb"))
     intra = (
         m1.join(m2, on="__rep")
         .filter(F.col("__xa") < F.col("__xb"))
@@ -222,6 +242,53 @@ def _expand_collapsed(
         .select(F.col("__xa").alias("ID_A"), F.col("__xb").alias("ID_B"), score_col)
     )
     return cross.unionByName(intra)
+
+
+def _capped_postings(
+    rep_base: DataFrame, max_doc_freq: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Slim ``(__id, __s)`` inverted-index postings for the candidate
+    self-join, optionally capped by shingle document frequency.
+
+    The uncapped inverted index is the scale-killer of exact n-gram dedup:
+    a shingle shared by ``df`` DISTINCT documents ("terms of service",
+    boilerplate sentences the exact-dup collapse cannot merge) makes the
+    posting self-join emit O(df²) candidate pairs. ``max_doc_freq`` drops
+    postings whose shingle appears in more than that many distinct shingle
+    SETS before the join, bounding any single posting's contribution to
+    C(cap, 2). Recall contract: a pair is missed only if EVERY shingle the
+    two documents share is ultra-common (df > cap) — exactly the pairs
+    whose evidence is pure boilerplate.
+
+    df counts DISTINCT shingle sets (via the set fingerprint), not raw
+    rows, so the plain path (residual exact duplicates ≤ COLLAPSE_MIN_GROUP
+    still present) and the collapse path (one representative per set) see
+    the SAME frequencies and produce identical results; the DuckDB oracle
+    mirrors the distinct-set count. Returns ``(postings, live_reps)`` where
+    ``live_reps`` is the one-column set of ids that still own ≥1 posting —
+    ``None`` when uncapped (then "live" == "non-empty", already tracked by
+    ``__ne``). The df aggregate and the filter join both key on the shingle,
+    the same key as the downstream self-join, so the extra step rides the
+    exchange the join needs anyway.
+    """
+    inv = rep_base.select("__id", F.explode("__sh").alias("__s"))
+    if max_doc_freq is None:
+        return inv, None
+    if max_doc_freq < 1:
+        raise ParameterException("max_doc_freq must be >= 1 (or None)")
+    fp = F.md5(F.concat_ws("\x1f", F.array_sort("__sh")))
+    inv_fp = rep_base.select(
+        fp.alias("__fp"), "__id", F.explode("__sh").alias("__s")
+    )
+    dfreq = (
+        inv_fp.groupBy("__s")
+        .agg(F.countDistinct("__fp").alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("__s")
+    )
+    capped = inv_fp.join(dfreq, on="__s").select("__id", "__s")
+    live = capped.select(F.col("__id").alias("__rep")).distinct()
+    return capped, live
 
 
 @spark_transform("dedup_minhash", category="dedup", streaming_ok=False)
@@ -339,6 +406,7 @@ def ngram_containment(
     id_col: str,
     shingle_size: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection by shingle CONTAINMENT
     (|A∩B|/|A| — public measure, Broder 1997): finds documents largely
@@ -361,7 +429,9 @@ def ngram_containment(
     candidate shuffle, and exact containment is computed on surviving
     candidates alone. Exact but shuffle-heavier than sketch methods —
     same documented trade as dedup_ngram_jaccard (prefer sketches beyond
-    ~10^8 docs).
+    ~10^8 docs). ``max_doc_freq`` caps posting document frequency exactly
+    as in dedup_ngram_jaccard (see ``_capped_postings`` for the recall
+    contract); ``None`` disables the cap.
     """
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     cached_sig, has_dups, caches = _annotate_groups(
@@ -373,7 +443,7 @@ def ngram_containment(
         probe_key=F.hash(F.array_sort("__sh")),
     )
     rep_sig = cached_sig.filter(F.col("__id") == F.col("__rep"))
-    inv = rep_sig.select("__id", F.explode("__sh").alias("__s"))
+    inv, live = _capped_postings(rep_sig, max_doc_freq)
     left = inv.select(F.col("__id").alias("__id_a"), "__s")
     right = inv.select(F.col("__id").alias("__id_b"), "__s")
     cand_ids = (
@@ -407,8 +477,11 @@ def ngram_containment(
     # expansion back to member level (two score columns, so the shared
     # _expand_collapsed doesn't apply): cross-group pairs inherit the rep
     # pair's containments, SWAPPED when id normalization flips which
-    # group holds the smaller member id; same-group pairs have identical
-    # sets — containment 1.0 both ways (0.0 for the empty-set group)
+    # group holds the smaller member id. Same-group pairs have identical
+    # sets — containment 1.0 both ways — and are emitted only for groups
+    # the plain path could pair: non-empty (an empty set owns no posting,
+    # so empty dups never meet even at threshold <= 0) and, under
+    # max_doc_freq, still owning >= 1 surviving posting.
     members = cached_sig.select("__id", "__rep", "__ne")
     ma = members.select(F.col("__rep").alias("ID_A"), F.col("__id").alias("__xa"))
     mb = members.select(F.col("__rep").alias("ID_B"), F.col("__id").alias("__xb"))
@@ -423,9 +496,12 @@ def ngram_containment(
             F.when(flip, F.col("CONT_A_IN_B")).otherwise(F.col("CONT_B_IN_A")).alias("CONT_B_IN_A"),
         )
     )
-    intra_score = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
-    m1 = members.select("__rep", "__ne", F.col("__id").alias("__xa"))
-    m2 = members.select("__rep", F.col("__id").alias("__xb"))
+    imembers = members.filter(F.col("__ne"))
+    if live is not None:
+        imembers = imembers.join(live, on="__rep", how="left_semi")
+    intra_score = F.lit(1.0)
+    m1 = imembers.select("__rep", F.col("__id").alias("__xa"))
+    m2 = imembers.select("__rep", F.col("__id").alias("__xb"))
     intra = (
         m1.join(m2, on="__rep")
         .filter(F.col("__xa") < F.col("__xb"))
@@ -636,6 +712,7 @@ def dedup_ngram_jaccard(
     shingle_size: int = 3,
     threshold: float = 0.5,
     mode: str = "pairs",
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs via inverted-index candidate
     generation: explode shingles, self-join on shingle, dedup candidate
@@ -647,7 +724,15 @@ def dedup_ngram_jaccard(
     self-join runs over one representative per distinct shingle SET
     (identical sets ⇒ Jaccard exactly 1.0, expanded back afterwards) —
     a 100k-copy page contributes ONE doc to each posting list instead of
-    turning every one of its shingles into a 100k-deep hot posting."""
+    turning every one of its shingles into a 100k-deep hot posting.
+
+    ``max_doc_freq`` caps the OTHER skew source the collapse cannot touch:
+    a shingle shared by many DISTINCT documents (common phrases,
+    boilerplate) whose posting self-join is O(df²). Postings with df >
+    ``max_doc_freq`` distinct shingle sets are dropped before the join
+    (see ``_capped_postings``); a pair is then missed only if every
+    shingle it shares is that common. ``None`` disables the cap (exact,
+    unbounded)."""
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     base, has_dups, caches = _annotate_groups(
         spread(df)
@@ -662,7 +747,7 @@ def dedup_ngram_jaccard(
     rep_base = base.filter(F.col("__id") == F.col("__rep"))
     # slim inverted index: only (id, shingle) shuffles; arrays attach to
     # surviving candidate pairs afterwards (see dedup_minhash note)
-    inv = rep_base.select("__id", F.explode("__sh").alias("__s"))
+    inv, live = _capped_postings(rep_base, max_doc_freq)
     left = inv.select(F.col("__id").alias("__id_a"), "__s")
     right = inv.select(F.col("__id").alias("__id_b"), "__s")
     cand_ids = (
@@ -688,7 +773,7 @@ def dedup_ngram_jaccard(
     intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
     out = _expand_collapsed(
         rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold,
-        has_dups=has_dups,
+        has_dups=has_dups, require_ne=True, live_reps=live,
     )
     return release_with(out, *caches)
 
