@@ -1697,8 +1697,8 @@ def q_embedding_join_ivf(spark, sf):
         filter_statements=["vec_id >= 400", "vec_id < 450"])
     right = s.dataset("embeddings").filter(filter_statements=["vec_id < 400"])
     ivf = left.embedding_join_ivf(
-        vec_col="embedding", id_col="vec_id", other=right, k=2,
-        num_centroids=8, nprobe=4).df.select("vec_id", "MATCH_ID")
+        vec_col="embedding", id_col="vec_id", other=right, k=2).df.select(
+        "vec_id", "MATCH_ID")  # round 7: auto-sized (k=ceil(sqrt(n)), nprobe=ceil(sqrt(k)))
     b20 = left.embedding_join(
         other=right, vec_col="embedding", id_col="vec_id", k=20
     ).df.select(
@@ -1730,8 +1730,7 @@ def q_embedding_join_ivf_raw(spark, sf):
         filter_statements=["vec_id >= 400", "vec_id < 450"])
     right = s.dataset("embeddings").filter(filter_statements=["vec_id < 400"])
     return left.embedding_join_ivf(
-        vec_col="embedding", id_col="vec_id", other=right, k=2,
-        num_centroids=8, nprobe=4).df
+        vec_col="embedding", id_col="vec_id", other=right, k=2).df
 
 
 def q_dedup_against_embedding(spark, sf):

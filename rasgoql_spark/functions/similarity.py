@@ -152,6 +152,40 @@ def _argmax_cid(cents, nvec_col: str = "__nvec"):
 IVF_LITERAL_CENTROID_MAX = 256
 
 
+def _resolve_k(num_centroids, n: int) -> int:
+    """``num_centroids='auto'`` → ``max(8, ceil(sqrt(n)))`` — the standard
+    IVF sizing (k ≈ √n balances list length n/k against probe cost k), so
+    the index keeps its corpus×nprobe/k candidate bound as the corpus
+    grows instead of relying on a hand-tuned constant. Auto-k rides the
+    existing >``IVF_LITERAL_CENTROID_MAX`` one-row-broadcast fallback, so
+    the plan stays O(1) in k at any corpus size (√10^10 ≈ 10^5 centroids)."""
+    if isinstance(num_centroids, str):
+        if num_centroids != "auto":
+            raise ParameterException("num_centroids must be an int or 'auto'")
+        import math
+
+        return max(8, math.ceil(math.sqrt(max(n, 0))))
+    if num_centroids < 1:
+        raise ParameterException("num_centroids must be >= 1")
+    return int(num_centroids)
+
+
+def _resolve_nprobe(nprobe, k: int) -> int:
+    """``nprobe='auto'`` → ``min(k, max(4, ceil(sqrt(k))))`` — probe count
+    grows with the list count (√k keeps the probed fraction shrinking as
+    k grows while candidates-per-query ~ n^(3/4) stays sublinear); a fixed
+    nprobe with auto-k would silently shrink recall as the corpus grows."""
+    if isinstance(nprobe, str):
+        if nprobe != "auto":
+            raise ParameterException("nprobe must be an int or 'auto'")
+        import math
+
+        return min(k, max(4, math.ceil(math.sqrt(k))))
+    if nprobe < 1:
+        raise ParameterException("nprobe must be >= 1")
+    return int(nprobe)
+
+
 def _attach_centroids(df: DataFrame, cents: list):
     """Make the centroid array available to per-row expressions; returns
     ``(df, centroid_array, drop_cols)``.
@@ -216,12 +250,13 @@ def build_ivf_index(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    num_centroids: int = 16,
+    num_centroids: int | str = "auto",
     iterations: int = 1,
 ) -> DataFrame:
     """IVF inverted-list index: (id, vec, centroid_id) with k-means-lite
     centroids (deterministic seed = lowest-id vectors, ``iterations`` Lloyd
-    refinement passes).
+    refinement passes). ``num_centroids="auto"`` (default) sizes
+    k = max(8, ceil(√n)) from the corpus count — see ``_resolve_k``.
 
     100 TB design: vectors are unit-normalized ONCE (cosine becomes a plain
     dot); the k centroids are collected to the driver (k·dim floats — a
@@ -251,6 +286,12 @@ def _ivf_assign(df, vec_col, id_col, num_centroids, iterations):
     cached = _with_normalized(
         spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
     ).persist()
+    if isinstance(num_centroids, str):
+        # auto-k needs the corpus size; the count doubles as the cache
+        # materialization the seed collect would otherwise pay
+        num_centroids = _resolve_k(num_centroids, cached.count())
+    else:
+        num_centroids = _resolve_k(num_centroids, 0)
     seeds = cached.orderBy("__id").limit(num_centroids).select("__nvec").collect()
     cents = [(j, list(r["__nvec"])) for j, r in enumerate(seeds)]
     for _ in range(iterations):
@@ -284,7 +325,10 @@ class IVFIndex:
     per-query search is a broadcast probe join over the cached frame.
     ``release()`` unpersists the frame. ``n_docs`` is the corpus-size
     fingerprint (rows indexed at build/update time — the same staleness
-    contract as MinHashIndex/BloomIndex)."""
+    contract as MinHashIndex/BloomIndex). The fingerprint is a ROW COUNT
+    only: a same-size corpus with different content passes undetected
+    (documented trade — a content hash would cost a full scan per check),
+    and checking it triggers one count() on the passed frame."""
 
     def __init__(self, frame: DataFrame, centroids: list, n_docs: int | None = None):
         self.frame = frame
@@ -302,7 +346,7 @@ def ivf_index(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    num_centroids: int = 16,
+    num_centroids: int | str = "auto",
     iterations: int = 1,
 ) -> IVFIndex:
     """Build a reusable ``IVFIndex`` (see class doc). The internal frame
@@ -397,8 +441,8 @@ def embedding_join_ivf(
     other_vec: str | None = None,
     other_id: str | None = None,
     k: int = 1,
-    num_centroids: int = 16,
-    nprobe: int = 4,
+    num_centroids: int | str = "auto",
+    nprobe: int | str = "auto",
     right_prefix: str = "MATCH_",
     round_scores: int | None = 6,
     index: "IVFIndex | None" = None,
@@ -415,12 +459,24 @@ def embedding_join_ivf(
     100 TB shape: candidates form by an equi-join on CENTROID_ID — the
     corpus side carries corpus/num_centroids rows per key and the query
     side |left|·nprobe slim (id, nvec) rows, so per-left-row cost is
-    corpus × nprobe / num_centroids. ``num_centroids`` MUST grow with the
-    corpus (k ≈ sqrt(n) is the standard IVF sizing) — it is also the
-    join's key cardinality, so it sets the shuffle parallelism ceiling.
-    Above 256 centroids the probe-selection array ships as a one-row
-    broadcast (plan size O(1) in k). With a prebuilt ``index`` the
-    expensive fit is amortized across batches and ``other`` is not needed.
+    corpus × nprobe / num_centroids. ``num_centroids`` must grow with the
+    corpus; the default ``"auto"`` sizes it as max(8, ceil(√n)) — the
+    standard IVF sizing — and ``nprobe="auto"`` follows with
+    max(4, ceil(√k)), so recall does not silently shrink as the corpus
+    grows (see ``_resolve_k``/``_resolve_nprobe``). num_centroids is also
+    the join's key cardinality, so it sets the shuffle parallelism
+    ceiling; IVF list sizes are naturally imbalanced (hot centroids =
+    dense embedding regions), and the candidate join is AQE-skew-eligible
+    (no broadcast hint on the probe side — see test_plans.py). Above 256
+    centroids the probe-selection array ships as a one-row broadcast
+    (plan size O(1) in k). With a prebuilt ``index`` the expensive fit is
+    amortized across batches and ``other`` is not needed.
+
+    Matches with ``{right_prefix}ID`` equal to the left row's id are
+    excluded (and NULL ids never join) — consistent with embedding_join /
+    similarity_search's self-match rule. For cross-corpus joins where the
+    two id namespaces can coincide, remap one side's ids first (a
+    coincidentally equal right id would otherwise be dropped).
     """
     odf = other.df if hasattr(other, "df") else other
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
@@ -446,6 +502,7 @@ def embedding_join_ivf(
         ov = resolve_col(odf, other_vec or vec_col)
         oi = resolve_col(odf, other_id or id_col)
         idx, cents, cached = _ivf_assign(odf, ov, oi, num_centroids, iterations=1)
+    nprobe = _resolve_nprobe(nprobe, len(cents))
     q = _with_normalized(
         spread(df).select(F.col(i).alias("QUERY_ID"), F.col(v).alias("__qvec")),
         "__qvec", "__qnvec",
@@ -487,8 +544,8 @@ def dedup_against_embedding(
     ref_id: str | None = None,
     threshold: float = 0.9,
     method: str = "brute",
-    num_centroids: int = 16,
-    nprobe: int = 4,
+    num_centroids: int | str = "auto",
+    nprobe: int | str = "auto",
     mode: str = "filter",
     round_scores: int | None = 6,
     index: "IVFIndex | None" = None,
@@ -511,7 +568,8 @@ def dedup_against_embedding(
     per-batch cost ~ reference × nprobe / num_centroids, and with a
     prebuilt ``index`` (``ivf_index``/``load_ivf_index``, foldable with
     ``update_ivf_index``) the fit is amortized so per-batch cost is
-    independent of reference size. mode='pairs' returns
+    independent of reference size. ``num_centroids``/``nprobe`` default to
+    ``"auto"`` (√n / √k — see ``_resolve_k``). mode='pairs' returns
     ``(ID, REF_ID, COSINE)`` for matches.
 
     If both ``reference`` and ``index`` are passed, the reference row
@@ -569,6 +627,7 @@ def dedup_against_embedding(
             idx, cents, cached = _ivf_assign(
                 reference, rv, ri, num_centroids, iterations=1
             )
+        nprobe = _resolve_nprobe(nprobe, len(cents))
         q = _with_normalized(
             df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
             "__qvec", "__qn",
@@ -607,8 +666,8 @@ def similarity_search_ivf(
     id_col: str,
     query_ids,
     k: int = 10,
-    num_centroids: int = 16,
-    nprobe: int = 4,
+    num_centroids: int | str = "auto",
+    nprobe: int | str = "auto",
     round_scores: int | None = 6,
     index: "IVFIndex | None" = None,
 ) -> DataFrame:
@@ -621,6 +680,10 @@ def similarity_search_ivf(
     sort+slice over the literal centroid array (no centroid join, no
     per-query window). Output (QUERY_ID, MATCH_ID, COSINE, RANK).
 
+    ``num_centroids="auto"`` (default) sizes k = max(8, ceil(√n)) and
+    ``nprobe="auto"`` = max(4, ceil(√k)), so the index keeps its candidate
+    bound and recall as the corpus grows (see ``_resolve_k``).
+
     Pass a prebuilt ``index`` (from ``ivf_index``) to skip the build phase
     entirely — the amortized production path; results are identical to the
     inline build with the same parameters."""
@@ -628,6 +691,7 @@ def similarity_search_ivf(
         idx, cents, cached = index.frame, index.centroids, None
     else:
         idx, cents, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations=1)
+    nprobe = _resolve_nprobe(nprobe, len(cents))
     probes = _probe_lists(
         idx.filter(F.col("__id").isin(list(query_ids))).select(
             F.col("__id").alias("QUERY_ID"), F.col("__nvec").alias("__qnvec")

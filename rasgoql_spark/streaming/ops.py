@@ -607,59 +607,65 @@ def stream_dedup_against(
             # own partition — a replayed batch replaces its rows instead of
             # appending duplicates (the table analog of the path sink's
             # overwrite-into-batch-subdir)
-            tagged = out.withColumn("__batch_id", F.lit(batch_id))
-            bspark = tagged.sparkSession
-            if bspark.catalog.tableExists(sink_table):
-                # exactly-once REQUIRES the table to be partitioned by
-                # __batch_id: dynamic overwrite on a non-partitioned table
-                # (e.g. one pre-created by the user or by the old
-                # append-mode sink) silently TRUNCATES it every batch —
-                # refuse loudly instead
-                if not any(
-                    c.isPartition and c.name == "__batch_id"
-                    for c in bspark.catalog.listColumns(sink_table)
-                ):
-                    raise ParameterException(
-                        f"sink_table {sink_table!r} exists but is not "
-                        "partitioned by __batch_id — the exactly-once sink "
-                        "would overwrite the whole table every batch. "
-                        "Migrate "
-                        "the table (CTAS partitioned by __batch_id) or "
-                        "point the stream at a fresh table name"
-                    )
-                if tagged.isEmpty():
-                    # a replayed batch whose recomputed output is EMPTY
-                    # (reference/index grew between runs) must still clear
-                    # the rows it wrote last time — dynamic overwrite
-                    # writes no partitions for an empty frame
-                    bspark.sql(
-                        f"ALTER TABLE {sink_table} DROP IF EXISTS "
-                        f"PARTITION (__batch_id={batch_id})"
-                    )
+            # persist: isEmpty() and the write would otherwise each run the
+            # full clean() dedup pipeline (minhash/bloom/IVF probe), doubling
+            # per-batch latency on the streaming hot path
+            tagged = out.withColumn("__batch_id", F.lit(batch_id)).persist()
+            try:
+                bspark = tagged.sparkSession
+                if bspark.catalog.tableExists(sink_table):
+                    # exactly-once REQUIRES the table to be partitioned by
+                    # __batch_id: dynamic overwrite on a non-partitioned table
+                    # (e.g. one pre-created by the user or by the old
+                    # append-mode sink) silently TRUNCATES it every batch —
+                    # refuse loudly instead
+                    if not any(
+                        c.isPartition and c.name == "__batch_id"
+                        for c in bspark.catalog.listColumns(sink_table)
+                    ):
+                        raise ParameterException(
+                            f"sink_table {sink_table!r} exists but is not "
+                            "partitioned by __batch_id — the exactly-once sink "
+                            "would overwrite the whole table every batch. "
+                            "Migrate "
+                            "the table (CTAS partitioned by __batch_id) or "
+                            "point the stream at a fresh table name"
+                        )
+                    if tagged.isEmpty():
+                        # a replayed batch whose recomputed output is EMPTY
+                        # (reference/index grew between runs) must still clear
+                        # the rows it wrote last time — dynamic overwrite
+                        # writes no partitions for an empty frame
+                        bspark.sql(
+                            f"ALTER TABLE {sink_table} DROP IF EXISTS "
+                            f"PARTITION (__batch_id={batch_id})"
+                        )
+                    else:
+                        # session conf, not the per-writer option — insertInto
+                        # ignores the writer-level partitionOverwriteMode
+                        # (verified on 4.1: writer option wipes the whole
+                        # table); restore the previous value after the write
+                        key = "spark.sql.sources.partitionOverwriteMode"
+                        prev = bspark.conf.get(key, None)
+                        bspark.conf.set(key, "dynamic")
+                        try:
+                            tagged.write.mode("overwrite").insertInto(sink_table)
+                        finally:
+                            if prev is None:
+                                bspark.conf.unset(key)
+                            else:
+                                bspark.conf.set(key, prev)
+                    # the overwrite replaced files under the partition dir;
+                    # drop the cached file listing (in the caller's session —
+                    # the batch session is a clone whose refresh wouldn't reach
+                    # it) so readers don't hit FILE_NOT_EXIST on stale paths
+                    user_spark.catalog.refreshTable(sink_table)
                 else:
-                    # session conf, not the per-writer option — insertInto
-                    # ignores the writer-level partitionOverwriteMode
-                    # (verified on 4.1: writer option wipes the whole
-                    # table); restore the previous value after the write
-                    key = "spark.sql.sources.partitionOverwriteMode"
-                    prev = bspark.conf.get(key, None)
-                    bspark.conf.set(key, "dynamic")
-                    try:
-                        tagged.write.mode("overwrite").insertInto(sink_table)
-                    finally:
-                        if prev is None:
-                            bspark.conf.unset(key)
-                        else:
-                            bspark.conf.set(key, prev)
-                # the overwrite replaced files under the partition dir;
-                # drop the cached file listing (in the caller's session —
-                # the batch session is a clone whose refresh wouldn't reach
-                # it) so readers don't hit FILE_NOT_EXIST on stale paths
-                user_spark.catalog.refreshTable(sink_table)
-            else:
-                tagged.write.mode("overwrite").partitionBy(
-                    "__batch_id"
-                ).saveAsTable(sink_table)
+                    tagged.write.mode("overwrite").partitionBy(
+                        "__batch_id"
+                    ).saveAsTable(sink_table)
+            finally:
+                tagged.unpersist()
         else:
             # overwrite-into-batch-subdir: a replayed micro-batch replaces
             # its own directory instead of appending duplicates

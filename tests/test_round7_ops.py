@@ -114,6 +114,99 @@ def test_live_group_keeps_intra_pairs_under_cap(spark, monkeypatch):
     assert (1, 2) in _pairs(df, "ngram_containment", threshold=0.5, max_doc_freq=1)
 
 
+def test_resolve_k_and_nprobe_auto():
+    from rasgoql_spark.functions.similarity import _resolve_k, _resolve_nprobe
+
+    assert _resolve_k("auto", 500) == 23          # ceil(sqrt(500))
+    assert _resolve_k("auto", 10) == 8            # floor at 8
+    assert _resolve_k("auto", 100_000) == 317     # > 256 -> broadcast path
+    assert _resolve_k(16, 10**9) == 16            # explicit wins
+    assert _resolve_nprobe("auto", 23) == 5       # ceil(sqrt(23))
+    assert _resolve_nprobe("auto", 8) == 4        # floor at 4
+    assert _resolve_nprobe("auto", 2) == 2        # never exceeds k
+    assert _resolve_nprobe(4, 1000) == 4
+    import pytest as _pt
+
+    from rasgoql_spark.errors import ParameterException
+    with _pt.raises(ParameterException):
+        _resolve_k("australia", 10)
+    with _pt.raises(ParameterException):
+        _resolve_nprobe(0, 10)
+
+
+def test_ivf_auto_k_above_256_plan_bounded(spark):
+    """num_centroids='auto' on a 70k corpus resolves to 265 (> 256), which
+    must ride the one-row-broadcast centroid attachment: analyzed plan O(1)
+    in k, job completes, assignments span well past 256 lists."""
+    from pyspark.sql import functions as F
+
+    emb = spark.range(70_000).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 97).cast("double"),
+                (F.col("id") % 89).cast("double"),
+                (F.col("id") % 83).cast("double"),
+                F.lit(1.0)).alias("embedding"))
+    out = rql.get_transform("build_ivf_index").apply(
+        emb, vec_col="embedding", id_col="vec_id", iterations=0)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # literal path would embed one struct(c, v) per centroid -> ~265 hits
+    assert analyzed.count("named_struct") < 50, analyzed.count("named_struct")
+    dist = out.select("CENTROID_ID").distinct().count()
+    assert dist > 150, dist
+
+
+def test_ivf_candidate_join_aqe_skew_splittable(spark):
+    """Hot inverted lists (dense embedding regions) are IVF's natural skew.
+    The CENTROID_ID candidate join ships unhinted, so when sizes force a
+    shuffle join AQE's OptimizeSkewedJoin must be able to split the hot
+    list's partition — asserted via skew=true in the FINAL adaptive plan
+    over a corpus with ~95% of vectors in one dense region."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.shuffle.partitions",
+    )}
+    try:
+        # enough map partitions that the hot list's reducer stands out from
+        # the median (at 4, AQE prefers coalescing over splitting)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # simulate "probe side too big to broadcast" + scale down AQE's
+        # size thresholds to this fixture's bytes
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        corpus = spark.range(20_000).select(
+            F.col("id").alias("vec_id"),
+            F.when(F.col("id") % 20 != 0,
+                   F.array(F.lit(1.0),
+                           F.lit(0.01) * (F.col("id") % 7).cast("double"),
+                           F.lit(0.0), F.lit(0.0)))
+             .otherwise(F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0),
+                                (F.col("id") % 5).cast("double") * F.lit(0.01)))
+             .alias("embedding"))
+        queries = spark.range(100_000, 100_040).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.005), F.lit(0.0), F.lit(0.0))
+             .alias("embedding"))
+        out = rql.get_transform("embedding_join_ivf").apply(
+            queries, vec_col="embedding", id_col="vec_id", other=corpus,
+            k=1, num_centroids=8, nprobe=2)
+        rows = out.collect()  # collect (not count) finalizes THIS df's plan
+        assert len(rows) == 40
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_empty_docs_never_pair_even_at_zero_threshold(spark, monkeypatch):
     """ADVICE r6: empty shingle sets own no posting, so the plain path can
     never pair two empty docs — the collapse path must not either, even at
