@@ -43,6 +43,60 @@ def _b4_window_chain(spark, sf):
     )
 
 
+def _llm_similarity_ivf(spark, sf):
+    """Inline IVF search at the BASELINE's sizing (k=16, nprobe=4). The
+    operator default became num_centroids='auto' in round 7 (k=ceil(√n) —
+    45 at sf0.1), which trades a 2× costlier one-off fit for scale-correct
+    list sizing; the bench series pins the r4-r6 workload so the record
+    stays comparable, and llm_similarity_ivf_prebuilt below measures the
+    amortized production path (fit excluded) at the auto sizing."""
+    return entry._s(spark, sf).dataset("embeddings").similarity_search_ivf(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4],
+        k=10, num_centroids=16, nprobe=4).df
+
+
+_IVF_STATE: dict = {}
+
+
+def _llm_similarity_ivf_prebuilt(spark, sf):
+    """Search against a prebuilt auto-sized IVF index — the amortized
+    production path (ivf_index built once per bench process, searches
+    reuse it; the r6-verdict-requested entry so probe regressions are not
+    masked by inline-fit cost)."""
+    from rasgoql_spark.functions.similarity import ivf_index, similarity_search_ivf
+
+    key = ("search_idx", sf)
+    if key not in _IVF_STATE:
+        emb = entry._s(spark, sf).dataset("embeddings").df
+        _IVF_STATE[key] = ivf_index(emb, "embedding", "vec_id")
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    return similarity_search_ivf(
+        emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10,
+        index=_IVF_STATE[key])
+
+
+def _llm_update_ivf_index(spark, sf):
+    """Incremental IVF maintenance: fold a 10% batch into a prebuilt index
+    over the other 90% (assignment against existing centroids + eager
+    union materialization — no Lloyd re-fit). The base index is built once
+    per bench process; each timed run pays only the per-batch cost, which
+    is the operator's contract."""
+    from rasgoql_spark.functions.similarity import ivf_index, update_ivf_index
+
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    key = ("update_base", sf)
+    if key not in _IVF_STATE:
+        _IVF_STATE[key] = ivf_index(
+            emb.filter("vec_id % 10 != 0"), "embedding", "vec_id")
+    prev = _IVF_STATE.pop(("update_out", sf), None)
+    if prev is not None:
+        prev.release()
+    updated = update_ivf_index(
+        _IVF_STATE[key], emb.filter("vec_id % 10 = 0"), "embedding", "vec_id")
+    _IVF_STATE[("update_out", sf)] = updated
+    return updated.frame
+
+
 def _b6_encode_split(spark, sf):
     s = entry._s(spark, sf)
     return (
@@ -64,10 +118,10 @@ BENCH_QUERIES = {
     "b8_tumbling_window": entry.q_tumbling_window,
     "llm_dedup_minhash": entry.q_dedup_minhash,
     "llm_similarity_search": entry.q_similarity_search,
-    # the 100 TB-scale ANN path (brute above is the exact/oracle baseline);
-    # the _raw variant measures the IVF operator alone — the oracle-facing
-    # q_similarity_search_ivf wraps it in a brute-force verification join
-    "llm_similarity_ivf": entry.q_similarity_search_ivf_raw,
+    # the 100 TB-scale ANN path (brute above is the exact/oracle baseline):
+    # inline fit at the baseline's fixed sizing (series-comparable; the
+    # operator default is now auto — see _llm_similarity_ivf)
+    "llm_similarity_ivf": _llm_similarity_ivf,
     "llm_text_quality": entry.q_text_quality,
     # curation flagships: broadcast eval-ngram decontamination + row-local
     # PII scrub (zero-shuffle regex path)
@@ -86,6 +140,11 @@ BENCH_QUERIES = {
     # fit + nprobe inverted-list probe per left row)
     "llm_ngram_containment": entry.q_ngram_containment,
     "llm_embedding_join_ivf": entry.q_embedding_join_ivf_raw,
+    # round-7 additions: the amortized ANN search path (fit excluded) and
+    # the incremental family flagships (VERDICT r6 items 3 + 7)
+    "llm_similarity_ivf_prebuilt": _llm_similarity_ivf_prebuilt,
+    "llm_update_ivf_index": _llm_update_ivf_index,
+    "llm_dedup_against_embedding": entry.q_dedup_against_embedding,
 }
 
 

@@ -649,7 +649,8 @@ def dedup_simhash(
     3 collides on ≥1 byte-band. Verification = bit_count(xor) ≤ threshold.
     mode='pairs' → (ID_A, ID_B, HAMMING); mode='signatures' → per-doc
     (id, SIMHASH); mode='edges' → connectivity-preserving (ID_A, ID_B)
-    (see ``_expand_collapsed``).
+    (see ``_expand_collapsed``); mode='filter' → input rows minus any doc
+    within the Hamming threshold of a smaller id.
 
     Skew note: docs sharing a 32-bit signature (every exact duplicate, plus
     genuine hamming-0 neighbors) would collide on all 4 bands; the band
@@ -701,6 +702,10 @@ def dedup_simhash(
         F.lit(0).cast("integer"), lambda c: c <= hamming_threshold,
         has_dups=has_dups,
     )
+    if mode == "filter":
+        # r7 fix: same fell-through-to-edges bug as dedup_ngram_jaccard
+        dupes = out.select(F.col("ID_B").alias(i)).distinct()
+        return release_with(df.join(dupes, on=i, how="left_anti"), *caches)
     return release_with(out, *caches)
 
 
@@ -775,7 +780,102 @@ def dedup_ngram_jaccard(
         rep_pairs, members, mode, "JACCARD", intra, lambda c: c >= threshold,
         has_dups=has_dups, require_ne=True, live_reps=live,
     )
+    if mode == "filter":
+        # r7 fix: mode='filter' previously fell through and returned the
+        # EDGE LIST instead of the filtered rows (only dedup_minhash had
+        # the anti-join conversion)
+        dupes = out.select(F.col("ID_B").alias(i)).distinct()
+        return release_with(df.join(dupes, on=i, how="left_anti"), *caches)
     return release_with(out, *caches)
+
+
+def _inverted_cand_sql(source, text, id_col, shingle_size, max_doc_freq):
+    """Spark-SQL rendering of the capped inverted-index candidate pipeline
+    shared by the dedup_ngram_jaccard / ngram_containment renderers:
+    returns ``(shingle_table_sql, candidate_pairs_sql)``. Renders the PLAIN
+    path — the exact-dup collapse is a result-preserving optimization, and
+    the df cap counts DISTINCT shingle sets (COUNT(DISTINCT array_sort)),
+    so the rendered SQL reproduces the executed results exactly."""
+    from .curation import _shingles_spark_sql
+    from .text import _tokens_sql
+
+    sh_tbl = (
+        f"(SELECT __id, {_shingles_spark_sql('__t', shingle_size)} AS __sh "
+        f"FROM (SELECT {id_col} AS __id, {_tokens_sql(text)} AS __t "
+        f"FROM {source}))"
+    )
+    inv0 = f"(SELECT __id, array_sort(__sh) AS __ss, explode(__sh) AS __s FROM {sh_tbl})"
+    if max_doc_freq is None:
+        inv = f"(SELECT __id, __s FROM {inv0})"
+    else:
+        live = (
+            f"(SELECT __s FROM (SELECT __s, COUNT(DISTINCT __ss) AS __df "
+            f"FROM {inv0} GROUP BY __s) WHERE __df <= {int(max_doc_freq)})"
+        )
+        inv = (
+            f"(SELECT i.__id, i.__s FROM {inv0} i JOIN {live} l ON i.__s = l.__s)"
+        )
+    cand = (
+        f"(SELECT DISTINCT a.__id AS __ida, b.__id AS __idb FROM {inv} a "
+        f"JOIN {inv} b ON a.__s = b.__s AND a.__id < b.__id)"
+    )
+    return sh_tbl, cand
+
+
+@renderer("dedup_ngram_jaccard")
+def _r_dedup_ngram_jaccard(
+    source, text, id_col, shingle_size=3, threshold=0.5, mode="pairs",
+    max_doc_freq=1000,
+) -> str:
+    from ..errors import TransformRenderingException
+
+    if mode not in ("pairs", "filter"):
+        raise TransformRenderingException(
+            "dedup_ngram_jaccard renders for mode='pairs'/'filter' only "
+            "(edges is a multi-stage connectivity artifact)"
+        )
+    sh_tbl, cand = _inverted_cand_sql(source, text, id_col, shingle_size, max_doc_freq)
+    un = "size(array_union(sa.__sh, sb.__sh))"
+    jac = (
+        f"CASE WHEN {un} > 0 THEN "
+        f"CAST(size(array_intersect(sa.__sh, sb.__sh)) AS DOUBLE) / {un} "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    pairs = (
+        f"SELECT __ida AS ID_A, __idb AS ID_B, JACCARD FROM "
+        f"(SELECT c.__ida, c.__idb, {jac} AS JACCARD FROM {cand} c "
+        f"JOIN {sh_tbl} sa ON sa.__id = c.__ida "
+        f"JOIN {sh_tbl} sb ON sb.__id = c.__idb) WHERE JACCARD >= {threshold}"
+    )
+    if mode == "pairs":
+        return pairs
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN ({pairs}) p "
+        f"ON s.{id_col} = p.ID_B"
+    )
+
+
+@renderer("ngram_containment")
+def _r_ngram_containment(
+    source, text, id_col, shingle_size=3, threshold=0.5, max_doc_freq=1000
+) -> str:
+    sh_tbl, cand = _inverted_cand_sql(source, text, id_col, shingle_size, max_doc_freq)
+
+    def cont(denom):
+        return (
+            f"CASE WHEN size({denom}.__sh) > 0 THEN "
+            f"CAST(size(array_intersect(sa.__sh, sb.__sh)) AS DOUBLE) / "
+            f"size({denom}.__sh) ELSE CAST(0.0 AS DOUBLE) END"
+        )
+
+    return (
+        f"SELECT __ida AS ID_A, __idb AS ID_B, CONT_A_IN_B, CONT_B_IN_A FROM "
+        f"(SELECT c.__ida, c.__idb, {cont('sa')} AS CONT_A_IN_B, "
+        f"{cont('sb')} AS CONT_B_IN_A FROM {cand} c "
+        f"JOIN {sh_tbl} sa ON sa.__id = c.__ida "
+        f"JOIN {sh_tbl} sb ON sb.__id = c.__idb) "
+        f"WHERE greatest(CONT_A_IN_B, CONT_B_IN_A) >= {threshold}"
+    )
 
 
 def _hyperplane_sign(vec: Column, j: int) -> Column:

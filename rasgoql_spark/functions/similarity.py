@@ -659,6 +659,59 @@ def dedup_against_embedding(
     return out if cached is None else release_with(out, cached)
 
 
+def _nvec_subquery_sql(table, id_expr, vec_expr, id_alias, vec_alias) -> str:
+    """Spark-SQL rendering of _with_normalized over one side: stages the
+    norm in its own column (referenced twice — same double-accumulation
+    order as the DataFrame fold, so parity is bit-exact)."""
+    norm = (
+        f"sqrt(aggregate(transform(__v, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return (
+        f"(SELECT {id_alias}, CASE WHEN __n > 0 THEN "
+        f"transform(__v, x -> CAST(x AS DOUBLE) / __n) "
+        f"ELSE transform(__v, x -> CAST(0.0 AS DOUBLE)) END AS {vec_alias} "
+        f"FROM (SELECT {id_expr} AS {id_alias}, {vec_expr} AS __v, "
+        f"{norm} AS __n FROM {table}))"
+    )
+
+
+@renderer("dedup_against_embedding")
+def _r_dedup_against_embedding(
+    source, vec_col, id_col, reference=None, ref_vec=None, ref_id=None,
+    threshold=0.9, method="brute", num_centroids="auto", nprobe="auto",
+    mode="filter", round_scores=6, index=None,
+) -> str:
+    from ..errors import TransformRenderingException
+
+    if method != "brute" or index is not None or reference is None:
+        raise TransformRenderingException(
+            "dedup_against_embedding is SQL-renderable only for "
+            "method='brute' with a reference table (the IVF path is a "
+            "multi-stage fit + probe join)"
+        )
+    q = _nvec_subquery_sql(source, id_col, vec_col, "__qid", "__qn")
+    r = _nvec_subquery_sql(
+        reference, ref_id or id_col, ref_vec or vec_col, "__rid", "__rn"
+    )
+    dot = (
+        "aggregate(zip_with(__qn, __rn, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    cos = f"ROUND({dot}, {round_scores})" if round_scores is not None else dot
+    pairs = (
+        f"SELECT __qid AS ID, __rid AS REF_ID, __cos AS COSINE FROM "
+        f"(SELECT __qid, __rid, {cos} AS __cos FROM {r} r CROSS JOIN {q} q) "
+        f"WHERE __cos >= {threshold}"
+    )
+    if mode == "pairs":
+        return pairs
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN ({pairs}) m "
+        f"ON s.{id_col} = m.ID"
+    )
+
+
 @spark_transform("similarity_search_ivf", category="similarity", streaming_ok=False)
 def similarity_search_ivf(
     df: DataFrame,

@@ -207,6 +207,23 @@ def test_ivf_candidate_join_aqe_skew_splittable(spark):
             spark.conf.set(k, v)
 
 
+def test_filter_mode_filters_rows_not_edges(spark):
+    """r7 regression fix: dedup_ngram_jaccard / dedup_simhash mode='filter'
+    used to fall through _expand_collapsed and return the EDGE LIST; it must
+    return the input rows minus near-dups of smaller ids (dedup_minhash's
+    long-standing contract)."""
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "completely different text about engines")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for transform, kw in (("dedup_ngram_jaccard", {"threshold": 0.5}),
+                          ("dedup_simhash", {"hamming_threshold": 0})):
+        out = rql.get_transform(transform).apply(
+            df, text="text", id_col="doc_id", mode="filter", **kw)
+        assert set(out.columns) == {"doc_id", "text"}, transform
+        assert {r["doc_id"] for r in out.collect()} == {1, 3}, transform
+
+
 def test_empty_docs_never_pair_even_at_zero_threshold(spark, monkeypatch):
     """ADVICE r6: empty shingle sets own no posting, so the plain path can
     never pair two empty docs — the collapse path must not either, even at

@@ -216,6 +216,25 @@ CHAIN_CASES = [
     ("dedup_url_flag", lambda s: s.dataset("documents")
         .apply(sql=_URL_SYNTH)
         .dedup_url(url="url", id_col="doc_id", mode="flag")),
+    # round-7 renderers: capped inverted-index dedup + brute embedding dedup
+    ("ngram_containment", lambda s: s.dataset("documents").ngram_containment(
+        text="text", id_col="doc_id", threshold=0.5, max_doc_freq=5)),
+    ("dedup_ngram_jaccard", lambda s: s.dataset("documents")
+        .dedup_ngram_jaccard(text="text", id_col="doc_id", threshold=0.3,
+                             max_doc_freq=5)),
+    ("dedup_ngram_jaccard_filter", lambda s: s.dataset("documents")
+        .dedup_ngram_jaccard(text="text", id_col="doc_id", threshold=0.3,
+                             mode="filter")),
+    ("dedup_against_embedding_pairs", lambda s: s.dataset("embeddings")
+        .dedup_against_embedding(
+            vec_col="embedding", id_col="vec_id", threshold=0.35, mode="pairs",
+            reference=s.dataset("embeddings").filter(
+                filter_statements=["vec_id < 100"]))),
+    ("dedup_against_embedding_filter", lambda s: s.dataset("embeddings")
+        .dedup_against_embedding(
+            vec_col="embedding", id_col="vec_id", threshold=0.35,
+            reference=s.dataset("embeddings").filter(
+                filter_statements=["vec_id < 100"]))),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
@@ -235,7 +254,7 @@ _URL_SYNTH = (
 )
 
 _ALL_TABLES = ("region nation customer supplier part orders lineitem "
-               "events documents").split()
+               "events documents embeddings").split()
 
 
 @pytest.mark.parametrize(
