@@ -3893,78 +3893,26 @@ ranked AS (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING NOTE (round 6): the driver hash-checks only the FIRST 50
-    # entries each round. Rotation policy: NEW never-driver-verified
-    # entries first, then entries whose IMPLEMENTATION changed this round,
-    # then the entries whose last DRIVER verification is oldest. Round 6
-    # added 5 entries (ngram_containment, dedup_against_embedding,
-    # embedding_join_ivf, update_ivf_index, importance_sample) and changed the kmeans/semantic_dedup assignment
-    # path (broadcast-centroid fallback above 256 centroids) plus
-    # dedup_against's exact-branch validation — those 8 lead the gate,
-    # followed by the 6 displaced round-1 window/ordering entries, the
-    # full 33-entry round-2 block, and the 3 oldest round-3 entries.
-    # Below the fold: remaining entries by ascending last-driver-verified
-    # round (rest of r3, then r4, then r5). Round 7 should front the
-    # remaining 37 r3 entries plus the oldest r4 block. All 178 entries
-    # pass tools/oracle_check.py locally.
+    # ORDERING NOTE (round 7): the driver hash-checks only the FIRST 50
+    # entries each round. Rotation policy: entries whose IMPLEMENTATION
+    # changed this round first (posting-cap + filter-mode fix in the
+    # ngram/simhash dedup family; IVF auto sizing in the similarity
+    # family), then the stalest entries by last DRIVER verification:
+    # the full remaining r3 block, then the oldest r4 entries to fill
+    # 50. After r7 the union's oldest entries are the remaining r4
+    # block (34) — round 8 should front those plus the oldest r5
+    # entries. All 178 entries pass tools/oracle_check.py locally.
     return {
-        # --- front-50: NEW in round 6 (never driver-verified) ---
+        # --- front-50: implementation changed in round 7 ---
         "ngram_containment": q_ngram_containment,
-        "dedup_against_embedding": q_dedup_against_embedding,
-        "importance_sample": q_importance_sample,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_sig": q_dedup_simhash_sig,
+        "similarity_search_ivf": q_similarity_search_ivf,
         "embedding_join_ivf": q_embedding_join_ivf,
+        "dedup_against_embedding": q_dedup_against_embedding,
         "update_ivf_index": q_update_ivf_index,
-        # --- front-50: implementation changed in round 6 ---
-        "kmeans_cluster": q_kmeans_cluster,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_against": q_dedup_against,
-        # --- front-50: last driver-verified round 1 (stalest) ---
-        "moving_avg": q_moving_avg,
-        "rolling_agg": q_rolling_agg,
-        "rolling_agg_range": q_rolling_agg_range,
-        "cumulative_agg": q_cumulative_agg,
-        "order": q_order,
-        "rank": q_rank,
-        # --- front-50: last driver-verified round 2 ---
-        "text_quality": q_text_quality,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
-        "approx_distinct": q_approx_distinct,
-        "train_test_split": q_train_test_split,
-        "impute_mean": q_impute_mean,
-        "impute_mode": q_impute_mode,
-        "join_full": q_join_full,
-        "grouping_sets": q_grouping_sets,
-        "rsi": q_rsi,
-        "sliding_slope": q_sliding_slope,
-        "pivot": q_pivot,
-        "unpivot": q_unpivot,
-        "union": q_union,
-        "intersect": q_intersect,
-        "except": q_except,
-        "datespine": q_datespine,
-        "datespine_groups": q_datespine_groups,
-        "funnel": q_funnel,
-        "market_basket": q_market_basket,
-        "histogram": q_histogram,
-        "heatmap": q_heatmap,
-        "sankey": q_sankey,
-        "one_hot_encode": q_one_hot_encode,
-        "label_encode": q_label_encode,
-        "target_encode": q_target_encode,
-        "min_max_scaler": q_min_max_scaler,
-        "min_max_scaler_grouped": q_min_max_scaler_grouped,
-        "standard_scaler": q_standard_scaler,
-        "winsorize": q_winsorize,
-        "quantiles": q_quantiles,
-        "bin": q_bin,
-        "levenshtein": q_levenshtein,
-        # --- front-50: oldest last-driver-verified round 3 ---
-        "pii_scrub": q_pii_scrub,
-        "repetition_stats": q_repetition_stats,
-        "decontaminate": q_decontaminate,
-        # ---- fold: entries below reached only if the driver checks >50 ----
-        # --- remaining, ascending last-driver-verified round ---
+        # --- front-50: last driver-verified round 3 (stalest) ---
         "shuffle_deterministic": q_shuffle_deterministic,
         "ngram_counts": q_ngram_counts,
         "remove_boilerplate": q_remove_boilerplate,
@@ -3977,13 +3925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "text_chunk": q_text_chunk,
         "pack_sequences": q_pack_sequences,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "image_meta_stub": q_image_meta_stub,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_filter": q_dedup_minhash_filter,
-        "dedup_simhash_sig": q_dedup_simhash_sig,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "image_meta": q_image_meta,
+        "token_count_ws": q_token_count_ws,
         "token_count_bpe": q_token_count_bpe,
         "token_count_bpe_real": q_token_count_bpe_real,
         "bpe_encode": q_bpe_encode,
@@ -3997,24 +3941,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "dedup_url": q_dedup_url,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_filter": q_dedup_minhash_filter,
         "dedup_embedding": q_dedup_embedding,
         "similarity_search": q_similarity_search,
         "knn_classify": q_knn_classify,
         "binary_meta": q_binary_meta,
-        "token_count_ws": q_token_count_ws,
-        "extract_urls": q_extract_urls,
-        "quantize_embeddings": q_quantize_embeddings,
-        "stream_sessionize_batch": q_stream_sessionize_batch,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "similarity_search_lsh": q_similarity_search_lsh,
-        "similarity_search_ivf": q_similarity_search_ivf,
-        "frame_sample_stub": q_frame_sample_stub,
+        # --- front-50: oldest last-driver-verified round 4 ---
         "sessionize": q_sessionize,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "session_window": q_session_window,
         "stream_dedup_batch": q_stream_dedup_batch,
         "stream_join_batch": q_stream_join_batch,
+        "extract_urls": q_extract_urls,
+        "quantize_embeddings": q_quantize_embeddings,
+        # ---- fold: entries below reached only if the driver checks >50 ----
+        # --- remaining round 4 ---
+        "stream_sessionize_batch": q_stream_sessionize_batch,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "similarity_search_lsh": q_similarity_search_lsh,
+        "frame_sample_stub": q_frame_sample_stub,
         "winnow_fingerprint": q_winnow_fingerprint,
         "skew_report": q_skew_report,
         "text_normalize": q_text_normalize,
@@ -4045,12 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "json_flatten": q_json_flatten,
         "feature_hash": q_feature_hash,
-        "fuzzy_join": q_fuzzy_join,
-        "pagerank": q_pagerank,
-        "diff_datasets": q_diff_datasets,
-        "dedup_against_minhash": q_dedup_against_minhash,
-        "pseudonymize": q_pseudonymize,
-        "frame_sample_gif": q_frame_sample_gif,
+        # --- last driver-verified round 5 ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
         "join_agg": q_join_agg,
@@ -4093,4 +4035,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "ntile": q_ntile,
         "lag_lead": q_lag_lead,
+        "fuzzy_join": q_fuzzy_join,
+        "pagerank": q_pagerank,
+        "diff_datasets": q_diff_datasets,
+        "dedup_against_minhash": q_dedup_against_minhash,
+        "pseudonymize": q_pseudonymize,
+        "frame_sample_gif": q_frame_sample_gif,
+        # --- last driver-verified round 6 ---
+        "moving_avg": q_moving_avg,
+        "rolling_agg": q_rolling_agg,
+        "rolling_agg_range": q_rolling_agg_range,
+        "cumulative_agg": q_cumulative_agg,
+        "order": q_order,
+        "rank": q_rank,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "approx_distinct": q_approx_distinct,
+        "train_test_split": q_train_test_split,
+        "impute_mean": q_impute_mean,
+        "impute_mode": q_impute_mode,
+        "join_full": q_join_full,
+        "grouping_sets": q_grouping_sets,
+        "rsi": q_rsi,
+        "sliding_slope": q_sliding_slope,
+        "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "union": q_union,
+        "intersect": q_intersect,
+        "except": q_except,
+        "datespine": q_datespine,
+        "datespine_groups": q_datespine_groups,
+        "funnel": q_funnel,
+        "market_basket": q_market_basket,
+        "histogram": q_histogram,
+        "heatmap": q_heatmap,
+        "sankey": q_sankey,
+        "one_hot_encode": q_one_hot_encode,
+        "label_encode": q_label_encode,
+        "target_encode": q_target_encode,
+        "min_max_scaler": q_min_max_scaler,
+        "min_max_scaler_grouped": q_min_max_scaler_grouped,
+        "standard_scaler": q_standard_scaler,
+        "winsorize": q_winsorize,
+        "quantiles": q_quantiles,
+        "bin": q_bin,
+        "levenshtein": q_levenshtein,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "kmeans_cluster": q_kmeans_cluster,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_against": q_dedup_against,
+        "importance_sample": q_importance_sample,
     }

@@ -125,20 +125,24 @@ def test_scoped_caches_released_on_gc(spark, session):
 
     sc = spark.sparkContext
 
-    def settled_count():
+    def settled_count(target=None):
         # finalizer-driven unpersists (release_with weakrefs from THIS and
         # earlier tests) may need more than one collection round to drain —
         # generations, resurrection queues, and the JVM-side async unpersist
-        # all add latency. Settle: collect until the count stops moving.
+        # all add latency (seconds, when the machine is loaded). Settle:
+        # collect until the count stops moving, or — when the expected
+        # value is known — until it reaches that target or a deadline.
         prev = -1
-        for _ in range(6):
+        deadline = time.time() + 15.0
+        while True:
             gc.collect()
             cur = len(sc._jsc.getPersistentRDDs())
-            if cur == prev:
+            if cur == target or (target is None and cur == prev):
+                return cur
+            if time.time() > deadline:
                 return cur
             prev = cur
             time.sleep(0.2)
-        return prev
 
     before = settled_count()
     docs = session.dataset("documents").df.limit(150)
@@ -147,14 +151,14 @@ def test_scoped_caches_released_on_gc(spark, session):
     out.count()
     assert len(sc._jsc.getPersistentRDDs()) > before  # cache active while result alive
     del out
-    assert settled_count() == before  # released with the result
+    assert settled_count(target=before) == before  # released with the result
 
     emb = session.dataset("embeddings").df
     out2 = rql.get_transform("similarity_search_ivf").apply(
         emb, vec_col="embedding", id_col="vec_id", query_ids=[0, 1], k=3)
     out2.count()
     del out2
-    assert settled_count() == before
+    assert settled_count(target=before) == before
 
 
 def _png_bytes(w, h, color_type=6):
