@@ -29,6 +29,7 @@ No counterpart in the reference repo; cites the public algorithm only.
 
 from __future__ import annotations
 
+from ._cache import release_now, scoped_persist
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -202,11 +203,7 @@ class BloomIndex:
         self._carry = tuple(carry)
 
     def release(self) -> None:
-        for frame in (self.bits, self.fps) + self._carry:
-            try:
-                frame.unpersist()
-            except Exception:
-                pass
+        release_now(self.bits, self.fps, *self._carry)
 
 
 def bloom_index(
@@ -223,18 +220,17 @@ def bloom_index(
     m = 1 << bits_log2
     # one cached fingerprint scan feeds BOTH the row count and the distinct
     # fps, so n_docs is consistent-by-construction with the indexed rows
-    rows = reference.select(_norm_fp(F.col(rt)).alias("__fp")).persist()
+    rows = scoped_persist(reference.select(_norm_fp(F.col(rt)).alias("__fp")))
     n_docs = rows.count()
-    fps = rows.dropDuplicates().persist()
-    bits = (
+    fps = scoped_persist(rows.dropDuplicates())
+    bits = scoped_persist(
         fps.select(
             F.explode(_bit_positions(F.col("__fp"), num_hashes, m)).alias("BIT")
         )
         .dropDuplicates(["BIT"])
-        .persist()
     )
     bits.count()  # materializes fps too (bits derives from it)
-    rows.unpersist()
+    release_now(rows)
     return BloomIndex(bits, fps, bits_log2, num_hashes, n_docs=n_docs)
 
 
@@ -251,10 +247,10 @@ def update_bloom_index(
     old one remains usable."""
     rt = resolve_col(new_docs, text)
     m = 1 << index.bits_log2
-    rows = new_docs.select(_norm_fp(F.col(rt)).alias("__fp")).persist()
+    rows = scoped_persist(new_docs.select(_norm_fp(F.col(rt)).alias("__fp")))
     n_new = rows.count()
     new_fps = rows.dropDuplicates()
-    fps = index.fps.unionByName(new_fps).dropDuplicates().persist()
+    fps = scoped_persist(index.fps.unionByName(new_fps).dropDuplicates())
     fps.count()  # materialize the union NOW: a later first-compute would
     # re-read (possibly rewritten) sources in the refresh loop
     bits = (
@@ -266,10 +262,10 @@ def update_bloom_index(
             )
         )
         .dropDuplicates(["BIT"])
-        .persist()
     )
+    bits = scoped_persist(bits)
     bits.count()
-    rows.unpersist()
+    release_now(rows)
     n_docs = None if index.n_docs is None else index.n_docs + n_new
     return BloomIndex(
         bits, fps, index.bits_log2, index.num_hashes, n_docs=n_docs,
@@ -299,8 +295,8 @@ def load_bloom_index(spark, path: str, persist: bool = True) -> BloomIndex:
     bits = spark.read.parquet(f"{path}/bits")
     fps = spark.read.parquet(f"{path}/fps")
     if persist:
-        bits = bits.persist()
-        fps = fps.persist()
+        bits = scoped_persist(bits)
+        fps = scoped_persist(fps)
     nd = row["n_docs"] if "n_docs" in row.asDict() else None
     return BloomIndex(
         bits, fps, int(row["bits_log2"]), int(row["num_hashes"]),

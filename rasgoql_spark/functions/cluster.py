@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import spark_transform
-from ._cache import release_with
+from ._cache import release_now, release_with, scoped_persist
 from .similarity import _attach_centroids
 
 CENT_ROUND = 9  # decimals kept on centroid components (both engines)
@@ -129,9 +129,9 @@ def kmeans_cluster(
     if iterations < 0:
         raise ParameterException("iterations must be >= 0")
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    cached = _unit_rounded(
+    cached = scoped_persist(_unit_rounded(
         spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
-    ).persist()
+    ))
     seeds = cached.orderBy("__id").limit(k).select("__u").collect()
     cents = [(j, [round(float(x), CENT_ROUND) for x in r["__u"]]) for j, r in enumerate(seeds)]
     for _ in range(iterations):
@@ -182,9 +182,9 @@ def embedding_outliers(
     if not 0.0 <= bottom <= 1.0:
         raise ParameterException("bottom must be in [0, 1]")
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    base = _unit_rounded(
+    base = scoped_persist(_unit_rounded(
         spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec", "__u"
-    ).persist()
+    ))
     mean_row = (
         base.select(F.posexplode("__u").alias("__pos", "__v"))
         .groupBy("__pos")
@@ -281,7 +281,7 @@ def _semantic_candidates(
     # keyed is the one corpus-wide cache: it feeds the guard pre-count and
     # (on the skip path) both sides of the rep pair join; the pre-count
     # doubles as its materialization
-    keyed = withu.withColumn("__gk", gk).persist()
+    keyed = scoped_persist(withu.withColumn("__gk", gk))
     # Collapse guard (one slim pre-count pass; both paths are result-
     # preserving). Unlike dedup_minhash's band join — where a small group
     # adds at most C(group,2) pairs — semantic_dedup's pairs form within
@@ -311,9 +311,9 @@ def _semantic_candidates(
         # hot corpus: g (= keyed + rep annotation) feeds three consumers
         # (member_drops, both pair-join sides); persist so the group window
         # runs once over the cached input, not three times
-        g = keyed.withColumn(
+        g = scoped_persist(keyed.withColumn(
             "__rep", F.min("__id").over(Window.partitionBy("__gk"))
-        ).persist()
+        ))
         selfdot = F.aggregate(
             F.zip_with("__u", "__u", lambda x, y: x * y),
             F.lit(0.0),
@@ -406,7 +406,7 @@ def semantic_dedup(
     # assignment expression is an interpreted higher-order fold (k x dim per
     # row, no codegen), and downstream column pruning de-duplicates the two
     # subtrees differently — persist so it evaluates once
-    assigned = kmeans_cluster(df, vec_col, id_col, k, iterations, round_to).persist()
+    assigned = scoped_persist(kmeans_cluster(df, vec_col, id_col, k, iterations, round_to))
     withu = _unit_rounded(
         spread(assigned).select(
             F.col(i).alias("__id"), F.col("CLUSTER_ID"), F.col(v).alias("__vec")

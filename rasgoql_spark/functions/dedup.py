@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
-from ._cache import release_with
+from ._cache import release_now, release_with, scoped_persist
 from ._hash import MERSENNE, affine_hash, hash_params, md5_int, shingles_expr, tokens_expr
 
 
@@ -135,7 +135,7 @@ def _annotate_groups(
     ONE window shuffle on the group key off the cache, force-materialize
     the annotated result, then eagerly free the base cache — steady-state
     memory is one cached table either way."""
-    base = sig.withColumn("__ne", non_empty).persist()
+    base = scoped_persist(sig.withColumn("__ne", non_empty))
     if guard:
         pk = probe_key if probe_key is not None else group_key
         row = (
@@ -147,14 +147,13 @@ def _annotate_groups(
         if (row["m"] or 0) <= COLLAPSE_MIN_GROUP:
             return base.withColumn("__rep", F.col("__id")), False, (base,)
     w = Window.partitionBy("__g")
-    annotated = (
+    annotated = scoped_persist(
         base.withColumn("__g", group_key)
         .withColumn("__rep", F.min("__id").over(w))
         .drop("__g")
-        .persist()
     )
     annotated.count()  # bounded action: window runs ONCE off the base cache
-    base.unpersist(False)
+    release_now(base)
     return annotated, True, (annotated,)
 
 
@@ -555,12 +554,12 @@ def near_dup_clusters(
     else:
         raise ParameterException("method must be 'minhash' or 'simhash'")
     half = pairs.select(F.col("ID_A").alias("__src"), F.col("ID_B").alias("__dst"))
-    edges = half.union(
+    edges = scoped_persist(half.union(
         half.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
-    ).persist()
-    labels = (
+    ))
+    labels = scoped_persist(
         df.select(F.col(i).alias("__id")).distinct().withColumn("__lab", F.col("__id"))
-    ).persist()
+    )
     for it in range(max_iterations):
         msgs = edges.join(
             labels.withColumnRenamed("__id", "__src"), on="__src"
@@ -574,17 +573,17 @@ def near_dup_clusters(
             # rounds. Truncate the plan to the materialized partitions.
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
+            new_labels = scoped_persist(new_labels)
         changed = (
             new_labels.join(labels.withColumnRenamed("__lab", "__old"), on="__id")
             .filter("__lab <> __old")
             .count()
         )
-        labels.unpersist()
+        release_now(labels)
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    release_now(edges)
     # CLUSTER_ID stays in the id column's native type: a bigint cast on a
     # string doc-id column would NULL every label and make dedup_by_cluster's
     # (id == CLUSTER_ID) filter drop all rows.
@@ -1401,10 +1400,9 @@ def source_overlap(
             F.regexp_replace(F.lower(F.col(t)), r"[^a-z0-9\s]", " "), r"\s+", " "
         )
     )
-    gf = (
+    gf = scoped_persist(
         df.select(F.col(g).alias("__g"), F.md5(norm).alias("__fp"))
         .dropDuplicates(["__g", "__fp"])
-        .persist()
     )
     totals = gf.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     a = gf.select(F.col("__g").alias("GROUP_A"), "__fp")
@@ -1459,11 +1457,7 @@ class MinHashIndex:
         self._caches = caches
 
     def release(self) -> None:
-        for c in self._caches:
-            try:
-                c.unpersist()
-            except Exception:
-                pass
+        release_now(*self._caches)
 
 
 def minhash_index(
@@ -1487,9 +1481,9 @@ def minhash_index(
         gkey, F.size("__sh") > 0, probe_key=F.hash("__mh"),
     )
     reps = sig.filter(F.col("__id") == F.col("__rep"))
-    bands_long = _bands_long(reps, num_hashes, bands).select(
+    bands_long = scoped_persist(_bands_long(reps, num_hashes, bands).select(
         F.col("__id").alias("__id_b"), "__band"
-    ).persist()
+    ))
     bands_long.count()  # materialize once; every batch reuses the band table
     return MinHashIndex(
         sig, reps, bands_long, num_hashes, bands, shingle_size,
@@ -1557,7 +1551,7 @@ def update_minhash_index(
     )
     sig = index.sig.unionByName(new_sig)
     reps = index.reps.unionByName(new_reps)
-    bands_long = index.bands_long.unionByName(new_bands).persist()
+    bands_long = scoped_persist(index.bands_long.unionByName(new_bands))
     bands_long.count()
     n_docs = (
         None if index.n_docs is None else index.n_docs + new_sig.count()
@@ -1593,8 +1587,8 @@ def load_minhash_index(spark, path: str, persist: bool = True) -> MinHashIndex:
     sig = spark.read.parquet(f"{path}/sig")
     bands_long = spark.read.parquet(f"{path}/bands")
     if persist:
-        sig = sig.persist()
-        bands_long = bands_long.persist()
+        sig = scoped_persist(sig)
+        bands_long = scoped_persist(bands_long)
     reps = sig.filter(F.col("__id") == F.col("__rep"))
     nd = row["n_docs"] if "n_docs" in row.asDict() else None
     return MinHashIndex(

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col
 from ..registry import spark_transform
-from ._cache import release_with
+from ._cache import release_now, release_with, scoped_persist
 
 RANK_ROUND_MAX = 15
 
@@ -61,17 +61,15 @@ def pagerank(
         df.select(F.col(s).alias("__src"), F.col(d).alias("__dst"))
         .dropDuplicates(["__src", "__dst"])
     )
-    edges = edges.persist()
-    nodes = (
+    edges = scoped_persist(edges)
+    nodes = scoped_persist(
         edges.select(F.col("__src").alias("__node"))
         .union(edges.select(F.col("__dst").alias("__node")))
         .dropDuplicates(["__node"])
-        .persist()
     )
     n = nodes.count()  # bounded driver scalar (node count), like BPE's loop
     if n == 0:
-        edges.unpersist()
-        nodes.unpersist()
+        release_now(edges, nodes)
         return nodes.select(
             F.col("__node").alias("NODE"), F.lit(0.0).alias("PAGERANK")
         )
@@ -80,10 +78,10 @@ def pagerank(
     # per-iteration plan then needs only ranks-by-src join + sum-by-dst),
     # and the dangling node set (slim ids) for the mass aggregate — without
     # these every iteration re-derives outdeg and re-runs two extra joins
-    edges_deg = edges.join(outdeg, on="__src").persist()
-    dangling_nodes = nodes.join(
+    edges_deg = scoped_persist(edges.join(outdeg, on="__src"))
+    dangling_nodes = scoped_persist(nodes.join(
         outdeg, nodes["__node"] == outdeg["__src"], "left_anti"
-    ).persist()
+    ))
     base = (1.0 - damping) / n
     ranks = nodes.select("__node", F.round(F.lit(1.0 / n), round_to).alias("__r"))
     iter_caches: list[DataFrame] = []
@@ -91,7 +89,7 @@ def pagerank(
         # ranks feeds THREE consumers per iteration (contrib join, dangling
         # mass, final left join); without a cache the lineage re-executes
         # each prior iteration 3× per level — exponential recompute
-        ranks = ranks.persist()
+        ranks = scoped_persist(ranks)
         iter_caches.append(ranks)
         contrib = (
             edges_deg.join(ranks, edges_deg["__src"] == ranks["__node"])
@@ -182,14 +180,13 @@ def connected_components(
         raise ParameterException("max_iterations must be >= 1")
     s, d = resolve_col(df, src), resolve_col(df, dst)
     half = df.select(F.col(s).alias("__src"), F.col(d).alias("__dst")).dropDuplicates()
-    edges = half.union(
+    edges = scoped_persist(half.union(
         half.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
-    ).persist()
-    labels = (
+    ))
+    labels = scoped_persist(
         edges.select(F.col("__src").alias("__id"))
         .dropDuplicates()
         .withColumn("__lab", F.col("__id"))
-        .persist()
     )
     for it in range(max_iterations):
         msgs = edges.join(
@@ -201,13 +198,13 @@ def connected_components(
         if (it + 1) % 5 == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
+            new_labels = scoped_persist(new_labels)
         changed = (
             new_labels.join(labels.withColumnRenamed("__lab", "__old"), on="__id")
             .filter("__lab <> __old")
             .count()
         )
-        labels.unpersist()
+        release_now(labels)
         labels = new_labels
         if changed == 0:
             break

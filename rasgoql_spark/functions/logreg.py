@@ -33,6 +33,7 @@ BPE merge step.
 
 from __future__ import annotations
 
+from ._cache import release_now, scoped_persist
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -84,7 +85,7 @@ def logreg_score(
         raise ParameterException("lr must have at most 2 decimal digits (cross-engine rounding grid)")
     lab = resolve_col(df, label_col)
     y = (F.col(lab).cast("double") != 0).cast("double")
-    base = spread(df.select(*[F.col(c) for c in cols], y.alias("__y"))).persist()
+    base = scoped_persist(spread(df.select(*[F.col(c) for c in cols], y.alias("__y"))))
     w = [0.0] * (len(cols) + 1)
     for _ in range(iterations):
         err = _p(w, cols) - F.col("__y")
@@ -101,7 +102,7 @@ def logreg_score(
             round(w[j] - lr * float(grad_row[f"__g{j}"]), W_ROUND)
             for j in range(len(w))
         ]
-    base.unpersist()
+    release_now(base)
     # round the sigmoid ONCE at round_to — routing through the 7-dp training
     # rounding first would double-round onto exact half-boundaries (a 7-dp
     # value ends in 5 for ~1 row in 10) where engines disagree

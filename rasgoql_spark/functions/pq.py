@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import spark_transform
-from ._cache import release_with
+from ._cache import release_with, scoped_persist
 from .cluster import CENT_ROUND, _unit_rounded
 
 
@@ -147,13 +147,13 @@ def _staged_corpus(df: DataFrame, v: str, i: str, m: int):
     if m < 1 or dim % m != 0:
         raise ParameterException(f"m must divide the vector dimension ({dim})")
     d_sub = dim // m
-    staged = _stage_subvectors(
+    staged = scoped_persist(_stage_subvectors(
         _unit_rounded(
             spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
         ),
         m,
         d_sub,
-    ).persist()
+    ))
     return staged, d_sub, staged
 
 

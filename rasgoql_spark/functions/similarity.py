@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
-from ._cache import release_with
+from ._cache import release_now, release_with, scoped_persist
 from .dedup import _hyperplane_sign, cosine_expr
 
 
@@ -283,9 +283,9 @@ def _ivf_assign(df, vec_col, id_col, num_centroids, iterations):
     pass, and the final assignment (5 consumers otherwise recompute the
     normalization fold per pass); callers release it with the result."""
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    cached = _with_normalized(
+    cached = scoped_persist(_with_normalized(
         spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
-    ).persist()
+    ))
     if isinstance(num_centroids, str):
         # auto-k needs the corpus size; the count doubles as the cache
         # materialization the seed collect would otherwise pay
@@ -336,10 +336,7 @@ class IVFIndex:
         self.n_docs = n_docs
 
     def release(self) -> None:
-        try:
-            self.frame.unpersist()
-        except Exception:
-            pass
+        release_now(self.frame)
 
 
 def ivf_index(
@@ -353,12 +350,12 @@ def ivf_index(
     stays persisted until ``release()`` — deliberate: amortizing the build
     across searches is the point."""
     final, cents, cached = _ivf_assign(df, vec_col, id_col, num_centroids, iterations)
-    final = final.persist()
+    final = scoped_persist(final)
     # materialize once; searches reuse the assignment. The count doubles as
     # the corpus fingerprint, taken off the cached frame so it cannot drift
     # from the rows actually indexed.
     n = final.count()
-    cached.unpersist(False)
+    release_now(cached)
     return IVFIndex(final, cents, n_docs=n)
 
 
@@ -388,7 +385,7 @@ def load_ivf_index(spark, path: str, persist: bool = True) -> IVFIndex:
     list is a bounded driver collect (k·dim doubles), same as at build."""
     frame = spark.read.parquet(f"{path}/frame")
     if persist:
-        frame = frame.persist()
+        frame = scoped_persist(frame)
     cents = [
         (int(r["c"]), list(r["v"]))
         for r in spark.read.parquet(f"{path}/centroids").orderBy("c").collect()
@@ -424,7 +421,7 @@ def update_ivf_index(
     abase, carr, adrop = _attach_centroids(nbase, index.centroids)
     assigned = abase.withColumn("CENTROID_ID", _argmax_cid(carr)).drop(*adrop)
     cols = ["__id", "__nvec", "CENTROID_ID"]
-    merged = index.frame.select(*cols).unionByName(assigned.select(*cols)).persist()
+    merged = scoped_persist(index.frame.select(*cols).unionByName(assigned.select(*cols)))
     # eager materialization, NOT lazy-first-compute: a later search must
     # never re-read a possibly-rewritten source for the batch rows (the
     # update_minhash_index lesson); the count doubles as the fingerprint

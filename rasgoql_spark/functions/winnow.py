@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
-from ._cache import release_with
+from ._cache import release_with, scoped_persist
 from ._hash import md5_int_sql, tokens_expr
 
 
@@ -183,12 +183,11 @@ def dedup_winnow(
     if k < 1 or window < 1:
         raise ParameterException("k and window must be >= 1")
     t, i = resolve_col(df, text), resolve_col(df, id_col)
-    base = (
+    base = scoped_persist(
         _with_winnow(
             spread(df).select(F.col(i).alias("__id"), F.col(t)), t, k, window, "__fp"
         )
         .select("__id", "__fp")
-        .persist()
     )
     inv = base.select("__id", F.explode("__fp").alias("__h"))
     left = inv.select(F.col("__id").alias("__id_a"), "__h")

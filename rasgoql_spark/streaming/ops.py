@@ -9,6 +9,7 @@ same plan runs incrementally with watermark-bounded state.
 
 from __future__ import annotations
 
+from ..functions._cache import release_now, scoped_persist
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -610,7 +611,7 @@ def stream_dedup_against(
             # persist: isEmpty() and the write would otherwise each run the
             # full clean() dedup pipeline (minhash/bloom/IVF probe), doubling
             # per-batch latency on the streaming hot path
-            tagged = out.withColumn("__batch_id", F.lit(batch_id)).persist()
+            tagged = scoped_persist(out.withColumn("__batch_id", F.lit(batch_id)))
             try:
                 bspark = tagged.sparkSession
                 if bspark.catalog.tableExists(sink_table):
@@ -665,7 +666,7 @@ def stream_dedup_against(
                         "__batch_id"
                     ).saveAsTable(sink_table)
             finally:
-                tagged.unpersist()
+                release_now(tagged)
         else:
             # overwrite-into-batch-subdir: a replayed micro-batch replaces
             # its own directory instead of appending duplicates

@@ -236,3 +236,44 @@ def test_empty_docs_never_pair_even_at_zero_threshold(spark, monkeypatch):
     for transform in ("dedup_ngram_jaccard", "ngram_containment"):
         got = _pairs(df, transform, threshold=0.0)
         assert (1, 2) not in got, (transform, got)
+
+
+def test_shared_cache_entry_survives_first_release(spark):
+    """r7 fix: Spark's CacheManager matches cached plans by CANONICALIZED
+    form, so two invocations of the same operator on the same input share
+    one cache entry — and an un-refcounted unpersist from the first
+    result's GC finalizer would evict the entry mid-flight for the second
+    (measured 22 s -> 165 s on the boilerplate stress). scoped_persist /
+    release_now refcount by semanticHash: the entry must survive until the
+    LAST user releases."""
+    import gc
+    import time
+
+    sc = spark.sparkContext
+
+    def settle(target, timeout=15.0):
+        deadline = time.time() + timeout
+        while True:
+            gc.collect()
+            cur = len(sc._jsc.getPersistentRDDs())
+            if cur == target or time.time() > deadline:
+                return cur
+            time.sleep(0.1)
+
+    before = settle(len(sc._jsc.getPersistentRDDs()))
+    rows = [(i, f"token{i} alpha beta gamma delta epsilon zeta") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    jac = rql.get_transform("dedup_ngram_jaccard").apply
+    out1 = jac(df, text="text", id_col="doc_id", threshold=0.5)
+    out1.count()
+    out2 = jac(df, text="text", id_col="doc_id", threshold=0.5)
+    out2.count()
+    with_caches = len(sc._jsc.getPersistentRDDs())
+    assert with_caches > before
+    del out1
+    # first release must NOT evict the entry the second result still uses
+    # (short settle: the count is EXPECTED to stay put, so don't wait long)
+    assert settle(before, timeout=2.0) == with_caches
+    assert out2.count() >= 0  # still collectable off the live cache
+    del out2
+    assert settle(before) == before  # last release frees it

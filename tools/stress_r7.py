@@ -50,7 +50,7 @@ def _timed(df):
 def stress_cap(spark) -> list[str]:
     docs = (
         spark.read.parquet(f"{SF}/documents.parquet")
-        .withColumn("doc_text", F.concat("doc_text", F.lit(BOILERPLATE)))
+        .withColumn("text", F.concat("text", F.lit(BOILERPLATE)))
         .persist()
     )
     n = docs.count()
@@ -63,7 +63,7 @@ def stress_cap(spark) -> list[str]:
         ("dedup_ngram_jaccard", jac, dict(threshold=0.8, mode="pairs")),
     ):
         for label, cap in (("capped (default 1000)", 1000), ("uncapped", None)):
-            out = fn(docs, text="doc_text", id_col="doc_id",
+            out = fn(docs, text="text", id_col="doc_id",
                      max_doc_freq=cap, **kw)
             secs = _timed(out)
             pairs = out.count()
