@@ -942,6 +942,34 @@ def decontaminate_embedding(
     return df.join(flagged, i, "left_anti")
 
 
+@renderer("decontaminate_embedding")
+def _r_decontaminate_embedding(
+    source, vec_col, id_col, eval_table=None, eval_vec=None, threshold=0.9,
+    mode="score", round_to=6,
+) -> str:
+    from ..errors import TransformRenderingException
+    from .dedup import _cosine_sql
+
+    if eval_table is None or eval_table == "<dataframe>":
+        raise TransformRenderingException(
+            "decontaminate_embedding needs a named/chain eval_table to render"
+        )
+    ev = eval_vec or vec_col
+    cos = f"ROUND({_cosine_sql(f's.{vec_col}', 'e.__evec')}, {int(round_to)})"
+    scored = (
+        f"SELECT s.{id_col}, MAX({cos}) AS MAX_EVAL_COSINE "
+        f"FROM {source} s CROSS JOIN "
+        f"(SELECT {ev} AS __evec FROM {eval_table}) e GROUP BY s.{id_col}"
+    )
+    if mode == "score":
+        return scored
+    return (
+        f"SELECT src.* FROM {source} src LEFT ANTI JOIN "
+        f"(SELECT {id_col} FROM ({scored}) WHERE MAX_EVAL_COSINE >= "
+        f"{threshold}) f ON src.{id_col} = f.{id_col}"
+    )
+
+
 @renderer("bigram_logprob")
 def _r_bigram_logprob(source, text, id_col, lam=0.7, alpha=1.0, round_to=6) -> str:
     from .text import _tokens_sql

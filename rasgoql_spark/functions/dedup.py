@@ -903,6 +903,34 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _cosine_sql(a: str, b: str) -> str:
+    """Spark-SQL text of :func:`cosine_expr` — SAME formula structure
+    (unnormalized dot / product of norms, zero-guard) so rendered-SQL
+    parity is bit-exact with the DataFrame path at any rounding."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+    def norm(v):
+        return (
+            f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * "
+            f"CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        )
+
+    na, nb = norm(a), norm(b)
+    return (
+        f"CASE WHEN {na} > 0 AND {nb} > 0 THEN {dot} / ({na} * {nb}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+def _sql_id_literal(x) -> str:
+    if isinstance(x, bool) or not isinstance(x, (int, float)):
+        return "'" + str(x).replace("'", "''") + "'"
+    return str(x)
+
+
 @spark_transform("dedup_embedding", category="dedup", streaming_ok=False)
 def dedup_embedding(
     df: DataFrame,
@@ -921,7 +949,10 @@ def dedup_embedding(
     method='brute': all-pairs — exact, quadratic; for oracles/small tables.
     ``round_scores`` rounds the cosine before thresholding so results are
     reproducible across engines/float orderings. Output (ID_A, ID_B, COSINE).
-    mode='edges' returns the connectivity-preserving (ID_A, ID_B) form.
+    mode='edges' returns the connectivity-preserving (ID_A, ID_B) form;
+    mode='filter' returns the input rows minus any row embedding-duplicate
+    of a smaller id (r7: previously fell through to the edge list — the
+    same bug fixed for dedup_ngram_jaccard/dedup_simhash).
 
     Skew note: byte-identical vectors (re-crawled pages, default embeddings)
     all land in the same sign bucket; with ``round_scores`` set (the
@@ -978,16 +1009,60 @@ def dedup_embedding(
         .filter(F.col("COSINE") >= threshold)
         .select(F.col("__id_a").alias("ID_A"), F.col("__id_b").alias("ID_B"), "COSINE")
     )
+    if mode not in ("pairs", "edges", "filter"):
+        raise ParameterException("mode must be 'pairs', 'filter', or 'edges'")
     if not collapse:
         if mode != "pairs":
-            raise ParameterException("mode='edges' requires round_scores")
+            raise ParameterException(
+                "mode='edges'/'filter' requires round_scores"
+            )
         return rep_pairs
     intra = F.when(F.col("__ne"), F.lit(1.0)).otherwise(F.lit(0.0))
     out = _expand_collapsed(
         rep_pairs, members, mode, "COSINE", intra, lambda c: c >= threshold,
         has_dups=has_dups,
     )
+    if mode == "filter":
+        # r7 fix: same fell-through-to-edges bug as dedup_ngram_jaccard
+        dupes = out.select(F.col("ID_B").alias(i)).distinct()
+        return release_with(df.join(dupes, on=i, how="left_anti"), *caches)
     return release_with(out, *caches)
+
+
+@renderer("dedup_embedding")
+def _r_dedup_embedding(
+    source, vec_col, id_col, threshold=0.95, num_planes=8, method="lsh",
+    round_scores=6, mode="pairs",
+) -> str:
+    """Plain all-pairs rendering: the exact-duplicate collapse inside the
+    DataFrame path is a result-preserving optimization (intra pairs score
+    a literal 1.0, equal to the rounded cosine of identical vectors at
+    round_scores >= 1), so pairs/filter render as the straightforward
+    brute formula. mode='edges' is NOT renderable (its star-edge form is
+    connectivity-equal but not row-equal to plain pairs); neither is the
+    LSH bucket path."""
+    from ..errors import TransformRenderingException
+
+    if method != "brute" or mode not in ("pairs", "filter") or (
+        round_scores is None or round_scores < 1
+    ):
+        raise TransformRenderingException(
+            "dedup_embedding is SQL-renderable only for method='brute' with "
+            "mode in ('pairs', 'filter') and round_scores >= 1"
+        )
+    cos = f"ROUND({_cosine_sql('a.__v', 'b.__v')}, {int(round_scores)})"
+    side = f"(SELECT {id_col} AS __id, {vec_col} AS __v FROM {source})"
+    pairs = (
+        f"SELECT a.__id AS ID_A, b.__id AS ID_B, {cos} AS COSINE "
+        f"FROM {side} a CROSS JOIN {side} b "
+        f"WHERE a.__id < b.__id AND {cos} >= {threshold}"
+    )
+    if mode == "pairs":
+        return pairs
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN "
+        f"(SELECT DISTINCT ID_B FROM ({pairs})) d ON s.{id_col} = d.ID_B"
+    )
 
 
 def _bands_long(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

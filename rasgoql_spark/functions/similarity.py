@@ -18,7 +18,7 @@ from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
 from ._cache import release_now, release_with, scoped_persist
-from .dedup import _hyperplane_sign, cosine_expr
+from .dedup import _cosine_sql, _hyperplane_sign, _sql_id_literal, cosine_expr
 
 
 @spark_transform("similarity_search", category="similarity", streaming_ok=False)
@@ -656,6 +656,58 @@ def dedup_against_embedding(
     return out if cached is None else release_with(out, cached)
 
 
+def _topk_matches_sql(
+    corpus_table, corpus_id, corpus_vec, query_sql, k, round_scores,
+) -> str:
+    """Shared SELECT for the brute top-k renderers: score every
+    (query, corpus) pair with :func:`_cosine_sql` (same formula structure
+    as the DataFrame path), rank per query by (COSINE desc, MATCH_ID asc),
+    keep RANK <= k; self-matches excluded (the operators' documented
+    single-id-namespace rule)."""
+    cos = _cosine_sql("q.__qv", "c.__cv")
+    if round_scores is not None:
+        cos = f"ROUND({cos}, {int(round_scores)})"
+    return (
+        f"SELECT QUERY_ID, MATCH_ID, COSINE, RANK FROM ("
+        f"SELECT QUERY_ID, MATCH_ID, COSINE, "
+        f"ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY COSINE DESC, MATCH_ID ASC) AS RANK "
+        f"FROM (SELECT q.__qid AS QUERY_ID, c.__cid AS MATCH_ID, "
+        f"{cos} AS COSINE "
+        f"FROM (SELECT {corpus_id} AS __cid, {corpus_vec} AS __cv "
+        f"FROM {corpus_table}) c CROSS JOIN ({query_sql}) q "
+        f"WHERE q.__qid <> c.__cid)"
+        f") WHERE RANK <= {int(k)}"
+    )
+
+
+@renderer("similarity_search")
+def _r_similarity_search(
+    source, vec_col, id_col, queries=None, query_ids=None, k=10,
+    method="brute", num_planes=6, round_scores=6,
+) -> str:
+    from ..errors import TransformRenderingException
+
+    if method != "brute" or queries == "<dataframe>":
+        raise TransformRenderingException(
+            "similarity_search is SQL-renderable only for method='brute' "
+            "with query_ids or a named/chain queries table (the LSH bucket "
+            "path is not rendered)"
+        )
+    if queries is not None:
+        qsql = (
+            f"SELECT {id_col} AS __qid, {vec_col} AS __qv FROM {queries}"
+        )
+    elif query_ids is not None:
+        ids = ", ".join(_sql_id_literal(x) for x in query_ids)
+        qsql = (
+            f"SELECT {id_col} AS __qid, {vec_col} AS __qv FROM {source} "
+            f"WHERE {id_col} IN ({ids})"
+        )
+    else:
+        raise TransformRenderingException("pass queries or query_ids")
+    return _topk_matches_sql(source, id_col, vec_col, qsql, k, round_scores)
+
+
 def _nvec_subquery_sql(table, id_expr, vec_expr, id_alias, vec_alias) -> str:
     """Spark-SQL rendering of _with_normalized over one side: stages the
     norm in its own column (referenced twice — same double-accumulation
@@ -883,3 +935,27 @@ def embedding_join(
         "RANK",
     )
     return df.join(matches, on=i, how="inner")
+
+
+@renderer("embedding_join")
+def _r_embedding_join(
+    source, other, vec_col, id_col, other_vec=None, other_id=None, k=1,
+    method="brute", num_planes=6, right_prefix="MATCH_", round_scores=6,
+) -> str:
+    from ..errors import TransformRenderingException
+
+    if method != "brute" or other == "<dataframe>":
+        raise TransformRenderingException(
+            "embedding_join is SQL-renderable only for method='brute' with "
+            "a named/chain right table"
+        )
+    qsql = f"SELECT {id_col} AS __qid, {vec_col} AS __qv FROM {source}"
+    matches = _topk_matches_sql(
+        other, other_id or id_col, other_vec or vec_col, qsql, k,
+        round_scores,
+    )
+    return (
+        f"SELECT * FROM {source} JOIN ("
+        f"SELECT QUERY_ID AS {id_col}, MATCH_ID AS {right_prefix}ID, "
+        f"COSINE, RANK FROM ({matches})) USING ({id_col})"
+    )

@@ -277,3 +277,17 @@ def test_shared_cache_entry_survives_first_release(spark):
     assert out2.count() >= 0  # still collectable off the live cache
     del out2
     assert settle(before) == before  # last release frees it
+
+
+def test_dedup_embedding_filter_mode_filters_rows(spark):
+    """r7: dedup_embedding mode='filter' had the same fell-through-to-edges
+    bug as dedup_ngram_jaccard — it must return input rows minus embedding
+    near-dups of smaller ids."""
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = rql.get_transform("dedup_embedding").apply(
+        df, vec_col="embedding", id_col="vec_id", threshold=0.95,
+        method="brute", mode="filter")
+    assert set(out.columns) == {"vec_id", "embedding"}
+    assert {r["vec_id"] for r in out.collect()} == {1, 3}

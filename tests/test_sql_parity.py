@@ -235,6 +235,39 @@ CHAIN_CASES = [
             vec_col="embedding", id_col="vec_id", threshold=0.35,
             reference=s.dataset("embeddings").filter(
                 filter_statements=["vec_id < 100"]))),
+    # --- round 7: brute embedding-family renderers (shared _cosine_sql) ---
+    ("similarity_search_brute", lambda s: s.dataset("embeddings")
+        .similarity_search(vec_col="embedding", id_col="vec_id",
+                           query_ids=[0, 1, 2], k=5, method="brute")),
+    ("similarity_search_queries_table", lambda s: s.dataset("embeddings")
+        .similarity_search(vec_col="embedding", id_col="vec_id",
+                           queries=s.dataset("embeddings").filter(
+                               filter_statements=["vec_id < 3"]),
+                           k=4, method="brute")),
+    ("embedding_join_brute", lambda s: s.dataset("embeddings")
+        .filter(filter_statements=["vec_id < 60"])
+        .embedding_join(other=s.dataset("embeddings").filter(
+                            filter_statements=["vec_id >= 60"]),
+                        vec_col="embedding", id_col="vec_id", k=2)),
+    ("dedup_embedding_brute_pairs", lambda s: s.dataset("embeddings")
+        .filter(filter_statements=["vec_id < 150"])
+        .dedup_embedding(vec_col="embedding", id_col="vec_id",
+                         threshold=0.35, method="brute", mode="pairs")),
+    ("dedup_embedding_brute_filter", lambda s: s.dataset("embeddings")
+        .filter(filter_statements=["vec_id < 150"])
+        .dedup_embedding(vec_col="embedding", id_col="vec_id",
+                         threshold=0.35, method="brute", mode="filter")),
+    ("decontaminate_embedding_score", lambda s: s.dataset("embeddings")
+        .decontaminate_embedding(
+            vec_col="embedding", id_col="vec_id", mode="score",
+            eval_table=s.dataset("embeddings").filter(
+                filter_statements=["vec_id < 20"]))),
+    ("decontaminate_embedding_filter", lambda s: s.dataset("embeddings")
+        .decontaminate_embedding(
+            vec_col="embedding", id_col="vec_id", mode="filter",
+            threshold=0.35,
+            eval_table=s.dataset("embeddings").filter(
+                filter_statements=["vec_id < 20"]))),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
