@@ -1820,6 +1820,13 @@ def q_dedup_embedding_lsh(spark, sf):
         vec_col="embedding", id_col="vec_id", threshold=0.35, method="lsh").df
 
 
+def q_dedup_embedding_filter(spark, sf):
+    # exercises the r7 filter-mode fix (previously returned the edge list)
+    return _s(spark, sf).dataset("embeddings").dedup_embedding(
+        vec_col="embedding", id_col="vec_id", threshold=0.35, method="brute",
+        mode="filter").df
+
+
 def q_similarity_search(spark, sf):
     return _s(spark, sf).dataset("embeddings").similarity_search(
         vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10).df
@@ -3695,6 +3702,15 @@ ranked AS (
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             f"WHERE {_cosine('a.embedding', 'b.embedding')} >= 0.35"
         ),
+        # r7 filter-mode fix: input rows minus the higher id of every
+        # near-dup pair (anti-join on the pair table's ID_B side)
+        "dedup_embedding_filter": (
+            "SELECT e.* FROM embeddings e ANTI JOIN ("
+            "SELECT DISTINCT b.vec_id FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            f"WHERE {_cosine('a.embedding', 'b.embedding')} >= 0.35) d "
+            "ON e.vec_id = d.vec_id"
+        ),
         # FULL exact replica of the 8-plane LSH near-dup pass: same-bucket
         # pairs with cosine ≥ threshold (signature reproducible cross-engine).
         "dedup_embedding_lsh": (
@@ -3894,15 +3910,18 @@ ranked AS (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING NOTE (round 7): the driver hash-checks only the FIRST 50
-    # entries each round. Rotation policy: entries whose IMPLEMENTATION
-    # changed this round first (posting-cap + filter-mode fix in the
-    # ngram/simhash dedup family; IVF auto sizing in the similarity
-    # family), then the stalest entries by last DRIVER verification:
-    # the full remaining r3 block, then the oldest r4 entries to fill
-    # 50. After r7 the union's oldest entries are the remaining r4
+    # entries each round. Rotation policy: NEW never-driver-verified
+    # entries first (dedup_embedding_filter — exercises this round's
+    # filter-mode fix), then entries whose IMPLEMENTATION changed this
+    # round (posting-cap + filter-mode fix in the ngram/simhash/embedding
+    # dedup family; IVF auto sizing in the similarity family), then the
+    # stalest entries by last DRIVER verification: the full remaining r3
+    # block, then the oldest r4 entries to fill 50. After r7 the union's oldest entries are the remaining r4
     # block (34) — round 8 should front those plus the oldest r5
     # entries. All 178 entries pass tools/oracle_check.py locally.
     return {
+        # --- front-50: NEW in round 7 (never driver-verified) ---
+        "dedup_embedding_filter": q_dedup_embedding_filter,
         # --- front-50: implementation changed in round 7 ---
         "ngram_containment": q_ngram_containment,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3955,9 +3974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_batch": q_stream_dedup_batch,
         "stream_join_batch": q_stream_join_batch,
         "extract_urls": q_extract_urls,
-        "quantize_embeddings": q_quantize_embeddings,
         # ---- fold: entries below reached only if the driver checks >50 ----
         # --- remaining round 4 ---
+        "quantize_embeddings": q_quantize_embeddings,
         "stream_sessionize_batch": q_stream_sessionize_batch,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "similarity_search_lsh": q_similarity_search_lsh,
