@@ -35,7 +35,8 @@ from .session import RasgoSession, connect, default_spark
 from .functions.bloom import (BloomIndex, bloom_index, load_bloom_index,
                               save_bloom_index, update_bloom_index)
 from .functions.dedup import (MinHashIndex, load_minhash_index, minhash_index,
-                              save_minhash_index, update_minhash_index)
+                              minhash_tune, save_minhash_index,
+                              update_minhash_index)
 from .functions.similarity import IVFIndex, ivf_index
 from .streaming.ops import stream_dedup_against
 
@@ -64,6 +65,7 @@ __all__ = [
     "MinHashIndex",
     "stream_dedup_against",
     "update_minhash_index",
+    "minhash_tune",
     "update_bloom_index",
     "minhash_index",
     "save_minhash_index",

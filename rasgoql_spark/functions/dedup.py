@@ -925,6 +925,60 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+def minhash_tune(
+    threshold: float,
+    num_hashes: int = 16,
+    false_positive_weight: float = 1.0,
+    false_negative_weight: float = 1.0,
+) -> dict:
+    """Pick the LSH banding (bands, rows_per_band) for a target Jaccard
+    ``threshold`` — the standard S-curve analysis (Leskovec/Rajaraman/
+    Ullman, *Mining of Massive Datasets* §3.4, public): a pair with
+    Jaccard s collides on >= 1 of b bands of r rows with probability
+    1 - (1 - s^r)^b, and the curve's knee sits near (1/b)^(1/r).
+
+    Scans every divisor b of ``num_hashes`` and scores the weighted sum
+    of the false-positive area (collision probability below the
+    threshold) and false-negative area (miss probability above it),
+    integrated numerically — the datasketch-style tuning objective.
+    Returns {"bands", "rows_per_band", "knee", "fp_area", "fn_area"}.
+    Driver-side math only (no Spark); feed the result to
+    ``dedup_minhash(num_hashes=..., bands=...)``.
+
+    >>> minhash_tune(0.5, 16)["bands"]
+    4
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ParameterException("threshold must be in (0, 1)")
+    if num_hashes < 1:
+        raise ParameterException("num_hashes must be >= 1")
+    best = None
+    steps = 200
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            collide = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += collide / steps
+            else:
+                fn += (1.0 - collide) / steps
+        score = false_positive_weight * fp + false_negative_weight * fn
+        cand = {
+            "bands": b,
+            "rows_per_band": r,
+            "knee": round((1.0 / b) ** (1.0 / r), 6),
+            "fp_area": round(fp, 6),
+            "fn_area": round(fn, 6),
+        }
+        if best is None or score < best[0]:
+            best = (score, cand)
+    return best[1]
+
+
 def _sql_id_literal(x) -> str:
     if isinstance(x, bool) or not isinstance(x, (int, float)):
         return "'" + str(x).replace("'", "''") + "'"

@@ -291,3 +291,21 @@ def test_dedup_embedding_filter_mode_filters_rows(spark):
         method="brute", mode="filter")
     assert set(out.columns) == {"vec_id", "embedding"}
     assert {r["vec_id"] for r in out.collect()} == {1, 3}
+
+
+def test_minhash_tune_s_curve():
+    """Banding chosen by weighted FP/FN area under the public S-curve
+    1-(1-s^r)^b; spot values against hand computation."""
+    got = rql.minhash_tune(0.5, 16)
+    assert (got["bands"], got["rows_per_band"]) == (4, 4)
+    assert abs(got["knee"] - 0.707107) < 1e-6
+    # a high threshold wants more rows per band (sharper curve, knee higher)
+    high = rql.minhash_tune(0.9, 16)
+    assert high["rows_per_band"] > got["rows_per_band"]
+    # penalizing false negatives pushes toward more bands (higher recall)
+    recall = rql.minhash_tune(0.5, 16, false_negative_weight=10.0)
+    assert recall["bands"] >= got["bands"]
+    import pytest as _pt
+    from rasgoql_spark.errors import ParameterException
+    with _pt.raises(ParameterException):
+        rql.minhash_tune(1.5)
