@@ -1034,6 +1034,14 @@ def q_dedup_minhash(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_dedup_minhash_auto(spark, sf):
+    # bands="auto": minhash_tune(0.2, 16) -> 8 bands of 2 (S-curve knee at
+    # ~0.354 vs the default 4x4 knee at 0.707) — driver-verifies the tuned
+    # banding end-to-end, not just the optimizer math (dedup.py:928)
+    return _s(spark, sf).dataset("documents").dedup_minhash(
+        text="text", id_col="doc_id", threshold=0.2, bands="auto").df
+
+
 def q_minhash_similarity(spark, sf):
     return _s(spark, sf).dataset("documents").minhash_similarity(
         text="text", id_col="doc_id").df
@@ -1821,10 +1829,17 @@ def q_dedup_embedding_lsh(spark, sf):
 
 
 def q_dedup_embedding_filter(spark, sf):
-    # exercises the r7 filter-mode fix (previously returned the edge list)
-    return _s(spark, sf).dataset("embeddings").dedup_embedding(
-        vec_col="embedding", id_col="vec_id", threshold=0.35, method="brute",
-        mode="filter").df
+    # exercises the r7 filter-mode fix (previously returned the edge list).
+    # Scalar columns only (per the q_extract_urls convention): the driver's
+    # pandas canonicalizer cannot sort the raw `embedding` ArrayType column,
+    # so project it away — (vec_id, label) fully identifies surviving rows.
+    return (
+        _s(spark, sf).dataset("embeddings").dedup_embedding(
+            vec_col="embedding", id_col="vec_id", threshold=0.35,
+            method="brute", mode="filter")
+        .drop_columns(exclude_cols=["embedding"])
+        .df
+    )
 
 
 def q_similarity_search(spark, sf):
@@ -2493,16 +2508,33 @@ def oracle_sql() -> dict[str, str]:
     punct = f"COALESCE(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / {nz}, 0.0)"
 
     minhash_cols = ", ".join(f"{_minhash('s', j)} AS mh{j}" for j in range(16))
-    band_exprs = ", ".join(
-        "md5(concat_ws(',', {b}, mh{h0}, mh{h1}, mh{h2}, mh{h3}))".format(
-            b=b, h0=4 * b, h1=4 * b + 1, h2=4 * b + 2, h3=4 * b + 3
-        )
-        for b in range(4)
-    )
     jacc = (
         "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / "
         "CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)"
     )
+
+    def _mk_minhash_pairs_sql(bands: int, threshold: float) -> str:
+        # full DuckDB replica of dedup_minhash's banded LSH at an arbitrary
+        # (bands, rows_per_band) split of the 16 minhashes
+        rpb = 16 // bands
+        band_exprs = ", ".join(
+            "md5(concat_ws(',', {b}, {hs}))".format(
+                b=b, hs=", ".join(f"mh{rpb * b + r}" for r in range(rpb))
+            )
+            for b in range(bands)
+        )
+        return (
+            f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
+            f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
+            f"mh AS (SELECT doc_id, s, {minhash_cols} FROM sh), "
+            f"bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM mh), "
+            "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), "
+            f"pairs AS (SELECT c.ida, c.idb, {jacc} AS j FROM cand c "
+            "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb "
+            "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
+            f"SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= {threshold}"
+        )
 
     # --- product quantization (m=4, d_sub=16, codebook 8, 1 Lloyd pass):
     # per-subspace unrolled replay of functions/pq.py's determinism contract
@@ -2544,18 +2576,19 @@ def oracle_sql() -> dict[str, str]:
         "JOIN f2 ON f2.vec_id = e.vec_id JOIN f3 ON f3.vec_id = e.vec_id"
     )
 
-    minhash_pairs_sql = (
-        f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
-        f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
-        f"mh AS (SELECT doc_id, s, {minhash_cols} FROM sh), "
-        f"bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM mh), "
-        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), "
-        f"pairs AS (SELECT c.ida, c.idb, {jacc} AS j FROM cand c "
-        "JOIN sh sa ON sa.doc_id = c.ida JOIN sh sb ON sb.doc_id = c.idb "
-        "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
-        "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.2"
+    # default 4x4 banding exprs, still used verbatim by the
+    # dedup_against_minhash / dedup_minhash_filter replicas below
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', {b}, mh{h0}, mh{h1}, mh{h2}, mh{h3}))".format(
+            b=b, h0=4 * b, h1=4 * b + 1, h2=4 * b + 2, h3=4 * b + 3
+        )
+        for b in range(4)
     )
+    minhash_pairs_sql = _mk_minhash_pairs_sql(4, 0.2)
+    # bands="auto" at threshold 0.2 resolves to 8 bands of 2 via the S-curve
+    # optimizer (minhash_tune) — replicated here at the tuned banding so the
+    # driver verifies the auto path end-to-end
+    minhash_auto_sql = _mk_minhash_pairs_sql(8, 0.2)
 
     sim_base = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
@@ -3283,6 +3316,7 @@ ranked AS (
             f"(PARTITION BY md5({fp_norm}) ORDER BY doc_id) = 1"
         ),
         "dedup_minhash": minhash_pairs_sql,
+        "dedup_minhash_auto": minhash_auto_sql,
         # member-level equivalent of the engine's collapse+expand pipeline
         # (identical sets share signatures, so the no-collapse replay is the
         # same pair set); EST = agreeing-component fraction, exact k/16
@@ -3705,7 +3739,7 @@ ranked AS (
         # r7 filter-mode fix: input rows minus the higher id of every
         # near-dup pair (anti-join on the pair table's ID_B side)
         "dedup_embedding_filter": (
-            "SELECT e.* FROM embeddings e ANTI JOIN ("
+            "SELECT e.vec_id, e.label FROM embeddings e ANTI JOIN ("
             "SELECT DISTINCT b.vec_id FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             f"WHERE {_cosine('a.embedding', 'b.embedding')} >= 0.35) d "
@@ -3909,73 +3943,24 @@ ranked AS (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING NOTE (round 7): the driver hash-checks only the FIRST 50
-    # entries each round. Rotation policy: NEW never-driver-verified
-    # entries first (dedup_embedding_filter — exercises this round's
-    # filter-mode fix), then entries whose IMPLEMENTATION changed this
-    # round (posting-cap + filter-mode fix in the ngram/simhash/embedding
-    # dedup family; IVF auto sizing in the similarity family), then the
-    # stalest entries by last DRIVER verification: the full remaining r3
-    # block, then the oldest r4 entries to fill 50. After r7 the union's oldest entries are the remaining r4
-    # block (34) — round 8 should front those plus the oldest r5
-    # entries. All 178 entries pass tools/oracle_check.py locally.
+    # ORDERING NOTE (round 8): the driver hash-checks only the FIRST 50
+    # entries each round. Rotation policy: entries whose implementation or
+    # gate query changed this round first (dedup_embedding_filter — the r7
+    # red row, now scalar-only per the q_extract_urls canonicalizer
+    # convention; dedup_minhash_auto — NEW, bands="auto" S-curve banding;
+    # dedup_minhash/_filter — the auto-branch touched the operator), then
+    # the stalest entries by last DRIVER verification: the full r4 block
+    # (35), then the oldest r5 entries to fill 50. After r8 the union's
+    # oldest entries are the remaining r5 block — round 9 should front
+    # those plus the oldest r6 entries. All 180 entries pass
+    # tools/oracle_check.py locally (fresh full run recorded in COVERAGE.md).
     return {
-        # --- front-50: NEW in round 7 (never driver-verified) ---
+        # --- front-50: changed/new in round 8 (minhash auto banding + the r7 red gate fix) ---
         "dedup_embedding_filter": q_dedup_embedding_filter,
-        # --- front-50: implementation changed in round 7 ---
-        "ngram_containment": q_ngram_containment,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_simhash_sig": q_dedup_simhash_sig,
-        "similarity_search_ivf": q_similarity_search_ivf,
-        "embedding_join_ivf": q_embedding_join_ivf,
-        "dedup_against_embedding": q_dedup_against_embedding,
-        "update_ivf_index": q_update_ivf_index,
-        # --- front-50: last driver-verified round 3 (stalest) ---
-        "shuffle_deterministic": q_shuffle_deterministic,
-        "ngram_counts": q_ngram_counts,
-        "remove_boilerplate": q_remove_boilerplate,
-        "quality_filter": q_quality_filter,
-        "audio_meta": q_audio_meta,
-        "video_meta": q_video_meta,
-        "near_dup_clusters": q_near_dup_clusters,
-        "dedup_by_cluster": q_dedup_by_cluster,
-        "stratified_sample": q_stratified_sample,
-        "corpus_stats": q_corpus_stats,
-        "text_chunk": q_text_chunk,
-        "pack_sequences": q_pack_sequences,
-        "image_meta_stub": q_image_meta_stub,
-        "image_meta": q_image_meta,
-        "token_count_ws": q_token_count_ws,
-        "token_count_bpe": q_token_count_bpe,
-        "token_count_bpe_real": q_token_count_bpe_real,
-        "bpe_encode": q_bpe_encode,
-        "unigram_logprob": q_unigram_logprob,
-        "tfidf_keywords": q_tfidf_keywords,
-        "bm25_score": q_bm25_score,
-        "sentence_split": q_sentence_split,
-        "heavy_hitters": q_heavy_hitters,
-        "dedup_binary": q_dedup_binary,
-        "sample_token_budget": q_sample_token_budget,
-        "url_normalize": q_url_normalize,
-        "dedup_url": q_dedup_url,
-        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_auto": q_dedup_minhash_auto,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_filter": q_dedup_minhash_filter,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_search": q_similarity_search,
-        "knn_classify": q_knn_classify,
-        "binary_meta": q_binary_meta,
-        # --- front-50: oldest last-driver-verified round 4 ---
-        "sessionize": q_sessionize,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
-        "session_window": q_session_window,
-        "stream_dedup_batch": q_stream_dedup_batch,
-        "stream_join_batch": q_stream_join_batch,
-        "extract_urls": q_extract_urls,
-        # ---- fold: entries below reached only if the driver checks >50 ----
-        # --- remaining round 4 ---
+        # --- front-50: last driver-verified round 4 (stalest, all 35) ---
         "quantize_embeddings": q_quantize_embeddings,
         "stream_sessionize_batch": q_stream_sessionize_batch,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -4011,7 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "json_flatten": q_json_flatten,
         "feature_hash": q_feature_hash,
-        # --- last driver-verified round 5 ---
+        # --- front-50: oldest last-driver-verified round 5 (11 of 48) ---
         "filter_project": q_filter_project,
         "aggregate": q_aggregate,
         "join_agg": q_join_agg,
@@ -4023,6 +4008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "if_then": q_if_then,
         "replace_string": q_replace_string,
         "uppercase_columns": q_uppercase_columns,
+        # ---- fold: entries below reached only if the driver checks >50 ----
+        # --- remaining round 5 ---
         "to_date": q_to_date,
         "dropna": q_dropna,
         "remove_duplicates": q_remove_duplicates,
@@ -4107,4 +4094,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dedup_against": q_dedup_against,
         "importance_sample": q_importance_sample,
+        # --- last driver-verified round 7 ---
+        "ngram_containment": q_ngram_containment,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_sig": q_dedup_simhash_sig,
+        "similarity_search_ivf": q_similarity_search_ivf,
+        "embedding_join_ivf": q_embedding_join_ivf,
+        "dedup_against_embedding": q_dedup_against_embedding,
+        "update_ivf_index": q_update_ivf_index,
+        "shuffle_deterministic": q_shuffle_deterministic,
+        "ngram_counts": q_ngram_counts,
+        "remove_boilerplate": q_remove_boilerplate,
+        "quality_filter": q_quality_filter,
+        "audio_meta": q_audio_meta,
+        "video_meta": q_video_meta,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedup_by_cluster": q_dedup_by_cluster,
+        "stratified_sample": q_stratified_sample,
+        "corpus_stats": q_corpus_stats,
+        "text_chunk": q_text_chunk,
+        "pack_sequences": q_pack_sequences,
+        "image_meta_stub": q_image_meta_stub,
+        "image_meta": q_image_meta,
+        "token_count_ws": q_token_count_ws,
+        "token_count_bpe": q_token_count_bpe,
+        "token_count_bpe_real": q_token_count_bpe_real,
+        "bpe_encode": q_bpe_encode,
+        "unigram_logprob": q_unigram_logprob,
+        "tfidf_keywords": q_tfidf_keywords,
+        "bm25_score": q_bm25_score,
+        "sentence_split": q_sentence_split,
+        "heavy_hitters": q_heavy_hitters,
+        "dedup_binary": q_dedup_binary,
+        "sample_token_budget": q_sample_token_budget,
+        "url_normalize": q_url_normalize,
+        "dedup_url": q_dedup_url,
+        "dedup_exact": q_dedup_exact,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_search": q_similarity_search,
+        "knn_classify": q_knn_classify,
+        "binary_meta": q_binary_meta,
+        "sessionize": q_sessionize,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
+        "session_window": q_session_window,
+        "stream_dedup_batch": q_stream_dedup_batch,
+        "stream_join_batch": q_stream_join_batch,
+        "extract_urls": q_extract_urls,
     }

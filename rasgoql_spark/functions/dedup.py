@@ -296,7 +296,7 @@ def dedup_minhash(
     text: str,
     id_col: str,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int | str = 4,
     shingle_size: int = 3,
     threshold: float = 0.5,
     mode: str = "pairs",
@@ -306,6 +306,10 @@ def dedup_minhash(
     Pipeline: shingle → 16 minhashes → collapse identical shingle SETS to one
     representative → 4 bands of 4 → band-bucket equi-join for candidates →
     exact Jaccard on shingle sets → threshold → expand back to member pairs.
+    bands='auto' picks the banding from the S-curve optimizer
+    (``minhash_tune(threshold, num_hashes)``) so the LSH knee sits at the
+    verification threshold — candidate recall/cost tracks the threshold the
+    caller actually asked for instead of a fixed 4×4 split.
     mode='pairs': (ID_A, ID_B, JACCARD) for near-dup pairs.
     mode='filter': input rows minus any doc near-duplicate of a smaller id.
     mode='edges': connectivity-preserving edge list (ID_A, ID_B) — rep-level
@@ -320,6 +324,10 @@ def dedup_minhash(
     so two docs collide iff their reps collide, and identical sets have
     Jaccard exactly 1.0.
     """
+    if bands == "auto":
+        bands = minhash_tune(threshold, num_hashes)["bands"]
+    if not isinstance(bands, int) or isinstance(bands, bool):
+        raise ParameterException("bands must be an int or 'auto'")
     if num_hashes % bands != 0:
         raise ParameterException("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
