@@ -87,6 +87,25 @@ def main(argv):
             failed.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL  {name}: spark error {e}", flush=True)
             continue
+        # Driver-faithfulness: the driver's canonicalizer crashes on
+        # list-valued columns (pandas sort_values -> "unhashable type:
+        # 'list'", see CORRECTNESS_r07 dedup_embedding_filter). Our
+        # _canon_array tuple-izing used to hide that, so fail loudly here
+        # instead of passing locally and going red on the driver.
+        bad_cols = [
+            c for c in sdf.columns
+            if sdf[c].dtype == object and any(
+                isinstance(v, (list, np.ndarray)) for v in sdf[c].head(20)
+            )
+        ]
+        if bad_cols:
+            failed.append((name, f"DRIVER-UNSORTABLE list columns: {bad_cols}"))
+            print(
+                f"FAIL  {name}: list-valued columns {bad_cols} would crash "
+                "the driver canonicalizer — array_join or drop them",
+                flush=True,
+            )
+            continue
         if name not in oracles:
             rows_only.append(name)
             print(f"rows  {name}: {len(sdf)} rows (no oracle)", flush=True)
