@@ -22,10 +22,21 @@ finalizer fires mid-timed-run and evicts the entry the live run is using,
 recomputing the whole shingle/signature pipeline at every consumer
 (measured 22 s → 165 s on the capped ngram-jaccard stress). Every scoped
 persist therefore registers under ``DataFrame.semanticHash()`` and every
-release decrements, unpersisting only when the LAST user lets go. Hash
-collisions between genuinely different plans merely delay (never break) an
-unpersist; a frame whose hash cannot be computed falls back to uncounted
-direct unpersist — today's behavior.
+release decrements, unpersisting only when the LAST user lets go. Each
+registration also records its java frame, and the zero-count release
+unpersists EVERY frame registered under the hash: when two genuinely
+different plans collide, both CacheManager entries free (unpersisting the
+same canonical plan twice is a JVM no-op, so the common shared-plan case
+is unaffected). A frame whose hash cannot be computed falls back to
+uncounted direct unpersist.
+
+Ordering (round 8): the count is registered BEFORE ``persist()`` and the
+zero-count unpersist runs WHILE HOLDING ``_LOCK`` — otherwise a GC
+finalizer that decided "count is zero" under the lock could fire its
+unpersist after a new invocation's ``persist()`` but before that
+invocation registered, silently evicting the entry the new run is about
+to use (perf-only, but exactly the warm-run race this module exists to
+close).
 """
 
 from __future__ import annotations
@@ -36,7 +47,10 @@ import weakref
 from pyspark.sql import DataFrame
 
 _LOCK = threading.RLock()
-_COUNTS: dict[int, int] = {}
+# semantic hash -> [live ref count, java frames registered under the hash].
+# The frame list is NOT trimmed on non-final releases: a collided frame
+# released early must still be unpersisted when the count reaches zero.
+_ENTRIES: dict[int, list] = {}
 
 
 def _sem_hash(df: DataFrame):
@@ -46,30 +60,52 @@ def _sem_hash(df: DataFrame):
         return None  # plan not hashable (stopped session, exotic node)
 
 
-def scoped_persist(df: DataFrame) -> DataFrame:
-    """``persist()`` + register one reference under the plan's semantic
-    hash. Pair each call with exactly one ``release_now`` or one slot in a
-    ``release_with`` — the cache entry frees when the count reaches zero."""
-    df = df.persist()
-    h = _sem_hash(df)
-    if h is not None:
-        with _LOCK:
-            _COUNTS[h] = _COUNTS.get(h, 0) + 1
-    return df
-
-
-def _dec_and_maybe_unpersist(h, jdf) -> None:
-    if h is not None:
-        with _LOCK:
-            c = _COUNTS.get(h, 0)
-            if c > 1:
-                _COUNTS[h] = c - 1
-                return  # another live invocation still uses this entry
-            _COUNTS.pop(h, None)
+def _unpersist_quiet(jdf) -> None:
     try:
         jdf.unpersist(False)
     except Exception:
         pass  # session already stopped — nothing to free
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` + register one reference under the plan's semantic
+    hash. Pair each call with exactly one ``release_now`` or one slot in a
+    ``release_with`` — the cache entry frees when the count reaches zero."""
+    h = _sem_hash(df)
+    if h is not None:
+        # register BEFORE persist(): a concurrent zero-count release can
+        # then never interleave between our persist and our registration
+        with _LOCK:
+            entry = _ENTRIES.setdefault(h, [0, []])
+            entry[0] += 1
+            entry[1].append(df._jdf)
+    try:
+        df = df.persist()
+    except Exception:
+        if h is not None:
+            _dec_and_maybe_unpersist(h, df._jdf)
+        raise
+    return df
+
+
+def _dec_and_maybe_unpersist(h, jdf) -> None:
+    if h is None:
+        _unpersist_quiet(jdf)
+        return
+    with _LOCK:
+        entry = _ENTRIES.get(h)
+        if entry is not None and entry[0] > 1:
+            # another live invocation still uses this entry — decrement only;
+            # the frame stays listed so a collided plan still frees at zero
+            entry[0] -= 1
+            return
+        _ENTRIES.pop(h, None)
+        to_free = entry[1] if entry is not None else [jdf]
+        # zero-count: unpersist every frame registered under the hash while
+        # still holding the lock (see module doc) — frees BOTH entries when
+        # distinct plans collided, a no-op repeat when they were shared
+        for j in to_free:
+            _unpersist_quiet(j)
 
 
 def release_now(*dfs: DataFrame) -> None:

@@ -70,3 +70,39 @@ def test_dedup_embedding_filter_gate_is_scalar_only(spark):
     bad = [f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)]
     assert not bad, f"gate query returns array columns {bad}"
     assert "vec_id" in df.columns
+
+
+def test_colliding_hash_plans_both_unpersist(spark, monkeypatch):
+    """r8 _cache fix (ADVICE r7): when two genuinely DIFFERENT plans collide
+    on semanticHash, the zero-count release must unpersist BOTH registered
+    frames — the old count-only bookkeeping skipped the first-released
+    frame's unpersist forever (a permanent cache leak). Forced collision via
+    a monkeypatched hash; real 32-bit collisions are rare but inevitable in
+    a long-lived session."""
+    import gc
+    import time
+
+    from rasgoql_spark.functions import _cache
+
+    sc = spark.sparkContext
+
+    def settle(target, timeout=15.0):
+        deadline = time.time() + timeout
+        while True:
+            gc.collect()
+            cur = len(sc._jsc.getPersistentRDDs())
+            if cur == target or time.time() > deadline:
+                return cur
+            time.sleep(0.1)
+
+    before = settle(len(sc._jsc.getPersistentRDDs()))
+    monkeypatch.setattr(_cache, "_sem_hash", lambda df: 0xC0111DE)
+    a = _cache.scoped_persist(spark.range(10).selectExpr("id * 2 AS x"))
+    b = _cache.scoped_persist(spark.range(10).selectExpr("id * 3 AS y"))
+    a.count(), b.count()
+    assert len(sc._jsc.getPersistentRDDs()) == before + 2
+    _cache.release_now(a)  # count 2 -> 1: nothing may free yet
+    assert len(sc._jsc.getPersistentRDDs()) == before + 2
+    _cache.release_now(b)  # zero: BOTH collided frames must free
+    assert settle(before) == before
+    assert not _cache._ENTRIES
