@@ -40,6 +40,7 @@ from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import spark_transform
 from ._cache import release_now, release_with, scoped_persist
+from ._litfast import centroid_array_lit
 from .similarity import _attach_centroids
 
 CENT_ROUND = 9  # decimals kept on centroid components (both engines)
@@ -76,15 +77,8 @@ def _unit_rounded(df: DataFrame, vec_col: str, out_col: str = "__u") -> DataFram
 
 
 def _cent_literals(cents: list) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("bigint").alias("c"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-            )
-            for cid, vec in cents
-        ]
-    )
+    # one F.expr call, not k·dim py4j F.lit round trips — see _litfast
+    return centroid_array_lit(cents, id_type="bigint")
 
 
 def _assign_expr(cents, round_to: int, u_col: str = "__u") -> Column:

@@ -31,6 +31,7 @@ from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import spark_transform
 from ._cache import release_with, scoped_persist
+from ._litfast import centroid_array_lit, double_array_lit
 from .cluster import CENT_ROUND, _unit_rounded
 
 
@@ -45,15 +46,8 @@ def _sq_dist(a: Column, b) -> Column:
 
 def _code_expr(sub_col: str, codebook: list, round_to: int) -> Column:
     """argmin code over ROUNDED squared distances; ties -> lowest code."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(c)).cast("int").alias("c"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-            )
-            for c, vec in codebook
-        ]
-    )
+    # one F.expr call, not codes·dim py4j F.lit round trips — see _litfast
+    cents = centroid_array_lit(codebook, id_type="int")
     dists = F.transform(
         cents,
         lambda ce: F.struct(
@@ -206,7 +200,7 @@ def pq_search(
         score = F.round(
             sum(
                 F.element_at(
-                    F.array(*[F.lit(float(x)) for x in lut[s]]),
+                    double_array_lit(list(lut[s])),
                     F.element_at("__codes", s + 1) + 1,
                 )
                 for s in range(m)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col
 from ..registry import spark_transform
+from ._litfast import double_array_lit
 
 MAX_LITERAL_CELLS = 65536  # out_dim * in_dim ceiling for the literal matrix
 
@@ -79,7 +80,7 @@ def random_projection(
             F.aggregate(
                 F.zip_with(
                     F.col(v),
-                    F.array(*[F.lit(float(s)) for s in signs[j]]),
+                    double_array_lit(list(signs[j])),
                     lambda x, sgn: x.cast("double") * sgn,
                 ),
                 F.lit(0.0),

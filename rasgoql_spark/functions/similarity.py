@@ -18,6 +18,7 @@ from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
 from ._cache import release_now, release_with, scoped_persist
+from ._litfast import centroid_array_lit
 from .dedup import _cosine_sql, _hyperplane_sign, _sql_id_literal, cosine_expr
 
 
@@ -116,16 +117,17 @@ def _dot(a, b):
 def _centroid_array(cents: list) -> "F.Column":
     """[(cid, [floats])] → literal array<struct<c, v>> — k·dim literals, tiny
     for any sane centroid count; embedding it makes assignment a pure
-    shuffle-free projection (the corpus never joins or explodes)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).cast("bigint").alias("c"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-            )
-            for cid, vec in cents
-        ]
-    )
+    shuffle-free projection (the corpus never joins or explodes).
+
+    Built as ONE ``F.expr`` SQL string instead of per-element ``F.lit``
+    Column calls: each Column op is a py4j round trip, and k·dim of them
+    (2,752 at sf0.1's auto-k) cost ~1.4 s of pure driver-side plan
+    construction PER CALL — measured as ~85% of update_ivf_index's bench
+    time and a large share of every inline-fit IVF entry
+    (bench/results/creep_breakdown.json). The parsed expression tree is
+    value- and schema-identical (double literals round-trip via repr), so
+    plans, results, and semanticHash-based caching are unaffected."""
+    return centroid_array_lit(cents, id_type="bigint")
 
 
 def _sims_expr(cents, nvec_col: str = "__nvec"):

@@ -106,3 +106,40 @@ def test_colliding_hash_plans_both_unpersist(spark, monkeypatch):
     _cache.release_now(b)  # zero: BOTH collided frames must free
     assert settle(before) == before
     assert not _cache._ENTRIES
+
+
+def test_litfast_literals_match_per_element_construction(spark):
+    """_litfast (r8 perf): the one-call F.expr literal must be value- and
+    schema-identical to the per-element F.lit construction it replaced —
+    including exponent-formatted doubles — and fall back cleanly on
+    non-finite values (which have no SQL literal form)."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions._litfast import (
+        centroid_array_lit,
+        double_array_lit,
+    )
+
+    vals = [0.5, -0.0, 1e-22, -3.75e18, 123456.789012345678, 2.0 ** -1074]
+    old = F.array(*[F.lit(float(x)) for x in vals])
+    row = spark.range(1).select(
+        (double_array_lit(vals) == old).alias("eq")).first()
+    assert row.eq
+
+    cents = [(0, vals), (7, [x * -1.5 for x in vals])]
+    for id_type in ("bigint", "int"):
+        old_c = F.array(*[
+            F.struct(F.lit(int(c)).cast(id_type).alias("c"),
+                     F.array(*[F.lit(float(x)) for x in v]).alias("v"))
+            for c, v in cents])
+        new_c = centroid_array_lit(cents, id_type=id_type)
+        a = spark.range(1).select(old_c.alias("z"))
+        b = spark.range(1).select(new_c.alias("z"))
+        assert a.schema == b.schema
+        assert a.first() == b.first()
+
+    # non-finite fallback still builds a working literal
+    bad = [(1, [float("nan"), 1.0])]
+    out = spark.range(1).select(
+        centroid_array_lit(bad)[0]["v"][1].alias("x")).first()
+    assert out.x == 1.0
