@@ -716,6 +716,84 @@ def dedup_simhash(
     return release_with(out, *caches)
 
 
+def _md5_int_spark_sql(x: str = "x") -> str:
+    """Spark-SQL rendering of _hash.md5_int."""
+    return f"CAST(conv(substr(md5({x}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _simhash_spark_sql(hv: str = "__hv", bits: int = 32) -> str:
+    """Spark-SQL rendering of _simhash_over_hashes over a staged
+    bigint-hash-array column: per bit, ±1 votes folded with aggregate()."""
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"aggregate({hv}, CAST(0 AS BIGINT), (acc, h) -> acc + "
+            f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        )
+        terms.append(
+            f"CASE WHEN {vote} > 0 THEN CAST({2 ** b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@renderer("dedup_simhash")
+def _r_dedup_simhash(
+    source, text, id_col, hamming_threshold=3, mode="pairs"
+) -> str:
+    """Plain all-pairs rendering: the byte-band candidate join is a
+    result-preserving optimization ONLY while the pigeonhole guarantee
+    holds (4 bands over 32 bits recall every pair within Hamming distance
+    3), so pairs/filter render for ``hamming_threshold <= 3`` and raise
+    above it — there the executed banded path is deliberately lossy and no
+    single-pass SQL reproduces it. The exact-duplicate collapse needs no
+    special casing (identical signatures pair at HAMMING = 0 either way).
+    mode='edges' is connectivity-equal but not row-equal to plain pairs."""
+    from ..errors import TransformRenderingException
+    from .text import _tokens_sql
+
+    sig_tbl = (
+        f"(SELECT __id, {_simhash_spark_sql()} AS SIMHASH FROM "
+        f"(SELECT {id_col} AS __id, array_distinct(transform("
+        f"{_tokens_sql(text)}, x -> {_md5_int_spark_sql()})) AS __hv "
+        f"FROM {source}))"
+    )
+    if mode == "signatures":
+        return f"SELECT __id AS {id_col}, SIMHASH FROM {sig_tbl}"
+    if mode not in ("pairs", "filter") or hamming_threshold > 3:
+        raise TransformRenderingException(
+            "dedup_simhash renders for mode='signatures', or modes "
+            "'pairs'/'filter' with hamming_threshold <= 3 (the 4-band "
+            "pigeonhole recall bound; above it the banded path is lossy)"
+        )
+    ham = "bit_count(a.SIMHASH ^ b.SIMHASH)"
+    pairs = (
+        f"SELECT a.__id AS ID_A, b.__id AS ID_B, {ham} AS HAMMING "
+        f"FROM {sig_tbl} a JOIN {sig_tbl} b ON a.__id < b.__id "
+        f"WHERE {ham} <= {int(hamming_threshold)}"
+    )
+    if mode == "pairs":
+        return pairs
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN "
+        f"(SELECT DISTINCT ID_B FROM ({pairs})) d ON s.{id_col} = d.ID_B"
+    )
+
+
+def _minhash_sig_spark_sql(sh: str, num_hashes: int) -> str:
+    """Spark-SQL rendering of minhash_signatures' one-pass fold: md5 each
+    shingle once, fold elementwise minima of the affine hash family."""
+    member = (
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"j -> (h * (2 * j + 1) + (j * 12345 + 1)) % CAST({MERSENNE} AS BIGINT))"
+    )
+    return (
+        f"aggregate(transform({sh}, x -> {_md5_int_spark_sql()}), "
+        f"array_repeat(CAST({MERSENNE} AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, {member}, (x, y) -> least(x, y)))"
+    )
+
+
 @spark_transform("dedup_ngram_jaccard", category="dedup", streaming_ok=False)
 def dedup_ngram_jaccard(
     df: DataFrame,
@@ -1506,6 +1584,63 @@ def minhash_similarity(
         F.col("__sc.j").alias("JACCARD"),
     )
     return release_with(out, *caches)
+
+
+@renderer("minhash_similarity")
+def _r_minhash_similarity(
+    source, text, id_col, num_hashes=16, bands=4, shingle_size=3, min_est=0.0
+) -> str:
+    """Full banded rendering (NOT plain all-pairs): LSH banding is the
+    operator's semantics here — non-colliding pairs are deliberately
+    absent — so the SQL reproduces signature → band md5s → band equi-join
+    → est/exact scores, the same pipeline the DuckDB oracle replays. The
+    exact-dup collapse is result-preserving (identical sets ⇒ identical
+    signatures ⇒ est 1.0 on every band) and renders as the plain path."""
+    from ..errors import TransformRenderingException
+    from .curation import _shingles_spark_sql
+    from .text import _tokens_sql
+
+    if num_hashes % bands != 0:
+        raise TransformRenderingException(
+            "num_hashes must be divisible by bands"
+        )
+    rpb = num_hashes // bands
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', {b}, {hs}))".format(
+            b=b,
+            hs=", ".join(f"__mh[{b * rpb + r}]" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    mh_tbl = (
+        f"(SELECT __id, __sh, {_minhash_sig_spark_sql('__sh', num_hashes)} AS __mh "
+        f"FROM (SELECT __id, {_shingles_spark_sql('__t', shingle_size)} AS __sh "
+        f"FROM (SELECT {id_col} AS __id, {_tokens_sql(text)} AS __t FROM {source})))"
+    )
+    cand = (
+        f"(SELECT DISTINCT a.__id AS __ida, b.__id AS __idb FROM "
+        f"(SELECT __id, explode(array({band_exprs})) AS __band FROM {mh_tbl}) a "
+        f"JOIN (SELECT __id, explode(array({band_exprs})) AS __band FROM {mh_tbl}) b "
+        f"ON a.__band = b.__band AND a.__id < b.__id)"
+    )
+    est = (
+        "CAST(size(filter(zip_with(ma.__mh, mb.__mh, (x, y) -> x = y), "
+        f"b -> b)) AS DOUBLE) / {float(num_hashes)}"
+    )
+    un = "size(array_union(ma.__sh, mb.__sh))"
+    jac = (
+        f"CASE WHEN {un} > 0 THEN "
+        f"CAST(size(array_intersect(ma.__sh, mb.__sh)) AS DOUBLE) / {un} "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return (
+        f"SELECT ID_A, ID_B, EST_JACCARD, JACCARD FROM "
+        f"(SELECT c.__ida AS ID_A, c.__idb AS ID_B, {est} AS EST_JACCARD, "
+        f"{jac} AS JACCARD FROM {cand} c "
+        f"JOIN {mh_tbl} ma ON ma.__id = c.__ida "
+        f"JOIN {mh_tbl} mb ON mb.__id = c.__idb) "
+        f"WHERE EST_JACCARD >= {float(min_est)}"
+    )
 
 
 @spark_transform("source_overlap", category="dedup", streaming_ok=False)

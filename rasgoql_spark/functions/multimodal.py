@@ -456,6 +456,22 @@ def dedup_binary(
     return keyed.filter(F.col(i) == F.col("__grp_min")).drop("__grp_min")
 
 
+@renderer("dedup_binary")
+def _r_dedup_binary(source, binary_col, id_col, mode="filter") -> str:
+    from ..errors import ParameterException as _PE
+
+    if mode not in ("filter", "groups"):
+        raise _PE("mode must be 'filter' or 'groups'")
+    grp = f"MIN({id_col}) OVER (PARTITION BY md5({binary_col}))"
+    if mode == "groups":
+        return f"SELECT {id_col}, {grp} AS CONTENT_GROUP FROM {source}"
+    return (
+        f"SELECT * EXCEPT (__grp_min) FROM "
+        f"(SELECT *, {grp} AS __grp_min FROM {source}) "
+        f"WHERE {id_col} = __grp_min"
+    )
+
+
 # ---------------------------------------------------------------------------
 # REAL pixel / sample decode (round 4) — no codec library required:
 # PNG is zlib (stdlib) + per-scanline filters; WAV data is raw PCM.

@@ -596,3 +596,26 @@ def expect(
             f"expect failed: {total} violations (allowed {max_violations}) — {detail}"
         )
     return df
+
+
+@renderer("expect")
+def _r_expect(source, expectations, max_violations=0, mode="fail") -> str:
+    """flag/filter render row-locally; fail is an ACTION (driver-side
+    violation count + raise), which SQL text cannot express."""
+    from ..errors import TransformRenderingException
+    from ..operators._util import as_list as _as_list
+
+    rules = _as_list(expectations)
+    if mode not in ("flag", "filter") or not rules:
+        raise TransformRenderingException(
+            "expect renders for mode='flag'/'filter' only (mode='fail' is "
+            "a driver-side assertion, not a query)"
+        )
+    if mode == "filter":
+        keep = " AND ".join(f"COALESCE(({r}), false)" for r in rules)
+        return f"SELECT * FROM {source} WHERE {keep}"
+    flags = ", ".join(
+        f"COALESCE(({r}), false) AS {cleanse_name(f'EXPECT_{j}')}"
+        for j, r in enumerate(rules)
+    )
+    return f"SELECT *, {flags} FROM {source}"

@@ -268,6 +268,29 @@ CHAIN_CASES = [
             threshold=0.35,
             eval_table=s.dataset("embeddings").filter(
                 filter_statements=["vec_id < 20"]))),
+    # --- round 8: simhash / minhash-diagnostic / binary / expect renderers ---
+    ("dedup_simhash_signatures", lambda s: s.dataset("documents")
+        .dedup_simhash(text="text", id_col="doc_id", mode="signatures")),
+    ("dedup_simhash_pairs", lambda s: s.dataset("documents")
+        .dedup_simhash(text="text", id_col="doc_id", hamming_threshold=2)),
+    ("dedup_simhash_filter", lambda s: s.dataset("documents")
+        .dedup_simhash(text="text", id_col="doc_id", hamming_threshold=3,
+                       mode="filter")),
+    ("minhash_similarity", lambda s: s.dataset("documents")
+        .minhash_similarity(text="text", id_col="doc_id", min_est=0.2)),
+    ("minhash_similarity_8x2", lambda s: s.dataset("documents")
+        .minhash_similarity(text="text", id_col="doc_id", bands=8,
+                            min_est=0.1)),
+    ("dedup_binary_filter", lambda s: s.dataset("documents")
+        .attach_binary(source_col="text", name="CONTENT")
+        .dedup_binary(binary_col="CONTENT", id_col="doc_id")),
+    ("dedup_binary_groups", lambda s: s.dataset("documents")
+        .attach_binary(source_col="text", name="CONTENT")
+        .dedup_binary(binary_col="CONTENT", id_col="doc_id", mode="groups")),
+    ("expect_flag", lambda s: s.dataset("lineitem").expect(
+        expectations=["l_quantity > 0", "l_discount <= 0.1"], mode="flag")),
+    ("expect_filter", lambda s: s.dataset("lineitem").expect(
+        expectations=["l_quantity > 10", "l_tax < 0.05"], mode="filter")),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
