@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 178 entries, ALL 178 with DuckDB oracles (round 4
+streaming extensions) — 180 entries, ALL 180 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1140,35 +1140,30 @@ def q_pq_encode(spark, sf):
 
 
 def q_pq_search(spark, sf):
-    """IVF-style verification summary: PQ/ADC top-10 against the exact
-    brute-force ranking — N_RETURNED, containment in the exact top-50
-    (>= 5 of 10), recall@10 >= 1, and the exact top-10 cosine floor."""
-    from pyspark.sql import functions as F
+    """EXACT ADC replay oracle (round 8): the PQ top-10 itself — training
+    (seeded + 2 Lloyd passes), encoding, LUT construction, and ADC scoring
+    are all replayed bit-for-bit in DuckDB (_mk_pq_adc_sql), so the hash
+    compare certifies the full implementation rather than a data-dependent
+    quality summary. The previous gate asserted 'PQ top-10 has >= 5 hits in
+    the exact top-50' with a constant-true oracle — a STATISTICAL property
+    of the synthetic corpus that held at sf0.01 but genuinely fails at
+    sf0.1 (hits = 4 for 2 of 5 queries at m=8: approximation quality, not
+    a bug). The quality property is now pinned where it is stable, in
+    tests/test_round8_ops.py::test_pq_adc_quality_floor.
 
-    ds = _s(spark, sf).dataset("embeddings")
-    pq = ds.pq_search(
+    iterations=0, deliberately: seed codebooks are raw (9dp-rounded) corpus
+    values, bit-identical in both engines, so LUT dots and ADC sums are
+    bit-identical folds and the 6dp round is applied to the SAME doubles.
+    With Lloyd iterations the means carry ~1e-9 cross-engine noise (Spark's
+    partial aggregation sums in partition order; absorbed by the 9dp round
+    for ARGMIN comparisons, but a 6dp float compare over 2,500 ADC values
+    expects ~1 boundary flip — observed before this split). Lloyd training
+    parity stays covered by pq_encode's oracle, which compares argmin codes,
+    robust to that noise by construction."""
+    return _s(spark, sf).dataset("embeddings").pq_search(
         vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10,
-        m=8, codebook_size=16, iterations=2,
-    ).df.select("QUERY_ID", "MATCH_ID")
-    b50 = ds.similarity_search(
-        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=50
-    ).df.select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
-    j = pq.join(b50, ["QUERY_ID", "MATCH_ID"], "left")
-    agg = j.groupBy("QUERY_ID").agg(
-        F.count(F.lit(1)).cast("bigint").alias("N_RETURNED"),
-        (F.sum(F.when(F.col("RANK").isNotNull(), 1).otherwise(0)) >= F.lit(5)).alias(
-            "IN_TOP50_OK"
-        ),
-        (F.sum(F.when(F.col("RANK") <= 10, 1).otherwise(0)) >= F.lit(1)).alias(
-            "RECALL10_OK"
-        ),
-    )
-    mins = (
-        b50.filter(F.col("RANK") <= 10)
-        .groupBy("QUERY_ID")
-        .agg(F.min("COSINE").alias("TOP10_MIN_COSINE"))
-    )
-    return agg.join(mins, "QUERY_ID")
+        m=8, codebook_size=16, iterations=0,
+    ).df
 
 
 def q_embedding_outliers(spark, sf):
@@ -2576,6 +2571,89 @@ def oracle_sql() -> dict[str, str]:
         "JOIN f2 ON f2.vec_id = e.vec_id JOIN f3 ON f3.vec_id = e.vec_id"
     )
 
+    def _mk_pq_adc_sql(m: int, cb: int, iterations: int, k: int, qids,
+                       dim: int = 64, round_to: int = 6) -> str:
+        """Exact DuckDB replay of pq_search (functions/pq.py): per-subspace
+        seeded Lloyd (``iterations`` mean updates, argmin over distances
+        rounded to ``round_to``, ties -> lowest code, empty codes keep the
+        previous centroid), final-code assignment, per-query LUTs
+        (left-fold dots, matching Python's sequential sum), and ADC = the
+        left-assoc sum of ``m`` LUT lookups rounded to ``round_to`` —
+        ranked desc with MATCH_ID tie-break. Generalizes pq_encode's
+        unrolled CTEs to arbitrary (m, cb, iterations)."""
+        d_sub = dim // m
+        # AS MATERIALIZED everywhere: DuckDB otherwise inlines every CTE
+        # reference, re-expanding the per-subspace Lloyd chain at each of
+        # its 3+ consumers - measured 38 GB and minutes of planning on a
+        # 500-row corpus before hanging
+        ids = ", ".join(str(int(q)) for q in qids)
+        dist = (
+            f"round(list_sum(list_transform(range(1, {d_sub + 1}), "
+            f"i -> (t.v[i] - s.v[i]) * (t.v[i] - s.v[i]))), {round_to})"
+        )
+        ctes = [pq_nv]
+        for s in range(m):
+            lo, hi = s * d_sub + 1, s * d_sub + d_sub
+            ctes.append(f"sub{s} AS MATERIALIZED (SELECT vec_id, u[{lo}:{hi}] AS v FROM nv)")
+            ctes.append(
+                f"seeds{s} AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
+                f"AS INT) AS c, v FROM (SELECT vec_id, v FROM sub{s} "
+                f"ORDER BY vec_id LIMIT {cb}))"
+            )
+            prev = f"seeds{s}"
+            for it in range(iterations):
+                ctes += [
+                    f"x{s}_{it} AS MATERIALIZED (SELECT t.vec_id, s.c, {dist} AS d "
+                    f"FROM sub{s} t CROSS JOIN {prev} s)",
+                    f"a{s}_{it} AS MATERIALIZED (SELECT vec_id, c FROM (SELECT *, ROW_NUMBER() "
+                    f"OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM x{s}_{it}) "
+                    f"WHERE rn = 1)",
+                    f"mm{s}_{it} AS MATERIALIZED (SELECT c, pos, round(avg(val), 9) AS mv FROM "
+                    f"(SELECT a{s}_{it}.c, unnest(t.v) AS val, "
+                    f"generate_subscripts(t.v, 1) AS pos FROM sub{s} t "
+                    f"JOIN a{s}_{it} ON a{s}_{it}.vec_id = t.vec_id) GROUP BY c, pos)",
+                    f"cents{s}_{it} AS MATERIALIZED (SELECT p.c, COALESCE(m.v, p.v) AS v "
+                    f"FROM {prev} p LEFT JOIN (SELECT c, list(mv ORDER BY pos) AS v "
+                    f"FROM mm{s}_{it} GROUP BY c) m USING (c))",
+                ]
+                prev = f"cents{s}_{it}"
+            ctes.append(
+                f"f{s} AS MATERIALIZED (SELECT vec_id, c FROM (SELECT *, ROW_NUMBER() OVER "
+                f"(PARTITION BY vec_id ORDER BY d, c) AS rn FROM "
+                f"(SELECT t.vec_id, s.c, {dist} AS d FROM sub{s} t "
+                f"CROSS JOIN {prev} s)) WHERE rn = 1)"
+            )
+            ctes.append(
+                f"lut{s} AS MATERIALIZED (SELECT t.vec_id AS qid, s.c, "
+                f"list_sum(list_transform(range(1, {d_sub + 1}), "
+                f"i -> t.v[i] * s.v[i])) AS lv FROM sub{s} t CROSS JOIN {prev} s "
+                f"WHERE t.vec_id IN ({ids}))"
+            )
+        code_cols = ", ".join(f"f{s}.c AS c{s}" for s in range(m))
+        code_joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+        lut_joins = " ".join(
+            f"JOIN lut{s} l{s} ON l{s}.qid = q.qid AND l{s}.c = cd.c{s}"
+            for s in range(m)
+        )
+        adc = " + ".join(f"l{s}.lv" for s in range(m))
+        ctes += [
+            f"qs AS MATERIALIZED (SELECT DISTINCT qid FROM lut0)",
+            f"codes AS MATERIALIZED (SELECT f0.vec_id, {code_cols} FROM f0 {code_joins})",
+            f"adc_scored AS MATERIALIZED (SELECT q.qid, cd.vec_id, round({adc}, {round_to}) "
+            f"AS ADC_SCORE FROM codes cd CROSS JOIN qs q {lut_joins} "
+            f"WHERE cd.vec_id <> q.qid)",
+            "adc_ranked AS MATERIALIZED (SELECT qid, vec_id, ADC_SCORE, ROW_NUMBER() OVER "
+            "(PARTITION BY qid ORDER BY ADC_SCORE DESC, vec_id ASC) AS rk "
+            "FROM adc_scored)",
+        ]
+        return (
+            "WITH " + ", ".join(ctes) + " "
+            f"SELECT qid AS QUERY_ID, vec_id AS MATCH_ID, ADC_SCORE, "
+            f"CAST(rk AS INT) AS RANK FROM adc_ranked WHERE rk <= {k}"
+        )
+
+    pq_adc_sql = _mk_pq_adc_sql(8, 16, 0, 10, [0, 1, 2, 3, 4])
+
     # default 4x4 banding exprs, still used verbatim by the
     # dedup_against_minhash / dedup_minhash_filter replicas below
     band_exprs = ", ".join(
@@ -3537,12 +3615,7 @@ ranked AS (
             "FROM s"
         ),
         "pq_encode": pq_encode_sql,
-        "pq_search": sim_base + (
-            ", t10 AS (SELECT QUERY_ID, MIN(COSINE) AS TOP10_MIN_COSINE "
-            "FROM ranked WHERE RANK <= 10 GROUP BY QUERY_ID) "
-            "SELECT QUERY_ID, CAST(10 AS BIGINT) AS N_RETURNED, "
-            "true AS IN_TOP50_OK, true AS RECALL10_OK, TOP10_MIN_COSINE FROM t10"
-        ),
+        "pq_search": pq_adc_sql,
         "embedding_outliers": (
             "WITH nv AS (SELECT vec_id, CASE WHEN "
             "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
