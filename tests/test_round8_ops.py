@@ -79,33 +79,25 @@ def test_colliding_hash_plans_both_unpersist(spark, monkeypatch):
     frame's unpersist forever (a permanent cache leak). Forced collision via
     a monkeypatched hash; real 32-bit collisions are rare but inevitable in
     a long-lived session."""
-    import gc
-    import time
-
     from rasgoql_spark.functions import _cache
 
-    sc = spark.sparkContext
+    def cached(df):
+        # the frames' OWN storage levels: immune to other tests' persisted
+        # RDDs and to their GC finalizers firing mid-assertion (global
+        # getPersistentRDDs counts made this flaky under the full suite)
+        lv = df.storageLevel
+        return lv.useMemory or lv.useDisk
 
-    def settle(target, timeout=15.0):
-        deadline = time.time() + timeout
-        while True:
-            gc.collect()
-            cur = len(sc._jsc.getPersistentRDDs())
-            if cur == target or time.time() > deadline:
-                return cur
-            time.sleep(0.1)
-
-    before = settle(len(sc._jsc.getPersistentRDDs()))
     monkeypatch.setattr(_cache, "_sem_hash", lambda df: 0xC0111DE)
     a = _cache.scoped_persist(spark.range(10).selectExpr("id * 2 AS x"))
     b = _cache.scoped_persist(spark.range(10).selectExpr("id * 3 AS y"))
     a.count(), b.count()
-    assert len(sc._jsc.getPersistentRDDs()) == before + 2
+    assert cached(a) and cached(b)
     _cache.release_now(a)  # count 2 -> 1: nothing may free yet
-    assert len(sc._jsc.getPersistentRDDs()) == before + 2
+    assert cached(a) and cached(b)
     _cache.release_now(b)  # zero: BOTH collided frames must free
-    assert settle(before) == before
-    assert not _cache._ENTRIES
+    assert not cached(a) and not cached(b)
+    assert 0xC0111DE not in _cache._ENTRIES
 
 
 def test_litfast_literals_match_per_element_construction(spark):
@@ -173,3 +165,23 @@ def test_pq_adc_quality_floor(spark):
     assert len(hits) == 5
     for r in hits:
         assert r.h >= 5, f"query {r.QUERY_ID}: only {r.h} of 10 in exact top-50"
+
+
+def test_parquet_memo_hits_and_invalidates(spark, tmp_path):
+    """r8 _read_parquet memo: same (session, path, content) returns the SAME
+    DataFrame object (no re-inference); overwriting the file changes the
+    signature and must produce a fresh frame with the new data."""
+    import rasgoql_spark as rql
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+    s = rql.RasgoSession(spark, data_dir=str(tmp_path))
+    d1 = s.table_df(p)
+    d2 = s.table_df(p)
+    assert d1 is d2
+    assert d1.count() == 5
+    # overwrite -> new signature -> fresh read sees the new rowcount
+    spark.range(9).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+    d3 = s.table_df(p)
+    assert d3 is not d1
+    assert d3.count() == 9

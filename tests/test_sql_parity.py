@@ -291,6 +291,15 @@ CHAIN_CASES = [
         expectations=["l_quantity > 0", "l_discount <= 0.1"], mode="flag")),
     ("expect_filter", lambda s: s.dataset("lineitem").expect(
         expectations=["l_quantity > 10", "l_tax < 0.05"], mode="filter")),
+    ("tfidf_keywords", lambda s: s.dataset("documents").tfidf_keywords(
+        text="text", id_col="doc_id", top_k=5)),
+    ("bm25_score", lambda s: s.dataset("documents").bm25_score(
+        text="text", id_col="doc_id", query=["data", "spark", "model"])),
+    ("bm25_score_string_query", lambda s: s.dataset("documents").bm25_score(
+        text="text", id_col="doc_id", query="The Data, the MODEL!")),
+    ("knn_classify", lambda s: s.dataset("embeddings").knn_classify(
+        vec_col="embedding", id_col="vec_id", label_col="label",
+        query_ids=[0, 1, 2], k=5)),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
