@@ -794,6 +794,72 @@ def _minhash_sig_spark_sql(sh: str, num_hashes: int) -> str:
     )
 
 
+@renderer("dedup_minhash")
+def _r_dedup_minhash(
+    source, text, id_col, num_hashes=16, bands=4, shingle_size=3,
+    threshold=0.5, mode="pairs",
+) -> str:
+    """Full banded rendering: signature fold -> band md5s -> band equi-join
+    -> exact Jaccard on shingle sets -> threshold. LSH banding is part of
+    the semantics (non-colliding pairs are deliberately absent), so the SQL
+    reproduces it rather than falling back to all-pairs; the exact-dup
+    collapse is result-preserving (identical sets share every band and
+    score exactly 1.0). bands='auto' resolves through the same
+    minhash_tune S-curve the DataFrame path uses. mode='edges' is a
+    connectivity artifact, not row-equal to plain pairs — not rendered."""
+    from ..errors import TransformRenderingException
+    from .curation import _shingles_spark_sql
+    from .text import _tokens_sql
+
+    if mode not in ("pairs", "filter"):
+        raise TransformRenderingException(
+            "dedup_minhash renders for mode='pairs'/'filter' only "
+            "(edges is a multi-stage connectivity artifact)"
+        )
+    if bands == "auto":
+        bands = minhash_tune(threshold, num_hashes)["bands"]
+    if not isinstance(bands, int) or isinstance(bands, bool):
+        raise ParameterException("bands must be an int or 'auto'")
+    if num_hashes % bands != 0:
+        raise ParameterException("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', {b}, {hs}))".format(
+            b=b, hs=", ".join(f"__mh[{b * rpb + r}]" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    mh_tbl = (
+        f"(SELECT __id, __sh, {_minhash_sig_spark_sql('__sh', num_hashes)} AS __mh "
+        f"FROM (SELECT __id, {_shingles_spark_sql('__t', shingle_size)} AS __sh "
+        f"FROM (SELECT {id_col} AS __id, {_tokens_sql(text)} AS __t FROM {source})))"
+    )
+    cand = (
+        f"(SELECT DISTINCT a.__id AS __ida, b.__id AS __idb FROM "
+        f"(SELECT __id, explode(array({band_exprs})) AS __band FROM {mh_tbl}) a "
+        f"JOIN (SELECT __id, explode(array({band_exprs})) AS __band FROM {mh_tbl}) b "
+        f"ON a.__band = b.__band AND a.__id < b.__id)"
+    )
+    un = "size(array_union(sa.__sh, sb.__sh))"
+    jac = (
+        f"CASE WHEN {un} > 0 THEN "
+        f"CAST(size(array_intersect(sa.__sh, sb.__sh)) AS DOUBLE) / {un} "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    pairs = (
+        f"SELECT __ida AS ID_A, __idb AS ID_B, JACCARD FROM "
+        f"(SELECT c.__ida, c.__idb, {jac} AS JACCARD FROM {cand} c "
+        f"JOIN {mh_tbl} sa ON sa.__id = c.__ida "
+        f"JOIN {mh_tbl} sb ON sb.__id = c.__idb) WHERE JACCARD >= {threshold}"
+    )
+    if mode == "pairs":
+        return pairs
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN "
+        f"(SELECT DISTINCT ID_B FROM ({pairs})) d ON s.{id_col} = d.ID_B"
+    )
+
+
 @spark_transform("dedup_ngram_jaccard", category="dedup", streaming_ok=False)
 def dedup_ngram_jaccard(
     df: DataFrame,

@@ -300,6 +300,11 @@ CHAIN_CASES = [
     ("knn_classify", lambda s: s.dataset("embeddings").knn_classify(
         vec_col="embedding", id_col="vec_id", label_col="label",
         query_ids=[0, 1, 2], k=5)),
+    ("dedup_minhash_pairs", lambda s: s.dataset("documents").dedup_minhash(
+        text="text", id_col="doc_id", threshold=0.2)),
+    ("dedup_minhash_auto_filter", lambda s: s.dataset("documents")
+        .dedup_minhash(text="text", id_col="doc_id", threshold=0.2,
+                       bands="auto", mode="filter")),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
