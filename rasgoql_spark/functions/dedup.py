@@ -748,7 +748,9 @@ def _r_dedup_simhash(
     above it — there the executed banded path is deliberately lossy and no
     single-pass SQL reproduces it. The exact-duplicate collapse needs no
     special casing (identical signatures pair at HAMMING = 0 either way).
-    mode='edges' is connectivity-equal but not row-equal to plain pairs."""
+    mode='edges' is connectivity-equal but not row-equal to plain pairs. NOTE: the signature subquery inlines at each reference
+    (pairs joins it twice) — executed-SQL recompute the DataFrame path
+    avoids by persisting; the render is an export artifact."""
     from ..errors import TransformRenderingException
     from .text import _tokens_sql
 
@@ -808,8 +810,6 @@ def _r_dedup_minhash(
     minhash_tune S-curve the DataFrame path uses. mode='edges' is a
     connectivity artifact, not row-equal to plain pairs — not rendered."""
     from ..errors import TransformRenderingException
-    from .curation import _shingles_spark_sql
-    from .text import _tokens_sql
 
     if mode not in ("pairs", "filter"):
         raise TransformRenderingException(
@@ -820,25 +820,8 @@ def _r_dedup_minhash(
         bands = minhash_tune(threshold, num_hashes)["bands"]
     if not isinstance(bands, int) or isinstance(bands, bool):
         raise ParameterException("bands must be an int or 'auto'")
-    if num_hashes % bands != 0:
-        raise ParameterException("num_hashes must be divisible by bands")
-    rpb = num_hashes // bands
-    band_exprs = ", ".join(
-        "md5(concat_ws(',', {b}, {hs}))".format(
-            b=b, hs=", ".join(f"__mh[{b * rpb + r}]" for r in range(rpb))
-        )
-        for b in range(bands)
-    )
-    mh_tbl = (
-        f"(SELECT __id, __sh, {_minhash_sig_spark_sql('__sh', num_hashes)} AS __mh "
-        f"FROM (SELECT __id, {_shingles_spark_sql('__t', shingle_size)} AS __sh "
-        f"FROM (SELECT {id_col} AS __id, {_tokens_sql(text)} AS __t FROM {source})))"
-    )
-    cand = (
-        f"(SELECT DISTINCT a.__id AS __ida, b.__id AS __idb FROM "
-        f"(SELECT __id, explode(array({band_exprs})) AS __band FROM {mh_tbl}) a "
-        f"JOIN (SELECT __id, explode(array({band_exprs})) AS __band FROM {mh_tbl}) b "
-        f"ON a.__band = b.__band AND a.__id < b.__id)"
+    mh_tbl, cand = _banded_minhash_sql(
+        source, text, id_col, num_hashes, bands, shingle_size
     )
     un = "size(array_union(sa.__sh, sb.__sh))"
     jac = (
@@ -1652,29 +1635,27 @@ def minhash_similarity(
     return release_with(out, *caches)
 
 
-@renderer("minhash_similarity")
-def _r_minhash_similarity(
-    source, text, id_col, num_hashes=16, bands=4, shingle_size=3, min_est=0.0
-) -> str:
-    """Full banded rendering (NOT plain all-pairs): LSH banding is the
-    operator's semantics here — non-colliding pairs are deliberately
-    absent — so the SQL reproduces signature → band md5s → band equi-join
-    → est/exact scores, the same pipeline the DuckDB oracle replays. The
-    exact-dup collapse is result-preserving (identical sets ⇒ identical
-    signatures ⇒ est 1.0 on every band) and renders as the plain path."""
-    from ..errors import TransformRenderingException
+def _banded_minhash_sql(
+    source, text, id_col, num_hashes: int, bands: int, shingle_size: int
+) -> tuple:
+    """Shared Spark-SQL rendering of the banded-LSH candidate pipeline
+    (signature fold -> band md5s -> band equi-join) used by both the
+    dedup_minhash and minhash_similarity renderers — one source of truth so
+    a banding/shingle change can never silently diverge between them.
+    Returns ``(mh_tbl, cand)``. NOTE: the signature subquery is inlined at
+    each reference in the final statement (cand a/b + both verification
+    sides = up to 4x recompute when the rendered SQL is EXECUTED) — the
+    DataFrame path persists this intermediate instead; the render is the
+    reference/export artifact, not the scale path."""
     from .curation import _shingles_spark_sql
     from .text import _tokens_sql
 
     if num_hashes % bands != 0:
-        raise TransformRenderingException(
-            "num_hashes must be divisible by bands"
-        )
+        raise ParameterException("num_hashes must be divisible by bands")
     rpb = num_hashes // bands
     band_exprs = ", ".join(
         "md5(concat_ws(',', {b}, {hs}))".format(
-            b=b,
-            hs=", ".join(f"__mh[{b * rpb + r}]" for r in range(rpb)),
+            b=b, hs=", ".join(f"__mh[{b * rpb + r}]" for r in range(rpb))
         )
         for b in range(bands)
     )
@@ -1688,6 +1669,22 @@ def _r_minhash_similarity(
         f"(SELECT __id, explode(array({band_exprs})) AS __band FROM {mh_tbl}) a "
         f"JOIN (SELECT __id, explode(array({band_exprs})) AS __band FROM {mh_tbl}) b "
         f"ON a.__band = b.__band AND a.__id < b.__id)"
+    )
+    return mh_tbl, cand
+
+
+@renderer("minhash_similarity")
+def _r_minhash_similarity(
+    source, text, id_col, num_hashes=16, bands=4, shingle_size=3, min_est=0.0
+) -> str:
+    """Full banded rendering (NOT plain all-pairs): LSH banding is the
+    operator's semantics here — non-colliding pairs are deliberately
+    absent — so the SQL reproduces signature → band md5s → band equi-join
+    → est/exact scores, the same pipeline the DuckDB oracle replays. The
+    exact-dup collapse is result-preserving (identical sets ⇒ identical
+    signatures ⇒ est 1.0 on every band) and renders as the plain path."""
+    mh_tbl, cand = _banded_minhash_sql(
+        source, text, id_col, num_hashes, bands, shingle_size
     )
     est = (
         "CAST(size(filter(zip_with(ma.__mh, mb.__mh, (x, y) -> x = y), "

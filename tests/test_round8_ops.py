@@ -38,17 +38,25 @@ def test_bands_auto_resolves_via_minhash_tune(near_dup_docs):
 
 
 def test_bands_auto_differs_from_default_banding_at_low_threshold(spark):
-    # a pair with Jaccard ~0.33 sits above the 8x2 knee (0.354 ~ borderline)
-    # but below the 4x4 knee (0.707): with 2-row bands a single shared
-    # shingle already collides, while 4-row bands require 4 consecutive
-    # minhash agreements — so auto banding at threshold 0.2 can recall
-    # candidate pairs the default banding misses. Verify the resolved
-    # banding is genuinely different by checking the band count effect on
-    # a synthetic borderline pair.
+    """A concrete borderline pair (4 of 14 words swapped, exact J = 1/7 —
+    far below the 4x4 knee of 0.707, above the 16x1 knee of 0.0625) that
+    the default 4-row bands deterministically MISS and the auto-resolved
+    1-row bands RECALL — i.e. bands='auto' at a low threshold changes what
+    the LSH can find, which is the reason the optimizer exists. The
+    signatures are md5-based and seedless, so the collision outcome is
+    deterministic and pinned. The optimizer itself must also be
+    threshold-sensitive."""
     t1 = minhash_tune(0.2, 16)
     t2 = minhash_tune(0.9, 16)
-    assert t1["bands"] != t2["bands"]  # the optimizer is threshold-sensitive
+    assert t1["bands"] != t2["bands"]
     assert t1["knee"] < t2["knee"]
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi"
+    swapped = "alpha beta gamma delta epsilon omicron eta pi iota rho lam sigma nu xi"
+    df = spark.createDataFrame([(1, base), (2, swapped)], ["doc_id", "text"])
+    # exact J = 0.1428...; threshold 0.1 tunes to 16 bands of 1
+    assert (1, 2) not in _minhash_pairs(df, threshold=0.1, bands=4)
+    assert (1, 2) in _minhash_pairs(df, threshold=0.1, bands="auto")
 
 
 def test_bands_invalid_raises(near_dup_docs):

@@ -95,7 +95,7 @@ def main(argv):
         bad_cols = [
             c for c in sdf.columns
             if sdf[c].dtype == object and any(
-                isinstance(v, (list, np.ndarray)) for v in sdf[c].head(20)
+                isinstance(v, (list, np.ndarray)) for v in sdf[c]
             )
         ]
         if bad_cols:

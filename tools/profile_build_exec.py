@@ -25,7 +25,8 @@ import rasgoql_spark as rql  # noqa: E402
 
 
 def main() -> int:
-    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # first iteration is the warm-up, so at least 2 are needed for a median
+    repeats = max(2, int(sys.argv[1]) if len(sys.argv) > 1 else 3)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = rql.default_spark(
