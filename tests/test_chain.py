@@ -70,8 +70,11 @@ def test_sql_render_views(session):
 
 
 def test_non_renderable_transform_still_executes(session):
-    chain = session.dataset("documents").dedup_minhash(text="text", id_col="doc_id")
-    assert chain.df.columns == ["ID_A", "ID_B", "JACCARD"]
+    # near_dup_clusters (iterative label propagation) has no SQL renderer;
+    # dedup_minhash, the previous example here, gained one in round 8
+    chain = session.dataset("documents").near_dup_clusters(
+        text="text", id_col="doc_id", threshold=0.2)
+    assert chain.df.columns == ["doc_id", "CLUSTER_ID"]
     with pytest.raises(rql.TransformRenderingException):
         chain.sql()
 
