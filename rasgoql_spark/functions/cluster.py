@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 from ._cache import release_now, release_with, scoped_persist
 from ._litfast import centroid_array_lit
 from .similarity import _attach_centroids
@@ -149,6 +149,93 @@ def kmeans_cluster(
         F.col("__id").alias(i), "CLUSTER_ID"
     )
     return release_with(df.join(out_assign, on=i, how="inner"), cached)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(arr: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({arr}, x -> x * x), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+
+
+@renderer("kmeans_cluster")
+def _r_kmeans_cluster(source, vec_col, id_col, k=8, iterations=1, round_to=6) -> str:
+    """Unrolled Lloyd replay in Spark SQL (the pq/pagerank oracle technique
+    applied to the renderer side): lowest-id seeds, per-iteration argmax
+    assignment over ``round_to``-rounded cosines (ties -> lowest cid),
+    9-dp-rounded re-normalized means, empty clusters keep their previous
+    centroid, final assignment joined back onto the source rows. The
+    DataFrame path collects the per-iteration means to the driver and
+    embeds them as literals; the rendered SQL computes them in-flight —
+    equality holds because assignments compare ROUNDED sims (the same
+    argmin-robustness contract the DuckDB oracle relies on). The
+    normalized-input subquery inlines at each reference (seeds + per-
+    iteration assign/mean + final assign) — executed-SQL recompute the
+    DataFrame path avoids by persisting; the render is an export artifact."""
+    from ..errors import TransformRenderingException
+
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if iterations < 0:
+        raise ParameterException("iterations must be >= 0")
+    if iterations > 8:
+        raise TransformRenderingException(
+            "kmeans_cluster renders unrolled Lloyd passes; iterations > 8 "
+            "produces an impractically large statement"
+        )
+    v = vec_col
+    unit = (
+        f"CASE WHEN __vnorm > 0 THEN "
+        f"transform({v}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
+        f"ELSE transform({v}, x -> CAST(x AS DOUBLE)) END"
+    )
+    nv = (
+        f"(SELECT __id, {unit} AS __u FROM (SELECT {id_col} AS __id, {v}, "
+        f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM {source}))"
+    )
+    prev = (
+        f"(SELECT CAST(ROW_NUMBER() OVER (ORDER BY __id) - 1 AS BIGINT) AS c, "
+        f"__u AS v FROM (SELECT __id, __u FROM {nv} ORDER BY __id LIMIT {int(k)}))"
+    )
+
+    def assign(cents_sql: str) -> str:
+        sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_to)})"
+        return (
+            f"(SELECT __id, c FROM (SELECT t.__id, s.c, ROW_NUMBER() OVER "
+            f"(PARTITION BY t.__id ORDER BY {sim} DESC, s.c ASC) AS rn "
+            f"FROM {nv} t CROSS JOIN {cents_sql} s) WHERE rn = 1)"
+        )
+
+    for _ in range(int(iterations)):
+        mm = (
+            f"(SELECT c, transform(array_sort(collect_list(struct(pos, m))), "
+            f"e -> e.m) AS mv FROM (SELECT c, pos, round(avg(val), {CENT_ROUND}) "
+            f"AS m FROM (SELECT a.c, posexplode(t.__u) AS (pos, val) "
+            f"FROM {nv} t JOIN {assign(prev)} a ON a.__id = t.__id) "
+            f"GROUP BY c, pos) GROUP BY c)"
+        )
+        renorm = (
+            f"CASE WHEN {_norm_sql('m.mv')} > 0 THEN "
+            f"transform(m.mv, x -> round(x / {_norm_sql('m.mv')}, {CENT_ROUND})) "
+            f"ELSE m.mv END"
+        )
+        prev = (
+            f"(SELECT p.c, COALESCE({renorm}, p.v) AS v FROM {prev} p "
+            f"LEFT JOIN {mm} m ON p.c = m.c)"
+        )
+    final = assign(prev)
+    return (
+        f"SELECT s.*, f.c AS CLUSTER_ID FROM {source} s "
+        f"JOIN {final} f ON f.__id = s.{id_col}"
+    )
 
 
 @spark_transform("embedding_outliers", category="similarity", streaming_ok=False)

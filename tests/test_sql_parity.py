@@ -305,6 +305,10 @@ CHAIN_CASES = [
     ("dedup_minhash_auto_filter", lambda s: s.dataset("documents")
         .dedup_minhash(text="text", id_col="doc_id", threshold=0.2,
                        bands="auto", mode="filter")),
+    ("kmeans_cluster", lambda s: s.dataset("embeddings").kmeans_cluster(
+        vec_col="embedding", id_col="vec_id", k=4)),
+    ("kmeans_cluster_2iter", lambda s: s.dataset("embeddings").kmeans_cluster(
+        vec_col="embedding", id_col="vec_id", k=3, iterations=2)),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
