@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
-from ..registry import spark_transform
+from ..registry import renderer as _renderer, spark_transform
 from ._cache import release_with, scoped_persist
 from ._litfast import centroid_array_lit, double_array_lit
 from .cluster import CENT_ROUND, _unit_rounded
@@ -149,6 +149,84 @@ def _staged_corpus(df: DataFrame, v: str, i: str, m: int):
         d_sub,
     ))
     return staged, d_sub, staged
+
+
+@_renderer("pq_encode")
+def _r_pq_encode(source, vec_col, id_col, m=4, codebook_size=8, iterations=1,
+                 round_to=6) -> str:
+    """Unrolled per-subspace Lloyd replay in Spark SQL (the kmeans_cluster
+    renderer technique, L2 distances instead of cosines): lowest-id seeds,
+    argmin over ``round_to``-rounded squared distances (ties -> lowest
+    code), 9-dp-rounded means with empty codes keeping their previous
+    centroid, final per-subspace codes assembled into PQ_CODE. Subvector
+    bounds derive row-locally (``size(u) DIV m``) since the renderer never
+    sees the data; equality with the DataFrame path (driver-collected
+    codebooks as literals) holds through the rounded-distance argmin
+    robustness contract. The normalized corpus inlines at each reference —
+    executed-SQL recompute; the render is an export artifact."""
+    from ..errors import TransformRenderingException
+
+    if m < 1:
+        raise ParameterException("m must be >= 1")
+    if iterations < 0:
+        raise ParameterException("iterations must be >= 0")
+    if iterations > 8 or m > 16:
+        raise TransformRenderingException(
+            "pq_encode renders unrolled per-subspace Lloyd passes; "
+            "iterations > 8 or m > 16 produces an impractically large "
+            "statement"
+        )
+    v = vec_col
+    unit = (
+        f"CASE WHEN __vnorm > 0 THEN "
+        f"transform({v}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
+        f"ELSE transform({v}, x -> CAST(x AS DOUBLE)) END"
+    )
+    sq = (
+        "aggregate(zip_with(t.v, s.v, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    finals = []
+    for s_ix in range(int(m)):
+        sub = (
+            f"(SELECT __id, slice(__u, {s_ix} * (size(__u) DIV {int(m)}) + 1, "
+            f"size(__u) DIV {int(m)}) AS v FROM "
+            f"(SELECT __id, {unit} AS __u FROM (SELECT {id_col} AS __id, {v}, "
+            f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM {source})))"
+        )
+        prev = (
+            f"(SELECT CAST(ROW_NUMBER() OVER (ORDER BY __id) - 1 AS INT) AS c, "
+            f"v FROM (SELECT __id, v FROM {sub} ORDER BY __id "
+            f"LIMIT {int(codebook_size)}))"
+        )
+
+        def assign(cents_sql: str) -> str:
+            d = f"round({sq}, {int(round_to)})"
+            return (
+                f"(SELECT __id, c FROM (SELECT t.__id, s.c, ROW_NUMBER() OVER "
+                f"(PARTITION BY t.__id ORDER BY {d} ASC, s.c ASC) AS rn "
+                f"FROM {sub} t CROSS JOIN {cents_sql} s) WHERE rn = 1)"
+            )
+
+        for _ in range(int(iterations)):
+            mm = (
+                f"(SELECT c, transform(array_sort(collect_list(struct(pos, m))), "
+                f"e -> e.m) AS mv FROM (SELECT c, pos, round(avg(val), {CENT_ROUND}) "
+                f"AS m FROM (SELECT a.c, posexplode(t.v) AS (pos, val) "
+                f"FROM {sub} t JOIN {assign(prev)} a ON a.__id = t.__id) "
+                f"GROUP BY c, pos) GROUP BY c)"
+            )
+            prev = (
+                f"(SELECT p.c, COALESCE(m.mv, p.v) AS v FROM {prev} p "
+                f"LEFT JOIN {mm} m ON p.c = m.c)"
+            )
+        finals.append(assign(prev))
+    joins = " ".join(
+        f"JOIN {f} f{j} ON f{j}.__id = s.{id_col}" for j, f in enumerate(finals)
+    )
+    arr = ", ".join(f"f{j}.c" for j in range(int(m)))
+    return f"SELECT s.*, array({arr}) AS PQ_CODE FROM {source} s {joins}"
 
 
 @spark_transform("pq_search", category="similarity", streaming_ok=False)

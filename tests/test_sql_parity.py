@@ -309,6 +309,11 @@ CHAIN_CASES = [
         vec_col="embedding", id_col="vec_id", k=4)),
     ("kmeans_cluster_2iter", lambda s: s.dataset("embeddings").kmeans_cluster(
         vec_col="embedding", id_col="vec_id", k=3, iterations=2)),
+    ("pq_encode", lambda s: s.dataset("embeddings").pq_encode(
+        vec_col="embedding", id_col="vec_id", m=4, codebook_size=8)),
+    ("pq_encode_2iter", lambda s: s.dataset("embeddings").pq_encode(
+        vec_col="embedding", id_col="vec_id", m=8, codebook_size=4,
+        iterations=2)),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
