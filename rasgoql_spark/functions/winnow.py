@@ -221,3 +221,11 @@ def dedup_winnow(
         dupes = pairs.select(F.col("ID_B").alias(i)).distinct()
         return release_with(df.join(dupes, on=i, how="left_anti"), base)
     return release_with(pairs, base)
+
+
+# NOTE (round 8): a dedup_winnow renderer was prototyped and produced
+# row-identical SQL, but 45x slower than the DataFrame path at sf0.001 —
+# without a persist barrier, SQL text cannot stop Catalyst re-inlining the
+# O(tokens*window) fingerprint pipeline into every candidate-join consumer.
+# The operator stays execution-only by design (same class as the other
+# multi-stage self-joins); winnow_fingerprint itself renders fine.
