@@ -148,7 +148,10 @@ def kmeans_cluster(
     out_assign = fbase.withColumn("CLUSTER_ID", _assign_expr(fcarr, round_to)).select(
         F.col("__id").alias(i), "CLUSTER_ID"
     )
-    return release_with(df.join(out_assign, on=i, how="inner"), cached)
+    return release_with(
+        df.join(out_assign, on=i, how="inner").select(*df.columns, "CLUSTER_ID"),
+        cached,
+    )
 
 
 def _dot_sql(a: str, b: str) -> str:

@@ -114,7 +114,7 @@ def decontaminate(
     # no broadcast hint: the contaminated-id set is data-dependent and
     # unbounded in principle (a wholly-contaminated corpus flags every id) —
     # let AQE pick broadcast vs shuffle from the observed size at runtime
-    return df.join(flagged, i, "left_anti")
+    return df.join(flagged, i, "left_anti").select(*df.columns)
 
 
 @renderer("decontaminate")
@@ -939,7 +939,7 @@ def decontaminate_embedding(
     if mode == "score":
         return scored
     flagged = scored.filter(F.col("MAX_EVAL_COSINE") >= threshold).select(i)
-    return df.join(flagged, i, "left_anti")
+    return df.join(flagged, i, "left_anti").select(*df.columns)
 
 
 @renderer("decontaminate_embedding")

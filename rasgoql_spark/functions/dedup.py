@@ -402,7 +402,9 @@ def dedup_minhash(
     if mode == "filter":
         i = resolve_col(df, id_col)
         dupes = out.select(F.col("ID_B").alias(i)).distinct()
-        return release_with(df.join(dupes, on=i, how="left_anti"), *caches)
+        return release_with(
+            df.join(dupes, on=i, how="left_anti").select(*df.columns), *caches
+        )
     return release_with(out, *caches)
 
 
@@ -712,7 +714,9 @@ def dedup_simhash(
     if mode == "filter":
         # r7 fix: same fell-through-to-edges bug as dedup_ngram_jaccard
         dupes = out.select(F.col("ID_B").alias(i)).distinct()
-        return release_with(df.join(dupes, on=i, how="left_anti"), *caches)
+        return release_with(
+            df.join(dupes, on=i, how="left_anti").select(*df.columns), *caches
+        )
     return release_with(out, *caches)
 
 
@@ -919,7 +923,9 @@ def dedup_ngram_jaccard(
         # EDGE LIST instead of the filtered rows (only dedup_minhash had
         # the anti-join conversion)
         dupes = out.select(F.col("ID_B").alias(i)).distinct()
-        return release_with(df.join(dupes, on=i, how="left_anti"), *caches)
+        return release_with(
+            df.join(dupes, on=i, how="left_anti").select(*df.columns), *caches
+        )
     return release_with(out, *caches)
 
 
@@ -1214,7 +1220,9 @@ def dedup_embedding(
     if mode == "filter":
         # r7 fix: same fell-through-to-edges bug as dedup_ngram_jaccard
         dupes = out.select(F.col("ID_B").alias(i)).distinct()
-        return release_with(df.join(dupes, on=i, how="left_anti"), *caches)
+        return release_with(
+            df.join(dupes, on=i, how="left_anti").select(*df.columns), *caches
+        )
     return release_with(out, *caches)
 
 
@@ -1354,7 +1362,7 @@ def dedup_against(
             .select(F.col("__id").alias(i))
             .dropDuplicates()
         )
-        return df.join(matched, on=i, how="left_anti")
+        return df.join(matched, on=i, how="left_anti").select(*df.columns)
     if method == "minhash":
         if num_hashes % bands != 0:
             raise ParameterException("num_hashes must be divisible by bands")
@@ -1448,7 +1456,10 @@ def dedup_against(
             sig_a.join(matched, on="__rep", how="left_semi")
             .select(F.col("__id").alias(i))
         )
-        return release_with(df.join(dupes, on=i, how="left_anti"), *caches_a, *caches_b)
+        return release_with(
+            df.join(dupes, on=i, how="left_anti").select(*df.columns),
+            *caches_a, *caches_b,
+        )
     raise ParameterException("method must be 'exact' or 'minhash'")
 
 

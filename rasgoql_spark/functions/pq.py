@@ -130,7 +130,9 @@ def pq_encode(
     books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
     codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
     out = staged.withColumn("PQ_CODE", codes).select(F.col("__id").alias(i), "PQ_CODE")
-    return release_with(df.join(out, on=i, how="inner"), cached)
+    return release_with(
+        df.join(out, on=i, how="inner").select(*df.columns, "PQ_CODE"), cached
+    )
 
 
 def _staged_corpus(df: DataFrame, v: str, i: str, m: int):

@@ -651,7 +651,7 @@ def dedup_against_embedding(
         )
     else:
         flagged = matches.select(F.col("__qid").alias(i)).dropDuplicates()
-        out = df.join(flagged, on=i, how="left_anti")
+        out = df.join(flagged, on=i, how="left_anti").select(*df.columns)
     # release ties to the FINAL result (the r5 scoped-cache liveness
     # lesson) — tying it to the intermediate would free the inline-built
     # index before the action runs

@@ -219,7 +219,9 @@ def dedup_winnow(
     )
     if mode == "filter":
         dupes = pairs.select(F.col("ID_B").alias(i)).distinct()
-        return release_with(df.join(dupes, on=i, how="left_anti"), base)
+        return release_with(
+            df.join(dupes, on=i, how="left_anti").select(*df.columns), base
+        )
     return release_with(pairs, base)
 
 

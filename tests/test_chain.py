@@ -172,6 +172,9 @@ def test_save_view_dotted_name_fallback_warns(session):
 def test_table_type_and_state(session, spark):
     from rasgoql_spark.enums import TableState, TableType
 
+    # parity tests register source tables as TEMP VIEWS; drop any leftover
+    # "region" so the catalog lookup below is order-independent
+    spark.catalog.dropTempView("region")
     # path-backed dataset: not in the catalog
     ds = session.dataset("region")
     assert ds.table_type == TableType.UNKNOWN.value

@@ -193,3 +193,30 @@ def test_parquet_memo_hits_and_invalidates(spark, tmp_path):
     d3 = s.table_df(p)
     assert d3 is not d1
     assert d3.count() == 9
+
+
+def test_filter_modes_preserve_schema_order(spark, session):
+    """r8 review finding: filter-mode operators used df.join(..., on=id,
+    how='left_anti') whose USING join hoists the id column to position 0 —
+    so a source whose id is NOT first came back reordered, and rendered
+    'SELECT s.*' SQL diverged from the executed column order. Filter modes
+    (and the kmeans/pq appends) are now schema-preserving; pin it on a
+    table whose id sits in the middle."""
+    docs = session.dataset("documents").df.selectExpr("text", "doc_id", "lang")
+    emb = session.dataset("embeddings").df.selectExpr(
+        "embedding", "vec_id", "label")
+    import rasgoql_spark as rql
+
+    t = rql.get_transform
+    out = t("dedup_minhash").apply(
+        docs, text="text", id_col="doc_id", threshold=0.2, mode="filter")
+    assert out.columns == ["text", "doc_id", "lang"]
+    out = t("dedup_against").apply(
+        docs, text="text", id_col="doc_id",
+        reference=docs.filter("doc_id % 10 = 0"), method="exact")
+    assert out.columns == ["text", "doc_id", "lang"]
+    out = t("kmeans_cluster").apply(emb, vec_col="embedding", id_col="vec_id", k=4)
+    assert out.columns == ["embedding", "vec_id", "label", "CLUSTER_ID"]
+    out = t("pq_encode").apply(
+        emb, vec_col="embedding", id_col="vec_id", m=4, codebook_size=8)
+    assert out.columns == ["embedding", "vec_id", "label", "PQ_CODE"]
