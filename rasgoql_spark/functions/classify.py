@@ -155,6 +155,80 @@ def nb_classify(
     return out
 
 
+@renderer("nb_classify")
+def _r_nb_classify(
+    source, text, label_col, id_col, alpha=1.0, round_to=6, max_labels=1000
+) -> str:
+    """Exact replay of the NB counting fit + argmax in Spark SQL: the count
+    tables, smoothed log-likelihood sum, prior, rounded score, and the
+    min(struct(-score, label)) argmax are all single-pass aggregations, so
+    the rendered text reproduces the executed result bit-for-bit (scores
+    compare ROUNDED, the same cross-engine contract the DuckDB oracle
+    uses). ``max_labels`` is an execution-time guard (it needs a count);
+    the render replays the model regardless of label cardinality. Named
+    CTEs inside a subquery wrapper keep the multi-referenced count tables
+    single-definition at any chain position."""
+    if alpha <= 0:
+        raise ParameterException("alpha must be > 0")
+    from .text import _tokens_sql
+
+    a = f"CAST({float(alpha)!r} AS DOUBLE)"
+    base = (
+        f"__nb_base AS (SELECT {id_col} AS __id, "
+        f"CAST({label_col} AS STRING) AS __lab, {_tokens_sql(text)} AS __t "
+        f"FROM {source})"
+    )
+    labels = "__nb_labels AS (SELECT DISTINCT __lab FROM __nb_base)"
+    pairs = (
+        "__nb_pairs AS (SELECT __id, explode(__t) AS __tok FROM __nb_base)"
+    )
+    tl = (
+        "__nb_tl AS (SELECT __tok, __lab, COUNT(*) AS __ctl FROM "
+        "(SELECT __lab, explode(__t) AS __tok FROM __nb_base) "
+        "GROUP BY __tok, __lab)"
+    )
+    lstats = (
+        "__nb_lstats AS (SELECT __lab, CAST(SUM(size(__t)) AS DOUBLE) AS __cl, "
+        "CAST(COUNT(*) AS DOUBLE) AS __dl FROM __nb_base GROUP BY __lab)"
+    )
+    gstats = "__nb_g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS __n FROM __nb_base)"
+    vocab = (
+        "__nb_v AS (SELECT CAST(COUNT(DISTINCT __tok) AS DOUBLE) AS __v "
+        "FROM __nb_pairs)"
+    )
+    scored = (
+        "__nb_scored AS (SELECT __id, __lab, SUM(__ll) AS __sll FROM ("
+        "SELECT p.__id, l.__lab, "
+        f"ln((COALESCE(t.__ctl, 0) + {a}) / (s.__cl + {a} * v.__v)) AS __ll "
+        "FROM __nb_pairs p CROSS JOIN __nb_labels l "
+        "LEFT JOIN __nb_tl t ON p.__tok = t.__tok AND l.__lab = t.__lab "
+        "JOIN __nb_lstats s ON l.__lab = s.__lab CROSS JOIN __nb_v v"
+        ") GROUP BY __id, __lab)"
+    )
+    best = (
+        "__nb_best AS (SELECT __id, __b.__lab AS NB_PRED, -__b.__ns AS NB_LOGPROB "
+        "FROM (SELECT __id, MIN(STRUCT(-__score AS __ns, __lab)) AS __b FROM ("
+        "SELECT sc.__id, sc.__lab, "
+        f"ROUND(sc.__sll + ln(s.__dl / g.__n), {int(round_to)}) AS __score "
+        "FROM __nb_scored sc JOIN __nb_lstats s ON sc.__lab = s.__lab "
+        "CROSS JOIN __nb_g g) GROUP BY __id))"
+    )
+    prior = (
+        "__nb_prior AS (SELECT __b.__lab AS __fp, -__b.__ns AS __fl FROM ("
+        "SELECT MIN(STRUCT(-__score AS __ns, __lab)) AS __b FROM ("
+        f"SELECT ROUND(ln(s.__dl / g.__n), {int(round_to)}) AS __score, s.__lab "
+        "FROM __nb_lstats s CROSS JOIN __nb_g g)))"
+    )
+    return (
+        f"SELECT * FROM (WITH {base}, {labels}, {pairs}, {tl}, {lstats}, "
+        f"{gstats}, {vocab}, {scored}, {best}, {prior} "
+        "SELECT s.*, COALESCE(b.NB_PRED, p.__fp) AS NB_PRED, "
+        "COALESCE(b.NB_LOGPROB, p.__fl) AS NB_LOGPROB "
+        f"FROM {source} s LEFT JOIN __nb_best b ON s.{id_col} = b.__id "
+        "CROSS JOIN __nb_prior p) __nb_out"
+    )
+
+
 @spark_transform("feature_hash", category="ml", streaming_ok=False)
 def feature_hash(
     df: DataFrame,

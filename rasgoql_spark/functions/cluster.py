@@ -312,6 +312,54 @@ def embedding_outliers(
     return release_with(df.join(scored, on=i, how="inner"), base)
 
 
+@renderer("embedding_outliers")
+def _r_embedding_outliers(source, vec_col, id_col, bottom=0.05, round_to=6) -> str:
+    """Single-pass replay of the centroid/percentile pipeline in Spark SQL
+    (same determinism contract as the kmeans renderer: 9-dp centroid
+    components, ``round_to``-dp sims, exact interpolated ``percentile``).
+    The multi-referenced sims relation is a named CTE inside a subquery
+    wrapper — ``SELECT * FROM (WITH ...)`` — so the rendered text embeds at
+    any chain position without colliding with the outer CTE list."""
+    if not 0.0 <= bottom <= 1.0:
+        raise ParameterException("bottom must be in [0, 1]")
+    v = vec_col
+    unit = (
+        f"CASE WHEN __vnorm > 0 THEN "
+        f"transform({v}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
+        f"ELSE transform({v}, x -> CAST(x AS DOUBLE)) END"
+    )
+    nv = (
+        f"__eo_nv AS (SELECT __id, {unit} AS __u FROM (SELECT {id_col} AS __id, {v}, "
+        f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM {source}))"
+    )
+    c0 = (
+        "__eo_c0 AS (SELECT transform(array_sort(collect_list(struct(pos, m))), "
+        "e -> e.m) AS c FROM (SELECT pos, round(avg(val), "
+        f"{CENT_ROUND}) AS m FROM (SELECT posexplode(__u) AS (pos, val) "
+        "FROM __eo_nv) GROUP BY pos))"
+    )
+    cent = (
+        f"__eo_cent AS (SELECT CASE WHEN {_norm_sql('c')} > 0 THEN "
+        f"transform(c, x -> round(x / {_norm_sql('c')}, {CENT_ROUND})) "
+        "ELSE c END AS cent FROM __eo_c0)"
+    )
+    sims = (
+        f"__eo_sims AS (SELECT __id, round({_dot_sql('__u', 'cent')}, "
+        f"{int(round_to)}) AS CENTROID_SIM FROM __eo_nv CROSS JOIN __eo_cent)"
+    )
+    thr = (
+        "__eo_thr AS (SELECT round(percentile(CENTROID_SIM, "
+        f"CAST({float(bottom)!r} AS DOUBLE)), {int(round_to)}) AS t FROM __eo_sims)"
+    )
+    return (
+        f"SELECT * FROM (WITH {nv}, {c0}, {cent}, {sims}, {thr} "
+        "SELECT s.*, x.CENTROID_SIM, x.CENTROID_SIM <= t.t AS IS_OUTLIER "
+        f"FROM {source} s JOIN __eo_sims x ON s.{id_col} = x.__id "
+        "CROSS JOIN __eo_thr t) __eo_out"
+    )
+
+
 def _semantic_candidates(
     withu: DataFrame,
     threshold: float,

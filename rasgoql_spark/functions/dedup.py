@@ -1943,3 +1943,103 @@ def load_minhash_index(spark, path: str, persist: bool = True) -> MinHashIndex:
         (sig, bands_long) if persist else (),
         n_docs=None if nd is None or int(nd) < 0 else int(nd),
     )
+
+NDC_RENDER_MAX_ITER = 24
+
+
+@renderer("near_dup_clusters")
+def _r_near_dup_clusters(
+    source, text, id_col, method="minhash", threshold=0.5,
+    max_iterations=20, **kwargs
+) -> str:
+    """Candidate-pair SQL (the banded minhash / pigeonhole simhash
+    renderers) + unrolled min-label propagation (the connected_components
+    renderer technique: self-loop edges keep each unrolled level a SINGLE
+    reference to its predecessor — a double reference explodes
+    exponentially under CTE inlining).
+
+    Result-equal to the executed path even though execution propagates
+    over mode='edges' (rep pairs + star edges) and the render over plain
+    pairs: the two graphs have identical connected components (the edges
+    mode is the documented connectivity-preserving compression of pairs),
+    and label propagation converges to the component minimum on both.
+    Exactness therefore requires convergence within ``max_iterations`` on
+    both graphs — their diameters differ by at most 2 (the star hop inside
+    exact-duplicate groups), so the default 20 holds for any real corpus;
+    adversarial near-dup chains longer than ``max_iterations`` hops are
+    already out of contract for the executed operator."""
+    from ..errors import TransformRenderingException
+
+    if max_iterations < 1:
+        raise ParameterException("max_iterations must be >= 1")
+    if max_iterations > NDC_RENDER_MAX_ITER:
+        raise TransformRenderingException(
+            "near_dup_clusters renders unrolled propagation rounds; "
+            f"max_iterations > {NDC_RENDER_MAX_ITER} produces an "
+            "impractically deep plan"
+        )
+    if method == "minhash":
+        pairs = _r_dedup_minhash(
+            source, text, id_col, threshold=threshold, mode="pairs", **kwargs
+        )
+    elif method == "simhash":
+        pairs = _r_dedup_simhash(source, text, id_col, mode="pairs", **kwargs)
+    else:
+        raise ParameterException("method must be 'minhash' or 'simhash'")
+    parts = [
+        f"__nc_p AS ({pairs})",
+        f"__nc_n AS (SELECT DISTINCT {id_col} AS node FROM {source})",
+        "__nc_e AS (SELECT ID_A AS src, ID_B AS dst FROM __nc_p "
+        "UNION ALL SELECT ID_B, ID_A FROM __nc_p "
+        "UNION ALL SELECT node, node FROM __nc_n)",
+        "__nc_l0 AS (SELECT node, node AS lab FROM __nc_n)",
+    ]
+    for i in range(int(max_iterations)):
+        parts.append(
+            f"__nc_l{i + 1} AS (SELECT e.dst AS node, MIN(l.lab) AS lab "
+            f"FROM __nc_e e JOIN __nc_l{i} l ON e.src = l.node GROUP BY e.dst)"
+        )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(parts)
+        + f" SELECT s.{id_col}, COALESCE(l.lab, s.{id_col}) AS CLUSTER_ID "
+        f"FROM {source} s LEFT JOIN __nc_l{int(max_iterations)} l "
+        f"ON s.{id_col} = l.node) __nc_out"
+    )
+
+
+@renderer("dedup_by_cluster")
+def _r_dedup_by_cluster(
+    source, text, id_col, method="minhash", threshold=0.5, **kwargs
+) -> str:
+    """Survivor filter over the rendered cluster labeling: a row survives
+    iff its id IS its cluster id (the minimum of its component)."""
+    clusters = _r_near_dup_clusters(
+        source, text, id_col, method=method, threshold=threshold, **kwargs
+    )
+    return (
+        f"SELECT s.* FROM {source} s LEFT SEMI JOIN ({clusters}) c "
+        f"ON s.{id_col} = c.{id_col} AND c.{id_col} = c.CLUSTER_ID"
+    )
+
+
+@renderer("dedup_keep_best")
+def _r_dedup_keep_best(
+    source, text, id_col, score_col, method="minhash", threshold=0.5, **kwargs
+) -> str:
+    """Best-of-cluster survivor selection over the rendered labeling: one
+    ROW_NUMBER window per cluster (score DESC, id ASC — Spark's default
+    DESC NULLS LAST matches the executed F.desc ordering)."""
+    clusters = _r_near_dup_clusters(
+        source, text, id_col, method=method, threshold=threshold, **kwargs
+    )
+    best = (
+        f"SELECT {id_col} FROM (SELECT c.{id_col}, ROW_NUMBER() OVER "
+        "(PARTITION BY c.CLUSTER_ID ORDER BY s.__score DESC, "
+        f"c.{id_col} ASC) AS __rn FROM ({clusters}) c JOIN "
+        f"(SELECT {id_col}, {score_col} AS __score FROM {source}) s "
+        f"ON c.{id_col} = s.{id_col}) WHERE __rn = 1"
+    )
+    return (
+        f"SELECT s.* FROM {source} s LEFT SEMI JOIN ({best}) b "
+        f"ON s.{id_col} = b.{id_col}"
+    )

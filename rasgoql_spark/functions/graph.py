@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import resolve_col
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 from ._cache import release_now, release_with, scoped_persist
 
 RANK_ROUND_MAX = 15
@@ -118,6 +118,74 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select(F.col("__node").alias("NODE"), F.col("__r").alias("PAGERANK"))
     return release_with(out, edges, nodes, edges_deg, dangling_nodes, *iter_caches)
+
+
+PAGERANK_RENDER_MAX_ITER = 6
+
+
+@renderer("pagerank")
+def _r_pagerank(
+    source, src, dst, damping=0.85, iterations=3, round_to=9
+) -> str:
+    """Unrolled replay of the fixed-iteration loop in Spark SQL (the same
+    technique as :func:`pagerank_oracle_sql`, emitted in Spark dialect):
+    per-iteration ROUND absorbs summation-order differences, so the
+    rendered text reproduces the executed ranks exactly. Float literals are
+    CAST AS DOUBLE — a bare ``0.85`` is DECIMAL in Spark SQL and would
+    change the arithmetic. Each unrolled level references its predecessor
+    twice (neighbor-sum + dangling mass), so plan size grows ~2^iterations
+    when Catalyst inlines the CTEs; rendering is capped at
+    ``PAGERANK_RENDER_MAX_ITER`` iterations (the DataFrame path has no
+    cap — it persists per-iteration instead)."""
+    from ..errors import TransformRenderingException
+
+    if not 0.0 < damping < 1.0:
+        raise ParameterException("damping must be in (0, 1)")
+    if iterations < 0:
+        raise ParameterException("iterations must be >= 0")
+    if not 1 <= round_to <= RANK_ROUND_MAX:
+        raise ParameterException(f"round_to must be in [1, {RANK_ROUND_MAX}]")
+    if iterations > PAGERANK_RENDER_MAX_ITER:
+        raise TransformRenderingException(
+            "pagerank renders unrolled iterations; iterations > "
+            f"{PAGERANK_RENDER_MAX_ITER} produces an impractically large plan "
+            "(each level references the previous twice)"
+        )
+    d = f"CAST({float(damping)!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    rt = int(round_to)
+    n = "(SELECT c FROM __pr_nn)"
+    parts = [
+        f"__pr_e AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {source})",
+        "__pr_nodes AS (SELECT src AS node FROM __pr_e "
+        "UNION SELECT dst FROM __pr_e)",
+        "__pr_nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM __pr_nodes)",
+        "__pr_outdeg AS (SELECT src, COUNT(*) AS deg FROM __pr_e GROUP BY src)",
+        f"__pr_r0 AS (SELECT node, ROUND({one} / {n}, {rt}) AS r FROM __pr_nodes)",
+    ]
+    for i in range(int(iterations)):
+        p, q = f"__pr_r{i}", f"__pr_r{i + 1}"
+        parts.append(
+            f"__pr_d{i} AS (SELECT COALESCE(SUM({p}.r), CAST(0.0 AS DOUBLE)) AS dm "
+            f"FROM {p} LEFT JOIN __pr_outdeg o ON {p}.node = o.src "
+            "WHERE o.src IS NULL)"
+        )
+        parts.append(
+            f"__pr_c{i} AS (SELECT e.dst AS node, SUM({p}.r / o.deg) AS s "
+            f"FROM __pr_e e JOIN {p} ON e.src = {p}.node "
+            "JOIN __pr_outdeg o ON e.src = o.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"{q} AS (SELECT n.node, ROUND(({one} - {d}) / {n} + {d} * ("
+            f"COALESCE(c.s, CAST(0.0 AS DOUBLE)) + d.dm / {n}), {rt}) AS r "
+            f"FROM __pr_nodes n LEFT JOIN __pr_c{i} c ON n.node = c.node "
+            f"CROSS JOIN __pr_d{i} d)"
+        )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(parts)
+        + f" SELECT node AS NODE, r AS PAGERANK FROM __pr_r{int(iterations)}"
+        ") __pr_out"
+    )
 
 
 def pagerank_oracle_sql(
@@ -210,3 +278,46 @@ def connected_components(
             break
     out = labels.select(F.col("__id").alias("NODE"), F.col("__lab").alias("COMPONENT"))
     return release_with(out, edges)
+
+CC_RENDER_MAX_ITER = 24
+
+
+@renderer("connected_components")
+def _r_connected_components(source, src, dst, max_iterations=20) -> str:
+    """Unrolled min-label propagation in Spark SQL. The executed loop
+    early-exits on convergence; extra unrolled rounds are no-ops on an
+    already-converged labeling (min over a fixed point is the fixed point),
+    so replaying all ``max_iterations`` rounds is result-equal. Self-loop
+    edges make each level a SINGLE reference to its predecessor — the
+    labels-union-messages form would reference it twice and explode
+    exponentially under CTE inlining (measured: a 20-level double-reference
+    chain kills the driver; single-reference runs in seconds)."""
+    from ..errors import TransformRenderingException
+
+    if max_iterations < 1:
+        raise ParameterException("max_iterations must be >= 1")
+    if max_iterations > CC_RENDER_MAX_ITER:
+        raise TransformRenderingException(
+            "connected_components renders unrolled propagation rounds; "
+            f"max_iterations > {CC_RENDER_MAX_ITER} produces an impractically "
+            "deep plan (~1s of scheduling per level)"
+        )
+    parts = [
+        f"__cc_h AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {source})",
+        "__cc_n AS (SELECT DISTINCT src AS node FROM "
+        "(SELECT src, dst FROM __cc_h UNION ALL SELECT dst, src FROM __cc_h))",
+        "__cc_e AS (SELECT src, dst FROM __cc_h "
+        "UNION ALL SELECT dst, src FROM __cc_h "
+        "UNION ALL SELECT node, node FROM __cc_n)",
+        "__cc_l0 AS (SELECT node, node AS lab FROM __cc_n)",
+    ]
+    for i in range(int(max_iterations)):
+        parts.append(
+            f"__cc_l{i + 1} AS (SELECT e.dst AS node, MIN(l.lab) AS lab "
+            f"FROM __cc_e e JOIN __cc_l{i} l ON e.src = l.node GROUP BY e.dst)"
+        )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(parts)
+        + f" SELECT node AS NODE, lab AS COMPONENT FROM __cc_l{int(max_iterations)}"
+        ") __cc_out"
+    )

@@ -314,6 +314,27 @@ CHAIN_CASES = [
     ("pq_encode_2iter", lambda s: s.dataset("embeddings").pq_encode(
         vec_col="embedding", id_col="vec_id", m=8, codebook_size=4,
         iterations=2)),
+    # --- round 8 (late): iterative-fit replays via unrolled CTE chains ---
+    ("embedding_outliers", lambda s: s.dataset("embeddings")
+        .embedding_outliers(vec_col="embedding", id_col="vec_id", bottom=0.1)),
+    ("nb_classify", lambda s: s.dataset("documents").nb_classify(
+        text="text", label_col="lang", id_col="doc_id")),
+    ("pagerank", lambda s: s.dataset("orders").pagerank(
+        src="o_custkey", dst="o_orderkey", iterations=3)),
+    ("connected_components", lambda s: s.dataset("orders")
+        .connected_components(src="o_custkey", dst="o_orderkey",
+                              max_iterations=6)),
+    ("near_dup_clusters_minhash", lambda s: s.dataset("documents")
+        .near_dup_clusters(text="text", id_col="doc_id", threshold=0.2,
+                           max_iterations=6)),
+    ("near_dup_clusters_simhash", lambda s: s.dataset("documents")
+        .near_dup_clusters(text="text", id_col="doc_id", method="simhash",
+                           hamming_threshold=2, max_iterations=6)),
+    ("dedup_by_cluster", lambda s: s.dataset("documents").dedup_by_cluster(
+        text="text", id_col="doc_id", threshold=0.2, max_iterations=6)),
+    ("dedup_keep_best", lambda s: s.dataset("documents").dedup_keep_best(
+        text="text", id_col="doc_id", score_col="n_chars", threshold=0.2,
+        max_iterations=6)),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
@@ -411,3 +432,27 @@ def test_feature_hash_renderer_matches_execution(session, spark):
     a = {r["doc_id"]: r["FEATURES"] for r in via_df.collect()}
     b = {r["doc_id"]: r["FEATURES"] for r in via_sql.collect()}
     assert a == b
+
+
+def test_unrolled_renderer_iteration_caps(session):
+    """The unrolled-CTE renderers refuse impractically deep replays:
+    pagerank levels reference their predecessor twice (plan ~2^iters under
+    CTE inlining), the propagation renderers are single-reference but pay
+    ~1s of scheduling per level."""
+    import rasgoql_spark as rql
+
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("orders").pagerank(
+            src="o_custkey", dst="o_orderkey", iterations=7).sql()
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("orders").connected_components(
+            src="o_custkey", dst="o_orderkey", max_iterations=25).sql()
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("documents").near_dup_clusters(
+            text="text", id_col="doc_id", max_iterations=25).sql()
+    # near_dup_clusters(simhash) inherits the pigeonhole recall bound from
+    # the simhash pairs renderer
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("documents").near_dup_clusters(
+            text="text", id_col="doc_id", method="simhash",
+            hamming_threshold=5).sql()
