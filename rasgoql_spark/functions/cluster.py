@@ -558,3 +558,57 @@ def semantic_dedup(
     return release_with(
         assigned.join(drops, on=i, how="left_anti"), assigned, *caches
     )
+
+@renderer("semantic_dedup")
+def _r_semantic_dedup(
+    source, vec_col, id_col, k=8, iterations=1, threshold=0.9, round_to=6,
+    max_cluster_size=None,
+) -> str:
+    """Plain-path replay in Spark SQL: unrolled kmeans assignment (the
+    kmeans_cluster renderer, caps included), then the in-cluster pair join
+    over ALL rows — the executed exact-duplicate collapse is a documented
+    result-preserving optimization (a collapsed member's drop decision
+    equals its rep-pair cosine, which the plain join scores directly), so
+    the rendered text reproduces the executed rows exactly. ``k="auto"``
+    needs a corpus count (render-time unknown) and ``max_cluster_size``
+    changes results by contract (bounded-recall chunking) — both raise."""
+    from ..errors import TransformRenderingException
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ParameterException("threshold must be in [-1, 1]")
+    if isinstance(k, str):
+        raise TransformRenderingException(
+            "semantic_dedup renders for integer k only (k='auto' derives "
+            "k from a corpus count the renderer cannot run)"
+        )
+    if max_cluster_size is not None:
+        raise TransformRenderingException(
+            "semantic_dedup renders the exact (unchunked) semantics only; "
+            "max_cluster_size is a bounded-recall execution knob"
+        )
+    kmeans_sql = _r_kmeans_cluster(
+        source, vec_col, id_col, k=k, iterations=iterations, round_to=round_to
+    )
+    v = vec_col
+    unit = (
+        f"CASE WHEN __vnorm > 0 THEN "
+        f"transform({v}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
+        f"ELSE transform({v}, x -> CAST(x AS DOUBLE)) END"
+    )
+    withu = (
+        f"__sd_u AS (SELECT __id, CLUSTER_ID, {unit} AS __u FROM "
+        f"(SELECT {id_col} AS __id, CLUSTER_ID, {v}, "
+        f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM __sd_a))"
+    )
+    drops = (
+        f"__sd_d AS (SELECT DISTINCT b.__id FROM __sd_u a JOIN __sd_u b "
+        f"ON a.CLUSTER_ID = b.CLUSTER_ID AND a.__id < b.__id "
+        f"WHERE round({_dot_sql('a.__u', 'b.__u')}, {int(round_to)}) >= "
+        f"CAST({float(threshold)!r} AS DOUBLE))"
+    )
+    return (
+        f"SELECT * FROM (WITH __sd_a AS ({kmeans_sql}), {withu}, {drops} "
+        f"SELECT x.* FROM __sd_a x LEFT ANTI JOIN __sd_d d "
+        f"ON x.{id_col} = d.__id) __sd_out"
+    )

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import as_list, resolve_col, resolve_cols, spread
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 
 Z_ROUND = 9
 P_ROUND = 7
@@ -162,4 +162,90 @@ def logreg_oracle_sql(
         + f" SELECT {select_cols}, "
         f"round(1.0 / (1.0 + exp(-({z(fin)}))), {round_to}) AS SCORE "
         f"FROM src CROSS JOIN {fin} {fin}"
+    )
+
+LOGREG_RENDER_MAX_ITER = 6
+
+
+@renderer("logreg_score")
+def _r_logreg_score(
+    source, feature_cols, label_col, lr=0.5, iterations=3, round_to=6
+) -> str:
+    """Unrolled GD replay in Spark SQL (:func:`logreg_oracle_sql` in Spark
+    dialect): the staged-rounding contract makes every weight update
+    engine-independent, so the rendered text reproduces the executed SCORE
+    exactly. The executed loop breaks on a NULL gradient (empty train set)
+    and keeps the current weights; COALESCE(g, 0.0) replays that exactly —
+    a NULL gradient leaves every subsequent weight unchanged. Each unrolled
+    level references its predecessor weight row twice (gradient + update),
+    so rendering is capped at ``LOGREG_RENDER_MAX_ITER`` iterations."""
+    from ..errors import TransformRenderingException
+
+    cols = as_list(feature_cols)
+    if not cols:
+        raise ParameterException("feature_cols must be non-empty")
+    if iterations < 0:
+        raise ParameterException("iterations must be >= 0")
+    if round(lr, 2) != lr or not 0 < lr <= 10:
+        raise ParameterException(
+            "lr must have at most 2 decimal digits (cross-engine rounding grid)"
+        )
+    if iterations > LOGREG_RENDER_MAX_ITER:
+        raise TransformRenderingException(
+            "logreg_score renders unrolled GD passes; iterations > "
+            f"{LOGREG_RENDER_MAX_ITER} produces an impractically large plan "
+            "(each level references the previous weights twice)"
+        )
+    k = len(cols)
+    lrs = f"CAST({float(lr)!r} AS DOUBLE)"
+
+    def z(prefix: str, qual: str = "") -> str:
+        terms = " + ".join(
+            f"{prefix}.w{j + 1} * CAST({qual}{c} AS DOUBLE)"
+            for j, c in enumerate(cols)
+        )
+        return (
+            f"least(greatest(round({prefix}.w0 + {terms}, {Z_ROUND}), "
+            f"CAST(-{Z_CLAMP!r} AS DOUBLE)), CAST({Z_CLAMP!r} AS DOUBLE))"
+        )
+
+    def p(prefix: str) -> str:
+        return (
+            f"round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + "
+            f"exp(-({z(prefix)}))), {P_ROUND})"
+        )
+
+    ws = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(k + 1))
+    parts = [
+        f"__lr_src AS (SELECT *, CAST(CAST({label_col} AS DOUBLE) != 0 "
+        f"AS DOUBLE) AS __y FROM {source})",
+        f"__lr_w0 AS (SELECT {ws})",
+    ]
+    for i in range(int(iterations)):
+        prev, nxt = f"__lr_w{i}", f"__lr_w{i + 1}"
+        gsel = ", ".join(
+            [f"round(avg({p(prev)} - __lr_src.__y), {GRAD_ROUND}) AS g0"]
+            + [
+                f"round(avg(({p(prev)} - __lr_src.__y) * "
+                f"CAST({c} AS DOUBLE)), {GRAD_ROUND}) AS g{j + 1}"
+                for j, c in enumerate(cols)
+            ]
+        )
+        wsel = ", ".join(
+            f"round({prev}.w{j} - {lrs} * COALESCE(g.g{j}, "
+            f"CAST(0.0 AS DOUBLE)), {W_ROUND}) AS w{j}"
+            for j in range(k + 1)
+        )
+        parts.append(
+            f"__lr_g{i} AS (SELECT {gsel} FROM __lr_src CROSS JOIN {prev} {prev})"
+        )
+        parts.append(
+            f"{nxt} AS (SELECT {wsel} FROM __lr_g{i} g CROSS JOIN {prev} {prev})"
+        )
+    fin = f"__lr_w{int(iterations)}"
+    return (
+        "SELECT * FROM (WITH " + ", ".join(parts)
+        + f" SELECT s.*, round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + "
+        f"exp(-({z(fin, 's.')}))), {int(round_to)}) AS SCORE "
+        f"FROM {source} s CROSS JOIN {fin} {fin}) __lr_out"
     )

@@ -66,6 +66,77 @@ def mix_datasets(
     return out
 
 
+@renderer("mix_datasets")
+def _r_mix_datasets(source, others, weights, key=None, seed=42) -> str:
+    """Render-time replay of the mixture arithmetic: the normalized weights
+    are Python-computed literals (they depend only on kwargs), per-source
+    counts and the availability scale are in-flight scalar subqueries, and
+    the slot threshold uses ``rint`` — IEEE roundTiesToEven, the exact
+    semantics of the Python ``round()`` the executed path applies to
+    ``frac * 10000``. Renders the deterministic key mode only: the seeded
+    Bernoulli mode (``key=None``) samples with Spark's partition-dependent
+    RNG, which no SQL text reproduces."""
+    from ..errors import TransformRenderingException
+
+    if key is None:
+        raise TransformRenderingException(
+            "mix_datasets renders only the deterministic key mode; "
+            "key=None samples with Spark's partition-dependent RNG"
+        )
+    names = [source]
+    for o in as_list(others):
+        rn = getattr(o, "renderable_name", None)
+        if rn is None:
+            raise TransformRenderingException(
+                "mix_datasets renders when every source is a Dataset/SQLChain "
+                "(raw DataFrames have no SQL name)"
+            )
+        names.append(rn())
+    weights = [float(w) for w in as_list(weights)]
+    if len(weights) != len(names):
+        raise ParameterException(
+            f"need one weight per source: {len(names)} sources, "
+            f"{len(weights)} weights"
+        )
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ParameterException("weights must be non-negative with a positive sum")
+    tot = sum(weights)
+    ws = [w / tot for w in weights]
+    ctes = [
+        f"__mx_c{i} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {nm})"
+        for i, nm in enumerate(names)
+    ]
+    ratio_terms = ", ".join(
+        f"(SELECT n FROM __mx_c{i}) / CAST({w!r} AS DOUBLE)"
+        for i, w in enumerate(ws) if w > 0
+    )
+    scale = (
+        f"__mx_s AS (SELECT LEAST({ratio_terms}) AS scale)"
+        if ", " in ratio_terms
+        else f"__mx_s AS (SELECT {ratio_terms} AS scale)"
+    )
+    branches = []
+    for i, (nm, w) in enumerate(zip(names, ws)):
+        if w == 0:
+            cond = "FALSE"
+        else:
+            frac = (
+                f"CASE WHEN c.n = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+                f"LEAST(CAST(1.0 AS DOUBLE), (CAST({w!r} AS DOUBLE) * x.scale) "
+                f"/ c.n) END"
+            )
+            cond = f"pmod(xxhash64(s.{key}, {int(seed)}), 10000) < rint({frac} * 10000)"
+        branches.append(
+            f"SELECT s.*, {i} AS MIX_SOURCE FROM {nm} s "
+            f"CROSS JOIN __mx_s x CROSS JOIN __mx_c{i} c WHERE {cond}"
+        )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(ctes + [scale]) + " "
+        + " UNION ALL ".join(f"({b})" for b in branches)
+        + ") __mx_out"
+    )
+
+
 @spark_transform("sample_to_token_budget", category="ml", streaming_ok=False)
 def sample_to_token_budget(
     df: DataFrame,

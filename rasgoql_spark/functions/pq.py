@@ -153,19 +153,12 @@ def _staged_corpus(df: DataFrame, v: str, i: str, m: int):
     return staged, d_sub, staged
 
 
-@_renderer("pq_encode")
-def _r_pq_encode(source, vec_col, id_col, m=4, codebook_size=8, iterations=1,
-                 round_to=6) -> str:
-    """Unrolled per-subspace Lloyd replay in Spark SQL (the kmeans_cluster
-    renderer technique, L2 distances instead of cosines): lowest-id seeds,
-    argmin over ``round_to``-rounded squared distances (ties -> lowest
-    code), 9-dp-rounded means with empty codes keeping their previous
-    centroid, final per-subspace codes assembled into PQ_CODE. Subvector
-    bounds derive row-locally (``size(u) DIV m``) since the renderer never
-    sees the data; equality with the DataFrame path (driver-collected
-    codebooks as literals) holds through the rounded-distance argmin
-    robustness contract. The normalized corpus inlines at each reference —
-    executed-SQL recompute; the render is an export artifact."""
+def _pq_render_parts(source, vec_col, id_col, m, codebook_size, iterations,
+                     round_to, caller: str):
+    """Shared per-subspace SQL chains for the pq_encode / pq_search
+    renderers: for each subspace returns ``(sub, codebook, assign)`` —
+    the staged subvector relation, the post-Lloyd codebook relation, and
+    the final code assignment — all as inline subqueries."""
     from ..errors import TransformRenderingException
 
     if m < 1:
@@ -174,7 +167,7 @@ def _r_pq_encode(source, vec_col, id_col, m=4, codebook_size=8, iterations=1,
         raise ParameterException("iterations must be >= 0")
     if iterations > 8 or m > 16:
         raise TransformRenderingException(
-            "pq_encode renders unrolled per-subspace Lloyd passes; "
+            f"{caller} renders unrolled per-subspace Lloyd passes; "
             "iterations > 8 or m > 16 produces an impractically large "
             "statement"
         )
@@ -188,7 +181,7 @@ def _r_pq_encode(source, vec_col, id_col, m=4, codebook_size=8, iterations=1,
         "aggregate(zip_with(t.v, s.v, (x, y) -> (x - y) * (x - y)), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    finals = []
+    parts = []
     for s_ix in range(int(m)):
         sub = (
             f"(SELECT __id, slice(__u, {s_ix} * (size(__u) DIV {int(m)}) + 1, "
@@ -223,9 +216,30 @@ def _r_pq_encode(source, vec_col, id_col, m=4, codebook_size=8, iterations=1,
                 f"(SELECT p.c, COALESCE(m.mv, p.v) AS v FROM {prev} p "
                 f"LEFT JOIN {mm} m ON p.c = m.c)"
             )
-        finals.append(assign(prev))
+        parts.append((sub, prev, assign(prev)))
+    return parts
+
+
+@_renderer("pq_encode")
+def _r_pq_encode(source, vec_col, id_col, m=4, codebook_size=8, iterations=1,
+                 round_to=6) -> str:
+    """Unrolled per-subspace Lloyd replay in Spark SQL (the kmeans_cluster
+    renderer technique, L2 distances instead of cosines): lowest-id seeds,
+    argmin over ``round_to``-rounded squared distances (ties -> lowest
+    code), 9-dp-rounded means with empty codes keeping their previous
+    centroid, final per-subspace codes assembled into PQ_CODE. Subvector
+    bounds derive row-locally (``size(u) DIV m``) since the renderer never
+    sees the data; equality with the DataFrame path (driver-collected
+    codebooks as literals) holds through the rounded-distance argmin
+    robustness contract. The normalized corpus inlines at each reference —
+    executed-SQL recompute; the render is an export artifact."""
+    parts = _pq_render_parts(
+        source, vec_col, id_col, m, codebook_size, iterations, round_to,
+        "pq_encode",
+    )
     joins = " ".join(
-        f"JOIN {f} f{j} ON f{j}.__id = s.{id_col}" for j, f in enumerate(finals)
+        f"JOIN {a} f{j} ON f{j}.__id = s.{id_col}"
+        for j, (_, _, a) in enumerate(parts)
     )
     arr = ", ".join(f"f{j}.c" for j in range(int(m)))
     return f"SELECT s.*, array({arr}) AS PQ_CODE FROM {source} s {joins}"
@@ -305,3 +319,65 @@ def pq_search(
         .filter(F.col("RANK") <= k)
     )
     return release_with(out, cached)
+
+
+@_renderer("pq_search")
+def _r_pq_search(source, vec_col, id_col, query_ids, k=10, m=4,
+                 codebook_size=8, iterations=1, round_to=6) -> str:
+    """ADC replay over the unrolled PQ fit: candidate codes come from the
+    same per-subspace Lloyd chains as the pq_encode renderer; each
+    (query, candidate) score is the sum over subspaces of
+    dot(query_subvector, codebook[code]) computed in-flight by joining the
+    candidate's code against the post-Lloyd codebook relation — the exact
+    join-form of the DataFrame path's driver-collected lookup tables (both
+    sides fold the dot product sequentially over array order, so the
+    doubles match bit-for-bit before the shared ROUND). Top-k per query by
+    the same (score DESC, id ASC) window."""
+    if not query_ids:
+        raise ParameterException("query_ids must be non-empty")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    parts = _pq_render_parts(
+        source, vec_col, id_col, m, codebook_size, iterations, round_to,
+        "pq_search",
+    )
+    qlist = ", ".join(str(int(q)) for q in query_ids)
+    # one CTE per subspace for the codebook and the code assignment, plus a
+    # per-subspace query-slice relation; named CTEs keep the corpus-wide
+    # Lloyd chains single-definition
+    ctes = []
+    for j, (sub, cb, a) in enumerate(parts):
+        ctes.append(f"__pq_cb{j} AS (SELECT c, v FROM {cb})")
+        ctes.append(f"__pq_f{j} AS (SELECT __id, c FROM {a})")
+        ctes.append(
+            f"__pq_q{j} AS (SELECT __id AS qid, v FROM {sub} "
+            f"WHERE __id IN ({qlist}))"
+        )
+    dot = (
+        "aggregate(zip_with(__pq_q{j}.v, __pq_b{j}.v, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    score = " + ".join(dot.replace("{j}", str(j)) for j in range(int(m)))
+    code_joins = " ".join(
+        f"JOIN __pq_f{j} ON __pq_f{j}.__id = s.{id_col} "
+        f"JOIN __pq_cb{j} __pq_b{j} ON __pq_b{j}.c = __pq_f{j}.c"
+        for j in range(int(m))
+    )
+    q_joins = " ".join(
+        f"JOIN __pq_q{j} ON __pq_q{j}.qid = __pq_q0.qid"
+        for j in range(1, int(m))
+    )
+    scored = (
+        f"SELECT CAST(__pq_q0.qid AS BIGINT) AS QUERY_ID, "
+        f"s.{id_col} AS MATCH_ID, "
+        f"round({score}, {int(round_to)}) AS ADC_SCORE "
+        f"FROM {source} s {code_joins} CROSS JOIN __pq_q0 {q_joins} "
+        f"WHERE s.{id_col} <> __pq_q0.qid"
+    )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(ctes)
+        + f" SELECT QUERY_ID, MATCH_ID, ADC_SCORE, RANK FROM ("
+        f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        f"ORDER BY ADC_SCORE DESC, MATCH_ID ASC) AS INT) AS RANK "
+        f"FROM ({scored})) WHERE RANK <= {int(k)}) __pq_out"
+    )

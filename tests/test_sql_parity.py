@@ -335,6 +335,16 @@ CHAIN_CASES = [
     ("dedup_keep_best", lambda s: s.dataset("documents").dedup_keep_best(
         text="text", id_col="doc_id", score_col="n_chars", threshold=0.2,
         max_iterations=6)),
+    ("pq_search", lambda s: s.dataset("embeddings").pq_search(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2], k=5)),
+    ("logreg_score", lambda s: s.dataset("lineitem").logreg_score(
+        feature_cols=["l_tax", "l_quantity"], label_col="l_discount")),
+    ("semantic_dedup", lambda s: s.dataset("embeddings").semantic_dedup(
+        vec_col="embedding", id_col="vec_id", k=4, threshold=0.3)),
+    ("mix_datasets", lambda s: s.dataset("documents").mix_datasets(
+        others=[s.dataset("documents").filter(
+            filter_statements=["doc_id % 2 = 0"])],
+        weights=[2, 1], key="doc_id")),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
@@ -456,3 +466,26 @@ def test_unrolled_renderer_iteration_caps(session):
         session.dataset("documents").near_dup_clusters(
             text="text", id_col="doc_id", method="simhash",
             hamming_threshold=5).sql()
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("lineitem").logreg_score(
+            feature_cols=["l_tax"], label_col="l_discount",
+            iterations=7).sql()
+
+
+def test_render_only_mode_guards(session):
+    """Renderers refuse the modes whose executed semantics no SQL text can
+    reproduce: mix_datasets' seeded Bernoulli sampling (partition-dependent
+    RNG), semantic_dedup's corpus-count-derived k and bounded-recall
+    chunking."""
+    import rasgoql_spark as rql
+
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("documents").mix_datasets(
+            others=[session.dataset("documents")], weights=[1, 1]).sql()
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("embeddings").semantic_dedup(
+            vec_col="embedding", id_col="vec_id", k="auto").sql()
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("embeddings").semantic_dedup(
+            vec_col="embedding", id_col="vec_id", k=4,
+            max_cluster_size=8).sql()
