@@ -161,6 +161,28 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+def _unit_norm_sql(vec_col: str, id_col: str, source: str,
+                   extra_cols: tuple = ()) -> str:
+    """Normalized-corpus subquery shared by the vector renderers — the SQL
+    mirror of :func:`_unit_rounded`: ``(__id[, extra...], __u)`` with the
+    9-dp unit rounding, zero-norm vectors passing through as plain double
+    casts. One definition so the normalization contract (CENT_ROUND, the
+    zero-norm branch, the staged __vnorm column) can never drift between
+    the kmeans / embedding_outliers / semantic_dedup / pq renderers."""
+    unit = (
+        f"CASE WHEN __vnorm > 0 THEN "
+        f"transform({vec_col}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
+        f"ELSE transform({vec_col}, x -> CAST(x AS DOUBLE)) END"
+    )
+    extra = "".join(f"{c}, " for c in extra_cols)
+    return (
+        f"(SELECT __id, {extra}{unit} AS __u FROM "
+        f"(SELECT {id_col} AS __id, {extra}{vec_col}, "
+        f"sqrt(aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM {source}))"
+    )
+
+
 def _norm_sql(arr: str) -> str:
     return (
         f"sqrt(aggregate(transform({arr}, x -> x * x), "
@@ -193,17 +215,7 @@ def _r_kmeans_cluster(source, vec_col, id_col, k=8, iterations=1, round_to=6) ->
             "kmeans_cluster renders unrolled Lloyd passes; iterations > 8 "
             "produces an impractically large statement"
         )
-    v = vec_col
-    unit = (
-        f"CASE WHEN __vnorm > 0 THEN "
-        f"transform({v}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
-        f"ELSE transform({v}, x -> CAST(x AS DOUBLE)) END"
-    )
-    nv = (
-        f"(SELECT __id, {unit} AS __u FROM (SELECT {id_col} AS __id, {v}, "
-        f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM {source}))"
-    )
+    nv = _unit_norm_sql(vec_col, id_col, source)
     prev = (
         f"(SELECT CAST(ROW_NUMBER() OVER (ORDER BY __id) - 1 AS BIGINT) AS c, "
         f"__u AS v FROM (SELECT __id, __u FROM {nv} ORDER BY __id LIMIT {int(k)}))"
@@ -322,16 +334,9 @@ def _r_embedding_outliers(source, vec_col, id_col, bottom=0.05, round_to=6) -> s
     any chain position without colliding with the outer CTE list."""
     if not 0.0 <= bottom <= 1.0:
         raise ParameterException("bottom must be in [0, 1]")
-    v = vec_col
-    unit = (
-        f"CASE WHEN __vnorm > 0 THEN "
-        f"transform({v}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
-        f"ELSE transform({v}, x -> CAST(x AS DOUBLE)) END"
-    )
     nv = (
-        f"__eo_nv AS (SELECT __id, {unit} AS __u FROM (SELECT {id_col} AS __id, {v}, "
-        f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM {source}))"
+        f"__eo_nv AS (SELECT * FROM "
+        f"{_unit_norm_sql(vec_col, id_col, source)} __eo_base)"
     )
     c0 = (
         "__eo_c0 AS (SELECT transform(array_sort(collect_list(struct(pos, m))), "
@@ -589,17 +594,10 @@ def _r_semantic_dedup(
     kmeans_sql = _r_kmeans_cluster(
         source, vec_col, id_col, k=k, iterations=iterations, round_to=round_to
     )
-    v = vec_col
-    unit = (
-        f"CASE WHEN __vnorm > 0 THEN "
-        f"transform({v}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
-        f"ELSE transform({v}, x -> CAST(x AS DOUBLE)) END"
-    )
     withu = (
-        f"__sd_u AS (SELECT __id, CLUSTER_ID, {unit} AS __u FROM "
-        f"(SELECT {id_col} AS __id, CLUSTER_ID, {v}, "
-        f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM __sd_a))"
+        f"__sd_u AS (SELECT * FROM "
+        f"{_unit_norm_sql(vec_col, id_col, '__sd_a', extra_cols=('CLUSTER_ID',))}"
+        " __sd_base)"
     )
     drops = (
         f"__sd_d AS (SELECT DISTINCT b.__id FROM __sd_u a JOIN __sd_u b "

@@ -1953,10 +1953,10 @@ def _r_near_dup_clusters(
     max_iterations=20, **kwargs
 ) -> str:
     """Candidate-pair SQL (the banded minhash / pigeonhole simhash
-    renderers) + unrolled min-label propagation (the connected_components
-    renderer technique: self-loop edges keep each unrolled level a SINGLE
-    reference to its predecessor — a double reference explodes
-    exponentially under CTE inlining).
+    renderers) + unrolled min-label propagation
+    (``graph.unrolled_min_label_sql`` — self-loop edges keep each unrolled
+    level a SINGLE reference to its predecessor; see that helper for the
+    measured exponential-inlining hazard).
 
     Result-equal to the executed path even though execution propagates
     over mode='edges' (rep pairs + star edges) and the render over plain
@@ -1986,6 +1986,8 @@ def _r_near_dup_clusters(
         pairs = _r_dedup_simhash(source, text, id_col, mode="pairs", **kwargs)
     else:
         raise ParameterException("method must be 'minhash' or 'simhash'")
+    from .graph import unrolled_min_label_sql
+
     parts = [
         f"__nc_p AS ({pairs})",
         f"__nc_n AS (SELECT DISTINCT {id_col} AS node FROM {source})",
@@ -1993,12 +1995,7 @@ def _r_near_dup_clusters(
         "UNION ALL SELECT ID_B, ID_A FROM __nc_p "
         "UNION ALL SELECT node, node FROM __nc_n)",
         "__nc_l0 AS (SELECT node, node AS lab FROM __nc_n)",
-    ]
-    for i in range(int(max_iterations)):
-        parts.append(
-            f"__nc_l{i + 1} AS (SELECT e.dst AS node, MIN(l.lab) AS lab "
-            f"FROM __nc_e e JOIN __nc_l{i} l ON e.src = l.node GROUP BY e.dst)"
-        )
+    ] + unrolled_min_label_sql("__nc", max_iterations)
     return (
         "SELECT * FROM (WITH " + ", ".join(parts)
         + f" SELECT s.{id_col}, COALESCE(l.lab, s.{id_col}) AS CLUSTER_ID "

@@ -282,16 +282,34 @@ def connected_components(
 CC_RENDER_MAX_ITER = 24
 
 
-@renderer("connected_components")
-def _r_connected_components(source, src, dst, max_iterations=20) -> str:
-    """Unrolled min-label propagation in Spark SQL. The executed loop
-    early-exits on convergence; extra unrolled rounds are no-ops on an
-    already-converged labeling (min over a fixed point is the fixed point),
-    so replaying all ``max_iterations`` rounds is result-equal. Self-loop
-    edges make each level a SINGLE reference to its predecessor — the
+def unrolled_min_label_sql(prefix: str, iterations: int) -> list[str]:
+    """Per-level CTEs for unrolled min-label propagation: level ``i+1`` takes
+    the per-node MIN label over ``{prefix}_e`` (which callers build as
+    symmetrized edges PLUS self-loops) joined to level ``i``. The self-loops
+    make each level a SINGLE reference to its predecessor — the
     labels-union-messages form would reference it twice and explode
     exponentially under CTE inlining (measured: a 20-level double-reference
-    chain kills the driver; single-reference runs in seconds)."""
+    chain kills the driver; single-reference runs in seconds). Shared by the
+    connected_components and near_dup_clusters renderers so that invariant
+    lives in one place."""
+    return [
+        f"{prefix}_l{i + 1} AS (SELECT e.dst AS node, MIN(l.lab) AS lab "
+        f"FROM {prefix}_e e JOIN {prefix}_l{i} l ON e.src = l.node "
+        "GROUP BY e.dst)"
+        for i in range(int(iterations))
+    ]
+
+
+@renderer("connected_components")
+def _r_connected_components(source, src, dst, max_iterations=20) -> str:
+    """Unrolled min-label propagation in Spark SQL
+    (:func:`unrolled_min_label_sql`). The executed loop early-exits on
+    convergence; extra unrolled rounds are no-ops on an already-converged
+    labeling (min over a fixed point is the fixed point), so replaying all
+    ``max_iterations`` rounds is result-equal. The final SELECT left-joins
+    the node list: a NULL endpoint never matches its own self-loop join, so
+    without it the rendered output would drop the (NULL, NULL) row the
+    executed groupBy keeps."""
     from ..errors import TransformRenderingException
 
     if max_iterations < 1:
@@ -310,14 +328,10 @@ def _r_connected_components(source, src, dst, max_iterations=20) -> str:
         "UNION ALL SELECT dst, src FROM __cc_h "
         "UNION ALL SELECT node, node FROM __cc_n)",
         "__cc_l0 AS (SELECT node, node AS lab FROM __cc_n)",
-    ]
-    for i in range(int(max_iterations)):
-        parts.append(
-            f"__cc_l{i + 1} AS (SELECT e.dst AS node, MIN(l.lab) AS lab "
-            f"FROM __cc_e e JOIN __cc_l{i} l ON e.src = l.node GROUP BY e.dst)"
-        )
+    ] + unrolled_min_label_sql("__cc", max_iterations)
     return (
         "SELECT * FROM (WITH " + ", ".join(parts)
-        + f" SELECT node AS NODE, lab AS COMPONENT FROM __cc_l{int(max_iterations)}"
+        + " SELECT n.node AS NODE, l.lab AS COMPONENT FROM __cc_n n "
+        f"LEFT JOIN __cc_l{int(max_iterations)} l ON n.node = l.node"
         ") __cc_out"
     )

@@ -174,11 +174,15 @@ def _r_logreg_score(
     """Unrolled GD replay in Spark SQL (:func:`logreg_oracle_sql` in Spark
     dialect): the staged-rounding contract makes every weight update
     engine-independent, so the rendered text reproduces the executed SCORE
-    exactly. The executed loop breaks on a NULL gradient (empty train set)
-    and keeps the current weights; COALESCE(g, 0.0) replays that exactly —
-    a NULL gradient leaves every subsequent weight unchanged. Each unrolled
-    level references its predecessor weight row twice (gradient + update),
-    so rendering is capped at ``LOGREG_RENDER_MAX_ITER`` iterations."""
+    exactly. The executed loop breaks when the INTERCEPT gradient is NULL
+    (empty train set) and keeps the current weights; the render replays
+    that exact condition — CASE WHEN g0 IS NULL THEN previous weights.
+    (A single all-NULL feature column with non-empty input crashes the
+    executed fit on float(None); the render is undefined there too — the
+    NULL gradient propagates to NULL weights and NULL scores.) Each
+    unrolled level references its predecessor weight row twice
+    (gradient + update), so rendering is capped at
+    ``LOGREG_RENDER_MAX_ITER`` iterations."""
     from ..errors import TransformRenderingException
 
     cols = as_list(feature_cols)
@@ -232,8 +236,8 @@ def _r_logreg_score(
             ]
         )
         wsel = ", ".join(
-            f"round({prev}.w{j} - {lrs} * COALESCE(g.g{j}, "
-            f"CAST(0.0 AS DOUBLE)), {W_ROUND}) AS w{j}"
+            f"CASE WHEN g.g0 IS NULL THEN {prev}.w{j} ELSE "
+            f"round({prev}.w{j} - {lrs} * g.g{j}, {W_ROUND}) END AS w{j}"
             for j in range(k + 1)
         )
         parts.append(

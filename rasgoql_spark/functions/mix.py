@@ -67,15 +67,19 @@ def mix_datasets(
 
 
 @renderer("mix_datasets")
-def _r_mix_datasets(source, others, weights, key=None, seed=42) -> str:
+def _r_mix_datasets(source, others, weights, key=None, seed=42,
+                    _input_columns=None) -> str:
     """Render-time replay of the mixture arithmetic: the normalized weights
     are Python-computed literals (they depend only on kwargs), per-source
     counts and the availability scale are in-flight scalar subqueries, and
     the slot threshold uses ``rint`` — IEEE roundTiesToEven, the exact
     semantics of the Python ``round()`` the executed path applies to
-    ``frac * 10000``. Renders the deterministic key mode only: the seeded
-    Bernoulli mode (``key=None``) samples with Spark's partition-dependent
-    RNG, which no SQL text reproduces."""
+    ``frac * 10000``. Branches project the ENTRY source's explicit column
+    list (the executed path unions by NAME, so a same-schema source with a
+    different column order must not misalign under positional UNION ALL).
+    Renders the deterministic key mode only: the seeded Bernoulli mode
+    (``key=None``) samples with Spark's partition-dependent RNG, which no
+    SQL text reproduces."""
     from ..errors import TransformRenderingException
 
     if key is None:
@@ -102,19 +106,22 @@ def _r_mix_datasets(source, others, weights, key=None, seed=42) -> str:
         raise ParameterException("weights must be non-negative with a positive sum")
     tot = sum(weights)
     ws = [w / tot for w in weights]
+    cols = (
+        ", ".join(f"s.{c}" for c in _input_columns) if _input_columns else "s.*"
+    )
     ctes = [
         f"__mx_c{i} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {nm})"
         for i, nm in enumerate(names)
     ]
-    ratio_terms = ", ".join(
+    ratio_terms = [
         f"(SELECT n FROM __mx_c{i}) / CAST({w!r} AS DOUBLE)"
         for i, w in enumerate(ws) if w > 0
+    ]
+    scale_expr = (
+        f"LEAST({', '.join(ratio_terms)})" if len(ratio_terms) > 1
+        else ratio_terms[0]
     )
-    scale = (
-        f"__mx_s AS (SELECT LEAST({ratio_terms}) AS scale)"
-        if ", " in ratio_terms
-        else f"__mx_s AS (SELECT {ratio_terms} AS scale)"
-    )
+    scale = f"__mx_s AS (SELECT {scale_expr} AS scale)"
     branches = []
     for i, (nm, w) in enumerate(zip(names, ws)):
         if w == 0:
@@ -127,7 +134,7 @@ def _r_mix_datasets(source, others, weights, key=None, seed=42) -> str:
             )
             cond = f"pmod(xxhash64(s.{key}, {int(seed)}), 10000) < rint({frac} * 10000)"
         branches.append(
-            f"SELECT s.*, {i} AS MIX_SOURCE FROM {nm} s "
+            f"SELECT {cols}, {i} AS MIX_SOURCE FROM {nm} s "
             f"CROSS JOIN __mx_s x CROSS JOIN __mx_c{i} c WHERE {cond}"
         )
     return (

@@ -171,12 +171,9 @@ def _pq_render_parts(source, vec_col, id_col, m, codebook_size, iterations,
             "iterations > 8 or m > 16 produces an impractically large "
             "statement"
         )
-    v = vec_col
-    unit = (
-        f"CASE WHEN __vnorm > 0 THEN "
-        f"transform({v}, x -> round(CAST(x AS DOUBLE) / __vnorm, {CENT_ROUND})) "
-        f"ELSE transform({v}, x -> CAST(x AS DOUBLE)) END"
-    )
+    from .cluster import _unit_norm_sql
+
+    nv = _unit_norm_sql(vec_col, id_col, source)
     sq = (
         "aggregate(zip_with(t.v, s.v, (x, y) -> (x - y) * (x - y)), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -185,10 +182,7 @@ def _pq_render_parts(source, vec_col, id_col, m, codebook_size, iterations,
     for s_ix in range(int(m)):
         sub = (
             f"(SELECT __id, slice(__u, {s_ix} * (size(__u) DIV {int(m)}) + 1, "
-            f"size(__u) DIV {int(m)}) AS v FROM "
-            f"(SELECT __id, {unit} AS __u FROM (SELECT {id_col} AS __id, {v}, "
-            f"sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS __vnorm FROM {source})))"
+            f"size(__u) DIV {int(m)}) AS v FROM {nv} __pq_nv)"
         )
         prev = (
             f"(SELECT CAST(ROW_NUMBER() OVER (ORDER BY __id) - 1 AS INT) AS c, "

@@ -70,11 +70,13 @@ def test_sql_render_views(session):
 
 
 def test_non_renderable_transform_still_executes(session):
-    # near_dup_clusters (iterative label propagation) has no SQL renderer;
-    # dedup_minhash, the previous example here, gained one in round 8
-    chain = session.dataset("documents").near_dup_clusters(
-        text="text", id_col="doc_id", threshold=0.2)
-    assert chain.df.columns == ["doc_id", "CLUSTER_ID"]
+    # build_ivf_index fits UNROUNDED centroids by contract (its oracle is a
+    # containment summary for the same reason) so it stays render-less;
+    # near_dup_clusters, the previous example here, gained a renderer late
+    # in round 8
+    chain = session.dataset("embeddings").build_ivf_index(
+        vec_col="embedding", id_col="vec_id", num_centroids=4)
+    assert chain.df.columns == ["vec_id", "embedding", "CENTROID_ID"]
     with pytest.raises(rql.TransformRenderingException):
         chain.sql()
 

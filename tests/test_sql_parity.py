@@ -472,6 +472,46 @@ def test_unrolled_renderer_iteration_caps(session):
             iterations=7).sql()
 
 
+def test_connected_components_renderer_keeps_null_nodes(session, spark):
+    """A NULL endpoint never matches its own self-loop join (NULL = NULL is
+    not true), so the rendered propagation silently dropped the (NULL, NULL)
+    row the executed groupBy keeps — the final SELECT now left-joins the
+    node list to restore it."""
+    from rasgoql_spark.functions.graph import (_r_connected_components,
+                                               connected_components)
+
+    df = spark.sql(
+        "SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b "
+        "UNION ALL SELECT 1, 2 UNION ALL SELECT 2, 3 UNION ALL SELECT 5, 5"
+    )
+    via_df = connected_components(df, "a", "b", max_iterations=4)
+    df.createOrReplaceTempView("__cc_null_edges")
+    via_sql = spark.sql(
+        _r_connected_components("__cc_null_edges", "a", "b", max_iterations=4)
+    )
+    assert via_sql.columns == via_df.columns
+    assert via_df.count() == via_sql.count() == 5  # 1,2,3,5 + the NULL node
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
+
+
+def test_mix_datasets_renderer_survives_reordered_columns(session, spark):
+    """The executed path unions by NAME; the render must project the entry
+    source's explicit column list so a same-schema other source with a
+    different column order cannot misalign under positional UNION ALL."""
+    for t in ("documents",):
+        session.dataset(t).df.createOrReplaceTempView(t)
+    reordered = session.dataset("documents").drop_columns(
+        include_cols=["n_chars", "doc_id", "text", "lang", "source"])
+    chain = session.dataset("documents").mix_datasets(
+        others=[reordered], weights=[1, 1], key="doc_id")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
+
+
 def test_render_only_mode_guards(session):
     """Renderers refuse the modes whose executed semantics no SQL text can
     reproduce: mix_datasets' seeded Bernoulli sampling (partition-dependent
