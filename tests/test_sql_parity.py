@@ -472,6 +472,32 @@ def test_unrolled_renderer_iteration_caps(session):
             iterations=7).sql()
 
 
+def test_unrolled_renderers_compose_in_cte_chains(session, spark):
+    """The new renderers return ``SELECT * FROM (WITH ...)`` — prove the
+    nested-WITH form embeds correctly BOTH as a non-final CTE body and as
+    the final step of an assembled multi-step chain."""
+    for t in ("documents", "orders"):
+        session.dataset(t).df.createOrReplaceTempView(t)
+    # renderer as FINAL step after a rendered filter step
+    chain = session.dataset("documents").filter(
+        filter_statements=["doc_id < 300"]).nb_classify(
+        text="text", label_col="lang", id_col="doc_id")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
+    # renderer as NON-final CTE body with a rendered step after it
+    chain2 = session.dataset("orders").pagerank(
+        src="o_custkey", dst="o_orderkey", iterations=2).top(
+        n=25, order_by={"PAGERANK": "DESC", "NODE": "ASC"})
+    via_sql2 = spark.sql(chain2.sql())
+    via_df2 = chain2.df
+    assert via_sql2.columns == via_df2.columns
+    assert via_df2.exceptAll(via_sql2).count() == 0
+    assert via_sql2.exceptAll(via_df2).count() == 0
+
+
 def test_connected_components_renderer_keeps_null_nodes(session, spark):
     """A NULL endpoint never matches its own self-loop join (NULL = NULL is
     not true), so the rendered propagation silently dropped the (NULL, NULL)
