@@ -416,3 +416,37 @@ def test_fuzzy_join_length_bucket_schemes_preserve_output(spark):
                                        max_distance=d, block=bucketed,
                                        block_len=1).collect()))
             assert o1 == o2 and o1, (d, plain)
+
+
+@given(st.floats(min_value=0.05, max_value=0.95),
+       st.sampled_from([8, 12, 16, 24, 32, 64]))
+@settings(max_examples=40, deadline=None)
+def test_minhash_tune_banding_invariants(threshold, num_hashes):
+    """The S-curve optimizer must return a valid banding (bands divides
+    num_hashes), a knee in (0, 1), and non-negative error areas bounded by
+    the integration range on each side of the threshold."""
+    from rasgoql_spark.functions.dedup import minhash_tune
+
+    out = minhash_tune(threshold, num_hashes)
+    b, r = out["bands"], out["rows_per_band"]
+    assert b * r == num_hashes
+    # knee = (1/b)^(1/r) is exactly 1.0 for the degenerate-but-legitimate
+    # single-band choice high thresholds select
+    assert 0.0 < out["knee"] <= 1.0
+    # fp integrates collide over [0, threshold); fn integrates miss over
+    # [threshold, 1) — each is bounded by its own interval's length
+    assert 0.0 <= out["fp_area"] <= threshold + 0.01
+    assert 0.0 <= out["fn_area"] <= (1.0 - threshold) + 0.01
+
+
+@given(st.sampled_from([8, 16, 32]))
+@settings(max_examples=10, deadline=None)
+def test_minhash_tune_knee_tracks_threshold(num_hashes):
+    """Raising the target threshold must never move the chosen knee DOWN:
+    a higher-threshold objective penalizes low-similarity collisions more,
+    so the selected banding's knee is monotone non-decreasing."""
+    from rasgoql_spark.functions.dedup import minhash_tune
+
+    knees = [minhash_tune(t, num_hashes)["knee"]
+             for t in (0.1, 0.3, 0.5, 0.7, 0.9)]
+    assert knees == sorted(knees)
