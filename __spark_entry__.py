@@ -1166,6 +1166,28 @@ def q_pq_search(spark, sf):
     ).df
 
 
+def q_similarity_search_ivfpq(spark, sf):
+    """IVF-PQ ANN with a FULL exact replay oracle — the first ANN operator
+    hash-verified end-to-end rather than through a quality summary (the
+    similarity_search_ivf family keeps unrounded centroids by contract, so
+    its oracle is a containment summary; similarity_search_ivfpq rounds by
+    contract precisely to be replayable). DuckDB replays the deterministic
+    coarse kmeans (kmeans_cluster contract), the top-3-of-8 probe ranking,
+    the PQ fit, and the probed-list-restricted ADC ranking
+    (_mk_pq_adc_sql(..., ivf=(8, 3, 1))). PQ iterations=0 for the same
+    reason as q_pq_search: seed codebooks are bit-identical corpus values,
+    so ADC doubles match bit-for-bit before the 6-dp round (Lloyd-trained
+    ADC parity is covered by pq_encode's argmin-code oracle). The coarse
+    quantizer DOES run a Lloyd pass — assignment/probe argmaxes compare
+    6-dp-rounded sims, robust to the 1e-9 partial-aggregation noise by the
+    same contract kmeans_cluster's oracle relies on."""
+    return _s(spark, sf).dataset("embeddings").similarity_search_ivfpq(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10,
+        num_centroids=8, nprobe=3, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=0,
+    ).df
+
+
 def q_embedding_outliers(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -2572,7 +2594,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     def _mk_pq_adc_sql(m: int, cb: int, iterations: int, k: int, qids,
-                       dim: int = 64, round_to: int = 6) -> str:
+                       dim: int = 64, round_to: int = 6, ivf=None) -> str:
         """Exact DuckDB replay of pq_search (functions/pq.py): per-subspace
         seeded Lloyd (``iterations`` mean updates, argmin over distances
         rounded to ``round_to``, ties -> lowest code, empty codes keep the
@@ -2580,7 +2602,15 @@ def oracle_sql() -> dict[str, str]:
         (left-fold dots, matching Python's sequential sum), and ADC = the
         left-assoc sum of ``m`` LUT lookups rounded to ``round_to`` —
         ranked desc with MATCH_ID tie-break. Generalizes pq_encode's
-        unrolled CTEs to arbitrary (m, cb, iterations)."""
+        unrolled CTEs to arbitrary (m, cb, iterations).
+
+        ``ivf=(num_centroids, nprobe, coarse_iterations)`` additionally
+        replays similarity_search_ivfpq's coarse quantizer — the
+        kmeans_cluster rounded-Lloyd contract (lowest-id seeds, argmax over
+        ``round_to``-rounded cosines with lowest-cid ties, 9-dp renormalized
+        means, empty clusters keep the previous centroid) — and restricts
+        the ADC scan to candidates whose assigned centroid is among the
+        query's top-``nprobe`` rounded-cosine lists."""
         d_sub = dim // m
         # AS MATERIALIZED everywhere: DuckDB otherwise inlines every CTE
         # reference, re-expanding the per-subspace Lloyd chain at each of
@@ -2636,11 +2666,58 @@ def oracle_sql() -> dict[str, str]:
             for s in range(m)
         )
         adc = " + ".join(f"l{s}.lv" for s in range(m))
+        if ivf is None:
+            pairing = "FROM codes cd CROSS JOIN qs q"
+        else:
+            kc, nprobe, coarse_iters = ivf
+            ksim = (
+                f"round(list_sum(list_transform(range(1, {dim + 1}), "
+                "i -> nv.u[i] * s.u[i])), " + str(round_to) + ")"
+            )
+            ctes.append(
+                f"kseeds AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
+                f"AS BIGINT) AS cid, u FROM (SELECT vec_id, u FROM nv "
+                f"ORDER BY vec_id LIMIT {kc}))"
+            )
+            kprev = "kseeds"
+            for it in range(coarse_iters):
+                ctes += [
+                    f"kx{it} AS MATERIALIZED (SELECT nv.vec_id, nv.u, s.cid, {ksim} AS sim "
+                    f"FROM nv CROSS JOIN {kprev} s)",
+                    f"ka{it} AS MATERIALIZED (SELECT vec_id, u, cid FROM (SELECT *, "
+                    f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) "
+                    f"AS rn FROM kx{it}) WHERE rn = 1)",
+                    f"kmm{it} AS MATERIALIZED (SELECT cid, pos, round(avg(val), 9) AS mv FROM "
+                    f"(SELECT cid, unnest(u) AS val, generate_subscripts(u, 1) AS pos "
+                    f"FROM ka{it}) GROUP BY cid, pos)",
+                    f"kmagg{it} AS MATERIALIZED (SELECT cid, list(mv ORDER BY pos) AS mu "
+                    f"FROM kmm{it} GROUP BY cid)",
+                    f"kcents{it} AS MATERIALIZED (SELECT s.cid, COALESCE(CASE WHEN "
+                    f"sqrt(list_sum(list_transform(m.mu, x -> x * x))) > 0 "
+                    f"THEN list_transform(m.mu, x -> round(x / "
+                    f"sqrt(list_sum(list_transform(m.mu, y -> y * y))), 9)) "
+                    f"ELSE m.mu END, s.u) AS u FROM {kprev} s "
+                    f"LEFT JOIN kmagg{it} m USING (cid))",
+                ]
+                kprev = f"kcents{it}"
+            ctes += [
+                f"kasg AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT nv.vec_id, s.cid, "
+                f"ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY {ksim} DESC, s.cid) "
+                f"AS rn FROM nv CROSS JOIN {kprev} s) WHERE rn = 1)",
+                f"kprobe AS MATERIALIZED (SELECT vec_id AS qid, cid FROM (SELECT nv.vec_id, "
+                f"s.cid, ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY {ksim} DESC, "
+                f"s.cid) AS rn FROM nv CROSS JOIN {kprev} s "
+                f"WHERE nv.vec_id IN ({ids})) WHERE rn <= {nprobe})",
+            ]
+            pairing = (
+                "FROM codes cd JOIN kasg ON kasg.vec_id = cd.vec_id "
+                "JOIN kprobe q ON q.cid = kasg.cid"
+            )
         ctes += [
             f"qs AS MATERIALIZED (SELECT DISTINCT qid FROM lut0)",
             f"codes AS MATERIALIZED (SELECT f0.vec_id, {code_cols} FROM f0 {code_joins})",
             f"adc_scored AS MATERIALIZED (SELECT q.qid, cd.vec_id, round({adc}, {round_to}) "
-            f"AS ADC_SCORE FROM codes cd CROSS JOIN qs q {lut_joins} "
+            f"AS ADC_SCORE {pairing} {lut_joins} "
             f"WHERE cd.vec_id <> q.qid)",
             "adc_ranked AS MATERIALIZED (SELECT qid, vec_id, ADC_SCORE, ROW_NUMBER() OVER "
             "(PARTITION BY qid ORDER BY ADC_SCORE DESC, vec_id ASC) AS rk "
@@ -3616,6 +3693,12 @@ ranked AS (
         ),
         "pq_encode": pq_encode_sql,
         "pq_search": pq_adc_sql,
+        # IVF-PQ: the pq_search replay plus the coarse-quantizer fit, the
+        # top-nprobe probe ranking, and the probed-list candidate
+        # restriction — a complete ANN replay, not a summary
+        "similarity_search_ivfpq": _mk_pq_adc_sql(
+            8, 16, 0, 10, [0, 1, 2, 3, 4], ivf=(8, 3, 1)
+        ),
         "embedding_outliers": (
             "WITH nv AS (SELECT vec_id, CASE WHEN "
             "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
@@ -4028,9 +4111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # those plus the oldest r6 entries. All 180 entries pass
     # tools/oracle_check.py locally (fresh full run recorded in COVERAGE.md).
     return {
-        # --- front-50: changed/new in round 8 (minhash auto banding + the r7 red gate fix) ---
+        # --- front-50: changed/new in round 8 (minhash auto banding + the r7 red gate fix
+        # + the new IVF-PQ ANN operator; adding it pushes uppercase_columns to 51 —
+        # it rejoins the r9 front with the rest of the r5 block) ---
         "dedup_embedding_filter": q_dedup_embedding_filter,
         "dedup_minhash_auto": q_dedup_minhash_auto,
+        "similarity_search_ivfpq": q_similarity_search_ivfpq,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_filter": q_dedup_minhash_filter,
         # --- front-50: last driver-verified round 4 (stalest, all 35) ---

@@ -105,6 +105,37 @@ def _renorm_py(vec: list) -> list:
     return [round(x / s, CENT_ROUND) for x in vec] if s > 0 else list(vec)
 
 
+def _fit_kmeans(cached: DataFrame, k: int, iterations: int, round_to: int) -> list:
+    """Deterministic spherical-kmeans fit over a persisted ``(__id, __u)``
+    frame (``_unit_rounded`` output): lowest-id seeds, per-pass argmax over
+    ``round_to``-rounded cosines (ties -> lowest cid), 9-dp-rounded
+    re-normalized means, empty clusters keep their previous centroid.
+    Returns the ``[(cid, [components])]`` list. Shared by
+    :func:`kmeans_cluster` and ``similarity_search_ivfpq`` so the rounded
+    determinism contract (the one the DuckDB replay oracles rely on) has a
+    single definition. Each Lloyd pass is one slim (cid, pos, value)
+    aggregation with a bounded k·dim collect — the corpus never shuffles."""
+    seeds = cached.orderBy("__id").limit(k).select("__u").collect()
+    cents = [(j, [round(float(x), CENT_ROUND) for x in r["__u"]]) for j, r in enumerate(seeds)]
+    for _ in range(iterations):
+        abase, carr, _adrop = _attach_centroids(cached, cents)
+        assigned = abase.withColumn("__cid", _assign_expr(carr, round_to))
+        rows = (
+            assigned.select("__cid", F.posexplode("__u").alias("__pos", "__v"))
+            .groupBy("__cid", "__pos")
+            .agg(F.round(F.avg("__v"), CENT_ROUND).alias("__m"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault(r["__cid"], {})[r["__pos"]] = r["__m"]
+        cents = [
+            (cid, _renorm_py([acc[cid][p] for p in range(len(acc[cid]))]) if cid in acc else old)
+            for cid, old in cents
+        ]
+    return cents
+
+
 @spark_transform("kmeans_cluster", category="similarity", streaming_ok=False)
 def kmeans_cluster(
     df: DataFrame,
@@ -126,24 +157,7 @@ def kmeans_cluster(
     cached = scoped_persist(_unit_rounded(
         spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
     ))
-    seeds = cached.orderBy("__id").limit(k).select("__u").collect()
-    cents = [(j, [round(float(x), CENT_ROUND) for x in r["__u"]]) for j, r in enumerate(seeds)]
-    for _ in range(iterations):
-        abase, carr, _adrop = _attach_centroids(cached, cents)
-        assigned = abase.withColumn("__cid", _assign_expr(carr, round_to))
-        rows = (
-            assigned.select("__cid", F.posexplode("__u").alias("__pos", "__v"))
-            .groupBy("__cid", "__pos")
-            .agg(F.round(F.avg("__v"), CENT_ROUND).alias("__m"))
-            .collect()
-        )
-        acc: dict = {}
-        for r in rows:
-            acc.setdefault(r["__cid"], {})[r["__pos"]] = r["__m"]
-        cents = [
-            (cid, _renorm_py([acc[cid][p] for p in range(len(acc[cid]))]) if cid in acc else old)
-            for cid, old in cents
-        ]
+    cents = _fit_kmeans(cached, k, iterations, round_to)
     fbase, fcarr, _fdrop = _attach_centroids(cached, cents)
     out_assign = fbase.withColumn("CLUSTER_ID", _assign_expr(fcarr, round_to)).select(
         F.col("__id").alias(i), "CLUSTER_ID"
@@ -204,6 +218,24 @@ def _r_kmeans_cluster(source, vec_col, id_col, k=8, iterations=1, round_to=6) ->
     normalized-input subquery inlines at each reference (seeds + per-
     iteration assign/mean + final assign) — executed-SQL recompute the
     DataFrame path avoids by persisting; the render is an export artifact."""
+    nv, cents_sql, assign = _kmeans_render_parts(
+        source, vec_col, id_col, k, iterations, round_to, "kmeans_cluster"
+    )
+    final = assign(cents_sql)
+    return (
+        f"SELECT s.*, f.c AS CLUSTER_ID FROM {source} s "
+        f"JOIN {final} f ON f.__id = s.{id_col}"
+    )
+
+
+def _kmeans_render_parts(source, vec_col, id_col, k, iterations, round_to,
+                         caller: str):
+    """Shared SQL chains for the spherical-kmeans replay renderers: returns
+    ``(nv, cents_sql, assign_fn)`` — the normalized-corpus subquery, the
+    post-Lloyd centroid relation ``(c, v)``, and a function rendering the
+    rounded-argmax assignment ``(__id, c)`` against any centroid relation.
+    One definition so kmeans_cluster and similarity_search_ivfpq can never
+    drift on the fit contract."""
     from ..errors import TransformRenderingException
 
     if k < 1:
@@ -212,7 +244,7 @@ def _r_kmeans_cluster(source, vec_col, id_col, k=8, iterations=1, round_to=6) ->
         raise ParameterException("iterations must be >= 0")
     if iterations > 8:
         raise TransformRenderingException(
-            "kmeans_cluster renders unrolled Lloyd passes; iterations > 8 "
+            f"{caller} renders unrolled Lloyd passes; iterations > 8 "
             "produces an impractically large statement"
         )
     nv = _unit_norm_sql(vec_col, id_col, source)
@@ -246,11 +278,7 @@ def _r_kmeans_cluster(source, vec_col, id_col, k=8, iterations=1, round_to=6) ->
             f"(SELECT p.c, COALESCE({renorm}, p.v) AS v FROM {prev} p "
             f"LEFT JOIN {mm} m ON p.c = m.c)"
         )
-    final = assign(prev)
-    return (
-        f"SELECT s.*, f.c AS CLUSTER_ID FROM {source} s "
-        f"JOIN {final} f ON f.__id = s.{id_col}"
-    )
+    return nv, prev, assign
 
 
 @spark_transform("embedding_outliers", category="similarity", streaming_ok=False)

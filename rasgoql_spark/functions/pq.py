@@ -32,7 +32,7 @@ from ..operators._util import resolve_col, spread
 from ..registry import renderer as _renderer, spark_transform
 from ._cache import release_with, scoped_persist
 from ._litfast import centroid_array_lit, double_array_lit
-from .cluster import CENT_ROUND, _unit_rounded
+from .cluster import CENT_ROUND, _assign_expr, _fit_kmeans, _unit_rounded
 
 
 def _sq_dist(a: Column, b) -> Column:
@@ -313,6 +313,239 @@ def pq_search(
         .filter(F.col("RANK") <= k)
     )
     return release_with(out, cached)
+
+
+@spark_transform("similarity_search_ivfpq", category="similarity", streaming_ok=False)
+def similarity_search_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids: list,
+    k: int = 10,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    coarse_iterations: int = 1,
+    m: int = 4,
+    codebook_size: int = 8,
+    iterations: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate top-``k`` (Jégou et al. 2011's IVFADC, no-residual
+    variant): a deterministic spherical-kmeans coarse quantizer partitions
+    the corpus into ``num_centroids`` inverted lists; each query probes its
+    ``nprobe`` highest-cosine lists; candidates inside the probed lists are
+    scored by ADC over their PQ codes. Output (QUERY_ID, MATCH_ID,
+    ADC_SCORE, RANK); queries never match themselves; fewer than ``k`` rows
+    when the probed lists hold fewer candidates.
+
+    Unlike ``similarity_search_ivf`` (unrounded centroids, auto sizing —
+    the production scale path), this operator keeps the full rounded
+    determinism contract of ``kmeans_cluster`` + ``pq_encode`` (rounded
+    argmax/argmin, 9-dp centroid components), so the ENTIRE pipeline —
+    coarse fit, probing, PQ fit, ADC ranking — replays exactly in SQL:
+    it has a full DuckDB hash oracle and a ``.sql()`` renderer, the first
+    ANN operator with either.
+
+    100 TB design: the candidate scan reads (id, centroid_id, m small ints)
+    — the PQ compression is what makes the inverted lists fit in memory at
+    billion-vector scale (64-d float64 -> 4 bytes here, a 128x reduction).
+    Coarse assignment and PQ encoding are shuffle-free projections against
+    driver-collected literals (bounded: k·dim + m·codebook_size·d_sub
+    doubles); the probe frame is bounded (queries × nprobe rows) and
+    broadcast, so the corpus never shuffles for candidate selection —
+    the only corpus-wide movement is the per-query top-k window over
+    ~n·nprobe/num_centroids candidates."""
+    if not query_ids:
+        raise ParameterException("query_ids must be non-empty")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if num_centroids < 1:
+        raise ParameterException("num_centroids must be >= 1")
+    if nprobe < 1:
+        raise ParameterException("nprobe must be >= 1")
+    if coarse_iterations < 0:
+        raise ParameterException("coarse_iterations must be >= 0")
+    from .similarity import _attach_centroids
+
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    staged, d_sub, cached = _staged_corpus(df, v, i, m)
+    # one persisted (__id, __u, __s0..__s{m-1}) frame feeds the coarse fit,
+    # the PQ fit, the corpus encoding, and the query slice
+    cents = _fit_kmeans(staged, num_centroids, coarse_iterations, round_to)
+    books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
+    abase, carr, _adrop = _attach_centroids(staged, cents)
+    codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
+    enc = (
+        abase.withColumn("__cid", _assign_expr(carr, round_to))
+        .withColumn("__codes", codes)
+        .select("__id", "__cid", "__codes")
+    )
+    # probe: rounded cosine to every centroid, top-nprobe per query by
+    # (sim desc, cid asc) — computed IN SPARK over a bounded literal frame
+    # (queries × num_centroids rows) so the F.round/ROUND parity of the
+    # replay contract holds (Python's round() is banker's — not usable
+    # here). The query rows are a bounded collect (len(query_ids) rows —
+    # pq_search's existing contract). The probed (query, list) pairs are a
+    # second bounded collect (queries × nprobe): re-entering them as
+    # per-query literal filters keeps the candidate scan a pure
+    # projection+filter over the corpus — joining the corpus against a
+    # probe frame derived from it would be a self-join whose inferred
+    # constraints drag the assignment expression across the dedup boundary
+    # (unresolvable reference), and a join on an expression-valued key
+    # invites the same constraint rewrite even on literal frames.
+    qrows = (
+        staged.filter(F.col("__id").isin([int(q) for q in query_ids]))
+        .select("__id", "__u", *[f"__s{s}" for s in range(m)])
+        .collect()
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(r["__id"]), [float(x) for x in r["__u"]]) for r in qrows],
+        "__qid bigint, __qu array<double>",
+    )
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in vv]) for c, vv in cents],
+        "__pc bigint, __pv array<double>",
+    )
+    pw = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("__pc").asc()
+    )
+    probed_rows = (
+        qdf.crossJoin(F.broadcast(cent_df))
+        .withColumn("__sim", F.round(dot(F.col("__qu"), F.col("__pv")), round_to))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= nprobe)
+        .select("__qid", "__pc")
+        .collect()
+    )
+    probed: dict = {}
+    for r in probed_rows:
+        probed.setdefault(int(r["__qid"]), []).append(int(r["__pc"]))
+    # ADC LUTs per query (pq_search's exact scoring form): LUT[s][code] =
+    # dot(query_subvector_s, codebook_s[code]) — Python sequential sum,
+    # replayed by the oracle's in-flight fold over the same doubles
+    luts = {
+        int(r["__id"]): [
+            [sum(a * b for a, b in zip(r[f"__s{s}"], vec)) for _, vec in books[s]]
+            for s in range(m)
+        ]
+        for r in qrows
+    }
+    per_query = []
+    for qid in sorted(luts):
+        lut = luts[qid]
+        score = F.round(
+            sum(
+                F.element_at(
+                    double_array_lit(list(lut[s])),
+                    F.element_at("__codes", s + 1) + 1,
+                )
+                for s in range(m)
+            ),
+            round_to,
+        )
+        per_query.append(
+            enc.filter(
+                F.col("__cid").isin(probed.get(qid, [])) & (F.col("__id") != qid)
+            ).select(
+                F.lit(qid).cast("bigint").alias("QUERY_ID"),
+                F.col("__id").alias("MATCH_ID"),
+                score.alias("ADC_SCORE"),
+            )
+        )
+    union = per_query[0]
+    for p in per_query[1:]:
+        union = union.unionByName(p)
+    w = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("ADC_SCORE").desc(), F.col("MATCH_ID").asc()
+    )
+    out = (
+        union.withColumn("RANK", F.row_number().over(w).cast("int"))
+        .filter(F.col("RANK") <= k)
+    )
+    return release_with(out, cached)
+
+
+@_renderer("similarity_search_ivfpq")
+def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
+                               num_centroids=8, nprobe=2, coarse_iterations=1,
+                               m=4, codebook_size=8, iterations=1,
+                               round_to=6) -> str:
+    """Full SQL replay of the IVF-PQ pipeline — the first renderable ANN
+    operator (the similarity_search_ivf family is excluded by its unrounded
+    contract; this operator rounds by contract precisely to be replayable).
+    Composes the kmeans_cluster renderer's coarse-fit chains with the
+    pq_search renderer's per-subspace Lloyd/LUT chains, then restricts the
+    ADC scan to (assignment, probe) centroid matches."""
+    if not query_ids:
+        raise ParameterException("query_ids must be non-empty")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if num_centroids < 1:
+        raise ParameterException("num_centroids must be >= 1")
+    if nprobe < 1:
+        raise ParameterException("nprobe must be >= 1")
+    from .cluster import _dot_sql, _kmeans_render_parts
+
+    nv, kcents, kassign = _kmeans_render_parts(
+        source, vec_col, id_col, num_centroids, coarse_iterations, round_to,
+        "similarity_search_ivfpq",
+    )
+    parts = _pq_render_parts(
+        source, vec_col, id_col, m, codebook_size, iterations, round_to,
+        "similarity_search_ivfpq",
+    )
+    qlist = ", ".join(str(int(q)) for q in query_ids)
+    sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_to)})"
+    ctes = [
+        f"__ivf_asg AS (SELECT __id, c FROM {kassign(kcents)})",
+        (
+            f"__ivf_probe AS (SELECT __id AS qid, c FROM (SELECT t.__id, s.c, "
+            f"ROW_NUMBER() OVER (PARTITION BY t.__id ORDER BY {sim} DESC, "
+            f"s.c ASC) AS rn FROM {nv} t CROSS JOIN {kcents} s "
+            f"WHERE t.__id IN ({qlist})) WHERE rn <= {int(nprobe)})"
+        ),
+    ]
+    for j, (sub, cb, a) in enumerate(parts):
+        ctes.append(f"__pq_cb{j} AS (SELECT c, v FROM {cb})")
+        ctes.append(f"__pq_f{j} AS (SELECT __id, c FROM {a})")
+        ctes.append(
+            f"__pq_q{j} AS (SELECT __id AS qid, v FROM {sub} "
+            f"WHERE __id IN ({qlist}))"
+        )
+    dot = (
+        "aggregate(zip_with(__pq_q{j}.v, __pq_b{j}.v, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    score = " + ".join(dot.replace("{j}", str(j)) for j in range(int(m)))
+    code_joins = " ".join(
+        f"JOIN __pq_f{j} ON __pq_f{j}.__id = s.{id_col} "
+        f"JOIN __pq_cb{j} __pq_b{j} ON __pq_b{j}.c = __pq_f{j}.c"
+        for j in range(int(m))
+    )
+    q_joins = " ".join(
+        f"JOIN __pq_q{j} ON __pq_q{j}.qid = __ivf_probe.qid"
+        for j in range(int(m))
+    )
+    scored = (
+        f"SELECT CAST(__ivf_probe.qid AS BIGINT) AS QUERY_ID, "
+        f"s.{id_col} AS MATCH_ID, "
+        f"round({score}, {int(round_to)}) AS ADC_SCORE "
+        f"FROM {source} s {code_joins} "
+        f"JOIN __ivf_asg ON __ivf_asg.__id = s.{id_col} "
+        f"JOIN __ivf_probe ON __ivf_probe.c = __ivf_asg.c {q_joins} "
+        f"WHERE s.{id_col} <> __ivf_probe.qid"
+    )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(ctes)
+        + f" SELECT QUERY_ID, MATCH_ID, ADC_SCORE, RANK FROM ("
+        f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        f"ORDER BY ADC_SCORE DESC, MATCH_ID ASC) AS INT) AS RANK "
+        f"FROM ({scored})) WHERE RANK <= {int(k)}) __ivfpq_out"
+    )
 
 
 @_renderer("pq_search")

