@@ -1255,6 +1255,25 @@ _LOGREG_APPLY = (
 )
 
 
+_CLSEVAL_APPLY = (
+    "SELECT vec_id, label % 2 AS y, element_at(embedding, 1) AS s "
+    "FROM {{source_table}}"
+)
+
+
+def q_classifier_eval(spark, sf):
+    """Binary-eval metrics (confusion + PRECISION/RECALL/F1 + tie-corrected
+    Mann-Whitney AUC) of a deterministic score (first embedding component)
+    against parity-of-label truth — the renderer IS the oracle (same SQL
+    runs on DuckDB), so every metric is hash-verified."""
+    return (
+        _s(spark, sf).dataset("embeddings")
+        .apply(sql=_CLSEVAL_APPLY)
+        .classifier_eval(label_col="y", score_col="s", threshold=0.1)
+        .df
+    )
+
+
 def q_logreg_score(spark, sf):
     # 3 deterministic GD passes on 4 embedding dims vs parity-of-label
     s = _s(spark, sf)
@@ -2509,6 +2528,20 @@ def _bpe_real_oracle() -> str:
     )
 
 
+def _cls_eval_oracle() -> str:
+    """classifier_eval's renderer is engine-portable SQL — DuckDB runs it
+    verbatim over the same apply-projection the gate query uses (embedding
+    is float32 in the parquet; both engines CAST the identical float to
+    DOUBLE before any arithmetic)."""
+    from rasgoql_spark.functions.classify import _r_classifier_eval
+
+    return _r_classifier_eval(
+        "(SELECT vec_id, label % 2 AS y, CAST(embedding[1] AS DOUBLE) AS s "
+        "FROM embeddings)",
+        "y", "s", threshold=0.1,
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en = _lang_score(r"\b(the|and|of|to|in|is|that|it|was|for)\b")
     es = _lang_score(r"\b(el|la|de|que|y|en|los|se|del|las)\b")
@@ -3699,6 +3732,9 @@ ranked AS (
         "similarity_search_ivfpq": _mk_pq_adc_sql(
             8, 16, 0, 10, [0, 1, 2, 3, 4], ivf=(8, 3, 1)
         ),
+        # classifier_eval: the operator's own renderer runs verbatim on
+        # DuckDB (window + aggregate SQL is engine-portable)
+        "classifier_eval": _cls_eval_oracle(),
         "embedding_outliers": (
             "WITH nv AS (SELECT vec_id, CASE WHEN "
             "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
@@ -4117,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_filter": q_dedup_embedding_filter,
         "dedup_minhash_auto": q_dedup_minhash_auto,
         "similarity_search_ivfpq": q_similarity_search_ivfpq,
+        "classifier_eval": q_classifier_eval,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_filter": q_dedup_minhash_filter,
         # --- front-50: last driver-verified round 4 (stalest, all 35) ---

@@ -97,6 +97,17 @@ def _llm_update_ivf_index(spark, sf):
     return updated.frame
 
 
+def _llm_similarity_ivfpq(spark, sf):
+    """IVF-PQ ANN (round 8): inline coarse-kmeans fit + PQ fit + probed ADC
+    scan — the memory-bounded ANN form (candidates read m small ints, not
+    dim floats). Sized like the inline-IVF entry (16 lists, 4 probed) with
+    one Lloyd pass each so the record tracks the full build+search cost."""
+    return entry._s(spark, sf).dataset("embeddings").similarity_search_ivfpq(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4],
+        k=10, num_centroids=16, nprobe=4, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=1).df
+
+
 def _b6_encode_split(spark, sf):
     s = entry._s(spark, sf)
     return (
@@ -145,6 +156,8 @@ BENCH_QUERIES = {
     "llm_similarity_ivf_prebuilt": _llm_similarity_ivf_prebuilt,
     "llm_update_ivf_index": _llm_update_ivf_index,
     "llm_dedup_against_embedding": entry.q_dedup_against_embedding,
+    # round-8 addition: the PQ-compressed ANN path (exact-replay contract)
+    "llm_similarity_ivfpq": _llm_similarity_ivfpq,
 }
 
 

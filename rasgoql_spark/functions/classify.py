@@ -26,7 +26,7 @@ technique only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
@@ -321,4 +321,160 @@ def _r_feature_hash(source, text, id_col, dim=32, normalize=True, round_to=6) ->
     return (
         f"SELECT l.*, COALESCE({feat}, {zero}) AS FEATURES FROM {source} l "
         f"LEFT JOIN ({vecs}) v ON l.{id_col} = v.__id"
+    )
+
+
+@spark_transform("classifier_eval", category="ml", streaming_ok=False)
+def classifier_eval(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binary-classifier evaluation in one row: confusion counts at
+    ``score >= threshold`` (truth = ``label_col`` nonzero), ACCURACY /
+    PRECISION / RECALL / F1 (NULL on empty denominators), and the
+    tie-corrected Mann-Whitney AUC of the score — the eval half of the
+    in-engine classifier loop (feature_hash/logreg_score, nb_classify,
+    knn_classify, quality_filter train a filter; this measures it against
+    a labeled sample before it gates a 100 TB corpus).
+
+    AUC = sum over score levels of pos_l * (neg_below + neg_l / 2),
+    normalized by P*N_neg — the average-rank Mann-Whitney statistic,
+    computed on the LEVEL table (scores rounded to ``round_to`` first), so
+    the only ordered pass is a window over at most |distinct rounded
+    scores| rows. 100 TB design: one map-side-combined aggregation for the
+    confusion counts, one for the levels; the unpartitioned cumulative
+    window runs on the bounded level table, never the corpus; the two
+    one-row aggregates crossJoin at the end. Zero Python on data; exactly
+    replayable in SQL (all metric arithmetic rounds to ``round_to``).
+    No counterpart in the reference (rasgoql has no ML surface); public
+    technique (Mann-Whitney U / ROC-AUC equivalence)."""
+    if round_to < 0:
+        raise ParameterException("round_to must be >= 0")
+    lbl, sc = resolve_col(df, label_col), resolve_col(df, score_col)
+    base = spread(df).select(
+        F.when(F.col(lbl).cast("double") != 0, 1).otherwise(0).alias("__pos"),
+        F.col(sc).cast("double").alias("__score"),
+        F.round(F.col(sc).cast("double"), round_to).alias("__lvl"),
+    )
+    conf = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("N"),
+        F.sum("__pos").cast("bigint").alias("N_POS"),
+        F.sum(F.when(F.col("__score") >= threshold, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__pp"),
+        F.sum(
+            F.when((F.col("__score") >= threshold) & (F.col("__pos") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("TP"),
+    )
+    lv = base.groupBy("__lvl").agg(
+        F.sum("__pos").cast("double").alias("__pl"),
+        F.sum(1 - F.col("__pos")).cast("double").alias("__nl"),
+    )
+    wcum = (
+        Window.orderBy("__lvl")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    auc_num = (
+        lv.withColumn("__cnb", F.coalesce(F.sum("__nl").over(wcum), F.lit(0.0)))
+        .agg(
+            F.sum(
+                F.col("__pl") * (F.col("__cnb") + F.col("__nl") / 2)
+            ).alias("__aucnum")
+        )
+    )
+    r = lambda c: F.round(c, round_to)  # noqa: E731
+    out = conf.crossJoin(auc_num).select(
+        "N",
+        "N_POS",
+        (F.col("N") - F.col("N_POS")).cast("bigint").alias("N_NEG"),
+        "TP",
+        (F.col("__pp") - F.col("TP")).cast("bigint").alias("FP"),
+        (F.col("N_POS") - F.col("TP")).cast("bigint").alias("FN"),
+        (F.col("N") - F.col("N_POS") - F.col("__pp") + F.col("TP"))
+        .cast("bigint")
+        .alias("TN"),
+        r(
+            (F.col("TP") + F.col("N") - F.col("N_POS") - F.col("__pp") + F.col("TP"))
+            / F.col("N")
+        ).alias("ACCURACY"),
+        r(
+            F.when(F.col("__pp") > 0, F.col("TP") / F.col("__pp"))
+        ).alias("PRECISION"),
+        r(
+            F.when(F.col("N_POS") > 0, F.col("TP") / F.col("N_POS"))
+        ).alias("RECALL"),
+        r(
+            F.when(
+                (F.col("__pp") > 0)
+                & (F.col("N_POS") > 0)
+                & (F.col("TP") / F.col("__pp") + F.col("TP") / F.col("N_POS") > 0),
+                2
+                * (F.col("TP") / F.col("__pp"))
+                * (F.col("TP") / F.col("N_POS"))
+                / (F.col("TP") / F.col("__pp") + F.col("TP") / F.col("N_POS")),
+            )
+        ).alias("F1"),
+        r(
+            F.when(
+                (F.col("N_POS") > 0) & (F.col("N") - F.col("N_POS") > 0),
+                F.col("__aucnum") / (F.col("N_POS") * (F.col("N") - F.col("N_POS"))),
+            )
+        ).alias("AUC"),
+    )
+    return out
+
+
+@renderer("classifier_eval")
+def _r_classifier_eval(source, label_col, score_col, threshold=0.5,
+                       round_to=6) -> str:
+    """SQL replay of classifier_eval: one confusion aggregate, one
+    level-table cumulative window (ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING over rounded score levels), same rounded metric arithmetic
+    and NULL-denominator guards."""
+    if round_to < 0:
+        raise ParameterException("round_to must be >= 0")
+    rt = int(round_to)
+    base = (
+        f"(SELECT CASE WHEN CAST({label_col} AS DOUBLE) != 0 THEN 1 ELSE 0 END "
+        f"AS __pos, CAST({score_col} AS DOUBLE) AS __score, "
+        f"round(CAST({score_col} AS DOUBLE), {rt}) AS __lvl FROM {source})"
+    )
+    conf = (
+        f"(SELECT CAST(COUNT(1) AS BIGINT) AS N, "
+        f"CAST(SUM(__pos) AS BIGINT) AS N_POS, "
+        f"CAST(SUM(CASE WHEN __score >= {threshold} THEN 1 ELSE 0 END) AS BIGINT) AS __pp, "
+        f"CAST(SUM(CASE WHEN __score >= {threshold} AND __pos = 1 THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS TP FROM {base})"
+    )
+    lv = (
+        f"(SELECT __lvl, CAST(SUM(__pos) AS DOUBLE) AS __pl, "
+        f"CAST(SUM(1 - __pos) AS DOUBLE) AS __nl FROM {base} GROUP BY __lvl)"
+    )
+    aucnum = (
+        f"(SELECT SUM(__pl * (__cnb + __nl / 2)) AS __aucnum FROM "
+        f"(SELECT __pl, __nl, COALESCE(SUM(__nl) OVER (ORDER BY __lvl "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0.0 AS DOUBLE)) "
+        f"AS __cnb FROM {lv}))"
+    )
+    prec = "CAST(TP AS DOUBLE) / __pp"
+    rec = "CAST(TP AS DOUBLE) / N_POS"
+    return (
+        f"SELECT N, N_POS, CAST(N - N_POS AS BIGINT) AS N_NEG, TP, "
+        f"CAST(__pp - TP AS BIGINT) AS FP, "
+        f"CAST(N_POS - TP AS BIGINT) AS FN, "
+        f"CAST(N - N_POS - __pp + TP AS BIGINT) AS TN, "
+        f"round(CAST(TP + N - N_POS - __pp + TP AS DOUBLE) / N, {rt}) AS ACCURACY, "
+        f"round(CASE WHEN __pp > 0 THEN {prec} END, {rt}) AS PRECISION, "
+        f"round(CASE WHEN N_POS > 0 THEN {rec} END, {rt}) AS RECALL, "
+        f"round(CASE WHEN __pp > 0 AND N_POS > 0 AND {prec} + {rec} > 0 THEN "
+        f"2 * ({prec}) * ({rec}) / ({prec} + {rec}) END, {rt}) AS F1, "
+        f"round(CASE WHEN N_POS > 0 AND N - N_POS > 0 THEN "
+        f"__aucnum / (N_POS * (N - N_POS)) END, {rt}) AS AUC "
+        f"FROM {conf} CROSS JOIN {aucnum}"
     )

@@ -375,7 +375,10 @@ def similarity_search_ivfpq(
     books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
     abase, carr, _adrop = _attach_centroids(staged, cents)
     codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
-    enc = (
+    # the encoded index (id, list, m-int code) IS the compressed form —
+    # persist it once so the per-query candidate branches scan 1+8/dim of
+    # the corpus bytes instead of re-running assignment+encoding each
+    enc = scoped_persist(
         abase.withColumn("__cid", _assign_expr(carr, round_to))
         .withColumn("__codes", codes)
         .select("__id", "__cid", "__codes")
@@ -466,7 +469,7 @@ def similarity_search_ivfpq(
         union.withColumn("RANK", F.row_number().over(w).cast("int"))
         .filter(F.col("RANK") <= k)
     )
-    return release_with(out, cached)
+    return release_with(out, cached, enc)
 
 
 @_renderer("similarity_search_ivfpq")

@@ -306,3 +306,50 @@ def test_ivfpq_parameter_validation(session):
             ds.similarity_search_ivfpq(
                 vec_col="embedding", id_col="vec_id", **kw
             ).df.collect()
+
+
+# ---------------------------------------------------------------------------
+# classifier_eval (confusion + PRECISION/RECALL/F1 + tie-corrected AUC)
+# ---------------------------------------------------------------------------
+
+
+def _eval_row(spark, rows, threshold=0.5):
+    df = spark.createDataFrame(rows, ["y", "s"])
+    out = rql.get_transform("classifier_eval").apply(
+        df, label_col="y", score_col="s", threshold=threshold)
+    return out.collect()[0].asDict()
+
+
+def test_classifier_eval_known_metrics_with_score_ties(spark):
+    """Hand-checked frame including a tied score across classes: the
+    Mann-Whitney average-rank AUC counts a tied (pos, neg) pair as 0.5."""
+    rows = [(1, 0.9), (1, 0.8), (0, 0.7), (1, 0.6),
+            (0, 0.4), (0, 0.4), (1, 0.4), (0, 0.1)]
+    m = _eval_row(spark, rows)
+    pos = [s for y, s in rows if y == 1]
+    neg = [s for y, s in rows if y == 0]
+    auc = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert m["N"] == 8 and m["N_POS"] == 4 and m["N_NEG"] == 4
+    assert (m["TP"], m["FP"], m["FN"], m["TN"]) == (3, 1, 1, 3)
+    assert m["ACCURACY"] == 0.75
+    assert m["PRECISION"] == 0.75 and m["RECALL"] == 0.75 and m["F1"] == 0.75
+    assert m["AUC"] == round(auc, 6)
+
+
+def test_classifier_eval_degenerate_classes_null_guards(spark):
+    # all positive: no negatives -> AUC/TN-dependent metrics guard to NULL
+    m = _eval_row(spark, [(1, 0.9), (1, 0.2)])
+    assert m["N_NEG"] == 0 and m["AUC"] is None
+    assert m["RECALL"] == 0.5  # one of two positives over threshold
+    # no predicted positives -> PRECISION NULL, F1 NULL
+    m2 = _eval_row(spark, [(1, 0.1), (0, 0.2)], threshold=0.9)
+    assert m2["PRECISION"] is None and m2["F1"] is None and m2["RECALL"] == 0.0
+
+
+def test_classifier_eval_nonzero_labels_are_positive(spark):
+    # truth contract: any nonzero label counts as positive (e.g. -1/2)
+    m = _eval_row(spark, [(2, 0.9), (-1, 0.8), (0, 0.1)])
+    assert m["N_POS"] == 2 and m["N_NEG"] == 1
+    assert m["TP"] == 2 and m["FP"] == 0 and m["AUC"] == 1.0

@@ -571,3 +571,18 @@ def test_similarity_search_ivfpq_renderer_matches_execution(session, spark):
     assert via_sql.columns == via_df.columns
     assert via_df.exceptAll(via_sql).count() == 0
     assert via_sql.exceptAll(via_df).count() == 0
+
+
+def test_classifier_eval_renderer_matches_execution(session, spark):
+    chain = (
+        session.dataset("embeddings")
+        .apply(sql="SELECT vec_id, label % 2 AS y, element_at(embedding, 1) "
+                   "AS s FROM {{source_table}}")
+        .classifier_eval(label_col="y", score_col="s", threshold=0.1)
+    )
+    session.dataset("embeddings").df.createOrReplaceTempView("embeddings")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
