@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 180 entries, ALL 180 with DuckDB oracles (round 4
+streaming extensions) — 182 entries, ALL 182 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -4140,11 +4140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate query changed this round first (dedup_embedding_filter — the r7
     # red row, now scalar-only per the q_extract_urls canonicalizer
     # convention; dedup_minhash_auto — NEW, bands="auto" S-curve banding;
+    # similarity_search_ivfpq / classifier_eval — NEW late-round-8
+    # operators, both with exact replay oracles;
     # dedup_minhash/_filter — the auto-branch touched the operator), then
     # the stalest entries by last DRIVER verification: the full r4 block
     # (35), then the oldest r5 entries to fill 50. After r8 the union's
     # oldest entries are the remaining r5 block — round 9 should front
-    # those plus the oldest r6 entries. All 180 entries pass
+    # those plus the oldest r6 entries. All 182 entries pass
     # tools/oracle_check.py locally (fresh full run recorded in COVERAGE.md).
     return {
         # --- front-50: changed/new in round 8 (minhash auto banding + the r7 red gate fix

@@ -108,6 +108,24 @@ def _llm_similarity_ivfpq(spark, sf):
         m=8, codebook_size=16, iterations=1).df
 
 
+def _llm_similarity_ivfpq_prebuilt(spark, sf):
+    """The amortized IVF-PQ path: search against a prebuilt IVFPQIndex
+    (both fits paid once per bench process) — isolates the probe + codes
+    scan the same way llm_similarity_ivf_prebuilt does for IVF."""
+    from rasgoql_spark.functions.pq import ivfpq_index, similarity_search_ivfpq
+
+    key = ("ivfpq_idx", sf)
+    if key not in _IVF_STATE:
+        emb = entry._s(spark, sf).dataset("embeddings").df
+        _IVF_STATE[key] = ivfpq_index(
+            emb, "embedding", "vec_id", num_centroids=16,
+            coarse_iterations=1, m=8, codebook_size=16, iterations=1)
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    return similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10, nprobe=4,
+        index=_IVF_STATE[key])
+
+
 def _b6_encode_split(spark, sf):
     s = entry._s(spark, sf)
     return (
@@ -157,7 +175,9 @@ BENCH_QUERIES = {
     "llm_update_ivf_index": _llm_update_ivf_index,
     "llm_dedup_against_embedding": entry.q_dedup_against_embedding,
     # round-8 addition: the PQ-compressed ANN path (exact-replay contract)
+    # — inline build+search, and the amortized prebuilt-index form
     "llm_similarity_ivfpq": _llm_similarity_ivfpq,
+    "llm_similarity_ivfpq_prebuilt": _llm_similarity_ivfpq_prebuilt,
 }
 
 

@@ -315,6 +315,172 @@ def pq_search(
     return release_with(out, cached)
 
 
+class IVFPQIndex:
+    """Reusable IVF-PQ index: the persisted ``(__id, __u, __cid, __codes)``
+    frame plus the coarse centroids and per-subspace PQ codebooks. Build
+    ONCE with :func:`ivfpq_index` and pass to any number of
+    ``similarity_search_ivfpq`` calls — the amortized production shape
+    (index build is the expensive phase: two deterministic fits; per-query
+    search is a bounded probe + a codes-only candidate scan). Same
+    lifecycle contract as :class:`~.similarity.IVFIndex`: ``release()``
+    unpersists; ``n_docs`` is the row-count staleness fingerprint."""
+
+    def __init__(self, frame: DataFrame, centroids: list, books: list,
+                 m: int, d_sub: int, round_to: int, n_docs: int | None = None):
+        self.frame = frame
+        self.centroids = centroids
+        self.books = books
+        self.m = m
+        self.d_sub = d_sub
+        self.round_to = round_to
+        self.n_docs = n_docs
+
+    def release(self) -> None:
+        from ._cache import release_now
+
+        release_now(self.frame)
+
+
+def ivfpq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_centroids: int = 8,
+    coarse_iterations: int = 1,
+    m: int = 4,
+    codebook_size: int = 8,
+    iterations: int = 1,
+    round_to: int = 6,
+) -> IVFPQIndex:
+    """Build a reusable :class:`IVFPQIndex`: deterministic rounded coarse
+    kmeans (kmeans_cluster contract) + per-subspace PQ codebooks
+    (pq_encode contract), with the corpus stored as unit-rounded vectors,
+    inverted-list ids, and m-int PQ codes. The frame stays persisted until
+    ``release()`` — amortizing the two fits across searches is the point."""
+    if num_centroids < 1:
+        raise ParameterException("num_centroids must be >= 1")
+    if coarse_iterations < 0:
+        raise ParameterException("coarse_iterations must be >= 0")
+    from .similarity import _attach_centroids
+
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    staged, d_sub, cached = _staged_corpus(df, v, i, m)
+    # one persisted (__id, __u, __s0..__s{m-1}) frame feeds the coarse fit,
+    # the PQ fit, and the corpus encoding
+    cents = _fit_kmeans(staged, num_centroids, coarse_iterations, round_to)
+    books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
+    abase, carr, _adrop = _attach_centroids(staged, cents)
+    codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
+    frame = scoped_persist(
+        abase.withColumn("__cid", _assign_expr(carr, round_to))
+        .withColumn("__codes", codes)
+        .select("__id", "__u", "__cid", "__codes")
+    )
+    # materialize once; the count doubles as the staleness fingerprint
+    n = frame.count()
+    from ._cache import release_now
+
+    release_now(cached)
+    return IVFPQIndex(frame, cents, books, m, d_sub, round_to, n_docs=n)
+
+
+def save_ivfpq_index(index: IVFPQIndex, path: str) -> str:
+    """Persist an :class:`IVFPQIndex` as parquet (``{path}/frame``,
+    ``{path}/centroids``, ``{path}/books``, ``{path}/params``) — the
+    cross-job artifact form (same contract as save_ivf_index)."""
+    index.frame.select("__id", "__u", "__cid", "__codes").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/frame")
+    spark = index.frame.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in index.centroids],
+        "c bigint, v array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (int(s), int(c), [float(x) for x in v])
+            for s in range(index.m)
+            for c, v in index.books[s]
+        ],
+        "s int, c int, v array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/books")
+    spark.createDataFrame(
+        [(
+            int(index.m), int(index.d_sub), int(index.round_to),
+            -1 if index.n_docs is None else int(index.n_docs),
+        )],
+        "m int, d_sub int, round_to int, n_docs long",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    return path
+
+
+def load_ivfpq_index(spark, path: str, persist: bool = True) -> IVFPQIndex:
+    """Load a :func:`save_ivfpq_index` artifact; centroid/codebook collects
+    are bounded (k·dim + m·codebook_size·d_sub doubles), same as at build."""
+    frame = spark.read.parquet(f"{path}/frame")
+    if persist:
+        frame = scoped_persist(frame)
+    cents = [
+        (int(r["c"]), list(r["v"]))
+        for r in spark.read.parquet(f"{path}/centroids").orderBy("c").collect()
+    ]
+    prm = spark.read.parquet(f"{path}/params").first()
+    brows = spark.read.parquet(f"{path}/books").orderBy("s", "c").collect()
+    books = [[] for _ in range(int(prm["m"]))]
+    for r in brows:
+        books[int(r["s"])].append((int(r["c"]), list(r["v"])))
+    nd = int(prm["n_docs"])
+    return IVFPQIndex(
+        frame, cents, books, int(prm["m"]), int(prm["d_sub"]),
+        int(prm["round_to"]), n_docs=None if nd < 0 else nd,
+    )
+
+
+def update_ivfpq_index(
+    index: IVFPQIndex,
+    new_vecs: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> IVFPQIndex:
+    """Fold a batch into an existing :class:`IVFPQIndex` without re-fitting
+    (same contract as update_ivf_index): only the batch pays normalization
+    + assignment + encoding against the EXISTING centroids/codebooks, so
+    per-batch cost is independent of corpus size; centroids and codebooks
+    drift from the grown corpus's optimum — rebuild on the major-refresh
+    cadence. Returns a NEW index; ids must stay unique across increments."""
+    from .similarity import _attach_centroids
+
+    v, i = resolve_col(new_vecs, vec_col), resolve_col(new_vecs, id_col)
+    staged = _stage_subvectors(
+        _unit_rounded(
+            spread(new_vecs).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
+            "__vec",
+        ),
+        index.m,
+        index.d_sub,
+    )
+    abase, carr, _adrop = _attach_centroids(staged, index.centroids)
+    codes = F.array(*[
+        _code_expr(f"__s{s}", index.books[s], index.round_to)
+        for s in range(index.m)
+    ])
+    assigned = (
+        abase.withColumn("__cid", _assign_expr(carr, index.round_to))
+        .withColumn("__codes", codes)
+    )
+    cols = ["__id", "__u", "__cid", "__codes"]
+    merged = scoped_persist(
+        index.frame.select(*cols).unionByName(assigned.select(*cols))
+    )
+    # eager materialization (the update_minhash_index lesson): a later
+    # search must never re-read a possibly-rewritten source for batch rows
+    n = merged.count()
+    return IVFPQIndex(
+        merged, index.centroids, index.books, index.m, index.d_sub,
+        index.round_to, n_docs=n,
+    )
+
+
 @spark_transform("similarity_search_ivfpq", category="similarity", streaming_ok=False)
 def similarity_search_ivfpq(
     df: DataFrame,
@@ -329,6 +495,7 @@ def similarity_search_ivfpq(
     codebook_size: int = 8,
     iterations: int = 1,
     round_to: int = 6,
+    index: "IVFPQIndex | None" = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-``k`` (Jégou et al. 2011's IVFADC, no-residual
     variant): a deterministic spherical-kmeans coarse quantizer partitions
@@ -354,35 +521,30 @@ def similarity_search_ivfpq(
     doubles); the probe frame is bounded (queries × nprobe rows) and
     broadcast, so the corpus never shuffles for candidate selection —
     the only corpus-wide movement is the per-query top-k window over
-    ~n·nprobe/num_centroids candidates."""
+    ~n·nprobe/num_centroids candidates.
+
+    Pass a prebuilt ``index`` (from :func:`ivfpq_index` /
+    :func:`load_ivfpq_index`) to skip both fits — the amortized production
+    path; sizing parameters then come from the index and results are
+    identical to an inline build with the same parameters."""
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:
         raise ParameterException("k must be >= 1")
-    if num_centroids < 1:
-        raise ParameterException("num_centroids must be >= 1")
     if nprobe < 1:
         raise ParameterException("nprobe must be >= 1")
-    if coarse_iterations < 0:
-        raise ParameterException("coarse_iterations must be >= 0")
-    from .similarity import _attach_centroids
-
-    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    staged, d_sub, cached = _staged_corpus(df, v, i, m)
-    # one persisted (__id, __u, __s0..__s{m-1}) frame feeds the coarse fit,
-    # the PQ fit, the corpus encoding, and the query slice
-    cents = _fit_kmeans(staged, num_centroids, coarse_iterations, round_to)
-    books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
-    abase, carr, _adrop = _attach_centroids(staged, cents)
-    codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
-    # the encoded index (id, list, m-int code) IS the compressed form —
-    # persist it once so the per-query candidate branches scan 1+8/dim of
-    # the corpus bytes instead of re-running assignment+encoding each
-    enc = scoped_persist(
-        abase.withColumn("__cid", _assign_expr(carr, round_to))
-        .withColumn("__codes", codes)
-        .select("__id", "__cid", "__codes")
-    )
+    if index is not None:
+        idx, own = index, False
+    else:
+        idx, own = (
+            ivfpq_index(
+                df, vec_col, id_col, num_centroids, coarse_iterations,
+                m, codebook_size, iterations, round_to,
+            ),
+            True,
+        )
+    m, round_to = idx.m, idx.round_to
+    cents, books, d_sub = idx.centroids, idx.books, idx.d_sub
     # probe: rounded cosine to every centroid, top-nprobe per query by
     # (sim desc, cid asc) — computed IN SPARK over a bounded literal frame
     # (queries × num_centroids rows) so the F.round/ROUND parity of the
@@ -397,8 +559,8 @@ def similarity_search_ivfpq(
     # (unresolvable reference), and a join on an expression-valued key
     # invites the same constraint rewrite even on literal frames.
     qrows = (
-        staged.filter(F.col("__id").isin([int(q) for q in query_ids]))
-        .select("__id", "__u", *[f"__s{s}" for s in range(m)])
+        idx.frame.filter(F.col("__id").isin([int(q) for q in query_ids]))
+        .select("__id", "__u")
         .collect()
     )
     dot = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
@@ -428,11 +590,18 @@ def similarity_search_ivfpq(
     for r in probed_rows:
         probed.setdefault(int(r["__qid"]), []).append(int(r["__pc"]))
     # ADC LUTs per query (pq_search's exact scoring form): LUT[s][code] =
-    # dot(query_subvector_s, codebook_s[code]) — Python sequential sum,
-    # replayed by the oracle's in-flight fold over the same doubles
+    # dot(query_subvector_s, codebook_s[code]) — Python sequential sum over
+    # Python-sliced subvectors (slicing moves no floats), replayed by the
+    # oracle's in-flight fold over the same doubles
     luts = {
         int(r["__id"]): [
-            [sum(a * b for a, b in zip(r[f"__s{s}"], vec)) for _, vec in books[s]]
+            [
+                sum(
+                    a * b
+                    for a, b in zip(r["__u"][s * d_sub:(s + 1) * d_sub], vec)
+                )
+                for _, vec in books[s]
+            ]
             for s in range(m)
         ]
         for r in qrows
@@ -451,7 +620,7 @@ def similarity_search_ivfpq(
             round_to,
         )
         per_query.append(
-            enc.filter(
+            idx.frame.filter(
                 F.col("__cid").isin(probed.get(qid, [])) & (F.col("__id") != qid)
             ).select(
                 F.lit(qid).cast("bigint").alias("QUERY_ID"),
@@ -469,20 +638,27 @@ def similarity_search_ivfpq(
         union.withColumn("RANK", F.row_number().over(w).cast("int"))
         .filter(F.col("RANK") <= k)
     )
-    return release_with(out, cached, enc)
+    return release_with(out, idx.frame) if own else out
 
 
 @_renderer("similarity_search_ivfpq")
 def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
                                num_centroids=8, nprobe=2, coarse_iterations=1,
                                m=4, codebook_size=8, iterations=1,
-                               round_to=6) -> str:
+                               round_to=6, index=None) -> str:
     """Full SQL replay of the IVF-PQ pipeline — the first renderable ANN
     operator (the similarity_search_ivf family is excluded by its unrounded
     contract; this operator rounds by contract precisely to be replayable).
     Composes the kmeans_cluster renderer's coarse-fit chains with the
     pq_search renderer's per-subspace Lloyd/LUT chains, then restricts the
     ADC scan to (assignment, probe) centroid matches."""
+    from ..errors import TransformRenderingException
+
+    if index is not None:
+        raise TransformRenderingException(
+            "similarity_search_ivfpq renders the inline fit; a prebuilt "
+            "index is an external artifact the renderer cannot replay"
+        )
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:

@@ -353,3 +353,52 @@ def test_classifier_eval_nonzero_labels_are_positive(spark):
     m = _eval_row(spark, [(2, 0.9), (-1, 0.8), (0, 0.1)])
     assert m["N_POS"] == 2 and m["N_NEG"] == 1
     assert m["TP"] == 2 and m["FP"] == 0 and m["AUC"] == 1.0
+
+
+def test_ivfpq_prebuilt_index_matches_inline(session, tmp_path):
+    """ivfpq_index -> search == inline fit with the same parameters; a
+    save/load round trip preserves results exactly (the artifact stores
+    the same doubles); update_ivfpq_index makes new vectors findable
+    without re-fitting."""
+    from rasgoql_spark.functions.pq import (
+        ivfpq_index, load_ivfpq_index, save_ivfpq_index,
+        similarity_search_ivfpq, update_ivfpq_index,
+    )
+
+    emb = session.dataset("embeddings").df
+    kw = dict(num_centroids=4, coarse_iterations=1, m=4, codebook_size=8,
+              iterations=1)
+    inline = sorted(map(tuple, similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=2, **kw
+    ).collect()))
+
+    idx = ivfpq_index(emb, "embedding", "vec_id", **kw)
+    assert idx.n_docs == emb.count()
+    pre = sorted(map(tuple, similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=2, index=idx
+    ).collect()))
+    assert pre == inline
+
+    path = str(tmp_path / "ivfpq_idx")
+    save_ivfpq_index(idx, path)
+    loaded = load_ivfpq_index(emb.sparkSession, path)
+    assert loaded.n_docs == idx.n_docs
+    assert (loaded.m, loaded.d_sub, loaded.round_to) == (idx.m, idx.d_sub, idx.round_to)
+    via_loaded = sorted(map(tuple, similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=2, index=loaded
+    ).collect()))
+    assert via_loaded == inline
+
+    # update: fold a synthetic near-duplicate of vector 0 into the index;
+    # a full probe must now retrieve it for query 0
+    from pyspark.sql import functions as F
+
+    batch = emb.filter("vec_id = 0").select(
+        F.lit(900000).cast("bigint").alias("vec_id"), "embedding", "label")
+    grown = update_ivfpq_index(loaded, batch, "embedding", "vec_id")
+    assert grown.n_docs == idx.n_docs + 1
+    hits = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0], k=3, nprobe=4, index=grown
+    ).collect()
+    assert any(r["MATCH_ID"] == 900000 and r["RANK"] == 1 for r in hits)
+    idx.release(); loaded.release(); grown.release()
