@@ -450,3 +450,61 @@ def test_minhash_tune_knee_tracks_threshold(num_hashes):
     knees = [minhash_tune(t, num_hashes)["knee"]
              for t in (0.1, 0.3, 0.5, 0.7, 0.9)]
     assert knees == sorted(knees)
+
+
+# ---------------------------------------------------------------------------
+# classifier_eval metric math (renderer evaluated on DuckDB per example —
+# milliseconds each; the renderer==DataFrame-path equality is pinned
+# separately in test_sql_parity.py, so this transitively covers Spark)
+# ---------------------------------------------------------------------------
+
+_cls_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),
+        # coarse score grid to exercise cross-class ties heavily
+        st.integers(min_value=-10, max_value=10).map(lambda i: i / 10.0),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_cls_rows, st.sampled_from([-0.5, 0.0, 0.35]))
+@settings(max_examples=60, deadline=None)
+def test_classifier_eval_matches_pairwise_reference(rows, threshold):
+    import duckdb
+    import pandas as pd
+
+    from rasgoql_spark.functions.classify import _r_classifier_eval
+
+    con = duckdb.connect()
+    con.register("t_prop", pd.DataFrame(rows, columns=["y", "s"]))
+    got = con.sql(
+        _r_classifier_eval("t_prop", "y", "s", threshold=threshold)
+    ).df().iloc[0].to_dict()
+    con.close()
+
+    pos = [s for y, s in rows if y != 0]
+    neg = [s for y, s in rows if y == 0]
+    tp = sum(1 for s in pos if s >= threshold)
+    fp = sum(1 for s in neg if s >= threshold)
+    assert got["N"] == len(rows)
+    assert got["N_POS"] == len(pos) and got["N_NEG"] == len(neg)
+    assert got["TP"] == tp and got["FP"] == fp
+    assert got["FN"] == len(pos) - tp and got["TN"] == len(neg) - fp
+    assert abs(got["ACCURACY"] - (tp + len(neg) - fp) / len(rows)) <= 1e-6
+    if tp + fp == 0:
+        assert pd.isna(got["PRECISION"])
+    else:
+        assert abs(got["PRECISION"] - tp / (tp + fp)) <= 1e-6
+    if not pos:
+        assert pd.isna(got["RECALL"])
+    else:
+        assert abs(got["RECALL"] - tp / len(pos)) <= 1e-6
+    if not pos or not neg:
+        assert pd.isna(got["AUC"])
+    else:
+        auc = sum(
+            1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+        ) / (len(pos) * len(neg))
+        assert abs(got["AUC"] - auc) <= 1e-6
