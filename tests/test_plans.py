@@ -523,3 +523,30 @@ def test_b4_window_chain_shares_one_window_exchange(session):
     assert len(window_nodes) == 1, plan
     # all four expressions land in that single Window node
     assert "LAG_L_EXTENDEDPRICE_SUM_3" in plan and "MEAN_L_EXTENDEDPRICE_SUM_4" in plan
+
+
+def test_ivfpq_prebuilt_search_single_exchange(session):
+    """similarity_search_ivfpq against a prebuilt index: the candidate scan
+    must be per-query pushed filters over the cached encoded corpus (no
+    broadcast, no join) and the ONLY Exchange the per-query top-k window's
+    re-partition — with WindowGroupLimit pruning to k rows per query
+    BEFORE the shuffle, so shuffle volume is queries x k rows at any
+    corpus size."""
+    import re
+
+    from rasgoql_spark.functions.pq import ivfpq_index, similarity_search_ivfpq
+
+    emb = session.dataset("embeddings").df
+    idx = ivfpq_index(emb, "embedding", "vec_id", num_centroids=8, m=4,
+                      codebook_size=8)
+    try:
+        out = similarity_search_ivfpq(
+            emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=2, index=idx)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert "WindowGroupLimit" in plan, plan
+        # probe restriction reaches the cached index scan as a pushed filter
+        assert re.search(r"InMemoryTableScan \[__cid[^\]]*\], \[.*__cid", plan), plan
+    finally:
+        idx.release()

@@ -161,6 +161,16 @@ ANNOTATED = [
      "cost is corpus x nprobe / num_centroids; top-k is one window over "
      "the candidate set. (Plan shown for the verification-summary query, "
      "which adds the exact brute companion join.)"),
+    ("similarity_search_ivfpq (round 8)", "similarity_search_ivfpq",
+     "IVF-PQ ANN (inline fit shown — the gate query's form): coarse "
+     "assignment and PQ encoding are literal projections persisted once as "
+     "the encoded index; each query's candidates are pushed IN-filters "
+     "(__cid IN probed, id != qid) over that cache — no broadcast, no "
+     "join; the ONLY Exchange is the final per-query top-k window, and "
+     "WindowGroupLimit prunes to k rows per query BEFORE the shuffle, so "
+     "shuffle volume is queries x k at any corpus size "
+     "(test_ivfpq_prebuilt_search_single_exchange pins this on the "
+     "prebuilt path)."),
     ("fuzzy_join (round 5)", "fuzzy_join",
      "Blocking-and-verification entity resolution: the composite "
      "(prefix, length-bucket) key plans as a hash EQUI-join (no "
