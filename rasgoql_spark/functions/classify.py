@@ -372,7 +372,11 @@ def classifier_eval(
         .cast("bigint")
         .alias("TP"),
     )
-    lv = base.groupBy("__lvl").agg(
+    # NULL scores count as pred-negative in the confusion pass but are
+    # EXCLUDED from the AUC level table — ranking an unscored row is
+    # undefined, and Spark (NULLS FIRST) and portable SQL engines (often
+    # NULLS LAST) would otherwise disagree on where the null level sorts
+    lv = base.filter(F.col("__score").isNotNull()).groupBy("__lvl").agg(
         F.sum("__pos").cast("double").alias("__pl"),
         F.sum(1 - F.col("__pos")).cast("double").alias("__nl"),
     )
@@ -385,7 +389,11 @@ def classifier_eval(
         .agg(
             F.sum(
                 F.col("__pl") * (F.col("__cnb") + F.col("__nl") / 2)
-            ).alias("__aucnum")
+            ).alias("__aucnum"),
+            # AUC normalizes over SCORED rows only (consistent with the
+            # numerator's null-score exclusion)
+            F.sum("__pl").alias("__sp"),
+            F.sum("__nl").alias("__sn"),
         )
     )
     r = lambda c: F.round(c, round_to)  # noqa: E731
@@ -422,8 +430,8 @@ def classifier_eval(
         ).alias("F1"),
         r(
             F.when(
-                (F.col("N_POS") > 0) & (F.col("N") - F.col("N_POS") > 0),
-                F.col("__aucnum") / (F.col("N_POS") * (F.col("N") - F.col("N_POS"))),
+                (F.col("__sp") > 0) & (F.col("__sn") > 0),
+                F.col("__aucnum") / (F.col("__sp") * F.col("__sn")),
             )
         ).alias("AUC"),
     )
@@ -454,10 +462,12 @@ def _r_classifier_eval(source, label_col, score_col, threshold=0.5,
     )
     lv = (
         f"(SELECT __lvl, CAST(SUM(__pos) AS DOUBLE) AS __pl, "
-        f"CAST(SUM(1 - __pos) AS DOUBLE) AS __nl FROM {base} GROUP BY __lvl)"
+        f"CAST(SUM(1 - __pos) AS DOUBLE) AS __nl FROM {base} "
+        f"WHERE __score IS NOT NULL GROUP BY __lvl)"
     )
     aucnum = (
-        f"(SELECT SUM(__pl * (__cnb + __nl / 2)) AS __aucnum FROM "
+        f"(SELECT SUM(__pl * (__cnb + __nl / 2)) AS __aucnum, "
+        f"SUM(__pl) AS __sp, SUM(__nl) AS __sn FROM "
         f"(SELECT __pl, __nl, COALESCE(SUM(__nl) OVER (ORDER BY __lvl "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0.0 AS DOUBLE)) "
         f"AS __cnb FROM {lv}))"
@@ -474,7 +484,7 @@ def _r_classifier_eval(source, label_col, score_col, threshold=0.5,
         f"round(CASE WHEN N_POS > 0 THEN {rec} END, {rt}) AS RECALL, "
         f"round(CASE WHEN __pp > 0 AND N_POS > 0 AND {prec} + {rec} > 0 THEN "
         f"2 * ({prec}) * ({rec}) / ({prec} + {rec}) END, {rt}) AS F1, "
-        f"round(CASE WHEN N_POS > 0 AND N - N_POS > 0 THEN "
-        f"__aucnum / (N_POS * (N - N_POS)) END, {rt}) AS AUC "
+        f"round(CASE WHEN __sp > 0 AND __sn > 0 THEN "
+        f"__aucnum / (__sp * __sn) END, {rt}) AS AUC "
         f"FROM {conf} CROSS JOIN {aucnum}"
     )

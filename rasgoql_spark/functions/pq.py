@@ -272,6 +272,8 @@ def pq_search(
         .select("__id", *[f"__s{s}" for s in range(m)])
         .collect()
     )
+    if not qrows:
+        raise ParameterException("none of query_ids is present in the corpus")
     luts = {
         int(r["__id"]): [
             [
@@ -563,6 +565,8 @@ def similarity_search_ivfpq(
         .select("__id", "__u")
         .collect()
     )
+    if not qrows:
+        raise ParameterException("none of query_ids is present in the corpus")
     dot = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

@@ -436,3 +436,27 @@ def test_ivfpq_quality_floor_vs_full_probe(spark):
     )
     assert len(hits) == 5
     assert all(r["h"] >= 5 for r in hits), [(r["QUERY_ID"], r["h"]) for r in hits]
+
+
+def test_classifier_eval_null_scores_excluded_from_auc(spark):
+    """NULL scores count as pred-negative in the confusion pass but are
+    excluded from BOTH sides of the AUC (numerator levels and the P*N
+    normalizer) — ranking an unscored row is undefined, and engines
+    disagree on where a NULL level sorts."""
+    rows = [(1, 0.9), (0, 0.1), (1, None), (0, None)]
+    df = spark.createDataFrame(rows, "y long, s double")
+    m = rql.get_transform("classifier_eval").apply(
+        df, label_col="y", score_col="s").collect()[0].asDict()
+    assert m["N"] == 4 and m["N_POS"] == 2
+    assert m["TP"] == 1 and m["FN"] == 1  # null-score positive -> pred-neg
+    assert m["AUC"] == 1.0  # over the scored pair only
+
+
+def test_ivfpq_missing_query_ids_raise(session):
+    import pytest as _pytest
+
+    with _pytest.raises(ParameterException):
+        session.dataset("embeddings").similarity_search_ivfpq(
+            vec_col="embedding", id_col="vec_id", query_ids=[10**9],
+            num_centroids=4,
+        ).df.collect()
