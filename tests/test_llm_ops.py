@@ -125,45 +125,41 @@ def test_scoped_caches_released_on_gc(spark, session):
 
     sc = spark.sparkContext
 
-    def settled_count(target=None):
-        # finalizer-driven unpersists (release_with weakrefs from THIS and
-        # earlier tests) may need more than one collection round to drain —
-        # generations, resurrection queues, and the JVM-side async unpersist
-        # all add latency (seconds, when the machine is loaded). Settle:
-        # collect until the count stops moving, or — when the expected
-        # value is known — until it reaches that target or a deadline.
-        prev = -1
+    def persisted_ids() -> set:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def settle_until_gone(owned: set) -> set:
+        # finalizer-driven unpersists may need more than one collection
+        # round to drain — generations, resurrection queues, and the
+        # JVM-side async unpersist all add latency (seconds, when the
+        # machine is loaded). Track the SPECIFIC RDD ids this test created:
+        # global counts flake because OTHER tests' lingering finalizers
+        # drain their own frames concurrently (observed as `11 > 13`
+        # failures under the full suite).
         deadline = time.time() + 15.0
         while True:
             gc.collect()
-            cur = len(sc._jsc.getPersistentRDDs())
-            # <= not ==: OTHER tests' lingering finalizers may drain their
-            # own frames during our settle, dropping the count below the
-            # snapshot — what this test owns is still provably gone
-            if (target is not None and cur <= target) or (
-                target is None and cur == prev
-            ):
-                return cur
-            if time.time() > deadline:
-                return cur
-            prev = cur
-            time.sleep(0.2)
+            still = persisted_ids() & owned
+            if not still or time.time() > deadline:
+                return still
 
-    before = settled_count()
+    before = persisted_ids()
     docs = session.dataset("documents").df.limit(150)
     out = rql.get_transform("dedup_minhash").apply(
         docs, text="text", id_col="doc_id", threshold=0.2)
     out.count()
-    assert len(sc._jsc.getPersistentRDDs()) > before  # cache active while result alive
+    owned = persisted_ids() - before
+    assert owned  # cache active while result alive
     del out
-    assert settled_count(target=before) <= before  # released with the result
+    assert settle_until_gone(owned) == set()  # released with the result
 
     emb = session.dataset("embeddings").df
     out2 = rql.get_transform("similarity_search_ivf").apply(
         emb, vec_col="embedding", id_col="vec_id", query_ids=[0, 1], k=3)
     out2.count()
+    owned2 = persisted_ids() - before
     del out2
-    assert settled_count(target=before) <= before
+    assert settle_until_gone(owned2) == set()
 
 
 def _png_bytes(w, h, color_type=6):
