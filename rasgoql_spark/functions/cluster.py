@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
-from ._cache import release_now, release_with, scoped_persist
+from ._cache import release_with, scoped_persist
 from ._litfast import centroid_array_lit
 from .similarity import _attach_centroids
 
