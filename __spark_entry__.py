@@ -4135,79 +4135,25 @@ ranked AS (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING NOTE (round 8): the driver hash-checks only the FIRST 50
-    # entries each round. Rotation policy: entries whose implementation or
-    # gate query changed this round first (dedup_embedding_filter — the r7
-    # red row, now scalar-only per the q_extract_urls canonicalizer
-    # convention; dedup_minhash_auto — NEW, bands="auto" S-curve banding;
-    # similarity_search_ivfpq / classifier_eval — NEW late-round-8
-    # operators, both with exact replay oracles;
-    # dedup_minhash/_filter — the auto-branch touched the operator), then
-    # the stalest entries by last DRIVER verification: the full r4 block
-    # (35), then the oldest r5 entries to fill 50. After r8 the union's
-    # oldest entries are the remaining r5 block — round 9 should front
-    # those plus the oldest r6 entries. All 182 entries pass
-    # tools/oracle_check.py locally (fresh full run recorded in COVERAGE.md).
+    # ORDERING NOTE (round 9): the driver hash-checks only the FIRST 50
+    # entries each round. Rotation policy (standing): NEW/changed operators
+    # first, then the stalest entries by last DRIVER verification. This
+    # round executes the r8 verdict's staleness plan: the full 39-entry
+    # r5-stale block (the rest of round 5 after r8 refreshed its first 11),
+    # then the oldest round-6 entries to fill 50; each new r9 operator
+    # inserted at the very top slides the tail of the r6 fill past the
+    # fold — those stay r6-verified, so union max-staleness is r6 either
+    # way. All 182 entries pass tools/oracle_check.py locally (fresh full
+    # run recorded in COVERAGE.md).
     return {
-        # --- front-50: changed/new in round 8 (minhash auto banding + the r7 red gate fix
-        # + the new IVF-PQ ANN operator; adding it pushes uppercase_columns to 51 —
-        # it rejoins the r9 front with the rest of the r5 block) ---
-        "dedup_embedding_filter": q_dedup_embedding_filter,
-        "dedup_minhash_auto": q_dedup_minhash_auto,
-        "similarity_search_ivfpq": q_similarity_search_ivfpq,
-        "classifier_eval": q_classifier_eval,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_filter": q_dedup_minhash_filter,
-        # --- front-50: last driver-verified round 4 (stalest, all 35) ---
-        "quantize_embeddings": q_quantize_embeddings,
-        "stream_sessionize_batch": q_stream_sessionize_batch,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "similarity_search_lsh": q_similarity_search_lsh,
-        "frame_sample_stub": q_frame_sample_stub,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "skew_report": q_skew_report,
-        "text_normalize": q_text_normalize,
-        "decontaminate_embedding": q_decontaminate_embedding,
-        "image_pixels": q_image_pixels,
-        "audio_samples": q_audio_samples,
-        "dedup_winnow": q_dedup_winnow,
-        "bigram_logprob": q_bigram_logprob,
-        "mixture_weights": q_mixture_weights,
-        "dedup_keep_best": q_dedup_keep_best,
-        "embedding_join": q_embedding_join,
-        "remove_repeated_spans": q_remove_repeated_spans,
-        "dedup_spans": q_dedup_spans,
-        "nb_classify": q_nb_classify,
-        "minhash_similarity": q_minhash_similarity,
-        "embedding_outliers": q_embedding_outliers,
-        "pq_encode": q_pq_encode,
-        "pq_search": q_pq_search,
-        "filter_urls": q_filter_urls,
-        "dedup_against_bloom": q_dedup_against_bloom,
-        "random_projection": q_random_projection,
-        "robust_scaler": q_robust_scaler,
-        "kfold": q_kfold,
-        "expect": q_expect,
-        "source_overlap": q_source_overlap,
-        "logreg_score": q_logreg_score,
-        "connected_components": q_connected_components,
-        "char_entropy": q_char_entropy,
-        "json_flatten": q_json_flatten,
-        "feature_hash": q_feature_hash,
-        # --- front-50: oldest last-driver-verified round 5 (11 of 48) ---
-        "filter_project": q_filter_project,
-        "aggregate": q_aggregate,
-        "join_agg": q_join_agg,
-        "drop_columns": q_drop_columns,
-        "rename": q_rename,
-        "math": q_math,
-        "cast": q_cast,
-        "concat": q_concat,
-        "if_then": q_if_then,
+        # --- r9 front: NEW round-9 operators (inserted as built; each
+        # addition slides the tail of the r6 fill past the fold, which
+        # keeps union max-staleness at r6) ---
+        # --- r9 front: the full 39-entry r5-stale block (last driver-
+        # verified round 5; replace_string/uppercase_columns re-front from
+        # positions 51-52 of the r8 ordering) ---
         "replace_string": q_replace_string,
         "uppercase_columns": q_uppercase_columns,
-        # ---- fold: entries below reached only if the driver checks >50 ----
-        # --- remaining round 5 ---
         "to_date": q_to_date,
         "dropna": q_dropna,
         "remove_duplicates": q_remove_duplicates,
@@ -4245,7 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_minhash": q_dedup_against_minhash,
         "pseudonymize": q_pseudonymize,
         "frame_sample_gif": q_frame_sample_gif,
-        # --- last driver-verified round 6 ---
+        # --- r9 front fill: the 11 oldest round-6 entries (listing order) ---
         "moving_avg": q_moving_avg,
         "rolling_agg": q_rolling_agg,
         "rolling_agg_range": q_rolling_agg_range,
@@ -4257,6 +4203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "approx_distinct": q_approx_distinct,
         "train_test_split": q_train_test_split,
+        # ---- fold: entries below reached only if the driver checks >50 ----
+        # --- remaining round 6 ---
         "impute_mean": q_impute_mean,
         "impute_mode": q_impute_mode,
         "join_full": q_join_full,
@@ -4340,4 +4288,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_batch": q_stream_dedup_batch,
         "stream_join_batch": q_stream_join_batch,
         "extract_urls": q_extract_urls,
+        # --- last driver-verified round 8 (the r8 front-50, freshest) ---
+        "dedup_embedding_filter": q_dedup_embedding_filter,
+        "dedup_minhash_auto": q_dedup_minhash_auto,
+        "similarity_search_ivfpq": q_similarity_search_ivfpq,
+        "classifier_eval": q_classifier_eval,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_filter": q_dedup_minhash_filter,
+        "quantize_embeddings": q_quantize_embeddings,
+        "stream_sessionize_batch": q_stream_sessionize_batch,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "similarity_search_lsh": q_similarity_search_lsh,
+        "frame_sample_stub": q_frame_sample_stub,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "skew_report": q_skew_report,
+        "text_normalize": q_text_normalize,
+        "decontaminate_embedding": q_decontaminate_embedding,
+        "image_pixels": q_image_pixels,
+        "audio_samples": q_audio_samples,
+        "dedup_winnow": q_dedup_winnow,
+        "bigram_logprob": q_bigram_logprob,
+        "mixture_weights": q_mixture_weights,
+        "dedup_keep_best": q_dedup_keep_best,
+        "embedding_join": q_embedding_join,
+        "remove_repeated_spans": q_remove_repeated_spans,
+        "dedup_spans": q_dedup_spans,
+        "nb_classify": q_nb_classify,
+        "minhash_similarity": q_minhash_similarity,
+        "embedding_outliers": q_embedding_outliers,
+        "pq_encode": q_pq_encode,
+        "pq_search": q_pq_search,
+        "filter_urls": q_filter_urls,
+        "dedup_against_bloom": q_dedup_against_bloom,
+        "random_projection": q_random_projection,
+        "robust_scaler": q_robust_scaler,
+        "kfold": q_kfold,
+        "expect": q_expect,
+        "source_overlap": q_source_overlap,
+        "logreg_score": q_logreg_score,
+        "connected_components": q_connected_components,
+        "char_entropy": q_char_entropy,
+        "json_flatten": q_json_flatten,
+        "feature_hash": q_feature_hash,
+        "filter_project": q_filter_project,
+        "aggregate": q_aggregate,
+        "join_agg": q_join_agg,
+        "drop_columns": q_drop_columns,
+        "rename": q_rename,
+        "math": q_math,
+        "cast": q_cast,
+        "concat": q_concat,
+        "if_then": q_if_then,
     }

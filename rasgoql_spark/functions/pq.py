@@ -325,7 +325,15 @@ class IVFPQIndex:
     (index build is the expensive phase: two deterministic fits; per-query
     search is a bounded probe + a codes-only candidate scan). Same
     lifecycle contract as :class:`~.similarity.IVFIndex`: ``release()``
-    unpersists; ``n_docs`` is the row-count staleness fingerprint."""
+    unpersists; ``n_docs`` is the row-count staleness fingerprint.
+    The fingerprint is CALLER-CHECKED on the search path:
+    ``similarity_search_ivfpq(index=...)`` searches whatever frame the
+    index holds without comparing ``n_docs`` to the passed ``df`` (the
+    prebuilt path ignores ``df`` for candidates by design, so there is no
+    authoritative frame to compare against — unlike ``embedding_join_ivf``,
+    whose ``other`` frame IS the claimed corpus and is count-checked).
+    Callers that track a side corpus should compare ``index.n_docs``
+    themselves before searching a possibly-stale artifact."""
 
     def __init__(self, frame: DataFrame, centroids: list, books: list,
                  m: int, d_sub: int, round_to: int, n_docs: int | None = None):
@@ -453,6 +461,17 @@ def update_ivfpq_index(
     from .similarity import _attach_centroids
 
     v, i = resolve_col(new_vecs, vec_col), resolve_col(new_vecs, id_col)
+    # dimension guard: F.slice / zip_with silently truncate a
+    # mismatched-dim batch into wrong codes (inline builds are protected
+    # by _staged_corpus's divisibility check; the fold-in path must check
+    # against the index's recorded geometry itself)
+    first = new_vecs.select(F.size(F.col(v)).alias("d")).first()
+    if first is not None and int(first["d"]) != index.m * index.d_sub:
+        raise ParameterException(
+            f"batch vectors have dim {int(first['d'])} but the index was "
+            f"built over dim {index.m * index.d_sub} (m={index.m} x "
+            f"d_sub={index.d_sub})"
+        )
     staged = _stage_subvectors(
         _unit_rounded(
             spread(new_vecs).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
@@ -528,7 +547,14 @@ def similarity_search_ivfpq(
     Pass a prebuilt ``index`` (from :func:`ivfpq_index` /
     :func:`load_ivfpq_index`) to skip both fits — the amortized production
     path; sizing parameters then come from the index and results are
-    identical to an inline build with the same parameters."""
+    identical to an inline build with the same parameters.
+
+    Missing-id semantics: ids in ``query_ids`` that are absent from the
+    corpus are silently dropped; if NONE are present this (DataFrame) path
+    raises ``ParameterException``. The ``.sql()`` renderer diverges on the
+    none-present case — pure SQL has no side channel for the guard, so the
+    rendered statement returns an empty result instead (same class of
+    documented render-only divergence as the other render guards)."""
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:

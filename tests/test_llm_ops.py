@@ -142,6 +142,7 @@ def test_scoped_caches_released_on_gc(spark, session):
             still = persisted_ids() & owned
             if not still or time.time() > deadline:
                 return still
+            time.sleep(0.2)  # don't busy-spin gc + py4j while draining
 
     before = persisted_ids()
     docs = session.dataset("documents").df.limit(150)
