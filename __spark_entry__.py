@@ -1188,6 +1188,74 @@ def q_similarity_search_ivfpq(spark, sf):
     ).df
 
 
+def q_similarity_search_ivfpq_residual(spark, sf):
+    """Round 9: the full IVFADC residual formulation — PQ codes quantize
+    vector-minus-assigned-coarse-centroid and the ADC sum leads with the
+    per-(query, list) coarse term dot(q, centroid[cid]). Same exact-replay
+    hash oracle as the no-residual entry (_mk_ivfpq_sql(residual=True)):
+    centroid components are 9-dp-rounded and doubles subtract exactly, so
+    residuals are bit-identical cross-engine; iterations=0 keeps the PQ
+    seed codebooks raw corpus residuals (the q_pq_search argument), and
+    the term ORDER (coarse first, left-associated) matches functions/pq.py
+    because FP addition is order-sensitive at the 6-dp round boundary."""
+    return _s(spark, sf).dataset("embeddings").similarity_search_ivfpq(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4], k=10,
+        num_centroids=8, nprobe=3, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=0, residual=True,
+    ).df
+
+
+def q_dedup_against_ivfpq(spark, sf):
+    """Round 9: memory-bounded incremental semantic dedup — the batch
+    (vec_id >= 450) checks against an IVF-PQ index over the accepted
+    reference corpus (vec_id < 450), reading m=8 small-int PQ codes per
+    candidate instead of 64 doubles. Pairs with ADC score >= 0.3. Full
+    exact replay oracle (_mk_ivfpq_sql with a split corpus): the coarse
+    fit and PQ fit run over the reference rows only, every batch row
+    probes its top-3-of-8 rounded-cosine lists, and candidate scores are
+    JVM-side sequential folds (functions/pq.py::_adc_pair_score) that
+    DuckDB's list_sum replays bit-for-bit before the shared 6-dp round."""
+    s = _s(spark, sf)
+    batch = s.dataset("embeddings").filter(filter_statements=["vec_id >= 450"]).df
+    ref = s.dataset("embeddings").filter(filter_statements=["vec_id < 450"]).df
+    from rasgoql_spark.functions.similarity import dedup_against_embedding
+    return dedup_against_embedding(
+        batch, vec_col="embedding", id_col="vec_id", reference=ref,
+        threshold=0.3, method="ivfpq", num_centroids=8, nprobe=3,
+        mode="pairs", pq_m=8, pq_codebook_size=16, pq_iterations=0,
+    )
+
+
+def q_similarity_search_ivf_rounded(spark, sf):
+    """Round 9: the opt-in replayable ANN search — similarity_search_ivf
+    with rounded=True swaps the unrounded fit (whose replay would be
+    ULP-flaky, the family's documented renderer exclusion) for the shared
+    rounded-kmeans contract, giving the production IVF probe/scan shape a
+    full hash oracle AND a .sql() renderer. Fit = one Lloyd pass over the
+    whole corpus, probes = top-3-of-8 rounded cosines, scores = rounded
+    exact dots over probed lists (_mk_rivf_sql replay)."""
+    return _s(spark, sf).dataset("embeddings").similarity_search_ivf(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4],
+        k=10, num_centroids=8, nprobe=3, rounded=True,
+    ).df
+
+
+def q_embedding_join_ivf_rounded(spark, sf):
+    """Round 9: the replayable ANN join — embedding_join_ivf with
+    rounded=True (fit over the right side vec_id < 250, every left row
+    vec_id >= 250 probes its top-3-of-8 lists, rounded dot scoring, top-2
+    per left row). Scalar columns only (embedding arrays dropped) per the
+    canonicalizer convention; oracle = _mk_rivf_sql(join_shape=True)."""
+    s = _s(spark, sf)
+    left = s.dataset("embeddings").filter(filter_statements=["vec_id >= 250"]).df
+    right = s.dataset("embeddings").filter(filter_statements=["vec_id < 250"]).df
+    from rasgoql_spark.functions.similarity import embedding_join_ivf
+    return embedding_join_ivf(
+        left, vec_col="embedding", id_col="vec_id", other=right, k=2,
+        num_centroids=8, nprobe=3, rounded=True,
+    ).select("vec_id", "label", "MATCH_ID", "COSINE", "RANK")
+
+
 def q_embedding_outliers(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -2764,6 +2832,270 @@ def oracle_sql() -> dict[str, str]:
 
     pq_adc_sql = _mk_pq_adc_sql(8, 16, 0, 10, [0, 1, 2, 3, 4])
 
+    def _mk_ivfpq_sql(m: int, cb: int, iterations: int, kc: int, nprobe: int,
+                      coarse_iters: int, *, dim: int = 64, round_to: int = 6,
+                      residual: bool = False, corpus_pred: str | None = None,
+                      qids=None, batch_pred: str | None = None,
+                      k: int | None = None,
+                      threshold: float | None = None) -> str:
+        """Round-9 generalization of ``_mk_pq_adc_sql``: exact DuckDB replay
+        of the IVF-PQ pipeline with (a) ``residual=True`` — the full IVFADC
+        formulation, PQ fitting vector-minus-assigned-centroid with the
+        coarse term dot(q, centroid[cid]) leading the left-associated ADC
+        sum (FP addition is order-sensitive at the 6-dp round, so the term
+        order matches functions/pq.py exactly); (b) a split corpus — the fit
+        runs over ``corpus_pred`` rows only while queries come from ``qids``
+        (search shape, self-matches excluded) or ``batch_pred`` (the
+        dedup_against shape, disjoint namespaces, no exclusion); (c) output
+        as top-``k`` ranked matches or as ``threshold``-filtered pairs
+        ``(ID, REF_ID, COSINE)`` replaying dedup_against_embedding
+        (method='ivfpq'). AS MATERIALIZED for the same CTE-inlining reason
+        documented on _mk_pq_adc_sql."""
+        assert (qids is None) != (batch_pred is None)
+        assert (k is None) != (threshold is None)
+        d_sub = dim // m
+        ctes = [pq_nv]
+        if corpus_pred is not None:
+            ctes.append(
+                f"cnv AS MATERIALIZED (SELECT * FROM nv WHERE {corpus_pred})"
+            )
+            cnv = "cnv"
+        else:
+            cnv = "nv"
+        if qids is not None:
+            qpred = "vec_id IN (%s)" % ", ".join(str(int(q)) for q in qids)
+        else:
+            qpred = batch_pred
+        ctes.append(f"qnv AS MATERIALIZED (SELECT * FROM nv WHERE {qpred})")
+        ksim = (
+            f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> t.u[i] * s.u[i])), {round_to})"
+        )
+        ctes.append(
+            f"kseeds AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER "
+            f"(ORDER BY vec_id) - 1 AS BIGINT) AS cid, u FROM "
+            f"(SELECT vec_id, u FROM {cnv} ORDER BY vec_id LIMIT {kc}))"
+        )
+        kprev = "kseeds"
+        for it in range(coarse_iters):
+            ctes += [
+                f"kx{it} AS MATERIALIZED (SELECT t.vec_id, t.u, s.cid, {ksim} AS sim "
+                f"FROM {cnv} t CROSS JOIN {kprev} s)",
+                f"ka{it} AS MATERIALIZED (SELECT vec_id, u, cid FROM (SELECT *, "
+                f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) "
+                f"AS rn FROM kx{it}) WHERE rn = 1)",
+                f"kmm{it} AS MATERIALIZED (SELECT cid, pos, round(avg(val), 9) AS mv FROM "
+                f"(SELECT cid, unnest(u) AS val, generate_subscripts(u, 1) AS pos "
+                f"FROM ka{it}) GROUP BY cid, pos)",
+                f"kmagg{it} AS MATERIALIZED (SELECT cid, list(mv ORDER BY pos) AS mu "
+                f"FROM kmm{it} GROUP BY cid)",
+                f"kcents{it} AS MATERIALIZED (SELECT s.cid, COALESCE(CASE WHEN "
+                f"sqrt(list_sum(list_transform(m.mu, x -> x * x))) > 0 "
+                f"THEN list_transform(m.mu, x -> round(x / "
+                f"sqrt(list_sum(list_transform(m.mu, y -> y * y))), 9)) "
+                f"ELSE m.mu END, s.u) AS u FROM {kprev} s "
+                f"LEFT JOIN kmagg{it} m USING (cid))",
+            ]
+            kprev = f"kcents{it}"
+        ctes += [
+            f"kasg AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT t.vec_id, s.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY {ksim} DESC, s.cid) "
+            f"AS rn FROM {cnv} t CROSS JOIN {kprev} s) WHERE rn = 1)",
+            f"kprobe AS MATERIALIZED (SELECT vec_id AS qid, cid FROM (SELECT t.vec_id, "
+            f"s.cid, ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY {ksim} DESC, "
+            f"s.cid) AS rn FROM qnv t CROSS JOIN {kprev} s) WHERE rn <= {nprobe})",
+        ]
+        if residual:
+            ctes.append(
+                f"rv AS MATERIALIZED (SELECT c.vec_id, "
+                f"list_transform(range(1, {dim + 1}), i -> c.u[i] - kc2.u[i]) AS u "
+                f"FROM {cnv} c JOIN kasg ON kasg.vec_id = c.vec_id "
+                f"JOIN {kprev} kc2 ON kc2.cid = kasg.cid)"
+            )
+            ctes.append(
+                f"qc AS MATERIALIZED (SELECT q.vec_id AS qid, s.cid, "
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> q.u[i] * s.u[i])) AS cv FROM qnv q CROSS JOIN {kprev} s)"
+            )
+            fitsrc = "rv"
+        else:
+            fitsrc = cnv
+        dist = (
+            f"round(list_sum(list_transform(range(1, {d_sub + 1}), "
+            f"i -> (t.v[i] - s.v[i]) * (t.v[i] - s.v[i]))), {round_to})"
+        )
+        for s in range(m):
+            lo, hi = s * d_sub + 1, s * d_sub + d_sub
+            ctes.append(
+                f"sub{s} AS MATERIALIZED (SELECT vec_id, u[{lo}:{hi}] AS v FROM {fitsrc})"
+            )
+            ctes.append(
+                f"seeds{s} AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER "
+                f"(ORDER BY vec_id) - 1 AS INT) AS c, v FROM (SELECT vec_id, v "
+                f"FROM sub{s} ORDER BY vec_id LIMIT {cb}))"
+            )
+            prev = f"seeds{s}"
+            for it in range(iterations):
+                ctes += [
+                    f"x{s}_{it} AS MATERIALIZED (SELECT t.vec_id, s.c, {dist} AS d "
+                    f"FROM sub{s} t CROSS JOIN {prev} s)",
+                    f"a{s}_{it} AS MATERIALIZED (SELECT vec_id, c FROM (SELECT *, "
+                    f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn "
+                    f"FROM x{s}_{it}) WHERE rn = 1)",
+                    f"mm{s}_{it} AS MATERIALIZED (SELECT c, pos, round(avg(val), 9) "
+                    f"AS mv FROM (SELECT a{s}_{it}.c, unnest(t.v) AS val, "
+                    f"generate_subscripts(t.v, 1) AS pos FROM sub{s} t "
+                    f"JOIN a{s}_{it} ON a{s}_{it}.vec_id = t.vec_id) GROUP BY c, pos)",
+                    f"cents{s}_{it} AS MATERIALIZED (SELECT p.c, COALESCE(m.v, p.v) "
+                    f"AS v FROM {prev} p LEFT JOIN (SELECT c, list(mv ORDER BY pos) "
+                    f"AS v FROM mm{s}_{it} GROUP BY c) m USING (c))",
+                ]
+                prev = f"cents{s}_{it}"
+            ctes.append(
+                f"f{s} AS MATERIALIZED (SELECT vec_id, c FROM (SELECT *, ROW_NUMBER() "
+                f"OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM "
+                f"(SELECT t.vec_id, s.c, {dist} AS d FROM sub{s} t "
+                f"CROSS JOIN {prev} s)) WHERE rn = 1)"
+            )
+            # query LUT slices always come from the RAW normalized vectors
+            ctes.append(
+                f"lut{s} AS MATERIALIZED (SELECT t.vec_id AS qid, s.c, "
+                f"list_sum(list_transform(range(1, {d_sub + 1}), "
+                f"i -> t.u[{lo}:{hi}][i] * s.v[i])) AS lv "
+                f"FROM qnv t CROSS JOIN {prev} s)"
+            )
+        code_cols = ", ".join(f"f{s}.c AS c{s}" for s in range(m))
+        code_joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m))
+        lut_joins = " ".join(
+            f"JOIN lut{s} l{s} ON l{s}.qid = q.qid AND l{s}.c = cd.c{s}"
+            for s in range(m)
+        )
+        adc = " + ".join(f"l{s}.lv" for s in range(m))
+        qc_join = ""
+        if residual:
+            adc = f"qc.cv + {adc}"
+            qc_join = " JOIN qc ON qc.qid = q.qid AND qc.cid = kasg.cid"
+        self_excl = " AND cd.vec_id <> q.qid" if qids is not None else ""
+        ctes += [
+            f"codes AS MATERIALIZED (SELECT f0.vec_id, {code_cols} FROM f0 {code_joins})",
+            f"adc_scored AS MATERIALIZED (SELECT q.qid, cd.vec_id, "
+            f"round({adc}, {round_to}) AS ADC_SCORE "
+            f"FROM codes cd JOIN kasg ON kasg.vec_id = cd.vec_id "
+            f"JOIN kprobe q ON q.cid = kasg.cid{qc_join} {lut_joins} "
+            f"WHERE TRUE{self_excl})",
+        ]
+        if k is not None:
+            ctes.append(
+                "adc_ranked AS MATERIALIZED (SELECT qid, vec_id, ADC_SCORE, "
+                "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ADC_SCORE DESC, "
+                "vec_id ASC) AS rk FROM adc_scored)"
+            )
+            tail = (
+                f"SELECT qid AS QUERY_ID, vec_id AS MATCH_ID, ADC_SCORE, "
+                f"CAST(rk AS INT) AS RANK FROM adc_ranked WHERE rk <= {k}"
+            )
+        else:
+            tail = (
+                f"SELECT qid AS ID, vec_id AS REF_ID, ADC_SCORE AS COSINE "
+                f"FROM adc_scored WHERE ADC_SCORE >= {threshold}"
+            )
+        return "WITH " + ", ".join(ctes) + " " + tail
+
+    def _mk_rivf_sql(kc: int, nprobe: int, coarse_iters: int = 1, *,
+                     dim: int = 64, round_to: int = 6,
+                     corpus_pred: str | None = None, qids=None,
+                     batch_pred: str | None = None, k: int = 10,
+                     join_shape: bool = False) -> str:
+        """DuckDB replay of the round-9 ``rounded=True`` IVF modes (no PQ):
+        the kmeans_cluster rounded-Lloyd coarse fit (one pass by the
+        operators' inline contract), top-``nprobe`` rounded-cosine probe
+        per query, and a rounded exact-dot scan over probed lists.
+        ``join_shape=True`` replays embedding_join_ivf (fit over
+        ``corpus_pred`` rows, probes for ``batch_pred`` rows, left scalar
+        columns joined back); otherwise similarity_search_ivf(rounded=True)
+        with self-matches excluded."""
+        assert (qids is None) != (batch_pred is None)
+        ctes = [pq_nv]
+        if corpus_pred is not None:
+            ctes.append(
+                f"cnv AS MATERIALIZED (SELECT * FROM nv WHERE {corpus_pred})"
+            )
+            cnv = "cnv"
+        else:
+            cnv = "nv"
+        if qids is not None:
+            qpred = "vec_id IN (%s)" % ", ".join(str(int(q)) for q in qids)
+        else:
+            qpred = batch_pred
+        ctes.append(f"qnv AS MATERIALIZED (SELECT * FROM nv WHERE {qpred})")
+        ksim = (
+            f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> t.u[i] * s.u[i])), {round_to})"
+        )
+        ctes.append(
+            f"kseeds AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER "
+            f"(ORDER BY vec_id) - 1 AS BIGINT) AS cid, u FROM "
+            f"(SELECT vec_id, u FROM {cnv} ORDER BY vec_id LIMIT {kc}))"
+        )
+        kprev = "kseeds"
+        for it in range(coarse_iters):
+            ctes += [
+                f"kx{it} AS MATERIALIZED (SELECT t.vec_id, t.u, s.cid, {ksim} AS sim "
+                f"FROM {cnv} t CROSS JOIN {kprev} s)",
+                f"ka{it} AS MATERIALIZED (SELECT vec_id, u, cid FROM (SELECT *, "
+                f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) "
+                f"AS rn FROM kx{it}) WHERE rn = 1)",
+                f"kmm{it} AS MATERIALIZED (SELECT cid, pos, round(avg(val), 9) AS mv "
+                f"FROM (SELECT cid, unnest(u) AS val, generate_subscripts(u, 1) "
+                f"AS pos FROM ka{it}) GROUP BY cid, pos)",
+                f"kmagg{it} AS MATERIALIZED (SELECT cid, list(mv ORDER BY pos) AS mu "
+                f"FROM kmm{it} GROUP BY cid)",
+                f"kcents{it} AS MATERIALIZED (SELECT s.cid, COALESCE(CASE WHEN "
+                f"sqrt(list_sum(list_transform(m.mu, x -> x * x))) > 0 "
+                f"THEN list_transform(m.mu, x -> round(x / "
+                f"sqrt(list_sum(list_transform(m.mu, y -> y * y))), 9)) "
+                f"ELSE m.mu END, s.u) AS u FROM {kprev} s "
+                f"LEFT JOIN kmagg{it} m USING (cid))",
+            ]
+            kprev = f"kcents{it}"
+        ctes += [
+            f"kasg AS MATERIALIZED (SELECT vec_id, cid FROM (SELECT t.vec_id, s.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY {ksim} DESC, s.cid) "
+            f"AS rn FROM {cnv} t CROSS JOIN {kprev} s) WHERE rn = 1)",
+            f"kprobe AS MATERIALIZED (SELECT vec_id AS qid, cid FROM (SELECT t.vec_id, "
+            f"s.cid, ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY {ksim} DESC, "
+            f"s.cid) AS rn FROM qnv t CROSS JOIN {kprev} s) WHERE rn <= {nprobe})",
+        ]
+        cos = (
+            f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> q2.u[i] * t.u[i])), {round_to})"
+        )
+        # both shapes exclude id-equal matches (the operators' shared
+        # single-namespace rule; a no-op for disjoint split corpora)
+        ctes.append(
+            f"scored AS MATERIALIZED (SELECT p.qid, t.vec_id AS mid, {cos} AS COSINE "
+            f"FROM {cnv} t JOIN kasg ON kasg.vec_id = t.vec_id "
+            f"JOIN kprobe p ON p.cid = kasg.cid "
+            f"JOIN qnv q2 ON q2.vec_id = p.qid WHERE t.vec_id <> p.qid)"
+        )
+        ctes.append(
+            "ranked AS MATERIALIZED (SELECT qid, mid, COSINE, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY COSINE DESC, "
+            "mid ASC) AS INT) AS RANK FROM scored)"
+        )
+        if join_shape:
+            tail = (
+                f"SELECT e.vec_id, e.label, r.mid AS MATCH_ID, r.COSINE, "
+                f"r.RANK FROM embeddings e JOIN ranked r ON r.qid = e.vec_id "
+                f"WHERE r.RANK <= {k}"
+            )
+        else:
+            tail = (
+                f"SELECT qid AS QUERY_ID, mid AS MATCH_ID, COSINE, RANK "
+                f"FROM ranked WHERE RANK <= {k}"
+            )
+        return "WITH " + ", ".join(ctes) + " " + tail
+
     # default 4x4 banding exprs, still used verbatim by the
     # dedup_against_minhash / dedup_minhash_filter replicas below
     band_exprs = ", ".join(
@@ -3732,6 +4064,25 @@ ranked AS (
         "similarity_search_ivfpq": _mk_pq_adc_sql(
             8, 16, 0, 10, [0, 1, 2, 3, 4], ivf=(8, 3, 1)
         ),
+        # round 9: residual IVFADC — same replay plus the residual PQ fit
+        # and the coarse term leading the left-associated ADC sum
+        "similarity_search_ivfpq_residual": _mk_ivfpq_sql(
+            8, 16, 0, 8, 3, 1, residual=True, qids=[0, 1, 2, 3, 4], k=10
+        ),
+        # round 9: IVF-PQ incremental dedup — split-corpus replay (fits
+        # over the reference only, batch rows probe + ADC-threshold)
+        "dedup_against_ivfpq": _mk_ivfpq_sql(
+            8, 16, 0, 8, 3, 1, corpus_pred="vec_id < 450",
+            batch_pred="vec_id >= 450", threshold=0.3
+        ),
+        # round 9: the rounded=True replayable ANN modes (no PQ)
+        "similarity_search_ivf_rounded": _mk_rivf_sql(
+            8, 3, qids=[0, 1, 2, 3, 4], k=10
+        ),
+        "embedding_join_ivf_rounded": _mk_rivf_sql(
+            8, 3, corpus_pred="vec_id < 250", batch_pred="vec_id >= 250",
+            k=2, join_shape=True
+        ),
         # classifier_eval: the operator's own renderer runs verbatim on
         # DuckDB (window + aggregate SQL is engine-portable)
         "classifier_eval": _cls_eval_oracle(),
@@ -4149,6 +4500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9 front: NEW round-9 operators (inserted as built; each
         # addition slides the tail of the r6 fill past the fold, which
         # keeps union max-staleness at r6) ---
+        "dedup_against_ivfpq": q_dedup_against_ivfpq,
+        "similarity_search_ivfpq_residual": q_similarity_search_ivfpq_residual,
+        "similarity_search_ivf_rounded": q_similarity_search_ivf_rounded,
+        "embedding_join_ivf_rounded": q_embedding_join_ivf_rounded,
         # --- r9 front: the full 39-entry r5-stale block (last driver-
         # verified round 5; replace_string/uppercase_columns re-front from
         # positions 51-52 of the r8 ordering) ---

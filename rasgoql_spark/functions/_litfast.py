@@ -35,6 +35,19 @@ def double_array_lit(vals: list) -> Column:
     return F.expr("array(%s)" % ",".join(repr(float(x)) + "D" for x in vals))
 
 
+def double_matrix_lit(rows: list) -> Column:
+    """``[[floats]] → literal array<array<double>>`` in one py4j call —
+    the PQ-codebook lookup shape (``element_at(matrix, code + 1)``)."""
+    if not rows or not all(_all_finite(r) for r in rows):
+        return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+    return F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)" % ",".join(repr(float(x)) + "D" for x in r) for r in rows
+        )
+    )
+
+
 def centroid_array_lit(cents: list, id_type: str = "bigint") -> Column:
     """``[(cid, [floats])] → literal array<struct<c: id_type, v:
     array<double>>>`` in one py4j call — the shared shape of IVF centroids,

@@ -31,7 +31,7 @@ from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import renderer as _renderer, spark_transform
 from ._cache import release_with, scoped_persist
-from ._litfast import centroid_array_lit, double_array_lit
+from ._litfast import centroid_array_lit, double_array_lit, double_matrix_lit
 from .cluster import CENT_ROUND, _assign_expr, _fit_kmeans, _unit_rounded
 
 
@@ -154,11 +154,15 @@ def _staged_corpus(df: DataFrame, v: str, i: str, m: int):
 
 
 def _pq_render_parts(source, vec_col, id_col, m, codebook_size, iterations,
-                     round_to, caller: str):
+                     round_to, caller: str, vec_source: str | None = None):
     """Shared per-subspace SQL chains for the pq_encode / pq_search
     renderers: for each subspace returns ``(sub, codebook, assign)`` —
     the staged subvector relation, the post-Lloyd codebook relation, and
-    the final code assignment — all as inline subqueries."""
+    the final code assignment — all as inline subqueries. ``vec_source``
+    overrides the relation subvectors slice from (must expose
+    ``(__id, __u)``) — the residual-IVFPQ hook, where the PQ fit runs
+    over vector-minus-assigned-centroid instead of the normalized
+    corpus."""
     from ..errors import TransformRenderingException
 
     if m < 1:
@@ -173,7 +177,7 @@ def _pq_render_parts(source, vec_col, id_col, m, codebook_size, iterations,
         )
     from .cluster import _unit_norm_sql
 
-    nv = _unit_norm_sql(vec_col, id_col, source)
+    nv = vec_source or _unit_norm_sql(vec_col, id_col, source)
     sq = (
         "aggregate(zip_with(t.v, s.v, (x, y) -> (x - y) * (x - y)), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -336,7 +340,8 @@ class IVFPQIndex:
     themselves before searching a possibly-stale artifact."""
 
     def __init__(self, frame: DataFrame, centroids: list, books: list,
-                 m: int, d_sub: int, round_to: int, n_docs: int | None = None):
+                 m: int, d_sub: int, round_to: int, n_docs: int | None = None,
+                 residual: bool = False):
         self.frame = frame
         self.centroids = centroids
         self.books = books
@@ -344,11 +349,35 @@ class IVFPQIndex:
         self.d_sub = d_sub
         self.round_to = round_to
         self.n_docs = n_docs
+        # residual=True: PQ codes encode (vector - assigned coarse centroid)
+        # — the full IVFADC formulation; scoring must add the coarse term
+        self.residual = residual
 
     def release(self) -> None:
         from ._cache import release_now
 
         release_now(self.frame)
+
+
+def _cent_vec_of_cid(df: DataFrame, cents: list, cid_col: str = "__cid",
+                     out_col: str = "__cv"):
+    """Attach ``out_col`` = the centroid vector of the row's ``cid_col``.
+    ``cents`` must be the cid-ordered ``[(cid, vec)]`` list (cids 0..k-1).
+    Small k embeds an array<array<double>> literal (positional lookup —
+    shuffle-free projection); above the literal cap the centroids ship as
+    a k-row broadcast equi-join instead, same trade as _attach_centroids."""
+    from .similarity import IVF_LITERAL_CENTROID_MAX
+
+    if len(cents) <= IVF_LITERAL_CENTROID_MAX:
+        mat = double_matrix_lit([list(vec) for _, vec in cents])
+        return df.withColumn(
+            out_col, F.element_at(mat, (F.col(cid_col) + 1).cast("int"))
+        )
+    cent_df = df.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in vec]) for c, vec in cents],
+        f"{cid_col} bigint, {out_col} array<double>",
+    )
+    return df.join(F.broadcast(cent_df), on=cid_col)
 
 
 def ivfpq_index(
@@ -361,12 +390,23 @@ def ivfpq_index(
     codebook_size: int = 8,
     iterations: int = 1,
     round_to: int = 6,
+    residual: bool = False,
 ) -> IVFPQIndex:
     """Build a reusable :class:`IVFPQIndex`: deterministic rounded coarse
     kmeans (kmeans_cluster contract) + per-subspace PQ codebooks
     (pq_encode contract), with the corpus stored as unit-rounded vectors,
     inverted-list ids, and m-int PQ codes. The frame stays persisted until
-    ``release()`` — amortizing the two fits across searches is the point."""
+    ``release()`` — amortizing the two fits across searches is the point.
+
+    ``residual=True`` is the full IVFADC formulation (Jégou et al. 2011
+    §III): PQ quantizes ``vector - assigned_coarse_centroid`` instead of
+    the vector itself, so the codebooks spend their resolution on the
+    (much smaller) within-list spread — materially better recall at the
+    same code budget. Centroid components are 9-dp-rounded by the shared
+    contract and doubles subtract exactly, so the residuals — and with
+    them the whole fit — keep the exact-replay determinism of the
+    no-residual path; scoring adds the per-candidate coarse term
+    dot(query, centroid[cid])."""
     if num_centroids < 1:
         raise ParameterException("num_centroids must be >= 1")
     if coarse_iterations < 0:
@@ -378,20 +418,51 @@ def ivfpq_index(
     # one persisted (__id, __u, __s0..__s{m-1}) frame feeds the coarse fit,
     # the PQ fit, and the corpus encoding
     cents = _fit_kmeans(staged, num_centroids, coarse_iterations, round_to)
-    books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
     abase, carr, _adrop = _attach_centroids(staged, cents)
-    codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
-    frame = scoped_persist(
-        abase.withColumn("__cid", _assign_expr(carr, round_to))
-        .withColumn("__codes", codes)
-        .select("__id", "__u", "__cid", "__codes")
-    )
-    # materialize once; the count doubles as the staleness fingerprint
-    n = frame.count()
+    assigned = abase.withColumn("__cid", _assign_expr(carr, round_to))
     from ._cache import release_now
 
+    if residual:
+        # restage: the PQ fit/encode slices come from the residual vector,
+        # which takes the ``__u`` seat so _train_codebooks/_code_expr see
+        # the same column shape as the plain path
+        res = _cent_vec_of_cid(assigned, cents).withColumn(
+            "__r", F.zip_with("__u", F.col("__cv"), lambda x, y: x - y)
+        )
+        rstaged = scoped_persist(
+            _stage_subvectors(
+                res.select(
+                    "__id", "__cid", F.col("__u").alias("__orig"),
+                    F.col("__r").alias("__u"),
+                ),
+                m, d_sub,
+            )
+        )
+        books = _train_codebooks(
+            rstaged, m, d_sub, codebook_size, iterations, round_to
+        )
+        codes = F.array(
+            *[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)]
+        )
+        frame = scoped_persist(
+            rstaged.withColumn("__codes", codes)
+            .select("__id", F.col("__orig").alias("__u"), "__cid", "__codes")
+        )
+        n = frame.count()
+        release_now(rstaged)
+    else:
+        books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
+        codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
+        frame = scoped_persist(
+            assigned.withColumn("__codes", codes)
+            .select("__id", "__u", "__cid", "__codes")
+        )
+        # materialize once; the count doubles as the staleness fingerprint
+        n = frame.count()
     release_now(cached)
-    return IVFPQIndex(frame, cents, books, m, d_sub, round_to, n_docs=n)
+    return IVFPQIndex(
+        frame, cents, books, m, d_sub, round_to, n_docs=n, residual=residual
+    )
 
 
 def save_ivfpq_index(index: IVFPQIndex, path: str) -> str:
@@ -418,8 +489,9 @@ def save_ivfpq_index(index: IVFPQIndex, path: str) -> str:
         [(
             int(index.m), int(index.d_sub), int(index.round_to),
             -1 if index.n_docs is None else int(index.n_docs),
+            bool(index.residual),
         )],
-        "m int, d_sub int, round_to int, n_docs long",
+        "m int, d_sub int, round_to int, n_docs long, residual boolean",
     ).write.mode("overwrite").parquet(f"{path}/params")
     return path
 
@@ -443,6 +515,7 @@ def load_ivfpq_index(spark, path: str, persist: bool = True) -> IVFPQIndex:
     return IVFPQIndex(
         frame, cents, books, int(prm["m"]), int(prm["d_sub"]),
         int(prm["round_to"]), n_docs=None if nd < 0 else nd,
+        residual=("residual" in prm.__fields__ and bool(prm["residual"])),
     )
 
 
@@ -472,23 +545,34 @@ def update_ivfpq_index(
             f"built over dim {index.m * index.d_sub} (m={index.m} x "
             f"d_sub={index.d_sub})"
         )
-    staged = _stage_subvectors(
-        _unit_rounded(
-            spread(new_vecs).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
-            "__vec",
-        ),
-        index.m,
-        index.d_sub,
+    base = _unit_rounded(
+        spread(new_vecs).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
+        "__vec",
     )
-    abase, carr, _adrop = _attach_centroids(staged, index.centroids)
+    abase, carr, _adrop = _attach_centroids(base, index.centroids)
+    withcid = abase.withColumn("__cid", _assign_expr(carr, index.round_to))
+    if index.residual:
+        # codes encode the residual vs the assigned coarse centroid — the
+        # batch must replay the build-time encoding exactly
+        res = _cent_vec_of_cid(withcid, index.centroids).withColumn(
+            "__r", F.zip_with("__u", F.col("__cv"), lambda x, y: x - y)
+        )
+        enc = _stage_subvectors(
+            res.select("__id", "__cid", F.col("__u").alias("__orig"),
+                       F.col("__r").alias("__u")),
+            index.m, index.d_sub,
+        )
+    else:
+        enc = _stage_subvectors(withcid, index.m, index.d_sub)
     codes = F.array(*[
         _code_expr(f"__s{s}", index.books[s], index.round_to)
         for s in range(index.m)
     ])
-    assigned = (
-        abase.withColumn("__cid", _assign_expr(carr, index.round_to))
-        .withColumn("__codes", codes)
-    )
+    assigned = enc.withColumn("__codes", codes)
+    if index.residual:
+        assigned = assigned.select(
+            "__id", F.col("__orig").alias("__u"), "__cid", "__codes"
+        )
     cols = ["__id", "__u", "__cid", "__codes"]
     merged = scoped_persist(
         index.frame.select(*cols).unionByName(assigned.select(*cols))
@@ -498,8 +582,74 @@ def update_ivfpq_index(
     n = merged.count()
     return IVFPQIndex(
         merged, index.centroids, index.books, index.m, index.d_sub,
-        index.round_to, n_docs=n,
+        index.round_to, n_docs=n, residual=index.residual,
     )
+
+
+def _probe_lists_rounded(qdf: DataFrame, cents: list, nprobe: int,
+                         id_col: str, u_col: str, round_to: int) -> DataFrame:
+    """Explode each query row to its ``nprobe`` highest ROUNDED-cosine
+    inverted lists (ties -> lowest cid) — the replayable twin of
+    ``similarity._probe_lists`` for DataFrame-shaped query sides, matching
+    ``similarity_search_ivfpq``'s driver-side probe selection exactly
+    (sim desc at ``round_to`` dp, cid asc). Shuffle-free sort+slice over
+    the per-row sims array; >256-centroid corpora take the one-row
+    broadcast via ``_attach_centroids``."""
+    from .similarity import _attach_centroids
+
+    dotf = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    qbase, qcarr, _qd = _attach_centroids(qdf, cents)
+    sims = F.transform(
+        qcarr,
+        lambda ce: F.struct(
+            F.round(dotf(F.col(u_col), ce["v"]), round_to).alias("s"),
+            (-ce["c"]).alias("nc"),
+        ),
+    )
+    return qbase.select(
+        id_col, u_col,
+        F.explode(F.slice(F.sort_array(sims, asc=False), 1, nprobe)).alias("__p"),
+    ).select(id_col, u_col, (-F.col("__p")["nc"]).cast("bigint").alias("__cid"))
+
+
+def _adc_pair_score(idx: IVFPQIndex, q_u_col: str) -> Column:
+    """ADC score for (query ⨯ candidate) frames where the query's
+    unit-rounded vector is a COLUMN rather than a driver literal — the
+    dedup-against shape: the batch is a full DataFrame, so the per-query
+    LUT collects of the search path would put the driver on the data path.
+    Candidate columns ``__cid``/``__codes`` are read in place; codebooks
+    embed as array<array<double>> literals (bounded: m · codebook_size ·
+    d_sub doubles), so the score is a shuffle-free projection — the
+    candidate scan still reads only m small ints per row.
+
+    Bit-parity: each subspace term is a sequential fold over the same
+    doubles the search path's Python LUT sums and the SQL replay's
+    list_sum fold; terms add left-associated with the coarse term
+    dot(q, __cv) FIRST for residual indexes (callers attach ``__cv`` via
+    :func:`_cent_vec_of_cid`). FP addition is order-sensitive at the
+    round boundary, so the replay must emit the same order."""
+    dotf = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    terms = [
+        dotf(
+            F.slice(F.col(q_u_col), s * idx.d_sub + 1, idx.d_sub),
+            F.element_at(
+                double_matrix_lit([list(vec) for _, vec in idx.books[s]]),
+                (F.element_at("__codes", s + 1) + 1).cast("int"),
+            ),
+        )
+        for s in range(idx.m)
+    ]
+    if idx.residual:
+        total = dotf(F.col(q_u_col), F.col("__cv"))
+    else:
+        total, terms = terms[0], terms[1:]
+    for t in terms:
+        total = total + t
+    return F.round(total, idx.round_to)
 
 
 @spark_transform("similarity_search_ivfpq", category="similarity", streaming_ok=False)
@@ -516,10 +666,15 @@ def similarity_search_ivfpq(
     codebook_size: int = 8,
     iterations: int = 1,
     round_to: int = 6,
+    residual: bool = False,
     index: "IVFPQIndex | None" = None,
 ) -> DataFrame:
-    """IVF-PQ approximate top-``k`` (Jégou et al. 2011's IVFADC, no-residual
-    variant): a deterministic spherical-kmeans coarse quantizer partitions
+    """IVF-PQ approximate top-``k`` (Jégou et al. 2011's IVFADC;
+    ``residual=True`` is the full residual formulation — PQ codes quantize
+    vector-minus-assigned-centroid and scoring adds the coarse term
+    dot(query, centroid[cid]) per candidate, better recall at the same
+    code budget; the default quantizes raw vectors):
+    a deterministic spherical-kmeans coarse quantizer partitions
     the corpus into ``num_centroids`` inverted lists; each query probes its
     ``nprobe`` highest-cosine lists; candidates inside the probed lists are
     scored by ADC over their PQ codes. Output (QUERY_ID, MATCH_ID,
@@ -567,7 +722,7 @@ def similarity_search_ivfpq(
         idx, own = (
             ivfpq_index(
                 df, vec_col, id_col, num_centroids, coarse_iterations,
-                m, codebook_size, iterations, round_to,
+                m, codebook_size, iterations, round_to, residual=residual,
             ),
             True,
         )
@@ -636,19 +791,33 @@ def similarity_search_ivfpq(
         ]
         for r in qrows
     }
+    qu_map = {int(r["__id"]): [float(x) for x in r["__u"]] for r in qrows}
     per_query = []
     for qid in sorted(luts):
         lut = luts[qid]
-        score = F.round(
-            sum(
-                F.element_at(
-                    double_array_lit(list(lut[s])),
-                    F.element_at("__codes", s + 1) + 1,
-                )
-                for s in range(m)
-            ),
-            round_to,
-        )
+        terms = [
+            F.element_at(
+                double_array_lit(list(lut[s])),
+                F.element_at("__codes", s + 1) + 1,
+            )
+            for s in range(m)
+        ]
+        if idx.residual:
+            # coarse term dot(q, centroid[cid]) — FIRST and left-associated
+            # (the replay adds "qc + l0 + l1 ..." in that exact order; FP
+            # addition is order-sensitive at the 6-dp round boundary)
+            qc = [
+                sum(a * b for a, b in zip(qu_map[qid], vec))
+                for _, vec in cents
+            ]
+            total = F.element_at(
+                double_array_lit(qc), (F.col("__cid") + 1).cast("int")
+            )
+            for t in terms:
+                total = total + t
+            score = F.round(total, round_to)
+        else:
+            score = F.round(sum(terms), round_to)
         per_query.append(
             idx.frame.filter(
                 F.col("__cid").isin(probed.get(qid, [])) & (F.col("__id") != qid)
@@ -675,13 +844,18 @@ def similarity_search_ivfpq(
 def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
                                num_centroids=8, nprobe=2, coarse_iterations=1,
                                m=4, codebook_size=8, iterations=1,
-                               round_to=6, index=None) -> str:
+                               round_to=6, residual=False, index=None) -> str:
     """Full SQL replay of the IVF-PQ pipeline — the first renderable ANN
     operator (the similarity_search_ivf family is excluded by its unrounded
     contract; this operator rounds by contract precisely to be replayable).
     Composes the kmeans_cluster renderer's coarse-fit chains with the
     pq_search renderer's per-subspace Lloyd/LUT chains, then restricts the
-    ADC scan to (assignment, probe) centroid matches."""
+    ADC scan to (assignment, probe) centroid matches. ``residual=True``
+    feeds the PQ chains vector-minus-assigned-centroid subvectors
+    (``_pq_render_parts(vec_source=...)``) and prefixes the ADC sum with
+    the per-(query, list) coarse term — same term order as the DataFrame
+    path (coarse first, left-associated), which matters at the 6-dp round
+    boundary."""
     from ..errors import TransformRenderingException
 
     if index is not None:
@@ -703,26 +877,55 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
         source, vec_col, id_col, num_centroids, coarse_iterations, round_to,
         "similarity_search_ivfpq",
     )
-    parts = _pq_render_parts(
-        source, vec_col, id_col, m, codebook_size, iterations, round_to,
-        "similarity_search_ivfpq",
-    )
     qlist = ", ".join(str(int(q)) for q in query_ids)
     sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_to)})"
-    ctes = [
-        f"__ivf_asg AS (SELECT __id, c FROM {kassign(kcents)})",
-        (
-            f"__ivf_probe AS (SELECT __id AS qid, c FROM (SELECT t.__id, s.c, "
-            f"ROW_NUMBER() OVER (PARTITION BY t.__id ORDER BY {sim} DESC, "
-            f"s.c ASC) AS rn FROM {nv} t CROSS JOIN {kcents} s "
-            f"WHERE t.__id IN ({qlist})) WHERE rn <= {int(nprobe)})"
-        ),
-    ]
+    ctes = []
+    if residual:
+        # name the centroid relation once — it is referenced by the
+        # assignment, the probe, the residual construction, and the
+        # coarse-term LUT (4 consumers; inlining would 4x the Lloyd chain)
+        ctes.append(f"__ivf_cents AS (SELECT c, v FROM {kcents})")
+        kcents = "__ivf_cents"
+    ctes.append(f"__ivf_asg AS (SELECT __id, c FROM {kassign(kcents)})")
+    ctes.append(
+        f"__ivf_probe AS (SELECT __id AS qid, c FROM (SELECT t.__id, s.c, "
+        f"ROW_NUMBER() OVER (PARTITION BY t.__id ORDER BY {sim} DESC, "
+        f"s.c ASC) AS rn FROM {nv} t CROSS JOIN {kcents} s "
+        f"WHERE t.__id IN ({qlist})) WHERE rn <= {int(nprobe)})"
+    )
+    vec_source = None
+    if residual:
+        ctes.append(
+            f"__ivf_rv AS (SELECT t.__id, zip_with(t.__u, c.v, "
+            f"(x, y) -> x - y) AS __u FROM {nv} t "
+            f"JOIN __ivf_asg a ON a.__id = t.__id "
+            f"JOIN {kcents} c ON c.c = a.c)"
+        )
+        vec_source = "__ivf_rv"
+        ctes.append(
+            f"__ivf_qc AS (SELECT t.__id AS qid, s.c AS cid, "
+            f"{_dot_sql('t.__u', 's.v')} AS cv FROM {nv} t "
+            f"CROSS JOIN {kcents} s WHERE t.__id IN ({qlist}))"
+        )
+    parts = _pq_render_parts(
+        source, vec_col, id_col, m, codebook_size, iterations, round_to,
+        "similarity_search_ivfpq", vec_source=vec_source,
+    )
+    d_sub_sql = f"(size(__u) DIV {int(m)})"
     for j, (sub, cb, a) in enumerate(parts):
         ctes.append(f"__pq_cb{j} AS (SELECT c, v FROM {cb})")
         ctes.append(f"__pq_f{j} AS (SELECT __id, c FROM {a})")
+        if residual:
+            # query LUT slices come from the RAW normalized vectors, not
+            # the residual relation the corpus codes were fit on
+            qsub = (
+                f"(SELECT __id, slice(__u, {j} * {d_sub_sql} + 1, "
+                f"{d_sub_sql}) AS v FROM {nv} __pq_qnv)"
+            )
+        else:
+            qsub = sub
         ctes.append(
-            f"__pq_q{j} AS (SELECT __id AS qid, v FROM {sub} "
+            f"__pq_q{j} AS (SELECT __id AS qid, v FROM {qsub} "
             f"WHERE __id IN ({qlist}))"
         )
     dot = (
@@ -730,6 +933,8 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
     score = " + ".join(dot.replace("{j}", str(j)) for j in range(int(m)))
+    if residual:
+        score = f"__ivf_qc.cv + {score}"
     code_joins = " ".join(
         f"JOIN __pq_f{j} ON __pq_f{j}.__id = s.{id_col} "
         f"JOIN __pq_cb{j} __pq_b{j} ON __pq_b{j}.c = __pq_f{j}.c"
@@ -739,6 +944,11 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
         f"JOIN __pq_q{j} ON __pq_q{j}.qid = __ivf_probe.qid"
         for j in range(int(m))
     )
+    if residual:
+        q_joins += (
+            " JOIN __ivf_qc ON __ivf_qc.qid = __ivf_probe.qid "
+            "AND __ivf_qc.cid = __ivf_asg.c"
+        )
     scored = (
         f"SELECT CAST(__ivf_probe.qid AS BIGINT) AS QUERY_ID, "
         f"s.{id_col} AS MATCH_ID, "

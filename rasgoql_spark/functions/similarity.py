@@ -444,6 +444,7 @@ def embedding_join_ivf(
     nprobe: int | str = "auto",
     right_prefix: str = "MATCH_",
     round_scores: int | None = 6,
+    rounded: bool = False,
     index: "IVFIndex | None" = None,
 ) -> DataFrame:
     """ANN semantic join: attach each left row's top-``k`` most-similar
@@ -476,9 +477,35 @@ def embedding_join_ivf(
     similarity_search's self-match rule. For cross-corpus joins where the
     two id namespaces can coincide, remap one side's ids first (a
     coincidentally equal right id would otherwise be dropped).
+
+    ``rounded=True`` (round 9, opt-in) swaps the unrounded fit for the
+    kmeans_cluster rounded-determinism contract so the join replays
+    exactly in SQL — this mode has a ``.sql()`` renderer and a DuckDB
+    hash oracle (dbt/SQL parity for an ANN join). Inline-only (``index``
+    must be None), explicit int sizing required to render, same join
+    shape and AQE-skew eligibility as the default.
     """
     odf = other.df if hasattr(other, "df") else other
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    if rounded:
+        if index is not None:
+            raise ParameterException(
+                "rounded=True is the replayable inline mode; prebuilt "
+                "IVFIndex artifacts hold the unrounded fit"
+            )
+        if round_scores is None:
+            raise ParameterException(
+                "rounded=True scores by the rounded replay contract; "
+                "round_scores must be an int"
+            )
+        if odf is None:
+            raise ParameterException(
+                "embedding_join_ivf needs a right-side frame (other=...)"
+            )
+        return _embedding_join_ivf_rounded(
+            df, v, i, odf, other_vec or vec_col, other_id or id_col, k,
+            num_centroids, nprobe, right_prefix, round_scores,
+        )
     if index is not None:
         if odf is not None and index.n_docs is not None:
             # staleness fingerprint — same contract as every other index
@@ -533,6 +560,132 @@ def embedding_join_ivf(
     return out if cached is None else release_with(out, cached)
 
 
+def _embedding_join_ivf_rounded(df, v, i, odf, ov, oi, k, num_centroids,
+                                nprobe, right_prefix, round_to):
+    """Replayable ANN join: rounded kmeans over the right side (one Lloyd
+    pass, the shared _fit_kmeans contract), rounded probe selection for
+    every left row, rounded dot scoring over probed lists. Join shape and
+    skew posture match the unrounded path: probe frame equi-joins the
+    assigned corpus on the centroid id with no broadcast hint, so AQE can
+    split hot inverted lists."""
+    from .cluster import _fit_kmeans, _unit_rounded
+    from .cluster import _assign_expr as _rounded_assign
+    from .pq import _probe_lists_rounded
+
+    ov, oi = resolve_col(odf, ov), resolve_col(odf, oi)
+    cached = scoped_persist(_unit_rounded(
+        spread(odf).select(F.col(oi).alias("__id"), F.col(ov).alias("__vec")),
+        "__vec",
+    ))
+    kc = (
+        _resolve_k(num_centroids, cached.count())
+        if isinstance(num_centroids, str) else _resolve_k(num_centroids, 0)
+    )
+    cents = _fit_kmeans(cached, kc, 1, round_to)
+    nprobe = _resolve_nprobe(nprobe, len(cents))
+    abase, carr, _ad = _attach_centroids(cached, cents)
+    asg = abase.withColumn("__cid", _rounded_assign(carr, round_to)).select(
+        "__id", "__u", "__cid"
+    )
+    q = _unit_rounded(
+        df.select(F.col(i).alias("QUERY_ID"), F.col(v).alias("__qvec")),
+        "__qvec", "__qu",
+    ).select("QUERY_ID", "__qu")
+    probes = _probe_lists_rounded(
+        q, cents, nprobe, "QUERY_ID", "__qu", round_to
+    )
+    scored = (
+        asg.select(F.col("__id").alias(f"{right_prefix}ID"), "__u", "__cid")
+        .join(probes, on="__cid")
+        .filter(F.col("QUERY_ID") != F.col(f"{right_prefix}ID"))
+        .withColumn(
+            "COSINE", F.round(_dot(F.col("__qu"), F.col("__u")), round_to)
+        )
+    )
+    w = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("COSINE").desc(), F.col(f"{right_prefix}ID").asc()
+    )
+    matches = (
+        scored.withColumn("RANK", F.row_number().over(w))
+        .filter(F.col("RANK") <= k)
+        .select(
+            F.col("QUERY_ID").alias(i), f"{right_prefix}ID", "COSINE", "RANK"
+        )
+    )
+    return release_with(df.join(matches, on=i, how="inner"), cached)
+
+
+@renderer("embedding_join_ivf")
+def _r_embedding_join_ivf(source, vec_col, id_col, other=None,
+                          other_vec=None, other_id=None, k=1,
+                          num_centroids="auto", nprobe="auto",
+                          right_prefix="MATCH_", round_scores=6,
+                          rounded=False, index=None) -> str:
+    """Renders ONLY ``rounded=True`` with a named right-side table — the
+    default unrounded fit stays the documented exclusion. Same composition
+    as the similarity_search_ivf renderer with the fit over ``other`` and
+    the probes over every left row."""
+    from ..errors import TransformRenderingException
+    from .cluster import _dot_sql, _kmeans_render_parts, _unit_norm_sql
+
+    if not rounded or index is not None or other in (None, "<dataframe>"):
+        raise TransformRenderingException(
+            "embedding_join_ivf is SQL-renderable only with rounded=True "
+            "and a named right-side table (the default unrounded contract "
+            "would be ULP-flaky in replay; a prebuilt index is an external "
+            "artifact)"
+        )
+    if isinstance(num_centroids, str) or isinstance(nprobe, str):
+        raise TransformRenderingException(
+            "auto sizing resolves from the corpus count at run time; pass "
+            "explicit num_centroids/nprobe to render"
+        )
+    if round_scores is None:
+        raise ParameterException("rounded=True requires an int round_scores")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    nv, kcents, kassign = _kmeans_render_parts(
+        other, other_vec or vec_col, other_id or id_col, num_centroids, 1,
+        round_scores, "embedding_join_ivf",
+    )
+    qnv = _unit_norm_sql(vec_col, id_col, source)
+    sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_scores)})"
+    mid = f"{right_prefix}ID"
+    ctes = [
+        f"__ivf_cents AS (SELECT c, v FROM {kcents})",
+        f"__ivf_asg AS (SELECT __id, c FROM {kassign('__ivf_cents')})",
+        (
+            f"__ivf_q AS (SELECT __id AS qid, __u FROM {qnv} __ivf_qnv)"
+        ),
+        (
+            f"__ivf_probe AS (SELECT __id AS qid, c FROM (SELECT t.__id, "
+            f"s.c, ROW_NUMBER() OVER (PARTITION BY t.__id ORDER BY {sim} "
+            f"DESC, s.c ASC) AS rn FROM (SELECT qid AS __id, __u "
+            f"FROM __ivf_q) t CROSS JOIN __ivf_cents s) "
+            f"WHERE rn <= {int(nprobe)})"
+        ),
+    ]
+    cos = f"round({_dot_sql('q.__u', 't.__u')}, {int(round_scores)})"
+    scored = (
+        f"SELECT p.qid AS __qid, t.__id AS {mid}, {cos} AS COSINE "
+        f"FROM {nv} t JOIN __ivf_asg a ON a.__id = t.__id "
+        f"JOIN __ivf_probe p ON p.c = a.c "
+        f"JOIN __ivf_q q ON q.qid = p.qid "
+        f"WHERE t.__id <> p.qid"
+    )
+    ranked = (
+        f"SELECT __qid, {mid}, COSINE, RANK FROM ("
+        f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY __qid "
+        f"ORDER BY COSINE DESC, {mid} ASC) AS INT) AS RANK "
+        f"FROM ({scored})) WHERE RANK <= {int(k)}"
+    )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(ctes)
+        + f" SELECT s.*, m.{mid}, m.COSINE, m.RANK FROM {source} s "
+        f"JOIN ({ranked}) m ON m.__qid = s.{id_col}) __rivfj_out"
+    )
+
+
 @spark_transform("dedup_against_embedding", category="dedup", streaming_ok=False)
 def dedup_against_embedding(
     df: DataFrame,
@@ -547,7 +700,11 @@ def dedup_against_embedding(
     nprobe: int | str = "auto",
     mode: str = "filter",
     round_scores: int | None = 6,
-    index: "IVFIndex | None" = None,
+    index=None,
+    pq_m: int = 4,
+    pq_codebook_size: int = 8,
+    pq_iterations: int = 1,
+    residual: bool = False,
 ) -> DataFrame:
     """Incremental SEMANTIC dedup: drop (mode='filter') or score
     (mode='pairs') batch rows whose embedding is near-identical (cosine >=
@@ -574,11 +731,26 @@ def dedup_against_embedding(
     If both ``reference`` and ``index`` are passed, the reference row
     count is checked against the index's ``n_docs`` fingerprint (same
     staleness contract as dedup_against + MinHashIndex).
+
+    method='ivfpq' (billion-vector regime): candidates come from the same
+    probe shape as 'ivf', but the reference side is an :class:`~.pq.
+    IVFPQIndex` — the batch-vs-corpus check reads ``m`` small-int PQ codes
+    per candidate instead of the full vector (a 64-d float64 corpus scans
+    64x fewer bytes), the memory-bounded form incremental semantic dedup
+    needs once the accepted corpus outgrows executor memory. Scores are
+    ADC approximations of cosine (still reported in the ``COSINE`` column
+    for mode-uniformity); the whole path keeps the rounded exact-replay
+    contract of ``similarity_search_ivfpq`` (``round_scores`` is the
+    contract's rounding and must not be None), so it carries a full hash
+    oracle. ``pq_m``/``pq_codebook_size``/``pq_iterations``/``residual``
+    size the inline PQ fit; a prebuilt ``index`` (``ivfpq_index`` /
+    ``load_ivfpq_index``, foldable with ``update_ivfpq_index``) amortizes
+    both fits so per-batch cost is independent of reference size.
     """
     if mode not in ("filter", "pairs"):
         raise ParameterException("mode must be 'filter' or 'pairs'")
-    if method not in ("brute", "ivf"):
-        raise ParameterException("method must be 'brute' or 'ivf'")
+    if method not in ("brute", "ivf", "ivfpq"):
+        raise ParameterException("method must be 'brute', 'ivf' or 'ivfpq'")
     if reference is None and index is None:
         raise ParameterException(
             "dedup_against_embedding needs a reference frame or a prebuilt "
@@ -609,8 +781,82 @@ def dedup_against_embedding(
             cos = F.round(cos, round_scores)
         scored = r.crossJoin(F.broadcast(q)).withColumn("__cos", cos)
         matches = scored.filter(F.col("__cos") >= threshold)
+    elif method == "ivfpq":
+        from .pq import (
+            IVFPQIndex, _adc_pair_score, _cent_vec_of_cid,
+            _probe_lists_rounded, ivfpq_index,
+        )
+        from .cluster import _unit_rounded
+
+        if round_scores is None:
+            raise ParameterException(
+                "method='ivfpq' scores by the rounded replay contract; "
+                "round_scores must be an int"
+            )
+        if index is not None:
+            if not isinstance(index, IVFPQIndex):
+                raise ParameterException(
+                    "method='ivfpq' takes an IVFPQIndex (build with "
+                    "ivfpq_index / load_ivfpq_index); got "
+                    f"{type(index).__name__}"
+                )
+            if reference is not None and index.n_docs is not None:
+                rc = reference.count()
+                if rc != index.n_docs:
+                    raise ParameterException(
+                        f"IVFPQIndex was built over {index.n_docs} reference "
+                        f"vectors but the passed reference has {rc} — fold "
+                        "the new vectors in with update_ivfpq_index or rebuild"
+                    )
+            pidx, cached = index, None
+        else:
+            rv = resolve_col(reference, ref_vec or vec_col)
+            ri = resolve_col(reference, ref_id or id_col)
+            kc = (
+                num_centroids if isinstance(num_centroids, int)
+                else _resolve_k(num_centroids, reference.count())
+            )
+            pidx = ivfpq_index(
+                reference, rv, ri, num_centroids=kc, coarse_iterations=1,
+                m=pq_m, codebook_size=pq_codebook_size,
+                iterations=pq_iterations, round_to=round_scores,
+                residual=residual,
+            )
+            cached = pidx.frame
+        first = df.select(F.size(F.col(v)).alias("d")).first()
+        if first is not None and int(first["d"]) != pidx.m * pidx.d_sub:
+            raise ParameterException(
+                f"batch vectors have dim {int(first['d'])} but the index "
+                f"covers dim {pidx.m * pidx.d_sub} (m={pidx.m} x "
+                f"d_sub={pidx.d_sub})"
+            )
+        nprobe = _resolve_nprobe(nprobe, len(pidx.centroids))
+        q = _unit_rounded(
+            df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
+            "__qvec", "__qu",
+        ).select("__qid", "__qu")
+        probes = _probe_lists_rounded(
+            q, pidx.centroids, nprobe, "__qid", "__qu", pidx.round_to
+        )
+        cand = pidx.frame
+        if pidx.residual:
+            cand = _cent_vec_of_cid(cand, pidx.centroids)
+        keep = ["__cid", "__codes"] + (["__cv"] if pidx.residual else [])
+        scored = (
+            cand.select(F.col("__id").alias("__rid"), *keep)
+            # batch is the small side by the operator's contract — the
+            # reference/PQ frame never shuffles
+            .join(F.broadcast(probes), on="__cid")
+            .withColumn("__cos", _adc_pair_score(pidx, "__qu"))
+        )
+        matches = scored.filter(F.col("__cos") >= threshold)
     else:
         if index is not None:
+            if not isinstance(index, IVFIndex):
+                raise ParameterException(
+                    "method='ivf' takes an IVFIndex (build with ivf_index "
+                    f"/ load_ivf_index); got {type(index).__name__}"
+                )
             if reference is not None and index.n_docs is not None:
                 rc = reference.count()
                 if rc != index.n_docs:
@@ -731,15 +977,17 @@ def _nvec_subquery_sql(table, id_expr, vec_expr, id_alias, vec_alias) -> str:
 def _r_dedup_against_embedding(
     source, vec_col, id_col, reference=None, ref_vec=None, ref_id=None,
     threshold=0.9, method="brute", num_centroids="auto", nprobe="auto",
-    mode="filter", round_scores=6, index=None,
+    mode="filter", round_scores=6, index=None, pq_m=4, pq_codebook_size=8,
+    pq_iterations=1, residual=False,
 ) -> str:
     from ..errors import TransformRenderingException
 
     if method != "brute" or index is not None or reference is None:
         raise TransformRenderingException(
             "dedup_against_embedding is SQL-renderable only for "
-            "method='brute' with a reference table (the IVF path is a "
-            "multi-stage fit + probe join)"
+            "method='brute' with a reference table (the IVF/IVF-PQ paths "
+            "are multi-stage fit + probe joins; the ivfpq replay is "
+            "exercised by its DuckDB gate oracle instead)"
         )
     q = _nvec_subquery_sql(source, id_col, vec_col, "__qid", "__qn")
     r = _nvec_subquery_sql(
@@ -773,6 +1021,7 @@ def similarity_search_ivf(
     num_centroids: int | str = "auto",
     nprobe: int | str = "auto",
     round_scores: int | None = 6,
+    rounded: bool = False,
     index: "IVFIndex | None" = None,
 ) -> DataFrame:
     """ANN top-k via an IVF index: queries probe their ``nprobe`` nearest
@@ -790,7 +1039,32 @@ def similarity_search_ivf(
 
     Pass a prebuilt ``index`` (from ``ivf_index``) to skip the build phase
     entirely — the amortized production path; results are identical to the
-    inline build with the same parameters."""
+    inline build with the same parameters.
+
+    ``rounded=True`` (round 9, opt-in) swaps the unrounded fit for the
+    kmeans_cluster rounded-determinism contract (9-dp unit vectors and
+    centroid components, ``round_scores``-dp argmax/probe comparisons), so
+    the whole search replays exactly in SQL: this mode has a ``.sql()``
+    renderer and a DuckDB hash oracle — for users who need dbt/SQL parity
+    on an ANN search. The default stays unrounded (marginally better
+    centroids, no replay). Rounded mode is inline-only (``index`` must be
+    None — IVFIndex artifacts store the unrounded fit) and one Lloyd pass,
+    matching the inline build."""
+    if rounded:
+        if index is not None:
+            raise ParameterException(
+                "rounded=True is the replayable inline mode; prebuilt "
+                "IVFIndex artifacts hold the unrounded fit"
+            )
+        if round_scores is None:
+            raise ParameterException(
+                "rounded=True scores by the rounded replay contract; "
+                "round_scores must be an int"
+            )
+        return _similarity_search_ivf_rounded(
+            df, vec_col, id_col, query_ids, k, num_centroids, nprobe,
+            round_scores,
+        )
     if index is not None:
         idx, cents, cached = index.frame, index.centroids, None
     else:
@@ -821,6 +1095,128 @@ def similarity_search_ivf(
         .select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
     )
     return out if cached is None else release_with(out, cached)
+
+
+def _similarity_search_ivf_rounded(df, vec_col, id_col, query_ids, k,
+                                   num_centroids, nprobe, round_to):
+    """The replayable IVF search: rounded kmeans fit (shared _fit_kmeans
+    contract, one Lloyd pass like the inline unrounded build), rounded
+    probe ranking, rounded dot scoring. Same plan shape as the unrounded
+    path — persisted normalized corpus, broadcast probe frame, one
+    candidate window — so the 100 TB properties carry over unchanged."""
+    from .cluster import _fit_kmeans, _unit_rounded
+    from .cluster import _assign_expr as _rounded_assign
+    from .pq import _probe_lists_rounded
+
+    if not query_ids:
+        raise ParameterException("query_ids must be non-empty")
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    cached = scoped_persist(_unit_rounded(
+        spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
+        "__vec",
+    ))
+    kc = (
+        _resolve_k(num_centroids, cached.count())
+        if isinstance(num_centroids, str) else _resolve_k(num_centroids, 0)
+    )
+    cents = _fit_kmeans(cached, kc, 1, round_to)
+    nprobe = _resolve_nprobe(nprobe, len(cents))
+    abase, carr, _ad = _attach_centroids(cached, cents)
+    asg = abase.withColumn("__cid", _rounded_assign(carr, round_to)).select(
+        "__id", "__u", "__cid"
+    )
+    qdf = asg.filter(F.col("__id").isin(list(query_ids))).select(
+        F.col("__id").alias("QUERY_ID"), F.col("__u").alias("__qu")
+    )
+    probes = _probe_lists_rounded(
+        qdf, cents, nprobe, "QUERY_ID", "__qu", round_to
+    )
+    scored = (
+        asg.select(F.col("__id").alias("MATCH_ID"), "__u", "__cid")
+        .join(F.broadcast(probes), on="__cid")
+        .filter(F.col("QUERY_ID") != F.col("MATCH_ID"))
+        .withColumn("COSINE", F.round(_dot(F.col("__qu"), F.col("__u")), round_to))
+    )
+    w = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("COSINE").desc(), F.col("MATCH_ID").asc()
+    )
+    out = (
+        scored.withColumn("RANK", F.row_number().over(w))
+        .filter(F.col("RANK") <= k)
+        .select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
+    )
+    return release_with(out, cached)
+
+
+@renderer("similarity_search_ivf")
+def _r_similarity_search_ivf(source, vec_col, id_col, query_ids, k=10,
+                             num_centroids="auto", nprobe="auto",
+                             round_scores=6, rounded=False,
+                             index=None) -> str:
+    """Renders ONLY the opt-in ``rounded=True`` contract (round 9): the
+    default mode fits unrounded centroids, whose SQL replay would be
+    ULP-flaky — the family's long-documented renderer exclusion. The
+    rounded replay composes the kmeans_cluster renderer chains (one Lloyd
+    pass, matching the inline build) with the probe ranking and a rounded
+    dot scan over probed lists."""
+    from ..errors import TransformRenderingException
+    from .cluster import _dot_sql, _kmeans_render_parts
+
+    if not rounded or index is not None:
+        raise TransformRenderingException(
+            "similarity_search_ivf is SQL-renderable only with "
+            "rounded=True and an inline fit (the default unrounded "
+            "contract would be ULP-flaky in replay; a prebuilt index is "
+            "an external artifact)"
+        )
+    if isinstance(num_centroids, str) or isinstance(nprobe, str):
+        raise TransformRenderingException(
+            "auto sizing resolves from the corpus count at run time; pass "
+            "explicit num_centroids/nprobe to render"
+        )
+    if round_scores is None:
+        raise ParameterException(
+            "rounded=True requires an int round_scores"
+        )
+    if not query_ids:
+        raise ParameterException("query_ids must be non-empty")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    nv, kcents, kassign = _kmeans_render_parts(
+        source, vec_col, id_col, num_centroids, 1, round_scores,
+        "similarity_search_ivf",
+    )
+    qlist = ", ".join(str(int(q)) for q in query_ids)
+    sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_scores)})"
+    ctes = [
+        f"__ivf_cents AS (SELECT c, v FROM {kcents})",
+        f"__ivf_asg AS (SELECT __id, c FROM {kassign('__ivf_cents')})",
+        (
+            f"__ivf_probe AS (SELECT __id AS qid, c FROM (SELECT t.__id, "
+            f"s.c, ROW_NUMBER() OVER (PARTITION BY t.__id ORDER BY {sim} "
+            f"DESC, s.c ASC) AS rn FROM {nv} t CROSS JOIN __ivf_cents s "
+            f"WHERE t.__id IN ({qlist})) WHERE rn <= {int(nprobe)})"
+        ),
+        (
+            f"__ivf_q AS (SELECT __id AS qid, __u FROM {nv} __ivf_qnv "
+            f"WHERE __id IN ({qlist}))"
+        ),
+    ]
+    cos = f"round({_dot_sql('q.__u', 't.__u')}, {int(round_scores)})"
+    scored = (
+        f"SELECT p.qid AS QUERY_ID, t.__id AS MATCH_ID, {cos} AS COSINE "
+        f"FROM {nv} t JOIN __ivf_asg a ON a.__id = t.__id "
+        f"JOIN __ivf_probe p ON p.c = a.c "
+        f"JOIN __ivf_q q ON q.qid = p.qid "
+        f"WHERE t.__id <> p.qid"
+    )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(ctes)
+        + f" SELECT QUERY_ID, MATCH_ID, COSINE, RANK FROM ("
+        f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        f"ORDER BY COSINE DESC, MATCH_ID ASC) AS INT) AS RANK "
+        f"FROM ({scored})) WHERE RANK <= {int(k)}) __rivf_out"
+    )
 
 
 @spark_transform("knn_classify", category="similarity", streaming_ok=False)

@@ -1,0 +1,252 @@
+"""Round-9 additions: residual IVFADC (Jégou et al. 2011 §III), the IVF-PQ
+incremental dedup path (dedup_against_embedding method='ivfpq'), and the
+geometry/type guards around the two-index-class API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasgoql_spark.errors import ParameterException
+from rasgoql_spark.functions.pq import (
+    IVFPQIndex,
+    ivfpq_index,
+    load_ivfpq_index,
+    save_ivfpq_index,
+    similarity_search_ivfpq,
+    update_ivfpq_index,
+)
+from rasgoql_spark.functions.similarity import (
+    dedup_against_embedding,
+    ivf_index,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_dedup_ivfpq_degenerate_pq_equals_brute(emb):
+    """With codebook_size >= |reference| and iterations=0, every reference
+    subvector is its own seed codebook entry, so PQ reconstruction is exact
+    and — at full probe — the ADC pairs equal the brute cosine pairs
+    bit-for-bit. Pins the whole probe+ADC pipeline to the exact baseline."""
+    ref = emb.filter("vec_id < 40")
+    batch = emb.filter("vec_id >= 480")
+    approx = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, threshold=0.2,
+        method="ivfpq", num_centroids=4, nprobe=4, mode="pairs",
+        pq_m=4, pq_codebook_size=40, pq_iterations=0,
+    )
+    brute = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, threshold=0.2,
+        method="brute", mode="pairs",
+    )
+    a = {(r["ID"], r["REF_ID"]): r["COSINE"] for r in approx.collect()}
+    b = {(r["ID"], r["REF_ID"]): r["COSINE"] for r in brute.collect()}
+    assert a.keys() == b.keys() and a
+    assert all(a[k] == b[k] for k in a)
+
+
+def test_dedup_ivfpq_filter_drops_flagged(emb):
+    ref = emb.filter("vec_id < 450")
+    batch = emb.filter("vec_id >= 450")
+    pairs = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, threshold=0.3,
+        method="ivfpq", num_centroids=8, nprobe=3, mode="pairs",
+        pq_m=8, pq_codebook_size=16, pq_iterations=0,
+    )
+    kept = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, threshold=0.3,
+        method="ivfpq", num_centroids=8, nprobe=3, mode="filter",
+        pq_m=8, pq_codebook_size=16, pq_iterations=0,
+    )
+    flagged = {r["ID"] for r in pairs.select("ID").distinct().collect()}
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert kept_ids == all_ids - flagged
+    assert kept.columns == batch.columns
+
+
+def test_dedup_ivfpq_prebuilt_matches_inline(emb):
+    ref = emb.filter("vec_id < 450")
+    batch = emb.filter("vec_id >= 450")
+    kw = dict(threshold=0.3, method="ivfpq", nprobe=3, mode="pairs")
+    inline = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, num_centroids=8,
+        pq_m=8, pq_codebook_size=16, pq_iterations=0, **kw,
+    )
+    idx = ivfpq_index(
+        ref, "embedding", "vec_id", num_centroids=8, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=0,
+    )
+    pre = dedup_against_embedding(
+        batch, "embedding", "vec_id", index=idx, **kw,
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, pre.collect()))
+    idx.release()
+
+
+def test_residual_search_inline_matches_prebuilt(emb):
+    kw = dict(num_centroids=8, coarse_iterations=1, m=8,
+              codebook_size=16, iterations=0)
+    idx = ivfpq_index(emb, "embedding", "vec_id", residual=True, **kw)
+    s1 = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=3,
+        residual=True, **kw,
+    )
+    s2 = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=3, index=idx,
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    idx.release()
+
+
+def test_residual_improves_recall_with_trained_coarse(emb):
+    """Residual coding spends the PQ budget on the within-list spread —
+    the recall argument for the IVFADC formulation. The win is conditional
+    on a CONVERGED coarse quantizer (3 Lloyd passes here): with a 1-pass
+    coarse fit the residuals are miscentered and plain PQ matches or beats
+    residual on this corpus (measured, round 9 — see SCALING.md). Top-10
+    overlap with the exact ranking at full probe, so probe choice is not
+    a factor; everything is deterministic, so the margin is stable."""
+    from rasgoql_spark.functions.similarity import similarity_search
+
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity_search(
+        emb, "embedding", "vec_id", query_ids=qids, k=10, method="brute",
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["QUERY_ID"], set()).add(r["MATCH_ID"])
+
+    def recall(residual):
+        res = similarity_search_ivfpq(
+            emb, "embedding", "vec_id", qids, k=10, num_centroids=10,
+            nprobe=10, coarse_iterations=3, m=16, codebook_size=16,
+            iterations=2, residual=residual,
+        )
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["QUERY_ID"], set()).add(r["MATCH_ID"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(truth[q]) for q in truth)
+
+    r_res, r_plain = recall(True), recall(False)
+    assert r_res > r_plain
+    assert r_res >= 0.5  # measured 0.54 vs 0.48 on this corpus
+
+
+def test_residual_save_load_roundtrip(emb, tmp_path):
+    idx = ivfpq_index(
+        emb, "embedding", "vec_id", num_centroids=8, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=0, residual=True,
+    )
+    path = str(tmp_path / "ivfpq_res")
+    save_ivfpq_index(idx, path)
+    loaded = load_ivfpq_index(emb.sparkSession, path)
+    assert loaded.residual is True
+    a = similarity_search_ivfpq(emb, "embedding", "vec_id", [7, 8], k=5, index=idx)
+    b = similarity_search_ivfpq(emb, "embedding", "vec_id", [7, 8], k=5, index=loaded)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    idx.release()
+    loaded.release()
+
+
+def test_residual_update_encodes_duplicate_identically(emb):
+    """A folded-in vector identical to an indexed one must land in the same
+    list with the same PQ codes — catches an update path that forgets the
+    residual subtraction (raw-vector codes would differ)."""
+    ref = emb.filter("vec_id < 200")
+    idx = ivfpq_index(
+        ref, "embedding", "vec_id", num_centroids=8, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=0, residual=True,
+    )
+    dup = ref.filter("vec_id = 5").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    idx2 = update_ivfpq_index(idx, dup, "embedding", "vec_id")
+    rows = {
+        int(r["__id"]): (int(r["__cid"]), list(r["__codes"]))
+        for r in idx2.frame.filter("__id in (5, 100005)").collect()
+    }
+    assert rows[5] == rows[100005]
+    assert idx2.residual is True and idx2.n_docs == 201
+    idx.release()
+    idx2.release()
+
+
+def test_update_ivfpq_dim_guard(emb):
+    idx = ivfpq_index(emb.filter("vec_id < 100"), "embedding", "vec_id")
+    bad = emb.filter("vec_id >= 100 AND vec_id < 110").withColumn(
+        "embedding", F.slice("embedding", 1, 32)
+    )
+    with pytest.raises(ParameterException, match="dim 32"):
+        update_ivfpq_index(idx, bad, "embedding", "vec_id")
+    idx.release()
+
+
+def test_dedup_ivfpq_batch_dim_guard(emb):
+    idx = ivfpq_index(emb.filter("vec_id < 100"), "embedding", "vec_id")
+    bad = emb.filter("vec_id >= 100").withColumn(
+        "embedding", F.slice("embedding", 1, 16)
+    )
+    with pytest.raises(ParameterException, match="dim 16"):
+        dedup_against_embedding(
+            bad, "embedding", "vec_id", index=idx, method="ivfpq",
+            mode="pairs",
+        ).collect()
+    idx.release()
+
+
+def test_index_type_guards(emb):
+    small = emb.filter("vec_id < 50")
+    pq_idx = ivfpq_index(small, "embedding", "vec_id")
+    ivf_idx = ivf_index(small, "embedding", "vec_id", num_centroids=4)
+    with pytest.raises(ParameterException, match="IVFPQIndex"):
+        dedup_against_embedding(
+            small, "embedding", "vec_id", index=ivf_idx, method="ivfpq",
+        )
+    with pytest.raises(ParameterException, match="IVFIndex"):
+        dedup_against_embedding(
+            small, "embedding", "vec_id", index=pq_idx, method="ivf",
+        )
+    with pytest.raises(ParameterException, match="round_scores"):
+        dedup_against_embedding(
+            small, "embedding", "vec_id", index=pq_idx, method="ivfpq",
+            round_scores=None,
+        )
+    pq_idx.release()
+    ivf_idx.release()
+
+
+def test_dedup_ivfpq_stale_index_fingerprint(emb):
+    ref = emb.filter("vec_id < 100")
+    idx = ivfpq_index(ref, "embedding", "vec_id")
+    grown = emb.filter("vec_id < 150")
+    with pytest.raises(ParameterException, match="fold the new vectors"):
+        dedup_against_embedding(
+            emb.filter("vec_id >= 450"), "embedding", "vec_id",
+            reference=grown, index=idx, method="ivfpq",
+        )
+    idx.release()
+
+
+def test_residual_renderer_parity(emb, spark):
+    """Rendered SQL (Spark dialect) executes to the exact DataFrame result
+    for residual=True — the composed coarse-fit + residual-PQ replay."""
+    from rasgoql_spark.functions.pq import _r_similarity_search_ivfpq
+
+    emb.createOrReplaceTempView("__r9_emb")
+    kw = dict(query_ids=[0, 1, 2], k=8, num_centroids=8, nprobe=3,
+              coarse_iterations=1, m=4, codebook_size=8, iterations=1)
+    df_res = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", residual=True, **kw,
+    )
+    sql = _r_similarity_search_ivfpq(
+        "__r9_emb", "embedding", "vec_id", residual=True, **kw,
+    )
+    assert sorted(map(tuple, df_res.collect())) == sorted(
+        map(tuple, spark.sql(sql).collect())
+    )

@@ -573,6 +573,70 @@ def test_similarity_search_ivfpq_renderer_matches_execution(session, spark):
     assert via_sql.exceptAll(via_df).count() == 0
 
 
+def test_similarity_search_ivfpq_residual_renderer_matches_execution(session, spark):
+    """Round 9: the residual IVFADC replay — coarse fit, residual PQ
+    chains, and the coarse term leading the left-associated ADC sum —
+    must reproduce the DataFrame path exactly."""
+    chain = session.dataset("embeddings").similarity_search_ivfpq(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2], k=10,
+        num_centroids=4, nprobe=2, m=4, codebook_size=8, iterations=1,
+        residual=True)
+    session.dataset("embeddings").df.createOrReplaceTempView("embeddings")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
+
+
+def test_similarity_search_ivf_rounded_renderer_matches_execution(session, spark):
+    """Round 9: the opt-in rounded=True replay of the production IVF
+    search (the unrounded default stays render-excluded)."""
+    import rasgoql_spark as rql
+
+    chain = session.dataset("embeddings").similarity_search_ivf(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2], k=8,
+        num_centroids=8, nprobe=3, rounded=True)
+    session.dataset("embeddings").df.createOrReplaceTempView("embeddings")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
+    # the unrounded default and auto sizing stay principled exclusions
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("embeddings").similarity_search_ivf(
+            vec_col="embedding", id_col="vec_id", query_ids=[0],
+            num_centroids=8, nprobe=3).sql()
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("embeddings").similarity_search_ivf(
+            vec_col="embedding", id_col="vec_id", query_ids=[0],
+            rounded=True).sql()
+
+
+def test_embedding_join_ivf_rounded_renderer_matches_execution(session, spark):
+    """Round 9: the rounded=True replay of the ANN join, right side as a
+    chain subquery."""
+    import rasgoql_spark as rql
+
+    right = session.dataset("embeddings").filter(
+        filter_statements=["vec_id < 250"])
+    chain = session.dataset("embeddings").filter(
+        filter_statements=["vec_id >= 250"]
+    ).embedding_join_ivf(
+        vec_col="embedding", id_col="vec_id", other=right, k=2,
+        num_centroids=8, nprobe=3, rounded=True)
+    session.dataset("embeddings").df.createOrReplaceTempView("embeddings")
+    via_sql = spark.sql(chain.sql())
+    via_df = chain.df
+    assert via_sql.columns == via_df.columns
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_sql.exceptAll(via_df).count() == 0
+    with pytest.raises(rql.TransformRenderingException):
+        session.dataset("embeddings").embedding_join_ivf(
+            vec_col="embedding", id_col="vec_id", other=right, k=2).sql()
+
+
 def test_classifier_eval_renderer_matches_execution(session, spark):
     chain = (
         session.dataset("embeddings")
