@@ -450,11 +450,13 @@ def stream_dedup_against(
 
     The reference side is a static frame or (the amortized path) a prebuilt
     index — ``dedup.MinHashIndex`` for near-dup LSH, ``bloom.BloomIndex``
-    for exact-content membership, or ``similarity.IVFIndex`` for SEMANTIC
+    for exact-content membership, ``similarity.IVFIndex`` for SEMANTIC
     dedup over an embedding column (pass the embedding column name as
     ``text`` and a cosine ``threshold``; batch probes ``nprobe`` inverted
-    lists per row via ``dedup_against_embedding``). All three are
-    persistable/loadable as parquet
+    lists per row via ``dedup_against_embedding``), or ``pq.IVFPQIndex``
+    for the memory-bounded semantic form (candidate scans read m small-int
+    PQ codes instead of full vectors — the billion-vector-corpus regime).
+    All four are persistable/loadable as parquet
     artifacts, so the per-batch cost is independent of corpus size. This
     runs via ``foreachBatch`` because the banded-LSH / bloom-confirm
     pipelines are multi-stage batch plans a stream-static join cannot
@@ -476,6 +478,7 @@ def stream_dedup_against(
     """
     from ..functions.bloom import BloomIndex, dedup_against_bloom
     from ..functions.dedup import MinHashIndex, dedup_against
+    from ..functions.pq import IVFPQIndex
     from ..functions.similarity import IVFIndex, dedup_against_embedding
 
     if not df.isStreaming:
@@ -486,13 +489,37 @@ def stream_dedup_against(
     if (sink_path is None) == (sink_table is None):
         raise ParameterException("pass exactly one of sink_path / sink_table")
     if index is not None and not isinstance(
-        index, (MinHashIndex, BloomIndex, IVFIndex)
+        index, (MinHashIndex, BloomIndex, IVFIndex, IVFPQIndex)
     ):
         raise ParameterException(
-            f"index must be a MinHashIndex, BloomIndex or IVFIndex, got "
-            f"{type(index).__name__}"
+            f"index must be a MinHashIndex, BloomIndex, IVFIndex or "
+            f"IVFPQIndex, got {type(index).__name__}"
         )
-    if isinstance(index, IVFIndex):
+    if isinstance(index, IVFPQIndex):
+        # round 9: the memory-bounded semantic path — per-batch candidate
+        # scans read m small-int PQ codes instead of full vectors, so the
+        # crawl-ingest loop stays cheap as the accepted corpus grows into
+        # the billion-vector regime; fold accepted docs back with
+        # update_ivfpq_index on the corpus-refresh cadence
+        if method not in (None, "ivfpq"):
+            raise ParameterException(
+                f"method={method!r} conflicts with an IVFPQIndex"
+            )
+        if reference is not None and index.n_docs is not None:
+            rc = reference.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"IVFPQIndex was built over {index.n_docs} reference "
+                    f"vectors but the passed reference has {rc} — fold the "
+                    "new vectors in with update_ivfpq_index or rebuild"
+                )
+
+        def clean(b: DataFrame) -> DataFrame:
+            return dedup_against_embedding(
+                b, vec_col=text, id_col=id_col, method="ivfpq", index=index,
+                threshold=threshold, nprobe=nprobe, mode="filter",
+            )
+    elif isinstance(index, IVFIndex):
         if method not in (None, "embedding", "semantic"):
             raise ParameterException(
                 f"method={method!r} conflicts with an IVFIndex"

@@ -712,6 +712,95 @@ def test_stream_dedup_against_ivf_index(spark, tmp_path_factory):
         idx.release()
 
 
+def test_stream_dedup_against_ivfpq_index(spark, tmp_path_factory):
+    """Round 9: the memory-bounded streaming semantic path — micro-batches
+    dedup against a prebuilt IVF-PQ index (candidates scanned as m
+    small-int codes). With codebook_size >= |reference| and iterations=0
+    the PQ reconstruction is exact, so the drop/keep decisions equal the
+    exact-cosine path (the degenerate-PQ pin); replay from a fresh
+    checkpoint over the same input reproduces the sink exactly
+    (idempotent path sink). Fold-in with update_ivfpq_index keeps the
+    stream's next batches checking against the grown corpus."""
+    from rasgoql_spark.functions.pq import ivfpq_index, update_ivfpq_index
+    from rasgoql_spark.functions.similarity import dedup_against_embedding
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdaivfpq")
+    ref = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(10, [0.999, 0.001, 0.0, 0.0]),      # ~ref 0 -> drops
+         (11, [0.5, 0.5, 0.5, 0.5])],         # novel -> kept
+        "vec_id long, embedding array<double>")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    mk = lambda: spark.readStream.schema(  # noqa: E731
+        "vec_id long, embedding array<double>").parquet(src)
+    idx = ivfpq_index(
+        ref, "embedding", "vec_id", num_centroids=2, m=2, codebook_size=4,
+        iterations=0)
+    try:
+        q = stream_dedup_against(
+            mk(), "embedding", "vec_id", checkpoint=str(tmp / "c"),
+            sink_path=str(tmp / "out"), index=idx, threshold=0.99, nprobe=2)
+        q.awaitTermination(120)
+        got = {r["vec_id"] for r in spark.read.parquet(str(tmp / "out")).collect()}
+        assert got == {11}
+        # replay idempotency: fresh checkpoint, same input, same sink
+        q2 = stream_dedup_against(
+            mk(), "embedding", "vec_id", checkpoint=str(tmp / "c_replay"),
+            sink_path=str(tmp / "out"), index=idx, threshold=0.99, nprobe=2)
+        q2.awaitTermination(120)
+        got2 = {r["vec_id"] for r in spark.read.parquet(str(tmp / "out")).collect()}
+        assert got2 == {11}
+        # method validation + stale-reference guard fire before .start()
+        import pytest as _pytest
+
+        from rasgoql_spark.errors import ParameterException
+        with _pytest.raises(ParameterException, match="conflicts"):
+            stream_dedup_against(
+                mk(), "embedding", "vec_id", checkpoint=str(tmp / "cx"),
+                sink_path=str(tmp / "ox"), index=idx, method="minhash")
+        with _pytest.raises(ParameterException, match="fold the new"):
+            stream_dedup_against(
+                mk(), "embedding", "vec_id", checkpoint=str(tmp / "cy"),
+                sink_path=str(tmp / "oy"), index=idx, reference=ref.limit(1))
+        # corpus-refresh: fold the accepted novel doc in. The build-time
+        # codebooks cannot represent the novel direction (the documented
+        # no-refit drift trade — rebuild on the major-refresh cadence), so
+        # a later duplicate of it scores only ADC 0.5 and passes this
+        # threshold; what the fold-in DOES guarantee is registration
+        # (n_docs grows, the row is scanned as a candidate) and exact
+        # near-ref batches still drop against the grown index.
+        accepted = spark.createDataFrame(
+            [(11, [0.5, 0.5, 0.5, 0.5])], "vec_id long, embedding array<double>")
+        idx2 = update_ivfpq_index(idx, accepted, "embedding", "vec_id")
+        assert idx2.n_docs == 5
+        batch2 = spark.createDataFrame(
+            [(20, [0.5, 0.5, 0.5, 0.5]),      # dup of folded-in 11: kept
+             (21, [0.0, 0.0, 0.0, 1.0])],     # == ref 3 -> drops
+            "vec_id long, embedding array<double>")
+        src2 = str(tmp / "in2")
+        batch2.write.parquet(src2)
+        sdf2 = spark.readStream.schema(
+            "vec_id long, embedding array<double>").parquet(src2)
+        q3 = stream_dedup_against(
+            sdf2, "embedding", "vec_id", checkpoint=str(tmp / "c2"),
+            sink_path=str(tmp / "out2"), index=idx2, threshold=0.99, nprobe=2)
+        q3.awaitTermination(120)
+        got3 = {r["vec_id"] for r in spark.read.parquet(str(tmp / "out2")).collect()}
+        assert got3 == {20}
+        # ...and the folded-in row IS a scanned candidate for its dup
+        pairs = dedup_against_embedding(
+            batch2, vec_col="embedding", id_col="vec_id", index=idx2,
+            method="ivfpq", threshold=0.45, nprobe=2, mode="pairs")
+        assert (11 in {r["REF_ID"] for r in pairs.collect()
+                       if r["ID"] == 20})
+    finally:
+        idx.release()
+
+
 def test_stream_table_sink_guards_and_empty_replay(spark, tmp_path_factory):
     """Two exactly-once corner cases: (a) a pre-existing NON-partitioned
     sink table is refused loudly (dynamic overwrite would silently
