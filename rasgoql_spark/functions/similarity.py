@@ -783,7 +783,7 @@ def dedup_against_embedding(
         matches = scored.filter(F.col("__cos") >= threshold)
     elif method == "ivfpq":
         from .pq import (
-            IVFPQIndex, _adc_pair_score, _cent_vec_of_cid,
+            IVFPQIndex, _adc_pair_score, _adc_probe_frame,
             _probe_lists_rounded, ivfpq_index,
         )
         from .cluster import _unit_rounded
@@ -835,19 +835,19 @@ def dedup_against_embedding(
             df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
             "__qvec", "__qu",
         ).select("__qid", "__qu")
-        probes = _probe_lists_rounded(
-            q, pidx.centroids, nprobe, "__qid", "__qu", pidx.round_to
+        probes = _adc_probe_frame(
+            _probe_lists_rounded(
+                q, pidx.centroids, nprobe, "__qid", "__qu", pidx.round_to
+            ),
+            pidx, "__qu",
         )
-        cand = pidx.frame
-        if pidx.residual:
-            cand = _cent_vec_of_cid(cand, pidx.centroids)
-        keep = ["__cid", "__codes"] + (["__cv"] if pidx.residual else [])
         scored = (
-            cand.select(F.col("__id").alias("__rid"), *keep)
+            pidx.frame.select(F.col("__id").alias("__rid"), "__cid", "__codes")
             # batch is the small side by the operator's contract — the
-            # reference/PQ frame never shuffles
+            # reference/PQ frame never shuffles, and after the LUT
+            # preparation its scan reads only (id, cid, m small ints)
             .join(F.broadcast(probes), on="__cid")
-            .withColumn("__cos", _adc_pair_score(pidx, "__qu"))
+            .withColumn("__cos", _adc_pair_score(pidx))
         )
         matches = scored.filter(F.col("__cos") >= threshold)
     else:

@@ -550,3 +550,32 @@ def test_ivfpq_prebuilt_search_single_exchange(session):
         assert re.search(r"InMemoryTableScan \[__cid[^\]]*\], \[.*__cid", plan), plan
     finally:
         idx.release()
+
+
+def test_dedup_ivfpq_reference_never_shuffles(session):
+    """dedup_against_embedding(method='ivfpq', prebuilt index): the batch's
+    probe frame must broadcast onto the cached PQ frame (the reference is
+    the big side by the operator's contract), the ADC scoring must be a
+    shuffle-free projection (codebooks are literals), and the only
+    aggregation-shaped exchange allowed is the filter mode's distinct over
+    flagged batch ids — here, pairs mode, so NO hash-partitioning exchange
+    at all: the reference side moves zero bytes."""
+    import re
+
+    from rasgoql_spark.functions.pq import ivfpq_index
+    from rasgoql_spark.functions.similarity import dedup_against_embedding
+
+    emb = session.dataset("embeddings").df
+    idx = ivfpq_index(emb.filter("vec_id < 400"), "embedding", "vec_id",
+                      num_centroids=8, m=4, codebook_size=8)
+    try:
+        out = dedup_against_embedding(
+            emb.filter("vec_id >= 400"), "embedding", "vec_id", index=idx,
+            method="ivfpq", threshold=0.3, nprobe=2, mode="pairs")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # the candidate side reads the cached encoded frame, not a rebuild
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        idx.release()
