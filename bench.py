@@ -126,6 +126,29 @@ def _llm_similarity_ivfpq_prebuilt(spark, sf):
         index=_IVF_STATE[key])
 
 
+def _llm_dedup_ivfpq_prebuilt(spark, sf):
+    """Round 9: the steady-state semantic-ingest shape — a 500-vector
+    batch checks against a prebuilt IVF-PQ index over the rest of the
+    corpus (fits amortized in the warm-up, keyed process cache like the
+    other prebuilt entries). Times probe + LUT preparation + the
+    codes-only candidate scan + the flagged-id anti-join — what every
+    micro-batch of stream_dedup_against(method='ivfpq') pays."""
+    from rasgoql_spark.functions.pq import ivfpq_index
+    from rasgoql_spark.functions.similarity import dedup_against_embedding
+
+    key = ("ivfpq_dedup_idx", sf)
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    if key not in _IVF_STATE:
+        _IVF_STATE[key] = ivfpq_index(
+            emb.filter("vec_id % 4 != 0"), "embedding", "vec_id",
+            num_centroids=16, coarse_iterations=1, m=8, codebook_size=16,
+            iterations=1)
+    return dedup_against_embedding(
+        emb.filter("vec_id % 4 = 0"), "embedding", "vec_id",
+        index=_IVF_STATE[key], method="ivfpq", threshold=0.5, nprobe=4,
+        mode="filter")
+
+
 def _b6_encode_split(spark, sf):
     s = entry._s(spark, sf)
     return (
@@ -178,6 +201,7 @@ BENCH_QUERIES = {
     # — inline build+search, and the amortized prebuilt-index form
     "llm_similarity_ivfpq": _llm_similarity_ivfpq,
     "llm_similarity_ivfpq_prebuilt": _llm_similarity_ivfpq_prebuilt,
+    "llm_dedup_ivfpq_prebuilt": _llm_dedup_ivfpq_prebuilt,
 }
 
 
