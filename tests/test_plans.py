@@ -537,19 +537,24 @@ def test_ivfpq_prebuilt_search_single_exchange(session):
     from rasgoql_spark.functions.pq import ivfpq_index, similarity_search_ivfpq
 
     emb = session.dataset("embeddings").df
-    idx = ivfpq_index(emb, "embedding", "vec_id", num_centroids=8, m=4,
-                      codebook_size=8)
-    try:
-        out = similarity_search_ivfpq(
-            emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=2, index=idx)
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
-        assert "BroadcastExchange" not in plan, plan
-        assert "WindowGroupLimit" in plan, plan
-        # probe restriction reaches the cached index scan as a pushed filter
-        assert re.search(r"InMemoryTableScan \[__cid[^\]]*\], \[.*__cid", plan), plan
-    finally:
-        idx.release()
+    # both index flavors must keep the single-exchange shape: the residual
+    # form only swaps the score expression (adds a literal-array lookup by
+    # __cid), never the plan topology
+    for residual in (False, True):
+        idx = ivfpq_index(emb, "embedding", "vec_id", num_centroids=8, m=4,
+                          codebook_size=8, residual=residual)
+        try:
+            out = similarity_search_ivfpq(
+                emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=2,
+                index=idx)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+            assert "BroadcastExchange" not in plan, plan
+            assert "WindowGroupLimit" in plan, plan
+            # probe restriction reaches the cached index scan as a pushed filter
+            assert re.search(r"InMemoryTableScan \[__cid[^\]]*\], \[.*__cid", plan), plan
+        finally:
+            idx.release()
 
 
 def test_dedup_ivfpq_reference_never_shuffles(session):

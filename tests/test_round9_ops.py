@@ -250,3 +250,32 @@ def test_residual_renderer_parity(emb, spark):
     assert sorted(map(tuple, df_res.collect())) == sorted(
         map(tuple, spark.sql(sql).collect())
     )
+
+
+def test_residual_large_k_broadcast_fallback(emb):
+    """num_centroids above IVF_LITERAL_CENTROID_MAX (256) switches both
+    the assignment array (_attach_centroids) and the residual centroid
+    lookup (_cent_vec_of_cid) to broadcast forms — same values, O(1) plan
+    size. Pin inline == prebuilt on that path so the fallback can never
+    silently diverge from the literal path's contract."""
+    small = emb.filter("vec_id < 400")
+    kw = dict(num_centroids=300, coarse_iterations=1, m=4,
+              codebook_size=8, iterations=0)
+    idx = ivfpq_index(small, "embedding", "vec_id", residual=True, **kw)
+    s1 = similarity_search_ivfpq(
+        small, "embedding", "vec_id", [0, 1], k=5, nprobe=3,
+        residual=True, **kw,
+    )
+    s2 = similarity_search_ivfpq(
+        small, "embedding", "vec_id", [0, 1], k=5, nprobe=3, index=idx,
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    # dedup over the same large-k residual index exercises the probe-frame
+    # LUT path's broadcast lookup too
+    batch = emb.filter("vec_id >= 480")
+    pairs = dedup_against_embedding(
+        batch, "embedding", "vec_id", index=idx, method="ivfpq",
+        threshold=0.2, nprobe=3, mode="pairs",
+    )
+    assert pairs.count() >= 0  # executes the broadcast-fallback plan
+    idx.release()
