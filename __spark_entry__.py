@@ -1256,6 +1256,37 @@ def q_embedding_join_ivf_rounded(spark, sf):
     ).select("vec_id", "label", "MATCH_ID", "COSINE", "RANK")
 
 
+def q_binary_quantize(spark, sf):
+    """Round 9: 1-bit sign quantization — per-component signs packed into
+    32-bit words carried as bigints (64-dim float64 -> 8 bytes, the
+    extreme end of the quantization ladder). Gate projects the two words
+    as scalar columns (list-valued columns fail the canonicalizer).
+    Integer-exact in both engines: the oracle rebuilds the words with
+    bit_or over shifted per-position bits — no float policy at all."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.similarity import binary_quantize
+
+    emb = _s(spark, sf).dataset("embeddings").df
+    return binary_quantize(emb, vec_col="embedding", id_col="vec_id").select(
+        "vec_id", "label",
+        F.element_at("SIGN_BITS", 1).alias("W0"),
+        F.element_at("SIGN_BITS", 2).alias("W1"),
+    )
+
+
+def q_similarity_search_binary(spark, sf):
+    """Round 9: Hamming-distance ANN over the 1-bit signs — candidates
+    scan as 8 bytes + two XOR/popcount ops (256x fewer bytes than raw
+    float64, 4x fewer than the m=8 PQ codes). Ascending Hamming,
+    MATCH_ID tie-break; integer-exact replay (the one ANN oracle with no
+    rounding contract)."""
+    return _s(spark, sf).dataset("embeddings").similarity_search_binary(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4],
+        k=10,
+    ).df
+
+
 def q_embedding_outliers(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -4075,6 +4106,37 @@ ranked AS (
             8, 16, 0, 8, 3, 1, corpus_pred="vec_id < 450",
             batch_pred="vec_id >= 450", threshold=0.3
         ),
+        # round 9: 1-bit sign quantization + Hamming ANN — pure integer
+        # replay (bit_or-packed 32-bit words, xor + bit_count scan)
+        "binary_quantize": (
+            "WITH bits AS (SELECT vec_id, (pos - 1) // 32 AS w, "
+            "CASE WHEN val > 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) "
+            "ELSE CAST(0 AS BIGINT) END AS bv FROM (SELECT vec_id, "
+            "unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings)), "
+            "sig AS (SELECT vec_id, w, bit_or(bv) AS wv FROM bits GROUP BY vec_id, w) "
+            "SELECT e.vec_id, e.label, "
+            "MAX(CASE WHEN s.w = 0 THEN s.wv END) AS W0, "
+            "MAX(CASE WHEN s.w = 1 THEN s.wv END) AS W1 "
+            "FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id "
+            "GROUP BY e.vec_id, e.label"
+        ),
+        "similarity_search_binary": (
+            "WITH bits AS (SELECT vec_id, (pos - 1) // 32 AS w, "
+            "CASE WHEN val > 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) "
+            "ELSE CAST(0 AS BIGINT) END AS bv FROM (SELECT vec_id, "
+            "unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings)), "
+            "sig AS (SELECT vec_id, list(wv ORDER BY w) AS s FROM (SELECT vec_id, "
+            "w, bit_or(bv) AS wv FROM bits GROUP BY vec_id, w) GROUP BY vec_id), "
+            "scored AS (SELECT q.vec_id AS QUERY_ID, c.vec_id AS MATCH_ID, "
+            "CAST(bit_count(xor(q.s[1], c.s[1])) + bit_count(xor(q.s[2], c.s[2])) "
+            "AS BIGINT) AS HAMMING FROM sig c, sig q "
+            "WHERE q.vec_id IN (0, 1, 2, 3, 4) AND q.vec_id <> c.vec_id) "
+            "SELECT QUERY_ID, MATCH_ID, HAMMING, RANK FROM (SELECT *, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY HAMMING ASC, "
+            "MATCH_ID ASC) AS INT) AS RANK FROM scored) WHERE RANK <= 10"
+        ),
         # round 9: the rounded=True replayable ANN modes (no PQ)
         "similarity_search_ivf_rounded": _mk_rivf_sql(
             8, 3, qids=[0, 1, 2, 3, 4], k=10
@@ -4504,6 +4566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_search_ivfpq_residual": q_similarity_search_ivfpq_residual,
         "similarity_search_ivf_rounded": q_similarity_search_ivf_rounded,
         "embedding_join_ivf_rounded": q_embedding_join_ivf_rounded,
+        "binary_quantize": q_binary_quantize,
+        "similarity_search_binary": q_similarity_search_binary,
         # --- r9 front: the full 39-entry r5-stale block (last driver-
         # verified round 5; replace_string/uppercase_columns re-front from
         # positions 51-52 of the r8 ordering) ---

@@ -1308,6 +1308,157 @@ def _r_quantize_embeddings(source, vec_col, id_col=None, bits=8) -> str:
     )
 
 
+def _sign_words_sql(vec_col: str, n_words: int) -> str:
+    """SQL for packing a vector's per-component signs (x > 0) into
+    ``n_words`` 32-bit words carried as bigints: word w holds bit i for
+    component w·32+i. 32-bit words rather than 64 so the shifted bit
+    (max 2^31) never touches a bigint's sign bit — both engines then
+    agree on the integer value without wraparound semantics entering the
+    contract. Components beyond the vector's length contribute 0 (short
+    vectors pack as if zero-padded). ONE definition serves the DataFrame
+    path (via F.expr — pyspark's shiftleft binding wants a Python-int
+    shift, the SQL function takes a column) and the renderer, so packing
+    parity holds by construction."""
+    word = (
+        "aggregate(transform(sequence(0, 31), i -> CASE WHEN "
+        f"CAST(try_element_at({vec_col}, CAST(w * 32 + i + 1 AS INT)) AS DOUBLE) > 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc | x)"
+    )
+    return f"transform(sequence(0, {int(n_words) - 1}), w -> {word})"
+
+
+def _sign_words_expr(vec_name: str, n_words: int) -> Column:
+    return F.expr(_sign_words_sql(vec_name, n_words))
+
+
+@spark_transform("binary_quantize", category="similarity", streaming_ok=False)
+def binary_quantize(df: DataFrame, vec_col: str, id_col: str | None = None) -> DataFrame:
+    """Append ``SIGN_BITS`` (array<bigint> of 32-bit words): the 1-bit
+    sign quantization of the embedding — 64-dim float64 compresses 256×
+    to 8 bytes, the most aggressive memory-bounded form of the
+    quantization ladder (float64 → int8 ``quantize_embeddings`` → m-int
+    PQ codes → sign bits). Hamming distance between sign vectors tracks
+    angular distance (Charikar 2002 SimHash bound: P[bit differs] =
+    θ/π), which is what :func:`similarity_search_binary` ranks by.
+    Row-local JVM integer expressions — shuffle-free at any scale, and
+    exactly replayable (sign tests and bit ops have no float-accumulation
+    ambiguity)."""
+    v = resolve_col(df, vec_col)
+    first = df.select(F.size(F.col(v)).alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    n_words = max(1, (dim + 31) // 32)
+    return df.withColumn("SIGN_BITS", _sign_words_expr(f"`{v}`", n_words))
+
+
+@renderer("binary_quantize")
+def _r_binary_quantize(source, vec_col, id_col=None, n_words: int = 2) -> str:
+    """Renderer note: the DataFrame path sizes ``n_words`` from the data
+    (ceil(dim/32)); the render-time parameter defaults to 2 (64-dim) —
+    pass ``n_words`` through ``.sql()`` chains for other dims."""
+    return (
+        f"SELECT *, {_sign_words_sql(vec_col, n_words)} "
+        f"AS SIGN_BITS FROM {source}"
+    )
+
+
+@spark_transform("similarity_search_binary", category="similarity", streaming_ok=False)
+def similarity_search_binary(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_ids,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` nearest corpus rows per query by HAMMING distance over
+    1-bit sign quantization (:func:`binary_quantize`): the extreme end of
+    the memory-bounded ladder — a 64-dim float64 corpus scans as 8 bytes
+    per candidate (256× fewer than raw, 4× fewer than the m=8 PQ codes),
+    and the per-pair cost is two XOR+popcount word ops instead of any
+    float math. Recall tracks the SimHash angular bound; rerank the
+    top-k' (k' ≈ 4k) with exact cosine when precision matters.
+
+    Output (QUERY_ID, MATCH_ID, HAMMING, RANK) — ascending Hamming,
+    ties -> lowest MATCH_ID; self-matches excluded. Integer-exact in
+    both engines, so the operator carries a full hash oracle and a
+    ``.sql()`` renderer with no rounding contract at all.
+
+    100 TB shape: signs pack row-locally (no shuffle), the bounded query
+    side broadcasts, and the corpus-side scan reads only the packed
+    words; the per-query top-k window is WindowGroupLimit-prunable like
+    the other search operators."""
+    if not query_ids:
+        raise ParameterException("query_ids must be non-empty")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    first = df.select(F.size(F.col(v)).alias("d")).first()
+    if first is None:
+        raise ParameterException("input is empty")
+    n_words = max(1, (int(first["d"]) + 31) // 32)
+    packed = spread(df).select(
+        F.col(i).alias("MATCH_ID"),
+        _sign_words_expr(f"`{v}`", n_words).alias("__sig"),
+    )
+    q = packed.filter(F.col("MATCH_ID").isin(list(query_ids))).select(
+        F.col("MATCH_ID").alias("QUERY_ID"), F.col("__sig").alias("__qsig")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("__qsig"), F.col("__sig"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("QUERY_ID") != F.col("MATCH_ID"))
+        .withColumn("HAMMING", ham)
+    )
+    w = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("HAMMING").asc(), F.col("MATCH_ID").asc()
+    )
+    return (
+        scored.withColumn("RANK", F.row_number().over(w).cast("int"))
+        .filter(F.col("RANK") <= k)
+        .select("QUERY_ID", "MATCH_ID", "HAMMING", "RANK")
+    )
+
+
+@renderer("similarity_search_binary")
+def _r_similarity_search_binary(source, vec_col, id_col, query_ids, k=10,
+                                n_words: int = 2) -> str:
+    """Integer-exact replay: same packing words, xor + bit_count per word,
+    ascending-Hamming window. No rounding contract anywhere — the one
+    ANN-family renderer whose parity needs no float policy at all."""
+    if not query_ids:
+        raise ParameterException("query_ids must be non-empty")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    qlist = ", ".join(str(int(q)) for q in query_ids)
+    packed = (
+        f"(SELECT {id_col} AS __bid, {_sign_words_sql(vec_col, n_words)} "
+        f"AS __sig FROM {source})"
+    )
+    ham = (
+        "aggregate(zip_with(q.__sig, c.__sig, (a, b) -> "
+        "CAST(bit_count(a ^ b) AS BIGINT)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        f"SELECT QUERY_ID, MATCH_ID, HAMMING, RANK FROM ("
+        f"SELECT QUERY_ID, MATCH_ID, HAMMING, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        f"ORDER BY HAMMING ASC, MATCH_ID ASC) AS INT) AS RANK "
+        f"FROM (SELECT q.__bid AS QUERY_ID, c.__bid AS MATCH_ID, "
+        f"{ham} AS HAMMING FROM {packed} c CROSS JOIN "
+        f"(SELECT __bid, __sig FROM {packed} __q WHERE __bid IN ({qlist})) q "
+        f"WHERE q.__bid <> c.__bid)"
+        f") WHERE RANK <= {int(k)}"
+    )
+
+
 @spark_transform("embedding_join", category="similarity", streaming_ok=False)
 def embedding_join(
     df: DataFrame,

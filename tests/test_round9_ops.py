@@ -279,3 +279,70 @@ def test_residual_large_k_broadcast_fallback(emb):
     )
     assert pairs.count() >= 0  # executes the broadcast-fallback plan
     idx.release()
+
+
+def test_binary_quantize_matches_bit_reference(emb):
+    """Packed sign words equal a pure-Python bit-level reference — pins
+    the little-endian 32-bit word layout both renderers and the DuckDB
+    oracle replay."""
+    from rasgoql_spark.functions.similarity import binary_quantize
+
+    out = binary_quantize(emb.filter("vec_id < 20"), "embedding", "vec_id")
+    rows = {r["vec_id"]: (list(r["embedding"]), list(r["SIGN_BITS"]))
+            for r in out.collect()}
+
+    def ref_pack(v):
+        return [
+            sum((1 << i) for i in range(32)
+                if w * 32 + i < len(v) and v[w * 32 + i] > 0)
+            for w in range(2)
+        ]
+
+    assert rows and all(ref_pack(v) == sig for v, sig in rows.values())
+
+
+def test_similarity_search_binary_hamming_and_renderers(emb, spark):
+    """Hamming ranking matches a Python popcount reference; both .sql()
+    renderers reproduce the DataFrame results exactly (integer replay —
+    no rounding contract)."""
+    from rasgoql_spark.functions.similarity import (
+        _r_binary_quantize,
+        _r_similarity_search_binary,
+        binary_quantize,
+        similarity_search_binary,
+    )
+
+    emb.createOrReplaceTempView("__r9_bin_emb")
+    out = similarity_search_binary(emb, "embedding", "vec_id", [0, 1], k=5)
+    got = {(r["QUERY_ID"], r["MATCH_ID"]): r["HAMMING"] for r in out.collect()}
+    packed = {r["vec_id"]: list(r["SIGN_BITS"]) for r in binary_quantize(
+        emb, "embedding", "vec_id").select("vec_id", "SIGN_BITS").collect()}
+    for (q, m), h in got.items():
+        ref = sum(bin(a ^ b).count("1") for a, b in zip(packed[q], packed[m]))
+        assert ref == h
+    # ranking is the true k-smallest (ties by MATCH_ID)
+    for q in (0, 1):
+        all_h = sorted(
+            (sum(bin(a ^ b).count("1") for a, b in zip(packed[q], packed[m])), m)
+            for m in packed if m != q
+        )[:5]
+        assert {(q, m) for _, m in all_h} == {k for k in got if k[0] == q}
+    sql1 = spark.sql(_r_similarity_search_binary(
+        "__r9_bin_emb", "embedding", "vec_id", [0, 1], k=5))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, sql1.collect()))
+    bq = binary_quantize(emb, "embedding", "vec_id")
+    sql2 = spark.sql(_r_binary_quantize("__r9_bin_emb", "embedding"))
+    a = sorted((r["vec_id"], tuple(r["SIGN_BITS"]))
+               for r in bq.select("vec_id", "SIGN_BITS").collect())
+    b = sorted((r["vec_id"], tuple(r["SIGN_BITS"]))
+               for r in sql2.select("vec_id", "SIGN_BITS").collect())
+    assert a == b
+
+
+def test_similarity_search_binary_guards(emb):
+    from rasgoql_spark.functions.similarity import similarity_search_binary
+
+    with pytest.raises(ParameterException, match="query_ids"):
+        similarity_search_binary(emb, "embedding", "vec_id", [])
+    with pytest.raises(ParameterException, match="k must"):
+        similarity_search_binary(emb, "embedding", "vec_id", [0], k=0)
