@@ -1287,6 +1287,19 @@ def q_similarity_search_binary(spark, sf):
     ).df
 
 
+def q_similarity_search_binary_rerank(spark, sf):
+    """Round 9: the production two-stage pattern — Hamming keeps
+    k·rerank_factor=40 candidates off the 8-byte sign scan, then ONLY
+    those survivors pay an exact (rounded) cosine against the full
+    vectors. The survivor set is integer-determined, so the replay is
+    the integer Hamming oracle composed with the established rounded-
+    cosine policy."""
+    return _s(spark, sf).dataset("embeddings").similarity_search_binary(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4],
+        k=10, rerank=True, rerank_factor=4,
+    ).df
+
+
 def q_embedding_outliers(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -4137,6 +4150,29 @@ ranked AS (
             "CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY HAMMING ASC, "
             "MATCH_ID ASC) AS INT) AS RANK FROM scored) WHERE RANK <= 10"
         ),
+        "similarity_search_binary_rerank": (
+            "WITH bits AS (SELECT vec_id, (pos - 1) // 32 AS w, "
+            "CASE WHEN val > 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) "
+            "ELSE CAST(0 AS BIGINT) END AS bv FROM (SELECT vec_id, "
+            "unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings)), "
+            "sig AS (SELECT vec_id, list(wv ORDER BY w) AS s FROM (SELECT vec_id, "
+            "w, bit_or(bv) AS wv FROM bits GROUP BY vec_id, w) GROUP BY vec_id), "
+            "hscored AS (SELECT q.vec_id AS QUERY_ID, c.vec_id AS MATCH_ID, "
+            "CAST(bit_count(xor(q.s[1], c.s[1])) + bit_count(xor(q.s[2], c.s[2])) "
+            "AS BIGINT) AS HAMMING FROM sig c, sig q "
+            "WHERE q.vec_id IN (0, 1, 2, 3, 4) AND q.vec_id <> c.vec_id), "
+            "hstage AS (SELECT QUERY_ID, MATCH_ID FROM (SELECT *, "
+            "ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY HAMMING ASC, "
+            "MATCH_ID ASC) AS rk FROM hscored) WHERE rk <= 40) "
+            "SELECT QUERY_ID, MATCH_ID, COSINE, RANK FROM (SELECT QUERY_ID, "
+            "MATCH_ID, COSINE, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+            "ORDER BY COSINE DESC, MATCH_ID ASC) AS INT) AS RANK FROM ("
+            f"SELECT h.QUERY_ID, h.MATCH_ID, {_cosine('qv.embedding', 'cv.embedding')} "
+            "AS COSINE FROM hstage h "
+            "JOIN embeddings cv ON cv.vec_id = h.MATCH_ID "
+            "JOIN embeddings qv ON qv.vec_id = h.QUERY_ID)) WHERE RANK <= 10"
+        ),
         # round 9: the rounded=True replayable ANN modes (no PQ)
         "similarity_search_ivf_rounded": _mk_rivf_sql(
             8, 3, qids=[0, 1, 2, 3, 4], k=10
@@ -4568,6 +4604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_join_ivf_rounded": q_embedding_join_ivf_rounded,
         "binary_quantize": q_binary_quantize,
         "similarity_search_binary": q_similarity_search_binary,
+        "similarity_search_binary_rerank": q_similarity_search_binary_rerank,
         # --- r9 front: the full 39-entry r5-stale block (last driver-
         # verified round 5; replace_string/uppercase_columns re-front from
         # positions 51-52 of the r8 ordering) ---

@@ -1369,6 +1369,9 @@ def similarity_search_binary(
     id_col: str,
     query_ids,
     k: int = 10,
+    rerank: bool = False,
+    rerank_factor: int = 4,
+    round_scores: int | None = 6,
 ) -> DataFrame:
     """Top-``k`` nearest corpus rows per query by HAMMING distance over
     1-bit sign quantization (:func:`binary_quantize`): the extreme end of
@@ -1383,14 +1386,26 @@ def similarity_search_binary(
     both engines, so the operator carries a full hash oracle and a
     ``.sql()`` renderer with no rounding contract at all.
 
+    ``rerank=True`` is the production two-stage pattern: the Hamming
+    stage keeps ``k · rerank_factor`` candidates per query (the cheap
+    8-byte scan does the winnowing), then ONLY those survivors pay an
+    exact cosine against the full vectors — output
+    (QUERY_ID, MATCH_ID, COSINE, RANK), cosine desc. The survivor set is
+    integer-determined (Hamming + id tie-break), so the mode stays
+    exactly replayable with the standard rounded-cosine policy
+    (``round_scores``).
+
     100 TB shape: signs pack row-locally (no shuffle), the bounded query
     side broadcasts, and the corpus-side scan reads only the packed
     words; the per-query top-k window is WindowGroupLimit-prunable like
-    the other search operators."""
+    the other search operators. The rerank join touches queries × k ·
+    rerank_factor rows — never the corpus."""
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:
         raise ParameterException("k must be >= 1")
+    if rerank and rerank_factor < 1:
+        raise ParameterException("rerank_factor must be >= 1")
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
     first = df.select(F.size(F.col(v)).alias("d")).first()
     if first is None:
@@ -1419,23 +1434,50 @@ def similarity_search_binary(
     w = Window.partitionBy("QUERY_ID").orderBy(
         F.col("HAMMING").asc(), F.col("MATCH_ID").asc()
     )
-    return (
+    kf = k * rerank_factor if rerank else k
+    top = (
         scored.withColumn("RANK", F.row_number().over(w).cast("int"))
+        .filter(F.col("RANK") <= kf)
+    )
+    if not rerank:
+        return top.select("QUERY_ID", "MATCH_ID", "HAMMING", "RANK")
+    # survivors only pay the vector read: the tiny (queries x k x factor)
+    # id frame broadcasts onto a second corpus projection, so the Hamming
+    # scan stays 8 bytes/candidate and the corpus never shuffles
+    cvec = df.select(F.col(i).alias("MATCH_ID"), F.col(v).alias("__cvec"))
+    qvec = df.select(
+        F.col(i).alias("QUERY_ID"), F.col(v).alias("__qvec")
+    ).filter(F.col("QUERY_ID").isin(list(query_ids)))
+    cos = cosine_expr(F.col("__qvec"), F.col("__cvec"))
+    if round_scores is not None:
+        cos = F.round(cos, round_scores)
+    rw = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("COSINE").desc(), F.col("MATCH_ID").asc()
+    )
+    return (
+        cvec.join(F.broadcast(top.select("QUERY_ID", "MATCH_ID")), on="MATCH_ID")
+        .join(F.broadcast(qvec), on="QUERY_ID")
+        .withColumn("COSINE", cos)
+        .withColumn("RANK", F.row_number().over(rw).cast("int"))
         .filter(F.col("RANK") <= k)
-        .select("QUERY_ID", "MATCH_ID", "HAMMING", "RANK")
+        .select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
     )
 
 
 @renderer("similarity_search_binary")
 def _r_similarity_search_binary(source, vec_col, id_col, query_ids, k=10,
-                                n_words: int = 2) -> str:
+                                rerank=False, rerank_factor=4,
+                                round_scores=6, n_words: int = 2) -> str:
     """Integer-exact replay: same packing words, xor + bit_count per word,
-    ascending-Hamming window. No rounding contract anywhere — the one
-    ANN-family renderer whose parity needs no float policy at all."""
+    ascending-Hamming window. Without rerank there is no rounding
+    contract anywhere; rerank mode adds the standard rounded-cosine
+    policy over the integer-determined survivor set."""
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:
         raise ParameterException("k must be >= 1")
+    if rerank and rerank_factor < 1:
+        raise ParameterException("rerank_factor must be >= 1")
     qlist = ", ".join(str(int(q)) for q in query_ids)
     packed = (
         f"(SELECT {id_col} AS __bid, {_sign_words_sql(vec_col, n_words)} "
@@ -1446,7 +1488,8 @@ def _r_similarity_search_binary(source, vec_col, id_col, query_ids, k=10,
         "CAST(bit_count(a ^ b) AS BIGINT)), CAST(0 AS BIGINT), "
         "(acc, x) -> acc + x)"
     )
-    return (
+    kf = int(k) * int(rerank_factor) if rerank else int(k)
+    hstage = (
         f"SELECT QUERY_ID, MATCH_ID, HAMMING, RANK FROM ("
         f"SELECT QUERY_ID, MATCH_ID, HAMMING, "
         f"CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
@@ -1455,6 +1498,22 @@ def _r_similarity_search_binary(source, vec_col, id_col, query_ids, k=10,
         f"{ham} AS HAMMING FROM {packed} c CROSS JOIN "
         f"(SELECT __bid, __sig FROM {packed} __q WHERE __bid IN ({qlist})) q "
         f"WHERE q.__bid <> c.__bid)"
+        f") WHERE RANK <= {kf}"
+    )
+    if not rerank:
+        return hstage
+    cos = _cosine_sql(f"qv.{vec_col}", f"cv.{vec_col}")
+    if round_scores is not None:
+        cos = f"ROUND({cos}, {int(round_scores)})"
+    return (
+        f"SELECT QUERY_ID, MATCH_ID, COSINE, RANK FROM ("
+        f"SELECT QUERY_ID, MATCH_ID, COSINE, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        f"ORDER BY COSINE DESC, MATCH_ID ASC) AS INT) AS RANK "
+        f"FROM (SELECT h.QUERY_ID, h.MATCH_ID, {cos} AS COSINE "
+        f"FROM ({hstage}) h "
+        f"JOIN {source} cv ON cv.{id_col} = h.MATCH_ID "
+        f"JOIN {source} qv ON qv.{id_col} = h.QUERY_ID)"
         f") WHERE RANK <= {int(k)}"
     )
 

@@ -346,3 +346,41 @@ def test_similarity_search_binary_guards(emb):
         similarity_search_binary(emb, "embedding", "vec_id", [])
     with pytest.raises(ParameterException, match="k must"):
         similarity_search_binary(emb, "embedding", "vec_id", [0], k=0)
+
+
+def test_similarity_search_binary_rerank(emb, spark):
+    """Two-stage search: the cosine rerank over Hamming survivors must
+    (a) rank by true cosine within the survivor set, (b) beat or match
+    the raw Hamming ranking's recall vs the exact brute top-10, and
+    (c) replay exactly through the renderer."""
+    from rasgoql_spark.functions.similarity import (
+        _r_similarity_search_binary,
+        similarity_search,
+        similarity_search_binary,
+    )
+
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity_search(emb, "embedding", "vec_id", query_ids=qids, k=10)
+    truth, got_h, got_r = {}, {}, {}
+    for r in exact.collect():
+        truth.setdefault(r["QUERY_ID"], set()).add(r["MATCH_ID"])
+    plain = similarity_search_binary(emb, "embedding", "vec_id", qids, k=10)
+    rer = similarity_search_binary(
+        emb, "embedding", "vec_id", qids, k=10, rerank=True, rerank_factor=4)
+    for r in plain.collect():
+        got_h.setdefault(r["QUERY_ID"], set()).add(r["MATCH_ID"])
+    for r in rer.collect():
+        got_r.setdefault(r["QUERY_ID"], set()).add(r["MATCH_ID"])
+    rc = lambda g: sum(  # noqa: E731
+        len(truth[q] & g.get(q, set())) for q in truth
+    ) / sum(len(truth[q]) for q in truth)
+    assert rc(got_r) >= rc(got_h)
+    assert rer.columns == ["QUERY_ID", "MATCH_ID", "COSINE", "RANK"]
+    emb.createOrReplaceTempView("__r9_bin_emb2")
+    sql = spark.sql(_r_similarity_search_binary(
+        "__r9_bin_emb2", "embedding", "vec_id", qids, k=10,
+        rerank=True, rerank_factor=4))
+    assert sorted(map(tuple, rer.collect())) == sorted(map(tuple, sql.collect()))
+    with pytest.raises(ParameterException, match="rerank_factor"):
+        similarity_search_binary(
+            emb, "embedding", "vec_id", qids, rerank=True, rerank_factor=0)
