@@ -149,6 +149,16 @@ def _llm_dedup_ivfpq_prebuilt(spark, sf):
         mode="filter")
 
 
+def _llm_similarity_binary(spark, sf):
+    """Round 9: two-stage binary ANN — Hamming over packed 1-bit signs
+    (2 xor+popcount per candidate) keeps 40 survivors per query, exact
+    cosine reranks them. The one ANN form that beats brute-broadcast on
+    CPU even in-memory (SCALING.md r9 stress)."""
+    return entry._s(spark, sf).dataset("embeddings").similarity_search_binary(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4],
+        k=10, rerank=True, rerank_factor=4).df
+
+
 def _b6_encode_split(spark, sf):
     s = entry._s(spark, sf)
     return (
@@ -202,6 +212,7 @@ BENCH_QUERIES = {
     "llm_similarity_ivfpq": _llm_similarity_ivfpq,
     "llm_similarity_ivfpq_prebuilt": _llm_similarity_ivfpq_prebuilt,
     "llm_dedup_ivfpq_prebuilt": _llm_dedup_ivfpq_prebuilt,
+    "llm_similarity_binary": _llm_similarity_binary,
 }
 
 
