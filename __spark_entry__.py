@@ -1300,6 +1300,24 @@ def q_similarity_search_binary_rerank(spark, sf):
     ).df
 
 
+def q_dedup_against_binary(spark, sf):
+    """Round 9: the extreme-scale incremental semantic dedup — batch
+    (vec_id >= 450) vs reference (vec_id < 450) signatures at Hamming <=
+    18 of 64 bits (≈ cosine 0.64 by the Charikar bound; chosen so the
+    synthetic corpus yields a non-trivial pair set). 8-byte signatures
+    mean a billion-vector reference state is 8 GB — executor-memory
+    resident outright. Integer-exact oracle (bit_or packing + xor +
+    bit_count threshold; no rounding contract)."""
+    s = _s(spark, sf)
+    batch = s.dataset("embeddings").filter(filter_statements=["vec_id >= 450"]).df
+    ref = s.dataset("embeddings").filter(filter_statements=["vec_id < 450"]).df
+    from rasgoql_spark.functions.similarity import dedup_against_embedding
+    return dedup_against_embedding(
+        batch, vec_col="embedding", id_col="vec_id", reference=ref,
+        method="binary", max_hamming=18, mode="pairs",
+    )
+
+
 def q_embedding_outliers(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -4150,6 +4168,20 @@ ranked AS (
             "CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID ORDER BY HAMMING ASC, "
             "MATCH_ID ASC) AS INT) AS RANK FROM scored) WHERE RANK <= 10"
         ),
+        "dedup_against_binary": (
+            "WITH bits AS (SELECT vec_id, (pos - 1) // 32 AS w, "
+            "CASE WHEN val > 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) "
+            "ELSE CAST(0 AS BIGINT) END AS bv FROM (SELECT vec_id, "
+            "unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings)), "
+            "sig AS (SELECT vec_id, list(wv ORDER BY w) AS s FROM (SELECT vec_id, "
+            "w, bit_or(bv) AS wv FROM bits GROUP BY vec_id, w) GROUP BY vec_id) "
+            "SELECT q.vec_id AS ID, r.vec_id AS REF_ID, "
+            "CAST(bit_count(xor(q.s[1], r.s[1])) + bit_count(xor(q.s[2], r.s[2])) "
+            "AS BIGINT) AS HAMMING FROM sig r, sig q "
+            "WHERE r.vec_id < 450 AND q.vec_id >= 450 "
+            "AND bit_count(xor(q.s[1], r.s[1])) + bit_count(xor(q.s[2], r.s[2])) <= 18"
+        ),
         "similarity_search_binary_rerank": (
             "WITH bits AS (SELECT vec_id, (pos - 1) // 32 AS w, "
             "CASE WHEN val > 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) "
@@ -4605,6 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_quantize": q_binary_quantize,
         "similarity_search_binary": q_similarity_search_binary,
         "similarity_search_binary_rerank": q_similarity_search_binary_rerank,
+        "dedup_against_binary": q_dedup_against_binary,
         # --- r9 front: the full 39-entry r5-stale block (last driver-
         # verified round 5; replace_string/uppercase_columns re-front from
         # positions 51-52 of the r8 ordering) ---

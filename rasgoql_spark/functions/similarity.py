@@ -705,6 +705,7 @@ def dedup_against_embedding(
     pq_codebook_size: int = 8,
     pq_iterations: int = 1,
     residual: bool = False,
+    max_hamming: int = 6,
 ) -> DataFrame:
     """Incremental SEMANTIC dedup: drop (mode='filter') or score
     (mode='pairs') batch rows whose embedding is near-identical (cosine >=
@@ -732,6 +733,17 @@ def dedup_against_embedding(
     count is checked against the index's ``n_docs`` fingerprint (same
     staleness contract as dedup_against + MinHashIndex).
 
+    method='binary' (extreme-scale regime): both sides pack per-component
+    signs into 32-bit words (``binary_quantize``) and a batch row is
+    flagged when its HAMMING distance to ANY reference signature is <=
+    ``max_hamming`` (Charikar's bound: expected Hamming ≈ dim·θ/π, so 6
+    of 64 bits ≈ cosine 0.96) — at a billion reference vectors the whole
+    signature table is 8 GB, the one semantic-dedup form whose reference
+    state fits in executor memory outright. Integer-exact (full hash
+    oracle + renderer, no rounding contract); mode='pairs' returns
+    ``(ID, REF_ID, HAMMING)``. No index form: packing is a row-local
+    projection, so "prebuilding" would save one narrow scan.
+
     method='ivfpq' (billion-vector regime): candidates come from the same
     probe shape as 'ivf', but the reference side is an :class:`~.pq.
     IVFPQIndex` — the batch-vs-corpus check reads ``m`` small-int PQ codes
@@ -749,8 +761,10 @@ def dedup_against_embedding(
     """
     if mode not in ("filter", "pairs"):
         raise ParameterException("mode must be 'filter' or 'pairs'")
-    if method not in ("brute", "ivf", "ivfpq"):
-        raise ParameterException("method must be 'brute', 'ivf' or 'ivfpq'")
+    if method not in ("brute", "ivf", "ivfpq", "binary"):
+        raise ParameterException(
+            "method must be 'brute', 'ivf', 'ivfpq' or 'binary'"
+        )
     if reference is None and index is None:
         raise ParameterException(
             "dedup_against_embedding needs a reference frame or a prebuilt "
@@ -781,6 +795,56 @@ def dedup_against_embedding(
             cos = F.round(cos, round_scores)
         scored = r.crossJoin(F.broadcast(q)).withColumn("__cos", cos)
         matches = scored.filter(F.col("__cos") >= threshold)
+    elif method == "binary":
+        if index is not None:
+            raise ParameterException(
+                "method='binary' packs signs on the fly (a row-local "
+                "projection); it takes no index"
+            )
+        if reference is None:
+            raise ParameterException(
+                "method='binary' needs a reference frame"
+            )
+        if max_hamming < 0:
+            raise ParameterException("max_hamming must be >= 0")
+        rv = resolve_col(reference, ref_vec or vec_col)
+        ri = resolve_col(reference, ref_id or id_col)
+        bdim = df.select(F.size(F.col(v)).alias("d")).first()
+        rdim = reference.select(F.size(F.col(rv)).alias("d")).first()
+        if bdim is not None and rdim is not None and int(bdim["d"]) != int(rdim["d"]):
+            raise ParameterException(
+                f"batch dim {int(bdim['d'])} != reference dim {int(rdim['d'])}"
+            )
+        n_words = max(1, ((int(rdim["d"]) if rdim is not None else 0) + 31) // 32)
+        rp = spread(reference).select(
+            F.col(ri).alias("__rid"),
+            _sign_words_expr(f"`{rv}`", n_words).alias("__sig"),
+        )
+        qp = df.select(
+            F.col(i).alias("__qid"),
+            _sign_words_expr(f"`{v}`", n_words).alias("__qsig"),
+        )
+        ham = F.aggregate(
+            F.zip_with(
+                F.col("__qsig"), F.col("__sig"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        # batch broadcasts; the reference signature scan reads 8 B/row
+        matches = (
+            rp.crossJoin(F.broadcast(qp))
+            .withColumn("__ham", ham)
+            .filter(F.col("__ham") <= max_hamming)
+        )
+        if mode == "pairs":
+            return matches.select(
+                F.col("__qid").alias("ID"), F.col("__rid").alias("REF_ID"),
+                F.col("__ham").alias("HAMMING"),
+            )
+        flagged = matches.select(F.col("__qid").alias(i)).dropDuplicates()
+        return df.join(flagged, on=i, how="left_anti").select(*df.columns)
     elif method == "ivfpq":
         from .pq import (
             IVFPQIndex, _adc_pair_score, _adc_probe_frame,
@@ -978,16 +1042,44 @@ def _r_dedup_against_embedding(
     source, vec_col, id_col, reference=None, ref_vec=None, ref_id=None,
     threshold=0.9, method="brute", num_centroids="auto", nprobe="auto",
     mode="filter", round_scores=6, index=None, pq_m=4, pq_codebook_size=8,
-    pq_iterations=1, residual=False,
+    pq_iterations=1, residual=False, max_hamming=6, n_words: int = 2,
 ) -> str:
     from ..errors import TransformRenderingException
 
+    if method == "binary" and index is None and reference is not None:
+        # integer-exact replay: packed signatures both sides, xor+popcount
+        # threshold; render-time n_words defaults to 2 (64-dim)
+        rp = (
+            f"(SELECT {ref_id or id_col} AS __rid, "
+            f"{_sign_words_sql(ref_vec or vec_col, n_words)} AS __sig "
+            f"FROM {reference})"
+        )
+        qp = (
+            f"(SELECT {id_col} AS __qid, "
+            f"{_sign_words_sql(vec_col, n_words)} AS __qsig FROM {source})"
+        )
+        ham = (
+            "aggregate(zip_with(q.__qsig, r.__sig, (a, b) -> "
+            "CAST(bit_count(a ^ b) AS BIGINT)), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x)"
+        )
+        pairs = (
+            f"SELECT __qid AS ID, __rid AS REF_ID, __ham AS HAMMING FROM "
+            f"(SELECT q.__qid, r.__rid, {ham} AS __ham "
+            f"FROM {rp} r CROSS JOIN {qp} q) WHERE __ham <= {int(max_hamming)}"
+        )
+        if mode == "pairs":
+            return pairs
+        return (
+            f"SELECT s.* FROM {source} s LEFT ANTI JOIN "
+            f"(SELECT DISTINCT ID FROM ({pairs})) f ON s.{id_col} = f.ID"
+        )
     if method != "brute" or index is not None or reference is None:
         raise TransformRenderingException(
             "dedup_against_embedding is SQL-renderable only for "
-            "method='brute' with a reference table (the IVF/IVF-PQ paths "
-            "are multi-stage fit + probe joins; the ivfpq replay is "
-            "exercised by its DuckDB gate oracle instead)"
+            "method='brute' or method='binary' with a reference table "
+            "(the IVF/IVF-PQ paths are multi-stage fit + probe joins; the "
+            "ivfpq replay is exercised by its DuckDB gate oracle instead)"
         )
     q = _nvec_subquery_sql(source, id_col, vec_col, "__qid", "__qn")
     r = _nvec_subquery_sql(

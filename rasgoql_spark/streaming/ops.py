@@ -443,6 +443,7 @@ def stream_dedup_against(
     shingle_size: int = 3,
     threshold: float = 0.5,
     nprobe: int = 4,
+    max_hamming: int = 6,
 ):
     """Streaming crawl-ingest dedup — the production pipeline shape: new
     document files arrive as a stream, every micro-batch is cleaned against
@@ -590,12 +591,23 @@ def stream_dedup_against(
         # fail fast BEFORE .start(): an invalid method would otherwise only
         # surface per-batch inside foreachBatch as a wrapped
         # StreamingQueryException after the stream is already running
-        if method not in (None, "exact", "minhash", "bloom", "embedding"):
+        if method not in (None, "exact", "minhash", "bloom", "embedding",
+                          "binary"):
             raise ParameterException(
-                f"method must be 'exact', 'minhash', 'bloom' or "
-                f"'embedding', got {method!r}"
+                f"method must be 'exact', 'minhash', 'bloom', 'embedding' "
+                f"or 'binary', got {method!r}"
             )
-        if method == "bloom":
+        if method == "binary":
+            # r9: 1-bit signature dedup — at a billion reference vectors
+            # the signature state is 8 GB, the one semantic form whose
+            # reference fits executor memory outright; `text` is the
+            # embedding column, max_hamming the bit budget
+            def clean(b: DataFrame) -> DataFrame:
+                return dedup_against_embedding(
+                    b, vec_col=text, id_col=id_col, reference=reference,
+                    method="binary", max_hamming=max_hamming, mode="filter",
+                )
+        elif method == "bloom":
             # bloom defaults, not the minhash num_hashes param — the bloom
             # stage is a prefilter whose output equals the exact path anyway
             def clean(b: DataFrame) -> DataFrame:

@@ -384,3 +384,54 @@ def test_similarity_search_binary_rerank(emb, spark):
     with pytest.raises(ParameterException, match="rerank_factor"):
         similarity_search_binary(
             emb, "embedding", "vec_id", qids, rerank=True, rerank_factor=0)
+
+
+def test_dedup_against_binary(emb, spark):
+    """Binary signature dedup: pairs match a Python popcount reference at
+    the threshold; filter mode drops exactly the flagged ids; both modes
+    render to SQL that reproduces the DataFrame results; guards fire."""
+    from rasgoql_spark.functions.similarity import (
+        _r_dedup_against_embedding,
+        binary_quantize,
+    )
+
+    ref = emb.filter("vec_id < 450")
+    batch = emb.filter("vec_id >= 450")
+    pairs = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, method="binary",
+        max_hamming=20, mode="pairs")
+    got = {(r["ID"], r["REF_ID"]): r["HAMMING"] for r in pairs.collect()}
+    packed = {r["vec_id"]: list(r["SIGN_BITS"]) for r in binary_quantize(
+        emb, "embedding", "vec_id").select("vec_id", "SIGN_BITS").collect()}
+    expect = {
+        (q, c): sum(bin(a ^ b).count("1") for a, b in zip(packed[q], packed[c]))
+        for q in packed if q >= 450 for c in packed if c < 450
+    }
+    assert got == {k: v for k, v in expect.items() if v <= 20}
+    kept = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, method="binary",
+        max_hamming=20, mode="filter")
+    flagged = {q for (q, _c) in got}
+    assert {r["vec_id"] for r in kept.select("vec_id").collect()} == (
+        {q for q in packed if q >= 450} - flagged)
+    assert kept.columns == batch.columns
+    # renderers
+    emb.createOrReplaceTempView("__r9_dab")
+    for mode in ("pairs", "filter"):
+        sql = _r_dedup_against_embedding(
+            "(SELECT * FROM __r9_dab WHERE vec_id >= 450)", "embedding",
+            "vec_id", reference="(SELECT * FROM __r9_dab WHERE vec_id < 450)",
+            method="binary", max_hamming=20, mode=mode)
+        via_sql = spark.sql(sql)
+        via_df = pairs if mode == "pairs" else kept
+        assert sorted(map(tuple, via_df.collect())) == sorted(
+            map(tuple, via_sql.collect()))
+    with pytest.raises(ParameterException, match="no index"):
+        dedup_against_embedding(
+            batch, "embedding", "vec_id", reference=ref, method="binary",
+            index=ivf_index(ref.limit(50), "embedding", "vec_id",
+                            num_centroids=4))
+    with pytest.raises(ParameterException, match="max_hamming"):
+        dedup_against_embedding(
+            batch, "embedding", "vec_id", reference=ref, method="binary",
+            max_hamming=-1)

@@ -858,3 +858,30 @@ def test_stream_table_sink_guards_and_empty_replay(spark, tmp_path_factory):
         assert spark.table(table).count() == 0  # stale batch-0 rows cleared
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_dedup_against_binary_reference(spark, tmp_path_factory):
+    """Round 9: streaming 1-bit-signature dedup against a static reference
+    frame — an exact sign-duplicate drops at max_hamming=0, a negated
+    vector (all 64 sign bits flip... for nonzero components) is kept."""
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdabin")
+    ref = spark.createDataFrame(
+        [(0, [0.5, -0.25, 0.75, -0.1]), (1, [-1.0, 1.0, -1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(10, [0.5, -0.25, 0.75, -0.1]),   # same signs as ref 0 -> drops
+         (11, [0.5, 0.25, -0.75, 0.1])],   # sign pattern matches no ref -> kept
+        "vec_id long, embedding array<double>")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema(
+        "vec_id long, embedding array<double>").parquet(src)
+    q = stream_dedup_against(
+        sdf, "embedding", "vec_id", checkpoint=str(tmp / "c"),
+        sink_path=str(tmp / "out"), reference=ref, method="binary",
+        max_hamming=0)
+    q.awaitTermination(120)
+    got = {r["vec_id"] for r in spark.read.parquet(str(tmp / "out")).collect()}
+    assert got == {11}
