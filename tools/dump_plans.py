@@ -171,6 +171,21 @@ ANNOTATED = [
      "shuffle volume is queries x k at any corpus size "
      "(test_ivfpq_prebuilt_search_single_exchange pins this on the "
      "prebuilt path)."),
+    ("dedup_against_ivfpq (round 9)", "dedup_against_ivfpq",
+     "Incremental semantic dedup over PQ codes: the batch's probe frame — "
+     "carrying precomputed per-(query, list) ADC lookup tables, NOT "
+     "vectors (_adc_probe_frame) — broadcasts onto the encoded reference, "
+     "whose scan reads (id, cid, m small ints) only; scoring is m array "
+     "lookups per candidate, and pairs mode has NO hashpartitioning "
+     "exchange at all (test_dedup_ivfpq_reference_never_shuffles pins "
+     "this). The reference side moves zero bytes."),
+    ("similarity_search_binary rerank (round 9)", "similarity_search_binary_rerank",
+     "Two-stage binary ANN: stage 1 scans 8-byte packed signatures "
+     "(2 xor+bit_count per candidate, broadcast query side), "
+     "WindowGroupLimit prunes to k x factor before the only window "
+     "shuffle; stage 2 joins the tiny survivor frame BACK onto a second "
+     "corpus projection by broadcast, so full vectors are read for "
+     "survivors only and the corpus never shuffles."),
     ("fuzzy_join (round 5)", "fuzzy_join",
      "Blocking-and-verification entity resolution: the composite "
      "(prefix, length-bucket) key plans as a hash EQUI-join (no "
