@@ -741,8 +741,12 @@ def dedup_against_embedding(
     signature table is 8 GB, the one semantic-dedup form whose reference
     state fits in executor memory outright. Integer-exact (full hash
     oracle + renderer, no rounding contract); mode='pairs' returns
-    ``(ID, REF_ID, HAMMING)``. No index form: packing is a row-local
-    projection, so "prebuilding" would save one narrow scan.
+    ``(ID, REF_ID, HAMMING)``. A prebuilt :class:`BinaryIndex`
+    (``binary_index``/``load_binary_index``, foldable with
+    ``update_binary_index`` — which, having no fitted state, matches a
+    full rebuild EXACTLY, unlike the IVF/PQ updates) skips the per-batch
+    reference re-pack: the reference read drops from full-width vectors
+    to the 8-byte signatures.
 
     method='ivfpq' (billion-vector regime): candidates come from the same
     probe shape as 'ivf', but the reference side is an :class:`~.pq.
@@ -796,30 +800,51 @@ def dedup_against_embedding(
         scored = r.crossJoin(F.broadcast(q)).withColumn("__cos", cos)
         matches = scored.filter(F.col("__cos") >= threshold)
     elif method == "binary":
-        if index is not None:
-            raise ParameterException(
-                "method='binary' packs signs on the fly (a row-local "
-                "projection); it takes no index"
-            )
-        if reference is None:
-            raise ParameterException(
-                "method='binary' needs a reference frame"
-            )
         if max_hamming < 0:
             raise ParameterException("max_hamming must be >= 0")
-        rv = resolve_col(reference, ref_vec or vec_col)
-        ri = resolve_col(reference, ref_id or id_col)
         bdim = df.select(F.size(F.col(v)).alias("d")).first()
-        rdim = reference.select(F.size(F.col(rv)).alias("d")).first()
-        if bdim is not None and rdim is not None and int(bdim["d"]) != int(rdim["d"]):
-            raise ParameterException(
-                f"batch dim {int(bdim['d'])} != reference dim {int(rdim['d'])}"
+        if index is not None:
+            if not isinstance(index, BinaryIndex):
+                raise ParameterException(
+                    "method='binary' takes a BinaryIndex (build with "
+                    "binary_index / load_binary_index); got "
+                    f"{type(index).__name__}"
+                )
+            if reference is not None and index.n_docs is not None:
+                rc = reference.count()
+                if rc != index.n_docs:
+                    raise ParameterException(
+                        f"BinaryIndex was built over {index.n_docs} "
+                        f"reference vectors but the passed reference has "
+                        f"{rc} — fold the new vectors in with "
+                        "update_binary_index or rebuild"
+                    )
+            n_words = index.n_words
+            if bdim is not None and max(1, (int(bdim["d"]) + 31) // 32) != n_words:
+                raise ParameterException(
+                    f"batch vectors pack to "
+                    f"{max(1, (int(bdim['d']) + 31) // 32)} words but the "
+                    f"index was built with {n_words}"
+                )
+            rp = index.frame
+        else:
+            if reference is None:
+                raise ParameterException(
+                    "method='binary' needs a reference frame or a prebuilt "
+                    "BinaryIndex"
+                )
+            rv = resolve_col(reference, ref_vec or vec_col)
+            ri = resolve_col(reference, ref_id or id_col)
+            rdim = reference.select(F.size(F.col(rv)).alias("d")).first()
+            if bdim is not None and rdim is not None and int(bdim["d"]) != int(rdim["d"]):
+                raise ParameterException(
+                    f"batch dim {int(bdim['d'])} != reference dim {int(rdim['d'])}"
+                )
+            n_words = max(1, ((int(rdim["d"]) if rdim is not None else 0) + 31) // 32)
+            rp = spread(reference).select(
+                F.col(ri).alias("__rid"),
+                _sign_words_expr(f"`{rv}`", n_words).alias("__sig"),
             )
-        n_words = max(1, ((int(rdim["d"]) if rdim is not None else 0) + 31) // 32)
-        rp = spread(reference).select(
-            F.col(ri).alias("__rid"),
-            _sign_words_expr(f"`{rv}`", n_words).alias("__sig"),
-        )
         qp = df.select(
             F.col(i).alias("__qid"),
             _sign_words_expr(f"`{v}`", n_words).alias("__qsig"),
@@ -1452,6 +1477,92 @@ def _r_binary_quantize(source, vec_col, id_col=None, n_words: int = 2) -> str:
         f"SELECT *, {_sign_words_sql(vec_col, n_words)} "
         f"AS SIGN_BITS FROM {source}"
     )
+
+
+class BinaryIndex:
+    """Reusable 1-bit signature index: the persisted ``(__rid, __sig)``
+    frame (``n_words`` 32-bit words per row — 8 bytes at 64 dims) plus
+    the packing geometry. Build once with :func:`binary_index` and pass
+    to any number of ``dedup_against_embedding(method='binary')`` calls —
+    without it each batch re-scans and re-packs the full-width reference
+    vectors (512 B/row at 64-dim float64); with it the per-batch
+    reference read is the 8-byte signatures only. Same lifecycle contract
+    as MinHashIndex/BloomIndex/IVFIndex/IVFPQIndex: ``release()``
+    unpersists, ``n_docs`` is the row-count staleness fingerprint,
+    save/load/update complete the crawl-ingest loop."""
+
+    def __init__(self, frame: DataFrame, n_words: int, n_docs: int | None = None):
+        self.frame = frame
+        self.n_words = n_words
+        self.n_docs = n_docs
+
+    def release(self) -> None:
+        release_now(self.frame)
+
+
+def binary_index(reference: DataFrame, vec_col: str, id_col: str) -> BinaryIndex:
+    """Build a reusable :class:`BinaryIndex` over a reference corpus —
+    one row-local packing pass, persisted until ``release()``."""
+    rv, ri = resolve_col(reference, vec_col), resolve_col(reference, id_col)
+    first = reference.select(F.size(F.col(rv)).alias("d")).first()
+    if first is None:
+        raise ParameterException("reference is empty")
+    n_words = max(1, (int(first["d"]) + 31) // 32)
+    frame = scoped_persist(spread(reference).select(
+        F.col(ri).alias("__rid"),
+        _sign_words_expr(f"`{rv}`", n_words).alias("__sig"),
+    ))
+    n = frame.count()
+    return BinaryIndex(frame, n_words, n_docs=n)
+
+
+def save_binary_index(index: BinaryIndex, path: str) -> str:
+    """Persist a :class:`BinaryIndex` as parquet (``{path}/frame``,
+    ``{path}/params``) — the cross-job artifact form."""
+    index.frame.select("__rid", "__sig").write.mode("overwrite").parquet(
+        f"{path}/frame"
+    )
+    index.frame.sparkSession.createDataFrame(
+        [(int(index.n_words), -1 if index.n_docs is None else int(index.n_docs))],
+        "n_words int, n_docs long",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    return path
+
+
+def load_binary_index(spark, path: str, persist: bool = True) -> BinaryIndex:
+    frame = spark.read.parquet(f"{path}/frame")
+    if persist:
+        frame = scoped_persist(frame)
+    prm = spark.read.parquet(f"{path}/params").first()
+    nd = int(prm["n_docs"])
+    return BinaryIndex(frame, int(prm["n_words"]), n_docs=None if nd < 0 else nd)
+
+
+def update_binary_index(index: BinaryIndex, new_vecs: DataFrame,
+                        vec_col: str, id_col: str) -> BinaryIndex:
+    """Fold a batch into an existing :class:`BinaryIndex`: only the batch
+    pays packing (and packing has no fitted state, so — unlike the
+    IVF/PQ updates — there is NO drift: update-then-check equals a full
+    rebuild exactly; pytest-pinned). Ids must stay unique across
+    increments; returns a NEW index, eagerly materialized."""
+    v, i = resolve_col(new_vecs, vec_col), resolve_col(new_vecs, id_col)
+    first = new_vecs.select(F.size(F.col(v)).alias("d")).first()
+    if first is not None:
+        nw = max(1, (int(first["d"]) + 31) // 32)
+        if nw != index.n_words:
+            raise ParameterException(
+                f"batch vectors pack to {nw} words but the index was built "
+                f"with {index.n_words}"
+            )
+    packed = spread(new_vecs).select(
+        F.col(i).alias("__rid"),
+        _sign_words_expr(f"`{v}`", index.n_words).alias("__sig"),
+    )
+    merged = scoped_persist(
+        index.frame.select("__rid", "__sig").unionByName(packed)
+    )
+    n = merged.count()
+    return BinaryIndex(merged, index.n_words, n_docs=n)
 
 
 @spark_transform("similarity_search_binary", category="similarity", streaming_ok=False)

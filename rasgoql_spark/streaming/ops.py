@@ -480,7 +480,11 @@ def stream_dedup_against(
     from ..functions.bloom import BloomIndex, dedup_against_bloom
     from ..functions.dedup import MinHashIndex, dedup_against
     from ..functions.pq import IVFPQIndex
-    from ..functions.similarity import IVFIndex, dedup_against_embedding
+    from ..functions.similarity import (
+        BinaryIndex,
+        IVFIndex,
+        dedup_against_embedding,
+    )
 
     if not df.isStreaming:
         raise ParameterException(
@@ -490,13 +494,36 @@ def stream_dedup_against(
     if (sink_path is None) == (sink_table is None):
         raise ParameterException("pass exactly one of sink_path / sink_table")
     if index is not None and not isinstance(
-        index, (MinHashIndex, BloomIndex, IVFIndex, IVFPQIndex)
+        index, (MinHashIndex, BloomIndex, IVFIndex, IVFPQIndex, BinaryIndex)
     ):
         raise ParameterException(
-            f"index must be a MinHashIndex, BloomIndex, IVFIndex or "
-            f"IVFPQIndex, got {type(index).__name__}"
+            f"index must be a MinHashIndex, BloomIndex, IVFIndex, "
+            f"IVFPQIndex or BinaryIndex, got {type(index).__name__}"
         )
-    if isinstance(index, IVFPQIndex):
+    if isinstance(index, BinaryIndex):
+        # r9: prebuilt 1-bit signature index — per-batch reference read is
+        # the 8-byte signatures (no re-pack of full-width vectors); fold
+        # accepted docs with update_binary_index (drift-free: no fitted
+        # state, update == rebuild exactly)
+        if method not in (None, "binary"):
+            raise ParameterException(
+                f"method={method!r} conflicts with a BinaryIndex"
+            )
+        if reference is not None and index.n_docs is not None:
+            rc = reference.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"BinaryIndex was built over {index.n_docs} reference "
+                    f"vectors but the passed reference has {rc} — fold the "
+                    "new vectors in with update_binary_index or rebuild"
+                )
+
+        def clean(b: DataFrame) -> DataFrame:
+            return dedup_against_embedding(
+                b, vec_col=text, id_col=id_col, method="binary", index=index,
+                max_hamming=max_hamming, mode="filter",
+            )
+    elif isinstance(index, IVFPQIndex):
         # round 9: the memory-bounded semantic path — per-batch candidate
         # scans read m small-int PQ codes instead of full vectors, so the
         # crawl-ingest loop stays cheap as the accepted corpus grows into

@@ -435,3 +435,55 @@ def test_dedup_against_binary(emb, spark):
         dedup_against_embedding(
             batch, "embedding", "vec_id", reference=ref, method="binary",
             max_hamming=-1)
+
+
+def test_binary_index_lifecycle(emb, tmp_path):
+    """BinaryIndex: prebuilt == inline, update == full rebuild EXACTLY
+    (packing has no fitted state — the one drift-free index family),
+    save/load round-trips, and the type/staleness/geometry guards fire."""
+    from rasgoql_spark.functions.similarity import (
+        binary_index,
+        load_binary_index,
+        save_binary_index,
+        update_binary_index,
+    )
+
+    ref = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 480")
+    kw = dict(method="binary", max_hamming=20, mode="pairs")
+    inline = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, **kw)
+    idx = binary_index(ref, "embedding", "vec_id")
+    pre = dedup_against_embedding(batch, "embedding", "vec_id", index=idx, **kw)
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, pre.collect()))
+    # update == rebuild, exactly
+    grown = emb.filter("vec_id < 450")
+    rebuilt = binary_index(grown, "embedding", "vec_id")
+    updated = update_binary_index(
+        idx, emb.filter("vec_id >= 400 AND vec_id < 450"), "embedding", "vec_id")
+    a = dedup_against_embedding(batch, "embedding", "vec_id", index=rebuilt, **kw)
+    b = dedup_against_embedding(batch, "embedding", "vec_id", index=updated, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert updated.n_docs == 450
+    # save/load
+    path = str(tmp_path / "binidx")
+    save_binary_index(updated, path)
+    loaded = load_binary_index(emb.sparkSession, path)
+    assert loaded.n_words == updated.n_words and loaded.n_docs == 450
+    c = dedup_against_embedding(batch, "embedding", "vec_id", index=loaded, **kw)
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, c.collect()))
+    # guards
+    with pytest.raises(ParameterException, match="BinaryIndex"):
+        dedup_against_embedding(
+            batch, "embedding", "vec_id", method="binary",
+            index=ivf_index(ref.limit(40), "embedding", "vec_id",
+                            num_centroids=4))
+    with pytest.raises(ParameterException, match="fold the new"):
+        dedup_against_embedding(
+            batch, "embedding", "vec_id", reference=grown, index=idx, **kw)
+    with pytest.raises(ParameterException, match="pack to"):
+        update_binary_index(
+            idx, batch.withColumn("embedding", F.slice("embedding", 1, 32)),
+            "embedding", "vec_id")
+    for i_ in (idx, rebuilt, updated, loaded):
+        i_.release()

@@ -885,3 +885,65 @@ def test_stream_dedup_against_binary_reference(spark, tmp_path_factory):
     q.awaitTermination(120)
     got = {r["vec_id"] for r in spark.read.parquet(str(tmp / "out")).collect()}
     assert got == {11}
+
+
+def test_stream_dedup_against_binary_index(spark, tmp_path_factory):
+    """Round 9: streaming signature dedup against a prebuilt BinaryIndex —
+    the per-batch reference read is the 8-byte signatures; fold-in via
+    update_binary_index is drift-free (no fitted state)."""
+    from rasgoql_spark.functions.similarity import (
+        binary_index, update_binary_index)
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdabinidx")
+    ref = spark.createDataFrame(
+        [(0, [0.5, -0.25, 0.75, -0.1]), (1, [-1.0, 1.0, -1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(10, [0.5, -0.25, 0.75, -0.1]),   # same signs as ref 0 -> drops
+         (11, [0.5, 0.25, -0.75, 0.1])],   # sign pattern matches no ref -> kept
+        "vec_id long, embedding array<double>")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    mk = lambda: spark.readStream.schema(  # noqa: E731
+        "vec_id long, embedding array<double>").parquet(src)
+    idx = binary_index(ref, "embedding", "vec_id")
+    try:
+        q = stream_dedup_against(
+            mk(), "embedding", "vec_id", checkpoint=str(tmp / "c"),
+            sink_path=str(tmp / "out"), index=idx, method="binary",
+            max_hamming=0)
+        q.awaitTermination(120)
+        got = {r["vec_id"] for r in spark.read.parquet(str(tmp / "out")).collect()}
+        assert got == {11}
+        # fold the accepted doc in; its dup in the next batch drops
+        accepted = spark.createDataFrame(
+            [(11, [0.5, 0.25, -0.75, 0.1])],
+            "vec_id long, embedding array<double>")
+        idx2 = update_binary_index(idx, accepted, "embedding", "vec_id")
+        batch2 = spark.createDataFrame(
+            [(20, [0.9, 0.1, -0.2, 0.3])],  # same signs as folded-in 11 -> drops
+            "vec_id long, embedding array<double>")
+        src2 = str(tmp / "in2")
+        batch2.write.parquet(src2)
+        sdf2 = spark.readStream.schema(
+            "vec_id long, embedding array<double>").parquet(src2)
+        q2 = stream_dedup_against(
+            sdf2, "embedding", "vec_id", checkpoint=str(tmp / "c2"),
+            sink_path=str(tmp / "out2"), index=idx2, method="binary",
+            max_hamming=0)
+        q2.awaitTermination(120)
+        import os
+        got2 = ({r["vec_id"] for r in spark.read.parquet(str(tmp / "out2")).collect()}
+                if os.path.exists(str(tmp / "out2")) else set())
+        assert got2 == set()
+        # wrong-method conflict fires before .start()
+        import pytest as _pytest
+
+        from rasgoql_spark.errors import ParameterException
+        with _pytest.raises(ParameterException, match="conflicts"):
+            stream_dedup_against(
+                mk(), "embedding", "vec_id", checkpoint=str(tmp / "cx"),
+                sink_path=str(tmp / "ox"), index=idx, method="minhash")
+    finally:
+        idx.release()
