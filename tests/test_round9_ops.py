@@ -426,7 +426,7 @@ def test_dedup_against_binary(emb, spark):
         via_df = pairs if mode == "pairs" else kept
         assert sorted(map(tuple, via_df.collect())) == sorted(
             map(tuple, via_sql.collect()))
-    with pytest.raises(ParameterException, match="no index"):
+    with pytest.raises(ParameterException, match="takes a BinaryIndex"):
         dedup_against_embedding(
             batch, "embedding", "vec_id", reference=ref, method="binary",
             index=ivf_index(ref.limit(50), "embedding", "vec_id",
