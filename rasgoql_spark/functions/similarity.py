@@ -567,7 +567,10 @@ def _embedding_join_ivf_rounded(df, v, i, odf, ov, oi, k, num_centroids,
     every left row, rounded dot scoring over probed lists. Join shape and
     skew posture match the unrounded path: probe frame equi-joins the
     assigned corpus on the centroid id with no broadcast hint, so AQE can
-    split hot inverted lists."""
+    split hot inverted lists. MIRROR NOTE: see
+    _similarity_search_ivf_rounded — the contract primitives are shared
+    single definitions; the composition glue is deliberately repeated in
+    the join shape."""
     from .cluster import _fit_kmeans, _unit_rounded
     from .cluster import _assign_expr as _rounded_assign
     from .pq import _probe_lists_rounded
@@ -772,7 +775,8 @@ def dedup_against_embedding(
     if reference is None and index is None:
         raise ParameterException(
             "dedup_against_embedding needs a reference frame or a prebuilt "
-            "IVFIndex"
+            "index (IVFIndex for method='ivf', IVFPQIndex for 'ivfpq', "
+            "BinaryIndex for 'binary')"
         )
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
     cached = None  # inline-built IVF frame, released with the final result
@@ -820,6 +824,11 @@ def dedup_against_embedding(
                         "update_binary_index or rebuild"
                     )
             n_words = index.n_words
+            if bdim is not None and index.dim is not None and int(bdim["d"]) != index.dim:
+                raise ParameterException(
+                    f"batch vectors have dim {int(bdim['d'])} but the "
+                    f"index was built over dim {index.dim}"
+                )
             if bdim is not None and max(1, (int(bdim["d"]) + 31) // 32) != n_words:
                 raise ParameterException(
                     f"batch vectors pack to "
@@ -1067,21 +1076,31 @@ def _r_dedup_against_embedding(
     source, vec_col, id_col, reference=None, ref_vec=None, ref_id=None,
     threshold=0.9, method="brute", num_centroids="auto", nprobe="auto",
     mode="filter", round_scores=6, index=None, pq_m=4, pq_codebook_size=8,
-    pq_iterations=1, residual=False, max_hamming=6, n_words: int = 2,
+    pq_iterations=1, residual=False, max_hamming=6, n_words=None,
 ) -> str:
     from ..errors import TransformRenderingException
 
     if method == "binary" and index is None and reference is not None:
         # integer-exact replay: packed signatures both sides, xor+popcount
-        # threshold; render-time n_words defaults to 2 (64-dim)
+        # threshold; n_words must be explicit (dim unknowable at render
+        # time — the binary_quantize renderer's guard)
+        if mode not in ("filter", "pairs"):
+            raise ParameterException("mode must be 'filter' or 'pairs'")
+        if max_hamming < 0:
+            raise ParameterException("max_hamming must be >= 0")
+        if n_words is None:
+            raise TransformRenderingException(
+                "dedup_against_embedding(method='binary') renders only "
+                "with an explicit n_words (= ceil(dim/32))"
+            )
         rp = (
             f"(SELECT {ref_id or id_col} AS __rid, "
-            f"{_sign_words_sql(ref_vec or vec_col, n_words)} AS __sig "
+            f"{_sign_words_sql(ref_vec or vec_col, int(n_words))} AS __sig "
             f"FROM {reference})"
         )
         qp = (
             f"(SELECT {id_col} AS __qid, "
-            f"{_sign_words_sql(vec_col, n_words)} AS __qsig FROM {source})"
+            f"{_sign_words_sql(vec_col, int(n_words))} AS __qsig FROM {source})"
         )
         ham = (
             "aggregate(zip_with(q.__qsig, r.__sig, (a, b) -> "
@@ -1220,7 +1239,16 @@ def _similarity_search_ivf_rounded(df, vec_col, id_col, query_ids, k,
     contract, one Lloyd pass like the inline unrounded build), rounded
     probe ranking, rounded dot scoring. Same plan shape as the unrounded
     path — persisted normalized corpus, broadcast probe frame, one
-    candidate window — so the 100 TB properties carry over unchanged."""
+    candidate window — so the 100 TB properties carry over unchanged.
+
+    MIRROR NOTE: _embedding_join_ivf_rounded repeats this glue in its
+    join shape (different query source, no broadcast hint on the probe
+    join, joined-back output). The pieces that define the CONTRACT —
+    _unit_rounded, _fit_kmeans, _assign_expr, _probe_lists_rounded — are
+    single definitions shared by both (and by the renderers/oracles);
+    only the composition is duplicated, so a contract change cannot
+    drift the two paths apart, but edits to the glue should be applied
+    to both."""
     from .cluster import _fit_kmeans, _unit_rounded
     from .cluster import _assign_expr as _rounded_assign
     from .pq import _probe_lists_rounded
@@ -1303,7 +1331,7 @@ def _r_similarity_search_ivf(source, vec_col, id_col, query_ids, k=10,
         source, vec_col, id_col, num_centroids, 1, round_scores,
         "similarity_search_ivf",
     )
-    qlist = ", ".join(str(int(q)) for q in query_ids)
+    qlist = ", ".join(_sql_id_literal(q) for q in query_ids)
     sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_scores)})"
     ctes = [
         f"__ivf_cents AS (SELECT c, v FROM {kcents})",
@@ -1450,7 +1478,8 @@ def _sign_words_expr(vec_name: str, n_words: int) -> Column:
 
 
 @spark_transform("binary_quantize", category="similarity", streaming_ok=False)
-def binary_quantize(df: DataFrame, vec_col: str, id_col: str | None = None) -> DataFrame:
+def binary_quantize(df: DataFrame, vec_col: str, id_col: str | None = None,
+                    n_words: int | None = None) -> DataFrame:
     """Append ``SIGN_BITS`` (array<bigint> of 32-bit words): the 1-bit
     sign quantization of the embedding — 64-dim float64 compresses 256×
     to 8 bytes, the most aggressive memory-bounded form of the
@@ -1464,15 +1493,34 @@ def binary_quantize(df: DataFrame, vec_col: str, id_col: str | None = None) -> D
     v = resolve_col(df, vec_col)
     first = df.select(F.size(F.col(v)).alias("d")).first()
     dim = int(first["d"]) if first is not None else 0
-    n_words = max(1, (dim + 31) // 32)
-    return df.withColumn("SIGN_BITS", _sign_words_expr(f"`{v}`", n_words))
+    derived = max(1, (dim + 31) // 32)
+    if n_words is None:
+        n_words = derived
+    elif first is not None and int(n_words) != derived:
+        # explicit n_words exists so .sql() chains can render (the data's
+        # dim is unknowable at render time); it must agree with the data
+        raise ParameterException(
+            f"n_words={int(n_words)} but the {dim}-dim vectors pack to "
+            f"{derived} words"
+        )
+    return df.withColumn("SIGN_BITS", _sign_words_expr(f"`{v}`", int(n_words)))
 
 
 @renderer("binary_quantize")
-def _r_binary_quantize(source, vec_col, id_col=None, n_words: int = 2) -> str:
-    """Renderer note: the DataFrame path sizes ``n_words`` from the data
-    (ceil(dim/32)); the render-time parameter defaults to 2 (64-dim) —
-    pass ``n_words`` through ``.sql()`` chains for other dims."""
+def _r_binary_quantize(source, vec_col, id_col=None, n_words=None) -> str:
+    """The DataFrame path sizes ``n_words`` from the data (ceil(dim/32)),
+    which the renderer cannot see — so rendering REQUIRES the explicit
+    ``n_words`` chain parameter (validated against the data at execution
+    time), the same resolve-at-run-time guard shape as the auto-sizing
+    renderers. A silent default would truncate >64-dim corpora."""
+    from ..errors import TransformRenderingException
+
+    if n_words is None:
+        raise TransformRenderingException(
+            "binary_quantize renders only with an explicit n_words "
+            "(= ceil(dim/32)); the vector dimension is unknowable at "
+            "render time"
+        )
     return (
         f"SELECT *, {_sign_words_sql(vec_col, n_words)} "
         f"AS SIGN_BITS FROM {source}"
@@ -1489,12 +1537,18 @@ class BinaryIndex:
     reference read is the 8-byte signatures only. Same lifecycle contract
     as MinHashIndex/BloomIndex/IVFIndex/IVFPQIndex: ``release()``
     unpersists, ``n_docs`` is the row-count staleness fingerprint,
-    save/load/update complete the crawl-ingest loop."""
+    save/load/update complete the crawl-ingest loop. ``dim`` records the
+    EXACT build-time vector dimension — word count alone is too coarse a
+    geometry guard (a 48-dim batch also packs to 2 words but its top 16
+    sign bits are zero-padding, silently inflating every Hamming
+    distance)."""
 
-    def __init__(self, frame: DataFrame, n_words: int, n_docs: int | None = None):
+    def __init__(self, frame: DataFrame, n_words: int,
+                 n_docs: int | None = None, dim: int | None = None):
         self.frame = frame
         self.n_words = n_words
         self.n_docs = n_docs
+        self.dim = dim
 
     def release(self) -> None:
         release_now(self.frame)
@@ -1507,13 +1561,14 @@ def binary_index(reference: DataFrame, vec_col: str, id_col: str) -> BinaryIndex
     first = reference.select(F.size(F.col(rv)).alias("d")).first()
     if first is None:
         raise ParameterException("reference is empty")
-    n_words = max(1, (int(first["d"]) + 31) // 32)
+    dim = int(first["d"])
+    n_words = max(1, (dim + 31) // 32)
     frame = scoped_persist(spread(reference).select(
         F.col(ri).alias("__rid"),
         _sign_words_expr(f"`{rv}`", n_words).alias("__sig"),
     ))
     n = frame.count()
-    return BinaryIndex(frame, n_words, n_docs=n)
+    return BinaryIndex(frame, n_words, n_docs=n, dim=dim)
 
 
 def save_binary_index(index: BinaryIndex, path: str) -> str:
@@ -1523,8 +1578,12 @@ def save_binary_index(index: BinaryIndex, path: str) -> str:
         f"{path}/frame"
     )
     index.frame.sparkSession.createDataFrame(
-        [(int(index.n_words), -1 if index.n_docs is None else int(index.n_docs))],
-        "n_words int, n_docs long",
+        [(
+            int(index.n_words),
+            -1 if index.n_docs is None else int(index.n_docs),
+            -1 if index.dim is None else int(index.dim),
+        )],
+        "n_words int, n_docs long, dim int",
     ).write.mode("overwrite").parquet(f"{path}/params")
     return path
 
@@ -1535,7 +1594,10 @@ def load_binary_index(spark, path: str, persist: bool = True) -> BinaryIndex:
         frame = scoped_persist(frame)
     prm = spark.read.parquet(f"{path}/params").first()
     nd = int(prm["n_docs"])
-    return BinaryIndex(frame, int(prm["n_words"]), n_docs=None if nd < 0 else nd)
+    dm = int(prm["dim"]) if "dim" in prm.__fields__ else -1
+    return BinaryIndex(frame, int(prm["n_words"]),
+                       n_docs=None if nd < 0 else nd,
+                       dim=None if dm < 0 else dm)
 
 
 def update_binary_index(index: BinaryIndex, new_vecs: DataFrame,
@@ -1548,6 +1610,11 @@ def update_binary_index(index: BinaryIndex, new_vecs: DataFrame,
     v, i = resolve_col(new_vecs, vec_col), resolve_col(new_vecs, id_col)
     first = new_vecs.select(F.size(F.col(v)).alias("d")).first()
     if first is not None:
+        if index.dim is not None and int(first["d"]) != index.dim:
+            raise ParameterException(
+                f"batch vectors have dim {int(first['d'])} but the index "
+                f"was built over dim {index.dim}"
+            )
         nw = max(1, (int(first["d"]) + 31) // 32)
         if nw != index.n_words:
             raise ParameterException(
@@ -1562,7 +1629,7 @@ def update_binary_index(index: BinaryIndex, new_vecs: DataFrame,
         index.frame.select("__rid", "__sig").unionByName(packed)
     )
     n = merged.count()
-    return BinaryIndex(merged, index.n_words, n_docs=n)
+    return BinaryIndex(merged, index.n_words, n_docs=n, dim=index.dim)
 
 
 @spark_transform("similarity_search_binary", category="similarity", streaming_ok=False)
@@ -1575,6 +1642,7 @@ def similarity_search_binary(
     rerank: bool = False,
     rerank_factor: int = 4,
     round_scores: int | None = 6,
+    n_words: int | None = None,
 ) -> DataFrame:
     """Top-``k`` nearest corpus rows per query by HAMMING distance over
     1-bit sign quantization (:func:`binary_quantize`): the extreme end of
@@ -1613,7 +1681,15 @@ def similarity_search_binary(
     first = df.select(F.size(F.col(v)).alias("d")).first()
     if first is None:
         raise ParameterException("input is empty")
-    n_words = max(1, (int(first["d"]) + 31) // 32)
+    derived = max(1, (int(first["d"]) + 31) // 32)
+    if n_words is None:
+        n_words = derived
+    elif int(n_words) != derived:
+        raise ParameterException(
+            f"n_words={int(n_words)} but the {int(first['d'])}-dim vectors "
+            f"pack to {derived} words"
+        )
+    n_words = int(n_words)
     packed = spread(df).select(
         F.col(i).alias("MATCH_ID"),
         _sign_words_expr(f"`{v}`", n_words).alias("__sig"),
@@ -1670,7 +1746,7 @@ def similarity_search_binary(
 @renderer("similarity_search_binary")
 def _r_similarity_search_binary(source, vec_col, id_col, query_ids, k=10,
                                 rerank=False, rerank_factor=4,
-                                round_scores=6, n_words: int = 2) -> str:
+                                round_scores=6, n_words=None) -> str:
     """Integer-exact replay: same packing words, xor + bit_count per word,
     ascending-Hamming window. Without rerank there is no rounding
     contract anywhere; rerank mode adds the standard rounded-cosine
@@ -1681,9 +1757,17 @@ def _r_similarity_search_binary(source, vec_col, id_col, query_ids, k=10,
         raise ParameterException("k must be >= 1")
     if rerank and rerank_factor < 1:
         raise ParameterException("rerank_factor must be >= 1")
-    qlist = ", ".join(str(int(q)) for q in query_ids)
+    if n_words is None:
+        from ..errors import TransformRenderingException
+
+        raise TransformRenderingException(
+            "similarity_search_binary renders only with an explicit "
+            "n_words (= ceil(dim/32)); the vector dimension is unknowable "
+            "at render time"
+        )
+    qlist = ", ".join(_sql_id_literal(q) for q in query_ids)
     packed = (
-        f"(SELECT {id_col} AS __bid, {_sign_words_sql(vec_col, n_words)} "
+        f"(SELECT {id_col} AS __bid, {_sign_words_sql(vec_col, int(n_words))} "
         f"AS __sig FROM {source})"
     )
     ham = (

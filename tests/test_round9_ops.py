@@ -328,10 +328,10 @@ def test_similarity_search_binary_hamming_and_renderers(emb, spark):
         )[:5]
         assert {(q, m) for _, m in all_h} == {k for k in got if k[0] == q}
     sql1 = spark.sql(_r_similarity_search_binary(
-        "__r9_bin_emb", "embedding", "vec_id", [0, 1], k=5))
+        "__r9_bin_emb", "embedding", "vec_id", [0, 1], k=5, n_words=2))
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, sql1.collect()))
     bq = binary_quantize(emb, "embedding", "vec_id")
-    sql2 = spark.sql(_r_binary_quantize("__r9_bin_emb", "embedding"))
+    sql2 = spark.sql(_r_binary_quantize("__r9_bin_emb", "embedding", n_words=2))
     a = sorted((r["vec_id"], tuple(r["SIGN_BITS"]))
                for r in bq.select("vec_id", "SIGN_BITS").collect())
     b = sorted((r["vec_id"], tuple(r["SIGN_BITS"]))
@@ -379,7 +379,7 @@ def test_similarity_search_binary_rerank(emb, spark):
     emb.createOrReplaceTempView("__r9_bin_emb2")
     sql = spark.sql(_r_similarity_search_binary(
         "__r9_bin_emb2", "embedding", "vec_id", qids, k=10,
-        rerank=True, rerank_factor=4))
+        rerank=True, rerank_factor=4, n_words=2))
     assert sorted(map(tuple, rer.collect())) == sorted(map(tuple, sql.collect()))
     with pytest.raises(ParameterException, match="rerank_factor"):
         similarity_search_binary(
@@ -421,7 +421,7 @@ def test_dedup_against_binary(emb, spark):
         sql = _r_dedup_against_embedding(
             "(SELECT * FROM __r9_dab WHERE vec_id >= 450)", "embedding",
             "vec_id", reference="(SELECT * FROM __r9_dab WHERE vec_id < 450)",
-            method="binary", max_hamming=20, mode=mode)
+            method="binary", max_hamming=20, mode=mode, n_words=2)
         via_sql = spark.sql(sql)
         via_df = pairs if mode == "pairs" else kept
         assert sorted(map(tuple, via_df.collect())) == sorted(
@@ -481,9 +481,71 @@ def test_binary_index_lifecycle(emb, tmp_path):
     with pytest.raises(ParameterException, match="fold the new"):
         dedup_against_embedding(
             batch, "embedding", "vec_id", reference=grown, index=idx, **kw)
-    with pytest.raises(ParameterException, match="pack to"):
+    with pytest.raises(ParameterException, match="dim 32"):
         update_binary_index(
             idx, batch.withColumn("embedding", F.slice("embedding", 1, 32)),
             "embedding", "vec_id")
     for i_ in (idx, rebuilt, updated, loaded):
         i_.release()
+
+
+def test_binary_n_words_and_dim_guards(emb, spark):
+    """Round-9 review fixes: renderers REQUIRE explicit n_words (a silent
+    default would truncate >64-dim corpora in the exported SQL); explicit
+    n_words is validated against the data at execution; BinaryIndex
+    records the exact build dim, so a same-word-count different-dim batch
+    is rejected instead of silently inflating Hamming distances."""
+    import rasgoql_spark as rql
+    from rasgoql_spark.functions.similarity import (
+        _r_binary_quantize,
+        _r_dedup_against_embedding,
+        _r_similarity_search_binary,
+        binary_index,
+        binary_quantize,
+        similarity_search_binary,
+        update_binary_index,
+    )
+
+    with pytest.raises(rql.TransformRenderingException, match="n_words"):
+        _r_binary_quantize("t", "embedding")
+    with pytest.raises(rql.TransformRenderingException, match="n_words"):
+        _r_similarity_search_binary("t", "embedding", "vec_id", [0])
+    with pytest.raises(rql.TransformRenderingException, match="n_words"):
+        _r_dedup_against_embedding(
+            "t", "embedding", "vec_id", reference="r", method="binary")
+    with pytest.raises(ParameterException, match="mode must"):
+        _r_dedup_against_embedding(
+            "t", "embedding", "vec_id", reference="r", method="binary",
+            mode="scores", n_words=2)
+    with pytest.raises(ParameterException, match="max_hamming"):
+        _r_dedup_against_embedding(
+            "t", "embedding", "vec_id", reference="r", method="binary",
+            max_hamming=-1, n_words=2)
+    # execution-side n_words validation
+    with pytest.raises(ParameterException, match="pack to 2 words"):
+        binary_quantize(emb, "embedding", "vec_id", n_words=3)
+    with pytest.raises(ParameterException, match="pack to 2 words"):
+        similarity_search_binary(emb, "embedding", "vec_id", [0], n_words=5)
+    # chain-level render with explicit n_words works end-to-end
+    session = rql.RasgoSession(spark, data_dir="/root/testdata/sf0.001")
+    chain = session.dataset("embeddings").binary_quantize(
+        vec_col="embedding", id_col="vec_id", n_words=2)
+    session.dataset("embeddings").df.createOrReplaceTempView("embeddings")
+    a = sorted((r["vec_id"], tuple(r["SIGN_BITS"]))
+               for r in chain.df.select("vec_id", "SIGN_BITS").collect())
+    b = sorted((r["vec_id"], tuple(r["SIGN_BITS"]))
+               for r in spark.sql(chain.sql()).select("vec_id", "SIGN_BITS").collect())
+    assert a == b
+    # exact-dim guard: a 48-dim batch also packs to 2 words but must be
+    # rejected against a 64-dim index
+    idx = binary_index(emb.filter("vec_id < 100"), "embedding", "vec_id")
+    assert idx.dim == 64
+    short = emb.filter("vec_id >= 480").withColumn(
+        "embedding", F.slice("embedding", 1, 48))
+    with pytest.raises(ParameterException, match="dim 48"):
+        dedup_against_embedding(
+            short, "embedding", "vec_id", index=idx, method="binary",
+            mode="pairs").collect()
+    with pytest.raises(ParameterException, match="dim 48"):
+        update_binary_index(idx, short, "embedding", "vec_id")
+    idx.release()
