@@ -1670,7 +1670,11 @@ def similarity_search_binary(
     side broadcasts, and the corpus-side scan reads only the packed
     words; the per-query top-k window is WindowGroupLimit-prunable like
     the other search operators. The rerank join touches queries × k ·
-    rerank_factor rows — never the corpus."""
+    rerank_factor rows — never the corpus.
+
+    ``n_words`` (= ceil(dim/32)) is derived from the data by default and
+    validated when passed explicitly; pass it explicitly on ``.sql()``
+    chains — the renderer cannot see the data and refuses to guess."""
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:
