@@ -416,6 +416,15 @@ def update_ivf_index(
     the old one remains usable — ``release()`` whichever you keep.
     """
     v, i = resolve_col(new_vecs, vec_col), resolve_col(new_vecs, id_col)
+    # dimension guard (mirrors update_ivfpq_index): a mismatched batch
+    # would zip_with against the centroids into NULL sims and land every
+    # row on a NULL centroid id — silently unsearchable, not an error
+    first = new_vecs.select(F.size(F.col(v)).alias("d")).first()
+    if first is not None and index.centroids and int(first["d"]) != len(index.centroids[0][1]):
+        raise ParameterException(
+            f"batch vectors have dim {int(first['d'])} but the index was "
+            f"built over dim {len(index.centroids[0][1])}"
+        )
     nbase = _with_normalized(
         spread(new_vecs).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
         "__vec",

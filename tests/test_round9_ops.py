@@ -549,3 +549,25 @@ def test_binary_n_words_and_dim_guards(emb, spark):
     with pytest.raises(ParameterException, match="dim 48"):
         update_binary_index(idx, short, "embedding", "vec_id")
     idx.release()
+
+
+def test_update_ivf_index_dim_guard(emb):
+    """Symmetry with update_ivfpq_index's guard: a mismatched-dim batch
+    would otherwise zip_with into NULL sims and a NULL centroid id —
+    silently unsearchable rows, not an error."""
+    from rasgoql_spark.functions.similarity import (
+        ivf_index,
+        update_ivf_index,
+    )
+
+    idx = ivf_index(emb.filter("vec_id < 100"), "embedding", "vec_id",
+                    num_centroids=4)
+    bad = emb.filter("vec_id >= 480").withColumn(
+        "embedding", F.slice("embedding", 1, 16))
+    with pytest.raises(ParameterException, match="dim 16"):
+        update_ivf_index(idx, bad, "embedding", "vec_id")
+    ok = update_ivf_index(
+        idx, emb.filter("vec_id >= 480"), "embedding", "vec_id")
+    assert ok.n_docs == 120
+    idx.release()
+    ok.release()
