@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 182 entries, ALL 182 with DuckDB oracles (round 4
+streaming extensions) — 190 entries, ALL 190 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -4624,7 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the oldest round-6 entries to fill 50; each new r9 operator
     # inserted at the very top slides the tail of the r6 fill past the
     # fold — those stay r6-verified, so union max-staleness is r6 either
-    # way. All 182 entries pass tools/oracle_check.py locally (fresh full
+    # way. All 190 entries pass tools/oracle_check.py locally (fresh full
     # run recorded in COVERAGE.md).
     return {
         # --- r9 front: NEW round-9 operators (inserted as built; each

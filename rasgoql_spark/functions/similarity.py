@@ -718,6 +718,7 @@ def dedup_against_embedding(
     pq_iterations: int = 1,
     residual: bool = False,
     max_hamming: int = 6,
+    n_words: int | None = None,
 ) -> DataFrame:
     """Incremental SEMANTIC dedup: drop (mode='filter') or score
     (mode='pairs') batch rows whose embedding is near-identical (cosine >=
@@ -758,7 +759,14 @@ def dedup_against_embedding(
     ``update_binary_index`` — which, having no fitted state, matches a
     full rebuild EXACTLY, unlike the IVF/PQ updates) skips the per-batch
     reference re-pack: the reference read drops from full-width vectors
-    to the 8-byte signatures.
+    to the 8-byte signatures. ``n_words`` (= ceil(dim/32); binary method
+    only) is derived from the data by default; pass it explicitly so
+    ``.sql()`` chains can both execute AND render (the renderer cannot
+    see the data's dim) — it is validated against the derived value at
+    execution, the ``binary_quantize`` contract. Dim guards sample the
+    first row only (uniform-dim assumption — see
+    :func:`similarity_search_binary`); ``binary_index`` aggregate-checks
+    uniformity at its one-time build.
 
     method='ivfpq' (billion-vector regime): candidates come from the same
     probe shape as 'ivf', but the reference side is an :class:`~.pq.
@@ -816,6 +824,16 @@ def dedup_against_embedding(
         if max_hamming < 0:
             raise ParameterException("max_hamming must be >= 0")
         bdim = df.select(F.size(F.col(v)).alias("d")).first()
+        if n_words is not None and bdim is not None:
+            # explicit n_words exists so .sql() chains can render (the
+            # renderer cannot derive dim); validate it against the data,
+            # same contract as binary_quantize
+            derived = max(1, (int(bdim["d"]) + 31) // 32)
+            if int(n_words) != derived:
+                raise ParameterException(
+                    f"n_words={int(n_words)} but the {int(bdim['d'])}-dim "
+                    f"vectors pack to {derived} words"
+                )
         if index is not None:
             if not isinstance(index, BinaryIndex):
                 raise ParameterException(
@@ -1567,10 +1585,22 @@ def binary_index(reference: DataFrame, vec_col: str, id_col: str) -> BinaryIndex
     """Build a reusable :class:`BinaryIndex` over a reference corpus —
     one row-local packing pass, persisted until ``release()``."""
     rv, ri = resolve_col(reference, vec_col), resolve_col(reference, id_col)
-    first = reference.select(F.size(F.col(rv)).alias("d")).first()
-    if first is None:
+    # One-time build: a full min/max(size) aggregate is cheap here and
+    # catches mixed-dimension corpora outright (per-batch paths sample
+    # only the first row and DOCUMENT the uniform-dim assumption — a
+    # longer vector would silently lose sign bits beyond n_words*32).
+    ext = reference.select(
+        F.min(F.size(F.col(rv))).alias("lo"),
+        F.max(F.size(F.col(rv))).alias("hi"),
+    ).first()
+    if ext is None or ext["lo"] is None:
         raise ParameterException("reference is empty")
-    dim = int(first["d"])
+    if int(ext["lo"]) != int(ext["hi"]):
+        raise ParameterException(
+            f"reference vectors have mixed dimensions ({int(ext['lo'])}.."
+            f"{int(ext['hi'])}) — sign packing requires a uniform dim"
+        )
+    dim = int(ext["lo"])
     n_words = max(1, (dim + 31) // 32)
     frame = scoped_persist(spread(reference).select(
         F.col(ri).alias("__rid"),
@@ -1683,7 +1713,14 @@ def similarity_search_binary(
 
     ``n_words`` (= ceil(dim/32)) is derived from the data by default and
     validated when passed explicitly; pass it explicitly on ``.sql()``
-    chains — the renderer cannot see the data and refuses to guess."""
+    chains — the renderer cannot see the data and refuses to guess.
+
+    UNIFORM-DIM ASSUMPTION: the dim guard samples the FIRST row only (a
+    full-corpus aggregate per call would defeat the cheap-scan point of
+    this operator). In a mixed-dimension corpus, vectors longer than
+    dim lose sign bits beyond n_words*32 and shorter ones zero-pad,
+    silently skewing Hamming distances — enforce uniform dims upstream
+    (``binary_index`` DOES aggregate-check this at its one-time build)."""
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:

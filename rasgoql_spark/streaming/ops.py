@@ -493,6 +493,10 @@ def stream_dedup_against(
         )
     if (sink_path is None) == (sink_table is None):
         raise ParameterException("pass exactly one of sink_path / sink_table")
+    if max_hamming < 0:
+        # fail fast: a bad bound must surface here, not per-batch inside
+        # foreachBatch as a wrapped StreamingQueryException after .start()
+        raise ParameterException("max_hamming must be >= 0")
     if index is not None and not isinstance(
         index, (MinHashIndex, BloomIndex, IVFIndex, IVFPQIndex, BinaryIndex)
     ):

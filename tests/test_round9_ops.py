@@ -549,6 +549,28 @@ def test_binary_n_words_and_dim_guards(emb, spark):
     with pytest.raises(ParameterException, match="dim 48"):
         update_binary_index(idx, short, "embedding", "vec_id")
     idx.release()
+    # r10 advice fix: dedup_against_embedding now accepts n_words (the
+    # renderer required it, so a chain could never both execute and
+    # render binary dedup) and validates it like binary_quantize
+    ref = emb.filter("vec_id < 100")
+    batch = emb.filter("vec_id >= 480")
+    with pytest.raises(ParameterException, match="pack to 2 words"):
+        dedup_against_embedding(
+            batch, "embedding", "vec_id", reference=ref, method="binary",
+            n_words=5, mode="pairs")
+    ok = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, method="binary",
+        n_words=2, max_hamming=20, mode="pairs")
+    same = dedup_against_embedding(
+        batch, "embedding", "vec_id", reference=ref, method="binary",
+        max_hamming=20, mode="pairs")
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, same.collect()))
+    # r10 advice fix: binary_index aggregate-checks dim uniformity at its
+    # one-time build (mixed dims would silently skew Hamming distances)
+    mixed = ref.union(short.select(*ref.columns))
+    with pytest.raises(ParameterException, match="mixed dimensions"):
+        binary_index(mixed, "embedding", "vec_id")
 
 
 def test_update_ivf_index_dim_guard(emb):

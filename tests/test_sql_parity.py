@@ -345,6 +345,21 @@ CHAIN_CASES = [
         others=[s.dataset("documents").filter(
             filter_statements=["doc_id % 2 = 0"])],
         weights=[2, 1], key="doc_id")),
+    # round-10 advice fix: binary dedup chains must BOTH execute and
+    # render — n_words is now an accepted execution kwarg (validated
+    # against the data), so one kwargs dict serves chain-build and .sql()
+    ("dedup_against_embedding_binary", lambda s: s.dataset("embeddings")
+        .dedup_against_embedding(
+            vec_col="embedding", id_col="vec_id", method="binary",
+            max_hamming=20, n_words=2,
+            reference=s.dataset("embeddings").filter(
+                filter_statements=["vec_id < 100"]))),
+    ("dedup_against_embedding_binary_pairs", lambda s: s.dataset("embeddings")
+        .dedup_against_embedding(
+            vec_col="embedding", id_col="vec_id", method="binary",
+            max_hamming=20, n_words=2, mode="pairs",
+            reference=s.dataset("embeddings").filter(
+                filter_statements=["vec_id < 100"]))),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4

@@ -539,6 +539,12 @@ def test_stream_dedup_against_validation(spark, tmp_path_factory):
         stream_dedup_against(sdf, "text", "doc_id", checkpoint=str(tmp / "c"),
                              sink_path=str(tmp / "o"), reference=batch,
                              method="simhash")
+    # r10 advice fix: a negative max_hamming must also fail BEFORE
+    # .start(), not surface per-batch as a wrapped StreamingQueryException
+    with _pytest.raises(ParameterException, match="max_hamming"):
+        stream_dedup_against(sdf, "text", "doc_id", checkpoint=str(tmp / "c"),
+                             sink_path=str(tmp / "o"), reference=batch,
+                             method="binary", max_hamming=-1)
 
 
 def test_stream_dedup_against_bloom_method_reference(spark, tmp_path_factory):
