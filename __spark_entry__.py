@@ -1226,6 +1226,26 @@ def q_dedup_against_ivfpq(spark, sf):
     )
 
 
+def q_embedding_join_ivfpq(spark, sf):
+    """Round 10: the ANN join at PQ memory footprint — every left row
+    (vec_id >= 250) attaches its top-2 ADC-scored neighbors from the
+    right corpus (vec_id < 250), whose candidate scan reads m=8 small-int
+    PQ codes instead of 64 doubles. Full exact replay oracle
+    (_mk_ivfpq_sql(join_shape=True)): coarse + PQ fits over the right
+    rows only, rounded probe selection per left row, candidate scores as
+    JVM-side sequential folds DuckDB's list_sum replays bit-for-bit
+    before the shared 6-dp round; left scalar columns join back (arrays
+    dropped per the canonicalizer convention)."""
+    s = _s(spark, sf)
+    left = s.dataset("embeddings").filter(filter_statements=["vec_id >= 250"]).df
+    right = s.dataset("embeddings").filter(filter_statements=["vec_id < 250"]).df
+    from rasgoql_spark.functions.pq import embedding_join_ivfpq
+    return embedding_join_ivfpq(
+        left, vec_col="embedding", id_col="vec_id", other=right, k=2,
+        num_centroids=8, nprobe=3, m=8, codebook_size=16, iterations=0,
+    ).select("vec_id", "label", "MATCH_ID", "COSINE", "RANK")
+
+
 def q_similarity_search_ivf_rounded(spark, sf):
     """Round 9: the opt-in replayable ANN search — similarity_search_ivf
     with rounded=True swaps the unrounded fit (whose replay would be
@@ -2899,7 +2919,8 @@ def oracle_sql() -> dict[str, str]:
                       residual: bool = False, corpus_pred: str | None = None,
                       qids=None, batch_pred: str | None = None,
                       k: int | None = None,
-                      threshold: float | None = None) -> str:
+                      threshold: float | None = None,
+                      join_shape: bool = False) -> str:
         """Round-9 generalization of ``_mk_pq_adc_sql``: exact DuckDB replay
         of the IVF-PQ pipeline with (a) ``residual=True`` — the full IVFADC
         formulation, PQ fitting vector-minus-assigned-centroid with the
@@ -2911,10 +2932,16 @@ def oracle_sql() -> dict[str, str]:
         dedup_against shape, disjoint namespaces, no exclusion); (c) output
         as top-``k`` ranked matches or as ``threshold``-filtered pairs
         ``(ID, REF_ID, COSINE)`` replaying dedup_against_embedding
-        (method='ivfpq'). AS MATERIALIZED for the same CTE-inlining reason
-        documented on _mk_pq_adc_sql."""
+        (method='ivfpq'). ``join_shape=True`` (round 10) replays
+        embedding_join_ivfpq instead: fit over ``corpus_pred`` rows, every
+        ``batch_pred`` row probes, self-matches excluded (the join
+        family's single-namespace rule), and left scalar columns join
+        back — output (vec_id, label, MATCH_ID, COSINE, RANK). AS
+        MATERIALIZED for the same CTE-inlining reason documented on
+        _mk_pq_adc_sql."""
         assert (qids is None) != (batch_pred is None)
         assert (k is None) != (threshold is None)
+        assert not (join_shape and k is None)
         d_sub = dim // m
         ctes = [pq_nv]
         if corpus_pred is not None:
@@ -3037,7 +3064,10 @@ def oracle_sql() -> dict[str, str]:
         if residual:
             adc = f"qc.cv + {adc}"
             qc_join = " JOIN qc ON qc.qid = q.qid AND qc.cid = kasg.cid"
-        self_excl = " AND cd.vec_id <> q.qid" if qids is not None else ""
+        self_excl = (
+            " AND cd.vec_id <> q.qid"
+            if (qids is not None or join_shape) else ""
+        )
         ctes += [
             f"codes AS MATERIALIZED (SELECT f0.vec_id, {code_cols} FROM f0 {code_joins})",
             f"adc_scored AS MATERIALIZED (SELECT q.qid, cd.vec_id, "
@@ -3052,10 +3082,18 @@ def oracle_sql() -> dict[str, str]:
                 "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ADC_SCORE DESC, "
                 "vec_id ASC) AS rk FROM adc_scored)"
             )
-            tail = (
-                f"SELECT qid AS QUERY_ID, vec_id AS MATCH_ID, ADC_SCORE, "
-                f"CAST(rk AS INT) AS RANK FROM adc_ranked WHERE rk <= {k}"
-            )
+            if join_shape:
+                tail = (
+                    f"SELECT e.vec_id, e.label, r.vec_id AS MATCH_ID, "
+                    f"r.ADC_SCORE AS COSINE, CAST(r.rk AS INT) AS RANK "
+                    f"FROM embeddings e JOIN adc_ranked r ON r.qid = e.vec_id "
+                    f"WHERE r.rk <= {k}"
+                )
+            else:
+                tail = (
+                    f"SELECT qid AS QUERY_ID, vec_id AS MATCH_ID, ADC_SCORE, "
+                    f"CAST(rk AS INT) AS RANK FROM adc_ranked WHERE rk <= {k}"
+                )
         else:
             tail = (
                 f"SELECT qid AS ID, vec_id AS REF_ID, ADC_SCORE AS COSINE "
@@ -4137,6 +4175,13 @@ ranked AS (
             8, 16, 0, 8, 3, 1, corpus_pred="vec_id < 450",
             batch_pred="vec_id >= 450", threshold=0.3
         ),
+        # round 10: the PQ-coded ANN join — split-corpus replay (fits over
+        # the right side only, every left row probes, top-k per left row,
+        # left scalar columns joined back)
+        "embedding_join_ivfpq": _mk_ivfpq_sql(
+            8, 16, 0, 8, 3, 1, corpus_pred="vec_id < 250",
+            batch_pred="vec_id >= 250", k=2, join_shape=True
+        ),
         # round 9: 1-bit sign quantization + Hamming ANN — pure integer
         # replay (bit_or-packed 32-bit words, xor + bit_count scan)
         "binary_quantize": (
@@ -4627,9 +4672,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # way. All 190 entries pass tools/oracle_check.py locally (fresh full
     # run recorded in COVERAGE.md).
     return {
-        # --- r9 front: NEW round-9 operators (inserted as built; each
-        # addition slides the tail of the r6 fill past the fold, which
-        # keeps union max-staleness at r6) ---
+        # --- r10 front: NEW round-10 operators first (standing rotation
+        # policy), then the full remaining r6-stale block + oldest r7
+        # entries to fill 50 (see the r10 ordering note below) ---
+        "embedding_join_ivfpq": q_embedding_join_ivfpq,
+        # --- r9 operators (driver-verified r9) ---
         "dedup_against_ivfpq": q_dedup_against_ivfpq,
         "similarity_search_ivfpq_residual": q_similarity_search_ivfpq_residual,
         "similarity_search_ivf_rounded": q_similarity_search_ivf_rounded,

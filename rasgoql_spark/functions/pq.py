@@ -659,6 +659,25 @@ def _adc_probe_frame(probes: DataFrame, idx: IVFPQIndex,
     return out.drop(q_u_col, *[f"__qs{s}" for s in range(idx.m)])
 
 
+def _cid_barrier(col: str) -> Column:
+    """Constraint-propagation barrier: a value-exact identity
+    (``shuffle`` of a one-element array) whose NONDETERMINISTIC flag stops
+    Catalyst from treating the column as an alias of its defining
+    expression. Needed on expression-valued equi-join keys (the inverted-
+    list id is an argmax over HOF lambdas on both sides): without it,
+    InferFiltersFromConstraints substitutes one side's defining expression
+    across the join equality, and the lambda-bound attributes inside it
+    cannot be rewritten to the other side — Spark builds an invalid plan
+    (``INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND`` on the staged normalization
+    column) whenever the index cache is not substituted first (e.g. the
+    caller dropped the ``release_with`` anchor and the scoped cache was
+    evicted; recompute must ALWAYS be plan-valid — the module's own
+    correctness-safety invariant). The barrier costs one 1-element array
+    per row and changes no value, no type, and no join strategy (AQE
+    still broadcasts small sides)."""
+    return F.expr(f"shuffle(array({col}))[0]")
+
+
 def _adc_pair_score(idx: IVFPQIndex) -> Column:
     """ADC score over a (probe ⨯ candidate) join whose probe side was
     prepared by :func:`_adc_probe_frame`: m array lookups into ``__lut``
@@ -994,6 +1013,304 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
         f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
         f"ORDER BY ADC_SCORE DESC, MATCH_ID ASC) AS INT) AS RANK "
         f"FROM ({scored})) WHERE RANK <= {int(k)}) __ivfpq_out"
+    )
+
+
+@spark_transform("embedding_join_ivfpq", category="similarity", streaming_ok=False)
+def embedding_join_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    other=None,
+    other_vec: str | None = None,
+    other_id: str | None = None,
+    k: int = 1,
+    num_centroids: int | str = 8,
+    nprobe: int | str = 2,
+    coarse_iterations: int = 1,
+    m: int = 4,
+    codebook_size: int = 8,
+    iterations: int = 1,
+    round_to: int = 6,
+    residual: bool = False,
+    right_prefix: str = "MATCH_",
+    index: "IVFPQIndex | None" = None,
+) -> DataFrame:
+    """ANN semantic join at PQ memory footprint: attach each left row's
+    top-``k`` most-similar rows from ``other`` (or a prebuilt
+    :class:`IVFPQIndex`) by ADC-approximated cosine over the right side's
+    PQ codes — the operator a 100 TB semantic-enrichment join (every doc →
+    its nearest neighbors in a billion-vector corpus) actually needs once
+    the right corpus outgrows what ``embedding_join_ivf`` can hold as
+    full-width vectors. Appends ``{right_prefix}ID``, ``COSINE`` (the ADC
+    approximation, reported under the family's uniform column name — the
+    ``dedup_against_embedding(method='ivfpq')`` convention), ``RANK``;
+    inner join (left rows with no candidate drop); matches with
+    ``{right_prefix}ID`` equal to the left row's id are excluded and NULL
+    ids never join — the embedding_join family's shared single-namespace
+    rule (remap one side's ids first when two disjoint namespaces can
+    coincide).
+
+    100 TB shape: the right corpus stores (id, cid, m small ints) — the
+    candidate scan reads ZERO vector bytes on the big side (a 64-d
+    float64 corpus reads 64× fewer bytes than embedding_join_ivf's probed
+    scan). Each left row probes its ``nprobe`` highest rounded-cosine
+    inverted lists; the probe frame carries per-(query, list) ADC lookup
+    tables (``_adc_probe_frame`` — m·codebook_size doubles per row,
+    SMALLER than the query vector whenever m·codebook_size < dim) instead
+    of query vectors, so after the equi-join on the centroid id the
+    per-candidate work is m array lookups. The candidate join carries NO
+    broadcast hint — the left side may be the full corpus (unlike the
+    dedup form, whose batch side is small by contract), so the plan stays
+    AQE-skew-eligible on hot inverted lists and AQE promotes small probe
+    sides to broadcast on its own (the embedding_join_ivf posture).
+
+    Keeps the full rounded determinism contract of
+    ``similarity_search_ivfpq`` (rounded coarse fit, rounded probe
+    selection, ADC folds rounded at ``round_to``), so the inline-fit form
+    replays exactly in SQL: full DuckDB hash oracle + ``.sql()`` renderer.
+    ``residual=True`` is the IVFADC residual formulation (coarse term
+    first, left-associated — FP addition is order-sensitive at the round
+    boundary). A prebuilt ``index`` (``ivfpq_index``/``load_ivfpq_index``,
+    foldable with ``update_ivfpq_index``) amortizes both fits, with the
+    ``n_docs`` staleness fingerprint checked against ``other`` when both
+    are passed; results match an inline build with the same parameters.
+
+    Reference parity: the join-shaped member of SURVEY §2's similarity
+    extensions (reference has no ANN join; composes its join +
+    aggregate semantics with the public IVFADC technique, Jégou 2011)."""
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if round_to is None:
+        raise ParameterException(
+            "embedding_join_ivfpq scores by the rounded replay contract; "
+            "round_to must be an int"
+        )
+    from .similarity import _resolve_k, _resolve_nprobe
+
+    odf = other.df if hasattr(other, "df") else other
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    if index is not None:
+        if not isinstance(index, IVFPQIndex):
+            raise ParameterException(
+                "embedding_join_ivfpq takes an IVFPQIndex (build with "
+                "ivfpq_index / load_ivfpq_index); got "
+                f"{type(index).__name__}"
+            )
+        if odf is not None and index.n_docs is not None:
+            rc = odf.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"IVFPQIndex was built over {index.n_docs} right-side "
+                    f"vectors but the passed frame has {rc} — fold the new "
+                    "vectors in with update_ivfpq_index or rebuild"
+                )
+        idx, own = index, False
+    else:
+        if odf is None:
+            raise ParameterException(
+                "embedding_join_ivfpq needs a right-side frame (other=...) "
+                "or a prebuilt IVFPQIndex"
+            )
+        ov = resolve_col(odf, other_vec or vec_col)
+        oi = resolve_col(odf, other_id or id_col)
+        kc = (
+            num_centroids if isinstance(num_centroids, int)
+            else _resolve_k(num_centroids, odf.count())
+        )
+        idx, own = (
+            ivfpq_index(
+                odf, ov, oi, num_centroids=kc,
+                coarse_iterations=coarse_iterations, m=m,
+                codebook_size=codebook_size, iterations=iterations,
+                round_to=round_to, residual=residual,
+            ),
+            True,
+        )
+    # dim guard (the dedup_against_embedding ivfpq contract): a mismatched
+    # left side would zip_with into NULL probe sims, silently joinless
+    first = df.select(F.size(F.col(v)).alias("d")).first()
+    if first is not None and int(first["d"]) != idx.m * idx.d_sub:
+        raise ParameterException(
+            f"left vectors have dim {int(first['d'])} but the index covers "
+            f"dim {idx.m * idx.d_sub} (m={idx.m} x d_sub={idx.d_sub})"
+        )
+    np_ = _resolve_nprobe(nprobe, len(idx.centroids))
+    mid = f"{right_prefix}ID"
+    q = _unit_rounded(
+        df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
+        "__qvec", "__qu",
+    ).select("__qid", "__qu")
+    probes = _adc_probe_frame(
+        _probe_lists_rounded(
+            q, idx.centroids, np_, "__qid", "__qu", idx.round_to
+        ),
+        idx, "__qu",
+    )
+    # the equi-join key is an argmax-over-HOF-lambdas expression on BOTH
+    # sides — _cid_barrier stops Catalyst's constraint inference from
+    # substituting either side's defining expression across the join (an
+    # invalid plan whenever the index cache is not substituted; see the
+    # helper's docstring). NO broadcast hint: the left side may be the
+    # full corpus (unlike the dedup form, whose batch side is small by
+    # contract), so the plan stays AQE-skew-eligible on hot inverted
+    # lists and AQE promotes small probe sides to broadcast on its own.
+    scored = (
+        idx.frame.select(
+            F.col("__id").alias(mid),
+            _cid_barrier("__cid").alias("__cid"), "__codes",
+        )
+        .join(probes.withColumn("__cid", _cid_barrier("__cid")), on="__cid")
+        .filter(F.col("__qid") != F.col(mid))
+        .withColumn("COSINE", _adc_pair_score(idx))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("COSINE").desc(), F.col(mid).asc()
+    )
+    matches = (
+        scored.withColumn("RANK", F.row_number().over(w).cast("int"))
+        .filter(F.col("RANK") <= k)
+        .select(F.col("__qid").alias(i), mid, "COSINE", "RANK")
+    )
+    out = df.join(matches, on=i, how="inner")
+    return release_with(out, idx.frame) if own else out
+
+
+@_renderer("embedding_join_ivfpq")
+def _r_embedding_join_ivfpq(source, vec_col, id_col, other=None,
+                            other_vec=None, other_id=None, k=1,
+                            num_centroids=8, nprobe=2, coarse_iterations=1,
+                            m=4, codebook_size=8, iterations=1, round_to=6,
+                            residual=False, right_prefix="MATCH_",
+                            index=None) -> str:
+    """Full SQL replay of the PQ-coded ANN join: the
+    ``_r_similarity_search_ivfpq`` composition with the fit chains running
+    over the RIGHT table and a table-shaped query side — every left row
+    normalizes (shared ``_unit_norm_sql`` contract), probes its top-nprobe
+    rounded-cosine lists, and scores probed candidates by per-subspace
+    query-slice × codebook folds; left scalar columns join back at the
+    end. Query LUT slices always come from the raw normalized left
+    vectors (for residual indexes the corpus codes were fit on residuals,
+    the queries were not — Jégou 2011 §V.A)."""
+    from ..errors import TransformRenderingException
+
+    if index is not None:
+        raise TransformRenderingException(
+            "embedding_join_ivfpq renders the inline fit; a prebuilt "
+            "index is an external artifact the renderer cannot replay"
+        )
+    if other is None:
+        raise TransformRenderingException(
+            "embedding_join_ivfpq renders only with a right-side table "
+            "(other=...)"
+        )
+    if isinstance(num_centroids, str) or isinstance(nprobe, str):
+        raise TransformRenderingException(
+            "auto sizing resolves from the corpus count at run time; pass "
+            "explicit num_centroids/nprobe to render"
+        )
+    if round_to is None:
+        raise ParameterException(
+            "embedding_join_ivfpq scores by the rounded replay contract; "
+            "round_to must be an int"
+        )
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if num_centroids < 1:
+        raise ParameterException("num_centroids must be >= 1")
+    if nprobe < 1:
+        raise ParameterException("nprobe must be >= 1")
+    from .cluster import _dot_sql, _kmeans_render_parts, _unit_norm_sql
+
+    ov, oi = other_vec or vec_col, other_id or id_col
+    nv, kcents, kassign = _kmeans_render_parts(
+        other, ov, oi, num_centroids, coarse_iterations, round_to,
+        "embedding_join_ivfpq",
+    )
+    sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_to)})"
+    mid = f"{right_prefix}ID"
+    # name the centroid relation once — assignment, probe, residual
+    # construction and coarse-term LUT all reference it (inlining would
+    # multiply the unrolled Lloyd chain)
+    ctes = [f"__ivfj_cents AS (SELECT c, v FROM {kcents})"]
+    kc_rel = "__ivfj_cents"
+    ctes.append(f"__ivfj_asg AS (SELECT __id, c FROM {kassign(kc_rel)})")
+    ctes.append(
+        f"__ivfj_q AS (SELECT __id AS qid, __u FROM "
+        f"{_unit_norm_sql(vec_col, id_col, source)} __ivfj_qnv)"
+    )
+    ctes.append(
+        f"__ivfj_probe AS (SELECT __id AS qid, c FROM (SELECT t.__id, s.c, "
+        f"ROW_NUMBER() OVER (PARTITION BY t.__id ORDER BY {sim} DESC, "
+        f"s.c ASC) AS rn FROM (SELECT qid AS __id, __u FROM __ivfj_q) t "
+        f"CROSS JOIN {kc_rel} s) WHERE rn <= {int(nprobe)})"
+    )
+    vec_source = None
+    if residual:
+        ctes.append(
+            f"__ivfj_rv AS (SELECT t.__id, zip_with(t.__u, c.v, "
+            f"(x, y) -> x - y) AS __u FROM {nv} t "
+            f"JOIN __ivfj_asg a ON a.__id = t.__id "
+            f"JOIN {kc_rel} c ON c.c = a.c)"
+        )
+        vec_source = "__ivfj_rv"
+        ctes.append(
+            f"__ivfj_qc AS (SELECT t.qid, s.c AS cid, "
+            f"{_dot_sql('t.__u', 's.v')} AS cv FROM __ivfj_q t "
+            f"CROSS JOIN {kc_rel} s)"
+        )
+    parts = _pq_render_parts(
+        other, ov, oi, m, codebook_size, iterations, round_to,
+        "embedding_join_ivfpq", vec_source=vec_source,
+    )
+    d_sub_sql = f"(size(__u) DIV {int(m)})"
+    for j, (_sub, cb, a) in enumerate(parts):
+        ctes.append(f"__pqj_cb{j} AS (SELECT c, v FROM {cb})")
+        ctes.append(f"__pqj_f{j} AS (SELECT __id, c FROM {a})")
+        # query slices ALWAYS from the raw normalized left vectors
+        ctes.append(
+            f"__pqj_q{j} AS (SELECT qid, slice(__u, {j} * {d_sub_sql} + 1, "
+            f"{d_sub_sql}) AS v FROM __ivfj_q)"
+        )
+    dot = (
+        "aggregate(zip_with(__pqj_q{j}.v, __pqj_b{j}.v, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    score = " + ".join(dot.replace("{j}", str(j)) for j in range(int(m)))
+    if residual:
+        score = f"__ivfj_qc.cv + {score}"
+    code_joins = " ".join(
+        f"JOIN __pqj_f{j} ON __pqj_f{j}.__id = cnd.{oi} "
+        f"JOIN __pqj_cb{j} __pqj_b{j} ON __pqj_b{j}.c = __pqj_f{j}.c"
+        for j in range(int(m))
+    )
+    q_joins = " ".join(
+        f"JOIN __pqj_q{j} ON __pqj_q{j}.qid = __ivfj_probe.qid"
+        for j in range(int(m))
+    )
+    if residual:
+        q_joins += (
+            " JOIN __ivfj_qc ON __ivfj_qc.qid = __ivfj_probe.qid "
+            "AND __ivfj_qc.cid = __ivfj_asg.c"
+        )
+    scored = (
+        f"SELECT __ivfj_probe.qid AS __qid, cnd.{oi} AS {mid}, "
+        f"round({score}, {int(round_to)}) AS COSINE "
+        f"FROM {other} cnd {code_joins} "
+        f"JOIN __ivfj_asg ON __ivfj_asg.__id = cnd.{oi} "
+        f"JOIN __ivfj_probe ON __ivfj_probe.c = __ivfj_asg.c {q_joins} "
+        f"WHERE cnd.{oi} <> __ivfj_probe.qid"
+    )
+    ranked = (
+        f"SELECT __qid, {mid}, COSINE, RANK FROM ("
+        f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY __qid "
+        f"ORDER BY COSINE DESC, {mid} ASC) AS INT) AS RANK "
+        f"FROM ({scored})) WHERE RANK <= {int(k)}"
+    )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(ctes)
+        + f" SELECT s.*, m.{mid}, m.COSINE, m.RANK FROM {source} s "
+        f"JOIN ({ranked}) m ON m.__qid = s.{id_col}) __ivfpqj_out"
     )
 
 

