@@ -159,6 +159,89 @@ def _llm_similarity_binary(spark, sf):
         k=10, rerank=True, rerank_factor=4).df
 
 
+def _llm_embedding_join_ivfpq(spark, sf):
+    """Round 10 (judge task #1): the ANN join at PQ memory footprint —
+    every corpus row attaches its top-2 ADC-scored neighbors (self-
+    enrichment, the 100 TB semantic-join workload). Inline build+search at
+    the family's bench sizing (16 lists, 4 probed, m=8, cb=16, 1 Lloyd
+    pass each) so the record tracks the full cost; the prebuilt entry
+    below isolates the join itself."""
+    from rasgoql_spark.functions.pq import embedding_join_ivfpq
+
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    return embedding_join_ivfpq(
+        emb, "embedding", "vec_id", other=emb, k=2, num_centroids=16,
+        nprobe=4, coarse_iterations=1, m=8, codebook_size=16, iterations=1)
+
+
+def _llm_embedding_join_ivfpq_prebuilt(spark, sf):
+    """The amortized ANN-join regime: probes + LUT prep + the codes-only
+    candidate join against a prebuilt IVFPQIndex (shares the process-
+    cached index with llm_similarity_ivfpq_prebuilt — same corpus, same
+    sizing), isolating what a steady-state enrichment batch pays."""
+    from rasgoql_spark.functions.pq import embedding_join_ivfpq, ivfpq_index
+
+    key = ("ivfpq_idx", sf)
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    if key not in _IVF_STATE:
+        _IVF_STATE[key] = ivfpq_index(
+            emb, "embedding", "vec_id", num_centroids=16,
+            coarse_iterations=1, m=8, codebook_size=16, iterations=1)
+    return embedding_join_ivfpq(
+        emb, "embedding", "vec_id", k=2, nprobe=4, index=_IVF_STATE[key])
+
+
+def _llm_similarity_binary_prebuilt(spark, sf):
+    """Round 10 (judge task #6): the amortized binary-ANN regime — the
+    Hamming scan reads the BinaryIndex's stored 8-byte signatures instead
+    of re-packing full vectors per call (pack paid once per bench
+    process), then the exact-cosine rerank. Mirrors
+    llm_similarity_ivf_prebuilt for the 1-bit end of the ladder."""
+    from rasgoql_spark.functions.similarity import (
+        binary_index,
+        similarity_search_binary,
+    )
+
+    key = ("binary_idx", sf)
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    if key not in _IVF_STATE:
+        _IVF_STATE[key] = binary_index(emb, "embedding", "vec_id")
+    return similarity_search_binary(
+        emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10, rerank=True,
+        rerank_factor=4, index=_IVF_STATE[key])
+
+
+# _URL_APPLY drops text/lang (built for the url-only oracles); the e2e
+# pipeline carries them through the same synthetic url soup
+_E2E_URL_APPLY = entry._URL_APPLY.replace(
+    "SELECT doc_id, CASE", "SELECT doc_id, text, lang, CASE")
+
+
+def _llm_pipeline_e2e(spark, sf):
+    """Round 10 (judge task #5): the composed curation chain — the
+    north-star workload every LLM op is benched solo for. One plan:
+    url synth -> url_normalize -> dedup_url -> eval-ngram decontaminate
+    -> Gopher quality gate -> MinHash-LSH near-dup filter -> weighted
+    lang remix. Catches cross-operator cache/shuffle interactions no
+    per-op entry sees (the scoped-cache bug class of r7/r8)."""
+    s = entry._s(spark, sf)
+    ev = s.dataset("documents").filter(filter_statements=["doc_id % 50 = 0"])
+    cleaned = (
+        s.dataset("documents")
+        .apply(sql=_E2E_URL_APPLY)
+        .url_normalize(url="url")
+        .dedup_url(url="url", id_col="doc_id")
+        .decontaminate(text="text", id_col="doc_id", eval_table=ev,
+                       ngram=5, threshold=0.5, mode="filter")
+        .quality_filter(text="text", min_tokens=20, max_word_rep_ratio=0.6)
+        .dedup_minhash(text="text", id_col="doc_id", threshold=0.2,
+                       mode="filter")
+    )
+    en = cleaned.filter(filter_statements=["lang = 'en'"])
+    rest = cleaned.filter(filter_statements=["lang <> 'en'"])
+    return en.mix_datasets(others=[rest], weights=[3, 1], key="doc_id").df
+
+
 def _b6_encode_split(spark, sf):
     s = entry._s(spark, sf)
     return (
@@ -213,6 +296,13 @@ BENCH_QUERIES = {
     "llm_similarity_ivfpq_prebuilt": _llm_similarity_ivfpq_prebuilt,
     "llm_dedup_ivfpq_prebuilt": _llm_dedup_ivfpq_prebuilt,
     "llm_similarity_binary": _llm_similarity_binary,
+    # round-10 additions: the PQ-coded ANN join (inline + amortized), the
+    # amortized binary-ANN regime, and the composed end-to-end curation
+    # pipeline (judge tasks #1/#5/#6)
+    "llm_embedding_join_ivfpq": _llm_embedding_join_ivfpq,
+    "llm_embedding_join_ivfpq_prebuilt": _llm_embedding_join_ivfpq_prebuilt,
+    "llm_similarity_binary_prebuilt": _llm_similarity_binary_prebuilt,
+    "llm_pipeline_e2e": _llm_pipeline_e2e,
 }
 
 

@@ -1695,6 +1695,7 @@ def similarity_search_binary(
     rerank_factor: int = 4,
     round_scores: int | None = 6,
     n_words: int | None = None,
+    index: "BinaryIndex | None" = None,
 ) -> DataFrame:
     """Top-``k`` nearest corpus rows per query by HAMMING distance over
     1-bit sign quantization (:func:`binary_quantize`): the extreme end of
@@ -1733,7 +1734,17 @@ def similarity_search_binary(
     this operator). In a mixed-dimension corpus, vectors longer than
     dim lose sign bits beyond n_words*32 and shorter ones zero-pad,
     silently skewing Hamming distances — enforce uniform dims upstream
-    (``binary_index`` DOES aggregate-check this at its one-time build)."""
+    (``binary_index`` DOES aggregate-check this at its one-time build).
+
+    A prebuilt ``index`` (round 10: :func:`binary_index` /
+    :func:`load_binary_index`, foldable with ``update_binary_index``)
+    skips the per-call corpus re-pack — the Hamming scan reads the stored
+    8-byte signatures instead of full-width vectors, the amortized
+    production regime. ``df`` is still the authoritative vector source
+    for ``rerank=True``'s exact-cosine stage (and the dim guard); as with
+    ``similarity_search_ivfpq``, the ``n_docs`` staleness fingerprint is
+    CALLER-CHECKED on the search path — compare ``index.n_docs`` yourself
+    before searching a possibly-stale artifact."""
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:
@@ -1745,18 +1756,40 @@ def similarity_search_binary(
     if first is None:
         raise ParameterException("input is empty")
     derived = max(1, (int(first["d"]) + 31) // 32)
-    if n_words is None:
-        n_words = derived
-    elif int(n_words) != derived:
-        raise ParameterException(
-            f"n_words={int(n_words)} but the {int(first['d'])}-dim vectors "
-            f"pack to {derived} words"
+    if index is not None:
+        if not isinstance(index, BinaryIndex):
+            raise ParameterException(
+                "similarity_search_binary takes a BinaryIndex (build with "
+                f"binary_index / load_binary_index); got "
+                f"{type(index).__name__}"
+            )
+        if index.dim is not None and int(first["d"]) != index.dim:
+            raise ParameterException(
+                f"corpus vectors have dim {int(first['d'])} but the index "
+                f"was built over dim {index.dim}"
+            )
+        if n_words is not None and int(n_words) != index.n_words:
+            raise ParameterException(
+                f"n_words={int(n_words)} but the index was built with "
+                f"{index.n_words}"
+            )
+        n_words = int(index.n_words)
+        packed = index.frame.select(
+            F.col("__rid").alias("MATCH_ID"), "__sig"
         )
-    n_words = int(n_words)
-    packed = spread(df).select(
-        F.col(i).alias("MATCH_ID"),
-        _sign_words_expr(f"`{v}`", n_words).alias("__sig"),
-    )
+    else:
+        if n_words is None:
+            n_words = derived
+        elif int(n_words) != derived:
+            raise ParameterException(
+                f"n_words={int(n_words)} but the {int(first['d'])}-dim "
+                f"vectors pack to {derived} words"
+            )
+        n_words = int(n_words)
+        packed = spread(df).select(
+            F.col(i).alias("MATCH_ID"),
+            _sign_words_expr(f"`{v}`", n_words).alias("__sig"),
+        )
     q = packed.filter(F.col("MATCH_ID").isin(list(query_ids))).select(
         F.col("MATCH_ID").alias("QUERY_ID"), F.col("__sig").alias("__qsig")
     )
@@ -1809,11 +1842,20 @@ def similarity_search_binary(
 @renderer("similarity_search_binary")
 def _r_similarity_search_binary(source, vec_col, id_col, query_ids, k=10,
                                 rerank=False, rerank_factor=4,
-                                round_scores=6, n_words=None) -> str:
+                                round_scores=6, n_words=None,
+                                index=None) -> str:
     """Integer-exact replay: same packing words, xor + bit_count per word,
     ascending-Hamming window. Without rerank there is no rounding
     contract anywhere; rerank mode adds the standard rounded-cosine
     policy over the integer-determined survivor set."""
+    if index is not None:
+        from ..errors import TransformRenderingException
+
+        raise TransformRenderingException(
+            "similarity_search_binary renders the inline packing; a "
+            "prebuilt index is an external artifact the renderer cannot "
+            "replay"
+        )
     if not query_ids:
         raise ParameterException("query_ids must be non-empty")
     if k < 1:

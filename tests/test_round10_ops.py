@@ -158,6 +158,47 @@ def test_join_ivfpq_renderer_parity(emb, spark):
                                 num_centroids="auto")
 
 
+def test_similarity_search_binary_prebuilt_matches_inline(emb, spark):
+    """Round 10 (judge task #6 prerequisite): similarity_search_binary
+    gains the prebuilt-index regime — the Hamming scan reads the stored
+    8-byte signatures instead of re-packing full vectors per call.
+    Results must equal the inline path exactly, with and without the
+    exact-cosine rerank stage; guards mirror the family's contracts."""
+    from rasgoql_spark.functions.similarity import (
+        binary_index,
+        similarity_search_binary,
+    )
+
+    idx = binary_index(emb, "embedding", "vec_id")
+    for kw in (dict(), dict(rerank=True, rerank_factor=4)):
+        inline = similarity_search_binary(
+            emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10, **kw)
+        pre = similarity_search_binary(
+            emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10, index=idx,
+            **kw)
+        assert sorted(map(tuple, inline.collect())) == sorted(
+            map(tuple, pre.collect()))
+    with pytest.raises(ParameterException, match="takes a BinaryIndex"):
+        similarity_search_binary(
+            emb, "embedding", "vec_id", [0], index=object())
+    with pytest.raises(ParameterException, match="built with 2"):
+        similarity_search_binary(
+            emb, "embedding", "vec_id", [0], index=idx, n_words=5)
+    short = emb.withColumn("embedding", F.slice("embedding", 1, 48))
+    with pytest.raises(ParameterException, match="dim 48"):
+        similarity_search_binary(
+            short, "embedding", "vec_id", [0], index=idx)
+    from rasgoql_spark.errors import TransformRenderingException
+    from rasgoql_spark.functions.similarity import (
+        _r_similarity_search_binary,
+    )
+
+    with pytest.raises(TransformRenderingException, match="inline packing"):
+        _r_similarity_search_binary(
+            "t", "embedding", "vec_id", [0], n_words=2, index=idx)
+    idx.release()
+
+
 @pytest.mark.parametrize("op", ["join", "dedup"])
 def test_ivfpq_expression_key_join_survives_cache_eviction(emb, op):
     """Regression (round 10): the candidate equi-join's key is an
