@@ -4661,20 +4661,19 @@ ranked AS (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING NOTE (round 9): the driver hash-checks only the FIRST 50
+    # ORDERING NOTE (round 10): the driver hash-checks only the FIRST 50
     # entries each round. Rotation policy (standing): NEW/changed operators
-    # first, then the stalest entries by last DRIVER verification. This
-    # round executes the r8 verdict's staleness plan: the full 39-entry
-    # r5-stale block (the rest of round 5 after r8 refreshed its first 11),
-    # then the oldest round-6 entries to fill 50; each new r9 operator
-    # inserted at the very top slides the tail of the r6 fill past the
-    # fold — those stay r6-verified, so union max-staleness is r6 either
-    # way. All 190 entries pass tools/oracle_check.py locally (fresh full
-    # run recorded in COVERAGE.md).
-    return {
-        # --- r10 front: NEW round-10 operators first (standing rotation
-        # policy), then the full remaining r6-stale block + oldest r7
-        # entries to fill 50 (see the r10 ordering note below) ---
+    # first, then the stalest entries by last DRIVER verification. The
+    # literal dict below keeps its historical (r9) grouping for
+    # readability; the _R10_FRONT reorder at the bottom of this function
+    # executes the r9 verdict's staleness plan: the 1 new r10 operator,
+    # then the full 43-entry remaining r6-stale block, then the 6 oldest
+    # r7 entries (listing order) to fill 50 — union max-staleness drops
+    # to r7. All 191 entries pass tools/oracle_check.py locally (fresh
+    # full run recorded in COVERAGE.md).
+    base = {
+        # --- r9 front grouping (historical; see _R10_FRONT below for the
+        # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
         # --- r9 operators (driver-verified r9) ---
         "dedup_against_ivfpq": q_dedup_against_ivfpq,
@@ -4876,3 +4875,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat": q_concat,
         "if_then": q_if_then,
     }
+    # r10 front-50: 1 new operator, the 43 remaining r6-stale entries
+    # (the r6 block minus moving_avg/rolling_agg/rolling_agg_range, which
+    # the r9 gate refreshed), then the 6 oldest r7 entries in listing
+    # order — exactly the r9 verdict's task #2.
+    front = [
+        "embedding_join_ivfpq",
+        # r6-stale block (43)
+        "approx_distinct", "bin", "cumulative_agg", "datespine",
+        "datespine_groups", "decontaminate", "dedup_against", "except",
+        "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
+        "importance_sample", "impute_mean", "impute_mode", "intersect",
+        "join_full", "kmeans_cluster", "label_encode", "language_id",
+        "levenshtein", "market_basket", "min_max_scaler",
+        "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
+        "pivot", "quantiles", "rank", "repetition_stats", "rsi", "sankey",
+        "semantic_dedup", "sliding_slope", "standard_scaler",
+        "target_encode", "text_quality", "train_test_split", "union",
+        "unpivot", "winsorize",
+        # oldest r7 entries (6, listing order)
+        "audio_meta", "binary_meta", "bm25_score", "bpe_encode",
+        "corpus_stats", "dedup_against_embedding",
+    ]
+    assert len(front) == 50 and all(k in base for k in front)
+    ordered = {k: base.pop(k) for k in front}
+    ordered.update(base)
+    return ordered
