@@ -1226,6 +1226,22 @@ def q_dedup_against_ivfpq(spark, sf):
     )
 
 
+def q_similarity_search_ivfpq_rotated(spark, sf):
+    """Round 10: rotated IVF-PQ — the corpus pre-rotates by the
+    deterministic orthogonal matrix rotation_matrix(7, 64, 4) (the
+    random-rotation pre-conditioner of the OPQ family, Ge et al. 2013;
+    learned OPQ deliberately excluded — a data-derived matrix cannot be
+    replayed by the sf-agnostic oracle) before both fits. Full exact
+    replay oracle (_mk_ivfpq_sql(rotate_seed=7)): DuckDB regenerates the
+    SAME closed-form literal matrix and applies the identical
+    fold-and-round per component."""
+    return _s(spark, sf).dataset("embeddings").similarity_search_ivfpq(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4],
+        k=10, num_centroids=8, nprobe=3, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=0, rotate=True, rotation_seed=7,
+    ).df
+
+
 def q_embedding_join_ivfpq(spark, sf):
     """Round 10: the ANN join at PQ memory footprint — every left row
     (vec_id >= 250) attaches its top-2 ADC-scored neighbors from the
@@ -2920,7 +2936,9 @@ def oracle_sql() -> dict[str, str]:
                       qids=None, batch_pred: str | None = None,
                       k: int | None = None,
                       threshold: float | None = None,
-                      join_shape: bool = False) -> str:
+                      join_shape: bool = False,
+                      rotate_seed: int | None = None,
+                      rotate_sweeps: int = 4) -> str:
         """Round-9 generalization of ``_mk_pq_adc_sql``: exact DuckDB replay
         of the IVF-PQ pipeline with (a) ``residual=True`` — the full IVFADC
         formulation, PQ fitting vector-minus-assigned-centroid with the
@@ -2944,18 +2962,43 @@ def oracle_sql() -> dict[str, str]:
         assert not (join_shape and k is None)
         d_sub = dim // m
         ctes = [pq_nv]
+        if rotate_seed is not None:
+            # round 10: the deterministic orthogonal pre-rotation — the
+            # SAME closed-form literal rotation_matrix() embeds in the
+            # Spark path, applied to the normalized vectors before every
+            # downstream stage; list_sum replays the sequential fold
+            from rasgoql_spark.functions.pq import rotation_matrix
+
+            mat = rotation_matrix(int(rotate_seed), dim, int(rotate_sweeps))
+            rows = ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in row) + "]"
+                for row in mat
+            )
+            ctes.append(f"rmat AS MATERIALIZED (SELECT [{rows}] AS rm)")
+            ctes.append(
+                f"nvr AS MATERIALIZED (SELECT vec_id, "
+                f"list_transform(range(1, {dim + 1}), i -> round(list_sum("
+                f"list_transform(range(1, {dim + 1}), j -> rm[i][j] * u[j])"
+                f"), 9)) AS u FROM nv CROSS JOIN rmat)"
+            )
+            nv_rel = "nvr"
+        else:
+            nv_rel = "nv"
         if corpus_pred is not None:
             ctes.append(
-                f"cnv AS MATERIALIZED (SELECT * FROM nv WHERE {corpus_pred})"
+                f"cnv AS MATERIALIZED (SELECT * FROM {nv_rel} "
+                f"WHERE {corpus_pred})"
             )
             cnv = "cnv"
         else:
-            cnv = "nv"
+            cnv = nv_rel
         if qids is not None:
             qpred = "vec_id IN (%s)" % ", ".join(str(int(q)) for q in qids)
         else:
             qpred = batch_pred
-        ctes.append(f"qnv AS MATERIALIZED (SELECT * FROM nv WHERE {qpred})")
+        ctes.append(
+            f"qnv AS MATERIALIZED (SELECT * FROM {nv_rel} WHERE {qpred})"
+        )
         ksim = (
             f"round(list_sum(list_transform(range(1, {dim + 1}), "
             f"i -> t.u[i] * s.u[i])), {round_to})"
@@ -4182,6 +4225,11 @@ ranked AS (
             8, 16, 0, 8, 3, 1, corpus_pred="vec_id < 250",
             batch_pred="vec_id >= 250", k=2, join_shape=True
         ),
+        # round 10: rotated IVF-PQ — same replay plus the closed-form
+        # literal pre-rotation applied to the normalized vectors
+        "similarity_search_ivfpq_rotated": _mk_ivfpq_sql(
+            8, 16, 0, 8, 3, 1, qids=[0, 1, 2, 3, 4], k=10, rotate_seed=7
+        ),
         # round 9: 1-bit sign quantization + Hamming ANN — pure integer
         # replay (bit_or-packed 32-bit words, xor + bit_count scan)
         "binary_quantize": (
@@ -4678,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9 operators (driver-verified r9) ---
         "dedup_against_ivfpq": q_dedup_against_ivfpq,
         "similarity_search_ivfpq_residual": q_similarity_search_ivfpq_residual,
+        "similarity_search_ivfpq_rotated": q_similarity_search_ivfpq_rotated,
         "similarity_search_ivf_rounded": q_similarity_search_ivf_rounded,
         "embedding_join_ivf_rounded": q_embedding_join_ivf_rounded,
         "binary_quantize": q_binary_quantize,
@@ -4875,12 +4924,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat": q_concat,
         "if_then": q_if_then,
     }
-    # r10 front-50: 1 new operator, the 43 remaining r6-stale entries
-    # (the r6 block minus moving_avg/rolling_agg/rolling_agg_range, which
-    # the r9 gate refreshed), then the 6 oldest r7 entries in listing
-    # order — exactly the r9 verdict's task #2.
+    # r10 front-50: the 2 new r10 operators, the 43 remaining r6-stale
+    # entries (the r6 block minus moving_avg/rolling_agg/rolling_agg_range,
+    # which the r9 gate refreshed), then the 5 oldest r7 entries in
+    # listing order — the r9 verdict's task #2.
     front = [
         "embedding_join_ivfpq",
+        "similarity_search_ivfpq_rotated",
         # r6-stale block (43)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
@@ -4893,9 +4943,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup", "sliding_slope", "standard_scaler",
         "target_encode", "text_quality", "train_test_split", "union",
         "unpivot", "winsorize",
-        # oldest r7 entries (6, listing order)
+        # oldest r7 entries (5, listing order; the 2nd new r10 operator
+        # takes the 50th slot)
         "audio_meta", "binary_meta", "bm25_score", "bpe_encode",
-        "corpus_stats", "dedup_against_embedding",
+        "corpus_stats",
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

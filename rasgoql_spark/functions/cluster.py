@@ -229,13 +229,17 @@ def _r_kmeans_cluster(source, vec_col, id_col, k=8, iterations=1, round_to=6) ->
 
 
 def _kmeans_render_parts(source, vec_col, id_col, k, iterations, round_to,
-                         caller: str):
+                         caller: str, nv_override: str | None = None):
     """Shared SQL chains for the spherical-kmeans replay renderers: returns
     ``(nv, cents_sql, assign_fn)`` — the normalized-corpus subquery, the
     post-Lloyd centroid relation ``(c, v)``, and a function rendering the
     rounded-argmax assignment ``(__id, c)`` against any centroid relation.
     One definition so kmeans_cluster and similarity_search_ivfpq can never
-    drift on the fit contract."""
+    drift on the fit contract. ``nv_override`` swaps the normalized-corpus
+    relation for a caller-built one exposing ``(__id, __u)`` — the
+    rotated-PQ hook (pass a NAMED CTE: the relation is referenced by the
+    seeds and every Lloyd pass, and an inline 64x64 rotation literal
+    would explode the statement)."""
     from ..errors import TransformRenderingException
 
     if k < 1:
@@ -247,7 +251,7 @@ def _kmeans_render_parts(source, vec_col, id_col, k, iterations, round_to,
             f"{caller} renders unrolled Lloyd passes; iterations > 8 "
             "produces an impractically large statement"
         )
-    nv = _unit_norm_sql(vec_col, id_col, source)
+    nv = nv_override or _unit_norm_sql(vec_col, id_col, source)
     prev = (
         f"(SELECT CAST(ROW_NUMBER() OVER (ORDER BY __id) - 1 AS BIGINT) AS c, "
         f"__u AS v FROM (SELECT __id, __u FROM {nv} ORDER BY __id LIMIT {int(k)}))"

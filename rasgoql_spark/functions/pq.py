@@ -135,21 +135,111 @@ def pq_encode(
     )
 
 
-def _staged_corpus(df: DataFrame, v: str, i: str, m: int):
+def rotation_matrix(seed: int, dim: int, sweeps: int = 4) -> list[list[float]]:
+    """Deterministic orthogonal pre-rotation for PQ: the composition of
+    ``sweeps * dim`` Givens rotations whose plane ``(i, j)`` and angle
+    derive from ``md5(f"{seed}:{t}")`` — pure, platform-stable, and
+    regenerable from ``(seed, dim, sweeps)`` alone. Random rotation is
+    the standard cheap pre-conditioner of the OPQ family (Ge et al.,
+    CVPR 2013 evaluate it as the baseline their learned rotation
+    improves on; Jégou et al. 2011 §V.D note structured vectors hurt PQ
+    without it): it spreads variance evenly across the ``m`` subspaces so
+    no codebook starves on a low-energy block. LEARNED OPQ (the SVD
+    alternation) is deliberately excluded: a data-derived matrix cannot
+    be replayed by the sf-agnostic DuckDB oracle, and this repo's PQ
+    family keeps full independent in-SQL replays — the matrix here is a
+    closed-form literal both engines regenerate from the spec
+    (the ``projection_signs`` precedent, rproj.py).
+
+    Entries are rounded to ``CENT_ROUND`` dp so the literal is compact
+    and byte-identical cross-engine; the rounding perturbs orthogonality
+    by ≤ dim·5e-10 per component, far below the 6-dp score round."""
+    import hashlib
+    import math
+
+    if dim < 2:
+        raise ParameterException("rotation needs dim >= 2")
+    if sweeps < 1:
+        raise ParameterException("rotation_sweeps must be >= 1")
+    mat = [[1.0 if a == b else 0.0 for b in range(dim)] for a in range(dim)]
+    for t in range(sweeps * dim):
+        h = hashlib.md5(f"{seed}:{t}".encode()).hexdigest()
+        i = int(h[:8], 16) % dim
+        j = int(h[8:16], 16) % (dim - 1)
+        if j >= i:
+            j += 1
+        theta = (int(h[16:24], 16) / 0xFFFFFFFF) * 2.0 * math.pi
+        c, s = math.cos(theta), math.sin(theta)
+        for r in range(dim):
+            a, b = mat[r][i], mat[r][j]
+            mat[r][i] = a * c + b * s
+            mat[r][j] = b * c - a * s
+    # python round() is fine here: the SAME rounded literal is embedded in
+    # both engines (no cross-engine rounding semantics in play)
+    return [[round(x, CENT_ROUND) for x in row] for row in mat]
+
+
+def _rotate_expr(u_col: str, mat: list) -> Column:
+    """Rotated copy of a staged unit vector column: component ``i`` is the
+    sequential fold dot(R[i], u) rounded at CENT_ROUND — the same
+    fold/round shape as every other replayed dot in the PQ family, so the
+    oracle's ``list_sum`` replays it bit-for-bit."""
+    rl = double_matrix_lit([list(r) for r in mat])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(mat))),
+        lambda i: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.element_at(rl, i.cast("int")), F.col(u_col),
+                    lambda r, x: r * x,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            CENT_ROUND,
+        ),
+    )
+
+
+def _rotate_sql(mat: list, nv: str, engine: str = "spark") -> str:
+    """The rotated-corpus relation as SQL over a normalized relation
+    ``nv`` exposing ``(__id, __u)`` (Spark dialect) — the exact replay of
+    :func:`_rotate_expr` for the renderers. The matrix ships once as an
+    array-of-arrays literal."""
+    rows = ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in row) + ")"
+        for row in mat
+    )
+    dim = len(mat)
+    rot = (
+        f"transform(sequence(1, {dim}), i -> round(aggregate(zip_with("
+        f"element_at(array({rows}), i), __u, (r, x) -> r * x), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), {CENT_ROUND}))"
+    )
+    return f"(SELECT __id, {rot} AS __u FROM {nv} __pq_rot)"
+
+
+def _staged_corpus(df: DataFrame, v: str, i: str, m: int,
+                   rotation: list | None = None):
     first_dim = df.select(F.size(F.col(v)).alias("d")).first()
     if first_dim is None:
         raise ParameterException("input is empty")
     dim = int(first_dim["d"])
     if m < 1 or dim % m != 0:
         raise ParameterException(f"m must divide the vector dimension ({dim})")
+    if rotation is not None and len(rotation) != dim:
+        raise ParameterException(
+            f"rotation matrix is {len(rotation)}x{len(rotation)} but the "
+            f"vectors have dim {dim}"
+        )
     d_sub = dim // m
-    staged = scoped_persist(_stage_subvectors(
-        _unit_rounded(
-            spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")), "__vec"
-        ),
-        m,
-        d_sub,
-    ))
+    base = _unit_rounded(
+        spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
+        "__vec",
+    )
+    if rotation is not None:
+        base = base.withColumn("__u", _rotate_expr("__u", rotation))
+    staged = scoped_persist(_stage_subvectors(base, m, d_sub))
     return staged, d_sub, staged
 
 
@@ -341,7 +431,8 @@ class IVFPQIndex:
 
     def __init__(self, frame: DataFrame, centroids: list, books: list,
                  m: int, d_sub: int, round_to: int, n_docs: int | None = None,
-                 residual: bool = False):
+                 residual: bool = False, rotation: list | None = None,
+                 rotation_seed: int = 0, rotation_sweeps: int = 4):
         self.frame = frame
         self.centroids = centroids
         self.books = books
@@ -352,6 +443,14 @@ class IVFPQIndex:
         # residual=True: PQ codes encode (vector - assigned coarse centroid)
         # — the full IVFADC formulation; scoring must add the coarse term
         self.residual = residual
+        # rotation: the deterministic orthogonal pre-rotation matrix
+        # (rotation_matrix(seed, dim, sweeps)) the corpus was built under;
+        # the frame's __u holds ROTATED vectors, so in-frame queries need
+        # no extra work but external batch sides (dedup/join) must rotate
+        # with the same matrix before probing. None = identity/off.
+        self.rotation = rotation
+        self.rotation_seed = rotation_seed
+        self.rotation_sweeps = rotation_sweeps
 
     def release(self) -> None:
         from ._cache import release_now
@@ -391,6 +490,10 @@ def ivfpq_index(
     iterations: int = 1,
     round_to: int = 6,
     residual: bool = False,
+    rotate: bool = False,
+    rotation_seed: int = 0,
+    rotation_sweeps: int = 4,
+    rotation_dim: int | None = None,
 ) -> IVFPQIndex:
     """Build a reusable :class:`IVFPQIndex`: deterministic rounded coarse
     kmeans (kmeans_cluster contract) + per-subspace PQ codebooks
@@ -406,7 +509,21 @@ def ivfpq_index(
     contract and doubles subtract exactly, so the residuals — and with
     them the whole fit — keep the exact-replay determinism of the
     no-residual path; scoring adds the per-candidate coarse term
-    dot(query, centroid[cid])."""
+    dot(query, centroid[cid]).
+
+    ``rotate=True`` (round 10) pre-rotates the unit-normalized corpus by
+    the deterministic orthogonal matrix
+    ``rotation_matrix(rotation_seed, dim, rotation_sweeps)`` before both
+    fits — the random-rotation pre-conditioner of the OPQ family (see
+    :func:`rotation_matrix` for the public-technique citation and why the
+    LEARNED OPQ rotation is deliberately excluded). Rotation preserves
+    dot products, so scores still approximate the ORIGINAL cosine; the
+    stored ``__u`` holds rotated vectors, in-frame queries need no extra
+    work, and external batch sides rotate via ``index.rotation``. The
+    whole path stays inside the exact-replay contract (the matrix is a
+    closed-form literal; each rotated component is the same fold/round
+    shape as every other replayed dot). Composes with ``residual=True``
+    (the residual is taken in rotated space)."""
     if num_centroids < 1:
         raise ParameterException("num_centroids must be >= 1")
     if coarse_iterations < 0:
@@ -414,7 +531,21 @@ def ivfpq_index(
     from .similarity import _attach_centroids
 
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    staged, d_sub, cached = _staged_corpus(df, v, i, m)
+    rotation = None
+    if rotate:
+        dfirst = df.select(F.size(F.col(resolve_col(df, vec_col))).alias("d")).first()
+        if dfirst is None:
+            raise ParameterException("input is empty")
+        # rotation_dim exists so .sql() chains can render (dim is
+        # unknowable at render time); validated against the data — the
+        # binary_quantize n_words contract
+        if rotation_dim is not None and int(rotation_dim) != int(dfirst["d"]):
+            raise ParameterException(
+                f"rotation_dim={int(rotation_dim)} but the vectors have "
+                f"dim {int(dfirst['d'])}"
+            )
+        rotation = rotation_matrix(rotation_seed, int(dfirst["d"]), rotation_sweeps)
+    staged, d_sub, cached = _staged_corpus(df, v, i, m, rotation=rotation)
     # one persisted (__id, __u, __s0..__s{m-1}) frame feeds the coarse fit,
     # the PQ fit, and the corpus encoding
     cents = _fit_kmeans(staged, num_centroids, coarse_iterations, round_to)
@@ -461,7 +592,9 @@ def ivfpq_index(
         n = frame.count()
     release_now(cached)
     return IVFPQIndex(
-        frame, cents, books, m, d_sub, round_to, n_docs=n, residual=residual
+        frame, cents, books, m, d_sub, round_to, n_docs=n, residual=residual,
+        rotation=rotation, rotation_seed=rotation_seed,
+        rotation_sweeps=rotation_sweeps,
     )
 
 
@@ -490,8 +623,13 @@ def save_ivfpq_index(index: IVFPQIndex, path: str) -> str:
             int(index.m), int(index.d_sub), int(index.round_to),
             -1 if index.n_docs is None else int(index.n_docs),
             bool(index.residual),
+            # the rotation matrix regenerates from its spec; only the
+            # spec persists (rotated=False -> seed/sweeps ignored)
+            index.rotation is not None,
+            int(index.rotation_seed), int(index.rotation_sweeps),
         )],
-        "m int, d_sub int, round_to int, n_docs long, residual boolean",
+        "m int, d_sub int, round_to int, n_docs long, residual boolean, "
+        "rotated boolean, rotation_seed int, rotation_sweeps int",
     ).write.mode("overwrite").parquet(f"{path}/params")
     return path
 
@@ -512,10 +650,18 @@ def load_ivfpq_index(spark, path: str, persist: bool = True) -> IVFPQIndex:
     for r in brows:
         books[int(r["s"])].append((int(r["c"]), list(r["v"])))
     nd = int(prm["n_docs"])
+    rot, rseed, rsweeps = None, 0, 4
+    if "rotated" in prm.__fields__ and bool(prm["rotated"]):
+        rseed = int(prm["rotation_seed"])
+        rsweeps = int(prm["rotation_sweeps"])
+        rot = rotation_matrix(
+            rseed, int(prm["m"]) * int(prm["d_sub"]), rsweeps
+        )
     return IVFPQIndex(
         frame, cents, books, int(prm["m"]), int(prm["d_sub"]),
         int(prm["round_to"]), n_docs=None if nd < 0 else nd,
         residual=("residual" in prm.__fields__ and bool(prm["residual"])),
+        rotation=rot, rotation_seed=rseed, rotation_sweeps=rsweeps,
     )
 
 
@@ -549,6 +695,10 @@ def update_ivfpq_index(
         spread(new_vecs).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
         "__vec",
     )
+    if index.rotation is not None:
+        # replay the build-time pre-rotation exactly — codes/centroids
+        # live in rotated space
+        base = base.withColumn("__u", _rotate_expr("__u", index.rotation))
     abase, carr, _adrop = _attach_centroids(base, index.centroids)
     withcid = abase.withColumn("__cid", _assign_expr(carr, index.round_to))
     if index.residual:
@@ -583,6 +733,8 @@ def update_ivfpq_index(
     return IVFPQIndex(
         merged, index.centroids, index.books, index.m, index.d_sub,
         index.round_to, n_docs=n, residual=index.residual,
+        rotation=index.rotation, rotation_seed=index.rotation_seed,
+        rotation_sweeps=index.rotation_sweeps,
     )
 
 
@@ -716,6 +868,10 @@ def similarity_search_ivfpq(
     iterations: int = 1,
     round_to: int = 6,
     residual: bool = False,
+    rotate: bool = False,
+    rotation_seed: int = 0,
+    rotation_sweeps: int = 4,
+    rotation_dim: int | None = None,
     index: "IVFPQIndex | None" = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-``k`` (Jégou et al. 2011's IVFADC;
@@ -772,6 +928,8 @@ def similarity_search_ivfpq(
             ivfpq_index(
                 df, vec_col, id_col, num_centroids, coarse_iterations,
                 m, codebook_size, iterations, round_to, residual=residual,
+                rotate=rotate, rotation_seed=rotation_seed,
+                rotation_sweeps=rotation_sweeps, rotation_dim=rotation_dim,
             ),
             True,
         )
@@ -893,7 +1051,9 @@ def similarity_search_ivfpq(
 def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
                                num_centroids=8, nprobe=2, coarse_iterations=1,
                                m=4, codebook_size=8, iterations=1,
-                               round_to=6, residual=False, index=None) -> str:
+                               round_to=6, residual=False, rotate=False,
+                               rotation_seed=0, rotation_sweeps=4,
+                               rotation_dim=None, index=None) -> str:
     """Full SQL replay of the IVF-PQ pipeline — the first renderable ANN
     operator (the similarity_search_ivf family is excluded by its unrounded
     contract; this operator rounds by contract precisely to be replayable).
@@ -920,15 +1080,33 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
         raise ParameterException("num_centroids must be >= 1")
     if nprobe < 1:
         raise ParameterException("nprobe must be >= 1")
-    from .cluster import _dot_sql, _kmeans_render_parts
+    from .cluster import _dot_sql, _kmeans_render_parts, _unit_norm_sql
 
+    ctes = []
+    nv_override = None
+    if rotate:
+        if rotation_dim is None:
+            raise TransformRenderingException(
+                "similarity_search_ivfpq(rotate=True) renders only with an "
+                "explicit rotation_dim (the vector dimension is unknowable "
+                "at render time — the binary n_words contract)"
+            )
+        mat = rotation_matrix(int(rotation_seed), int(rotation_dim),
+                              int(rotation_sweeps))
+        # NAMED CTE: the rotated corpus is referenced by the seeds, every
+        # Lloyd pass, the probe, and the query slices — inlining the
+        # 64x64 literal at each site would explode the statement
+        ctes.append(
+            "__ivfpq_rnv AS "
+            + _rotate_sql(mat, _unit_norm_sql(vec_col, id_col, source))
+        )
+        nv_override = "__ivfpq_rnv"
     nv, kcents, kassign = _kmeans_render_parts(
         source, vec_col, id_col, num_centroids, coarse_iterations, round_to,
-        "similarity_search_ivfpq",
+        "similarity_search_ivfpq", nv_override=nv_override,
     )
     qlist = ", ".join(str(int(q)) for q in query_ids)
     sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_to)})"
-    ctes = []
     if residual:
         # name the centroid relation once — it is referenced by the
         # assignment, the probe, the residual construction, and the
@@ -956,6 +1134,8 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
             f"{_dot_sql('t.__u', 's.v')} AS cv FROM {nv} t "
             f"CROSS JOIN {kcents} s WHERE t.__id IN ({qlist}))"
         )
+    if vec_source is None and rotate:
+        vec_source = nv  # the rotated corpus CTE (plain path)
     parts = _pq_render_parts(
         source, vec_col, id_col, m, codebook_size, iterations, round_to,
         "similarity_search_ivfpq", vec_source=vec_source,
@@ -1033,6 +1213,10 @@ def embedding_join_ivfpq(
     iterations: int = 1,
     round_to: int = 6,
     residual: bool = False,
+    rotate: bool = False,
+    rotation_seed: int = 0,
+    rotation_sweeps: int = 4,
+    rotation_dim: int | None = None,
     right_prefix: str = "MATCH_",
     index: "IVFPQIndex | None" = None,
 ) -> DataFrame:
@@ -1123,7 +1307,9 @@ def embedding_join_ivfpq(
                 odf, ov, oi, num_centroids=kc,
                 coarse_iterations=coarse_iterations, m=m,
                 codebook_size=codebook_size, iterations=iterations,
-                round_to=round_to, residual=residual,
+                round_to=round_to, residual=residual, rotate=rotate,
+                rotation_seed=rotation_seed,
+                rotation_sweeps=rotation_sweeps, rotation_dim=rotation_dim,
             ),
             True,
         )
@@ -1141,6 +1327,11 @@ def embedding_join_ivfpq(
         df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
         "__qvec", "__qu",
     ).select("__qid", "__qu")
+    if idx.rotation is not None:
+        # the corpus lives in rotated space; the left side must probe and
+        # build LUTs there too (rotation preserves the dot, so COSINE
+        # still approximates the ORIGINAL cosine)
+        q = q.withColumn("__qu", _rotate_expr("__qu", idx.rotation))
     probes = _adc_probe_frame(
         _probe_lists_rounded(
             q, idx.centroids, np_, "__qid", "__qu", idx.round_to
@@ -1181,8 +1372,9 @@ def _r_embedding_join_ivfpq(source, vec_col, id_col, other=None,
                             other_vec=None, other_id=None, k=1,
                             num_centroids=8, nprobe=2, coarse_iterations=1,
                             m=4, codebook_size=8, iterations=1, round_to=6,
-                            residual=False, right_prefix="MATCH_",
-                            index=None) -> str:
+                            residual=False, rotate=False, rotation_seed=0,
+                            rotation_sweeps=4, rotation_dim=None,
+                            right_prefix="MATCH_", index=None) -> str:
     """Full SQL replay of the PQ-coded ANN join: the
     ``_r_similarity_search_ivfpq`` composition with the fit chains running
     over the RIGHT table and a table-shaped query side — every left row
@@ -1223,21 +1415,41 @@ def _r_embedding_join_ivfpq(source, vec_col, id_col, other=None,
     from .cluster import _dot_sql, _kmeans_render_parts, _unit_norm_sql
 
     ov, oi = other_vec or vec_col, other_id or id_col
+    ctes = []
+    nv_override = None
+    mat = None
+    if rotate:
+        if rotation_dim is None:
+            raise TransformRenderingException(
+                "embedding_join_ivfpq(rotate=True) renders only with an "
+                "explicit rotation_dim (the vector dimension is unknowable "
+                "at render time — the binary n_words contract)"
+            )
+        mat = rotation_matrix(int(rotation_seed), int(rotation_dim),
+                              int(rotation_sweeps))
+        ctes.append(
+            "__ivfj_rnv AS "
+            + _rotate_sql(mat, _unit_norm_sql(ov, oi, other))
+        )
+        nv_override = "__ivfj_rnv"
     nv, kcents, kassign = _kmeans_render_parts(
         other, ov, oi, num_centroids, coarse_iterations, round_to,
-        "embedding_join_ivfpq",
+        "embedding_join_ivfpq", nv_override=nv_override,
     )
     sim = f"round({_dot_sql('t.__u', 's.v')}, {int(round_to)})"
     mid = f"{right_prefix}ID"
     # name the centroid relation once — assignment, probe, residual
     # construction and coarse-term LUT all reference it (inlining would
     # multiply the unrolled Lloyd chain)
-    ctes = [f"__ivfj_cents AS (SELECT c, v FROM {kcents})"]
+    ctes.append(f"__ivfj_cents AS (SELECT c, v FROM {kcents})")
     kc_rel = "__ivfj_cents"
     ctes.append(f"__ivfj_asg AS (SELECT __id, c FROM {kassign(kc_rel)})")
+    qnv = _unit_norm_sql(vec_col, id_col, source)
+    if rotate:
+        # the left side probes in rotated space too
+        qnv = _rotate_sql(mat, qnv)
     ctes.append(
-        f"__ivfj_q AS (SELECT __id AS qid, __u FROM "
-        f"{_unit_norm_sql(vec_col, id_col, source)} __ivfj_qnv)"
+        f"__ivfj_q AS (SELECT __id AS qid, __u FROM {qnv} __ivfj_qnv)"
     )
     ctes.append(
         f"__ivfj_probe AS (SELECT __id AS qid, c FROM (SELECT t.__id, s.c, "
@@ -1259,6 +1471,8 @@ def _r_embedding_join_ivfpq(source, vec_col, id_col, other=None,
             f"{_dot_sql('t.__u', 's.v')} AS cv FROM __ivfj_q t "
             f"CROSS JOIN {kc_rel} s)"
         )
+    if vec_source is None and rotate:
+        vec_source = nv  # the rotated right-side CTE (plain path)
     parts = _pq_render_parts(
         other, ov, oi, m, codebook_size, iterations, round_to,
         "embedding_join_ivfpq", vec_source=vec_source,

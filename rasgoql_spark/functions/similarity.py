@@ -960,6 +960,11 @@ def dedup_against_embedding(
             df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
             "__qvec", "__qu",
         ).select("__qid", "__qu")
+        if pidx.rotation is not None:
+            # rotated index: the batch must probe in rotated space too
+            from .pq import _rotate_expr
+
+            q = q.withColumn("__qu", _rotate_expr("__qu", pidx.rotation))
         probes = _adc_probe_frame(
             _probe_lists_rounded(
                 q, pidx.centroids, nprobe, "__qid", "__qu", pidx.round_to

@@ -158,6 +158,109 @@ def test_join_ivfpq_renderer_parity(emb, spark):
                                 num_centroids="auto")
 
 
+def test_rotation_matrix_is_orthogonal_and_deterministic():
+    """The closed-form Givens composition is orthogonal to within the
+    9-dp entry rounding and regenerates identically from its spec."""
+    import numpy as np
+
+    from rasgoql_spark.functions.pq import rotation_matrix
+
+    r = np.array(rotation_matrix(7, 64, 4))
+    assert float(np.abs(r @ r.T - np.eye(64)).max()) < 1e-7
+    assert rotation_matrix(7, 64, 4) == rotation_matrix(7, 64, 4)
+    assert rotation_matrix(8, 64, 4) != rotation_matrix(7, 64, 4)
+    with pytest.raises(ParameterException, match="sweeps"):
+        rotation_matrix(7, 64, 0)
+
+
+def test_rotated_ivfpq_inline_prebuilt_loaded_update(emb, spark, tmp_path):
+    """rotate=True composes with the whole index lifecycle: inline ==
+    prebuilt == save/load roundtrip; update_ivfpq_index re-encodes a
+    duplicate vector identically (the batch side replays the build-time
+    rotation); rotation_dim validates against the data."""
+    from rasgoql_spark.functions.pq import (
+        load_ivfpq_index,
+        save_ivfpq_index,
+        similarity_search_ivfpq,
+        update_ivfpq_index,
+    )
+
+    kw = dict(num_centroids=8, coarse_iterations=1, m=8, codebook_size=16,
+              iterations=0)
+    inline = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=3,
+        rotate=True, rotation_seed=7, **kw)
+    rows = sorted(map(tuple, inline.collect()))
+    idx = ivfpq_index(emb, "embedding", "vec_id", rotate=True,
+                      rotation_seed=7, **kw)
+    pre = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=3, index=idx)
+    assert sorted(map(tuple, pre.collect())) == rows
+    save_ivfpq_index(idx, str(tmp_path / "ridx"))
+    loaded = load_ivfpq_index(spark, str(tmp_path / "ridx"))
+    assert loaded.rotation == idx.rotation
+    post = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=10, nprobe=3, index=loaded)
+    assert sorted(map(tuple, post.collect())) == rows
+    # update: a duplicate vector under a new id must get the same
+    # (cid, codes) as its original — proves the batch rotation replays
+    dup = emb.filter("vec_id < 3").withColumn(
+        "vec_id", F.col("vec_id") + 10000)
+    upd = update_ivfpq_index(idx, dup, "embedding", "vec_id")
+    got = {int(r["__id"]): (int(r["__cid"]), tuple(r["__codes"]))
+           for r in upd.frame.filter("__id < 3 OR __id >= 10000").collect()}
+    for q in range(3):
+        assert got[q] == got[q + 10000]
+    with pytest.raises(ParameterException, match="rotation_dim=5"):
+        ivfpq_index(emb, "embedding", "vec_id", rotate=True,
+                    rotation_dim=5, **kw)
+    upd.release()
+    idx.release()
+    loaded.release()
+
+
+def test_rotated_renderers_and_dim_guard(emb, spark):
+    """rotate=True keeps the full replay contract: rendered SQL ==
+    executed rows for the rotated search (plain + residual) and the
+    rotated join; renderers require explicit rotation_dim."""
+    from rasgoql_spark.errors import TransformRenderingException
+    from rasgoql_spark.functions.pq import (
+        _r_embedding_join_ivfpq,
+        _r_similarity_search_ivfpq,
+        similarity_search_ivfpq,
+    )
+
+    emb.createOrReplaceTempView("__r10_rot")
+    kw = dict(num_centroids=8, nprobe=3, m=8, codebook_size=16, iterations=0)
+    for res in (False, True):
+        df = similarity_search_ivfpq(
+            emb, "embedding", "vec_id", [0, 1, 2], k=10, rotate=True,
+            rotation_seed=7, residual=res, **kw)
+        sql = _r_similarity_search_ivfpq(
+            "__r10_rot", "embedding", "vec_id", [0, 1, 2], k=10,
+            rotate=True, rotation_seed=7, rotation_dim=64, residual=res,
+            **kw)
+        assert sorted(map(tuple, spark.sql(sql).collect())) == sorted(
+            map(tuple, df.collect()))
+    jdf = embedding_join_ivfpq(
+        emb.filter("vec_id >= 250"), "embedding", "vec_id",
+        other=emb.filter("vec_id < 250"), k=2, rotate=True,
+        rotation_seed=7, **kw)
+    jsql = _r_embedding_join_ivfpq(
+        "(SELECT * FROM __r10_rot WHERE vec_id >= 250)", "embedding",
+        "vec_id", other="(SELECT * FROM __r10_rot WHERE vec_id < 250)",
+        k=2, rotate=True, rotation_seed=7, rotation_dim=64, **kw)
+    cols = ["vec_id", "label", "MATCH_ID", "COSINE", "RANK"]
+    assert sorted(map(tuple, spark.sql(jsql).select(*cols).collect())) == \
+        sorted(map(tuple, jdf.select(*cols).collect()))
+    with pytest.raises(TransformRenderingException, match="rotation_dim"):
+        _r_similarity_search_ivfpq(
+            "__r10_rot", "embedding", "vec_id", [0], rotate=True)
+    with pytest.raises(TransformRenderingException, match="rotation_dim"):
+        _r_embedding_join_ivfpq(
+            "t", "embedding", "vec_id", other="r", rotate=True)
+
+
 def test_similarity_search_binary_prebuilt_matches_inline(emb, spark):
     """Round 10 (judge task #6 prerequisite): similarity_search_binary
     gains the prebuilt-index regime — the Hamming scan reads the stored
