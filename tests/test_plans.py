@@ -584,3 +584,31 @@ def test_dedup_ivfpq_reference_never_shuffles(session):
         assert "InMemoryTableScan" in plan, plan
     finally:
         idx.release()
+
+
+def test_embedding_join_ivfpq_codes_only_candidate_scan(session):
+    """embedding_join_ivfpq (prebuilt): the corpus-side candidate scan must
+    read ONLY (id, inverted-list id, PQ codes) — zero vector bytes on the
+    big side (the operator's 100 TB contract) — and the per-left-row top-k
+    window must be WindowGroupLimit-prunable. No broadcast hint is pinned:
+    the left side may be the full corpus, so broadcasting is AQE's call."""
+    import re
+
+    from rasgoql_spark.functions.pq import embedding_join_ivfpq, ivfpq_index
+
+    emb = session.dataset("embeddings").df
+    idx = ivfpq_index(emb.filter("vec_id < 400"), "embedding", "vec_id",
+                      num_centroids=8, m=4, codebook_size=8)
+    try:
+        out = embedding_join_ivfpq(
+            emb.filter("vec_id >= 400"), "embedding", "vec_id", k=2,
+            nprobe=2, index=idx)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan
+        scans = re.findall(r"InMemoryTableScan \[([^\]]*)\]", plan)
+        cand = [s for s in scans if "__codes" in s]
+        assert cand, plan
+        for s in cand:
+            assert "__u" not in s, s  # zero vector bytes on the corpus side
+    finally:
+        idx.release()
