@@ -1354,6 +1354,38 @@ def q_dedup_against_binary(spark, sf):
     )
 
 
+def q_embedding_join_binary(spark, sf):
+    """Round 10: the BIG-BIG semantic join — every corpus row attaches its
+    top-3 right rows within Hamming 15 of its 64-bit sign signature
+    (self-enrichment; id-equal matches excluded). Candidates come from a
+    pigeonhole nibble-band equi-join (multi-index hashing, Norouzi et al.
+    2012) with EXACT recall at the threshold, so the integer oracle
+    replays the equivalent all-pairs form bit-for-bit. Sparse by design
+    on the synthetic corpus (only planted near-dups sit inside Hamming
+    15 ≈ cosine 0.74) — non-empty at all three scales."""
+    s = _s(spark, sf)
+    emb = s.dataset("embeddings").df
+    from rasgoql_spark.functions.similarity import embedding_join_binary
+    return embedding_join_binary(
+        emb, vec_col="embedding", id_col="vec_id", other=emb, k=3,
+        max_hamming=15,
+    ).select("vec_id", "label", "MATCH_ID", "HAMMING", "RANK")
+
+
+def q_embedding_join_binary_rerank(spark, sf):
+    """Round 10: the two-stage form — Hamming keeps k*factor = 6
+    survivors per left row, exact rounded cosine reranks them (the
+    integer-determined survivor set keeps the replay exact under the
+    standard rounded-cosine policy)."""
+    s = _s(spark, sf)
+    emb = s.dataset("embeddings").df
+    from rasgoql_spark.functions.similarity import embedding_join_binary
+    return embedding_join_binary(
+        emb, vec_col="embedding", id_col="vec_id", other=emb, k=3,
+        max_hamming=15, rerank=True, rerank_factor=2,
+    ).select("vec_id", "label", "MATCH_ID", "COSINE", "RANK")
+
+
 def q_embedding_outliers(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -4275,6 +4307,50 @@ ranked AS (
             "WHERE r.vec_id < 450 AND q.vec_id >= 450 "
             "AND bit_count(xor(q.s[1], r.s[1])) + bit_count(xor(q.s[2], r.s[2])) <= 18"
         ),
+        # round 10: the big-big Hamming join — banded candidates are
+        # exact-recall at the threshold, so the oracle replays the
+        # all-pairs equivalent; top-3 per left row, left scalars joined
+        "embedding_join_binary": (
+            "WITH bits AS (SELECT vec_id, (pos - 1) // 32 AS w, "
+            "CASE WHEN val > 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) "
+            "ELSE CAST(0 AS BIGINT) END AS bv FROM (SELECT vec_id, "
+            "unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings)), "
+            "sig AS (SELECT vec_id, list(wv ORDER BY w) AS s FROM (SELECT vec_id, "
+            "w, bit_or(bv) AS wv FROM bits GROUP BY vec_id, w) GROUP BY vec_id), "
+            "scored AS (SELECT q.vec_id AS qid, c.vec_id AS mid, "
+            "CAST(bit_count(xor(q.s[1], c.s[1])) + bit_count(xor(q.s[2], c.s[2])) "
+            "AS BIGINT) AS HAMMING FROM sig c, sig q WHERE q.vec_id <> c.vec_id), "
+            "ranked AS (SELECT qid, mid, HAMMING, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY qid ORDER BY HAMMING ASC, mid ASC) AS INT) AS RANK "
+            "FROM scored WHERE HAMMING <= 15) "
+            "SELECT e.vec_id, e.label, r.mid AS MATCH_ID, r.HAMMING, r.RANK "
+            "FROM embeddings e JOIN ranked r ON r.qid = e.vec_id WHERE r.RANK <= 3"
+        ),
+        "embedding_join_binary_rerank": (
+            "WITH bits AS (SELECT vec_id, (pos - 1) // 32 AS w, "
+            "CASE WHEN val > 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) "
+            "ELSE CAST(0 AS BIGINT) END AS bv FROM (SELECT vec_id, "
+            "unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings)), "
+            "sig AS (SELECT vec_id, list(wv ORDER BY w) AS s FROM (SELECT vec_id, "
+            "w, bit_or(bv) AS wv FROM bits GROUP BY vec_id, w) GROUP BY vec_id), "
+            "scored AS (SELECT q.vec_id AS qid, c.vec_id AS mid, "
+            "CAST(bit_count(xor(q.s[1], c.s[1])) + bit_count(xor(q.s[2], c.s[2])) "
+            "AS BIGINT) AS HAMMING FROM sig c, sig q WHERE q.vec_id <> c.vec_id), "
+            "hstage AS (SELECT qid, mid FROM (SELECT qid, mid, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY HAMMING ASC, "
+            "mid ASC) AS INT) AS RANK FROM scored WHERE HAMMING <= 15) "
+            "WHERE RANK <= 6), "
+            "rr AS (SELECT qid, mid, COSINE, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY qid ORDER BY COSINE DESC, mid ASC) AS INT) AS RANK "
+            "FROM (SELECT h.qid, h.mid, "
+            f"{_cosine('qv.embedding', 'cv.embedding')} AS COSINE "
+            "FROM hstage h JOIN embeddings cv ON cv.vec_id = h.mid "
+            "JOIN embeddings qv ON qv.vec_id = h.qid)) "
+            "SELECT e.vec_id, e.label, r.mid AS MATCH_ID, r.COSINE, r.RANK "
+            "FROM embeddings e JOIN rr r ON r.qid = e.vec_id WHERE r.RANK <= 3"
+        ),
         "similarity_search_binary_rerank": (
             "WITH bits AS (SELECT vec_id, (pos - 1) // 32 AS w, "
             "CASE WHEN val > 0 THEN (CAST(1 AS BIGINT) << ((pos - 1) % 32)) "
@@ -4727,6 +4803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_ivfpq": q_dedup_against_ivfpq,
         "similarity_search_ivfpq_residual": q_similarity_search_ivfpq_residual,
         "similarity_search_ivfpq_rotated": q_similarity_search_ivfpq_rotated,
+        "embedding_join_binary": q_embedding_join_binary,
+        "embedding_join_binary_rerank": q_embedding_join_binary_rerank,
         "similarity_search_ivf_rounded": q_similarity_search_ivf_rounded,
         "embedding_join_ivf_rounded": q_embedding_join_ivf_rounded,
         "binary_quantize": q_binary_quantize,
@@ -4931,6 +5009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
+        "embedding_join_binary",
+        "embedding_join_binary_rerank",
         # r6-stale block (43)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
@@ -4943,10 +5023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup", "sliding_slope", "standard_scaler",
         "target_encode", "text_quality", "train_test_split", "union",
         "unpivot", "winsorize",
-        # oldest r7 entries (5, listing order; the 2nd new r10 operator
-        # takes the 50th slot)
-        "audio_meta", "binary_meta", "bm25_score", "bpe_encode",
-        "corpus_stats",
+        # oldest r7 entries (3, listing order; the four new r10
+        # operators take the freed slots)
+        "audio_meta", "binary_meta", "bm25_score",
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

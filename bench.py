@@ -242,6 +242,18 @@ def _llm_pipeline_e2e(spark, sf):
     return en.mix_datasets(others=[rest], weights=[3, 1], key="doc_id").df
 
 
+def _llm_embedding_join_binary(spark, sf):
+    """Round 10: the big-big Hamming join — every corpus row vs the whole
+    corpus through the pigeonhole nibble-band equi-join (no broadcast, no
+    per-row corpus scan; the only ANN join shape that survives a
+    billion x billion input). Self-enrichment at k=3 within Hamming 15."""
+    from rasgoql_spark.functions.similarity import embedding_join_binary
+
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    return embedding_join_binary(
+        emb, "embedding", "vec_id", other=emb, k=3, max_hamming=15)
+
+
 def _b6_encode_split(spark, sf):
     s = entry._s(spark, sf)
     return (
@@ -303,6 +315,7 @@ BENCH_QUERIES = {
     "llm_embedding_join_ivfpq_prebuilt": _llm_embedding_join_ivfpq_prebuilt,
     "llm_similarity_binary_prebuilt": _llm_similarity_binary_prebuilt,
     "llm_pipeline_e2e": _llm_pipeline_e2e,
+    "llm_embedding_join_binary": _llm_embedding_join_binary,
 }
 
 

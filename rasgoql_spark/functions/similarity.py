@@ -1915,6 +1915,316 @@ def _r_similarity_search_binary(source, vec_col, id_col, query_ids, k=10,
     )
 
 
+def _nibble_band_keys(sig: str, n_words: int, nb: int) -> list:
+    """Pigeonhole band keys over a packed sign signature: the
+    ``n_words * 8`` nibbles (4-bit groups) partition into ``nb`` contiguous
+    bands; any pair within Hamming distance ``nb - 1`` agrees on at least
+    one whole band (pigeonhole), so a band equi-join has EXACT recall at
+    that threshold — the multi-index hashing decomposition (Norouzi,
+    Punjani & Fleet, CVPR 2012, public technique). One F.expr per band
+    (integer shifts/masks — replayed verbatim by the oracle)."""
+    nn = n_words * 8
+    keys = []
+    for b in range(nb):
+        lo, hi = b * nn // nb, (b + 1) * nn // nb
+        parts = [f"'{b}'"] + [
+            f"(shiftright(element_at({sig}, {p // 8 + 1}), {4 * (p % 8)}) & 15)"
+            for p in range(lo, hi)
+        ]
+        keys.append(F.expr("concat_ws(':', " + ", ".join(parts) + ")"))
+    return keys
+
+
+@spark_transform("embedding_join_binary", category="similarity", streaming_ok=False)
+def embedding_join_binary(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    other=None,
+    other_vec: str | None = None,
+    other_id: str | None = None,
+    k: int = 1,
+    max_hamming: int = 6,
+    rerank: bool = False,
+    rerank_factor: int = 4,
+    round_scores: int | None = 6,
+    right_prefix: str = "MATCH_",
+    n_words: int | None = None,
+    index: "BinaryIndex | None" = None,
+) -> DataFrame:
+    """The BIG-BIG semantic join: attach each left row's top-``k`` right
+    rows within Hamming distance ``max_hamming`` over 1-bit sign
+    signatures (:func:`binary_quantize`) — the one join in the ANN family
+    with NO broadcast and NO per-query corpus scan, so it survives a
+    billion×billion shape. Candidates come from a pigeonhole band
+    equi-join (multi-index hashing, Norouzi et al. 2012): the signature's
+    nibbles split into ``max_hamming + 1`` bands, and any pair within the
+    threshold agrees on at least one whole band — EXACT recall, not
+    probabilistic, so the operator carries a full integer hash oracle and
+    a ``.sql()`` renderer. Appends ``{right_prefix}ID``, ``HAMMING``,
+    ``RANK`` (ascending Hamming, ties → lowest right id); inner join
+    (left rows with no candidate in range drop); id-equal matches
+    excluded (the join family's single-namespace rule); fewer than ``k``
+    matches when fewer right rows sit inside the threshold — the bound is
+    the contract (unbounded top-k needs a corpus scan per row; use
+    ``embedding_join_ivf``/``_ivfpq`` for that regime).
+
+    100 TB shape: both sides pack row-locally to 8 B/row signatures
+    (64-dim), explode to ``max_hamming + 1`` slim band rows each, and
+    shuffle ONLY on the band key — per-row cost is bands × (key bytes),
+    independent of either corpus size; the verify stage pays 2
+    xor+popcount word ops per colliding pair. Skew: exact-duplicate
+    signature clusters collide on every band (the dedup_simhash skew
+    note); no broadcast hint anywhere, so the band join stays
+    AQE-skew-eligible. ``max_hamming`` must stay below ``n_words * 8``
+    (nibble granularity bounds the band count; Charikar's bound says
+    Hamming 6 of 64 bits already means cosine ≈ 0.96, so useful
+    thresholds sit far below the cap).
+
+    ``rerank=True`` keeps ``k · rerank_factor`` Hamming survivors per
+    left row, reranks ONLY those by exact cosine over the full vectors
+    (requires the right-side ``other`` frame for its vectors — a
+    signatures-only ``index`` cannot serve the rerank stage), and returns
+    ``COSINE`` instead of ``HAMMING`` — the survivor set is
+    integer-determined, so the mode stays exactly replayable under the
+    standard rounded-cosine policy (``round_scores``).
+
+    A prebuilt :class:`BinaryIndex` (``binary_index``/
+    ``load_binary_index``, foldable with ``update_binary_index``) skips
+    the per-call right-side re-pack; ``n_docs`` staleness is checked when
+    both ``other`` and ``index`` are passed. ``n_words`` follows the
+    ``binary_quantize`` contract (derived from data, validated when
+    explicit, required by the renderer). Uniform-dim assumption as
+    documented on :func:`similarity_search_binary`."""
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if max_hamming < 0:
+        raise ParameterException("max_hamming must be >= 0")
+    if rerank and rerank_factor < 1:
+        raise ParameterException("rerank_factor must be >= 1")
+    odf = other.df if hasattr(other, "df") else other
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    first = df.select(F.size(F.col(v)).alias("d")).first()
+    if first is None:
+        raise ParameterException("left side is empty")
+    derived = max(1, (int(first["d"]) + 31) // 32)
+    if index is not None:
+        if not isinstance(index, BinaryIndex):
+            raise ParameterException(
+                "embedding_join_binary takes a BinaryIndex (build with "
+                f"binary_index / load_binary_index); got "
+                f"{type(index).__name__}"
+            )
+        if rerank and odf is None:
+            raise ParameterException(
+                "rerank=True needs the right-side vectors (other=...); a "
+                "BinaryIndex holds signatures only"
+            )
+        if odf is not None and index.n_docs is not None:
+            rc = odf.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"BinaryIndex was built over {index.n_docs} right-side "
+                    f"vectors but the passed frame has {rc} — fold the new "
+                    "vectors in with update_binary_index or rebuild"
+                )
+        if index.dim is not None and int(first["d"]) != index.dim:
+            raise ParameterException(
+                f"left vectors have dim {int(first['d'])} but the index "
+                f"was built over dim {index.dim}"
+            )
+        if n_words is not None and int(n_words) != index.n_words:
+            raise ParameterException(
+                f"n_words={int(n_words)} but the index was built with "
+                f"{index.n_words}"
+            )
+        nw = int(index.n_words)
+        rp = index.frame.select("__rid", "__sig")
+    else:
+        if odf is None:
+            raise ParameterException(
+                "embedding_join_binary needs a right-side frame (other=...)"
+                " or a prebuilt BinaryIndex"
+            )
+        ov = resolve_col(odf, other_vec or vec_col)
+        oi = resolve_col(odf, other_id or id_col)
+        rdim = odf.select(F.size(F.col(ov)).alias("d")).first()
+        if rdim is not None and int(first["d"]) != int(rdim["d"]):
+            raise ParameterException(
+                f"left dim {int(first['d'])} != right dim {int(rdim['d'])}"
+            )
+        if n_words is not None and int(n_words) != derived:
+            raise ParameterException(
+                f"n_words={int(n_words)} but the {int(first['d'])}-dim "
+                f"vectors pack to {derived} words"
+            )
+        nw = derived
+        rp = spread(odf).select(
+            F.col(oi).alias("__rid"),
+            _sign_words_expr(f"`{ov}`", nw).alias("__sig"),
+        )
+    nb = max_hamming + 1
+    if nb > nw * 8:
+        raise ParameterException(
+            f"max_hamming={max_hamming} needs {nb} bands but the "
+            f"{nw * 8}-nibble signature supports at most {nw * 8} — use "
+            "the IVF/IVF-PQ join for looser thresholds"
+        )
+    qp = df.select(
+        F.col(i).alias("__qid"),
+        _sign_words_expr(f"`{v}`", nw).alias("__qsig"),
+    )
+    mid = f"{right_prefix}ID"
+    lb = qp.select(
+        "__qid", "__qsig",
+        F.explode(F.array(*_nibble_band_keys("__qsig", nw, nb))).alias("__band"),
+    )
+    rb = rp.select(
+        "__rid", "__sig",
+        F.explode(F.array(*_nibble_band_keys("__sig", nw, nb))).alias("__band"),
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("__qsig"), F.col("__sig"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        lb.join(rb, on="__band")
+        .filter(F.col("__qid") != F.col("__rid"))
+        .withColumn("__ham", ham)
+        .filter(F.col("__ham") <= max_hamming)
+        # a pair within the threshold can agree on SEVERAL bands — one
+        # surviving row per pair (__ham is pair-determined, so any row is
+        # the same row)
+        .dropDuplicates(["__qid", "__rid"])
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__ham").asc(), F.col("__rid").asc()
+    )
+    kf = k * rerank_factor if rerank else k
+    top = (
+        pairs.withColumn("RANK", F.row_number().over(w).cast("int"))
+        .filter(F.col("RANK") <= kf)
+    )
+    if not rerank:
+        matches = top.select(
+            F.col("__qid").alias(i), F.col("__rid").alias(mid),
+            F.col("__ham").alias("HAMMING"), "RANK",
+        )
+        return df.join(matches, on=i, how="inner")
+    # survivors only pay the vector read — the join-back frames are
+    # queries × k · factor rows, never a corpus
+    ov = resolve_col(odf, other_vec or vec_col)
+    oi = resolve_col(odf, other_id or id_col)
+    cvec = odf.select(F.col(oi).alias("__rid"), F.col(ov).alias("__cvec"))
+    qvec = df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec"))
+    cos = cosine_expr(F.col("__qvec"), F.col("__cvec"))
+    if round_scores is not None:
+        cos = F.round(cos, round_scores)
+    rw = Window.partitionBy("__qid").orderBy(
+        F.col("COSINE").desc(), F.col("__rid").asc()
+    )
+    matches = (
+        top.select("__qid", "__rid")
+        .join(cvec, on="__rid")
+        .join(qvec, on="__qid")
+        .withColumn("COSINE", cos)
+        .withColumn("RANK", F.row_number().over(rw).cast("int"))
+        .filter(F.col("RANK") <= k)
+        .select(
+            F.col("__qid").alias(i), F.col("__rid").alias(mid),
+            "COSINE", "RANK",
+        )
+    )
+    return df.join(matches, on=i, how="inner")
+
+
+@renderer("embedding_join_binary")
+def _r_embedding_join_binary(source, vec_col, id_col, other=None,
+                             other_vec=None, other_id=None, k=1,
+                             max_hamming=6, rerank=False, rerank_factor=4,
+                             round_scores=6, right_prefix="MATCH_",
+                             n_words=None, index=None) -> str:
+    """Plain all-pairs rendering (the _r_dedup_simhash precedent): the
+    banded candidate join is a result-preserving optimization — pigeonhole
+    recall at ``max_hamming`` is EXACT — so the render replays the
+    equivalent Hamming-thresholded pair join + window directly. Requires
+    explicit ``n_words`` (the binary family's render contract)."""
+    from ..errors import TransformRenderingException
+
+    if index is not None:
+        raise TransformRenderingException(
+            "embedding_join_binary renders the inline packing; a prebuilt "
+            "index is an external artifact the renderer cannot replay"
+        )
+    if other is None:
+        raise TransformRenderingException(
+            "embedding_join_binary renders only with a right-side table "
+            "(other=...)"
+        )
+    if n_words is None:
+        raise TransformRenderingException(
+            "embedding_join_binary renders only with an explicit n_words "
+            "(= ceil(dim/32)); the vector dimension is unknowable at "
+            "render time"
+        )
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if max_hamming < 0:
+        raise ParameterException("max_hamming must be >= 0")
+    if rerank and rerank_factor < 1:
+        raise ParameterException("rerank_factor must be >= 1")
+    ov, oi = other_vec or vec_col, other_id or id_col
+    mid = f"{right_prefix}ID"
+    qp = (
+        f"(SELECT {id_col} AS __qid, "
+        f"{_sign_words_sql(vec_col, int(n_words))} AS __qsig FROM {source})"
+    )
+    rp = (
+        f"(SELECT {oi} AS __rid, "
+        f"{_sign_words_sql(ov, int(n_words))} AS __sig FROM {other})"
+    )
+    ham = (
+        "aggregate(zip_with(q.__qsig, r.__sig, (a, b) -> "
+        "CAST(bit_count(a ^ b) AS BIGINT)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x)"
+    )
+    kf = int(k) * int(rerank_factor) if rerank else int(k)
+    hstage = (
+        f"SELECT __qid, {mid}, HAMMING, RANK FROM ("
+        f"SELECT __qid, {mid}, HAMMING, CAST(ROW_NUMBER() OVER ("
+        f"PARTITION BY __qid ORDER BY HAMMING ASC, {mid} ASC) AS INT) "
+        f"AS RANK FROM (SELECT q.__qid, r.__rid AS {mid}, {ham} AS HAMMING "
+        f"FROM {qp} q CROSS JOIN {rp} r WHERE q.__qid <> r.__rid) "
+        f"WHERE HAMMING <= {int(max_hamming)}) WHERE RANK <= {kf}"
+    )
+    if not rerank:
+        return (
+            f"SELECT s.*, m.{mid}, m.HAMMING, m.RANK FROM {source} s "
+            f"JOIN ({hstage}) m ON m.__qid = s.{id_col}"
+        )
+    from .dedup import _cosine_sql
+
+    cos = _cosine_sql(f"qv.{vec_col}", f"cv.{ov}")
+    if round_scores is not None:
+        cos = f"ROUND({cos}, {int(round_scores)})"
+    ranked = (
+        f"SELECT __qid, {mid}, COSINE, RANK FROM ("
+        f"SELECT __qid, {mid}, COSINE, CAST(ROW_NUMBER() OVER ("
+        f"PARTITION BY __qid ORDER BY COSINE DESC, {mid} ASC) AS INT) AS "
+        f"RANK FROM (SELECT h.__qid, h.{mid}, {cos} AS COSINE "
+        f"FROM ({hstage}) h JOIN {other} cv ON cv.{oi} = h.{mid} "
+        f"JOIN {source} qv ON qv.{id_col} = h.__qid)) WHERE RANK <= {int(k)}"
+    )
+    return (
+        f"SELECT s.*, m.{mid}, m.COSINE, m.RANK FROM {source} s "
+        f"JOIN ({ranked}) m ON m.__qid = s.{id_col}"
+    )
+
+
 @spark_transform("embedding_join", category="similarity", streaming_ok=False)
 def embedding_join(
     df: DataFrame,

@@ -302,6 +302,108 @@ def test_similarity_search_binary_prebuilt_matches_inline(emb, spark):
     idx.release()
 
 
+def test_embedding_join_binary_banded_equals_all_pairs(emb, spark):
+    """The pigeonhole exactness pin: the nibble-band candidate join must
+    reproduce the all-pairs Hamming join bit-for-bit at the threshold
+    (recall is EXACT, not probabilistic) — verified against a brute
+    crossJoin reference built from binary_quantize signatures."""
+    from rasgoql_spark.functions.similarity import (
+        binary_quantize,
+        embedding_join_binary,
+    )
+
+    left = emb.filter("vec_id >= 250")
+    right = emb.filter("vec_id < 250")
+    out = embedding_join_binary(
+        left, "embedding", "vec_id", other=right, k=3, max_hamming=15)
+    got = sorted((r["vec_id"], r["MATCH_ID"], r["HAMMING"], r["RANK"])
+                 for r in out.collect())
+    packed = {r["vec_id"]: list(r["SIGN_BITS"]) for r in binary_quantize(
+        emb, "embedding", "vec_id").select("vec_id", "SIGN_BITS").collect()}
+    byq: dict = {}
+    for q in packed:
+        if q < 250:
+            continue
+        cands = sorted(
+            (sum(bin(a ^ b).count("1")
+                 for a, b in zip(packed[q], packed[c])), c)
+            for c in packed if c < 250 and c != q
+        )
+        byq[q] = [(q, c, h, rk + 1) for rk, (h, c) in enumerate(cands)
+                  if h <= 15][:3]
+    expect = sorted(t for rows in byq.values() for t in rows)
+    assert got == expect and got  # non-empty by the planted near-dups
+
+
+def test_embedding_join_binary_prebuilt_rerank_and_guards(emb, spark):
+    from rasgoql_spark.functions.similarity import (
+        binary_index,
+        embedding_join_binary,
+    )
+
+    left = emb.filter("vec_id >= 250")
+    right = emb.filter("vec_id < 250")
+    cols = ["vec_id", "label", "MATCH_ID", "HAMMING", "RANK"]
+    inline = embedding_join_binary(
+        left, "embedding", "vec_id", other=right, k=3, max_hamming=15)
+    idx = binary_index(right, "embedding", "vec_id")
+    pre = embedding_join_binary(
+        left, "embedding", "vec_id", k=3, max_hamming=15, index=idx)
+    assert sorted(map(tuple, inline.select(*cols).collect())) == \
+        sorted(map(tuple, pre.select(*cols).collect()))
+    assert inline.columns == left.columns + ["MATCH_ID", "HAMMING", "RANK"]
+    # rerank returns COSINE and never exceeds k rows per left id
+    rr = embedding_join_binary(
+        left, "embedding", "vec_id", other=right, k=3, max_hamming=15,
+        rerank=True, rerank_factor=2)
+    assert rr.columns == left.columns + ["MATCH_ID", "COSINE", "RANK"]
+    assert rr.filter(F.col("RANK") > 3).count() == 0
+    with pytest.raises(ParameterException, match="needs a right-side"):
+        embedding_join_binary(left, "embedding", "vec_id")
+    with pytest.raises(ParameterException, match="signatures only"):
+        embedding_join_binary(
+            left, "embedding", "vec_id", index=idx, rerank=True)
+    with pytest.raises(ParameterException, match="bands"):
+        embedding_join_binary(
+            left, "embedding", "vec_id", other=right, max_hamming=16)
+    with pytest.raises(ParameterException, match="pack to 2 words"):
+        embedding_join_binary(
+            left, "embedding", "vec_id", other=right, n_words=5)
+    with pytest.raises(ParameterException, match="fold the new"):
+        embedding_join_binary(
+            left, "embedding", "vec_id", other=right.limit(10), index=idx)
+    idx.release()
+
+
+def test_embedding_join_binary_renderer_parity(emb, spark):
+    from rasgoql_spark.errors import TransformRenderingException
+    from rasgoql_spark.functions.similarity import (
+        _r_embedding_join_binary,
+        embedding_join_binary,
+    )
+
+    emb.createOrReplaceTempView("__r10_ejb")
+    left = emb.filter("vec_id >= 250")
+    right = emb.filter("vec_id < 250")
+    for rerank, cols in (
+        (False, ["vec_id", "label", "MATCH_ID", "HAMMING", "RANK"]),
+        (True, ["vec_id", "label", "MATCH_ID", "COSINE", "RANK"]),
+    ):
+        df = embedding_join_binary(
+            left, "embedding", "vec_id", other=right, k=3, max_hamming=15,
+            rerank=rerank, rerank_factor=2)
+        sql = _r_embedding_join_binary(
+            "(SELECT * FROM __r10_ejb WHERE vec_id >= 250)", "embedding",
+            "vec_id", other="(SELECT * FROM __r10_ejb WHERE vec_id < 250)",
+            k=3, max_hamming=15, rerank=rerank, rerank_factor=2, n_words=2)
+        assert sorted(map(tuple, spark.sql(sql).select(*cols).collect())) \
+            == sorted(map(tuple, df.select(*cols).collect()))
+    with pytest.raises(TransformRenderingException, match="n_words"):
+        _r_embedding_join_binary("t", "embedding", "vec_id", other="r")
+    with pytest.raises(TransformRenderingException, match="right-side"):
+        _r_embedding_join_binary("t", "embedding", "vec_id", n_words=2)
+
+
 @pytest.mark.parametrize("op", ["join", "dedup"])
 def test_ivfpq_expression_key_join_survives_cache_eviction(emb, op):
     """Regression (round 10): the candidate equi-join's key is an
