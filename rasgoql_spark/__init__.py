@@ -38,7 +38,7 @@ from .functions.dedup import (MinHashIndex, load_minhash_index, minhash_index,
                               minhash_tune, save_minhash_index,
                               update_minhash_index)
 from .functions.similarity import IVFIndex, ivf_index
-from .streaming.ops import stream_dedup_against
+from .streaming.ops import stream_dedup_against, stream_embedding_join
 
 __version__ = "0.1.0"
 
@@ -64,6 +64,7 @@ __all__ = [
     "load_bloom_index",
     "MinHashIndex",
     "stream_dedup_against",
+    "stream_embedding_join",
     "update_minhash_index",
     "minhash_tune",
     "update_bloom_index",

@@ -668,7 +668,23 @@ def stream_dedup_against(
     # foreachBatch hands the closure a CLONED session; catalog refreshes on
     # it don't invalidate the caller's cached file listings, so keep the
     # user's session for the post-overwrite refresh
-    user_spark = df.sparkSession
+    return (
+        df.writeStream
+        .foreachBatch(_exactly_once_sink(clean, sink_path, sink_table,
+                                         df.sparkSession))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _exactly_once_sink(clean, sink_path, sink_table, user_spark):
+    """The shared foreachBatch sink of the crawl-ingest family
+    (stream_dedup_against, stream_embedding_join): apply ``clean`` to the
+    micro-batch, then write exactly-once under replay — a ``sink_path``
+    sink overwrites ``{path}/batch=<id>/`` (a replayed batch REPLACES its
+    directory), a ``sink_table`` sink dynamic-overwrites only its own
+    ``__batch_id`` partition."""
 
     def _sink(batch_df: DataFrame, batch_id: int):
         out = clean(batch_df)
@@ -742,8 +758,99 @@ def stream_dedup_against(
             # its own directory instead of appending duplicates
             out.write.mode("overwrite").parquet(f"{sink_path}/batch={batch_id}")
 
+    return _sink
+
+
+def stream_embedding_join(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    checkpoint: str,
+    index,
+    sink_path: str | None = None,
+    sink_table: str | None = None,
+    k: int = 1,
+    nprobe: int = 4,
+    max_hamming: int = 6,
+    right_prefix: str = "MATCH_",
+):
+    """Streaming semantic ENRICHMENT — the join-shaped sibling of
+    ``stream_dedup_against``: every micro-batch of new documents attaches
+    its top-``k`` nearest neighbors from a prebuilt ANN index over the
+    accepted corpus, and the enriched rows append to the sink. The
+    production shape for retrieval-augmented curation (tag each crawled
+    doc with its closest canonical/reference docs as it arrives).
+
+    The index picks the regime, mirroring the batch join family exactly:
+
+    - :class:`~..functions.similarity.BinaryIndex` →
+      ``embedding_join_binary`` (pigeonhole band candidates within
+      ``max_hamming``; appends ``{right_prefix}ID``/``HAMMING``/``RANK``;
+      8 B/vector reference state);
+    - :class:`~..functions.pq.IVFPQIndex` → ``embedding_join_ivfpq``
+      (nprobe inverted lists, ADC over m small-int codes; appends
+      ``COSINE``);
+    - :class:`~..functions.similarity.IVFIndex` → ``embedding_join_ivf``
+      (nprobe lists over full vectors; appends ``COSINE``).
+
+    All three amortize their fits in the prebuilt index, so per-batch
+    cost is independent of corpus size; fold accepted/new reference docs
+    with the matching ``update_*_index`` on the corpus-refresh cadence.
+    Batch rows with no in-range/in-list neighbor DROP (inner join, the
+    family contract) — route a left-outer need through a downstream
+    anti-join on the sink. Runs via ``foreachBatch`` (multi-stage batch
+    plans a stream-static join cannot express) with the family's shared
+    exactly-once sink; ``availableNow`` trigger (drains then stops;
+    production restarts resume from the checkpoint)."""
+    from ..functions.pq import IVFPQIndex, embedding_join_ivfpq
+    from ..functions.similarity import (
+        BinaryIndex,
+        IVFIndex,
+        embedding_join_binary,
+        embedding_join_ivf,
+    )
+
+    if not df.isStreaming:
+        raise ParameterException(
+            "stream_embedding_join expects a streaming DataFrame (use the "
+            "embedding_join_* operators for batch)"
+        )
+    if (sink_path is None) == (sink_table is None):
+        raise ParameterException("pass exactly one of sink_path / sink_table")
+    # fail fast BEFORE .start() — the stream_dedup_against contract
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if max_hamming < 0:
+        raise ParameterException("max_hamming must be >= 0")
+    if nprobe < 1:
+        raise ParameterException("nprobe must be >= 1")
+    if isinstance(index, BinaryIndex):
+        def clean(b: DataFrame) -> DataFrame:
+            return embedding_join_binary(
+                b, vec_col, id_col, k=k, max_hamming=max_hamming,
+                right_prefix=right_prefix, index=index,
+            )
+    elif isinstance(index, IVFPQIndex):
+        def clean(b: DataFrame) -> DataFrame:
+            return embedding_join_ivfpq(
+                b, vec_col, id_col, k=k, nprobe=nprobe,
+                right_prefix=right_prefix, index=index,
+            )
+    elif isinstance(index, IVFIndex):
+        def clean(b: DataFrame) -> DataFrame:
+            return embedding_join_ivf(
+                b, vec_col, id_col, k=k, nprobe=nprobe,
+                right_prefix=right_prefix, index=index,
+            )
+    else:
+        raise ParameterException(
+            "index must be a BinaryIndex, IVFPQIndex or IVFIndex, got "
+            f"{type(index).__name__}"
+        )
     return (
-        df.writeStream.foreachBatch(_sink)
+        df.writeStream
+        .foreachBatch(_exactly_once_sink(clean, sink_path, sink_table,
+                                         df.sparkSession))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -953,3 +953,84 @@ def test_stream_dedup_against_binary_index(spark, tmp_path_factory):
                 sink_path=str(tmp / "ox"), index=idx, method="minhash")
     finally:
         idx.release()
+
+
+def test_stream_embedding_join_all_index_types(spark, tmp_path_factory):
+    """Streaming semantic enrichment (round 10): each micro-batch attaches
+    top-k neighbors from a prebuilt index; results equal the batch join
+    operator on the same data for ALL THREE index regimes; replayed
+    batches stay exactly-once (the shared sink); guards fire before
+    .start()."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.pq import (
+        embedding_join_ivfpq,
+        ivfpq_index,
+    )
+    from rasgoql_spark.functions.similarity import (
+        binary_index,
+        embedding_join_binary,
+        embedding_join_ivf,
+        ivf_index,
+    )
+    from rasgoql_spark.streaming.ops import stream_embedding_join
+
+    tmp = tmp_path_factory.mktemp("sej")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ref = emb.filter("vec_id < 400").select("vec_id", "embedding")
+    batch = emb.filter("vec_id >= 400").select("vec_id", "embedding")
+    src = str(tmp / "in")
+    batch.coalesce(1).write.parquet(src)
+
+    bidx = binary_index(ref, "embedding", "vec_id")
+    pidx = ivfpq_index(ref, "embedding", "vec_id", num_centroids=8,
+                       m=8, codebook_size=16, iterations=0)
+    vidx = ivf_index(ref, "embedding", "vec_id", num_centroids=8)
+    cases = [
+        ("bin", bidx, dict(max_hamming=15),
+         lambda b: embedding_join_binary(
+             b, "embedding", "vec_id", k=2, max_hamming=15, index=bidx)),
+        ("pq", pidx, dict(nprobe=3),
+         lambda b: embedding_join_ivfpq(
+             b, "embedding", "vec_id", k=2, nprobe=3, index=pidx)),
+        ("ivf", vidx, dict(nprobe=3),
+         lambda b: embedding_join_ivf(
+             b, "embedding", "vec_id", k=2, nprobe=3, index=vidx)),
+    ]
+    try:
+        for name, idx, kw, batch_fn in cases:
+            sdf = (spark.readStream
+                   .schema("vec_id long, embedding array<double>")
+                   .parquet(src))
+            sink = str(tmp / f"out_{name}")
+            q = stream_embedding_join(
+                sdf, "embedding", "vec_id", checkpoint=str(tmp / f"c_{name}"),
+                sink_path=sink, index=idx, k=2, **kw)
+            q.awaitTermination(300)
+            got = sorted(map(tuple, spark.read.parquet(sink)
+                             .drop("batch").collect()))
+            want = sorted(map(tuple, batch_fn(batch).collect()))
+            assert got == want and got, name
+        # guards fire before .start()
+        sdf = (spark.readStream
+               .schema("vec_id long, embedding array<double>")
+               .parquet(src))
+        kw = dict(checkpoint=str(tmp / "cg"), sink_path=str(tmp / "og"))
+        with _pytest.raises(ParameterException, match="index must be"):
+            stream_embedding_join(sdf, "embedding", "vec_id", index=object(), **kw)
+        with _pytest.raises(ParameterException, match="k must be"):
+            stream_embedding_join(sdf, "embedding", "vec_id", index=bidx, k=0, **kw)
+        with _pytest.raises(ParameterException, match="max_hamming"):
+            stream_embedding_join(sdf, "embedding", "vec_id", index=bidx,
+                                  max_hamming=-1, **kw)
+        with _pytest.raises(ParameterException, match="exactly one"):
+            stream_embedding_join(sdf, "embedding", "vec_id", index=bidx,
+                                  checkpoint=str(tmp / "cg2"))
+        with _pytest.raises(ParameterException, match="streaming DataFrame"):
+            stream_embedding_join(batch, "embedding", "vec_id", index=bidx, **kw)
+    finally:
+        bidx.release()
+        pidx.release()
+        vidx.release()
