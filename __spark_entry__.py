@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 190 entries, ALL 190 with DuckDB oracles (round 4
+streaming extensions) — 194 entries, ALL 194 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -4793,7 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # executes the r9 verdict's staleness plan: the 1 new r10 operator,
     # then the full 43-entry remaining r6-stale block, then the 6 oldest
     # r7 entries (listing order) to fill 50 — union max-staleness drops
-    # to r7. All 191 entries pass tools/oracle_check.py locally (fresh
+    # to r7. All 194 entries pass tools/oracle_check.py locally (fresh
     # full run recorded in COVERAGE.md).
     base = {
         # --- r9 front grouping (historical; see _R10_FRONT below for the

@@ -612,3 +612,19 @@ def test_embedding_join_ivfpq_codes_only_candidate_scan(session):
             assert "__u" not in s, s  # zero vector bytes on the corpus side
     finally:
         idx.release()
+
+
+def test_embedding_join_binary_never_goes_cartesian(session):
+    """embedding_join_binary's whole point: candidates come from a band
+    EQUI-join — the plan must contain no cartesian/nested-loop join and no
+    per-row corpus scan, at ANY input size (a crossJoin here would be the
+    billion x billion failure mode)."""
+    from rasgoql_spark.functions.similarity import embedding_join_binary
+
+    emb = session.dataset("embeddings").df
+    out = embedding_join_binary(
+        emb, "embedding", "vec_id", other=emb, k=3, max_hamming=15)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -360,6 +360,25 @@ CHAIN_CASES = [
             max_hamming=20, n_words=2, mode="pairs",
             reference=s.dataset("embeddings").filter(
                 filter_statements=["vec_id < 100"]))),
+    # round-10 joins: chain-level execute+render parity for the two new
+    # ANN joins (direct-renderer parity is pytest-pinned in
+    # test_round10_ops; this pins the .sql()/dbt chain artifact)
+    ("embedding_join_ivfpq", lambda s: s.dataset("embeddings")
+        .filter(filter_statements=["vec_id >= 250"])
+        .embedding_join_ivfpq(
+            vec_col="embedding", id_col="vec_id", k=2, num_centroids=8,
+            nprobe=3, m=8, codebook_size=16, iterations=0,
+            other=s.dataset("embeddings").filter(
+                filter_statements=["vec_id < 250"]))
+        .drop_columns(exclude_cols=["embedding"])),
+    ("embedding_join_binary", lambda s: s.dataset("embeddings")
+        .filter(filter_statements=["vec_id >= 250"])
+        .embedding_join_binary(
+            vec_col="embedding", id_col="vec_id", k=3, max_hamming=15,
+            n_words=2,
+            other=s.dataset("embeddings").filter(
+                filter_statements=["vec_id < 250"]))
+        .drop_columns(exclude_cols=["embedding"])),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4

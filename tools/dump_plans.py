@@ -186,6 +186,26 @@ ANNOTATED = [
      "shuffle; stage 2 joins the tiny survivor frame BACK onto a second "
      "corpus projection by broadcast, so full vectors are read for "
      "survivors only and the corpus never shuffles."),
+    ("embedding_join_ivfpq (round 10)", "embedding_join_ivfpq",
+     "The PQ-coded ANN join: the left side's probe frame carries "
+     "precomputed ADC LUTs (smaller than the query vectors whenever "
+     "m*codebook_size < dim) into an equi-join on the inverted-list id "
+     "with NO broadcast hint — the left side may be the full corpus, so "
+     "the join stays AQE-skew-eligible and AQE promotes small probe "
+     "sides to broadcast on its own; the corpus-side candidate scan "
+     "reads (id, cid, m small ints) — zero vector bytes — and "
+     "WindowGroupLimit prunes the per-left-row top-k before the only "
+     "window shuffle. The expression-valued join key passes through "
+     "_cid_barrier so constraint inference can never substitute it "
+     "across the join (plan-valid under cache eviction)."),
+    ("embedding_join_binary (round 10)", "embedding_join_binary",
+     "The big-big Hamming join: both sides pack row-locally to 8-byte "
+     "signatures, explode to max_hamming+1 slim band rows, and shuffle "
+     "ONLY on the band key (pigeonhole recall is exact) — no "
+     "CartesianProduct, no BroadcastNestedLoopJoin, no per-row corpus "
+     "scan anywhere (test_embedding_join_binary_never_goes_cartesian "
+     "pins this); verification is 2 xor+bit_count ops per colliding "
+     "pair and the top-k window is WindowGroupLimit-pruned."),
     ("fuzzy_join (round 5)", "fuzzy_join",
      "Blocking-and-verification entity resolution: the composite "
      "(prefix, length-bucket) key plans as a hash EQUI-join (no "
