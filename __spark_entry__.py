@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 194 entries, ALL 194 with DuckDB oracles (round 4
+streaming extensions) — 196 entries, ALL 196 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1259,6 +1259,41 @@ def q_embedding_join_ivfpq(spark, sf):
     return embedding_join_ivfpq(
         left, vec_col="embedding", id_col="vec_id", other=right, k=2,
         num_centroids=8, nprobe=3, m=8, codebook_size=16, iterations=0,
+    ).select("vec_id", "label", "MATCH_ID", "COSINE", "RANK")
+
+
+def q_similarity_search_ivfpq_rerank(spark, sf):
+    """Round 10: IVFADC+R — the exact-refine stage of Jégou et al. 2011
+    §V ("Searching in one billion vectors"). The ADC scan keeps
+    k·rerank_factor candidates per query (compressed-code winnowing);
+    only those survivors pay an exact rounded cosine against the stored
+    full-width unit vectors, and the final top-k ranks by the exact
+    score. Full exact replay oracle (_mk_ivfpq_sql(rerank_factor=4)):
+    the survivor set is determined by the rounded ADC ordering, so both
+    engines select identical candidates before the identical exact
+    fold-and-round."""
+    return _s(spark, sf).dataset("embeddings").similarity_search_ivfpq(
+        vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2, 3, 4],
+        k=5, num_centroids=8, nprobe=3, coarse_iterations=1,
+        m=8, codebook_size=16, iterations=0, rerank=True, rerank_factor=4,
+    ).df
+
+
+def q_embedding_join_ivfpq_rerank(spark, sf):
+    """Round 10: the IVFADC+R refinement in join shape — every left row
+    (vec_id >= 250) keeps k·rerank_factor ADC candidates from the PQ-coded
+    right corpus (vec_id < 250), then only those survivors read the stored
+    full-width vectors for the exact rounded cosine; COSINE in the output
+    is the exact score. Full exact replay oracle
+    (_mk_ivfpq_sql(join_shape=True, rerank_factor=3))."""
+    s = _s(spark, sf)
+    left = s.dataset("embeddings").filter(filter_statements=["vec_id >= 250"]).df
+    right = s.dataset("embeddings").filter(filter_statements=["vec_id < 250"]).df
+    from rasgoql_spark.functions.pq import embedding_join_ivfpq
+    return embedding_join_ivfpq(
+        left, vec_col="embedding", id_col="vec_id", other=right, k=2,
+        num_centroids=8, nprobe=3, m=8, codebook_size=16, iterations=0,
+        rerank=True, rerank_factor=3,
     ).select("vec_id", "label", "MATCH_ID", "COSINE", "RANK")
 
 
@@ -2970,7 +3005,8 @@ def oracle_sql() -> dict[str, str]:
                       threshold: float | None = None,
                       join_shape: bool = False,
                       rotate_seed: int | None = None,
-                      rotate_sweeps: int = 4) -> str:
+                      rotate_sweeps: int = 4,
+                      rerank_factor: int | None = None) -> str:
         """Round-9 generalization of ``_mk_pq_adc_sql``: exact DuckDB replay
         of the IVF-PQ pipeline with (a) ``residual=True`` — the full IVFADC
         formulation, PQ fitting vector-minus-assigned-centroid with the
@@ -3157,7 +3193,41 @@ def oracle_sql() -> dict[str, str]:
                 "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ADC_SCORE DESC, "
                 "vec_id ASC) AS rk FROM adc_scored)"
             )
-            if join_shape:
+            if rerank_factor is not None:
+                # round 10: IVFADC+R — the ADC-ranked survivor set (rk <=
+                # k·factor, integer-determined given the replayed rounded
+                # fit) joins back to the staged unit vectors for the exact
+                # rounded cosine; final rank over the exact score
+                exact = (
+                    f"round(list_sum(list_transform(range(1, {dim + 1}), "
+                    f"i -> q.u[i] * t.u[i])), {round_to})"
+                )
+                ctes.append(
+                    f"rr_exact AS MATERIALIZED (SELECT c.qid, c.vec_id, "
+                    f"{exact} AS COSINE FROM (SELECT qid, vec_id FROM "
+                    f"adc_ranked WHERE rk <= {int(k) * int(rerank_factor)}) c "
+                    f"JOIN qnv q ON q.vec_id = c.qid "
+                    f"JOIN {cnv} t ON t.vec_id = c.vec_id)"
+                )
+                ctes.append(
+                    "rr_ranked AS MATERIALIZED (SELECT qid, vec_id, COSINE, "
+                    "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY COSINE "
+                    "DESC, vec_id ASC) AS rk FROM rr_exact)"
+                )
+                if join_shape:
+                    tail = (
+                        f"SELECT e.vec_id, e.label, r.vec_id AS MATCH_ID, "
+                        f"r.COSINE, CAST(r.rk AS INT) AS RANK "
+                        f"FROM embeddings e JOIN rr_ranked r "
+                        f"ON r.qid = e.vec_id WHERE r.rk <= {k}"
+                    )
+                else:
+                    tail = (
+                        f"SELECT qid AS QUERY_ID, vec_id AS MATCH_ID, "
+                        f"COSINE, CAST(rk AS INT) AS RANK FROM rr_ranked "
+                        f"WHERE rk <= {k}"
+                    )
+            elif join_shape:
                 tail = (
                     f"SELECT e.vec_id, e.label, r.vec_id AS MATCH_ID, "
                     f"r.ADC_SCORE AS COSINE, CAST(r.rk AS INT) AS RANK "
@@ -4262,6 +4332,16 @@ ranked AS (
         "similarity_search_ivfpq_rotated": _mk_ivfpq_sql(
             8, 16, 0, 8, 3, 1, qids=[0, 1, 2, 3, 4], k=10, rotate_seed=7
         ),
+        # round 10: IVFADC+R — the ADC replay plus the exact-refine stage
+        # (rk <= k·factor survivors join back to the staged unit vectors)
+        "similarity_search_ivfpq_rerank": _mk_ivfpq_sql(
+            8, 16, 0, 8, 3, 1, qids=[0, 1, 2, 3, 4], k=5, rerank_factor=4
+        ),
+        "embedding_join_ivfpq_rerank": _mk_ivfpq_sql(
+            8, 16, 0, 8, 3, 1, corpus_pred="vec_id < 250",
+            batch_pred="vec_id >= 250", k=2, join_shape=True,
+            rerank_factor=3
+        ),
         # round 9: 1-bit sign quantization + Hamming ANN — pure integer
         # replay (bit_or-packed 32-bit words, xor + bit_count scan)
         "binary_quantize": (
@@ -4790,15 +4870,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first, then the stalest entries by last DRIVER verification. The
     # literal dict below keeps its historical (r9) grouping for
     # readability; the _R10_FRONT reorder at the bottom of this function
-    # executes the r9 verdict's staleness plan: the 1 new r10 operator,
-    # then the full 43-entry remaining r6-stale block, then the 6 oldest
-    # r7 entries (listing order) to fill 50 — union max-staleness drops
-    # to r7. All 194 entries pass tools/oracle_check.py locally (fresh
+    # executes the r9 verdict's staleness plan: the 6 new r10 operators,
+    # then the full 43-entry remaining r6-stale block, then the oldest
+    # r7 entry (listing order) to fill 50 — union max-staleness drops
+    # to r7. All 196 entries pass tools/oracle_check.py locally (fresh
     # full run recorded in COVERAGE.md).
     base = {
         # --- r9 front grouping (historical; see _R10_FRONT below for the
         # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
+        "similarity_search_ivfpq_rerank": q_similarity_search_ivfpq_rerank,
+        "embedding_join_ivfpq_rerank": q_embedding_join_ivfpq_rerank,
         # --- r9 operators (driver-verified r9) ---
         "dedup_against_ivfpq": q_dedup_against_ivfpq,
         "similarity_search_ivfpq_residual": q_similarity_search_ivfpq_residual,
@@ -5002,15 +5084,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat": q_concat,
         "if_then": q_if_then,
     }
-    # r10 front-50: the 2 new r10 operators, the 43 remaining r6-stale
+    # r10 front-50: the 6 new r10 operators, the 43 remaining r6-stale
     # entries (the r6 block minus moving_avg/rolling_agg/rolling_agg_range,
-    # which the r9 gate refreshed), then the 5 oldest r7 entries in
+    # which the r9 gate refreshed), then the oldest r7 entry in
     # listing order — the r9 verdict's task #2.
     front = [
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
         "embedding_join_binary",
         "embedding_join_binary_rerank",
+        "similarity_search_ivfpq_rerank",
+        "embedding_join_ivfpq_rerank",
         # r6-stale block (43)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
@@ -5023,9 +5107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup", "sliding_slope", "standard_scaler",
         "target_encode", "text_quality", "train_test_split", "union",
         "unpivot", "winsorize",
-        # oldest r7 entries (3, listing order; the four new r10
-        # operators take the freed slots)
-        "audio_meta", "binary_meta", "bm25_score",
+        # oldest r7 entry (listing order; the six new r10 operators take
+        # the freed slots)
+        "audio_meta",
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

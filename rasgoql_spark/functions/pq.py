@@ -872,6 +872,8 @@ def similarity_search_ivfpq(
     rotation_seed: int = 0,
     rotation_sweeps: int = 4,
     rotation_dim: int | None = None,
+    rerank: bool = False,
+    rerank_factor: int = 4,
     index: "IVFPQIndex | None" = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-``k`` (Jégou et al. 2011's IVFADC;
@@ -904,6 +906,20 @@ def similarity_search_ivfpq(
     the only corpus-wide movement is the per-query top-k window over
     ~n·nprobe/num_centroids candidates.
 
+    ``rerank=True`` (round 10) is the IVFADC+R refinement of Jégou et
+    al. 2011 §V ("Searching in one billion vectors"): the ADC stage keeps
+    ``k · rerank_factor`` candidates per query (the compressed-code scan
+    does the winnowing), then ONLY those survivors pay an exact rounded
+    cosine against the stored full-width unit vectors — output switches to
+    (QUERY_ID, MATCH_ID, COSINE, RANK), cosine desc (the
+    similarity_search_binary rerank convention). The survivor set is
+    determined by the rounded ADC ordering (score + id tie-break), so the
+    mode stays inside the exact-replay contract: full hash oracle and
+    ``.sql()`` renderer like the plain path. The refine join touches
+    queries × k · rerank_factor rows — never the corpus — and under
+    ``rotate=True`` both sides live in rotated space, where the dot equals
+    the original cosine (orthogonal invariance).
+
     Pass a prebuilt ``index`` (from :func:`ivfpq_index` /
     :func:`load_ivfpq_index`) to skip both fits — the amortized production
     path; sizing parameters then come from the index and results are
@@ -921,6 +937,8 @@ def similarity_search_ivfpq(
         raise ParameterException("k must be >= 1")
     if nprobe < 1:
         raise ParameterException("nprobe must be >= 1")
+    if rerank and rerank_factor < 1:
+        raise ParameterException("rerank_factor must be >= 1")
     if index is not None:
         idx, own = index, False
     else:
@@ -1040,10 +1058,38 @@ def similarity_search_ivfpq(
     w = Window.partitionBy("QUERY_ID").orderBy(
         F.col("ADC_SCORE").desc(), F.col("MATCH_ID").asc()
     )
+    kf = k * rerank_factor if rerank else k
     out = (
         union.withColumn("RANK", F.row_number().over(w).cast("int"))
-        .filter(F.col("RANK") <= k)
+        .filter(F.col("RANK") <= kf)
     )
+    if rerank:
+        # IVFADC+R refine: survivors only pay the full-vector read — the
+        # tiny (queries x k x factor) id frame broadcasts onto the stored
+        # unit vectors, so the corpus-wide work stays the m-int ADC scan
+        cu = idx.frame.select(
+            F.col("__id").alias("MATCH_ID"), F.col("__u").alias("__cu")
+        )
+        qexact = qdf.select(
+            F.col("__qid").alias("QUERY_ID"), F.col("__qu")
+        )
+        rw = Window.partitionBy("QUERY_ID").orderBy(
+            F.col("COSINE").desc(), F.col("MATCH_ID").asc()
+        )
+        out = (
+            cu.join(
+                F.broadcast(out.select("QUERY_ID", "MATCH_ID")),
+                on="MATCH_ID",
+            )
+            .join(F.broadcast(qexact), on="QUERY_ID")
+            .withColumn(
+                "COSINE",
+                F.round(dot(F.col("__qu"), F.col("__cu")), round_to),
+            )
+            .withColumn("RANK", F.row_number().over(rw).cast("int"))
+            .filter(F.col("RANK") <= k)
+            .select("QUERY_ID", "MATCH_ID", "COSINE", "RANK")
+        )
     return release_with(out, idx.frame) if own else out
 
 
@@ -1053,7 +1099,8 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
                                m=4, codebook_size=8, iterations=1,
                                round_to=6, residual=False, rotate=False,
                                rotation_seed=0, rotation_sweeps=4,
-                               rotation_dim=None, index=None) -> str:
+                               rotation_dim=None, rerank=False,
+                               rerank_factor=4, index=None) -> str:
     """Full SQL replay of the IVF-PQ pipeline — the first renderable ANN
     operator (the similarity_search_ivf family is excluded by its unrounded
     contract; this operator rounds by contract precisely to be replayable).
@@ -1080,6 +1127,8 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
         raise ParameterException("num_centroids must be >= 1")
     if nprobe < 1:
         raise ParameterException("nprobe must be >= 1")
+    if rerank and rerank_factor < 1:
+        raise ParameterException("rerank_factor must be >= 1")
     from .cluster import _dot_sql, _kmeans_render_parts, _unit_norm_sql
 
     ctes = []
@@ -1187,12 +1236,35 @@ def _r_similarity_search_ivfpq(source, vec_col, id_col, query_ids, k=10,
         f"JOIN __ivf_probe ON __ivf_probe.c = __ivf_asg.c {q_joins} "
         f"WHERE s.{id_col} <> __ivf_probe.qid"
     )
+    if not rerank:
+        return (
+            "SELECT * FROM (WITH " + ", ".join(ctes)
+            + f" SELECT QUERY_ID, MATCH_ID, ADC_SCORE, RANK FROM ("
+            f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+            f"ORDER BY ADC_SCORE DESC, MATCH_ID ASC) AS INT) AS RANK "
+            f"FROM ({scored})) WHERE RANK <= {int(k)}) __ivfpq_out"
+        )
+    # IVFADC+R refine replay: the ADC-ranked survivor set (rounded score +
+    # id tie-break — integer-determined given the replayed fit) joins back
+    # to the staged unit vectors for the exact rounded cosine
+    kf = int(k) * int(rerank_factor)
+    cand = (
+        f"SELECT QUERY_ID, MATCH_ID FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        f"ORDER BY ADC_SCORE DESC, MATCH_ID ASC) AS __adcrk "
+        f"FROM ({scored})) WHERE __adcrk <= {kf}"
+    )
+    exact = f"round({_dot_sql('qn.__u', 'tn.__u')}, {int(round_to)})"
     return (
         "SELECT * FROM (WITH " + ", ".join(ctes)
-        + f" SELECT QUERY_ID, MATCH_ID, ADC_SCORE, RANK FROM ("
-        f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
-        f"ORDER BY ADC_SCORE DESC, MATCH_ID ASC) AS INT) AS RANK "
-        f"FROM ({scored})) WHERE RANK <= {int(k)}) __ivfpq_out"
+        + f" SELECT QUERY_ID, MATCH_ID, COSINE, RANK FROM ("
+        f"SELECT c.QUERY_ID, c.MATCH_ID, {exact} AS COSINE, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY c.QUERY_ID "
+        f"ORDER BY {exact} DESC, c.MATCH_ID ASC) AS INT) AS RANK "
+        f"FROM ({cand}) c "
+        f"JOIN {nv} qn ON qn.__id = c.QUERY_ID "
+        f"JOIN {nv} tn ON tn.__id = c.MATCH_ID"
+        f") WHERE RANK <= {int(k)}) __ivfpq_out"
     )
 
 
@@ -1217,6 +1289,8 @@ def embedding_join_ivfpq(
     rotation_seed: int = 0,
     rotation_sweeps: int = 4,
     rotation_dim: int | None = None,
+    rerank: bool = False,
+    rerank_factor: int = 4,
     right_prefix: str = "MATCH_",
     index: "IVFPQIndex | None" = None,
 ) -> DataFrame:
@@ -1260,11 +1334,25 @@ def embedding_join_ivfpq(
     ``n_docs`` staleness fingerprint checked against ``other`` when both
     are passed; results match an inline build with the same parameters.
 
+    ``rerank=True`` (round 10) is the IVFADC+R refinement (Jégou et al.
+    2011 §V) in join shape: the ADC stage keeps ``k · rerank_factor``
+    candidates per left row, then only those survivors pay an exact
+    rounded cosine against the index's stored full-width unit vectors —
+    ``COSINE`` becomes the exact rounded cosine instead of the ADC
+    approximation, same output columns. The refine join touches
+    |left| × k × rerank_factor rows, never the right corpus; under
+    ``rotate=True`` both sides already live in rotated space where the
+    dot equals the original cosine. The survivor set is determined by
+    the rounded ADC ordering, so the mode keeps the full replay
+    contract (hash oracle + ``.sql()`` renderer).
+
     Reference parity: the join-shaped member of SURVEY §2's similarity
     extensions (reference has no ANN join; composes its join +
     aggregate semantics with the public IVFADC technique, Jégou 2011)."""
     if k < 1:
         raise ParameterException("k must be >= 1")
+    if rerank and rerank_factor < 1:
+        raise ParameterException("rerank_factor must be >= 1")
     if round_to is None:
         raise ParameterException(
             "embedding_join_ivfpq scores by the rounded replay contract; "
@@ -1358,12 +1446,41 @@ def embedding_join_ivfpq(
     w = Window.partitionBy("__qid").orderBy(
         F.col("COSINE").desc(), F.col(mid).asc()
     )
+    kf = k * rerank_factor if rerank else k
     matches = (
         scored.withColumn("RANK", F.row_number().over(w).cast("int"))
-        .filter(F.col("RANK") <= k)
-        .select(F.col("__qid").alias(i), mid, "COSINE", "RANK")
+        .filter(F.col("RANK") <= kf)
     )
-    out = df.join(matches, on=i, how="inner")
+    if rerank:
+        # IVFADC+R refine in join shape: survivors (|left| x k x factor
+        # rows) read the stored full-width vectors; the right corpus never
+        # re-scans. No broadcast hint — the survivor frame scales with the
+        # left side, so AQE decides (the candidate-join posture above).
+        cu = idx.frame.select(
+            F.col("__id").alias(mid), F.col("__u").alias("__cu")
+        )
+        rw = Window.partitionBy("__qid").orderBy(
+            F.col("COSINE").desc(), F.col(mid).asc()
+        )
+        dot = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        matches = (
+            matches.select("__qid", mid)
+            .join(cu, on=mid)
+            .join(q, on="__qid")
+            .withColumn(
+                "COSINE",
+                F.round(dot(F.col("__qu"), F.col("__cu")), idx.round_to),
+            )
+            .withColumn("RANK", F.row_number().over(rw).cast("int"))
+            .filter(F.col("RANK") <= k)
+        )
+    out = df.join(
+        matches.select(F.col("__qid").alias(i), mid, "COSINE", "RANK"),
+        on=i, how="inner",
+    )
     return release_with(out, idx.frame) if own else out
 
 
@@ -1374,6 +1491,7 @@ def _r_embedding_join_ivfpq(source, vec_col, id_col, other=None,
                             m=4, codebook_size=8, iterations=1, round_to=6,
                             residual=False, rotate=False, rotation_seed=0,
                             rotation_sweeps=4, rotation_dim=None,
+                            rerank=False, rerank_factor=4,
                             right_prefix="MATCH_", index=None) -> str:
     """Full SQL replay of the PQ-coded ANN join: the
     ``_r_similarity_search_ivfpq`` composition with the fit chains running
@@ -1515,12 +1633,38 @@ def _r_embedding_join_ivfpq(source, vec_col, id_col, other=None,
         f"JOIN __ivfj_probe ON __ivfj_probe.c = __ivfj_asg.c {q_joins} "
         f"WHERE cnd.{oi} <> __ivfj_probe.qid"
     )
-    ranked = (
-        f"SELECT __qid, {mid}, COSINE, RANK FROM ("
-        f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY __qid "
-        f"ORDER BY COSINE DESC, {mid} ASC) AS INT) AS RANK "
-        f"FROM ({scored})) WHERE RANK <= {int(k)}"
-    )
+    if rerank:
+        if rerank_factor < 1:
+            raise ParameterException("rerank_factor must be >= 1")
+        # IVFADC+R refine in join shape: the ADC-ranked survivor set joins
+        # back to the staged right-side unit vectors (rotated when
+        # rotate=True — same space as the probing left side) for the exact
+        # rounded cosine
+        kf = int(k) * int(rerank_factor)
+        cand = (
+            f"SELECT __qid, {mid} FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY __qid "
+            f"ORDER BY COSINE DESC, {mid} ASC) AS __adcrk "
+            f"FROM ({scored})) WHERE __adcrk <= {kf}"
+        )
+        exact = f"round({_dot_sql('qn.__u', 'tn.__u')}, {int(round_to)})"
+        ranked = (
+            f"SELECT __qid, {mid}, COSINE, RANK FROM ("
+            f"SELECT c.__qid, c.{mid}, {exact} AS COSINE, "
+            f"CAST(ROW_NUMBER() OVER (PARTITION BY c.__qid "
+            f"ORDER BY {exact} DESC, c.{mid} ASC) AS INT) AS RANK "
+            f"FROM ({cand}) c "
+            f"JOIN __ivfj_q qn ON qn.qid = c.__qid "
+            f"JOIN {nv} tn ON tn.__id = c.{mid}"
+            f") WHERE RANK <= {int(k)}"
+        )
+    else:
+        ranked = (
+            f"SELECT __qid, {mid}, COSINE, RANK FROM ("
+            f"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY __qid "
+            f"ORDER BY COSINE DESC, {mid} ASC) AS INT) AS RANK "
+            f"FROM ({scored})) WHERE RANK <= {int(k)}"
+        )
     return (
         "SELECT * FROM (WITH " + ", ".join(ctes)
         + f" SELECT s.*, m.{mid}, m.COSINE, m.RANK FROM {source} s "

@@ -432,3 +432,133 @@ def test_ivfpq_expression_key_join_survives_cache_eviction(emb, op):
         ).select("ID", "REF_ID", "COSINE")
     gc.collect()  # fires the release_with finalizer -> cache evicted
     assert len(out.toPandas()) > 0
+
+def test_search_ivfpq_rerank_factor1_membership_and_guards(emb):
+    """rerank=True with rerank_factor=1: the survivor set IS the plain ADC
+    top-k, so the (query, match) pairs agree exactly while the score
+    column switches to the exact rounded cosine over the stored unit
+    vectors (IVFADC+R, Jégou 2011 §V); the exact score is re-derived here
+    from the index frame itself. rerank_factor < 1 raises in both modes."""
+    from rasgoql_spark.functions.pq import similarity_search_ivfpq
+
+    kw = dict(num_centroids=8, nprobe=3, m=8, codebook_size=16, iterations=0)
+    qids = [0, 1, 2]
+    plain = similarity_search_ivfpq(emb, "embedding", "vec_id", qids, k=5, **kw)
+    rr = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", qids, k=5, rerank=True,
+        rerank_factor=1, **kw)
+    assert rr.columns == ["QUERY_ID", "MATCH_ID", "COSINE", "RANK"]
+    pairs = lambda df: sorted(  # noqa: E731
+        (int(r["QUERY_ID"]), int(r["MATCH_ID"])) for r in df.collect())
+    assert pairs(plain) == pairs(rr)
+    # exact-score cross-check against the staged unit vectors
+    idx = ivfpq_index(emb, "embedding", "vec_id", num_centroids=8,
+                      coarse_iterations=1, m=8, codebook_size=16,
+                      iterations=0)
+    want_ids = {int(r["QUERY_ID"]) for r in rr.collect()} | {
+        int(r["MATCH_ID"]) for r in rr.collect()}
+    u = {int(r["__id"]): list(r["__u"])
+         for r in idx.frame.filter(F.col("__id").isin(list(want_ids))).collect()}
+    for r in rr.collect():
+        dot = 0.0
+        for a, b in zip(u[int(r["QUERY_ID"])], u[int(r["MATCH_ID"])]):
+            dot += a * b
+        assert abs(round(dot, 6) - float(r["COSINE"])) < 1e-12
+    idx.release()
+    with pytest.raises(ParameterException, match="rerank_factor"):
+        similarity_search_ivfpq(emb, "embedding", "vec_id", qids, k=5,
+                                rerank=True, rerank_factor=0, **kw)
+    with pytest.raises(ParameterException, match="rerank_factor"):
+        embedding_join_ivfpq(
+            emb.filter("vec_id >= 450"), "embedding", "vec_id",
+            other=emb.filter("vec_id < 450"), k=2, rerank=True,
+            rerank_factor=0, **kw)
+
+
+def test_search_ivfpq_rerank_full_probe_recovers_exact_topk(emb):
+    """At full probe with rerank_factor covering the whole corpus, the
+    refine stage ranks every candidate by exact cosine — membership must
+    equal the brute similarity_search top-k (scores live on slightly
+    different rounding paths; membership is the recall contract)."""
+    from rasgoql_spark.functions.pq import similarity_search_ivfpq
+    from rasgoql_spark.functions.similarity import similarity_search
+
+    sub = emb.filter("vec_id < 120")
+    qids = [0, 1, 2]
+    rr = similarity_search_ivfpq(
+        sub, "embedding", "vec_id", qids, k=5, num_centroids=4, nprobe=4,
+        m=8, codebook_size=16, iterations=0, rerank=True, rerank_factor=40)
+    brute = similarity_search(sub, "embedding", "vec_id", query_ids=qids, k=5)
+    pairs = lambda df: sorted(  # noqa: E731
+        (int(r["QUERY_ID"]), int(r["MATCH_ID"])) for r in df.collect())
+    assert pairs(rr) == pairs(brute)
+
+
+def test_ivfpq_rerank_prebuilt_rotate_matches_inline(emb):
+    """rerank composes with the index lifecycle and the rotation: inline
+    rotate+rerank == prebuilt rotated-index rerank, search AND join."""
+    from rasgoql_spark.functions.pq import similarity_search_ivfpq
+
+    kw = dict(num_centroids=8, coarse_iterations=1, m=8, codebook_size=16,
+              iterations=0)
+    inline = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=5, nprobe=3, rotate=True,
+        rotation_seed=7, rerank=True, rerank_factor=4, **kw)
+    idx = ivfpq_index(emb, "embedding", "vec_id", rotate=True,
+                      rotation_seed=7, **kw)
+    pre = similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2], k=5, nprobe=3, index=idx,
+        rerank=True, rerank_factor=4)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, pre.collect()))
+    left = emb.filter("vec_id >= 450")
+    right = emb.filter("vec_id < 450")
+    jin = embedding_join_ivfpq(
+        left, "embedding", "vec_id", other=right, k=2, nprobe=3,
+        rerank=True, rerank_factor=3, num_centroids=8, m=8,
+        codebook_size=16, iterations=0)
+    jidx = ivfpq_index(right, "embedding", "vec_id", **kw)
+    jpre = embedding_join_ivfpq(
+        left, "embedding", "vec_id", k=2, nprobe=3, index=jidx,
+        rerank=True, rerank_factor=3)
+    cols = ["vec_id", "MATCH_ID", "COSINE", "RANK"]
+    assert sorted(map(tuple, jin.select(*cols).collect())) == sorted(
+        map(tuple, jpre.select(*cols).collect()))
+    idx.release()
+    jidx.release()
+
+
+def test_ivfpq_rerank_renderer_parity(emb, spark):
+    """The rendered SQL reproduces the executed rerank rows exactly —
+    search (plain + rotated) and join shapes; the survivor set is
+    determined by the rounded ADC ordering, so the replay carries through
+    the refine stage."""
+    from rasgoql_spark.functions.pq import (
+        _r_embedding_join_ivfpq,
+        _r_similarity_search_ivfpq,
+        similarity_search_ivfpq,
+    )
+
+    emb.createOrReplaceTempView("__r10_rr")
+    kw = dict(num_centroids=8, nprobe=3, m=8, codebook_size=16, iterations=0)
+    for rot in (False, True):
+        df = similarity_search_ivfpq(
+            emb, "embedding", "vec_id", [0, 1, 2], k=5, rerank=True,
+            rerank_factor=4, rotate=rot, rotation_seed=7, **kw)
+        sql = _r_similarity_search_ivfpq(
+            "__r10_rr", "embedding", "vec_id", [0, 1, 2], k=5, rerank=True,
+            rerank_factor=4, rotate=rot, rotation_seed=7,
+            rotation_dim=64 if rot else None, **kw)
+        assert sorted(map(tuple, spark.sql(sql).collect())) == sorted(
+            map(tuple, df.collect()))
+    jdf = embedding_join_ivfpq(
+        emb.filter("vec_id >= 250"), "embedding", "vec_id",
+        other=emb.filter("vec_id < 250"), k=2, rerank=True, rerank_factor=3,
+        **kw)
+    cols = ["vec_id", "label", "MATCH_ID", "COSINE", "RANK"]
+    jsql = _r_embedding_join_ivfpq(
+        "(SELECT * FROM __r10_rr WHERE vec_id >= 250)", "embedding",
+        "vec_id", other="(SELECT * FROM __r10_rr WHERE vec_id < 250)",
+        k=2, rerank=True, rerank_factor=3, **kw)
+    assert sorted(map(tuple, spark.sql(jsql).select(*cols).collect())) == \
+        sorted(map(tuple, jdf.select(*cols).collect()))
