@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 196 entries, ALL 196 with DuckDB oracles (round 4
+streaming extensions) — 197 entries, ALL 197 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -1295,6 +1295,23 @@ def q_embedding_join_ivfpq_rerank(spark, sf):
         num_centroids=8, nprobe=3, m=8, codebook_size=16, iterations=0,
         rerank=True, rerank_factor=3,
     ).select("vec_id", "label", "MATCH_ID", "COSINE", "RANK")
+
+
+def q_zorder(spark, sf):
+    """Round 10: the Morton z-order key (layout operator — the compute
+    half of save_shards(zorder_by=...), which range-partitions and sorts
+    by this key so parquet min/max footers prune scans on EVERY
+    clustering column). Each column range-buckets into 2^8 buckets
+    between its observed min/max; bucket bits interleave column-major.
+    Exact replay oracle: DuckDB computes the identical min/max (exact
+    aggregates), the identical (x - min) / span * 256 bucket arithmetic
+    (same IEEE ops in the same order), and the identical integer bit
+    interleave."""
+    return (
+        _s(spark, sf).dataset("orders")
+        .zorder(columns=["o_custkey", "o_totalprice"], bits=8)
+        .df.select("o_orderkey", "ZVALUE")
+    )
 
 
 def q_similarity_search_ivf_rounded(spark, sf):
@@ -4332,6 +4349,31 @@ ranked AS (
         "similarity_search_ivfpq_rotated": _mk_ivfpq_sql(
             8, 16, 0, 8, 3, 1, qids=[0, 1, 2, 3, 4], k=10, rotate_seed=7
         ),
+        # round 10: the Morton z-order key — exact replay (min/max are
+        # exact aggregates; the bucket arithmetic repeats the identical
+        # IEEE ops; the interleave is integer math)
+        "zorder": (lambda nb=256: (
+            "WITH zrng AS (SELECT CAST(min(o_custkey) AS DOUBLE) AS mn1, "
+            "CAST(max(o_custkey) AS DOUBLE) AS mx1, "
+            "CAST(min(o_totalprice) AS DOUBLE) AS mn2, "
+            "CAST(max(o_totalprice) AS DOUBLE) AS mx2 FROM orders), "
+            "zb AS (SELECT o_orderkey, "
+            + ", ".join(
+                f"COALESCE(LEAST(CAST({nb - 1} AS BIGINT), "
+                f"GREATEST(CAST(0 AS BIGINT), "
+                f"CAST(FLOOR((CAST({c} AS DOUBLE) - zrng.mn{i}) / "
+                f"(zrng.mx{i} - zrng.mn{i}) * {float(nb)!r}) AS BIGINT))), "
+                f"CAST(0 AS BIGINT)) AS b{i}"
+                for i, c in ((1, "o_custkey"), (2, "o_totalprice"))
+            )
+            + " FROM orders CROSS JOIN zrng) "
+            "SELECT o_orderkey, CAST("
+            + " + ".join(
+                f"((b{i} >> {b}) & 1) * CAST({1 << (b * 2 + i - 1)} AS BIGINT)"
+                for b in range(8) for i in (1, 2)
+            )
+            + " AS BIGINT) AS ZVALUE FROM zb"
+        ))(),
         # round 10: IVFADC+R — the ADC replay plus the exact-refine stage
         # (rk <= k·factor survivors join back to the staged unit vectors)
         "similarity_search_ivfpq_rerank": _mk_ivfpq_sql(
@@ -4870,10 +4912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first, then the stalest entries by last DRIVER verification. The
     # literal dict below keeps its historical (r9) grouping for
     # readability; the _R10_FRONT reorder at the bottom of this function
-    # executes the r9 verdict's staleness plan: the 6 new r10 operators,
-    # then the full 43-entry remaining r6-stale block, then the oldest
-    # r7 entry (listing order) to fill 50 — union max-staleness drops
-    # to r7. All 196 entries pass tools/oracle_check.py locally (fresh
+    # executes the r9 verdict's staleness plan: the 7 new r10 operators,
+    # then the full 43-entry remaining r6-stale block to fill 50 — union
+    # max-staleness drops to r7. All 197 entries pass tools/oracle_check.py locally (fresh
     # full run recorded in COVERAGE.md).
     base = {
         # --- r9 front grouping (historical; see _R10_FRONT below for the
@@ -4881,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
         "similarity_search_ivfpq_rerank": q_similarity_search_ivfpq_rerank,
         "embedding_join_ivfpq_rerank": q_embedding_join_ivfpq_rerank,
+        "zorder": q_zorder,
         # --- r9 operators (driver-verified r9) ---
         "dedup_against_ivfpq": q_dedup_against_ivfpq,
         "similarity_search_ivfpq_residual": q_similarity_search_ivfpq_residual,
@@ -5084,10 +5126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat": q_concat,
         "if_then": q_if_then,
     }
-    # r10 front-50: the 6 new r10 operators, the 43 remaining r6-stale
-    # entries (the r6 block minus moving_avg/rolling_agg/rolling_agg_range,
-    # which the r9 gate refreshed), then the oldest r7 entry in
-    # listing order — the r9 verdict's task #2.
+    # r10 front-50: the 7 new r10 operators, then the 43 remaining
+    # r6-stale entries (the r6 block minus moving_avg/rolling_agg/
+    # rolling_agg_range, which the r9 gate refreshed) — the r9 verdict's
+    # task #2.
     front = [
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
@@ -5095,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_join_binary_rerank",
         "similarity_search_ivfpq_rerank",
         "embedding_join_ivfpq_rerank",
+        "zorder",
         # r6-stale block (43)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
@@ -5107,9 +5150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup", "sliding_slope", "standard_scaler",
         "target_encode", "text_quality", "train_test_split", "union",
         "unpivot", "winsorize",
-        # oldest r7 entry (listing order; the six new r10 operators take
-        # the freed slots)
-        "audio_meta",
+        # the seven new r10 operators take all the freed r7 slots
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

@@ -211,6 +211,38 @@ def _llm_similarity_binary_prebuilt(spark, sf):
         rerank_factor=4, index=_IVF_STATE[key])
 
 
+def _llm_ivfpq_rerank_prebuilt(spark, sf):
+    """Round 10: the IVFADC+R refine stage on the amortized path — same
+    prebuilt index and probe work as llm_similarity_ivfpq_prebuilt plus
+    the exact-cosine re-rank of the 40 ADC survivors per query; the delta
+    between the two entries IS the refine cost (recall evidence:
+    SCALING.md r10, +0.21 recall@10 on the anisotropic corpus)."""
+    from rasgoql_spark.functions.pq import ivfpq_index, similarity_search_ivfpq
+
+    key = ("ivfpq_idx", sf)
+    emb = entry._s(spark, sf).dataset("embeddings").df
+    if key not in _IVF_STATE:
+        _IVF_STATE[key] = ivfpq_index(
+            emb, "embedding", "vec_id", num_centroids=16,
+            coarse_iterations=1, m=8, codebook_size=16, iterations=1)
+    return similarity_search_ivfpq(
+        emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10, nprobe=4,
+        rerank=True, rerank_factor=4, index=_IVF_STATE[key])
+
+
+def _llm_zorder(spark, sf):
+    """Round 10: the Morton layout key over lineitem's (partkey, suppkey)
+    — one bounded min/max aggregate plus a per-row integer bit interleave
+    (the compute half of save_shards(zorder_by=...); the write half is
+    the one range shuffle any clustered write pays). Pruning evidence:
+    SCALING.md r10 (2-D filter reads 6.2% of row groups vs 100%)."""
+    from rasgoql_spark.functions.layout import zorder
+
+    li = entry._s(spark, sf).dataset("lineitem").df
+    return zorder(li, ["l_partkey", "l_suppkey"], bits=8).select(
+        "l_orderkey", "l_linenumber", "ZVALUE")
+
+
 # _URL_APPLY drops text/lang (built for the url-only oracles); the e2e
 # pipeline carries them through the same synthetic url soup
 _E2E_URL_APPLY = entry._URL_APPLY.replace(
@@ -316,6 +348,10 @@ BENCH_QUERIES = {
     "llm_similarity_binary_prebuilt": _llm_similarity_binary_prebuilt,
     "llm_pipeline_e2e": _llm_pipeline_e2e,
     "llm_embedding_join_binary": _llm_embedding_join_binary,
+    # round-10 additions (second batch): the IVFADC+R refine stage on the
+    # amortized path, and the Morton layout key
+    "llm_ivfpq_rerank_prebuilt": _llm_ivfpq_rerank_prebuilt,
+    "llm_zorder": _llm_zorder,
 }
 
 

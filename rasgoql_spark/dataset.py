@@ -298,6 +298,8 @@ class SQLChain:
         num_shards: int | None = None,
         by=None,
         sort_within=None,
+        zorder_by=None,
+        zorder_bits: int = 8,
         file_format: str = "parquet",
         mode: str = "error",
     ) -> str:
@@ -312,8 +314,17 @@ class SQLChain:
         - ``sort_within``: per-shard sort columns (locality/curriculum order
           without a global sort — ``sortWithinPartitions``, no extra
           shuffle beyond the repartition).
+        - ``zorder_by``: multi-dimensional clustering (round 10): compute
+          the Morton key over these columns (``functions.layout.zorder``,
+          ``zorder_bits`` bucket bits per column), range-partition AND
+          sort the files by it, drop the key before writing. Parquet
+          min/max footers then prune scans filtered on ANY of the
+          clustered columns — the Delta/Iceberg OPTIMIZE ZORDER BY
+          layout, as a write option. Mutually exclusive with ``by`` /
+          ``sort_within`` (it IS a placement + order policy).
 
-        All sizing happens executor-side; nothing is collected. Returns
+        All sizing happens executor-side; nothing is collected (z-order
+        adds one bounded 2-doubles-per-column range aggregate). Returns
         ``path``.
         """
         from pyspark.sql import functions as _F
@@ -321,11 +332,29 @@ class SQLChain:
         from .operators._util import as_list, resolve_cols
 
         df = self._df
+        if zorder_by:
+            if by or sort_within:
+                from .errors import ParameterException
+
+                raise ParameterException(
+                    "zorder_by is a placement + order policy; it cannot "
+                    "combine with by/sort_within"
+                )
+            from .functions.layout import zvalue_expr
+
+            zcols = resolve_cols(df, as_list(zorder_by))
+            n = num_shards or df.sparkSession.sparkContext.defaultParallelism
+            df = (
+                df.withColumn("__z", zvalue_expr(df, zcols, bits=zorder_bits))
+                .repartitionByRange(n, _F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         keys = resolve_cols(df, as_list(by))
         if keys:
             n = num_shards or df.sparkSession.sparkContext.defaultParallelism
             df = df.repartition(n, *[_F.col(k) for k in keys])
-        elif num_shards:
+        elif num_shards and not zorder_by:
             df = df.repartition(num_shards)
         if sort_within:
             df = df.sortWithinPartitions(*resolve_cols(df, as_list(sort_within)))

@@ -1,0 +1,123 @@
+"""Round-10 layout operator: zorder (Morton key) + save_shards(zorder_by)."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from rasgoql_spark.errors import ParameterException, TransformRenderingException
+from rasgoql_spark.functions.layout import (
+    _r_zorder,
+    zorder,
+    zorder_ranges,
+    zvalue_expr,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_zorder_key_properties(orders):
+    """The Morton key is a bigint in [0, 2^(cols*bits)); single-column
+    z-order is monotone in that column (it IS a range bucketing); and the
+    interleave responds to BOTH columns (distinct keys exceed what either
+    column alone produces)."""
+    out = zorder(orders, ["o_custkey", "o_totalprice"], bits=8)
+    assert dict(out.dtypes)["ZVALUE"] == "bigint"
+    mn, mx = out.agg(F.min("ZVALUE"), F.max("ZVALUE")).first()
+    assert 0 <= mn <= mx < (1 << 16)
+    # monotonicity of the 1-D case: sorting by key == sorting by column
+    one = zorder(orders, ["o_custkey"], bits=8, name="Z1")
+    rows = one.select("o_custkey", "Z1").distinct().collect()
+    by_key = sorted(rows, key=lambda r: (r["Z1"], r["o_custkey"]))
+    assert [r["o_custkey"] for r in by_key] == sorted(r["o_custkey"] for r in rows)
+    # 2-D key has more resolution than either 1-D bucketing
+    n2 = out.select("ZVALUE").distinct().count()
+    n1 = one.select("Z1").distinct().count()
+    assert n2 > n1
+
+
+def test_zorder_explicit_ranges_match_discovered(orders):
+    rng = zorder_ranges(orders, ["o_custkey", "o_totalprice"])
+    a = zorder(orders, ["o_custkey", "o_totalprice"], bits=8)
+    b = zorder(orders, ["o_custkey", "o_totalprice"], bits=8, ranges=rng)
+    cols = ["o_orderkey", "ZVALUE"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect()))
+    # out-of-range values clamp to the edge buckets instead of overflowing
+    tight = {"o_custkey": (10.0, 20.0), "o_totalprice": rng["o_totalprice"]}
+    c = zorder(orders, ["o_custkey", "o_totalprice"], bits=8, ranges=tight)
+    mn, mx = c.agg(F.min("ZVALUE"), F.max("ZVALUE")).first()
+    assert 0 <= mn <= mx < (1 << 16)
+
+
+def test_zorder_renderer_parity_and_guards(orders, spark):
+    orders.createOrReplaceTempView("__zorders")
+    rng = zorder_ranges(orders, ["o_custkey", "o_totalprice"])
+    df = zorder(orders, ["o_custkey", "o_totalprice"], bits=6, ranges=rng)
+    sql = _r_zorder("__zorders", ["o_custkey", "o_totalprice"], bits=6,
+                    ranges=rng)
+    cols = ["o_orderkey", "ZVALUE"]
+    assert sorted(map(tuple, spark.sql(sql).select(cols).collect())) == \
+        sorted(map(tuple, df.select(cols).collect()))
+    with pytest.raises(TransformRenderingException, match="ranges"):
+        _r_zorder("__zorders", ["o_custkey"])
+    with pytest.raises(ParameterException, match="bits"):
+        zorder(orders, ["o_custkey"], bits=0)
+    with pytest.raises(ParameterException, match="62"):
+        zorder(orders, ["o_custkey", "o_totalprice", "o_orderkey",
+                        "o_orderdate"], bits=16)
+    with pytest.raises(ParameterException, match="at least one"):
+        zorder(orders, [])
+    with pytest.raises(ParameterException, match="numeric, date"):
+        zvalue_expr(orders, ["o_orderstatus"])
+    with pytest.raises(ParameterException, match="missing column"):
+        zorder(orders, ["o_custkey"], ranges={"o_totalprice": (0, 1)})
+
+
+def test_zorder_date_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 5.0), (2, "2024-06-01", None), (3, None, 9.0)],
+        "id int, d string, v double",
+    ).withColumn("d", F.to_date("d"))
+    out = zorder(df, ["d", "v"], bits=4)
+    rows = {int(r["id"]): int(r["ZVALUE"]) for r in out.collect()}
+    assert len(rows) == 3 and all(v >= 0 for v in rows.values())
+    # NULL buckets to 0 in its dimension: row 3's date contributes nothing
+    assert rows[3] == int(
+        zorder(df.filter("id = 3").withColumn("d", F.lit(None).cast("date")),
+               ["d", "v"], bits=4,
+               ranges=zorder_ranges(df, ["d", "v"])).first()["ZVALUE"])
+
+
+def test_save_shards_zorder_layout(session, spark, tmp_path):
+    """The zordered write range-partitions + sorts by the Morton key and
+    drops it; every parquet footer then carries tight min/max on BOTH
+    clustering columns — at least one shard must be fully prunable for a
+    selective 2-D predicate (the natural layout prunes nothing)."""
+    path = str(tmp_path / "zli")
+    session.dataset("lineitem").save_shards(
+        path, num_shards=8, zorder_by=["l_partkey", "l_suppkey"])
+    out = spark.read.parquet(path)
+    assert "__z" not in out.columns
+    assert out.count() == session.dataset("lineitem").df.count()
+    hits, total = 0, 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            total += 1
+            s1 = md.row_group(rg).column(names["l_partkey"]).statistics
+            s2 = md.row_group(rg).column(names["l_suppkey"]).statistics
+            if not (s1.max < 1 or s1.min > 40) or not (s2.max < 1 or s2.min > 3):
+                if not (s1.max < 1 or s1.min > 40) and not (s2.max < 1 or s2.min > 3):
+                    hits += 1
+    assert total >= 8 and hits < total
+    with pytest.raises(ParameterException, match="placement"):
+        session.dataset("lineitem").save_shards(
+            str(tmp_path / "zli2"), zorder_by=["l_partkey"], by=["l_orderkey"])
