@@ -2778,6 +2778,79 @@ def _bpe_real_oracle() -> str:
     )
 
 
+# --- round-10 governance/analysis operators ---
+
+_SCD2_SNAPS_APPLY = """
+SELECT o_orderkey, 1 AS snap, o_orderpriority AS prio FROM {{ source_table }}
+UNION ALL
+SELECT o_orderkey, 2 AS snap,
+ CASE WHEN o_orderkey % 5 = 0 THEN 'X2' ELSE o_orderpriority END AS prio
+FROM {{ source_table }}
+UNION ALL
+SELECT o_orderkey, 3 AS snap,
+ CASE WHEN o_orderkey % 7 = 0 THEN 'X3'
+      WHEN o_orderkey % 5 = 0 THEN 'X2'
+      ELSE o_orderpriority END AS prio
+FROM {{ source_table }}
+"""
+
+
+def q_target_encode_oof(spark, sf):
+    # leakage-safe k-fold mean encoding; fold key = o_orderkey (pmod 5)
+    return (
+        _s(spark, sf).dataset("orders")
+        .target_encode_oof(
+            column="o_orderpriority", target="o_totalprice",
+            fold_by="o_orderkey", folds=5,
+        )
+        .math(math_ops=["ROUND(O_ORDERPRIORITY_TARGET_ENC_OOF, 6)"],
+              names=["O_ORDERPRIORITY_TARGET_ENC_OOF"])
+        .drop_columns(include_cols=["o_orderkey", "O_ORDERPRIORITY_TARGET_ENC_OOF"])
+        .df
+    )
+
+
+def q_psi_drift(spark, sf):
+    # ACTUAL = high-price subset, EXPECTED = full orders: a planted shift
+    s = _s(spark, sf)
+    base = s.dataset("orders")
+    return (
+        s.dataset("orders")
+        .filter(filter_statements=["o_totalprice > 50000"])
+        .psi_drift(other=base, column="o_totalprice",
+                   breakpoints=[25000.0, 100000.0, 200000.0])
+        .df
+    )
+
+
+def q_scd2(spark, sf):
+    # three synthesized keyed snapshots with planted %5 / %7 rewrites
+    return (
+        _s(spark, sf).dataset("orders")
+        .apply(sql=_SCD2_SNAPS_APPLY)
+        .scd2(keys=["o_orderkey"], snapshot_col="snap")
+        .df
+    )
+
+
+def q_pmi_collocations(spark, sf):
+    return (
+        _s(spark, sf).dataset("documents")
+        .pmi_collocations(text="text", min_count=3, top_k=50)
+        .df
+    )
+
+
+def q_k_anonymize(spark, sf):
+    return (
+        _s(spark, sf).dataset("customer")
+        .k_anonymize(quasi_cols=["c_mktsegment", "c_nationkey"], k=3,
+                     action="flag")
+        .drop_columns(include_cols=["c_custkey", "GROUP_SIZE", "IS_K_ANON"])
+        .df
+    )
+
+
 def _cls_eval_oracle() -> str:
     """classifier_eval's renderer is engine-portable SQL — DuckDB runs it
     verbatim over the same apply-projection the gate query uses (embedding
@@ -3900,6 +3973,85 @@ ranked AS (
             "SELECT o_orderkey, ROUND(AVG(o_totalprice) OVER (PARTITION BY o_orderpriority), 6) "
             "AS O_ORDERPRIORITY_TARGET_ENC FROM orders"
         ),
+        "target_encode_oof": (
+            "WITH s AS (SELECT o_orderkey, o_orderpriority AS c, o_totalprice AS t, "
+            "o_orderkey % 5 AS f FROM orders), "
+            "p AS (SELECT AVG(t) AS prior FROM s), "
+            "a AS (SELECT c, SUM(t) AS s_all, COUNT(t) AS c_all FROM s GROUP BY c), "
+            "ff AS (SELECT c, f, SUM(t) AS s_f, COUNT(t) AS c_f FROM s GROUP BY c, f) "
+            "SELECT s.o_orderkey, ROUND(COALESCE(CASE WHEN a.c_all - ff.c_f > 0 "
+            "THEN (a.s_all - ff.s_f) / (a.c_all - ff.c_f) END, p.prior), 6) "
+            "AS O_ORDERPRIORITY_TARGET_ENC_OOF "
+            "FROM s CROSS JOIN p LEFT JOIN ff ON s.c = ff.c AND s.f = ff.f "
+            "LEFT JOIN a ON s.c = a.c"
+        ),
+        "psi_drift": (
+            "WITH ba AS (SELECT CASE WHEN o_totalprice IS NULL THEN 0 ELSE 1 "
+            "+ (CASE WHEN o_totalprice >= 25000.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN o_totalprice >= 100000.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN o_totalprice >= 200000.0 THEN 1 ELSE 0 END) END AS BIN, "
+            "COUNT(*) AS ACTUAL_N FROM orders WHERE o_totalprice > 50000 GROUP BY 1), "
+            "be AS (SELECT CASE WHEN o_totalprice IS NULL THEN 0 ELSE 1 "
+            "+ (CASE WHEN o_totalprice >= 25000.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN o_totalprice >= 100000.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN o_totalprice >= 200000.0 THEN 1 ELSE 0 END) END AS BIN, "
+            "COUNT(*) AS EXPECTED_N FROM orders GROUP BY 1), "
+            "j AS (SELECT COALESCE(ba.BIN, be.BIN) AS BIN, "
+            "COALESCE(ACTUAL_N, 0) AS ACTUAL_N, COALESCE(EXPECTED_N, 0) AS EXPECTED_N "
+            "FROM ba FULL OUTER JOIN be ON ba.BIN = be.BIN), "
+            "t AS (SELECT *, SUM(ACTUAL_N) OVER () AS ta, SUM(EXPECTED_N) OVER () AS te, "
+            "GREATEST(ACTUAL_N / (SUM(ACTUAL_N) OVER () * 1.0), 1e-6) AS p, "
+            "GREATEST(EXPECTED_N / (SUM(EXPECTED_N) OVER () * 1.0), 1e-6) AS q FROM j) "
+            "SELECT BIN, "
+            "CASE WHEN BIN = 2 THEN 25000.0 WHEN BIN = 3 THEN 100000.0 "
+            "WHEN BIN = 4 THEN 200000.0 END AS LO, "
+            "CASE WHEN BIN = 1 THEN 25000.0 WHEN BIN = 2 THEN 100000.0 "
+            "WHEN BIN = 3 THEN 200000.0 END AS HI, "
+            "CAST(ACTUAL_N AS BIGINT) AS ACTUAL_N, CAST(EXPECTED_N AS BIGINT) AS EXPECTED_N, "
+            "ROUND(ACTUAL_N / (ta * 1.0), 6) AS ACTUAL_PCT, "
+            "ROUND(EXPECTED_N / (te * 1.0), 6) AS EXPECTED_PCT, "
+            "ROUND((p - q) * LN(p / q), 6) AS PSI_CONTRIB, "
+            "ROUND(SUM(ROUND((p - q) * LN(p / q), 6)) OVER (), 6) AS PSI_TOTAL FROM t"
+        ),
+        "scd2": (
+            "WITH snaps AS ("
+            "SELECT o_orderkey, 1 AS snap, o_orderpriority AS prio FROM orders "
+            "UNION ALL SELECT o_orderkey, 2 AS snap, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN 'X2' ELSE o_orderpriority END AS prio "
+            "FROM orders "
+            "UNION ALL SELECT o_orderkey, 3 AS snap, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN 'X3' "
+            "WHEN o_orderkey % 5 = 0 THEN 'X2' ELSE o_orderpriority END AS prio "
+            "FROM orders), "
+            "c AS (SELECT *, LAG(prio) OVER (PARTITION BY o_orderkey ORDER BY snap) "
+            "AS prev FROM snaps) "
+            "SELECT o_orderkey, prio, snap AS VALID_FROM, "
+            "LEAD(snap) OVER (PARTITION BY o_orderkey ORDER BY snap) AS VALID_TO, "
+            "CASE WHEN LEAD(snap) OVER (PARTITION BY o_orderkey ORDER BY snap) IS NULL "
+            "THEN 1 ELSE 0 END AS IS_CURRENT "
+            "FROM c WHERE prev IS NULL OR prev <> prio"
+        ),
+        "pmi_collocations": (
+            f"WITH tk AS (SELECT {_toks()} AS t FROM documents), "
+            "u AS (SELECT w, COUNT(*) AS c FROM "
+            "(SELECT unnest(t) AS w FROM tk) GROUP BY w), "
+            "n AS (SELECT SUM(c) AS n FROM u), "
+            "b AS (SELECT WORD1, WORD2, CAST(COUNT(*) AS BIGINT) AS N_PAIR FROM "
+            "(SELECT unnest(t[1:len(t)-1]) AS WORD1, unnest(t[2:len(t)]) AS WORD2 "
+            "FROM tk WHERE len(t) >= 2) GROUP BY WORD1, WORD2 "
+            "HAVING COUNT(*) >= 3) "
+            "SELECT b.WORD1, b.WORD2, b.N_PAIR, "
+            "ROUND(LN(CAST(b.N_PAIR AS DOUBLE) * n.n / (u1.c * CAST(u2.c AS DOUBLE))), 6) AS PMI "
+            "FROM b JOIN u u1 ON b.WORD1 = u1.w JOIN u u2 ON b.WORD2 = u2.w CROSS JOIN n "
+            "ORDER BY PMI DESC, WORD1, WORD2 LIMIT 50"
+        ),
+        "k_anonymize": (
+            "SELECT c_custkey, "
+            "CAST(COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS BIGINT) "
+            "AS GROUP_SIZE, "
+            "CASE WHEN COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey) >= 3 "
+            "THEN 1 ELSE 0 END AS IS_K_ANON FROM customer"
+        ),
         "impute_mean": (
             "WITH src AS (SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.04) AS DISC_N "
             "FROM lineitem), m AS (SELECT AVG(DISC_N) AS a FROM src) "
@@ -4917,6 +5069,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # max-staleness drops to r7. All 197 entries pass tools/oracle_check.py locally (fresh
     # full run recorded in COVERAGE.md).
     base = {
+        # --- new round-10 governance/analysis operators ---
+        "target_encode_oof": q_target_encode_oof,
+        "psi_drift": q_psi_drift,
+        "scd2": q_scd2,
+        "pmi_collocations": q_pmi_collocations,
+        "k_anonymize": q_k_anonymize,
         # --- r9 front grouping (historical; see _R10_FRONT below for the
         # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
@@ -5131,6 +5289,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolling_agg_range, which the r9 gate refreshed) — the r9 verdict's
     # task #2.
     front = [
+        # new operators first (never driver-verified): the 5 governance/
+        # analysis ops added mid-round-10 displace the alphabetical tail of
+        # the r6-stale block (those 5 stay r6-verified, re-fronted next
+        # round per the standing staleness policy)
+        "target_encode_oof",
+        "psi_drift",
+        "scd2",
+        "pmi_collocations",
+        "k_anonymize",
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
         "embedding_join_binary",
@@ -5148,9 +5315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
         "pivot", "quantiles", "rank", "repetition_stats", "rsi", "sankey",
         "semantic_dedup", "sliding_slope", "standard_scaler",
-        "target_encode", "text_quality", "train_test_split", "union",
-        "unpivot", "winsorize",
-        # the seven new r10 operators take all the freed r7 slots
+        "target_encode",
+        # (text_quality, train_test_split, union, unpivot, winsorize yield
+        # their slots to the 5 new governance ops above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
-from ..operators._util import resolve_col, spread, with_columns_sql
+from ..operators._util import as_list, resolve_col, spread, with_columns_sql
 from ..registry import renderer, spark_transform
 from ._hash import shingles_expr, tokens_expr
 
@@ -1170,3 +1170,83 @@ def _r_pseudonymize(source, columns, salt, length=16, _input_columns=()) -> str:
         for c in _input_columns
     )
     return f"SELECT {sel} FROM {source}"
+
+
+@spark_transform("k_anonymize", category="curation", streaming_ok=False)
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols,
+    k: int,
+    action: str = "filter",
+) -> DataFrame:
+    """k-anonymity enforcement over quasi-identifier columns (Sweeney 2002):
+    a row is k-anonymous when at least ``k`` rows share its full
+    quasi-identifier combination — the standard re-identification guard
+    before releasing or training on user-adjacent tables.
+
+    ``action``:
+      - ``'filter'``   — keep only k-anonymous rows (drop rare combos);
+      - ``'flag'``     — keep everything, add ``GROUP_SIZE`` (bigint) and
+        ``IS_K_ANON`` (1/0);
+      - ``'suppress'`` — keep everything, NULL out the quasi columns on rows
+        whose combo is rarer than ``k`` (suppression-style generalization).
+
+    NULL quasi-values group together (window partitioning semantics — the
+    privacy-correct choice: all-NULL rows are mutually indistinguishable).
+
+    Scale: one window count partitioned by the quasi columns — a single hash
+    shuffle on the quasi key, no ordering, no collect. Skewed combos are
+    exactly the k-anonymous ones, so skew concentrates in groups that need
+    no further work."""
+    from pyspark.sql import Window
+
+    cols = [resolve_col(df, c) for c in as_list(quasi_cols)]
+    if not cols:
+        raise ParameterException("k_anonymize requires at least one quasi column")
+    if k < 2:
+        raise ParameterException("k must be >= 2")
+    if action not in ("filter", "flag", "suppress"):
+        raise ParameterException("action must be 'filter', 'flag', or 'suppress'")
+    size = F.count(F.lit(1)).over(Window.partitionBy(*cols)).cast("bigint")
+    if action == "filter":
+        return (
+            df.withColumn("__gs", size)
+            .filter(F.col("__gs") >= k)
+            .drop("__gs")
+        )
+    if action == "flag":
+        return df.withColumn("GROUP_SIZE", size).withColumn(
+            "IS_K_ANON", F.when(F.col("GROUP_SIZE") >= k, 1).otherwise(0)
+        )
+    staged = df.withColumn("__gs", size)
+    out = staged.select(
+        *[
+            F.when(F.col("__gs") >= k, F.col(c)).otherwise(F.lit(None)).alias(c)
+            if c in cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return out
+
+
+@renderer("k_anonymize")
+def _r_k_anonymize(source, quasi_cols, k, action="filter", _input_columns=()) -> str:
+    cols = as_list(quasi_cols)
+    part = ", ".join(cols)
+    size = f"CAST(COUNT(*) OVER (PARTITION BY {part}) AS BIGINT)"
+    if action == "filter":
+        return (
+            f"SELECT * EXCEPT (__gs) FROM "
+            f"(SELECT *, {size} AS __gs FROM {source}) WHERE __gs >= {k}"
+        )
+    if action == "flag":
+        return (
+            f"SELECT *, {size} AS GROUP_SIZE, "
+            f"CASE WHEN {size} >= {k} THEN 1 ELSE 0 END AS IS_K_ANON FROM {source}"
+        )
+    sel = ", ".join(
+        f"CASE WHEN __gs >= {k} THEN {c} END AS {c}" if c in set(cols) else c
+        for c in _input_columns
+    )
+    return f"SELECT {sel} FROM (SELECT *, {size} AS __gs FROM {source})"

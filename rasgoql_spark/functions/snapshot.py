@@ -14,7 +14,7 @@ collide. That row-hash trick is exactly what the DuckDB oracle replays.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
@@ -161,4 +161,213 @@ def _r_diff_datasets(source, other, keys, compare_cols=None,
         f"FULL OUTER JOIN "
         f"(SELECT {keys_csv}, {_render_hash(compare_cols, 's')} AS __h FROM {other} s) o "
         f"ON {on}){filt}"
+    )
+
+
+@spark_transform("psi_drift", category="snapshot", streaming_ok=False)
+def psi_drift(
+    df: DataFrame,
+    other: DataFrame,
+    column: str,
+    breakpoints,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between this dataset (ACTUAL — the new
+    corpus/release) and ``other`` (EXPECTED — the accepted baseline) over one
+    numeric column (the standard scorecard drift metric; PSI < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 action).
+
+    ``breakpoints`` is an EXPLICIT ascending bin-edge list (deterministic and
+    engine-portable, unlike approximate quantiles): bin 1 is
+    ``(-inf, b1)``, bin i is ``[b(i-1), b(i))``, bin n+1 is ``[bn, inf)``;
+    NULLs land in bin 0. Proportions are floored at ``epsilon`` before the
+    log so one-sided-empty bins stay finite.
+
+    Returns one row per occupied bin: ``BIN, LO, HI, ACTUAL_N, EXPECTED_N,
+    ACTUAL_PCT, EXPECTED_PCT, PSI_CONTRIB, PSI_TOTAL`` (pcts/PSI rounded to
+    6 dp; PSI_TOTAL repeated on every row).
+
+    Scale: each side reduces with ONE hash aggregate on the bin id
+    (map-side combine — the shuffle carries ≤ |bins| rows per partition);
+    the join and the PSI_TOTAL window run on a ≤ |bins|+1-row frame, so the
+    unpartitioned window is a constant-size reduction, never a fact-table
+    funnel."""
+    bps = [float(b) for b in as_list(breakpoints)]
+    if not bps or sorted(bps) != bps:
+        raise ParameterException("breakpoints must be a non-empty ascending list")
+    if epsilon <= 0:
+        raise ParameterException("epsilon must be > 0")
+
+    def binned(d: DataFrame, col: str, n_alias: str) -> DataFrame:
+        c = F.col(resolve_col(d, col))
+        b = F.lit(1)
+        for bp in bps:
+            b = b + F.when(c >= F.lit(bp), 1).otherwise(0)
+        b = F.when(c.isNull(), F.lit(0)).otherwise(b)
+        return d.select(b.alias("BIN")).groupBy("BIN").agg(
+            F.count(F.lit(1)).alias(n_alias)
+        )
+
+    a = binned(df, column, "ACTUAL_N")
+    e = binned(other, column, "EXPECTED_N")
+    j = (
+        a.join(e, "BIN", "full_outer")
+        .select(
+            "BIN",
+            F.coalesce("ACTUAL_N", F.lit(0)).alias("ACTUAL_N"),
+            F.coalesce("EXPECTED_N", F.lit(0)).alias("EXPECTED_N"),
+        )
+    )
+    from pyspark.sql import Window
+
+    tot_a = F.sum("ACTUAL_N").over(Window.partitionBy())
+    tot_e = F.sum("EXPECTED_N").over(Window.partitionBy())
+    p = F.greatest(F.col("ACTUAL_N") / tot_a, F.lit(float(epsilon)))
+    q = F.greatest(F.col("EXPECTED_N") / tot_e, F.lit(float(epsilon)))
+    contrib = F.round((p - q) * F.log(p / q), 6)
+    lo_map = {i + 1: bps[i - 1] if i >= 1 else None for i in range(len(bps) + 1)}
+    hi_map = {i + 1: bps[i] if i < len(bps) else None for i in range(len(bps) + 1)}
+    lo = F.lit(None).cast("double")
+    hi = F.lit(None).cast("double")
+    for i in range(1, len(bps) + 2):
+        if lo_map[i] is not None:
+            lo = F.when(F.col("BIN") == i, F.lit(lo_map[i])).otherwise(lo)
+        if hi_map[i] is not None:
+            hi = F.when(F.col("BIN") == i, F.lit(hi_map[i])).otherwise(hi)
+    out = j.select(
+        "BIN",
+        lo.alias("LO"),
+        hi.alias("HI"),
+        F.col("ACTUAL_N").cast("bigint").alias("ACTUAL_N"),
+        F.col("EXPECTED_N").cast("bigint").alias("EXPECTED_N"),
+        F.round(F.col("ACTUAL_N") / tot_a, 6).alias("ACTUAL_PCT"),
+        F.round(F.col("EXPECTED_N") / tot_e, 6).alias("EXPECTED_PCT"),
+        contrib.alias("PSI_CONTRIB"),
+    )
+    return out.withColumn(
+        "PSI_TOTAL", F.round(F.sum("PSI_CONTRIB").over(Window.partitionBy()), 6)
+    )
+
+
+def _psi_bin_sql(col: str, bps: list[float]) -> str:
+    add = " + ".join(f"(CASE WHEN {col} >= {b!r} THEN 1 ELSE 0 END)" for b in bps)
+    return f"CASE WHEN {col} IS NULL THEN 0 ELSE 1 + {add} END"
+
+
+@renderer("psi_drift")
+def _r_psi_drift(source, other, column, breakpoints, epsilon=1e-6) -> str:
+    bps = [float(b) for b in as_list(breakpoints)]
+    eps = float(epsilon)
+    lo = "CASE " + " ".join(
+        f"WHEN BIN = {i + 1} THEN CAST({bps[i - 1]!r} AS DOUBLE)"
+        for i in range(1, len(bps) + 1)
+    ) + " ELSE CAST(NULL AS DOUBLE) END"
+    hi = "CASE " + " ".join(
+        f"WHEN BIN = {i + 1} THEN CAST({bps[i]!r} AS DOUBLE)"
+        for i in range(0, len(bps))
+    ) + " ELSE CAST(NULL AS DOUBLE) END"
+    return (
+        f"SELECT * FROM ("
+        f"WITH __a AS (SELECT {_psi_bin_sql(column, bps)} AS BIN, COUNT(*) AS ACTUAL_N "
+        f"FROM {source} GROUP BY 1), "
+        f"__e AS (SELECT {_psi_bin_sql(column, bps)} AS BIN, COUNT(*) AS EXPECTED_N "
+        f"FROM {other} GROUP BY 1), "
+        f"__j AS (SELECT COALESCE(__a.BIN, __e.BIN) AS BIN, "
+        f"COALESCE(ACTUAL_N, 0) AS ACTUAL_N, COALESCE(EXPECTED_N, 0) AS EXPECTED_N "
+        f"FROM __a FULL OUTER JOIN __e ON __a.BIN = __e.BIN), "
+        f"__t AS (SELECT *, SUM(ACTUAL_N) OVER () AS __ta, SUM(EXPECTED_N) OVER () AS __te, "
+        f"GREATEST(ACTUAL_N / (SUM(ACTUAL_N) OVER () * 1.0), {eps!r}) AS __p, "
+        f"GREATEST(EXPECTED_N / (SUM(EXPECTED_N) OVER () * 1.0), {eps!r}) AS __q FROM __j) "
+        f"SELECT BIN, {lo} AS LO, {hi} AS HI, "
+        f"CAST(ACTUAL_N AS BIGINT) AS ACTUAL_N, CAST(EXPECTED_N AS BIGINT) AS EXPECTED_N, "
+        f"ROUND(ACTUAL_N / (__ta * 1.0), 6) AS ACTUAL_PCT, "
+        f"ROUND(EXPECTED_N / (__te * 1.0), 6) AS EXPECTED_PCT, "
+        f"ROUND((__p - __q) * LN(__p / __q), 6) AS PSI_CONTRIB, "
+        f"ROUND(SUM(ROUND((__p - __q) * LN(__p / __q), 6)) OVER (), 6) AS PSI_TOTAL "
+        f"FROM __t)"
+    )
+
+
+@spark_transform("scd2", category="snapshot", streaming_ok=False)
+def scd2(
+    df: DataFrame,
+    keys,
+    snapshot_col: str,
+    compare_cols=None,
+) -> DataFrame:
+    """Collapse a stack of keyed snapshots into a type-2 slowly-changing
+    dimension (the standard Kimball SCD2 shape): one row per (key,
+    change-run) with ``VALID_FROM`` (the snapshot that introduced the
+    values), ``VALID_TO`` (the snapshot that replaced them; NULL while
+    current) and ``IS_CURRENT`` (1/0).
+
+    Input rows must be unique per (key, snapshot) — enforce upstream with
+    ``remove_duplicates``. Change detection uses the same per-column-md5
+    row hash as ``diff_datasets`` (separator-proof). A key absent from an
+    intermediate snapshot is treated as unchanged-through (presence-based
+    semantics); model deletions by diffing snapshots with ``diff_datasets``
+    first.
+
+    Scale: one window shuffle on the key (lag for change detection, lead
+    for interval close) — the classic two-pass windowed formulation;
+    nothing collects and nothing funnels to one task."""
+    keys = [resolve_col(df, k) for k in as_list(keys)]
+    if not keys:
+        raise ParameterException("scd2 requires at least one key column")
+    snap = resolve_col(df, snapshot_col)
+    if compare_cols is None:
+        compare_cols = [c for c in df.columns if c not in keys and c != snap]
+    else:
+        compare_cols = [resolve_col(df, c) for c in as_list(compare_cols)]
+    if not compare_cols:
+        raise ParameterException("scd2 requires at least one compared column")
+    w = Window.partitionBy(*keys).orderBy(snap)
+    h = _row_hash(compare_cols)
+    changed = F.col("__h").eqNullSafe(F.lag("__h").over(w)) == False  # noqa: E712
+    staged = (
+        df.select(*keys, F.col(snap), *compare_cols, h.alias("__h"))
+        .withColumn("__first", F.lag("__h").over(w).isNull())
+        .withColumn("__chg", changed)
+        .filter(F.col("__first") | F.col("__chg"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(snap)
+    out = staged.select(
+        *keys,
+        *compare_cols,
+        F.col(snap).alias("VALID_FROM"),
+        F.lead(snap).over(w2).alias("VALID_TO"),
+    )
+    return out.withColumn(
+        "IS_CURRENT", F.when(F.col("VALID_TO").isNull(), 1).otherwise(0)
+    )
+
+
+@renderer("scd2")
+def _r_scd2(source, keys, snapshot_col, compare_cols=None, _input_columns=()) -> str:
+    from ..errors import TransformRenderingException
+
+    keys = as_list(keys)
+    if compare_cols is None:
+        if not _input_columns:
+            raise TransformRenderingException(
+                "rendered scd2 needs compare_cols or the input schema"
+            )
+        compare_cols = [
+            c for c in _input_columns if c not in keys and c != snapshot_col
+        ]
+    else:
+        compare_cols = as_list(compare_cols)
+    keys_csv = ", ".join(keys)
+    cmp_csv = ", ".join(compare_cols)
+    return (
+        f"SELECT * FROM ("
+        f"WITH __h AS (SELECT {keys_csv}, {snapshot_col}, {cmp_csv}, "
+        f"{_render_hash(compare_cols, source)} AS __rh FROM {source}), "
+        f"__c AS (SELECT *, LAG(__rh) OVER (PARTITION BY {keys_csv} "
+        f"ORDER BY {snapshot_col}) AS __prev FROM __h) "
+        f"SELECT {keys_csv}, {cmp_csv}, {snapshot_col} AS VALID_FROM, "
+        f"LEAD({snapshot_col}) OVER (PARTITION BY {keys_csv} ORDER BY {snapshot_col}) "
+        f"AS VALID_TO, CASE WHEN LEAD({snapshot_col}) OVER (PARTITION BY {keys_csv} "
+        f"ORDER BY {snapshot_col}) IS NULL THEN 1 ELSE 0 END AS IS_CURRENT "
+        f"FROM __c WHERE __prev IS NULL OR __prev != __rh)"
     )

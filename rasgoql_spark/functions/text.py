@@ -630,3 +630,109 @@ def _r_char_entropy(source, text, round_to=6) -> str:
         f"SELECT *, CASE WHEN {text} IS NULL OR {n} = 0 THEN 0.0 "
         f"ELSE round({ent}, {round_to}) END AS CHAR_ENTROPY FROM {source}"
     )
+
+
+@spark_transform("pmi_collocations", category="text", streaming_ok=False)
+def pmi_collocations(
+    df: DataFrame,
+    text: str,
+    min_count: int = 5,
+    top_k: int | None = 100,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information (Church & Hanks
+    1990): ``PMI(x,y) = ln(c_xy * N / (c_x * c_y))`` over adjacent token
+    pairs — the standard detector of multi-word units ("los angeles") and
+    templated boilerplate that per-token stats miss.
+
+    Returns ``(WORD1, WORD2, N_PAIR, PMI)`` for pairs with ``N_PAIR >=
+    min_count`` (the classic low-count PMI-inflation guard), PMI rounded to
+    6 dp, ordered by PMI desc then words, top_k rows.
+
+    Scale: tokens stage as a real column; bigram and unigram tables are
+    partial/final hash aggregates (shuffle carries distinct grams per
+    partition, not occurrences); N is a one-row aggregate attached by
+    broadcast cross-join; the two unigram attachments are key joins on the
+    vocabulary table. ``top_k`` plans as TakeOrderedAndProject."""
+    if min_count < 1:
+        raise ParameterException("min_count must be >= 1")
+    t = resolve_col(df, text)
+    from ..operators._util import spread
+
+    staged = spread(df).select(tokens_expr(F.col(t)).alias("__tk"))
+    toks = F.col("__tk")
+    uni = (
+        staged.select(F.explode(toks).alias("W"))
+        .groupBy("W")
+        .agg(F.count(F.lit(1)).alias("C"))
+    )
+    n_total = uni.agg(F.sum("C").alias("N"))
+    pairs = staged.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("WORD1"),
+                        F.element_at(toks, i + F.lit(1)).alias("WORD2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<WORD1:string,WORD2:string>>"))
+        ).alias("p")
+    ).select("p.WORD1", "p.WORD2")
+    big = (
+        pairs.groupBy("WORD1", "WORD2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("N_PAIR"))
+        .filter(F.col("N_PAIR") >= min_count)
+    )
+    u1 = uni.select(F.col("W").alias("WORD1"), F.col("C").alias("__c1"))
+    u2 = uni.select(F.col("W").alias("WORD2"), F.col("C").alias("__c2"))
+    out = (
+        big.join(u1, "WORD1")
+        .join(u2, "WORD2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "WORD1",
+            "WORD2",
+            "N_PAIR",
+            F.round(
+                F.log(
+                    F.col("N_PAIR").cast("double")
+                    * F.col("N").cast("double")
+                    / (F.col("__c1").cast("double") * F.col("__c2").cast("double"))
+                ),
+                6,
+            ).alias("PMI"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("PMI").desc(), "WORD1", "WORD2").limit(top_k)
+    return out
+
+
+@renderer("pmi_collocations")
+def _r_pmi_collocations(source, text, min_count=5, top_k=100) -> str:
+    toks = "__tk"
+    pair_arr = (
+        f"CASE WHEN size({toks}) >= 2 THEN transform(sequence(1, size({toks}) - 1), "
+        f"i -> struct(element_at({toks}, i) AS WORD1, element_at({toks}, i + 1) AS WORD2)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<WORD1: STRING, WORD2: STRING>>) END"
+    )
+    sql = (
+        f"SELECT * FROM ("
+        f"WITH __tks AS (SELECT {_tokens_sql(text)} AS {toks} FROM {source}), "
+        f"__uni AS (SELECT W, COUNT(*) AS C FROM "
+        f"(SELECT explode({toks}) AS W FROM __tks) GROUP BY W), "
+        f"__n AS (SELECT SUM(C) AS N FROM __uni), "
+        f"__big AS (SELECT p.WORD1, p.WORD2, CAST(COUNT(*) AS BIGINT) AS N_PAIR FROM "
+        f"(SELECT explode({pair_arr}) AS p FROM __tks) GROUP BY p.WORD1, p.WORD2 "
+        f"HAVING COUNT(*) >= {min_count}) "
+        f"SELECT __big.WORD1, __big.WORD2, __big.N_PAIR, "
+        f"round(ln(CAST(__big.N_PAIR AS DOUBLE) * CAST(__n.N AS DOUBLE) / "
+        f"(CAST(u1.C AS DOUBLE) * CAST(u2.C AS DOUBLE))), 6) AS PMI "
+        f"FROM __big JOIN __uni u1 ON __big.WORD1 = u1.W "
+        f"JOIN __uni u2 ON __big.WORD2 = u2.W CROSS JOIN __n"
+    )
+    if top_k is not None:
+        sql += f" ORDER BY PMI DESC, WORD1, WORD2 LIMIT {top_k}"
+    return sql + ")"

@@ -108,6 +108,93 @@ def _r_target_encode(source, column, target) -> str:
     return f"SELECT *, AVG({target}) OVER (PARTITION BY {column}) AS {name} FROM {source}"
 
 
+@spark_transform("target_encode_oof", category="ml", streaming_ok=False)
+def target_encode_oof(
+    df: DataFrame,
+    column: str,
+    target: str,
+    fold_by: str,
+    folds: int = 5,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding (the k-fold mean-encoding
+    scheme popularized by the CatBoost/Kaggle literature; plain
+    ``target_encode`` leaks each row's own label into its feature).
+
+    Each row is assigned fold ``pmod(fold_by, folds)`` (``fold_by`` must be
+    an integer key column — a deterministic, engine-portable assignment, the
+    same reason ``train_test_split`` hashes a key), and its encoding is the
+    target mean computed over the OTHER folds only:
+
+        enc = (sum_all - sum_fold + smoothing * prior) /
+              (cnt_all - cnt_fold + smoothing)
+
+    ``prior`` is the global target mean (one bounded one-row aggregate).
+    Categories entirely inside one fold — and NULL categories — fall back to
+    the prior. Output ``{COL}_TARGET_ENC_OOF``.
+
+    Scale: statistics come from two hash aggregates (map-side combine) whose
+    output is |categories| and |categories|×folds rows; the fact table joins
+    against that slim table on (category, fold) — AQE turns it into a
+    broadcast join when the category space is small, and the facts never
+    sort. No whole-table window."""
+    col, tgt = resolve_col(df, column), resolve_col(df, target)
+    fkey = resolve_col(df, fold_by)
+    if folds < 2:
+        raise ParameterException("folds must be >= 2")
+    if smoothing < 0:
+        raise ParameterException("smoothing must be >= 0")
+    name = cleanse_name(f"{col}_TARGET_ENC_OOF")
+    prior = df.agg(F.avg(tgt)).collect()[0][0]
+    if prior is None:
+        raise ParameterException(f"target {tgt!r} has no non-null values")
+    fold = F.pmod(F.col(fkey).cast("bigint"), F.lit(folds))
+    src = df.withColumn("__fold", fold)
+    cat = src.groupBy(F.col(col).alias("__c")).agg(
+        F.sum(tgt).alias("__s_all"), F.count(tgt).alias("__c_all")
+    )
+    per_fold = src.groupBy(F.col(col).alias("__c"), F.col("__fold").alias("__ff")).agg(
+        F.sum(tgt).alias("__s_f"), F.count(tgt).alias("__c_f")
+    )
+    stats = per_fold.join(cat, "__c")
+    denom = F.col("__c_all") - F.col("__c_f") + F.lit(float(smoothing))
+    enc = F.when(
+        denom > 0,
+        (F.col("__s_all") - F.col("__s_f") + F.lit(float(smoothing)) * F.lit(prior)) / denom,
+    )
+    stats = stats.select("__c", "__ff", enc.alias("__enc"))
+    out = src.join(
+        stats,
+        (F.col(col) == F.col("__c")) & (F.col("__fold") == F.col("__ff")),
+        "left",
+    )
+    return out.withColumn(name, F.coalesce(F.col("__enc"), F.lit(prior))).drop(
+        "__fold", "__c", "__ff", "__enc"
+    )
+
+
+@renderer("target_encode_oof")
+def _r_target_encode_oof(source, column, target, fold_by, folds=5, smoothing=0.0) -> str:
+    name = cleanse_name(f"{column}_TARGET_ENC_OOF")
+    s = float(smoothing)
+    return (
+        f"SELECT * FROM ("
+        f"WITH __s AS (SELECT *, pmod(CAST({fold_by} AS BIGINT), {folds}) AS __fold "
+        f"FROM {source}), "
+        f"__p AS (SELECT AVG({target}) AS __prior FROM __s), "
+        f"__a AS (SELECT {column} AS __c, SUM({target}) AS __s_all, "
+        f"COUNT({target}) AS __c_all FROM __s GROUP BY {column}), "
+        f"__f AS (SELECT {column} AS __c, __fold AS __ff, SUM({target}) AS __s_f, "
+        f"COUNT({target}) AS __c_f FROM __s GROUP BY {column}, __fold) "
+        f"SELECT __s.* EXCEPT (__fold), COALESCE(CASE WHEN __c_all - __c_f + {s} > 0 "
+        f"THEN (__s_all - __s_f + {s} * __prior) / (__c_all - __c_f + {s}) END, __prior) "
+        f"AS {name} FROM __s CROSS JOIN __p "
+        f"LEFT JOIN (SELECT __f.__c, __f.__ff, __f.__s_f, __f.__c_f, __a.__s_all, "
+        f"__a.__c_all FROM __f JOIN __a ON __f.__c = __a.__c) __st "
+        f"ON __s.{column} = __st.__c AND __s.__fold = __st.__ff)"
+    )
+
+
 @spark_transform("impute", category="ml", streaming_ok=False)
 def impute(df: DataFrame, imputations: dict) -> DataFrame:
     """Fill NULLs with a constant or 'mean'/'median'/'mode' (reference

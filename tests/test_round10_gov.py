@@ -1,0 +1,235 @@
+"""Round-10 governance/analysis additions: target_encode_oof (leakage-safe
+k-fold mean encoding), psi_drift (population stability index), scd2 (type-2
+slowly-changing dimension), pmi_collocations (Church & Hanks PMI), and
+k_anonymize (Sweeney k-anonymity enforcement)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasgoql_spark.errors import ParameterException
+from rasgoql_spark.functions.curation import k_anonymize
+from rasgoql_spark.functions.snapshot import psi_drift, scd2
+from rasgoql_spark.functions.text import pmi_collocations
+from rasgoql_spark.operators.ml import target_encode_oof
+
+
+# ---------- target_encode_oof ----------
+
+
+@pytest.fixture(scope="module")
+def enc_df(spark):
+    # category A: target = fold id (0,1,2) x2 rows each; category B: one fold
+    rows = []
+    rid = 0
+    for fold in range(3):
+        for _ in range(2):
+            rows.append((rid * 3 + fold, "A", float(fold)))  # key % 3 == fold
+            rid += 1
+    rows.append((300, "B", 10.0))  # 300 % 3 == 0 -> fold 0, whole cat in one fold
+    return spark.createDataFrame(rows, "k long, cat string, y double")
+
+
+def test_oof_excludes_own_fold(spark, enc_df):
+    out = target_encode_oof(enc_df, "cat", "y", fold_by="k", folds=3)
+    got = {r["k"]: r["CAT_TARGET_ENC_OOF"] for r in out.collect()}
+    # fold 0 rows of A (keys 0,3): mean of folds 1,2 = (1+1+2+2)/4 = 1.5
+    assert got[0] == pytest.approx(1.5)
+    # fold 1 rows of A (keys 7,10): mean of folds 0,2 = (0+0+2+2)/4 = 1.0
+    assert got[7] == pytest.approx(1.0)
+    # fold 2 rows of A (keys 14,17): mean of folds 0,1 = 0.5
+    assert got[14] == pytest.approx(0.5)
+
+
+def test_oof_single_fold_category_falls_back_to_prior(spark, enc_df):
+    out = target_encode_oof(enc_df, "cat", "y", fold_by="k", folds=3)
+    prior = enc_df.agg(F.avg("y")).collect()[0][0]
+    got = {r["k"]: r["CAT_TARGET_ENC_OOF"] for r in out.collect()}
+    assert got[300] == pytest.approx(prior)
+
+
+def test_oof_smoothing_shrinks_toward_prior(spark, enc_df):
+    prior = enc_df.agg(F.avg("y")).collect()[0][0]
+    out = target_encode_oof(enc_df, "cat", "y", fold_by="k", folds=3, smoothing=4.0)
+    got = {r["k"]: r["CAT_TARGET_ENC_OOF"] for r in out.collect()}
+    # fold 0 of A: (sum_other + m*prior)/(cnt_other + m) = (6 + 4*prior)/8
+    assert got[0] == pytest.approx((6.0 + 4.0 * prior) / 8.0)
+
+
+def test_oof_validates(spark, enc_df):
+    with pytest.raises(ParameterException):
+        target_encode_oof(enc_df, "cat", "y", fold_by="k", folds=1)
+    with pytest.raises(ParameterException):
+        target_encode_oof(enc_df, "cat", "y", fold_by="k", smoothing=-1)
+
+
+def test_oof_no_extra_or_dropped_rows(spark, enc_df):
+    out = target_encode_oof(enc_df, "cat", "y", fold_by="k", folds=3)
+    assert out.count() == enc_df.count()
+    assert set(out.columns) == set(enc_df.columns) | {"CAT_TARGET_ENC_OOF"}
+
+
+# ---------- psi_drift ----------
+
+
+def test_psi_identical_distributions_zero(spark):
+    df = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+    out = psi_drift(df, df, "v", breakpoints=[3.0, 6.0])
+    rows = out.collect()
+    assert all(r["PSI_CONTRIB"] == 0.0 for r in rows)
+    assert all(r["PSI_TOTAL"] == 0.0 for r in rows)
+
+
+def test_psi_bins_and_null_bin(spark):
+    a = spark.createDataFrame(
+        [(None,), (1.0,), (5.0,), (9.0,)], "v double"
+    )
+    e = spark.createDataFrame([(1.0,), (5.0,), (5.0,), (9.0,)], "v double")
+    out = {r["BIN"]: r for r in psi_drift(a, e, "v", breakpoints=[3.0, 6.0]).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["ACTUAL_N"] == 1 and out[0]["EXPECTED_N"] == 0
+    assert out[1]["LO"] is None and out[1]["HI"] == 3.0
+    assert out[2]["LO"] == 3.0 and out[2]["HI"] == 6.0
+    assert out[3]["LO"] == 6.0 and out[3]["HI"] is None
+    # shifted mass must register a positive total
+    assert out[1]["PSI_TOTAL"] > 0
+
+
+def test_psi_validates(spark):
+    df = spark.range(5).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ParameterException):
+        psi_drift(df, df, "v", breakpoints=[5.0, 1.0])
+    with pytest.raises(ParameterException):
+        psi_drift(df, df, "v", breakpoints=[])
+    with pytest.raises(ParameterException):
+        psi_drift(df, df, "v", breakpoints=[1.0], epsilon=0)
+
+
+# ---------- scd2 ----------
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    rows = [
+        # key 1: changes at snap 2, stays
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "b"),
+        # key 2: never changes
+        (2, 1, "x"), (2, 2, "x"), (2, 3, "x"),
+        # key 3: appears at snap 2, changes at snap 3
+        (3, 2, "p"), (3, 3, "q"),
+    ]
+    return spark.createDataFrame(rows, "k int, snap int, val string")
+
+
+def test_scd2_history(spark, snaps):
+    out = scd2(snaps, keys=["k"], snapshot_col="snap")
+    got = sorted(
+        (r["k"], r["val"], r["VALID_FROM"], r["VALID_TO"], r["IS_CURRENT"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "a", 1, 2, 0),
+        (1, "b", 2, None, 1),
+        (2, "x", 1, None, 1),
+        (3, "p", 2, 3, 0),
+        (3, "q", 3, None, 1),
+    ]
+
+
+def test_scd2_null_values_tracked(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "v"), (1, 3, None)], "k int, snap int, val string"
+    )
+    out = scd2(df, keys=["k"], snapshot_col="snap")
+    got = sorted(
+        ((r["val"], r["VALID_FROM"], r["VALID_TO"]) for r in out.collect()),
+        key=lambda t: t[1],
+    )
+    assert got == [(None, 1, 2), ("v", 2, 3), (None, 3, None)]
+
+
+def test_scd2_validates(spark, snaps):
+    with pytest.raises(ParameterException):
+        scd2(snaps, keys=[], snapshot_col="snap")
+    only_keys = snaps.select("k", "snap")
+    with pytest.raises(ParameterException):
+        scd2(only_keys, keys=["k"], snapshot_col="snap")
+
+
+# ---------- pmi_collocations ----------
+
+
+def test_pmi_known_value(spark):
+    # corpus: "new york" x3, "old york" x1, filler tokens
+    docs = [("new york",)] * 3 + [("old york",)] + [("a b",)] * 2
+    df = spark.createDataFrame(docs, "text string")
+    out = pmi_collocations(df, "text", min_count=1, top_k=None)
+    got = {(r["WORD1"], r["WORD2"]): (r["N_PAIR"], r["PMI"]) for r in out.collect()}
+    n_pair, pmi = got[("new", "york")]
+    # N tokens = 12, c(new)=3, c(york)=4, c(new york)=3
+    assert n_pair == 3
+    assert pmi == pytest.approx(round(math.log(3 * 12 / (3 * 4)), 6))
+
+
+def test_pmi_min_count_filters(spark):
+    docs = [("new york",)] * 3 + [("old york",)]
+    df = spark.createDataFrame(docs, "text string")
+    out = pmi_collocations(df, "text", min_count=2, top_k=None)
+    pairs = {(r["WORD1"], r["WORD2"]) for r in out.collect()}
+    assert ("old", "york") not in pairs and ("new", "york") in pairs
+
+
+def test_pmi_validates(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ParameterException):
+        pmi_collocations(df, "text", min_count=0)
+
+
+# ---------- k_anonymize ----------
+
+
+@pytest.fixture(scope="module")
+def quasi_df(spark):
+    rows = [
+        (1, "NY", 30, "a"), (2, "NY", 30, "b"), (3, "NY", 30, "c"),
+        (4, "SF", 40, "d"), (5, "SF", 41, "e"),
+    ]
+    return spark.createDataFrame(rows, "id int, city string, age int, payload string")
+
+
+def test_k_anonymize_filter(spark, quasi_df):
+    out = k_anonymize(quasi_df, quasi_cols=["city", "age"], k=3, action="filter")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+    assert out.columns == quasi_df.columns
+
+
+def test_k_anonymize_flag(spark, quasi_df):
+    out = k_anonymize(quasi_df, quasi_cols=["city", "age"], k=3, action="flag")
+    got = {r["id"]: (r["GROUP_SIZE"], r["IS_K_ANON"]) for r in out.collect()}
+    assert got[1] == (3, 1) and got[4] == (1, 0)
+
+
+def test_k_anonymize_suppress(spark, quasi_df):
+    out = k_anonymize(quasi_df, quasi_cols=["city", "age"], k=3, action="suppress")
+    got = {r["id"]: (r["city"], r["age"], r["payload"]) for r in out.collect()}
+    assert got[1] == ("NY", 30, "a")           # anonymous: untouched
+    assert got[4] == (None, None, "d")         # rare combo: quasi nulled, payload kept
+    assert out.columns == quasi_df.columns
+
+
+def test_k_anonymize_nulls_group_together(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id int, q string"
+    )
+    out = k_anonymize(df, quasi_cols=["q"], k=2, action="filter")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_k_anonymize_validates(spark, quasi_df):
+    with pytest.raises(ParameterException):
+        k_anonymize(quasi_df, quasi_cols=[], k=3)
+    with pytest.raises(ParameterException):
+        k_anonymize(quasi_df, quasi_cols=["city"], k=1)
+    with pytest.raises(ParameterException):
+        k_anonymize(quasi_df, quasi_cols=["city"], k=3, action="drop")

@@ -379,6 +379,29 @@ CHAIN_CASES = [
             other=s.dataset("embeddings").filter(
                 filter_statements=["vec_id < 250"]))
         .drop_columns(exclude_cols=["embedding"])),
+    # round-10 governance ops
+    ("target_encode_oof", lambda s: s.dataset("orders").target_encode_oof(
+        column="o_orderpriority", target="o_totalprice",
+        fold_by="o_orderkey", folds=5, smoothing=2.0)),
+    ("psi_drift", lambda s: s.dataset("orders")
+        .filter(filter_statements=["o_totalprice > 50000"])
+        .psi_drift(other="orders", column="o_totalprice",
+                   breakpoints=[25000.0, 100000.0, 200000.0])),
+    ("scd2", lambda s: s.dataset("orders")
+        .apply(sql="SELECT o_orderkey, 1 AS snap, o_orderpriority AS prio "
+                   "FROM {{ source_table }} UNION ALL "
+                   "SELECT o_orderkey, 2 AS snap, CASE WHEN o_orderkey % 5 = 0 "
+                   "THEN 'X' ELSE o_orderpriority END AS prio "
+                   "FROM {{ source_table }}")
+        .scd2(keys=["o_orderkey"], snapshot_col="snap")),
+    ("pmi_collocations", lambda s: s.dataset("documents").pmi_collocations(
+        text="text", min_count=3, top_k=25)),
+    ("k_anonymize_flag", lambda s: s.dataset("customer").k_anonymize(
+        quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="flag")),
+    ("k_anonymize_filter", lambda s: s.dataset("customer").k_anonymize(
+        quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="filter")),
+    ("k_anonymize_suppress", lambda s: s.dataset("customer").k_anonymize(
+        quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="suppress")),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4
