@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import rasgoql_spark as rql  # noqa: E402
 from rasgoql_spark.functions.graph import pagerank_oracle_sql  # noqa: E402
+from rasgoql_spark.functions.layout import hilbert_sql as _hilbert_sql  # noqa: E402
 from rasgoql_spark.functions.logreg import logreg_oracle_sql  # noqa: E402
 from rasgoql_spark.functions.rproj import random_projection_oracle_sql  # noqa: E402
 from rasgoql_spark.functions.snapshot import diff_oracle_sql  # noqa: E402
@@ -1311,6 +1312,19 @@ def q_zorder(spark, sf):
         _s(spark, sf).dataset("orders")
         .zorder(columns=["o_custkey", "o_totalprice"], bits=8)
         .df.select("o_orderkey", "ZVALUE")
+    )
+
+
+def q_hilbert(spark, sf):
+    """Round 10: the 2-D Hilbert-curve layout key (hilbert(columns=...,
+    bits=8); the curve='hilbert' mode of save_shards). Same bucket
+    arithmetic as zorder; the xy2d walk is unrolled integer math emitted
+    by the dialect-neutral ``hilbert_sql`` helper, so the DuckDB oracle
+    replays the IDENTICAL expression text."""
+    return (
+        _s(spark, sf).dataset("orders")
+        .hilbert(columns=["o_custkey", "o_totalprice"], bits=8)
+        .df.select("o_orderkey", "HVALUE")
     )
 
 
@@ -4526,6 +4540,29 @@ ranked AS (
             )
             + " AS BIGINT) AS ZVALUE FROM zb"
         ))(),
+        # round 10: the Hilbert layout key — the bucket CTE is the zorder
+        # oracle's, the curve walk is the dialect-neutral hilbert_sql
+        # helper (the very text the renderer emits), so both engines
+        # evaluate the same expression tree over exact integer inputs
+        "hilbert": (lambda nb=256: (
+            "WITH zrng AS (SELECT CAST(min(o_custkey) AS DOUBLE) AS mn1, "
+            "CAST(max(o_custkey) AS DOUBLE) AS mx1, "
+            "CAST(min(o_totalprice) AS DOUBLE) AS mn2, "
+            "CAST(max(o_totalprice) AS DOUBLE) AS mx2 FROM orders) "
+            + _hilbert_sql(
+                "(SELECT o_orderkey, "
+                + ", ".join(
+                    f"COALESCE(LEAST(CAST({nb - 1} AS BIGINT), "
+                    f"GREATEST(CAST(0 AS BIGINT), "
+                    f"CAST(FLOOR((CAST({c} AS DOUBLE) - zrng.mn{i}) / "
+                    f"(zrng.mx{i} - zrng.mn{i}) * {float(nb)!r}) AS BIGINT))), "
+                    f"CAST(0 AS BIGINT)) AS b{i}"
+                    for i, c in ((1, "o_custkey"), (2, "o_totalprice"))
+                )
+                + " FROM orders CROSS JOIN zrng)",
+                "b1", "b2", 8, ["o_orderkey"], "HVALUE",
+            )
+        ))(),
         # round 10: IVFADC+R — the ADC replay plus the exact-refine stage
         # (rk <= k·factor survivors join back to the staged unit vectors)
         "similarity_search_ivfpq_rerank": _mk_ivfpq_sql(
@@ -5075,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "pmi_collocations": q_pmi_collocations,
         "k_anonymize": q_k_anonymize,
+        "hilbert": q_hilbert,
         # --- r9 front grouping (historical; see _R10_FRONT below for the
         # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
@@ -5298,6 +5336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2",
         "pmi_collocations",
         "k_anonymize",
+        "hilbert",
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
         "embedding_join_binary",
@@ -5315,9 +5354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
         "pivot", "quantiles", "rank", "repetition_stats", "rsi", "sankey",
         "semantic_dedup", "sliding_slope", "standard_scaler",
-        "target_encode",
-        # (text_quality, train_test_split, union, unpivot, winsorize yield
-        # their slots to the 5 new governance ops above)
+        # (target_encode, text_quality, train_test_split, union, unpivot,
+        # winsorize yield their slots to the 6 new ops above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

@@ -300,6 +300,7 @@ class SQLChain:
         sort_within=None,
         zorder_by=None,
         zorder_bits: int = 8,
+        curve: str = "morton",
         file_format: str = "parquet",
         mode: str = "error",
     ) -> str:
@@ -322,6 +323,10 @@ class SQLChain:
           clustered columns — the Delta/Iceberg OPTIMIZE ZORDER BY
           layout, as a write option. Mutually exclusive with ``by`` /
           ``sort_within`` (it IS a placement + order policy).
+          ``curve='hilbert'`` swaps the Morton interleave for the 2-D
+          Hilbert walk (exactly two columns) — no curve jumps, so key
+          ranges map to contiguous 2-D blocks and min/max pruning
+          tightens further (measured in SCALING.md).
 
         All sizing happens executor-side; nothing is collected (z-order
         adds one bounded 2-doubles-per-column range aggregate). Returns
@@ -340,13 +345,20 @@ class SQLChain:
                     "zorder_by is a placement + order policy; it cannot "
                     "combine with by/sort_within"
                 )
-            from .functions.layout import zvalue_expr
+            from .functions.layout import hilbert, zvalue_expr
 
             zcols = resolve_cols(df, as_list(zorder_by))
             n = num_shards or df.sparkSession.sparkContext.defaultParallelism
+            if curve == "hilbert":
+                df = hilbert(df, zcols, bits=zorder_bits, name="__z")
+            elif curve == "morton":
+                df = df.withColumn("__z", zvalue_expr(df, zcols, bits=zorder_bits))
+            else:
+                from .errors import ParameterException
+
+                raise ParameterException("curve must be 'morton' or 'hilbert'")
             df = (
-                df.withColumn("__z", zvalue_expr(df, zcols, bits=zorder_bits))
-                .repartitionByRange(n, _F.col("__z"))
+                df.repartitionByRange(n, _F.col("__z"))
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )

@@ -184,3 +184,160 @@ def _r_zorder(source, columns, bits=8, name="ZVALUE", ranges=None) -> str:
             )
     zexpr = " + ".join(terms) if terms else "CAST(0 AS BIGINT)"
     return f"SELECT *, {zexpr} AS {name} FROM {source}"
+
+
+# --- Hilbert curve (2-D) -------------------------------------------------
+
+def _hilbert_level_exprs(s: int, n: int, x: str, y: str, d: str) -> dict[str, str]:
+    """One unrolled iteration of the classic xy2d walk (public algorithm —
+    the Wikipedia/Hacker's-Delight formulation) as dialect-neutral SQL:
+    only ``&``, CASE, and integer arithmetic, which Spark SQL and DuckDB
+    evaluate identically. The quadrant index ``(3*rx) XOR ry`` is replaced
+    by the closed form ``3*rx + ry - 2*rx*ry`` (equal on {0,1} inputs), so
+    no dialect-specific XOR operator is needed."""
+    rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+    return {
+        "d": f"{d} + CAST({s * s} AS BIGINT) * (3 * {rx} + {ry} - 2 * {rx} * {ry})",
+        "x": (
+            f"CASE WHEN {ry} = 1 THEN {x} "
+            f"WHEN {rx} = 1 THEN {n - 1} - {y} ELSE {y} END"
+        ),
+        "y": (
+            f"CASE WHEN {ry} = 1 THEN {y} "
+            f"WHEN {rx} = 1 THEN {n - 1} - {x} ELSE {x} END"
+        ),
+    }
+
+
+def hilbert_sql(
+    source: str,
+    x_bucket: str,
+    y_bucket: str,
+    bits: int,
+    out_cols,
+    name: str = "HVALUE",
+) -> str:
+    """Full dialect-neutral (Spark SQL == DuckDB) rendering of the 2-D
+    Hilbert key: one nested subquery per bit level, so each level's (x, y,
+    d) state is named once and never re-expanded — the same staging the
+    DataFrame path uses. ``x_bucket``/``y_bucket`` are SQL expressions
+    yielding bigint buckets in [0, 2**bits)."""
+    n = 1 << bits
+    sql = (
+        f"(SELECT *, CAST({x_bucket} AS BIGINT) AS __gx0, "
+        f"CAST({y_bucket} AS BIGINT) AS __gy0, "
+        f"CAST(0 AS BIGINT) AS __gd0 FROM {source})"
+    )
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        e = _hilbert_level_exprs(1 << i, n, f"__gx{lvl}", f"__gy{lvl}", f"__gd{lvl}")
+        sql = (
+            f"(SELECT *, {e['d']} AS __gd{lvl + 1}, {e['x']} AS __gx{lvl + 1}, "
+            f"{e['y']} AS __gy{lvl + 1} FROM {sql})"
+        )
+        lvl += 1
+    cols = ", ".join(out_cols)
+    return f"SELECT {cols}, __gd{lvl} AS {name} FROM {sql}"
+
+
+@spark_transform("hilbert", category="layout", streaming_ok=False)
+def hilbert(
+    df: DataFrame,
+    columns,
+    bits: int = 8,
+    name: str = "HVALUE",
+    ranges: dict | None = None,
+) -> DataFrame:
+    """Append ``name`` (bigint): the 2-D Hilbert-curve key over exactly two
+    clustering columns (Hilbert 1891; the xy2d walk of the public
+    literature, unrolled ``bits`` levels). Same contract as ``zorder`` —
+    range-bucket each column into ``2**bits`` buckets between observed or
+    explicit ``ranges``, then map (x, y) to the curve position — but with
+    strictly better locality than Morton interleave: the Hilbert curve
+    never jumps, so consecutive key ranges are contiguous 2-D blocks and
+    parquet min/max pruning tightens on BOTH columns (measured vs Morton in
+    SCALING.md).
+
+    NULLs bucket to 0; out-of-range values clamp to edge buckets; exactly
+    two columns (the classic construction is 2-D; use ``zorder`` for d>2).
+
+    Scale: shuffle-free per-row integer math — ``bits`` staged projections
+    (each level's curve state is a named column, so the expression tree
+    stays linear in ``bits``), one aggregate for range discovery. The only
+    data movement is the range-repartition of the clustered write
+    (``save_shards``)."""
+    cols = [resolve_col(df, c) for c in as_list(columns)]
+    if len(cols) != 2:
+        raise ParameterException(
+            "hilbert needs exactly two columns (the classic 2-D curve); "
+            "use zorder for other dimensionalities"
+        )
+    if bits < 1 or bits > 16:
+        raise ParameterException("bits must be in [1, 16]")
+    if name in df.columns:
+        raise ParameterException(f"output column {name!r} already exists")
+    rng = dict(ranges) if ranges else zorder_ranges(df, cols)
+    nb = 1 << bits
+    for c in cols:
+        if c not in rng:
+            raise ParameterException(f"ranges is missing column {c!r}")
+    bx = _bucket_expr(_as_double(df, cols[0]), float(rng[cols[0]][0]),
+                      float(rng[cols[0]][1]), nb)
+    by = _bucket_expr(_as_double(df, cols[1]), float(rng[cols[1]][0]),
+                      float(rng[cols[1]][1]), nb)
+    out = df.withColumns({
+        "__gx0": bx.cast("bigint"),
+        "__gy0": by.cast("bigint"),
+        "__gd0": F.lit(0).cast("bigint"),
+    })
+    lvl = 0
+    for i in range(bits - 1, -1, -1):
+        e = _hilbert_level_exprs(1 << i, nb, f"__gx{lvl}", f"__gy{lvl}", f"__gd{lvl}")
+        out = out.withColumns({
+            f"__gd{lvl + 1}": F.expr(e["d"]),
+            f"__gx{lvl + 1}": F.expr(e["x"]),
+            f"__gy{lvl + 1}": F.expr(e["y"]),
+        })
+        lvl += 1
+    out = out.withColumn(name, F.col(f"__gd{lvl}"))
+    return out.drop(*[c for l in range(lvl + 1)
+                      for c in (f"__gx{l}", f"__gy{l}", f"__gd{l}")])
+
+
+@_renderer("hilbert")
+def _r_hilbert(source, columns, bits=8, name="HVALUE", ranges=None,
+               _input_columns=()) -> str:
+    """Rendered via :func:`hilbert_sql` (dialect-neutral); requires explicit
+    ``ranges`` — the zorder renderer convention."""
+    from ..errors import TransformRenderingException
+
+    cols = as_list(columns)
+    if len(cols) != 2:
+        raise ParameterException("hilbert needs exactly two columns")
+    if bits < 1 or bits > 16:
+        raise ParameterException("bits must be in [1, 16]")
+    if ranges is None:
+        raise TransformRenderingException(
+            "rendered hilbert needs explicit ranges={col: (min, max)} "
+            "(min/max discovery is a runtime aggregate)"
+        )
+    nb = 1 << bits
+
+    def bucket(c: str) -> str:
+        mn, mx = float(ranges[c][0]), float(ranges[c][1])
+        span = mx - mn
+        if span <= 0:
+            return "CAST(0 AS BIGINT)"
+        return (
+            f"COALESCE(LEAST(CAST({nb - 1} AS BIGINT), "
+            f"GREATEST(CAST(0 AS BIGINT), "
+            f"FLOOR((CAST({c} AS DOUBLE) - {mn!r}) / {span!r} * "
+            f"CAST({nb} AS DOUBLE)))), CAST(0 AS BIGINT))"
+        )
+
+    for c in cols:
+        if c not in ranges:
+            raise ParameterException(f"ranges is missing column {c!r}")
+    return hilbert_sql(source, bucket(cols[0]), bucket(cols[1]), bits,
+                       list(_input_columns), name)

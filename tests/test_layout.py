@@ -121,3 +121,110 @@ def test_save_shards_zorder_layout(session, spark, tmp_path):
     with pytest.raises(ParameterException, match="placement"):
         session.dataset("lineitem").save_shards(
             str(tmp_path / "zli2"), zorder_by=["l_partkey"], by=["l_orderkey"])
+
+
+# --- hilbert ---------------------------------------------------------------
+
+from rasgoql_spark.functions.layout import hilbert, hilbert_sql  # noqa: E402
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    """Reference implementation of the classic Hilbert xy2d walk."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_walk(spark):
+    """Every cell of the full 16x16 grid maps exactly to the classic xy2d
+    value, and the key is a bijection onto [0, n^2)."""
+    n = 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    out = hilbert(df, ["x", "y"], bits=4, ranges={"x": (0, n), "y": (0, n)})
+    got = {(r["x"], r["y"]): r["HVALUE"] for r in out.collect()}
+    assert all(got[(x, y)] == _xy2d(n, x, y) for x in range(n) for y in range(n))
+    assert sorted(got.values()) == list(range(n * n))
+
+
+def test_hilbert_locality_beats_morton(spark):
+    """The Hilbert curve never jumps: consecutive keys are always grid
+    neighbors (Chebyshev distance 1), which Morton violates at every
+    quadrant boundary. This is the property that tightens parquet min/max
+    pruning."""
+    n = 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    rng = {"x": (0, n), "y": (0, n)}
+    h = hilbert(df, ["x", "y"], bits=4, ranges=rng)
+    cells = {r["HVALUE"]: (r["x"], r["y"]) for r in h.collect()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # Manhattan-adjacent steps
+    z = zorder(df, ["x", "y"], bits=4, ranges=rng)
+    zcells = {r["ZVALUE"]: (r["x"], r["y"]) for r in z.collect()}
+    jumps = sum(
+        1
+        for d in range(n * n - 1)
+        if abs(zcells[d][0] - zcells[d + 1][0])
+        + abs(zcells[d][1] - zcells[d + 1][1])
+        > 1
+    )
+    assert jumps > 0  # Morton does jump; Hilbert (above) never does
+
+
+def test_hilbert_renderer_parity(orders, spark):
+    from rasgoql_spark.functions.layout import _r_hilbert, zorder_ranges
+
+    rng = zorder_ranges(orders, ["o_custkey", "o_totalprice"])
+    out = hilbert(orders, ["o_custkey", "o_totalprice"], bits=6, ranges=rng)
+    orders.createOrReplaceTempView("h_orders")
+    sql = _r_hilbert(
+        "h_orders", ["o_custkey", "o_totalprice"], bits=6, ranges=rng,
+        _input_columns=tuple(orders.columns),
+    )
+    via_sql = spark.sql(sql)
+    key = ["o_orderkey", "HVALUE"]
+    assert sorted(map(tuple, out.select(key).collect())) == sorted(
+        map(tuple, via_sql.select(key).collect())
+    )
+
+
+def test_hilbert_guards(orders):
+    with pytest.raises(ParameterException):
+        hilbert(orders, ["o_custkey"], bits=8)
+    with pytest.raises(ParameterException):
+        hilbert(orders, ["o_custkey", "o_totalprice", "o_orderkey"], bits=8)
+    with pytest.raises(ParameterException):
+        hilbert(orders, ["o_custkey", "o_totalprice"], bits=0)
+    with pytest.raises(TransformRenderingException):
+        from rasgoql_spark.functions.layout import _r_hilbert
+
+        _r_hilbert("t", ["a", "b"], ranges=None)
+
+
+def test_save_shards_hilbert_curve(session, tmp_path):
+    path = str(tmp_path / "hshards")
+    session.dataset("orders").save_shards(
+        path, num_shards=4, zorder_by=["o_custkey", "o_totalprice"],
+        curve="hilbert", mode="overwrite",
+    )
+    files = glob.glob(f"{path}/*.parquet")
+    assert files
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == session.dataset("orders").df.count()
+    with pytest.raises(ParameterException):
+        session.dataset("orders").save_shards(
+            str(tmp_path / "bad"), zorder_by=["o_custkey", "o_totalprice"],
+            curve="peano", mode="overwrite",
+        )

@@ -402,6 +402,9 @@ CHAIN_CASES = [
         quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="filter")),
     ("k_anonymize_suppress", lambda s: s.dataset("customer").k_anonymize(
         quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="suppress")),
+    ("hilbert", lambda s: s.dataset("orders").hilbert(
+        columns=["o_custkey", "o_totalprice"], bits=6,
+        ranges={"o_custkey": (0.0, 150.0), "o_totalprice": (900.0, 460000.0)})),
 ]
 
 # Deterministic URL soup: four surface forms per doc, two of which (the %4

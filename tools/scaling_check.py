@@ -24,6 +24,9 @@ QUERIES = [
     "dedup_against_bloom", "pagerank", "semantic_dedup", "logreg_score",
     "ngram_containment", "embedding_join_ivf", "dedup_against_embedding",
     "importance_sample",
+    # round-10 governance/analysis ops
+    "target_encode_oof", "psi_drift", "scd2", "pmi_collocations",
+    "k_anonymize",
 ]
 
 

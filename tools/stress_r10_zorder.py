@@ -80,10 +80,16 @@ def main() -> int:
     li.save_shards("/tmp/z_zorder", num_shards=32,
                    zorder_by=["l_partkey", "l_suppkey"], mode="overwrite")
     out["zorder_write_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    li.save_shards("/tmp/z_hilbert", num_shards=32,
+                   zorder_by=["l_partkey", "l_suppkey"], curve="hilbert",
+                   mode="overwrite")
+    out["hilbert_write_sec"] = round(time.time() - t0, 2)
 
     for tag, path in (("natural", "/tmp/z_natural"),
                       ("sorted1d", "/tmp/z_sorted1d"),
-                      ("zorder", "/tmp/z_zorder")):
+                      ("zorder", "/tmp/z_zorder"),
+                      ("hilbert", "/tmp/z_hilbert")):
         out[tag] = overlap_fraction(path)
         # Spark wall for the 2-D filtered count (row-group pruning live)
         df = spark.read.parquet(path)
