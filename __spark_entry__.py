@@ -2855,6 +2855,32 @@ def q_pmi_collocations(spark, sf):
     )
 
 
+def q_stream_psi_batch(spark, sf):
+    """Deterministic batch replay of the stream_psi per-micro-batch body
+    (snapshot.psi_against_stats against frozen psi_bin_stats baseline
+    proportions): three synthesized micro-batches (event_id % 3) scored
+    against the full-events baseline — exactly what each foreachBatch
+    invocation computes and sinks."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.snapshot import (
+        psi_against_stats,
+        psi_bin_stats,
+    )
+
+    ev = _s(spark, sf).dataset("events").df
+    bps = [10.0, 30.0, 80.0, 200.0]
+    stats = psi_bin_stats(ev, "value", bps)
+    parts = []
+    for b in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == b)
+        parts.append(
+            psi_against_stats(batch, "value", bps, stats)
+            .withColumn("BATCH", F.lit(b))
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
 def q_k_anonymize(spark, sf):
     return (
         _s(spark, sf).dataset("customer")
@@ -4059,6 +4085,36 @@ ranked AS (
             "FROM b JOIN u u1 ON b.WORD1 = u1.w JOIN u u2 ON b.WORD2 = u2.w CROSS JOIN n "
             "ORDER BY PMI DESC, WORD1, WORD2 LIMIT 50"
         ),
+        "stream_psi_batch": (
+            "WITH base AS (SELECT "
+            "CASE WHEN value IS NULL THEN 0 ELSE 1 "
+            "+ (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN value >= 30.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN value >= 80.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN value >= 200.0 THEN 1 ELSE 0 END) END AS BIN, "
+            "COUNT(*) AS N FROM events GROUP BY 1), "
+            "exp AS (SELECT BIN, N / (SELECT SUM(N) FROM base) AS EXP FROM base), "
+            "b AS (SELECT CAST(event_id % 3 AS INT) AS BATCH, "
+            "CASE WHEN value IS NULL THEN 0 ELSE 1 "
+            "+ (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN value >= 30.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN value >= 80.0 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN value >= 200.0 THEN 1 ELSE 0 END) END AS BIN, "
+            "COUNT(*) AS AN FROM events GROUP BY 1, 2), "
+            "grid AS (SELECT g.BATCH, exp.BIN, exp.EXP, COALESCE(b.AN, 0) AS AN "
+            "FROM (SELECT DISTINCT BATCH FROM b) g CROSS JOIN exp "
+            "LEFT JOIN b ON b.BATCH = g.BATCH AND b.BIN = exp.BIN), "
+            "t AS (SELECT *, SUM(AN) OVER (PARTITION BY BATCH) AS TA FROM grid), "
+            "s AS (SELECT BATCH, BIN, AN, "
+            "CASE WHEN TA > 0 THEN AN / (TA * 1.0) ELSE 0.0 END AS PA, EXP FROM t) "
+            "SELECT BATCH, BIN, CAST(AN AS BIGINT) AS ACTUAL_N, "
+            "ROUND(PA, 6) AS ACTUAL_PCT, ROUND(EXP, 6) AS EXPECTED_PCT, "
+            "ROUND((GREATEST(PA, 1e-6) - GREATEST(EXP, 1e-6)) * "
+            "LN(GREATEST(PA, 1e-6) / GREATEST(EXP, 1e-6)), 6) AS PSI_CONTRIB, "
+            "ROUND(SUM(ROUND((GREATEST(PA, 1e-6) - GREATEST(EXP, 1e-6)) * "
+            "LN(GREATEST(PA, 1e-6) / GREATEST(EXP, 1e-6)), 6)) "
+            "OVER (PARTITION BY BATCH), 6) AS PSI_TOTAL FROM s"
+        ),
         "k_anonymize": (
             "SELECT c_custkey, "
             "CAST(COUNT(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS BIGINT) "
@@ -5113,6 +5169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "k_anonymize": q_k_anonymize,
         "hilbert": q_hilbert,
+        "stream_psi_batch": q_stream_psi_batch,
         # --- r9 front grouping (historical; see _R10_FRONT below for the
         # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
@@ -5337,6 +5394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations",
         "k_anonymize",
         "hilbert",
+        "stream_psi_batch",
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
         "embedding_join_binary",
@@ -5353,9 +5411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein", "market_basket", "min_max_scaler",
         "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
         "pivot", "quantiles", "rank", "repetition_stats", "rsi", "sankey",
-        "semantic_dedup", "sliding_slope", "standard_scaler",
-        # (target_encode, text_quality, train_test_split, union, unpivot,
-        # winsorize yield their slots to the 6 new ops above)
+        "semantic_dedup", "sliding_slope",
+        # (standard_scaler, target_encode, text_quality, train_test_split,
+        # union, unpivot, winsorize yield their slots to the 7 new ops
+        # above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

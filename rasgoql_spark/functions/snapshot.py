@@ -371,3 +371,93 @@ def _r_scd2(source, keys, snapshot_col, compare_cols=None, _input_columns=()) ->
         f"ORDER BY {snapshot_col}) IS NULL THEN 1 ELSE 0 END AS IS_CURRENT "
         f"FROM __c WHERE __prev IS NULL OR __prev != __rh)"
     )
+
+
+def _psi_bin_col(d: DataFrame, column: str, bps: list[float]):
+    """Bin-id Column for :func:`psi_drift`'s binning contract (bin 0 =
+    NULL, bin 1 = below the first edge, bin len(bps)+1 = at/above the
+    last)."""
+    c = F.col(resolve_col(d, column))
+    b = F.lit(1)
+    for bp in bps:
+        b = b + F.when(c >= F.lit(bp), 1).otherwise(0)
+    return F.when(c.isNull(), F.lit(0)).otherwise(b)
+
+
+def psi_bin_stats(df: DataFrame, column: str, breakpoints) -> dict[int, float]:
+    """The EXPECTED side of PSI monitoring, frozen: per-bin proportions of
+    the accepted baseline as a plain dict — a bounded collect of at most
+    ``len(breakpoints) + 2`` rows. Compute once per corpus release and
+    reuse across every micro-batch / incremental check (the amortized
+    regime ``stream_psi`` runs in)."""
+    bps = [float(b) for b in as_list(breakpoints)]
+    if not bps or sorted(bps) != bps:
+        raise ParameterException("breakpoints must be a non-empty ascending list")
+    rows = (
+        df.select(_psi_bin_col(df, column, bps).alias("BIN"))
+        .groupBy("BIN")
+        .agg(F.count(F.lit(1)).alias("N"))
+        .collect()
+    )
+    total = sum(r["N"] for r in rows)
+    if total == 0:
+        raise ParameterException("baseline is empty")
+    return {int(r["BIN"]): r["N"] / total for r in rows}
+
+
+def psi_against_stats(
+    df: DataFrame,
+    column: str,
+    breakpoints,
+    expected: dict[int, float],
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """PSI of ``df`` against FROZEN baseline proportions (from
+    :func:`psi_bin_stats`) — the per-micro-batch body of ``stream_psi``
+    and the incremental-release check. Output matches ``psi_drift`` minus
+    the EXPECTED_N count (the baseline is a proportion vector here):
+    ``BIN, ACTUAL_N, ACTUAL_PCT, EXPECTED_PCT, PSI_CONTRIB, PSI_TOTAL``.
+
+    Scale: ONE hash aggregate on the bin id; the expected side is a
+    ≤ |bins|+1-row literal frame, so everything after the aggregate is
+    constant-size."""
+    bps = [float(b) for b in as_list(breakpoints)]
+    if not bps or sorted(bps) != bps:
+        raise ParameterException("breakpoints must be a non-empty ascending list")
+    if epsilon <= 0:
+        raise ParameterException("epsilon must be > 0")
+    if not expected:
+        raise ParameterException("expected bin stats are empty")
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(int(b), float(p)) for b, p in sorted(expected.items())],
+        "BIN int, __EXP double",
+    )
+    a = (
+        df.select(_psi_bin_col(df, column, bps).alias("BIN"))
+        .groupBy("BIN")
+        .agg(F.count(F.lit(1)).alias("ACTUAL_N"))
+    )
+    j = (
+        a.join(exp, "BIN", "full_outer")
+        .select(
+            "BIN",
+            F.coalesce("ACTUAL_N", F.lit(0)).alias("ACTUAL_N"),
+            F.coalesce("__EXP", F.lit(0.0)).alias("__EXP"),
+        )
+    )
+    tot_a = F.sum("ACTUAL_N").over(Window.partitionBy())
+    pct_a = F.when(tot_a > 0, F.col("ACTUAL_N") / tot_a).otherwise(F.lit(0.0))
+    p = F.greatest(pct_a, F.lit(float(epsilon)))
+    q = F.greatest(F.col("__EXP"), F.lit(float(epsilon)))
+    contrib = F.round((p - q) * F.log(p / q), 6)
+    out = j.select(
+        "BIN",
+        F.col("ACTUAL_N").cast("bigint").alias("ACTUAL_N"),
+        F.round(pct_a, 6).alias("ACTUAL_PCT"),
+        F.round(F.col("__EXP"), 6).alias("EXPECTED_PCT"),
+        contrib.alias("PSI_CONTRIB"),
+    )
+    return out.withColumn(
+        "PSI_TOTAL", F.round(F.sum("PSI_CONTRIB").over(Window.partitionBy()), 6)
+    )

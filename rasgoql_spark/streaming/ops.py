@@ -910,3 +910,68 @@ def write_stream_shards(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_psi(
+    df: DataFrame,
+    column: str,
+    breakpoints,
+    checkpoint: str,
+    baseline: DataFrame | None = None,
+    expected: dict | None = None,
+    sink_path: str | None = None,
+    sink_table: str | None = None,
+    epsilon: float = 1e-6,
+):
+    """Streaming drift monitor — the governance shape of the crawl-ingest
+    family: every micro-batch's distribution over ``column`` is scored as a
+    Population Stability Index against the ACCEPTED baseline, and the
+    per-bin PSI report (``snapshot.psi_against_stats`` schema) lands in the
+    monitoring sink, one partition per batch. Alert on ``PSI_TOTAL``
+    (> 0.25 = act) from the sink table; the stream never blocks ingest.
+
+    The baseline side is FROZEN proportions: pass ``expected`` (the dict
+    ``snapshot.psi_bin_stats`` returns — compute once per corpus release)
+    or a static ``baseline`` DataFrame to derive it here (one bounded
+    ≤ |bins|+1-row collect). Per-batch cost is ONE hash aggregate on the
+    bin id regardless of corpus size — the same amortized regime as
+    ``stream_dedup_against`` over a prebuilt index.
+
+    Exactly-once under replay via the shared ``_exactly_once_sink``;
+    ``availableNow`` trigger (drains then stops; production restarts resume
+    from the checkpoint)."""
+    from ..functions.snapshot import psi_against_stats, psi_bin_stats
+
+    if not df.isStreaming:
+        raise ParameterException(
+            "stream_psi expects a streaming DataFrame (use psi_drift for "
+            "batch-vs-batch comparison)"
+        )
+    # fail fast BEFORE .start(): foreachBatch errors only surface per-batch
+    bps = [float(b) for b in (breakpoints if isinstance(breakpoints, (list, tuple)) else [breakpoints])]
+    if not bps or sorted(bps) != bps:
+        raise ParameterException("breakpoints must be a non-empty ascending list")
+    if epsilon <= 0:
+        raise ParameterException("epsilon must be > 0")
+    if (baseline is None) == (expected is None):
+        raise ParameterException(
+            "pass exactly one of baseline (static frame) or expected "
+            "(psi_bin_stats dict)"
+        )
+    if sink_path is None and sink_table is None:
+        raise ParameterException("stream_psi needs a sink_path or sink_table")
+    stats = dict(expected) if expected is not None else psi_bin_stats(
+        baseline, column, bps
+    )
+
+    def score(b: DataFrame) -> DataFrame:
+        return psi_against_stats(b, column, bps, stats, epsilon=epsilon)
+
+    return (
+        df.writeStream
+        .foreachBatch(_exactly_once_sink(score, sink_path, sink_table,
+                                         df.sparkSession))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1034,3 +1034,75 @@ def test_stream_embedding_join_all_index_types(spark, tmp_path_factory):
         bidx.release()
         pidx.release()
         vidx.release()
+
+
+def test_stream_psi_drift_monitor(spark, tmp_path_factory):
+    """Streaming drift monitor: two micro-batches score PSI against frozen
+    baseline proportions; batch 1 matches the baseline (PSI ~ 0), batch 2
+    is shifted (PSI > 0.25); per-batch reports land in partitioned sinks
+    and match the batch-mode psi_against_stats exactly."""
+    from rasgoql_spark.functions.snapshot import (
+        psi_against_stats,
+        psi_bin_stats,
+    )
+    from rasgoql_spark.streaming.ops import stream_psi
+
+    tmp = tmp_path_factory.mktemp("spsi")
+    baseline = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "v double"
+    )
+    stats = psi_bin_stats(baseline, "v", [25.0, 50.0, 75.0])
+    # batch 1: same uniform shape; batch 2: mass pushed into the top bin
+    b1 = [(float(v),) for v in range(0, 100, 2)]
+    b2 = [(float(80 + (v % 20)),) for v in range(50)]
+    src = str(tmp / "in")
+    spark.createDataFrame(b1, "v double").coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, "v double").coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema("v double")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp / "out")
+    q = stream_psi(
+        sdf, "v", [25.0, 50.0, 75.0], checkpoint=str(tmp / "ckpt"),
+        expected=stats, sink_path=sink,
+    )
+    q.awaitTermination(180)
+    out = spark.read.option("basePath", sink).parquet(sink)
+    totals = {
+        r["batch"]: r["PSI_TOTAL"]
+        for r in out.select("batch", "PSI_TOTAL").distinct().collect()
+    }
+    assert len(totals) == 2
+    low, high = sorted(totals.values())
+    assert low < 0.01      # uniform batch: no drift
+    assert high > 0.25     # shifted batch: actionable drift
+    # per-batch report equals the batch-mode computation bit-for-bit
+    batch2 = spark.createDataFrame(b2, "v double")
+    want = sorted(map(tuple, psi_against_stats(
+        batch2, "v", [25.0, 50.0, 75.0], stats).collect()))
+    drifted_batch = max(totals, key=totals.get)
+    got = sorted(map(tuple, out.filter(F.col("batch") == drifted_batch)
+                 .drop("batch").collect()))
+    assert got == want
+
+
+def test_stream_psi_validates_before_start(spark, tmp_path_factory):
+    from rasgoql_spark.streaming.ops import stream_psi
+
+    tmp = tmp_path_factory.mktemp("spsi_v")
+    src = str(tmp / "in")
+    spark.createDataFrame([(1.0,)], "v double").write.parquet(src)
+    sdf = spark.readStream.schema("v double").parquet(src)
+    baseline = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(rql.ParameterException):   # descending breakpoints
+        stream_psi(sdf, "v", [5.0, 1.0], checkpoint=str(tmp / "c1"),
+                   baseline=baseline, sink_path=str(tmp / "o1"))
+    with pytest.raises(rql.ParameterException):   # both baseline and expected
+        stream_psi(sdf, "v", [1.0], checkpoint=str(tmp / "c2"),
+                   baseline=baseline, expected={1: 1.0},
+                   sink_path=str(tmp / "o2"))
+    with pytest.raises(rql.ParameterException):   # no sink
+        stream_psi(sdf, "v", [1.0], checkpoint=str(tmp / "c3"),
+                   baseline=baseline)
+    with pytest.raises(rql.ParameterException):   # batch frame
+        stream_psi(baseline, "v", [1.0], checkpoint=str(tmp / "c4"),
+                   baseline=baseline, sink_path=str(tmp / "o4"))
