@@ -2855,6 +2855,14 @@ def q_pmi_collocations(spark, sf):
     )
 
 
+def q_mutual_information(spark, sf):
+    return (
+        _s(spark, sf).dataset("orders")
+        .mutual_information(x="o_orderpriority", y="o_orderstatus")
+        .df
+    )
+
+
 def q_stream_psi_batch(spark, sf):
     """Deterministic batch replay of the stream_psi per-micro-batch body
     (snapshot.psi_against_stats against frozen psi_bin_stats baseline
@@ -4085,6 +4093,15 @@ ranked AS (
             "FROM b JOIN u u1 ON b.WORD1 = u1.w JOIN u u2 ON b.WORD2 = u2.w CROSS JOIN n "
             "ORDER BY PMI DESC, WORD1, WORD2 LIMIT 50"
         ),
+        "mutual_information": (
+            "SELECT ROUND(SUM(__t), 6) AS MUTUAL_INFORMATION FROM ("
+            "SELECT (__n / (SUM(__n) OVER ())) * "
+            "LN((__n / (SUM(__n) OVER ())) / "
+            "(((SUM(__n) OVER (PARTITION BY o_orderpriority)) / (SUM(__n) OVER ())) * "
+            "((SUM(__n) OVER (PARTITION BY o_orderstatus)) / (SUM(__n) OVER ())))) AS __t "
+            "FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS __n "
+            "FROM orders GROUP BY o_orderpriority, o_orderstatus))"
+        ),
         "stream_psi_batch": (
             "WITH base AS (SELECT "
             "CASE WHEN value IS NULL THEN 0 ELSE 1 "
@@ -5170,6 +5187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymize": q_k_anonymize,
         "hilbert": q_hilbert,
         "stream_psi_batch": q_stream_psi_batch,
+        "mutual_information": q_mutual_information,
         # --- r9 front grouping (historical; see _R10_FRONT below for the
         # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
@@ -5395,6 +5413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymize",
         "hilbert",
         "stream_psi_batch",
+        "mutual_information",
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
         "embedding_join_binary",
@@ -5411,10 +5430,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein", "market_basket", "min_max_scaler",
         "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
         "pivot", "quantiles", "rank", "repetition_stats", "rsi", "sankey",
-        "semantic_dedup", "sliding_slope",
-        # (standard_scaler, target_encode, text_quality, train_test_split,
-        # union, unpivot, winsorize yield their slots to the 7 new ops
-        # above)
+        "semantic_dedup",
+        # (sliding_slope, standard_scaler, target_encode, text_quality,
+        # train_test_split, union, unpivot, winsorize yield their slots to
+        # the 8 new ops above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

@@ -192,6 +192,46 @@ def _r_entropy(source, group_by, column) -> str:
     )
 
 
+@spark_transform("mutual_information", category="aggregate", streaming_ok=False)
+def mutual_information(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Mutual information I(X;Y) in nats between two categorical columns —
+    the standard feature-relevance / redundancy screen (Cover & Thomas
+    formulation): ``sum_xy p(x,y) * ln(p(x,y) / (p(x) p(y)))``. NULL is a
+    regular category (it carries dependence information). Returns one row
+    ``(MUTUAL_INFORMATION,)`` rounded to 6 dp.
+
+    Scale: one hash aggregate on (x, y) builds the contingency table; the
+    marginals are window sums OVER the contingency frame (|X|·|Y| rows,
+    not the fact table), so the facts shuffle exactly once."""
+    from pyspark.sql import Window
+
+    cx, cy = resolve_col(df, x), resolve_col(df, y)
+    cells = df.groupBy(cx, cy).agg(F.count(F.lit(1)).alias("__n"))
+    n_tot = F.sum("__n").over(Window.partitionBy())
+    # probabilities as double divisions BEFORE any multiply — bigint
+    # products n*N would overflow at extreme row counts
+    p_xy = F.col("__n") / n_tot
+    p_x = F.sum("__n").over(Window.partitionBy(cx)) / n_tot
+    p_y = F.sum("__n").over(Window.partitionBy(cy)) / n_tot
+    term = p_xy * F.log(p_xy / (p_x * p_y))
+    return (
+        cells.select(term.alias("__t"))
+        .agg(F.round(F.sum("__t"), 6).alias("MUTUAL_INFORMATION"))
+    )
+
+
+@renderer("mutual_information")
+def _r_mutual_information(source, x, y) -> str:
+    p_xy = "(__n / (SUM(__n) OVER ()))"
+    p_x = f"((SUM(__n) OVER (PARTITION BY {x})) / (SUM(__n) OVER ()))"
+    p_y = f"((SUM(__n) OVER (PARTITION BY {y})) / (SUM(__n) OVER ()))"
+    return (
+        f"SELECT ROUND(SUM(__t), 6) AS MUTUAL_INFORMATION FROM ("
+        f"SELECT {p_xy} * LN({p_xy} / ({p_x} * {p_y})) AS __t FROM ("
+        f"SELECT {x}, {y}, COUNT(*) AS __n FROM {source} GROUP BY {x}, {y}))"
+    )
+
+
 @spark_transform("ratio_with_shrinkage", category="aggregate", streaming_ok=False)
 def ratio_with_shrinkage(
     df: DataFrame, group_by, value: str, k: float = 100.0

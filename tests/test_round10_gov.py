@@ -233,3 +233,37 @@ def test_k_anonymize_validates(spark, quasi_df):
         k_anonymize(quasi_df, quasi_cols=["city"], k=1)
     with pytest.raises(ParameterException):
         k_anonymize(quasi_df, quasi_cols=["city"], k=3, action="drop")
+
+
+# ---------- mutual_information ----------
+
+
+def test_mi_independent_is_zero(spark):
+    from rasgoql_spark.operators.aggregates import mutual_information
+
+    # perfectly independent 2x2 grid, 4 rows each
+    rows = [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(4)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_information(df, "a", "b").collect()[0][0]
+    assert got == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mi_identical_equals_entropy(spark):
+    from rasgoql_spark.operators.aggregates import mutual_information
+
+    # X == Y -> I(X;Y) = H(X); p = (0.5, 0.25, 0.25)
+    rows = [("a",)] * 2 + [("b",)] * 1 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "x string").withColumn("y", F.col("x"))
+    got = mutual_information(df, "x", "y").collect()[0][0]
+    h = -(0.5 * math.log(0.5) + 0.25 * math.log(0.25) + 0.25 * math.log(0.25))
+    assert got == pytest.approx(round(h, 6))
+
+
+def test_mi_nulls_are_a_category(spark):
+    from rasgoql_spark.operators.aggregates import mutual_information
+
+    # y = (x is null): fully dependent through the NULL category
+    rows = [(None, 1)] * 3 + [("v", 0)] * 3
+    df = spark.createDataFrame(rows, "x string, y int")
+    got = mutual_information(df, "x", "y").collect()[0][0]
+    assert got == pytest.approx(round(math.log(2), 6))

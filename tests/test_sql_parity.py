@@ -402,6 +402,8 @@ CHAIN_CASES = [
         quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="filter")),
     ("k_anonymize_suppress", lambda s: s.dataset("customer").k_anonymize(
         quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="suppress")),
+    ("mutual_information", lambda s: s.dataset("orders").mutual_information(
+        x="o_orderpriority", y="o_orderstatus")),
     ("hilbert", lambda s: s.dataset("orders").hilbert(
         columns=["o_custkey", "o_totalprice"], bits=6,
         ranges={"o_custkey": (0.0, 150.0), "o_totalprice": (900.0, 460000.0)})),
