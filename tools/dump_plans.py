@@ -212,6 +212,27 @@ ANNOTATED = [
      "BroadcastNestedLoopJoin, no CartesianProduct); the left side's "
      "<=3-bucket probe is a bounded Generate (explode) before the join; "
      "levenshtein verification runs row-local on candidates only."),
+    ("target_encode_oof (round 10)", "target_encode_oof",
+     "Leakage-safe encoding with NO whole-table window: two partial+final "
+     "hash aggregates produce the slim (category[, fold]) stats, AQE "
+     "broadcasts them back onto the facts — the fact table never sorts "
+     "and never shuffles for the join."),
+    ("k_anonymize (round 10)", "k_anonymize",
+     "ONE hash shuffle on the quasi-identifier key (window count without "
+     "ordering); no second pass, no collect — the skewed combos are "
+     "exactly the k-anonymous ones, so skew lands where no further work "
+     "happens."),
+    ("hilbert (round 10)", "hilbert",
+     "Shuffle-free per-row integer math: the unrolled xy2d walk stays one "
+     "WholeStageCodegen project chain over the scan (each curve level a "
+     "named column — linear, not exponential, expression growth); the "
+     "only aggregate is the bounded 2-doubles-per-column range "
+     "discovery."),
+    ("pmi_collocations (round 10)", "pmi_collocations",
+     "Distributed counting end-to-end: bigram and unigram tables are "
+     "partial+final hash aggregates; N attaches as a broadcast one-row "
+     "crossJoin; top-k plans as TakeOrderedAndProject — no global sort, "
+     "no collect."),
 ]
 
 
