@@ -648,19 +648,25 @@ def pmi_collocations(
     min_count`` (the classic low-count PMI-inflation guard), PMI rounded to
     6 dp, ordered by PMI desc then words, top_k rows.
 
-    Scale: tokens stage as a real column; bigram and unigram tables are
+    Scale: tokens stage as a real column and are SCOPED-PERSISTED (two
+    consumers — the unigram and bigram aggregates — would otherwise each
+    re-tokenize the corpus); the unigram table is persisted too (three
+    consumers: N, both attachment joins). Both caches release when the
+    result is dropped (``_cache.release_with``). The aggregates are
     partial/final hash aggregates (shuffle carries distinct grams per
     partition, not occurrences); N is a one-row aggregate attached by
-    broadcast cross-join; the two unigram attachments are key joins on the
-    vocabulary table. ``top_k`` plans as TakeOrderedAndProject."""
+    broadcast cross-join. ``top_k`` plans as TakeOrderedAndProject."""
     if min_count < 1:
         raise ParameterException("min_count must be >= 1")
     t = resolve_col(df, text)
     from ..operators._util import spread
+    from ._cache import release_with, scoped_persist
 
-    staged = spread(df).select(tokens_expr(F.col(t)).alias("__tk"))
+    staged = scoped_persist(
+        spread(df).select(tokens_expr(F.col(t)).alias("__tk"))
+    )
     toks = F.col("__tk")
-    uni = (
+    uni = scoped_persist(
         staged.select(F.explode(toks).alias("W"))
         .groupBy("W")
         .agg(F.count(F.lit(1)).alias("C"))
@@ -707,7 +713,7 @@ def pmi_collocations(
     )
     if top_k is not None:
         out = out.orderBy(F.col("PMI").desc(), "WORD1", "WORD2").limit(top_k)
-    return out
+    return release_with(out, staged, uni)
 
 
 @renderer("pmi_collocations")
