@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 197 entries, ALL 197 with DuckDB oracles (round 4
+streaming extensions) — 205 entries, ALL 205 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -5174,10 +5174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first, then the stalest entries by last DRIVER verification. The
     # literal dict below keeps its historical (r9) grouping for
     # readability; the _R10_FRONT reorder at the bottom of this function
-    # executes the r9 verdict's staleness plan: the 7 new r10 operators,
-    # then the full 43-entry remaining r6-stale block to fill 50 — union
-    # max-staleness drops to r7. All 197 entries pass tools/oracle_check.py locally (fresh
-    # full run recorded in COVERAGE.md).
+    # executes the r9 verdict's staleness plan: the 8 mid-round governance/
+    # analysis operators, the 7 earlier r10 operators, then the remaining
+    # r6-stale block to fill 50 (its alphabetical tail yields slots to the
+    # new ops and re-fronts next round) — union max-staleness r6/r7. All
+    # 205 entries pass tools/oracle_check.py locally (fresh full run
+    # recorded in COVERAGE.md).
     base = {
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
