@@ -5404,10 +5404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolling_agg_range, which the r9 gate refreshed) — the r9 verdict's
     # task #2.
     front = [
-        # new operators first (never driver-verified): the 5 governance/
-        # analysis ops added mid-round-10 displace the alphabetical tail of
-        # the r6-stale block (those 5 stay r6-verified, re-fronted next
-        # round per the standing staleness policy)
+        # new operators first (never driver-verified): the 8 mid-round-10
+        # governance/analysis ops displace the alphabetical tail of the
+        # r6-stale block (those 8 stay r6-verified, re-fronted next round
+        # per the standing staleness policy)
         "target_encode_oof",
         "psi_drift",
         "scd2",

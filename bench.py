@@ -352,6 +352,9 @@ BENCH_QUERIES = {
     # amortized path, and the Morton layout key
     "llm_ivfpq_rerank_prebuilt": _llm_ivfpq_rerank_prebuilt,
     "llm_zorder": _llm_zorder,
+    # round-10 text-analysis addition: PMI collocation mining (distributed
+    # bigram/unigram counting over the scoped-persisted token stage)
+    "llm_pmi_collocations": entry.q_pmi_collocations,
 }
 
 

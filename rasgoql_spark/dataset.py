@@ -337,6 +337,17 @@ class SQLChain:
         from .operators._util import as_list, resolve_cols
 
         df = self._df
+        if curve not in ("morton", "hilbert"):
+            from .errors import ParameterException
+
+            raise ParameterException("curve must be 'morton' or 'hilbert'")
+        if curve != "morton" and not zorder_by:
+            from .errors import ParameterException
+
+            raise ParameterException(
+                "curve is a zorder_by option; pass zorder_by=[...] to "
+                "request a clustered layout"
+            )
         if zorder_by:
             if by or sort_within:
                 from .errors import ParameterException
@@ -351,12 +362,8 @@ class SQLChain:
             n = num_shards or df.sparkSession.sparkContext.defaultParallelism
             if curve == "hilbert":
                 df = hilbert(df, zcols, bits=zorder_bits, name="__z")
-            elif curve == "morton":
+            else:  # 'morton' — curve validated above
                 df = df.withColumn("__z", zvalue_expr(df, zcols, bits=zorder_bits))
-            else:
-                from .errors import ParameterException
-
-                raise ParameterException("curve must be 'morton' or 'hilbert'")
             df = (
                 df.repartitionByRange(n, _F.col("__z"))
                 .sortWithinPartitions("__z")

@@ -199,12 +199,7 @@ def psi_drift(
         raise ParameterException("epsilon must be > 0")
 
     def binned(d: DataFrame, col: str, n_alias: str) -> DataFrame:
-        c = F.col(resolve_col(d, col))
-        b = F.lit(1)
-        for bp in bps:
-            b = b + F.when(c >= F.lit(bp), 1).otherwise(0)
-        b = F.when(c.isNull(), F.lit(0)).otherwise(b)
-        return d.select(b.alias("BIN")).groupBy("BIN").agg(
+        return d.select(_psi_bin_col(d, col, bps).alias("BIN")).groupBy("BIN").agg(
             F.count(F.lit(1)).alias(n_alias)
         )
 
@@ -218,12 +213,15 @@ def psi_drift(
             F.coalesce("EXPECTED_N", F.lit(0)).alias("EXPECTED_N"),
         )
     )
-    from pyspark.sql import Window
-
     tot_a = F.sum("ACTUAL_N").over(Window.partitionBy())
     tot_e = F.sum("EXPECTED_N").over(Window.partitionBy())
-    p = F.greatest(F.col("ACTUAL_N") / tot_a, F.lit(float(epsilon)))
-    q = F.greatest(F.col("EXPECTED_N") / tot_e, F.lit(float(epsilon)))
+    # guard the empty-side division: 0/0 is NaN and greatest(NaN, eps) is
+    # NaN in Spark — an empty frame must floor to epsilon, not poison
+    # every row (the documented 'stays finite' contract)
+    pct_a = F.when(tot_a > 0, F.col("ACTUAL_N") / tot_a).otherwise(F.lit(0.0))
+    pct_e = F.when(tot_e > 0, F.col("EXPECTED_N") / tot_e).otherwise(F.lit(0.0))
+    p = F.greatest(pct_a, F.lit(float(epsilon)))
+    q = F.greatest(pct_e, F.lit(float(epsilon)))
     contrib = F.round((p - q) * F.log(p / q), 6)
     lo_map = {i + 1: bps[i - 1] if i >= 1 else None for i in range(len(bps) + 1)}
     hi_map = {i + 1: bps[i] if i < len(bps) else None for i in range(len(bps) + 1)}
@@ -240,8 +238,8 @@ def psi_drift(
         hi.alias("HI"),
         F.col("ACTUAL_N").cast("bigint").alias("ACTUAL_N"),
         F.col("EXPECTED_N").cast("bigint").alias("EXPECTED_N"),
-        F.round(F.col("ACTUAL_N") / tot_a, 6).alias("ACTUAL_PCT"),
-        F.round(F.col("EXPECTED_N") / tot_e, 6).alias("EXPECTED_PCT"),
+        F.round(pct_a, 6).alias("ACTUAL_PCT"),
+        F.round(pct_e, 6).alias("EXPECTED_PCT"),
         contrib.alias("PSI_CONTRIB"),
     )
     return out.withColumn(
@@ -276,12 +274,14 @@ def _r_psi_drift(source, other, column, breakpoints, epsilon=1e-6) -> str:
         f"COALESCE(ACTUAL_N, 0) AS ACTUAL_N, COALESCE(EXPECTED_N, 0) AS EXPECTED_N "
         f"FROM __a FULL OUTER JOIN __e ON __a.BIN = __e.BIN), "
         f"__t AS (SELECT *, SUM(ACTUAL_N) OVER () AS __ta, SUM(EXPECTED_N) OVER () AS __te, "
-        f"GREATEST(ACTUAL_N / (SUM(ACTUAL_N) OVER () * 1.0), {eps!r}) AS __p, "
-        f"GREATEST(EXPECTED_N / (SUM(EXPECTED_N) OVER () * 1.0), {eps!r}) AS __q FROM __j) "
+        f"GREATEST(CASE WHEN SUM(ACTUAL_N) OVER () > 0 "
+        f"THEN ACTUAL_N / (SUM(ACTUAL_N) OVER () * 1.0) ELSE 0.0 END, {eps!r}) AS __p, "
+        f"GREATEST(CASE WHEN SUM(EXPECTED_N) OVER () > 0 "
+        f"THEN EXPECTED_N / (SUM(EXPECTED_N) OVER () * 1.0) ELSE 0.0 END, {eps!r}) AS __q FROM __j) "
         f"SELECT BIN, {lo} AS LO, {hi} AS HI, "
         f"CAST(ACTUAL_N AS BIGINT) AS ACTUAL_N, CAST(EXPECTED_N AS BIGINT) AS EXPECTED_N, "
-        f"ROUND(ACTUAL_N / (__ta * 1.0), 6) AS ACTUAL_PCT, "
-        f"ROUND(EXPECTED_N / (__te * 1.0), 6) AS EXPECTED_PCT, "
+        f"ROUND(CASE WHEN __ta > 0 THEN ACTUAL_N / (__ta * 1.0) ELSE 0.0 END, 6) AS ACTUAL_PCT, "
+        f"ROUND(CASE WHEN __te > 0 THEN EXPECTED_N / (__te * 1.0) ELSE 0.0 END, 6) AS EXPECTED_PCT, "
         f"ROUND((__p - __q) * LN(__p / __q), 6) AS PSI_CONTRIB, "
         f"ROUND(SUM(ROUND((__p - __q) * LN(__p / __q), 6)) OVER (), 6) AS PSI_TOTAL "
         f"FROM __t)"

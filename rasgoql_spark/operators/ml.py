@@ -140,6 +140,13 @@ def target_encode_oof(
     sort. No whole-table window."""
     col, tgt = resolve_col(df, column), resolve_col(df, target)
     fkey = resolve_col(df, fold_by)
+    fkey_type = dict(df.dtypes)[fkey]
+    if fkey_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ParameterException(
+            f"fold_by {fkey!r} has type {fkey_type}; the fold assignment is "
+            "pmod(fold_by, folds) and needs an integer key column — hash "
+            "non-integer keys into one first (e.g. math with xxhash64)"
+        )
     if folds < 2:
         raise ParameterException("folds must be >= 2")
     if smoothing < 0:

@@ -948,7 +948,7 @@ def stream_psi(
             "batch-vs-batch comparison)"
         )
     # fail fast BEFORE .start(): foreachBatch errors only surface per-batch
-    bps = [float(b) for b in (breakpoints if isinstance(breakpoints, (list, tuple)) else [breakpoints])]
+    bps = [float(b) for b in as_list(breakpoints)]
     if not bps or sorted(bps) != bps:
         raise ParameterException("breakpoints must be a non-empty ascending list")
     if epsilon <= 0:

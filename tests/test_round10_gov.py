@@ -267,3 +267,39 @@ def test_mi_nulls_are_a_category(spark):
     df = spark.createDataFrame(rows, "x string, y int")
     got = mutual_information(df, "x", "y").collect()[0][0]
     assert got == pytest.approx(round(math.log(2), 6))
+
+
+# ---------- review-fix regressions ----------
+
+
+def test_psi_empty_actual_side_stays_finite(spark):
+    """An empty ACTUAL frame must floor to epsilon, not poison every row
+    with 0/0 NaN (greatest(NaN, eps) is NaN in Spark)."""
+    base = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+    empty = base.filter("v > 1000")
+    rows = psi_drift(empty, base, "v", breakpoints=[3.0, 6.0]).collect()
+    assert rows
+    for r in rows:
+        assert r["ACTUAL_PCT"] == 0.0
+        assert not math.isnan(r["PSI_CONTRIB"])
+        assert not math.isnan(r["PSI_TOTAL"])
+        assert r["PSI_TOTAL"] > 0  # all mass missing = definite drift
+
+
+def test_oof_rejects_non_integer_fold_key(spark, enc_df):
+    strkey = enc_df.withColumn("sk", F.col("cat"))
+    with pytest.raises(ParameterException):
+        target_encode_oof(strkey, "cat", "y", fold_by="sk", folds=3)
+
+
+def test_save_shards_curve_requires_zorder_by(session, tmp_path):
+    with pytest.raises(ParameterException):
+        session.dataset("orders").save_shards(
+            str(tmp_path / "x1"), num_shards=2, curve="hilbert",
+            mode="overwrite",
+        )
+    with pytest.raises(ParameterException):
+        session.dataset("orders").save_shards(
+            str(tmp_path / "x2"), num_shards=2, curve="peano",
+            mode="overwrite",
+        )
