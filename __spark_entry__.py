@@ -2855,6 +2855,30 @@ def q_pmi_collocations(spark, sf):
     )
 
 
+def q_psi_drift_categorical(spark, sf):
+    # ACTUAL = even-doc_id half of the corpus; EXPECTED = full corpus —
+    # a deterministic subsample whose language mix shifts slightly
+    s = _s(spark, sf)
+    base = s.dataset("documents")
+    return (
+        s.dataset("documents")
+        .filter(filter_statements=["doc_id % 2 = 0"])
+        .psi_drift_categorical(other=base, column="lang")
+        .df
+    )
+
+
+def q_l_diversity(spark, sf):
+    return (
+        _s(spark, sf).dataset("customer")
+        .l_diversity(quasi_cols=["c_mktsegment"], sensitive="c_nationkey",
+                     l=5, action="flag")
+        .drop_columns(include_cols=["c_custkey", "DISTINCT_SENSITIVE",
+                                    "IS_L_DIVERSE"])
+        .df
+    )
+
+
 def q_mutual_information(spark, sf):
     return (
         _s(spark, sf).dataset("orders")
@@ -4093,6 +4117,36 @@ ranked AS (
             "FROM b JOIN u u1 ON b.WORD1 = u1.w JOIN u u2 ON b.WORD2 = u2.w CROSS JOIN n "
             "ORDER BY PMI DESC, WORD1, WORD2 LIMIT 50"
         ),
+        "psi_drift_categorical": (
+            "WITH a AS (SELECT COALESCE(CAST(lang AS VARCHAR), '<NULL>') AS CATEGORY, "
+            "COUNT(*) AS ACTUAL_N FROM documents WHERE doc_id % 2 = 0 GROUP BY 1), "
+            "e AS (SELECT COALESCE(CAST(lang AS VARCHAR), '<NULL>') AS CATEGORY, "
+            "COUNT(*) AS EXPECTED_N FROM documents GROUP BY 1), "
+            "j AS (SELECT COALESCE(a.CATEGORY, e.CATEGORY) AS CATEGORY, "
+            "COALESCE(ACTUAL_N, 0) AS ACTUAL_N, COALESCE(EXPECTED_N, 0) AS EXPECTED_N "
+            "FROM a FULL OUTER JOIN e ON a.CATEGORY = e.CATEGORY), "
+            "t AS (SELECT *, SUM(ACTUAL_N) OVER () AS ta, SUM(EXPECTED_N) OVER () AS te, "
+            "GREATEST(CASE WHEN SUM(ACTUAL_N) OVER () > 0 "
+            "THEN ACTUAL_N / (SUM(ACTUAL_N) OVER () * 1.0) ELSE 0.0 END, 1e-6) AS p, "
+            "GREATEST(CASE WHEN SUM(EXPECTED_N) OVER () > 0 "
+            "THEN EXPECTED_N / (SUM(EXPECTED_N) OVER () * 1.0) ELSE 0.0 END, 1e-6) AS q "
+            "FROM j) "
+            "SELECT CATEGORY, CAST(ACTUAL_N AS BIGINT) AS ACTUAL_N, "
+            "CAST(EXPECTED_N AS BIGINT) AS EXPECTED_N, "
+            "ROUND(CASE WHEN ta > 0 THEN ACTUAL_N / (ta * 1.0) ELSE 0.0 END, 6) AS ACTUAL_PCT, "
+            "ROUND(CASE WHEN te > 0 THEN EXPECTED_N / (te * 1.0) ELSE 0.0 END, 6) AS EXPECTED_PCT, "
+            "ROUND((p - q) * LN(p / q), 6) AS PSI_CONTRIB, "
+            "ROUND(SUM(ROUND((p - q) * LN(p / q), 6)) OVER (), 6) AS PSI_TOTAL FROM t"
+        ),
+        "l_diversity": (
+            "SELECT s.c_custkey, g.__ls AS DISTINCT_SENSITIVE, "
+            "CASE WHEN g.__ls >= 5 THEN 1 ELSE 0 END AS IS_L_DIVERSE "
+            "FROM customer s LEFT JOIN "
+            "(SELECT c_mktsegment, CAST(COUNT(DISTINCT c_nationkey) "
+            "+ MAX(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS __ls "
+            "FROM customer GROUP BY c_mktsegment) g "
+            "ON s.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment"
+        ),
         "mutual_information": (
             "SELECT ROUND(SUM(__t), 6) AS MUTUAL_INFORMATION FROM ("
             "SELECT (__n / (SUM(__n) OVER ())) * "
@@ -5190,6 +5244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert": q_hilbert,
         "stream_psi_batch": q_stream_psi_batch,
         "mutual_information": q_mutual_information,
+        "psi_drift_categorical": q_psi_drift_categorical,
+        "l_diversity": q_l_diversity,
         # --- r9 front grouping (historical; see _R10_FRONT below for the
         # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
@@ -5416,6 +5472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert",
         "stream_psi_batch",
         "mutual_information",
+        "psi_drift_categorical",
+        "l_diversity",
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
         "embedding_join_binary",
@@ -5431,11 +5489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_full", "kmeans_cluster", "label_encode", "language_id",
         "levenshtein", "market_basket", "min_max_scaler",
         "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
-        "pivot", "quantiles", "rank", "repetition_stats", "rsi", "sankey",
-        "semantic_dedup",
-        # (sliding_slope, standard_scaler, target_encode, text_quality,
-        # train_test_split, union, unpivot, winsorize yield their slots to
-        # the 8 new ops above)
+        "pivot", "quantiles", "rank", "repetition_stats", "rsi",
+        # (sankey, semantic_dedup, sliding_slope, standard_scaler,
+        # target_encode, text_quality, train_test_split, union, unpivot,
+        # winsorize yield their slots to the 10 new ops above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

@@ -1250,3 +1250,81 @@ def _r_k_anonymize(source, quasi_cols, k, action="filter", _input_columns=()) ->
         for c in _input_columns
     )
     return f"SELECT {sel} FROM (SELECT *, {size} AS __gs FROM {source})"
+
+
+@spark_transform("l_diversity", category="curation", streaming_ok=False)
+def l_diversity(
+    df: DataFrame,
+    quasi_cols,
+    sensitive: str,
+    l: int,  # noqa: E741 — the metric's canonical name
+    action: str = "filter",
+) -> DataFrame:
+    """l-diversity enforcement (Machanavajjhala et al. 2007) — the
+    companion guard to ``k_anonymize``: a quasi-identifier group is
+    l-diverse when it contains at least ``l`` DISTINCT values of the
+    ``sensitive`` column, so group membership cannot reveal the sensitive
+    attribute even when the group itself is large. NULL counts as a
+    sensitive value (indistinguishable rows stay indistinguishable).
+
+    ``action``: ``'filter'`` keeps only rows in l-diverse groups;
+    ``'flag'`` adds ``DISTINCT_SENSITIVE`` (bigint) and ``IS_L_DIVERSE``
+    (1/0).
+
+    Scale: one distinct-count aggregate on the quasi key (partial distinct
+    map-side) produces a |groups|-row stats table that joins back — AQE
+    broadcasts it when small; the facts shuffle once, and no per-group set
+    is ever materialized (the window collect_set formulation would)."""
+    cols = [resolve_col(df, c) for c in as_list(quasi_cols)]
+    if not cols:
+        raise ParameterException("l_diversity requires at least one quasi column")
+    sens = resolve_col(df, sensitive)
+    if sens in cols:
+        raise ParameterException("sensitive column cannot be a quasi column")
+    if l < 2:
+        raise ParameterException("l must be >= 2")
+    if action not in ("filter", "flag"):
+        raise ParameterException("action must be 'filter' or 'flag'")
+    # countDistinct skips NULL; add an indicator so NULL counts as a value
+    stats = df.groupBy(*[F.col(c).alias(f"__q_{c}") for c in cols]).agg(
+        (
+            F.count_distinct(F.col(sens))
+            + F.max(F.when(F.col(sens).isNull(), 1).otherwise(0))
+        ).cast("bigint").alias("__ls")
+    )
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = e if cond is None else (cond & e)
+    joined = df.join(stats, on=cond, how="left").drop(
+        *[f"__q_{c}" for c in cols]
+    )
+    if action == "filter":
+        return joined.filter(F.col("__ls") >= l).drop("__ls")
+    return joined.withColumnRenamed("__ls", "DISTINCT_SENSITIVE").withColumn(
+        "IS_L_DIVERSE", F.when(F.col("DISTINCT_SENSITIVE") >= l, 1).otherwise(0)
+    )
+
+
+@renderer("l_diversity")
+def _r_l_diversity(source, quasi_cols, sensitive, l, action="filter",  # noqa: E741
+                   _input_columns=()) -> str:
+    cols = as_list(quasi_cols)
+    part = ", ".join(cols)
+    on = " AND ".join(f"s.{c} <=> g.{c}" for c in cols)
+    stats = (
+        f"SELECT {part}, CAST(COUNT(DISTINCT {sensitive}) "
+        f"+ MAX(CASE WHEN {sensitive} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS __ls FROM {source} GROUP BY {part}"
+    )
+    sel = ", ".join(f"s.{c}" for c in _input_columns)
+    if action == "filter":
+        return (
+            f"SELECT {sel} FROM {source} s LEFT JOIN ({stats}) g ON {on} "
+            f"WHERE g.__ls >= {l}"
+        )
+    return (
+        f"SELECT {sel}, g.__ls AS DISTINCT_SENSITIVE, "
+        f"CASE WHEN g.__ls >= {l} THEN 1 ELSE 0 END AS IS_L_DIVERSE "
+        f"FROM {source} s LEFT JOIN ({stats}) g ON {on}"
+    )

@@ -461,3 +461,93 @@ def psi_against_stats(
     return out.withColumn(
         "PSI_TOTAL", F.round(F.sum("PSI_CONTRIB").over(Window.partitionBy()), 6)
     )
+
+
+@spark_transform("psi_drift_categorical", category="snapshot", streaming_ok=False)
+def psi_drift_categorical(
+    df: DataFrame,
+    other: DataFrame,
+    column: str,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """:func:`psi_drift` for CATEGORICAL columns — the bin is the value
+    itself (language, source, event type, …), the metric and guards are
+    identical. NULL becomes the literal category ``<NULL>`` (it is a real
+    population segment). Returns one row per category present on either
+    side: ``CATEGORY, ACTUAL_N, EXPECTED_N, ACTUAL_PCT, EXPECTED_PCT,
+    PSI_CONTRIB, PSI_TOTAL`` (6 dp; total repeated per row).
+
+    Scale: one hash aggregate per side on the category (map-side combine);
+    everything after runs on the |categories|-row frame. High-cardinality
+    columns are legal but the report is per-category — bucket first (e.g.
+    ``bin`` or a hash) if the domain is unbounded."""
+    if epsilon <= 0:
+        raise ParameterException("epsilon must be > 0")
+    col = resolve_col(df, column)
+    resolve_col(other, column)
+    cat = lambda d: F.coalesce(  # noqa: E731
+        F.col(col).cast("string"), F.lit("<NULL>")
+    )
+    a = (
+        df.select(cat(df).alias("CATEGORY"))
+        .groupBy("CATEGORY").agg(F.count(F.lit(1)).alias("ACTUAL_N"))
+    )
+    e = (
+        other.select(cat(other).alias("CATEGORY"))
+        .groupBy("CATEGORY").agg(F.count(F.lit(1)).alias("EXPECTED_N"))
+    )
+    j = (
+        a.join(e, "CATEGORY", "full_outer")
+        .select(
+            "CATEGORY",
+            F.coalesce("ACTUAL_N", F.lit(0)).alias("ACTUAL_N"),
+            F.coalesce("EXPECTED_N", F.lit(0)).alias("EXPECTED_N"),
+        )
+    )
+    tot_a = F.sum("ACTUAL_N").over(Window.partitionBy())
+    tot_e = F.sum("EXPECTED_N").over(Window.partitionBy())
+    pct_a = F.when(tot_a > 0, F.col("ACTUAL_N") / tot_a).otherwise(F.lit(0.0))
+    pct_e = F.when(tot_e > 0, F.col("EXPECTED_N") / tot_e).otherwise(F.lit(0.0))
+    p = F.greatest(pct_a, F.lit(float(epsilon)))
+    q = F.greatest(pct_e, F.lit(float(epsilon)))
+    contrib = F.round((p - q) * F.log(p / q), 6)
+    out = j.select(
+        "CATEGORY",
+        F.col("ACTUAL_N").cast("bigint").alias("ACTUAL_N"),
+        F.col("EXPECTED_N").cast("bigint").alias("EXPECTED_N"),
+        F.round(pct_a, 6).alias("ACTUAL_PCT"),
+        F.round(pct_e, 6).alias("EXPECTED_PCT"),
+        contrib.alias("PSI_CONTRIB"),
+    )
+    return out.withColumn(
+        "PSI_TOTAL", F.round(F.sum("PSI_CONTRIB").over(Window.partitionBy()), 6)
+    )
+
+
+@renderer("psi_drift_categorical")
+def _r_psi_drift_categorical(source, other, column, epsilon=1e-6) -> str:
+    eps = float(epsilon)
+    cat = f"COALESCE(CAST({column} AS STRING), '<NULL>')"
+    return (
+        f"SELECT * FROM ("
+        f"WITH __a AS (SELECT {cat} AS CATEGORY, COUNT(*) AS ACTUAL_N "
+        f"FROM {source} GROUP BY 1), "
+        f"__e AS (SELECT {cat} AS CATEGORY, COUNT(*) AS EXPECTED_N "
+        f"FROM {other} GROUP BY 1), "
+        f"__j AS (SELECT COALESCE(__a.CATEGORY, __e.CATEGORY) AS CATEGORY, "
+        f"COALESCE(ACTUAL_N, 0) AS ACTUAL_N, COALESCE(EXPECTED_N, 0) AS EXPECTED_N "
+        f"FROM __a FULL OUTER JOIN __e ON __a.CATEGORY = __e.CATEGORY), "
+        f"__t AS (SELECT *, SUM(ACTUAL_N) OVER () AS __ta, SUM(EXPECTED_N) OVER () AS __te, "
+        f"GREATEST(CASE WHEN SUM(ACTUAL_N) OVER () > 0 "
+        f"THEN ACTUAL_N / (SUM(ACTUAL_N) OVER () * 1.0) ELSE 0.0 END, {eps!r}) AS __p, "
+        f"GREATEST(CASE WHEN SUM(EXPECTED_N) OVER () > 0 "
+        f"THEN EXPECTED_N / (SUM(EXPECTED_N) OVER () * 1.0) ELSE 0.0 END, {eps!r}) AS __q "
+        f"FROM __j) "
+        f"SELECT CATEGORY, CAST(ACTUAL_N AS BIGINT) AS ACTUAL_N, "
+        f"CAST(EXPECTED_N AS BIGINT) AS EXPECTED_N, "
+        f"ROUND(CASE WHEN __ta > 0 THEN ACTUAL_N / (__ta * 1.0) ELSE 0.0 END, 6) AS ACTUAL_PCT, "
+        f"ROUND(CASE WHEN __te > 0 THEN EXPECTED_N / (__te * 1.0) ELSE 0.0 END, 6) AS EXPECTED_PCT, "
+        f"ROUND((__p - __q) * LN(__p / __q), 6) AS PSI_CONTRIB, "
+        f"ROUND(SUM(ROUND((__p - __q) * LN(__p / __q), 6)) OVER (), 6) AS PSI_TOTAL "
+        f"FROM __t)"
+    )

@@ -303,3 +303,80 @@ def test_save_shards_curve_requires_zorder_by(session, tmp_path):
             str(tmp_path / "x2"), num_shards=2, curve="peano",
             mode="overwrite",
         )
+
+
+# ---------- psi_drift_categorical ----------
+
+
+def test_psi_categorical_identical_zero_and_null_category(spark):
+    from rasgoql_spark.functions.snapshot import psi_drift_categorical
+
+    df = spark.createDataFrame(
+        [("en",)] * 5 + [("fr",)] * 3 + [(None,)] * 2, "lang string"
+    )
+    out = {r["CATEGORY"]: r for r in
+           psi_drift_categorical(df, df, "lang").collect()}
+    assert set(out) == {"en", "fr", "<NULL>"}
+    assert all(r["PSI_TOTAL"] == 0.0 for r in out.values())
+    assert out["<NULL>"]["ACTUAL_N"] == 2
+
+
+def test_psi_categorical_detects_missing_category(spark):
+    from rasgoql_spark.functions.snapshot import psi_drift_categorical
+
+    base = spark.createDataFrame([("en",)] * 5 + [("fr",)] * 5, "lang string")
+    actual = base.filter("lang = 'en'")
+    out = {r["CATEGORY"]: r for r in
+           psi_drift_categorical(actual, base, "lang").collect()}
+    assert out["fr"]["ACTUAL_N"] == 0
+    assert out["fr"]["PSI_TOTAL"] > 0.25
+
+
+# ---------- l_diversity ----------
+
+
+@pytest.fixture(scope="module")
+def ldiv_df(spark):
+    rows = [
+        # group NY: 3 rows, 3 distinct diagnoses -> 3-diverse
+        (1, "NY", "flu"), (2, "NY", "cold"), (3, "NY", "ok"),
+        # group SF: 3 rows, 1 distinct -> big but NOT diverse
+        (4, "SF", "flu"), (5, "SF", "flu"), (6, "SF", "flu"),
+        # group LA: 2 rows, one NULL diagnosis -> 2 "values" incl. NULL
+        (7, "LA", "flu"), (8, "LA", None),
+    ]
+    return spark.createDataFrame(rows, "id int, city string, diag string")
+
+
+def test_l_diversity_filter(spark, ldiv_df):
+    from rasgoql_spark.functions.curation import l_diversity
+
+    out = l_diversity(ldiv_df, quasi_cols=["city"], sensitive="diag", l=2)
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 7, 8]
+    assert out.columns == ldiv_df.columns
+
+
+def test_l_diversity_flag_counts_null_as_value(spark, ldiv_df):
+    from rasgoql_spark.functions.curation import l_diversity
+
+    out = l_diversity(ldiv_df, quasi_cols=["city"], sensitive="diag", l=3,
+                      action="flag")
+    got = {r["id"]: (r["DISTINCT_SENSITIVE"], r["IS_L_DIVERSE"])
+           for r in out.collect()}
+    assert got[1] == (3, 1)   # NY: 3 distinct
+    assert got[4] == (1, 0)   # SF: homogeneous despite size
+    assert got[7] == (2, 0)   # LA: flu + NULL = 2 values
+
+
+def test_l_diversity_validates(spark, ldiv_df):
+    from rasgoql_spark.functions.curation import l_diversity
+
+    with pytest.raises(ParameterException):
+        l_diversity(ldiv_df, quasi_cols=[], sensitive="diag", l=2)
+    with pytest.raises(ParameterException):
+        l_diversity(ldiv_df, quasi_cols=["city"], sensitive="city", l=2)
+    with pytest.raises(ParameterException):
+        l_diversity(ldiv_df, quasi_cols=["city"], sensitive="diag", l=1)
+    with pytest.raises(ParameterException):
+        l_diversity(ldiv_df, quasi_cols=["city"], sensitive="diag", l=2,
+                    action="suppress")

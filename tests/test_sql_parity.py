@@ -402,6 +402,14 @@ CHAIN_CASES = [
         quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="filter")),
     ("k_anonymize_suppress", lambda s: s.dataset("customer").k_anonymize(
         quasi_cols=["c_mktsegment", "c_nationkey"], k=3, action="suppress")),
+    ("psi_drift_categorical", lambda s: s.dataset("documents")
+        .filter(filter_statements=["doc_id % 2 = 0"])
+        .psi_drift_categorical(other="documents", column="lang")),
+    ("l_diversity_filter", lambda s: s.dataset("customer").l_diversity(
+        quasi_cols=["c_mktsegment"], sensitive="c_nationkey", l=5)),
+    ("l_diversity_flag", lambda s: s.dataset("customer").l_diversity(
+        quasi_cols=["c_mktsegment"], sensitive="c_nationkey", l=5,
+        action="flag")),
     ("mutual_information", lambda s: s.dataset("orders").mutual_information(
         x="o_orderpriority", y="o_orderstatus")),
     ("hilbert", lambda s: s.dataset("orders").hilbert(
