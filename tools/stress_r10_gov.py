@@ -27,8 +27,12 @@ sys.path.insert(0, "/root/repo")
 import rasgoql_spark as rql  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from rasgoql_spark.functions.curation import k_anonymize  # noqa: E402
-from rasgoql_spark.functions.snapshot import psi_drift, scd2  # noqa: E402
+from rasgoql_spark.functions.curation import k_anonymize, l_diversity  # noqa: E402
+from rasgoql_spark.functions.snapshot import (  # noqa: E402
+    psi_drift,
+    psi_drift_categorical,
+    scd2,
+)
 from rasgoql_spark.functions.text import pmi_collocations  # noqa: E402
 from rasgoql_spark.operators.aggregates import mutual_information  # noqa: E402
 from rasgoql_spark.operators.ml import target_encode_oof  # noqa: E402
@@ -93,6 +97,11 @@ def main() -> int:
             folds=5), out)
         timed(f"mutual_information_{tag}", lambda: mutual_information(
             o, "o_orderpriority", "o_orderstatus"), out)
+        timed(f"psi_drift_categorical_{tag}", lambda: psi_drift_categorical(
+            hi, o, "o_orderpriority"), out)
+        timed(f"l_diversity_{tag}", lambda: l_diversity(
+            o, quasi_cols=["o_orderpriority"], sensitive="o_orderstatus",
+            l=2, action="flag"), out)
         o.unpersist()
 
     for tag, d in (("1x", docs), ("10x", replicate(docs, ["doc_id"]))):
