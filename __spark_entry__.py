@@ -2879,6 +2879,16 @@ def q_l_diversity(spark, sf):
     )
 
 
+def q_t_closeness(spark, sf):
+    return (
+        _s(spark, sf).dataset("customer")
+        .t_closeness(quasi_cols=["c_mktsegment"], sensitive="c_nationkey",
+                     t=0.5, action="flag")
+        .drop_columns(include_cols=["c_custkey", "T_DISTANCE", "IS_T_CLOSE"])
+        .df
+    )
+
+
 def q_mutual_information(spark, sf):
     return (
         _s(spark, sf).dataset("orders")
@@ -4147,6 +4157,22 @@ ranked AS (
             "FROM customer GROUP BY c_mktsegment) g "
             "ON s.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment"
         ),
+        "t_closeness": (
+            "WITH cells AS (SELECT c_mktsegment, c_nationkey AS s, COUNT(*) AS n "
+            "FROM customer GROUP BY c_mktsegment, c_nationkey), "
+            "scored AS (SELECT c_mktsegment, "
+            "ABS(n / (SUM(n) OVER (PARTITION BY c_mktsegment) * 1.0) - "
+            "(SUM(n) OVER (PARTITION BY s)) / (SUM(n) OVER () * 1.0)) AS ad, "
+            "(SUM(n) OVER (PARTITION BY s)) / (SUM(n) OVER () * 1.0) AS p "
+            "FROM cells), "
+            "stats AS (SELECT c_mktsegment, "
+            "ROUND(0.5 * (SUM(ad) + (1.0 - SUM(p))), 6) AS td "
+            "FROM scored GROUP BY c_mktsegment) "
+            "SELECT c.c_custkey, g.td AS T_DISTANCE, "
+            "CASE WHEN g.td <= 0.5 THEN 1 ELSE 0 END AS IS_T_CLOSE "
+            "FROM customer c LEFT JOIN stats g "
+            "ON c.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment"
+        ),
         "mutual_information": (
             "SELECT ROUND(SUM(__t), 6) AS MUTUAL_INFORMATION FROM ("
             "SELECT (__n / (SUM(__n) OVER ())) * "
@@ -5246,6 +5272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information": q_mutual_information,
         "psi_drift_categorical": q_psi_drift_categorical,
         "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         # --- r9 front grouping (historical; see _R10_FRONT below for the
         # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
@@ -5474,6 +5501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information",
         "psi_drift_categorical",
         "l_diversity",
+        "t_closeness",
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
         "embedding_join_binary",
@@ -5489,10 +5517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_full", "kmeans_cluster", "label_encode", "language_id",
         "levenshtein", "market_basket", "min_max_scaler",
         "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
-        "pivot", "quantiles", "rank", "repetition_stats", "rsi",
-        # (sankey, semantic_dedup, sliding_slope, standard_scaler,
+        "pivot", "quantiles", "rank", "repetition_stats",
+        # (rsi, sankey, semantic_dedup, sliding_slope, standard_scaler,
         # target_encode, text_quality, train_test_split, union, unpivot,
-        # winsorize yield their slots to the 10 new ops above)
+        # winsorize yield their slots to the 11 new ops above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

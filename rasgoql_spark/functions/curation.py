@@ -1328,3 +1328,108 @@ def _r_l_diversity(source, quasi_cols, sensitive, l, action="filter",  # noqa: E
         f"CASE WHEN g.__ls >= {l} THEN 1 ELSE 0 END AS IS_L_DIVERSE "
         f"FROM {source} s LEFT JOIN ({stats}) g ON {on}"
     )
+
+
+@spark_transform("t_closeness", category="curation", streaming_ok=False)
+def t_closeness(
+    df: DataFrame,
+    quasi_cols,
+    sensitive: str,
+    t: float,
+    action: str = "filter",
+) -> DataFrame:
+    """t-closeness enforcement (Li, Li & Venkatasubramanian 2007) — the
+    third guard of the privacy triad (``k_anonymize`` → group size,
+    ``l_diversity`` → sensitive variety, t-closeness → sensitive
+    DISTRIBUTION): a quasi-identifier group is t-close when the variational
+    distance ``0.5 * Σ_c |q_g(c) - p(c)|`` between its sensitive-value
+    distribution and the table-wide one is at most ``t`` — a group can be
+    large AND varied yet still leak (e.g. 90% one diagnosis where the
+    population has 10%). NULL is a regular sensitive value.
+
+    ``action``: ``'filter'`` keeps rows of t-close groups; ``'flag'`` adds
+    ``T_DISTANCE`` (6 dp) and ``IS_T_CLOSE`` (1/0). The comparison uses
+    the 6-dp-rounded distance in both modes (engine-portable).
+
+    Scale: one (quasi, sensitive) cell aggregate (map-side combine); group
+    totals / global proportions are window sums OVER the slim cell frame;
+    absent categories fold in closed-form (Σ_{c∉g} p(c) = 1 - Σ_{c∈g}
+    p(c)), so nothing enumerates the full group×category grid. The
+    |groups|-row distance table joins back — AQE broadcast — and the
+    facts shuffle once."""
+    from pyspark.sql import Window
+
+    cols = [resolve_col(df, c) for c in as_list(quasi_cols)]
+    if not cols:
+        raise ParameterException("t_closeness requires at least one quasi column")
+    sens = resolve_col(df, sensitive)
+    if sens in cols:
+        raise ParameterException("sensitive column cannot be a quasi column")
+    if not (0 < float(t) <= 1):
+        raise ParameterException("t must be in (0, 1]")
+    if action not in ("filter", "flag"):
+        raise ParameterException("action must be 'filter' or 'flag'")
+    qcols = [F.col(c).alias(f"__q_{c}") for c in cols]
+    cells = df.groupBy(*qcols, F.col(sens).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n_gc")
+    )
+    gkeys = [f"__q_{c}" for c in cols]
+    n_g = F.sum("__n_gc").over(Window.partitionBy(*gkeys))
+    n_c = F.sum("__n_gc").over(Window.partitionBy("__s"))
+    n_tot = F.sum("__n_gc").over(Window.partitionBy())
+    q_gc = F.col("__n_gc") / n_g
+    p_c = n_c / n_tot
+    scored = cells.select(
+        *gkeys,
+        F.abs(q_gc - p_c).alias("__ad"),
+        p_c.alias("__p"),
+    )
+    dist = F.round(
+        0.5 * (F.sum("__ad") + (F.lit(1.0) - F.sum("__p"))), 6
+    ).alias("__td")
+    stats = scored.groupBy(*gkeys).agg(dist)
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = e if cond is None else (cond & e)
+    joined = df.join(stats, on=cond, how="left").drop(*gkeys)
+    if action == "filter":
+        return joined.filter(F.col("__td") <= float(t)).drop("__td")
+    return joined.withColumnRenamed("__td", "T_DISTANCE").withColumn(
+        "IS_T_CLOSE", F.when(F.col("T_DISTANCE") <= float(t), 1).otherwise(0)
+    )
+
+
+@renderer("t_closeness")
+def _r_t_closeness(source, quasi_cols, sensitive, t, action="filter",
+                   _input_columns=()) -> str:
+    cols = as_list(quasi_cols)
+    part = ", ".join(cols)
+    tv = float(t)
+    cells = (
+        f"SELECT {part}, {sensitive} AS __s, COUNT(*) AS __n_gc "
+        f"FROM {source} GROUP BY {part}, {sensitive}"
+    )
+    scored = (
+        f"SELECT {part}, "
+        f"ABS(__n_gc / (SUM(__n_gc) OVER (PARTITION BY {part}) * 1.0) - "
+        f"(SUM(__n_gc) OVER (PARTITION BY __s)) / (SUM(__n_gc) OVER () * 1.0)) AS __ad, "
+        f"(SUM(__n_gc) OVER (PARTITION BY __s)) / (SUM(__n_gc) OVER () * 1.0) AS __p "
+        f"FROM ({cells})"
+    )
+    stats = (
+        f"SELECT {part}, ROUND(0.5 * (SUM(__ad) + (1.0 - SUM(__p))), 6) AS __td "
+        f"FROM ({scored}) GROUP BY {part}"
+    )
+    on = " AND ".join(f"s.{c} <=> g.{c}" for c in cols)
+    sel = ", ".join(f"s.{c}" for c in _input_columns)
+    if action == "filter":
+        return (
+            f"SELECT {sel} FROM {source} s LEFT JOIN ({stats}) g ON {on} "
+            f"WHERE g.__td <= {tv!r}"
+        )
+    return (
+        f"SELECT {sel}, g.__td AS T_DISTANCE, "
+        f"CASE WHEN g.__td <= {tv!r} THEN 1 ELSE 0 END AS IS_T_CLOSE "
+        f"FROM {source} s LEFT JOIN ({stats}) g ON {on}"
+    )

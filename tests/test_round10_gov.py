@@ -380,3 +380,45 @@ def test_l_diversity_validates(spark, ldiv_df):
     with pytest.raises(ParameterException):
         l_diversity(ldiv_df, quasi_cols=["city"], sensitive="diag", l=2,
                     action="suppress")
+
+
+# ---------- t_closeness ----------
+
+
+def test_t_closeness_known_distance(spark):
+    from rasgoql_spark.functions.curation import t_closeness
+
+    # global sensitive dist: flu 0.5, ok 0.5. Group A = all flu ->
+    # distance = 0.5*(|1-0.5| + |0-0.5|) = 0.5; group B mirrors it.
+    rows = [(1, "A", "flu"), (2, "A", "flu"), (3, "B", "ok"), (4, "B", "ok")]
+    df = spark.createDataFrame(rows, "id int, g string, diag string")
+    out = t_closeness(df, quasi_cols=["g"], sensitive="diag", t=0.4,
+                      action="flag")
+    got = {r["id"]: (r["T_DISTANCE"], r["IS_T_CLOSE"]) for r in out.collect()}
+    assert got[1] == (0.5, 0) and got[3] == (0.5, 0)
+    # a perfectly representative group has distance 0
+    rows2 = rows + [(5, "C", "flu"), (6, "C", "ok")]
+    df2 = spark.createDataFrame(rows2, "id int, g string, diag string")
+    out2 = t_closeness(df2, quasi_cols=["g"], sensitive="diag", t=0.4,
+                       action="flag")
+    got2 = {r["id"]: r["T_DISTANCE"] for r in out2.collect()}
+    assert got2[5] == 0.0
+
+
+def test_t_closeness_filter_and_validates(spark):
+    from rasgoql_spark.functions.curation import t_closeness
+
+    rows = [(1, "A", "flu"), (2, "A", "flu"), (3, "B", "flu"), (4, "B", "ok")]
+    df = spark.createDataFrame(rows, "id int, g string, diag string")
+    # global: flu 0.75, ok 0.25. A: |1-.75|+|0-.25| = .5 -> d=.25;
+    # B: |.5-.75|+|.5-.25| = .5 -> d=.25. t=0.3 keeps both; t=0.2 drops both.
+    keep = t_closeness(df, quasi_cols=["g"], sensitive="diag", t=0.3)
+    assert keep.count() == 4
+    drop = t_closeness(df, quasi_cols=["g"], sensitive="diag", t=0.2)
+    assert drop.count() == 0
+    with pytest.raises(ParameterException):
+        t_closeness(df, quasi_cols=["g"], sensitive="diag", t=0.0)
+    with pytest.raises(ParameterException):
+        t_closeness(df, quasi_cols=["g"], sensitive="g", t=0.3)
+    with pytest.raises(ParameterException):
+        t_closeness(df, quasi_cols=[], sensitive="diag", t=0.3)

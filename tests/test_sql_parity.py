@@ -410,6 +410,11 @@ CHAIN_CASES = [
     ("l_diversity_flag", lambda s: s.dataset("customer").l_diversity(
         quasi_cols=["c_mktsegment"], sensitive="c_nationkey", l=5,
         action="flag")),
+    ("t_closeness_filter", lambda s: s.dataset("customer").t_closeness(
+        quasi_cols=["c_mktsegment"], sensitive="c_nationkey", t=0.5)),
+    ("t_closeness_flag", lambda s: s.dataset("customer").t_closeness(
+        quasi_cols=["c_mktsegment"], sensitive="c_nationkey", t=0.5,
+        action="flag")),
     ("mutual_information", lambda s: s.dataset("orders").mutual_information(
         x="o_orderpriority", y="o_orderstatus")),
     ("hilbert", lambda s: s.dataset("orders").hilbert(

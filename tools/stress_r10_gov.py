@@ -27,7 +27,11 @@ sys.path.insert(0, "/root/repo")
 import rasgoql_spark as rql  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from rasgoql_spark.functions.curation import k_anonymize, l_diversity  # noqa: E402
+from rasgoql_spark.functions.curation import (  # noqa: E402
+    k_anonymize,
+    l_diversity,
+    t_closeness,
+)
 from rasgoql_spark.functions.snapshot import (  # noqa: E402
     psi_drift,
     psi_drift_categorical,
@@ -102,6 +106,9 @@ def main() -> int:
         timed(f"l_diversity_{tag}", lambda: l_diversity(
             o, quasi_cols=["o_orderpriority"], sensitive="o_orderstatus",
             l=2, action="flag"), out)
+        timed(f"t_closeness_{tag}", lambda: t_closeness(
+            o, quasi_cols=["o_orderpriority"], sensitive="o_orderstatus",
+            t=0.5, action="flag"), out)
         o.unpersist()
 
     for tag, d in (("1x", docs), ("10x", replicate(docs, ["doc_id"]))):
