@@ -164,6 +164,34 @@ def _r_diff_datasets(source, other, keys, compare_cols=None,
     )
 
 
+
+def _psi_score_counts(j: DataFrame, lead_cols, epsilon: float) -> DataFrame:
+    """The shared counts→PSI tail (one implementation — psi_drift and
+    psi_drift_categorical both feed it a zero-filled
+    ``(key..., ACTUAL_N, EXPECTED_N)`` frame): window totals with the
+    empty-side guard (0/0 is NaN and ``greatest(NaN, eps)`` is NaN in
+    Spark, so an empty frame must floor to epsilon explicitly), the
+    epsilon floor, the 6-dp contribution, and the repeated PSI_TOTAL."""
+    tot_a = F.sum("ACTUAL_N").over(Window.partitionBy())
+    tot_e = F.sum("EXPECTED_N").over(Window.partitionBy())
+    pct_a = F.when(tot_a > 0, F.col("ACTUAL_N") / tot_a).otherwise(F.lit(0.0))
+    pct_e = F.when(tot_e > 0, F.col("EXPECTED_N") / tot_e).otherwise(F.lit(0.0))
+    p = F.greatest(pct_a, F.lit(float(epsilon)))
+    q = F.greatest(pct_e, F.lit(float(epsilon)))
+    contrib = F.round((p - q) * F.log(p / q), 6)
+    out = j.select(
+        *lead_cols,
+        F.col("ACTUAL_N").cast("bigint").alias("ACTUAL_N"),
+        F.col("EXPECTED_N").cast("bigint").alias("EXPECTED_N"),
+        F.round(pct_a, 6).alias("ACTUAL_PCT"),
+        F.round(pct_e, 6).alias("EXPECTED_PCT"),
+        contrib.alias("PSI_CONTRIB"),
+    )
+    return out.withColumn(
+        "PSI_TOTAL", F.round(F.sum("PSI_CONTRIB").over(Window.partitionBy()), 6)
+    )
+
+
 @spark_transform("psi_drift", category="snapshot", streaming_ok=False)
 def psi_drift(
     df: DataFrame,
@@ -213,16 +241,6 @@ def psi_drift(
             F.coalesce("EXPECTED_N", F.lit(0)).alias("EXPECTED_N"),
         )
     )
-    tot_a = F.sum("ACTUAL_N").over(Window.partitionBy())
-    tot_e = F.sum("EXPECTED_N").over(Window.partitionBy())
-    # guard the empty-side division: 0/0 is NaN and greatest(NaN, eps) is
-    # NaN in Spark — an empty frame must floor to epsilon, not poison
-    # every row (the documented 'stays finite' contract)
-    pct_a = F.when(tot_a > 0, F.col("ACTUAL_N") / tot_a).otherwise(F.lit(0.0))
-    pct_e = F.when(tot_e > 0, F.col("EXPECTED_N") / tot_e).otherwise(F.lit(0.0))
-    p = F.greatest(pct_a, F.lit(float(epsilon)))
-    q = F.greatest(pct_e, F.lit(float(epsilon)))
-    contrib = F.round((p - q) * F.log(p / q), 6)
     lo_map = {i + 1: bps[i - 1] if i >= 1 else None for i in range(len(bps) + 1)}
     hi_map = {i + 1: bps[i] if i < len(bps) else None for i in range(len(bps) + 1)}
     lo = F.lit(None).cast("double")
@@ -232,18 +250,8 @@ def psi_drift(
             lo = F.when(F.col("BIN") == i, F.lit(lo_map[i])).otherwise(lo)
         if hi_map[i] is not None:
             hi = F.when(F.col("BIN") == i, F.lit(hi_map[i])).otherwise(hi)
-    out = j.select(
-        "BIN",
-        lo.alias("LO"),
-        hi.alias("HI"),
-        F.col("ACTUAL_N").cast("bigint").alias("ACTUAL_N"),
-        F.col("EXPECTED_N").cast("bigint").alias("EXPECTED_N"),
-        F.round(pct_a, 6).alias("ACTUAL_PCT"),
-        F.round(pct_e, 6).alias("EXPECTED_PCT"),
-        contrib.alias("PSI_CONTRIB"),
-    )
-    return out.withColumn(
-        "PSI_TOTAL", F.round(F.sum("PSI_CONTRIB").over(Window.partitionBy()), 6)
+    return _psi_score_counts(
+        j, [F.col("BIN"), lo.alias("LO"), hi.alias("HI")], epsilon
     )
 
 
@@ -483,11 +491,12 @@ def psi_drift_categorical(
     ``bin`` or a hash) if the domain is unbounded."""
     if epsilon <= 0:
         raise ParameterException("epsilon must be > 0")
-    col = resolve_col(df, column)
-    resolve_col(other, column)
-    cat = lambda d: F.coalesce(  # noqa: E731
-        F.col(col).cast("string"), F.lit("<NULL>")
-    )
+
+    def cat(d: DataFrame):  # per-frame resolution: casing may differ
+        return F.coalesce(
+            F.col(resolve_col(d, column)).cast("string"), F.lit("<NULL>")
+        )
+
     a = (
         df.select(cat(df).alias("CATEGORY"))
         .groupBy("CATEGORY").agg(F.count(F.lit(1)).alias("ACTUAL_N"))
@@ -504,24 +513,7 @@ def psi_drift_categorical(
             F.coalesce("EXPECTED_N", F.lit(0)).alias("EXPECTED_N"),
         )
     )
-    tot_a = F.sum("ACTUAL_N").over(Window.partitionBy())
-    tot_e = F.sum("EXPECTED_N").over(Window.partitionBy())
-    pct_a = F.when(tot_a > 0, F.col("ACTUAL_N") / tot_a).otherwise(F.lit(0.0))
-    pct_e = F.when(tot_e > 0, F.col("EXPECTED_N") / tot_e).otherwise(F.lit(0.0))
-    p = F.greatest(pct_a, F.lit(float(epsilon)))
-    q = F.greatest(pct_e, F.lit(float(epsilon)))
-    contrib = F.round((p - q) * F.log(p / q), 6)
-    out = j.select(
-        "CATEGORY",
-        F.col("ACTUAL_N").cast("bigint").alias("ACTUAL_N"),
-        F.col("EXPECTED_N").cast("bigint").alias("EXPECTED_N"),
-        F.round(pct_a, 6).alias("ACTUAL_PCT"),
-        F.round(pct_e, 6).alias("EXPECTED_PCT"),
-        contrib.alias("PSI_CONTRIB"),
-    )
-    return out.withColumn(
-        "PSI_TOTAL", F.round(F.sum("PSI_CONTRIB").over(Window.partitionBy()), 6)
-    )
+    return _psi_score_counts(j, [F.col("CATEGORY")], epsilon)
 
 
 @renderer("psi_drift_categorical")

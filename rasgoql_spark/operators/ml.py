@@ -16,6 +16,8 @@ cross-join so the fact table never shuffles.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -141,11 +143,15 @@ def target_encode_oof(
     col, tgt = resolve_col(df, column), resolve_col(df, target)
     fkey = resolve_col(df, fold_by)
     fkey_type = dict(df.dtypes)[fkey]
-    if fkey_type not in ("tinyint", "smallint", "int", "bigint"):
+    is_integral = fkey_type in ("tinyint", "smallint", "int", "bigint") or (
+        re.fullmatch(r"decimal\(\d+,0\)", fkey_type) is not None
+    )
+    if not is_integral:
         raise ParameterException(
             f"fold_by {fkey!r} has type {fkey_type}; the fold assignment is "
-            "pmod(fold_by, folds) and needs an integer key column — hash "
-            "non-integer keys into one first (e.g. math with xxhash64)"
+            "pmod(fold_by, folds) and needs an integer-valued key column "
+            "(integral or decimal(p,0)) — hash non-integer keys into one "
+            "first (e.g. math with xxhash64)"
         )
     if folds < 2:
         raise ParameterException("folds must be >= 2")
