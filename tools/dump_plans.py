@@ -233,6 +233,20 @@ ANNOTATED = [
      "partial+final hash aggregates; N attaches as a broadcast one-row "
      "crossJoin; top-k plans as TakeOrderedAndProject — no global sort, "
      "no collect."),
+    ("l_diversity (round 10)", "l_diversity",
+     "Distinct-count stats (partial distinct map-side) produce a "
+     "|groups|-row table that joins back as a BroadcastHashJoin under "
+     "AQE — no per-group collect_set window, the facts shuffle at most "
+     "once."),
+    ("t_closeness (round 10)", "t_closeness",
+     "One (quasi, sensitive) cell aggregate; group/global proportions are "
+     "window sums OVER the slim cell frame; the closed-form "
+     "absent-category fold keeps the grid un-enumerated; the "
+     "|groups|-row distance table broadcasts back."),
+    ("mutual_information (round 10)", "mutual_information",
+     "A single contingency hash aggregate; marginals are window sums over "
+     "the |X|x|Y| cell frame; probabilities divide before multiplying so "
+     "bigint products cannot overflow at extreme row counts."),
 ]
 
 
