@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 208 entries, ALL 208 with DuckDB oracles (round 4
+streaming extensions) — 209 entries, ALL 209 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -2879,6 +2879,38 @@ def q_l_diversity(spark, sf):
     )
 
 
+_SCD2_SNAPS12_APPLY = """
+SELECT o_orderkey, 1 AS snap, o_orderpriority AS prio FROM {{ source_table }}
+UNION ALL
+SELECT o_orderkey, 2 AS snap,
+ CASE WHEN o_orderkey % 5 = 0 THEN 'X2' ELSE o_orderpriority END AS prio
+FROM {{ source_table }}
+"""
+
+_SCD2_SNAP3_APPLY = """
+SELECT o_orderkey,
+ CASE WHEN o_orderkey % 7 = 0 THEN 'X3'
+      WHEN o_orderkey % 5 = 0 THEN 'X2'
+      ELSE o_orderpriority END AS prio
+FROM {{ source_table }}
+"""
+
+
+def q_scd2_merge(spark, sf):
+    """Incremental SCD2 maintenance: history over snapshots 1-2 (scd2),
+    then snapshot 3 folded in with scd2_merge. The oracle is the FULL
+    3-snapshot scd2 recompute — the merge invariant IS the check."""
+    s = _s(spark, sf)
+    snap3 = s.dataset("orders").apply(sql=_SCD2_SNAP3_APPLY)
+    return (
+        s.dataset("orders")
+        .apply(sql=_SCD2_SNAPS12_APPLY)
+        .scd2(keys=["o_orderkey"], snapshot_col="snap")
+        .scd2_merge(snapshot=snap3, keys=["o_orderkey"], snapshot_value=3)
+        .df
+    )
+
+
 def q_t_closeness(spark, sf):
     return (
         _s(spark, sf).dataset("customer")
@@ -4157,6 +4189,26 @@ ranked AS (
             "FROM customer GROUP BY c_mktsegment) g "
             "ON s.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment"
         ),
+        "scd2_merge": (
+            # the merge invariant: identical to the full 3-snapshot scd2
+            # recompute (the "scd2" oracle verbatim)
+            "WITH snaps AS ("
+            "SELECT o_orderkey, 1 AS snap, o_orderpriority AS prio FROM orders "
+            "UNION ALL SELECT o_orderkey, 2 AS snap, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN 'X2' ELSE o_orderpriority END AS prio "
+            "FROM orders "
+            "UNION ALL SELECT o_orderkey, 3 AS snap, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN 'X3' "
+            "WHEN o_orderkey % 5 = 0 THEN 'X2' ELSE o_orderpriority END AS prio "
+            "FROM orders), "
+            "c AS (SELECT *, LAG(prio) OVER (PARTITION BY o_orderkey ORDER BY snap) "
+            "AS prev FROM snaps) "
+            "SELECT o_orderkey, prio, snap AS VALID_FROM, "
+            "LEAD(snap) OVER (PARTITION BY o_orderkey ORDER BY snap) AS VALID_TO, "
+            "CASE WHEN LEAD(snap) OVER (PARTITION BY o_orderkey ORDER BY snap) IS NULL "
+            "THEN 1 ELSE 0 END AS IS_CURRENT "
+            "FROM c WHERE prev IS NULL OR prev <> prio"
+        ),
         "t_closeness": (
             "WITH cells AS (SELECT c_mktsegment, c_nationkey AS s, COUNT(*) AS n "
             "FROM customer GROUP BY c_mktsegment, c_nationkey), "
@@ -5258,7 +5310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # analysis operators, the 7 earlier r10 operators, then the remaining
     # r6-stale block to fill 50 (its alphabetical tail yields slots to the
     # new ops and re-fronts next round) — union max-staleness r6/r7. All
-    # 208 entries pass tools/oracle_check.py locally (fresh full run
+    # 209 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
         # --- new round-10 governance/analysis operators ---
@@ -5273,6 +5325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_categorical": q_psi_drift_categorical,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
+        "scd2_merge": q_scd2_merge,
         # --- r9 front grouping (historical; see _R10_FRONT below for the
         # order the driver actually sees) ---
         "embedding_join_ivfpq": q_embedding_join_ivfpq,
@@ -5502,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_categorical",
         "l_diversity",
         "t_closeness",
+        "scd2_merge",
         "embedding_join_ivfpq",
         "similarity_search_ivfpq_rotated",
         "embedding_join_binary",
@@ -5517,10 +5571,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_full", "kmeans_cluster", "label_encode", "language_id",
         "levenshtein", "market_basket", "min_max_scaler",
         "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
-        "pivot", "quantiles", "rank", "repetition_stats",
-        # (rsi, sankey, semantic_dedup, sliding_slope, standard_scaler,
-        # target_encode, text_quality, train_test_split, union, unpivot,
-        # winsorize yield their slots to the 11 new ops above)
+        "pivot", "quantiles", "rank",
+        # (repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
+        # standard_scaler, target_encode, text_quality, train_test_split,
+        # union, unpivot, winsorize yield their slots to the 12 new ops
+        # above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

@@ -543,3 +543,147 @@ def _r_psi_drift_categorical(source, other, column, epsilon=1e-6) -> str:
         f"ROUND(SUM(ROUND((__p - __q) * LN(__p / __q), 6)) OVER (), 6) AS PSI_TOTAL "
         f"FROM __t)"
     )
+
+
+@spark_transform("scd2_merge", category="snapshot", streaming_ok=False)
+def scd2_merge(
+    df: DataFrame,
+    snapshot: DataFrame,
+    keys,
+    snapshot_value,
+    compare_cols=None,
+) -> DataFrame:
+    """Incrementally fold ONE new snapshot into an existing type-2 history
+    (the production form of :func:`scd2` — a 100 TB dimension is
+    maintained per release, never recomputed from every snapshot ever
+    taken). ``df`` is an SCD2 history (``VALID_FROM/VALID_TO/IS_CURRENT``,
+    as :func:`scd2` emits); ``snapshot`` is the new keyed snapshot;
+    ``snapshot_value`` stamps it and must sort AFTER every VALID_FROM it
+    touches (monotone release ids — the same contract a warehouse MERGE
+    assumes).
+
+    Semantics (presence-based, exactly :func:`scd2`'s): a key whose
+    compared values changed gets its current row closed
+    (``VALID_TO = snapshot_value``) and a new current row; an unchanged or
+    absent key passes through; a brand-new key inserts as current. The
+    invariant ``scd2_merge(scd2(s1..sN), sN+1) == scd2(s1..sN+1)`` is
+    pytest-pinned and IS the driver oracle.
+
+    Scale: closed rows pass through untouched (no join); only the
+    |keys|-sized current slice joins the snapshot on the key — one hash
+    shuffle (AQE broadcasts the smaller side), then a union. Change
+    detection uses the same per-column-md5 row hash as ``diff_datasets``."""
+    keys = [resolve_col(df, k) for k in as_list(keys)]
+    if not keys:
+        raise ParameterException("scd2_merge requires at least one key column")
+    for c in ("VALID_FROM", "VALID_TO", "IS_CURRENT"):
+        if c not in df.columns:
+            raise ParameterException(
+                f"df is not an SCD2 history (missing {c}); build one with scd2"
+            )
+    if compare_cols is None:
+        compare_cols = [
+            c for c in df.columns
+            if c not in keys and c not in ("VALID_FROM", "VALID_TO", "IS_CURRENT")
+        ]
+    else:
+        compare_cols = [resolve_col(df, c) for c in as_list(compare_cols)]
+    if not compare_cols:
+        raise ParameterException("scd2_merge requires at least one compared column")
+    for c in keys + compare_cols:
+        resolve_col(snapshot, c)
+    sv = F.lit(snapshot_value)
+    hist_cols = [*keys, *compare_cols, "VALID_FROM", "VALID_TO", "IS_CURRENT"]
+    closed = df.filter(F.col("IS_CURRENT") == 0).select(*hist_cols)
+    cur = df.filter(F.col("IS_CURRENT") == 1).select(
+        *keys, *compare_cols, "VALID_FROM", _row_hash(compare_cols).alias("__h")
+    )
+    new = snapshot.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__v_{c}") for c in compare_cols],
+        _row_hash(compare_cols).alias("__nh"),
+    )
+    cond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = e if cond is None else (cond & e)
+    j = cur.join(new, on=cond, how="full_outer")
+    matched = F.col("__h").isNotNull() & F.col("__nh").isNotNull()
+    changed = matched & (F.col("__h") != F.col("__nh"))
+    # surviving current rows: untouched keys + unchanged matches
+    keep_cur = j.filter(F.col("__nh").isNull() | (matched & ~changed)).select(
+        *keys, *compare_cols,
+        F.col("VALID_FROM"),
+        F.lit(None).cast(df.schema["VALID_TO"].dataType).alias("VALID_TO"),
+        F.lit(1).alias("IS_CURRENT"),
+    )
+    # closed-out versions of changed keys
+    close_out = j.filter(changed).select(
+        *keys, *compare_cols,
+        F.col("VALID_FROM"),
+        sv.alias("VALID_TO"),
+        F.lit(0).alias("IS_CURRENT"),
+    )
+    # fresh current rows: changed keys (new values) + brand-new keys
+    fresh = j.filter(changed | F.col("__h").isNull()).select(
+        *[F.col(f"__k_{k}").alias(k) for k in keys],
+        *[F.col(f"__v_{c}").alias(c) for c in compare_cols],
+        sv.alias("VALID_FROM"),
+        F.lit(None).cast(df.schema["VALID_TO"].dataType).alias("VALID_TO"),
+        F.lit(1).alias("IS_CURRENT"),
+    )
+    return closed.unionByName(keep_cur).unionByName(close_out).unionByName(fresh)
+
+
+@renderer("scd2_merge")
+def _r_scd2_merge(source, snapshot, keys, snapshot_value, compare_cols=None,
+                  _input_columns=()) -> str:
+    keys = as_list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in _input_columns
+            if c not in keys and c not in ("VALID_FROM", "VALID_TO", "IS_CURRENT")
+        ]
+    else:
+        compare_cols = as_list(compare_cols)
+    keys_csv = ", ".join(keys)
+    cmp_csv = ", ".join(compare_cols)
+    h = _render_hash(compare_cols, "s")
+    sv = repr(snapshot_value)
+    cur = (
+        f"(SELECT {keys_csv}, {cmp_csv}, VALID_FROM, {h} AS __h "
+        f"FROM {source} s WHERE IS_CURRENT = 1)"
+    )
+    new = (
+        "(SELECT "
+        + ", ".join(f"{k} AS __k_{k}" for k in keys) + ", "
+        + ", ".join(f"{c} AS __v_{c}" for c in compare_cols)
+        + f", {h} AS __nh FROM {snapshot} s)"
+    )
+    on = " AND ".join(f"c.{k} <=> n.__k_{k}" for k in keys)
+    # every __j column name is unique, so the branches reference them
+    # UNQUALIFIED (a per-branch alias could not see the other side)
+    matched = "__h IS NOT NULL AND __nh IS NOT NULL"
+    nkeys = ", ".join(f"__k_{k} AS {k}" for k in keys)
+    ncmp = ", ".join(f"__v_{c} AS {c}" for c in compare_cols)
+    return (
+        f"SELECT * FROM ("
+        f"WITH __j AS (SELECT c.*, "
+        + ", ".join(f"n.__k_{k}" for k in keys) + ", "
+        + ", ".join(f"n.__v_{c}" for c in compare_cols)
+        + f", n.__nh FROM {cur} c FULL OUTER JOIN {new} n ON {on}) "
+        f"SELECT {keys_csv}, {cmp_csv}, VALID_FROM, VALID_TO, IS_CURRENT "
+        f"FROM {source} WHERE IS_CURRENT = 0 "
+        f"UNION ALL "
+        f"SELECT {keys_csv}, {cmp_csv}, VALID_FROM, NULL AS VALID_TO, "
+        f"1 AS IS_CURRENT FROM __j "
+        f"WHERE __nh IS NULL OR ({matched} AND __h = __nh) "
+        f"UNION ALL "
+        f"SELECT {keys_csv}, {cmp_csv}, VALID_FROM, {sv} AS VALID_TO, "
+        f"0 AS IS_CURRENT FROM __j WHERE {matched} AND __h != __nh "
+        f"UNION ALL "
+        f"SELECT {nkeys}, {ncmp}, {sv} AS VALID_FROM, NULL AS VALID_TO, "
+        f"1 AS IS_CURRENT FROM __j "
+        f"WHERE (__h IS NULL AND __nh IS NOT NULL) "
+        f"OR ({matched} AND __h != __nh))"
+    )

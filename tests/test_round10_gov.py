@@ -422,3 +422,60 @@ def test_t_closeness_filter_and_validates(spark):
         t_closeness(df, quasi_cols=["g"], sensitive="g", t=0.3)
     with pytest.raises(ParameterException):
         t_closeness(df, quasi_cols=[], sensitive="diag", t=0.3)
+
+
+# ---------- scd2_merge ----------
+
+
+def test_scd2_merge_equals_full_recompute(spark):
+    """THE invariant: folding snapshot N+1 into scd2(s1..sN) reproduces
+    scd2(s1..sN+1) exactly — also the shape of the driver oracle."""
+    from rasgoql_spark.functions.snapshot import scd2_merge
+
+    def snap(n, vals):
+        return spark.createDataFrame(
+            [(k, n, v) for k, v in vals.items()], "k int, snap int, val string"
+        )
+
+    s1 = snap(1, {1: "a", 2: "x"})
+    s2 = snap(2, {1: "b", 2: "x", 3: "p"})         # 1 changes, 3 appears
+    s3 = snap(3, {1: "b", 2: "y", 3: "q", 4: "n"})  # 2,3 change, 4 appears
+    hist12 = scd2(s1.unionByName(s2), keys=["k"], snapshot_col="snap")
+    merged = scd2_merge(
+        hist12, s3.drop("snap"), keys=["k"], snapshot_value=3
+    )
+    full = scd2(
+        s1.unionByName(s2).unionByName(s3), keys=["k"], snapshot_col="snap"
+    )
+    key = lambda r: (r["k"], r["VALID_FROM"])  # noqa: E731
+    a = sorted(map(tuple, merged.select(*full.columns).collect()))
+    b = sorted(map(tuple, full.collect()))
+    assert a == b
+
+
+def test_scd2_merge_untouched_and_unchanged_pass_through(spark):
+    from rasgoql_spark.functions.snapshot import scd2_merge
+
+    hist = spark.createDataFrame(
+        [(1, "a", 1, None, 1), (2, "x", 1, 2, 0), (2, "y", 2, None, 1)],
+        "k int, val string, VALID_FROM int, VALID_TO int, IS_CURRENT int",
+    )
+    snap = spark.createDataFrame([(2, "y")], "k int, val string")  # unchanged
+    out = scd2_merge(hist, snap, keys=["k"], snapshot_value=3)
+    got = sorted(map(tuple, out.collect()))
+    assert got == sorted(map(tuple, hist.collect()))  # bit-identical history
+
+
+def test_scd2_merge_validates(spark):
+    from rasgoql_spark.functions.snapshot import scd2_merge
+
+    bad = spark.createDataFrame([(1, "a")], "k int, val string")
+    snap = spark.createDataFrame([(1, "b")], "k int, val string")
+    with pytest.raises(ParameterException):
+        scd2_merge(bad, snap, keys=["k"], snapshot_value=2)
+    hist = spark.createDataFrame(
+        [(1, "a", 1, None, 1)],
+        "k int, val string, VALID_FROM int, VALID_TO int, IS_CURRENT int",
+    )
+    with pytest.raises(ParameterException):
+        scd2_merge(hist, snap, keys=[], snapshot_value=2)

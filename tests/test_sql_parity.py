@@ -410,6 +410,19 @@ CHAIN_CASES = [
     ("l_diversity_flag", lambda s: s.dataset("customer").l_diversity(
         quasi_cols=["c_mktsegment"], sensitive="c_nationkey", l=5,
         action="flag")),
+    ("scd2_merge", lambda s: s.dataset("orders")
+        .apply(sql="SELECT o_orderkey, 1 AS snap, o_orderpriority AS prio "
+                   "FROM {{ source_table }} UNION ALL "
+                   "SELECT o_orderkey, 2 AS snap, CASE WHEN o_orderkey % 5 = 0 "
+                   "THEN 'X' ELSE o_orderpriority END AS prio "
+                   "FROM {{ source_table }}")
+        .scd2(keys=["o_orderkey"], snapshot_col="snap")
+        .scd2_merge(
+            snapshot=s.dataset("orders").apply(
+                sql="SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN 'Y' "
+                    "WHEN o_orderkey % 5 = 0 THEN 'X' "
+                    "ELSE o_orderpriority END AS prio FROM {{ source_table }}"),
+            keys=["o_orderkey"], snapshot_value=3)),
     ("t_closeness_filter", lambda s: s.dataset("customer").t_closeness(
         quasi_cols=["c_mktsegment"], sensitive="c_nationkey", t=0.5)),
     ("t_closeness_flag", lambda s: s.dataset("customer").t_closeness(
