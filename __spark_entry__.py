@@ -2965,6 +2965,90 @@ def q_k_anonymize(spark, sf):
     )
 
 
+def q_ewma(spark, sf):
+    """Truncated EWMA over each user's event stream (span-8 lag unroll)."""
+    return (
+        _s(spark, sf).dataset("events")
+        .ewma(value_col="value", order_by=["ts", "event_id"], alpha=0.3,
+              partition=["user_id"], span=8)
+        .drop_columns(include_cols=["event_id", "EWMA_VALUE"])
+        .df
+    )
+
+
+def q_anomaly_zscore(spark, sf):
+    """Rolling-z anomaly flags on per-user event values (causal window)."""
+    return (
+        _s(spark, sf).dataset("events")
+        .anomaly_zscore(value_col="value", order_by=["ts", "event_id"],
+                        window=10, partition=["user_id"], threshold=2.0)
+        .drop_columns(include_cols=["event_id", "ZSCORE_VALUE", "IS_ANOMALY"])
+        .df
+    )
+
+
+def q_changepoint_detect(spark, sf):
+    """CUSUM-argmax mean-shift location per event_type."""
+    return (
+        _s(spark, sf).dataset("events")
+        .changepoint_detect(value_col="value", order_by=["ts", "event_id"],
+                            group_by=["event_type"])
+        .df
+    )
+
+
+def q_seasonal_decompose(spark, sf):
+    """Additive trend/seasonal/residual split of each user's event stream."""
+    return (
+        _s(spark, sf).dataset("events")
+        .seasonal_decompose(value_col="value", order_by=["ts", "event_id"],
+                            period=7, partition=["user_id"])
+        .drop_columns(include_cols=["event_id", "SEASON_POS", "TREND",
+                                    "SEASONAL", "RESIDUAL"])
+        .df
+    )
+
+
+def _timeseries_oracles() -> dict[str, str]:
+    """The timeseries renderers are engine-portable SQL (LAG/AVG/STDDEV_SAMP/
+    ROW_NUMBER windows, ROUND, CASE) — DuckDB runs them verbatim, with the
+    one dialect swap Spark's `* EXCEPT` → DuckDB's `* EXCLUDE` for
+    seasonal_decompose (same pattern as _cls_eval_oracle)."""
+    from rasgoql_spark.functions.timeseries import (
+        _r_anomaly_zscore,
+        _r_changepoint_detect,
+        _r_ewma,
+        _r_seasonal_decompose,
+    )
+
+    ob = ["ts", "event_id"]
+    return {
+        "ewma": (
+            "SELECT event_id, EWMA_VALUE FROM ("
+            + _r_ewma("events", "value", ob, 0.3, partition=["user_id"], span=8)
+            + ")"
+        ),
+        "anomaly_zscore": (
+            "SELECT event_id, ZSCORE_VALUE, IS_ANOMALY FROM ("
+            + _r_anomaly_zscore("events", "value", ob, 10, ["user_id"], 2.0)
+            + ")"
+        ),
+        "changepoint_detect": (
+            "SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, "
+            "CUSUM_STAT FROM ("
+            + _r_changepoint_detect("events", "value", ob, ["event_type"])
+            + ")"
+        ),
+        "seasonal_decompose": (
+            "SELECT event_id, SEASON_POS, TREND, SEASONAL, RESIDUAL FROM ("
+            + _r_seasonal_decompose(
+                "events", "value", ob, 7, ["user_id"]
+            ).replace("* EXCEPT", "* EXCLUDE")
+            + ")"
+        ),
+    }
+
+
 def _cls_eval_oracle() -> str:
     """classifier_eval's renderer is engine-portable SQL — DuckDB runs it
     verbatim over the same apply-projection the gate query uses (embedding
@@ -5297,6 +5381,7 @@ ranked AS (
             "CAST(COUNT(event_id) AS BIGINT) AS EVENT_ID_COUNT FROM ss GROUP BY user_id, sid"
         ),
         "stream_dedup_batch": "SELECT DISTINCT user_id, event_type FROM events",
+        **_timeseries_oracles(),
     }
 
 
@@ -5313,6 +5398,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 209 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
+        # --- new round-10 timeseries operators ---
+        "ewma": q_ewma,
+        "anomaly_zscore": q_anomaly_zscore,
+        "changepoint_detect": q_changepoint_detect,
+        "seasonal_decompose": q_seasonal_decompose,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -5540,10 +5630,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolling_agg_range, which the r9 gate refreshed) — the r9 verdict's
     # task #2.
     front = [
-        # new operators first (never driver-verified): the 8 mid-round-10
-        # governance/analysis ops displace the alphabetical tail of the
-        # r6-stale block (those 8 stay r6-verified, re-fronted next round
-        # per the standing staleness policy)
+        # new operators first (never driver-verified): the 4 late-round-10
+        # timeseries ops + the 8 mid-round-10 governance/analysis ops
+        # displace the alphabetical tail of the r6-stale block (those stay
+        # r6-verified, re-fronted next round per the standing policy)
+        "ewma",
+        "anomaly_zscore",
+        "changepoint_detect",
+        "seasonal_decompose",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -5570,12 +5664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample", "impute_mean", "impute_mode", "intersect",
         "join_full", "kmeans_cluster", "label_encode", "language_id",
         "levenshtein", "market_basket", "min_max_scaler",
-        "min_max_scaler_grouped", "one_hot_encode", "order", "pii_scrub",
-        "pivot", "quantiles", "rank",
-        # (repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
-        # standard_scaler, target_encode, text_quality, train_test_split,
-        # union, unpivot, winsorize yield their slots to the 12 new ops
-        # above)
+        "min_max_scaler_grouped", "one_hot_encode", "order",
+        # (pii_scrub, pivot, quantiles, rank, repetition_stats, rsi,
+        # sankey, semantic_dedup, sliding_slope, standard_scaler,
+        # target_encode, text_quality, train_test_split, union, unpivot,
+        # winsorize yield their slots to the 16 new ops above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

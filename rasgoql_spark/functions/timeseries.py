@@ -1,0 +1,357 @@
+"""Time-series analytics over ordered event streams.
+
+The reference's window family (SURVEY §2.2: moving_avg, rolling_agg, rsi,
+sliding_slope — reference README.md:148-153, tutorial.ipynb:4630) stops at
+frame aggregates; production telemetry and training-data pipelines also need
+the classical time-series quartet: exponential smoothing, rolling-z anomaly
+flags, changepoint location, and seasonal decomposition. All four are pure
+window/aggregate compositions — no UDFs, no driver loops — so Catalyst sees
+one hash-shuffle on the partition keys plus an in-partition sort, exactly the
+moving_avg plan shape, and every operator replays as ANSI SQL for the oracle.
+
+Determinism contract (same idea as graph.pagerank): intermediates that feed
+comparisons or further arithmetic are rounded to ``round_to`` decimals, so
+running-sum association order can never flip a downstream result between
+engines.
+
+100 TB design: every operator here is a windowed projection — the only
+shuffle is the partition-key hash (skew = one user's events, handled by AQE);
+no collects, no Python on data, whole-stage-codegen throughout. Unpartitioned
+calls funnel one task (flagged per docstring), matching the window family's
+existing contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..errors import ParameterException
+from ..naming import cleanse_name
+from ..operators._util import as_list, order_spec, order_sql, resolve_col, resolve_cols
+from ..registry import renderer, spark_transform
+
+EWMA_MAX_SPAN = 64
+
+
+def _window(df, partition, order_by) -> WindowSpec:
+    keys = resolve_cols(df, as_list(partition))
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    return w.orderBy(*order_spec(df, order_by))
+
+
+def _over_sql(partition, order_by) -> str:
+    part = f"PARTITION BY {', '.join(as_list(partition))} " if as_list(partition) else ""
+    return f"{part}ORDER BY {order_sql(order_by)}"
+
+
+# --------------------------------------------------------------------------
+# EWMA
+# --------------------------------------------------------------------------
+
+@spark_transform("ewma", category="timeseries", streaming_ok=False)
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_by,
+    alpha: float,
+    partition=None,
+    span: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Truncated exponentially weighted moving average.
+
+    ``EWMA_{COL}`` at row t is the weight-normalized mean of the current and
+    previous ``span-1`` rows with weights ``w_i = (1-alpha)^i`` (i = distance
+    back; pandas ``ewm(adjust=True)`` semantics truncated at ``span``).
+    Truncation makes the recursion a FIXED linear combination of lags, so the
+    whole operator is one window projection — exactly replayable as SQL and
+    free of the overflow the closed-form ``(1-alpha)^-t`` cumsum trick hits on
+    long partitions. With the default span=16 the dropped tail weight is
+    ``(1-alpha)^16`` (< 0.4% of total at alpha=0.3). Null values and
+    rows before the partition start are excluded from both numerator and the
+    weight normalizer, matching pandas' ``ignore_na`` start-up behavior.
+
+    Scale: one shuffle on ``partition``; the lag fan-out is row-local
+    projection inside whole-stage codegen (span columns, zero extra passes).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ParameterException("alpha must be in (0, 1)")
+    if not 1 <= span <= EWMA_MAX_SPAN:
+        raise ParameterException(f"span must be in [1, {EWMA_MAX_SPAN}]")
+    v = resolve_col(df, value_col)
+    w = _window(df, partition, order_by)
+    num: Column = F.lit(0.0)
+    den: Column = F.lit(0.0)
+    for i in range(span):
+        wt = (1.0 - alpha) ** i
+        xi = F.col(v).cast("double") if i == 0 else F.lag(v, i).over(w).cast("double")
+        num = num + F.coalesce(xi * F.lit(wt), F.lit(0.0))
+        den = den + F.when(xi.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    out = F.when(den > 0, F.round(num / den, round_to))
+    return df.withColumn(f"EWMA_{cleanse_name(value_col)}", out)
+
+
+@renderer("ewma")
+def _r_ewma(source, value_col, order_by, alpha, partition=None, span=16,
+            round_to=6) -> str:
+    over = _over_sql(partition, order_by)
+    num_terms, den_terms = [], []
+    for i in range(span):
+        wt = repr((1.0 - alpha) ** i)
+        xi = (f"CAST({value_col} AS DOUBLE)" if i == 0
+              else f"CAST(LAG({value_col}, {i}) OVER ({over}) AS DOUBLE)")
+        num_terms.append(f"COALESCE({xi} * {wt}, 0.0)")
+        den_terms.append(f"CASE WHEN {xi} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num, den = " + ".join(num_terms), " + ".join(den_terms)
+    name = f"EWMA_{cleanse_name(value_col)}"
+    return (
+        f"SELECT *, CASE WHEN {den} > 0 THEN ROUND(({num}) / ({den}), {round_to}) "
+        f"END AS {name} FROM {source}"
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling z-score anomaly flag
+# --------------------------------------------------------------------------
+
+@spark_transform("anomaly_zscore", category="timeseries", streaming_ok=False)
+def anomaly_zscore(
+    df: DataFrame,
+    value_col: str,
+    order_by,
+    window: int = 20,
+    partition=None,
+    threshold: float = 3.0,
+    min_periods: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rolling z-score anomaly flag.
+
+    ``ZSCORE_{COL}`` = (x − trailing mean) / trailing sample stddev over the
+    last ``window`` rows (current row included); null when fewer than
+    ``min_periods`` non-null values are in frame or the frame is constant
+    (stddev 0). ``IS_ANOMALY`` = |z| > threshold (false where z is null).
+    The trailing-window form keeps the statistic causal — usable as a
+    streaming feature — and bounds state per key at ``window`` rows.
+
+    Scale: one shuffle on ``partition``, one window pass; stddev/avg/count
+    share the same frame buffer.
+    """
+    if window < 2:
+        raise ParameterException("window must be >= 2")
+    if min_periods < 2:
+        raise ParameterException("min_periods must be >= 2 (stddev needs 2 rows)")
+    if threshold <= 0:
+        raise ParameterException("threshold must be > 0")
+    v = resolve_col(df, value_col)
+    frame = _window(df, partition, order_by).rowsBetween(-(window - 1), Window.currentRow)
+    x = F.col(v).cast("double")
+    mean = F.avg(v).over(frame)
+    sd = F.stddev_samp(v).over(frame)
+    cnt = F.count(v).over(frame)
+    z = F.when(
+        (cnt >= min_periods) & (sd > 0), F.round((x - mean) / sd, round_to)
+    )
+    zname = f"ZSCORE_{cleanse_name(value_col)}"
+    return df.withColumns({
+        zname: z,
+        "IS_ANOMALY": F.coalesce(F.abs(z) > threshold, F.lit(False)),
+    })
+
+
+@renderer("anomaly_zscore")
+def _r_anomaly_zscore(source, value_col, order_by, window=20, partition=None,
+                      threshold=3.0, min_periods=5, round_to=6) -> str:
+    over = f"{_over_sql(partition, order_by)} ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    z = (
+        f"CASE WHEN COUNT({value_col}) OVER ({over}) >= {min_periods} "
+        f"AND STDDEV_SAMP({value_col}) OVER ({over}) > 0 "
+        f"THEN ROUND((CAST({value_col} AS DOUBLE) - AVG({value_col}) OVER ({over})) "
+        f"/ STDDEV_SAMP({value_col}) OVER ({over}), {round_to}) END"
+    )
+    zname = f"ZSCORE_{cleanse_name(value_col)}"
+    return (
+        f"SELECT *, {z} AS {zname}, COALESCE(ABS({z}) > {threshold}, FALSE) AS IS_ANOMALY "
+        f"FROM {source}"
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint
+# --------------------------------------------------------------------------
+
+@spark_transform("changepoint_detect", category="timeseries", streaming_ok=False)
+def changepoint_detect(
+    df: DataFrame,
+    value_col: str,
+    order_by,
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint per group (CUSUM argmax).
+
+    Classic cumulative-sum chart (Page 1954): ``S_t = Σ_{i<=t} (x_i − x̄)``
+    against the group mean; the estimated changepoint is the row maximizing
+    ``|S_t|`` (ties → earliest in ``order_by``). Returns ONE row per group:
+    the group keys, the ``order_by`` columns at the changepoint, and
+    ``CUSUM_STAT`` (the signed rounded S there). The running sum is rounded
+    to ``round_to`` BEFORE the argmax so association order can never flip the
+    winner between engines.
+
+    Scale: two window passes over one partition shuffle (group mean, running
+    sum) plus a per-group top-1 — no second shuffle, the argmax reuses the
+    same partitioning.
+    """
+    v = resolve_col(df, value_col)
+    keys = resolve_cols(df, as_list(group_by))
+    ords = as_list(order_by) if not isinstance(order_by, dict) else list(order_by)
+    ord_cols = resolve_cols(df, ords)
+    wg = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    # stage the group mean first: SUM(x - AVG(x) OVER ...) OVER ... would be
+    # an (illegal) nested window expression in both engines
+    staged = df.withColumn("__gmean", F.avg(v).over(wg))
+    wcum = _window(staged, keys, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.round(
+        F.sum(F.col(v).cast("double") - F.col("__gmean")).over(wcum), round_to
+    )
+    staged = staged.withColumn("__cusum", cum)
+    wtop = Window.partitionBy(*keys).orderBy(
+        F.abs(F.col("__cusum")).desc(), *order_spec(staged, order_by)
+    ) if keys else Window.partitionBy().orderBy(
+        F.abs(F.col("__cusum")).desc(), *order_spec(staged, order_by)
+    )
+    picked = staged.withColumn("__rn", F.row_number().over(wtop)).filter(F.col("__rn") == 1)
+    return picked.select(
+        *keys, *ord_cols, F.col("__cusum").alias("CUSUM_STAT")
+    )
+
+
+@renderer("changepoint_detect")
+def _r_changepoint_detect(source, value_col, order_by, group_by=None,
+                          round_to=6) -> str:
+    keys = as_list(group_by)
+    ords = list(order_by) if isinstance(order_by, dict) else as_list(order_by)
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    gpart = part.strip() or "PARTITION BY 1"
+    cum = (
+        f"ROUND(SUM(CAST({value_col} AS DOUBLE) - __gmean) "
+        f"OVER ({part}ORDER BY {order_sql(order_by)} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {round_to})"
+    )
+    sel = ", ".join([*keys, *ords])
+    return (
+        f"SELECT {sel}, __cusum AS CUSUM_STAT FROM ("
+        f"SELECT *, ROW_NUMBER() OVER ({part}ORDER BY ABS(__cusum) DESC, "
+        f"{order_sql(order_by)}) AS __rn FROM "
+        f"(SELECT *, {cum} AS __cusum FROM "
+        f"(SELECT *, AVG({value_col}) OVER ({gpart}) AS __gmean FROM {source}))"
+        f") WHERE __rn = 1"
+    )
+
+
+# --------------------------------------------------------------------------
+# additive seasonal decomposition
+# --------------------------------------------------------------------------
+
+@spark_transform("seasonal_decompose", category="timeseries", streaming_ok=False)
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    order_by,
+    period: int,
+    partition=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Additive seasonal decomposition: x = TREND + SEASONAL + RESIDUAL.
+
+    Classical moving-average method: TREND is a centered ``period``-row mean
+    (null at the edges where the frame is incomplete — the classical
+    convention); SEASONAL is the per-season-position mean of the detrended
+    series, centered by subtracting the grand detrended mean so seasonal
+    effects sum to ~0 over a cycle; RESIDUAL is the remainder. Season
+    position is row index modulo ``period`` within the partition. Each stage
+    is rounded before feeding the next so both engines replay identically;
+    the seasonal means additionally run over UNORDERED partitions, where
+    float summation order is engine-dependent, so the detrended values are
+    quantized to ``round_to`` decimals and summed as exact BIGINTs (order-
+    free; magnitudes stay far under 2^53 at any realistic group size).
+
+    Scale: one shuffle on ``partition``; positions/trend/seasonal are three
+    window projections over the same partitioning (Catalyst collapses the
+    sort), no joins and no second shuffle.
+    """
+    if period < 2:
+        raise ParameterException("period must be >= 2")
+    v = resolve_col(df, value_col)
+    keys = resolve_cols(df, as_list(partition))
+    w = _window(df, partition, order_by)
+    lo, hi = -((period - 1) // 2), period // 2
+    frame = w.rowsBetween(lo, hi)
+    x = F.col(v).cast("double")
+    trend = F.when(
+        F.count(v).over(frame) == period, F.round(F.avg(v).over(frame), round_to)
+    )
+    pos = ((F.row_number().over(w) - 1) % period).cast("int")
+    staged = df.withColumns({"__trend": trend, "__pos": pos})
+    scale = float(10 ** round_to)
+    staged = staged.withColumn(
+        "__detri",
+        F.round((F.col(v).cast("double") - F.col("__trend")) * scale, 0).cast("bigint"),
+    )
+    wpos = Window.partitionBy(*keys, "__pos")
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy()
+
+    def _mean(win):
+        return F.sum("__detri").over(win).cast("double") / F.count("__detri").over(win)
+
+    seasonal = F.round((_mean(wpos) - _mean(wall)) / scale, round_to)
+    staged = staged.withColumn("__seasonal", seasonal)
+    resid = F.round(
+        F.col(v).cast("double") - F.col("__trend") - F.col("__seasonal"), round_to
+    )
+    return (
+        staged.withColumns({
+            "SEASON_POS": F.col("__pos"),
+            "TREND": F.col("__trend"),
+            "SEASONAL": F.col("__seasonal"),
+            "RESIDUAL": resid,
+        }).drop("__trend", "__pos", "__detri", "__seasonal")
+    )
+
+
+@renderer("seasonal_decompose")
+def _r_seasonal_decompose(source, value_col, order_by, period, partition=None,
+                          round_to=6) -> str:
+    keys = as_list(partition)
+    over = _over_sql(partition, order_by)
+    lo, hi = (period - 1) // 2, period // 2
+    frame = f"{over} ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING"
+    part_pos = "PARTITION BY " + ", ".join([*keys, "__pos"])
+    part_all = f"PARTITION BY {', '.join(keys)}" if keys else "PARTITION BY 1"
+    trend = (
+        f"CASE WHEN COUNT({value_col}) OVER ({frame}) = {period} "
+        f"THEN ROUND(AVG({value_col}) OVER ({frame}), {round_to}) END"
+    )
+    # seasonal is ROUNDED in its own layer before the residual subtracts it,
+    # mirroring the DataFrame side's round-before-reuse contract; the
+    # detrended values are BIGINT-quantized so the unordered-partition means
+    # are summation-order-free (see the transform docstring)
+    scale = float(10 ** round_to)
+    mpos = (
+        f"CAST(SUM(__detri) OVER ({part_pos}) AS DOUBLE) / COUNT(__detri) OVER ({part_pos})"
+    )
+    mall = (
+        f"CAST(SUM(__detri) OVER ({part_all}) AS DOUBLE) / COUNT(__detri) OVER ({part_all})"
+    )
+    return (
+        f"SELECT * EXCEPT (__pos, __trend, __detri, __seasonal), "
+        f"__pos AS SEASON_POS, __trend AS TREND, __seasonal AS SEASONAL, "
+        f"ROUND(CAST({value_col} AS DOUBLE) - __trend - __seasonal, {round_to}) AS RESIDUAL "
+        f"FROM (SELECT *, ROUND(({mpos} - {mall}) / {scale}, {round_to}) AS __seasonal "
+        f"FROM (SELECT *, CAST(ROUND((CAST({value_col} AS DOUBLE) - __trend) * {scale}, 0) AS BIGINT) AS __detri, "
+        f"CAST((ROW_NUMBER() OVER ({over}) - 1) % {period} AS INT) AS __pos "
+        f"FROM (SELECT *, {trend} AS __trend FROM {source})))"
+    )

@@ -1,0 +1,242 @@
+"""Time-series quartet: EWMA, rolling-z anomaly, CUSUM changepoint,
+seasonal decomposition. Semantics pinned against pandas / hand-computed
+values; renderers pinned by spark.sql round-trip equivalence."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rasgoql_spark.errors import ParameterException
+from rasgoql_spark.functions.timeseries import (
+    _r_anomaly_zscore,
+    _r_changepoint_detect,
+    _r_ewma,
+    _r_seasonal_decompose,
+    anomaly_zscore,
+    changepoint_detect,
+    ewma,
+    seasonal_decompose,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    vals = [10.0, 12.0, 11.0, 13.0, 50.0, 12.0, 11.5, 13.5, 12.0, 11.0]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "t INT, x DOUBLE"
+    )
+
+
+# --------------------------------------------------------------------------
+# ewma
+# --------------------------------------------------------------------------
+
+def test_ewma_matches_pandas_when_span_covers_series(series):
+    """With span >= series length the truncation is inactive, so the result
+    IS pandas ewm(adjust=True)."""
+    out = ewma(series, "x", order_by=["t"], alpha=0.3, span=16, round_to=6)
+    got = {r["t"]: r["EWMA_X"] for r in out.collect()}
+    exp = pd.Series([10.0, 12.0, 11.0, 13.0, 50.0, 12.0, 11.5, 13.5, 12.0, 11.0]).ewm(
+        alpha=0.3, adjust=True
+    ).mean()
+    for t, e in enumerate(exp):
+        assert got[t] == pytest.approx(round(e, 6), abs=2e-6)
+
+
+def test_ewma_truncation_window(series):
+    """span=1 degenerates to the value itself."""
+    out = ewma(series, "x", order_by=["t"], alpha=0.5, span=1)
+    for r in out.collect():
+        assert r["EWMA_X"] == pytest.approx(r["x"], abs=1e-9)
+
+
+def test_ewma_skips_nulls_in_numerator_and_weights(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, None), (2, 20.0)], "t INT, x DOUBLE"
+    )
+    out = {r["t"]: r["EWMA_X"] for r in ewma(df, "x", ["t"], alpha=0.5, span=4).collect()}
+    # t=2: weights 1 (x=20) and 0.25 (x=10); the null at t=1 contributes nothing
+    assert out[2] == pytest.approx(round((20.0 + 0.25 * 10.0) / 1.25, 6))
+    assert out[1] == pytest.approx(10.0)  # only the lagged value is present
+
+
+def test_ewma_validation(series):
+    with pytest.raises(ParameterException):
+        ewma(series, "x", ["t"], alpha=1.5)
+    with pytest.raises(ParameterException):
+        ewma(series, "x", ["t"], alpha=0.3, span=0)
+    with pytest.raises(ParameterException):
+        ewma(series, "x", ["t"], alpha=0.3, span=1000)
+
+
+def test_ewma_renderer_roundtrip(spark, events):
+    events.createOrReplaceTempView("__ewma_src")
+    via_sql = spark.sql(
+        _r_ewma("__ewma_src", "value", ["ts", "event_id"], 0.3,
+                partition=["user_id"], span=8)
+    ).select("event_id", "EWMA_VALUE")
+    direct = ewma(events, "value", ["ts", "event_id"], 0.3,
+                  partition=["user_id"], span=8).select("event_id", "EWMA_VALUE")
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# anomaly_zscore
+# --------------------------------------------------------------------------
+
+def test_anomaly_flags_planted_spike(series):
+    # the spike inflates its own trailing-window stddev (z ≈ 1.79), so the
+    # detection threshold sits below that
+    out = anomaly_zscore(series, "x", order_by=["t"], window=10, threshold=1.5,
+                         min_periods=3)
+    rows = {r["t"]: r for r in out.collect()}
+    assert rows[4]["IS_ANOMALY"] is True           # the planted 50.0
+    assert sum(r["IS_ANOMALY"] for r in rows.values()) == 1
+    # warm-up rows below min_periods have null z and false flag
+    assert rows[0]["ZSCORE_X"] is None and rows[0]["IS_ANOMALY"] is False
+    assert rows[1]["ZSCORE_X"] is None
+
+
+def test_anomaly_zscore_value(series):
+    """z at the spike equals the hand-computed trailing-window statistic."""
+    out = {r["t"]: r["ZSCORE_X"] for r in anomaly_zscore(
+        series, "x", ["t"], window=10, threshold=2.0, min_periods=3).collect()}
+    vals = [10.0, 12.0, 11.0, 13.0, 50.0]
+    m = sum(vals) / 5
+    sd = math.sqrt(sum((v - m) ** 2 for v in vals) / 4)
+    assert out[4] == pytest.approx(round((50.0 - m) / sd, 6), abs=1e-6)
+
+
+def test_anomaly_constant_window_is_null_not_division_error(spark):
+    df = spark.createDataFrame([(i, 5.0) for i in range(6)], "t INT, x DOUBLE")
+    out = anomaly_zscore(df, "x", ["t"], window=4, min_periods=2)
+    assert all(r["ZSCORE_X"] is None and r["IS_ANOMALY"] is False
+               for r in out.collect())
+
+
+def test_anomaly_validation(series):
+    with pytest.raises(ParameterException):
+        anomaly_zscore(series, "x", ["t"], window=1)
+    with pytest.raises(ParameterException):
+        anomaly_zscore(series, "x", ["t"], min_periods=1)
+    with pytest.raises(ParameterException):
+        anomaly_zscore(series, "x", ["t"], threshold=0)
+
+
+def test_anomaly_renderer_roundtrip(spark, events):
+    events.createOrReplaceTempView("__anom_src")
+    via_sql = spark.sql(
+        _r_anomaly_zscore("__anom_src", "value", ["ts", "event_id"], 10,
+                          ["user_id"], 2.0)
+    ).select("event_id", "ZSCORE_VALUE", "IS_ANOMALY")
+    direct = anomaly_zscore(events, "value", ["ts", "event_id"], window=10,
+                            partition=["user_id"], threshold=2.0
+                            ).select("event_id", "ZSCORE_VALUE", "IS_ANOMALY")
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# changepoint_detect
+# --------------------------------------------------------------------------
+
+def test_changepoint_finds_planted_mean_shift(spark):
+    # level 0 for t<10, level 10 for t>=10 -> |CUSUM| peaks at t=9
+    rows = [(i, 0.0 if i < 10 else 10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "t INT, x DOUBLE")
+    out = changepoint_detect(df, "x", order_by=["t"]).collect()
+    assert len(out) == 1
+    assert out[0]["t"] == 9
+    assert out[0]["CUSUM_STAT"] == pytest.approx(-50.0)  # 10 * (0 - 5)
+
+
+def test_changepoint_one_row_per_group(events):
+    out = changepoint_detect(events, "value", order_by=["ts", "event_id"],
+                             group_by=["event_type"])
+    n_types = events.select("event_type").distinct().count()
+    assert out.count() == n_types
+    assert set(out.columns) == {"event_type", "ts", "event_id", "CUSUM_STAT"}
+
+
+def test_changepoint_renderer_roundtrip(spark, events):
+    events.createOrReplaceTempView("__cp_src")
+    via_sql = spark.sql(
+        _r_changepoint_detect("__cp_src", "value", ["ts", "event_id"],
+                              ["event_type"])
+    )
+    direct = changepoint_detect(events, "value", ["ts", "event_id"],
+                                ["event_type"])
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# seasonal_decompose
+# --------------------------------------------------------------------------
+
+def test_seasonal_reconstruction_identity(events):
+    """Where TREND is defined, TREND + SEASONAL + RESIDUAL == value (to
+    rounding)."""
+    out = seasonal_decompose(events, "value", order_by=["ts", "event_id"],
+                             period=7, partition=["user_id"])
+    chk = out.filter(F.col("TREND").isNotNull()).withColumn(
+        "__err",
+        F.abs(F.col("TREND") + F.col("SEASONAL") + F.col("RESIDUAL")
+              - F.col("value")),
+    )
+    assert chk.count() > 0
+    assert chk.agg(F.max("__err")).first()[0] < 1e-5
+
+
+def test_seasonal_recovers_planted_cycle(spark):
+    # pure period-4 seasonal pattern on a flat level: seasonal means must
+    # recover the pattern (centered), residuals ~ 0
+    pat = [5.0, -1.0, -3.0, -1.0]
+    rows = [(i, 100.0 + pat[i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, "t INT, x DOUBLE")
+    out = seasonal_decompose(df, "x", order_by=["t"], period=4)
+    mid = out.filter("TREND IS NOT NULL")
+    seas = {r["SEASON_POS"]: r["SEASONAL"] for r in mid.collect()}
+    for p_idx, p_val in enumerate(pat):
+        assert seas[p_idx] == pytest.approx(p_val, abs=0.2)
+    assert mid.agg(F.max(F.abs("RESIDUAL"))).first()[0] < 0.2
+
+
+def test_seasonal_edges_have_null_trend(spark):
+    rows = [(i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "t INT, x DOUBLE")
+    out = {r["t"]: r for r in seasonal_decompose(
+        df, "x", order_by=["t"], period=5).collect()}
+    # centered 5-frame: first 2 and last 2 rows lack a full frame
+    for t in (0, 1, 8, 9):
+        assert out[t]["TREND"] is None and out[t]["RESIDUAL"] is None
+    for t in (2, 7):
+        assert out[t]["TREND"] == pytest.approx(float(t))
+
+
+def test_seasonal_validation(series):
+    with pytest.raises(ParameterException):
+        seasonal_decompose(series, "x", ["t"], period=1)
+
+
+def test_seasonal_renderer_roundtrip(spark, events):
+    events.createOrReplaceTempView("__seas_src")
+    cols = ["event_id", "SEASON_POS", "TREND", "SEASONAL", "RESIDUAL"]
+    via_sql = spark.sql(
+        _r_seasonal_decompose("__seas_src", "value", ["ts", "event_id"], 7,
+                              ["user_id"])
+    ).select(*cols)
+    direct = seasonal_decompose(events, "value", ["ts", "event_id"], 7,
+                                ["user_id"]).select(*cols)
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
