@@ -1692,6 +1692,50 @@ def q_pagerank(spark, sf):
     )
 
 
+_TRI_EDGES_APPLY = (
+    "SELECT DISTINCT user_id % 200 AS src, (user_id % 200 + 1) % 200 AS dst "
+    "FROM {{source_table}} UNION ALL "
+    "SELECT DISTINCT user_id % 200, (user_id % 200 + 2) % 200 FROM {{source_table}}"
+)
+_TRI_EDGES_DUCK = (
+    "(SELECT DISTINCT user_id % 200 AS src, (user_id % 200 + 1) % 200 AS dst "
+    "FROM events UNION ALL "
+    "SELECT DISTINCT user_id % 200, (user_id % 200 + 2) % 200 FROM events) __tri"
+)
+
+
+def q_triangle_count(spark, sf):
+    # circulant C(n;1,2) graph over the user-id space: triangle-rich and
+    # deterministic; both engines synthesize the identical edge list
+    s = _s(spark, sf)
+    return (
+        s.dataset("events").apply(sql=_TRI_EDGES_APPLY)
+        .triangle_count(src="src", dst="dst")
+        .df
+    )
+
+
+_LPA_EDGES_APPLY = (
+    "SELECT DISTINCT user_id AS src, 100000 + user_id % 37 AS dst "
+    "FROM {{source_table}}"
+)
+_LPA_EDGES_DUCK = (
+    "(SELECT DISTINCT user_id AS src, 100000 + user_id % 37 AS dst "
+    "FROM events) __lpa"
+)
+
+
+def q_label_propagation(spark, sf):
+    # 37-hub star graph (the connected_components fixture shape): two
+    # deterministic synchronous rounds with min-label tie-breaks
+    s = _s(spark, sf)
+    return (
+        s.dataset("events").apply(sql=_LPA_EDGES_APPLY)
+        .label_propagation(src="src", dst="dst", iterations=2)
+        .df
+    )
+
+
 def q_kmeans_cluster(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -3046,6 +3090,21 @@ def _timeseries_oracles() -> dict[str, str]:
             ).replace("* EXCEPT", "* EXCLUDE")
             + ")"
         ),
+    }
+
+
+def _graph_round10_oracles() -> dict[str, str]:
+    """triangle_count / label_propagation renderers are engine-portable CTE
+    chains (LEAST/GREATEST, plain joins, ROW_NUMBER) — DuckDB runs them
+    verbatim over the same synthesized edge lists."""
+    from rasgoql_spark.functions.graph import (
+        _r_label_propagation,
+        _r_triangle_count,
+    )
+
+    return {
+        "triangle_count": _r_triangle_count(_TRI_EDGES_DUCK, "src", "dst"),
+        "label_propagation": _r_label_propagation(_LPA_EDGES_DUCK, "src", "dst", 2),
     }
 
 
@@ -5382,6 +5441,7 @@ ranked AS (
         ),
         "stream_dedup_batch": "SELECT DISTINCT user_id, event_type FROM events",
         **_timeseries_oracles(),
+        **_graph_round10_oracles(),
     }
 
 
@@ -5403,6 +5463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "changepoint_detect": q_changepoint_detect,
         "seasonal_decompose": q_seasonal_decompose,
+        # --- new round-10 graph operators ---
+        "triangle_count": q_triangle_count,
+        "label_propagation": q_label_propagation,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -5638,6 +5701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore",
         "changepoint_detect",
         "seasonal_decompose",
+        "triangle_count",
+        "label_propagation",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -5664,11 +5729,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample", "impute_mean", "impute_mode", "intersect",
         "join_full", "kmeans_cluster", "label_encode", "language_id",
         "levenshtein", "market_basket", "min_max_scaler",
-        "min_max_scaler_grouped", "one_hot_encode", "order",
-        # (pii_scrub, pivot, quantiles, rank, repetition_stats, rsi,
-        # sankey, semantic_dedup, sliding_slope, standard_scaler,
-        # target_encode, text_quality, train_test_split, union, unpivot,
-        # winsorize yield their slots to the 16 new ops above)
+        "min_max_scaler_grouped",
+        # (one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
+        # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
+        # standard_scaler, target_encode, text_quality, train_test_split,
+        # union, unpivot, winsorize yield their slots to the 18 new ops
+        # above)
     ]
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}

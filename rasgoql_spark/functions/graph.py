@@ -335,3 +335,203 @@ def _r_connected_components(source, src, dst, max_iterations=20) -> str:
         f"LEFT JOIN __cc_l{int(max_iterations)} l ON n.node = l.node"
         ") __cc_out"
     )
+
+
+@spark_transform("triangle_count", category="graph", streaming_ok=False)
+def triangle_count(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-node triangle counts of the undirected simple graph induced by
+    the edge list (self-loops and duplicate/reverse edges collapse; null
+    endpoints drop).
+
+    Degree-ordered edge orientation (Schank & Wagner 2005, the standard
+    distributed formulation): each undirected edge is directed from its
+    lower-(degree, id) endpoint, so every triangle {a,b,c} is found exactly
+    once as the wedge a->b, a->c closed by b->c. Wedge generation cost is
+    Σ outdeg² with outdeg bounded by ~√m after orientation — the hub-node
+    quadratic blowup of naive wedge counting cannot happen. Returns
+    ``(NODE, TRIANGLES)`` for every node in the edge set, zeros included.
+
+    Scale: three equi-joins on slim id columns + one count — all
+    shuffle-hash/AQE territory, no collects, no Python. Skewed residual
+    wedges (a few same-degree hubs) are AQE-skew-split like any join.
+    """
+    s, d = resolve_col(df, src), resolve_col(df, dst)
+    canon = (
+        df.filter(F.col(s).isNotNull() & F.col(d).isNotNull() & (F.col(s) != F.col(d)))
+        .select(F.least(s, d).alias("__lo"), F.greatest(s, d).alias("__hi"))
+        .dropDuplicates()
+    )
+    deg = scoped_persist(
+        canon.select(F.col("__lo").alias("__node"))
+        .unionAll(canon.select(F.col("__hi").alias("__node")))
+        .groupBy("__node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    dl = deg.select(F.col("__node").alias("__lo"), F.col("__deg").alias("__dl"))
+    dh = deg.select(F.col("__node").alias("__hi"), F.col("__deg").alias("__dh"))
+    keep = F.col("__dl") <= F.col("__dh")  # tie -> lo first (lo < hi always)
+    oriented = scoped_persist(
+        canon.join(dl, on="__lo").join(dh, on="__hi").select(
+            F.when(keep, F.col("__lo")).otherwise(F.col("__hi")).alias("__a"),
+            F.when(keep, F.col("__hi")).otherwise(F.col("__lo")).alias("__b"),
+            F.when(keep, F.col("__dh")).otherwise(F.col("__dl")).alias("__degb"),
+        )
+    )
+    e2 = oriented.select(
+        F.col("__a"), F.col("__b").alias("__c"), F.col("__degb").alias("__degc")
+    )
+    wedges = oriented.join(e2, on="__a").filter(
+        (F.col("__degb") < F.col("__degc"))
+        | ((F.col("__degb") == F.col("__degc")) & (F.col("__b") < F.col("__c")))
+    )
+    closer = oriented.select(
+        F.col("__a").alias("__b"), F.col("__b").alias("__c")
+    )
+    tris = wedges.join(closer, on=["__b", "__c"]).select("__a", "__b", "__c")
+    tris = scoped_persist(tris)
+    counts = (
+        tris.select(F.col("__a").alias("__node"))
+        .unionAll(tris.select(F.col("__b").alias("__node")))
+        .unionAll(tris.select(F.col("__c").alias("__node")))
+        .groupBy("__node")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    out = deg.join(counts, on="__node", how="left").select(
+        F.col("__node").alias("NODE"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("TRIANGLES"),
+    )
+    return release_with(out, deg, oriented, tris)
+
+
+@renderer("triangle_count")
+def _r_triangle_count(source, src, dst) -> str:
+    """Engine-portable CTE replay of the oriented-wedge algorithm (LEAST/
+    GREATEST/ROW-free — plain joins and counts, identical in Spark SQL and
+    DuckDB)."""
+    parts = [
+        f"__tc_c AS (SELECT DISTINCT LEAST({src}, {dst}) AS lo, "
+        f"GREATEST({src}, {dst}) AS hi FROM {source} "
+        f"WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst})",
+        "__tc_d AS (SELECT node, COUNT(*) AS deg FROM "
+        "(SELECT lo AS node FROM __tc_c UNION ALL SELECT hi FROM __tc_c) "
+        "GROUP BY node)",
+        "__tc_o AS (SELECT CASE WHEN dl.deg <= dh.deg THEN c.lo ELSE c.hi END AS a, "
+        "CASE WHEN dl.deg <= dh.deg THEN c.hi ELSE c.lo END AS b, "
+        "CASE WHEN dl.deg <= dh.deg THEN dh.deg ELSE dl.deg END AS degb "
+        "FROM __tc_c c JOIN __tc_d dl ON c.lo = dl.node "
+        "JOIN __tc_d dh ON c.hi = dh.node)",
+        "__tc_t AS (SELECT w.a, w.b, w.c FROM "
+        "(SELECT e1.a, e1.b, e2.b AS c FROM __tc_o e1 JOIN __tc_o e2 "
+        "ON e1.a = e2.a AND (e1.degb < e2.degb OR "
+        "(e1.degb = e2.degb AND e1.b < e2.b))) w "
+        "JOIN __tc_o e ON w.b = e.a AND w.c = e.b)",
+        "__tc_n AS (SELECT node, COUNT(*) AS n FROM "
+        "(SELECT a AS node FROM __tc_t UNION ALL SELECT b FROM __tc_t "
+        "UNION ALL SELECT c FROM __tc_t) GROUP BY node)",
+    ]
+    return (
+        "SELECT * FROM (WITH " + ", ".join(parts)
+        + " SELECT d.node AS NODE, CAST(COALESCE(t.n, 0) AS BIGINT) AS TRIANGLES "
+        "FROM __tc_d d LEFT JOIN __tc_n t ON d.node = t.node"
+        ") __tc_out"
+    )
+
+
+LP_RENDER_MAX_ITER = 8
+
+
+@spark_transform("label_propagation", category="graph", streaming_ok=False)
+def label_propagation(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made
+    deterministic: labels start as node ids; each round every node adopts
+    its neighbors' MOST FREQUENT label, ties broken by smallest label.
+    Fixed ``iterations`` (no convergence stop — synchronous LPA can
+    oscillate on bipartite structures, so a bounded round count is the
+    reproducible contract). Returns ``(NODE, LABEL)`` over the undirected
+    simple graph induced by the edges (self-loops/duplicates collapse,
+    null endpoints drop).
+
+    Scale: per round one edges-by-src join + one (node,label) count + one
+    per-node top-1 window — the same slim-id shuffle profile as pagerank;
+    ``localCheckpoint`` every 3 rounds bounds lineage.
+    """
+    if iterations < 1:
+        raise ParameterException("iterations must be >= 1")
+    s, d = resolve_col(df, src), resolve_col(df, dst)
+    half = (
+        df.filter(F.col(s).isNotNull() & F.col(d).isNotNull() & (F.col(s) != F.col(d)))
+        .select(F.col(s).alias("__src"), F.col(d).alias("__dst"))
+    )
+    edges = scoped_persist(
+        half.union(
+            half.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+        ).dropDuplicates()
+    )
+    labels = edges.select(F.col("__src").alias("__node")).dropDuplicates().withColumn(
+        "__lab", F.col("__node")
+    )
+    iter_caches: list[DataFrame] = []
+    from pyspark.sql import Window
+
+    for it in range(iterations):
+        labels = scoped_persist(labels)
+        iter_caches.append(labels)
+        counts = (
+            edges.join(labels, edges["__src"] == labels["__node"])
+            .groupBy(F.col("__dst").alias("__n2"), F.col("__lab"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        w = Window.partitionBy("__n2").orderBy(
+            F.col("__cnt").desc(), F.col("__lab").asc()
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__n2").alias("__node"), "__lab")
+        )
+        if (it + 1) % 3 == 0:
+            labels = labels.localCheckpoint(eager=False)
+    out = labels.select(F.col("__node").alias("NODE"), F.col("__lab").alias("LABEL"))
+    return release_with(out, edges, *iter_caches)
+
+
+@renderer("label_propagation")
+def _r_label_propagation(source, src, dst, iterations=2) -> str:
+    """Unrolled engine-portable replay: each level references its
+    predecessor ONCE (counts -> window top-1), so plan depth is linear —
+    the same single-reference invariant as unrolled_min_label_sql. Capped
+    at ``LP_RENDER_MAX_ITER`` levels."""
+    from ..errors import TransformRenderingException
+
+    if iterations < 1:
+        raise ParameterException("iterations must be >= 1")
+    if iterations > LP_RENDER_MAX_ITER:
+        raise TransformRenderingException(
+            "label_propagation renders unrolled rounds; iterations > "
+            f"{LP_RENDER_MAX_ITER} produces an impractically deep plan"
+        )
+    parts = [
+        f"__lp_h AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {source} "
+        f"WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst})",
+        "__lp_e AS (SELECT src, dst FROM __lp_h UNION SELECT dst, src FROM __lp_h)",
+        "__lp_l0 AS (SELECT DISTINCT src AS node, src AS lab FROM __lp_e)",
+    ]
+    for i in range(int(iterations)):
+        parts.append(
+            f"__lp_l{i + 1} AS (SELECT node, lab FROM "
+            f"(SELECT e.dst AS node, l.lab, "
+            "ROW_NUMBER() OVER (PARTITION BY e.dst "
+            "ORDER BY COUNT(*) DESC, l.lab ASC) AS rn "
+            f"FROM __lp_e e JOIN __lp_l{i} l ON e.src = l.node "
+            "GROUP BY e.dst, l.lab) x WHERE rn = 1)"
+        )
+    return (
+        "SELECT * FROM (WITH " + ", ".join(parts)
+        + f" SELECT node AS NODE, lab AS LABEL FROM __lp_l{int(iterations)}"
+        ") __lp_out"
+    )
