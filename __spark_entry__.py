@@ -3093,6 +3093,52 @@ def _timeseries_oracles() -> dict[str, str]:
     }
 
 
+# deterministic 64-dim query vector for the hybrid-retrieval entry: both
+# engines embed the SAME Python-generated literals, so there is nothing to
+# drift (same contract as the LSH hyperplanes / IVF rotation literals)
+_HYBRID_QV = [round(((i * 37) % 64 - 31.5) / 32.0, 6) for i in range(64)]
+_HYBRID_TERMS = ["spark", "query", "window"]
+
+
+def q_hybrid_search(spark, sf):
+    """Hybrid lexical+semantic retrieval: BM25 over documents.text fused
+    with literal-query cosine over the aligned embeddings via RRF top-25 —
+    the composed north-star retrieval chain (bm25_score ∘ vector_score ∘
+    rrf_fuse)."""
+    from rasgoql_spark.functions.relevance import rrf_fuse, vector_score
+
+    s = _s(spark, sf)
+    bm = (
+        s.dataset("documents")
+        .bm25_score(text="text", id_col="doc_id", query=_HYBRID_TERMS)
+        .df.select("doc_id", "BM25_SCORE")
+    )
+    emb = s.dataset("embeddings").df.select("vec_id", "embedding")
+    joined = bm.join(emb, bm["doc_id"] == emb["vec_id"]).drop("vec_id")
+    scored = vector_score(joined, "embedding", _HYBRID_QV).drop("embedding")
+    return rrf_fuse(scored, id_col="doc_id",
+                    score_cols=["BM25_SCORE", "QUERY_COSINE"], k0=60, k=25)
+
+
+def _hybrid_oracle() -> str:
+    qlit = "[" + ", ".join(repr(x) for x in _HYBRID_QV) + "]"
+    return (
+        f"WITH bm AS ({_bm25_oracle(_HYBRID_TERMS)}), "
+        f"cs AS (SELECT e.vec_id, {_cosine('q.qv', 'e.embedding')} AS QUERY_COSINE "
+        f"FROM embeddings e CROSS JOIN (SELECT {qlit} AS qv) q), "
+        "j AS (SELECT bm.doc_id, bm.BM25_SCORE, cs.QUERY_COSINE "
+        "FROM bm JOIN cs ON bm.doc_id = cs.vec_id), "
+        "rk AS (SELECT *, CAST(RANK() OVER (ORDER BY BM25_SCORE DESC NULLS LAST) "
+        "AS INT) AS RANK_BM25_SCORE, "
+        "CAST(RANK() OVER (ORDER BY QUERY_COSINE DESC NULLS LAST) "
+        "AS INT) AS RANK_QUERY_COSINE FROM j), "
+        "f AS (SELECT *, ROUND(1.0 / (60.0 + RANK_BM25_SCORE) "
+        "+ 1.0 / (60.0 + RANK_QUERY_COSINE), 6) AS RRF_SCORE FROM rk) "
+        "SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY RRF_SCORE DESC, "
+        "doc_id ASC) AS INT) AS RRF_RANK FROM f) WHERE RRF_RANK <= 25"
+    )
+
+
 def _graph_round10_oracles() -> dict[str, str]:
     """triangle_count / label_propagation renderers are engine-portable CTE
     chains (LEAST/GREATEST, plain joins, ROW_NUMBER) — DuckDB runs them
@@ -5442,6 +5488,7 @@ ranked AS (
         "stream_dedup_batch": "SELECT DISTINCT user_id, event_type FROM events",
         **_timeseries_oracles(),
         **_graph_round10_oracles(),
+        "hybrid_search": _hybrid_oracle(),
     }
 
 
@@ -5466,6 +5513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-10 graph operators ---
         "triangle_count": q_triangle_count,
         "label_propagation": q_label_propagation,
+        # --- new round-10 hybrid retrieval ---
+        "hybrid_search": q_hybrid_search,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -5703,6 +5752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose",
         "triangle_count",
         "label_propagation",
+        "hybrid_search",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -5729,8 +5779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample", "impute_mean", "impute_mode", "intersect",
         "join_full", "kmeans_cluster", "label_encode", "language_id",
         "levenshtein", "market_basket", "min_max_scaler",
-        "min_max_scaler_grouped",
-        # (one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
+        # (min_max_scaler_grouped, one_hot_encode, order, pii_scrub, pivot,
+        # quantiles, rank,
         # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
         # standard_scaler, target_encode, text_quality, train_test_split,
         # union, unpivot, winsorize yield their slots to the 18 new ops

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
+from ..naming import cleanse_name
 from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
 from ._hash import tokens_expr
@@ -210,4 +211,144 @@ def _r_bm25_score(source, text, id_col, query, k1=1.2, b=0.75, round_to=6) -> st
         f"SELECT * EXCEPT ({drop}) FROM (SELECT *, "
         f"round({score}, {int(round_to)}) AS BM25_SCORE "
         f"FROM {staged} CROSS JOIN {stats})"
+    )
+
+
+# --------------------------------------------------------------------------
+# round 10: hybrid retrieval — literal-query vector scoring + RRF fusion
+# --------------------------------------------------------------------------
+
+@spark_transform("vector_score", category="similarity", streaming_ok=False)
+def vector_score(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    name: str = "QUERY_COSINE",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cosine of every row's embedding against ONE literal query vector.
+
+    The dense-retrieval dual of ``bm25_score``: the query embeds as a
+    literal array, so scoring is a shuffle-free row-local projection over
+    the corpus (the 100 TB shape for "score every doc against this query").
+    Zero-norm rows (and rows of mismatched dimension, which zip_with
+    truncates/null-pads) score 0.0 by the shared cosine_expr guard. Scores
+    round to ``round_to`` for cross-engine replay; compose with
+    :func:`rrf_fuse` for hybrid lexical+semantic ranking.
+    """
+    from ._litfast import double_array_lit
+    from .dedup import cosine_expr
+
+    qv = [float(x) for x in query_vec]
+    if not qv:
+        raise ParameterException("query_vec must be non-empty")
+    v = resolve_col(df, vec_col)
+    qlit = double_array_lit(qv)
+    return df.withColumn(
+        name, F.round(cosine_expr(F.col(v), qlit), round_to)
+    )
+
+
+@renderer("vector_score")
+def _r_vector_score(source, vec_col, query_vec, name="QUERY_COSINE",
+                    round_to=6) -> str:
+    from .dedup import _cosine_sql
+
+    qv = [float(x) for x in query_vec]
+    if not qv:
+        raise ParameterException("query_vec must be non-empty")
+    qlit = "array(%s)" % ", ".join(f"CAST({x!r} AS DOUBLE)" for x in qv)
+    return (
+        f"SELECT *, round({_cosine_sql(vec_col, qlit)}, {int(round_to)}) "
+        f"AS {name} FROM {source}"
+    )
+
+
+@spark_transform("rrf_fuse", category="similarity", streaming_ok=False)
+def rrf_fuse(
+    df: DataFrame,
+    id_col: str,
+    score_cols,
+    k0: int = 60,
+    k: int | None = None,
+    partition=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple score columns (Cormack, Clarke &
+    Büttcher 2009): ``RRF_SCORE = Σ_s 1 / (k0 + rank_s)`` where each
+    ``rank_s`` is competition rank (RANK, descending, nulls last, ties →
+    same rank) with ``id_col`` as the final tie-break. Appends one
+    ``RANK_{COL}`` per input plus ``RRF_SCORE``; with ``k`` set, keeps the
+    fused top-k and appends ``RRF_RANK``. The standard way to combine a
+    lexical (BM25) and a semantic (cosine) ranking without score
+    calibration.
+
+    Scale: ranks over an unpartitioned frame funnel one task — correct for
+    a per-query candidate set (the normal shape: fuse the top few thousand
+    candidates each retriever already produced); pass ``partition`` (e.g. a
+    query id) to fuse many result sets in one pass, which shuffles once on
+    that key.
+    """
+    from ..operators._util import as_list
+
+    cols = [resolve_col(df, c) for c in as_list(score_cols)]
+    if len(cols) < 2:
+        raise ParameterException("rrf_fuse needs at least two score columns")
+    if k0 < 1:
+        raise ParameterException("k0 must be >= 1")
+    i = resolve_col(df, id_col)
+    keys = [resolve_col(df, c) for c in as_list(partition)]
+    base = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    out = df
+    rrf = F.lit(0.0)
+    for c in cols:
+        # rank over the score ALONE: equal scores share a competition rank
+        # (deterministic without any tie-break); id breaks ties only in the
+        # final fused top-k row_number
+        w = base.orderBy(F.col(c).desc_nulls_last())
+        rank_c = F.rank().over(w).cast("int")
+        out = out.withColumn(f"RANK_{cleanse_name(c)}", rank_c)
+        rrf = rrf + F.lit(1.0) / (F.lit(float(k0)) + F.col(f"RANK_{cleanse_name(c)}"))
+    out = out.withColumn("RRF_SCORE", F.round(rrf, round_to))
+    if k is not None:
+        if k < 1:
+            raise ParameterException("k must be >= 1")
+        wtop = base.orderBy(F.col("RRF_SCORE").desc(), F.col(i).asc())
+        out = (
+            out.withColumn("RRF_RANK", F.row_number().over(wtop).cast("int"))
+            .filter(F.col("RRF_RANK") <= k)
+        )
+    return out
+
+
+@renderer("rrf_fuse")
+def _r_rrf_fuse(source, id_col, score_cols, k0=60, k=None, partition=None,
+                round_to=6) -> str:
+    from ..operators._util import as_list
+
+    cols = as_list(score_cols)
+    if len(cols) < 2:
+        raise ParameterException("rrf_fuse needs at least two score columns")
+    keys = as_list(partition)
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    ranks = ", ".join(
+        f"CAST(RANK() OVER ({part}ORDER BY {c} DESC NULLS LAST) "
+        f"AS INT) AS RANK_{cleanse_name(c)}"
+        for c in cols
+    )
+    rrf = " + ".join(
+        f"1.0 / ({float(k0)!r} + RANK_{cleanse_name(c)})" for c in cols
+    )
+    ranked = (
+        f"SELECT *, ROUND({rrf}, {int(round_to)}) AS RRF_SCORE FROM "
+        f"(SELECT *, {ranks} FROM {source})"
+    )
+    if k is None:
+        return ranked
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    return (
+        f"SELECT * FROM (SELECT *, CAST(ROW_NUMBER() OVER ({part}"
+        f"ORDER BY RRF_SCORE DESC, {id_col} ASC) AS INT) AS RRF_RANK "
+        f"FROM ({ranked})) WHERE RRF_RANK <= {int(k)}"
     )

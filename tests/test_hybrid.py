@@ -1,0 +1,111 @@
+"""Hybrid retrieval: vector_score (literal-query cosine) + rrf_fuse
+(reciprocal-rank fusion)."""
+
+import pytest
+
+from rasgoql_spark.errors import ParameterException
+from rasgoql_spark.functions.relevance import (
+    _r_rrf_fuse,
+    _r_vector_score,
+    rrf_fuse,
+    vector_score,
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # (id, lexical score, semantic score): designed so the two rankings
+    # disagree and fusion rewards the doc strong on both
+    rows = [
+        (1, 10.0, 0.10),
+        (2, 8.0, 0.90),
+        (3, 6.0, 0.80),
+        (4, 4.0, None),
+        (5, 4.0, 0.20),
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, lex DOUBLE, sem DOUBLE")
+
+
+def test_rrf_known_values(scored):
+    out = {r["id"]: r for r in rrf_fuse(scored, "id", ["lex", "sem"]).collect()}
+    # lex ranks: 1->1, 2->2, 3->3, 4&5 tie at 4 (competition rank)
+    assert [out[i]["RANK_LEX"] for i in (1, 2, 3, 4, 5)] == [1, 2, 3, 4, 4]
+    # sem ranks: 2->1, 3->2, 5->3, 1->4, null last -> 5
+    assert [out[i]["RANK_SEM"] for i in (1, 2, 3, 4, 5)] == [4, 1, 2, 5, 3]
+    assert out[2]["RRF_SCORE"] == pytest.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-9
+    )
+    # doc 2 (strong on both) outranks doc 1 (lexical-only winner)
+    best = max(out.values(), key=lambda r: r["RRF_SCORE"])
+    assert best["id"] == 2
+
+
+def test_rrf_top_k_and_rank(scored):
+    out = rrf_fuse(scored, "id", ["lex", "sem"], k=2).collect()
+    assert len(out) == 2
+    assert sorted(r["RRF_RANK"] for r in out) == [1, 2]
+    assert out[0]["RRF_RANK"] <= 2
+
+
+def test_rrf_partitioned_fusion(spark):
+    rows = [
+        ("q1", 1, 5.0, 0.1), ("q1", 2, 3.0, 0.9),
+        ("q2", 1, 1.0, 0.4), ("q2", 2, 9.0, 0.9),
+    ]
+    df = spark.createDataFrame(rows, "q STRING, id BIGINT, lex DOUBLE, sem DOUBLE")
+    out = rrf_fuse(df, "id", ["lex", "sem"], partition=["q"], k=1)
+    top = {r["q"]: r["id"] for r in out.collect()}
+    # q1: both docs split the two firsts -> RRF tie, id tie-break -> 1;
+    # q2: doc 2 leads both rankings -> 2
+    assert top["q1"] == 1 and top["q2"] == 2
+
+
+def test_rrf_validation(scored):
+    with pytest.raises(ParameterException):
+        rrf_fuse(scored, "id", ["lex"])
+    with pytest.raises(ParameterException):
+        rrf_fuse(scored, "id", ["lex", "sem"], k0=0)
+    with pytest.raises(ParameterException):
+        rrf_fuse(scored, "id", ["lex", "sem"], k=0)
+
+
+def test_rrf_renderer_roundtrip(spark, scored):
+    scored.createOrReplaceTempView("__rrf_src")
+    via_sql = spark.sql(_r_rrf_fuse("__rrf_src", "id", ["lex", "sem"], k=3))
+    direct = rrf_fuse(scored, "id", ["lex", "sem"], k=3)
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
+
+
+def test_vector_score_geometry(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<FLOAT>")
+    out = {r["id"]: r["QUERY_COSINE"] for r in
+           vector_score(df, "v", [1.0, 0.0, 0.0, 0.0]).collect()}
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(0.0)
+    assert out[3] == pytest.approx(-1.0)
+    assert out[4] == 0.0  # zero-norm guard, not NaN
+
+
+def test_vector_score_validation(spark):
+    df = spark.createDataFrame([(1, [1.0])], "id BIGINT, v ARRAY<FLOAT>")
+    with pytest.raises(ParameterException):
+        vector_score(df, "v", [])
+
+
+def test_vector_score_renderer_roundtrip(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("__vs_src")
+    qv = [((i * 37) % 64 - 31.5) / 32.0 for i in range(64)]
+    via_sql = spark.sql(
+        _r_vector_score("__vs_src", "embedding", qv)
+    ).select("vec_id", "QUERY_COSINE")
+    direct = vector_score(emb, "embedding", qv).select("vec_id", "QUERY_COSINE")
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
