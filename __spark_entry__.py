@@ -3139,6 +3139,50 @@ def _hybrid_oracle() -> str:
     )
 
 
+def q_dp_aggregate(spark, sf):
+    """Laplace-noised group counts (seeded, reproducible release)."""
+    return (
+        _s(spark, sf).dataset("orders")
+        .dp_aggregate(group_by=["o_orderpriority"], stat="count", epsilon=0.5)
+        .df
+    )
+
+
+def q_dp_aggregate_sum(spark, sf):
+    """Laplace-noised group sums (sensitivity-scaled)."""
+    return (
+        _s(spark, sf).dataset("orders")
+        .dp_aggregate(group_by=["o_orderstatus"], stat="sum",
+                      value_col="o_totalprice", epsilon=1.0,
+                      sensitivity=500000.0)
+        .df
+    )
+
+
+def _dp_oracle(table, group_col, stat, value_col=None, epsilon=1.0,
+               sensitivity=1.0, seed=42) -> str:
+    """DuckDB mirror of dp_aggregate: identical md5-derived uniform →
+    Laplace inverse CDF (md5_int_sql is the engine's standard cross-engine
+    hash)."""
+    from rasgoql_spark.functions._hash import md5_int_sql
+
+    b = float(sensitivity) / float(epsilon)
+    h = md5_int_sql(
+        f"concat_ws('|', '{int(seed)}', CAST({group_col} AS VARCHAR))"
+    )
+    u = f"(({h} % 16777216 + 0.5) / 16777216.0 - 0.5)"
+    noise = f"(-{b!r} * SIGN({u}) * LN(1.0 - 2.0 * ABS({u})))"
+    if stat == "count":
+        agg, name = "CAST(COUNT(1) AS DOUBLE)", "DP_COUNT"
+    else:
+        agg = f"COALESCE(SUM(CAST({value_col} AS DOUBLE)), 0.0)"
+        name = f"DP_SUM_{value_col.upper()}"
+    return (
+        f"SELECT {group_col}, ROUND({agg} + {noise}, 6) AS {name} "
+        f"FROM {table} GROUP BY {group_col}"
+    )
+
+
 def _graph_round10_oracles() -> dict[str, str]:
     """triangle_count / label_propagation renderers are engine-portable CTE
     chains (LEAST/GREATEST, plain joins, ROW_NUMBER) — DuckDB runs them
@@ -5489,6 +5533,11 @@ ranked AS (
         **_timeseries_oracles(),
         **_graph_round10_oracles(),
         "hybrid_search": _hybrid_oracle(),
+        "dp_aggregate": _dp_oracle("orders", "o_orderpriority", "count",
+                                   epsilon=0.5),
+        "dp_aggregate_sum": _dp_oracle("orders", "o_orderstatus", "sum",
+                                       value_col="o_totalprice", epsilon=1.0,
+                                       sensitivity=500000.0),
     }
 
 
@@ -5515,6 +5564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         # --- new round-10 hybrid retrieval ---
         "hybrid_search": q_hybrid_search,
+        # --- new round-10 differential privacy ---
+        "dp_aggregate": q_dp_aggregate,
+        "dp_aggregate_sum": q_dp_aggregate_sum,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -5753,6 +5805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count",
         "label_propagation",
         "hybrid_search",
+        "dp_aggregate",
+        "dp_aggregate_sum",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -5778,9 +5832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
         "importance_sample", "impute_mean", "impute_mode", "intersect",
         "join_full", "kmeans_cluster", "label_encode", "language_id",
-        "levenshtein", "market_basket", "min_max_scaler",
-        # (min_max_scaler_grouped, one_hot_encode, order, pii_scrub, pivot,
-        # quantiles, rank,
+        "levenshtein",
+        # (market_basket, min_max_scaler, min_max_scaler_grouped,
+        # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
         # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
         # standard_scaler, target_encode, text_quality, train_test_split,
         # union, unpivot, winsorize yield their slots to the 18 new ops

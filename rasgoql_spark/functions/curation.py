@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
+from ..naming import cleanse_name
 from ..operators._util import as_list, resolve_col, spread, with_columns_sql
 from ..registry import renderer, spark_transform
 from ._hash import shingles_expr, tokens_expr
@@ -1432,4 +1433,99 @@ def _r_t_closeness(source, quasi_cols, sensitive, t, action="filter",
         f"SELECT {sel}, g.__td AS T_DISTANCE, "
         f"CASE WHEN g.__td <= {tv!r} THEN 1 ELSE 0 END AS IS_T_CLOSE "
         f"FROM {source} s LEFT JOIN ({stats}) g ON {on}"
+    )
+
+
+@spark_transform("dp_aggregate", category="curation", streaming_ok=False)
+def dp_aggregate(
+    df: DataFrame,
+    group_by,
+    stat: str = "count",
+    value_col: str | None = None,
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """ε-differentially-private group aggregate via the Laplace mechanism
+    (Dwork, McSherry, Nissim & Smith 2006): the exact per-group COUNT or
+    SUM plus Laplace(``sensitivity``/``epsilon``) noise. Returns ONLY the
+    group keys and the noised statistic (``DP_COUNT`` / ``DP_SUM_{COL}``) —
+    the exact value never leaves the aggregate.
+
+    The noise is SEEDED AND DETERMINISTIC: uniform-in-(0,1) derives from
+    md5(seed ‖ group key) exactly like every hash operator in this engine,
+    then maps through the Laplace inverse CDF. That makes the release
+    reproducible and oracle-replayable; the privacy guarantee therefore
+    holds for ONE release per (seed, dataset) — re-releasing under fresh
+    seeds composes ε's additively, same as any repeated DP mechanism.
+    Group keys hash via their string cast, so numeric/string keys replay
+    identically cross-engine.
+
+    Scale: one hash-aggregate shuffle on the group keys; the noise is a
+    row-local projection over the (small) aggregate output. Nothing else.
+    """
+    from ._hash import md5_int
+
+    keys = [resolve_col(df, c) for c in as_list(group_by)]
+    if not keys:
+        raise ParameterException("dp_aggregate requires at least one group column")
+    if stat not in ("count", "sum"):
+        raise ParameterException("stat must be 'count' or 'sum'")
+    if stat == "sum" and not value_col:
+        raise ParameterException("stat='sum' requires value_col")
+    if epsilon <= 0 or sensitivity <= 0:
+        raise ParameterException("epsilon and sensitivity must be > 0")
+    if stat == "count":
+        agg = F.count(F.lit(1)).cast("double")
+        name = "DP_COUNT"
+    else:
+        v = resolve_col(df, value_col)
+        agg = F.coalesce(F.sum(F.col(v).cast("double")), F.lit(0.0))
+        name = f"DP_SUM_{cleanse_name(v)}"
+    b = float(sensitivity) / float(epsilon)
+    key = F.concat_ws(
+        "|", F.lit(str(int(seed))), *[F.col(c).cast("string") for c in keys]
+    )
+    # (m + 0.5) / 2^24 ∈ (0,1) strictly — ln() never sees 0
+    u01 = (md5_int(key) % F.lit(16777216) + F.lit(0.5)) / F.lit(16777216.0)
+    u = u01 - F.lit(0.5)
+    noise = (
+        -F.lit(b)
+        * F.signum(u)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    out = df.groupBy(*keys).agg(agg.alias("__stat"))
+    return out.select(
+        *keys, F.round(F.col("__stat") + noise, round_to).alias(name)
+    )
+
+
+@renderer("dp_aggregate")
+def _r_dp_aggregate(source, group_by, stat="count", value_col=None,
+                    epsilon=1.0, sensitivity=1.0, seed=42, round_to=6) -> str:
+    keys = as_list(group_by)
+    if not keys:
+        raise ParameterException("dp_aggregate requires at least one group column")
+    if stat not in ("count", "sum"):
+        raise ParameterException("stat must be 'count' or 'sum'")
+    if stat == "sum" and not value_col:
+        raise ParameterException("stat='sum' requires value_col")
+    if epsilon <= 0 or sensitivity <= 0:
+        raise ParameterException("epsilon and sensitivity must be > 0")
+    if stat == "count":
+        agg = "CAST(COUNT(1) AS DOUBLE)"
+        name = "DP_COUNT"
+    else:
+        agg = f"COALESCE(SUM(CAST({value_col} AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+        name = f"DP_SUM_{cleanse_name(value_col)}"
+    b = float(sensitivity) / float(epsilon)
+    key = ", ".join(f"CAST({c} AS STRING)" for c in keys)
+    h = f"CAST(conv(substring(md5(concat_ws('|', '{int(seed)}', {key})), 1, 8), 16, 10) AS BIGINT)"
+    u = f"(({h} % 16777216 + 0.5) / 16777216.0 - 0.5)"
+    noise = f"(-{b!r} * SIGN({u}) * LN(1.0 - 2.0 * ABS({u})))"
+    sel = ", ".join(keys)
+    return (
+        f"SELECT {sel}, ROUND({agg} + {noise}, {int(round_to)}) AS {name} "
+        f"FROM {source} GROUP BY {sel}"
     )
