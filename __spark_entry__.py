@@ -3139,6 +3139,69 @@ def _hybrid_oracle() -> str:
     )
 
 
+def q_stream_anomaly_batch(spark, sf):
+    """Deterministic batch replay of the stream_anomaly per-micro-batch body
+    (timeseries.zscore_against_stats against frozen zscore_stats moments):
+    three synthesized micro-batches (event_id % 3) scored per event_type
+    against the full-events baseline — exactly what each foreachBatch
+    invocation computes and sinks."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.timeseries import (
+        zscore_against_stats,
+        zscore_stats,
+    )
+
+    ev = _s(spark, sf).dataset("events").df
+    stats = zscore_stats(ev, "value", ["event_type"])
+    parts = []
+    for b in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == b)
+        parts.append(
+            zscore_against_stats(batch, "value", stats, ["event_type"],
+                                 threshold=2.0)
+            .withColumn("BATCH", F.lit(b))
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def _stream_anomaly_oracle() -> str:
+    """DuckDB replay of q_stream_anomaly_batch: the frozen moments are
+    recomputed from the SAME exact integer sums (Σ round(x·10⁶),
+    Σ round(x²·10⁶)) with the identical double derivation, so the literal
+    dict Spark froze and the SQL-side recomputation agree bit-for-bit."""
+    mean = "(CAST(s1 AS DOUBLE) / n / 1000000.0)"
+    var = (
+        f"GREATEST(0.0, (CAST(s2 AS DOUBLE) / 1000000.0 - "
+        f"(CAST(n AS DOUBLE) * {mean}) * {mean}) / (n - 1))"
+    )
+    return (
+        "WITH st AS (SELECT event_type, COUNT(value) AS n, "
+        "CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s1, "
+        "CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s2 "
+        "FROM events GROUP BY event_type), "
+        f"fz AS (SELECT event_type, {mean} AS m, "
+        f"CASE WHEN n > 1 THEN sqrt({var}) ELSE 0.0 END AS s "
+        "FROM st WHERE n > 0), "
+        "b AS (SELECT event_id % 3 AS BATCH, e.event_type, "
+        "CAST(value AS DOUBLE) AS x, fz.m, fz.s "
+        "FROM events e LEFT JOIN fz ON e.event_type = fz.event_type), "
+        "rep AS (SELECT BATCH, event_type, CAST(COUNT(x) AS BIGINT) AS N, "
+        "CAST(SUM(CASE WHEN m IS NULL THEN NULL "
+        "WHEN s > 0 AND ABS(x - m) > 2.0 * s THEN 1 ELSE 0 END) AS BIGINT) AS N_ANOMALIES, "
+        "CAST(SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS BIGINT) AS s1b, "
+        "MAX(m) AS m, MAX(s) AS s FROM b GROUP BY BATCH, event_type) "
+        "SELECT event_type, N, N_ANOMALIES, "
+        "CASE WHEN m IS NOT NULL AND N > 0 "
+        "THEN ROUND(N_ANOMALIES / N, 6) END AS ANOMALY_RATE, "
+        "CASE WHEN N > 0 THEN ROUND(s1b / N / 1000000.0, 6) END AS BATCH_MEAN, "
+        "ROUND(m, 6) AS BASELINE_MEAN, "
+        "CASE WHEN s > 0 AND N > 0 "
+        "THEN ROUND((s1b / N / 1000000.0 - m) / (s / sqrt(CAST(N AS DOUBLE))), 6) "
+        "END AS MEAN_Z, BATCH FROM rep"
+    )
+
+
 def q_dp_aggregate(spark, sf):
     """Laplace-noised group counts (seeded, reproducible release)."""
     return (
@@ -5538,6 +5601,7 @@ ranked AS (
         "dp_aggregate_sum": _dp_oracle("orders", "o_orderstatus", "sum",
                                        value_col="o_totalprice", epsilon=1.0,
                                        sensitivity=500000.0),
+        "stream_anomaly_batch": _stream_anomaly_oracle(),
     }
 
 
@@ -5567,6 +5631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-10 differential privacy ---
         "dp_aggregate": q_dp_aggregate,
         "dp_aggregate_sum": q_dp_aggregate_sum,
+        # --- new round-10 streaming anomaly monitor (batch replay) ---
+        "stream_anomaly_batch": q_stream_anomaly_batch,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -5807,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search",
         "dp_aggregate",
         "dp_aggregate_sum",
+        "stream_anomaly_batch",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -5832,8 +5899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
         "importance_sample", "impute_mean", "impute_mode", "intersect",
         "join_full", "kmeans_cluster", "label_encode", "language_id",
-        "levenshtein",
-        # (market_basket, min_max_scaler, min_max_scaler_grouped,
+        # (levenshtein, market_basket, min_max_scaler, min_max_scaler_grouped,
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
         # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
         # standard_scaler, target_encode, text_quality, train_test_split,

@@ -355,3 +355,136 @@ def _r_seasonal_decompose(source, value_col, order_by, period, partition=None,
         f"CAST((ROW_NUMBER() OVER ({over}) - 1) % {period} AS INT) AS __pos "
         f"FROM (SELECT *, {trend} AS __trend FROM {source})))"
     )
+
+
+# --------------------------------------------------------------------------
+# frozen-baseline z-score monitoring (the batch body of stream_anomaly)
+# --------------------------------------------------------------------------
+
+ZQ_SCALE = 1_000_000  # 6-dp quantization for order-free integer moments
+
+
+def zscore_stats(df: DataFrame, column: str, group_by=None) -> dict:
+    """The FROZEN side of z-score monitoring: ``{group_key_tuple: (mean,
+    std)}`` from the accepted baseline — a bounded collect of one row per
+    group (compute once per release, reuse across micro-batches, the same
+    amortized regime as ``snapshot.psi_bin_stats``).
+
+    Moments derive from EXACT integer sums of 6-dp-quantized values
+    (Σ round(x·10⁶), Σ round(x²·10⁶) as BIGINTs), so the frozen numbers are
+    independent of float summation order and replay identically in any
+    engine. All-null groups are skipped; a single-value group freezes
+    std = 0.0.
+    """
+    keys = resolve_cols(df, as_list(group_by))
+    v = resolve_col(df, column)
+    x = F.col(v).cast("double")
+    rows = (
+        df.groupBy(*keys)
+        .agg(
+            F.count(v).alias("__n"),
+            F.sum(F.round(x * ZQ_SCALE, 0).cast("bigint")).alias("__s1"),
+            F.sum(F.round(x * x * ZQ_SCALE, 0).cast("bigint")).alias("__s2"),
+        )
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        n = r["__n"]
+        if not n:
+            continue
+        mean = r["__s1"] / n / ZQ_SCALE
+        if n > 1:
+            var = max(0.0, (r["__s2"] / ZQ_SCALE - n * mean * mean) / (n - 1))
+        else:
+            var = 0.0
+        key = tuple(r[k] for k in keys) if keys else ()
+        out[key] = (mean, var ** 0.5)
+    if not out:
+        raise ParameterException("baseline is empty")
+    return out
+
+
+def zscore_against_stats(
+    df: DataFrame,
+    column: str,
+    stats: dict,
+    group_by=None,
+    threshold: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group anomaly report of ``df`` against FROZEN baseline moments
+    (from :func:`zscore_stats`) — the per-micro-batch body of
+    ``stream_anomaly``. Output per group: ``N``, ``N_ANOMALIES`` (rows with
+    |x − mean| > threshold·std), ``ANOMALY_RATE``, ``BATCH_MEAN``,
+    ``BASELINE_MEAN``, ``MEAN_Z`` (the batch-mean shift in standard errors —
+    the drift alarm). Groups absent from the baseline report N with null
+    statistics (unknown population — alert upstream, don't guess).
+
+    Scale: ONE hash aggregate on the group keys; the baseline side is a
+    ≤|groups|-row broadcast literal frame. Batch moments use the same
+    order-free integer-sum contract as the frozen side, so the report
+    replays bit-for-bit as SQL.
+    """
+    if not stats:
+        raise ParameterException("frozen stats are empty")
+    if threshold <= 0:
+        raise ParameterException("threshold must be > 0")
+    keys = resolve_cols(df, as_list(group_by))
+    v = resolve_col(df, column)
+    spark = df.sparkSession
+    if keys:
+        key_fields = df.select(*keys).schema
+        srows = [(*k, float(m), float(s)) for k, (m, s) in sorted(stats.items())]
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            list(key_fields)
+            + [StructField("__bm", DoubleType()), StructField("__bs", DoubleType())]
+        )
+        exp = spark.createDataFrame(srows, schema)
+    else:
+        (m, s), = stats.values()
+        exp = spark.createDataFrame([(float(m), float(s))], "__bm double, __bs double")
+    x = F.col(v).cast("double")
+    staged = df.join(F.broadcast(exp), on=keys) if keys else df.crossJoin(
+        F.broadcast(exp)
+    )
+    # groups missing from the baseline: keep them (left join) with null stats
+    if keys:
+        staged = df.join(F.broadcast(exp), on=keys, how="left")
+    anom = (
+        F.when(F.col("__bm").isNull(), F.lit(None).cast("int"))
+        .when(
+            (F.col("__bs") > 0)
+            & (F.abs(x - F.col("__bm")) > threshold * F.col("__bs")),
+            1,
+        )
+        .otherwise(0)
+    )
+    agg = staged.groupBy(*keys).agg(
+        F.count(v).alias("N"),
+        F.sum(anom).cast("bigint").alias("N_ANOMALIES"),
+        F.sum(F.round(x * ZQ_SCALE, 0).cast("bigint")).alias("__s1"),
+        F.max("__bm").alias("__m"),
+        F.max("__bs").alias("__s"),
+    )
+    bmean = F.col("__s1") / F.col("N") / ZQ_SCALE
+    return agg.select(
+        *keys,
+        "N",
+        "N_ANOMALIES",
+        F.when(
+            F.col("__m").isNotNull() & (F.col("N") > 0),
+            F.round(F.col("N_ANOMALIES") / F.col("N"), round_to),
+        ).alias("ANOMALY_RATE"),
+        F.when(F.col("N") > 0, F.round(bmean, round_to)).alias("BATCH_MEAN"),
+        F.round(F.col("__m"), round_to).alias("BASELINE_MEAN"),
+        F.when(
+            (F.col("__s") > 0) & (F.col("N") > 0),
+            F.round(
+                (bmean - F.col("__m")) / (F.col("__s") / F.sqrt(F.col("N"))),
+                round_to,
+            ),
+        ).alias("MEAN_Z"),
+    )

@@ -1106,3 +1106,89 @@ def test_stream_psi_validates_before_start(spark, tmp_path_factory):
     with pytest.raises(rql.ParameterException):   # batch frame
         stream_psi(baseline, "v", [1.0], checkpoint=str(tmp / "c4"),
                    baseline=baseline, sink_path=str(tmp / "o4"))
+
+
+def test_stream_anomaly_monitor(spark, tmp_path_factory):
+    """Streaming anomaly monitor: batch 1 matches the baseline (MEAN_Z ~ 0,
+    no anomalies), batch 2 is shifted + spiked (large MEAN_Z, anomalies
+    flagged); per-batch reports land exactly-once and equal the batch-mode
+    zscore_against_stats bit-for-bit."""
+    from rasgoql_spark.functions.timeseries import (
+        zscore_against_stats,
+        zscore_stats,
+    )
+    from rasgoql_spark.streaming.ops import stream_anomaly
+
+    tmp = tmp_path_factory.mktemp("sanom")
+    baseline = spark.createDataFrame(
+        [("a", float(v % 20)) for v in range(200)], "g string, v double"
+    )
+    stats = zscore_stats(baseline, "v", ["g"])
+    b1 = [("a", float(v % 20)) for v in range(40)]          # in-distribution
+    b2 = [("a", 60.0 + float(v % 5)) for v in range(40)]    # shifted far out
+    src = str(tmp / "in")
+    spark.createDataFrame(b1, "g string, v double").coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b2, "g string, v double").coalesce(1).write.mode(
+        "append").parquet(src)
+    sdf = (spark.readStream.schema("g string, v double")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp / "out")
+    q = stream_anomaly(
+        sdf, "v", checkpoint=str(tmp / "ckpt"), expected=stats,
+        group_by=["g"], threshold=3.0, sink_path=sink,
+    )
+    q.awaitTermination(180)
+    out = spark.read.option("basePath", sink).parquet(sink)
+    rows = {r["batch"]: r for r in out.collect()}
+    assert len(rows) == 2
+    zs = sorted(abs(r["MEAN_Z"]) for r in rows.values())
+    assert zs[0] < 1.0 and zs[1] > 10.0
+    anoms = sorted(r["N_ANOMALIES"] for r in rows.values())
+    assert anoms == [0, 40]
+    # per-batch report equals the batch-mode computation bit-for-bit
+    batch2 = spark.createDataFrame(b2, "g string, v double")
+    want = sorted(map(tuple, zscore_against_stats(
+        batch2, "v", stats, ["g"], threshold=3.0).collect()))
+    drifted = max(rows, key=lambda b: abs(rows[b]["MEAN_Z"]))
+    got = sorted(map(tuple, out.filter(F.col("batch") == drifted)
+                 .drop("batch").collect()))
+    assert got == want
+
+
+def test_stream_anomaly_validates_before_start(spark, tmp_path_factory):
+    from rasgoql_spark.streaming.ops import stream_anomaly
+
+    tmp = tmp_path_factory.mktemp("sanom_v")
+    src = str(tmp / "in")
+    spark.createDataFrame([(1.0,)], "v double").write.parquet(src)
+    sdf = spark.readStream.schema("v double").parquet(src)
+    baseline = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with pytest.raises(rql.ParameterException):   # bad threshold
+        stream_anomaly(sdf, "v", checkpoint=str(tmp / "c1"),
+                       baseline=baseline, threshold=0.0,
+                       sink_path=str(tmp / "o1"))
+    with pytest.raises(rql.ParameterException):   # both baseline and expected
+        stream_anomaly(sdf, "v", checkpoint=str(tmp / "c2"),
+                       baseline=baseline, expected={(): (1.0, 0.0)},
+                       sink_path=str(tmp / "o2"))
+    with pytest.raises(rql.ParameterException):   # no sink
+        stream_anomaly(sdf, "v", checkpoint=str(tmp / "c3"),
+                       baseline=baseline)
+    with pytest.raises(rql.ParameterException):   # batch frame
+        stream_anomaly(baseline, "v", checkpoint=str(tmp / "c4"),
+                       baseline=baseline, sink_path=str(tmp / "o4"))
+
+
+def test_zscore_against_stats_unknown_group_reports_null(spark):
+    from rasgoql_spark.functions.timeseries import zscore_against_stats
+
+    batch = spark.createDataFrame(
+        [("known", 5.0), ("mystery", 9.0)], "g string, v double"
+    )
+    out = {r["g"]: r for r in zscore_against_stats(
+        batch, "v", {("known",): (5.0, 1.0)}, ["g"]).collect()}
+    assert out["known"]["N_ANOMALIES"] == 0
+    assert out["mystery"]["N"] == 1
+    assert out["mystery"]["N_ANOMALIES"] is None
+    assert out["mystery"]["MEAN_Z"] is None and out["mystery"]["BASELINE_MEAN"] is None
