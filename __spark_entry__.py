@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 209 entries, ALL 209 with DuckDB oracles (round 4
+streaming extensions) — 219 entries, ALL 219 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -5610,12 +5610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries each round. Rotation policy (standing): NEW/changed operators
     # first, then the stalest entries by last DRIVER verification. The
     # literal dict below keeps its historical (r9) grouping for
-    # readability; the _R10_FRONT reorder at the bottom of this function
-    # executes the r9 verdict's staleness plan: the 8 mid-round governance/
-    # analysis operators, the 7 earlier r10 operators, then the remaining
-    # r6-stale block to fill 50 (its alphabetical tail yields slots to the
-    # new ops and re-fronts next round) — union max-staleness r6/r7. All
-    # 209 entries pass tools/oracle_check.py locally (fresh full run
+    # readability; the front reorder at the bottom of this function
+    # executes the r9 verdict's staleness plan: the 10 late-round-10
+    # operators (timeseries quartet, graph pair, hybrid retrieval, DP pair,
+    # streaming anomaly), the 8 mid-round governance/analysis operators,
+    # the 7 earlier r10 operators, then the remaining r6-stale block to
+    # fill 50 (its alphabetical tail yields slots to the new ops and
+    # re-fronts next round) — union max-staleness r6/r7. All
+    # 219 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
         # --- new round-10 timeseries operators ---
@@ -5860,8 +5862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolling_agg_range, which the r9 gate refreshed) — the r9 verdict's
     # task #2.
     front = [
-        # new operators first (never driver-verified): the 4 late-round-10
-        # timeseries ops + the 8 mid-round-10 governance/analysis ops
+        # new operators first (never driver-verified): the 10 late-round-10
+        # ops (timeseries quartet, graph pair, hybrid retrieval, DP pair,
+        # streaming anomaly) + the 12 mid-round-10 governance/analysis ops
         # displace the alphabetical tail of the r6-stale block (those stay
         # r6-verified, re-fronted next round per the standing policy)
         "ewma",
@@ -5903,7 +5906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
         # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
         # standard_scaler, target_encode, text_quality, train_test_split,
-        # union, unpivot, winsorize yield their slots to the 18 new ops
+        # union, unpivot, winsorize yield their slots to the 22 new ops
         # above)
     ]
     assert len(front) == 50 and all(k in base for k in front)

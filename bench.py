@@ -355,6 +355,11 @@ BENCH_QUERIES = {
     # round-10 text-analysis addition: PMI collocation mining (distributed
     # bigram/unigram counting over the scoped-persisted token stage)
     "llm_pmi_collocations": entry.q_pmi_collocations,
+    # round-10 additions (third batch): hybrid lexical+semantic retrieval
+    # (BM25 + literal-query cosine fused by RRF) and the oriented-wedge
+    # triangle counter (the join-heaviest new graph op)
+    "llm_hybrid_search": entry.q_hybrid_search,
+    "llm_triangle_count": entry.q_triangle_count,
 }
 
 

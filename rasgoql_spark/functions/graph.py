@@ -356,11 +356,12 @@ def triangle_count(df: DataFrame, src: str, dst: str) -> DataFrame:
     wedges (a few same-degree hubs) are AQE-skew-split like any join.
     """
     s, d = resolve_col(df, src), resolve_col(df, dst)
-    canon = (
+    canon = scoped_persist(
         df.filter(F.col(s).isNotNull() & F.col(d).isNotNull() & (F.col(s) != F.col(d)))
         .select(F.least(s, d).alias("__lo"), F.greatest(s, d).alias("__hi"))
         .dropDuplicates()
-    )
+    )  # feeds deg (twice via the union) AND the orientation join: without
+    # the cache the full upstream scan+distinct re-executes per consumer
     deg = scoped_persist(
         canon.select(F.col("__lo").alias("__node"))
         .unionAll(canon.select(F.col("__hi").alias("__node")))
@@ -400,7 +401,7 @@ def triangle_count(df: DataFrame, src: str, dst: str) -> DataFrame:
         F.col("__node").alias("NODE"),
         F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("TRIANGLES"),
     )
-    return release_with(out, deg, oriented, tris)
+    return release_with(out, canon, deg, oriented, tris)
 
 
 @renderer("triangle_count")
