@@ -3053,6 +3053,27 @@ def q_seasonal_decompose(spark, sf):
     )
 
 
+def q_pct_change(spark, sf):
+    """Fractional change vs the prior row per user stream."""
+    return (
+        _s(spark, sf).dataset("events")
+        .pct_change(value_col="value", order_by=["ts", "event_id"],
+                    periods=1, partition=["user_id"])
+        .drop_columns(include_cols=["event_id", "PCT_CHANGE_VALUE"])
+        .df
+    )
+
+
+def q_autocorrelation(spark, sf):
+    """Per-event-type ACF at lags 1/2/7 (exact decimal cross-moments)."""
+    return (
+        _s(spark, sf).dataset("events")
+        .autocorrelation(value_col="value", order_by=["ts", "event_id"],
+                         lags=[1, 2, 7], group_by=["event_type"])
+        .df
+    )
+
+
 def _timeseries_oracles() -> dict[str, str]:
     """The timeseries renderers are engine-portable SQL (LAG/AVG/STDDEV_SAMP/
     ROW_NUMBER windows, ROUND, CASE) — DuckDB runs them verbatim, with the
@@ -3060,13 +3081,23 @@ def _timeseries_oracles() -> dict[str, str]:
     seasonal_decompose (same pattern as _cls_eval_oracle)."""
     from rasgoql_spark.functions.timeseries import (
         _r_anomaly_zscore,
+        _r_autocorrelation,
         _r_changepoint_detect,
         _r_ewma,
+        _r_pct_change,
         _r_seasonal_decompose,
     )
 
     ob = ["ts", "event_id"]
     return {
+        "pct_change": (
+            "SELECT event_id, PCT_CHANGE_VALUE FROM ("
+            + _r_pct_change("events", "value", ob, 1, ["user_id"])
+            + ")"
+        ),
+        "autocorrelation": _r_autocorrelation(
+            "events", "value", ob, [1, 2, 7], ["event_type"]
+        ),
         "ewma": (
             "SELECT event_id, EWMA_VALUE FROM ("
             + _r_ewma("events", "value", ob, 0.3, partition=["user_id"], span=8)
@@ -5625,6 +5656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "changepoint_detect": q_changepoint_detect,
         "seasonal_decompose": q_seasonal_decompose,
+        "pct_change": q_pct_change,
+        "autocorrelation": q_autocorrelation,
         # --- new round-10 graph operators ---
         "triangle_count": q_triangle_count,
         "label_propagation": q_label_propagation,
@@ -5871,6 +5904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore",
         "changepoint_detect",
         "seasonal_decompose",
+        "pct_change",
+        "autocorrelation",
         "triangle_count",
         "label_propagation",
         "hybrid_search",
@@ -5901,8 +5936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datespine_groups", "decontaminate", "dedup_against", "except",
         "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
         "importance_sample", "impute_mean", "impute_mode", "intersect",
-        "join_full", "kmeans_cluster", "label_encode", "language_id",
-        # (levenshtein, market_basket, min_max_scaler, min_max_scaler_grouped,
+        "join_full", "kmeans_cluster",
+        # (label_encode, language_id, levenshtein, market_basket,
+        # min_max_scaler, min_max_scaler_grouped,
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
         # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
         # standard_scaler, target_encode, text_quality, train_test_split,

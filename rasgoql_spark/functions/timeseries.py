@@ -488,3 +488,179 @@ def zscore_against_stats(
             ),
         ).alias("MEAN_Z"),
     )
+
+
+# --------------------------------------------------------------------------
+# pct_change
+# --------------------------------------------------------------------------
+
+@spark_transform("pct_change", category="timeseries", streaming_ok=False)
+def pct_change(
+    df: DataFrame,
+    value_col: str,
+    order_by,
+    periods: int = 1,
+    partition=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fractional change vs the value ``periods`` rows back (pandas
+    ``pct_change``): ``PCT_CHANGE_{COL} = x/x_{t-periods} − 1``; null on the
+    warm-up rows and where the base value is 0 (no ±inf rows).
+
+    Rounding is FLOOR-based (``floor(x·10^r + 0.5)/10^r``) rather than
+    ROUND: ratios of 2-decimal inputs routinely land EXACTLY on the 6-dp
+    tie (e.g. 8.0046875), where Spark half-ups the shortest decimal repr
+    while DuckDB rounds the binary double — floor of identical doubles is
+    bit-identical in every engine, closing that divergence.
+
+    Scale: one window shuffle on ``partition``, row-local arithmetic."""
+    if periods < 1:
+        raise ParameterException("periods must be >= 1")
+    v = resolve_col(df, value_col)
+    w = _window(df, partition, order_by)
+    scale = float(10 ** round_to)
+    prev = F.lag(v, periods).over(w).cast("double")
+    ratio = F.col(v).cast("double") / prev - 1.0
+    out = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.floor(ratio * scale + 0.5) / scale,
+    )
+    return df.withColumn(f"PCT_CHANGE_{cleanse_name(value_col)}", out)
+
+
+@renderer("pct_change")
+def _r_pct_change(source, value_col, order_by, periods=1, partition=None,
+                  round_to=6) -> str:
+    over = _over_sql(partition, order_by)
+    prev = f"CAST(LAG({value_col}, {periods}) OVER ({over}) AS DOUBLE)"
+    name = f"PCT_CHANGE_{cleanse_name(value_col)}"
+    scale = float(10 ** round_to)
+    ratio = f"(CAST({value_col} AS DOUBLE) / {prev} - 1.0)"
+    return (
+        f"SELECT *, CASE WHEN {prev} IS NOT NULL AND {prev} <> 0 "
+        f"THEN FLOOR({ratio} * {scale!r} + 0.5) / {scale!r} "
+        f"END AS {name} FROM {source}"
+    )
+
+
+# --------------------------------------------------------------------------
+# autocorrelation
+# --------------------------------------------------------------------------
+
+ACF_MAX_LAG = 32
+
+
+@spark_transform("autocorrelation", category="timeseries", streaming_ok=False)
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    order_by,
+    lags=(1, 2, 3),
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group autocorrelation function: Pearson r between the series and
+    its lag-k shift, one ``ACF_{k}`` column per requested lag (plus ``N``,
+    the series length). The seasonality/memory screen of the feature-
+    engineering family — pick rolling-window sizes and AR lags from it.
+
+    Pairs where either side is null are excluded per lag (pandas
+    ``Series.autocorr`` semantics). Each correlation derives from EXACT
+    integer moments of 6-dp-quantized values — linear sums as BIGINTs,
+    cross-products as DECIMAL(38,0) (a quantized product is ~10¹⁶ per row,
+    so int64 would overflow within ~900 rows; 38-digit decimals leave 10²²
+    rows of headroom and both engines sum them exactly) — the same
+    order-free contract as ``zscore_stats``, so the result replays
+    bit-for-bit as SQL. A constant or too-short series yields null.
+
+    Scale: ONE window pass (the lag projections) + ONE hash aggregate on
+    the group keys. Decimal aggregation is exact (no float order effects)
+    and still map-side combinable.
+    """
+    lag_list = [int(k) for k in as_list(lags)]
+    if not lag_list or any(k < 1 or k > ACF_MAX_LAG for k in lag_list):
+        raise ParameterException(f"lags must be ints in [1, {ACF_MAX_LAG}]")
+    v = resolve_col(df, value_col)
+    keys = resolve_cols(df, as_list(group_by))
+    w = _window(df, keys, order_by)
+    x = F.col(v).cast("double")
+    xq = F.round(x * ZQ_SCALE, 0).cast("bigint")
+    staged = df.withColumn("__xq", xq)
+    for k in lag_list:
+        staged = staged.withColumn(f"__lq_{k}", F.lag("__xq", k).over(w))
+    aggs = [F.count(v).alias("N")]
+    for k in lag_list:
+        both = F.col("__xq").isNotNull() & F.col(f"__lq_{k}").isNotNull()
+        a = F.when(both, F.col("__xq"))
+        b = F.when(both, F.col(f"__lq_{k}"))
+        ad, bd = a.cast("decimal(19,0)"), b.cast("decimal(19,0)")
+        aggs += [
+            F.count(a).alias(f"__n_{k}"),
+            F.sum(a).alias(f"__sx_{k}"),
+            F.sum(b).alias(f"__sy_{k}"),
+            F.sum(ad * bd).alias(f"__sxy_{k}"),
+            F.sum(ad * ad).alias(f"__sxx_{k}"),
+            F.sum(bd * bd).alias(f"__syy_{k}"),
+        ]
+    g = staged.groupBy(*keys).agg(*aggs)
+    sel = [*keys, "N"]
+    for k in lag_list:
+        n = F.col(f"__n_{k}").cast("double")
+        sx, sy = F.col(f"__sx_{k}").cast("double"), F.col(f"__sy_{k}").cast("double")
+        sxy = F.col(f"__sxy_{k}").cast("double")
+        sxx, syy = F.col(f"__sxx_{k}").cast("double"), F.col(f"__syy_{k}").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when(
+            (F.col(f"__n_{k}") >= 2) & (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy), round_to),
+        )
+        sel.append(r.alias(f"ACF_{k}"))
+    return g.select(*sel)
+
+
+@renderer("autocorrelation")
+def _r_autocorrelation(source, value_col, order_by, lags=(1, 2, 3),
+                       group_by=None, round_to=6) -> str:
+    lag_list = [int(k) for k in as_list(lags)]
+    if not lag_list or any(k < 1 or k > ACF_MAX_LAG for k in lag_list):
+        raise ParameterException(f"lags must be ints in [1, {ACF_MAX_LAG}]")
+    keys = as_list(group_by)
+    over = _over_sql(keys if keys else None, order_by)
+    xq = f"CAST(ROUND(CAST({value_col} AS DOUBLE) * {ZQ_SCALE}, 0) AS BIGINT)"
+    lag_cols = ", ".join(
+        f"LAG(__xq, {k}) OVER ({over}) AS __lq_{k}" for k in lag_list
+    )
+    staged = (
+        f"(SELECT *, {lag_cols} FROM "
+        f"(SELECT *, {xq} AS __xq FROM {source}))"
+    )
+    agg_parts = [f"COUNT({value_col}) AS N"]
+    for k in lag_list:
+        both = f"__xq IS NOT NULL AND __lq_{k} IS NOT NULL"
+        a, b = f"CASE WHEN {both} THEN __xq END", f"CASE WHEN {both} THEN __lq_{k} END"
+        ad = f"CAST({a} AS DECIMAL(19,0))"
+        bd = f"CAST({b} AS DECIMAL(19,0))"
+        agg_parts += [
+            f"COUNT({a}) AS __n_{k}",
+            f"CAST(SUM({a}) AS BIGINT) AS __sx_{k}",
+            f"CAST(SUM({b}) AS BIGINT) AS __sy_{k}",
+            f"SUM({ad} * {bd}) AS __sxy_{k}",
+            f"SUM({ad} * {ad}) AS __sxx_{k}",
+            f"SUM({bd} * {bd}) AS __syy_{k}",
+        ]
+    gsel = ", ".join(keys) + ", " if keys else ""
+    gby = f" GROUP BY {', '.join(keys)}" if keys else ""
+    inner = f"SELECT {gsel}{', '.join(agg_parts)} FROM {staged} t{gby}"
+    outer_cols = [*keys, "N"]
+    for k in lag_list:
+        n = f"CAST(__n_{k} AS DOUBLE)"
+        cov = f"({n} * CAST(__sxy_{k} AS DOUBLE) - CAST(__sx_{k} AS DOUBLE) * CAST(__sy_{k} AS DOUBLE))"
+        vx = f"({n} * CAST(__sxx_{k} AS DOUBLE) - CAST(__sx_{k} AS DOUBLE) * CAST(__sx_{k} AS DOUBLE))"
+        vy = f"({n} * CAST(__syy_{k} AS DOUBLE) - CAST(__sy_{k} AS DOUBLE) * CAST(__sy_{k} AS DOUBLE))"
+        outer_cols.append(
+            f"CASE WHEN __n_{k} >= 2 AND {vx} > 0 AND {vy} > 0 "
+            f"THEN ROUND({cov} / sqrt({vx} * {vy}), {round_to}) END AS ACF_{k}"
+        )
+    return f"SELECT {', '.join(outer_cols)} FROM ({inner})"

@@ -240,3 +240,104 @@ def test_seasonal_renderer_roundtrip(spark, events):
                                 ["user_id"]).select(*cols)
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# pct_change
+# --------------------------------------------------------------------------
+
+def test_pct_change_matches_pandas(series):
+    from rasgoql_spark.functions.timeseries import pct_change
+
+    out = {r["t"]: r["PCT_CHANGE_X"] for r in
+           pct_change(series, "x", ["t"]).collect()}
+    exp = pd.Series([10.0, 12.0, 11.0, 13.0, 50.0, 12.0, 11.5, 13.5, 12.0,
+                     11.0]).pct_change()
+    assert out[0] is None
+    for t in range(1, 10):
+        assert out[t] == pytest.approx(exp[t], abs=1e-6)
+
+
+def test_pct_change_zero_base_is_null(spark):
+    from rasgoql_spark.functions.timeseries import pct_change
+
+    df = spark.createDataFrame([(0, 0.0), (1, 5.0)], "t INT, x DOUBLE")
+    out = {r["t"]: r["PCT_CHANGE_X"] for r in
+           pct_change(df, "x", ["t"]).collect()}
+    assert out[1] is None  # base 0 -> no ±inf row
+
+
+def test_pct_change_renderer_roundtrip(spark, events):
+    from rasgoql_spark.functions.timeseries import _r_pct_change, pct_change
+
+    events.createOrReplaceTempView("__pct_src")
+    via_sql = spark.sql(
+        _r_pct_change("__pct_src", "value", ["ts", "event_id"], 2, ["user_id"])
+    ).select("event_id", "PCT_CHANGE_VALUE")
+    direct = pct_change(events, "value", ["ts", "event_id"], 2, ["user_id"]
+                        ).select("event_id", "PCT_CHANGE_VALUE")
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# autocorrelation
+# --------------------------------------------------------------------------
+
+def test_acf_matches_pandas(spark):
+    from rasgoql_spark.functions.timeseries import autocorrelation
+
+    vals = [float(((i * 7) % 13) + (i % 3)) for i in range(200)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "t INT, x DOUBLE")
+    row = autocorrelation(df, "x", ["t"], lags=[1, 2, 5]).collect()[0]
+    s = pd.Series(vals)
+    for k in (1, 2, 5):
+        assert row[f"ACF_{k}"] == pytest.approx(s.autocorr(k), abs=1e-4)
+    assert row["N"] == 200
+
+
+def test_acf_perfect_periodicity(spark):
+    from rasgoql_spark.functions.timeseries import autocorrelation
+
+    vals = [float(i % 4) for i in range(80)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "t INT, x DOUBLE")
+    row = autocorrelation(df, "x", ["t"], lags=[4]).collect()[0]
+    assert row["ACF_4"] == pytest.approx(1.0)
+
+
+def test_acf_constant_series_is_null(spark):
+    from rasgoql_spark.functions.timeseries import autocorrelation
+
+    df = spark.createDataFrame([(i, 7.0) for i in range(20)], "t INT, x DOUBLE")
+    row = autocorrelation(df, "x", ["t"], lags=[1]).collect()[0]
+    assert row["ACF_1"] is None
+
+
+def test_acf_validation(series):
+    from rasgoql_spark.functions.timeseries import autocorrelation
+
+    with pytest.raises(ParameterException):
+        autocorrelation(series, "x", ["t"], lags=[])
+    with pytest.raises(ParameterException):
+        autocorrelation(series, "x", ["t"], lags=[0])
+    with pytest.raises(ParameterException):
+        autocorrelation(series, "x", ["t"], lags=[99])
+
+
+def test_acf_renderer_roundtrip(spark, events):
+    from rasgoql_spark.functions.timeseries import (
+        _r_autocorrelation,
+        autocorrelation,
+    )
+
+    events.createOrReplaceTempView("__acf_src")
+    via_sql = spark.sql(
+        _r_autocorrelation("__acf_src", "value", ["ts", "event_id"], [1, 3],
+                           ["event_type"])
+    )
+    direct = autocorrelation(events, "value", ["ts", "event_id"], [1, 3],
+                             ["event_type"])
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
