@@ -447,12 +447,12 @@ def zscore_against_stats(
         (m, s), = stats.values()
         exp = spark.createDataFrame([(float(m), float(s))], "__bm double, __bs double")
     x = F.col(v).cast("double")
-    staged = df.join(F.broadcast(exp), on=keys) if keys else df.crossJoin(
-        F.broadcast(exp)
-    )
     # groups missing from the baseline: keep them (left join) with null stats
-    if keys:
-        staged = df.join(F.broadcast(exp), on=keys, how="left")
+    staged = (
+        df.join(F.broadcast(exp), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(exp))
+    )
     anom = (
         F.when(F.col("__bm").isNull(), F.lit(None).cast("int"))
         .when(
