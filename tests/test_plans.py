@@ -628,3 +628,67 @@ def test_embedding_join_binary_never_goes_cartesian(session):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted explain lists each node twice (tree + detail); count the
+    # detail headers, one per physical node
+    import re
+    return sum(1 for l in plan.splitlines()
+               if re.match(r"^\(\d+\) Exchange", l.strip()))
+
+
+def test_timeseries_ops_are_single_exchange(session):
+    """The round-10 timeseries family's scale contract: every operator is
+    window projections over ONE partition shuffle — a second Exchange means
+    a refactor broke the shared-partitioning property."""
+    cases = [
+        session.dataset("events").ewma(
+            value_col="value", order_by=["ts", "event_id"], alpha=0.3,
+            partition=["user_id"], span=8),
+        session.dataset("events").anomaly_zscore(
+            value_col="value", order_by=["ts", "event_id"], window=10,
+            partition=["user_id"]),
+        session.dataset("events").seasonal_decompose(
+            value_col="value", order_by=["ts", "event_id"], period=7,
+            partition=["user_id"]),
+        session.dataset("events").pct_change(
+            value_col="value", order_by=["ts", "event_id"],
+            partition=["user_id"]),
+    ]
+    for chain in cases:
+        plan = _plan(chain)
+        assert _n_exchanges(plan) == 1, plan
+
+
+def test_changepoint_reuses_group_partitioning(session):
+    """Group mean, running CUSUM, and the argmax row_number all share the
+    event_type hash partition — one Exchange total."""
+    plan = _plan(
+        session.dataset("events").changepoint_detect(
+            value_col="value", order_by=["ts", "event_id"],
+            group_by=["event_type"])
+    )
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_autocorrelation_single_aggregate_exchange(session):
+    """One window pass + one hash aggregate: the lag projection shuffles on
+    the group key, and the (partial -> final) aggregate reuses it — at most
+    one extra Exchange for the final aggregate."""
+    plan = _plan(
+        session.dataset("events").autocorrelation(
+            value_col="value", order_by=["ts", "event_id"], lags=[1, 2],
+            group_by=["event_type"])
+    )
+    assert _n_exchanges(plan) <= 2, plan
+    assert "HashAggregate" in plan
+
+
+def test_vector_score_is_shuffle_free(session):
+    """Literal-query cosine is a row-local projection — zero Exchanges."""
+    plan = _plan(
+        session.dataset("embeddings").vector_score(
+            vec_col="embedding", query_vec=[0.1] * 64)
+    )
+    assert "Exchange" not in plan, plan
