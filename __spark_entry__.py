@@ -3233,6 +3233,59 @@ def _stream_anomaly_oracle() -> str:
     )
 
 
+def q_hll_rollup(spark, sf):
+    """Mergeable-sketch rollup: per-(returnflag, linestatus) HLL sketches of
+    l_partkey merged up to per-returnflag WITHOUT rescanning raw data, then
+    estimated. Oracle pattern = approx_distinct: the exact column verifies
+    the grouping, the boolean verifies the merged estimate landed inside
+    3·rsd (lg_k=12 → rsd ≈ 1.6%)."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.sketch import hll_merge, hll_sketch
+
+    ds = _s(spark, sf).dataset("lineitem")
+    shard = hll_sketch(ds.df, ["l_partkey"],
+                       group_by=["l_returnflag", "l_linestatus"], lg_k=12)
+    rolled = hll_merge(shard, "L_PARTKEY_SKETCH", group_by=["l_returnflag"])
+    exact = ds.df.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("EXACT_DISTINCT")
+    )
+    return rolled.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "EXACT_DISTINCT",
+        (
+            F.abs(F.col("L_PARTKEY_SKETCH_ESTIMATE") - F.col("EXACT_DISTINCT"))
+            <= 3 * 0.016 * F.col("EXACT_DISTINCT") + 1
+        ).alias("WITHIN_RSD"),
+    )
+
+
+def q_hll_overlap(spark, sf):
+    """Approximate two-dataset overlap via sketch inclusion-exclusion:
+    A = doc_id % 3 != 0 (≈2/3 of docs), B = doc_id % 2 = 0 (≈1/2), true
+    overlap ≈ 1/3. Emits the exact overlap (grouping check) plus a
+    within-10% flag on the sketch estimate (inclusion-exclusion compounds
+    the per-sketch rsd)."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.sketch import hll_overlap
+
+    docs = _s(spark, sf).dataset("documents").df
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 2 == 0)
+    est = hll_overlap(a, b, "doc_id", lg_k=14)
+    exact = docs.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 2 == 0)
+    ).agg(F.count_distinct("doc_id").alias("EXACT_OVERLAP"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "EXACT_OVERLAP",
+        (
+            F.abs(F.col("N_OVERLAP") - F.col("EXACT_OVERLAP"))
+            <= 0.10 * F.col("EXACT_OVERLAP") + 1
+        ).alias("WITHIN_BOUND"),
+    )
+
+
 def q_dp_aggregate(spark, sf):
     """Laplace-noised group counts (seeded, reproducible release)."""
     return (
@@ -5633,6 +5686,18 @@ ranked AS (
                                        value_col="o_totalprice", epsilon=1.0,
                                        sensitivity=500000.0),
         "stream_anomaly_batch": _stream_anomaly_oracle(),
+        # sketch family: the approx_distinct oracle pattern — exact column
+        # verifies the grouping, boolean verifies the estimate's error bound
+        "hll_rollup": (
+            "SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) "
+            "AS EXACT_DISTINCT, TRUE AS WITHIN_RSD "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "hll_overlap": (
+            "SELECT CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 <> 0 "
+            "AND doc_id % 2 = 0 THEN doc_id END) AS BIGINT) AS EXACT_OVERLAP, "
+            "TRUE AS WITHIN_BOUND FROM documents"
+        ),
     }
 
 
@@ -5668,6 +5733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_aggregate_sum": q_dp_aggregate_sum,
         # --- new round-10 streaming anomaly monitor (batch replay) ---
         "stream_anomaly_batch": q_stream_anomaly_batch,
+        # --- new round-10 mergeable sketches ---
+        "hll_rollup": q_hll_rollup,
+        "hll_overlap": q_hll_overlap,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -5912,6 +5980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_aggregate",
         "dp_aggregate_sum",
         "stream_anomaly_batch",
+        "hll_rollup",
+        "hll_overlap",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -5936,8 +6006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datespine_groups", "decontaminate", "dedup_against", "except",
         "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
         "importance_sample", "impute_mean", "impute_mode", "intersect",
-        "join_full", "kmeans_cluster",
-        # (label_encode, language_id, levenshtein, market_basket,
+        # (join_full, kmeans_cluster,
+        # label_encode, language_id, levenshtein, market_basket,
         # min_max_scaler, min_max_scaler_grouped,
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
         # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
