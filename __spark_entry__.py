@@ -3233,6 +3233,47 @@ def _stream_anomaly_oracle() -> str:
     )
 
 
+_UPSERT_BASE_APPLY = (
+    "SELECT o_orderkey, o_orderpriority AS prio FROM {{source_table}}"
+)
+_UPSERT_SNAP_APPLY = """
+SELECT o_orderkey,
+ CASE WHEN o_orderkey % 5 = 0 THEN 'U1' ELSE o_orderpriority END AS prio
+FROM {{source_table}} WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, 'NEW' AS prio
+FROM {{source_table}} WHERE o_orderkey % 11 = 0
+"""
+
+
+def q_merge_upsert(spark, sf):
+    """Type-1 keyed merge: a snapshot with planted updates (%5 on the even
+    keys) and inserts (+10M-offset new keys) folded into the base — the
+    warehouse MERGE INTO shape."""
+    s = _s(spark, sf)
+    snap = s.dataset("orders").apply(sql=_UPSERT_SNAP_APPLY)
+    return (
+        s.dataset("orders")
+        .apply(sql=_UPSERT_BASE_APPLY)
+        .merge_upsert(snapshot=snap, keys=["o_orderkey"])
+        .df
+    )
+
+
+_MERGE_UPSERT_ORACLE = (
+    "WITH base AS (SELECT o_orderkey, o_orderpriority AS prio FROM orders), "
+    "snap AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN 'U1' "
+    "ELSE o_orderpriority END AS prio FROM orders WHERE o_orderkey % 2 = 0 "
+    "UNION ALL SELECT o_orderkey + 10000000, 'NEW' FROM orders "
+    "WHERE o_orderkey % 11 = 0) "
+    "SELECT o_orderkey, prio FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY __pri) AS __rn "
+    "FROM (SELECT o_orderkey, prio, 1 AS __pri FROM base "
+    "UNION ALL SELECT o_orderkey, prio, 0 AS __pri FROM snap)"
+    ") WHERE __rn = 1"
+)
+
+
 def q_hll_rollup(spark, sf):
     """Mergeable-sketch rollup: per-(returnflag, linestatus) HLL sketches of
     l_partkey merged up to per-returnflag WITHOUT rescanning raw data, then
@@ -5698,6 +5739,7 @@ ranked AS (
             "AND doc_id % 2 = 0 THEN doc_id END) AS BIGINT) AS EXACT_OVERLAP, "
             "TRUE AS WITHIN_BOUND FROM documents"
         ),
+        "merge_upsert": _MERGE_UPSERT_ORACLE,
     }
 
 
@@ -5736,6 +5778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-10 mergeable sketches ---
         "hll_rollup": q_hll_rollup,
         "hll_overlap": q_hll_overlap,
+        # --- new round-10 type-1 merge ---
+        "merge_upsert": q_merge_upsert,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -5982,6 +6026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_anomaly_batch",
         "hll_rollup",
         "hll_overlap",
+        "merge_upsert",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -6005,8 +6050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
         "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
-        "importance_sample", "impute_mean", "impute_mode", "intersect",
-        # (join_full, kmeans_cluster,
+        "importance_sample", "impute_mean", "impute_mode",
+        # (intersect, join_full, kmeans_cluster,
         # label_encode, language_id, levenshtein, market_basket,
         # min_max_scaler, min_max_scaler_grouped,
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,

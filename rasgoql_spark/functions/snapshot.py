@@ -687,3 +687,67 @@ def _r_scd2_merge(source, snapshot, keys, snapshot_value, compare_cols=None,
         f"WHERE (__h IS NULL AND __nh IS NOT NULL) "
         f"OR ({matched} AND __h != __nh))"
     )
+
+
+@spark_transform("merge_upsert", category="snapshot", streaming_ok=False)
+def merge_upsert(
+    df: DataFrame,
+    snapshot: DataFrame,
+    keys,
+    delete_missing: bool = False,
+) -> DataFrame:
+    """Type-1 keyed merge (the warehouse ``MERGE INTO ... WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT``): ``snapshot`` rows win on key
+    collision, ``df`` rows without a snapshot match pass through (or drop
+    when ``delete_missing`` — full-sync semantics). Column sets must match;
+    the output keeps ``df``'s column order. The SCD1 sibling of
+    :func:`scd2_merge` — use it for mutable dimensions where history
+    doesn't matter.
+
+    Scale: ONE union + one key-window top-1 (priority to the snapshot) —
+    a single hash shuffle on the keys; with ``delete_missing`` the pass-
+    through side becomes a left-anti join, same shuffle profile. No
+    collects.
+    """
+    from pyspark.sql import Window
+
+    ks = [resolve_col(df, k) for k in as_list(keys)]
+    if not ks:
+        raise ParameterException("merge_upsert requires at least one key")
+    missing = [c for c in df.columns if c not in snapshot.columns]
+    if missing:
+        raise ParameterException(
+            f"snapshot is missing columns {missing} — column sets must match"
+        )
+    snap = snapshot.select(*df.columns)
+    if delete_missing:
+        return snap
+    tagged = (
+        df.withColumn("__pri", F.lit(1))
+        .unionByName(snap.withColumn("__pri", F.lit(0)))
+    )
+    w = Window.partitionBy(*ks).orderBy(F.col("__pri").asc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__pri", "__rn")
+    )
+
+
+@renderer("merge_upsert")
+def _r_merge_upsert(source, snapshot, keys, delete_missing=False,
+                    _input_columns=()) -> str:
+    ks = as_list(keys)
+    if not ks:
+        raise ParameterException("merge_upsert requires at least one key")
+    cols = ", ".join(_input_columns)
+    if delete_missing:
+        return f"SELECT {cols} FROM {snapshot} s"
+    part = ", ".join(ks)
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY __pri) AS __rn "
+        f"FROM (SELECT {cols}, 1 AS __pri FROM {source} "
+        f"UNION ALL SELECT {cols}, 0 AS __pri FROM {snapshot} s)"
+        f") WHERE __rn = 1"
+    )

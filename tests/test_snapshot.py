@@ -69,3 +69,61 @@ def test_null_sentinel_literal_cannot_collide(spark):
     old = spark.createDataFrame([(1, None, "x")], schema)
     out = diff_datasets(new, old, keys=["id"])
     assert {r["id"]: r["STATUS"] for r in out.collect()} == {1: "CHANGED"}
+
+
+# --------------------------------------------------------------------------
+# merge_upsert (round 10)
+# --------------------------------------------------------------------------
+
+def test_merge_upsert_update_insert_passthrough(spark):
+    from rasgoql_spark.functions.snapshot import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING"
+    )
+    snap = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k BIGINT, v STRING"
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(base, snap, ["k"]).collect()}
+    assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_delete_missing_is_full_sync(spark):
+    from rasgoql_spark.functions.snapshot import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    snap = spark.createDataFrame([(2, "B2")], "k BIGINT, v STRING")
+    out = merge_upsert(base, snap, ["k"], delete_missing=True).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(2, "B2")]
+
+
+def test_merge_upsert_validation(spark):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.snapshot import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k BIGINT, v STRING")
+    with _pytest.raises(ParameterException):
+        merge_upsert(base, base, [])
+    snap_missing = spark.createDataFrame([(1,)], "k BIGINT")
+    with _pytest.raises(ParameterException):
+        merge_upsert(base, snap_missing, ["k"])
+
+
+def test_merge_upsert_renderer_roundtrip(spark):
+    from rasgoql_spark.functions.snapshot import _r_merge_upsert, merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k BIGINT, v STRING"
+    )
+    snap = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(0, 70, 2)], "k BIGINT, v STRING"
+    )
+    base.createOrReplaceTempView("__mu_base")
+    snap.createOrReplaceTempView("__mu_snap")
+    via_sql = spark.sql(_r_merge_upsert(
+        "__mu_base", "__mu_snap", ["k"], _input_columns=("k", "v")))
+    direct = merge_upsert(base, snap, ["k"])
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
