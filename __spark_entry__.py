@@ -3274,6 +3274,58 @@ _MERGE_UPSERT_ORACLE = (
 )
 
 
+_BM25J_QUERIES = [
+    (0, "spark query window"),
+    (1, "data pipeline quality"),
+    (2, "window function aggregate"),
+    (3, "distributed join shuffle"),
+]
+
+
+def q_bm25_join(spark, sf):
+    """Batch retrieval: top-10 BM25 docs for each of 4 literal queries via
+    the inverted postings join (broadcast query terms; exact integer-sum
+    score accumulation)."""
+    from rasgoql_spark.functions.relevance import bm25_join
+
+    docs = _s(spark, sf).dataset("documents").df
+    qdf = spark.createDataFrame(_BM25J_QUERIES, "query_id BIGINT, query_text STRING")
+    return bm25_join(docs, "text", "doc_id", qdf, k=10)
+
+
+def _bm25_join_oracle(k=10, k1=1.2, b=0.75) -> str:
+    """DuckDB mirror of bm25_join: identical postings/df/length/stats
+    derivation (unnest for explode), identical 9-dp integer-sum score."""
+    vals = ", ".join(f"({qid}, '{qt}')" for qid, qt in _BM25J_QUERIES)
+    idf = "ln(1.0 + (n - dft + 0.5) / (dft + 0.5))"
+    denom = f"(tf + {k1} * (1.0 - {b} + {b} * dlen / avglen))"
+    contrib = f"{idf} * tf * {k1 + 1.0} / {denom}"
+    return (
+        f"WITH d AS (SELECT doc_id AS doc, {_toks()} AS toks FROM documents), "
+        "lens AS (SELECT doc, CAST(len(toks) AS DOUBLE) AS dlen FROM d), "
+        "stats AS (SELECT CAST(COUNT(1) AS DOUBLE) AS n, "
+        "AVG(CAST(len(toks) AS DOUBLE)) AS avglen FROM d), "
+        "t AS (SELECT doc, unnest(toks) AS term FROM d), "
+        "tf AS (SELECT doc, term, CAST(COUNT(1) AS DOUBLE) AS tf "
+        "FROM t GROUP BY doc, term), "
+        "dft AS (SELECT term, CAST(COUNT(1) AS DOUBLE) AS dft "
+        "FROM tf GROUP BY term), "
+        f"qv AS (SELECT * FROM (VALUES {vals}) v(query_id, query_text)), "
+        f"q AS (SELECT query_id, unnest(list_distinct({_toks('query_text')})) AS term "
+        "FROM qv), "
+        "s AS (SELECT query_id AS QUERY_ID, tf.doc AS MATCH_ID, "
+        f"ROUND(CAST(SUM(CAST(ROUND(({contrib}) * 1000000000.0, 0) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000000.0, 6) AS BM25_SCORE "
+        "FROM tf JOIN q USING (term) JOIN dft USING (term) "
+        "JOIN lens ON tf.doc = lens.doc CROSS JOIN stats "
+        "GROUP BY query_id, tf.doc) "
+        "SELECT * FROM (SELECT QUERY_ID, MATCH_ID, BM25_SCORE, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        "ORDER BY BM25_SCORE DESC, MATCH_ID ASC) AS INT) AS RANK FROM s) "
+        f"WHERE RANK <= {int(k)}"
+    )
+
+
 def q_hll_rollup(spark, sf):
     """Mergeable-sketch rollup: per-(returnflag, linestatus) HLL sketches of
     l_partkey merged up to per-returnflag WITHOUT rescanning raw data, then
@@ -5740,6 +5792,7 @@ ranked AS (
             "TRUE AS WITHIN_BOUND FROM documents"
         ),
         "merge_upsert": _MERGE_UPSERT_ORACLE,
+        "bm25_join": _bm25_join_oracle(),
     }
 
 
@@ -5780,6 +5833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         # --- new round-10 type-1 merge ---
         "merge_upsert": q_merge_upsert,
+        # --- new round-10 batch retrieval ---
+        "bm25_join": q_bm25_join,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -6027,6 +6082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup",
         "hll_overlap",
         "merge_upsert",
+        "bm25_join",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -6050,8 +6106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
         "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
-        "importance_sample", "impute_mean", "impute_mode",
-        # (intersect, join_full, kmeans_cluster,
+        "importance_sample", "impute_mean",
+        # (impute_mode, intersect, join_full, kmeans_cluster,
         # label_encode, language_id, levenshtein, market_basket,
         # min_max_scaler, min_max_scaler_grouped,
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,

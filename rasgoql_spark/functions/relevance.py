@@ -352,3 +352,121 @@ def _r_rrf_fuse(source, id_col, score_cols, k0=60, k=None, partition=None,
         f"ORDER BY RRF_SCORE DESC, {id_col} ASC) AS INT) AS RRF_RANK "
         f"FROM ({ranked})) WHERE RRF_RANK <= {int(k)}"
     )
+
+
+@spark_transform("bm25_join", category="relevance", streaming_ok=False)
+def bm25_join(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k BM25 matches for EVERY row of a query table — the batch
+    retrieval join (``bm25_score`` handles one literal query; a training-
+    data pipeline dedups/links against thousands). Returns
+    ``(QUERY_ID, MATCH_ID, BM25_SCORE, RANK)``; documents sharing no term
+    with a query don't appear (standard inverted-index semantics).
+
+    The per-(query, doc) score sums per-term contributions; contributions
+    are quantized to 9 dp and summed as exact BIGINTs (same order-free
+    contract as ``timeseries.zscore_stats``) so the result replays
+    bit-for-bit however the terms shuffle.
+
+    Scale: the corpus side becomes a (doc, term, tf) postings table — ONE
+    explode + count; queries explode to slim (qid, term) and BROADCAST to
+    the postings (the query table is small by construction); doc lengths
+    and term document-frequencies are slim side tables joined on their own
+    keys. The only wide shuffle is the (qid, doc) score aggregate. Stop-
+    word-heavy queries fan out on hot terms — AQE skew handles the join,
+    and the per-query top-k bounds the output.
+    """
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    qi, qt = resolve_col(queries, query_id), resolve_col(queries, query_text)
+    staged = spread(df).select(
+        F.col(i).alias("__doc"), tokens_expr(F.col(t)).alias("__toks")
+    )
+    lens = staged.select("__doc", F.size("__toks").cast("double").alias("__dlen"))
+    stats = staged.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.size("__toks").cast("double")).alias("__avglen"),
+    )
+    postings = (
+        staged.select("__doc", F.explode("__toks").alias("__term"))
+        .groupBy("__doc", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dft = postings.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__dft")
+    )
+    qterms = queries.select(
+        F.col(qi).alias("QUERY_ID"),
+        F.explode(F.array_distinct(tokens_expr(F.col(qt)))).alias("__term"),
+    )
+    joined = (
+        postings.join(F.broadcast(qterms), on="__term")
+        .join(dft, on="__term")
+        .join(lens, on="__doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(1.0 + (F.col("__n") - F.col("__dft") + 0.5) / (F.col("__dft") + 0.5))
+    denom = F.col("__tf") + k1 * (1.0 - b + b * F.col("__dlen") / F.col("__avglen"))
+    contrib = idf * F.col("__tf") * (k1 + 1.0) / denom
+    ci = F.round(contrib * 1e9, 0).cast("bigint")
+    scores = (
+        joined.select("QUERY_ID", F.col("__doc").alias("MATCH_ID"), ci.alias("__ci"))
+        .groupBy("QUERY_ID", "MATCH_ID")
+        .agg(F.round(F.sum("__ci") / 1e9, round_to).alias("BM25_SCORE"))
+    )
+    w = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("BM25_SCORE").desc(), F.col("MATCH_ID").asc()
+    )
+    return (
+        scores.withColumn("RANK", F.row_number().over(w).cast("int"))
+        .filter(F.col("RANK") <= k)
+    )
+
+
+@renderer("bm25_join")
+def _r_bm25_join(source, text, id_col, queries, query_id="query_id",
+                 query_text="query_text", k=10, k1=1.2, b=0.75,
+                 round_to=6) -> str:
+    from .text import _tokens_sql
+
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    toks = _tokens_sql(text)
+    qtoks = _tokens_sql(query_text)
+    idf = "ln(1.0 + (__n - __dft + 0.5) / (__dft + 0.5))"
+    denom = f"(__tf + {k1} * (1.0 - {b} + {b} * __dlen / __avglen))"
+    contrib = f"{idf} * __tf * {k1 + 1.0} / {denom}"
+    parts = [
+        f"__bj_d AS (SELECT {id_col} AS __doc, {toks} AS __toks FROM {source})",
+        "__bj_len AS (SELECT __doc, CAST(size(__toks) AS DOUBLE) AS __dlen FROM __bj_d)",
+        "__bj_stats AS (SELECT CAST(COUNT(1) AS DOUBLE) AS __n, "
+        "AVG(CAST(size(__toks) AS DOUBLE)) AS __avglen FROM __bj_d)",
+        "__bj_t AS (SELECT __doc, __term, CAST(COUNT(1) AS DOUBLE) AS __tf "
+        "FROM __bj_d LATERAL VIEW explode(__toks) AS __term GROUP BY __doc, __term)",
+        "__bj_df AS (SELECT __term, CAST(COUNT(1) AS DOUBLE) AS __dft "
+        "FROM __bj_t GROUP BY __term)",
+        f"__bj_q AS (SELECT {query_id} AS QUERY_ID, __term FROM {queries} q "
+        f"LATERAL VIEW explode(array_distinct({qtoks})) AS __term)",
+        "__bj_s AS (SELECT QUERY_ID, t.__doc AS MATCH_ID, "
+        f"ROUND(SUM(CAST(ROUND(({contrib}) * 1000000000.0, 0) AS BIGINT)) / 1000000000.0, {int(round_to)}) AS BM25_SCORE "
+        "FROM __bj_t t JOIN __bj_q USING (__term) JOIN __bj_df USING (__term) "
+        "JOIN __bj_len USING (__doc) CROSS JOIN __bj_stats "
+        "GROUP BY QUERY_ID, t.__doc)",
+    ]
+    return (
+        "SELECT * FROM (WITH " + ", ".join(parts)
+        + " SELECT QUERY_ID, MATCH_ID, BM25_SCORE, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY QUERY_ID ORDER BY BM25_SCORE DESC, MATCH_ID ASC) AS INT) AS RANK "
+        f"FROM __bj_s) __bj_out WHERE RANK <= {int(k)}"
+    )

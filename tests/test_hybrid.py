@@ -109,3 +109,72 @@ def test_vector_score_renderer_roundtrip(spark):
     direct = vector_score(emb, "embedding", qv).select("vec_id", "QUERY_COSINE")
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# bm25_join (round 10): batch retrieval
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_bm25_join_agrees_with_bm25_score(spark, docs):
+    """A one-row query table must reproduce bm25_score exactly for every
+    doc that shares a term (bm25_score also scores non-matching docs 0)."""
+    from rasgoql_spark.functions.relevance import bm25_join, bm25_score
+
+    q = "spark query window"
+    qdf = spark.createDataFrame([(7, q)], "query_id BIGINT, query_text STRING")
+    joined = {r["MATCH_ID"]: r["BM25_SCORE"] for r in
+              bm25_join(docs, "text", "doc_id", qdf, k=1000).collect()}
+    solo = {r["doc_id"]: r["BM25_SCORE"] for r in
+            bm25_score(docs, "text", "doc_id", q).collect()}
+    assert joined, "query must match some docs"
+    for doc, score in joined.items():
+        assert score == pytest.approx(solo[doc], abs=2e-6)
+    # and every doc bm25_join skipped scored 0 in the dense form
+    skipped = set(solo) - set(joined)
+    assert all(solo[d] == 0.0 for d in skipped)
+
+
+def test_bm25_join_topk_and_rank_shape(spark, docs):
+    from rasgoql_spark.functions.relevance import bm25_join
+
+    qdf = spark.createDataFrame(
+        [(0, "spark window"), (1, "data quality")],
+        "query_id BIGINT, query_text STRING",
+    )
+    out = bm25_join(docs, "text", "doc_id", qdf, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["QUERY_ID"], []).append(r["RANK"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_bm25_join_validation(spark, docs):
+    from rasgoql_spark.functions.relevance import bm25_join
+
+    qdf = spark.createDataFrame([(0, "x")], "query_id BIGINT, query_text STRING")
+    with pytest.raises(ParameterException):
+        bm25_join(docs, "text", "doc_id", qdf, k=0)
+
+
+def test_bm25_join_renderer_roundtrip(spark, docs):
+    from rasgoql_spark.functions.relevance import _r_bm25_join, bm25_join
+
+    qdf = spark.createDataFrame(
+        [(0, "spark window"), (1, "data quality")],
+        "query_id BIGINT, query_text STRING",
+    )
+    docs.createOrReplaceTempView("__bj_docs")
+    qdf.createOrReplaceTempView("__bj_queries")
+    via_sql = spark.sql(_r_bm25_join(
+        "__bj_docs", "text", "doc_id", "__bj_queries", k=5))
+    direct = bm25_join(docs, "text", "doc_id", qdf, k=5)
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
