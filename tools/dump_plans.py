@@ -247,6 +247,39 @@ ANNOTATED = [
      "A single contingency hash aggregate; marginals are window sums over "
      "the |X|x|Y| cell frame; probabilities divide before multiplying so "
      "bigint products cannot overflow at extreme row counts."),
+    ("seasonal_decompose (round 10)", "seasonal_decompose",
+     "The whole additive decomposition — centered-MA trend, season "
+     "positions, quantized seasonal means, residual — compiles to THREE "
+     "Window nodes over ONE Exchange (the user_id hash): Catalyst reuses "
+     "the partitioning across every stage (test_plans.py pins the "
+     "single-exchange property for the full timeseries family)."),
+    ("changepoint_detect (round 10)", "changepoint_detect",
+     "Group mean, running CUSUM, and the argmax row_number stack as "
+     "Window nodes over the SAME single Exchange on the group key — the "
+     "staged __gmean column exists precisely because SUM(x - AVG(x) OVER) "
+     "OVER would be an illegal nested window in both engines."),
+    ("triangle_count (round 10)", "triangle_count",
+     "Degree-ordered oriented wedges: canon/degree/oriented/triangle "
+     "frames are scoped-persisted (each feeds 2-3 consumers — the canon "
+     "cache alone halved the cold wall), every join is a slim-id "
+     "equi-join (no CartesianProduct), and per-node counts are one "
+     "partial+final aggregate over exploded corner projections."),
+    ("hybrid_search (round 10)", "hybrid_search",
+     "BM25's one-row stats frame broadcasts; the cosine is a shuffle-free "
+     "literal-vector projection; the doc-embedding join is "
+     "BroadcastHashJoin at this scale (AQE-sized, no hint); RRF's two "
+     "competition ranks and the fused top-k run over the small candidate "
+     "frame."),
+    ("bm25_join (round 10)", "bm25_join",
+     "Batch retrieval: query terms BROADCAST onto the (doc, term, tf) "
+     "postings (3 BroadcastHashJoins at sf0.1, zero SortMergeJoins); "
+     "per-(query, doc) scores accumulate as exact 9-dp BIGINTs so the "
+     "aggregate is order-free; the only wide shuffle is that final "
+     "(query, doc) aggregate plus the per-query top-k window."),
+    ("dp_aggregate (round 10)", "dp_aggregate",
+     "One partial+final hash aggregate on the group keys; the Laplace "
+     "noise is a row-local md5 projection over the (small) aggregate "
+     "output — nothing else in the plan."),
 ]
 
 
