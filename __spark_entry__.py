@@ -3074,6 +3074,21 @@ def q_autocorrelation(spark, sf):
     )
 
 
+def q_cross_correlation(spark, sf):
+    """Lead/lag screen: does the previous event's value predict the next
+    user_id-derived signal? x = value, y = (user_id % 97) — deterministic
+    second series, lags −2..2 per event_type."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.timeseries import cross_correlation
+
+    ev = _s(spark, sf).dataset("events").df.withColumn(
+        "y2", (F.col("user_id") % 97).cast("double")
+    )
+    return cross_correlation(ev, "value", "y2", ["ts", "event_id"],
+                             lags=[-2, -1, 0, 1, 2], group_by=["event_type"])
+
+
 def _timeseries_oracles() -> dict[str, str]:
     """The timeseries renderers are engine-portable SQL (LAG/AVG/STDDEV_SAMP/
     ROW_NUMBER windows, ROUND, CASE) — DuckDB runs them verbatim, with the
@@ -3083,6 +3098,7 @@ def _timeseries_oracles() -> dict[str, str]:
         _r_anomaly_zscore,
         _r_autocorrelation,
         _r_changepoint_detect,
+        _r_cross_correlation,
         _r_ewma,
         _r_pct_change,
         _r_seasonal_decompose,
@@ -3097,6 +3113,10 @@ def _timeseries_oracles() -> dict[str, str]:
         ),
         "autocorrelation": _r_autocorrelation(
             "events", "value", ob, [1, 2, 7], ["event_type"]
+        ),
+        "cross_correlation": _r_cross_correlation(
+            "(SELECT *, CAST(user_id % 97 AS DOUBLE) AS y2 FROM events) e",
+            "value", "y2", ob, [-2, -1, 0, 1, 2], ["event_type"]
         ),
         "ewma": (
             "SELECT event_id, EWMA_VALUE FROM ("
@@ -5818,6 +5838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "pct_change": q_pct_change,
         "autocorrelation": q_autocorrelation,
+        "cross_correlation": q_cross_correlation,
         # --- new round-10 graph operators ---
         "triangle_count": q_triangle_count,
         "label_propagation": q_label_propagation,
@@ -6073,6 +6094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose",
         "pct_change",
         "autocorrelation",
+        "cross_correlation",
         "triangle_count",
         "label_propagation",
         "hybrid_search",
@@ -6106,8 +6128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
         "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
-        "importance_sample", "impute_mean",
-        # (impute_mode, intersect, join_full, kmeans_cluster,
+        "importance_sample",
+        # (impute_mean, impute_mode, intersect, join_full, kmeans_cluster,
         # label_encode, language_id, levenshtein, market_basket,
         # min_max_scaler, min_max_scaler_grouped,
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,

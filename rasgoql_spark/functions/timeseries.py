@@ -664,3 +664,137 @@ def _r_autocorrelation(source, value_col, order_by, lags=(1, 2, 3),
             f"THEN ROUND({cov} / sqrt({vx} * {vy}), {round_to}) END AS ACF_{k}"
         )
     return f"SELECT {', '.join(outer_cols)} FROM ({inner})"
+
+
+# --------------------------------------------------------------------------
+# cross-correlation
+# --------------------------------------------------------------------------
+
+def _ccf_name(k: int) -> str:
+    return f"CCF_NEG_{-k}" if k < 0 else f"CCF_{k}"
+
+
+@spark_transform("cross_correlation", category="timeseries", streaming_ok=False)
+def cross_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_by,
+    lags=(0, 1, 2),
+    group_by=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group cross-correlation: Pearson r between ``x_t`` and
+    ``y_{t-k}`` for each lag k — the lead/lag relationship screen (does
+    yesterday's y predict today's x?). Negative lags test the other
+    direction (``y_{t+|k|}``); names are ``CCF_{k}`` / ``CCF_NEG_{k}``.
+    Same exact-moment contract as :func:`autocorrelation` (pairs with a
+    null side excluded; BIGINT linear sums, DECIMAL(38,0) cross-products;
+    constant or too-short series yield null).
+
+    Scale: ONE window pass + ONE hash aggregate on the group keys.
+    """
+    lag_list = [int(k) for k in as_list(lags)]
+    if not lag_list or any(abs(k) > ACF_MAX_LAG for k in lag_list):
+        raise ParameterException(f"lags must be ints in [-{ACF_MAX_LAG}, {ACF_MAX_LAG}]")
+    xc, yc = resolve_col(df, x_col), resolve_col(df, y_col)
+    keys = resolve_cols(df, as_list(group_by))
+    w = _window(df, keys, order_by)
+    xq = F.round(F.col(xc).cast("double") * ZQ_SCALE, 0).cast("bigint")
+    yq = F.round(F.col(yc).cast("double") * ZQ_SCALE, 0).cast("bigint")
+    staged = df.withColumns({"__xq": xq, "__yq0": yq})
+    for k in lag_list:
+        shifted = (
+            F.col("__yq0") if k == 0
+            else F.lag("__yq0", k).over(w) if k > 0
+            else F.lead("__yq0", -k).over(w)
+        )
+        staged = staged.withColumn(f"__yq_{_ccf_name(k)}", shifted)
+    aggs = [F.count(xc).alias("N")]
+    for k in lag_list:
+        nm = _ccf_name(k)
+        both = F.col("__xq").isNotNull() & F.col(f"__yq_{nm}").isNotNull()
+        a = F.when(both, F.col("__xq"))
+        b = F.when(both, F.col(f"__yq_{nm}"))
+        ad, bd = a.cast("decimal(19,0)"), b.cast("decimal(19,0)")
+        aggs += [
+            F.count(a).alias(f"__n_{nm}"),
+            F.sum(a).alias(f"__sx_{nm}"),
+            F.sum(b).alias(f"__sy_{nm}"),
+            F.sum(ad * bd).alias(f"__sxy_{nm}"),
+            F.sum(ad * ad).alias(f"__sxx_{nm}"),
+            F.sum(bd * bd).alias(f"__syy_{nm}"),
+        ]
+    g = staged.groupBy(*keys).agg(*aggs)
+    sel = [*keys, "N"]
+    for k in lag_list:
+        nm = _ccf_name(k)
+        n = F.col(f"__n_{nm}").cast("double")
+        sx, sy = F.col(f"__sx_{nm}").cast("double"), F.col(f"__sy_{nm}").cast("double")
+        sxy = F.col(f"__sxy_{nm}").cast("double")
+        sxx, syy = F.col(f"__sxx_{nm}").cast("double"), F.col(f"__syy_{nm}").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when(
+            (F.col(f"__n_{nm}") >= 2) & (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy), round_to),
+        )
+        sel.append(r.alias(nm))
+    return g.select(*sel)
+
+
+@renderer("cross_correlation")
+def _r_cross_correlation(source, x_col, y_col, order_by, lags=(0, 1, 2),
+                         group_by=None, round_to=6) -> str:
+    lag_list = [int(k) for k in as_list(lags)]
+    if not lag_list or any(abs(k) > ACF_MAX_LAG for k in lag_list):
+        raise ParameterException(f"lags must be ints in [-{ACF_MAX_LAG}, {ACF_MAX_LAG}]")
+    keys = as_list(group_by)
+    over = _over_sql(keys if keys else None, order_by)
+    xq = f"CAST(ROUND(CAST({x_col} AS DOUBLE) * {ZQ_SCALE}, 0) AS BIGINT)"
+    yq = f"CAST(ROUND(CAST({y_col} AS DOUBLE) * {ZQ_SCALE}, 0) AS BIGINT)"
+    shift_cols = []
+    for k in lag_list:
+        nm = _ccf_name(k)
+        if k == 0:
+            shift_cols.append(f"__yq0 AS __yq_{nm}")
+        elif k > 0:
+            shift_cols.append(f"LAG(__yq0, {k}) OVER ({over}) AS __yq_{nm}")
+        else:
+            shift_cols.append(f"LEAD(__yq0, {-k}) OVER ({over}) AS __yq_{nm}")
+    staged = (
+        f"(SELECT *, {', '.join(shift_cols)} FROM "
+        f"(SELECT *, {xq} AS __xq, {yq} AS __yq0 FROM {source}))"
+    )
+    agg_parts = [f"COUNT({x_col}) AS N"]
+    for k in lag_list:
+        nm = _ccf_name(k)
+        both = f"__xq IS NOT NULL AND __yq_{nm} IS NOT NULL"
+        a = f"CASE WHEN {both} THEN __xq END"
+        b = f"CASE WHEN {both} THEN __yq_{nm} END"
+        ad = f"CAST({a} AS DECIMAL(19,0))"
+        bd = f"CAST({b} AS DECIMAL(19,0))"
+        agg_parts += [
+            f"COUNT({a}) AS __n_{nm}",
+            f"CAST(SUM({a}) AS BIGINT) AS __sx_{nm}",
+            f"CAST(SUM({b}) AS BIGINT) AS __sy_{nm}",
+            f"SUM({ad} * {bd}) AS __sxy_{nm}",
+            f"SUM({ad} * {ad}) AS __sxx_{nm}",
+            f"SUM({bd} * {bd}) AS __syy_{nm}",
+        ]
+    gsel = ", ".join(keys) + ", " if keys else ""
+    gby = f" GROUP BY {', '.join(keys)}" if keys else ""
+    inner = f"SELECT {gsel}{', '.join(agg_parts)} FROM {staged} t{gby}"
+    outer_cols = [*keys, "N"]
+    for k in lag_list:
+        nm = _ccf_name(k)
+        n = f"CAST(__n_{nm} AS DOUBLE)"
+        cov = f"({n} * CAST(__sxy_{nm} AS DOUBLE) - CAST(__sx_{nm} AS DOUBLE) * CAST(__sy_{nm} AS DOUBLE))"
+        vx = f"({n} * CAST(__sxx_{nm} AS DOUBLE) - CAST(__sx_{nm} AS DOUBLE) * CAST(__sx_{nm} AS DOUBLE))"
+        vy = f"({n} * CAST(__syy_{nm} AS DOUBLE) - CAST(__sy_{nm} AS DOUBLE) * CAST(__sy_{nm} AS DOUBLE))"
+        outer_cols.append(
+            f"CASE WHEN __n_{nm} >= 2 AND {vx} > 0 AND {vy} > 0 "
+            f"THEN ROUND({cov} / sqrt({vx} * {vy}), {round_to}) END AS {nm}"
+        )
+    return f"SELECT {', '.join(outer_cols)} FROM ({inner})"

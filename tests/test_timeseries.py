@@ -341,3 +341,68 @@ def test_acf_renderer_roundtrip(spark, events):
                              ["event_type"])
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# cross_correlation
+# --------------------------------------------------------------------------
+
+def test_ccf_detects_planted_lag(spark):
+    """y leads x by 3: corr(x_t, y_{t-3}) ~ 1, other lags near 0."""
+    from rasgoql_spark.functions.timeseries import cross_correlation
+
+    base = [float(((i * 7) % 13) - 6) for i in range(200)]
+    rows = [(i, base[i - 3] if i >= 3 else 0.0, base[i]) for i in range(200)]
+    df = spark.createDataFrame(rows, "t INT, x DOUBLE, y DOUBLE")
+    row = cross_correlation(df, "x", "y", ["t"], lags=[0, 3]).collect()[0]
+    assert row["CCF_3"] == pytest.approx(1.0, abs=0.05)
+    # the periodic base self-correlates at shift 3 (~-0.43), so lag 0 is
+    # merely "clearly weaker than the planted alignment", not ~0
+    assert abs(row["CCF_0"]) < 0.6
+
+
+def test_ccf_negative_lag_is_lead(spark):
+    """CCF at lag -k on (x, y) equals CCF at +k with the roles swapped."""
+    from rasgoql_spark.functions.timeseries import cross_correlation
+
+    rows = [(i, float((i * 5) % 11), float((i * 3) % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "t INT, x DOUBLE, y DOUBLE")
+    fwd = cross_correlation(df, "x", "y", ["t"], lags=[-2]).collect()[0]
+    swp = cross_correlation(df, "y", "x", ["t"], lags=[2]).collect()[0]
+    assert fwd["CCF_NEG_2"] == pytest.approx(swp["CCF_2"], abs=1e-6)
+
+
+def test_ccf_matches_acf_on_self(spark):
+    from rasgoql_spark.functions.timeseries import autocorrelation, cross_correlation
+
+    rows = [(i, float(((i * 7) % 13) + (i % 3))) for i in range(150)]
+    df = spark.createDataFrame(rows, "t INT, x DOUBLE")
+    ccf = cross_correlation(df, "x", "x", ["t"], lags=[2]).collect()[0]
+    acf = autocorrelation(df, "x", ["t"], lags=[2]).collect()[0]
+    assert ccf["CCF_2"] == acf["ACF_2"]
+
+
+def test_ccf_validation(series):
+    from rasgoql_spark.functions.timeseries import cross_correlation
+
+    with pytest.raises(ParameterException):
+        cross_correlation(series, "x", "x", ["t"], lags=[])
+    with pytest.raises(ParameterException):
+        cross_correlation(series, "x", "x", ["t"], lags=[99])
+
+
+def test_ccf_renderer_roundtrip(spark, events):
+    from rasgoql_spark.functions.timeseries import (
+        _r_cross_correlation,
+        cross_correlation,
+    )
+
+    staged = events.withColumn("y2", (F.col("user_id") % 97).cast("double"))
+    staged.createOrReplaceTempView("__ccf_src")
+    via_sql = spark.sql(_r_cross_correlation(
+        "__ccf_src", "value", "y2", ["ts", "event_id"], [-1, 0, 1],
+        ["event_type"]))
+    direct = cross_correlation(staged, "value", "y2", ["ts", "event_id"],
+                               [-1, 0, 1], ["event_type"])
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
