@@ -360,6 +360,9 @@ BENCH_QUERIES = {
     # triangle counter (the join-heaviest new graph op)
     "llm_hybrid_search": entry.q_hybrid_search,
     "llm_triangle_count": entry.q_triangle_count,
+    # round-10 addition (fourth batch): batch retrieval over the inverted
+    # postings join (broadcast query terms, exact integer-sum scores)
+    "llm_bm25_join": entry.q_bm25_join,
 }
 
 

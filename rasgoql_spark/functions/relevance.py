@@ -388,17 +388,22 @@ def bm25_join(
     """
     if k < 1:
         raise ParameterException("k must be >= 1")
+    from ._cache import release_with, scoped_persist
+
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     qi, qt = resolve_col(queries, query_id), resolve_col(queries, query_text)
-    staged = spread(df).select(
+    # tokenization feeds THREE consumers (lengths, corpus stats, postings)
+    # and the postings feed two (df table + the query join) — cache both or
+    # the regex tokenizer / explode+count re-execute per consumer
+    staged = scoped_persist(spread(df).select(
         F.col(i).alias("__doc"), tokens_expr(F.col(t)).alias("__toks")
-    )
+    ))
     lens = staged.select("__doc", F.size("__toks").cast("double").alias("__dlen"))
     stats = staged.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg(F.size("__toks").cast("double")).alias("__avglen"),
     )
-    postings = (
+    postings = scoped_persist(
         staged.select("__doc", F.explode("__toks").alias("__term"))
         .groupBy("__doc", "__term")
         .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
@@ -428,10 +433,11 @@ def bm25_join(
     w = Window.partitionBy("QUERY_ID").orderBy(
         F.col("BM25_SCORE").desc(), F.col("MATCH_ID").asc()
     )
-    return (
+    out = (
         scores.withColumn("RANK", F.row_number().over(w).cast("int"))
         .filter(F.col("RANK") <= k)
     )
+    return release_with(out, staged, postings)
 
 
 @renderer("bm25_join")
