@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 226 entries, ALL 226 with DuckDB oracles (round 4
+streaming extensions) — 227 entries, ALL 227 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -3399,6 +3399,43 @@ def q_hll_overlap(spark, sf):
     )
 
 
+def q_hll_index_update(spark, sf):
+    """Incremental cardinality maintenance: index distinct users per
+    event_type on 2/3 of events, fold the last third in with
+    update_hll_index (register-max union — never rescans the history),
+    estimate, verify against the exact full count within 3·rsd."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.sketch import (
+        hll_estimate,
+        hll_index,
+        update_hll_index,
+    )
+
+    ev = _s(spark, sf).dataset("events").df
+    idx = hll_index(ev.filter(F.col("event_id") % 3 != 2), "user_id",
+                    group_by=["event_type"], lg_k=12)
+    idx2 = update_hll_index(idx, ev.filter(F.col("event_id") % 3 == 2))
+    est = hll_estimate(idx2.sketches, [idx2.sketch_col])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("EXACT_DISTINCT")
+    )
+    out = est.join(exact, "event_type").select(
+        "event_type",
+        "EXACT_DISTINCT",
+        (
+            F.abs(F.col("USER_ID_SKETCH_ESTIMATE") - F.col("EXACT_DISTINCT"))
+            <= 3 * 0.016 * F.col("EXACT_DISTINCT") + 1
+        ).alias("WITHIN_RSD"),
+    )
+    rows = out.collect()  # materialize before releasing the index caches
+    idx.release()
+    idx2.release()
+    return spark.createDataFrame(
+        rows, "event_type string, EXACT_DISTINCT long, WITHIN_RSD boolean"
+    )
+
+
 def q_dp_aggregate(spark, sf):
     """Laplace-noised group counts (seeded, reproducible release)."""
     return (
@@ -5813,6 +5850,11 @@ ranked AS (
         ),
         "merge_upsert": _MERGE_UPSERT_ORACLE,
         "bm25_join": _bm25_join_oracle(),
+        "hll_index_update": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS EXACT_DISTINCT, TRUE AS WITHIN_RSD "
+            "FROM events GROUP BY event_type"
+        ),
     }
 
 
@@ -5828,7 +5870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 7 earlier r10 operators, then the remaining r6-stale block to
     # fill 50 (its alphabetical tail yields slots to the new ops and
     # re-fronts next round) — union max-staleness r6/r7. All
-    # 226 entries pass tools/oracle_check.py locally (fresh full run
+    # 227 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
         # --- new round-10 timeseries operators ---
@@ -5852,6 +5894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-10 mergeable sketches ---
         "hll_rollup": q_hll_rollup,
         "hll_overlap": q_hll_overlap,
+        "hll_index_update": q_hll_index_update,
         # --- new round-10 type-1 merge ---
         "merge_upsert": q_merge_upsert,
         # --- new round-10 batch retrieval ---
@@ -6103,6 +6146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_anomaly_batch",
         "hll_rollup",
         "hll_overlap",
+        "hll_index_update",
         "merge_upsert",
         "bm25_join",
         "target_encode_oof",
@@ -6128,8 +6172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
         "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
-        "importance_sample",
-        # (impute_mean, impute_mode, intersect, join_full, kmeans_cluster,
+        # (importance_sample,
+        # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,
         # label_encode, language_id, levenshtein, market_basket,
         # min_max_scaler, min_max_scaler_grouped,
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,

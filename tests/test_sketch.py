@@ -88,3 +88,73 @@ def test_sketch_validation(spark):
         hll_overlap(df, df, "v", lg_k=99)
     with pytest.raises(ParameterException):
         hll_estimate(df.agg(F.count("*").alias("c")), [])
+
+
+# --------------------------------------------------------------------------
+# HLLIndex lifecycle (round 10)
+# --------------------------------------------------------------------------
+
+def test_hll_index_update_equals_full_rebuild(spark, ids):
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.sketch import (
+        hll_estimate,
+        hll_index,
+        update_hll_index,
+    )
+
+    first = ids.filter(F.col("shard") < 2)
+    rest = ids.filter(F.col("shard") >= 2)
+    idx = hll_index(first, "uid", group_by=["shard"], lg_k=12)
+    try:
+        idx2 = update_hll_index(idx, rest)
+        try:
+            inc = {r["shard"]: r["UID_SKETCH_ESTIMATE"] for r in hll_estimate(
+                idx2.sketches, ["UID_SKETCH"]).collect()}
+            full = hll_index(ids, "uid", group_by=["shard"], lg_k=12)
+            try:
+                direct = {r["shard"]: r["UID_SKETCH_ESTIMATE"] for r in hll_estimate(
+                    full.sketches, ["UID_SKETCH"]).collect()}
+            finally:
+                full.release()
+            # register-max union: incremental == rebuild, estimate-exact
+            assert inc == direct
+            assert set(inc) == {0, 1, 2, 3}
+        finally:
+            idx2.release()
+    finally:
+        idx.release()
+
+
+def test_hll_index_save_load_roundtrip(spark, ids, tmp_path):
+    from rasgoql_spark.functions.sketch import (
+        hll_estimate,
+        hll_index,
+        load_hll_index,
+        save_hll_index,
+    )
+
+    idx = hll_index(ids, "uid", group_by=["shard"], lg_k=10)
+    try:
+        save_hll_index(idx, str(tmp_path / "hidx"))
+    finally:
+        idx.release()
+    loaded = load_hll_index(spark, str(tmp_path / "hidx"))
+    try:
+        assert loaded.lg_k == 10 and loaded.column == "uid"
+        assert loaded.group_by == ["shard"]
+        est = hll_estimate(loaded.sketches, [loaded.sketch_col]).collect()
+        assert len(est) == 4 and all(r["UID_SKETCH_ESTIMATE"] == 200 for r in est)
+    finally:
+        loaded.release()
+
+
+def test_hll_index_global_grouping(spark, ids):
+    from rasgoql_spark.functions.sketch import hll_estimate, hll_index
+
+    idx = hll_index(ids, "uid", lg_k=12)
+    try:
+        est = hll_estimate(idx.sketches, ["UID_SKETCH"]).collect()
+        assert len(est) == 1 and est[0]["UID_SKETCH_ESTIMATE"] == 200
+    finally:
+        idx.release()
