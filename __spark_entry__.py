@@ -3346,6 +3346,60 @@ def _bm25_join_oracle(k=10, k1=1.2, b=0.75) -> str:
     )
 
 
+def q_ranking_eval(spark, sf):
+    """NDCG@10 / MRR / precision@10 of the bm25_join run against
+    deterministic synthetic relevance labels (doc-id arithmetic — both
+    engines derive the identical judgment set)."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.relevance import ranking_eval
+
+    ranked = q_bm25_join(spark, sf)
+    labeled = ranked.withColumn(
+        "rel",
+        F.when(F.col("MATCH_ID") % 7 == F.col("QUERY_ID"), 2)
+        .when(F.col("MATCH_ID") % 3 == 0, 1)
+        .otherwise(0),
+    )
+    return ranking_eval(labeled, "QUERY_ID", "RANK", "rel", k=10)
+
+
+def _ranking_eval_oracle(k=10) -> str:
+    """DuckDB mirror of ranking_eval over the bm25_join oracle output:
+    identical Python-literal discount weights (list indexing instead of
+    element_at), identical 9-dp integer-sum accumulation."""
+    import math as _math
+
+    weights = [1.0 / _math.log2(i + 1) for i in range(1, k + 1)]
+    wlit = "[" + ", ".join(repr(w) for w in weights) + "]"
+    gain = "(POW(2.0, CAST(rel AS DOUBLE)) - 1.0)"
+    w_sys = (
+        f"CASE WHEN RANK >= 1 AND RANK <= {k} "
+        f"THEN ({wlit})[CAST(RANK AS INT)] ELSE 0.0 END"
+    )
+    w_ideal = f"CASE WHEN __ipos <= {k} THEN ({wlit})[__ipos] ELSE 0.0 END"
+    qi = "CAST(ROUND(({x}) * 1000000000.0, 0) AS BIGINT)"
+    return (
+        f"WITH ranked AS ({_bm25_join_oracle()}), "
+        "labeled AS (SELECT *, CASE WHEN MATCH_ID % 7 = QUERY_ID THEN 2 "
+        "WHEN MATCH_ID % 3 = 0 THEN 1 ELSE 0 END AS rel FROM ranked), "
+        "st AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        "ORDER BY rel DESC) AS INT) AS __ipos FROM labeled), "
+        "agg AS (SELECT QUERY_ID, "
+        f"CAST(SUM({qi.format(x=f'{gain} * ({w_sys})')}) AS BIGINT) AS __dcg, "
+        f"CAST(SUM({qi.format(x=f'{gain} * ({w_ideal})')}) AS BIGINT) AS __idcg, "
+        "MIN(CASE WHEN rel > 0 AND RANK >= 1 THEN CAST(RANK AS BIGINT) END) AS __fr, "
+        f"CAST(SUM(CASE WHEN rel > 0 AND RANK >= 1 AND RANK <= {k} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS __hits "
+        "FROM st GROUP BY QUERY_ID) "
+        "SELECT QUERY_ID, "
+        f"CASE WHEN __idcg > 0 THEN ROUND(CAST(__dcg AS DOUBLE) / __idcg, 6) "
+        f"ELSE 0.0 END AS NDCG_{k}, "
+        "COALESCE(ROUND(1.0 / __fr, 6), 0.0) AS MRR, "
+        f"ROUND(__hits / {float(k)!r}, 6) AS PRECISION_{k} FROM agg"
+    )
+
+
 def q_hll_rollup(spark, sf):
     """Mergeable-sketch rollup: per-(returnflag, linestatus) HLL sketches of
     l_partkey merged up to per-returnflag WITHOUT rescanning raw data, then
@@ -5855,6 +5909,7 @@ ranked AS (
             "AS EXACT_DISTINCT, TRUE AS WITHIN_RSD "
             "FROM events GROUP BY event_type"
         ),
+        "ranking_eval": _ranking_eval_oracle(),
     }
 
 
@@ -5897,8 +5952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_index_update": q_hll_index_update,
         # --- new round-10 type-1 merge ---
         "merge_upsert": q_merge_upsert,
-        # --- new round-10 batch retrieval ---
+        # --- new round-10 batch retrieval + eval ---
         "bm25_join": q_bm25_join,
+        "ranking_eval": q_ranking_eval,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -6149,6 +6205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_index_update",
         "merge_upsert",
         "bm25_join",
+        "ranking_eval",
         "target_encode_oof",
         "psi_drift",
         "scd2",
@@ -6171,8 +6228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6-stale block (43)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
-        "fingerprint", "funnel", "grouping_sets", "heatmap", "histogram",
-        # (importance_sample,
+        "fingerprint", "funnel", "grouping_sets", "heatmap",
+        # (histogram, importance_sample,
         # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,
         # label_encode, language_id, levenshtein, market_basket,
         # min_max_scaler, min_max_scaler_grouped,

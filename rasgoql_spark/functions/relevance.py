@@ -476,3 +476,114 @@ def _r_bm25_join(source, text, id_col, queries, query_id="query_id",
         "PARTITION BY QUERY_ID ORDER BY BM25_SCORE DESC, MATCH_ID ASC) AS INT) AS RANK "
         f"FROM __bj_s) __bj_out WHERE RANK <= {int(k)}"
     )
+
+
+@spark_transform("ranking_eval", category="relevance", streaming_ok=False)
+def ranking_eval(
+    df: DataFrame,
+    query_col: str,
+    rank_col: str,
+    label_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query ranking metrics: ``NDCG_K`` (exponential gains,
+    Järvelin & Kekäläinen 2002), ``MRR`` (reciprocal rank of the first
+    relevant hit), and ``PRECISION_K`` — the evaluation companion of
+    ``bm25_join`` / ``rrf_fuse`` (feed their output plus a relevance-label
+    column straight in). ``rank_col`` is the system's 1-based rank;
+    ``label_col`` is a non-negative integer graded relevance (0 = not
+    relevant).
+
+    Determinism: the 1/log2(rank+1) discount weights are PYTHON-computed
+    literals (both engines receive identical doubles — no cross-engine
+    log2), per-query sums accumulate as 9-dp-quantized exact BIGINTs, and
+    ideal gains depend only on the (label, position) multiset, so label
+    ties cannot flip the result.
+
+    Scale: one window pass (ideal positions) + one hash aggregate on the
+    query key. Queries with no relevant document score NDCG/MRR/precision
+    0 (not null — they count against a macro average).
+    """
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    q = resolve_col(df, query_col)
+    r = resolve_col(df, rank_col)
+    lab = resolve_col(df, label_col)
+    from ._litfast import double_array_lit
+
+    import math as _math
+
+    weights = [1.0 / _math.log2(i + 1) for i in range(1, k + 1)]
+    wlit = double_array_lit(weights)
+    gain = F.pow(F.lit(2.0), F.col(lab).cast("double")) - 1.0
+    w_sys = F.when(
+        (F.col(r) >= 1) & (F.col(r) <= k),
+        F.element_at(wlit, F.col(r).cast("int")),
+    ).otherwise(F.lit(0.0))
+    ideal_pos = F.row_number().over(
+        Window.partitionBy(q).orderBy(F.col(lab).desc())
+    )
+    staged = df.withColumn("__ipos", ideal_pos)
+    w_ideal = F.when(
+        F.col("__ipos") <= k, F.element_at(wlit, F.col("__ipos"))
+    ).otherwise(F.lit(0.0))
+    qi = lambda c: F.round(c * 1e9, 0).cast("bigint")  # noqa: E731
+    rel = F.col(lab).cast("double") > 0
+    agg = staged.groupBy(q).agg(
+        F.sum(qi(gain * w_sys)).alias("__dcg"),
+        F.sum(qi(gain * w_ideal)).alias("__idcg"),
+        F.min(F.when(rel & (F.col(r) >= 1), F.col(r).cast("bigint"))).alias("__fr"),
+        F.sum(F.when(rel & (F.col(r) >= 1) & (F.col(r) <= k), 1).otherwise(0))
+        .alias("__hits"),
+    )
+    return agg.select(
+        q,
+        F.when(F.col("__idcg") > 0,
+               F.round(F.col("__dcg").cast("double") / F.col("__idcg"), round_to)
+               ).otherwise(F.lit(0.0)).alias(f"NDCG_{k}"),
+        F.coalesce(F.round(1.0 / F.col("__fr"), round_to), F.lit(0.0)).alias("MRR"),
+        F.round(F.col("__hits") / F.lit(float(k)), round_to).alias(f"PRECISION_{k}"),
+    )
+
+
+@renderer("ranking_eval")
+def _r_ranking_eval(source, query_col, rank_col, label_col, k=10,
+                    round_to=6) -> str:
+    import math as _math
+
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    weights = [1.0 / _math.log2(i + 1) for i in range(1, k + 1)]
+    wlit = "array(%s)" % ", ".join(f"CAST({w!r} AS DOUBLE)" for w in weights)
+    gain = f"(POW(2.0, CAST({label_col} AS DOUBLE)) - 1.0)"
+    w_sys = (
+        f"CASE WHEN {rank_col} >= 1 AND {rank_col} <= {k} "
+        f"THEN element_at({wlit}, CAST({rank_col} AS INT)) ELSE 0.0 END"
+    )
+    w_ideal = (
+        f"CASE WHEN __ipos <= {k} THEN element_at({wlit}, __ipos) ELSE 0.0 END"
+    )
+    rel = f"CAST({label_col} AS DOUBLE) > 0"
+    qi = "CAST(ROUND(({x}) * 1000000000.0, 0) AS BIGINT)"
+    staged = (
+        f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY {query_col} "
+        f"ORDER BY {label_col} DESC) AS __ipos FROM {source})"
+    )
+    inner = (
+        f"SELECT {query_col}, "
+        f"SUM({qi.format(x=f'{gain} * ({w_sys})')}) AS __dcg, "
+        f"SUM({qi.format(x=f'{gain} * ({w_ideal})')}) AS __idcg, "
+        f"MIN(CASE WHEN {rel} AND {rank_col} >= 1 THEN CAST({rank_col} AS BIGINT) END) AS __fr, "
+        f"SUM(CASE WHEN {rel} AND {rank_col} >= 1 AND {rank_col} <= {k} "
+        f"THEN 1 ELSE 0 END) AS __hits "
+        f"FROM {staged} GROUP BY {query_col}"
+    )
+    return (
+        f"SELECT {query_col}, "
+        f"CASE WHEN __idcg > 0 THEN ROUND(CAST(__dcg AS DOUBLE) / __idcg, {round_to}) "
+        f"ELSE 0.0 END AS NDCG_{k}, "
+        f"COALESCE(ROUND(1.0 / __fr, {round_to}), 0.0) AS MRR, "
+        f"ROUND(__hits / CAST({float(k)!r} AS DOUBLE), {round_to}) AS PRECISION_{k} "
+        f"FROM ({inner})"
+    )

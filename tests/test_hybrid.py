@@ -178,3 +178,73 @@ def test_bm25_join_renderer_roundtrip(spark, docs):
     direct = bm25_join(docs, "text", "doc_id", qdf, k=5)
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# ranking_eval (round 10)
+# --------------------------------------------------------------------------
+
+def test_ranking_eval_perfect_ranking(spark):
+    from rasgoql_spark.functions.relevance import ranking_eval
+
+    rows = [(1, r, 3 - r if r <= 2 else 0) for r in range(1, 6)]
+    df = spark.createDataFrame(rows, "q BIGINT, rank INT, rel INT")
+    out = ranking_eval(df, "q", "rank", "rel", k=5).collect()[0]
+    # labels already sorted desc by rank -> system order == ideal order
+    assert out["NDCG_5"] == pytest.approx(1.0)
+    assert out["MRR"] == pytest.approx(1.0)
+    assert out["PRECISION_5"] == pytest.approx(2 / 5)
+
+
+def test_ranking_eval_known_values(spark):
+    import math
+
+    from rasgoql_spark.functions.relevance import ranking_eval
+
+    # relevant doc (rel=1) at rank 3; a rel=2 doc at rank 4
+    rows = [(1, 1, 0), (1, 2, 0), (1, 3, 1), (1, 4, 2)]
+    df = spark.createDataFrame(rows, "q BIGINT, rank INT, rel INT")
+    out = ranking_eval(df, "q", "rank", "rel", k=4).collect()[0]
+    dcg = 1.0 / math.log2(4) + 3.0 / math.log2(5)
+    idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert out["NDCG_4"] == pytest.approx(dcg / idcg, abs=1e-6)
+    assert out["MRR"] == pytest.approx(1 / 3)
+    assert out["PRECISION_4"] == pytest.approx(0.5)
+
+
+def test_ranking_eval_no_relevant_is_zero(spark):
+    from rasgoql_spark.functions.relevance import ranking_eval
+
+    df = spark.createDataFrame([(1, 1, 0), (1, 2, 0)], "q BIGINT, rank INT, rel INT")
+    out = ranking_eval(df, "q", "rank", "rel", k=2).collect()[0]
+    assert out["NDCG_2"] == 0.0 and out["MRR"] == 0.0 and out["PRECISION_2"] == 0.0
+
+
+def test_ranking_eval_label_ties_stable(spark):
+    """Equal labels at different ideal positions contribute the same
+    multiset — shuffling tied rows cannot change NDCG."""
+    from rasgoql_spark.functions.relevance import ranking_eval
+
+    rows_a = [(1, 1, 1), (1, 2, 1), (1, 3, 0)]
+    rows_b = [(1, 2, 1), (1, 1, 1), (1, 3, 0)]  # same data, reordered input
+    a = ranking_eval(spark.createDataFrame(rows_a, "q BIGINT, rank INT, rel INT"),
+                     "q", "rank", "rel", k=3).collect()[0]
+    b = ranking_eval(spark.createDataFrame(rows_b, "q BIGINT, rank INT, rel INT"),
+                     "q", "rank", "rel", k=3).collect()[0]
+    assert a["NDCG_3"] == b["NDCG_3"] == pytest.approx(1.0)
+
+
+def test_ranking_eval_validation_and_renderer(spark):
+    from rasgoql_spark.functions.relevance import _r_ranking_eval, ranking_eval
+
+    df = spark.createDataFrame(
+        [(q, r, (q + r) % 3) for q in range(3) for r in range(1, 8)],
+        "q BIGINT, rank INT, rel INT",
+    )
+    with pytest.raises(ParameterException):
+        ranking_eval(df, "q", "rank", "rel", k=0)
+    df.createOrReplaceTempView("__re_src")
+    via_sql = spark.sql(_r_ranking_eval("__re_src", "q", "rank", "rel", k=5))
+    direct = ranking_eval(df, "q", "rank", "rel", k=5)
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
