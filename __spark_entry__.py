@@ -1736,6 +1736,33 @@ def q_label_propagation(spark, sf):
     )
 
 
+_KCORE_EDGES_APPLY = (
+    "SELECT DISTINCT user_id % 200 AS src, (user_id % 200 + 1) % 200 AS dst "
+    "FROM {{source_table}} UNION ALL "
+    "SELECT DISTINCT user_id % 200, (user_id % 200 + 2) % 200 FROM {{source_table}} "
+    "UNION ALL "
+    "SELECT DISTINCT user_id % 200, 100000 + user_id % 200 FROM {{source_table}}"
+)
+_KCORE_EDGES_DUCK = (
+    "(SELECT DISTINCT user_id % 200 AS src, (user_id % 200 + 1) % 200 AS dst "
+    "FROM events UNION ALL "
+    "SELECT DISTINCT user_id % 200, (user_id % 200 + 2) % 200 FROM events "
+    "UNION ALL "
+    "SELECT DISTINCT user_id % 200, 100000 + user_id % 200 FROM events) __kc"
+)
+
+
+def q_kcore(spark, sf):
+    # circulant core (degree >= 4) plus pendant tendrils (degree 1): the
+    # 3-core peels every pendant and keeps the circulant intact
+    s = _s(spark, sf)
+    return (
+        s.dataset("events").apply(sql=_KCORE_EDGES_APPLY)
+        .kcore(src="src", dst="dst", k=3, max_iterations=4)
+        .df
+    )
+
+
 def q_kmeans_cluster(spark, sf):
     return (
         _s(spark, sf).dataset("embeddings")
@@ -3543,9 +3570,12 @@ def _graph_round10_oracles() -> dict[str, str]:
         _r_triangle_count,
     )
 
+    from rasgoql_spark.functions.graph import _r_kcore
+
     return {
         "triangle_count": _r_triangle_count(_TRI_EDGES_DUCK, "src", "dst"),
         "label_propagation": _r_label_propagation(_LPA_EDGES_DUCK, "src", "dst", 2),
+        "kcore": _r_kcore(_KCORE_EDGES_DUCK, "src", "dst", 3, 4),
     }
 
 
@@ -5939,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-10 graph operators ---
         "triangle_count": q_triangle_count,
         "label_propagation": q_label_propagation,
+        "kcore": q_kcore,
         # --- new round-10 hybrid retrieval ---
         "hybrid_search": q_hybrid_search,
         # --- new round-10 differential privacy ---
@@ -6196,6 +6227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_correlation",
         "triangle_count",
         "label_propagation",
+        "kcore",
         "hybrid_search",
         "dp_aggregate",
         "dp_aggregate_sum",
@@ -6228,8 +6260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6-stale block (43)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
         "datespine_groups", "decontaminate", "dedup_against", "except",
-        "fingerprint", "funnel", "grouping_sets", "heatmap",
-        # (histogram, importance_sample,
+        "fingerprint", "funnel", "grouping_sets",
+        # (heatmap, histogram, importance_sample,
         # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,
         # label_encode, language_id, levenshtein, market_basket,
         # min_max_scaler, min_max_scaler_grouped,

@@ -536,3 +536,115 @@ def _r_label_propagation(source, src, dst, iterations=2) -> str:
         + f" SELECT node AS NODE, lab AS LABEL FROM __lp_l{int(iterations)}"
         ") __lp_out"
     )
+
+
+KCORE_RENDER_MAX_ITER = 6
+
+
+@spark_transform("kcore", category="graph", streaming_ok=False)
+def kcore(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """k-core membership of the undirected simple graph: iteratively peel
+    nodes of degree < ``k`` until stable (Seidman 1983). Returns
+    ``(NODE, DEGREE)`` for the surviving nodes — DEGREE is the within-core
+    degree (≥ k by construction). The classic link-graph curation gate:
+    pages outside a reasonable core are orphans/link-farm tendrils.
+
+    Scale: each round is one degree aggregate + two semi-joins on slim id
+    columns; early-exits when the edge count stabilizes (≤ peel-depth
+    rounds); ``localCheckpoint`` every 3 rounds bounds lineage — the
+    connected_components cost model.
+    """
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if max_iterations < 1:
+        raise ParameterException("max_iterations must be >= 1")
+    s, d = resolve_col(df, src), resolve_col(df, dst)
+    half = (
+        df.filter(F.col(s).isNotNull() & F.col(d).isNotNull() & (F.col(s) != F.col(d)))
+        .select(F.col(s).alias("__src"), F.col(d).alias("__dst"))
+    )
+    edges = scoped_persist(
+        half.union(
+            half.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+        ).dropDuplicates()
+    )
+    n_edges = edges.count()
+    caches = [edges]
+    for it in range(max_iterations):
+        if n_edges == 0:
+            break
+        deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("__src")
+        new_edges = (
+            edges.join(keep, on="__src", how="left_semi")
+            .join(keep.withColumnRenamed("__src", "__dst"), on="__dst", how="left_semi")
+        )
+        if (it + 1) % 3 == 0:
+            new_edges = new_edges.localCheckpoint(eager=True)
+        else:
+            new_edges = scoped_persist(new_edges)
+            caches.append(new_edges)
+        n_new = new_edges.count()
+        stable = n_new == n_edges
+        edges, n_edges = new_edges, n_new
+        if stable:
+            break
+    out = (
+        edges.groupBy("__src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("DEGREE"))
+        .select(F.col("__src").alias("NODE"), "DEGREE")
+    )
+    return release_with(out, *caches)
+
+
+@renderer("kcore")
+def _r_kcore(source, src, dst, k, max_iterations=20) -> str:
+    """Unrolled peel in engine-portable SQL. Extra rounds past the fixed
+    point are no-ops (a stable edge set reproduces itself), so replaying a
+    FIXED round count is result-equal to the executed early-exit loop —
+    provided the executed loop converged within the same count. Each level
+    references its predecessor three times (degree + two keeps), so the
+    render caps at ``KCORE_RENDER_MAX_ITER`` levels; the DataFrame path
+    has no cap (it persists per round instead)."""
+    from ..errors import TransformRenderingException
+
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if max_iterations < 1:
+        raise ParameterException("max_iterations must be >= 1")
+    if max_iterations > KCORE_RENDER_MAX_ITER:
+        raise TransformRenderingException(
+            "kcore renders unrolled peel rounds; max_iterations > "
+            f"{KCORE_RENDER_MAX_ITER} produces an impractically large plan "
+            "(each level references the previous three times)"
+        )
+    parts = [
+        f"__kc_h AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {source} "
+        f"WHERE {src} IS NOT NULL AND {dst} IS NOT NULL AND {src} <> {dst})",
+        "__kc_e0 AS (SELECT src, dst FROM __kc_h "
+        "UNION SELECT dst, src FROM __kc_h)",
+    ]
+    for i in range(int(max_iterations)):
+        p, q = f"__kc_e{i}", f"__kc_e{i + 1}"
+        parts.append(
+            f"__kc_k{i} AS (SELECT src AS node FROM {p} "
+            f"GROUP BY src HAVING COUNT(*) >= {int(k)})"
+        )
+        parts.append(
+            f"{q} AS (SELECT e.src, e.dst FROM {p} e "
+            f"JOIN __kc_k{i} a ON e.src = a.node "
+            f"JOIN __kc_k{i} b ON e.dst = b.node)"
+        )
+    last = f"__kc_e{int(max_iterations)}"
+    return (
+        "SELECT * FROM (WITH " + ", ".join(parts)
+        + f" SELECT src AS NODE, CAST(COUNT(*) AS BIGINT) AS DEGREE FROM {last} "
+        "GROUP BY src"
+        ") __kc_out"
+    )

@@ -92,3 +92,56 @@ def test_label_propagation_renderer_roundtrip(spark):
     direct = label_propagation(df, "src", "dst", iterations=2)
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+# --------------------------------------------------------------------------
+# kcore (round 10)
+# --------------------------------------------------------------------------
+
+def test_kcore_peels_pendants_keeps_clique(spark):
+    from rasgoql_spark.functions.graph import kcore
+
+    # K4 clique (degree 3) with a pendant chain 4-5-6
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs += [(0, 4), (4, 5), (5, 6)]
+    out = {r["NODE"]: r["DEGREE"] for r in
+           kcore(_edges(spark, pairs), "src", "dst", k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_cascading_peel(spark):
+    """Removing a low-degree node can drop a neighbor below k — the peel
+    must cascade: a path graph has NO 2-core."""
+    from rasgoql_spark.functions.graph import kcore
+
+    pairs = [(i, i + 1) for i in range(10)]
+    out = kcore(_edges(spark, pairs), "src", "dst", k=2).collect()
+    assert out == []
+    # ...but a cycle IS its own 2-core
+    cyc = pairs + [(10, 0)]
+    out2 = kcore(_edges(spark, cyc), "src", "dst", k=2).collect()
+    assert len(out2) == 11 and all(r["DEGREE"] == 2 for r in out2)
+
+
+def test_kcore_validation_and_render_cap(spark):
+    from rasgoql_spark.functions.graph import _r_kcore, kcore
+
+    df = _edges(spark, [(0, 1)])
+    with pytest.raises(ParameterException):
+        kcore(df, "src", "dst", k=0)
+    with pytest.raises(TransformRenderingException):
+        _r_kcore("t", "src", "dst", 2, max_iterations=99)
+
+
+def test_kcore_renderer_roundtrip(spark):
+    from rasgoql_spark.functions.graph import _r_kcore, kcore
+
+    n = 12
+    pairs = [(i, (i + 1) % n) for i in range(n)] + [(i, (i + 2) % n) for i in range(n)]
+    pairs += [(i, 100 + i) for i in range(6)]  # pendants
+    df = _edges(spark, pairs)
+    df.createOrReplaceTempView("__kc_edges")
+    via_sql = spark.sql(_r_kcore("__kc_edges", "src", "dst", 3, 4))
+    direct = kcore(df, "src", "dst", k=3, max_iterations=4)
+    assert via_sql.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_sql).count() == 0
