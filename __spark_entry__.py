@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 227 entries, ALL 227 with DuckDB oracles (round 4
+streaming extensions) — 229 entries, ALL 229 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -5955,7 +5955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 7 earlier r10 operators, then the remaining r6-stale block to
     # fill 50 (its alphabetical tail yields slots to the new ops and
     # re-fronts next round) — union max-staleness r6/r7. All
-    # 227 entries pass tools/oracle_check.py locally (fresh full run
+    # 229 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
         # --- new round-10 timeseries operators ---
