@@ -51,16 +51,7 @@ def main():
     ev10 = ev.crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
 
     # --- triangle_count: circulant C(n;1,2,3) at n=2k and n=20k ---
-    def circulant(n):
-        base = ev.select((F.col("user_id") % n).alias("i")).dropDuplicates()
-        parts = [
-            base.select(F.col("i").alias("src"),
-                        ((F.col("i") + k) % n).alias("dst"))
-            for k in (1, 2, 3)
-        ]
-        return parts[0].unionAll(parts[1]).unionAll(parts[2])
-
-    # user_id space must cover n: synthesize ids directly for determinism
+    # (ids synthesized directly — the user_id space need not cover n)
     def circulant_range(n):
         base = spark.range(n).select(F.col("id").alias("i"))
         parts = [
@@ -140,3 +131,58 @@ def main():
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def extra_batch():
+    """Second late-round batch (run separately: python -c 'import tools.
+    stress_r10_late as s; s.extra_batch()') — bm25_join, kcore, hll."""
+    import rasgoql_spark as rql
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.graph import kcore
+    from rasgoql_spark.functions.relevance import bm25_join
+    from rasgoql_spark.functions.sketch import hll_merge, hll_sketch
+
+    spark = rql.default_spark(shuffle_partitions=32)
+    results: dict = {}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rep = spark.range(10).select(F.col("id").alias("__rep"))
+    docs10 = docs.crossJoin(rep).withColumn(
+        "doc_id", F.col("doc_id") + F.col("__rep") * 1000000).drop("__rep")
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["spark query window", "data pipeline quality",
+             "window function aggregate", "distributed join shuffle"] * 5)],
+        "query_id BIGINT, query_text STRING")
+
+    timed("bm25_join 1x (5k docs, 20 queries)",
+          lambda: bm25_join(docs, "text", "doc_id", qdf, k=10).count(),
+          results)
+    timed("bm25_join 10x (50k docs, 20 queries)",
+          lambda: bm25_join(docs10, "text", "doc_id", qdf, k=10).count(),
+          results)
+
+    def kcore_run(n):
+        base = spark.range(n).select(F.col("id").alias("i"))
+        core = base.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst")) \
+            .unionAll(base.select(F.col("i"), (F.col("i") + 2) % n))
+        pend = base.select(F.col("i").alias("src"), (F.col("i") + 10_000_000).alias("dst"))
+        return lambda: kcore(core.unionAll(pend), "src", "dst", k=3,
+                             max_iterations=4).count()
+
+    timed("kcore 1x (5k-node core + pendants)", kcore_run(5000), results)
+    timed("kcore 10x (50k-node core + pendants)", kcore_run(50000), results)
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev10 = ev.crossJoin(rep)
+
+    def hll_run(frame):
+        def run():
+            sk = hll_sketch(frame, ["user_id"], group_by=["event_type"],
+                            lg_k=14)
+            return hll_merge(sk, "USER_ID_SKETCH").count()
+        return run
+
+    timed("hll sketch+merge 1x (100k events)", hll_run(ev), results)
+    timed("hll sketch+merge 10x (1M events)", hll_run(ev10), results)
+    print(json.dumps(results))
