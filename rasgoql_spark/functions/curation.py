@@ -1444,23 +1444,32 @@ def dp_aggregate(
     value_col: str | None = None,
     epsilon: float = 1.0,
     sensitivity: float = 1.0,
-    seed: int = 42,
+    seed: int | None = 42,
     round_to: int = 6,
 ) -> DataFrame:
-    """ε-differentially-private group aggregate via the Laplace mechanism
-    (Dwork, McSherry, Nissim & Smith 2006): the exact per-group COUNT or
-    SUM plus Laplace(``sensitivity``/``epsilon``) noise. Returns ONLY the
-    group keys and the noised statistic (``DP_COUNT`` / ``DP_SUM_{COL}``) —
-    the exact value never leaves the aggregate.
+    """Laplace-noised group aggregate (mechanism of Dwork, McSherry,
+    Nissim & Smith 2006): the exact per-group COUNT or SUM plus
+    Laplace(``sensitivity``/``epsilon``)-distributed noise. Returns ONLY
+    the group keys and the noised statistic (``DP_COUNT`` /
+    ``DP_SUM_{COL}``) — the exact value never leaves the aggregate.
 
-    The noise is SEEDED AND DETERMINISTIC: uniform-in-(0,1) derives from
-    md5(seed ‖ group key) exactly like every hash operator in this engine,
-    then maps through the Laplace inverse CDF. That makes the release
-    reproducible and oracle-replayable; the privacy guarantee therefore
-    holds for ONE release per (seed, dataset) — re-releasing under fresh
-    seeds composes ε's additively, same as any repeated DP mechanism.
-    Group keys hash via their string cast, so numeric/string keys replay
-    identically cross-engine.
+    PRIVACY CONTRACT — read before claiming ε-DP. The noise is a
+    deterministic function of (seed, group key): uniform-in-(0,1) derives
+    from md5(seed ‖ key), then maps through the Laplace inverse CDF. The
+    ε-DP guarantee therefore holds ONLY if the seed is drawn uniformly at
+    random and kept SECRET, exactly like ``pseudonymize``'s salt — anyone
+    who knows the seed can recompute the noise and subtract it to recover
+    the exact statistic. With a known or public seed (including the
+    default ``seed=42``, or any seed exported via ``.sql()`` / dbt
+    rendering, which embeds it in the artifact) this operator is a
+    DETERMINISTIC NOISED AGGREGATE with NO formal privacy guarantee; the
+    explicit-seed mode exists for tests and cross-engine oracle replay.
+
+    For a genuinely private release pass ``seed=None``: a cryptographically
+    random secret seed is drawn per call (``secrets`` module), never stored
+    or rendered — such a chain cannot be exported to SQL (the renderer
+    raises), and the usual caveat applies that each fresh release composes
+    ε's additively.
 
     Scale: one hash-aggregate shuffle on the group keys; the noise is a
     row-local projection over the (small) aggregate output. Nothing else.
@@ -1483,6 +1492,12 @@ def dp_aggregate(
         v = resolve_col(df, value_col)
         agg = F.coalesce(F.sum(F.col(v).cast("double")), F.lit(0.0))
         name = f"DP_SUM_{cleanse_name(v)}"
+    if seed is None:
+        import secrets
+
+        # secret-seed mode: genuinely random, never stored or rendered —
+        # the one mode under which the ε-DP claim actually holds.
+        seed = secrets.randbits(63)
     b = float(sensitivity) / float(epsilon)
     key = F.concat_ws(
         "|", F.lit(str(int(seed))), *[F.col(c).cast("string") for c in keys]
@@ -1504,6 +1519,16 @@ def dp_aggregate(
 @renderer("dp_aggregate")
 def _r_dp_aggregate(source, group_by, stat="count", value_col=None,
                     epsilon=1.0, sensitivity=1.0, seed=42, round_to=6) -> str:
+    # Rendering embeds the seed in plaintext SQL — acceptable only for the
+    # explicit-seed (test/replay) mode. Secret-seed releases (seed=None)
+    # must never be exported: the artifact would either leak the seed or
+    # silently change the release. Raise instead.
+    if seed is None:
+        raise ParameterException(
+            "dp_aggregate with seed=None (secret-seed private release) "
+            "cannot be rendered to SQL: the artifact would embed the seed. "
+            "Pass an explicit seed for renderable (non-private) chains."
+        )
     keys = as_list(group_by)
     if not keys:
         raise ParameterException("dp_aggregate requires at least one group column")

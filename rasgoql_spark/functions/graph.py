@@ -547,13 +547,21 @@ def kcore(
     src: str,
     dst: str,
     k: int,
-    max_iterations: int = 20,
+    max_iterations: int = KCORE_RENDER_MAX_ITER,
 ) -> DataFrame:
     """k-core membership of the undirected simple graph: iteratively peel
     nodes of degree < ``k`` until stable (Seidman 1983). Returns
     ``(NODE, DEGREE)`` for the surviving nodes — DEGREE is the within-core
     degree (≥ k by construction). The classic link-graph curation gate:
     pages outside a reasonable core are orphans/link-farm tendrils.
+
+    The default ``max_iterations`` equals ``KCORE_RENDER_MAX_ITER`` so a
+    default-params chain both executes AND renders (``.sql()``/dbt) —
+    executed-N and rendered-N are result-equal round for round. Deep peels
+    (long chains shed one layer per round) may need a larger value; if the
+    peel hasn't stabilized within ``max_iterations`` the result is the
+    partially-peeled graph, and values above the render cap execute fine
+    but raise at render time.
 
     Scale: each round is one degree aggregate + two semi-joins on slim id
     columns; early-exits when the edge count stabilizes (≤ peel-depth
@@ -604,7 +612,7 @@ def kcore(
 
 
 @renderer("kcore")
-def _r_kcore(source, src, dst, k, max_iterations=20) -> str:
+def _r_kcore(source, src, dst, k, max_iterations=KCORE_RENDER_MAX_ITER) -> str:
     """Unrolled peel in engine-portable SQL. Extra rounds past the fixed
     point are no-ops (a stable edge set reproduces itself), so replaying a
     FIXED round count is result-equal to the executed early-exit loop —

@@ -276,8 +276,11 @@ def rrf_fuse(
 ) -> DataFrame:
     """Reciprocal-rank fusion of multiple score columns (Cormack, Clarke &
     Büttcher 2009): ``RRF_SCORE = Σ_s 1 / (k0 + rank_s)`` where each
-    ``rank_s`` is competition rank (RANK, descending, nulls last, ties →
-    same rank) with ``id_col`` as the final tie-break. Appends one
+    ``rank_s`` is competition rank (RANK, descending, ties → same rank)
+    with ``id_col`` as the final tie-break. A NULL score means the row is
+    ABSENT from that ranking: its ``RANK_{COL}`` is NULL and the ranking
+    contributes 0 to ``RRF_SCORE`` (the standard RRF convention — summing
+    only over rankings that returned the document). Appends one
     ``RANK_{COL}`` per input plus ``RRF_SCORE``; with ``k`` set, keeps the
     fused top-k and appends ``RRF_RANK``. The standard way to combine a
     lexical (BM25) and a semantic (cosine) ranking without score
@@ -306,9 +309,15 @@ def rrf_fuse(
         # (deterministic without any tie-break); id breaks ties only in the
         # final fused top-k row_number
         w = base.orderBy(F.col(c).desc_nulls_last())
-        rank_c = F.rank().over(w).cast("int")
+        # NULL score ⇒ absent from this ranking ⇒ NULL rank, 0 RRF term
+        rank_c = F.when(
+            F.col(c).isNotNull(), F.rank().over(w).cast("int")
+        )
         out = out.withColumn(f"RANK_{cleanse_name(c)}", rank_c)
-        rrf = rrf + F.lit(1.0) / (F.lit(float(k0)) + F.col(f"RANK_{cleanse_name(c)}"))
+        rrf = rrf + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"RANK_{cleanse_name(c)}")),
+            F.lit(0.0),
+        )
     out = out.withColumn("RRF_SCORE", F.round(rrf, round_to))
     if k is not None:
         if k < 1:
@@ -332,12 +341,14 @@ def _r_rrf_fuse(source, id_col, score_cols, k0=60, k=None, partition=None,
     keys = as_list(partition)
     part = f"PARTITION BY {', '.join(keys)} " if keys else ""
     ranks = ", ".join(
-        f"CAST(RANK() OVER ({part}ORDER BY {c} DESC NULLS LAST) "
-        f"AS INT) AS RANK_{cleanse_name(c)}"
+        f"CASE WHEN {c} IS NOT NULL THEN "
+        f"CAST(RANK() OVER ({part}ORDER BY {c} DESC NULLS LAST) AS INT) "
+        f"END AS RANK_{cleanse_name(c)}"
         for c in cols
     )
     rrf = " + ".join(
-        f"1.0 / ({float(k0)!r} + RANK_{cleanse_name(c)})" for c in cols
+        f"COALESCE(1.0 / ({float(k0)!r} + RANK_{cleanse_name(c)}), 0.0)"
+        for c in cols
     )
     ranked = (
         f"SELECT *, ROUND({rrf}, {int(round_to)}) AS RRF_SCORE FROM "

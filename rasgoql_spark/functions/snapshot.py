@@ -704,6 +704,13 @@ def merge_upsert(
     :func:`scd2_merge` — use it for mutable dimensions where history
     doesn't matter.
 
+    PRECONDITION: keys should be unique within each side, as warehouse
+    ``MERGE INTO`` requires (it errors on duplicate matches). This
+    operator does not error; with duplicates it keeps exactly one row per
+    key, chosen by (priority, md5-of-row) — deterministic across runs and
+    engines, but which duplicate survives is arbitrary. De-duplicate
+    first (``remove_duplicates``) if the choice matters.
+
     Scale: ONE union + one key-window top-1 (priority to the snapshot) —
     a single hash shuffle on the keys; with ``delete_missing`` the pass-
     through side becomes a left-anti join, same shuffle profile. No
@@ -726,7 +733,17 @@ def merge_upsert(
         df.withColumn("__pri", F.lit(1))
         .unionByName(snap.withColumn("__pri", F.lit(0)))
     )
-    w = Window.partitionBy(*ks).orderBy(F.col("__pri").asc())
+    # deterministic tie-break among same-priority duplicate keys: md5 of
+    # the null-sentineled string-cast row (same expression the renderer
+    # emits), so the survivor is stable across runs and engines instead of
+    # whatever row_number happens to see first.
+    tb = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns],
+        )
+    )
+    w = Window.partitionBy(*ks).orderBy(F.col("__pri").asc(), tb.asc())
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -744,9 +761,12 @@ def _r_merge_upsert(source, snapshot, keys, delete_missing=False,
     if delete_missing:
         return f"SELECT {cols} FROM {snapshot} s"
     part = ", ".join(ks)
+    tb = "md5(concat_ws(chr(31), " + ", ".join(
+        f"coalesce(CAST({c} AS STRING), chr(0))" for c in _input_columns
+    ) + "))"
     return (
         f"SELECT {cols} FROM ("
-        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY __pri) AS __rn "
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY __pri, {tb}) AS __rn "
         f"FROM (SELECT {cols}, 1 AS __pri FROM {source} "
         f"UNION ALL SELECT {cols}, 0 AS __pri FROM {snapshot} s)"
         f") WHERE __rn = 1"

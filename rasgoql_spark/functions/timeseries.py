@@ -362,6 +362,12 @@ def _r_seasonal_decompose(source, value_col, order_by, period, partition=None,
 # --------------------------------------------------------------------------
 
 ZQ_SCALE = 1_000_000  # 6-dp quantization for order-free integer moments
+# per-value round(x²·10⁶) must fit a BIGINT (9.22e18) — that is the
+# quantization contract the SQL replay mirrors (DuckDB casts each value to
+# BIGINT and would error past it; a non-ANSI engine would saturate
+# silently). Beyond |x| ≈ 3.037e6, reject loudly at the boundary. The
+# ACCUMULATORS are DECIMAL(38,0), so sums never overflow within the bound.
+ZQ_SAFE_MAX = 3.0e6
 
 
 def zscore_stats(df: DataFrame, column: str, group_by=None) -> dict:
@@ -373,8 +379,10 @@ def zscore_stats(df: DataFrame, column: str, group_by=None) -> dict:
     Moments derive from EXACT integer sums of 6-dp-quantized values
     (Σ round(x·10⁶), Σ round(x²·10⁶) as BIGINTs), so the frozen numbers are
     independent of float summation order and replay identically in any
-    engine. All-null groups are skipped; a single-value group freezes
-    std = 0.0.
+    engine. The integer-moment contract supports |x| ≤ 3·10⁶ (beyond that
+    round(x²·10⁶) overflows BIGINT — Spark would saturate silently, DuckDB
+    would error); values outside the bound raise ``ParameterException``.
+    All-null groups are skipped; a single-value group freezes std = 0.0.
     """
     keys = resolve_cols(df, as_list(group_by))
     v = resolve_col(df, column)
@@ -383,19 +391,33 @@ def zscore_stats(df: DataFrame, column: str, group_by=None) -> dict:
         df.groupBy(*keys)
         .agg(
             F.count(v).alias("__n"),
-            F.sum(F.round(x * ZQ_SCALE, 0).cast("bigint")).alias("__s1"),
-            F.sum(F.round(x * x * ZQ_SCALE, 0).cast("bigint")).alias("__s2"),
+            # per-value quantization stays in BIGINT range (enforced below);
+            # the ACCUMULATOR is DECIMAL(38,0) so the exact sum can't
+            # overflow (ANSI Spark would error, non-ANSI would saturate)
+            F.sum(F.round(x * ZQ_SCALE, 0).cast("decimal(38,0)")).alias("__s1"),
+            F.sum(F.round(x * x * ZQ_SCALE, 0).cast("decimal(38,0)")).alias("__s2"),
+            F.max(F.abs(x)).alias("__mx"),
         )
         .collect()
     )
+    bad = max((r["__mx"] for r in rows if r["__mx"] is not None), default=0.0)
+    if bad > ZQ_SAFE_MAX:
+        raise ParameterException(
+            f"zscore_stats: |{column}| reaches {bad:g}, beyond the "
+            f"quantization-safe bound {ZQ_SAFE_MAX:g} — round(x²·1e6) breaks "
+            "the BIGINT per-value quantization contract the SQL replay "
+            "mirrors. Rescale the column before freezing a baseline."
+        )
     out = {}
     for r in rows:
         n = r["__n"]
         if not n:
             continue
-        mean = r["__s1"] / n / ZQ_SCALE
+        # double-FIRST like the SQL replay (CAST(s1 AS DOUBLE) / n / 1e6),
+        # not exact-rational int division — bit-identical cross-engine
+        mean = float(r["__s1"]) / n / ZQ_SCALE
         if n > 1:
-            var = max(0.0, (r["__s2"] / ZQ_SCALE - n * mean * mean) / (n - 1))
+            var = max(0.0, (float(r["__s2"]) / ZQ_SCALE - n * mean * mean) / (n - 1))
         else:
             var = 0.0
         key = tuple(r[k] for k in keys) if keys else ()
@@ -423,7 +445,9 @@ def zscore_against_stats(
 
     Scale: ONE hash aggregate on the group keys; the baseline side is a
     ≤|groups|-row broadcast literal frame. Batch moments use the same
-    order-free integer-sum contract as the frozen side, so the report
+    order-free integer-sum contract as the frozen side (supported range
+    |x| ≤ 3·10⁶ — see :data:`ZQ_SAFE_MAX`; this lazy path documents rather
+    than scans, the eager :func:`zscore_stats` enforces), so the report
     replays bit-for-bit as SQL.
     """
     if not stats:
@@ -465,11 +489,14 @@ def zscore_against_stats(
     agg = staged.groupBy(*keys).agg(
         F.count(v).alias("N"),
         F.sum(anom).cast("bigint").alias("N_ANOMALIES"),
-        F.sum(F.round(x * ZQ_SCALE, 0).cast("bigint")).alias("__s1"),
+        # DECIMAL(38,0) accumulator — same overflow-proofing as zscore_stats
+        F.sum(F.round(x * ZQ_SCALE, 0).cast("decimal(38,0)")).alias("__s1"),
         F.max("__bm").alias("__m"),
         F.max("__bs").alias("__s"),
     )
-    bmean = F.col("__s1") / F.col("N") / ZQ_SCALE
+    # double-first division (decimal/bigint would be decimal arithmetic —
+    # different rounding than the SQL replay's CAST(s1 AS DOUBLE)/n)
+    bmean = F.col("__s1").cast("double") / F.col("N") / ZQ_SCALE
     return agg.select(
         *keys,
         "N",

@@ -72,3 +72,20 @@ def test_dp_renderer_roundtrip(spark, people):
                           epsilon=0.5, sensitivity=6.0, seed=7)
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+def test_dp_secret_seed_mode(people):
+    # seed=None draws a fresh secret seed: still Laplace-scaled noise,
+    # different across calls with overwhelming probability
+    a = {r["grp"]: r["DP_COUNT"] for r in
+         dp_aggregate(people, ["grp"], epsilon=1.0, seed=None).collect()}
+    b = {r["grp"]: r["DP_COUNT"] for r in
+         dp_aggregate(people, ["grp"], epsilon=1.0, seed=None).collect()}
+    assert a != b
+    mean_abs = sum(abs(v - 50.0) for v in a.values()) / len(a)
+    assert 0.3 < mean_abs < 3.0
+
+
+def test_dp_secret_seed_not_renderable():
+    with pytest.raises(ParameterException):
+        _r_dp_aggregate("t", ["grp"], seed=None)

@@ -30,11 +30,13 @@ def test_rrf_known_values(scored):
     out = {r["id"]: r for r in rrf_fuse(scored, "id", ["lex", "sem"]).collect()}
     # lex ranks: 1->1, 2->2, 3->3, 4&5 tie at 4 (competition rank)
     assert [out[i]["RANK_LEX"] for i in (1, 2, 3, 4, 5)] == [1, 2, 3, 4, 4]
-    # sem ranks: 2->1, 3->2, 5->3, 1->4, null last -> 5
-    assert [out[i]["RANK_SEM"] for i in (1, 2, 3, 4, 5)] == [4, 1, 2, 5, 3]
+    # sem ranks: 2->1, 3->2, 5->3, 1->4; null score = absent -> NULL rank
+    assert [out[i]["RANK_SEM"] for i in (1, 2, 3, 4, 5)] == [4, 1, 2, None, 3]
     assert out[2]["RRF_SCORE"] == pytest.approx(
         round(1 / 62 + 1 / 61, 6), abs=1e-9
     )
+    # absent ranking contributes 0 (standard RRF), not a last-place term
+    assert out[4]["RRF_SCORE"] == pytest.approx(round(1 / 64, 6), abs=1e-9)
     # doc 2 (strong on both) outranks doc 1 (lexical-only winner)
     best = max(out.values(), key=lambda r: r["RRF_SCORE"])
     assert best["id"] == 2

@@ -127,3 +127,24 @@ def test_merge_upsert_renderer_roundtrip(spark):
     direct = merge_upsert(base, snap, ["k"])
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+def test_merge_upsert_duplicate_keys_deterministic(spark):
+    # duplicate keys within a side: the survivor is the (pri, md5-of-row)
+    # minimum — stable across runs and engines, never arbitrary
+    from rasgoql_spark.functions.snapshot import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "b")], "k BIGINT, v STRING"
+    )
+    snap = spark.createDataFrame(
+        [(2, "B1"), (2, "B2")], "k BIGINT, v STRING"
+    )
+    runs = [
+        {(r["k"], r["v"]) for r in merge_upsert(base, snap, ["k"]).collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert len(runs[0]) == 2  # exactly one row per key
+    # snapshot still wins for the colliding key
+    assert any(k == 2 and v.startswith("B") for k, v in runs[0])

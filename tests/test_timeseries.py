@@ -406,3 +406,22 @@ def test_ccf_renderer_roundtrip(spark, events):
                                [-1, 0, 1], ["event_type"])
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+def test_zscore_stats_rejects_overflow_magnitudes(spark):
+    # |x| beyond ZQ_SAFE_MAX would silently saturate the BIGINT x**2
+    # quantization in Spark (and error in ANSI engines) — reject loudly
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.timeseries import zscore_stats
+
+    ok = spark.createDataFrame(
+        [("a", 2.9e6), ("a", -2.9e6)], "g string, v double"
+    )
+    assert zscore_stats(ok, "v", ["g"])  # inside the bound: fine
+    bad = spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0e6)], "g string, v double"
+    )
+    with _pytest.raises(ParameterException):
+        zscore_stats(bad, "v", ["g"])
