@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 229 entries, ALL 229 with DuckDB oracles (round 4
+streaming extensions) — 234 entries, ALL 234 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -3517,6 +3517,151 @@ def q_hll_index_update(spark, sf):
     )
 
 
+_CMS_VALUES = ["en", "de", "fr", "xx"]  # three present langs + one absent
+
+
+def q_cms_estimate(spark, sf):
+    """Count-Min point-frequency estimates (round 11): documents.lang
+    frequencies per source, depth 4 × width 64. Unlike the HLL family
+    (engine-private sketch bytes, rows-only verification), the CMS buckets
+    are the engine's standard md5 hash, so DuckDB recomputes the exact
+    min-over-bucket-counts and the estimates hash-match bit-for-bit."""
+    from rasgoql_spark.functions.cms import cms_estimate, cms_sketch
+
+    docs = _s(spark, sf).dataset("documents").df
+    sk = cms_sketch(docs, "lang", group_by=["source"], depth=4, width=64)
+    return cms_estimate(sk, _CMS_VALUES)
+
+
+def q_cms_merge_estimate(spark, sf):
+    """Shard → merge → estimate: per-(source, doc_id%3) sketches summed
+    back to per-source. Counter addition is exact, so the merged estimates
+    are bit-identical to a single build — same oracle as cms_estimate."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.cms import cms_estimate, cms_merge, cms_sketch
+
+    docs = (
+        _s(spark, sf).dataset("documents").df
+        .withColumn("__shard", F.col("doc_id") % 3)
+    )
+    sk = cms_sketch(docs, "lang", group_by=["source", "__shard"],
+                    depth=4, width=64)
+    return cms_estimate(cms_merge(sk, ["source"]), _CMS_VALUES)
+
+
+def q_cms_index_update(spark, sf):
+    """Incremental frequency maintenance: index 2/3 of documents, fold the
+    last third with update_cms_index (elementwise counter add — never
+    rescans history). The updated index's estimates equal a full rebuild
+    EXACTLY, so the same DuckDB full-corpus replay is a complete oracle."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.cms import (
+        cms_estimate,
+        cms_index,
+        update_cms_index,
+    )
+
+    docs = _s(spark, sf).dataset("documents").df
+    idx = cms_index(docs.filter(F.col("doc_id") % 3 != 2), "lang",
+                    group_by=["source"], depth=4, width=64)
+    idx2 = update_cms_index(idx, docs.filter(F.col("doc_id") % 3 == 2))
+    rows = cms_estimate(idx2.sketches, _CMS_VALUES).collect()
+    idx.release()
+    idx2.release()
+    return spark.createDataFrame(
+        rows, "source string, CMS_N long, VALUE string, EST long"
+    )
+
+
+def _cms_oracle() -> str:
+    """DuckDB replay of the CMS estimates: min over the depth rows of the
+    recomputed bucket counts (same md5 bucket hash), 0 when no corpus value
+    collides — shared by all three CMS entries (build, shard-merge, and
+    incremental update are contract-equal)."""
+    from rasgoql_spark.functions.cms import bucket_sql
+
+    vals = ", ".join(f"'{v}'" for v in _CMS_VALUES)
+    cb = bucket_sql("lang", "d.d", 64)
+    qb = bucket_sql("q.VALUE", "d.d", 64)
+    return (
+        f"WITH v AS (SELECT unnest([{vals}]) AS VALUE), "
+        "d AS (SELECT unnest(range(4)) AS d), "
+        "src AS (SELECT DISTINCT source FROM documents), "
+        "n AS (SELECT source, CAST(COUNT(lang) AS BIGINT) AS CMS_N "
+        "FROM documents GROUP BY source), "
+        f"bc AS (SELECT source, d.d AS d, {cb} AS b, COUNT(*) AS c "
+        "FROM documents CROSS JOIN d WHERE lang IS NOT NULL "
+        "GROUP BY 1, 2, 3), "
+        f"qb AS (SELECT q.VALUE, d.d AS d, {qb} AS b FROM v q CROSS JOIN d), "
+        "grid AS (SELECT s.source, q.VALUE, q.d, COALESCE(bc.c, 0) AS c "
+        "FROM src s CROSS JOIN qb q "
+        "LEFT JOIN bc ON bc.source = s.source AND bc.d = q.d AND bc.b = q.b) "
+        "SELECT g.source, n.CMS_N, g.VALUE, CAST(MIN(g.c) AS BIGINT) AS EST "
+        "FROM grid g JOIN n ON n.source = g.source "
+        "GROUP BY g.source, n.CMS_N, g.VALUE"
+    )
+
+
+_HNM_POSITIVES = [(0, 17), (0, 225), (1, 257), (2, 14)]
+
+
+def q_hard_negative_mine(spark, sf):
+    """Hard-negative mining for contrastive retrieval training (round 11):
+    per query, the top-8 most-cosine-similar corpus rows that are not the
+    query itself and not labeled positives — positives chosen as actual
+    top hits so the exclusion provably changes the result."""
+    from rasgoql_spark.functions.relevance import hard_negative_mine
+
+    emb = _s(spark, sf).dataset("embeddings").df
+    return hard_negative_mine(
+        emb, "embedding", "vec_id", positives=_HNM_POSITIVES,
+        query_ids=[0, 1, 2], k=8,
+    )
+
+
+def _hard_negative_oracle() -> str:
+    pos = ", ".join(f"({a}, {b})" for a, b in _HNM_POSITIVES)
+    return (
+        f"WITH pos AS (SELECT * FROM (VALUES {pos}) AS t(qid, did)), "
+        "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+        "WHERE vec_id IN (0, 1, 2)), "
+        "scored AS (SELECT q.qid AS QUERY_ID, c.vec_id AS NEG_ID, "
+        + _cosine("q.qv", "c.embedding")
+        + " AS COSINE FROM embeddings c, q WHERE c.vec_id <> q.qid), "
+        "filt AS (SELECT s.* FROM scored s ANTI JOIN pos p "
+        "ON s.QUERY_ID = p.qid AND s.NEG_ID = p.did) "
+        "SELECT * FROM (SELECT QUERY_ID, NEG_ID, COSINE, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        "ORDER BY COSINE DESC, NEG_ID) AS INT) AS RANK FROM filt) "
+        "WHERE RANK <= 8"
+    )
+
+
+def q_curriculum_order(spark, sf):
+    """Curriculum data layout (round 11): documents bucketed by n_chars
+    into 8 equal-width difficulty bins, seeded shuffle within bins."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .curriculum_order(score_col="n_chars", key="doc_id", n_buckets=8)
+        .df
+    )
+
+
+_CURRICULUM_ORACLE = (
+    "SELECT d.*, "
+    "CASE WHEN CAST(n_chars AS DOUBLE) IS NULL THEN 7 "
+    "WHEN (__hi - __lo) <= 0 THEN 0 "
+    "ELSE LEAST(CAST(FLOOR((CAST(n_chars AS DOUBLE) - __lo) / (__hi - __lo) "
+    "* 8) AS INT), 7) END AS CURRICULUM_BUCKET, "
+    "md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))) AS SHUFFLE_KEY "
+    "FROM documents d CROSS JOIN "
+    "(SELECT MIN(CAST(n_chars AS DOUBLE)) AS __lo, "
+    "MAX(CAST(n_chars AS DOUBLE)) AS __hi FROM documents)"
+)
+
+
 def q_dp_aggregate(spark, sf):
     """Laplace-noised group counts (seeded, reproducible release)."""
     return (
@@ -5940,6 +6085,15 @@ ranked AS (
             "FROM events GROUP BY event_type"
         ),
         "ranking_eval": _ranking_eval_oracle(),
+        # CMS family (round 11): md5-bucketed counters — the estimates
+        # replay EXACTLY in DuckDB (min over recomputed bucket counts);
+        # one oracle covers build, shard-merge, and incremental update
+        # because all three are contract-equal by counter addition
+        "cms_estimate": _cms_oracle(),
+        "cms_merge_estimate": _cms_oracle(),
+        "cms_index_update": _cms_oracle(),
+        "hard_negative_mine": _hard_negative_oracle(),
+        "curriculum_order": _CURRICULUM_ORACLE,
     }
 
 
@@ -5955,7 +6109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 7 earlier r10 operators, then the remaining r6-stale block to
     # fill 50 (its alphabetical tail yields slots to the new ops and
     # re-fronts next round) — union max-staleness r6/r7. All
-    # 229 entries pass tools/oracle_check.py locally (fresh full run
+    # 234 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
         # --- new round-10 timeseries operators ---
@@ -5986,6 +6140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-10 batch retrieval + eval ---
         "bm25_join": q_bm25_join,
         "ranking_eval": q_ranking_eval,
+        # --- new round-11 CMS sketch family + training-prep operators ---
+        "cms_estimate": q_cms_estimate,
+        "cms_merge_estimate": q_cms_merge_estimate,
+        "cms_index_update": q_cms_index_update,
+        "hard_negative_mine": q_hard_negative_mine,
+        "curriculum_order": q_curriculum_order,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -6213,11 +6373,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolling_agg_range, which the r9 gate refreshed) — the r9 verdict's
     # task #2.
     front = [
-        # new operators first (never driver-verified): the 10 late-round-10
-        # ops (timeseries quartet, graph pair, hybrid retrieval, DP pair,
-        # streaming anomaly) + the 12 mid-round-10 governance/analysis ops
-        # displace the alphabetical tail of the r6-stale block (those stay
-        # r6-verified, re-fronted next round per the standing policy)
+        # round-11 entries first (never driver-verified): the CMS triple,
+        # hard-negative mining, curriculum ordering — then the advisory-fix
+        # re-checks (dp pair, merge_upsert, hybrid/rrf, stream_anomaly,
+        # kcore), then the stalest blocks per the standing rotation policy
+        "cms_estimate",
+        "cms_merge_estimate",
+        "cms_index_update",
+        "hard_negative_mine",
+        "curriculum_order",
         "ewma",
         "anomaly_zscore",
         "changepoint_detect",
@@ -6257,18 +6421,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_search_ivfpq_rerank",
         "embedding_join_ivfpq_rerank",
         "zorder",
-        # r6-stale block (43)
+        # r6-stale block (38)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
-        "datespine_groups", "decontaminate", "dedup_against", "except",
-        "fingerprint", "funnel", "grouping_sets",
-        # (heatmap, histogram, importance_sample,
+        "datespine_groups", "decontaminate",
+        # (dedup_against, except, fingerprint, funnel, grouping_sets,
+        # heatmap, histogram, importance_sample,
         # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,
         # label_encode, language_id, levenshtein, market_basket,
         # min_max_scaler, min_max_scaler_grouped,
         # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
         # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
         # standard_scaler, target_encode, text_quality, train_test_split,
-        # union, unpivot, winsorize yield their slots to the 22 new ops
+        # union, unpivot, winsorize yield their slots to the new ops
         # above)
     ]
     assert len(front) == 50 and all(k in base for k in front)

@@ -382,3 +382,77 @@ def _r_importance_sample(source, weight, id_col, n, seed="") -> str:
         f"FROM {source} WHERE {weight} IS NOT NULL AND NOT isnan({wd}) AND {wd} > 0 "
         f"ORDER BY __pri DESC, {id_col} ASC LIMIT {n})"
     )
+
+
+@spark_transform("curriculum_order", category="ml", streaming_ok=False)
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    key: str,
+    n_buckets: int = 10,
+    seed: int = 42,
+    descending: bool = False,
+) -> DataFrame:
+    """Curriculum ordering for training data: bucket documents by a
+    difficulty/quality score into ``n_buckets`` equal-width bins, then
+    order by (bucket, seeded shuffle key) — easy→hard progression between
+    buckets, unbiased seeded shuffle within each (the standard curriculum-
+    learning data layout, Bengio et al. 2009). Appends
+    ``CURRICULUM_BUCKET`` (0-based; null scores land in the LAST bucket —
+    unknown difficulty trains last) and ``SHUFFLE_KEY``. ``descending``
+    reverses the bucket direction (hard→easy, anti-curriculum).
+
+    Scale: bucket edges come from ONE broadcast min/max row (never a global
+    rank — ntile/percent_rank would funnel one task); the final order is a
+    range-partitioned sort, the scale-standard distributed reorder. Same
+    seed → identical order on any cluster layout.
+    """
+    if n_buckets < 2:
+        raise ParameterException("n_buckets must be >= 2")
+    s, k = resolve_col(df, score_col), resolve_col(df, key)
+    x = F.col(s).cast("double")
+    stats = df.agg(
+        F.min(x).alias("__lo"), F.max(x).alias("__hi")
+    )
+    staged = df.crossJoin(F.broadcast(stats))
+    span = F.col("__hi") - F.col("__lo")
+    raw = F.floor((x - F.col("__lo")) / span * n_buckets).cast("int")
+    bucket = (
+        F.when(x.isNull(), F.lit(int(n_buckets) - 1))
+        .when(span <= 0, F.lit(0))
+        .otherwise(F.least(raw, F.lit(int(n_buckets) - 1)))
+    )
+    if descending:
+        bucket = F.lit(int(n_buckets) - 1) - bucket
+    skey = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(k).cast("string")))
+    return (
+        staged.withColumn("CURRICULUM_BUCKET", bucket)
+        .withColumn("SHUFFLE_KEY", skey)
+        .drop("__lo", "__hi")
+        .orderBy("CURRICULUM_BUCKET", "SHUFFLE_KEY", F.col(k))
+    )
+
+
+@renderer("curriculum_order")
+def _r_curriculum_order(source, score_col, key, n_buckets=10, seed=42,
+                        descending=False, _input_columns=()) -> str:
+    if n_buckets < 2:
+        raise ParameterException("n_buckets must be >= 2")
+    n = int(n_buckets)
+    x = f"CAST({score_col} AS DOUBLE)"
+    raw = f"CAST(FLOOR(({x} - __lo) / (__hi - __lo) * {n}) AS INT)"
+    b = (
+        f"CASE WHEN {x} IS NULL THEN {n - 1} "
+        f"WHEN (__hi - __lo) <= 0 THEN 0 "
+        f"ELSE LEAST({raw}, {n - 1}) END"
+    )
+    if descending:
+        b = f"({n - 1} - ({b}))"
+    sel = ", ".join(_input_columns)
+    return (
+        f"SELECT {sel}, {b} AS CURRICULUM_BUCKET, "
+        f"md5(concat_ws('|', '{seed}', CAST({key} AS STRING))) AS SHUFFLE_KEY "
+        f"FROM {source} CROSS JOIN "
+        f"(SELECT MIN({x}) AS __lo, MAX({x}) AS __hi FROM {source}) "
+        f"ORDER BY CURRICULUM_BUCKET, SHUFFLE_KEY, {key}"
+    )

@@ -598,3 +598,75 @@ def _r_ranking_eval(source, query_col, rank_col, label_col, k=10,
         f"ROUND(__hits / CAST({float(k)!r} AS DOUBLE), {round_to}) AS PRECISION_{k} "
         f"FROM ({inner})"
     )
+
+
+@spark_transform("hard_negative_mine", category="relevance", streaming_ok=False)
+def hard_negative_mine(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    positives,
+    query_ids=None,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    round_scores: int = 6,
+) -> DataFrame:
+    """Mine hard negatives for contrastive retrieval training: for each
+    query, the top-``k`` most-similar corpus rows that are NOT labeled
+    positives (and not the query itself) — the highest-value negatives for
+    a bi-encoder loss (the "in-corpus hard negative" recipe of DPR,
+    Karpukhin et al. 2020). ``positives`` is a list of ``(query_id,
+    doc_id)`` pairs or a 2-column DataFrame. Output ``(QUERY_ID, NEG_ID,
+    COSINE, RANK)``.
+
+    Scale: queries broadcast against the corpus (exact scan — the recall
+    baseline); the positives side broadcasts into a left-anti join BEFORE
+    the top-k window, so excluded pairs never rank. At 100 TB swap the scan
+    stage for an ANN candidate join (``embedding_join_ivf*``) and anti-join
+    the same positives — identical downstream shape. Scores use the
+    engine's standard ``cosine_expr`` (dot / norm product), the form every
+    cross-engine oracle replays bit-for-bit.
+    """
+    from .dedup import cosine_expr
+
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
+    if queries is None:
+        if not query_ids:
+            raise ParameterException("pass queries or query_ids")
+        qdf = df.filter(F.col(i).isin(list(query_ids)))
+    else:
+        qdf = queries
+    spark = df.sparkSession
+    if isinstance(positives, DataFrame):
+        pos = positives.toDF("QUERY_ID", "NEG_ID")
+    else:
+        pairs = [(a, b) for a, b in positives]
+        if not pairs:
+            raise ParameterException("positives must be non-empty")
+        pos = spark.createDataFrame(pairs, ["QUERY_ID", "NEG_ID"])
+    corpus = spread(df).select(
+        F.col(i).alias("NEG_ID"), F.col(v).alias("__cv")
+    )
+    q = qdf.select(
+        F.col(resolve_col(qdf, i)).alias("QUERY_ID"),
+        F.col(resolve_col(qdf, v)).alias("__qv"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("QUERY_ID") != F.col("NEG_ID"))
+        .join(F.broadcast(pos), on=["QUERY_ID", "NEG_ID"], how="left_anti")
+        .withColumn(
+            "COSINE",
+            F.round(cosine_expr(F.col("__qv"), F.col("__cv")), round_scores),
+        )
+    )
+    w = Window.partitionBy("QUERY_ID").orderBy(
+        F.col("COSINE").desc(), F.col("NEG_ID").asc()
+    )
+    return (
+        scored.withColumn("RANK", F.row_number().over(w).cast("int"))
+        .filter(F.col("RANK") <= k)
+        .select("QUERY_ID", "NEG_ID", "COSINE", "RANK")
+    )

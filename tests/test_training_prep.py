@@ -1,0 +1,93 @@
+"""Training-prep additions: hard_negative_mine and curriculum_order."""
+
+import pytest
+
+from rasgoql_spark.errors import ParameterException
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_hard_negatives_exclude_positives_and_self(emb):
+    from rasgoql_spark.functions.relevance import hard_negative_mine
+
+    pos = [(0, 5), (0, 7), (1, 3)]
+    out = hard_negative_mine(emb, "embedding", "vec_id", positives=pos,
+                             query_ids=[0, 1], k=4).collect()
+    assert len(out) == 8
+    banned = set(pos)
+    for r in out:
+        assert (r["QUERY_ID"], r["NEG_ID"]) not in banned
+        assert r["QUERY_ID"] != r["NEG_ID"]
+        assert 1 <= r["RANK"] <= 4
+
+
+def test_hard_negatives_are_hardest_remaining(emb):
+    # with positives removed, the mined set equals brute top-k minus them
+    from rasgoql_spark.functions.relevance import hard_negative_mine
+    from rasgoql_spark.functions.similarity import similarity_search
+
+    brute = similarity_search(emb, "embedding", "vec_id",
+                              query_ids=[2], k=6).collect()
+    top = [r["MATCH_ID"] for r in brute]
+    pos = [(2, top[0]), (2, top[2])]
+    mined = hard_negative_mine(emb, "embedding", "vec_id", positives=pos,
+                               query_ids=[2], k=4).collect()
+    expect = [m for m in top if (2, m) not in set(pos)][:4]
+    assert [r["NEG_ID"] for r in sorted(mined, key=lambda r: r["RANK"])] == expect
+
+
+def test_hard_negatives_positive_df_side(emb, spark):
+    from rasgoql_spark.functions.relevance import hard_negative_mine
+
+    pos_df = spark.createDataFrame([(0, 5)], "q BIGINT, d BIGINT")
+    out = hard_negative_mine(emb, "embedding", "vec_id", positives=pos_df,
+                             query_ids=[0], k=3).collect()
+    assert all((r["QUERY_ID"], r["NEG_ID"]) != (0, 5) for r in out)
+
+
+def test_hard_negatives_validation(emb):
+    from rasgoql_spark.functions.relevance import hard_negative_mine
+
+    with pytest.raises(ParameterException):
+        hard_negative_mine(emb, "embedding", "vec_id", positives=[(0, 1)], k=0,
+                           query_ids=[0])
+    with pytest.raises(ParameterException):
+        hard_negative_mine(emb, "embedding", "vec_id", positives=[(0, 1)])
+    with pytest.raises(ParameterException):
+        hard_negative_mine(emb, "embedding", "vec_id", positives=[],
+                           query_ids=[0])
+
+
+def test_curriculum_order_buckets_and_determinism(spark):
+    from rasgoql_spark.functions.mix import curriculum_order
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(100, None)],
+        "id BIGINT, score DOUBLE",
+    )
+    out = curriculum_order(df, "score", "id", n_buckets=4).collect()
+    by_id = {r["id"]: r["CURRICULUM_BUCKET"] for r in out}
+    assert by_id[0] == 0 and by_id[99] == 3
+    assert by_id[100] == 3          # null difficulty -> last bucket
+    # buckets are non-decreasing along the output order
+    buckets = [r["CURRICULUM_BUCKET"] for r in out]
+    assert buckets == sorted(buckets)
+    again = curriculum_order(df, "score", "id", n_buckets=4).collect()
+    assert [r["id"] for r in out] == [r["id"] for r in again]
+    rev = curriculum_order(df, "score", "id", n_buckets=4,
+                           descending=True).collect()
+    assert {r["id"]: r["CURRICULUM_BUCKET"] for r in rev}[0] == 3
+
+
+def test_curriculum_order_constant_score_single_bucket(spark):
+    from rasgoql_spark.functions.mix import curriculum_order
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(10)],
+                               "id BIGINT, score DOUBLE")
+    out = curriculum_order(df, "score", "id", n_buckets=5).collect()
+    assert {r["CURRICULUM_BUCKET"] for r in out} == {0}
+    with pytest.raises(ParameterException):
+        curriculum_order(df, "score", "id", n_buckets=1)
