@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 234 entries, ALL 234 with DuckDB oracles (round 4
+streaming extensions) — 235 entries, ALL 235 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -3639,6 +3639,27 @@ def _hard_negative_oracle() -> str:
     )
 
 
+def q_cap_per_group(spark, sf):
+    """Per-group cap (round 11): at most 3 documents per (source, lang),
+    keeping the longest (n_chars desc, seeded-hash tie-break) — the
+    max-K-pages-per-host crawl-curation primitive."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .cap_per_group(group_by=["source", "lang"], k=3,
+                       order_by=["n_chars"], key="doc_id")
+        .df
+    )
+
+
+_CAP_PER_GROUP_ORACLE = (
+    "SELECT doc_id, text, lang, source, n_chars FROM "
+    "(SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang "
+    "ORDER BY n_chars DESC, "
+    "md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))) ASC, doc_id ASC) "
+    "AS __rn FROM documents) WHERE __rn <= 3"
+)
+
+
 def q_curriculum_order(spark, sf):
     """Curriculum data layout (round 11): documents bucketed by n_chars
     into 8 equal-width difficulty bins, seeded shuffle within bins."""
@@ -6094,6 +6115,7 @@ ranked AS (
         "cms_index_update": _cms_oracle(),
         "hard_negative_mine": _hard_negative_oracle(),
         "curriculum_order": _CURRICULUM_ORACLE,
+        "cap_per_group": _CAP_PER_GROUP_ORACLE,
     }
 
 
@@ -6109,7 +6131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 7 earlier r10 operators, then the remaining r6-stale block to
     # fill 50 (its alphabetical tail yields slots to the new ops and
     # re-fronts next round) — union max-staleness r6/r7. All
-    # 234 entries pass tools/oracle_check.py locally (fresh full run
+    # 235 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
         # --- new round-10 timeseries operators ---
@@ -6146,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_index_update": q_cms_index_update,
         "hard_negative_mine": q_hard_negative_mine,
         "curriculum_order": q_curriculum_order,
+        "cap_per_group": q_cap_per_group,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -6382,6 +6405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_index_update",
         "hard_negative_mine",
         "curriculum_order",
+        "cap_per_group",
         "ewma",
         "anomaly_zscore",
         "changepoint_detect",
@@ -6421,9 +6445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_search_ivfpq_rerank",
         "embedding_join_ivfpq_rerank",
         "zorder",
-        # r6-stale block (38)
+        # r6-stale block (37)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
-        "datespine_groups", "decontaminate",
+        "datespine_groups",
         # (dedup_against, except, fingerprint, funnel, grouping_sets,
         # heatmap, histogram, importance_sample,
         # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,

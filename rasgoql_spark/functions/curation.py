@@ -1554,3 +1554,83 @@ def _r_dp_aggregate(source, group_by, stat="count", value_col=None,
         f"SELECT {sel}, ROUND({agg} + {noise}, {int(round_to)}) AS {name} "
         f"FROM {source} GROUP BY {sel}"
     )
+
+
+@spark_transform("cap_per_group", category="curation", streaming_ok=False)
+def cap_per_group(
+    df: DataFrame,
+    group_by,
+    k: int,
+    order_by=None,
+    seed: int = 42,
+    key: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the crawl-curation cap ("at most
+    K pages per host / domain / source", the Gopher & RefinedWeb recipe
+    that stops any single site from dominating a corpus).
+
+    With ``order_by``: keep the TOP-k by that column (``descending`` by
+    default — keep the best-scored pages; ties and the no-order variant
+    break on a seeded hash of ``key``, so the survivors are deterministic
+    across runs and engines, never partition-order accidents). Without
+    ``order_by``: a seeded uniform k-sample per group (hash order).
+    ``key`` defaults to the first ``order_by`` column and is required when
+    ``order_by`` is not given.
+
+    Scale: ONE window shuffle on the group keys; the per-group sort is
+    local to the partition. The 100-TB skew case (one host with 10⁸ pages)
+    is exactly what the cap exists for — row_number short-circuits via
+    WindowGroupLimit pre-shuffle pruning in Spark 3.5+, so oversized
+    groups prune to k survivors map-side BEFORE shuffling.
+    """
+    from pyspark.sql import Window
+
+    keys = [resolve_col(df, c) for c in as_list(group_by)]
+    if not keys:
+        raise ParameterException("cap_per_group requires at least one group column")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    obs = [resolve_col(df, c) for c in as_list(order_by)]
+    tb = key or (obs[0] if obs else None)
+    if tb is None:
+        raise ParameterException("pass key when order_by is not given")
+    tbc = resolve_col(df, tb)
+    h = F.md5(
+        F.concat_ws("|", F.lit(str(int(seed))), F.col(tbc).cast("string"))
+    )
+    order = [
+        (F.col(c).desc() if descending else F.col(c).asc()) for c in obs
+    ] + [h.asc(), F.col(tbc).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
+@renderer("cap_per_group")
+def _r_cap_per_group(source, group_by, k, order_by=None, seed=42, key=None,
+                     descending=True, _input_columns=()) -> str:
+    keys = as_list(group_by)
+    if not keys:
+        raise ParameterException("cap_per_group requires at least one group column")
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    obs = as_list(order_by)
+    tb = key or (obs[0] if obs else None)
+    if tb is None:
+        raise ParameterException("pass key when order_by is not given")
+    h = f"md5(concat_ws('|', '{int(seed)}', CAST({tb} AS STRING)))"
+    direction = "DESC" if descending else "ASC"
+    order = ", ".join(
+        [f"{c} {direction}" for c in obs] + [f"{h} ASC", f"{tb} ASC"]
+    )
+    part = ", ".join(keys)
+    sel = ", ".join(_input_columns)
+    return (
+        f"SELECT {sel} FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY {part} ORDER BY {order}) AS __rn FROM {source}) "
+        f"WHERE __rn <= {int(k)}"
+    )

@@ -1035,3 +1035,53 @@ def stream_anomaly(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cms(
+    df: DataFrame,
+    column: str,
+    checkpoint: str,
+    group_by=None,
+    depth: int = 4,
+    width: int = 256,
+    sink_path: str | None = None,
+    sink_table: str | None = None,
+):
+    """Streaming frequency-sketch maintenance — the Count-Min sibling of
+    ``stream_anomaly``: every micro-batch reduces to per-group CMS rows
+    (``functions.cms.cms_sketch`` — KBs of mergeable state, never raw
+    rows) landed exactly-once in the monitoring sink. Because counter
+    addition is exact and associative, the corpus state AT ANY TIME is one
+    ``cms_merge`` over the sink — no read-modify-write of a live state
+    store, which is what makes the sink replay-safe: a replayed batch
+    replaces its own sketch rows and the merge is unchanged (pinned in
+    tests against a batch-mode sketch of the full data).
+
+    Per-batch cost is the batch's own sketch aggregate (shuffle bounded by
+    |groups|·depth·width ints), regardless of history size — the amortized
+    regime of the crawl-ingest family. ``availableNow`` trigger.
+    """
+    from ..functions.cms import _check_shape, cms_sketch
+
+    if not df.isStreaming:
+        raise ParameterException(
+            "stream_cms expects a streaming DataFrame (use cms_sketch for "
+            "batch sketching)"
+        )
+    # fail fast BEFORE .start(): foreachBatch errors only surface per-batch
+    _check_shape(depth, width)
+    if sink_path is None and sink_table is None:
+        raise ParameterException("stream_cms needs a sink_path or sink_table")
+    keys = as_list(group_by)
+
+    def sketch(b: DataFrame) -> DataFrame:
+        return cms_sketch(b, column, group_by=keys, depth=depth, width=width)
+
+    return (
+        df.writeStream
+        .foreachBatch(_exactly_once_sink(sketch, sink_path, sink_table,
+                                         df.sparkSession))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

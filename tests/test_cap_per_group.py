@@ -1,0 +1,61 @@
+"""cap_per_group: the at-most-K-rows-per-group crawl-curation cap."""
+
+import pytest
+
+from rasgoql_spark.errors import ParameterException
+from rasgoql_spark.functions.curation import _r_cap_per_group, cap_per_group
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [(i, f"host{i % 3}", float(i % 11)) for i in range(120)]
+    return spark.createDataFrame(rows, "id BIGINT, host STRING, score DOUBLE")
+
+
+def test_cap_keeps_top_k_by_score(pages):
+    out = cap_per_group(pages, ["host"], k=5, order_by=["score"],
+                        key="id").collect()
+    assert len(out) == 15
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r["score"])
+    # 120 rows, 3 hosts, scores cycle 0..10 — top-5 per host are all 10s/9s
+    for host, scores in by_host.items():
+        assert len(scores) == 5
+        assert min(scores) >= 9.0
+
+
+def test_cap_without_order_is_seeded_uniform(pages):
+    a = {r["id"] for r in cap_per_group(pages, ["host"], k=7, key="id").collect()}
+    b = {r["id"] for r in cap_per_group(pages, ["host"], k=7, key="id").collect()}
+    assert a == b and len(a) == 21
+    c = {r["id"] for r in
+         cap_per_group(pages, ["host"], k=7, key="id", seed=9).collect()}
+    assert a != c          # different seed, different survivors
+
+
+def test_cap_small_groups_pass_through(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                               "id BIGINT, g STRING")
+    out = cap_per_group(df, ["g"], k=10, key="id").collect()
+    assert len(out) == 3
+
+
+def test_cap_renderer_roundtrip(spark, pages):
+    pages.createOrReplaceTempView("__cap_src")
+    sql = _r_cap_per_group("__cap_src", ["host"], 4, order_by=["score"],
+                           key="id", _input_columns=("id", "host", "score"))
+    via_sql = {tuple(r) for r in spark.sql(sql).collect()}
+    direct = {tuple(r) for r in
+              cap_per_group(pages, ["host"], k=4, order_by=["score"],
+                            key="id").collect()}
+    assert via_sql == direct
+
+
+def test_cap_validation(pages):
+    with pytest.raises(ParameterException):
+        cap_per_group(pages, [], k=3, key="id")
+    with pytest.raises(ParameterException):
+        cap_per_group(pages, ["host"], k=0, key="id")
+    with pytest.raises(ParameterException):
+        cap_per_group(pages, ["host"], k=3)   # no order_by and no key

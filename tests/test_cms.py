@@ -108,3 +108,53 @@ def test_cms_index_lifecycle(spark, tmp_path_factory):
     c = {tuple(r) for r in cms_estimate(loaded.sketches, ["v0", "v4"]).collect()}
     assert c == a
     idx.release(); upd.release(); rebuilt.release(); loaded.release()
+
+
+def test_stream_cms_merge_equals_batch(spark, tmp_path_factory):
+    """Two micro-batches of per-group sketches land exactly-once; merging
+    the sink equals one batch-mode sketch of the full data bit-for-bit."""
+    from rasgoql_spark.functions.cms import cms_estimate, cms_merge, cms_sketch
+    from rasgoql_spark.streaming.ops import stream_cms
+
+    tmp = tmp_path_factory.mktemp("scms")
+    b1 = [(i, f"g{i % 2}", f"v{i % 5}") for i in range(300)]
+    b2 = [(i, f"g{i % 2}", f"v{i % 3}") for i in range(300, 500)]
+    src = str(tmp / "in")
+    spark.createDataFrame(b1, "id BIGINT, g STRING, v STRING").coalesce(1)\
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(b2, "id BIGINT, g STRING, v STRING").coalesce(1)\
+        .write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema("id BIGINT, g STRING, v STRING")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp / "out")
+    q = stream_cms(sdf, "v", checkpoint=str(tmp / "ckpt"), group_by=["g"],
+                   depth=3, width=32, sink_path=sink)
+    q.awaitTermination(120)
+    landed = spark.read.parquet(sink)
+    merged = cms_merge(landed.drop("__batch_id"), ["g"]).drop("SHAPE_OK")
+    full = spark.createDataFrame(b1 + b2, "id BIGINT, g STRING, v STRING")
+    want = cms_sketch(full, "v", ["g"], depth=3, width=32)
+    vals = ["v0", "v1", "v4"]
+    a = {tuple(r) for r in cms_estimate(merged, vals).collect()}
+    b = {tuple(r) for r in cms_estimate(want, vals).collect()}
+    assert a == b
+
+
+def test_stream_cms_validation(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.streaming.ops import stream_cms
+
+    tmp = tmp_path_factory.mktemp("scmsv")
+    batch = spark.createDataFrame([(1, "a")], "id BIGINT, v STRING")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema("id BIGINT, v STRING").parquet(src)
+    with _pytest.raises(ParameterException):   # batch frame
+        stream_cms(batch, "v", checkpoint=str(tmp / "c1"), sink_path=str(tmp / "o"))
+    with _pytest.raises(ParameterException):   # no sink
+        stream_cms(sdf, "v", checkpoint=str(tmp / "c2"))
+    with _pytest.raises(ParameterException):   # bad shape, pre-start
+        stream_cms(sdf, "v", checkpoint=str(tmp / "c3"), depth=0,
+                   sink_path=str(tmp / "o3"))
