@@ -90,6 +90,12 @@ def cms_sketch(
     _check_shape(depth, width)
     c = resolve_col(df, column)
     keys = resolve_cols(df, as_list(group_by))
+    clash = {"CMS", "CMS_DEPTH", "CMS_WIDTH", "CMS_N"} & set(keys)
+    if clash:
+        raise ParameterException(
+            f"group columns {sorted(clash)} collide with the sketch-frame "
+            "schema — rename them first"
+        )
     vstr = F.col(c).cast("string")
     pairs = (
         df.filter(F.col(c).isNotNull())
@@ -183,6 +189,10 @@ def cms_estimate(df: DataFrame, values) -> DataFrame:
     if "CMS" not in df.columns:
         raise ParameterException(
             "cms_estimate expects a cms_sketch/cms_merge output frame"
+        )
+    if {"VALUE", "EST"} & set(df.columns):
+        raise ParameterException(
+            "input already has a VALUE/EST column — rename it first"
         )
     keys = [
         c

@@ -670,3 +670,44 @@ def hard_negative_mine(
         .filter(F.col("RANK") <= k)
         .select("QUERY_ID", "NEG_ID", "COSINE", "RANK")
     )
+
+
+@renderer("hard_negative_mine")
+def _r_hard_negative_mine(source, vec_col, id_col, positives, query_ids=None,
+                          queries=None, k=5, round_scores=6) -> str:
+    """Renderable only for the literal-parameter form (query_ids +
+    positives as a pair list) — a DataFrame positives/queries side is
+    execution-state the SQL artifact cannot reference."""
+    from ..errors import TransformRenderingException
+    from .dedup import _cosine_sql
+
+    if k < 1:
+        raise ParameterException("k must be >= 1")
+    if queries is not None or isinstance(positives, DataFrame):
+        raise TransformRenderingException(
+            "hard_negative_mine renders only with query_ids and a literal "
+            "positives pair list — DataFrame sides are execution-only"
+        )
+    if not query_ids:
+        raise ParameterException("pass queries or query_ids")
+    pairs = [(int(a), int(b)) for a, b in positives]
+    if not pairs:
+        raise ParameterException("positives must be non-empty")
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    pos = ", ".join(f"({a}, {b})" for a, b in pairs)
+    cos = _cosine_sql("c.__cv", "q.__qv")
+    return (
+        f"WITH q AS (SELECT {id_col} AS QUERY_ID, {vec_col} AS __qv "
+        f"FROM {source} WHERE {id_col} IN ({ids})), "
+        f"pos AS (SELECT * FROM (VALUES {pos}) AS t(QUERY_ID, NEG_ID)), "
+        f"c AS (SELECT {id_col} AS NEG_ID, {vec_col} AS __cv FROM {source}), "
+        f"scored AS (SELECT q.QUERY_ID, c.NEG_ID, "
+        f"round({cos}, {int(round_scores)}) AS COSINE "
+        f"FROM c CROSS JOIN q WHERE c.NEG_ID <> q.QUERY_ID), "
+        f"filt AS (SELECT s.* FROM scored s LEFT ANTI JOIN pos p "
+        f"ON s.QUERY_ID = p.QUERY_ID AND s.NEG_ID = p.NEG_ID) "
+        f"SELECT QUERY_ID, NEG_ID, COSINE, RANK FROM "
+        f"(SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
+        f"ORDER BY COSINE DESC, NEG_ID ASC) AS INT) AS RANK FROM filt) "
+        f"WHERE RANK <= {int(k)}"
+    )

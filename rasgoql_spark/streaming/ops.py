@@ -1085,3 +1085,99 @@ def stream_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quota(
+    df: DataFrame,
+    group_by,
+    quota: int,
+    key: str,
+    checkpoint: str,
+    sink_path: str,
+    order_by=None,
+    seed: int = 42,
+    descending: bool = True,
+):
+    """Streaming per-group admission quota — the cross-batch form of
+    ``functions.curation.cap_per_group``: over the WHOLE stream, at most
+    ``quota`` rows per group ever reach the sink (the rolling-crawl "total
+    budget per host/source" gate, where the batch-local cap can't help
+    because a host trickles rows across many batches).
+
+    Replay-safe by construction: a micro-batch's admissions are a PURE
+    function of (the batch, the sink's EARLIER batch partitions) — batch
+    ``b`` counts prior admissions from ``batch < b`` partitions only, ranks
+    its own rows per group (``order_by`` desc/asc, then seeded-hash
+    tie-break on ``key``), admits while ``prior + rank <= quota``, and
+    overwrites ``{sink_path}/batch=<b>/``. A replayed batch recomputes the
+    identical decision and replaces its own directory — exactly-once with
+    NO mutable state store.
+
+    Scale: the prior-count aggregate reads ONLY the group columns of the
+    sink (parquet column pruning) — slim even when the admitted corpus is
+    large; the batch rank is one window on the group keys with the same
+    WindowGroupLimit pre-shuffle prune as cap_per_group. ``availableNow``
+    trigger.
+    """
+    from pyspark.sql import Window
+
+    if not df.isStreaming:
+        raise ParameterException(
+            "stream_quota expects a streaming DataFrame (use cap_per_group "
+            "for a batch-local cap)"
+        )
+    if quota < 1:
+        raise ParameterException("quota must be >= 1")
+    keys = as_list(group_by)
+    if not keys:
+        raise ParameterException("stream_quota requires at least one group column")
+    if not sink_path:
+        raise ParameterException("stream_quota needs a sink_path")
+    obs = as_list(order_by)
+    cols = list(df.columns)
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        from pyspark.errors import AnalysisException
+
+        bspark = batch_df.sparkSession
+        try:
+            prior = bspark.read.parquet(sink_path)
+            spent = (
+                prior.filter(F.col("batch") < int(batch_id))
+                .groupBy(*keys)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__spent"))
+            )
+        except AnalysisException:
+            # first batch: the sink directory does not exist yet; any other
+            # failure (corrupt sink, schema drift) must surface, not admit
+            # unbudgeted rows
+            spent = None
+        h = F.md5(
+            F.concat_ws("|", F.lit(str(int(seed))), F.col(key).cast("string"))
+        )
+        order = [
+            (F.col(c).desc() if descending else F.col(c).asc()) for c in obs
+        ] + [h.asc(), F.col(key).asc()]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        ranked = batch_df.withColumn("__rn", F.row_number().over(w))
+        if spent is not None:
+            ranked = ranked.join(spent, on=keys, how="left").withColumn(
+                "__spent", F.coalesce(F.col("__spent"), F.lit(0).cast("bigint"))
+            )
+        else:
+            ranked = ranked.withColumn("__spent", F.lit(0).cast("bigint"))
+        admitted = (
+            ranked.filter(F.col("__spent") + F.col("__rn") <= int(quota))
+            .select(*cols)
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{sink_path}/batch={int(batch_id)}"
+        )
+
+    return (
+        df.writeStream
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -59,3 +59,55 @@ def test_cap_validation(pages):
         cap_per_group(pages, ["host"], k=0, key="id")
     with pytest.raises(ParameterException):
         cap_per_group(pages, ["host"], k=3)   # no order_by and no key
+
+
+def test_stream_quota_cross_batch_budget(spark, tmp_path_factory):
+    """Total admissions per group never exceed the quota across batches:
+    batch 1 part-fills each group, batch 2 gets only the remainder."""
+    from rasgoql_spark.streaming.ops import stream_quota
+
+    tmp = tmp_path_factory.mktemp("squota")
+    # batch 1: 3 rows per host; batch 2: 6 more per host; quota 5
+    b1 = [(i, f"h{i % 2}", float(i)) for i in range(6)]
+    b2 = [(i, f"h{i % 2}", float(i)) for i in range(100, 112)]
+    src = str(tmp / "in")
+    spark.createDataFrame(b1, "id BIGINT, host STRING, score DOUBLE")\
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, "id BIGINT, host STRING, score DOUBLE")\
+        .coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema("id BIGINT, host STRING, score DOUBLE")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp / "out")
+    q = stream_quota(sdf, ["host"], quota=5, key="id",
+                     checkpoint=str(tmp / "ckpt"), sink_path=sink,
+                     order_by=["score"])
+    q.awaitTermination(120)
+    landed = spark.read.parquet(sink).collect()
+    per_host: dict = {}
+    for r in landed:
+        per_host.setdefault(r["host"], []).append((r["batch"], r["id"]))
+    for host, rows in per_host.items():
+        assert len(rows) == 5                       # budget exactly filled
+        assert len([1 for b, _ in rows if b == 0]) == 3   # all of batch 1
+        assert len([1 for b, _ in rows if b == 1]) == 2   # remainder only
+    # batch-2 survivors are its top scorers (score desc)
+    b2_ids = sorted(i for rows in per_host.values() for b, i in rows if b == 1)
+    assert b2_ids == [108, 109, 110, 111]
+
+
+def test_stream_quota_validation(spark, tmp_path_factory):
+    from rasgoql_spark.streaming.ops import stream_quota
+
+    tmp = tmp_path_factory.mktemp("squotav")
+    batch = spark.createDataFrame([(1, "a")], "id BIGINT, host STRING")
+    src = str(tmp / "in")
+    batch.write.parquet(src)
+    sdf = spark.readStream.schema("id BIGINT, host STRING").parquet(src)
+    with pytest.raises(ParameterException):
+        stream_quota(batch, ["host"], 5, "id", str(tmp / "c"), str(tmp / "o"))
+    with pytest.raises(ParameterException):
+        stream_quota(sdf, ["host"], 0, "id", str(tmp / "c"), str(tmp / "o"))
+    with pytest.raises(ParameterException):
+        stream_quota(sdf, [], 5, "id", str(tmp / "c"), str(tmp / "o"))
+    with pytest.raises(ParameterException):
+        stream_quota(sdf, ["host"], 5, "id", str(tmp / "c"), "")

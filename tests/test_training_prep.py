@@ -91,3 +91,26 @@ def test_curriculum_order_constant_score_single_bucket(spark):
     assert {r["CURRICULUM_BUCKET"] for r in out} == {0}
     with pytest.raises(ParameterException):
         curriculum_order(df, "score", "id", n_buckets=1)
+
+
+def test_hard_negatives_renderer_roundtrip(emb, spark):
+    from rasgoql_spark.errors import TransformRenderingException
+    from rasgoql_spark.functions.relevance import (
+        _r_hard_negative_mine,
+        hard_negative_mine,
+    )
+
+    emb.createOrReplaceTempView("__hnm_src")
+    pos = [(0, 17), (1, 3)]
+    sql = _r_hard_negative_mine("__hnm_src", "embedding", "vec_id",
+                                positives=pos, query_ids=[0, 1], k=5)
+    via_sql = {tuple(r) for r in spark.sql(sql).collect()}
+    direct = {tuple(r) for r in
+              hard_negative_mine(emb, "embedding", "vec_id", positives=pos,
+                                 query_ids=[0, 1], k=5).collect()}
+    assert via_sql == direct
+    # DataFrame sides are execution-only
+    pos_df = spark.createDataFrame(pos, "q BIGINT, d BIGINT")
+    with pytest.raises(TransformRenderingException):
+        _r_hard_negative_mine("__hnm_src", "embedding", "vec_id",
+                              positives=pos_df, query_ids=[0, 1])

@@ -280,6 +280,24 @@ ANNOTATED = [
      "One partial+final hash aggregate on the group keys; the Laplace "
      "noise is a row-local md5 projection over the (small) aggregate "
      "output — nothing else in the plan."),
+    ("cms_estimate (round 11)", "cms_estimate",
+     "Two partial+final hash aggregates — (source, bucket) counts then the "
+     "per-source map assembly — with shuffle bounded by groups x depth x "
+     "width two-int rows; the estimate explode+lookup is a row-local "
+     "projection over the 20-row sketch frame."),
+    ("hard_negative_mine (round 11)", "hard_negative_mine",
+     "Queries and positives both broadcast (BroadcastNestedLoopJoin for "
+     "the 3-row query side, broadcast anti hash join for the positive "
+     "pairs); the corpus scans ONCE and the per-query top-k is a "
+     "k-bounded window."),
+    ("cap_per_group (round 11)", "cap_per_group",
+     "One window shuffle on the group keys with WindowGroupLimit "
+     "pre-shuffle pruning: an oversized group (the megahost skew case) "
+     "prunes to k survivors map-side before the exchange."),
+    ("curriculum_order (round 11)", "curriculum_order",
+     "Bucket edges come from ONE broadcast min/max row (no global rank); "
+     "the final order is a range-partitioned global sort — no single-task "
+     "stage anywhere."),
 ]
 
 
