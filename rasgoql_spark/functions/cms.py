@@ -27,9 +27,10 @@ Scale contract:
   per group, never raw data.
 - ``cms_estimate``: row-local array lookups on the (tiny) sketch frame.
 
-No SQL renderers, same as the HLL family (COVERAGE.md renderer-exclusion
-list): the chain state is an engine-materialized array column; the driver
-oracles instead verify the ESTIMATES end-to-end against a DuckDB replay of
+Unlike the HLL family, the whole CMS pipeline is plain SQL (HOFs over
+bigint arrays), so all three transforms carry Spark-SQL renderers — a
+sketch TABLE can live in a rendered/dbt pipeline. The driver oracles
+additionally verify the ESTIMATES end-to-end against a DuckDB replay of
 the bucket-count min, which is the stronger check.
 """
 
@@ -40,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..errors import ParameterException
 from ..operators._util import as_list, resolve_col, resolve_cols
-from ..registry import spark_transform
+from ..registry import renderer, spark_transform
 from ._hash import md5_int
 
 DEPTH_MIN, DEPTH_MAX = 1, 16
@@ -304,3 +305,99 @@ def load_cms_index(spark, path: str, persist: bool = True) -> CMSIndex:
         sk = scoped_persist(sk)
     gb = [g for g in row["group_by"].split(",") if g]
     return CMSIndex(sk, row["depth"], row["width"], row["column"], gb)
+
+
+def _bucket_spark_sql(value_expr: str, d_expr: str, width) -> str:
+    """Spark-SQL text of :func:`_bucket` (md5 → first-8-hex → bigint)."""
+    h = (
+        f"CAST(conv(substring(md5(concat_ws('|', CAST({d_expr} AS STRING), "
+        f"CAST({value_expr} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return f"pmod({h}, {width})"
+
+
+@renderer("cms_sketch")
+def _r_cms_sketch(source, column, group_by=None, depth=4, width=256,
+                  _input_columns=()) -> str:
+    _check_shape(depth, width)
+    keys = as_list(group_by)
+    part = ", ".join(keys)
+    kcomma = f"{part}, " if keys else ""
+    grp = f" GROUP BY {part}" if keys else ""
+    d, w = int(depth), int(width)
+    pos = (
+        f"CAST(__d * {w} + {_bucket_spark_sql(column, '__d', w)} AS INT)"
+    )
+    pairs = (
+        f"(SELECT {kcomma}{pos} AS __pos "
+        f"FROM (SELECT {kcomma}{column}, "
+        f"explode(sequence(0, {d - 1})) AS __d "
+        f"FROM {source} WHERE {column} IS NOT NULL))"
+    )
+    cnt = (
+        f"(SELECT {kcomma}__pos, CAST(COUNT(1) AS BIGINT) AS __cnt "
+        f"FROM {pairs} GROUP BY {kcomma}__pos)"
+    )
+    inner = (
+        f"(SELECT {kcomma}"
+        f"CAST(COALESCE(SUM(CASE WHEN __pos < {w} THEN __cnt END), 0) "
+        f"AS BIGINT) AS CMS_N, "
+        f"map_from_entries(collect_list(struct(__pos, __cnt))) AS __m "
+        f"FROM {cnt}{grp})"
+    )
+    return (
+        f"SELECT {kcomma}{d} AS CMS_DEPTH, {w} AS CMS_WIDTH, CMS_N, "
+        f"transform(sequence(0, {d * w - 1}), "
+        f"i -> COALESCE(element_at(__m, CAST(i AS INT)), CAST(0 AS BIGINT))) "
+        f"AS CMS FROM {inner}"
+    )
+
+
+@renderer("cms_merge")
+def _r_cms_merge(source, group_by=None, _input_columns=()) -> str:
+    keys = as_list(group_by)
+    part = ", ".join(keys)
+    kcomma = f"{part}, " if keys else ""
+    grp = f" GROUP BY {part}" if keys else ""
+    inner = (
+        f"(SELECT {kcomma}first(CMS_DEPTH) AS CMS_DEPTH, "
+        f"first(CMS_WIDTH) AS CMS_WIDTH, "
+        f"(COUNT(DISTINCT CMS_DEPTH) = 1 AND COUNT(DISTINCT CMS_WIDTH) = 1) "
+        f"AS SHAPE_OK, "
+        f"CAST(SUM(CMS_N) AS BIGINT) AS CMS_N, collect_list(CMS) AS __l "
+        f"FROM {source}{grp})"
+    )
+    merged = (
+        "aggregate(__l, "
+        "transform(sequence(1, CMS_DEPTH * CMS_WIDTH), x -> CAST(0 AS BIGINT)), "
+        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+    )
+    return (
+        f"SELECT {kcomma}CMS_DEPTH, CMS_WIDTH, CMS_N, {merged} AS CMS, "
+        f"SHAPE_OK FROM {inner}"
+    )
+
+
+@renderer("cms_estimate")
+def _r_cms_estimate(source, values, _input_columns=()) -> str:
+    vals = [str(v) for v in as_list(values)]
+    if not vals:
+        raise ParameterException("cms_estimate requires at least one value")
+    keys = [
+        c for c in _input_columns
+        if c not in ("CMS", "CMS_DEPTH", "CMS_WIDTH", "CMS_N", "SHAPE_OK")
+    ]
+    kcomma = (", ".join(keys) + ", ") if keys else ""
+    lits = ", ".join("'%s'" % v.replace("'", "''") for v in vals)
+    idx = (
+        f"CAST(d * CMS_WIDTH + "
+        f"{_bucket_spark_sql('VALUE', 'd', 'CMS_WIDTH')} + 1 AS INT)"
+    )
+    est = (
+        f"CAST(array_min(transform(sequence(0, CMS_DEPTH - 1), "
+        f"d -> element_at(CMS, {idx}))) AS BIGINT)"
+    )
+    return (
+        f"SELECT {kcomma}CMS_N, VALUE, {est} AS EST FROM "
+        f"(SELECT *, explode(array({lits})) AS VALUE FROM {source})"
+    )

@@ -158,3 +158,45 @@ def test_stream_cms_validation(spark, tmp_path_factory):
     with _pytest.raises(ParameterException):   # bad shape, pre-start
         stream_cms(sdf, "v", checkpoint=str(tmp / "c3"), depth=0,
                    sink_path=str(tmp / "o3"))
+
+
+def test_cms_renderers_roundtrip(spark, vals):
+    """The three SQL renderers execute to bit-identical frames vs the
+    DataFrame paths (sketch grid, merged grid, estimates)."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.cms import (
+        _r_cms_estimate,
+        _r_cms_merge,
+        _r_cms_sketch,
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    vals.createOrReplaceTempView("__cms_src")
+    sk_sql = _r_cms_sketch("__cms_src", "v", group_by=["g"], depth=3, width=32)
+    via = {r["g"]: (r["CMS_DEPTH"], r["CMS_WIDTH"], r["CMS_N"], tuple(r["CMS"]))
+           for r in spark.sql(sk_sql).collect()}
+    direct_df = cms_sketch(vals, "v", ["g"], depth=3, width=32)
+    direct = {r["g"]: (r["CMS_DEPTH"], r["CMS_WIDTH"], r["CMS_N"], tuple(r["CMS"]))
+              for r in direct_df.collect()}
+    assert via == direct
+
+    sharded = cms_sketch(vals.withColumn("shard", F.col("id") % 3),
+                         "v", ["g", "shard"], depth=3, width=32)
+    sharded.createOrReplaceTempView("__cms_sh")
+    mg_sql = _r_cms_merge("__cms_sh", group_by=["g"])
+    via_m = {r["g"]: (r["CMS_N"], tuple(r["CMS"]), r["SHAPE_OK"])
+             for r in spark.sql(mg_sql).collect()}
+    direct_m = {r["g"]: (r["CMS_N"], tuple(r["CMS"]), r["SHAPE_OK"])
+                for r in cms_merge(sharded, ["g"]).collect()}
+    assert via_m == direct_m
+
+    direct_df.createOrReplaceTempView("__cms_sk")
+    est_sql = _r_cms_estimate("__cms_sk", ["v0", "absent"],
+                              _input_columns=tuple(direct_df.columns))
+    via_e = {(r["g"], r["VALUE"]): r["EST"] for r in spark.sql(est_sql).collect()}
+    direct_e = {(r["g"], r["VALUE"]): r["EST"]
+                for r in cms_estimate(direct_df, ["v0", "absent"]).collect()}
+    assert via_e == direct_e
