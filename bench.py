@@ -363,6 +363,13 @@ BENCH_QUERIES = {
     # round-10 addition (fourth batch): batch retrieval over the inverted
     # postings join (broadcast query terms, exact integer-sum scores)
     "llm_bm25_join": entry.q_bm25_join,
+    # round-11 additions: the mergeable frequency-sketch path (shard build
+    # + merge + estimate — shuffle bounded by groups x depth x width), the
+    # contrastive-training hard-negative miner (broadcast queries + one
+    # corpus scan + k-bounded window), and the skew-pruned per-group cap
+    "llm_cms_merge": entry.q_cms_merge_estimate,
+    "llm_hard_negatives": entry.q_hard_negative_mine,
+    "llm_cap_per_group": entry.q_cap_per_group,
 }
 
 
