@@ -3588,7 +3588,11 @@ def _cms_oracle() -> str:
     return (
         f"WITH v AS (SELECT unnest([{vals}]) AS VALUE), "
         "d AS (SELECT unnest(range(4)) AS d), "
-        "src AS (SELECT DISTINCT source FROM documents), "
+        # a group exists in the sketch frame iff it has >= 1 non-null
+        # insertion (cms_sketch filters nulls BEFORE grouping) — mirror
+        # that here or an all-null source would diverge
+        "src AS (SELECT DISTINCT source FROM documents "
+        "WHERE lang IS NOT NULL), "
         "n AS (SELECT source, CAST(COUNT(lang) AS BIGINT) AS CMS_N "
         "FROM documents GROUP BY source), "
         f"bc AS (SELECT source, d.d AS d, {cb} AS b, COUNT(*) AS c "

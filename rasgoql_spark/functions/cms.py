@@ -86,7 +86,10 @@ def cms_sketch(
     ``(group keys…, CMS_DEPTH, CMS_WIDTH, CMS_N, CMS)`` where ``CMS`` is
     the depth·width counter grid flattened row-major (array<bigint>) and
     ``CMS_N`` is the number of non-null insertions. Persist the output as
-    the slim mergeable state; NULL values are skipped (not counted).
+    the slim mergeable state. NULL values are skipped (not counted) — a
+    group whose values are ALL null therefore emits NO sketch row (not a
+    zero sketch); consumers that need every group should left-join the
+    sketch frame and treat a missing row as EST 0.
     """
     _check_shape(depth, width)
     c = resolve_col(df, column)

@@ -1556,27 +1556,43 @@ def _r_dp_aggregate(source, group_by, stat="count", value_col=None,
     )
 
 
+def cap_order_exprs(df: DataFrame, order_by, key: str, seed: int,
+                    descending: bool) -> list:
+    """The shared capped-window sort key of :func:`cap_per_group` and
+    ``streaming.ops.stream_quota``: order_by columns (desc/asc), then a
+    seeded hash of the UNIQUE row key, then the key itself — deterministic
+    across runs and engines as long as ``key`` is unique per row."""
+    obs = [resolve_col(df, c) for c in as_list(order_by)]
+    tbc = resolve_col(df, key)
+    h = F.md5(
+        F.concat_ws("|", F.lit(str(int(seed))), F.col(tbc).cast("string"))
+    )
+    return [
+        (F.col(c).desc() if descending else F.col(c).asc()) for c in obs
+    ] + [h.asc(), F.col(tbc).asc()]
+
+
 @spark_transform("cap_per_group", category="curation", streaming_ok=False)
 def cap_per_group(
     df: DataFrame,
     group_by,
     k: int,
+    key: str,
     order_by=None,
     seed: int = 42,
-    key: str | None = None,
     descending: bool = True,
 ) -> DataFrame:
     """Keep at most ``k`` rows per group — the crawl-curation cap ("at most
     K pages per host / domain / source", the Gopher & RefinedWeb recipe
     that stops any single site from dominating a corpus).
 
-    With ``order_by``: keep the TOP-k by that column (``descending`` by
-    default — keep the best-scored pages; ties and the no-order variant
-    break on a seeded hash of ``key``, so the survivors are deterministic
-    across runs and engines, never partition-order accidents). Without
-    ``order_by``: a seeded uniform k-sample per group (hash order).
-    ``key`` defaults to the first ``order_by`` column and is required when
-    ``order_by`` is not given.
+    ``key`` must be a UNIQUE row id: ties on ``order_by`` (and the
+    no-order variant) break on a seeded hash of it, so the survivors are
+    deterministic across runs and engines, never partition-order
+    accidents — a non-unique key would void that guarantee, which is why
+    the parameter is required rather than defaulted. With ``order_by``:
+    keep the TOP-k by those columns (``descending`` by default — keep the
+    best-scored pages). Without: a seeded uniform k-sample per group.
 
     Scale: ONE window shuffle on the group keys; the per-group sort is
     local to the partition. The 100-TB skew case (one host with 10⁸ pages)
@@ -1591,18 +1607,13 @@ def cap_per_group(
         raise ParameterException("cap_per_group requires at least one group column")
     if k < 1:
         raise ParameterException("k must be >= 1")
-    obs = [resolve_col(df, c) for c in as_list(order_by)]
-    tb = key or (obs[0] if obs else None)
-    if tb is None:
-        raise ParameterException("pass key when order_by is not given")
-    tbc = resolve_col(df, tb)
-    h = F.md5(
-        F.concat_ws("|", F.lit(str(int(seed))), F.col(tbc).cast("string"))
+    if not key:
+        raise ParameterException(
+            "key is required — a unique row id makes survivors deterministic"
+        )
+    w = Window.partitionBy(*keys).orderBy(
+        *cap_order_exprs(df, order_by, key, seed, descending)
     )
-    order = [
-        (F.col(c).desc() if descending else F.col(c).asc()) for c in obs
-    ] + [h.asc(), F.col(tbc).asc()]
-    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(k))
@@ -1611,17 +1622,19 @@ def cap_per_group(
 
 
 @renderer("cap_per_group")
-def _r_cap_per_group(source, group_by, k, order_by=None, seed=42, key=None,
+def _r_cap_per_group(source, group_by, k, key, order_by=None, seed=42,
                      descending=True, _input_columns=()) -> str:
     keys = as_list(group_by)
     if not keys:
         raise ParameterException("cap_per_group requires at least one group column")
     if k < 1:
         raise ParameterException("k must be >= 1")
+    if not key:
+        raise ParameterException(
+            "key is required — a unique row id makes survivors deterministic"
+        )
     obs = as_list(order_by)
-    tb = key or (obs[0] if obs else None)
-    if tb is None:
-        raise ParameterException("pass key when order_by is not given")
+    tb = key
     h = f"md5(concat_ws('|', '{int(seed)}', CAST({tb} AS STRING)))"
     direction = "DESC" if descending else "ASC"
     order = ", ".join(

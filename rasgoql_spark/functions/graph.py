@@ -547,7 +547,7 @@ def kcore(
     src: str,
     dst: str,
     k: int,
-    max_iterations: int = KCORE_RENDER_MAX_ITER,
+    max_iterations: int = 20,
 ) -> DataFrame:
     """k-core membership of the undirected simple graph: iteratively peel
     nodes of degree < ``k`` until stable (Seidman 1983). Returns
@@ -555,13 +555,15 @@ def kcore(
     degree (≥ k by construction). The classic link-graph curation gate:
     pages outside a reasonable core are orphans/link-farm tendrils.
 
-    The default ``max_iterations`` equals ``KCORE_RENDER_MAX_ITER`` so a
-    default-params chain both executes AND renders (``.sql()``/dbt) —
-    executed-N and rendered-N are result-equal round for round. Deep peels
-    (long chains shed one layer per round) may need a larger value; if the
-    peel hasn't stabilized within ``max_iterations`` the result is the
-    partially-peeled graph, and values above the render cap execute fine
-    but raise at render time.
+    RENDER CONTRACT: the default ``max_iterations=20`` favors execution
+    correctness (deep peels — long chains shed one layer per round), but
+    the SQL renderer unrolls the peel and caps at
+    ``KCORE_RENDER_MAX_ITER`` (6) levels, so a DEFAULT-PARAMS CHAIN
+    EXECUTES FINE BUT ``.sql()``/``to_dbt()`` RAISES — pass
+    ``max_iterations <= 6`` (and confirm the peel converges within it: a
+    ``RuntimeWarning`` fires when the loop exhausts without stabilizing)
+    to keep a chain renderable. Executed-N and rendered-N are result-equal
+    round for round either way.
 
     Scale: each round is one degree aggregate + two semi-joins on slim id
     columns; early-exits when the edge count stabilizes (≤ peel-depth
@@ -603,6 +605,17 @@ def kcore(
         edges, n_edges = new_edges, n_new
         if stable:
             break
+    else:
+        if n_edges > 0:
+            import warnings
+
+            warnings.warn(
+                f"kcore: peel did not stabilize within max_iterations="
+                f"{max_iterations}; the result is a partially-peeled graph "
+                "— raise max_iterations for the exact k-core",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     out = (
         edges.groupBy("__src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("DEGREE"))

@@ -400,7 +400,9 @@ def curriculum_order(
     learning data layout, Bengio et al. 2009). Appends
     ``CURRICULUM_BUCKET`` (0-based; null scores land in the LAST bucket —
     unknown difficulty trains last) and ``SHUFFLE_KEY``. ``descending``
-    reverses the bucket direction (hard→easy, anti-curriculum).
+    reverses the bucket direction for SCORED rows (hard→easy,
+    anti-curriculum); nulls stay in the last bucket in both directions —
+    the "trains last" rule is a position contract, not a score value.
 
     Scale: bucket edges come from ONE broadcast min/max row (never a global
     rank — ntile/percent_rank would funnel one task); the final order is a
@@ -417,13 +419,15 @@ def curriculum_order(
     staged = df.crossJoin(F.broadcast(stats))
     span = F.col("__hi") - F.col("__lo")
     raw = F.floor((x - F.col("__lo")) / span * n_buckets).cast("int")
-    bucket = (
-        F.when(x.isNull(), F.lit(int(n_buckets) - 1))
-        .when(span <= 0, F.lit(0))
-        .otherwise(F.least(raw, F.lit(int(n_buckets) - 1)))
+    core = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(raw, F.lit(int(n_buckets) - 1))
     )
     if descending:
-        bucket = F.lit(int(n_buckets) - 1) - bucket
+        core = F.lit(int(n_buckets) - 1) - core
+    # nulls land in the LAST bucket in BOTH directions — "unknown
+    # difficulty trains last" is a position contract, not a score value,
+    # so the descending flip must not apply to it
+    bucket = F.when(x.isNull(), F.lit(int(n_buckets) - 1)).otherwise(core)
     skey = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(k).cast("string")))
     return (
         staged.withColumn("CURRICULUM_BUCKET", bucket)
@@ -441,13 +445,11 @@ def _r_curriculum_order(source, score_col, key, n_buckets=10, seed=42,
     n = int(n_buckets)
     x = f"CAST({score_col} AS DOUBLE)"
     raw = f"CAST(FLOOR(({x} - __lo) / (__hi - __lo) * {n}) AS INT)"
-    b = (
-        f"CASE WHEN {x} IS NULL THEN {n - 1} "
-        f"WHEN (__hi - __lo) <= 0 THEN 0 "
-        f"ELSE LEAST({raw}, {n - 1}) END"
-    )
+    core = f"CASE WHEN (__hi - __lo) <= 0 THEN 0 ELSE LEAST({raw}, {n - 1}) END"
     if descending:
-        b = f"({n - 1} - ({b}))"
+        core = f"({n - 1} - ({core}))"
+    # nulls stay in the LAST bucket in both directions (position contract)
+    b = f"CASE WHEN {x} IS NULL THEN {n - 1} ELSE {core} END"
     sel = ", ".join(_input_columns)
     return (
         f"SELECT {sel}, {b} AS CURRICULUM_BUCKET, "

@@ -400,7 +400,18 @@ def zscore_stats(df: DataFrame, column: str, group_by=None) -> dict:
         )
         .collect()
     )
-    bad = max((r["__mx"] for r in rows if r["__mx"] is not None), default=0.0)
+    import math
+
+    mxs = [r["__mx"] for r in rows if r["__mx"] is not None]
+    if any(math.isnan(m) for m in mxs):
+        # NaN > bound is False, so it would slip past the magnitude check —
+        # and the quantized sums silently DROP NaN rows while __n counts
+        # them, corrupting the frozen moments
+        raise ParameterException(
+            f"zscore_stats: {column} contains NaN — clean the column "
+            "before freezing a baseline"
+        )
+    bad = max(mxs, default=0.0)
     if bad > ZQ_SAFE_MAX:
         raise ParameterException(
             f"zscore_stats: |{column}| reaches {bad:g}, beyond the "

@@ -1133,7 +1133,22 @@ def stream_quota(
         raise ParameterException("stream_quota requires at least one group column")
     if not sink_path:
         raise ParameterException("stream_quota needs a sink_path")
-    obs = as_list(order_by)
+    if not key:
+        raise ParameterException(
+            "key is required — a unique row id makes admissions deterministic"
+        )
+    if "batch" in df.columns:
+        # the sink's partition column — a data column with the same name
+        # would make the prior-admissions read fail on every later batch
+        raise ParameterException(
+            "input has a column named 'batch', which is stream_quota's "
+            "reserved sink-partition name — rename it first"
+        )
+    # fail fast on bad names BEFORE .start(), and build the shared capped
+    # sort key (same expression as cap_per_group — one implementation)
+    from ..functions.curation import cap_order_exprs
+
+    order = cap_order_exprs(df, order_by, key, seed, descending)
     cols = list(df.columns)
 
     def _sink(batch_df: DataFrame, batch_id: int):
@@ -1147,17 +1162,18 @@ def stream_quota(
                 .groupBy(*keys)
                 .agg(F.count(F.lit(1)).cast("bigint").alias("__spent"))
             )
-        except AnalysisException:
-            # first batch: the sink directory does not exist yet; any other
-            # failure (corrupt sink, schema drift) must surface, not admit
-            # unbudgeted rows
+        except AnalysisException as e:
+            # ONLY the missing first-batch sink is skippable; any other
+            # analysis failure (duplicate column, schema drift, corrupt
+            # sink) must surface — swallowing it would silently admit
+            # unbudgeted rows forever
+            klass = ""
+            get = getattr(e, "getErrorClass", None)
+            if callable(get):
+                klass = get() or ""
+            if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(e):
+                raise
             spent = None
-        h = F.md5(
-            F.concat_ws("|", F.lit(str(int(seed))), F.col(key).cast("string"))
-        )
-        order = [
-            (F.col(c).desc() if descending else F.col(c).asc()) for c in obs
-        ] + [h.asc(), F.col(key).asc()]
         w = Window.partitionBy(*keys).orderBy(*order)
         ranked = batch_df.withColumn("__rn", F.row_number().over(w))
         if spent is not None:

@@ -58,7 +58,7 @@ def test_cap_validation(pages):
     with pytest.raises(ParameterException):
         cap_per_group(pages, ["host"], k=0, key="id")
     with pytest.raises(ParameterException):
-        cap_per_group(pages, ["host"], k=3)   # no order_by and no key
+        cap_per_group(pages, ["host"], k=3, key="")   # key is required
 
 
 def test_stream_quota_cross_batch_budget(spark, tmp_path_factory):
@@ -111,3 +111,32 @@ def test_stream_quota_validation(spark, tmp_path_factory):
         stream_quota(sdf, [], 5, "id", str(tmp / "c"), str(tmp / "o"))
     with pytest.raises(ParameterException):
         stream_quota(sdf, ["host"], 5, "id", str(tmp / "c"), "")
+
+
+def test_stream_quota_rejects_reserved_batch_column(spark, tmp_path_factory):
+    from rasgoql_spark.streaming.ops import stream_quota
+
+    tmp = tmp_path_factory.mktemp("squotab")
+    b = spark.createDataFrame([(1, "a", 0)], "id BIGINT, host STRING, batch INT")
+    src = str(tmp / "in")
+    b.write.parquet(src)
+    sdf = spark.readStream.schema(
+        "id BIGINT, host STRING, batch INT").parquet(src)
+    with pytest.raises(ParameterException):
+        stream_quota(sdf, ["host"], 5, "id", str(tmp / "c"), str(tmp / "o"))
+
+
+def test_cap_per_group_ties_with_unique_key_are_deterministic(spark):
+    # every score identical: survivors are picked purely by the seeded
+    # hash of the unique key — stable across runs
+    from rasgoql_spark.functions.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "h", 1.0) for i in range(50)], "id BIGINT, host STRING, s DOUBLE"
+    )
+    runs = [
+        {r["id"] for r in cap_per_group(df, ["host"], k=5,
+                                        order_by=["s"], key="id").collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2] and len(runs[0]) == 5

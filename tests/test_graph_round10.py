@@ -145,3 +145,24 @@ def test_kcore_renderer_roundtrip(spark):
     direct = kcore(df, "src", "dst", k=3, max_iterations=4)
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+def test_kcore_warns_on_unconverged_peel(spark):
+    """A chain graph peels one layer per round: max_iterations below the
+    peel depth returns a partial result and fires RuntimeWarning."""
+    import warnings
+
+    from rasgoql_spark.functions.graph import kcore
+
+    pairs = [(i, i + 1) for i in range(12)]           # path graph
+    df = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        kcore(df, "src", "dst", k=2, max_iterations=2).collect()
+        assert any("did not stabilize" in str(x.message) for x in w)
+    # converged run stays silent and empty (a path has no 2-core)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = kcore(df, "src", "dst", k=2, max_iterations=12).collect()
+        assert out == []
+        assert not any("did not stabilize" in str(x.message) for x in w)

@@ -425,3 +425,16 @@ def test_zscore_stats_rejects_overflow_magnitudes(spark):
     )
     with _pytest.raises(ParameterException):
         zscore_stats(bad, "v", ["g"])
+
+
+def test_zscore_stats_rejects_nan(spark):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.timeseries import zscore_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan"))], "g string, v double"
+    )
+    with _pytest.raises(ParameterException):
+        zscore_stats(df, "v", ["g"])

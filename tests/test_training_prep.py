@@ -79,7 +79,9 @@ def test_curriculum_order_buckets_and_determinism(spark):
     assert [r["id"] for r in out] == [r["id"] for r in again]
     rev = curriculum_order(df, "score", "id", n_buckets=4,
                            descending=True).collect()
-    assert {r["id"]: r["CURRICULUM_BUCKET"] for r in rev}[0] == 3
+    rev_by_id = {r["id"]: r["CURRICULUM_BUCKET"] for r in rev}
+    assert rev_by_id[0] == 3
+    assert rev_by_id[100] == 3   # nulls stay LAST even when descending
 
 
 def test_curriculum_order_constant_score_single_bucket(spark):
