@@ -508,3 +508,87 @@ def test_classifier_eval_matches_pairwise_reference(rows, threshold):
             1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
         ) / (len(pos) * len(neg))
         assert abs(got["AUC"] - auc) <= 1e-6
+
+
+# --------------------------------------------------------------------------
+# round-11 invariants: CMS bounds/mergeability, cap cardinality, curriculum
+# monotonicity (hypothesis generates the data; Spark round-trips are kept
+# small and example counts low — each draw is a distributed job)
+# --------------------------------------------------------------------------
+
+_values = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=1, max_size=60
+)
+
+
+@given(_values, st.integers(min_value=1, max_value=3),
+       st.sampled_from([8, 16, 32]))
+@settings(max_examples=8, deadline=None)
+def test_cms_estimate_overestimates_only(spark, vals, depth, width):
+    from collections import Counter
+
+    from rasgoql_spark.functions.cms import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id BIGINT, v STRING")
+    sk = cms_sketch(df, "v", depth=depth, width=width)
+    truth = Counter(vals)
+    est = {r["VALUE"]: r["EST"]
+           for r in cms_estimate(sk, sorted(set(vals))).collect()}
+    for v, c in truth.items():
+        assert est[v] >= c                    # CMS never undercounts
+        assert est[v] <= len(vals)            # and never exceeds N
+
+
+@given(_values)
+@settings(max_examples=6, deadline=None)
+def test_cms_merge_equals_rebuild(spark, vals):
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.cms import cms_estimate, cms_merge, cms_sketch
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id BIGINT, v STRING")
+    whole = cms_sketch(df, "v", depth=2, width=16)
+    shards = cms_sketch(df.withColumn("s", F.col("id") % 2), "v", ["s"],
+                        depth=2, width=16)
+    merged = cms_merge(shards).drop("SHAPE_OK")
+    q = sorted(set(vals))
+    a = {r["VALUE"]: r["EST"] for r in cms_estimate(whole, q).collect()}
+    b = {r["VALUE"]: r["EST"] for r in cms_estimate(merged, q).collect()}
+    assert a == b
+
+
+@given(st.integers(min_value=1, max_value=9),
+       st.lists(st.integers(min_value=0, max_value=4), min_size=1,
+                max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_cap_per_group_cardinality(spark, k, groups):
+    from collections import Counter
+
+    from rasgoql_spark.functions.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"g{g}") for i, g in enumerate(groups)], "id BIGINT, g STRING"
+    )
+    out = cap_per_group(df, ["g"], k=k, key="id").collect()
+    got = Counter(r["g"] for r in out)
+    want = Counter(f"g{g}" for g in groups)
+    for g, n in want.items():
+        assert got[g] == min(k, n)            # exactly min(k, |group|) survive
+
+
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False), min_size=2, max_size=40,
+                unique=True))
+@settings(max_examples=8, deadline=None)
+def test_curriculum_buckets_monotone_in_score(spark, scores):
+    from rasgoql_spark.functions.mix import curriculum_order
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(scores)],
+                               "id BIGINT, score DOUBLE")
+    rows = curriculum_order(df, "score", "id", n_buckets=4).collect()
+    by_score = sorted(rows, key=lambda r: r["score"])
+    buckets = [r["CURRICULUM_BUCKET"] for r in by_score]
+    assert buckets == sorted(buckets)         # bucket is monotone in score
+    assert buckets[0] == 0 and buckets[-1] == 3
