@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 235 entries, ALL 235 with DuckDB oracles (round 4
+streaming extensions) — 236 entries, ALL 236 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -3056,6 +3056,41 @@ def q_anomaly_zscore(spark, sf):
         .drop_columns(include_cols=["event_id", "ZSCORE_VALUE", "IS_ANOMALY"])
         .df
     )
+
+
+def q_anomaly_mad(spark, sf):
+    """Robust median/MAD outlier flags per event_type (round 11): the
+    50%-breakdown sibling of anomaly_zscore — a burst of extremes can't
+    inflate the spread to mask itself."""
+    return (
+        _s(spark, sf).dataset("events")
+        .anomaly_mad(value_col="value", group_by=["event_type"],
+                     threshold=3.5)
+        .drop_columns(include_cols=["event_id", "VALUE_MEDIAN", "VALUE_MAD",
+                                    "MOD_Z_VALUE", "IS_OUTLIER_MAD"])
+        .df
+    )
+
+
+_ANOMALY_MAD_ORACLE = (
+    # Spark exact percentile == DuckDB quantile_cont (the quantiles
+    # operator's pinned contract); identical double arithmetic thereafter
+    "WITH med AS (SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) "
+    "AS VALUE_MEDIAN FROM events GROUP BY event_type), "
+    "st AS (SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS x, "
+    "m.VALUE_MEDIAN FROM events e JOIN med m ON e.event_type = m.event_type), "
+    "mad AS (SELECT event_type, quantile_cont(ABS(x - VALUE_MEDIAN), 0.5) "
+    "AS VALUE_MAD FROM st GROUP BY event_type) "
+    "SELECT s.event_id, s.VALUE_MEDIAN, m.VALUE_MAD, "
+    "CASE WHEN m.VALUE_MAD > 0 THEN "
+    "ROUND(0.6745 * (s.x - s.VALUE_MEDIAN) / m.VALUE_MAD, 6) END "
+    "AS MOD_Z_VALUE, "
+    "CASE WHEN s.x IS NULL OR s.VALUE_MEDIAN IS NULL THEN NULL "
+    "WHEN m.VALUE_MAD > 0 THEN CAST(ABS(ROUND(0.6745 * (s.x - s.VALUE_MEDIAN) "
+    "/ m.VALUE_MAD, 6)) > 3.5 AS INT) "
+    "ELSE CAST(s.x <> s.VALUE_MEDIAN AS INT) END AS IS_OUTLIER_MAD "
+    "FROM st s JOIN mad m ON s.event_type = m.event_type"
+)
 
 
 def q_changepoint_detect(spark, sf):
@@ -6120,6 +6155,7 @@ ranked AS (
         "hard_negative_mine": _hard_negative_oracle(),
         "curriculum_order": _CURRICULUM_ORACLE,
         "cap_per_group": _CAP_PER_GROUP_ORACLE,
+        "anomaly_mad": _ANOMALY_MAD_ORACLE,
     }
 
 
@@ -6135,7 +6171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 7 earlier r10 operators, then the remaining r6-stale block to
     # fill 50 (its alphabetical tail yields slots to the new ops and
     # re-fronts next round) — union max-staleness r6/r7. All
-    # 235 entries pass tools/oracle_check.py locally (fresh full run
+    # 236 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
         # --- new round-10 timeseries operators ---
@@ -6173,6 +6209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mine": q_hard_negative_mine,
         "curriculum_order": q_curriculum_order,
         "cap_per_group": q_cap_per_group,
+        "anomaly_mad": q_anomaly_mad,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -6410,6 +6447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mine",
         "curriculum_order",
         "cap_per_group",
+        "anomaly_mad",
         "ewma",
         "anomaly_zscore",
         "changepoint_detect",
@@ -6449,9 +6487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_search_ivfpq_rerank",
         "embedding_join_ivfpq_rerank",
         "zorder",
-        # r6-stale block (37)
+        # r6-stale block (36)
         "approx_distinct", "bin", "cumulative_agg", "datespine",
-        "datespine_groups",
         # (dedup_against, except, fingerprint, funnel, grouping_sets,
         # heatmap, histogram, importance_sample,
         # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,

@@ -836,3 +836,107 @@ def _r_cross_correlation(source, x_col, y_col, order_by, lags=(0, 1, 2),
             f"THEN ROUND({cov} / sqrt({vx} * {vy}), {round_to}) END AS {nm}"
         )
     return f"SELECT {', '.join(outer_cols)} FROM ({inner})"
+
+
+@spark_transform("anomaly_mad", category="timeseries", streaming_ok=False)
+def anomaly_mad(
+    df: DataFrame,
+    value_col: str,
+    group_by=None,
+    threshold: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier flags via the modified z-score (Iglewicz &
+    Hoaglin 1993): ``MOD_Z = 0.6745·(x − median) / MAD`` with MAD the
+    median absolute deviation; flag ``|MOD_Z| > threshold`` (3.5 is the
+    published default). The robust sibling of :func:`anomaly_zscore`:
+    median/MAD have a 50% breakdown point, so a burst of extreme rows
+    cannot mask itself by inflating the spread the way it inflates a
+    mean/std baseline. Appends ``{COL}_MEDIAN``, ``{COL}_MAD``,
+    ``MOD_Z_{COL}`` (rounded; NULL when MAD = 0 or x is NULL) and
+    ``IS_OUTLIER_MAD`` (when MAD = 0, any x ≠ median flags — a
+    zero-spread group makes every deviation an anomaly).
+
+    Exactness: medians use Spark's EXACT ``percentile`` (linear
+    interpolation — bit-equal to DuckDB ``quantile_cont``, the contract
+    the ``quantiles`` operator already pins), so the whole report replays
+    cross-engine. Scale: two percentile aggregates (|groups| rows out) +
+    two key joins the optimizer broadcasts when small; the exact
+    percentile buffers one group's values per aggregate — fine to
+    millions of rows per group, same envelope as ``quantiles``.
+    """
+    from ..naming import cleanse_name
+    from ..operators._util import resolve_cols
+
+    if threshold <= 0:
+        raise ParameterException("threshold must be > 0")
+    v = resolve_col(df, value_col)
+    keys = resolve_cols(df, as_list(group_by))
+    nm = cleanse_name(v)
+    x = F.col(v).cast("double")
+    med_f = df.groupBy(*keys).agg(
+        F.percentile(x, F.lit(0.5)).alias(f"{nm}_MEDIAN")
+    )
+    staged = (
+        df.join(med_f, on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(med_f))
+    )
+    dev = F.abs(x - F.col(f"{nm}_MEDIAN"))
+    mad_f = staged.groupBy(*keys).agg(
+        F.percentile(dev, F.lit(0.5)).alias(f"{nm}_MAD")
+    )
+    full = (
+        staged.join(mad_f, on=keys, how="left")
+        if keys
+        else staged.crossJoin(F.broadcast(mad_f))
+    )
+    med, mad = F.col(f"{nm}_MEDIAN"), F.col(f"{nm}_MAD")
+    z = F.round(F.lit(0.6745) * (x - med) / mad, round_to)
+    return full.withColumn(
+        f"MOD_Z_{nm}", F.when(mad > 0, z)
+    ).withColumn(
+        "IS_OUTLIER_MAD",
+        F.when(x.isNull() | med.isNull(), F.lit(None).cast("int"))
+        .when(mad > 0, (F.abs(z) > threshold).cast("int"))
+        .otherwise((x != med).cast("int")),
+    )
+
+
+@renderer("anomaly_mad")
+def _r_anomaly_mad(source, value_col, group_by=None, threshold=3.5,
+                   round_to=6, _input_columns=()) -> str:
+    from ..naming import cleanse_name
+
+    if threshold <= 0:
+        raise ParameterException("threshold must be > 0")
+    keys = as_list(group_by)
+    nm = cleanse_name(value_col)
+    x = f"CAST({value_col} AS DOUBLE)"
+    part = ", ".join(keys)
+    kcomma = f"{part}, " if keys else ""
+    grp = f" GROUP BY {part}" if keys else ""
+    on = " AND ".join(f"s.{c} <=> m.{c}" for c in keys) if keys else "TRUE"
+    med = (
+        f"(SELECT {kcomma}percentile({x}, 0.5) AS {nm}_MEDIAN "
+        f"FROM {source}{grp})"
+    )
+    sel0 = ", ".join(f"s.{c}" for c in _input_columns)
+    staged = (
+        f"(SELECT {sel0}, m.{nm}_MEDIAN FROM {source} s JOIN {med} m ON {on})"
+    )
+    mad = (
+        f"(SELECT {kcomma}percentile(ABS({x} - {nm}_MEDIAN), 0.5) AS {nm}_MAD "
+        f"FROM {staged}{grp})"
+    )
+    on2 = " AND ".join(f"s.{c} <=> m.{c}" for c in keys) if keys else "TRUE"
+    z = f"ROUND(0.6745 * ({x} - s.{nm}_MEDIAN) / m.{nm}_MAD, {int(round_to)})"
+    sel = ", ".join(f"s.{c}" for c in _input_columns)
+    return (
+        f"SELECT {sel}, s.{nm}_MEDIAN, m.{nm}_MAD, "
+        f"CASE WHEN m.{nm}_MAD > 0 THEN {z} END AS MOD_Z_{nm}, "
+        f"CASE WHEN {x} IS NULL OR s.{nm}_MEDIAN IS NULL THEN NULL "
+        f"WHEN m.{nm}_MAD > 0 THEN CAST(ABS({z}) > {float(threshold)!r} AS INT) "
+        f"ELSE CAST({x} <> s.{nm}_MEDIAN AS INT) END AS IS_OUTLIER_MAD "
+        f"FROM {staged} s JOIN {mad} m ON {on2}"
+    )

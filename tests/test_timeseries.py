@@ -438,3 +438,49 @@ def test_zscore_stats_rejects_nan(spark):
     )
     with _pytest.raises(ParameterException):
         zscore_stats(df, "v", ["g"])
+
+
+def test_anomaly_mad_known_values(spark):
+    from rasgoql_spark.functions.timeseries import anomaly_mad
+
+    # group a: median 3, MAD 1; 100.0 is a blatant outlier the mean/std
+    # z-score would partially mask (it inflates std to ~48)
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r for r in anomaly_mad(df, "v", ["g"]).collect()}
+    assert out[3.0]["V_MEDIAN"] == 3.0
+    assert out[3.0]["V_MAD"] == 1.0
+    assert out[100.0]["IS_OUTLIER_MAD"] == 1
+    assert out[100.0]["MOD_Z_VALUE" if False else "MOD_Z_V"] == round(
+        0.6745 * 97.0, 6)
+    assert all(out[v]["IS_OUTLIER_MAD"] == 0 for v in (1.0, 2.0, 3.0, 4.0))
+
+
+def test_anomaly_mad_zero_spread_and_nulls(spark):
+    from rasgoql_spark.functions.timeseries import anomaly_mad
+
+    rows = [("a", 5.0), ("a", 5.0), ("a", 5.0), ("a", 7.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = anomaly_mad(df, "v", ["g"]).collect()
+    a = [r for r in out if r["g"] == "a"]
+    # MAD = 0 (median of deviations 0,0,0,2): any deviation flags
+    assert all(r["MOD_Z_V"] is None for r in a)
+    assert sorted(r["IS_OUTLIER_MAD"] for r in a) == [0, 0, 0, 1]
+    b = [r for r in out if r["g"] == "b"]
+    assert b[0]["IS_OUTLIER_MAD"] is None
+
+
+def test_anomaly_mad_renderer_roundtrip(spark):
+    from rasgoql_spark.functions.timeseries import _r_anomaly_mad, anomaly_mad
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.createOrReplaceTempView("__mad_rt")
+    sql = _r_anomaly_mad("__mad_rt", "value", ["event_type"],
+                         _input_columns=tuple(ev.columns))
+    a = {(r["event_id"], r["MOD_Z_VALUE"], r["IS_OUTLIER_MAD"])
+         for r in spark.sql(sql)
+         .select("event_id", "MOD_Z_VALUE", "IS_OUTLIER_MAD").collect()}
+    b = {(r["event_id"], r["MOD_Z_VALUE"], r["IS_OUTLIER_MAD"])
+         for r in anomaly_mad(ev, "value", ["event_type"])
+         .select("event_id", "MOD_Z_VALUE", "IS_OUTLIER_MAD").collect()}
+    assert a == b
