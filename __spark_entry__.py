@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes one callable
 per implemented operator from SURVEY.md §2 (plus the LLM-pipeline and
-streaming extensions) — 236 entries, ALL 236 with DuckDB oracles (round 4
+streaming extensions) — 237 entries, ALL 237 with DuckDB oracles (round 4
 gave the approximate ANN family exact oracles: the hyperplane-LSH bucketing
 is integer arithmetic, replicated bit-for-bit in DuckDB; IVF gets an exact
 containment/recall verification summary). The dict is ORDERED for the
@@ -3278,6 +3278,67 @@ def q_stream_anomaly_batch(spark, sf):
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
+def q_stream_anomaly_mad_batch(spark, sf):
+    """Deterministic batch replay of stream_anomaly(method='mad') — the
+    ROBUST monitor body (round 11): three synthesized micro-batches scored
+    per event_type against frozen median/MAD baselines. Exact-percentile
+    medians replay bit-for-bit (quantile_cont contract)."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.timeseries import (
+        mad_against_stats,
+        mad_stats,
+    )
+
+    ev = _s(spark, sf).dataset("events").df
+    stats = mad_stats(ev, "value", ["event_type"])
+    parts = []
+    for b in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == b)
+        parts.append(
+            mad_against_stats(batch, "value", stats, ["event_type"],
+                              threshold=3.5)
+            .withColumn("BATCH", F.lit(b))
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def _stream_anomaly_mad_oracle() -> str:
+    """DuckDB replay of q_stream_anomaly_mad_batch: frozen median/MAD are
+    recomputed with quantile_cont (== Spark's exact percentile, the
+    quantiles contract), then identical double arithmetic; outliers
+    compare the ROUNDED modified z like the engine."""
+    x = "CAST(value AS DOUBLE)"
+    z = "ROUND(0.6745 * (x - m) / d, 6)"
+    return (
+        f"WITH med AS (SELECT event_type, quantile_cont({x}, 0.5) AS m "
+        "FROM events WHERE value IS NOT NULL GROUP BY event_type), "
+        f"st AS (SELECT e.event_id, e.event_type, {x} AS x, md.m "
+        "FROM events e JOIN med md ON e.event_type = md.event_type), "
+        "mad AS (SELECT event_type, quantile_cont(ABS(x - m), 0.5) AS d "
+        "FROM st WHERE x IS NOT NULL GROUP BY event_type), "
+        "fz AS (SELECT md.event_type, md.m, md2.d FROM med md "
+        "JOIN mad md2 ON md.event_type = md2.event_type), "
+        "b AS (SELECT event_id % 3 AS BATCH, e.event_type, "
+        f"{x} AS x, fz.m, fz.d "
+        "FROM events e LEFT JOIN fz ON e.event_type = fz.event_type), "
+        "rep AS (SELECT BATCH, event_type, CAST(COUNT(x) AS BIGINT) AS N, "
+        "CAST(SUM(CASE WHEN m IS NULL OR x IS NULL THEN NULL "
+        f"WHEN d > 0 AND ABS({z}) > 3.5 THEN 1 "
+        "WHEN d <= 0 AND x <> m THEN 1 ELSE 0 END) AS BIGINT) AS N_OUTLIERS, "
+        "quantile_cont(x, 0.5) AS bmed, MAX(m) AS m, MAX(d) AS d "
+        "FROM b GROUP BY BATCH, event_type) "
+        "SELECT event_type, N, N_OUTLIERS, "
+        "CASE WHEN m IS NOT NULL AND N > 0 "
+        "THEN ROUND(N_OUTLIERS / CAST(N AS DOUBLE), 6) END AS OUTLIER_RATE, "
+        "CASE WHEN N > 0 THEN ROUND(bmed, 6) END AS BATCH_MEDIAN, "
+        "ROUND(m, 6) AS BASELINE_MEDIAN, "
+        "CASE WHEN d > 0 AND N > 0 "
+        "THEN ROUND(0.6745 * (bmed - m) / d, 6) END AS MEDIAN_SHIFT_Z, "
+        "BATCH FROM rep"
+    )
+
+
 def _stream_anomaly_oracle() -> str:
     """DuckDB replay of q_stream_anomaly_batch: the frozen moments are
     recomputed from the SAME exact integer sums (Σ round(x·10⁶),
@@ -6156,6 +6217,7 @@ ranked AS (
         "curriculum_order": _CURRICULUM_ORACLE,
         "cap_per_group": _CAP_PER_GROUP_ORACLE,
         "anomaly_mad": _ANOMALY_MAD_ORACLE,
+        "stream_anomaly_mad_batch": _stream_anomaly_mad_oracle(),
     }
 
 
@@ -6171,7 +6233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 7 earlier r10 operators, then the remaining r6-stale block to
     # fill 50 (its alphabetical tail yields slots to the new ops and
     # re-fronts next round) — union max-staleness r6/r7. All
-    # 236 entries pass tools/oracle_check.py locally (fresh full run
+    # 237 entries pass tools/oracle_check.py locally (fresh full run
     # recorded in COVERAGE.md).
     base = {
         # --- new round-10 timeseries operators ---
@@ -6210,6 +6272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "cap_per_group": q_cap_per_group,
         "anomaly_mad": q_anomaly_mad,
+        "stream_anomaly_mad_batch": q_stream_anomaly_mad_batch,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,
@@ -6448,6 +6511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order",
         "cap_per_group",
         "anomaly_mad",
+        "stream_anomaly_mad_batch",
         "ewma",
         "anomaly_zscore",
         "changepoint_detect",
@@ -6487,8 +6551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_search_ivfpq_rerank",
         "embedding_join_ivfpq_rerank",
         "zorder",
-        # r6-stale block (36)
-        "approx_distinct", "bin", "cumulative_agg", "datespine",
+        # r6-stale block (35)
+        "approx_distinct", "bin", "cumulative_agg",
         # (dedup_against, except, fingerprint, funnel, grouping_sets,
         # heatmap, histogram, importance_sample,
         # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,

@@ -940,3 +940,139 @@ def _r_anomaly_mad(source, value_col, group_by=None, threshold=3.5,
         f"ELSE CAST({x} <> s.{nm}_MEDIAN AS INT) END AS IS_OUTLIER_MAD "
         f"FROM {staged} s JOIN {mad} m ON {on2}"
     )
+
+
+def mad_stats(df: DataFrame, column: str, group_by=None) -> dict:
+    """The FROZEN side of robust (median/MAD) monitoring: ``{group_key_tuple:
+    (median, mad)}`` from the accepted baseline — the :func:`zscore_stats`
+    analog with a 50% breakdown point (outliers in the baseline itself
+    cannot distort the frozen center/spread). Exact ``percentile`` medians
+    (bit-equal to DuckDB ``quantile_cont``), one bounded one-row-per-group
+    collect per pass; compute once per release.
+    """
+    from ..operators._util import resolve_cols
+
+    keys = resolve_cols(df, as_list(group_by))
+    v = resolve_col(df, column)
+    x = F.col(v).cast("double")
+    med_rows = (
+        df.filter(x.isNotNull())
+        .groupBy(*keys)
+        .agg(F.percentile(x, F.lit(0.5)).alias("__med"))
+        .collect()
+    )
+    meds = {tuple(r[k] for k in keys) if keys else (): r["__med"]
+            for r in med_rows}
+    if not meds:
+        raise ParameterException("baseline is empty")
+    spark = df.sparkSession
+    if keys:
+        key_fields = df.select(*keys).schema
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(list(key_fields) + [StructField("__med", DoubleType())])
+        mf = spark.createDataFrame(
+            [(*k, float(m)) for k, m in sorted(meds.items())], schema
+        )
+        staged = df.join(F.broadcast(mf), on=keys, how="inner")
+    else:
+        (m,) = meds.values()
+        staged = df.withColumn("__med", F.lit(float(m)))
+    mad_rows = (
+        staged.filter(x.isNotNull())
+        .groupBy(*keys)
+        .agg(F.percentile(F.abs(x - F.col("__med")), F.lit(0.5)).alias("__mad"))
+        .collect()
+    )
+    out = {}
+    for r in mad_rows:
+        key = tuple(r[k] for k in keys) if keys else ()
+        out[key] = (float(meds[key]), float(r["__mad"]))
+    return out
+
+
+def mad_against_stats(
+    df: DataFrame,
+    column: str,
+    stats: dict,
+    group_by=None,
+    threshold: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group robust anomaly report of ``df`` against FROZEN
+    (median, MAD) baselines (from :func:`mad_stats`) — the per-micro-batch
+    body of ``stream_anomaly(method='mad')``. Output per group: ``N``,
+    ``N_OUTLIERS`` (rows with |0.6745·(x − median)/MAD| > threshold),
+    ``OUTLIER_RATE``, ``BATCH_MEDIAN`` (exact percentile),
+    ``BASELINE_MEDIAN``, ``MEDIAN_SHIFT_Z`` (the batch-median shift in
+    modified-z units — the robust drift alarm). Groups absent from the
+    baseline report N with null statistics. A zero-MAD baseline counts any
+    x ≠ median as an outlier and leaves the shift null.
+
+    Scale: ONE hash aggregate on the group keys (the exact batch-median
+    buffers one group's batch values — the micro-batch envelope); the
+    baseline is a ≤|groups|-row broadcast literal frame. Exact-percentile
+    arithmetic replays bit-for-bit as SQL.
+    """
+    from ..operators._util import resolve_cols
+
+    if not stats:
+        raise ParameterException("frozen stats are empty")
+    if threshold <= 0:
+        raise ParameterException("threshold must be > 0")
+    keys = resolve_cols(df, as_list(group_by))
+    v = resolve_col(df, column)
+    spark = df.sparkSession
+    if keys:
+        key_fields = df.select(*keys).schema
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType(
+            list(key_fields)
+            + [StructField("__bm", DoubleType()), StructField("__bd", DoubleType())]
+        )
+        exp = spark.createDataFrame(
+            [(*k, float(m), float(d)) for k, (m, d) in sorted(stats.items())],
+            schema,
+        )
+        staged = df.join(F.broadcast(exp), on=keys, how="left")
+    else:
+        (m, d), = stats.values()
+        exp = spark.createDataFrame([(float(m), float(d))],
+                                    "__bm double, __bd double")
+        staged = df.crossJoin(F.broadcast(exp))
+    x = F.col(v).cast("double")
+    z = F.round(F.lit(0.6745) * (x - F.col("__bm")) / F.col("__bd"), round_to)
+    outlier = (
+        F.when(F.col("__bm").isNull() | x.isNull(), F.lit(None).cast("int"))
+        .when((F.col("__bd") > 0) & (F.abs(z) > threshold), 1)
+        .when((F.col("__bd") <= 0) & (x != F.col("__bm")), 1)
+        .otherwise(0)
+    )
+    agg = staged.groupBy(*keys).agg(
+        F.count(v).alias("N"),
+        F.sum(outlier).cast("bigint").alias("N_OUTLIERS"),
+        F.percentile(x, F.lit(0.5)).alias("__bmed"),
+        F.max("__bm").alias("__m"),
+        F.max("__bd").alias("__d"),
+    )
+    return agg.select(
+        *keys,
+        "N",
+        "N_OUTLIERS",
+        F.when(
+            F.col("__m").isNotNull() & (F.col("N") > 0),
+            F.round(F.col("N_OUTLIERS") / F.col("N"), round_to),
+        ).alias("OUTLIER_RATE"),
+        F.when(F.col("N") > 0, F.round(F.col("__bmed"), round_to)).alias(
+            "BATCH_MEDIAN"
+        ),
+        F.round(F.col("__m"), round_to).alias("BASELINE_MEDIAN"),
+        F.when(
+            (F.col("__d") > 0) & (F.col("N") > 0),
+            F.round(
+                F.lit(0.6745) * (F.col("__bmed") - F.col("__m")) / F.col("__d"),
+                round_to,
+            ),
+        ).alias("MEDIAN_SHIFT_Z"),
+    )

@@ -984,48 +984,67 @@ def stream_anomaly(
     baseline: DataFrame | None = None,
     expected: dict | None = None,
     group_by=None,
-    threshold: float = 3.0,
+    threshold: float | None = None,
     sink_path: str | None = None,
     sink_table: str | None = None,
+    method: str = "zscore",
 ):
     """Streaming anomaly monitor — the z-score sibling of ``stream_psi``:
-    every micro-batch is scored per group against FROZEN baseline moments
-    (``timeseries.zscore_stats``), and the per-group report (N,
-    N_ANOMALIES, ANOMALY_RATE, BATCH_MEAN, BASELINE_MEAN, MEAN_Z) lands in
-    the monitoring sink. Alert on MEAN_Z (batch-mean drift in standard
-    errors) or ANOMALY_RATE from the sink; the stream never blocks ingest.
+    every micro-batch is scored per group against FROZEN baseline
+    statistics, and the per-group report lands in the monitoring sink.
+    ``method='zscore'`` (default) freezes mean/std
+    (``timeseries.zscore_stats``; report: N, N_ANOMALIES, ANOMALY_RATE,
+    BATCH_MEAN, BASELINE_MEAN, MEAN_Z; default threshold 3.0);
+    ``method='mad'`` freezes median/MAD (``timeseries.mad_stats``; report:
+    N, N_OUTLIERS, OUTLIER_RATE, BATCH_MEDIAN, BASELINE_MEDIAN,
+    MEDIAN_SHIFT_Z; default threshold 3.5) — the robust form whose frozen
+    center/spread a contaminated baseline cannot distort (50% breakdown).
+    Alert on the drift column or the rate from the sink; the stream never
+    blocks ingest.
 
-    Pass ``expected`` (the zscore_stats dict — compute once per release) or
-    a static ``baseline`` frame to derive it here (one bounded
-    one-row-per-group collect). Per-batch cost is ONE hash aggregate on the
-    group keys regardless of corpus size — the amortized regime of the
+    Pass ``expected`` (the matching stats dict — compute once per release)
+    or a static ``baseline`` frame to derive it here (bounded
+    one-row-per-group collects). Per-batch cost is ONE hash aggregate on
+    the group keys regardless of corpus size — the amortized regime of the
     crawl-ingest family. Exactly-once under replay via the shared
     ``_exactly_once_sink``; ``availableNow`` trigger."""
-    from ..functions.timeseries import zscore_against_stats, zscore_stats
+    from ..functions.timeseries import (
+        mad_against_stats,
+        mad_stats,
+        zscore_against_stats,
+        zscore_stats,
+    )
 
     if not df.isStreaming:
         raise ParameterException(
             "stream_anomaly expects a streaming DataFrame (use "
-            "timeseries.zscore_against_stats for batch scoring)"
+            "timeseries.zscore_against_stats / mad_against_stats for batch "
+            "scoring)"
         )
     # fail fast BEFORE .start(): foreachBatch errors only surface per-batch
+    if method not in ("zscore", "mad"):
+        raise ParameterException("method must be 'zscore' or 'mad'")
+    if threshold is None:
+        threshold = 3.0 if method == "zscore" else 3.5
     if threshold <= 0:
         raise ParameterException("threshold must be > 0")
     if (baseline is None) == (expected is None):
         raise ParameterException(
             "pass exactly one of baseline (static frame) or expected "
-            "(zscore_stats dict)"
+            "(stats dict)"
         )
     if sink_path is None and sink_table is None:
         raise ParameterException("stream_anomaly needs a sink_path or sink_table")
-    stats = dict(expected) if expected is not None else zscore_stats(
+    freeze = zscore_stats if method == "zscore" else mad_stats
+    against = zscore_against_stats if method == "zscore" else mad_against_stats
+    stats = dict(expected) if expected is not None else freeze(
         baseline, column, group_by
     )
     if not stats:
         raise ParameterException("frozen stats are empty")
 
     def score(b: DataFrame) -> DataFrame:
-        return zscore_against_stats(b, column, stats, group_by, threshold)
+        return against(b, column, stats, group_by, threshold)
 
     return (
         df.writeStream

@@ -484,3 +484,80 @@ def test_anomaly_mad_renderer_roundtrip(spark):
          for r in anomaly_mad(ev, "value", ["event_type"])
          .select("event_id", "MOD_Z_VALUE", "IS_OUTLIER_MAD").collect()}
     assert a == b
+
+
+def test_mad_stats_and_against_stats(spark):
+    from rasgoql_spark.functions.timeseries import mad_against_stats, mad_stats
+
+    baseline = spark.createDataFrame(
+        [("a", float(v % 9)) for v in range(180)] + [("a", 500.0)],
+        "g string, v double",
+    )
+    stats = mad_stats(baseline, "v", ["g"])
+    med, mad = stats[("a",)]
+    # the single 500.0 in the baseline cannot move median/MAD (robustness)
+    assert med == 4.0 and mad == 2.0
+    batch = spark.createDataFrame(
+        [("a", float(v % 9)) for v in range(30)] + [("a", 400.0)]
+        + [("b", 1.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in
+           mad_against_stats(batch, "v", stats, ["g"]).collect()}
+    a = out["a"]
+    assert a["N"] == 31 and a["N_OUTLIERS"] == 1
+    assert a["BASELINE_MEDIAN"] == 4.0
+    assert abs(a["MEDIAN_SHIFT_Z"]) < 3.5   # batch center is in-distribution
+    assert out["b"]["BASELINE_MEDIAN"] is None   # unknown group: null stats
+
+
+def test_stream_anomaly_mad_method(spark, tmp_path_factory):
+    from rasgoql_spark.functions.timeseries import mad_against_stats, mad_stats
+    from rasgoql_spark.streaming.ops import stream_anomaly
+
+    tmp = tmp_path_factory.mktemp("smad")
+    baseline = spark.createDataFrame(
+        [("a", float(v % 9)) for v in range(90)], "g string, v double"
+    )
+    stats = mad_stats(baseline, "v", ["g"])
+    b1 = [("a", float(v % 9)) for v in range(20)]
+    b2 = [("a", 60.0 + v) for v in range(20)]     # shifted far out
+    src = str(tmp / "in")
+    spark.createDataFrame(b1, "g string, v double").coalesce(1)\
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(b2, "g string, v double").coalesce(1)\
+        .write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema("g string, v double")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp / "out")
+    q = stream_anomaly(sdf, "v", checkpoint=str(tmp / "ckpt"),
+                       expected=stats, group_by=["g"], method="mad",
+                       sink_path=sink)
+    q.awaitTermination(120)
+    landed = spark.read.parquet(sink).collect()
+    by_batch = {r["batch"]: r for r in landed}
+    assert by_batch[0]["N_OUTLIERS"] == 0
+    assert by_batch[1]["N_OUTLIERS"] == 20
+    assert abs(by_batch[1]["MEDIAN_SHIFT_Z"]) > 3.5
+    # per-batch rows equal the batch-mode scorer bit-for-bit
+    want = {tuple(r) for r in mad_against_stats(
+        spark.createDataFrame(b2, "g string, v double"), "v", stats,
+        ["g"]).collect()}
+    got = {tuple(r)[:-1] for r in landed if r["batch"] == 1}
+    assert got == want
+
+
+def test_stream_anomaly_method_validation(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.streaming.ops import stream_anomaly
+
+    tmp = tmp_path_factory.mktemp("smadv")
+    b = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    src = str(tmp / "in")
+    b.write.parquet(src)
+    sdf = spark.readStream.schema("g string, v double").parquet(src)
+    with _pytest.raises(ParameterException):
+        stream_anomaly(sdf, "v", checkpoint=str(tmp / "c"), expected={(): (0, 1)},
+                       method="mean", sink_path=str(tmp / "o"))
