@@ -110,5 +110,37 @@ def main():
     print(json.dumps(results))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--extra" not in sys.argv:
     main()
+
+
+def extra_batch():
+    """anomaly_mad + stream-shape scorers at 1x vs 10x events."""
+    spark = rql.default_spark(shuffle_partitions=32)
+    results: dict = {}
+    from rasgoql_spark.functions.timeseries import (
+        anomaly_mad,
+        mad_against_stats,
+        mad_stats,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev10 = (
+        ev.crossJoin(spark.range(10).select(F.col("id").alias("__rep")))
+        .withColumn("event_id", F.col("event_id") * 10 + F.col("__rep"))
+        .drop("__rep")
+    )
+    timed("anomaly_mad 1x", lambda: anomaly_mad(
+        ev, "value", ["event_type"]).count(), results)
+    timed("anomaly_mad 10x", lambda: anomaly_mad(
+        ev10, "value", ["event_type"]).count(), results)
+    stats = mad_stats(ev, "value", ["event_type"])
+    timed("mad_against_stats 1x", lambda: mad_against_stats(
+        ev, "value", stats, ["event_type"]).count(), results)
+    timed("mad_against_stats 10x", lambda: mad_against_stats(
+        ev10, "value", stats, ["event_type"]).count(), results)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--extra" in sys.argv:
+    extra_batch()
