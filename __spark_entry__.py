@@ -6551,9 +6551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_search_ivfpq_rerank",
         "embedding_join_ivfpq_rerank",
         "zorder",
-        # r6-stale block (35)
+        # r6-stale block (3 live + the rest yielding)
         "approx_distinct", "bin", "cumulative_agg",
-        # (dedup_against, except, fingerprint, funnel, grouping_sets,
+        # (datespine, datespine_groups, decontaminate, dedup_against,
+        # except, fingerprint, funnel, grouping_sets,
         # heatmap, histogram, importance_sample,
         # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,
         # label_encode, language_id, levenshtein, market_basket,
