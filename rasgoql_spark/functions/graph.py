@@ -625,7 +625,7 @@ def kcore(
 
 
 @renderer("kcore")
-def _r_kcore(source, src, dst, k, max_iterations=KCORE_RENDER_MAX_ITER) -> str:
+def _r_kcore(source, src, dst, k, max_iterations=20) -> str:
     """Unrolled peel in engine-portable SQL. Extra rounds past the fixed
     point are no-ops (a stable edge set reproduces itself), so replaying a
     FIXED round count is result-equal to the executed early-exit loop —

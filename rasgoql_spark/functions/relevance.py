@@ -690,11 +690,22 @@ def _r_hard_negative_mine(source, vec_col, id_col, positives, query_ids=None,
         )
     if not query_ids:
         raise ParameterException("pass queries or query_ids")
-    pairs = [(int(a), int(b)) for a, b in positives]
+
+    def _lit(v):  # render ids faithfully — no int() coercion (a string id
+        # must not raise, a float id must not silently truncate)
+        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            raise ParameterException(
+                f"id values must be int/float/str, got {type(v).__name__}"
+            )
+        if isinstance(v, str):
+            return "'%s'" % v.replace("'", "''")
+        return repr(v)
+
+    pairs = [(a, b) for a, b in positives]
     if not pairs:
         raise ParameterException("positives must be non-empty")
-    ids = ", ".join(str(int(q)) for q in query_ids)
-    pos = ", ".join(f"({a}, {b})" for a, b in pairs)
+    ids = ", ".join(_lit(q) for q in query_ids)
+    pos = ", ".join(f"({_lit(a)}, {_lit(b)})" for a, b in pairs)
     cos = _cosine_sql("c.__cv", "q.__qv")
     return (
         f"WITH q AS (SELECT {id_col} AS QUERY_ID, {vec_col} AS __qv "

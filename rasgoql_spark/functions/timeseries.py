@@ -874,23 +874,33 @@ def anomaly_mad(
     keys = resolve_cols(df, as_list(group_by))
     nm = cleanse_name(v)
     x = F.col(v).cast("double")
+    def _nsjoin(left, right, suffix):
+        # null-safe equi-join on the group keys (a NULL group is a real
+        # group — matches the renderer's <=> convention), with the right
+        # side's keys staged under aliases and dropped after
+        if not keys:
+            return left.crossJoin(F.broadcast(right))
+        staged_r = right.select(
+            *[F.col(k).alias(f"__k{suffix}_{i}") for i, k in enumerate(keys)],
+            *[c for c in right.columns if c not in keys],
+        )
+        cond = None
+        for i, k in enumerate(keys):
+            e = F.col(k).eqNullSafe(F.col(f"__k{suffix}_{i}"))
+            cond = e if cond is None else (cond & e)
+        return left.join(staged_r, on=cond, how="left").drop(
+            *[f"__k{suffix}_{i}" for i in range(len(keys))]
+        )
+
     med_f = df.groupBy(*keys).agg(
         F.percentile(x, F.lit(0.5)).alias(f"{nm}_MEDIAN")
     )
-    staged = (
-        df.join(med_f, on=keys, how="left")
-        if keys
-        else df.crossJoin(F.broadcast(med_f))
-    )
+    staged = _nsjoin(df, med_f, "a")
     dev = F.abs(x - F.col(f"{nm}_MEDIAN"))
     mad_f = staged.groupBy(*keys).agg(
         F.percentile(dev, F.lit(0.5)).alias(f"{nm}_MAD")
     )
-    full = (
-        staged.join(mad_f, on=keys, how="left")
-        if keys
-        else staged.crossJoin(F.broadcast(mad_f))
-    )
+    full = _nsjoin(staged, mad_f, "b")
     med, mad = F.col(f"{nm}_MEDIAN"), F.col(f"{nm}_MAD")
     z = F.round(F.lit(0.6745) * (x - med) / mad, round_to)
     return full.withColumn(
@@ -917,28 +927,34 @@ def _r_anomaly_mad(source, value_col, group_by=None, threshold=3.5,
     kcomma = f"{part}, " if keys else ""
     grp = f" GROUP BY {part}" if keys else ""
     on = " AND ".join(f"s.{c} <=> m.{c}" for c in keys) if keys else "TRUE"
-    med = (
-        f"(SELECT {kcomma}percentile({x}, 0.5) AS {nm}_MEDIAN "
-        f"FROM {source}{grp})"
-    )
     sel0 = ", ".join(f"s.{c}" for c in _input_columns)
-    staged = (
-        f"(SELECT {sel0}, m.{nm}_MEDIAN FROM {source} s JOIN {med} m ON {on})"
-    )
-    mad = (
-        f"(SELECT {kcomma}percentile(ABS({x} - {nm}_MEDIAN), 0.5) AS {nm}_MAD "
-        f"FROM {staged}{grp})"
-    )
-    on2 = " AND ".join(f"s.{c} <=> m.{c}" for c in keys) if keys else "TRUE"
     z = f"ROUND(0.6745 * ({x} - s.{nm}_MEDIAN) / m.{nm}_MAD, {int(round_to)})"
     sel = ", ".join(f"s.{c}" for c in _input_columns)
+    # CTEs keep each stage defined ONCE (the inlined-subquery form scans
+    # the source ~5x; engines do not dedupe identical subquery text)
     return (
+        f"SELECT * FROM (WITH __mad_med AS "
+        f"(SELECT {kcomma}percentile({x}, 0.5) AS {nm}_MEDIAN "
+        f"FROM {source}{grp}), "
+        f"__mad_st AS (SELECT {sel0}, m.{nm}_MEDIAN "
+        f"FROM {source} s JOIN __mad_med m ON {on}), "
+        f"__mad_d AS (SELECT {kcomma}"
+        f"percentile(ABS({x} - {nm}_MEDIAN), 0.5) AS {nm}_MAD "
+        f"FROM __mad_st{grp}) "
         f"SELECT {sel}, s.{nm}_MEDIAN, m.{nm}_MAD, "
         f"CASE WHEN m.{nm}_MAD > 0 THEN {z} END AS MOD_Z_{nm}, "
         f"CASE WHEN {x} IS NULL OR s.{nm}_MEDIAN IS NULL THEN NULL "
         f"WHEN m.{nm}_MAD > 0 THEN CAST(ABS({z}) > {float(threshold)!r} AS INT) "
         f"ELSE CAST({x} <> s.{nm}_MEDIAN AS INT) END AS IS_OUTLIER_MAD "
-        f"FROM {staged} s JOIN {mad} m ON {on2}"
+        f"FROM __mad_st s JOIN __mad_d m ON {on}) __mad_out"
+    )
+
+
+def _none_safe_sorted(items):
+    """Sort (key_tuple, value) pairs deterministically even when a group
+    key is None or keys mix types (tuple comparison would raise)."""
+    return sorted(
+        items, key=lambda kv: tuple((v is None, str(v)) for v in kv[0])
     )
 
 
@@ -952,19 +968,33 @@ def mad_stats(df: DataFrame, column: str, group_by=None) -> dict:
     """
     from ..operators._util import resolve_cols
 
+    import math
+
     keys = resolve_cols(df, as_list(group_by))
     v = resolve_col(df, column)
     x = F.col(v).cast("double")
     med_rows = (
         df.filter(x.isNotNull())
         .groupBy(*keys)
-        .agg(F.percentile(x, F.lit(0.5)).alias("__med"))
+        .agg(
+            F.percentile(x, F.lit(0.5)).alias("__med"),
+            F.sum(F.isnan(x).cast("int")).alias("__nans"),
+        )
         .collect()
     )
+    if any(r["__nans"] for r in med_rows):
+        # same contract as zscore_stats: NaN sorts greatest in percentile
+        # and then poisons every |z| comparison downstream (never alerts)
+        raise ParameterException(
+            f"mad_stats: {column} contains NaN — clean the column before "
+            "freezing a baseline"
+        )
     meds = {tuple(r[k] for k in keys) if keys else (): r["__med"]
             for r in med_rows}
     if not meds:
         raise ParameterException("baseline is empty")
+    if any(m is not None and math.isnan(m) for m in meds.values()):
+        raise ParameterException("mad_stats: frozen median is NaN")
     spark = df.sparkSession
     if keys:
         key_fields = df.select(*keys).schema
@@ -972,9 +1002,20 @@ def mad_stats(df: DataFrame, column: str, group_by=None) -> dict:
 
         schema = StructType(list(key_fields) + [StructField("__med", DoubleType())])
         mf = spark.createDataFrame(
-            [(*k, float(m)) for k, m in sorted(meds.items())], schema
+            [(*k, float(m)) for k, m in _none_safe_sorted(meds.items())],
+            schema,
+        ).select(
+            *[F.col(k).alias(f"__bk_{i}") for i, k in enumerate(keys)], "__med"
         )
-        staged = df.join(F.broadcast(mf), on=keys, how="inner")
+        cond = None
+        for i, k in enumerate(keys):
+            e = F.col(k).eqNullSafe(F.col(f"__bk_{i}"))
+            cond = e if cond is None else (cond & e)
+        # null-safe equi-join: a NULL group key is a real baseline group,
+        # not a miss (matches the renderers' <=> convention)
+        staged = df.join(F.broadcast(mf), on=cond, how="inner").drop(
+            *[f"__bk_{i}" for i in range(len(keys))]
+        )
     else:
         (m,) = meds.values()
         staged = df.withColumn("__med", F.lit(float(m)))
@@ -1032,10 +1073,22 @@ def mad_against_stats(
             + [StructField("__bm", DoubleType()), StructField("__bd", DoubleType())]
         )
         exp = spark.createDataFrame(
-            [(*k, float(m), float(d)) for k, (m, d) in sorted(stats.items())],
+            [(*k, float(m), float(d))
+             for k, (m, d) in _none_safe_sorted(stats.items())],
             schema,
+        ).select(
+            *[F.col(k).alias(f"__bk_{i}") for i, k in enumerate(keys)],
+            "__bm", "__bd",
         )
-        staged = df.join(F.broadcast(exp), on=keys, how="left")
+        cond = None
+        for i, k in enumerate(keys):
+            e = F.col(k).eqNullSafe(F.col(f"__bk_{i}"))
+            cond = e if cond is None else (cond & e)
+        # null-safe: a NULL group key present in the frozen stats scores
+        # normally instead of reporting unknown-group null statistics
+        staged = df.join(F.broadcast(exp), on=cond, how="left").drop(
+            *[f"__bk_{i}" for i in range(len(keys))]
+        )
     else:
         (m, d), = stats.values()
         exp = spark.createDataFrame([(float(m), float(d))],

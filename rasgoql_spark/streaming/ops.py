@@ -1092,6 +1092,14 @@ def stream_cms(
     if sink_path is None and sink_table is None:
         raise ParameterException("stream_cms needs a sink_path or sink_table")
     keys = as_list(group_by)
+    clash = {"CMS", "CMS_DEPTH", "CMS_WIDTH", "CMS_N"} & set(keys)
+    if clash:
+        # cms_sketch would raise this per-batch inside foreachBatch —
+        # surface it here, pre-start, like every other validation
+        raise ParameterException(
+            f"group columns {sorted(clash)} collide with the sketch-frame "
+            "schema — rename them first"
+        )
 
     def sketch(b: DataFrame) -> DataFrame:
         return cms_sketch(b, column, group_by=keys, depth=depth, width=width)
@@ -1182,7 +1190,9 @@ def stream_quota(
                 .agg(F.count(F.lit(1)).cast("bigint").alias("__spent"))
             )
         except AnalysisException as e:
-            # ONLY the missing first-batch sink is skippable; any other
+            # ONLY the no-prior-admissions states are skippable: a missing
+            # sink dir (PATH_NOT_FOUND) or a pre-created/empty one with no
+            # parquet footers yet (UNABLE_TO_INFER_SCHEMA). Any other
             # analysis failure (duplicate column, schema drift, corrupt
             # sink) must surface — swallowing it would silently admit
             # unbudgeted rows forever
@@ -1190,7 +1200,9 @@ def stream_quota(
             get = getattr(e, "getErrorClass", None)
             if callable(get):
                 klass = get() or ""
-            if "PATH_NOT_FOUND" not in klass and "PATH_NOT_FOUND" not in str(e):
+            blob = f"{klass} {e}"
+            if ("PATH_NOT_FOUND" not in blob
+                    and "UNABLE_TO_INFER_SCHEMA" not in blob):
                 raise
             spent = None
         w = Window.partitionBy(*keys).orderBy(*order)

@@ -140,3 +140,26 @@ def test_cap_per_group_ties_with_unique_key_are_deterministic(spark):
         for _ in range(3)
     ]
     assert runs[0] == runs[1] == runs[2] and len(runs[0]) == 5
+
+
+def test_stream_quota_tolerates_precreated_empty_sink(spark, tmp_path_factory):
+    # mkdir'ing the sink before the first batch is the legitimate
+    # no-prior-admissions state, not an error
+    import os
+
+    from rasgoql_spark.streaming.ops import stream_quota
+
+    tmp = tmp_path_factory.mktemp("squotae")
+    b1 = [(i, "h", float(i)) for i in range(4)]
+    src = str(tmp / "in")
+    spark.createDataFrame(b1, "id BIGINT, host STRING, score DOUBLE")\
+        .write.parquet(src)
+    sdf = (spark.readStream.schema("id BIGINT, host STRING, score DOUBLE")
+           .parquet(src))
+    sink = str(tmp / "out")
+    os.makedirs(sink, exist_ok=True)
+    q = stream_quota(sdf, ["host"], quota=2, key="id",
+                     checkpoint=str(tmp / "ckpt"), sink_path=sink,
+                     order_by=["score"])
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 2

@@ -131,7 +131,8 @@ def test_stream_cms_merge_equals_batch(spark, tmp_path_factory):
                    depth=3, width=32, sink_path=sink)
     q.awaitTermination(120)
     landed = spark.read.parquet(sink)
-    merged = cms_merge(landed.drop("__batch_id"), ["g"]).drop("SHAPE_OK")
+    # the path sink's partition column is 'batch' (batch=<id> dirs)
+    merged = cms_merge(landed.drop("batch"), ["g"]).drop("SHAPE_OK")
     full = spark.createDataFrame(b1 + b2, "id BIGINT, g STRING, v STRING")
     want = cms_sketch(full, "v", ["g"], depth=3, width=32)
     vals = ["v0", "v1", "v4"]
@@ -200,3 +201,19 @@ def test_cms_renderers_roundtrip(spark, vals):
     direct_e = {(r["g"], r["VALUE"]): r["EST"]
                 for r in cms_estimate(direct_df, ["v0", "absent"]).collect()}
     assert via_e == direct_e
+
+
+def test_stream_cms_group_clash_fails_pre_start(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.streaming.ops import stream_cms
+
+    tmp = tmp_path_factory.mktemp("scmsc")
+    b = spark.createDataFrame([(1, "a")], "CMS_N BIGINT, v STRING")
+    src = str(tmp / "in")
+    b.write.parquet(src)
+    sdf = spark.readStream.schema("CMS_N BIGINT, v STRING").parquet(src)
+    with _pytest.raises(ParameterException):
+        stream_cms(sdf, "v", checkpoint=str(tmp / "c"), group_by=["CMS_N"],
+                   sink_path=str(tmp / "o"))

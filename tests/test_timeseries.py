@@ -561,3 +561,51 @@ def test_stream_anomaly_method_validation(spark, tmp_path_factory):
     with _pytest.raises(ParameterException):
         stream_anomaly(sdf, "v", checkpoint=str(tmp / "c"), expected={(): (0, 1)},
                        method="mean", sink_path=str(tmp / "o"))
+
+
+def test_mad_family_null_group_keys(spark):
+    """A NULL group key is a real group: mad_stats freezes it, the batch
+    scorer matches it (null-safe join), anomaly_mad flags inside it — and
+    the anomaly_mad renderer agrees with execution on the null group."""
+    from rasgoql_spark.functions.timeseries import (
+        _r_anomaly_mad,
+        anomaly_mad,
+        mad_against_stats,
+        mad_stats,
+    )
+
+    rows = ([(None, float(v % 5)) for v in range(40)]
+            + [("a", float(v % 5)) for v in range(40)] + [(None, 50.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    stats = mad_stats(df, "v", ["g"])
+    assert (None,) in stats and ("a",) in stats
+    rep = {r["g"]: r for r in mad_against_stats(df, "v", stats, ["g"]).collect()}
+    assert rep[None]["BASELINE_MEDIAN"] is not None
+    assert rep[None]["N_OUTLIERS"] == 1          # the 50.0 in the null group
+    out = anomaly_mad(df, "v", ["g"]).collect()
+    nulls = [r for r in out if r["g"] is None]
+    assert all(r["V_MEDIAN"] is not None for r in nulls)
+    assert sum(r["IS_OUTLIER_MAD"] for r in nulls) == 1
+    df.createOrReplaceTempView("__mad_null")
+    sql = _r_anomaly_mad("__mad_null", "v", ["g"], _input_columns=("g", "v"))
+
+    def canon(rows):
+        return sorted(
+            ((r["g"], r["v"], r["MOD_Z_V"], r["IS_OUTLIER_MAD"]) for r in rows),
+            key=lambda t: tuple((x is None, str(x)) for x in t),
+        )
+
+    assert canon(spark.sql(sql).collect()) == canon(out)
+
+
+def test_mad_stats_rejects_nan(spark):
+    import pytest as _pytest
+
+    from rasgoql_spark.errors import ParameterException
+    from rasgoql_spark.functions.timeseries import mad_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan"))], "g string, v double"
+    )
+    with _pytest.raises(ParameterException):
+        mad_stats(df, "v", ["g"])

@@ -116,3 +116,16 @@ def test_hard_negatives_renderer_roundtrip(emb, spark):
     with pytest.raises(TransformRenderingException):
         _r_hard_negative_mine("__hnm_src", "embedding", "vec_id",
                               positives=pos_df, query_ids=[0, 1])
+
+
+def test_hnm_renderer_string_and_float_ids(spark):
+    # string ids render quoted (no bare ValueError); float positives render
+    # faithfully (no silent int truncation)
+    from rasgoql_spark.functions.relevance import _r_hard_negative_mine
+
+    sql = _r_hard_negative_mine("t", "v", "id", positives=[("q1", "d7")],
+                                query_ids=["q1"], k=3)
+    assert "'q1'" in sql and "'d7'" in sql
+    sql2 = _r_hard_negative_mine("t", "v", "id", positives=[(0, 17.9)],
+                                 query_ids=[0], k=3)
+    assert "17.9" in sql2 and "(0, 17)" not in sql2
