@@ -592,3 +592,59 @@ def test_curriculum_buckets_monotone_in_score(spark, scores):
     buckets = [r["CURRICULUM_BUCKET"] for r in by_score]
     assert buckets == sorted(buckets)         # bucket is monotone in score
     assert buckets[0] == 0 and buckets[-1] == 3
+
+
+# --------------------------------------------------------------------------
+# round-11 advisory-fix invariants: merge_upsert duplicate-key determinism,
+# RRF null-absence semantics
+# --------------------------------------------------------------------------
+
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=5),
+                          st.sampled_from(["a", "b", "c"])),
+                min_size=1, max_size=15),
+       st.lists(st.tuples(st.integers(min_value=1, max_value=5),
+                          st.sampled_from(["X", "Y"])),
+                min_size=1, max_size=10))
+@settings(max_examples=6, deadline=None)
+def test_merge_upsert_duplicates_deterministic_and_snapshot_wins(
+        spark, base_rows, snap_rows):
+    from rasgoql_spark.functions.snapshot import merge_upsert
+
+    base = spark.createDataFrame(base_rows, "k BIGINT, v STRING")
+    snap = spark.createDataFrame(snap_rows, "k BIGINT, v STRING")
+    runs = [
+        sorted(tuple(r) for r in merge_upsert(base, snap, ["k"]).collect())
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]                       # deterministic survivor
+    out = dict(runs[0])
+    assert len(runs[0]) == len(out)                 # one row per key
+    snap_keys = {k for k, _ in snap_rows}
+    for k, v in out.items():
+        if k in snap_keys:
+            assert v in ("X", "Y")                  # snapshot always wins
+        else:
+            assert v in ("a", "b", "c")
+
+
+@given(st.lists(st.tuples(st.floats(min_value=0, max_value=10,
+                                    allow_nan=False),
+                          st.booleans()),
+                min_size=2, max_size=12))
+@settings(max_examples=6, deadline=None)
+def test_rrf_null_rows_contribute_zero(spark, rows):
+    """Rows with a NULL score in one ranking get exactly the other
+    ranking's term — never a last-place contribution."""
+    from rasgoql_spark.functions.relevance import rrf_fuse
+
+    data = [(i, s, (s if has else None)) for i, (s, has) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id BIGINT, lex DOUBLE, sem DOUBLE")
+    out = {r["id"]: r for r in rrf_fuse(df, "id", ["lex", "sem"]).collect()}
+    for i, (s, has) in enumerate(rows):
+        r = out[i]
+        want = 1.0 / (60 + r["RANK_LEX"])
+        if has:
+            want += 1.0 / (60 + r["RANK_SEM"])
+        else:
+            assert r["RANK_SEM"] is None
+        assert abs(r["RRF_SCORE"] - round(want, 6)) < 1e-9
