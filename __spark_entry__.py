@@ -6495,76 +6495,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat": q_concat,
         "if_then": q_if_then,
     }
-    # r10 front-50: the 7 new r10 operators, then the 43 remaining
-    # r6-stale entries (the r6 block minus moving_avg/rolling_agg/
-    # rolling_agg_range, which the r9 gate refreshed) — the r9 verdict's
-    # task #2.
+    # r12 front-50 (round-11 verdict task #1, carried from r10 #2): the 32
+    # entries whose last DRIVER verification is round 6 (five rounds stale),
+    # then the first 18 of the round-7-stale block (four rounds stale, in
+    # their historical listing order — this slice deliberately includes the
+    # dedup_against_embedding / similarity_search_ivf / update_ivf_index
+    # family named in the round-11 perf adjudication, so the driver re-times
+    # them alongside the calibration anchor). New round-12 operators go
+    # BEHIND the rotation per the verdict. Union max-staleness after this
+    # round: r7.
     front = [
-        # round-11 entries first (never driver-verified): the CMS triple,
-        # hard-negative mining, curriculum ordering — then the advisory-fix
-        # re-checks (dp pair, merge_upsert, hybrid/rrf, stream_anomaly,
-        # kcore), then the stalest blocks per the standing rotation policy
-        "cms_estimate",
-        "cms_merge_estimate",
-        "cms_index_update",
-        "hard_negative_mine",
-        "curriculum_order",
-        "cap_per_group",
-        "anomaly_mad",
-        "stream_anomaly_mad_batch",
-        "ewma",
-        "anomaly_zscore",
-        "changepoint_detect",
-        "seasonal_decompose",
-        "pct_change",
-        "autocorrelation",
-        "cross_correlation",
-        "triangle_count",
-        "label_propagation",
-        "kcore",
-        "hybrid_search",
-        "dp_aggregate",
-        "dp_aggregate_sum",
-        "stream_anomaly_batch",
-        "hll_rollup",
-        "hll_overlap",
-        "hll_index_update",
-        "merge_upsert",
-        "bm25_join",
-        "ranking_eval",
-        "target_encode_oof",
-        "psi_drift",
-        "scd2",
-        "pmi_collocations",
-        "k_anonymize",
-        "hilbert",
-        "stream_psi_batch",
-        "mutual_information",
-        "psi_drift_categorical",
-        "l_diversity",
-        "t_closeness",
-        "scd2_merge",
-        "embedding_join_ivfpq",
-        "similarity_search_ivfpq_rotated",
-        "embedding_join_binary",
-        "embedding_join_binary_rerank",
-        "similarity_search_ivfpq_rerank",
-        "embedding_join_ivfpq_rerank",
-        "zorder",
-        # r6-stale block (3 live + the rest yielding)
-        "approx_distinct", "bin", "cumulative_agg",
-        # (datespine, datespine_groups, decontaminate, dedup_against,
-        # except, fingerprint, funnel, grouping_sets,
-        # heatmap, histogram, importance_sample,
-        # impute_mean, impute_mode, intersect, join_full, kmeans_cluster,
-        # label_encode, language_id, levenshtein, market_basket,
-        # min_max_scaler, min_max_scaler_grouped,
-        # one_hot_encode, order, pii_scrub, pivot, quantiles, rank,
-        # repetition_stats, rsi, sankey, semantic_dedup, sliding_slope,
-        # standard_scaler, target_encode, text_quality, train_test_split,
-        # union, unpivot, winsorize yield their slots to the new ops
-        # above)
+        # --- r6-stale block (last driver-verified round 6), alphabetical ---
+        "heatmap",
+        "histogram",
+        "importance_sample",
+        "impute_mean",
+        "impute_mode",
+        "intersect",
+        "join_full",
+        "kmeans_cluster",
+        "label_encode",
+        "language_id",
+        "levenshtein",
+        "market_basket",
+        "min_max_scaler",
+        "min_max_scaler_grouped",
+        "one_hot_encode",
+        "order",
+        "pii_scrub",
+        "pivot",
+        "quantiles",
+        "rank",
+        "repetition_stats",
+        "rsi",
+        "sankey",
+        "semantic_dedup",
+        "sliding_slope",
+        "standard_scaler",
+        "target_encode",
+        "text_quality",
+        "train_test_split",
+        "union",
+        "unpivot",
+        "winsorize",
+        # --- r7-stale fill (first 18 of the r7 block in listing order) ---
+        "ngram_containment",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "dedup_simhash_sig",
+        "similarity_search_ivf",
+        "embedding_join_ivf",
+        "dedup_against_embedding",
+        "update_ivf_index",
+        "shuffle_deterministic",
+        "ngram_counts",
+        "remove_boilerplate",
+        "quality_filter",
+        "audio_meta",
+        "video_meta",
+        "near_dup_clusters",
+        "dedup_by_cluster",
+        "stratified_sample",
+        "corpus_stats",
     ]
+
     assert len(front) == 50 and all(k in base for k in front)
     ordered = {k: base.pop(k) for k in front}
     ordered.update(base)
