@@ -57,6 +57,69 @@ def _llm_similarity_ivf(spark, sf):
 
 _IVF_STATE: dict = {}
 
+# Count of one-off index builds performed by the prebuilt-entry wrappers.
+# main() snapshots this around each entry's TIMED runs and emits the delta
+# as build_counts[entry]; a nonzero value means a build leaked into a
+# timed window (the warm-up run is where builds are supposed to happen),
+# which invalidates that entry's reading for baseline comparison.
+_BUILD_COUNT = 0
+
+
+def _built(index):
+    """Tag a just-built index artifact for the build_counts audit."""
+    global _BUILD_COUNT
+    _BUILD_COUNT += 1
+    return index
+
+
+# Entries whose timed runs are contractually build-free (they search or
+# update against a process-cached index built during warm-up).
+_PREBUILT_ENTRIES = frozenset({
+    "llm_similarity_ivf_prebuilt",
+    "llm_update_ivf_index",
+    "llm_similarity_ivfpq_prebuilt",
+    "llm_dedup_ivfpq_prebuilt",
+    "llm_embedding_join_ivfpq_prebuilt",
+    "llm_similarity_binary_prebuilt",
+    "llm_ivfpq_rerank_prebuilt",
+})
+
+
+def calibrate(spark, sf_dir) -> float:
+    """Fixed host-speed reference workload (round-11 verdict task #2).
+
+    FROZEN: this block must never change across rounds — it is the
+    cross-round normalizer that separates driver-host drift from real
+    engine regressions (BASELINE.md §calibration). It deliberately uses
+    raw pyspark only (no rasgoql_spark code), so its reading tracks the
+    host + JVM + shuffle machinery and nothing the engine ships:
+    a cached two-column lineitem count plus one canonical groupBy-sum
+    shuffle to the noop sink, median of 5 after TEN warm-ups (ten, not the
+    entries' one, because a fresh process JITs this loop for ~9 iterations:
+    the round-12 freeze-time curve read 1.61 s cold, 0.51 s at iteration 3,
+    and flattened at 0.28-0.34 s from iteration 9 on — fewer warm-ups would
+    fold JIT ramp into the host-speed reading).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_partkey", "l_extendedprice").cache()
+    df.count()  # materialize the cache; excluded from timing
+
+    def one() -> float:
+        t0 = time.time()
+        df.count()
+        (df.groupBy("l_partkey")
+           .agg(F.sum("l_extendedprice").alias("S"), F.count("*").alias("C"))
+           .write.format("noop").mode("overwrite").save())
+        return time.time() - t0
+
+    for _ in range(10):  # codegen/scheduler/JIT warm-up (see docstring)
+        one()
+    val = round(statistics.median([one() for _ in range(5)]), 3)
+    df.unpersist()
+    return val
+
 
 def _llm_similarity_ivf_prebuilt(spark, sf):
     """Search against a prebuilt auto-sized IVF index — the amortized
@@ -68,7 +131,7 @@ def _llm_similarity_ivf_prebuilt(spark, sf):
     key = ("search_idx", sf)
     if key not in _IVF_STATE:
         emb = entry._s(spark, sf).dataset("embeddings").df
-        _IVF_STATE[key] = ivf_index(emb, "embedding", "vec_id")
+        _IVF_STATE[key] = _built(ivf_index(emb, "embedding", "vec_id"))
     emb = entry._s(spark, sf).dataset("embeddings").df
     return similarity_search_ivf(
         emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10,
@@ -86,8 +149,8 @@ def _llm_update_ivf_index(spark, sf):
     emb = entry._s(spark, sf).dataset("embeddings").df
     key = ("update_base", sf)
     if key not in _IVF_STATE:
-        _IVF_STATE[key] = ivf_index(
-            emb.filter("vec_id % 10 != 0"), "embedding", "vec_id")
+        _IVF_STATE[key] = _built(ivf_index(
+            emb.filter("vec_id % 10 != 0"), "embedding", "vec_id"))
     prev = _IVF_STATE.pop(("update_out", sf), None)
     if prev is not None:
         prev.release()
@@ -117,9 +180,9 @@ def _llm_similarity_ivfpq_prebuilt(spark, sf):
     key = ("ivfpq_idx", sf)
     if key not in _IVF_STATE:
         emb = entry._s(spark, sf).dataset("embeddings").df
-        _IVF_STATE[key] = ivfpq_index(
+        _IVF_STATE[key] = _built(ivfpq_index(
             emb, "embedding", "vec_id", num_centroids=16,
-            coarse_iterations=1, m=8, codebook_size=16, iterations=1)
+            coarse_iterations=1, m=8, codebook_size=16, iterations=1))
     emb = entry._s(spark, sf).dataset("embeddings").df
     return similarity_search_ivfpq(
         emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10, nprobe=4,
@@ -139,10 +202,10 @@ def _llm_dedup_ivfpq_prebuilt(spark, sf):
     key = ("ivfpq_dedup_idx", sf)
     emb = entry._s(spark, sf).dataset("embeddings").df
     if key not in _IVF_STATE:
-        _IVF_STATE[key] = ivfpq_index(
+        _IVF_STATE[key] = _built(ivfpq_index(
             emb.filter("vec_id % 4 != 0"), "embedding", "vec_id",
             num_centroids=16, coarse_iterations=1, m=8, codebook_size=16,
-            iterations=1)
+            iterations=1))
     return dedup_against_embedding(
         emb.filter("vec_id % 4 = 0"), "embedding", "vec_id",
         index=_IVF_STATE[key], method="ivfpq", threshold=0.5, nprobe=4,
@@ -184,9 +247,9 @@ def _llm_embedding_join_ivfpq_prebuilt(spark, sf):
     key = ("ivfpq_idx", sf)
     emb = entry._s(spark, sf).dataset("embeddings").df
     if key not in _IVF_STATE:
-        _IVF_STATE[key] = ivfpq_index(
+        _IVF_STATE[key] = _built(ivfpq_index(
             emb, "embedding", "vec_id", num_centroids=16,
-            coarse_iterations=1, m=8, codebook_size=16, iterations=1)
+            coarse_iterations=1, m=8, codebook_size=16, iterations=1))
     return embedding_join_ivfpq(
         emb, "embedding", "vec_id", k=2, nprobe=4, index=_IVF_STATE[key])
 
@@ -205,7 +268,7 @@ def _llm_similarity_binary_prebuilt(spark, sf):
     key = ("binary_idx", sf)
     emb = entry._s(spark, sf).dataset("embeddings").df
     if key not in _IVF_STATE:
-        _IVF_STATE[key] = binary_index(emb, "embedding", "vec_id")
+        _IVF_STATE[key] = _built(binary_index(emb, "embedding", "vec_id"))
     return similarity_search_binary(
         emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10, rerank=True,
         rerank_factor=4, index=_IVF_STATE[key])
@@ -222,9 +285,9 @@ def _llm_ivfpq_rerank_prebuilt(spark, sf):
     key = ("ivfpq_idx", sf)
     emb = entry._s(spark, sf).dataset("embeddings").df
     if key not in _IVF_STATE:
-        _IVF_STATE[key] = ivfpq_index(
+        _IVF_STATE[key] = _built(ivfpq_index(
             emb, "embedding", "vec_id", num_centroids=16,
-            coarse_iterations=1, m=8, codebook_size=16, iterations=1)
+            coarse_iterations=1, m=8, codebook_size=16, iterations=1))
     return similarity_search_ivfpq(
         emb, "embedding", "vec_id", [0, 1, 2, 3, 4], k=10, nprobe=4,
         rerank=True, rerank_factor=4, index=_IVF_STATE[key])
@@ -396,11 +459,24 @@ def main() -> int:
     if only:
         keep = {q.strip() for q in only.split(",") if q.strip()}
         queries = {n: f for n, f in BENCH_QUERIES.items() if n in keep}
+    # Calibration anchor (round-11 verdict task #2): a frozen raw-pyspark
+    # workload timed before and after the entry set. calib_sec divided by
+    # BASELINE.md's calib_sec_ref estimates how much slower THIS host/run
+    # is than the one the baselines were recorded on; calib_sec_end
+    # brackets drift that develops during the run itself.
+    calib_start = calibrate(spark, sf_dir)
     results: dict[str, float] = {}
+    build_counts: dict[str, int] = {}
     for name, fn in queries.items():
-        run_one(fn, spark, sf_dir)  # warm-up
+        run_one(fn, spark, sf_dir)  # warm-up (pays one-off index builds)
+        before = _BUILD_COUNT
         times = [run_one(fn, spark, sf_dir) for _ in range(5)]
         results[name] = round(statistics.median(times), 3)
+        if name in _PREBUILT_ENTRIES:
+            # expected 0: a nonzero delta means an index build leaked into
+            # the timed window and the reading is not baseline-comparable
+            build_counts[name] = _BUILD_COUNT - before
+    calib_end = calibrate(spark, sf_dir)
     total = round(sum(results.values()), 3)
     print(json.dumps({
         "metric": "bench_total_sec",
@@ -409,6 +485,9 @@ def main() -> int:
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "calib_sec": calib_start,
+        "calib_sec_end": calib_end,
+        "build_counts": build_counts,
     }))
     return 0
 
