@@ -398,11 +398,14 @@ def curriculum_order(
     order by (bucket, seeded shuffle key) — easy→hard progression between
     buckets, unbiased seeded shuffle within each (the standard curriculum-
     learning data layout, Bengio et al. 2009). Appends
-    ``CURRICULUM_BUCKET`` (0-based; null scores land in the LAST bucket —
-    unknown difficulty trains last) and ``SHUFFLE_KEY``. ``descending``
-    reverses the bucket direction for SCORED rows (hard→easy,
-    anti-curriculum); nulls stay in the last bucket in both directions —
-    the "trains last" rule is a position contract, not a score value.
+    ``CURRICULUM_BUCKET`` (0-based; null AND NaN scores land in the LAST
+    bucket — unknown difficulty trains last) and ``SHUFFLE_KEY``.
+    ``descending`` reverses the bucket direction for SCORED rows
+    (hard→easy, anti-curriculum); nulls/NaNs stay in the last bucket in
+    both directions — the "trains last" rule is a position contract, not
+    a score value. NaNs are also excluded from the min/max edge fit
+    (Spark sorts NaN above every double, so one NaN would otherwise poison
+    the span and NULL every scored row's bucket).
 
     Scale: bucket edges come from ONE broadcast min/max row (never a global
     rank — ntile/percent_rank would funnel one task); the final order is a
@@ -413,8 +416,11 @@ def curriculum_order(
         raise ParameterException("n_buckets must be >= 2")
     s, k = resolve_col(df, score_col), resolve_col(df, key)
     x = F.col(s).cast("double")
+    # NaN-safe edges: min/max over finite-or-infinite scores only (NaN
+    # compares greater than everything in Spark and would poison __hi)
+    scored = F.when(~F.isnan(x), x)
     stats = df.agg(
-        F.min(x).alias("__lo"), F.max(x).alias("__hi")
+        F.min(scored).alias("__lo"), F.max(scored).alias("__hi")
     )
     staged = df.crossJoin(F.broadcast(stats))
     span = F.col("__hi") - F.col("__lo")
@@ -424,10 +430,14 @@ def curriculum_order(
     )
     if descending:
         core = F.lit(int(n_buckets) - 1) - core
-    # nulls land in the LAST bucket in BOTH directions — "unknown
-    # difficulty trains last" is a position contract, not a score value,
-    # so the descending flip must not apply to it
-    bucket = F.when(x.isNull(), F.lit(int(n_buckets) - 1)).otherwise(core)
+    # nulls AND NaNs land in the LAST bucket in BOTH directions —
+    # "unknown difficulty trains last" is a position contract, not a
+    # score value, so the descending flip must not apply to it (NaN is
+    # not NULL: without its own branch the floor arithmetic yields a
+    # NULL bucket that sorts FIRST, the opposite position)
+    bucket = F.when(
+        x.isNull() | F.isnan(x), F.lit(int(n_buckets) - 1)
+    ).otherwise(core)
     skey = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(k).cast("string")))
     return (
         staged.withColumn("CURRICULUM_BUCKET", bucket)
@@ -448,13 +458,16 @@ def _r_curriculum_order(source, score_col, key, n_buckets=10, seed=42,
     core = f"CASE WHEN (__hi - __lo) <= 0 THEN 0 ELSE LEAST({raw}, {n - 1}) END"
     if descending:
         core = f"({n - 1} - ({core}))"
-    # nulls stay in the LAST bucket in both directions (position contract)
-    b = f"CASE WHEN {x} IS NULL THEN {n - 1} ELSE {core} END"
+    # nulls AND NaNs stay in the LAST bucket in both directions (position
+    # contract), and NaNs are excluded from the edge fit — mirrors the
+    # execution path exactly
+    b = f"CASE WHEN {x} IS NULL OR isnan({x}) THEN {n - 1} ELSE {core} END"
+    scored = f"CASE WHEN NOT isnan({x}) THEN {x} END"
     sel = ", ".join(_input_columns)
     return (
         f"SELECT {sel}, {b} AS CURRICULUM_BUCKET, "
         f"md5(concat_ws('|', '{seed}', CAST({key} AS STRING))) AS SHUFFLE_KEY "
         f"FROM {source} CROSS JOIN "
-        f"(SELECT MIN({x}) AS __lo, MAX({x}) AS __hi FROM {source}) "
+        f"(SELECT MIN({scored}) AS __lo, MAX({scored}) AS __hi FROM {source}) "
         f"ORDER BY CURRICULUM_BUCKET, SHUFFLE_KEY, {key}"
     )

@@ -1114,6 +1114,91 @@ def stream_cms(
     )
 
 
+def _quota_batch_sink(keys, quota, order, cols, sink_path, key_fields):
+    """Build stream_quota's per-batch decision function (module-level so
+    tests can pin replay equivalence by invoking it directly).
+
+    Admissions for batch ``b`` are a pure function of (the batch, the
+    ``_counts`` side-table partitions with ``batch < b``) — see
+    :func:`stream_quota` for the contract. ``key_fields`` are the group
+    columns' StructFields from the stream schema (the counts table is read
+    with an EXPLICIT schema so a pre-created/empty sink never trips
+    schema inference).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    counts_path = f"{sink_path}/_counts"
+    counts_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [StructField("__admitted", LongType(), True),
+           StructField("batch", LongType(), True)]
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int):
+        bspark = batch_df.sparkSession
+        # direct existence probe of the counts table (NOT error-class
+        # string matching — engines word PATH_NOT_FOUND /
+        # UNABLE_TO_INFER_SCHEMA differently across versions, and the
+        # explicit read schema below makes inference moot anyway)
+        jvm = bspark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(counts_path)
+        fs = hpath.getFileSystem(bspark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            prior = bspark.read.schema(counts_schema).parquet(counts_path)
+            spent = (
+                prior.filter(F.col("batch") < int(batch_id))
+                .groupBy(*keys)
+                .agg(F.sum("__admitted").cast("bigint").alias("__spent"))
+            )
+        else:
+            spent = None
+        w = Window.partitionBy(*keys).orderBy(*order)
+        ranked = batch_df.withColumn("__rn", F.row_number().over(w))
+        if spent is not None:
+            # null-safe equi-join: a NULL group key is a real group whose
+            # budget must deplete like any other (same staging pattern as
+            # timeseries._nsjoin); a plain `on=keys` join would never
+            # match NULL and re-grant that group the full quota per batch
+            staged = spent.select(
+                *[F.col(k).alias(f"__qk_{i}") for i, k in enumerate(keys)],
+                "__spent",
+            )
+            cond = None
+            for i, k in enumerate(keys):
+                e = F.col(k).eqNullSafe(F.col(f"__qk_{i}"))
+                cond = e if cond is None else cond & e
+            ranked = (
+                ranked.join(F.broadcast(staged), cond, "left")
+                .drop(*[f"__qk_{i}" for i in range(len(keys))])
+                .withColumn(
+                    "__spent",
+                    F.coalesce(F.col("__spent"), F.lit(0)).cast("bigint"),
+                )
+            )
+        else:
+            ranked = ranked.withColumn("__spent", F.lit(0).cast("bigint"))
+        admitted = (
+            ranked.filter(F.col("__spent") + F.col("__rn") <= int(quota))
+            .select(*cols)
+            .persist()
+        )
+        try:
+            admitted.write.mode("overwrite").parquet(
+                f"{sink_path}/batch={int(batch_id)}"
+            )
+            (
+                admitted.groupBy(*keys)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__admitted"))
+                .write.mode("overwrite")
+                .parquet(f"{counts_path}/batch={int(batch_id)}")
+            )
+        finally:
+            admitted.unpersist()
+
+    return _sink
+
+
 def stream_quota(
     df: DataFrame,
     group_by,
@@ -1129,25 +1214,30 @@ def stream_quota(
     ``functions.curation.cap_per_group``: over the WHOLE stream, at most
     ``quota`` rows per group ever reach the sink (the rolling-crawl "total
     budget per host/source" gate, where the batch-local cap can't help
-    because a host trickles rows across many batches).
+    because a host trickles rows across many batches). NULL group keys are
+    one real group with one budget (null-safe join on the spent counts).
 
     Replay-safe by construction: a micro-batch's admissions are a PURE
-    function of (the batch, the sink's EARLIER batch partitions) — batch
-    ``b`` counts prior admissions from ``batch < b`` partitions only, ranks
-    its own rows per group (``order_by`` desc/asc, then seeded-hash
-    tie-break on ``key``), admits while ``prior + rank <= quota``, and
-    overwrites ``{sink_path}/batch=<b>/``. A replayed batch recomputes the
-    identical decision and replaces its own directory — exactly-once with
-    NO mutable state store.
+    function of (the batch, the ``_counts`` side table's EARLIER batch
+    partitions) — batch ``b`` sums prior per-group admission counts from
+    ``_counts/batch<b`` partitions only, ranks its own rows per group
+    (``order_by`` desc/asc, then seeded-hash tie-break on ``key``), admits
+    while ``prior + rank <= quota``, and overwrites BOTH
+    ``{sink_path}/batch=<b>/`` and ``{sink_path}/_counts/batch=<b>/``
+    (the per-group admitted-count delta for this batch). A replayed batch
+    recomputes the identical decision and replaces its own directories —
+    exactly-once with NO mutable state store (pinned by
+    ``test_stream_quota_replay_is_idempotent``).
 
-    Scale: the prior-count aggregate reads ONLY the group columns of the
-    sink (parquet column pruning) — slim even when the admitted corpus is
-    large; the batch rank is one window on the group keys with the same
-    WindowGroupLimit pre-shuffle prune as cap_per_group. ``availableNow``
-    trigger.
+    Scale: per-batch prior cost is O(groups x batches) side-table rows,
+    INDEPENDENT of the admitted corpus size — the full-sink scan this
+    replaces was column-pruned but still listed/read O(admitted corpus)
+    per micro-batch over a long stream. Readers of ``sink_path`` never
+    see the side table (underscore-prefixed paths are hidden from Spark's
+    file index). The batch rank is one window on the group keys with the
+    same WindowGroupLimit pre-shuffle prune as cap_per_group; the spent
+    side is broadcast (at most |groups| rows). ``availableNow`` trigger.
     """
-    from pyspark.sql import Window
-
     if not df.isStreaming:
         raise ParameterException(
             "stream_quota expects a streaming DataFrame (use cap_per_group "
@@ -1178,48 +1268,21 @@ def stream_quota(
     order = cap_order_exprs(df, order_by, key, seed, descending)
     cols = list(df.columns)
 
-    def _sink(batch_df: DataFrame, batch_id: int):
-        from pyspark.errors import AnalysisException
+    def _field(name):
+        # Spark resolves groupBy names case-insensitively; match that
+        # (StructType indexing alone is case-SENSITIVE)
+        for f in df.schema.fields:
+            if f.name == name:
+                return f
+        for f in df.schema.fields:
+            if f.name.lower() == name.lower():
+                return f
+        raise ParameterException(
+            f"group column {name!r} not found in the stream schema"
+        )
 
-        bspark = batch_df.sparkSession
-        try:
-            prior = bspark.read.parquet(sink_path)
-            spent = (
-                prior.filter(F.col("batch") < int(batch_id))
-                .groupBy(*keys)
-                .agg(F.count(F.lit(1)).cast("bigint").alias("__spent"))
-            )
-        except AnalysisException as e:
-            # ONLY the no-prior-admissions states are skippable: a missing
-            # sink dir (PATH_NOT_FOUND) or a pre-created/empty one with no
-            # parquet footers yet (UNABLE_TO_INFER_SCHEMA). Any other
-            # analysis failure (duplicate column, schema drift, corrupt
-            # sink) must surface — swallowing it would silently admit
-            # unbudgeted rows forever
-            klass = ""
-            get = getattr(e, "getErrorClass", None)
-            if callable(get):
-                klass = get() or ""
-            blob = f"{klass} {e}"
-            if ("PATH_NOT_FOUND" not in blob
-                    and "UNABLE_TO_INFER_SCHEMA" not in blob):
-                raise
-            spent = None
-        w = Window.partitionBy(*keys).orderBy(*order)
-        ranked = batch_df.withColumn("__rn", F.row_number().over(w))
-        if spent is not None:
-            ranked = ranked.join(spent, on=keys, how="left").withColumn(
-                "__spent", F.coalesce(F.col("__spent"), F.lit(0).cast("bigint"))
-            )
-        else:
-            ranked = ranked.withColumn("__spent", F.lit(0).cast("bigint"))
-        admitted = (
-            ranked.filter(F.col("__spent") + F.col("__rn") <= int(quota))
-            .select(*cols)
-        )
-        admitted.write.mode("overwrite").parquet(
-            f"{sink_path}/batch={int(batch_id)}"
-        )
+    key_fields = [_field(k) for k in keys]
+    _sink = _quota_batch_sink(keys, quota, order, cols, sink_path, key_fields)
 
     return (
         df.writeStream

@@ -163,3 +163,94 @@ def test_stream_quota_tolerates_precreated_empty_sink(spark, tmp_path_factory):
                      order_by=["score"])
     q.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_stream_quota_null_group_key_budget(spark, tmp_path_factory):
+    """A NULL group key is one real group with one cross-batch budget —
+    the null-safe spent join must deplete it like any other (a plain
+    equi-join would re-grant NULL the full quota every micro-batch)."""
+    from rasgoql_spark.streaming.ops import stream_quota
+
+    tmp = tmp_path_factory.mktemp("squotanull")
+    b1 = [(i, None if i % 2 == 0 else "h", float(i)) for i in range(8)]
+    b2 = [(i, None if i % 2 == 0 else "h", float(i)) for i in range(100, 116)]
+    src = str(tmp / "in")
+    spark.createDataFrame(b1, "id BIGINT, host STRING, score DOUBLE")\
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, "id BIGINT, host STRING, score DOUBLE")\
+        .coalesce(1).write.mode("append").parquet(src)
+    sdf = (spark.readStream.schema("id BIGINT, host STRING, score DOUBLE")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp / "out")
+    q = stream_quota(sdf, ["host"], quota=6, key="id",
+                     checkpoint=str(tmp / "ckpt"), sink_path=sink,
+                     order_by=["score"])
+    q.awaitTermination(120)
+    landed = spark.read.parquet(sink).collect()
+    null_rows = [r for r in landed if r["host"] is None]
+    h_rows = [r for r in landed if r["host"] == "h"]
+    # batch 1 had 4 rows per group, batch 2 had 8 per group; quota 6 =>
+    # all 4 from batch 1 + exactly 2 from batch 2, for BOTH groups
+    for rows in (null_rows, h_rows):
+        assert len(rows) == 6
+        assert len([1 for r in rows if r["batch"] == 0]) == 4
+        assert len([1 for r in rows if r["batch"] == 1]) == 2
+
+
+def test_stream_quota_replay_is_idempotent(spark, tmp_path_factory):
+    """Replaying a batch (same batch_id, same data) recomputes the
+    identical admissions and overwrites its own partitions — the
+    exactly-once contract, pinned against the sink function directly."""
+    from rasgoql_spark.functions.curation import cap_order_exprs
+    from rasgoql_spark.streaming.ops import _quota_batch_sink
+
+    tmp = tmp_path_factory.mktemp("squotareplay")
+    sink = str(tmp / "out")
+    df0 = spark.createDataFrame(
+        [(i, f"h{i % 2}", float(i)) for i in range(6)],
+        "id BIGINT, host STRING, score DOUBLE")
+    df1 = spark.createDataFrame(
+        [(i, f"h{i % 2}", float(i)) for i in range(100, 112)],
+        "id BIGINT, host STRING, score DOUBLE")
+    order = cap_order_exprs(df0, ["score"], "id", 42, True)
+    sink_fn = _quota_batch_sink(
+        ["host"], 5, order, ["id", "host", "score"], sink,
+        [df0.schema["host"]])
+    sink_fn(df0, 0)
+    sink_fn(df1, 1)
+    first = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    # crash-replay batch 1: decisions must be identical (pure function of
+    # the batch and EARLIER counts partitions only — its own are replaced)
+    sink_fn(df1, 1)
+    second = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert first == second
+    # and replaying batch 0 does not see batch 1's counts (batch < b)
+    sink_fn(df0, 0)
+    third = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert first == third
+
+
+def test_stream_quota_counts_table_is_invisible_to_readers(spark, tmp_path_factory):
+    """The _counts side table lives under the sink path but underscore-
+    prefixed paths are hidden from Spark's file index — plain readers of
+    sink_path must see ONLY admitted rows."""
+    import os
+
+    from rasgoql_spark.streaming.ops import stream_quota
+
+    tmp = tmp_path_factory.mktemp("squotainvis")
+    src = str(tmp / "in")
+    spark.createDataFrame([(i, "h", float(i)) for i in range(9)],
+                          "id BIGINT, host STRING, score DOUBLE")\
+        .write.parquet(src)
+    sdf = (spark.readStream.schema("id BIGINT, host STRING, score DOUBLE")
+           .parquet(src))
+    sink = str(tmp / "out")
+    q = stream_quota(sdf, ["host"], quota=4, key="id",
+                     checkpoint=str(tmp / "ckpt"), sink_path=sink,
+                     order_by=["score"])
+    q.awaitTermination(120)
+    assert os.path.isdir(os.path.join(sink, "_counts"))   # side table exists
+    read = spark.read.parquet(sink)
+    assert read.count() == 4                              # rows only
+    assert "__admitted" not in read.columns               # schema untouched

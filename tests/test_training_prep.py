@@ -129,3 +129,43 @@ def test_hnm_renderer_string_and_float_ids(spark):
     sql2 = _r_hard_negative_mine("t", "v", "id", positives=[(0, 17.9)],
                                  query_ids=[0], k=3)
     assert "17.9" in sql2 and "(0, 17)" not in sql2
+
+
+def test_curriculum_order_nan_trains_last_and_does_not_poison_edges(spark):
+    """NaN scores are 'unknown difficulty' exactly like NULL: last bucket
+    in both directions, and EXCLUDED from the min/max edge fit (Spark
+    sorts NaN above every double — an unguarded max would make the span
+    NaN and NULL every scored row's bucket)."""
+    from rasgoql_spark.functions.mix import curriculum_order
+
+    df = spark.createDataFrame(
+        [(0, float("nan")), (1, None), (2, 0.0), (3, 5.0), (4, 10.0)],
+        "id BIGINT, score DOUBLE")
+    for desc in (False, True):
+        rows = {r["id"]: r["CURRICULUM_BUCKET"]
+                for r in curriculum_order(df, "score", "id", n_buckets=4,
+                                          descending=desc).collect()}
+        assert rows[0] == 3 and rows[1] == 3      # NaN and NULL: last bucket
+        assert None not in rows.values()          # edges not poisoned
+        scored = [rows[2], rows[3], rows[4]]
+        assert scored == ([0, 2, 3] if not desc else [3, 1, 0])
+    # position contract: NaN/NULL rows sort at the END of the curriculum
+    ordered = curriculum_order(df, "score", "id", n_buckets=4).collect()
+    tail_ids = {r["id"] for r in ordered[-2:]}
+    assert tail_ids == {0, 1}
+
+
+def test_curriculum_order_nan_renderer_parity(spark):
+    """The SQL renderer applies the same NaN rules as the execution path."""
+    from rasgoql_spark.functions.mix import _r_curriculum_order, curriculum_order
+
+    df = spark.createDataFrame(
+        [(0, float("nan")), (1, None), (2, 1.0), (3, 4.0), (4, 9.0)],
+        "id BIGINT, score DOUBLE")
+    df.createOrReplaceTempView("__curr_nan_src")
+    sql = _r_curriculum_order("__curr_nan_src", "score", "id", n_buckets=3,
+                              _input_columns=("id", "score"))
+    via_sql = [(r["id"], r["CURRICULUM_BUCKET"]) for r in spark.sql(sql).collect()]
+    direct = [(r["id"], r["CURRICULUM_BUCKET"])
+              for r in curriculum_order(df, "score", "id", n_buckets=3).collect()]
+    assert via_sql == direct
