@@ -3502,24 +3502,41 @@ def _ranking_eval_oracle(k=10) -> str:
     )
     w_ideal = f"CASE WHEN __ipos <= {k} THEN ({wlit})[__ipos] ELSE 0.0 END"
     qi = "CAST(ROUND(({x}) * 1000000000.0, 0) AS BIGINT)"
+    cumrel = (
+        "SUM(CASE WHEN rel > 0 AND RANK >= 1 THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY QUERY_ID ORDER BY CAST(RANK AS BIGINT) "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    ap_term = (
+        f"CASE WHEN rel > 0 AND RANK >= 1 AND RANK <= {k} "
+        "THEN CAST(__cumrel AS DOUBLE) / CAST(RANK AS DOUBLE) ELSE 0.0 END"
+    )
     return (
         f"WITH ranked AS ({_bm25_join_oracle()}), "
         "labeled AS (SELECT *, CASE WHEN MATCH_ID % 7 = QUERY_ID THEN 2 "
         "WHEN MATCH_ID % 3 = 0 THEN 1 ELSE 0 END AS rel FROM ranked), "
         "st AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY QUERY_ID "
-        "ORDER BY rel DESC) AS INT) AS __ipos FROM labeled), "
+        f"ORDER BY rel DESC) AS INT) AS __ipos, {cumrel} AS __cumrel "
+        "FROM labeled), "
         "agg AS (SELECT QUERY_ID, "
         f"CAST(SUM({qi.format(x=f'{gain} * ({w_sys})')}) AS BIGINT) AS __dcg, "
         f"CAST(SUM({qi.format(x=f'{gain} * ({w_ideal})')}) AS BIGINT) AS __idcg, "
         "MIN(CASE WHEN rel > 0 AND RANK >= 1 THEN CAST(RANK AS BIGINT) END) AS __fr, "
         f"CAST(SUM(CASE WHEN rel > 0 AND RANK >= 1 AND RANK <= {k} "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS __hits "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS __hits, "
+        f"CAST(SUM({qi.format(x=ap_term)}) AS BIGINT) AS __apn, "
+        "CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS __nrel "
         "FROM st GROUP BY QUERY_ID) "
         "SELECT QUERY_ID, "
         f"CASE WHEN __idcg > 0 THEN ROUND(CAST(__dcg AS DOUBLE) / __idcg, 6) "
         f"ELSE 0.0 END AS NDCG_{k}, "
         "COALESCE(ROUND(1.0 / __fr, 6), 0.0) AS MRR, "
-        f"ROUND(__hits / {float(k)!r}, 6) AS PRECISION_{k} FROM agg"
+        f"ROUND(__hits / {float(k)!r}, 6) AS PRECISION_{k}, "
+        "CASE WHEN __nrel > 0 THEN ROUND(__hits / CAST(__nrel AS DOUBLE), 6) "
+        f"ELSE 0.0 END AS RECALL_{k}, "
+        "CASE WHEN __nrel > 0 THEN "
+        "ROUND(CAST(__apn AS DOUBLE) / 1000000000.0 / __nrel, 6) "
+        "ELSE 0.0 END AS AP FROM agg"
     )
 
 

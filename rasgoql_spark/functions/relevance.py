@@ -500,21 +500,30 @@ def ranking_eval(
 ) -> DataFrame:
     """Per-query ranking metrics: ``NDCG_K`` (exponential gains,
     Järvelin & Kekäläinen 2002), ``MRR`` (reciprocal rank of the first
-    relevant hit), and ``PRECISION_K`` — the evaluation companion of
-    ``bm25_join`` / ``rrf_fuse`` (feed their output plus a relevance-label
-    column straight in). ``rank_col`` is the system's 1-based rank;
-    ``label_col`` is a non-negative integer graded relevance (0 = not
-    relevant).
+    relevant hit), ``PRECISION_K``, ``RECALL_K`` (relevant hits in the
+    top-k over ALL relevant documents for the query), and ``AP``
+    (TREC-style average precision truncated at k: sum of precision@i over
+    relevant ranked positions i <= k, divided by the query's TOTAL
+    relevant count — the macro mean of ``AP`` across queries is MAP) —
+    the evaluation companion of ``bm25_join`` / ``rrf_fuse`` (feed their
+    output plus a relevance-label column straight in). ``rank_col`` is
+    the system's 1-based rank; ``label_col`` is a non-negative integer
+    graded relevance (0 = not relevant; AP/recall treat any label > 0 as
+    relevant, the standard binarization of graded judgments).
 
     Determinism: the 1/log2(rank+1) discount weights are PYTHON-computed
     literals (both engines receive identical doubles — no cross-engine
-    log2), per-query sums accumulate as 9-dp-quantized exact BIGINTs, and
-    ideal gains depend only on the (label, position) multiset, so label
-    ties cannot flip the result.
+    log2), per-query sums accumulate as 9-dp-quantized exact BIGINTs
+    (AP's precision@i terms included), and ideal gains depend only on the
+    (label, position) multiset, so label ties cannot flip the result. The
+    AP cumulative-relevant count uses a RANGE frame on the rank value, so
+    duplicate ranks (a malformed but possible input) still aggregate
+    deterministically.
 
-    Scale: one window pass (ideal positions) + one hash aggregate on the
-    query key. Queries with no relevant document score NDCG/MRR/precision
-    0 (not null — they count against a macro average).
+    Scale: two window passes (ideal positions; cumulative relevant by
+    rank) + one hash aggregate on the query key. Queries with no relevant
+    document score 0 on every metric (not null — they count against a
+    macro average).
     """
     if k < 1:
         raise ParameterException("k must be >= 1")
@@ -535,18 +544,33 @@ def ranking_eval(
     ideal_pos = F.row_number().over(
         Window.partitionBy(q).orderBy(F.col(lab).desc())
     )
-    staged = df.withColumn("__ipos", ideal_pos)
+    rel = F.col(lab).cast("double") > 0
+    valid = F.col(r) >= 1
+    # cumulative relevant count through each rank value (RANGE frame:
+    # duplicate ranks both see the full tied count — deterministic)
+    wcum = (
+        Window.partitionBy(q)
+        .orderBy(F.col(r).cast("bigint").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumrel = F.sum(F.when(rel & valid, 1).otherwise(0)).over(wcum)
+    staged = df.withColumn("__ipos", ideal_pos).withColumn("__cumrel", cumrel)
     w_ideal = F.when(
         F.col("__ipos") <= k, F.element_at(wlit, F.col("__ipos"))
     ).otherwise(F.lit(0.0))
     qi = lambda c: F.round(c * 1e9, 0).cast("bigint")  # noqa: E731
-    rel = F.col(lab).cast("double") > 0
+    ap_term = F.when(
+        rel & valid & (F.col(r) <= k),
+        F.col("__cumrel").cast("double") / F.col(r).cast("double"),
+    ).otherwise(F.lit(0.0))
     agg = staged.groupBy(q).agg(
         F.sum(qi(gain * w_sys)).alias("__dcg"),
         F.sum(qi(gain * w_ideal)).alias("__idcg"),
         F.min(F.when(rel & (F.col(r) >= 1), F.col(r).cast("bigint"))).alias("__fr"),
         F.sum(F.when(rel & (F.col(r) >= 1) & (F.col(r) <= k), 1).otherwise(0))
         .alias("__hits"),
+        F.sum(qi(ap_term)).alias("__apn"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("__nrel"),
     )
     return agg.select(
         q,
@@ -555,6 +579,13 @@ def ranking_eval(
                ).otherwise(F.lit(0.0)).alias(f"NDCG_{k}"),
         F.coalesce(F.round(1.0 / F.col("__fr"), round_to), F.lit(0.0)).alias("MRR"),
         F.round(F.col("__hits") / F.lit(float(k)), round_to).alias(f"PRECISION_{k}"),
+        F.when(F.col("__nrel") > 0,
+               F.round(F.col("__hits") / F.col("__nrel").cast("double"), round_to)
+               ).otherwise(F.lit(0.0)).alias(f"RECALL_{k}"),
+        F.when(F.col("__nrel") > 0,
+               F.round(F.col("__apn").cast("double") / 1e9 / F.col("__nrel"),
+                       round_to)
+               ).otherwise(F.lit(0.0)).alias("AP"),
     )
 
 
@@ -577,9 +608,20 @@ def _r_ranking_eval(source, query_col, rank_col, label_col, k=10,
     )
     rel = f"CAST({label_col} AS DOUBLE) > 0"
     qi = "CAST(ROUND(({x}) * 1000000000.0, 0) AS BIGINT)"
+    cumrel = (
+        f"SUM(CASE WHEN {rel} AND {rank_col} >= 1 THEN 1 ELSE 0 END) "
+        f"OVER (PARTITION BY {query_col} ORDER BY CAST({rank_col} AS BIGINT) "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
     staged = (
         f"(SELECT *, ROW_NUMBER() OVER (PARTITION BY {query_col} "
-        f"ORDER BY {label_col} DESC) AS __ipos FROM {source})"
+        f"ORDER BY {label_col} DESC) AS __ipos, {cumrel} AS __cumrel "
+        f"FROM {source})"
+    )
+    ap_term = (
+        f"CASE WHEN {rel} AND {rank_col} >= 1 AND {rank_col} <= {k} "
+        f"THEN CAST(__cumrel AS DOUBLE) / CAST({rank_col} AS DOUBLE) "
+        "ELSE 0.0 END"
     )
     inner = (
         f"SELECT {query_col}, "
@@ -587,7 +629,9 @@ def _r_ranking_eval(source, query_col, rank_col, label_col, k=10,
         f"SUM({qi.format(x=f'{gain} * ({w_ideal})')}) AS __idcg, "
         f"MIN(CASE WHEN {rel} AND {rank_col} >= 1 THEN CAST({rank_col} AS BIGINT) END) AS __fr, "
         f"SUM(CASE WHEN {rel} AND {rank_col} >= 1 AND {rank_col} <= {k} "
-        f"THEN 1 ELSE 0 END) AS __hits "
+        f"THEN 1 ELSE 0 END) AS __hits, "
+        f"SUM({qi.format(x=ap_term)}) AS __apn, "
+        f"CAST(SUM(CASE WHEN {rel} THEN 1 ELSE 0 END) AS BIGINT) AS __nrel "
         f"FROM {staged} GROUP BY {query_col}"
     )
     return (
@@ -595,7 +639,11 @@ def _r_ranking_eval(source, query_col, rank_col, label_col, k=10,
         f"CASE WHEN __idcg > 0 THEN ROUND(CAST(__dcg AS DOUBLE) / __idcg, {round_to}) "
         f"ELSE 0.0 END AS NDCG_{k}, "
         f"COALESCE(ROUND(1.0 / __fr, {round_to}), 0.0) AS MRR, "
-        f"ROUND(__hits / CAST({float(k)!r} AS DOUBLE), {round_to}) AS PRECISION_{k} "
+        f"ROUND(__hits / CAST({float(k)!r} AS DOUBLE), {round_to}) AS PRECISION_{k}, "
+        f"CASE WHEN __nrel > 0 THEN ROUND(__hits / CAST(__nrel AS DOUBLE), {round_to}) "
+        f"ELSE 0.0 END AS RECALL_{k}, "
+        f"CASE WHEN __nrel > 0 THEN ROUND(CAST(__apn AS DOUBLE) / 1000000000.0 / __nrel, "
+        f"{round_to}) ELSE 0.0 END AS AP "
         f"FROM ({inner})"
     )
 

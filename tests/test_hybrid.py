@@ -250,3 +250,48 @@ def test_ranking_eval_validation_and_renderer(spark):
     direct = ranking_eval(df, "q", "rank", "rel", k=5)
     assert via_sql.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_sql).count() == 0
+
+
+def test_ranking_eval_recall_and_ap_known_values(spark):
+    """Hand-computed recall@k and TREC AP (round 12): rel docs at ranks
+    1 and 4 of 5, one MORE relevant doc outside the ranking window."""
+    from rasgoql_spark.functions.relevance import ranking_eval
+
+    # ranks 1..5; relevant at rank 1 and 4; a third relevant doc sits at
+    # rank 6 (beyond k) so recall/AP denominators use TOTAL relevant = 3
+    rows = [(1, 1, 1), (1, 2, 0), (1, 3, 0), (1, 4, 2), (1, 5, 0), (1, 6, 1)]
+    df = spark.createDataFrame(rows, "q BIGINT, rank INT, rel INT")
+    out = ranking_eval(df, "q", "rank", "rel", k=5).collect()[0]
+    # hits in top-5 = 2, total relevant = 3
+    assert out["RECALL_5"] == pytest.approx(2 / 3, abs=1e-6)
+    # AP = (P@1 + P@4) / R = (1/1 + 2/4) / 3
+    assert out["AP"] == pytest.approx((1.0 + 0.5) / 3, abs=1e-6)
+
+
+def test_ranking_eval_recall_ap_perfect_and_empty(spark):
+    from rasgoql_spark.functions.relevance import ranking_eval
+
+    # all relevant docs ranked first -> AP = recall = 1
+    rows = [(1, 1, 1), (1, 2, 1), (1, 3, 0)]
+    df = spark.createDataFrame(rows, "q BIGINT, rank INT, rel INT")
+    out = ranking_eval(df, "q", "rank", "rel", k=3).collect()[0]
+    assert out["AP"] == pytest.approx(1.0)
+    assert out["RECALL_3"] == pytest.approx(1.0)
+    # no relevant docs -> both 0 (not null), same contract as NDCG/MRR
+    df0 = spark.createDataFrame([(1, 1, 0), (1, 2, 0)],
+                                "q BIGINT, rank INT, rel INT")
+    out0 = ranking_eval(df0, "q", "rank", "rel", k=2).collect()[0]
+    assert out0["AP"] == 0.0 and out0["RECALL_2"] == 0.0
+
+
+def test_ranking_eval_renderer_matches_dataframe(spark):
+    from rasgoql_spark.functions.relevance import _r_ranking_eval, ranking_eval
+
+    rows = [(q, r, (q * 3 + r) % 3) for q in (1, 2) for r in range(1, 8)]
+    df = spark.createDataFrame(rows, "q BIGINT, rank INT, rel INT")
+    df.createOrReplaceTempView("__rank_eval_src")
+    sql = _r_ranking_eval("__rank_eval_src", "q", "rank", "rel", k=5)
+    via_sql = {tuple(r) for r in spark.sql(sql).collect()}
+    direct = {tuple(r) for r in
+              ranking_eval(df, "q", "rank", "rel", k=5).collect()}
+    assert via_sql == direct

@@ -1,6 +1,7 @@
 """Property-based tests (hypothesis) for the pure-Python layers, plus
 determinism properties of data-dependent operators."""
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -648,3 +649,42 @@ def test_rrf_null_rows_contribute_zero(spark, rows):
         else:
             assert r["RANK_SEM"] is None
         assert abs(r["RRF_SCORE"] - round(want, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-12 invariants: ranking_eval recall@k / AP vs a pairwise reference
+# (same standard as test_classifier_eval_matches_pairwise_reference)
+# ---------------------------------------------------------------------------
+
+_rank_labels = st.lists(
+    st.integers(min_value=0, max_value=3),   # graded labels incl. all-zero
+    min_size=1, max_size=14,
+)
+
+
+@given(_rank_labels, st.integers(min_value=1, max_value=8))
+@settings(max_examples=10, deadline=None)
+def test_ranking_eval_recall_ap_match_pairwise_reference(spark, labels, k):
+    """RECALL_K and AP equal the brute-force per-position reference:
+    recall = hits@k / total_relevant; AP = mean over relevant ranked
+    positions i<=k of precision@i, divided by TOTAL relevant (TREC)."""
+    from rasgoql_spark.functions.relevance import ranking_eval
+
+    rows = [(1, i + 1, lab) for i, lab in enumerate(labels)]
+    df = spark.createDataFrame(rows, "q BIGINT, rank INT, rel INT")
+    out = ranking_eval(df, "q", "rank", "rel", k=k).collect()[0]
+
+    n_rel = sum(1 for lab in labels if lab > 0)
+    hits = sum(1 for i, lab in enumerate(labels) if lab > 0 and i + 1 <= k)
+    if n_rel == 0:
+        assert out[f"RECALL_{k}"] == 0.0 and out["AP"] == 0.0
+        return
+    assert out[f"RECALL_{k}"] == pytest.approx(hits / n_rel, abs=1e-6)
+    ap = 0.0
+    seen = 0
+    for i, lab in enumerate(labels):
+        if lab > 0:
+            seen += 1
+            if i + 1 <= k:
+                ap += seen / (i + 1)
+    assert out["AP"] == pytest.approx(ap / n_rel, abs=1e-6)
