@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import rasgoql_spark as rql  # noqa: E402
 from rasgoql_spark.functions.graph import pagerank_oracle_sql  # noqa: E402
 from rasgoql_spark.functions.layout import hilbert_sql as _hilbert_sql  # noqa: E402
+from rasgoql_spark.functions.layout import hilbert_nd_sql as _hilbert_nd_sql  # noqa: E402
 from rasgoql_spark.functions.logreg import logreg_oracle_sql  # noqa: E402
 from rasgoql_spark.functions.rproj import random_projection_oracle_sql  # noqa: E402
 from rasgoql_spark.functions.snapshot import diff_oracle_sql  # noqa: E402
@@ -1324,6 +1325,20 @@ def q_hilbert(spark, sf):
     return (
         _s(spark, sf).dataset("orders")
         .hilbert(columns=["o_custkey", "o_totalprice"], bits=8)
+        .df.select("o_orderkey", "HVALUE")
+    )
+
+
+def q_hilbert_nd(spark, sf):
+    """Round 12: the n-D Hilbert layout key (Skilling transpose — the
+    dimensionality zorder always had and 2-D hilbert lacked). Three
+    clustering columns, 4 bits each (12-bit key); same clamped bucket
+    arithmetic as zorder, and the staged transpose program is emitted by
+    the dialect-neutral ``hilbert_nd_sql`` helper, so the DuckDB oracle
+    replays the IDENTICAL expression text over exact integer inputs."""
+    return (
+        _s(spark, sf).dataset("orders")
+        .hilbert(columns=["o_custkey", "o_totalprice", "o_orderkey"], bits=4)
         .df.select("o_orderkey", "HVALUE")
     )
 
@@ -5665,6 +5680,33 @@ ranked AS (
                 "b1", "b2", 8, ["o_orderkey"], "HVALUE",
             )
         ))(),
+        # round 12: the n-D Hilbert key — bucket CTE per column (zorder
+        # arithmetic), curve walk is the dialect-neutral hilbert_nd_sql
+        # staged program (the very text the renderer emits)
+        "hilbert_nd": (lambda nb=16: (
+            "WITH zrng AS (SELECT "
+            + ", ".join(
+                f"CAST(min({c}) AS DOUBLE) AS mn{i}, "
+                f"CAST(max({c}) AS DOUBLE) AS mx{i}"
+                for i, c in ((1, "o_custkey"), (2, "o_totalprice"),
+                             (3, "o_orderkey"))
+            )
+            + " FROM orders) "
+            + _hilbert_nd_sql(
+                "(SELECT o_orderkey, "
+                + ", ".join(
+                    f"COALESCE(LEAST(CAST({nb - 1} AS BIGINT), "
+                    f"GREATEST(CAST(0 AS BIGINT), "
+                    f"CAST(FLOOR((CAST({c} AS DOUBLE) - zrng.mn{i}) / "
+                    f"(zrng.mx{i} - zrng.mn{i}) * {float(nb)!r}) AS BIGINT))), "
+                    f"CAST(0 AS BIGINT)) AS b{i}"
+                    for i, c in ((1, "o_custkey"), (2, "o_totalprice"),
+                                 (3, "o_orderkey"))
+                )
+                + " FROM orders CROSS JOIN zrng)",
+                ["b1", "b2", "b3"], 4, ["o_orderkey"], "HVALUE",
+            )
+        ))(),
         # round 10: IVFADC+R — the ADC replay plus the exact-refine stage
         # (rk <= k·factor survivors join back to the staged unit vectors)
         "similarity_search_ivfpq_rerank": _mk_ivfpq_sql(
@@ -6297,6 +6339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "k_anonymize": q_k_anonymize,
         "hilbert": q_hilbert,
+        "hilbert_nd": q_hilbert_nd,
         "stream_psi_batch": q_stream_psi_batch,
         "mutual_information": q_mutual_information,
         "psi_drift_categorical": q_psi_drift_categorical,

@@ -323,10 +323,12 @@ class SQLChain:
           clustered columns — the Delta/Iceberg OPTIMIZE ZORDER BY
           layout, as a write option. Mutually exclusive with ``by`` /
           ``sort_within`` (it IS a placement + order policy).
-          ``curve='hilbert'`` swaps the Morton interleave for the 2-D
-          Hilbert walk (exactly two columns) — no curve jumps, so key
-          ranges map to contiguous 2-D blocks and min/max pruning
-          tightens further (measured in SCALING.md).
+          ``curve='hilbert'`` swaps the Morton interleave for the
+          Hilbert curve (two columns: the classic xy2d walk; three or
+          more: the Skilling transpose, round 12) — no curve jumps, so
+          key ranges map to contiguous blocks and min/max pruning
+          tightens further in every dimension count (measured in
+          SCALING.md).
 
         All sizing happens executor-side; nothing is collected (z-order
         adds one bounded 2-doubles-per-column range aggregate). Returns

@@ -241,6 +241,108 @@ def hilbert_sql(
     return f"SELECT {cols}, __gd{lvl} AS {name} FROM {sql}"
 
 
+# --- Hilbert curve (n-D, Skilling transpose) -----------------------------
+
+def _xor_sql(a: str, b: str) -> str:
+    """Dialect-neutral bitwise XOR on non-negative bigints:
+    a ^ b == a + b - 2*(a & b) (Spark's ``^`` is XOR but DuckDB's is
+    exponentiation, so the operator itself is NOT portable)."""
+    return f"({a} + {b} - 2 * ({a} & {b}))"
+
+
+def _hilbert_nd_stages(n: int, bits: int):
+    """Skilling's AxestoTranspose (J. Skilling, "Programming the Hilbert
+    curve", AIP Conf. Proc. 707, 2004 — public algorithm) as a staged
+    dialect-neutral SQL program: only ``&``, ``>>``, ``bit_count``, CASE,
+    and integer arithmetic, which Spark SQL and DuckDB evaluate
+    identically. Returns ``(stages, dexpr)`` — ``stages`` is an ordered
+    list of {new_column: sql_expr} projections (each may reference columns
+    named by earlier stages; inputs are ``__hx0..__hx{n-1}`` bigint
+    buckets in [0, 2**bits)), and ``dexpr`` computes the final key by
+    interleaving the transposed coordinates dimension-major (bit ``b-1``
+    of X[0] is the key's MSB).
+
+    Per Q level the inverse-undo touches X[0] and X[i] only, so each
+    (Q, i) pair is one small projection; the Gray encode is n-1 chained
+    XOR stages; the final undo mask t collapses to ONE stage via the
+    parity identity bit_j(t) = parity(popcount(X[n-1] >> (j+1))).
+    Stage count is (bits-1)*n + (n-1) + 2 — linear, never nested
+    expression blowup."""
+    cur = [f"__hx{i}" for i in range(n)]
+    stages: list[dict] = []
+    for q in range(bits - 1, 0, -1):
+        Q, P = 1 << q, (1 << q) - 1
+        for i in range(n):
+            x0, xi = cur[0], cur[i]
+            if i == 0:
+                new0 = f"__ha{q}_0"
+                stages.append({new0: (
+                    f"CASE WHEN ({x0} & {Q}) > 0 "
+                    f"THEN {_xor_sql(x0, str(P))} ELSE {x0} END"
+                )})
+                cur[0] = new0
+            else:
+                t = f"({_xor_sql(x0, xi)} & {P})"
+                new0, newi = f"__ha{q}_{i}", f"__hb{q}_{i}"
+                stages.append({
+                    new0: (
+                        f"CASE WHEN ({xi} & {Q}) > 0 "
+                        f"THEN {_xor_sql(x0, str(P))} "
+                        f"ELSE {_xor_sql(x0, t)} END"
+                    ),
+                    newi: (
+                        f"CASE WHEN ({xi} & {Q}) > 0 THEN {xi} "
+                        f"ELSE {_xor_sql(xi, t)} END"
+                    ),
+                })
+                cur[0], cur[i] = new0, newi
+    for i in range(1, n):
+        newi = f"__hg{i}"
+        stages.append({newi: _xor_sql(cur[i], cur[i - 1])})
+        cur[i] = newi
+    tmask = " + ".join(
+        f"(bit_count({cur[n - 1]} >> {j + 1}) & 1) * CAST({1 << j} AS BIGINT)"
+        for j in range(bits - 1)
+    ) or "CAST(0 AS BIGINT)"
+    stages.append({"__hm": f"({tmask})"})
+    stages.append({
+        f"__hf{i}": _xor_sql(cur[i], "__hm") for i in range(n)
+    })
+    terms = []
+    for i in range(n):
+        for j in range(bits):
+            w = 1 << (j * n + (n - 1 - i))
+            terms.append(f"((__hf{i} >> {j}) & 1) * CAST({w} AS BIGINT)")
+    return stages, "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def hilbert_nd_sql(
+    source: str,
+    bucket_exprs,
+    bits: int,
+    out_cols,
+    name: str = "HVALUE",
+) -> str:
+    """Full dialect-neutral (Spark SQL == DuckDB) rendering of the n-D
+    Hilbert key (n >= 2, Skilling transpose): one nested subquery per
+    program stage so every intermediate is named once — the same staging
+    discipline as the 2-D :func:`hilbert_sql`. ``bucket_exprs`` are SQL
+    expressions yielding bigint buckets in [0, 2**bits)."""
+    n = len(bucket_exprs)
+    sql = (
+        "(SELECT *, "
+        + ", ".join(f"CAST({be} AS BIGINT) AS __hx{i}"
+                    for i, be in enumerate(bucket_exprs))
+        + f" FROM {source})"
+    )
+    stages, dexpr = _hilbert_nd_stages(n, bits)
+    for st in stages:
+        sel = ", ".join(f"{e} AS {c}" for c, e in st.items())
+        sql = f"(SELECT *, {sel} FROM {sql})"
+    cols = ", ".join(out_cols)
+    return f"SELECT {cols}, {dexpr} AS {name} FROM {sql}"
+
+
 @spark_transform("hilbert", category="layout", streaming_ok=False)
 def hilbert(
     df: DataFrame,
@@ -249,32 +351,45 @@ def hilbert(
     name: str = "HVALUE",
     ranges: dict | None = None,
 ) -> DataFrame:
-    """Append ``name`` (bigint): the 2-D Hilbert-curve key over exactly two
-    clustering columns (Hilbert 1891; the xy2d walk of the public
-    literature, unrolled ``bits`` levels). Same contract as ``zorder`` —
-    range-bucket each column into ``2**bits`` buckets between observed or
-    explicit ``ranges``, then map (x, y) to the curve position — but with
-    strictly better locality than Morton interleave: the Hilbert curve
-    never jumps, so consecutive key ranges are contiguous 2-D blocks and
-    parquet min/max pruning tightens on BOTH columns (measured vs Morton in
-    SCALING.md).
+    """Append ``name`` (bigint): the Hilbert-curve key over two OR MORE
+    clustering columns. Same contract as ``zorder`` — range-bucket each
+    column into ``2**bits`` buckets between observed or explicit
+    ``ranges``, then map the bucket tuple to the curve position — but
+    with strictly better locality than Morton interleave: the Hilbert
+    curve never jumps, so consecutive key ranges are contiguous blocks
+    and parquet min/max pruning tightens on EVERY column (measured vs
+    Morton in SCALING.md).
 
-    NULLs bucket to 0; out-of-range values clamp to edge buckets; exactly
-    two columns (the classic construction is 2-D; use ``zorder`` for d>2).
+    Two columns use the classic unrolled xy2d walk (Hilbert 1891 — kept
+    bit-for-bit stable for the existing baseline/oracle series); three or
+    more use Skilling's transpose construction (AIP Conf. Proc. 707,
+    2004), whose unit-step adjacency and bijectivity are property-pinned
+    against a pure-Python reference. The two constructions are different
+    (valid) curve orientations, so 2-D keys are NOT comparable with a
+    3-D projection's first two dims.
 
-    Scale: shuffle-free per-row integer math — ``bits`` staged projections
-    (each level's curve state is a named column, so the expression tree
-    stays linear in ``bits``), one aggregate for range discovery. The only
-    data movement is the range-repartition of the clustered write
+    NULLs bucket to 0; out-of-range values clamp to edge buckets;
+    ``len(columns) * bits`` must fit the 62-bit signed key (the zorder
+    limit).
+
+    Scale: shuffle-free per-row integer math — O(bits x dims) staged
+    projections (each stage's curve state is a named column, so the
+    expression tree stays linear), one aggregate for range discovery. The
+    only data movement is the range-repartition of the clustered write
     (``save_shards``)."""
     cols = [resolve_col(df, c) for c in as_list(columns)]
-    if len(cols) != 2:
+    if len(cols) < 2:
         raise ParameterException(
-            "hilbert needs exactly two columns (the classic 2-D curve); "
-            "use zorder for other dimensionalities"
+            "hilbert needs at least two columns (one dimension has no "
+            "curve; use a plain sort)"
         )
     if bits < 1 or bits > 16:
         raise ParameterException("bits must be in [1, 16]")
+    if len(cols) * bits > MAX_Z_BITS:
+        raise ParameterException(
+            f"{len(cols)} columns x {bits} bits = {len(cols) * bits} "
+            f"exceeds the {MAX_Z_BITS}-bit key"
+        )
     if name in df.columns:
         raise ParameterException(f"output column {name!r} already exists")
     rng = dict(ranges) if ranges else zorder_ranges(df, cols)
@@ -282,41 +397,61 @@ def hilbert(
     for c in cols:
         if c not in rng:
             raise ParameterException(f"ranges is missing column {c!r}")
-    bx = _bucket_expr(_as_double(df, cols[0]), float(rng[cols[0]][0]),
-                      float(rng[cols[0]][1]), nb)
-    by = _bucket_expr(_as_double(df, cols[1]), float(rng[cols[1]][0]),
-                      float(rng[cols[1]][1]), nb)
-    out = df.withColumns({
-        "__gx0": bx.cast("bigint"),
-        "__gy0": by.cast("bigint"),
-        "__gd0": F.lit(0).cast("bigint"),
-    })
-    lvl = 0
-    for i in range(bits - 1, -1, -1):
-        e = _hilbert_level_exprs(1 << i, nb, f"__gx{lvl}", f"__gy{lvl}", f"__gd{lvl}")
-        out = out.withColumns({
-            f"__gd{lvl + 1}": F.expr(e["d"]),
-            f"__gx{lvl + 1}": F.expr(e["x"]),
-            f"__gy{lvl + 1}": F.expr(e["y"]),
+    buckets = [
+        _bucket_expr(_as_double(df, c), float(rng[c][0]), float(rng[c][1]), nb)
+        for c in cols
+    ]
+    if len(cols) == 2:
+        out = df.withColumns({
+            "__gx0": buckets[0].cast("bigint"),
+            "__gy0": buckets[1].cast("bigint"),
+            "__gd0": F.lit(0).cast("bigint"),
         })
-        lvl += 1
-    out = out.withColumn(name, F.col(f"__gd{lvl}"))
-    return out.drop(*[c for l in range(lvl + 1)
-                      for c in (f"__gx{l}", f"__gy{l}", f"__gd{l}")])
+        lvl = 0
+        for i in range(bits - 1, -1, -1):
+            e = _hilbert_level_exprs(1 << i, nb, f"__gx{lvl}", f"__gy{lvl}",
+                                     f"__gd{lvl}")
+            out = out.withColumns({
+                f"__gd{lvl + 1}": F.expr(e["d"]),
+                f"__gx{lvl + 1}": F.expr(e["x"]),
+                f"__gy{lvl + 1}": F.expr(e["y"]),
+            })
+            lvl += 1
+        out = out.withColumn(name, F.col(f"__gd{lvl}"))
+        return out.drop(*[c for l in range(lvl + 1)
+                          for c in (f"__gx{l}", f"__gy{l}", f"__gd{l}")])
+    # n >= 3: Skilling transpose, same staged-projection discipline
+    n = len(cols)
+    out = df.withColumns({
+        f"__hx{i}": b.cast("bigint") for i, b in enumerate(buckets)
+    })
+    stages, dexpr = _hilbert_nd_stages(n, bits)
+    temp = [f"__hx{i}" for i in range(n)]
+    for st in stages:
+        out = out.withColumns({c: F.expr(e) for c, e in st.items()})
+        temp.extend(st.keys())
+    out = out.withColumn(name, F.expr(dexpr))
+    return out.drop(*temp)
 
 
 @_renderer("hilbert")
 def _r_hilbert(source, columns, bits=8, name="HVALUE", ranges=None,
                _input_columns=()) -> str:
-    """Rendered via :func:`hilbert_sql` (dialect-neutral); requires explicit
-    ``ranges`` — the zorder renderer convention."""
+    """Rendered via :func:`hilbert_sql` (2-D) or :func:`hilbert_nd_sql`
+    (n >= 3) — both dialect-neutral; requires explicit ``ranges`` — the
+    zorder renderer convention."""
     from ..errors import TransformRenderingException
 
     cols = as_list(columns)
-    if len(cols) != 2:
-        raise ParameterException("hilbert needs exactly two columns")
+    if len(cols) < 2:
+        raise ParameterException("hilbert needs at least two columns")
     if bits < 1 or bits > 16:
         raise ParameterException("bits must be in [1, 16]")
+    if len(cols) * bits > MAX_Z_BITS:
+        raise ParameterException(
+            f"{len(cols)} columns x {bits} bits = {len(cols) * bits} "
+            f"exceeds the {MAX_Z_BITS}-bit key"
+        )
     if ranges is None:
         raise TransformRenderingException(
             "rendered hilbert needs explicit ranges={col: (min, max)} "
@@ -339,5 +474,8 @@ def _r_hilbert(source, columns, bits=8, name="HVALUE", ranges=None,
     for c in cols:
         if c not in ranges:
             raise ParameterException(f"ranges is missing column {c!r}")
-    return hilbert_sql(source, bucket(cols[0]), bucket(cols[1]), bits,
-                       list(_input_columns), name)
+    if len(cols) == 2:
+        return hilbert_sql(source, bucket(cols[0]), bucket(cols[1]), bits,
+                           list(_input_columns), name)
+    return hilbert_nd_sql(source, [bucket(c) for c in cols], bits,
+                          list(_input_columns), name)

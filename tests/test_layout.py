@@ -202,15 +202,105 @@ def test_hilbert_renderer_parity(orders, spark):
 
 def test_hilbert_guards(orders):
     with pytest.raises(ParameterException):
-        hilbert(orders, ["o_custkey"], bits=8)
-    with pytest.raises(ParameterException):
-        hilbert(orders, ["o_custkey", "o_totalprice", "o_orderkey"], bits=8)
+        hilbert(orders, ["o_custkey"], bits=8)          # 1-D has no curve
     with pytest.raises(ParameterException):
         hilbert(orders, ["o_custkey", "o_totalprice"], bits=0)
+    with pytest.raises(ParameterException):             # 8 dims x 8 bits > 62
+        hilbert(orders, ["o_custkey"] * 8, bits=8)
     with pytest.raises(TransformRenderingException):
         from rasgoql_spark.functions.layout import _r_hilbert
 
         _r_hilbert("t", ["a", "b"], ranges=None)
+
+
+# --- n-D Hilbert (round 12, Skilling transpose) ---------------------------
+
+def _skilling_ref(coords, bits):
+    """Pure-Python Skilling AxestoTranspose reference (public algorithm)."""
+    n = len(coords)
+    X = list(coords)
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t, Q = 0, 1 << (bits - 1)
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    d = 0
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            d = (d << 1) | ((X[i] >> j) & 1)
+    return d
+
+
+def test_hilbert_3d_matches_skilling_reference(spark):
+    """Every cell of the full 8x8x8 grid maps exactly to the Skilling
+    reference value, and the key is a bijection onto [0, 8^3)."""
+    import itertools
+
+    n = 8
+    cells = list(itertools.product(range(n), repeat=3))
+    df = spark.createDataFrame(cells, "x long, y long, z long")
+    rng = {c: (0, n) for c in ("x", "y", "z")}
+    out = hilbert(df, ["x", "y", "z"], bits=3, ranges=rng)
+    got = {(r["x"], r["y"], r["z"]): r["HVALUE"] for r in out.collect()}
+    assert all(got[c] == _skilling_ref(c, 3) for c in cells)
+    assert sorted(got.values()) == list(range(n ** 3))
+
+
+def test_hilbert_3d_unit_step_adjacency(spark):
+    """Consecutive 3-D keys are always Manhattan-distance-1 neighbors —
+    the defining Hilbert property (and the one Morton violates), so the
+    construction is a true space-filling curve in every dimension count."""
+    import itertools
+
+    n = 4
+    cells = list(itertools.product(range(n), repeat=3))
+    df = spark.createDataFrame(cells, "x long, y long, z long")
+    rng = {c: (0, n) for c in ("x", "y", "z")}
+    out = hilbert(df, ["x", "y", "z"], bits=2, ranges=rng)
+    by_key = {r["HVALUE"]: (r["x"], r["y"], r["z"]) for r in out.collect()}
+    for d in range(n ** 3 - 1):
+        a, b = by_key[d], by_key[d + 1]
+        assert sum(abs(i - j) for i, j in zip(a, b)) == 1
+
+
+def test_hilbert_nd_renderer_parity_and_duckdb(orders, spark):
+    """The n>=3 renderer matches the DataFrame path on Spark AND evaluates
+    identically in DuckDB (dialect-neutral program)."""
+    import duckdb
+
+    from rasgoql_spark.functions.layout import _r_hilbert, zorder_ranges
+
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    rng = zorder_ranges(orders, cols)
+    out = hilbert(orders, cols, bits=4, ranges=rng)
+    orders.createOrReplaceTempView("h3_orders")
+    sql = _r_hilbert("h3_orders", cols, bits=4, ranges=rng,
+                     _input_columns=tuple(orders.columns))
+    direct = sorted(map(tuple, out.select("o_orderkey", "HVALUE").collect()))
+    via_sql = sorted(map(tuple,
+                         spark.sql(sql).select("o_orderkey", "HVALUE").collect()))
+    assert direct == via_sql
+    con = duckdb.connect()
+    con.register("h3_orders", out.select(*orders.columns).toPandas())
+    duck = sorted(map(tuple, con.sql(
+        f"SELECT o_orderkey, HVALUE FROM ({sql}) t").df().itertuples(index=False)))
+    con.close()
+    assert direct == duck
 
 
 def test_save_shards_hilbert_curve(session, tmp_path):
