@@ -2076,6 +2076,16 @@ def q_ngram_containment(spark, sf):
         text="text", id_col="doc_id", threshold=0.5, max_doc_freq=5).df
 
 
+def q_dedup_substring(spark, sf):
+    """Exact >=20-token substring pairs (round 12, Lee et al. 2021
+    ExactSubstr): positioned-shingle inverted index (df cap 50 over
+    distinct contents) -> per-diagonal maximal-run extension. The DuckDB
+    oracle replays the identical md5 shingle fingerprints, cap, and
+    islands arithmetic."""
+    return _s(spark, sf).dataset("documents").dedup_substring(
+        text="text", id_col="doc_id", min_tokens=20, max_doc_freq=50).df
+
+
 def q_embedding_join_ivf(spark, sf):
     """IVF ANN-join verification summary (round 6; same design as
     q_similarity_search_ivf): run the real ANN join (50 fixed queries vs a
@@ -5963,6 +5973,26 @@ ranked AS (
             "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
             "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.3"
         ),
+        # round 12: exact substring dedup — positioned shingles,
+        # distinct-content df cap, per-diagonal maximal-run islands
+        "dedup_substring": (
+            "WITH toks AS (SELECT doc_id AS id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) = '' THEN [] ELSE regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') END AS t FROM documents), "
+            "sh AS (SELECT id, md5(array_to_string(t, CHR(31))) AS ck, "
+            "CAST(u.i AS BIGINT) AS pos, md5(array_to_string(t[u.i : u.i + 20 - 1], ' ')) AS fp "
+            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20), "
+            "dfq AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT ck) AS c "
+            "FROM sh GROUP BY fp) WHERE c <= 50), "
+            "inv AS (SELECT sh.id, sh.pos, sh.fp FROM sh JOIN dfq USING (fp)), "
+            "al AS (SELECT a.id AS ia, b.id AS ib, a.pos AS pa, b.pos AS pb "
+            "FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id), "
+            "runs AS (SELECT ia, ib, pa - pb AS diag, "
+            "pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS grp, "
+            "pa, pb FROM al) "
+            "SELECT ia AS ID_A, ib AS ID_B, CAST(MIN(pa) AS BIGINT) AS START_A, "
+            "CAST(MIN(pb) AS BIGINT) AS START_B, "
+            "CAST(COUNT(1) + 20 - 1 AS BIGINT) AS MATCH_TOKENS "
+            "FROM runs GROUP BY ia, ib, diag, grp"
+        ),
         "ngram_containment": (
             f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents), "
             f"sh AS (SELECT doc_id, {_shingles('t')} AS s FROM toks), "
@@ -6457,6 +6487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": q_importance_sample,
         # --- last driver-verified round 7 ---
         "ngram_containment": q_ngram_containment,
+        "dedup_substring": q_dedup_substring,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_sig": q_dedup_simhash_sig,

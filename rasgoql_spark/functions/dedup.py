@@ -2040,3 +2040,229 @@ def _r_dedup_keep_best(
         f"SELECT s.* FROM {source} s LEFT SEMI JOIN ({best}) b "
         f"ON s.{id_col} = b.{id_col}"
     )
+
+
+# --- exact >=k-token substring dedup (round 12) ----------------------------
+
+@spark_transform("dedup_substring", category="dedup", streaming_ok=False)
+def dedup_substring(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    min_tokens: int = 20,
+    max_doc_freq: int | None = 1000,
+    mode: str = "pairs",
+) -> DataFrame:
+    """EXACT substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    criterion): find every MAXIMAL run of >= ``min_tokens`` consecutive
+    tokens shared verbatim by two documents, at ANY alignment. The
+    alignment-INSENSITIVE completion of ``dedup_spans`` (which is fixed-
+    granularity: a duplicate block shifted by one token misses every span
+    boundary; this operator catches it at any offset) — the last classic
+    dedup mode of the family.
+
+    Distributed re-expression of the paper's suffix array: every
+    ``min_tokens``-token sliding shingle keeps its POSITION, candidates
+    come from the exact inverted shingle index (two docs share a
+    >=min_tokens run iff they share a positioned shingle), and maximal
+    runs re-assemble per (pair, diagonal): matches at (pa, pb) and
+    (pa+1, pb+1) are consecutive cells of one common substring, so the
+    classic islands trick (pa - row_number over the diagonal) groups each
+    maximal run, whose token length is run_cells + min_tokens - 1.
+
+    mode='pairs' (default): ``(ID_A, ID_B, START_A, START_B,
+    MATCH_TOKENS)`` — one row per maximal shared run (ID_A < ID_B;
+    1-based token positions). mode='filter': keep-min greedy — drop every
+    document that shares a run with a smaller-id document.
+
+    Scale shape = dedup_ngram_jaccard: exact-duplicate documents collapse
+    to one representative before the posting self-join (guarded
+    ``_annotate_groups`` — 10^8 identical copies meet as ONE rep, and
+    member pairs re-expand afterwards, self-alignments included), only
+    slim (id, pos, fp128) triples cross the candidate shuffle, and the
+    run window partitions by (pair, diagonal) — bounded by the longest
+    common run, never the corpus. ``max_doc_freq`` caps posting frequency
+    counted over DISTINCT documents-by-content (collapse-invariant, the
+    dedup_ngram_jaccard contract): boilerplate shingles shared by more
+    distinct documents than the cap are dropped BEFORE the join, trading
+    recall on >cap-hot runs (a capped mid-run shingle splits that run) —
+    ``None`` disables. Within-document pathological repetition multiplies
+    alignments quadratically per pair; clean with remove_repeated_spans
+    first if the corpus has generation loops.
+    """
+    if mode not in ("pairs", "filter"):
+        raise ParameterException("mode must be 'pairs' or 'filter'")
+    if min_tokens < 2:
+        raise ParameterException("min_tokens must be >= 2")
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ParameterException("max_doc_freq must be >= 1 (or None)")
+    k = int(min_tokens)
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    base = spread(df).select(
+        F.col(i).alias("__id"), tokens_expr(F.col(t)).alias("__t")
+    )
+    cached, has_dups, caches = _annotate_groups(
+        base,
+        F.md5(F.concat_ws("\x1f", "__t")),
+        F.size("__t") >= k,
+        probe_key=F.hash("__t"),
+    )
+    rep = cached.filter((F.col("__id") == F.col("__rep")) & F.col("__ne"))
+    # positioned shingle fingerprints, built row-local BEFORE the explode
+    # (slicing after explode would re-materialize the token array per
+    # shingle — O(tokens^2) memory per doc)
+    fp_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - k + 1),
+        lambda j: F.md5(F.concat_ws(" ", F.slice("__t", j, F.lit(k)))),
+    )
+    sh = (
+        rep.select("__id", F.posexplode(fp_arr).alias("__p0", "__fp"))
+        .select("__id", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
+    )
+    if max_doc_freq is not None:
+        # df counted over distinct documents-BY-CONTENT == distinct reps
+        live_fp = (
+            sh.groupBy("__fp")
+            .agg(F.count_distinct("__id").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("__fp")
+        )
+        sh = sh.join(live_fp, on="__fp", how="left_semi")
+    inv = scoped_persist(sh)
+    la = inv.select(F.col("__id").alias("__ia"),
+                    F.col("__pos").alias("__pa"), "__fp")
+    lb = inv.select(F.col("__id").alias("__ib"),
+                    F.col("__pos").alias("__pb"), "__fp")
+    al = la.join(lb, on="__fp").filter(F.col("__ia") < F.col("__ib"))
+    if has_dups:
+        # self-alignment table per duplicated rep: the run set every
+        # member PAIR of that exact-dup group shares (symmetric — it
+        # contains both (pa, pb) and (pb, pa), so expansion needs no flip)
+        dup_reps = (
+            cached.groupBy("__rep")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("__rep")
+        )
+        inv_dup = inv.join(
+            dup_reps.select(F.col("__rep").alias("__id")),
+            on="__id", how="left_semi",
+        )
+        self_al = (
+            inv_dup.select(F.col("__id").alias("__ia"),
+                           F.col("__pos").alias("__pa"), "__fp")
+            .join(inv_dup.select(F.col("__id").alias("__ib"),
+                                 F.col("__pos").alias("__pb"), "__fp"),
+                  on="__fp")
+            .filter(F.col("__ia") == F.col("__ib"))
+        )
+        al = al.unionByName(self_al)
+    w = Window.partitionBy("__ia", "__ib", F.col("__pa") - F.col("__pb")).orderBy("__pa")
+    runs = (
+        al.withColumn("__diag", F.col("__pa") - F.col("__pb"))
+        .withColumn("__grp", F.col("__pa") - F.row_number().over(w))
+        .groupBy("__ia", "__ib", "__diag", "__grp")
+        .agg(
+            F.min("__pa").cast("bigint").alias("START_A"),
+            F.min("__pb").cast("bigint").alias("START_B"),
+            (F.count(F.lit(1)) + k - 1).cast("bigint").alias("MATCH_TOKENS"),
+        )
+        .select(F.col("__ia").alias("ID_A"), F.col("__ib").alias("ID_B"),
+                "START_A", "START_B", "MATCH_TOKENS")
+    )
+    if has_dups:
+        members = cached.select("__id", "__rep")
+        cross = runs.filter(F.col("ID_A") != F.col("ID_B"))
+        ma = members.select(F.col("__rep").alias("ID_A"), F.col("__id").alias("__xa"))
+        mb = members.select(F.col("__rep").alias("ID_B"), F.col("__id").alias("__xb"))
+        flip = F.col("__xa") > F.col("__xb")
+        out_cross = (
+            cross.join(ma, on="ID_A").join(mb, on="ID_B")
+            .select(
+                F.least("__xa", "__xb").alias("ID_A"),
+                F.greatest("__xa", "__xb").alias("ID_B"),
+                F.when(flip, F.col("START_B")).otherwise(F.col("START_A")).alias("START_A"),
+                F.when(flip, F.col("START_A")).otherwise(F.col("START_B")).alias("START_B"),
+                "MATCH_TOKENS",
+            )
+        )
+        selfp = runs.filter(F.col("ID_A") == F.col("ID_B"))
+        m1 = members.select("__rep", F.col("__id").alias("__xa"))
+        m2 = members.select("__rep", F.col("__id").alias("__xb"))
+        gpairs = (
+            m1.join(m2, on="__rep")
+            .filter(F.col("__xa") < F.col("__xb"))
+            .select(F.col("__rep").alias("ID_A"), "__xa", "__xb")
+        )
+        out_intra = selfp.join(gpairs, on="ID_A").select(
+            F.col("__xa").alias("ID_A"), F.col("__xb").alias("ID_B"),
+            "START_A", "START_B", "MATCH_TOKENS",
+        )
+        pairs = out_cross.unionByName(out_intra)
+    else:
+        pairs = runs
+    if mode == "pairs":
+        return release_with(pairs, inv, *caches)
+    drop = pairs.select(F.col("ID_B").alias("__drop_id")).distinct()
+    kept = df.join(drop, F.col(i) == F.col("__drop_id"), "left_anti")
+    return release_with(kept, inv, *caches)
+
+
+@renderer("dedup_substring")
+def _r_dedup_substring(
+    source, text, id_col, min_tokens=20, max_doc_freq=1000, mode="pairs",
+) -> str:
+    """Renders the PLAIN path (all doc pairs; the exact-dup collapse is a
+    result-preserving optimization) with the df cap counted over DISTINCT
+    token sequences — exactly the executed semantics, the
+    _inverted_cand_sql convention."""
+    from .text import _tokens_sql
+
+    if mode not in ("pairs", "filter"):
+        raise ParameterException("mode must be 'pairs' or 'filter'")
+    if min_tokens < 2:
+        raise ParameterException("min_tokens must be >= 2")
+    k = int(min_tokens)
+    toks = (
+        f"(SELECT {id_col} AS __id, md5(concat_ws('\\x1f', __t)) AS __ck, __t "
+        f"FROM (SELECT {id_col}, {_tokens_sql(text)} AS __t FROM {source}))"
+    )
+    sh = (
+        f"(SELECT __id, __ck, CAST(__p0 + 1 AS BIGINT) AS __pos, __fp FROM "
+        f"(SELECT __id, __ck, "
+        f"posexplode(transform(sequence(1, size(__t) - {k} + 1), "
+        f"j -> md5(concat_ws(' ', slice(__t, j, {k}))))) AS (__p0, __fp) "
+        f"FROM {toks} WHERE size(__t) >= {k}))"
+    )
+    if max_doc_freq is not None:
+        live = (
+            f"(SELECT __fp FROM (SELECT __fp, COUNT(DISTINCT __ck) AS __df "
+            f"FROM {sh} GROUP BY __fp) WHERE __df <= {int(max_doc_freq)})"
+        )
+        inv = f"(SELECT s.__id, s.__pos, s.__fp FROM {sh} s JOIN {live} l ON s.__fp = l.__fp)"
+    else:
+        inv = f"(SELECT __id, __pos, __fp FROM {sh})"
+    al = (
+        f"(SELECT a.__id AS __ia, b.__id AS __ib, a.__pos AS __pa, "
+        f"b.__pos AS __pb FROM {inv} a JOIN {inv} b "
+        f"ON a.__fp = b.__fp AND a.__id < b.__id)"
+    )
+    runs = (
+        f"(SELECT __ia, __ib, __pa - __pb AS __diag, "
+        f"__pa - ROW_NUMBER() OVER (PARTITION BY __ia, __ib, __pa - __pb "
+        f"ORDER BY __pa) AS __grp, __pa, __pb FROM {al})"
+    )
+    pairs = (
+        f"SELECT __ia AS ID_A, __ib AS ID_B, "
+        f"CAST(MIN(__pa) AS BIGINT) AS START_A, "
+        f"CAST(MIN(__pb) AS BIGINT) AS START_B, "
+        f"CAST(COUNT(1) + {k} - 1 AS BIGINT) AS MATCH_TOKENS "
+        f"FROM {runs} GROUP BY __ia, __ib, __diag, __grp"
+    )
+    if mode == "pairs":
+        return pairs
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN ({pairs}) p "
+        f"ON s.{id_col} = p.ID_B"
+    )

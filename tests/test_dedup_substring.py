@@ -1,0 +1,123 @@
+"""dedup_substring: exact >=k-token substring dedup (Lee et al. 2021 —
+ExactSubstr), round 12."""
+
+import pytest
+
+from rasgoql_spark.errors import ParameterException
+from rasgoql_spark.functions.dedup import _r_dedup_substring, dedup_substring
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa YY"),
+        (3, "totally different words here nothing shared with others at all"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5, "prefix words alpha beta gamma delta epsilon zeta eta theta "
+            "iota kappa suffix tail"),
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, text STRING")
+
+
+def test_maximal_runs_at_any_alignment(docs):
+    """The shared 10-token run is found at EVERY offset pairing (the
+    alignment-insensitivity dedup_spans lacks), as ONE maximal run per
+    pair — never split into shingle fragments."""
+    out = {(r["ID_A"], r["ID_B"]): (r["START_A"], r["START_B"], r["MATCH_TOKENS"])
+           for r in dedup_substring(docs, "text", "id", min_tokens=5).collect()}
+    assert out[(1, 2)] == (1, 2, 10)     # copy shifted by one token
+    assert out[(1, 4)] == (1, 1, 10)     # exact duplicate
+    assert out[(1, 5)] == (1, 3, 10)     # embedded mid-document
+    assert out[(2, 5)] == (2, 3, 10)
+    assert len(out) == 6                 # one maximal run per matching pair
+    assert not any(3 in pair for pair in out)   # unrelated doc never pairs
+
+
+def test_run_shorter_than_min_tokens_not_reported(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d X Y Z W")],
+        "id BIGINT, text STRING")
+    assert dedup_substring(df, "text", "id", min_tokens=5).count() == 0
+    out = dedup_substring(df, "text", "id", min_tokens=4).collect()
+    assert [(r["START_A"], r["START_B"], r["MATCH_TOKENS"]) for r in out] == \
+        [(1, 1, 4)]
+
+
+def test_filter_mode_keep_min(docs):
+    kept = sorted(r["id"] for r in
+                  dedup_substring(docs, "text", "id", min_tokens=5,
+                                  mode="filter").collect())
+    assert kept == [1, 3]
+
+
+def test_renderer_parity(docs, spark):
+    docs.createOrReplaceTempView("__dsub_src")
+    for mode in ("pairs", "filter"):
+        sql = _r_dedup_substring("__dsub_src", "text", "id", min_tokens=5,
+                                 mode=mode)
+        via = sorted(map(tuple, spark.sql(sql).collect()))
+        direct = sorted(map(tuple,
+                            dedup_substring(docs, "text", "id", min_tokens=5,
+                                            mode=mode).collect()))
+        assert via == direct
+
+
+def test_collapse_path_matches_plain_semantics(spark):
+    """>16 identical copies trigger the exact-dup collapse; the expanded
+    result (cross pairs + intra self-alignments) must equal the plain-path
+    renderer run over the same data."""
+    rows = [(i, "one two three four five six seven eight") for i in range(20)]
+    rows += [(100, "pre one two three four five six seven eight post"),
+             (101, "unrelated text goes here with completely other tokens")]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    direct = sorted(map(tuple,
+                        dedup_substring(df, "text", "id",
+                                        min_tokens=6).collect()))
+    df.createOrReplaceTempView("__dsub_col")
+    via = sorted(map(tuple, spark.sql(
+        _r_dedup_substring("__dsub_col", "text", "id", min_tokens=6)
+    ).collect()))
+    assert direct == via
+    # 20 copies -> C(20,2)=190 intra pairs (full 8-token run) + 20 cross
+    assert len(direct) == 190 + 20
+
+
+def test_self_repeat_produces_off_diagonal_runs(spark):
+    """Identical docs that repeat a block internally match at OFF-diagonal
+    alignments too (the naive pair semantics the collapse must preserve)."""
+    txt = "a b c d e a b c d e"
+    df = spark.createDataFrame(
+        [(i, txt) for i in range(20)], "id BIGINT, text STRING")
+    direct = dedup_substring(df, "text", "id", min_tokens=5)
+    df.createOrReplaceTempView("__dsub_rep")
+    via = sorted(map(tuple, spark.sql(
+        _r_dedup_substring("__dsub_rep", "text", "id", min_tokens=5)
+    ).collect()))
+    assert sorted(map(tuple, direct.collect())) == via
+    runs = {(r["START_A"], r["START_B"], r["MATCH_TOKENS"])
+            for r in direct.filter("ID_A = 0 AND ID_B = 1").collect()}
+    # diag 0 full run + the two shifted 5-token alignments
+    assert runs == {(1, 1, 10), (1, 6, 5), (6, 1, 5)}
+
+
+def test_max_doc_freq_caps_hot_shingles(spark):
+    """A run shared by more DISTINCT documents than the cap is dropped
+    before the join (recall contract); distinct-content counting means
+    exact copies never consume the cap."""
+    rows = [(i, f"unique{i} common one two three four five tail{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    assert dedup_substring(df, "text", "id", min_tokens=6,
+                           max_doc_freq=5).count() == 0
+    assert dedup_substring(df, "text", "id", min_tokens=6,
+                           max_doc_freq=None).count() == 45
+
+
+def test_validation(docs):
+    with pytest.raises(ParameterException):
+        dedup_substring(docs, "text", "id", min_tokens=1)
+    with pytest.raises(ParameterException):
+        dedup_substring(docs, "text", "id", mode="edges")
+    with pytest.raises(ParameterException):
+        dedup_substring(docs, "text", "id", max_doc_freq=0)
