@@ -433,6 +433,12 @@ BENCH_QUERIES = {
     "llm_cms_merge": entry.q_cms_merge_estimate,
     "llm_hard_negatives": entry.q_hard_negative_mine,
     "llm_cap_per_group": entry.q_cap_per_group,
+    # round-12 addition: exact maximal-substring dedup (positioned-
+    # shingle inverted index + per-diagonal run extension — the
+    # shuffle shape is the capped posting self-join, same family as
+    # llm_ngram_containment but with positions and a window per
+    # (pair, diagonal))
+    "llm_dedup_substring": entry.q_dedup_substring,
 }
 
 
