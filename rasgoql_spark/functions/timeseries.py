@@ -441,7 +441,7 @@ def zscore_stats(df: DataFrame, column: str, group_by=None) -> dict:
 def zscore_against_stats(
     df: DataFrame,
     column: str,
-    stats: dict,
+    stats,
     group_by=None,
     threshold: float = 3.0,
     round_to: int = 6,
@@ -454,40 +454,29 @@ def zscore_against_stats(
     the drift alarm). Groups absent from the baseline report N with null
     statistics (unknown population — alert upstream, don't guess).
 
-    Scale: ONE hash aggregate on the group keys; the baseline side is a
-    ≤|groups|-row broadcast literal frame. Batch moments use the same
-    order-free integer-sum contract as the frozen side (supported range
-    |x| ≤ 3·10⁶ — see :data:`ZQ_SAFE_MAX`; this lazy path documents rather
-    than scans, the eager :func:`zscore_stats` enforces), so the report
-    replays bit-for-bit as SQL.
+    ``stats`` is the :func:`zscore_stats` dict (≤|groups|-row broadcast
+    literal — monitor-grade group counts) or the
+    :func:`zscore_stats_frame` DataFrame (null-safe join, no forced
+    broadcast — the millions-of-groups path, AQE-sized). NULL group keys
+    present in the baseline score normally (null-safe join, the mad-twin
+    convention — round 12 also fixed the dict path here, which previously
+    both missed NULL groups in the join and crashed sorting mixed-type
+    keys).
+
+    Scale: ONE hash aggregate on the group keys. Batch moments use the
+    same order-free integer-sum contract as the frozen side (supported
+    range |x| ≤ 3·10⁶ — see :data:`ZQ_SAFE_MAX`; this lazy path documents
+    rather than scans, the eager :func:`zscore_stats` enforces), so the
+    report replays bit-for-bit as SQL.
     """
-    if not stats:
-        raise ParameterException("frozen stats are empty")
     if threshold <= 0:
         raise ParameterException("threshold must be > 0")
     keys = resolve_cols(df, as_list(group_by))
     v = resolve_col(df, column)
-    spark = df.sparkSession
-    if keys:
-        key_fields = df.select(*keys).schema
-        srows = [(*k, float(m), float(s)) for k, (m, s) in sorted(stats.items())]
-        from pyspark.sql.types import DoubleType, StructField, StructType
-
-        schema = StructType(
-            list(key_fields)
-            + [StructField("__bm", DoubleType()), StructField("__bs", DoubleType())]
-        )
-        exp = spark.createDataFrame(srows, schema)
-    else:
-        (m, s), = stats.values()
-        exp = spark.createDataFrame([(float(m), float(s))], "__bm double, __bs double")
     x = F.col(v).cast("double")
     # groups missing from the baseline: keep them (left join) with null stats
-    staged = (
-        df.join(F.broadcast(exp), on=keys, how="left")
-        if keys
-        else df.crossJoin(F.broadcast(exp))
-    )
+    staged = _stage_baseline(df, keys, stats, ("__bm", "__bs"),
+                             ("BASELINE_MEAN", "BASELINE_STD"))
     anom = (
         F.when(F.col("__bm").isNull(), F.lit(None).cast("int"))
         .when(
@@ -1032,10 +1021,158 @@ def mad_stats(df: DataFrame, column: str, group_by=None) -> dict:
     return out
 
 
+def _stage_baseline(df, keys, stats, cols, frame_cols):
+    """Left-join FROZEN per-group baseline values onto ``df`` as the
+    internal columns ``cols`` (e.g. ``("__bm", "__bd")``), null-safely on
+    the group keys (a NULL group key present in the baseline scores
+    normally instead of reporting unknown-group null statistics).
+
+    ``stats`` is either the dict an eager ``*_stats`` producer returns —
+    expanded to a BROADCAST literal, the monitor-grade path whose group
+    count fits a driver collect — or a DataFrame from a
+    ``*_stats_frame`` producer carrying ``frame_cols`` (the
+    millions-of-groups path: nothing ever collects, NO broadcast hint is
+    forced, and AQE picks broadcast vs shuffle join by actual size).
+    """
+    spark = df.sparkSession
+    if isinstance(stats, DataFrame):
+        missing = [c for c in frame_cols if c not in stats.columns]
+        if missing:
+            raise ParameterException(
+                f"baseline frame is missing columns {missing} — pass the "
+                "matching *_stats_frame output"
+            )
+        exp = stats.select(
+            *[F.col(k).alias(f"__bk_{i}") for i, k in enumerate(keys)],
+            *[F.col(fc).cast("double").alias(c)
+              for fc, c in zip(frame_cols, cols)],
+        )
+        if not keys:
+            return df.crossJoin(exp)
+    else:
+        if not stats:
+            raise ParameterException("frozen stats are empty")
+        if not keys:
+            vals, = stats.values()
+            exp = spark.createDataFrame(
+                [tuple(float(x) for x in vals)],
+                ", ".join(f"{c} double" for c in cols),
+            )
+            return df.crossJoin(F.broadcast(exp))
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        key_fields = df.select(*keys).schema
+        schema = StructType(
+            list(key_fields) + [StructField(c, DoubleType()) for c in cols]
+        )
+        exp = F.broadcast(spark.createDataFrame(
+            [(*k, *(float(x) for x in vals))
+             for k, vals in _none_safe_sorted(stats.items())],
+            schema,
+        ).select(
+            *[F.col(k).alias(f"__bk_{i}") for i, k in enumerate(keys)],
+            *cols,
+        ))
+    cond = None
+    for i, k in enumerate(keys):
+        e = F.col(k).eqNullSafe(F.col(f"__bk_{i}"))
+        cond = e if cond is None else (cond & e)
+    return df.join(exp, on=cond, how="left").drop(
+        *[f"__bk_{i}" for i in range(len(keys))]
+    )
+
+
+def mad_stats_frame(df: DataFrame, column: str, group_by=None) -> DataFrame:
+    """Distributed :func:`mad_stats`: the frozen (median, MAD) baseline as
+    a DataFrame ``(keys..., BASELINE_MEDIAN, BASELINE_MAD)`` — NOTHING
+    collects to the driver, so the baseline may hold millions of groups
+    (the documented boundary of the dict producer, whose one-row-per-group
+    collect is monitor-grade only). Feed it straight to
+    :func:`mad_against_stats` (joined null-safely, AQE-sized — no forced
+    broadcast) or persist it as the release artifact with plain
+    ``.write.parquet``.
+
+    Same exactness contract as the dict form (exact ``percentile``
+    medians); the NaN guard is a per-row executor-side raise at action
+    time instead of the eager driver check.
+    """
+    from ..operators._util import resolve_cols
+
+    keys = resolve_cols(df, as_list(group_by))
+    v = resolve_col(df, column)
+    x = F.col(v).cast("double")
+    guarded = F.when(
+        F.isnan(x),
+        F.raise_error(F.lit(
+            f"mad_stats_frame: {column} contains NaN — clean the column "
+            "before freezing a baseline"
+        )).cast("double"),
+    ).otherwise(x)
+    src = df.filter(x.isNotNull()).select(*keys, guarded.alias("__x"))
+    med = src.groupBy(*keys).agg(
+        F.percentile(F.col("__x"), F.lit(0.5)).alias("BASELINE_MEDIAN")
+    )
+    staged = _stage_baseline(src, keys, med, ("__bm",), ("BASELINE_MEDIAN",))
+    return (
+        staged.groupBy(*keys)
+        .agg(
+            F.max("__bm").alias("BASELINE_MEDIAN"),
+            F.percentile(F.abs(F.col("__x") - F.col("__bm")), F.lit(0.5))
+            .alias("BASELINE_MAD"),
+        )
+    )
+
+
+def zscore_stats_frame(df: DataFrame, column: str, group_by=None) -> DataFrame:
+    """Distributed :func:`zscore_stats`: the frozen (mean, std) baseline
+    as a DataFrame ``(keys..., BASELINE_MEAN, BASELINE_STD)`` — the
+    millions-of-groups form (no driver collect). Same order-free
+    integer-moment contract (Σ round(x·10⁶) exact BIGINT-quantized sums,
+    double-FIRST division); the NaN and |x| ≤ ZQ_SAFE_MAX guards are
+    per-row executor-side raises at action time. All-null groups are
+    dropped; single-value groups freeze std = 0.0 — dict-producer parity.
+    """
+    from ..operators._util import resolve_cols
+
+    keys = resolve_cols(df, as_list(group_by))
+    v = resolve_col(df, column)
+    x = F.col(v).cast("double")
+    guarded = (
+        F.when(F.isnan(x), F.raise_error(F.lit(
+            f"zscore_stats_frame: {column} contains NaN — clean the "
+            "column before freezing a baseline"
+        )).cast("double"))
+        .when(F.abs(x) > ZQ_SAFE_MAX, F.raise_error(F.lit(
+            f"zscore_stats_frame: |{column}| exceeds the quantization-safe "
+            f"bound {ZQ_SAFE_MAX:g} — rescale before freezing a baseline"
+        )).cast("double"))
+        .otherwise(x)
+    )
+    src = df.filter(x.isNotNull()).select(*keys, guarded.alias("__x"))
+    xx = F.col("__x")
+    agg = src.groupBy(*keys).agg(
+        F.count("__x").alias("__n"),
+        F.sum(F.round(xx * ZQ_SCALE, 0).cast("decimal(38,0)")).alias("__s1"),
+        F.sum(F.round(xx * xx * ZQ_SCALE, 0).cast("decimal(38,0)")).alias("__s2"),
+    )
+    mean = F.col("__s1").cast("double") / F.col("__n") / ZQ_SCALE
+    var = F.greatest(
+        F.lit(0.0),
+        (F.col("__s2").cast("double") / ZQ_SCALE - F.col("__n") * mean * mean)
+        / (F.col("__n") - 1),
+    )
+    return agg.filter(F.col("__n") > 0).select(
+        *keys,
+        mean.alias("BASELINE_MEAN"),
+        F.when(F.col("__n") > 1, F.sqrt(var)).otherwise(F.lit(0.0))
+        .alias("BASELINE_STD"),
+    )
+
+
 def mad_against_stats(
     df: DataFrame,
     column: str,
-    stats: dict,
+    stats,
     group_by=None,
     threshold: float = 3.5,
     round_to: int = 6,
@@ -1050,50 +1187,23 @@ def mad_against_stats(
     baseline report N with null statistics. A zero-MAD baseline counts any
     x ≠ median as an outlier and leaves the shift null.
 
+    ``stats`` is the :func:`mad_stats` dict (baseline joins as a
+    ≤|groups|-row broadcast literal — monitor-grade group counts) or the
+    :func:`mad_stats_frame` DataFrame (baseline joins null-safely with no
+    forced broadcast — the millions-of-groups path, AQE-sized).
+
     Scale: ONE hash aggregate on the group keys (the exact batch-median
-    buffers one group's batch values — the micro-batch envelope); the
-    baseline is a ≤|groups|-row broadcast literal frame. Exact-percentile
-    arithmetic replays bit-for-bit as SQL.
+    buffers one group's batch values — the micro-batch envelope).
+    Exact-percentile arithmetic replays bit-for-bit as SQL.
     """
     from ..operators._util import resolve_cols
 
-    if not stats:
-        raise ParameterException("frozen stats are empty")
     if threshold <= 0:
         raise ParameterException("threshold must be > 0")
     keys = resolve_cols(df, as_list(group_by))
     v = resolve_col(df, column)
-    spark = df.sparkSession
-    if keys:
-        key_fields = df.select(*keys).schema
-        from pyspark.sql.types import DoubleType, StructField, StructType
-
-        schema = StructType(
-            list(key_fields)
-            + [StructField("__bm", DoubleType()), StructField("__bd", DoubleType())]
-        )
-        exp = spark.createDataFrame(
-            [(*k, float(m), float(d))
-             for k, (m, d) in _none_safe_sorted(stats.items())],
-            schema,
-        ).select(
-            *[F.col(k).alias(f"__bk_{i}") for i, k in enumerate(keys)],
-            "__bm", "__bd",
-        )
-        cond = None
-        for i, k in enumerate(keys):
-            e = F.col(k).eqNullSafe(F.col(f"__bk_{i}"))
-            cond = e if cond is None else (cond & e)
-        # null-safe: a NULL group key present in the frozen stats scores
-        # normally instead of reporting unknown-group null statistics
-        staged = df.join(F.broadcast(exp), on=cond, how="left").drop(
-            *[f"__bk_{i}" for i in range(len(keys))]
-        )
-    else:
-        (m, d), = stats.values()
-        exp = spark.createDataFrame([(float(m), float(d))],
-                                    "__bm double, __bd double")
-        staged = df.crossJoin(F.broadcast(exp))
+    staged = _stage_baseline(df, keys, stats, ("__bm", "__bd"),
+                             ("BASELINE_MEDIAN", "BASELINE_MAD"))
     x = F.col(v).cast("double")
     z = F.round(F.lit(0.6745) * (x - F.col("__bm")) / F.col("__bd"), round_to)
     outlier = (

@@ -692,3 +692,27 @@ def test_vector_score_is_shuffle_free(session):
             vec_col="embedding", query_vec=[0.1] * 64)
     )
     assert "Exchange" not in plan, plan
+
+
+def test_dedup_substring_never_goes_cartesian(session):
+    """Candidates come from the positioned-fingerprint EQUI-join over
+    capped postings — no cartesian/nested-loop join at any input size,
+    and the run window carries the WindowGroupLimit-free small state
+    (diagonal-partitioned row_number, not a global sort)."""
+    out = session.dataset("documents").dedup_substring(
+        text="text", id_col="doc_id", min_tokens=20, max_doc_freq=50)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hilbert_nd_is_shuffle_free_and_udf_free(session):
+    """The Skilling transpose is per-row integer math: beyond the one
+    bounded range-discovery aggregate (collected before the plan is
+    built), the key projection itself adds NO Exchange and NO Python
+    UDF."""
+    out = session.dataset("orders").hilbert(
+        columns=["o_custkey", "o_totalprice", "o_orderkey"], bits=4)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

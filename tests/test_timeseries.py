@@ -609,3 +609,91 @@ def test_mad_stats_rejects_nan(spark):
     )
     with _pytest.raises(ParameterException):
         mad_stats(df, "v", ["g"])
+
+
+# --- round-12 frame-based baselines (the millions-of-groups path) ---------
+
+def test_mad_stats_frame_matches_dict(spark):
+    from rasgoql_spark.functions.timeseries import mad_stats, mad_stats_frame
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", float(i % 7) + i * 0.1) for i in range(60)],
+        "g STRING, v DOUBLE")
+    d = mad_stats(df, "v", group_by=["g"])
+    f = {(r["g"],): (r["BASELINE_MEDIAN"], r["BASELINE_MAD"])
+         for r in mad_stats_frame(df, "v", group_by=["g"]).collect()}
+    assert set(d) == set(f)
+    for k in d:
+        assert d[k][0] == pytest.approx(f[k][0], abs=1e-12)
+        assert d[k][1] == pytest.approx(f[k][1], abs=1e-12)
+
+
+def test_zscore_stats_frame_matches_dict(spark):
+    from rasgoql_spark.functions.timeseries import zscore_stats, zscore_stats_frame
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", float(i % 11) - 2.5) for i in range(90)],
+        "g STRING, v DOUBLE")
+    d = zscore_stats(df, "v", group_by=["g"])
+    f = {(r["g"],): (r["BASELINE_MEAN"], r["BASELINE_STD"])
+         for r in zscore_stats_frame(df, "v", group_by=["g"]).collect()}
+    assert set(d) == set(f)
+    for k in d:
+        assert d[k][0] == pytest.approx(f[k][0], abs=1e-12)
+        assert d[k][1] == pytest.approx(f[k][1], abs=1e-12)
+
+
+def test_against_stats_accepts_frames(spark):
+    """Scoring against the *_stats_frame DataFrame must equal scoring
+    against the dict — same report, no collect anywhere in the frame
+    path."""
+    from rasgoql_spark.functions.timeseries import (
+        mad_against_stats, mad_stats, mad_stats_frame,
+        zscore_against_stats, zscore_stats, zscore_stats_frame,
+    )
+
+    base = spark.createDataFrame(
+        [(f"g{i % 4}", float(i % 9)) for i in range(80)], "g STRING, v DOUBLE")
+    batch = spark.createDataFrame(
+        [(f"g{i % 5}", float(i % 13)) for i in range(50)], "g STRING, v DOUBLE")
+    for stats_fn, frame_fn, against in (
+        (mad_stats, mad_stats_frame, mad_against_stats),
+        (zscore_stats, zscore_stats_frame, zscore_against_stats),
+    ):
+        via_dict = sorted(map(tuple, against(
+            batch, "v", stats_fn(base, "v", ["g"]), group_by=["g"]).collect()))
+        via_frame = sorted(map(tuple, against(
+            batch, "v", frame_fn(base, "v", ["g"]), group_by=["g"]).collect()))
+        assert via_dict == via_frame
+
+
+def test_zscore_against_stats_null_group_key(spark):
+    """A NULL group key present in the frozen baseline scores normally —
+    the mad-twin convention (pre-round-12 the dict path both missed NULL
+    in the join and crashed sorting mixed-type keys)."""
+    from rasgoql_spark.functions.timeseries import (
+        zscore_against_stats, zscore_stats, zscore_stats_frame,
+    )
+
+    base = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0), ("g", 10.0), ("g", 20.0)],
+        "g STRING, v DOUBLE")
+    batch = spark.createDataFrame(
+        [(None, 2.0), (None, 100.0), ("g", 15.0)], "g STRING, v DOUBLE")
+    for stats in (zscore_stats(base, "v", ["g"]),
+                  zscore_stats_frame(base, "v", ["g"])):
+        rows = {r["g"]: r for r in zscore_against_stats(
+            batch, "v", stats, group_by=["g"], threshold=3.0).collect()}
+        assert rows[None]["BASELINE_MEAN"] is not None   # matched, not unknown
+        assert rows[None]["N_ANOMALIES"] == 1            # the 100.0 outlier
+        assert rows["g"]["N_ANOMALIES"] == 0
+
+
+def test_stats_frame_nan_guard_raises_at_action(spark):
+    from rasgoql_spark.functions.timeseries import mad_stats_frame, zscore_stats_frame
+
+    df = spark.createDataFrame([("g", float("nan")), ("g", 1.0)],
+                               "g STRING, v DOUBLE")
+    for fn in (mad_stats_frame, zscore_stats_frame):
+        with pytest.raises(Exception, match="NaN"):
+            fn(df, "v", ["g"]).collect()

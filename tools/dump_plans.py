@@ -298,6 +298,16 @@ ANNOTATED = [
      "Bucket edges come from ONE broadcast min/max row (no global rank); "
      "the final order is a range-partitioned global sort — no single-task "
      "stage anywhere."),
+    ("dedup_substring (round 12)", "dedup_substring",
+     "Positioned shingles are built row-local BEFORE the explode (no "
+     "per-shingle token-array rematerialization); candidates come from a "
+     "fingerprint equi-join over the df-capped postings (never a cross "
+     "join); the run window partitions by (pair, diagonal) — bounded by "
+     "the longest common run, not the corpus."),
+    ("hilbert_nd (round 12)", "hilbert_nd",
+     "The Skilling transpose is O(bits x dims) staged per-row integer "
+     "projections inside one WholeStageCodegen span over the scan — no "
+     "shuffle, no UDF; range discovery is the single bounded aggregate."),
 ]
 
 
