@@ -2086,6 +2086,18 @@ def q_dedup_substring(spark, sf):
         text="text", id_col="doc_id", min_tokens=20, max_doc_freq=50).df
 
 
+def q_dedup_substring_clean(spark, sf):
+    """The clean mode of dedup_substring (round 12): shared-run tokens
+    are deleted from the LATER document of every pair (keep-min keeps the
+    first occurrence intact), overlapping deletions merge, and the text
+    rebuilds from the surviving normalized tokens. The DuckDB oracle
+    replays the identical interval-merge islands and rebuilds via an
+    ordered string_agg over the uncovered token positions."""
+    return _s(spark, sf).dataset("documents").dedup_substring(
+        text="text", id_col="doc_id", min_tokens=20, max_doc_freq=50,
+        mode="clean").df.select("doc_id", "TEXT_DEDUPED", "TOKENS_REMOVED")
+
+
 def q_embedding_join_ivf(spark, sf):
     """IVF ANN-join verification summary (round 6; same design as
     q_similarity_search_ivf): run the real ANN join (50 fixed queries vs a
@@ -5973,6 +5985,46 @@ ranked AS (
             "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
             "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.3"
         ),
+        # round 12: the clean mode — interval-merged deletions from the
+        # later doc of each pair, ordered string_agg rebuild
+        "dedup_substring_clean": (
+            "WITH toks AS (SELECT doc_id AS id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) = '' THEN [] ELSE regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') END AS t FROM documents), "
+            "sh AS (SELECT id, md5(array_to_string(t, CHR(31))) AS ck, "
+            "CAST(u.i AS BIGINT) AS pos, md5(array_to_string(t[u.i : u.i + 20 - 1], ' ')) AS fp "
+            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20), "
+            "dfq AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT ck) AS c "
+            "FROM sh GROUP BY fp) WHERE c <= 50), "
+            "inv AS (SELECT sh.id, sh.pos, sh.fp FROM sh JOIN dfq USING (fp)), "
+            "al AS (SELECT a.id AS ia, b.id AS ib, a.pos AS pa, b.pos AS pb "
+            "FROM inv a JOIN inv b ON a.fp = b.fp AND a.id < b.id), "
+            "runs AS (SELECT ia, ib, pa - pb AS diag, "
+            "pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, pa - pb ORDER BY pa) AS grp, "
+            "pa, pb FROM al), "
+            "pr AS (SELECT ia, ib, MIN(pa) AS sa, MIN(pb) AS sb, "
+            "COUNT(1) + 20 - 1 AS len FROM runs GROUP BY ia, ib, diag, grp), "
+            "iv AS (SELECT DISTINCT ib AS id, sb AS s, sb + len - 1 AS e FROM pr), "
+            "ivn AS (SELECT *, CASE WHEN s > COALESCE(MAX(e) OVER ("
+            "PARTITION BY id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+            "THEN 1 ELSE 0 END AS nw FROM iv), "
+            "ivg AS (SELECT *, SUM(nw) OVER (PARTITION BY id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM ivn), "
+            "mg AS (SELECT id, g, MIN(s) AS s, MAX(e) AS e FROM ivg GROUP BY id, g), "
+            "rem AS (SELECT id, CAST(SUM(e - s + 1) AS BIGINT) AS removed "
+            "FROM mg GROUP BY id), "
+            "tokpos AS (SELECT id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok "
+            "FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)), "
+            "cov AS (SELECT DISTINCT p.id, p.pos FROM tokpos p "
+            "JOIN mg m ON m.id = p.id AND p.pos BETWEEN m.s AND m.e), "
+            "kept AS (SELECT p.id, p.pos, p.tok FROM tokpos p "
+            "ANTI JOIN cov c ON c.id = p.id AND c.pos = p.pos), "
+            "reb AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS txt "
+            "FROM kept GROUP BY id) "
+            "SELECT d.doc_id, COALESCE(r.txt, '') AS TEXT_DEDUPED, "
+            "CAST(COALESCE(rem.removed, 0) AS BIGINT) AS TOKENS_REMOVED "
+            "FROM documents d LEFT JOIN reb r ON r.id = d.doc_id "
+            "LEFT JOIN rem ON rem.id = d.doc_id"
+        ),
         # round 12: exact substring dedup — positioned shingles,
         # distinct-content df cap, per-diagonal maximal-run islands
         "dedup_substring": (
@@ -6488,6 +6540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- last driver-verified round 7 ---
         "ngram_containment": q_ngram_containment,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_clean": q_dedup_substring_clean,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_sig": q_dedup_simhash_sig,

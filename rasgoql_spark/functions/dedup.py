@@ -2074,7 +2074,12 @@ def dedup_substring(
     mode='pairs' (default): ``(ID_A, ID_B, START_A, START_B,
     MATCH_TOKENS)`` — one row per maximal shared run (ID_A < ID_B;
     1-based token positions). mode='filter': keep-min greedy — drop every
-    document that shares a run with a smaller-id document.
+    document that shares a run with a smaller-id document. mode='clean':
+    the paper's actual output — delete the shared-run TOKENS from the
+    later document of every pair (the first occurrence survives intact),
+    merging overlapping deletions, and append ``TEXT_DEDUPED`` (rebuilt
+    from the surviving normalized tokens, the dedup_spans convention) and
+    ``TOKENS_REMOVED``.
 
     Scale shape = dedup_ngram_jaccard: exact-duplicate documents collapse
     to one representative before the posting self-join (guarded
@@ -2091,8 +2096,8 @@ def dedup_substring(
     alignments quadratically per pair; clean with remove_repeated_spans
     first if the corpus has generation loops.
     """
-    if mode not in ("pairs", "filter"):
-        raise ParameterException("mode must be 'pairs' or 'filter'")
+    if mode not in ("pairs", "filter", "clean"):
+        raise ParameterException("mode must be 'pairs', 'filter' or 'clean'")
     if min_tokens < 2:
         raise ParameterException("min_tokens must be >= 2")
     if max_doc_freq is not None and max_doc_freq < 1:
@@ -2204,14 +2209,59 @@ def dedup_substring(
         pairs = runs
     if mode == "pairs":
         return release_with(pairs, inv, *caches)
-    drop = pairs.select(F.col("ID_B").alias("__drop_id")).distinct()
-    kept = df.join(drop, F.col(i) == F.col("__drop_id"), "left_anti")
-    return release_with(kept, inv, *caches)
+    if mode == "filter":
+        drop = pairs.select(F.col("ID_B").alias("__drop_id")).distinct()
+        kept = df.join(drop, F.col(i) == F.col("__drop_id"), "left_anti")
+        return release_with(kept, inv, *caches)
+    # mode='clean' — the paper's actual output: delete the shared-run
+    # tokens from the LATER document of every pair (keep-min keeps the
+    # first occurrence intact), merge overlapping deletions per doc, and
+    # rebuild the survivor text. Merged intervals are DISJOINT and each
+    # spans >= min_tokens, so a doc carries at most tokens/min_tokens of
+    # them — the per-doc collect_list is bounded by doc length, never by
+    # how many partners matched it.
+    iv = pairs.select(
+        F.col("ID_B").alias("__id"),
+        F.col("START_B").alias("__s"),
+        (F.col("START_B") + F.col("MATCH_TOKENS") - 1).alias("__e"),
+    ).dropDuplicates(["__id", "__s", "__e"])
+    wiv = Window.partitionBy("__id").orderBy("__s", "__e")
+    prev_end = F.max("__e").over(wiv.rowsBetween(Window.unboundedPreceding, -1))
+    iv = iv.withColumn(
+        "__new", (F.col("__s") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn(
+        "__g", F.sum("__new").over(wiv.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = iv.groupBy("__id", "__g").agg(
+        F.min("__s").alias("__s"), F.max("__e").alias("__e")
+    )
+    per_doc = merged.groupBy("__id").agg(
+        F.collect_list(F.struct("__s", "__e")).alias("__iv"),
+        F.sum(F.col("__e") - F.col("__s") + 1).cast("bigint")
+        .alias("TOKENS_REMOVED"),
+    )
+    joined = cached.select("__id", "__t").join(per_doc, on="__id", how="left")
+    covered = lambda idx: F.exists(  # noqa: E731
+        F.col("__iv"),
+        lambda v: (v["__s"] <= idx) & (idx <= v["__e"]),
+    )
+    kept_toks = F.when(F.col("__iv").isNull(), F.col("__t")).otherwise(
+        F.filter(F.col("__t"), lambda x, j: ~covered(j + 1))
+    )
+    out = joined.select(
+        "__id",
+        F.concat_ws(" ", kept_toks).alias("TEXT_DEDUPED"),
+        F.coalesce(F.col("TOKENS_REMOVED"), F.lit(0).cast("bigint"))
+        .alias("TOKENS_REMOVED"),
+    )
+    res = df.join(out, F.col(i) == F.col("__id"), "inner").drop("__id")
+    return release_with(res, inv, *caches)
 
 
 @renderer("dedup_substring")
 def _r_dedup_substring(
     source, text, id_col, min_tokens=20, max_doc_freq=1000, mode="pairs",
+    _input_columns=(),
 ) -> str:
     """Renders the PLAIN path (all doc pairs; the exact-dup collapse is a
     result-preserving optimization) with the df cap counted over DISTINCT
@@ -2219,8 +2269,8 @@ def _r_dedup_substring(
     _inverted_cand_sql convention."""
     from .text import _tokens_sql
 
-    if mode not in ("pairs", "filter"):
-        raise ParameterException("mode must be 'pairs' or 'filter'")
+    if mode not in ("pairs", "filter", "clean"):
+        raise ParameterException("mode must be 'pairs', 'filter' or 'clean'")
     if min_tokens < 2:
         raise ParameterException("min_tokens must be >= 2")
     k = int(min_tokens)
@@ -2262,7 +2312,45 @@ def _r_dedup_substring(
     )
     if mode == "pairs":
         return pairs
+    if mode == "filter":
+        return (
+            f"SELECT s.* FROM {source} s LEFT ANTI JOIN ({pairs}) p "
+            f"ON s.{id_col} = p.ID_B"
+        )
+    # mode='clean': merge each later doc's deletion intervals (islands over
+    # running max end), then a positional HOF filter rebuilds the text
+    iv0 = (
+        f"(SELECT DISTINCT ID_B AS __id, START_B AS __s, "
+        f"START_B + MATCH_TOKENS - 1 AS __e FROM ({pairs}))"
+    )
+    ivn = (
+        f"(SELECT *, CASE WHEN __s > COALESCE(MAX(__e) OVER ("
+        f"PARTITION BY __id ORDER BY __s, __e "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+        f"THEN 1 ELSE 0 END AS __new FROM {iv0})"
+    )
+    ivg = (
+        f"(SELECT *, SUM(__new) OVER (PARTITION BY __id ORDER BY __s, __e "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __g FROM {ivn})"
+    )
+    mg = (
+        f"(SELECT __id, __g, MIN(__s) AS __s, MAX(__e) AS __e "
+        f"FROM {ivg} GROUP BY __id, __g)"
+    )
+    pd_tbl = (
+        f"(SELECT __id, collect_list(struct(__s, __e)) AS __iv, "
+        f"CAST(SUM(__e - __s + 1) AS BIGINT) AS __removed "
+        f"FROM {mg} GROUP BY __id)"
+    )
+    kept = (
+        "CASE WHEN p.__iv IS NULL THEN t.__t ELSE "
+        "filter(t.__t, (x, j) -> NOT exists(p.__iv, "
+        "v -> v.__s <= j + 1 AND j + 1 <= v.__e)) END"
+    )
+    sel = ", ".join(f"s.{c}" for c in _input_columns)
     return (
-        f"SELECT s.* FROM {source} s LEFT ANTI JOIN ({pairs}) p "
-        f"ON s.{id_col} = p.ID_B"
+        f"SELECT {sel}, concat_ws(' ', {kept}) AS TEXT_DEDUPED, "
+        f"COALESCE(p.__removed, CAST(0 AS BIGINT)) AS TOKENS_REMOVED "
+        f"FROM {source} s JOIN {toks} t ON t.__id = s.{id_col} "
+        f"LEFT JOIN {pd_tbl} p ON p.__id = s.{id_col}"
     )

@@ -121,3 +121,53 @@ def test_validation(docs):
         dedup_substring(docs, "text", "id", mode="edges")
     with pytest.raises(ParameterException):
         dedup_substring(docs, "text", "id", max_doc_freq=0)
+
+
+def test_clean_mode_removes_later_copies(docs):
+    """mode='clean' (the paper's actual output): the run tokens vanish
+    from the LATER document of each pair, merged across partners; the
+    first occurrence survives intact; text rebuilds from the surviving
+    normalized tokens."""
+    from rasgoql_spark.functions.dedup import dedup_substring
+
+    out = {r["id"]: (r["TEXT_DEDUPED"], r["TOKENS_REMOVED"])
+           for r in dedup_substring(docs, "text", "id", min_tokens=5,
+                                    mode="clean").collect()}
+    assert out[1] == ("alpha beta gamma delta epsilon zeta eta theta iota kappa", 0)
+    assert out[2] == ("xx yy", 10)
+    assert out[3][1] == 0                       # unrelated doc untouched
+    assert out[4] == ("", 10)                   # exact dup fully removed
+    assert out[5] == ("prefix words suffix tail", 10)
+
+
+def test_clean_mode_merges_overlapping_intervals(spark):
+    """Two partners matching OVERLAPPING regions of the same doc delete
+    the union once (interval merge), not double-count."""
+    from rasgoql_spark.functions.dedup import dedup_substring
+
+    rows = [
+        (1, "a b c d e f g h"),                 # matches doc 3 tokens 1-8
+        (2, "c d e f g h i j"),                 # matches doc 3 tokens 3-10
+        (3, "a b c d e f g h i j k l"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    out = {r["id"]: (r["TEXT_DEDUPED"], r["TOKENS_REMOVED"])
+           for r in dedup_substring(df, "text", "id", min_tokens=5,
+                                    mode="clean").collect()}
+    # doc 3 loses tokens 1-10 (merged [1,8] U [3,10]) exactly once
+    assert out[3] == ("k l", 10)
+    assert out[1][1] == 0                       # smallest partner survives
+    assert out[2][1] == 6                       # loses its overlap with doc 1
+
+
+def test_clean_mode_renderer_parity(docs, spark):
+    from rasgoql_spark.functions.dedup import _r_dedup_substring, dedup_substring
+
+    docs.createOrReplaceTempView("__dsub_clean")
+    sql = _r_dedup_substring("__dsub_clean", "text", "id", min_tokens=5,
+                             mode="clean", _input_columns=("id", "text"))
+    via = sorted(map(tuple, spark.sql(sql).collect()))
+    direct = sorted(map(tuple,
+                        dedup_substring(docs, "text", "id", min_tokens=5,
+                                        mode="clean").collect()))
+    assert via == direct
