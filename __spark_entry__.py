@@ -2098,6 +2098,25 @@ def q_dedup_substring_clean(spark, sf):
         mode="clean").df.select("doc_id", "TEXT_DEDUPED", "TOKENS_REMOVED")
 
 
+def q_dedup_against_substring(spark, sf):
+    """Incremental exact-substring screening (round 12): batch docs
+    (doc_id % 5 = 0) checked for verbatim >=20-token runs against a
+    PREBUILT SubstringIndex over the accepted corpus (doc_id % 5 != 0,
+    df cap 50 over distinct contents) — the per-crawl-batch form of
+    dedup_substring. The DuckDB oracle replays the naive cross-corpus
+    pipeline (content-keyed index postings are a result-preserving
+    optimization)."""
+    from rasgoql_spark.functions.dedup import (
+        dedup_against_substring, substring_index)
+
+    docs = _s(spark, sf).dataset("documents").df
+    idx = substring_index(docs.filter("doc_id % 5 != 0"), "text", "doc_id",
+                          min_tokens=20, max_doc_freq=50)
+    return dedup_against_substring(
+        docs.filter("doc_id % 5 = 0"), "text", "doc_id", index=idx,
+        min_tokens=20, max_doc_freq=50, mode="pairs")
+
+
 def q_embedding_join_ivf(spark, sf):
     """IVF ANN-join verification summary (round 6; same design as
     q_similarity_search_ivf): run the real ANN join (50 fixed queries vs a
@@ -5985,6 +6004,28 @@ ranked AS (
             "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
             "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.3"
         ),
+        # round 12: incremental substring screening — naive cross-corpus
+        # replay (batch vs reference postings, df over distinct ref contents)
+        "dedup_against_substring": (
+            "WITH toks AS (SELECT doc_id AS id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) = '' THEN [] ELSE regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') END AS t FROM documents), "
+            "sh AS (SELECT id, md5(array_to_string(t, CHR(31))) AS ck, "
+            "CAST(u.i AS BIGINT) AS pos, md5(array_to_string(t[u.i : u.i + 20 - 1], ' ')) AS fp "
+            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20), "
+            "rsh AS (SELECT * FROM sh WHERE id % 5 != 0), "
+            "bsh AS (SELECT * FROM sh WHERE id % 5 = 0), "
+            "dfq AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT ck) AS c "
+            "FROM rsh GROUP BY fp) WHERE c <= 50), "
+            "rinv AS (SELECT rsh.id, rsh.pos, rsh.fp FROM rsh JOIN dfq USING (fp)), "
+            "al AS (SELECT b.id AS bid, r.id AS rid, b.pos AS bpos, r.pos AS rpos "
+            "FROM bsh b JOIN rinv r ON b.fp = r.fp), "
+            "runs AS (SELECT bid, rid, bpos - rpos AS diag, "
+            "bpos - ROW_NUMBER() OVER (PARTITION BY bid, rid, bpos - rpos ORDER BY bpos) AS grp, "
+            "bpos, rpos FROM al) "
+            "SELECT bid AS ID, rid AS REF_ID, CAST(MIN(bpos) AS BIGINT) AS START, "
+            "CAST(MIN(rpos) AS BIGINT) AS REF_START, "
+            "CAST(COUNT(1) + 20 - 1 AS BIGINT) AS MATCH_TOKENS "
+            "FROM runs GROUP BY bid, rid, diag, grp"
+        ),
         # round 12: the clean mode — interval-merged deletions from the
         # later doc of each pair, ordered string_agg rebuild
         "dedup_substring_clean": (
@@ -6541,6 +6582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_clean": q_dedup_substring_clean,
+        "dedup_against_substring": q_dedup_against_substring,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_sig": q_dedup_simhash_sig,

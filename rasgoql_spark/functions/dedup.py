@@ -2354,3 +2354,362 @@ def _r_dedup_substring(
         f"FROM {source} s JOIN {toks} t ON t.__id = s.{id_col} "
         f"LEFT JOIN {pd_tbl} p ON p.__id = s.{id_col}"
     )
+
+
+# --- incremental substring dedup: SubstringIndex + dedup_against_substring -
+
+def _positioned_postings(docs: DataFrame, text_col: str, id_col: str,
+                         k: int) -> DataFrame:
+    """(__id, __ck, __pos, __fp): 1-based positioned k-token shingle
+    md5 fingerprints plus the full-content key, built row-local before the
+    explode (the dedup_substring discipline — never slice after explode)."""
+    toks = tokens_expr(F.col(text_col))
+    staged = docs.select(
+        F.col(id_col).alias("__id"), toks.alias("__t")
+    ).withColumn("__ck", F.md5(F.concat_ws("\x1f", "__t")))
+    fp_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - k + 1),
+        lambda j: F.md5(F.concat_ws(" ", F.slice("__t", j, F.lit(k)))),
+    )
+    return (
+        staged.filter(F.size("__t") >= k)
+        .select("__id", "__ck", F.posexplode(fp_arr).alias("__p0", "__fp"))
+        .select("__id", "__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"),
+                "__fp")
+    )
+
+
+class SubstringIndex:
+    """Reusable reference-side index for :func:`dedup_against_substring`:
+    positioned shingle postings keyed by CONTENT (one posting set per
+    distinct token sequence — 10^8 identical copies index once), the
+    uncapped (fp, content) table the df cap derives from, and the
+    content→member-id table pairs-mode expansion reads. Content keying
+    makes :func:`update_substring_index` EXACTLY rebuild-equivalent (no
+    fitted state, no representative relabeling — the binary-index
+    property, unlike the IVF/PQ updates)."""
+
+    def __init__(self, inv, fpck, members, min_tokens, max_doc_freq,
+                 caches, n_docs=None):
+        self.inv = inv              # (__ck, __pos, __fp) — df-capped
+        self.fpck = fpck            # (__fp, __ck) distinct — UNcapped
+        self.members = members      # (__ck, __id) every reference doc
+        self.min_tokens = min_tokens
+        self.max_doc_freq = max_doc_freq
+        self.n_docs = n_docs        # staleness fingerprint (dedup_against contract)
+        self._caches = caches
+
+    def release(self) -> None:
+        release_now(*self._caches)
+
+
+def _substring_live_fps(fpck: DataFrame, max_doc_freq) -> DataFrame | None:
+    if max_doc_freq is None:
+        return None
+    return (
+        fpck.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= int(max_doc_freq)).select("__fp")
+    )
+
+
+def substring_index(
+    reference: DataFrame,
+    text: str,
+    id_col: str,
+    min_tokens: int = 20,
+    max_doc_freq: int | None = 1000,
+) -> SubstringIndex:
+    """Build a reusable :class:`SubstringIndex` over the accepted corpus —
+    the reference side of exact >=min_tokens-token substring screening,
+    persisted for reuse across crawl batches (per-batch cost independent
+    of how the reference was built). The df cap counts DISTINCT reference
+    contents, the dedup_substring contract."""
+    if min_tokens < 2:
+        raise ParameterException("min_tokens must be >= 2")
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ParameterException("max_doc_freq must be >= 1 (or None)")
+    rt, ri = resolve_col(reference, text), resolve_col(reference, id_col)
+    toks = tokens_expr(F.col(rt))
+    base = spread(reference).select(
+        F.col(ri).alias("__id"), toks.alias("__t")
+    ).withColumn("__ck", F.md5(F.concat_ws("\x1f", "__t")))
+    members = scoped_persist(base.select("__ck", "__id"))
+    n_docs = members.count()
+    contents = base.select("__ck", "__t").dropDuplicates(["__ck"])
+    k = int(min_tokens)
+    fp_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - k + 1),
+        lambda j: F.md5(F.concat_ws(" ", F.slice("__t", j, F.lit(k)))),
+    )
+    sh = (
+        contents.filter(F.size("__t") >= k)
+        .select("__ck", F.posexplode(fp_arr).alias("__p0", "__fp"))
+        .select("__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
+    )
+    fpck = scoped_persist(sh.select("__fp", "__ck").distinct())
+    live = _substring_live_fps(fpck, max_doc_freq)
+    inv = sh if live is None else sh.join(live, on="__fp", how="left_semi")
+    inv = scoped_persist(inv)
+    inv.count()  # materialize once; every batch reuses the postings
+    return SubstringIndex(inv, fpck, members, k, max_doc_freq,
+                          (members, fpck, inv), n_docs=n_docs)
+
+
+def update_substring_index(
+    index: SubstringIndex,
+    new_docs: DataFrame,
+    text: str,
+    id_col: str,
+) -> SubstringIndex:
+    """Fold a new accepted batch into a :class:`SubstringIndex` —
+    EXACTLY rebuild-equivalent (content-keyed postings carry no fitted
+    state): contents already indexed add only member rows; genuinely new
+    contents add their postings; the df cap re-evaluates over the merged
+    (fp, content) table, so fingerprints that crossed the cap drop their
+    postings exactly as a rebuild would. Update cost is O(new batch) plus
+    one filter pass over the old postings (newly-dead fps only)."""
+    nt, ni = resolve_col(new_docs, text), resolve_col(new_docs, id_col)
+    k = index.min_tokens
+    toks = tokens_expr(F.col(nt))
+    base = spread(new_docs).select(
+        F.col(ni).alias("__id"), toks.alias("__t")
+    ).withColumn("__ck", F.md5(F.concat_ws("\x1f", "__t")))
+    members = scoped_persist(
+        index.members.unionByName(base.select("__ck", "__id"))
+    )
+    n_new = base.count()
+    fresh = (
+        base.select("__ck", "__t").dropDuplicates(["__ck"])
+        .join(index.members.select("__ck").distinct(), on="__ck",
+              how="left_anti")
+    )
+    fp_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - k + 1),
+        lambda j: F.md5(F.concat_ws(" ", F.slice("__t", j, F.lit(k)))),
+    )
+    sh_new = (
+        fresh.filter(F.size("__t") >= k)
+        .select("__ck", F.posexplode(fp_arr).alias("__p0", "__fp"))
+        .select("__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
+    )
+    fpck = scoped_persist(
+        index.fpck.unionByName(sh_new.select("__fp", "__ck")).distinct()
+    )
+    live = _substring_live_fps(fpck, index.max_doc_freq)
+    merged = index.inv.unionByName(sh_new)
+    inv = merged if live is None else merged.join(live, on="__fp",
+                                                  how="left_semi")
+    inv = scoped_persist(inv)
+    inv.count()  # eager: later batches must not re-pay this union+cap
+    return SubstringIndex(
+        inv, fpck, members, k, index.max_doc_freq,
+        (members, fpck, inv),
+        n_docs=None if index.n_docs is None else index.n_docs + n_new,
+    )
+
+
+def save_substring_index(index: SubstringIndex, path: str) -> str:
+    """Persist as parquet (``{path}/inv``, ``{path}/fpck``,
+    ``{path}/members``) plus a one-row params table — the
+    save_minhash_index cross-job contract."""
+    index.inv.write.mode("overwrite").parquet(f"{path}/inv")
+    index.fpck.write.mode("overwrite").parquet(f"{path}/fpck")
+    index.members.write.mode("overwrite").parquet(f"{path}/members")
+    spark = index.inv.sparkSession
+    spark.createDataFrame(
+        [(index.min_tokens,
+          -1 if index.max_doc_freq is None else int(index.max_doc_freq),
+          -1 if index.n_docs is None else int(index.n_docs))],
+        "min_tokens int, max_doc_freq long, n_docs long",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    return path
+
+
+def load_substring_index(spark, path: str, persist: bool = True) -> SubstringIndex:
+    """Load a :func:`save_substring_index` artifact; ``persist`` pins the
+    frames for multi-batch reuse (``release()`` when done)."""
+    row = spark.read.parquet(f"{path}/params").first()
+    inv = spark.read.parquet(f"{path}/inv")
+    fpck = spark.read.parquet(f"{path}/fpck")
+    members = spark.read.parquet(f"{path}/members")
+    caches = ()
+    if persist:
+        inv, fpck, members = (scoped_persist(inv), scoped_persist(fpck),
+                              scoped_persist(members))
+        caches = (inv, fpck, members)
+    mdf = int(row["max_doc_freq"])
+    nd = int(row["n_docs"])
+    return SubstringIndex(
+        inv, fpck, members, int(row["min_tokens"]),
+        None if mdf < 0 else mdf, caches,
+        n_docs=None if nd < 0 else nd,
+    )
+
+
+@spark_transform("dedup_against_substring", category="dedup", streaming_ok=False)
+def dedup_against_substring(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    reference: DataFrame | None = None,
+    ref_text: str | None = None,
+    ref_id: str | None = None,
+    min_tokens: int = 20,
+    max_doc_freq: int | None = 1000,
+    mode: str = "filter",
+    index: SubstringIndex | None = None,
+) -> DataFrame:
+    """Incremental EXACT substring screening — the cross-corpus member of
+    the ``dedup_against`` family (exact fingerprints / minhash / bloom /
+    embedding / THIS): drop (mode='filter') or report (mode='pairs')
+    batch documents sharing a verbatim >= ``min_tokens``-token run with
+    ANY document of the accepted reference corpus, at any alignment — the
+    per-crawl-batch form of :func:`dedup_substring` (and the
+    decontamination shape for eval-set substring leaks).
+
+    mode='pairs' returns ``(ID, REF_ID, START, REF_START, MATCH_TOKENS)``
+    — one row per maximal shared run per reference document (reference
+    documents with identical content each appear; the index stores their
+    postings ONCE and expands members afterwards).
+
+    With a prebuilt ``index`` (:func:`substring_index`, foldable with
+    :func:`update_substring_index` — exactly rebuild-equivalent — and
+    persistable via save/load) the ``reference`` frame is optional and
+    per-batch cost is the batch's shingling plus one fingerprint
+    equi-join against the capped postings; if both are passed, the
+    reference row count is checked against the index's ``n_docs``
+    fingerprint (the dedup_against staleness contract). The df cap counts
+    DISTINCT REFERENCE contents only — batch composition never changes
+    which reference shingles are live (incremental decisions depend on
+    accepted-corpus state alone). Batch docs are not exact-dup collapsed
+    (the batch is the small side by nature; identical batch docs simply
+    repeat their own rows).
+    """
+    if mode not in ("filter", "pairs"):
+        raise ParameterException("mode must be 'filter' or 'pairs'")
+    if reference is None and index is None:
+        raise ParameterException(
+            "dedup_against_substring needs a reference frame or a prebuilt "
+            "SubstringIndex"
+        )
+    if index is not None:
+        if index.min_tokens != int(min_tokens):
+            raise ParameterException(
+                f"index was built with min_tokens={index.min_tokens}, "
+                f"call requested {min_tokens}"
+            )
+        if reference is not None and index.n_docs is not None:
+            rc = reference.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"SubstringIndex was built over {index.n_docs} reference "
+                    f"docs but the passed reference has {rc} — rebuild or "
+                    "update_substring_index first"
+                )
+        idx, built = index, None
+    else:
+        idx = built = substring_index(
+            reference, ref_text or text, ref_id or id_col,
+            min_tokens=min_tokens, max_doc_freq=max_doc_freq,
+        )
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    k = idx.min_tokens
+    sh_b = _positioned_postings(spread(df), t, i, k).select(
+        F.col("__id").alias("__bid"), F.col("__pos").alias("__bpos"), "__fp"
+    )
+    al = sh_b.join(
+        idx.inv.select("__ck", F.col("__pos").alias("__rpos"), "__fp"),
+        on="__fp",
+    )
+    w = Window.partitionBy(
+        "__bid", "__ck", F.col("__bpos") - F.col("__rpos")
+    ).orderBy("__bpos")
+    runs = (
+        al.withColumn("__diag", F.col("__bpos") - F.col("__rpos"))
+        .withColumn("__grp", F.col("__bpos") - F.row_number().over(w))
+        .groupBy("__bid", "__ck", "__diag", "__grp")
+        .agg(
+            F.min("__bpos").cast("bigint").alias("START"),
+            F.min("__rpos").cast("bigint").alias("REF_START"),
+            (F.count(F.lit(1)) + k - 1).cast("bigint").alias("MATCH_TOKENS"),
+        )
+    )
+    if mode == "pairs":
+        out = runs.join(idx.members, on="__ck").select(
+            F.col("__bid").alias("ID"), F.col("__id").alias("REF_ID"),
+            "START", "REF_START", "MATCH_TOKENS",
+        )
+    else:
+        hit = runs.select("__bid").distinct()
+        out = df.join(hit, F.col(i) == F.col("__bid"), "left_anti")
+    if built is not None:
+        return release_with(out, *built._caches)
+    return out
+
+
+@renderer("dedup_against_substring")
+def _r_dedup_against_substring(
+    source, text, id_col, reference, ref_text=None, ref_id=None,
+    min_tokens=20, max_doc_freq=1000, mode="filter",
+) -> str:
+    """Naive cross-corpus replay (content-keyed postings are a
+    result-preserving optimization): reference shingles df-capped over
+    DISTINCT reference contents, fingerprint equi-join, per-(batch doc,
+    reference content, diagonal) maximal runs, member expansion."""
+    from .text import _tokens_sql
+
+    if mode not in ("filter", "pairs"):
+        raise ParameterException("mode must be 'filter' or 'pairs'")
+    if min_tokens < 2:
+        raise ParameterException("min_tokens must be >= 2")
+    k = int(min_tokens)
+    rt, ri = ref_text or text, ref_id or id_col
+
+    def postings(src, idc, txt):
+        toks = (
+            f"(SELECT {idc} AS __id, md5(concat_ws('\\x1f', __t)) AS __ck, __t "
+            f"FROM (SELECT {idc}, {_tokens_sql(txt)} AS __t FROM {src}))"
+        )
+        return (
+            f"(SELECT __id, __ck, CAST(__p0 + 1 AS BIGINT) AS __pos, __fp FROM "
+            f"(SELECT __id, __ck, "
+            f"posexplode(transform(sequence(1, size(__t) - {k} + 1), "
+            f"j -> md5(concat_ws(' ', slice(__t, j, {k}))))) AS (__p0, __fp) "
+            f"FROM {toks} WHERE size(__t) >= {k}))"
+        )
+
+    rsh = postings(reference, ri, rt)
+    bsh = postings(source, id_col, text)
+    if max_doc_freq is not None:
+        live = (
+            f"(SELECT __fp FROM (SELECT __fp, COUNT(DISTINCT __ck) AS __df "
+            f"FROM {rsh} GROUP BY __fp) WHERE __df <= {int(max_doc_freq)})"
+        )
+        rinv = (
+            f"(SELECT r.__id, r.__ck, r.__pos, r.__fp FROM {rsh} r "
+            f"JOIN {live} l ON r.__fp = l.__fp)"
+        )
+    else:
+        rinv = rsh
+    al = (
+        f"(SELECT b.__id AS __bid, r.__id AS __rid, b.__pos AS __bpos, "
+        f"r.__pos AS __rpos FROM {bsh} b JOIN {rinv} r ON b.__fp = r.__fp)"
+    )
+    runs = (
+        f"(SELECT __bid, __rid, __bpos - __rpos AS __diag, "
+        f"__bpos - ROW_NUMBER() OVER (PARTITION BY __bid, __rid, "
+        f"__bpos - __rpos ORDER BY __bpos) AS __grp, __bpos, __rpos FROM {al})"
+    )
+    pairs = (
+        f"SELECT __bid AS ID, __rid AS REF_ID, "
+        f"CAST(MIN(__bpos) AS BIGINT) AS START, "
+        f"CAST(MIN(__rpos) AS BIGINT) AS REF_START, "
+        f"CAST(COUNT(1) + {k} - 1 AS BIGINT) AS MATCH_TOKENS "
+        f"FROM {runs} GROUP BY __bid, __rid, __diag, __grp"
+    )
+    if mode == "pairs":
+        return pairs
+    return (
+        f"SELECT s.* FROM {source} s LEFT ANTI JOIN ({pairs}) p "
+        f"ON s.{id_col} = p.ID"
+    )

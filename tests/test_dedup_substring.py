@@ -171,3 +171,134 @@ def test_clean_mode_renderer_parity(docs, spark):
                         dedup_substring(docs, "text", "id", min_tokens=5,
                                         mode="clean").collect()))
     assert via == direct
+
+
+# --- incremental form: SubstringIndex + dedup_against_substring ------------
+
+@pytest.fixture(scope="module")
+def ref_bat(spark):
+    ref = spark.createDataFrame([
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (102, "reference only words with no overlap whatsoever here today"),
+    ], "doc_id BIGINT, text STRING")
+    bat = spark.createDataFrame([
+        (1, "XX alpha beta gamma delta epsilon zeta eta theta iota kappa YY"),
+        (2, "clean new document with fresh content nothing borrowed at all"),
+    ], "doc_id BIGINT, text STRING")
+    return ref, bat
+
+
+def test_against_substring_pairs_and_filter(ref_bat):
+    from rasgoql_spark.functions.dedup import dedup_against_substring
+
+    ref, bat = ref_bat
+    pairs = sorted(map(tuple, dedup_against_substring(
+        bat, "text", "doc_id", reference=ref, min_tokens=5,
+        mode="pairs").collect()))
+    # batch doc 1 shares the 10-token run with BOTH identical ref copies
+    assert pairs == [(1, 100, 2, 1, 10), (1, 101, 2, 1, 10)]
+    kept = dedup_against_substring(
+        bat, "text", "doc_id", reference=ref, min_tokens=5, mode="filter")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+
+
+def test_against_substring_renderer_parity(ref_bat, spark):
+    from rasgoql_spark.functions.dedup import (
+        _r_dedup_against_substring, dedup_against_substring)
+
+    ref, bat = ref_bat
+    ref.createOrReplaceTempView("__das_ref")
+    bat.createOrReplaceTempView("__das_bat")
+    for mode in ("pairs", "filter"):
+        sql = _r_dedup_against_substring(
+            "__das_bat", "text", "doc_id", "__das_ref", min_tokens=5,
+            mode=mode)
+        via = sorted(map(tuple, spark.sql(sql).collect()))
+        direct = sorted(map(tuple, dedup_against_substring(
+            bat, "text", "doc_id", reference=ref, min_tokens=5,
+            mode=mode).collect()))
+        assert via == direct
+
+
+def test_substring_index_update_is_rebuild_equivalent(ref_bat):
+    """Content-keyed postings carry no fitted state: folding a batch in
+    must equal a full rebuild BIT-FOR-BIT (the binary-index property),
+    including cap re-evaluation over the merged corpus."""
+    from rasgoql_spark.functions.dedup import (
+        dedup_against_substring, substring_index, update_substring_index)
+
+    ref, bat = ref_bat
+    idx = substring_index(ref.filter("doc_id < 102"), "text", "doc_id",
+                          min_tokens=5)
+    folded = update_substring_index(idx, ref.filter("doc_id = 102"),
+                                    "text", "doc_id")
+    rebuilt = substring_index(ref, "text", "doc_id", min_tokens=5)
+    a = sorted(map(tuple, dedup_against_substring(
+        bat, "text", "doc_id", index=folded, min_tokens=5,
+        mode="pairs").collect()))
+    b = sorted(map(tuple, dedup_against_substring(
+        bat, "text", "doc_id", index=rebuilt, min_tokens=5,
+        mode="pairs").collect()))
+    assert a == b
+    assert folded.n_docs == rebuilt.n_docs == 3
+    assert sorted(map(tuple, folded.inv.collect())) == \
+        sorted(map(tuple, rebuilt.inv.collect()))
+    folded.release(); rebuilt.release(); idx.release()
+
+
+def test_substring_index_cap_reevaluates_on_update(spark):
+    """A shingle under the cap before an update and over it after must
+    drop its OLD postings too — the rebuild-equivalence edge."""
+    from rasgoql_spark.functions.dedup import (
+        dedup_against_substring, substring_index, update_substring_index)
+
+    mk = lambda i: (i, f"shared one two three four five unique{i} tail")  # noqa: E731
+    ref1 = spark.createDataFrame([mk(i) for i in range(3)],
+                                 "doc_id BIGINT, text STRING")
+    ref2 = spark.createDataFrame([mk(i) for i in range(3, 6)],
+                                 "doc_id BIGINT, text STRING")
+    bat = spark.createDataFrame(
+        [(1, "xx shared one two three four five yy")],
+        "doc_id BIGINT, text STRING")
+    idx = substring_index(ref1, "text", "doc_id", min_tokens=6,
+                          max_doc_freq=4)
+    before = dedup_against_substring(
+        bat, "text", "doc_id", index=idx, min_tokens=6, mode="pairs").count()
+    assert before == 3            # under cap: all 3 ref docs match
+    folded = update_substring_index(idx, ref2, "text", "doc_id")
+    after = dedup_against_substring(
+        bat, "text", "doc_id", index=folded, min_tokens=6,
+        mode="pairs").count()
+    assert after == 0             # df=6 distinct contents > cap=4: dropped
+    folded.release(); idx.release()
+
+
+def test_substring_index_save_load_and_staleness(ref_bat, spark, tmp_path):
+    from rasgoql_spark.functions.dedup import (
+        dedup_against_substring, load_substring_index, save_substring_index,
+        substring_index)
+
+    ref, bat = ref_bat
+    idx = substring_index(ref, "text", "doc_id", min_tokens=5)
+    save_substring_index(idx, str(tmp_path / "sidx"))
+    loaded = load_substring_index(spark, str(tmp_path / "sidx"))
+    assert loaded.n_docs == 3 and loaded.min_tokens == 5
+    a = sorted(map(tuple, dedup_against_substring(
+        bat, "text", "doc_id", index=loaded, min_tokens=5,
+        mode="pairs").collect()))
+    b = sorted(map(tuple, dedup_against_substring(
+        bat, "text", "doc_id", index=idx, min_tokens=5,
+        mode="pairs").collect()))
+    assert a == b
+    # staleness fingerprint: index no longer matches the passed reference
+    from rasgoql_spark.errors import ParameterException as PE
+    with pytest.raises(PE, match="n_docs|reference docs"):
+        dedup_against_substring(
+            bat, "text", "doc_id", reference=ref.filter("doc_id < 102"),
+            index=loaded, min_tokens=5)
+    # min_tokens mismatch rejected before any work
+    with pytest.raises(PE, match="min_tokens"):
+        dedup_against_substring(bat, "text", "doc_id", index=loaded,
+                                min_tokens=7)
+    loaded.release(); idx.release()
