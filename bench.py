@@ -82,7 +82,28 @@ _PREBUILT_ENTRIES = frozenset({
     "llm_embedding_join_ivfpq_prebuilt",
     "llm_similarity_binary_prebuilt",
     "llm_ivfpq_rerank_prebuilt",
+    "llm_dedup_against_substring",
 })
+
+
+def _llm_dedup_against_substring(spark, sf):
+    """Amortized incremental substring screening: a 1000-doc batch checked
+    for verbatim >=20-token runs against a prebuilt SubstringIndex over
+    the 4000-doc accepted corpus (built once per bench process; each
+    timed run pays only the batch shingling + fingerprint equi-join —
+    the operator's per-crawl-batch contract)."""
+    from rasgoql_spark.functions.dedup import (
+        dedup_against_substring, substring_index)
+
+    docs = entry._s(spark, sf).dataset("documents").df
+    key = ("substr_idx", sf)
+    if key not in _IVF_STATE:
+        _IVF_STATE[key] = _built(substring_index(
+            docs.filter("doc_id % 5 != 0"), "text", "doc_id",
+            min_tokens=20, max_doc_freq=50))
+    return dedup_against_substring(
+        docs.filter("doc_id % 5 = 0"), "text", "doc_id",
+        index=_IVF_STATE[key], min_tokens=20, mode="pairs")
 
 
 def calibrate(spark, sf_dir) -> float:
@@ -439,6 +460,9 @@ BENCH_QUERIES = {
     # llm_ngram_containment but with positions and a window per
     # (pair, diagonal))
     "llm_dedup_substring": entry.q_dedup_substring,
+    # the amortized incremental form (prebuilt SubstringIndex, build
+    # paid once per process — the dedup_against family bench shape)
+    "llm_dedup_against_substring": _llm_dedup_against_substring,
 }
 
 
