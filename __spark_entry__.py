@@ -2117,6 +2117,22 @@ def q_dedup_against_substring(spark, sf):
         min_tokens=20, max_doc_freq=50, mode="pairs")
 
 
+def q_stream_dedup_substring_batch(spark, sf):
+    """Deterministic batch replica of stream_dedup_against's round-12
+    substring regime: the per-micro-batch body is dedup_against_substring
+    mode='filter' — batch docs sharing a verbatim >=20-token run with the
+    accepted corpus never reach the sink. Live-stream behavior is pinned
+    in test_streaming.py; this entry hash-verifies the decision itself."""
+    from rasgoql_spark.functions.dedup import dedup_against_substring
+
+    docs = _s(spark, sf).dataset("documents").df
+    return dedup_against_substring(
+        docs.filter("doc_id % 5 = 0").select("doc_id", "source", "lang", "text"),
+        "text", "doc_id", reference=docs.filter("doc_id % 5 != 0"),
+        min_tokens=20, max_doc_freq=50, mode="filter",
+    ).select("doc_id", "source", "lang")
+
+
 def q_embedding_join_ivf(spark, sf):
     """IVF ANN-join verification summary (round 6; same design as
     q_similarity_search_ivf): run the real ANN join (50 fixed queries vs a
@@ -6004,6 +6020,22 @@ ranked AS (
             "WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0) "
             "SELECT ida AS ID_A, idb AS ID_B, j AS JACCARD FROM pairs WHERE j >= 0.3"
         ),
+        # round 12: the streaming substring regime's batch replica —
+        # the naive filter form of the dedup_against_substring oracle
+        "stream_dedup_substring_batch": (
+            "WITH toks AS (SELECT doc_id AS id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) = '' THEN [] ELSE regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') END AS t FROM documents), "
+            "sh AS (SELECT id, md5(array_to_string(t, CHR(31))) AS ck, "
+            "CAST(u.i AS BIGINT) AS pos, md5(array_to_string(t[u.i : u.i + 20 - 1], ' ')) AS fp "
+            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20), "
+            "rsh AS (SELECT * FROM sh WHERE id % 5 != 0), "
+            "bsh AS (SELECT * FROM sh WHERE id % 5 = 0), "
+            "dfq AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT ck) AS c "
+            "FROM rsh GROUP BY fp) WHERE c <= 50), "
+            "rinv AS (SELECT rsh.id, rsh.fp FROM rsh JOIN dfq USING (fp)), "
+            "hit AS (SELECT DISTINCT b.id FROM bsh b JOIN rinv r ON b.fp = r.fp) "
+            "SELECT d.doc_id, d.source, d.lang FROM documents d "
+            "ANTI JOIN hit h ON h.id = d.doc_id WHERE d.doc_id % 5 = 0"
+        ),
         # round 12: incremental substring screening — naive cross-corpus
         # replay (batch vs reference postings, df over distinct ref contents)
         "dedup_against_substring": (
@@ -6583,6 +6615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "dedup_substring_clean": q_dedup_substring_clean,
         "dedup_against_substring": q_dedup_against_substring,
+        "stream_dedup_substring_batch": q_stream_dedup_substring_batch,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_sig": q_dedup_simhash_sig,

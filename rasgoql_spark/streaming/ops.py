@@ -444,6 +444,7 @@ def stream_dedup_against(
     threshold: float = 0.5,
     nprobe: int = 4,
     max_hamming: int = 6,
+    min_tokens: int = 20,
 ):
     """Streaming crawl-ingest dedup — the production pipeline shape: new
     document files arrive as a stream, every micro-batch is cleaned against
@@ -456,8 +457,13 @@ def stream_dedup_against(
     ``text`` and a cosine ``threshold``; batch probes ``nprobe`` inverted
     lists per row via ``dedup_against_embedding``), or ``pq.IVFPQIndex``
     for the memory-bounded semantic form (candidate scans read m small-int
-    PQ codes instead of full vectors — the billion-vector-corpus regime).
-    All four are persistable/loadable as parquet
+    PQ codes instead of full vectors — the billion-vector-corpus regime),
+    or ``dedup.SubstringIndex`` (round 12) for EXACT >=min_tokens-token
+    verbatim-run screening — the decontamination-grade regime that drops a
+    batch doc quoting any accepted document at any alignment
+    (``dedup_against_substring``; fold accepted docs back with
+    ``update_substring_index``, which is exactly rebuild-equivalent).
+    All five are persistable/loadable as parquet
     artifacts, so the per-batch cost is independent of corpus size. This
     runs via ``foreachBatch`` because the banded-LSH / bloom-confirm
     pipelines are multi-stage batch plans a stream-static join cannot
@@ -478,7 +484,12 @@ def stream_dedup_against(
     production restarts resume from the checkpoint).
     """
     from ..functions.bloom import BloomIndex, dedup_against_bloom
-    from ..functions.dedup import MinHashIndex, dedup_against
+    from ..functions.dedup import (
+        MinHashIndex,
+        SubstringIndex,
+        dedup_against,
+        dedup_against_substring,
+    )
     from ..functions.pq import IVFPQIndex
     from ..functions.similarity import (
         BinaryIndex,
@@ -497,14 +508,41 @@ def stream_dedup_against(
         # fail fast: a bad bound must surface here, not per-batch inside
         # foreachBatch as a wrapped StreamingQueryException after .start()
         raise ParameterException("max_hamming must be >= 0")
+    if min_tokens < 2:
+        raise ParameterException("min_tokens must be >= 2")
     if index is not None and not isinstance(
-        index, (MinHashIndex, BloomIndex, IVFIndex, IVFPQIndex, BinaryIndex)
+        index, (MinHashIndex, BloomIndex, IVFIndex, IVFPQIndex, BinaryIndex,
+                SubstringIndex)
     ):
         raise ParameterException(
             f"index must be a MinHashIndex, BloomIndex, IVFIndex, "
-            f"IVFPQIndex or BinaryIndex, got {type(index).__name__}"
+            f"IVFPQIndex, BinaryIndex or SubstringIndex, "
+            f"got {type(index).__name__}"
         )
-    if isinstance(index, BinaryIndex):
+    if isinstance(index, SubstringIndex):
+        # round 12: exact verbatim-run screening against the accepted
+        # corpus — per-batch cost is the batch's shingling + one
+        # fingerprint equi-join against the capped content-keyed postings
+        if method not in (None, "substring"):
+            raise ParameterException(
+                f"method={method!r} conflicts with a SubstringIndex"
+            )
+        if reference is not None and index.n_docs is not None:
+            rc = reference.count()
+            if rc != index.n_docs:
+                raise ParameterException(
+                    f"SubstringIndex was built over {index.n_docs} reference "
+                    f"documents but the passed reference has {rc} — fold "
+                    "the new docs in with update_substring_index or rebuild"
+                )
+        _sub_idx = index
+
+        def clean(b: DataFrame) -> DataFrame:
+            return dedup_against_substring(
+                b, text, id_col, index=_sub_idx,
+                min_tokens=_sub_idx.min_tokens, mode="filter",
+            )
+    elif isinstance(index, BinaryIndex):
         # r9: prebuilt 1-bit signature index — per-batch reference read is
         # the 8-byte signatures (no re-pack of full-width vectors); fold
         # accepted docs with update_binary_index (drift-free: no fitted
@@ -623,12 +661,21 @@ def stream_dedup_against(
         # surface per-batch inside foreachBatch as a wrapped
         # StreamingQueryException after the stream is already running
         if method not in (None, "exact", "minhash", "bloom", "embedding",
-                          "binary"):
+                          "binary", "substring"):
             raise ParameterException(
-                f"method must be 'exact', 'minhash', 'bloom', 'embedding' "
-                f"or 'binary', got {method!r}"
+                f"method must be 'exact', 'minhash', 'bloom', 'embedding', "
+                f"'binary' or 'substring', got {method!r}"
             )
-        if method == "binary":
+        if method == "substring":
+            # round 12: inline reference path — the index is rebuilt per
+            # micro-batch (the other inline regimes' documented trade);
+            # pass a prebuilt SubstringIndex to amortize
+            def clean(b: DataFrame) -> DataFrame:  # noqa: F811
+                return dedup_against_substring(
+                    b, text, id_col, reference=reference,
+                    min_tokens=min_tokens, mode="filter",
+                )
+        elif method == "binary":
             # r9: 1-bit signature dedup — at a billion reference vectors
             # the signature state is 8 GB, the one semantic form whose
             # reference fits executor memory outright; `text` is the

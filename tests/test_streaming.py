@@ -1192,3 +1192,71 @@ def test_zscore_against_stats_unknown_group_reports_null(spark):
     assert out["mystery"]["N"] == 1
     assert out["mystery"]["N_ANOMALIES"] is None
     assert out["mystery"]["MEAN_Z"] is None and out["mystery"]["BASELINE_MEAN"] is None
+
+
+def test_stream_dedup_against_substring_index(spark, tmp_path_factory):
+    """Round 12: micro-batches screened for verbatim >=min_tokens-token
+    runs against a prebuilt SubstringIndex — a batch doc quoting an
+    accepted document at ANY alignment never reaches the sink."""
+    from rasgoql_spark.functions.dedup import substring_index
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdasub")
+    ref = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "accepted reference page with its own distinct body of words"),
+    ], "doc_id long, text string")
+    idx = substring_index(ref, "text", "doc_id", min_tokens=5)
+    try:
+        b1 = [(100, "intro alpha beta gamma delta epsilon zeta eta theta "
+                     "iota kappa outro"),              # quotes ref 0, shifted
+              (101, "a genuinely novel crawl document number one")]
+        b2 = [(200, "accepted reference page with its own distinct body "
+                    "of words"),                        # exact copy of ref 1
+              (201, "another genuinely novel crawl document number two")]
+        src = str(tmp / "in")
+        spark.createDataFrame(b1, "doc_id long, text string").coalesce(1) \
+            .write.mode("append").parquet(src)
+        spark.createDataFrame(b2, "doc_id long, text string").coalesce(1) \
+            .write.mode("append").parquet(src)
+        sdf = (spark.readStream.schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", 1).parquet(src))
+        sink = str(tmp / "out")
+        q = stream_dedup_against(
+            sdf, "text", "doc_id", checkpoint=str(tmp / "ckpt"),
+            sink_path=sink, index=idx)
+        q.awaitTermination(180)
+        kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+        assert kept == {101, 201}
+        # method conflict fails fast, before .start()
+        from rasgoql_spark.errors import ParameterException
+        import pytest as _pytest
+        with _pytest.raises(ParameterException, match="conflicts"):
+            stream_dedup_against(
+                sdf, "text", "doc_id", checkpoint=str(tmp / "ckpt2"),
+                sink_path=str(tmp / "out2"), index=idx, method="minhash")
+    finally:
+        idx.release()
+
+
+def test_stream_dedup_against_substring_reference(spark, tmp_path_factory):
+    """The inline reference path of the substring regime (index rebuilt
+    per micro-batch — the documented inline trade)."""
+    from rasgoql_spark.streaming.ops import stream_dedup_against
+
+    tmp = tmp_path_factory.mktemp("sdasubref")
+    ref = spark.createDataFrame([
+        (0, "one two three four five six seven eight nine ten"),
+    ], "doc_id long, text string")
+    batch = [(100, "pre one two three four five six seven eight nine ten post"),
+             (101, "completely unrelated fresh content for the sink")]
+    src = str(tmp / "in")
+    spark.createDataFrame(batch, "doc_id long, text string").write.parquet(src)
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    sink = str(tmp / "out")
+    q = stream_dedup_against(
+        sdf, "text", "doc_id", checkpoint=str(tmp / "ckpt"),
+        sink_path=sink, reference=ref, method="substring", min_tokens=6)
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert kept == {101}
