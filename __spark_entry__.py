@@ -2106,15 +2106,19 @@ def q_dedup_against_substring(spark, sf):
     dedup_substring. The DuckDB oracle replays the naive cross-corpus
     pipeline (content-keyed index postings are a result-preserving
     optimization)."""
+    from rasgoql_spark.functions._cache import release_with
     from rasgoql_spark.functions.dedup import (
         dedup_against_substring, substring_index)
 
     docs = _s(spark, sf).dataset("documents").df
     idx = substring_index(docs.filter("doc_id % 5 != 0"), "text", "doc_id",
                           min_tokens=20, max_doc_freq=50)
-    return dedup_against_substring(
+    out = dedup_against_substring(
         docs.filter("doc_id % 5 = 0"), "text", "doc_id", index=idx,
         min_tokens=20, max_doc_freq=50, mode="pairs")
+    # release the index's scoped_persist frames with the result (r12 advice:
+    # an internally built index must not leak persisted frames per call)
+    return release_with(out, *idx._caches)
 
 
 def q_stream_dedup_substring_batch(spark, sf):

@@ -2275,7 +2275,7 @@ def _r_dedup_substring(
         raise ParameterException("min_tokens must be >= 2")
     k = int(min_tokens)
     toks = (
-        f"(SELECT {id_col} AS __id, md5(concat_ws('\\x1f', __t)) AS __ck, __t "
+        f"(SELECT {id_col} AS __id, md5(concat_ws(chr(31), __t)) AS __ck, __t "
         f"FROM (SELECT {id_col}, {_tokens_sql(text)} AS __t FROM {source}))"
     )
     sh = (
@@ -2377,6 +2377,17 @@ def _positioned_postings(docs: DataFrame, text_col: str, id_col: str,
         .select("__id", "__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"),
                 "__fp")
     )
+
+
+# sentinel default for dedup_against_substring's max_doc_freq: lets the
+# guard distinguish "caller omitted the cap" (use the index's baked-in cap)
+# from "caller explicitly requested a conflicting cap" (raise). Resolves to
+# 1000 — substring_index's own default — on the build-from-reference path.
+class _MdfDefault(int):
+    __slots__ = ()
+
+
+_MDF_DEFAULT = _MdfDefault(1000)
 
 
 class SubstringIndex:
@@ -2555,7 +2566,7 @@ def dedup_against_substring(
     ref_text: str | None = None,
     ref_id: str | None = None,
     min_tokens: int = 20,
-    max_doc_freq: int | None = 1000,
+    max_doc_freq: int | None = _MDF_DEFAULT,
     mode: str = "filter",
     index: SubstringIndex | None = None,
 ) -> DataFrame:
@@ -2598,6 +2609,18 @@ def dedup_against_substring(
                 f"index was built with min_tokens={index.min_tokens}, "
                 f"call requested {min_tokens}"
             )
+        if max_doc_freq is not _MDF_DEFAULT:
+            # only an EXPLICITLY passed cap is checked — the df cap is
+            # baked into the index's postings, so a conflicting request
+            # would otherwise silently screen at the index's cap (r12
+            # advice); omitting the param means "use the index's cap"
+            req_mdf = None if max_doc_freq is None else int(max_doc_freq)
+            if index.max_doc_freq != req_mdf:
+                raise ParameterException(
+                    f"index was built with "
+                    f"max_doc_freq={index.max_doc_freq}, call requested "
+                    f"{req_mdf} — pass the matching value or omit it"
+                )
         if reference is not None and index.n_docs is not None:
             rc = reference.count()
             if rc != index.n_docs:
@@ -2667,7 +2690,7 @@ def _r_dedup_against_substring(
 
     def postings(src, idc, txt):
         toks = (
-            f"(SELECT {idc} AS __id, md5(concat_ws('\\x1f', __t)) AS __ck, __t "
+            f"(SELECT {idc} AS __id, md5(concat_ws(chr(31), __t)) AS __ck, __t "
             f"FROM (SELECT {idc}, {_tokens_sql(txt)} AS __t FROM {src}))"
         )
         return (

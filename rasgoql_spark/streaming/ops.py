@@ -444,7 +444,7 @@ def stream_dedup_against(
     threshold: float = 0.5,
     nprobe: int = 4,
     max_hamming: int = 6,
-    min_tokens: int = 20,
+    min_tokens: int | None = None,
 ):
     """Streaming crawl-ingest dedup — the production pipeline shape: new
     document files arrive as a stream, every micro-batch is cleaned against
@@ -508,7 +508,7 @@ def stream_dedup_against(
         # fail fast: a bad bound must surface here, not per-batch inside
         # foreachBatch as a wrapped StreamingQueryException after .start()
         raise ParameterException("max_hamming must be >= 0")
-    if min_tokens < 2:
+    if min_tokens is not None and min_tokens < 2:
         raise ParameterException("min_tokens must be >= 2")
     if index is not None and not isinstance(
         index, (MinHashIndex, BloomIndex, IVFIndex, IVFPQIndex, BinaryIndex,
@@ -526,6 +526,16 @@ def stream_dedup_against(
         if method not in (None, "substring"):
             raise ParameterException(
                 f"method={method!r} conflicts with a SubstringIndex"
+            )
+        if min_tokens is not None and index.min_tokens != int(min_tokens):
+            # same contract as dedup_against_substring (which raises on an
+            # index/param mismatch): surface an EXPLICIT conflict pre-start
+            # rather than silently screening at the index's bound; omitting
+            # min_tokens means "use the index's"
+            raise ParameterException(
+                f"SubstringIndex was built with "
+                f"min_tokens={index.min_tokens}, call requested "
+                f"{min_tokens} — pass the matching value or rebuild"
             )
         if reference is not None and index.n_docs is not None:
             rc = reference.count()
@@ -673,7 +683,8 @@ def stream_dedup_against(
             def clean(b: DataFrame) -> DataFrame:  # noqa: F811
                 return dedup_against_substring(
                     b, text, id_col, reference=reference,
-                    min_tokens=min_tokens, mode="filter",
+                    min_tokens=20 if min_tokens is None else min_tokens,
+                    mode="filter",
                 )
         elif method == "binary":
             # r9: 1-bit signature dedup — at a billion reference vectors
@@ -1199,6 +1210,24 @@ def _quota_batch_sink(keys, quota, order, cols, sink_path, key_fields):
                 .agg(F.sum("__admitted").cast("bigint").alias("__spent"))
             )
         else:
+            # Upgrade guard: a sink written by the pre-_counts layout has
+            # batch=* data dirs but no side table. Treating that as a fresh
+            # sink would resolve spent to 0 and silently re-grant every
+            # group its full quota after restart — fail fast instead and
+            # tell the operator how to backfill.
+            legacy = fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{sink_path}/batch=*")
+            )
+            if legacy is not None and len(legacy) > 0:
+                raise ParameterException(
+                    f"stream_quota sink {sink_path!r} has existing batch=* "
+                    "partitions but no _counts side table (pre-upgrade "
+                    "layout). Refusing to restart with spent=0: backfill "
+                    "the side table first — for each batch=<b> dir, write "
+                    "groupBy(group cols).count() as __admitted with that "
+                    f"batch id to {counts_path}/batch=<b>/ — or point the "
+                    "stream at a fresh sink_path."
+                )
             spent = None
         w = Window.partitionBy(*keys).orderBy(*order)
         ranked = batch_df.withColumn("__rn", F.row_number().over(w))

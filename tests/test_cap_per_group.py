@@ -254,3 +254,44 @@ def test_stream_quota_counts_table_is_invisible_to_readers(spark, tmp_path_facto
     read = spark.read.parquet(sink)
     assert read.count() == 4                              # rows only
     assert "__admitted" not in read.columns               # schema untouched
+
+
+def test_stream_quota_rejects_legacy_sink_without_counts(spark, tmp_path_factory):
+    """Upgrade guard (r12 advice): a sink with batch=* data dirs but no
+    _counts side table is the pre-upgrade layout — restarting against it
+    must fail fast, NOT resolve spent to 0 and re-grant every group its
+    full quota."""
+    import shutil
+
+    from rasgoql_spark.streaming.ops import stream_quota
+
+    tmp = tmp_path_factory.mktemp("squotalegacy")
+    src = str(tmp / "in")
+    spark.createDataFrame([(i, "h", float(i)) for i in range(6)],
+                          "id BIGINT, host STRING, score DOUBLE")\
+        .write.parquet(src)
+    sdf = (spark.readStream.schema("id BIGINT, host STRING, score DOUBLE")
+           .parquet(src))
+    sink = str(tmp / "out")
+    q = stream_quota(sdf, ["host"], quota=3, key="id",
+                     checkpoint=str(tmp / "ckpt"), sink_path=sink,
+                     order_by=["score"])
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 3
+    # simulate the pre-_counts layout: data partitions present, side
+    # table gone; a fresh stream over new data must refuse to start over
+    shutil.rmtree(f"{sink}/_counts")
+    src2 = str(tmp / "in2")
+    spark.createDataFrame([(i, "h", float(i)) for i in range(100, 106)],
+                          "id BIGINT, host STRING, score DOUBLE")\
+        .write.parquet(src2)
+    sdf2 = (spark.readStream.schema("id BIGINT, host STRING, score DOUBLE")
+            .parquet(src2))
+    q2 = stream_quota(sdf2, ["host"], quota=3, key="id",
+                      checkpoint=str(tmp / "ckpt2"), sink_path=sink,
+                      order_by=["score"])
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException,
+                       match="pre-upgrade layout"):
+        q2.awaitTermination(120)

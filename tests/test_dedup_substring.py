@@ -302,3 +302,32 @@ def test_substring_index_save_load_and_staleness(ref_bat, spark, tmp_path):
         dedup_against_substring(bat, "text", "doc_id", index=loaded,
                                 min_tokens=7)
     loaded.release(); idx.release()
+
+
+def test_explicit_max_doc_freq_conflict_with_index_raises(ref_bat):
+    """r12 advice: the df cap is baked into the index's postings — an
+    EXPLICITLY passed conflicting cap must raise (silently screening at
+    the index's cap hides the conflict); omitting it uses the index's."""
+    from rasgoql_spark.functions.dedup import (
+        dedup_against_substring, substring_index)
+
+    ref, bat = ref_bat
+    idx = substring_index(ref, "text", "doc_id", min_tokens=5,
+                          max_doc_freq=7)
+    try:
+        # omitted => index's cap, works
+        assert dedup_against_substring(
+            bat, "text", "doc_id", index=idx, min_tokens=5,
+            mode="filter").count() == 1
+        # explicit matching cap also works
+        assert dedup_against_substring(
+            bat, "text", "doc_id", index=idx, min_tokens=5,
+            max_doc_freq=7, mode="filter").count() == 1
+        with pytest.raises(ParameterException, match="max_doc_freq"):
+            dedup_against_substring(bat, "text", "doc_id", index=idx,
+                                    min_tokens=5, max_doc_freq=3)
+        with pytest.raises(ParameterException, match="max_doc_freq"):
+            dedup_against_substring(bat, "text", "doc_id", index=idx,
+                                    min_tokens=5, max_doc_freq=None)
+    finally:
+        idx.release()

@@ -1235,6 +1235,12 @@ def test_stream_dedup_against_substring_index(spark, tmp_path_factory):
             stream_dedup_against(
                 sdf, "text", "doc_id", checkpoint=str(tmp / "ckpt2"),
                 sink_path=str(tmp / "out2"), index=idx, method="minhash")
+        # r12 advice: an EXPLICIT min_tokens conflicting with the prebuilt
+        # index raises pre-start (omitting it uses the index's, as above)
+        with _pytest.raises(ParameterException, match="min_tokens"):
+            stream_dedup_against(
+                sdf, "text", "doc_id", checkpoint=str(tmp / "ckpt3"),
+                sink_path=str(tmp / "out3"), index=idx, min_tokens=9)
     finally:
         idx.release()
 
