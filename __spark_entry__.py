@@ -6030,7 +6030,8 @@ ranked AS (
             "WITH toks AS (SELECT doc_id AS id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) = '' THEN [] ELSE regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') END AS t FROM documents), "
             "sh AS (SELECT id, md5(array_to_string(t, CHR(31))) AS ck, "
             "CAST(u.i AS BIGINT) AS pos, md5(array_to_string(t[u.i : u.i + 20 - 1], ' ')) AS fp "
-            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20), "
+            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY id, fp ORDER BY pos) <= 20), "
             "rsh AS (SELECT * FROM sh WHERE id % 5 != 0), "
             "bsh AS (SELECT * FROM sh WHERE id % 5 = 0), "
             "dfq AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT ck) AS c "
@@ -6046,7 +6047,8 @@ ranked AS (
             "WITH toks AS (SELECT doc_id AS id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) = '' THEN [] ELSE regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') END AS t FROM documents), "
             "sh AS (SELECT id, md5(array_to_string(t, CHR(31))) AS ck, "
             "CAST(u.i AS BIGINT) AS pos, md5(array_to_string(t[u.i : u.i + 20 - 1], ' ')) AS fp "
-            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20), "
+            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY id, fp ORDER BY pos) <= 20), "
             "rsh AS (SELECT * FROM sh WHERE id % 5 != 0), "
             "bsh AS (SELECT * FROM sh WHERE id % 5 = 0), "
             "dfq AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT ck) AS c "
@@ -6068,7 +6070,8 @@ ranked AS (
             "WITH toks AS (SELECT doc_id AS id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) = '' THEN [] ELSE regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') END AS t FROM documents), "
             "sh AS (SELECT id, md5(array_to_string(t, CHR(31))) AS ck, "
             "CAST(u.i AS BIGINT) AS pos, md5(array_to_string(t[u.i : u.i + 20 - 1], ' ')) AS fp "
-            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20), "
+            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY id, fp ORDER BY pos) <= 20), "
             "dfq AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT ck) AS c "
             "FROM sh GROUP BY fp) WHERE c <= 50), "
             "inv AS (SELECT sh.id, sh.pos, sh.fp FROM sh JOIN dfq USING (fp)), "
@@ -6108,7 +6111,8 @@ ranked AS (
             "WITH toks AS (SELECT doc_id AS id, CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')) = '' THEN [] ELSE regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+') END AS t FROM documents), "
             "sh AS (SELECT id, md5(array_to_string(t, CHR(31))) AS ck, "
             "CAST(u.i AS BIGINT) AS pos, md5(array_to_string(t[u.i : u.i + 20 - 1], ' ')) AS fp "
-            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20), "
+            "FROM toks, UNNEST(range(1, len(t) - 20 + 2)) AS u(i) WHERE len(t) >= 20 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY id, fp ORDER BY pos) <= 20), "
             "dfq AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT ck) AS c "
             "FROM sh GROUP BY fp) WHERE c <= 50), "
             "inv AS (SELECT sh.id, sh.pos, sh.fp FROM sh JOIN dfq USING (fp)), "

@@ -2052,6 +2052,7 @@ def dedup_substring(
     min_tokens: int = 20,
     max_doc_freq: int | None = 1000,
     mode: str = "pairs",
+    max_positions: int | None = 20,
 ) -> DataFrame:
     """EXACT substring deduplication (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr
@@ -2092,9 +2093,15 @@ def dedup_substring(
     dedup_ngram_jaccard contract): boilerplate shingles shared by more
     distinct documents than the cap are dropped BEFORE the join, trading
     recall on >cap-hot runs (a capped mid-run shingle splits that run) —
-    ``None`` disables. Within-document pathological repetition multiplies
-    alignments quadratically per pair; clean with remove_repeated_spans
-    first if the corpus has generation loops.
+    ``None`` disables. Within-document pathological repetition is bounded
+    by ``max_positions`` (round 13): only the FIRST ``max_positions``
+    occurrences of each shingle per document enter the index, so a
+    generation-loop doc repeating one k-token shingle r times contributes
+    at most max_positions^2 (not r^2) alignment rows per candidate pair
+    — the trade is that runs revisiting a >cap-repeated shingle report
+    only their first ``max_positions`` alignments (clean corpora are
+    unaffected); ``None`` disables, or pre-clean with
+    remove_repeated_spans for the paper-exact result on loopy corpora.
     """
     if mode not in ("pairs", "filter", "clean"):
         raise ParameterException("mode must be 'pairs', 'filter' or 'clean'")
@@ -2102,6 +2109,8 @@ def dedup_substring(
         raise ParameterException("min_tokens must be >= 2")
     if max_doc_freq is not None and max_doc_freq < 1:
         raise ParameterException("max_doc_freq must be >= 1 (or None)")
+    if max_positions is not None and max_positions < 1:
+        raise ParameterException("max_positions must be >= 1 (or None)")
     k = int(min_tokens)
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     base = spread(df).select(
@@ -2125,6 +2134,7 @@ def dedup_substring(
         rep.select("__id", F.posexplode(fp_arr).alias("__p0", "__fp"))
         .select("__id", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
     )
+    sh = _cap_positions(sh, max_positions, "__id")
     if max_doc_freq is not None:
         # df counted over distinct documents-BY-CONTENT == distinct reps
         live_fp = (
@@ -2261,12 +2271,14 @@ def dedup_substring(
 @renderer("dedup_substring")
 def _r_dedup_substring(
     source, text, id_col, min_tokens=20, max_doc_freq=1000, mode="pairs",
-    _input_columns=(),
+    max_positions=20, _input_columns=(),
 ) -> str:
     """Renders the PLAIN path (all doc pairs; the exact-dup collapse is a
     result-preserving optimization) with the df cap counted over DISTINCT
     token sequences — exactly the executed semantics, the
-    _inverted_cand_sql convention."""
+    _inverted_cand_sql convention. The per-(doc, fp) position cap renders
+    per document id, which equals the executed per-representative cap
+    because identical contents have identical position sets."""
     from .text import _tokens_sql
 
     if mode not in ("pairs", "filter", "clean"):
@@ -2285,6 +2297,12 @@ def _r_dedup_substring(
         f"j -> md5(concat_ws(' ', slice(__t, j, {k}))))) AS (__p0, __fp) "
         f"FROM {toks} WHERE size(__t) >= {k}))"
     )
+    if max_positions is not None:
+        sh = (
+            f"(SELECT __id, __ck, __pos, __fp FROM (SELECT *, ROW_NUMBER() "
+            f"OVER (PARTITION BY __id, __fp ORDER BY __pos) AS __pn "
+            f"FROM {sh}) WHERE __pn <= {int(max_positions)})"
+        )
     if max_doc_freq is not None:
         live = (
             f"(SELECT __fp FROM (SELECT __fp, COUNT(DISTINCT __ck) AS __df "
@@ -2379,6 +2397,28 @@ def _positioned_postings(docs: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _cap_positions(postings: DataFrame, cap, key: str) -> DataFrame:
+    """Within-document repetition bound (round 13): keep only the FIRST
+    ``cap`` positions of each shingle fingerprint per document (or per
+    distinct content, for content-keyed index postings). A doc repeating
+    one k-token shingle r times — the generation-loop pathology —
+    otherwise contributes O(r^2) alignment rows per candidate pair and in
+    the self-alignment table; the cap bounds that at cap^2 per (pair, fp).
+    Keep-first is deterministic and exactly oracle-expressible
+    (ROW_NUMBER over (key, fp) by position); the recall trade is that a
+    run revisiting a >cap-repeated shingle reports only its first ``cap``
+    alignments (clean corpora are unaffected — no (doc, fp) exceeds the
+    cap). ``None`` disables."""
+    if cap is None:
+        return postings
+    w = Window.partitionBy(key, "__fp").orderBy("__pos")
+    return (
+        postings.withColumn("__pn", F.row_number().over(w))
+        .filter(F.col("__pn") <= int(cap))
+        .drop("__pn")
+    )
+
+
 # sentinel default for dedup_against_substring's max_doc_freq: lets the
 # guard distinguish "caller omitted the cap" (use the index's baked-in cap)
 # from "caller explicitly requested a conflicting cap" (raise). Resolves to
@@ -2388,6 +2428,8 @@ class _MdfDefault(int):
 
 
 _MDF_DEFAULT = _MdfDefault(1000)
+# same trick for dedup_against_substring's max_positions (index default 20)
+_MPOS_DEFAULT = _MdfDefault(20)
 
 
 class SubstringIndex:
@@ -2401,12 +2443,13 @@ class SubstringIndex:
     property, unlike the IVF/PQ updates)."""
 
     def __init__(self, inv, fpck, members, min_tokens, max_doc_freq,
-                 caches, n_docs=None):
-        self.inv = inv              # (__ck, __pos, __fp) — df-capped
+                 caches, n_docs=None, max_positions=None):
+        self.inv = inv              # (__ck, __pos, __fp) — df- and position-capped
         self.fpck = fpck            # (__fp, __ck) distinct — UNcapped
         self.members = members      # (__ck, __id) every reference doc
         self.min_tokens = min_tokens
         self.max_doc_freq = max_doc_freq
+        self.max_positions = max_positions  # per-(content, fp) position cap
         self.n_docs = n_docs        # staleness fingerprint (dedup_against contract)
         self._caches = caches
 
@@ -2429,16 +2472,22 @@ def substring_index(
     id_col: str,
     min_tokens: int = 20,
     max_doc_freq: int | None = 1000,
+    max_positions: int | None = 20,
 ) -> SubstringIndex:
     """Build a reusable :class:`SubstringIndex` over the accepted corpus —
     the reference side of exact >=min_tokens-token substring screening,
     persisted for reuse across crawl batches (per-batch cost independent
     of how the reference was built). The df cap counts DISTINCT reference
-    contents, the dedup_substring contract."""
+    contents, the dedup_substring contract; ``max_positions`` bounds
+    within-document repetition per the dedup_substring round-13
+    contract (first ``max_positions`` occurrences of a shingle per
+    distinct content)."""
     if min_tokens < 2:
         raise ParameterException("min_tokens must be >= 2")
     if max_doc_freq is not None and max_doc_freq < 1:
         raise ParameterException("max_doc_freq must be >= 1 (or None)")
+    if max_positions is not None and max_positions < 1:
+        raise ParameterException("max_positions must be >= 1 (or None)")
     rt, ri = resolve_col(reference, text), resolve_col(reference, id_col)
     toks = tokens_expr(F.col(rt))
     base = spread(reference).select(
@@ -2457,13 +2506,15 @@ def substring_index(
         .select("__ck", F.posexplode(fp_arr).alias("__p0", "__fp"))
         .select("__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
     )
+    sh = _cap_positions(sh, max_positions, "__ck")
     fpck = scoped_persist(sh.select("__fp", "__ck").distinct())
     live = _substring_live_fps(fpck, max_doc_freq)
     inv = sh if live is None else sh.join(live, on="__fp", how="left_semi")
     inv = scoped_persist(inv)
     inv.count()  # materialize once; every batch reuses the postings
     return SubstringIndex(inv, fpck, members, k, max_doc_freq,
-                          (members, fpck, inv), n_docs=n_docs)
+                          (members, fpck, inv), n_docs=n_docs,
+                          max_positions=max_positions)
 
 
 def update_substring_index(
@@ -2503,6 +2554,9 @@ def update_substring_index(
         .select("__ck", F.posexplode(fp_arr).alias("__p0", "__fp"))
         .select("__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
     )
+    # rebuild-equivalence holds: the position cap is per distinct CONTENT,
+    # and `fresh` contents are disjoint from already-indexed ones
+    sh_new = _cap_positions(sh_new, index.max_positions, "__ck")
     fpck = scoped_persist(
         index.fpck.unionByName(sh_new.select("__fp", "__ck")).distinct()
     )
@@ -2516,6 +2570,7 @@ def update_substring_index(
         inv, fpck, members, k, index.max_doc_freq,
         (members, fpck, inv),
         n_docs=None if index.n_docs is None else index.n_docs + n_new,
+        max_positions=index.max_positions,
     )
 
 
@@ -2530,8 +2585,9 @@ def save_substring_index(index: SubstringIndex, path: str) -> str:
     spark.createDataFrame(
         [(index.min_tokens,
           -1 if index.max_doc_freq is None else int(index.max_doc_freq),
-          -1 if index.n_docs is None else int(index.n_docs))],
-        "min_tokens int, max_doc_freq long, n_docs long",
+          -1 if index.n_docs is None else int(index.n_docs),
+          -1 if index.max_positions is None else int(index.max_positions))],
+        "min_tokens int, max_doc_freq long, n_docs long, max_positions long",
     ).write.mode("overwrite").parquet(f"{path}/params")
     return path
 
@@ -2550,10 +2606,14 @@ def load_substring_index(spark, path: str, persist: bool = True) -> SubstringInd
         caches = (inv, fpck, members)
     mdf = int(row["max_doc_freq"])
     nd = int(row["n_docs"])
+    # pre-round-13 artifacts carry no max_positions column => uncapped
+    rd = row.asDict()
+    mp = int(rd.get("max_positions", -1))
     return SubstringIndex(
         inv, fpck, members, int(row["min_tokens"]),
         None if mdf < 0 else mdf, caches,
         n_docs=None if nd < 0 else nd,
+        max_positions=None if mp < 0 else mp,
     )
 
 
@@ -2569,6 +2629,7 @@ def dedup_against_substring(
     max_doc_freq: int | None = _MDF_DEFAULT,
     mode: str = "filter",
     index: SubstringIndex | None = None,
+    max_positions: int | None = _MPOS_DEFAULT,
 ) -> DataFrame:
     """Incremental EXACT substring screening — the cross-corpus member of
     the ``dedup_against`` family (exact fingerprints / minhash / bloom /
@@ -2594,7 +2655,11 @@ def dedup_against_substring(
     which reference shingles are live (incremental decisions depend on
     accepted-corpus state alone). Batch docs are not exact-dup collapsed
     (the batch is the small side by nature; identical batch docs simply
-    repeat their own rows).
+    repeat their own rows). ``max_positions`` (round 13) bounds
+    within-document repetition on BOTH sides — first ``max_positions``
+    occurrences of a shingle per document/content, the dedup_substring
+    contract; with a prebuilt index the cap is baked into its postings
+    (explicit conflicting values raise, omitting uses the index's).
     """
     if mode not in ("filter", "pairs"):
         raise ParameterException("mode must be 'filter' or 'pairs'")
@@ -2621,6 +2686,16 @@ def dedup_against_substring(
                     f"max_doc_freq={index.max_doc_freq}, call requested "
                     f"{req_mdf} — pass the matching value or omit it"
                 )
+        if max_positions is not _MPOS_DEFAULT:
+            # same contract for the round-13 position cap — it is baked
+            # into the index's postings too
+            req_mp = None if max_positions is None else int(max_positions)
+            if index.max_positions != req_mp:
+                raise ParameterException(
+                    f"index was built with "
+                    f"max_positions={index.max_positions}, call requested "
+                    f"{req_mp} — pass the matching value or omit it"
+                )
         if reference is not None and index.n_docs is not None:
             rc = reference.count()
             if rc != index.n_docs:
@@ -2634,10 +2709,15 @@ def dedup_against_substring(
         idx = built = substring_index(
             reference, ref_text or text, ref_id or id_col,
             min_tokens=min_tokens, max_doc_freq=max_doc_freq,
+            max_positions=max_positions,
         )
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     k = idx.min_tokens
-    sh_b = _positioned_postings(spread(df), t, i, k).select(
+    # the batch side gets the same within-doc repetition bound as the
+    # index side — the alignment blowup is the r x s product of both
+    sh_b = _cap_positions(
+        _positioned_postings(spread(df), t, i, k), idx.max_positions, "__id"
+    ).select(
         F.col("__id").alias("__bid"), F.col("__pos").alias("__bpos"), "__fp"
     )
     al = sh_b.join(
@@ -2673,7 +2753,7 @@ def dedup_against_substring(
 @renderer("dedup_against_substring")
 def _r_dedup_against_substring(
     source, text, id_col, reference, ref_text=None, ref_id=None,
-    min_tokens=20, max_doc_freq=1000, mode="filter",
+    min_tokens=20, max_doc_freq=1000, mode="filter", max_positions=20,
 ) -> str:
     """Naive cross-corpus replay (content-keyed postings are a
     result-preserving optimization): reference shingles df-capped over
@@ -2701,8 +2781,17 @@ def _r_dedup_against_substring(
             f"FROM {toks} WHERE size(__t) >= {k}))"
         )
 
-    rsh = postings(reference, ri, rt)
-    bsh = postings(source, id_col, text)
+    def cap(src):
+        if max_positions is None:
+            return src
+        return (
+            f"(SELECT __id, __ck, __pos, __fp FROM (SELECT *, ROW_NUMBER() "
+            f"OVER (PARTITION BY __id, __fp ORDER BY __pos) AS __pn "
+            f"FROM {src}) WHERE __pn <= {int(max_positions)})"
+        )
+
+    rsh = cap(postings(reference, ri, rt))
+    bsh = cap(postings(source, id_col, text))
     if max_doc_freq is not None:
         live = (
             f"(SELECT __fp FROM (SELECT __fp, COUNT(DISTINCT __ck) AS __df "

@@ -331,3 +331,77 @@ def test_explicit_max_doc_freq_conflict_with_index_raises(ref_bat):
                                     min_tokens=5, max_doc_freq=None)
     finally:
         idx.release()
+
+
+def test_max_positions_bounds_generation_loop_corpus(spark):
+    """Round 13: the within-doc repetition bound is ENFORCED by default —
+    a generation-loop doc repeating one k-token shingle r times enters
+    the index with at most max_positions occurrences per fingerprint, so
+    alignments are cap^2-bounded per (pair, fp) instead of r^2."""
+    from pyspark.sql import functions as SF
+
+    from rasgoql_spark.functions.dedup import (
+        _cap_positions, _positioned_postings, dedup_substring)
+
+    r = 300
+    loop = "the model repeats this phrase " * r      # 5-token phrase, r times
+    rows = [(1, loop.strip()),
+            (2, "intro the model repeats this phrase and then moves on")]
+    docs = spark.createDataFrame(rows, "id BIGINT, text STRING")
+
+    # capped postings: no (doc, fp) exceeds the cap
+    capped = _cap_positions(
+        _positioned_postings(docs, "text", "id", 5), 20, "__id")
+    per = capped.groupBy("__id", "__fp").count().agg(SF.max("count")).first()[0]
+    assert per <= 20
+    # the 5-token loop cycles through 5 distinct shingle fingerprints;
+    # uncapped, doc 1 carries ~r positions PER fp (r^2 self-alignments) —
+    # capped, the whole posting list is <= 5 fps x 20 positions + edges
+    n_capped = capped.filter("__id = 1").count()
+    assert n_capped <= 5 * 20 + 10
+    n_uncapped = _positioned_postings(docs, "text", "id", 5)\
+        .filter("__id = 1").count()
+    assert n_uncapped >= 5 * (r - 2)   # the blowup the cap removes
+
+    # the operator still reports the cross-doc shared run, bounded
+    pairs = dedup_substring(docs, "text", "id", min_tokens=5,
+                            max_doc_freq=None).collect()
+    assert any(p["ID_A"] == 1 and p["ID_B"] == 2 for p in pairs)
+    # and max_positions=None restores the unbounded paper-exact path
+    assert dedup_substring(
+        docs, "text", "id", min_tokens=5, max_doc_freq=None,
+        max_positions=None, mode="filter").count() == 1
+
+
+def test_max_positions_baked_into_index_roundtrip_and_conflict(ref_bat, tmp_path):
+    """The position cap is index state: save/load preserves it, update
+    applies it to new contents, and an explicit conflicting value raises
+    (the max_doc_freq contract)."""
+    from rasgoql_spark.functions.dedup import (
+        dedup_against_substring, load_substring_index, save_substring_index,
+        substring_index)
+
+    ref, bat = ref_bat
+    idx = substring_index(ref, "text", "doc_id", min_tokens=5,
+                          max_positions=7)
+    try:
+        assert idx.max_positions == 7
+        save_substring_index(idx, str(tmp_path / "subidx"))
+        loaded = load_substring_index(ref.sparkSession,
+                                      str(tmp_path / "subidx"))
+        try:
+            assert loaded.max_positions == 7
+            # omitted => index's cap; explicit match ok; conflict raises
+            assert dedup_against_substring(
+                bat, "text", "doc_id", index=loaded, min_tokens=5,
+                mode="filter").count() == 1
+            assert dedup_against_substring(
+                bat, "text", "doc_id", index=loaded, min_tokens=5,
+                max_positions=7, mode="filter").count() == 1
+            with pytest.raises(ParameterException, match="max_positions"):
+                dedup_against_substring(bat, "text", "doc_id", index=loaded,
+                                        min_tokens=5, max_positions=3)
+        finally:
+            loaded.release()
+    finally:
+        idx.release()
