@@ -2574,36 +2574,89 @@ def update_substring_index(
     )
 
 
-def save_substring_index(index: SubstringIndex, path: str) -> str:
+def _substring_bucket_table(path: str) -> str:
+    """Deterministic catalog name for a bucketed postings table at
+    ``path`` — re-registerable from any session (in-memory catalog
+    metadata does not survive the session; the files and the params row
+    do)."""
+    import hashlib
+
+    return "substr_inv_" + hashlib.md5(path.encode()).hexdigest()[:12]
+
+
+def save_substring_index(index: SubstringIndex, path: str,
+                         bucket_by_fp: int | None = None) -> str:
     """Persist as parquet (``{path}/inv``, ``{path}/fpck``,
     ``{path}/members``) plus a one-row params table — the
-    save_minhash_index cross-job contract."""
-    index.inv.write.mode("overwrite").parquet(f"{path}/inv")
+    save_minhash_index cross-job contract.
+
+    ``bucket_by_fp`` (round 13): write the postings as a Spark BUCKETED
+    external table clustered by ``__fp`` into that many buckets. A
+    loaded bucketed index reports HashPartitioning(__fp) to the planner,
+    so the per-batch candidate join shuffles ONLY the batch side — the
+    index side (the corpus-scale frame) has no Exchange
+    (test_plans.test_substring_index_bucketed_join_no_index_exchange).
+    Pick buckets ~ corpus postings / target partition size; the batch
+    side is exchanged into the same bucket count per screen."""
+    spark = index.inv.sparkSession
+    if bucket_by_fp is not None:
+        if bucket_by_fp < 1:
+            raise ParameterException("bucket_by_fp must be >= 1 (or None)")
+        tbl = _substring_bucket_table(path)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            index.inv.write.mode("overwrite").format("parquet")
+            .bucketBy(int(bucket_by_fp), "__fp").sortBy("__fp")
+            .option("path", f"{path}/inv")
+            .saveAsTable(tbl)
+        )
+    else:
+        index.inv.write.mode("overwrite").parquet(f"{path}/inv")
     index.fpck.write.mode("overwrite").parquet(f"{path}/fpck")
     index.members.write.mode("overwrite").parquet(f"{path}/members")
-    spark = index.inv.sparkSession
     spark.createDataFrame(
         [(index.min_tokens,
           -1 if index.max_doc_freq is None else int(index.max_doc_freq),
           -1 if index.n_docs is None else int(index.n_docs),
-          -1 if index.max_positions is None else int(index.max_positions))],
-        "min_tokens int, max_doc_freq long, n_docs long, max_positions long",
+          -1 if index.max_positions is None else int(index.max_positions),
+          -1 if bucket_by_fp is None else int(bucket_by_fp))],
+        "min_tokens int, max_doc_freq long, n_docs long, "
+        "max_positions long, bucket_by_fp long",
     ).write.mode("overwrite").parquet(f"{path}/params")
     return path
 
 
 def load_substring_index(spark, path: str, persist: bool = True) -> SubstringIndex:
     """Load a :func:`save_substring_index` artifact; ``persist`` pins the
-    frames for multi-batch reuse (``release()`` when done)."""
+    frames for multi-batch reuse (``release()`` when done). A
+    ``bucket_by_fp`` artifact re-registers its postings as the bucketed
+    catalog table (idempotent), so every batch screen reuses the
+    shuffle-free index side; bucketed postings are NOT persist-pinned —
+    caching would hide the scan's bucket spec behind an InMemoryRelation
+    and parquet re-reads are what the bucketing amortizes anyway."""
     row = spark.read.parquet(f"{path}/params").first()
-    inv = spark.read.parquet(f"{path}/inv")
+    rd0 = row.asDict()
+    nb = int(rd0.get("bucket_by_fp", -1))
+    if nb > 0:
+        tbl = _substring_bucket_table(path)
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} (__ck STRING, __pos BIGINT, "
+                f"__fp STRING) USING PARQUET CLUSTERED BY (__fp) "
+                f"INTO {nb} BUCKETS LOCATION '{path}/inv'"
+            )
+        inv = spark.table(tbl)
+    else:
+        inv = spark.read.parquet(f"{path}/inv")
     fpck = spark.read.parquet(f"{path}/fpck")
     members = spark.read.parquet(f"{path}/members")
     caches = ()
     if persist:
-        inv, fpck, members = (scoped_persist(inv), scoped_persist(fpck),
-                              scoped_persist(members))
-        caches = (inv, fpck, members)
+        fpck, members = scoped_persist(fpck), scoped_persist(members)
+        caches = (fpck, members)
+        if nb <= 0:
+            inv = scoped_persist(inv)
+            caches = (inv, fpck, members)
     mdf = int(row["max_doc_freq"])
     nd = int(row["n_docs"])
     # pre-round-13 artifacts carry no max_positions column => uncapped

@@ -716,3 +716,64 @@ def test_hilbert_nd_is_shuffle_free_and_udf_free(session):
     plan = _plan(out)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_substring_index_bucketed_join_no_index_exchange(spark, session, tmp_path):
+    """Round 13: a SubstringIndex saved with bucket_by_fp re-registers as
+    a bucketed table on load, so the per-batch candidate join shuffles
+    ONLY the batch side — the corpus-scale index side reads its buckets
+    in place (the 100 TB crawl-screen shape: the index is the big side
+    and is reused every batch)."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.dedup import (
+        _positioned_postings, dedup_against_substring, load_substring_index,
+        save_substring_index, substring_index)
+
+    docs = session.dataset("documents").df
+    idx = substring_index(docs.filter("doc_id % 5 != 0"), "text", "doc_id",
+                          min_tokens=20, max_doc_freq=50)
+    path = str(tmp_path / "subidx")
+    save_substring_index(idx, path, bucket_by_fp=8)
+    idx.release()
+    loaded = load_substring_index(spark, path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sh_b = _positioned_postings(
+            docs.filter("doc_id % 5 = 0"), "text", "doc_id", 20
+        ).select(F.col("__id").alias("__bid"),
+                 F.col("__pos").alias("__bpos"), "__fp")
+        al = sh_b.join(
+            loaded.inv.select("__ck", F.col("__pos").alias("__rpos"), "__fp"),
+            on="__fp")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            al.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "Bucketed: true" in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # exactly ONE Exchange — the batch side; none under the index scan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        # and the full operator over the bucketed index matches the plain
+        # in-session build bit-for-bit
+        got = sorted(map(tuple, dedup_against_substring(
+            docs.filter("doc_id % 5 = 0"), "text", "doc_id", index=loaded,
+            min_tokens=20, mode="pairs").collect()))
+        want_idx = substring_index(docs.filter("doc_id % 5 != 0"), "text",
+                                   "doc_id", min_tokens=20, max_doc_freq=50)
+        want = sorted(map(tuple, dedup_against_substring(
+            docs.filter("doc_id % 5 = 0"), "text", "doc_id", index=want_idx,
+            min_tokens=20, mode="pairs").collect()))
+        want_idx.release()
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        loaded.release()
+        from rasgoql_spark.functions.dedup import _substring_bucket_table
+
+        spark.sql(f"DROP TABLE IF EXISTS {_substring_bucket_table(path)}")
