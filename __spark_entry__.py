@@ -3354,6 +3354,37 @@ def q_stream_anomaly_batch(spark, sf):
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
+def q_stream_quota_batch(spark, sf):
+    """Deterministic batch replay of stream_quota's per-micro-batch
+    admission body (round 13: quota_admit — the EXACT function the
+    foreachBatch sink executes, streaming/ops.py): two synthesized
+    micro-batches (event_id % 2) admit at most 40 events per event_type
+    over the whole stream, batch 1 seeing batch 0's per-group admission
+    counts as the frozen _counts side table. Ranking is the shared
+    cap_order_exprs key (value desc, seeded md5 tie-break on event_id).
+    Live-stream behavior (sink layout, replay idempotence, legacy-layout
+    guard) is pinned in tests/test_cap_per_group.py; this entry
+    hash-verifies the admission decision itself."""
+    from pyspark.sql import functions as F
+
+    from rasgoql_spark.functions.curation import cap_order_exprs
+    from rasgoql_spark.streaming.ops import quota_admit
+
+    ev = _s(spark, sf).dataset("events").df.select(
+        "event_id", "event_type", "value")
+    keys, quota = ["event_type"], 40
+    order = cap_order_exprs(ev, ["value"], "event_id", 42, True)
+    cols = ["event_id", "event_type", "value"]
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    a0 = quota_admit(b0, None, keys, quota, order, cols)
+    spent = a0.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__spent"))
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    a1 = quota_admit(b1, spent, keys, quota, order, cols)
+    return a0.withColumn("BATCH", F.lit(0)).unionByName(
+        a1.withColumn("BATCH", F.lit(1)))
+
+
 def q_stream_anomaly_mad_batch(spark, sf):
     """Deterministic batch replay of stream_anomaly(method='mad') — the
     ROBUST monitor body (round 11): three synthesized micro-batches scored
@@ -6440,6 +6471,28 @@ ranked AS (
         "cap_per_group": _CAP_PER_GROUP_ORACLE,
         "anomaly_mad": _ANOMALY_MAD_ORACLE,
         "stream_anomaly_mad_batch": _stream_anomaly_mad_oracle(),
+        # round 13: stream_quota's admission body — exact cross-batch
+        # budget replay (batch 1 ranks against batch 0's spent counts)
+        "stream_quota_batch": (
+            "WITH b0 AS (SELECT event_id, event_type, value FROM "
+            "(SELECT event_id, event_type, value, ROW_NUMBER() OVER ("
+            "PARTITION BY event_type ORDER BY value DESC, "
+            "md5(concat_ws('|', '42', CAST(event_id AS VARCHAR))) ASC, "
+            "event_id ASC) AS rn FROM events WHERE event_id % 2 = 0) "
+            "WHERE rn <= 40), "
+            "spent AS (SELECT event_type, COUNT(*) AS c FROM b0 "
+            "GROUP BY event_type), "
+            "b1 AS (SELECT e.event_id, e.event_type, e.value, "
+            "ROW_NUMBER() OVER (PARTITION BY e.event_type "
+            "ORDER BY e.value DESC, "
+            "md5(concat_ws('|', '42', CAST(e.event_id AS VARCHAR))) ASC, "
+            "e.event_id ASC) AS rn, COALESCE(s.c, 0) AS prior "
+            "FROM events e LEFT JOIN spent s ON s.event_type = e.event_type "
+            "WHERE e.event_id % 2 = 1) "
+            "SELECT event_id, event_type, value, 0 AS BATCH FROM b0 "
+            "UNION ALL SELECT event_id, event_type, value, 1 AS BATCH "
+            "FROM b1 WHERE prior + rn <= 40"
+        ),
     }
 
 
@@ -6495,6 +6548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "anomaly_mad": q_anomaly_mad,
         "stream_anomaly_mad_batch": q_stream_anomaly_mad_batch,
+        # --- new round-13 streaming-monitor batch replica ---
+        "stream_quota_batch": q_stream_quota_batch,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,

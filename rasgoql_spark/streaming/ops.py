@@ -1172,6 +1172,48 @@ def stream_cms(
     )
 
 
+def quota_admit(batch_df: DataFrame, spent, keys, quota: int, order,
+                cols) -> DataFrame:
+    """The PURE per-batch admission decision of :func:`stream_quota`:
+    rank the batch per group by ``order`` (``cap_order_exprs``), left-join
+    the prior per-group spent counts (null-safe — a NULL group key is a
+    real group whose budget must deplete like any other; a plain
+    ``on=keys`` join would never match NULL and re-grant that group the
+    full quota per batch), admit while ``prior + rank <= quota``.
+    ``spent`` is a ``(keys..., __spent bigint)`` frame or ``None`` (no
+    prior admissions). Module-level and side-effect-free so the batch
+    replica gate entry and the replay tests pin the exact decision the
+    foreachBatch sink executes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ranked = batch_df.withColumn("__rn", F.row_number().over(w))
+    if spent is not None:
+        # same staging pattern as timeseries._nsjoin
+        staged = spent.select(
+            *[F.col(k).alias(f"__qk_{i}") for i, k in enumerate(keys)],
+            "__spent",
+        )
+        cond = None
+        for i, k in enumerate(keys):
+            e = F.col(k).eqNullSafe(F.col(f"__qk_{i}"))
+            cond = e if cond is None else cond & e
+        ranked = (
+            ranked.join(F.broadcast(staged), cond, "left")
+            .drop(*[f"__qk_{i}" for i in range(len(keys))])
+            .withColumn(
+                "__spent",
+                F.coalesce(F.col("__spent"), F.lit(0)).cast("bigint"),
+            )
+        )
+    else:
+        ranked = ranked.withColumn("__spent", F.lit(0).cast("bigint"))
+    return (
+        ranked.filter(F.col("__spent") + F.col("__rn") <= int(quota))
+        .select(*cols)
+    )
+
+
 def _quota_batch_sink(keys, quota, order, cols, sink_path, key_fields):
     """Build stream_quota's per-batch decision function (module-level so
     tests can pin replay equivalence by invoking it directly).
@@ -1183,7 +1225,6 @@ def _quota_batch_sink(keys, quota, order, cols, sink_path, key_fields):
     with an EXPLICIT schema so a pre-created/empty sink never trips
     schema inference).
     """
-    from pyspark.sql import Window
     from pyspark.sql.types import LongType, StructField, StructType
 
     counts_path = f"{sink_path}/_counts"
@@ -1229,36 +1270,8 @@ def _quota_batch_sink(keys, quota, order, cols, sink_path, key_fields):
                     "stream at a fresh sink_path."
                 )
             spent = None
-        w = Window.partitionBy(*keys).orderBy(*order)
-        ranked = batch_df.withColumn("__rn", F.row_number().over(w))
-        if spent is not None:
-            # null-safe equi-join: a NULL group key is a real group whose
-            # budget must deplete like any other (same staging pattern as
-            # timeseries._nsjoin); a plain `on=keys` join would never
-            # match NULL and re-grant that group the full quota per batch
-            staged = spent.select(
-                *[F.col(k).alias(f"__qk_{i}") for i, k in enumerate(keys)],
-                "__spent",
-            )
-            cond = None
-            for i, k in enumerate(keys):
-                e = F.col(k).eqNullSafe(F.col(f"__qk_{i}"))
-                cond = e if cond is None else cond & e
-            ranked = (
-                ranked.join(F.broadcast(staged), cond, "left")
-                .drop(*[f"__qk_{i}" for i in range(len(keys))])
-                .withColumn(
-                    "__spent",
-                    F.coalesce(F.col("__spent"), F.lit(0)).cast("bigint"),
-                )
-            )
-        else:
-            ranked = ranked.withColumn("__spent", F.lit(0).cast("bigint"))
-        admitted = (
-            ranked.filter(F.col("__spent") + F.col("__rn") <= int(quota))
-            .select(*cols)
-            .persist()
-        )
+        admitted = quota_admit(batch_df, spent, keys, quota, order,
+                               cols).persist()
         try:
             admitted.write.mode("overwrite").parquet(
                 f"{sink_path}/batch={int(batch_id)}"
