@@ -1018,6 +1018,24 @@ def q_language_id(spark, sf):
     )
 
 
+def q_language_id_model(spark, sf):
+    """Trainable hashed char-trigram multinomial-NB language classifier
+    (round 13, language_id(method='model') — the fastText-style recipe:
+    char n-grams + feature hashing + closed-form NB): fit on the even
+    doc_id half of documents with its lang column as labels, score the
+    odd half. Scores are length-normalized joint log-likelihoods rounded
+    to 6 dp BEFORE the argmax (staged-rounding determinism contract);
+    the DuckDB oracle replays the entire train+score pipeline exactly."""
+    from rasgoql_spark.functions.text import language_id
+
+    docs = _s(spark, sf).dataset("documents").df
+    return language_id(
+        docs.filter("doc_id % 2 = 1"), "text", name="LANG_MODEL",
+        method="model", id_col="doc_id",
+        train=docs.filter("doc_id % 2 = 0"), train_label="lang",
+    ).select("doc_id", "lang", "LANG_MODEL", "LANG_MODEL_SCORE")
+
+
 def q_fingerprint(spark, sf):
     return (
         _s(spark, sf).dataset("documents")
@@ -5467,6 +5485,49 @@ ranked AS (
             f"WHEN {es} >= {fr} AND {es} >= {de} THEN 'es' "
             f"WHEN {fr} >= {de} THEN 'fr' ELSE 'de' END AS LANG_PRED FROM documents"
         ),
+        # round 13: hashed char-trigram NB language classifier — full
+        # train+score replay (md5_int bucketing, double-first division,
+        # length-normalized 6dp-rounded scores before the argmax)
+        "language_id_model": (
+            "WITH nm AS (SELECT doc_id, lang, trim(regexp_replace("
+            "regexp_replace(lower(text), '[^a-z\\s]', ' ', 'g'), "
+            "'\\s+', ' ', 'g')) AS norm FROM documents), "
+            "tg AS (SELECT lang, CAST(('0x' || substr(md5("
+            "substr(norm, CAST(u.i AS INT), 3)), 1, 8)) AS BIGINT) % 4096 AS b "
+            "FROM nm, UNNEST(range(1, len(norm) - 3 + 2)) AS u(i) "
+            "WHERE doc_id % 2 = 0), "
+            "ctl AS (SELECT b, lang, COUNT(*) AS c FROM tg GROUP BY b, lang), "
+            "lst AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cl FROM tg "
+            "GROUP BY lang), "
+            "dlt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS dl FROM nm "
+            "WHERE doc_id % 2 = 0 GROUP BY lang), "
+            "gs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nm "
+            "WHERE doc_id % 2 = 0), "
+            "sg AS (SELECT doc_id, CAST(('0x' || substr(md5("
+            "substr(norm, CAST(u.i AS INT), 3)), 1, 8)) AS BIGINT) % 4096 AS b "
+            "FROM nm, UNNEST(range(1, len(norm) - 3 + 2)) AS u(i) "
+            "WHERE doc_id % 2 = 1), "
+            "sc AS (SELECT s.doc_id, l.lang, "
+            "SUM(ln((CAST(COALESCE(ctl.c, 0) AS DOUBLE) + 1.0) / "
+            "(l.cl + 1.0 * 4096))) AS sll, "
+            "CAST(COUNT(*) AS DOUBLE) AS nd "
+            "FROM sg s CROSS JOIN lst l "
+            "LEFT JOIN ctl ON ctl.b = s.b AND ctl.lang = l.lang "
+            "GROUP BY s.doc_id, l.lang), "
+            "rk AS (SELECT sc.doc_id, sc.lang, "
+            "ROUND((sc.sll + ln(d.dl / g.n)) / sc.nd, 6) AS score "
+            "FROM sc JOIN dlt d ON d.lang = sc.lang CROSS JOIN gs g), "
+            "best AS (SELECT doc_id, lang AS pred, score FROM rk "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, lang ASC) = 1), "
+            "prior AS (SELECT d.lang AS fp, ROUND(ln(d.dl / g.n), 6) AS fs "
+            "FROM dlt d CROSS JOIN gs g ORDER BY d.dl DESC, d.lang ASC "
+            "LIMIT 1) "
+            "SELECT m.doc_id, m.lang, COALESCE(b.pred, p.fp) AS LANG_MODEL, "
+            "COALESCE(b.score, p.fs) AS LANG_MODEL_SCORE "
+            "FROM nm m LEFT JOIN best b ON b.doc_id = m.doc_id "
+            "CROSS JOIN prior p WHERE m.doc_id % 2 = 1"
+        ),
         "fingerprint": f"SELECT doc_id, md5({fp_norm}) AS FINGERPRINT FROM documents",
         "dedup_exact": (
             f"SELECT * FROM documents QUALIFY ROW_NUMBER() OVER "
@@ -6548,8 +6609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "anomaly_mad": q_anomaly_mad,
         "stream_anomaly_mad_batch": q_stream_anomaly_mad_batch,
-        # --- new round-13 streaming-monitor batch replica ---
+        # --- new round-13 operators ---
         "stream_quota_batch": q_stream_quota_batch,
+        "language_id_model": q_language_id_model,
         # --- new round-10 governance/analysis operators ---
         "target_encode_oof": q_target_encode_oof,
         "psi_drift": q_psi_drift,

@@ -10,11 +10,11 @@ and embarrassingly parallel (no shuffle) at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import ParameterException
-from ..operators._util import resolve_col, with_columns_sql
+from ..operators._util import resolve_col, spread, with_columns_sql
 from ..registry import renderer, spark_transform
 from ._hash import tokens_expr
 
@@ -159,26 +159,211 @@ def _r_text_quality(source, text, _input_columns=()) -> str:
     return with_columns_sql(source, exprs, _input_columns)
 
 
+def _char_ngrams_expr(norm, n: int):
+    """Array of character n-grams of a normalized string (empty array when
+    shorter than n — sequence() would DESCEND on stop < start)."""
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - n + 1),
+            lambda j: F.substring(norm, j, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @spark_transform("language_id", category="text")
-def language_id(df: DataFrame, text: str, name: str = "LANG_PRED") -> DataFrame:
-    """Stopword-frequency language ID over {en, es, fr, de}; 'unknown' when
-    no stopword hits. One regexp_count pass per language, argmax with a
-    fixed tie order — deterministic and oracle-checkable."""
-    c = F.lower(F.col(resolve_col(df, text)))
-    scores = {lang: F.regexp_count(c, F.lit(pat)) for lang, pat in LANG_STOPWORDS.items()}
-    en, es, fr, de = scores["en"], scores["es"], scores["fr"], scores["de"]
-    pred = (
-        F.when(en + es + fr + de == 0, F.lit("unknown"))
-        .when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
-        .when((es >= fr) & (es >= de), F.lit("es"))
-        .when(fr >= de, F.lit("fr"))
-        .otherwise(F.lit("de"))
+def language_id(
+    df: DataFrame,
+    text: str,
+    name: str = "LANG_PRED",
+    method: str = "stopwords",
+    id_col: str | None = None,
+    train: DataFrame | None = None,
+    train_text: str | None = None,
+    train_label: str | None = None,
+    ngram: int = 3,
+    n_features: int = 4096,
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Language identification.
+
+    ``method='stopwords'`` (default): stopword-frequency scoring over
+    {en, es, fr, de}; 'unknown' when no stopword hits. One regexp_count
+    pass per language, argmax with a fixed tie order — deterministic,
+    row-local, oracle-checkable. The zero-training baseline.
+
+    ``method='model'`` (round 13): a TRAINABLE hashed char-ngram
+    multinomial Naive Bayes classifier — the fastText-style recipe
+    (public technique: char n-grams + feature hashing, Joulin et al.
+    2016; add-alpha multinomial NB as in nb_classify) for the
+    multilingual-corpus regime where a fixed stopword list cannot cover
+    the label set. Fit on ``train`` (``train_text``/``train_label``
+    columns; any label set, not just the four built-ins), or — when
+    ``train`` is None — BOOTSTRAPPED from this corpus's confident
+    stopword predictions (rows not 'unknown'). Each document's lowercase
+    ASCII-letter-normalized text yields character ``ngram``-grams hashed
+    into ``n_features`` buckets (md5_int % n_features, the feature_hash
+    trick — vocabulary bounded by construction, so the NB denominator
+    needs no vocab-count action); per-label bucket counts give
+    P(bucket|label) with add-``alpha`` smoothing. Scoring appends
+    ``name`` (argmax label; ties -> lexicographically smallest) and
+    ``name + '_SCORE'`` — the LENGTH-NORMALIZED joint log-likelihood
+    ((sum ln P(b|l) + ln prior) / n_doc_ngrams), rounded to ``round_to``
+    BEFORE the argmax so both engines rank identically; normalizing by
+    the doc's ngram count is argmax-preserving (same positive divisor
+    for every label of a doc) and keeps the rounded magnitude ~1e1, so
+    partial-aggregation sum-order noise sits ~9 digits below the
+    rounding grid (the staged-rounding determinism contract). Docs with
+    zero ngrams fall back to the prior-only argmax with the rounded
+    ln-prior as score.
+
+    Scale: training is two vocabulary-bounded count aggregations
+    (n_features x labels, labels x 1); scoring explodes slim
+    (id, bucket) pairs, fans out by a broadcast label frame (bounded),
+    and rolls up per (id, label) — the nb_classify plan shape; zero
+    Python, zero collect. Requires ``id_col`` (scores join back by id).
+    """
+    if method not in ("stopwords", "model"):
+        raise ParameterException("method must be 'stopwords' or 'model'")
+    if method == "stopwords":
+        c = F.lower(F.col(resolve_col(df, text)))
+        scores = {lang: F.regexp_count(c, F.lit(pat)) for lang, pat in LANG_STOPWORDS.items()}
+        en, es, fr, de = scores["en"], scores["es"], scores["fr"], scores["de"]
+        pred = (
+            F.when(en + es + fr + de == 0, F.lit("unknown"))
+            .when((en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+            .when((es >= fr) & (es >= de), F.lit("es"))
+            .when(fr >= de, F.lit("fr"))
+            .otherwise(F.lit("de"))
+        )
+        return df.withColumn(name, pred)
+    # --- method='model' ---
+    from ._hash import md5_int
+
+    if id_col is None:
+        raise ParameterException("method='model' requires id_col")
+    if ngram < 1:
+        raise ParameterException("ngram must be >= 1")
+    if n_features < 2 or n_features > 1_048_576:
+        raise ParameterException("n_features must be in [2, 1048576]")
+    if alpha <= 0:
+        raise ParameterException("alpha must be > 0")
+    t, i = resolve_col(df, text), resolve_col(df, id_col)
+    if train is None:
+        boot = language_id(df, text, name="__boot_lang")
+        train = boot.filter(F.col("__boot_lang") != "unknown")
+        tt, tl = t, "__boot_lang"
+    else:
+        train = train.df if hasattr(train, "df") else train
+        tt = resolve_col(train, train_text or text)
+        if train_label is None:
+            raise ParameterException(
+                "pass train_label (the language column of the train frame)"
+            )
+        tl = resolve_col(train, train_label)
+
+    def norm_of(col):
+        return F.trim(F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z\s]", " "), r"\s+", " "
+        ))
+
+    def buckets(frame, text_col, *keep):
+        return frame.select(
+            *keep, F.explode(_char_ngrams_expr(norm_of(F.col(text_col)), ngram))
+            .alias("__g")
+        ).select(*keep, (md5_int(F.col("__g")) % n_features).alias("__b"))
+
+    tbase = spread(train).select(
+        F.col(tl).cast("string").alias("__lab"), F.col(tt).alias("__tx")
     )
-    return df.withColumn(name, pred)
+    tl_counts = (
+        buckets(tbase, "__tx", "__lab")
+        .groupBy("__b", "__lab")
+        .agg(F.count(F.lit(1)).alias("__ctl"))
+    )
+    lstats = tbase.select(
+        "__lab", F.size(_char_ngrams_expr(norm_of(F.col("__tx")), ngram)).alias("__ng")
+    ).groupBy("__lab").agg(
+        F.sum("__ng").cast("double").alias("__cl"),
+        F.count(F.lit(1)).cast("double").alias("__dl"),
+    )
+    gstats = tbase.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    labels = lstats.select("__lab")
+    pairs = buckets(
+        spread(df).select(F.col(i).alias("__id"), F.col(t).alias("__tx")),
+        "__tx", "__id",
+    )
+    scored = (
+        pairs.crossJoin(F.broadcast(labels))
+        .join(tl_counts, on=["__b", "__lab"], how="left")
+        .join(F.broadcast(lstats), on="__lab")
+        .select(
+            "__id", "__lab",
+            F.log(
+                (F.coalesce(F.col("__ctl"), F.lit(0)) + F.lit(alpha))
+                / (F.col("__cl") + F.lit(alpha) * F.lit(float(n_features)))
+            ).alias("__ll"),
+        )
+        .groupBy("__id", "__lab")
+        .agg(F.sum("__ll").alias("__sll"),
+             F.count(F.lit(1)).cast("double").alias("__nd"))
+    )
+    ranked = (
+        scored.join(F.broadcast(lstats.select("__lab", "__dl")), on="__lab")
+        .crossJoin(F.broadcast(gstats))
+        .select(
+            "__id", "__lab",
+            F.round(
+                (F.col("__sll") + F.log(F.col("__dl") / F.col("__n")))
+                / F.col("__nd"),
+                round_to,
+            ).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("__lab").asc()
+    )
+    best = (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("__id", F.col("__lab").alias("__pred"),
+                F.col("__score").alias("__ps"))
+    )
+    # prior-only fallback for zero-ngram docs (the nb_classify contract):
+    # one-row struct-min argmax over the label-bounded stats frame —
+    # (-dl, lab) min == highest prior, lexicographically-smallest tie
+    prior = (
+        lstats.crossJoin(gstats)
+        .agg(F.min(F.struct(
+            (-F.col("__dl")).alias("__negdl"),
+            F.col("__lab").alias("__l"),
+            F.round(F.log(F.col("__dl") / F.col("__n")), round_to)
+            .alias("__s"),
+        )).alias("__m"))
+        .select(F.col("__m.__l").alias("__fp"), F.col("__m.__s").alias("__fs"))
+    )
+    out = (
+        df.join(best, F.col(i) == F.col("__id"), "left").drop("__id")
+        .crossJoin(F.broadcast(prior))
+        .withColumn(name, F.coalesce("__pred", "__fp"))
+        .withColumn(f"{name}_SCORE", F.coalesce("__ps", "__fs"))
+        .drop("__pred", "__ps", "__fp", "__fs")
+    )
+    return out
 
 
 @renderer("language_id")
-def _r_language_id(source, text, name="LANG_PRED") -> str:
+def _r_language_id(source, text, name="LANG_PRED", method="stopwords",
+                   **_model_kwargs) -> str:
+    if method != "stopwords":
+        # principled exclusion (COVERAGE.md): the model path trains on an
+        # auxiliary DataFrame, which the single-source CTE chain cannot
+        # name; the executed path is oracle-verified end-to-end instead
+        raise ParameterException(
+            "language_id(method='model') is not SQL-renderable (auxiliary "
+            "training frame); only the stopwords method renders"
+        )
     sc = {
         lang: f"regexp_count(lower({text}), '{pat}')".replace("\\b", "\\\\b")
         for lang, pat in LANG_STOPWORDS.items()

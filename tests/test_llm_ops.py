@@ -91,6 +91,87 @@ def test_language_id_majority_en(session):
     assert en > out.count() * 0.5              # corpus is english word soup
 
 
+def test_language_id_model_beats_heuristic_on_multilingual_fixture(spark):
+    """Round 13: the trainable hashed char-trigram NB path must match or
+    beat the stopword heuristic on a held-out multilingual fixture —
+    including sentences with NO stopword hits, where the heuristic can
+    only answer 'unknown' but char trigrams still carry the signal."""
+    from rasgoql_spark.functions.text import language_id
+
+    train_rows = [
+        ("the cat sat on the mat and it was happy for hours", "en"),
+        ("a quick brown fox jumps over that lazy sleeping dog", "en"),
+        ("it is raining today and the streets of the town are wet", "en"),
+        ("el perro corre en la casa y los gatos duermen alli", "es"),
+        ("la escuela de los ninos esta cerca del mercado grande", "es"),
+        ("que bonito dia hace hoy en las playas del sur", "es"),
+        ("le chien est dans la maison et les chats dorment", "fr"),
+        ("les enfants jouent dans le jardin pour une heure", "fr"),
+        ("je voudrais une tasse du cafe dans ce petit bistro", "fr"),
+        ("der hund ist in dem haus und die katzen schlafen", "de"),
+        ("die kinder spielen im garten mit den kleinen vogeln", "de"),
+        ("ich moechte heute zu dem grossen markt in der stadt", "de"),
+    ]
+    test_rows = [
+        (1, "the weather was lovely and it made everyone happy", "en"),
+        (2, "quick foxes jump over lazy dogs near green hills", "en"),
+        (3, "los perros grandes corren por las calles del pueblo", "es"),
+        (4, "ninos y gatos duermen cuando hace calor alli", "es"),
+        (5, "les chiens dorment dans une petite maison du village", "fr"),
+        (6, "je joue avec ce chat pour une heure dans ce jardin", "fr"),
+        (7, "die grossen hunde schlafen im kleinen haus", "de"),
+        (8, "ich spiele mit dem vogel in dem garten der stadt", "de"),
+    ]
+    train = spark.createDataFrame(train_rows, "text STRING, lang STRING")
+    test = spark.createDataFrame(test_rows, "id BIGINT, text STRING, lang STRING")
+
+    def acc(df, col):
+        rows = df.collect()
+        return sum(1 for r in rows if r[col] == r["lang"]) / len(rows)
+
+    a_model = acc(language_id(test, "text", name="P", method="model",
+                              id_col="id", train=train, train_label="lang"),
+                  "P")
+    a_heur = acc(language_id(test, "text", name="P"), "P")
+    assert a_model >= a_heur
+    assert a_model >= 0.85
+
+
+def test_language_id_model_bootstrap_and_empty_doc_fallback(spark):
+    """train=None bootstraps labels from the heuristic's confident rows;
+    zero-ngram docs fall back to the prior-only argmax (never NULL)."""
+    from rasgoql_spark.functions.text import language_id
+
+    rows = [
+        (1, "the cat and the dog sat in the house for the day", "en"),
+        (2, "the children played in the park and it was fun", "en"),
+        (3, "el perro y el gato duermen en la casa del pueblo", "es"),
+        (4, "los ninos juegan en el parque y se divierten", "es"),
+        (5, "", None),
+        (6, "12345 67890 !!!", None),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING, lang STRING")
+    out = language_id(df, "text", name="LP", method="model", id_col="id")
+    got = {r["id"]: (r["LP"], r["LP_SCORE"]) for r in out.collect()}
+    assert got[1][0] == "en" and got[3][0] == "es"
+    # empty / letterless docs get the prior-only fallback, deterministic
+    assert got[5][0] is not None and got[6][0] is not None
+    assert got[5] == got[6]
+
+
+def test_language_id_model_validation(spark):
+    from rasgoql_spark.functions.text import language_id
+
+    df = spark.createDataFrame([(1, "abc")], "id BIGINT, text STRING")
+    with pytest.raises(rql.ParameterException):
+        language_id(df, "text", method="model")          # id_col required
+    with pytest.raises(rql.ParameterException):
+        language_id(df, "text", method="nope")
+    with pytest.raises(rql.ParameterException):
+        language_id(df, "text", method="model", id_col="id",
+                    train=df, train_text="text")         # train_label required
+
+
 def test_binary_meta_and_image_stub_schema(session):
     chain = (session.dataset("documents")
              .attach_binary(source_col="text", name="CONTENT"))
