@@ -6839,68 +6839,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat": q_concat,
         "if_then": q_if_then,
     }
-    # r12 front-50 (round-11 verdict task #1, carried from r10 #2): the 32
-    # entries whose last DRIVER verification is round 6 (five rounds stale),
-    # then the first 18 of the round-7-stale block (four rounds stale, in
-    # their historical listing order — this slice deliberately includes the
-    # dedup_against_embedding / similarity_search_ivf / update_ivf_index
-    # family named in the round-11 perf adjudication, so the driver re-times
-    # them alongside the calibration anchor). New round-12 operators go
-    # BEHIND the rotation per the verdict. Union max-staleness after this
-    # round: r7.
+    # r13 front-50 (round-12 verdict task #1): NEW/changed operators first
+    # (the two round-13 additions, then the four substring entries whose
+    # semantics gained the max_positions cap this round plus hilbert_nd —
+    # the five entries the driver has never verified), then the FULL
+    # 29-entry r7-stale tail (text_chunk … extract_urls, the block the
+    # r12 rotation could not fit), then the oldest round-8 entries to
+    # fill 50. Union max-staleness after this round: r8, with zero
+    # never-driver-verified entries.
     front = [
-        # --- r6-stale block (last driver-verified round 6), alphabetical ---
-        "heatmap",
-        "histogram",
-        "importance_sample",
-        "impute_mean",
-        "impute_mode",
-        "intersect",
-        "join_full",
-        "kmeans_cluster",
-        "label_encode",
-        "language_id",
-        "levenshtein",
-        "market_basket",
-        "min_max_scaler",
-        "min_max_scaler_grouped",
-        "one_hot_encode",
-        "order",
-        "pii_scrub",
-        "pivot",
-        "quantiles",
-        "rank",
-        "repetition_stats",
-        "rsi",
-        "sankey",
-        "semantic_dedup",
-        "sliding_slope",
-        "standard_scaler",
-        "target_encode",
-        "text_quality",
-        "train_test_split",
-        "union",
-        "unpivot",
-        "winsorize",
-        # --- r7-stale fill (first 18 of the r7 block in listing order) ---
-        "ngram_containment",
-        "dedup_ngram_jaccard",
-        "dedup_simhash_pairs",
-        "dedup_simhash_sig",
-        "similarity_search_ivf",
-        "embedding_join_ivf",
-        "dedup_against_embedding",
-        "update_ivf_index",
-        "shuffle_deterministic",
-        "ngram_counts",
-        "remove_boilerplate",
-        "quality_filter",
-        "audio_meta",
-        "video_meta",
-        "near_dup_clusters",
-        "dedup_by_cluster",
-        "stratified_sample",
-        "corpus_stats",
+        # --- new round-13 operators ---
+        "stream_quota_batch",
+        "language_id_model",
+        # --- never driver-verified (round 12) + r13 semantics change ---
+        "dedup_substring",
+        "dedup_substring_clean",
+        "dedup_against_substring",
+        "stream_dedup_substring_batch",
+        "hilbert_nd",
+        # --- r7-stale block, remaining 29 in listing order ---
+        "text_chunk",
+        "pack_sequences",
+        "image_meta_stub",
+        "image_meta",
+        "token_count_ws",
+        "token_count_bpe",
+        "token_count_bpe_real",
+        "bpe_encode",
+        "unigram_logprob",
+        "tfidf_keywords",
+        "bm25_score",
+        "sentence_split",
+        "heavy_hitters",
+        "dedup_binary",
+        "sample_token_budget",
+        "url_normalize",
+        "dedup_url",
+        "dedup_exact",
+        "dedup_embedding",
+        "similarity_search",
+        "knn_classify",
+        "binary_meta",
+        "sessionize",
+        "tumbling_window",
+        "sliding_window",
+        "session_window",
+        "stream_dedup_batch",
+        "stream_join_batch",
+        "extract_urls",
+        # --- r8-stale fill (first 14 of the r8 block in listing order) ---
+        "dedup_embedding_filter",
+        "dedup_minhash_auto",
+        "similarity_search_ivfpq",
+        "classifier_eval",
+        "dedup_minhash",
+        "dedup_minhash_filter",
+        "quantize_embeddings",
+        "stream_sessionize_batch",
+        "dedup_embedding_lsh",
+        "similarity_search_lsh",
+        "frame_sample_stub",
+        "winnow_fingerprint",
+        "skew_report",
+        "text_normalize",
     ]
 
     assert len(front) == 50 and all(k in base for k in front)
