@@ -2639,6 +2639,15 @@ def load_substring_index(spark, path: str, persist: bool = True) -> SubstringInd
     nb = int(rd0.get("bucket_by_fp", -1))
     if nb > 0:
         tbl = _substring_bucket_table(path)
+        if spark.catalog.tableExists(tbl):
+            # the artifact may have been re-saved with a different bucket
+            # count since this session registered the table — stale bucket
+            # metadata would silently mis-prune, so verify and re-register
+            desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+            cur = next((r["data_type"] for r in desc
+                        if r["col_name"] == "Num Buckets"), None)
+            if cur is None or int(cur) != nb:
+                spark.sql(f"DROP TABLE {tbl}")
         if not spark.catalog.tableExists(tbl):
             spark.sql(
                 f"CREATE TABLE {tbl} (__ck STRING, __pos BIGINT, "

@@ -405,3 +405,34 @@ def test_max_positions_baked_into_index_roundtrip_and_conflict(ref_bat, tmp_path
             loaded.release()
     finally:
         idx.release()
+
+
+def test_bucketed_index_rebucket_refreshes_stale_catalog(ref_bat, tmp_path):
+    """Re-saving a bucketed artifact with a DIFFERENT bucket count must
+    refresh the session's catalog entry on load — stale bucket metadata
+    over re-bucketed files would silently mis-prune."""
+    from rasgoql_spark.functions.dedup import (
+        dedup_against_substring, load_substring_index, save_substring_index,
+        substring_index)
+
+    ref, bat = ref_bat
+    spark = ref.sparkSession
+    path = str(tmp_path / "subidx")
+    idx = substring_index(ref, "text", "doc_id", min_tokens=5)
+    try:
+        save_substring_index(idx, path, bucket_by_fp=2)
+        l1 = load_substring_index(spark, path)
+        n1 = dedup_against_substring(bat, "text", "doc_id", index=l1,
+                                     min_tokens=5, mode="pairs").count()
+        l1.release()
+        save_substring_index(idx, path, bucket_by_fp=4)
+        l2 = load_substring_index(spark, path)
+        n2 = dedup_against_substring(bat, "text", "doc_id", index=l2,
+                                     min_tokens=5, mode="pairs").count()
+        l2.release()
+        assert n1 == n2 == 2
+    finally:
+        idx.release()
+        from rasgoql_spark.functions.dedup import _substring_bucket_table
+
+        spark.sql(f"DROP TABLE IF EXISTS {_substring_bucket_table(path)}")
