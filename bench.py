@@ -463,6 +463,11 @@ BENCH_QUERIES = {
     # the amortized incremental form (prebuilt SubstringIndex, build
     # paid once per process — the dedup_against family bench shape)
     "llm_dedup_against_substring": _llm_dedup_against_substring,
+    # round-13 addition: trainable hashed char-trigram NB language ID.
+    # The fit is INSIDE the timed body by design — the closed-form
+    # counting fit IS the operator (two vocabulary-bounded aggregations
+    # + broadcast-label scoring), the nb_classify cost shape
+    "llm_language_id_model": entry.q_language_id_model,
 }
 
 

@@ -2648,6 +2648,10 @@ def load_substring_index(spark, path: str, persist: bool = True) -> SubstringInd
                         if r["col_name"] == "Num Buckets"), None)
             if cur is None or int(cur) != nb:
                 spark.sql(f"DROP TABLE {tbl}")
+            else:
+                # same bucket count but possibly re-saved files at the
+                # same path — drop the stale cached file listing
+                spark.catalog.refreshTable(tbl)
         if not spark.catalog.tableExists(tbl):
             spark.sql(
                 f"CREATE TABLE {tbl} (__ck STRING, __pos BIGINT, "

@@ -274,6 +274,8 @@ def language_id(
             .alias("__g")
         ).select(*keep, (md5_int(F.col("__g")) % n_features).alias("__b"))
 
+    from ._cache import release_with, scoped_persist
+
     tbase = spread(train).select(
         F.col(tl).cast("string").alias("__lab"), F.col(tt).alias("__tx")
     )
@@ -282,14 +284,31 @@ def language_id(
         .groupBy("__b", "__lab")
         .agg(F.count(F.lit(1)).alias("__ctl"))
     )
-    lstats = tbase.select(
+    # lstats feeds FOUR consumers (candidate labels, the scoring join,
+    # the prior join, the fallback) and gstats two — persist the bounded
+    # label-stats frames so the training scan runs once per aggregate,
+    # not once per consumer
+    lstats = scoped_persist(tbase.select(
         "__lab", F.size(_char_ngrams_expr(norm_of(F.col("__tx")), ngram)).alias("__ng")
     ).groupBy("__lab").agg(
         F.sum("__ng").cast("double").alias("__cl"),
         F.count(F.lit(1)).cast("double").alias("__dl"),
-    )
-    gstats = tbase.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    labels = lstats.select("__lab")
+    ))
+    gstats = scoped_persist(
+        tbase.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    # candidate labels = labels with ngram MASS in training: a label whose
+    # docs all normalize to zero ngrams has no likelihood model (its
+    # smoothed score ln(alpha/(0 + alpha*V)) would beat every real label
+    # on unmatched buckets) — it stays in the priors/doc counts but can
+    # only be predicted via the empty-doc prior fallback, exactly the
+    # oracle's FROM-tg label set
+    labels = lstats.filter(F.col("__cl") > 0).select("__lab")
+    if labels.count() == 0:  # bounded action (distinct labels)
+        raise ParameterException(
+            "training set is empty after normalization — no label has any "
+            "char-ngram mass (with train=None this means the stopword "
+            "bootstrap found no confident rows; pass a labeled train frame)"
+        )
     pairs = buckets(
         spread(df).select(F.col(i).alias("__id"), F.col(t).alias("__tx")),
         "__tx", "__id",
@@ -350,7 +369,7 @@ def language_id(
         .withColumn(f"{name}_SCORE", F.coalesce("__ps", "__fs"))
         .drop("__pred", "__ps", "__fp", "__fs")
     )
-    return out
+    return release_with(out, lstats, gstats)
 
 
 @renderer("language_id")

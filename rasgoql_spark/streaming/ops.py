@@ -1255,11 +1255,18 @@ def _quota_batch_sink(keys, quota, order, cols, sink_path, key_fields):
             # batch=* data dirs but no side table. Treating that as a fresh
             # sink would resolve spent to 0 and silently re-grant every
             # group its full quota after restart — fail fast instead and
-            # tell the operator how to backfill.
+            # tell the operator how to backfill. A dir for THIS batch id is
+            # tolerated: it is the crash-replay case (data written, counts
+            # write lost), where the replayed decision legitimately
+            # overwrites it — failing there would wedge a healthy stream.
             legacy = fs.globStatus(
                 jvm.org.apache.hadoop.fs.Path(f"{sink_path}/batch=*")
-            )
-            if legacy is not None and len(legacy) > 0:
+            ) or []
+            other = [
+                st for st in legacy
+                if st.getPath().getName() != f"batch={int(batch_id)}"
+            ]
+            if len(other) > 0:
                 raise ParameterException(
                     f"stream_quota sink {sink_path!r} has existing batch=* "
                     "partitions but no _counts side table (pre-upgrade "

@@ -267,17 +267,23 @@ def test_stream_quota_rejects_legacy_sink_without_counts(spark, tmp_path_factory
 
     tmp = tmp_path_factory.mktemp("squotalegacy")
     src = str(tmp / "in")
-    spark.createDataFrame([(i, "h", float(i)) for i in range(6)],
+    # two source files -> two micro-batches, the representative legacy
+    # sink shape (a single-batch sink at batch 0 is indistinguishable
+    # from the tolerated crash-replay-of-own-dir case)
+    spark.createDataFrame([(i, "h", float(i)) for i in range(4)],
                           "id BIGINT, host STRING, score DOUBLE")\
-        .write.parquet(src)
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(i, "h", float(i)) for i in range(10, 14)],
+                          "id BIGINT, host STRING, score DOUBLE")\
+        .coalesce(1).write.mode("append").parquet(src)
     sdf = (spark.readStream.schema("id BIGINT, host STRING, score DOUBLE")
-           .parquet(src))
+           .option("maxFilesPerTrigger", 1).parquet(src))
     sink = str(tmp / "out")
-    q = stream_quota(sdf, ["host"], quota=3, key="id",
+    q = stream_quota(sdf, ["host"], quota=6, key="id",
                      checkpoint=str(tmp / "ckpt"), sink_path=sink,
                      order_by=["score"])
     q.awaitTermination(120)
-    assert spark.read.parquet(sink).count() == 3
+    assert spark.read.parquet(sink).count() == 6
     # simulate the pre-_counts layout: data partitions present, side
     # table gone; a fresh stream over new data must refuse to start over
     shutil.rmtree(f"{sink}/_counts")
@@ -295,3 +301,35 @@ def test_stream_quota_rejects_legacy_sink_without_counts(spark, tmp_path_factory
     with pytest.raises(pyspark.errors.StreamingQueryException,
                        match="pre-upgrade layout"):
         q2.awaitTermination(120)
+
+
+def test_stream_quota_crash_replay_of_own_batch_dir_is_tolerated(spark, tmp_path_factory):
+    """The legacy-sink guard must NOT trip on the crash-replay case: this
+    batch's own data dir exists (written before a lost _counts write) —
+    the replayed decision overwrites it. Only OTHER batch dirs without a
+    counts table are the pre-upgrade layout."""
+    import os
+    import shutil
+
+    from rasgoql_spark.functions.curation import cap_order_exprs
+    from rasgoql_spark.streaming.ops import _quota_batch_sink
+
+    tmp = tmp_path_factory.mktemp("squotareplay")
+    sink = str(tmp / "out")
+    df = spark.createDataFrame([(i, "h", float(i)) for i in range(5)],
+                               "id BIGINT, host STRING, score DOUBLE")
+    order = cap_order_exprs(df, ["score"], "id", 42, True)
+    key_fields = [f for f in df.schema.fields if f.name == "host"]
+    sink_fn = _quota_batch_sink(["host"], 3, order, df.columns, sink,
+                                key_fields)
+    # simulate: batch 0 data landed, counts write lost, then replay
+    os.makedirs(f"{sink}/batch=0", exist_ok=True)
+    df.limit(3).write.mode("overwrite").parquet(f"{sink}/batch=0")
+    shutil.rmtree(f"{sink}/_counts", ignore_errors=True)
+    sink_fn(df, 0)                       # replay of batch 0: must succeed
+    assert spark.read.parquet(sink).count() == 3
+    assert os.path.isdir(f"{sink}/_counts")
+    # but a LATER batch over a counts-less sink with EARLIER dirs fails
+    shutil.rmtree(f"{sink}/_counts")
+    with pytest.raises(ParameterException, match="pre-upgrade layout"):
+        sink_fn(df, 1)

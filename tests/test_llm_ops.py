@@ -944,3 +944,34 @@ def test_update_minhash_index_matches_rebuild(spark):
     finally:
         idx_upd.release()
         idx_full.release()
+
+
+def test_language_id_model_zero_ngram_label_not_predictable(spark):
+    """A training label whose docs all normalize to zero char-ngrams has
+    no likelihood model — its smoothed score would otherwise beat every
+    real label on unmatched buckets. It must never win the argmax for a
+    non-empty doc (it remains reachable only via the empty-doc prior
+    fallback), matching the oracle's FROM-tg candidate label set."""
+    from rasgoql_spark.functions.text import language_id
+
+    train = spark.createDataFrame([
+        ("the cat sat on the mat and the dog slept", "en"),
+        ("el perro corre en la casa y los gatos duermen", "es"),
+        ("1234 5678 !!!", "xx"),          # normalizes to '' — no ngrams
+        ("9999 ----", "xx"),
+    ], "text STRING, lang STRING")
+    test = spark.createDataFrame([
+        (1, "completely unrelated zzz qqq vvv words here"),
+    ], "id BIGINT, text STRING")
+    out = language_id(test, "text", name="LP", method="model",
+                      id_col="id", train=train, train_label="lang").collect()
+    assert out[0]["LP"] in ("en", "es")
+
+
+def test_language_id_model_empty_training_set_raises(spark):
+    from rasgoql_spark.functions.text import language_id
+
+    df = spark.createDataFrame([(1, "1234 !!!"), (2, "5678 ???")],
+                               "id BIGINT, text STRING")
+    with pytest.raises(rql.ParameterException, match="training set is empty"):
+        language_id(df, "text", method="model", id_col="id")
