@@ -5507,11 +5507,13 @@ ranked AS (
             "substr(norm, CAST(u.i AS INT), 3)), 1, 8)) AS BIGINT) % 4096 AS b "
             "FROM nm, UNNEST(range(1, len(norm) - 3 + 2)) AS u(i) "
             "WHERE doc_id % 2 = 1), "
+            "sgc AS (SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS cnt "
+            "FROM sg GROUP BY doc_id, b), "
             "sc AS (SELECT s.doc_id, l.lang, "
-            "SUM(ln((CAST(COALESCE(ctl.c, 0) AS DOUBLE) + 1.0) / "
+            "SUM(s.cnt * ln((CAST(COALESCE(ctl.c, 0) AS DOUBLE) + 1.0) / "
             "(l.cl + 1.0 * 4096))) AS sll, "
-            "CAST(COUNT(*) AS DOUBLE) AS nd "
-            "FROM sg s CROSS JOIN lst l "
+            "SUM(s.cnt) AS nd "
+            "FROM sgc s CROSS JOIN lst l "
             "LEFT JOIN ctl ON ctl.b = s.b AND ctl.lang = l.lang "
             "GROUP BY s.doc_id, l.lang), "
             "rk AS (SELECT sc.doc_id, sc.lang, "

@@ -309,24 +309,30 @@ def language_id(
             "char-ngram mass (with train=None this means the stopword "
             "bootstrap found no confident rows; pass a labeled train frame)"
         )
+    # per-doc bucket HISTOGRAM before the label fan-out: docs repeat
+    # trigrams, so aggregating (id, bucket) -> count first shrinks the
+    # label-expanded join by the repetition factor; each repeated bucket
+    # contributes count * ln(P) — one multiply per distinct bucket, the
+    # identical double in both engines (the oracle groups the same way)
     pairs = buckets(
         spread(df).select(F.col(i).alias("__id"), F.col(t).alias("__tx")),
         "__tx", "__id",
-    )
+    ).groupBy("__id", "__b").agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt"))
     scored = (
         pairs.crossJoin(F.broadcast(labels))
         .join(tl_counts, on=["__b", "__lab"], how="left")
         .join(F.broadcast(lstats), on="__lab")
         .select(
-            "__id", "__lab",
-            F.log(
+            "__id", "__lab", "__cnt",
+            (F.col("__cnt") * F.log(
                 (F.coalesce(F.col("__ctl"), F.lit(0)) + F.lit(alpha))
                 / (F.col("__cl") + F.lit(alpha) * F.lit(float(n_features)))
-            ).alias("__ll"),
+            )).alias("__ll"),
         )
         .groupBy("__id", "__lab")
         .agg(F.sum("__ll").alias("__sll"),
-             F.count(F.lit(1)).cast("double").alias("__nd"))
+             F.sum("__cnt").alias("__nd"))
     )
     ranked = (
         scored.join(F.broadcast(lstats.select("__lab", "__dl")), on="__lab")
