@@ -2062,6 +2062,21 @@ def q_dedup_by_cluster(spark, sf):
         text="text", id_col="doc_id", threshold=0.2).df
 
 
+def q_dedup_soft(spark, sf):
+    """SoftDeDup-style duplicate-aware reweighting (round 13, He et al.
+    ACL 2024): every document survives with CLUSTER_ID (transitive
+    near-dup component), DUP_COUNT (component size) and SAMPLE_WEIGHT =
+    DUP_COUNT^-1 — the soft alternative to dedup_by_cluster that removes
+    duplication bias without deleting coverage."""
+    return (
+        _s(spark, sf).dataset("documents")
+        .dedup_soft(text="text", id_col="doc_id", threshold=0.2)
+        .drop_columns(include_cols=["doc_id", "CLUSTER_ID", "DUP_COUNT",
+                                    "SAMPLE_WEIGHT"])
+        .df
+    )
+
+
 def q_dedup_minhash_filter(spark, sf):
     """filter mode: corpus minus near-duplicates of smaller-id docs."""
     return _s(spark, sf).dataset("documents").dedup_minhash(
@@ -6081,6 +6096,24 @@ ranked AS (
             "SELECT * FROM documents WHERE doc_id NOT IN "
             f"(SELECT ID_B FROM ({minhash_pairs_sql}))"
         ),
+        # round 13: soft dedup — the cluster closure + size-based weights
+        "dedup_soft": (
+            "WITH RECURSIVE p AS (SELECT * FROM (" + minhash_pairs_sql + ")), "
+            "edges AS (SELECT ID_A AS a, ID_B AS b FROM p "
+            "UNION SELECT ID_B, ID_A FROM p), "
+            "reach(src, dst) AS (SELECT a, b FROM edges UNION "
+            "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a "
+            "WHERE e.b <> r.src), "
+            "m AS (SELECT src, MIN(dst) AS md FROM reach GROUP BY src), "
+            "c AS (SELECT d.doc_id, CAST(LEAST(d.doc_id, "
+            "COALESCE(m.md, d.doc_id)) AS BIGINT) AS CLUSTER_ID "
+            "FROM documents d LEFT JOIN m ON m.src = d.doc_id), "
+            "z AS (SELECT CLUSTER_ID, CAST(COUNT(1) AS BIGINT) AS "
+            "DUP_COUNT FROM c GROUP BY CLUSTER_ID) "
+            "SELECT c.doc_id, c.CLUSTER_ID, z.DUP_COUNT, "
+            "ROUND(POW(CAST(z.DUP_COUNT AS DOUBLE), -1.0), 6) AS "
+            "SAMPLE_WEIGHT FROM c JOIN z USING (CLUSTER_ID)"
+        ),
         "dedup_simhash_sig": (
             f"WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents) "
             f"SELECT doc_id, {_simhash_sql('t')} AS SIMHASH FROM toks"
@@ -6758,6 +6791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": q_video_meta,
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_by_cluster": q_dedup_by_cluster,
+        "dedup_soft": q_dedup_soft,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "text_chunk": q_text_chunk,
@@ -6853,6 +6887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-13 operators ---
         "stream_quota_batch",
         "language_id_model",
+        "dedup_soft",
         # --- never driver-verified (round 12) + r13 semantics change ---
         "dedup_substring",
         "dedup_substring_clean",
@@ -6903,7 +6938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_stub",
         "winnow_fingerprint",
         "skew_report",
-        "text_normalize",
     ]
 
     assert len(front) == 50 and all(k in base for k in front)

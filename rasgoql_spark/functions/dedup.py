@@ -625,6 +625,48 @@ def dedup_by_cluster(
     return df.join(reps, on=i, how="left_semi")
 
 
+@spark_transform("dedup_soft", category="dedup", streaming_ok=False)
+def dedup_soft(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    power: float = 1.0,
+    round_to: int = 6,
+    **kwargs,
+) -> DataFrame:
+    """Duplicate-aware REWEIGHTING — the soft alternative to hard dedup
+    (public technique: SoftDedup, He et al. ACL 2024 — down-weight
+    duplicated content instead of deleting it, preserving coverage while
+    removing the duplication bias from the training distribution). Every
+    row survives, annotated with ``CLUSTER_ID`` (transitive near-dup
+    component, :func:`near_dup_clusters`), ``DUP_COUNT`` (component
+    size), and ``SAMPLE_WEIGHT`` = ``round(DUP_COUNT^-power, round_to)``
+    — 1.0 for unique docs, 1/n per member of an n-way duplicate cluster
+    (``power`` sharpens/softens the penalty; the weights feed
+    ``importance_sample(weight_col=...)`` or a loss-weighting column).
+
+    Scale shape = near_dup_clusters (banded LSH candidates, min-label
+    propagation over rep-level edges) plus one count aggregation on the
+    slim (id, cluster) frame and two key joins — no new corpus-sized
+    shuffle beyond the clustering it composes.
+    """
+    if power <= 0:
+        raise ParameterException("power must be > 0")
+    i = resolve_col(df, id_col)
+    clusters = near_dup_clusters(df, text, id_col, method, threshold, **kwargs)
+    sizes = clusters.groupBy("CLUSTER_ID").agg(
+        F.count(F.lit(1)).cast("bigint").alias("DUP_COUNT")
+    )
+    lab = clusters.join(sizes, on="CLUSTER_ID").withColumn(
+        "SAMPLE_WEIGHT",
+        F.round(F.pow(F.col("DUP_COUNT").cast("double"), -float(power)),
+                round_to),
+    )
+    return df.join(lab, on=i, how="inner")
+
+
 def _simhash_over_hashes(hashes: Column, bits: int = 32) -> Column:
     """SimHash from a pre-computed distinct token-hash array: per bit, sum ±1
     votes; bit set if the sum is positive. JVM array expressions only —
@@ -2016,6 +2058,31 @@ def _r_dedup_by_cluster(
     return (
         f"SELECT s.* FROM {source} s LEFT SEMI JOIN ({clusters}) c "
         f"ON s.{id_col} = c.{id_col} AND c.{id_col} = c.CLUSTER_ID"
+    )
+
+
+@renderer("dedup_soft")
+def _r_dedup_soft(
+    source, text, id_col, method="minhash", threshold=0.5, power=1.0,
+    round_to=6, **kwargs
+) -> str:
+    """Reweighting over the rendered cluster labeling: the labeling CTE
+    is named ONCE (nested WITH — the logreg/snapshot renderer precedent)
+    so the unrolled propagation program is not inlined twice."""
+    if power <= 0:
+        raise ParameterException("power must be > 0")
+    clusters = _r_near_dup_clusters(
+        source, text, id_col, method=method, threshold=threshold, **kwargs
+    )
+    return (
+        f"WITH __soft_c AS ({clusters}), "
+        "__soft_z AS (SELECT CLUSTER_ID, CAST(COUNT(1) AS BIGINT) AS "
+        "DUP_COUNT FROM __soft_c GROUP BY CLUSTER_ID) "
+        f"SELECT s.*, c.CLUSTER_ID, z.DUP_COUNT, "
+        f"ROUND(POW(CAST(z.DUP_COUNT AS DOUBLE), {-float(power)!r}), "
+        f"{int(round_to)}) AS SAMPLE_WEIGHT "
+        f"FROM {source} s JOIN __soft_c c ON s.{id_col} = c.{id_col} "
+        "JOIN __soft_z z ON c.CLUSTER_ID = z.CLUSTER_ID"
     )
 
 

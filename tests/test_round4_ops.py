@@ -379,3 +379,33 @@ def test_round4_late_ops_tolerate_null_text(spark):
         ev, column="props", keys=["k"], types={"k": "int"})
     vals = {r["event_id"]: r["K"] for r in fl.collect()}
     assert vals[0] is None and vals[1] == 7
+
+
+def test_dedup_soft_weights_inverse_cluster_size(spark):
+    """SoftDeDup reweighting (round 13): every row survives; members of
+    an n-way near-dup cluster carry SAMPLE_WEIGHT 1/n, unique docs 1.0;
+    power sharpens the penalty."""
+    near = "the amazing spark engine processes huge data with ease and grace"
+    rows = [
+        (0, near + " ok"),
+        (1, near + " okay"),
+        (2, near),
+        (3, "entirely different text about something else altogether unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rql.get_transform("dedup_soft").apply(
+        df, text="text", id_col="doc_id", threshold=0.3).collect()
+    assert len(out) == 4                          # nothing deleted
+    got = {r["doc_id"]: (r["CLUSTER_ID"], r["DUP_COUNT"], r["SAMPLE_WEIGHT"])
+           for r in out}
+    assert got[0] == (0, 3, round(1 / 3, 6))
+    assert got[1] == (0, 3, round(1 / 3, 6))
+    assert got[2] == (0, 3, round(1 / 3, 6))
+    assert got[3] == (3, 1, 1.0)
+    out2 = rql.get_transform("dedup_soft").apply(
+        df, text="text", id_col="doc_id", threshold=0.3, power=2.0).collect()
+    got2 = {r["doc_id"]: r["SAMPLE_WEIGHT"] for r in out2}
+    assert got2[0] == round(1 / 9, 6) and got2[3] == 1.0
+    with pytest.raises(rql.ParameterException):
+        rql.get_transform("dedup_soft").apply(
+            df, text="text", id_col="doc_id", power=0)

@@ -335,6 +335,8 @@ CHAIN_CASES = [
     ("dedup_keep_best", lambda s: s.dataset("documents").dedup_keep_best(
         text="text", id_col="doc_id", score_col="n_chars", threshold=0.2,
         max_iterations=6)),
+    ("dedup_soft", lambda s: s.dataset("documents").dedup_soft(
+        text="text", id_col="doc_id", threshold=0.2, max_iterations=6)),
     ("pq_search", lambda s: s.dataset("embeddings").pq_search(
         vec_col="embedding", id_col="vec_id", query_ids=[0, 1, 2], k=5)),
     ("logreg_score", lambda s: s.dataset("lineitem").logreg_score(
