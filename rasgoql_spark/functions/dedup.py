@@ -645,7 +645,8 @@ def dedup_soft(
     size), and ``SAMPLE_WEIGHT`` = ``round(DUP_COUNT^-power, round_to)``
     — 1.0 for unique docs, 1/n per member of an n-way duplicate cluster
     (``power`` sharpens/softens the penalty; the weights feed
-    ``importance_sample(weight_col=...)`` or a loss-weighting column).
+    ``importance_sample(weight="SAMPLE_WEIGHT", ...)`` or a
+    loss-weighting column).
 
     Scale shape = near_dup_clusters (banded LSH candidates, min-label
     propagation over rep-level edges) plus one count aggregation on the
