@@ -688,3 +688,33 @@ def test_ranking_eval_recall_ap_match_pairwise_reference(spark, labels, k):
             if i + 1 <= k:
                 ap += seen / (i + 1)
     assert out["AP"] == pytest.approx(ap / n_rel, abs=1e-6)
+
+
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=30),
+    min_size=2, max_size=6,
+), st.integers(min_value=2, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_max_positions_neutral_on_low_repetition_corpora(spark, docs, k):
+    """Round-13 cap neutrality property: when no (doc, fp) exceeds the
+    cap, dedup_substring with the default max_positions=20 is
+    bit-identical to the unbounded paper-exact path; generated examples
+    that DO exceed the cap are skipped (that is the bounded-recall
+    regime, pinned separately by the generation-loop test)."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from rasgoql_spark.functions.dedup import dedup_substring
+
+    for toks in docs:
+        c = Counter(tuple(toks[j:j + k]) for j in range(len(toks) - k + 1))
+        assume(not c or max(c.values()) <= 20)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    capped = sorted(map(tuple, dedup_substring(
+        df, "text", "id", min_tokens=k, max_doc_freq=None).collect()))
+    unbounded = sorted(map(tuple, dedup_substring(
+        df, "text", "id", min_tokens=k, max_doc_freq=None,
+        max_positions=None).collect()))
+    assert capped == unbounded
