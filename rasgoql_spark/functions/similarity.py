@@ -908,7 +908,7 @@ def dedup_against_embedding(
         return df.join(flagged, on=i, how="left_anti").select(*df.columns)
     elif method == "ivfpq":
         from .pq import (
-            IVFPQIndex, _adc_pair_score, _adc_probe_frame,
+            IVFPQIndex, _adc_pair_score, _adc_probe_frame, _adc_query_luts,
             _probe_lists_rounded, ivfpq_index,
         )
         from .cluster import _unit_rounded
@@ -967,7 +967,8 @@ def dedup_against_embedding(
             q = q.withColumn("__qu", _rotate_expr("__qu", pidx.rotation))
         probes = _adc_probe_frame(
             _probe_lists_rounded(
-                q, pidx.centroids, nprobe, "__qid", "__qu", pidx.round_to
+                _adc_query_luts(q, pidx, "__qu"), pidx.centroids, nprobe,
+                "__qid", "__qu", pidx.round_to, carry=("__lut",),
             ),
             pidx, "__qu",
         )
