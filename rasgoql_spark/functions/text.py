@@ -288,8 +288,13 @@ def language_id(
     # the prior join, the fallback) and gstats two — persist the bounded
     # label-stats frames so the training scan runs once per aggregate,
     # not once per consumer
+    # ngram COUNT by arithmetic, not array construction (round 13): a
+    # string of length L has max(L - n + 1, 0) char n-grams — the same
+    # count _char_ngrams_expr's array would size to, without building it
+    nlen = F.length(norm_of(F.col("__tx")))
     lstats = scoped_persist(tbase.select(
-        "__lab", F.size(_char_ngrams_expr(norm_of(F.col("__tx")), ngram)).alias("__ng")
+        "__lab",
+        F.when(nlen >= ngram, nlen - ngram + 1).otherwise(F.lit(0)).alias("__ng"),
     ).groupBy("__lab").agg(
         F.sum("__ng").cast("double").alias("__cl"),
         F.count(F.lit(1)).cast("double").alias("__dl"),
@@ -303,7 +308,8 @@ def language_id(
     # only be predicted via the empty-doc prior fallback, exactly the
     # oracle's FROM-tg label set
     labels = lstats.filter(F.col("__cl") > 0).select("__lab")
-    if labels.count() == 0:  # bounded action (distinct labels)
+    n_labels = labels.count()  # bounded action (distinct labels)
+    if n_labels == 0:
         raise ParameterException(
             "training set is empty after normalization — no label has any "
             "char-ngram mass (with train=None this means the stopword "
@@ -319,9 +325,18 @@ def language_id(
         "__tx", "__id",
     ).groupBy("__id", "__b").agg(
         F.count(F.lit(1)).cast("double").alias("__cnt"))
+    # the count table is bounded at n_features x n_labels rows — when that
+    # bound is broadcast-sized, say so explicitly so the corpus-sized
+    # label fan-out never shuffles or sorts for the count join (the
+    # initial plan's one SortMergeJoin; round 13); huge configurations
+    # (user-raised n_features x many labels) fall back to AQE
+    tl_b = (
+        F.broadcast(tl_counts)
+        if n_features * n_labels <= 4_000_000 else tl_counts
+    )
     scored = (
         pairs.crossJoin(F.broadcast(labels))
-        .join(tl_counts, on=["__b", "__lab"], how="left")
+        .join(tl_b, on=["__b", "__lab"], how="left")
         .join(F.broadcast(lstats), on="__lab")
         .select(
             "__id", "__lab", "__cnt",
