@@ -43,8 +43,17 @@ def mix_datasets(
         )
     if any(w < 0 for w in weights) or sum(weights) <= 0:
         raise ParameterException("weights must be non-negative with a positive sum")
+    from ._cache import release_with, scoped_persist
+
     tot = sum(weights)
     ws = [w / tot for w in weights]
+    # persist each source across its two consumers (round 13): the count
+    # below and the sampled union branch otherwise EACH re-execute the
+    # source's full upstream lineage — for a source at the end of a
+    # curation chain (the pipeline_e2e shape) that doubles every operator
+    # before the mix. The count doubles as the cache materialization;
+    # caches release when the mixture frame is dropped.
+    sources = [scoped_persist(s) for s in sources]
     ns = [s.count() for s in sources]
     scale = min(n / w for n, w in zip(ns, ws) if w > 0)
     out = None
@@ -63,7 +72,7 @@ def mix_datasets(
             part = s.sample(fraction=frac, seed=seed + idx)
         part = part.withColumn("MIX_SOURCE", F.lit(idx))
         out = part if out is None else out.unionByName(part)
-    return out
+    return release_with(out, *sources)
 
 
 @renderer("mix_datasets")

@@ -41,6 +41,15 @@ def default_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE (incl. partition coalescing) run INSIDE cached plans
+        # (default false): the engine persists bounded intermediates
+        # (signature tables, ranks, indexes) whose materialized partition
+        # count otherwise stays at spark.sql.shuffle.partitions no matter
+        # how small the data — every downstream consumer stage then pays
+        # one task per empty-ish partition. Size-adaptive, not a local-
+        # mode tune: big caches keep big partition counts (round 13)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
