@@ -218,12 +218,37 @@ def ntile_from_rownumber(r0: Column, n: int, buckets: int) -> Column:
 def spread(df: DataFrame) -> DataFrame:
     """Ensure enough partitions to engage every core before a CPU-heavy
     row-local pipeline (hash signatures, vector math): small inputs often
-    arrive as 1-2 parquet splits, which would serialize the whole pipeline
-    on one task. Repartitioning a small input is cheap; inputs already at or
-    above the session parallelism pass through untouched (at 100 TB the
-    branch never triggers — scans come pre-split)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    arrive as 1-2 parquet splits (or AQE-coalesced post-shuffle reads),
+    which would serialize the whole pipeline on one task. Repartitioning a
+    small input is cheap; big inputs pass through untouched (at 100 TB the
+    branch never triggers — scans come pre-split and shuffles stay wide).
+
+    The small/big decision uses Catalyst's size ESTIMATE of the optimized
+    plan, not ``df.rdd.getNumPartitions()`` (round 13): under AQE, ``.rdd``
+    on a mid-chain frame EXECUTES every upstream shuffle stage just to
+    learn the partition count, and those stages then re-execute in the
+    final query (a separate QueryExecution — no exchange reuse across the
+    two). The estimate is free, and the threshold — parallelism x 32 MB —
+    is scale-adaptive: row-local hash/vector work wants every core well
+    below the ~64 MB-per-partition layout that byte-oriented AQE sizing
+    targets, while anything estimated beyond it already has the
+    parallelism. Overestimates (post-filter stats) only skip a repartition
+    AQE sizing then handles; underestimates only add one small shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:
+        est = None
+    if est is None:
+        # estimate unavailable: fall back to the (executing) probe
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    if est <= target * 32 * 1024 * 1024:
         return df.repartition(target)
     return df
 
