@@ -76,14 +76,20 @@ def pagerank(
     outdeg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     # loop-invariant frames, built ONCE: degree pre-joined onto edges (the
     # per-iteration plan then needs only ranks-by-src join + sum-by-dst),
-    # and the dangling node set (slim ids) for the mass aggregate — without
-    # these every iteration re-derives outdeg and re-runs two extra joins
+    # and the dangling FLAG carried on the node frame itself (round 13) —
+    # the per-iteration dangling mass is then a filter+sum over ranks
+    # instead of a semi-join, removing one join and its shuffle per
+    # iteration (same rows summed, order noise absorbed by the
+    # per-iteration round like every other aggregate here)
     edges_deg = scoped_persist(edges.join(outdeg, on="__src"))
-    dangling_nodes = scoped_persist(nodes.join(
-        outdeg, nodes["__node"] == outdeg["__src"], "left_anti"
-    ))
+    nodes_meta = scoped_persist(
+        nodes.join(outdeg, nodes["__node"] == outdeg["__src"], "left")
+        .select("__node", F.col("__deg").isNull().alias("__dang"))
+    )
     base = (1.0 - damping) / n
-    ranks = nodes.select("__node", F.round(F.lit(1.0 / n), round_to).alias("__r"))
+    ranks = nodes_meta.select(
+        "__node", "__dang", F.round(F.lit(1.0 / n), round_to).alias("__r")
+    )
     iter_caches: list[DataFrame] = []
     for it in range(iterations):
         # ranks feeds THREE consumers per iteration (contrib join, dangling
@@ -98,14 +104,14 @@ def pagerank(
             .agg(F.sum("__c").alias("__sum"))
         )
         dangling = (
-            ranks.join(dangling_nodes, on="__node", how="left_semi")
+            ranks.filter(F.col("__dang"))
             .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm"))
         )
         ranks = (
-            nodes.join(contrib, on="__node", how="left")
+            nodes_meta.join(contrib, on="__node", how="left")
             .crossJoin(F.broadcast(dangling))
             .select(
-                "__node",
+                "__node", "__dang",
                 F.round(
                     F.lit(base)
                     + damping
@@ -114,10 +120,12 @@ def pagerank(
                 ).alias("__r"),
             )
         )
-        if (it + 1) % 3 == 0:
+        # bound lineage every few rounds — but never on the LAST iteration,
+        # whose checkpoint would only re-materialize the final ranks
+        if (it + 1) % 3 == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select(F.col("__node").alias("NODE"), F.col("__r").alias("PAGERANK"))
-    return release_with(out, edges, nodes, edges_deg, dangling_nodes, *iter_caches)
+    return release_with(out, edges, nodes, edges_deg, nodes_meta, *iter_caches)
 
 
 PAGERANK_RENDER_MAX_ITER = 6
