@@ -50,6 +50,14 @@ def default_spark(
         # mode tune: big caches keep big partition counts (round 13)
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
+        # prefer shuffled-hash join where the planner's size conditions
+        # hold (build side must fit a per-partition hash map — the
+        # planner/AQE still fall back to sort-merge otherwise): skips the
+        # sort on both join sides. The AQE threshold bounds the local map
+        # a sort-merge join may be rewritten to at runtime (guide §3.1)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
