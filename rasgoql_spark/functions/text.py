@@ -285,9 +285,8 @@ def language_id(
         .agg(F.count(F.lit(1)).alias("__ctl"))
     )
     # lstats feeds FOUR consumers (candidate labels, the scoring join,
-    # the prior join, the fallback) and gstats two — persist the bounded
-    # label-stats frames so the training scan runs once per aggregate,
-    # not once per consumer
+    # the prior join, the fallback) — persist the bounded label-stats
+    # frame so the training scan runs once, not once per consumer
     # ngram COUNT by arithmetic, not array construction (round 13): a
     # string of length L has max(L - n + 1, 0) char n-grams — the same
     # count _char_ngrams_expr's array would size to, without building it
@@ -299,8 +298,12 @@ def language_id(
         F.sum("__ng").cast("double").alias("__cl"),
         F.count(F.lit(1)).cast("double").alias("__dl"),
     ))
-    gstats = scoped_persist(
-        tbase.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    # __n (total training docs) = sum of the per-label doc counts already
+    # in the persisted lstats — summing exact integer-valued doubles is
+    # exact below 2^53, so this equals count(*) bit-for-bit while removing
+    # a third full scan of the training frame (which, on the bootstrap
+    # path, re-ran the 4-language stopword regexp pass per consumer)
+    gstats = lstats.agg(F.sum("__dl").alias("__n"))
     # candidate labels = labels with ngram MASS in training: a label whose
     # docs all normalize to zero ngrams has no likelihood model (its
     # smoothed score ln(alpha/(0 + alpha*V)) would beat every real label
@@ -390,7 +393,7 @@ def language_id(
         .withColumn(f"{name}_SCORE", F.coalesce("__ps", "__fs"))
         .drop("__pred", "__ps", "__fp", "__fs")
     )
-    return release_with(out, lstats, gstats)
+    return release_with(out, lstats)
 
 
 @renderer("language_id")
