@@ -62,18 +62,25 @@ def pagerank(
         .dropDuplicates(["__src", "__dst"])
     )
     edges = scoped_persist(edges)
-    nodes = scoped_persist(
-        edges.select(F.col("__src").alias("__node"))
-        .union(edges.select(F.col("__dst").alias("__node")))
-        .dropDuplicates(["__node"])
+    # ONE endpoint-explode aggregation replaces the union+dedup node build,
+    # the separate out-degree aggregation, and the nodes-x-outdeg join
+    # (round 13): each edge contributes (src, 1) and (dst, 0); summing per
+    # node yields the distinct node set WITH its out-degree — deg 0 IS the
+    # dangling flag. Exact integers, so the node set, degrees, and every
+    # downstream rank are unchanged; two full shuffles and one persisted
+    # frame fewer in the loop-invariant build.
+    node_stats = scoped_persist(
+        edges.select(F.col("__src").alias("__node"), F.lit(1).alias("__e"))
+        .union(edges.select(F.col("__dst").alias("__node"), F.lit(0).alias("__e")))
+        .groupBy("__node")
+        .agg(F.sum("__e").alias("__deg"))
     )
-    n = nodes.count()  # bounded driver scalar (node count), like BPE's loop
+    n = node_stats.count()  # bounded driver scalar (node count), like BPE's loop
     if n == 0:
-        release_now(edges, nodes)
-        return nodes.select(
+        release_now(edges, node_stats)
+        return node_stats.select(
             F.col("__node").alias("NODE"), F.lit(0.0).alias("PAGERANK")
         )
-    outdeg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     # loop-invariant frames, built ONCE: degree pre-joined onto edges (the
     # per-iteration plan then needs only ranks-by-src join + sum-by-dst),
     # and the dangling FLAG carried on the node frame itself (round 13) —
@@ -81,11 +88,14 @@ def pagerank(
     # instead of a semi-join, removing one join and its shuffle per
     # iteration (same rows summed, order noise absorbed by the
     # per-iteration round like every other aggregate here)
-    edges_deg = scoped_persist(edges.join(outdeg, on="__src"))
-    nodes_meta = scoped_persist(
-        nodes.join(outdeg, nodes["__node"] == outdeg["__src"], "left")
-        .select("__node", F.col("__deg").isNull().alias("__dang"))
+    edges_deg = scoped_persist(
+        edges.join(
+            node_stats.filter(F.col("__deg") > 0)
+            .select(F.col("__node").alias("__src"), "__deg"),
+            on="__src",
+        )
     )
+    nodes_meta = node_stats.select("__node", (F.col("__deg") == 0).alias("__dang"))
     base = (1.0 - damping) / n
     ranks = nodes_meta.select(
         "__node", "__dang", F.round(F.lit(1.0 / n), round_to).alias("__r")
@@ -125,7 +135,7 @@ def pagerank(
         if (it + 1) % 3 == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select(F.col("__node").alias("NODE"), F.col("__r").alias("PAGERANK"))
-    return release_with(out, edges, nodes, edges_deg, nodes_meta, *iter_caches)
+    return release_with(out, edges, node_stats, edges_deg, *iter_caches)
 
 
 PAGERANK_RENDER_MAX_ITER = 6
