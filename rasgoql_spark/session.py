@@ -58,6 +58,19 @@ def default_spark(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 "64MB")
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND
+        # isnotnull(arr)` under every explode and pushes it through the
+        # projection that computes the array — re-evaluating the full
+        # tokens/ngram/shingle expression (regex + array build) 3-5x per
+        # row in the filter (measured: the single-token explode ran 2x
+        # slower with the inferred filter; plan showed the tokenize
+        # expression 5x in Filter+Project). The rule only pays when the
+        # generator input is a STORED column (scan-pushable); this
+        # engine's generators are always computed expressions, at any
+        # scale — a workload property, not a local-mode tune (round 13)
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
