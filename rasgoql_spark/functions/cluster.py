@@ -105,7 +105,8 @@ def _renorm_py(vec: list) -> list:
     return [round(x / s, CENT_ROUND) for x in vec] if s > 0 else list(vec)
 
 
-def _fit_kmeans(cached: DataFrame, k: int, iterations: int, round_to: int) -> list:
+def _fit_kmeans(cached: DataFrame, k: int, iterations: int, round_to: int,
+                seed_rows: list | None = None) -> list:
     """Deterministic spherical-kmeans fit over a persisted ``(__id, __u)``
     frame (``_unit_rounded`` output): lowest-id seeds, per-pass argmax over
     ``round_to``-rounded cosines (ties -> lowest cid), 9-dp-rounded
@@ -114,8 +115,19 @@ def _fit_kmeans(cached: DataFrame, k: int, iterations: int, round_to: int) -> li
     :func:`kmeans_cluster` and ``similarity_search_ivfpq`` so the rounded
     determinism contract (the one the DuckDB replay oracles rely on) has a
     single definition. Each Lloyd pass is one slim (cid, pos, value)
-    aggregation with a bounded k·dim collect — the corpus never shuffles."""
-    seeds = cached.orderBy("__id").limit(k).select("__u").collect()
+    aggregation with a bounded k·dim collect — the corpus never shuffles.
+
+    ``seed_rows`` (round 13): pre-collected lowest-``__id``-first rows with
+    a ``__u`` field (at least ``k`` of them when the corpus has ``k``
+    rows) — callers that already paid a seeds collect (e.g. the fused
+    IVF-PQ build, which shares ONE TakeOrdered job between the coarse and
+    codebook seeds) pass it to skip this function's own job. Values are
+    identical: the slice below takes the same lowest-id ``__u`` doubles
+    the internal collect would return."""
+    seeds = (
+        seed_rows[:k] if seed_rows is not None
+        else cached.orderBy("__id").limit(k).select("__u").collect()
+    )
     cents = [(j, [round(float(x), CENT_ROUND) for x in r["__u"]]) for j, r in enumerate(seeds)]
     for _ in range(iterations):
         abase, carr, _adrop = _attach_centroids(cached, cents)

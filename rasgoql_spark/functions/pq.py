@@ -112,6 +112,91 @@ def _train_codebooks(
     return books
 
 
+def _fused_fit(cached: DataFrame, staged: DataFrame, cents: list, books: list,
+               coarse_iterations: int, pq_iterations: int, m: int, d_sub: int,
+               round_to: int) -> tuple:
+    """Run the coarse-kmeans Lloyd passes and the per-subspace PQ codebook
+    Lloyd passes in ONE collect job per pass level (round 13, guide §2.6's
+    "overlap independent work" applied as plan-level fusion instead of
+    driver threads — threads were measured slower on a shared core pool).
+    In the non-residual IVF-PQ build the two fits are independent: kmeans
+    pass j needs only cents_{j-1}, codebook pass j needs only books_{j-1}.
+    Each pass level unions the two slim aggregation subtrees — each branch
+    aggregates by ITS OWN original keys before the union, so the per-branch
+    rounded means are the exact values the sequential fits produce — and
+    one ``collect`` returns both (kmeans rows tagged ``__s = -1``).
+    Job count: max(ci, pi) instead of ci + pi."""
+    for j in range(max(coarse_iterations, pq_iterations)):
+        branches = []
+        if j < coarse_iterations:
+            from .similarity import _attach_centroids
+
+            abase, carr, _ad = _attach_centroids(cached, cents)
+            assigned = abase.withColumn("__cid", _assign_expr(carr, round_to))
+            branches.append(
+                assigned.select("__cid", F.posexplode("__u").alias("__pos", "__v"))
+                .groupBy("__cid", "__pos")
+                .agg(F.round(F.avg("__v"), CENT_ROUND).alias("__m"))
+                .select(
+                    F.lit(-1).cast("int").alias("__s"),
+                    F.col("__cid").cast("bigint").alias("__c"),
+                    F.col("__pos"), F.col("__m"),
+                )
+            )
+        if j < pq_iterations:
+            codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
+            assigned_pq = staged.withColumn("__codes", codes)
+            sub_structs = F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.element_at("__codes", s + 1).alias("c"),
+                    F.slice("__u", s * d_sub + 1, d_sub).alias("v"),
+                ),
+            )
+            branches.append(
+                assigned_pq.select(F.explode(sub_structs).alias("x"))
+                .select("x.s", "x.c", F.posexplode("x.v").alias("__pos", "__val"))
+                .groupBy("s", "c", "__pos")
+                .agg(F.round(F.avg("__val"), CENT_ROUND).alias("__m"))
+                .select(
+                    F.col("s").cast("int").alias("__s"),
+                    F.col("c").cast("bigint").alias("__c"),
+                    F.col("__pos"), F.col("__m"),
+                )
+            )
+        fused = branches[0]
+        for b in branches[1:]:
+            fused = fused.unionByName(b)
+        rows = fused.collect()
+        kacc: dict = {}
+        bacc: dict = {}
+        for r in rows:
+            if r["__s"] < 0:
+                kacc.setdefault(r["__c"], {})[r["__pos"]] = r["__m"]
+            else:
+                bacc.setdefault((r["__s"], r["__c"]), {})[r["__pos"]] = r["__m"]
+        if j < coarse_iterations:
+            from .cluster import _renorm_py
+
+            cents = [
+                (cid,
+                 _renorm_py([kacc[cid][p] for p in range(len(kacc[cid]))])
+                 if cid in kacc else old)
+                for cid, old in cents
+            ]
+        if j < pq_iterations:
+            books = [
+                [
+                    (c, [bacc[(s, c)][p] for p in range(d_sub)])
+                    if (s, c) in bacc else (c, old)
+                    for c, old in books[s]
+                ]
+                for s in range(m)
+            ]
+    return cents, books
+
+
 @spark_transform("pq_encode", category="similarity", streaming_ok=False)
 def pq_encode(
     df: DataFrame,
@@ -545,15 +630,46 @@ def ivfpq_index(
                 f"dim {int(dfirst['d'])}"
             )
         rotation = rotation_matrix(rotation_seed, int(dfirst["d"]), rotation_sweeps)
-    staged, d_sub, cached = _staged_corpus(df, v, i, m, rotation=rotation)
-    # one persisted (__id, __u, __s0..__s{m-1}) frame feeds the coarse fit,
-    # the PQ fit, and the corpus encoding
-    cents = _fit_kmeans(staged, num_centroids, coarse_iterations, round_to)
-    abase, carr, _adrop = _attach_centroids(staged, cents)
-    assigned = abase.withColumn("__cid", _assign_expr(carr, round_to))
+    # slim persisted corpus (__id, __u) — the __vec copy and the __s
+    # subvector slices never earn cache bytes: slices are cheap row-local
+    # projections their (few) consumers recompute above the cache, with
+    # the same once-per-row HOF staging guarantee (projection boundary),
+    # and __vec is never read after normalization (round 13)
+    base = _unit_rounded(
+        spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
+        "__vec",
+    )
+    if rotation is not None:
+        base = base.withColumn("__u", _rotate_expr("__u", rotation))
+    cached = scoped_persist(base.select("__id", "__u"))
     from ._cache import release_now
 
+    # ONE TakeOrdered job collects the lowest-id rows for BOTH fits' seeds
+    # and doubles as the dim probe + cache materialization (round 13: this
+    # replaces three driver jobs — the dim first(), the kmeans seeds
+    # collect, and the codebook seeds collect — with one; the values each
+    # consumer sees are the identical lowest-id __u doubles)
+    seed_rows = (
+        cached.orderBy("__id")
+        .limit(max(int(num_centroids), int(codebook_size)))
+        .select("__u").collect()
+    )
+    if not seed_rows:
+        release_now(cached)
+        raise ParameterException("input is empty")
+    dim = len(seed_rows[0]["__u"])
+    if m < 1 or dim % m != 0:
+        release_now(cached)
+        raise ParameterException(f"m must divide the vector dimension ({dim})")
+    d_sub = dim // m
+    staged = _stage_subvectors(cached, m, d_sub)
     if residual:
+        # the residual PQ fit consumes the kmeans result (codes quantize
+        # vector - assigned centroid), so the two fits stay sequential here
+        cents = _fit_kmeans(cached, num_centroids, coarse_iterations,
+                            round_to, seed_rows=seed_rows)
+        abase, carr, _adrop = _attach_centroids(staged, cents)
+        assigned = abase.withColumn("__cid", _assign_expr(carr, round_to))
         # restage: the PQ fit/encode slices come from the residual vector,
         # which takes the ``__u`` seat so _train_codebooks/_code_expr see
         # the same column shape as the plain path
@@ -582,7 +698,26 @@ def ivfpq_index(
         n = frame.count()
         release_now(rstaged)
     else:
-        books = _train_codebooks(staged, m, d_sub, codebook_size, iterations, round_to)
+        # independent fits: seed both from the shared collect, then run
+        # the two Lloyd recurrences pass-fused (one collect per level)
+        cents = [
+            (j, [round(float(x), CENT_ROUND) for x in r["__u"]])
+            for j, r in enumerate(seed_rows[:num_centroids])
+        ]
+        books = [
+            [
+                (c, [round(float(x), CENT_ROUND)
+                     for x in r["__u"][s * d_sub:(s + 1) * d_sub]])
+                for c, r in enumerate(seed_rows[:codebook_size])
+            ]
+            for s in range(m)
+        ]
+        cents, books = _fused_fit(
+            cached, staged, cents, books, coarse_iterations, iterations,
+            m, d_sub, round_to,
+        )
+        abase, carr, _adrop = _attach_centroids(staged, cents)
+        assigned = abase.withColumn("__cid", _assign_expr(carr, round_to))
         codes = F.array(*[_code_expr(f"__s{s}", books[s], round_to) for s in range(m)])
         frame = scoped_persist(
             assigned.withColumn("__codes", codes)
@@ -975,19 +1110,12 @@ def similarity_search_ivfpq(
         )
     m, round_to = idx.m, idx.round_to
     cents, books, d_sub = idx.centroids, idx.books, idx.d_sub
-    # probe: rounded cosine to every centroid, top-nprobe per query by
-    # (sim desc, cid asc) — computed IN SPARK over a bounded literal frame
-    # (queries × num_centroids rows) so the F.round/ROUND parity of the
-    # replay contract holds (Python's round() is banker's — not usable
-    # here). The query rows are a bounded collect (len(query_ids) rows —
-    # pq_search's existing contract). The probed (query, list) pairs are a
-    # second bounded collect (queries × nprobe): re-entering them as
-    # per-query literal filters keeps the candidate scan a pure
-    # projection+filter over the corpus — joining the corpus against a
-    # probe frame derived from it would be a self-join whose inferred
-    # constraints drag the assignment expression across the dedup boundary
-    # (unresolvable reference), and a join on an expression-valued key
-    # invites the same constraint rewrite even on literal frames.
+    # the query rows are a bounded collect (len(query_ids) rows —
+    # pq_search's existing contract); it doubles as the none-present
+    # guard. Probe selection and ADC scoring then run IN-PLAN (F.round —
+    # Python's banker's round() is not usable for the replay contract)
+    # over a LOCAL frame re-entered from this collect, so no corpus
+    # self-join exists and one action executes the whole search.
     qrows = (
         idx.frame.filter(F.col("__id").isin([int(q) for q in query_ids]))
         .select("__id", "__u")
@@ -999,90 +1127,53 @@ def similarity_search_ivfpq(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     spark = df.sparkSession
+    # one LOCAL query frame (bounded: len(query_ids) rows re-entered from
+    # the collect — the floats round-trip exactly), prepared by the SAME
+    # in-plan machinery the join path uses: per-query ADC LUTs before the
+    # probe explosion, rounded top-nprobe list selection, then ONE
+    # broadcast equi-join against the codes-only corpus scan. Round 13:
+    # replaces the per-query literal-filter union (|queries| corpus scans
+    # + a plan that grows with queries x m x codebook_size literals) and
+    # the separate probe-selection Spark job + collect. Values are
+    # bit-identical: _adc_query_luts folds the same doubles the Python
+    # sum folded (verified bit-parity, see its docstring),
+    # _probe_lists_rounded ranks by the same rounded dot / cid tie-break
+    # the window did, and _adc_pair_score sums LUT terms in the same
+    # left-associated order (coarse term first under residual). The
+    # expression-valued join key takes _cid_barrier on both sides — the
+    # constraint-rewrite guard the join path established.
     qdf = spark.createDataFrame(
         [(int(r["__id"]), [float(x) for x in r["__u"]]) for r in qrows],
         "__qid bigint, __qu array<double>",
     )
-    cent_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in vv]) for c, vv in cents],
-        "__pc bigint, __pv array<double>",
+    probes = _adc_probe_frame(
+        _probe_lists_rounded(
+            _adc_query_luts(qdf, idx, "__qu"), cents, nprobe,
+            "__qid", "__qu", round_to, carry=("__lut",),
+        ),
+        idx, "__qu",
     )
-    pw = Window.partitionBy("__qid").orderBy(
-        F.col("__sim").desc(), F.col("__pc").asc()
-    )
-    probed_rows = (
-        qdf.crossJoin(F.broadcast(cent_df))
-        .withColumn("__sim", F.round(dot(F.col("__qu"), F.col("__pv")), round_to))
-        .withColumn("__rn", F.row_number().over(pw))
-        .filter(F.col("__rn") <= nprobe)
-        .select("__qid", "__pc")
-        .collect()
-    )
-    probed: dict = {}
-    for r in probed_rows:
-        probed.setdefault(int(r["__qid"]), []).append(int(r["__pc"]))
-    # ADC LUTs per query (pq_search's exact scoring form): LUT[s][code] =
-    # dot(query_subvector_s, codebook_s[code]) — Python sequential sum over
-    # Python-sliced subvectors (slicing moves no floats), replayed by the
-    # oracle's in-flight fold over the same doubles
-    luts = {
-        int(r["__id"]): [
-            [
-                sum(
-                    a * b
-                    for a, b in zip(r["__u"][s * d_sub:(s + 1) * d_sub], vec)
-                )
-                for _, vec in books[s]
-            ]
-            for s in range(m)
-        ]
-        for r in qrows
-    }
-    qu_map = {int(r["__id"]): [float(x) for x in r["__u"]] for r in qrows}
-    per_query = []
-    for qid in sorted(luts):
-        lut = luts[qid]
-        terms = [
-            F.element_at(
-                double_array_lit(list(lut[s])),
-                F.element_at("__codes", s + 1) + 1,
-            )
-            for s in range(m)
-        ]
-        if idx.residual:
-            # coarse term dot(q, centroid[cid]) — FIRST and left-associated
-            # (the replay adds "qc + l0 + l1 ..." in that exact order; FP
-            # addition is order-sensitive at the 6-dp round boundary)
-            qc = [
-                sum(a * b for a, b in zip(qu_map[qid], vec))
-                for _, vec in cents
-            ]
-            total = F.element_at(
-                double_array_lit(qc), (F.col("__cid") + 1).cast("int")
-            )
-            for t in terms:
-                total = total + t
-            score = F.round(total, round_to)
-        else:
-            score = F.round(sum(terms), round_to)
-        per_query.append(
-            idx.frame.filter(
-                F.col("__cid").isin(probed.get(qid, [])) & (F.col("__id") != qid)
-            ).select(
-                F.lit(qid).cast("bigint").alias("QUERY_ID"),
-                F.col("__id").alias("MATCH_ID"),
-                score.alias("ADC_SCORE"),
-            )
+    scored = (
+        idx.frame.select(
+            F.col("__id").alias("MATCH_ID"),
+            _cid_barrier("__cid").alias("__cid"), "__codes",
         )
-    union = per_query[0]
-    for p in per_query[1:]:
-        union = union.unionByName(p)
+        .join(
+            F.broadcast(probes.withColumn("__cid", _cid_barrier("__cid"))),
+            on="__cid",
+        )
+        .filter(F.col("__qid") != F.col("MATCH_ID"))
+        .select(
+            F.col("__qid").alias("QUERY_ID"), "MATCH_ID",
+            _adc_pair_score(idx).alias("ADC_SCORE"),
+        )
+    )
     w = Window.partitionBy("QUERY_ID").orderBy(
         F.col("ADC_SCORE").desc(), F.col("MATCH_ID").asc()
     )
     kf = k * rerank_factor if rerank else k
     out = (
-        union.withColumn("RANK", F.row_number().over(w).cast("int"))
+        scored.withColumn("RANK", F.row_number().over(w).cast("int"))
         .filter(F.col("RANK") <= kf)
     )
     if rerank:
