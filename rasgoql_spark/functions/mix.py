@@ -54,7 +54,25 @@ def mix_datasets(
     # before the mix. The count doubles as the cache materialization;
     # caches release when the mixture frame is dropped.
     sources = [scoped_persist(s) for s in sources]
-    ns = [s.count() for s in sources]
+    # ONE availability-count action for every source (round 13): counting
+    # each persisted source separately paid one full AQE job cascade per
+    # source; a lit-tagged union aggregates all counts in a single job
+    # (which also materializes every cache), and exchange reuse dedupes
+    # identical upstream subtrees shared by sources derived from one
+    # chain (the pipeline_e2e en/rest shape). Counts are exact integers —
+    # identical to the per-source count() values.
+    from functools import reduce
+
+    counted = (
+        reduce(
+            lambda a, b: a.unionByName(b),
+            [s.select(F.lit(ix).alias("__mx_i")) for ix, s in enumerate(sources)],
+        )
+        .groupBy("__mx_i").agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    got = {int(r["__mx_i"]): int(r["__n"]) for r in counted}
+    ns = [got.get(ix, 0) for ix in range(len(sources))]
     scale = min(n / w for n, w in zip(ns, ws) if w > 0)
     out = None
     for idx, (s, n, w) in enumerate(zip(sources, ns, ws)):
