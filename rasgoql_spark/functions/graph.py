@@ -100,32 +100,44 @@ def pagerank(
     ranks = nodes_meta.select(
         "__node", "__dang", F.round(F.lit(1.0 / n), round_to).alias("__r")
     )
-    iter_caches: list[DataFrame] = []
+    prev_cache: DataFrame | None = None
     for it in range(iterations):
-        # ranks feeds THREE consumers per iteration (contrib join, dangling
-        # mass, final left join); without a cache the lineage re-executes
-        # each prior iteration 3× per level — exponential recompute
+        # ranks feeds TWO consumers per iteration (contrib join + dangling
+        # mass); without a cache the lineage re-executes each prior
+        # iteration per consumer — exponential recompute
         ranks = scoped_persist(ranks)
-        iter_caches.append(ranks)
+        # dangling mass as a DRIVER SCALAR (round 13): the one-row
+        # aggregate used to ride a crossJoin(broadcast(...)) — under AQE
+        # that broadcast is its own job cascade per iteration, and the
+        # scalar must synchronize before the next level either way (rank
+        # i+1 needs it). Collecting the single double and re-embedding it
+        # as a literal is bit-exact (the same aggregated double) and drops
+        # one broadcast exchange + one join per iteration at any scale;
+        # the collect doubles as this iteration's cache materialization.
+        dm = ranks.filter(F.col("__dang")).agg(
+            F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm")
+        ).first()["__dm"]
+        # the previous iteration's cache has no further consumer once this
+        # level is materialized — free it now so live rank caches stay at
+        # two regardless of iteration count (unpersist is correctness-safe:
+        # recompute falls back to lineage)
+        if prev_cache is not None:
+            release_now(prev_cache)
+        prev_cache = ranks
         contrib = (
             edges_deg.join(ranks, edges_deg["__src"] == ranks["__node"])
             .select(F.col("__dst").alias("__node"), (F.col("__r") / F.col("__deg")).alias("__c"))
             .groupBy("__node")
             .agg(F.sum("__c").alias("__sum"))
         )
-        dangling = (
-            ranks.filter(F.col("__dang"))
-            .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm"))
-        )
         ranks = (
             nodes_meta.join(contrib, on="__node", how="left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "__node", "__dang",
                 F.round(
                     F.lit(base)
                     + damping
-                    * (F.coalesce(F.col("__sum"), F.lit(0.0)) + F.col("__dm") / n),
+                    * (F.coalesce(F.col("__sum"), F.lit(0.0)) + F.lit(float(dm)) / n),
                     round_to,
                 ).alias("__r"),
             )
@@ -135,7 +147,8 @@ def pagerank(
         if (it + 1) % 3 == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select(F.col("__node").alias("NODE"), F.col("__r").alias("PAGERANK"))
-    return release_with(out, edges, node_stats, edges_deg, *iter_caches)
+    caches = [edges, node_stats, edges_deg] + ([prev_cache] if prev_cache is not None else [])
+    return release_with(out, *caches)
 
 
 PAGERANK_RENDER_MAX_ITER = 6
