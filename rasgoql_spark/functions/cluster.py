@@ -583,19 +583,25 @@ def semantic_dedup(
 
         k = max(8, math.ceil(df.count() / 5000))
     v, i = resolve_col(df, vec_col), resolve_col(df, id_col)
-    # assigned feeds BOTH the drop-set lineage and the final anti-join; the
-    # assignment expression is an interpreted higher-order fold (k x dim per
-    # row, no codegen), and downstream column pruning de-duplicates the two
-    # subtrees differently — persist so it evaluates once
-    assigned = scoped_persist(kmeans_cluster(df, vec_col, id_col, k, iterations, round_to))
-    withu = _unit_rounded(
-        spread(assigned).select(
-            F.col(i).alias("__id"), F.col("CLUSTER_ID"), F.col(v).alias("__vec")
-        ),
+    # one normalized corpus cache shared by the fit, the pair join, and
+    # the final assignment (round 13): composing kmeans_cluster here used
+    # to normalize the corpus TWICE (once inside its own cache, once for
+    # the pair join's __u) and persisted the full-width joined frame; the
+    # slim (__id, __u, CLUSTER_ID) frame below is the only thing every
+    # consumer needs, and the interpreted k x dim assignment fold still
+    # evaluates once (asg is the persisted boundary)
+    cached = scoped_persist(_unit_rounded(
+        spread(df).select(F.col(i).alias("__id"), F.col(v).alias("__vec")),
         "__vec",
+    ).select("__id", "__u"))
+    cents = _fit_kmeans(cached, k, iterations, round_to)
+    fbase, fcarr, _fdrop = _attach_centroids(cached, cents)
+    asg = scoped_persist(
+        fbase.withColumn("CLUSTER_ID", _assign_expr(fcarr, round_to))
+        .select("__id", "__u", "CLUSTER_ID")
     )
     _, pairs, member_drops, caches = _semantic_candidates(
-        withu, threshold, round_to, max_cluster_size
+        asg, threshold, round_to, max_cluster_size
     )
     drops = (
         pairs.filter(F.col("__cos") >= threshold)
@@ -604,9 +610,12 @@ def semantic_dedup(
         .select(F.col("__id").alias(i))
         .dropDuplicates()
     )
-    return release_with(
-        assigned.join(drops, on=i, how="left_anti"), assigned, *caches
+    out = (
+        df.join(asg.select(F.col("__id").alias(i), "CLUSTER_ID"), on=i, how="inner")
+        .select(*df.columns, "CLUSTER_ID")
+        .join(drops, on=i, how="left_anti")
     )
+    return release_with(out, cached, asg, *caches)
 
 @renderer("semantic_dedup")
 def _r_semantic_dedup(
