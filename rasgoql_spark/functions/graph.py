@@ -100,12 +100,13 @@ def pagerank(
     ranks = nodes_meta.select(
         "__node", "__dang", F.round(F.lit(1.0 / n), round_to).alias("__r")
     )
-    prev_cache: DataFrame | None = None
+    iter_caches: list[DataFrame] = []
     for it in range(iterations):
         # ranks feeds TWO consumers per iteration (contrib join + dangling
         # mass); without a cache the lineage re-executes each prior
         # iteration per consumer — exponential recompute
         ranks = scoped_persist(ranks)
+        iter_caches.append(ranks)
         # dangling mass as a DRIVER SCALAR (round 13): the one-row
         # aggregate used to ride a crossJoin(broadcast(...)) — under AQE
         # that broadcast is its own job cascade per iteration, and the
@@ -114,16 +115,15 @@ def pagerank(
         # as a literal is bit-exact (the same aggregated double) and drops
         # one broadcast exchange + one join per iteration at any scale;
         # the collect doubles as this iteration's cache materialization.
+        # NOTE: iteration caches must stay registered until the RESULT is
+        # dropped — Dataset.unpersist() recaches dependents by plan, so an
+        # eager mid-loop release would clear every later iteration's
+        # materialized cache and the final query would recompute the whole
+        # unrolled lineage uncached (measured: 2 -> 381 Exchanges in the
+        # final plan when released eagerly).
         dm = ranks.filter(F.col("__dang")).agg(
             F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm")
         ).first()["__dm"]
-        # the previous iteration's cache has no further consumer once this
-        # level is materialized — free it now so live rank caches stay at
-        # two regardless of iteration count (unpersist is correctness-safe:
-        # recompute falls back to lineage)
-        if prev_cache is not None:
-            release_now(prev_cache)
-        prev_cache = ranks
         contrib = (
             edges_deg.join(ranks, edges_deg["__src"] == ranks["__node"])
             .select(F.col("__dst").alias("__node"), (F.col("__r") / F.col("__deg")).alias("__c"))
@@ -147,8 +147,7 @@ def pagerank(
         if (it + 1) % 3 == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     out = ranks.select(F.col("__node").alias("NODE"), F.col("__r").alias("PAGERANK"))
-    caches = [edges, node_stats, edges_deg] + ([prev_cache] if prev_cache is not None else [])
-    return release_with(out, *caches)
+    return release_with(out, edges, node_stats, edges_deg, *iter_caches)
 
 
 PAGERANK_RENDER_MAX_ITER = 6
