@@ -526,10 +526,13 @@ def test_b4_window_chain_shares_one_window_exchange(session):
 
 
 def test_ivfpq_prebuilt_search_single_exchange(session):
-    """similarity_search_ivfpq against a prebuilt index: the candidate scan
-    must be per-query pushed filters over the cached encoded corpus (no
-    broadcast, no join) and the ONLY Exchange the per-query top-k window's
-    re-partition — with WindowGroupLimit pruning to k rows per query
+    """similarity_search_ivfpq against a prebuilt index (round-13 shape:
+    the search shares the join path's in-plan machinery): the bounded
+    probe frame (queries x nprobe rows, carrying per-query ADC LUTs)
+    must BROADCAST onto the codes-only cached corpus scan — one
+    broadcast equi-join, no sort-merge, no per-query corpus scans — and
+    the ONLY hash-partitioning Exchange is the per-query top-k window's
+    re-partition, with WindowGroupLimit pruning to k rows per query
     BEFORE the shuffle, so shuffle volume is queries x k rows at any
     corpus size."""
     import re
@@ -549,10 +552,16 @@ def test_ivfpq_prebuilt_search_single_exchange(session):
                 index=idx)
             plan = out._jdf.queryExecution().executedPlan().toString()
             assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
-            assert "BroadcastExchange" not in plan, plan
+            assert "BroadcastHashJoin" in plan, plan
+            assert "SortMergeJoin" not in plan, plan
             assert "WindowGroupLimit" in plan, plan
-            # probe restriction reaches the cached index scan as a pushed filter
-            assert re.search(r"InMemoryTableScan \[__cid[^\]]*\], \[.*__cid", plan), plan
+            # the corpus-side candidate scan reads the cached encoded frame
+            # with PQ codes only — zero vector bytes on the big side
+            scans = re.findall(r"InMemoryTableScan \[([^\]]*)\]", plan)
+            cand = [s for s in scans if "__codes" in s]
+            assert cand, plan
+            for s in cand:
+                assert "__u" not in s, s
         finally:
             idx.release()
 
