@@ -2198,11 +2198,10 @@ def dedup_substring(
         F.sequence(F.lit(1), F.size("__t") - k + 1),
         lambda j: F.md5(F.concat_ws(" ", F.slice("__t", j, F.lit(k)))),
     )
-    sh = (
-        rep.select("__id", F.posexplode(fp_arr).alias("__p0", "__fp"))
-        .select("__id", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
-    )
-    sh = _cap_positions(sh, max_positions, "__id")
+    # max_positions applies ROW-LOCALLY inside the explode (round 13) —
+    # same kept set as the ROW_NUMBER window the oracle replays, zero
+    # shuffle (see _capped_positioned_explode)
+    sh = _capped_positioned_explode(rep, fp_arr, max_positions, "__id")
     if max_doc_freq is not None:
         # df counted over distinct documents-BY-CONTENT == distinct reps
         live_fp = (
@@ -2444,11 +2443,52 @@ def _r_dedup_substring(
 
 # --- incremental substring dedup: SubstringIndex + dedup_against_substring -
 
+def _capped_positioned_explode(frame: DataFrame, fp_arr: Column, cap,
+                               *keep: str) -> DataFrame:
+    """``(keep..., __pos, __fp)`` positioned-fingerprint postings with the
+    keep-first-``cap``-per-fingerprint repetition bound applied ROW-LOCALLY
+    (round 13, guide §2.4): sort the per-row ``(f, p)`` structs (field-wise
+    struct ordering == fingerprint asc, position asc), then element ``j``
+    survives iff ``j <= cap`` or the element ``cap`` places earlier carries
+    a DIFFERENT fingerprint — in a (f, p)-sorted array that test is exactly
+    "occurrence rank <= cap". The kept row set is identical to the
+    ROW_NUMBER-window formulation (:func:`_cap_positions`, which the DuckDB
+    oracles replay), but the bound costs one O(n log n) per-row array sort
+    instead of a full Exchange + external sort of the corpus-sized posting
+    table — the one shuffle the substring family paid that its data did
+    not require. ``cap=None`` keeps the plain positional explode (no sort).
+    The sorted array is staged as a real column and referenced twice (the
+    filter target and the look-back ``element_at``), which keeps
+    CollapseProject from re-inlining the sort per reference (the round-1
+    HOF staging rule); the look-back is guarded by a lazy CASE WHEN so
+    ``element_at`` never sees an index < 1."""
+    pairs = F.transform(
+        fp_arr,
+        lambda f, j: F.struct(f.alias("f"), (j + 1).cast("bigint").alias("p")),
+    )
+    if cap is None:
+        ex = frame.select(*keep, F.explode(pairs).alias("__x"))
+    else:
+        c = int(cap)
+        staged = frame.withColumn("__fps", F.array_sort(pairs))
+        kept = F.filter(
+            F.col("__fps"),
+            lambda x, j: F.when(j < F.lit(c), F.lit(True)).otherwise(
+                F.element_at(F.col("__fps"), j - F.lit(c) + 1)["f"] != x["f"]
+            ),
+        )
+        ex = staged.select(*keep, F.explode(kept).alias("__x"))
+    return ex.select(*keep, F.col("__x")["p"].alias("__pos"),
+                     F.col("__x")["f"].alias("__fp"))
+
+
 def _positioned_postings(docs: DataFrame, text_col: str, id_col: str,
-                         k: int) -> DataFrame:
+                         k: int, cap=None) -> DataFrame:
     """(__id, __ck, __pos, __fp): 1-based positioned k-token shingle
     md5 fingerprints plus the full-content key, built row-local before the
-    explode (the dedup_substring discipline — never slice after explode)."""
+    explode (the dedup_substring discipline — never slice after explode).
+    ``cap`` applies the keep-first per-fingerprint repetition bound
+    row-locally (see :func:`_capped_positioned_explode`)."""
     toks = tokens_expr(F.col(text_col))
     staged = docs.select(
         F.col(id_col).alias("__id"), toks.alias("__t")
@@ -2457,11 +2497,8 @@ def _positioned_postings(docs: DataFrame, text_col: str, id_col: str,
         F.sequence(F.lit(1), F.size("__t") - k + 1),
         lambda j: F.md5(F.concat_ws(" ", F.slice("__t", j, F.lit(k)))),
     )
-    return (
-        staged.filter(F.size("__t") >= k)
-        .select("__id", "__ck", F.posexplode(fp_arr).alias("__p0", "__fp"))
-        .select("__id", "__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"),
-                "__fp")
+    return _capped_positioned_explode(
+        staged.filter(F.size("__t") >= k), fp_arr, cap, "__id", "__ck"
     )
 
 
@@ -2476,7 +2513,13 @@ def _cap_positions(postings: DataFrame, cap, key: str) -> DataFrame:
     (ROW_NUMBER over (key, fp) by position); the recall trade is that a
     run revisiting a >cap-repeated shingle reports only its first ``cap``
     alignments (clean corpora are unaffected — no (doc, fp) exceeds the
-    cap). ``None`` disables."""
+    cap). ``None`` disables.
+
+    Round 13: this windowed form is the REFERENCE implementation (it is
+    what the DuckDB oracles replay); the production paths apply the same
+    bound row-locally inside the explode (:func:`_capped_positioned_explode`
+    — no posting-table shuffle) and a test pins the two formulations
+    equal on a generation-loop corpus."""
     if cap is None:
         return postings
     w = Window.partitionBy(key, "__fp").orderBy("__pos")
@@ -2569,12 +2612,11 @@ def substring_index(
         F.sequence(F.lit(1), F.size("__t") - k + 1),
         lambda j: F.md5(F.concat_ws(" ", F.slice("__t", j, F.lit(k)))),
     )
-    sh = (
-        contents.filter(F.size("__t") >= k)
-        .select("__ck", F.posexplode(fp_arr).alias("__p0", "__fp"))
-        .select("__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
+    # row-local max_positions bound (round 13) — identical kept set to
+    # the windowed formulation, no posting-table shuffle
+    sh = _capped_positioned_explode(
+        contents.filter(F.size("__t") >= k), fp_arr, max_positions, "__ck"
     )
-    sh = _cap_positions(sh, max_positions, "__ck")
     fpck = scoped_persist(sh.select("__fp", "__ck").distinct())
     live = _substring_live_fps(fpck, max_doc_freq)
     inv = sh if live is None else sh.join(live, on="__fp", how="left_semi")
@@ -2617,14 +2659,12 @@ def update_substring_index(
         F.sequence(F.lit(1), F.size("__t") - k + 1),
         lambda j: F.md5(F.concat_ws(" ", F.slice("__t", j, F.lit(k)))),
     )
-    sh_new = (
-        fresh.filter(F.size("__t") >= k)
-        .select("__ck", F.posexplode(fp_arr).alias("__p0", "__fp"))
-        .select("__ck", (F.col("__p0") + 1).cast("bigint").alias("__pos"), "__fp")
-    )
     # rebuild-equivalence holds: the position cap is per distinct CONTENT,
     # and `fresh` contents are disjoint from already-indexed ones
-    sh_new = _cap_positions(sh_new, index.max_positions, "__ck")
+    # (row-local bound — see _capped_positioned_explode)
+    sh_new = _capped_positioned_explode(
+        fresh.filter(F.size("__t") >= k), fp_arr, index.max_positions, "__ck"
+    )
     fpck = scoped_persist(
         index.fpck.unionByName(sh_new.select("__fp", "__ck")).distinct()
     )
@@ -2849,8 +2889,10 @@ def dedup_against_substring(
     k = idx.min_tokens
     # the batch side gets the same within-doc repetition bound as the
     # index side — the alignment blowup is the r x s product of both
-    sh_b = _cap_positions(
-        _positioned_postings(spread(df), t, i, k), idx.max_positions, "__id"
+    # (applied row-locally inside the explode; see
+    # _capped_positioned_explode)
+    sh_b = _positioned_postings(
+        spread(df), t, i, k, cap=idx.max_positions
     ).select(
         F.col("__id").alias("__bid"), F.col("__pos").alias("__bpos"), "__fp"
     )

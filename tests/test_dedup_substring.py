@@ -373,6 +373,45 @@ def test_max_positions_bounds_generation_loop_corpus(spark):
         max_positions=None, mode="filter").count() == 1
 
 
+def test_row_local_cap_equals_windowed_cap(spark):
+    """Round 13 optimization: the production position cap is applied
+    row-locally inside the explode (_capped_positioned_explode — no
+    posting-table shuffle); this pins its kept row set EQUAL to the
+    windowed reference formulation (_cap_positions, what the DuckDB
+    oracles replay) on a generation-loop corpus with interleaved repeats,
+    for several cap values including 1 and None."""
+    from pyspark.sql import functions as SF
+
+    from rasgoql_spark.functions.dedup import (
+        _cap_positions, _positioned_postings)
+
+    rows = [
+        (1, ("alpha beta gamma " * 50).strip()),          # 3-token loop
+        (2, "alpha beta gamma delta " + "alpha beta gamma " * 7),
+        (3, "one two three four five six seven"),          # clean doc
+        (4, "x y " * 40 + "alpha beta gamma"),             # 2-token loop
+    ]
+    docs = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    for cap in (None, 1, 3, 20):
+        ref = _cap_positions(
+            _positioned_postings(docs, "text", "id", 3), cap, "__id")
+        got = _positioned_postings(docs, "text", "id", 3, cap=cap)
+        cols = ["__id", "__ck", "__pos", "__fp"]
+        only_ref = ref.select(cols).exceptAll(got.select(cols)).count()
+        only_got = got.select(cols).exceptAll(ref.select(cols)).count()
+        assert only_ref == 0 and only_got == 0, (cap, only_ref, only_got)
+        if cap is not None:
+            per = (got.groupBy("__id", "__fp").count()
+                   .agg(SF.max("count")).first()[0])
+            assert per <= cap
+    # the row-local path must plan shuffle-free: no Exchange below the
+    # explode (the windowed form pays one)
+    plan = _positioned_postings(docs, "text", "id", 3, cap=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_max_positions_baked_into_index_roundtrip_and_conflict(ref_bat, tmp_path):
     """The position cap is index state: save/load preserves it, update
     applies it to new contents, and an explicit conflicting value raises
