@@ -1524,8 +1524,14 @@ def embedding_join_ivfpq(
         )
     np_ = _resolve_nprobe(nprobe, len(idx.centroids))
     mid = f"{right_prefix}ID"
+    # spread() the query side BEFORE the per-row probe/LUT work (round 13;
+    # the embedding_join_ivf precedent): the left frame is often a narrow
+    # single-partition scan, and everything up to the candidate join's
+    # broadcast/exchange — normalization, the m·cb·d_sub LUT fold, probe
+    # ranking — would otherwise run in ONE task (measured 0.9 s serial per
+    # call at the bench sizing, the single-task stage in the profile)
     q = _unit_rounded(
-        df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
+        spread(df).select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
         "__qvec", "__qu",
     ).select("__qid", "__qu")
     if idx.rotation is not None:

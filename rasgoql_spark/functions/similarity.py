@@ -956,8 +956,10 @@ def dedup_against_embedding(
                 f"d_sub={pidx.d_sub})"
             )
         nprobe = _resolve_nprobe(nprobe, len(pidx.centroids))
+        # spread() before the per-row LUT/probe work — the batch side may
+        # be a single-partition scan (round 13; embedding_join_ivfpq note)
         q = _unit_rounded(
-            df.select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
+            spread(df).select(F.col(i).alias("__qid"), F.col(v).alias("__qvec")),
             "__qvec", "__qu",
         ).select("__qid", "__qu")
         if pidx.rotation is not None:
