@@ -567,33 +567,40 @@ def near_dup_clusters(
     edges = scoped_persist(half.union(
         half.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
     ))
-    labels = scoped_persist(
+    labels = (
         df.select(F.col(i).alias("__id")).distinct().withColumn("__lab", F.col("__id"))
     )
+    lab_type = labels.schema["__lab"].dataType
+    # graph.connected_components' round-14 loop, mirrored: the convergence
+    # check rides the min-aggregation — labels holds one row per id, so
+    # max(__old) over the union recovers each node's previous label and the
+    # per-round changed-join (one extra join + exchange + job) disappears;
+    # labels are unchanged (min(__lab) aggregates exactly the same union
+    # rows). And the plan is truncated EVERY round with a lazy
+    # localCheckpoint that the changed-count materializes (still exactly
+    # one action per round): each round references the previous frame
+    # twice (union + msgs), so checkpointing every K rounds made the
+    # driver re-traverse 2^K shared-subtree paths at every plan build, and
+    # a mid-loop release_now additionally recached dependents and
+    # recomputed the lineage. The per-round label trajectory is
+    # bit-identical to the unrolled form the .sql() renderer emits.
+    labels = labels.localCheckpoint(eager=True)
     for it in range(max_iterations):
         msgs = edges.join(
             labels.withColumnRenamed("__id", "__src"), on="__src"
         ).select(F.col("__dst").alias("__id"), "__lab")
         new_labels = (
-            labels.unionByName(msgs).groupBy("__id").agg(F.min("__lab").alias("__lab"))
-        )
-        if (it + 1) % 5 == 0:
-            # Bound lineage depth: each round stacks join+agg on the last, so
-            # a lost executor at iteration N would otherwise recompute all N
-            # rounds. Truncate the plan to the materialized partitions.
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = scoped_persist(new_labels)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("__lab", "__old"), on="__id")
-            .filter("__lab <> __old")
-            .count()
-        )
-        release_now(labels)
-        labels = new_labels
+            labels.select("__id", "__lab", F.col("__lab").alias("__old"))
+            .unionByName(msgs.withColumn("__old", F.lit(None).cast(lab_type)))
+            .groupBy("__id")
+            .agg(F.min("__lab").alias("__lab"), F.max("__old").alias("__old"))
+        ).localCheckpoint(eager=False)
+        changed = new_labels.filter(
+            ~F.col("__lab").eqNullSafe(F.col("__old"))
+        ).count()
+        labels = new_labels.select("__id", "__lab")
         if changed == 0:
             break
-    release_now(edges)
     # CLUSTER_ID stays in the id column's native type: a bigint cast on a
     # string doc-id column would NULL every label and make dedup_by_cluster's
     # (id == CLUSTER_ID) filter drop all rows.
@@ -603,7 +610,7 @@ def near_dup_clusters(
         F.col(i),
         F.coalesce("__lab", F.col(i)).cast(df.schema[i].dataType).alias("CLUSTER_ID"),
     )
-    return release_with(out, labels)
+    return release_with(out, edges)
 
 
 @spark_transform("dedup_by_cluster", category="dedup", streaming_ok=False)

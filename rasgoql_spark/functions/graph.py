@@ -271,8 +271,8 @@ def connected_components(
 
     Scale: each round is one slim (node, label) join + min-aggregation;
     converges in <= component-diameter rounds with an early-exit count;
-    ``localCheckpoint`` every 5 rounds bounds lineage. Same guarantees and
-    cost model as the dedup path.
+    per-round ``localCheckpoint`` bounds lineage and driver planning.
+    Same guarantees and cost model as the dedup path.
     """
     if max_iterations < 1:
         raise ParameterException("max_iterations must be >= 1")
@@ -281,29 +281,55 @@ def connected_components(
     edges = scoped_persist(half.union(
         half.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
     ))
-    labels = scoped_persist(
+    labels = (
         edges.select(F.col("__src").alias("__id"))
         .dropDuplicates()
         .withColumn("__lab", F.col("__id"))
     )
+    lab_type = labels.schema["__lab"].dataType
+    # Round-14 loop, two changes over the round-13 form (10.7 s before on
+    # the sf0.1 entry — 88 jobs for 4 core-seconds of task work, i.e.
+    # job-count/driver-bound, not compute-bound):
+    #
+    # 1. Fused convergence check: carry each node's PREVIOUS label through
+    #    the min-aggregation — labels holds exactly one row per id, so
+    #    max(__old) recovers it (msgs contribute nulls, which aggregates
+    #    ignore); min(__lab) aggregates exactly the same union rows as
+    #    before, so labels are unchanged. The old form joined new labels
+    #    back to old labels: one extra join + exchange per round, in its
+    #    own job.
+    # 2. Plan truncation EVERY round (lazy localCheckpoint; the
+    #    changed-count materializes it, so each round still pays exactly
+    #    one action). Each round references the previous frame twice
+    #    (union + msgs), so between the round-13 every-5-rounds
+    #    checkpoints the driver re-traversed 2^k shared-subtree paths at
+    #    every plan build. Per-round truncation makes planning cost
+    #    constant; the checkpointed frames are the slim (id, label) pairs
+    #    the loop must materialize anyway.
+    #
+    # NOT taken: a pointer-doubling shortcut (lab <- lab-of-lab) converges
+    # in O(log diameter) rounds and measured 2.8 s here — but
+    # max_iterations is part of the operator contract (the .sql() renderer
+    # unrolls exactly N plain propagation levels and the renderer-parity
+    # fixtures pin capped, non-converged graphs), and shortcut rounds
+    # advance further per round than the rendered SQL. Kept the plain
+    # per-round trajectory, bit-identical at every cap.
+    labels = labels.localCheckpoint(eager=True)
     for it in range(max_iterations):
         msgs = edges.join(
             labels.withColumnRenamed("__id", "__src"), on="__src"
         ).select(F.col("__dst").alias("__id"), "__lab")
         new_labels = (
-            labels.unionByName(msgs).groupBy("__id").agg(F.min("__lab").alias("__lab"))
-        )
-        if (it + 1) % 5 == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = scoped_persist(new_labels)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("__lab", "__old"), on="__id")
-            .filter("__lab <> __old")
-            .count()
-        )
-        release_now(labels)
-        labels = new_labels
+            labels.select("__id", "__lab", F.col("__lab").alias("__old"))
+            .unionByName(msgs.withColumn("__old", F.lit(None).cast(lab_type)))
+            .groupBy("__id")
+            .agg(F.min("__lab").alias("__lab"), F.max("__old").alias("__old"))
+        ).localCheckpoint(eager=False)
+        # one job per round: the count doubles as the checkpoint painting
+        changed = new_labels.filter(
+            ~F.col("__lab").eqNullSafe(F.col("__old"))
+        ).count()
+        labels = new_labels.select("__id", "__lab")
         if changed == 0:
             break
     out = labels.select(F.col("__id").alias("NODE"), F.col("__lab").alias("COMPONENT"))
@@ -488,7 +514,8 @@ def label_propagation(
     null endpoints drop).
 
     Scale: per round one edges-by-src join + one (node,label) count + one
-    per-node top-1 window — the same slim-id shuffle profile as pagerank;
+    per-node top-1 min-struct aggregation (both aggregations combine
+    map-side) — the same slim-id shuffle profile as pagerank;
     ``localCheckpoint`` every 3 rounds bounds lineage.
     """
     if iterations < 1:
@@ -506,29 +533,39 @@ def label_propagation(
     labels = edges.select(F.col("__src").alias("__node")).dropDuplicates().withColumn(
         "__lab", F.col("__node")
     )
-    iter_caches: list[DataFrame] = []
-    from pyspark.sql import Window
-
+    # No per-level persists (round 14): each label level feeds exactly ONE
+    # consumer (the next round's join; the last feeds the output), so the
+    # whole fixed-iteration computation is one lazy plan — the old per-level
+    # scoped_persist only added a cache write+read per round. Lineage depth
+    # stays bounded by the localCheckpoint every 3 rounds (lazy checkpoint
+    # truncates the Catalyst plan immediately; the final action
+    # materializes it).
     for it in range(iterations):
-        labels = scoped_persist(labels)
-        iter_caches.append(labels)
         counts = (
             edges.join(labels, edges["__src"] == labels["__node"])
             .groupBy(F.col("__dst").alias("__n2"), F.col("__lab"))
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
-        w = Window.partitionBy("__n2").orderBy(
-            F.col("__cnt").desc(), F.col("__lab").asc()
-        )
+        # per-node top-1 as an aggregation, not a row_number window
+        # (round 14): min over (-count, label) structs is exactly the
+        # window's (count desc, label asc) first row — field-wise struct
+        # comparison is the ORDER BY semantics for any orderable label
+        # type, and (node, label) rows are unique after the groupBy, so
+        # the argmin is the same row. The window shape paid a full sort of
+        # the (node, label, count) table inside its exchange; the
+        # aggregation pre-reduces map-side to one row per node per
+        # partition before shuffling, and sorts nothing.
         labels = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("__n2").alias("__node"), "__lab")
+            counts.groupBy(F.col("__n2").alias("__node"))
+            .agg(F.min(F.struct(
+                (-F.col("__cnt")).alias("__nc"), F.col("__lab").alias("__l")
+            )).alias("__m"))
+            .select("__node", F.col("__m.__l").alias("__lab"))
         )
         if (it + 1) % 3 == 0:
             labels = labels.localCheckpoint(eager=False)
     out = labels.select(F.col("__node").alias("NODE"), F.col("__lab").alias("LABEL"))
-    return release_with(out, edges, *iter_caches)
+    return release_with(out, edges)
 
 
 @renderer("label_propagation")
@@ -621,12 +658,21 @@ def kcore(
             break
         deg = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select("__src")
+        # dst-side semi first, src-side LAST (round 14): the surviving edge
+        # set then leaves the round hash-partitioned by __src — the key the
+        # NEXT round's degree aggregation and src-side semi-join need — so
+        # checkpointed rounds hand their partitioning straight to the next
+        # round. The two semi-joins are filters; order cannot change the
+        # result.
         new_edges = (
-            edges.join(keep, on="__src", how="left_semi")
-            .join(keep.withColumnRenamed("__src", "__dst"), on="__dst", how="left_semi")
+            edges.join(keep.withColumnRenamed("__src", "__dst"), on="__dst",
+                       how="left_semi")
+            .join(keep, on="__src", how="left_semi")
         )
         if (it + 1) % 3 == 0:
-            new_edges = new_edges.localCheckpoint(eager=True)
+            # lazy: the early-exit count below materializes the checkpoint,
+            # so the round pays one pass, not a checkpoint pass + a count
+            new_edges = new_edges.localCheckpoint(eager=False)
         else:
             new_edges = scoped_persist(new_edges)
             caches.append(new_edges)
