@@ -786,3 +786,30 @@ def test_substring_index_bucketed_join_no_index_exchange(spark, session, tmp_pat
         from rasgoql_spark.functions.dedup import _substring_bucket_table
 
         spark.sql(f"DROP TABLE IF EXISTS {_substring_bucket_table(path)}")
+
+
+def test_large_build_side_still_plans_sort_merge_join(spark):
+    """Safety pin for the global preferSortMergeJoin=false (VERDICT r13
+    item 8): the static planner may only pick shuffled-hash when the build
+    side's ESTIMATED size fits a per-partition hash map
+    (stats < autoBroadcastJoinThreshold * shufflePartitions); a large
+    build side must keep planning SortMergeJoin, which can spill — so a
+    future stats regression cannot silently turn a 100 TB join into an
+    executor OOM. spark.range carries exact 8-bytes/row statistics, so
+    these estimates are deterministic."""
+    import re
+
+    big = spark.range(10_000_000_000)          # ~80 GB estimated
+    alsobig = spark.range(1_000_000_000)       # ~8 GB: >> 10MB*4 map budget
+    plan = big.join(alsobig, "id")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert re.search(r"\(\d+\) SortMergeJoin", plan), plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+    # positive control — the conf is live: a build side that exceeds the
+    # broadcast threshold but fits the per-partition map budget
+    # (4 shuffle partitions here) plans shuffled-hash, not sort-merge
+    medium = spark.range(3_000_000)            # ~24 MB: >10 MB, <40 MB
+    plan2 = big.join(medium, "id")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert re.search(r"\(\d+\) ShuffledHashJoin", plan2), plan2
