@@ -331,6 +331,17 @@ def dedup_minhash(
     if num_hashes % bands != 0:
         raise ParameterException("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    input_caches: tuple = ()
+    if mode == "filter":
+        # filter mode consumes the INPUT twice — the signature pipeline and
+        # the final anti-join's left side — and the collapse guard probe is
+        # an action, so without a cache the full upstream lineage executes
+        # once per downstream action (a curation chain like pipeline_e2e
+        # re-runs every upstream operator a second time). Persist the input
+        # across its two consumers; released with the result (round 14).
+        # pairs/edges modes consume the input once — no cache there.
+        df = scoped_persist(df)
+        input_caches = (df,)
     # persist: the annotated signature table feeds the band join, both sides
     # of the candidate verification join, AND the member expansion — without
     # it the whole shingle+minhash pipeline is recomputed per consumer;
@@ -403,7 +414,8 @@ def dedup_minhash(
         i = resolve_col(df, id_col)
         dupes = out.select(F.col("ID_B").alias(i)).distinct()
         return release_with(
-            df.join(dupes, on=i, how="left_anti").select(*df.columns), *caches
+            df.join(dupes, on=i, how="left_anti").select(*df.columns),
+            *caches, *input_caches,
         )
     return release_with(out, *caches)
 

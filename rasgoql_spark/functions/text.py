@@ -159,6 +159,13 @@ def _r_text_quality(source, text, _input_columns=()) -> str:
     return with_columns_sql(source, exprs, _input_columns)
 
 
+# language_id(method='model') uses the pivoted (one ln-P array per bucket)
+# scoring path up to this many labels; beyond it, the general label
+# fan-out path. Module-level so the equivalence test can force the
+# general path on the same fixture.
+_PIVOT_MAX_LABELS = 64
+
+
 def _char_ngrams_expr(norm, n: int):
     """Array of character n-grams of a normalized string (empty array when
     shorter than n — sequence() would DESCEND on stop < start)."""
@@ -311,7 +318,10 @@ def language_id(
     # only be predicted via the empty-doc prior fallback, exactly the
     # oracle's FROM-tg label set
     labels = lstats.filter(F.col("__cl") > 0).select("__lab")
-    n_labels = labels.count()  # bounded action (distinct labels)
+    # bounded action (distinct labels) — the label VALUES drive the
+    # pivoted scoring path below, so collect them instead of counting
+    labs = sorted(r["__lab"] for r in labels.collect())
+    n_labels = len(labs)
     if n_labels == 0:
         raise ParameterException(
             "training set is empty after normalization — no label has any "
@@ -328,51 +338,124 @@ def language_id(
         "__tx", "__id",
     ).groupBy("__id", "__b").agg(
         F.count(F.lit(1)).cast("double").alias("__cnt"))
-    # the count table is bounded at n_features x n_labels rows — when that
-    # bound is broadcast-sized, say so explicitly so the corpus-sized
-    # label fan-out never shuffles or sorts for the count join (the
-    # initial plan's one SortMergeJoin; round 13); huge configurations
-    # (user-raised n_features x many labels) fall back to AQE
-    tl_b = (
-        F.broadcast(tl_counts)
-        if n_features * n_labels <= 4_000_000 else tl_counts
-    )
-    scored = (
-        pairs.crossJoin(F.broadcast(labels))
-        .join(tl_b, on=["__b", "__lab"], how="left")
-        .join(F.broadcast(lstats), on="__lab")
-        .select(
-            "__id", "__lab", "__cnt",
-            (F.col("__cnt") * F.log(
-                (F.coalesce(F.col("__ctl"), F.lit(0)) + F.lit(alpha))
-                / (F.col("__cl") + F.lit(alpha) * F.lit(float(n_features)))
-            )).alias("__ll"),
+    if n_labels <= _PIVOT_MAX_LABELS and n_features * n_labels <= 4_000_000:
+        # PIVOTED scoring (round 14, VERDICT r13 item 6): the old shape
+        # fanned every (doc, bucket, count) row out by |labels| (crossJoin
+        # + count join + (id,label) rollup + per-id row_number window —
+        # ~60 core-s/run of real work on the bench corpus). Instead,
+        # pivot the bounded (bucket x label) likelihood matrix into ONE
+        # ln-P array per bucket (ordered by the sorted label list), join
+        # the per-doc bucket histogram ONCE on __b, and roll up per doc
+        # with one sum column per label. The argmax becomes a row-local
+        # struct-array min — no fan-out rows, no (id,label) shuffle, no
+        # window sort. Every summed term is the IDENTICAL double the
+        # fan-out produced (same ln expression over the same coalesced
+        # counts; covering all n_features buckets makes the histogram
+        # join an always-matching inner join), so staged rounding hits
+        # the same grid. Struct-min over (-score, label) is exactly the
+        # window's (score DESC, label ASC) first row: negation flips the
+        # double total order (including -0.0/0.0), and -(-s) restores s
+        # bit-for-bit. Guarded to bounded label sets; the label fan-out
+        # below remains the general path.
+        vec = (
+            df.sparkSession.range(n_features).select(F.col("id").alias("__b"))
+            .crossJoin(lstats.filter(F.col("__cl") > 0))
+            .join(tl_counts, on=["__b", "__lab"], how="left")
+            .select(
+                "__b", "__lab",
+                F.log(
+                    (F.coalesce(F.col("__ctl"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__cl") + F.lit(alpha) * F.lit(float(n_features)))
+                ).alias("__ll"),
+            )
+            .groupBy("__b")
+            # array_sort on (label, ll) structs orders by label ASC — the
+            # same order as the collected `labs`
+            .agg(F.array_sort(F.collect_list(F.struct("__lab", "__ll")))
+                 .alias("__sv"))
+            .select("__b", F.col("__sv.__ll").alias("__lls"))
         )
-        .groupBy("__id", "__lab")
-        .agg(F.sum("__ll").alias("__sll"),
-             F.sum("__cnt").alias("__nd"))
-    )
-    ranked = (
-        scored.join(F.broadcast(lstats.select("__lab", "__dl")), on="__lab")
-        .crossJoin(F.broadcast(gstats))
-        .select(
-            "__id", "__lab",
-            F.round(
-                (F.col("__sll") + F.log(F.col("__dl") / F.col("__n")))
-                / F.col("__nd"),
-                round_to,
-            ).alias("__score"),
+        scored = (
+            pairs.join(F.broadcast(vec), on="__b")
+            .groupBy("__id")
+            .agg(
+                *[F.sum(F.col("__cnt") * F.col("__lls")[k]).alias(f"__s{k}")
+                  for k in range(n_labels)],
+                F.sum("__cnt").alias("__nd"),
+            )
         )
-    )
-    w = Window.partitionBy("__id").orderBy(
-        F.col("__score").desc(), F.col("__lab").asc()
-    )
-    best = (
-        ranked.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("__id", F.col("__lab").alias("__pred"),
-                F.col("__score").alias("__ps"))
-    )
+        # per-label ln-priors as one array ordered like `labs`, computed
+        # in Spark (not driver literals) so the doubles match the fan-out
+        # path and the oracle bit-for-bit
+        pri = (
+            lstats.filter(F.col("__cl") > 0).crossJoin(gstats)
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "__lab", F.log(F.col("__dl") / F.col("__n")).alias("__lp")
+            ))).alias("__pv"))
+            .select(F.col("__pv.__lp").alias("__lps"))
+        )
+        best = (
+            scored.crossJoin(F.broadcast(pri))
+            .select("__id", F.array_min(F.array(*[
+                F.struct(
+                    (-F.round(
+                        (F.col(f"__s{k}") + F.col("__lps")[k]) / F.col("__nd"),
+                        round_to,
+                    )).alias("__ns"),
+                    F.lit(labs[k]).alias("__l"),
+                ) for k in range(n_labels)
+            ])).alias("__m"))
+            .select("__id", F.col("__m.__l").alias("__pred"),
+                    (-F.col("__m.__ns")).alias("__ps"))
+        )
+    else:
+        # GENERAL path (label fan-out) for unbounded label sets. The count
+        # table is bounded at n_features x n_labels rows — when that bound
+        # is broadcast-sized, say so explicitly so the corpus-sized label
+        # fan-out never shuffles or sorts for the count join (the initial
+        # plan's one SortMergeJoin; round 13); huge configurations
+        # (user-raised n_features x many labels) fall back to AQE
+        tl_b = (
+            F.broadcast(tl_counts)
+            if n_features * n_labels <= 4_000_000 else tl_counts
+        )
+        scored = (
+            pairs.crossJoin(F.broadcast(labels))
+            .join(tl_b, on=["__b", "__lab"], how="left")
+            .join(F.broadcast(lstats), on="__lab")
+            .select(
+                "__id", "__lab", "__cnt",
+                (F.col("__cnt") * F.log(
+                    (F.coalesce(F.col("__ctl"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("__cl") + F.lit(alpha) * F.lit(float(n_features)))
+                )).alias("__ll"),
+            )
+            .groupBy("__id", "__lab")
+            .agg(F.sum("__ll").alias("__sll"),
+                 F.sum("__cnt").alias("__nd"))
+        )
+        ranked = (
+            scored.join(F.broadcast(lstats.select("__lab", "__dl")), on="__lab")
+            .crossJoin(F.broadcast(gstats))
+            .select(
+                "__id", "__lab",
+                F.round(
+                    (F.col("__sll") + F.log(F.col("__dl") / F.col("__n")))
+                    / F.col("__nd"),
+                    round_to,
+                ).alias("__score"),
+            )
+        )
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__score").desc(), F.col("__lab").asc()
+        )
+        best = (
+            ranked.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("__id", F.col("__lab").alias("__pred"),
+                    F.col("__score").alias("__ps"))
+        )
     # prior-only fallback for zero-ngram docs (the nb_classify contract):
     # one-row struct-min argmax over the label-bounded stats frame —
     # (-dl, lab) min == highest prior, lexicographically-smallest tie

@@ -975,3 +975,46 @@ def test_language_id_model_empty_training_set_raises(spark):
                                "id BIGINT, text STRING")
     with pytest.raises(rql.ParameterException, match="training set is empty"):
         language_id(df, "text", method="model", id_col="id")
+
+
+def test_language_id_model_pivot_matches_label_fanout(spark, monkeypatch):
+    """Round 14: the pivoted scoring path (per-bucket ln-P arrays, one
+    histogram join, row-local struct-min argmax) must return EXACTLY the
+    frame the general label fan-out path returns — same predictions, same
+    6dp scores, including ties (equal-likelihood labels -> lexicographically
+    smallest) and the empty-doc prior fallback."""
+    from rasgoql_spark.functions import text as text_mod
+    from rasgoql_spark.functions.text import language_id
+
+    train_rows = [
+        ("the cat sat on the mat and it was happy for hours", "en"),
+        ("a quick brown fox jumps over that lazy sleeping dog", "en"),
+        ("el perro corre en la casa y los gatos duermen alli", "es"),
+        ("la escuela de los ninos esta cerca del mercado grande", "es"),
+        # twin labels trained on IDENTICAL text: every doc scores them
+        # equally, so the argmax must fall to the lexicographic tiebreak
+        ("zz yy xx ww vv uu tt ss rr qq pp oo", "tie_a"),
+        ("zz yy xx ww vv uu tt ss rr qq pp oo", "tie_b"),
+    ]
+    test_rows = [
+        (1, "the weather was lovely and it made everyone happy"),
+        (2, "los perros grandes corren por las calles del pueblo"),
+        (3, "zz yy xx ww vv uu tt"),       # tie: must predict tie_a
+        (4, "qqqq zzzz glyph burst"),       # mostly-unseen trigrams
+        (5, ""),                            # empty doc -> prior fallback
+    ]
+    train = spark.createDataFrame(train_rows, "text STRING, lang STRING")
+    test = spark.createDataFrame(test_rows, "id BIGINT, text STRING")
+
+    def run():
+        return sorted(map(tuple, language_id(
+            test, "text", name="P", method="model", id_col="id",
+            train=train, train_label="lang",
+        ).select("id", "P", "P_SCORE").collect()))
+
+    got_pivot = run()
+    monkeypatch.setattr(text_mod, "_PIVOT_MAX_LABELS", 0)
+    got_fanout = run()
+    assert got_pivot == got_fanout
+    tie = dict((r[0], r[1]) for r in got_pivot)
+    assert tie[3] == "tie_a"
