@@ -33,7 +33,7 @@ from rasgoql_spark.functions._hash import shingles_expr, tokens_expr  # noqa: E4
 from rasgoql_spark.functions.dedup import (  # noqa: E402
     _annotate_groups, _capped_postings,
 )
-from rasgoql_spark.functions._util import spread  # noqa: E402
+from rasgoql_spark.operators._util import spread  # noqa: E402
 
 
 def main() -> int:
@@ -66,30 +66,50 @@ def main() -> int:
         .dropDuplicates(["__id_a", "__id_b"])
     )
     shingle_tbl = rep_sig.select("__id", "__sh")
-    cand = cand_ids.join(
-        shingle_tbl.select(F.col("__id").alias("__id_a"),
-                           F.col("__sh").alias("__sh_a")), on="__id_a",
-    ).join(
-        shingle_tbl.select(F.col("__id").alias("__id_b"),
-                           F.col("__sh").alias("__sh_b")), on="__id_b",
-    ).persist()
-    n = cand.count()
+    cand_ids = cand_ids.persist()
+    n = cand_ids.count()
     print(f"candidate pairs: {n}", flush=True)
 
+    def with_arrays(ids):
+        return ids.join(
+            shingle_tbl.select(F.col("__id").alias("__id_a"),
+                               F.col("__sh").alias("__sh_a")), on="__id_a",
+        ).join(
+            shingle_tbl.select(F.col("__id").alias("__id_b"),
+                               F.col("__sh").alias("__sh_b")), on="__id_b",
+        )
+
+    cand = with_arrays(cand_ids)
+
     a, b = F.col("__sh_a"), F.col("__sh_b")
-    merged = F.array_sort(F.concat(a, b))
+    # v2 must STAGE the merged-sorted array as a real column before the
+    # HOF: a lambda that captures the sort expression re-evaluates it per
+    # element (the repo's round-1 25x lesson). Each variant is therefore a
+    # (pre_projection, intersect_expr) pair.
+    merged = F.col("__mg")
     variants = {
-        "v0_array_intersect": F.size(F.array_intersect(a, b)),
-        "v1_union_arith": F.size(a) + F.size(b) - F.size(F.array_union(a, b)),
-        "v2_sorted_merge_hof": F.size(F.filter(
-            F.sequence(F.lit(2), F.size(merged)),
-            lambda k: F.element_at(merged, k) == F.element_at(merged, k - 1),
-        )),
+        "v0_array_intersect": (None, F.size(F.array_intersect(a, b))),
+        "v1_union_arith": (
+            None, F.size(a) + F.size(b) - F.size(F.array_union(a, b))),
+        "v2_sorted_merge_hof": (
+            F.array_sort(F.concat(a, b)).alias("__mg"),
+            F.size(F.filter(
+                F.sequence(F.lit(2), F.size(merged)),
+                lambda k: F.element_at(merged, k) == F.element_at(merged, k - 1),
+            ))),
     }
 
-    # agreement check (exact integers)
-    chk = cand.select(
-        *[v.alias(k) for k, v in variants.items()]
+    def staged(frame, k):
+        pre, expr = variants[k]
+        if pre is not None:
+            frame = frame.select("__id_a", "__id_b", "__sh_a", "__sh_b", pre)
+        return frame, expr
+
+    # agreement check (exact integers) on a 1-in-20 sample
+    sample = with_arrays(cand_ids.filter(F.col("__id_a") % 20 == 0))
+    sample = sample.select("*", variants["v2_sorted_merge_hof"][0])
+    chk = sample.select(
+        *[v[1].alias(k) for k, v in variants.items()]
     ).filter(
         (F.col("v0_array_intersect") != F.col("v1_union_arith"))
         | (F.col("v0_array_intersect") != F.col("v2_sorted_merge_hof"))
@@ -99,9 +119,10 @@ def main() -> int:
         return 1
 
     out = {}
-    for k, v in variants.items():
-        q = cand.select(
-            "__id_a", "__id_b", v.cast("double").alias("__inter"),
+    for k in variants:
+        frame, expr = staged(cand, k)
+        q = frame.select(
+            "__id_a", "__id_b", expr.cast("double").alias("__inter"),
             F.size(a).alias("__na"), F.size(b).alias("__nb"),
         )
         times = []
@@ -112,7 +133,7 @@ def main() -> int:
         out[k] = {"median": statistics.median(times[1:]), "times": times[1:]}
         print(k, out[k], flush=True)
     print(json.dumps(out))
-    cand.unpersist()
+    cand_ids.unpersist()
     return 0
 
 
