@@ -2480,7 +2480,15 @@ def _capped_positioned_explode(frame: DataFrame, fp_arr: Column, cap,
     filter target and the look-back ``element_at``), which keeps
     CollapseProject from re-inlining the sort per reference (the round-1
     HOF staging rule); the look-back is guarded by a lazy CASE WHEN so
-    ``element_at`` never sees an index < 1."""
+    ``element_at`` never sees an index < 1.
+
+    PRECONDITION (round 14, ADVICE r13): the ``keep`` columns must
+    uniquely identify rows of ``frame`` — this cap is per ROW, while the
+    windowed oracle formulation is per KEY. All current call sites
+    satisfy it (rep is one row per __id; contents/fresh are
+    dropDuplicates'd per __ck; the batch side is per-row ids). A caller
+    passing duplicate keep-keys would silently keep more postings than
+    :func:`_cap_positions` and break the oracle-equivalence contract."""
     pairs = F.transform(
         fp_arr,
         lambda f, j: F.struct(f.alias("f"), (j + 1).cast("bigint").alias("p")),
