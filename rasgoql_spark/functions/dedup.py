@@ -596,17 +596,40 @@ def near_dup_clusters(
     # a mid-loop release_now additionally recached dependents and
     # recomputed the lineage. The per-round label trajectory is
     # bit-identical to the unrolled form the .sql() renderer emits.
+    # Two plain levels per action (round 14, as in connected_components):
+    # the first level composes lazily; the second carries the fused check
+    # and one count materializes both. Values at every level remain the
+    # plain one-level recurrence, so the capped trajectory stays
+    # bit-identical to the renderer's unrolled SQL; min-propagation is
+    # monotone, so an unchanged LAST level means a fixpoint and the early
+    # exit is sound.
     labels = labels.localCheckpoint(eager=True)
-    for it in range(max_iterations):
+
+    def _level(lab_frame, with_old: bool):
         msgs = edges.join(
-            labels.withColumnRenamed("__id", "__src"), on="__src"
+            lab_frame.withColumnRenamed("__id", "__src"), on="__src"
         ).select(F.col("__dst").alias("__id"), "__lab")
-        new_labels = (
-            labels.select("__id", "__lab", F.col("__lab").alias("__old"))
+        if not with_old:
+            return (
+                lab_frame.unionByName(msgs)
+                .groupBy("__id").agg(F.min("__lab").alias("__lab"))
+            )
+        return (
+            lab_frame.select("__id", "__lab", F.col("__lab").alias("__old"))
             .unionByName(msgs.withColumn("__old", F.lit(None).cast(lab_type)))
             .groupBy("__id")
             .agg(F.min("__lab").alias("__lab"), F.max("__old").alias("__old"))
-        ).localCheckpoint(eager=False)
+        )
+
+    done = 0
+    while done < max_iterations:
+        if max_iterations - done >= 2:
+            mid = _level(labels, with_old=False)
+            done += 2
+        else:
+            mid = labels
+            done += 1
+        new_labels = _level(mid, with_old=True).localCheckpoint(eager=False)
         changed = new_labels.filter(
             ~F.col("__lab").eqNullSafe(F.col("__old"))
         ).count()

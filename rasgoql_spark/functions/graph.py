@@ -314,18 +314,46 @@ def connected_components(
     # fixtures pin capped, non-converged graphs), and shortcut rounds
     # advance further per round than the rendered SQL. Kept the plain
     # per-round trajectory, bit-identical at every cap.
+    # Batching (round 14, second pass): TWO plain propagation levels per
+    # action. The first level of each batch is composed lazily (no
+    # checkpoint, no count); the second carries the fused __old check and
+    # materializes both via one count. The label value at every level is
+    # still the plain one-level recurrence — batching only changes WHERE
+    # the plan is cut, so the capped trajectory stays bit-identical to
+    # the renderer's unrolled SQL. Early exit checks the batch's LAST
+    # transition: min-propagation is monotone, so an unchanged last level
+    # means a fixpoint (the composed extra level is then the identity and
+    # the output equals the plain loop's early-exit output). Halves the
+    # action count — the loop was measured job-cascade-bound, not
+    # compute-bound.
     labels = labels.localCheckpoint(eager=True)
-    for it in range(max_iterations):
+
+    def _level(lab_frame, with_old: bool):
         msgs = edges.join(
-            labels.withColumnRenamed("__id", "__src"), on="__src"
+            lab_frame.withColumnRenamed("__id", "__src"), on="__src"
         ).select(F.col("__dst").alias("__id"), "__lab")
-        new_labels = (
-            labels.select("__id", "__lab", F.col("__lab").alias("__old"))
+        if not with_old:
+            return (
+                lab_frame.unionByName(msgs)
+                .groupBy("__id").agg(F.min("__lab").alias("__lab"))
+            )
+        return (
+            lab_frame.select("__id", "__lab", F.col("__lab").alias("__old"))
             .unionByName(msgs.withColumn("__old", F.lit(None).cast(lab_type)))
             .groupBy("__id")
             .agg(F.min("__lab").alias("__lab"), F.max("__old").alias("__old"))
-        ).localCheckpoint(eager=False)
-        # one job per round: the count doubles as the checkpoint painting
+        )
+
+    done = 0
+    while done < max_iterations:
+        if max_iterations - done >= 2:
+            mid = _level(labels, with_old=False)
+            done += 2
+        else:
+            mid = labels
+            done += 1
+        new_labels = _level(mid, with_old=True).localCheckpoint(eager=False)
+        # one job per batch: the count doubles as the checkpoint painting
         changed = new_labels.filter(
             ~F.col("__lab").eqNullSafe(F.col("__old"))
         ).count()
