@@ -108,6 +108,42 @@ def _dec_and_maybe_unpersist(h, jdf) -> None:
             _unpersist_quiet(j)
 
 
+# Logical-plan node names whose re-execution costs one scan pass: per-row
+# ops over a relation. Anything else (Join/Aggregate/Window/Generate/...)
+# means the input embeds real computed work worth caching across consumers.
+_CHEAP_NODES = (
+    "Project",
+    "Filter",
+    "Relation",          # LogicalRelation prints as `Relation [cols] parquet`
+    "LocalRelation",
+    "LogicalRDD",        # createDataFrame output — already-materialized rows
+    "Range",
+    "InMemoryRelation",  # already cached upstream — a second cache is waste
+)
+
+
+def cheap_to_recompute(df: DataFrame) -> bool:
+    """True when ``df``'s OPTIMIZED logical plan is scan-rooted per-row work
+    only (projections/filters over a relation), so a second consumer costs
+    one extra scan and a cache write would cost more than it saves (guide
+    §5: cache only when recompute beats the memory pressure). Used by
+    filter-mode operators that consume their input twice (scoring pipeline
+    + anti-join left): a bare-parquet input re-scans; a mid-chain input
+    (joins/windows upstream) gets one scoped persist across the two
+    consumers. Decided from the free Catalyst plan, not an executing probe
+    (the round-13 ``spread()`` rule). Unknown/unparseable plans report
+    False — persisting is always correctness-safe."""
+    try:
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for line in txt.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if node and not node.startswith(_CHEAP_NODES):
+            return False
+    return True
+
+
 def release_now(*dfs: DataFrame) -> None:
     """Eagerly release frames persisted with ``scoped_persist``."""
     for df in dfs:

@@ -26,6 +26,7 @@ from ..errors import ParameterException
 from ..naming import cleanse_name
 from ..operators._util import as_list, resolve_col, spread, with_columns_sql
 from ..registry import renderer, spark_transform
+from ._cache import cheap_to_recompute, release_with, scoped_persist
 from ._hash import shingles_expr, tokens_expr
 
 # PII patterns — deliberately simple alternation-free shapes: identical match
@@ -77,6 +78,16 @@ def decontaminate(
         raise ParameterException("mode must be 'score' or 'filter'")
     t, i = resolve_col(df, text), resolve_col(df, id_col)
     et = resolve_col(eval_table, eval_text or text)
+    input_caches: tuple = ()
+    if mode == "filter" and not cheap_to_recompute(df):
+        # filter mode consumes the input twice (the n-gram scoring pipeline
+        # and the anti-join's left side). A bare scan re-reads cheaper than
+        # it caches; a mid-chain input (e.g. dedup_url output inside
+        # pipeline_e2e, whose window re-executes per consumer above the
+        # reused exchange) gets one scoped persist across the two consumers,
+        # released with the result (round 14).
+        df = scoped_persist(df)
+        input_caches = (df,)
     # stage tokens as a REAL column before the shingle HOF: a lambda that
     # captures the raw tokenization expression re-evaluates it per array
     # element (the round-1 25× lesson, dedup.py:59-71); referenced >1×, the
@@ -115,7 +126,9 @@ def decontaminate(
     # no broadcast hint: the contaminated-id set is data-dependent and
     # unbounded in principle (a wholly-contaminated corpus flags every id) —
     # let AQE pick broadcast vs shuffle from the observed size at runtime
-    return df.join(flagged, i, "left_anti").select(*df.columns)
+    return release_with(
+        df.join(flagged, i, "left_anti").select(*df.columns), *input_caches
+    )
 
 
 @renderer("decontaminate")

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from ..errors import ParameterException
 from ..operators._util import resolve_col, spread
 from ..registry import renderer, spark_transform
-from ._cache import release_now, release_with, scoped_persist
+from ._cache import (
+    cheap_to_recompute,
+    release_now,
+    release_with,
+    scoped_persist,
+)
 from ._hash import MERSENNE, affine_hash, hash_params, md5_int, shingles_expr, tokens_expr
 
 
@@ -332,14 +337,16 @@ def dedup_minhash(
         raise ParameterException("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     input_caches: tuple = ()
-    if mode == "filter":
+    if mode == "filter" and not cheap_to_recompute(df):
         # filter mode consumes the INPUT twice — the signature pipeline and
         # the final anti-join's left side — and the collapse guard probe is
         # an action, so without a cache the full upstream lineage executes
         # once per downstream action (a curation chain like pipeline_e2e
         # re-runs every upstream operator a second time). Persist the input
         # across its two consumers; released with the result (round 14).
-        # pairs/edges modes consume the input once — no cache there.
+        # pairs/edges modes consume the input once — no cache there. A
+        # scan-rooted input skips the persist: re-scanning is cheaper than
+        # the cache write (cheap_to_recompute, round-14 session 3).
         df = scoped_persist(df)
         input_caches = (df,)
     # persist: the annotated signature table feeds the band join, both sides

@@ -401,3 +401,55 @@ def test_pseudonymize_render_escapes_salt(session, spark):
         ).fetchall()
     }
     assert via_duck == via_df
+
+
+def test_filter_mode_input_cache_is_selective(spark, corpus, eval_set):
+    """Round 14: filter mode persists its input across its two consumers
+    (scoring pipeline + anti-join left) ONLY when the input embeds real
+    computed work. Scan/local inputs re-read cheaper than they cache; a
+    mid-chain input (window/aggregate upstream) gets exactly one scoped
+    persist, released with the result."""
+    import gc
+
+    from pyspark.sql import Window
+
+    from rasgoql_spark.functions import _cache
+    from rasgoql_spark.functions._cache import cheap_to_recompute
+
+    # the helper's verdicts: per-row work over a relation is cheap ...
+    assert cheap_to_recompute(corpus)
+    assert cheap_to_recompute(corpus.filter("doc_id > 1").select("doc_id", "text"))
+    # ... anything with a window / aggregate / join upstream is not
+    w = Window.partitionBy("doc_id").orderBy("doc_id")
+    heavy = (
+        corpus.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    assert not cheap_to_recompute(heavy)
+    assert not cheap_to_recompute(
+        corpus.groupBy("doc_id").agg(F.first("text").alias("text"))
+    )
+
+    dec = rql.get_transform("decontaminate")
+    # cheap input: no input cache registered
+    gc.collect()
+    n0 = len(_cache._ENTRIES)
+    out_cheap = dec.apply(
+        corpus, text="text", id_col="doc_id", eval_table=eval_set,
+        ngram=4, threshold=0.3, mode="filter",
+    )
+    assert len(_cache._ENTRIES) == n0
+    assert {r["doc_id"] for r in out_cheap.collect()} == {3, 4}
+
+    # mid-chain input: one scoped persist, same survivors (doc_id is unique,
+    # so the rn=1 window keeps every row), released when the result drops
+    out_heavy = dec.apply(
+        heavy, text="text", id_col="doc_id", eval_table=eval_set,
+        ngram=4, threshold=0.3, mode="filter",
+    )
+    assert len(_cache._ENTRIES) == n0 + 1
+    assert {r["doc_id"] for r in out_heavy.collect()} == {3, 4}
+    del out_heavy
+    gc.collect()
+    assert len(_cache._ENTRIES) == n0
