@@ -7,7 +7,8 @@ OLD state is emulated in-process by monkeypatching the modules' imported
 False). NEW state restores the real helper. States alternate per round so
 host drift cancels — the same protocol as the r14 language-id flag flip.
 
-Usage: python tools/r14s3_cache_ab.py [rounds]
+Usage: python tools/r14s3_cache_ab.py [rounds] [entry ...]
+(entries default to llm_pipeline_e2e + the two null controls)
 """
 
 from __future__ import annotations
@@ -38,19 +39,20 @@ def set_state(new: bool) -> None:
 
 def main() -> int:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    entries = sys.argv[2:] or ENTRIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = rql.default_spark(
         app_name="cache_ab", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict = {e: {"old": [], "new": []} for e in ENTRIES}
-    for e in ENTRIES:
+    out: dict = {e: {"old": [], "new": []} for e in entries}
+    for e in entries:
         bench.run_one(bench.BENCH_QUERIES[e], spark, sf_dir)  # warm-up
     for r in range(rounds):
         for state in ("old", "new") if r % 2 == 0 else ("new", "old"):
             set_state(state == "new")
-            for e in ENTRIES:
+            for e in entries:
                 ts = [
                     bench.run_one(bench.BENCH_QUERIES[e], spark, sf_dir)
                     for _ in range(5)
