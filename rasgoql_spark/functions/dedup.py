@@ -57,6 +57,32 @@ def _r_dedup_exact(source, text, id_col, keep="min") -> str:
     )
 
 
+# Compute |A∪B| arithmetically from the staged |A∩B| instead of building
+# the union ARRAY per candidate pair. Module-level so the equality test /
+# A/B tooling can force the legacy form on the same fixture (round 14).
+_UNION_VIA_SIZES = True
+
+
+def _jaccard_terms(frame: DataFrame, a: str = "__sh_a", b: str = "__sh_b"):
+    """Stage ``|A∩B|`` as a real column (``__ji``) and derive
+    ``|A∪B| = |A| + |B| − |A∩B|`` arithmetically — exact because every
+    shingle column here is ``shingles_expr`` output, which is
+    ``array_distinct``'ed (a SET). Saves building the union array per
+    candidate pair in the verification joins (guide §2.3: shuffle/compute
+    fewer bytes); the staged column keeps the intersect evaluated once
+    (it is referenced by both terms — the repo's HOF/CSE staging rule).
+    Returns ``(frame, inter, un)`` with both terms cast to double, so the
+    JACCARD division is bit-identical to the legacy array_union form."""
+    if not _UNION_VIA_SIZES:
+        inter = F.size(F.array_intersect(a, b)).cast("double")
+        un = F.size(F.array_union(a, b)).cast("double")
+        return frame, inter, un
+    frame = frame.withColumn("__ji", F.size(F.array_intersect(a, b)))
+    inter = F.col("__ji").cast("double")
+    un = (F.size(a) + F.size(b) - F.col("__ji")).cast("double")
+    return frame, inter, un
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str,
@@ -400,8 +426,7 @@ def dedup_minhash(
         shingle_tbl.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
         on="__id_b",
     )
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-    un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    cand, inter, un = _jaccard_terms(cand)
     jac = F.when(un > 0, inter / un).otherwise(F.lit(0.0))
     rep_pairs = (
         cand.withColumn("JACCARD", jac)
@@ -998,8 +1023,7 @@ def dedup_ngram_jaccard(
         rep_base.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
         on="__id_b",
     )
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-    un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    cand, inter, un = _jaccard_terms(cand)
     rep_pairs = (
         cand.withColumn("JACCARD", F.when(un > 0, inter / un).otherwise(F.lit(0.0)))
         .filter(F.col("JACCARD") >= threshold)
@@ -1516,8 +1540,7 @@ def dedup_against(
             rep_b.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
             on="__id_b",
         )
-        inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-        un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+        cand, inter, un = _jaccard_terms(cand)
         jac = F.when(un > 0, inter / un).otherwise(F.lit(0.0))
         rep_pairs = (
             cand.withColumn("JACCARD", jac)
@@ -1710,8 +1733,7 @@ def minhash_similarity(
         F.filter(F.zip_with("__mh_a", "__mh_b", lambda x, y: x == y), lambda b: b)
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-    un = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    cand, inter, un = _jaccard_terms(cand)
     jac = F.when(un > 0, inter / un).otherwise(F.lit(0.0))
     rep_pairs = cand.select(
         F.col("__id_a").alias("ID_A"),

@@ -1018,3 +1018,51 @@ def test_language_id_model_pivot_matches_label_fanout(spark, monkeypatch):
     assert got_pivot == got_fanout
     tie = dict((r[0], r[1]) for r in got_pivot)
     assert tie[3] == "tie_a"
+
+
+def test_union_via_sizes_matches_array_union_exactly(spark):
+    """Round 14: |A∪B| derived arithmetically from the staged |A∩B|
+    (_jaccard_terms) must produce EXACTLY the legacy array_union
+    verification — same pairs, bit-identical JACCARD — across the four
+    call sites' shapes: near dups, exact dups (intra 1.0), an empty doc,
+    and a no-overlap collision candidate."""
+    from rasgoql_spark.functions import dedup as _d
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base), (2, base + " tonight"), (3, base), (4, ""),
+        (5, "completely different content about spark query engines"),
+        (6, "short text"), (7, base + " tonight again"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run_all():
+        pairs = sorted(
+            tuple(r) for r in rql.get_transform("dedup_minhash").apply(
+                df, text="text", id_col="doc_id", threshold=0.2).collect()
+        )
+        ngram = sorted(
+            tuple(r) for r in rql.get_transform("dedup_ngram_jaccard").apply(
+                df, text="text", id_col="doc_id", threshold=0.2).collect()
+        )
+        sim = sorted(
+            tuple(r) for r in rql.get_transform("minhash_similarity").apply(
+                df, text="text", id_col="doc_id").collect()
+        )
+        against = sorted(
+            tuple(r) for r in rql.get_transform("dedup_against").apply(
+                df.filter("doc_id >= 4"), text="text", id_col="doc_id",
+                reference=df.filter("doc_id < 4"), method="minhash",
+                threshold=0.2, mode="pairs").collect()
+        )
+        return pairs, ngram, sim, against
+
+    assert _d._UNION_VIA_SIZES is True
+    new = run_all()
+    _d._UNION_VIA_SIZES = False
+    try:
+        old = run_all()
+    finally:
+        _d._UNION_VIA_SIZES = True
+    assert new == old
+    assert len(new[0]) > 0  # the planted near-dup pair actually verified
